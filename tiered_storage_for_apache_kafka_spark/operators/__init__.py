@@ -1,0 +1,18 @@
+"""DataFrame operators.
+
+Importing this package registers every query with the central registry
+(`registry.QUERIES` / `registry.ORACLES`), which ``__spark_entry__.py``
+exposes to the driver.
+"""
+
+from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
+    chunk_relational,
+    dedup,
+    similarity,
+    text,
+    tpch,
+)
+from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+)

@@ -1,0 +1,235 @@
+"""Deduplication operators: exact, MinHash+LSH with n-gram Jaccard verify.
+
+Scale design (the point of these operators at 100 TB):
+
+- **exact**: one hash-groupBy on md5(content) — map-side partial agg, one
+  shuffle keyed by the hash (uniformly distributed → no skew).
+- **minhash_lsh**: shingle explode → per-(doc, hash_id) MIN aggregation →
+  band keys → self-join *on band key only* (never all-pairs), → candidate
+  pairs → shingle-intersection join to verify Jaccard. Every stage is a
+  hash shuffle on a high-cardinality key; the all-pairs O(n²) comparison
+  is avoided exactly the way the LSH literature prescribes — only
+  same-band pairs are compared.
+- Jaccard thresholding is done with integer cross-multiplication
+  (``5*inter >= union`` for τ=0.2) so the oracle comparison is exact.
+
+No Python UDFs anywhere — shingling, hashing (md5), min-signatures and
+band keys are all built-in JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 → candidates need 2 consecutive matching minhashes
+SHINGLE_WORDS = 3
+JACCARD_NUM = 1  # threshold tau = JACCARD_NUM / JACCARD_DEN
+JACCARD_DEN = 5
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies,
+       CAST(MIN(n_chars) AS BIGINT) AS n_chars_canonical
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest doc_id as
+    canonical. One shuffle on the (uniform) hash key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_chars").cast("bigint").alias("n_chars_canonical"),
+        )
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-SHINGLE_WORDS-gram shingles per document.
+
+    Built with sequence/transform/slice — all JVM array expressions, no
+    UDF; the explode is the only row-multiplying step and it is linear in
+    corpus token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = SHINGLE_WORDS
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    shingle_arr = F.expr(
+        f"transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - {n - 1}, 1)), "
+        f"i -> array_join(slice(split(trim(text), '\\\\s+'), i, {n}), ' '))"
+    )
+    return (
+        docs.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_CTE = f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - {SHINGLE_WORDS - 1}, 1)),
+             i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+{SHINGLE_WORDS - 1}], ' ')
+           )) AS shingle
+    FROM documents)
+)
+"""
+
+
+@query(
+    "minhash_signatures",
+    oracle=_SHINGLES_CTE
+    + f"""
+SELECT doc_id, hash_id, MIN(md5(CAST(hash_id AS VARCHAR) || ':' || shingle)) AS minhash
+FROM shingles
+CROSS JOIN (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS hash_id)
+GROUP BY doc_id, hash_id
+""",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix: minhash_i(doc) = min over shingles of
+    md5(i || ':' || shingle). Pure groupBy-MIN — the permutation trick of
+    Broder's MinHash realized with keyed md5."""
+    sh = _shingles(spark, sf_dir)
+    ids = spark.range(N_HASHES).select(F.col("id").cast("int").alias("hash_id"))
+    return (
+        sh.crossJoin(F.broadcast(ids))
+        .select(
+            "doc_id",
+            "hash_id",
+            F.md5(F.concat_ws(":", F.col("hash_id"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "hash_id")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+_BANDS_CTE = (
+    _SHINGLES_CTE
+    + f"""
+, hashes AS (
+  SELECT doc_id, hash_id, MIN(md5(CAST(hash_id AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM shingles
+  CROSS JOIN (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS hash_id)
+  GROUP BY doc_id, hash_id
+), bands AS (
+  SELECT doc_id,
+         CAST(FLOOR(hash_id / {BAND_SIZE}.0) AS INT) AS band_id,
+         md5(string_agg(minhash, '|' ORDER BY hash_id)) AS band_key
+  FROM hashes
+  GROUP BY doc_id, CAST(FLOOR(hash_id / {BAND_SIZE}.0) AS INT)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+"""
+)
+
+
+def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    return (
+        sig.withColumn(
+            "band_id", F.floor(F.col("hash_id") / F.lit(float(BAND_SIZE))).cast("int")
+        )
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("hash_id", "minhash"))),
+                        lambda x: x.minhash,
+                    ),
+                    "|",
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_BANDS_CTE
+    + f"""
+, sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+, inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       na.n AS n_a, nb.n AS n_b,
+       na.n + nb.n - i.n_inter AS n_union,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE {JACCARD_DEN} * i.n_inter >= {JACCARD_NUM} * (na.n + nb.n - i.n_inter)
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: LSH candidate pairs (same band key) verified
+    with exact n-gram Jaccard; pairs kept when jaccard >= 0.2 (integer
+    cross-multiplied so the threshold decision is exact)."""
+    sh = _shingles(spark, sf_dir)
+    cand = _candidates(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(JACCARD_DEN * F.col("n_inter") >= JACCARD_NUM * n_union)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            n_union.alias("n_union"),
+            F.round(F.col("n_inter").cast("double") / n_union, 6).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,207 @@
+"""Text-analysis operators for the training-data pipeline.
+
+All of these are pure column expressions (JVM-side, whole-stage codegen) —
+no Python UDFs in the hot path. At 100 TB these run as narrow map stages
+over the document scan: no shuffle at all except `corpus_lang_profile`'s
+final tiny aggregation.
+
+Portability with the DuckDB oracle: token/marker counting uses
+``regexp_count``-style counting of ``\\S+`` / word-boundary patterns
+(identical semantics in Java regex and RE2); fingerprints are md5 hex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+# language marker words for the n-gram-free lang-ID heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+@query(
+    "token_count",
+    oracle=r"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_measured,
+       CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+       CAST(LEN(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+FROM documents
+""",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + wordlike token counting (the whitespace/BPE-ish
+    tokenizer-feeding statistics stage of a training-data pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+"))
+        .cast("bigint")
+        .alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("bigint").alias("n_digits"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=r"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_measured,
+       CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(LEN(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       CAST(LEN(regexp_extract_all(lower(text), '\bthe\b|\band\b|\bof\b|\ba\b')) AS BIGINT)
+         AS n_stopwords,
+       CASE WHEN LENGTH(text) >= 100
+             AND LEN(regexp_extract_all(text, '\S+')) >= 20
+            THEN 1 ELSE 0 END AS quality_pass
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio signals and a
+    boolean gate — the classic pre-training quality filter, as pure column
+    expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        n_tokens.alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[.,;:!?]")).cast("bigint").alias("n_punct"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"\bthe\b|\band\b|\bof\b|\ba\b"))
+        .cast("bigint")
+        .alias("n_stopwords"),
+        F.when((F.length("text") >= 100) & (n_tokens >= 20), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("quality_pass"),
+    )
+
+
+def _marker_counts_spark(col):
+    out = []
+    for lang, words in _LANG_MARKERS.items():
+        pat = "|".join(rf"\b{w}\b" for w in words)
+        out.append(F.regexp_count(F.lower(col), F.lit(pat)).cast("bigint").alias(f"score_{lang}"))
+    return out
+
+
+def _marker_counts_sql() -> str:
+    parts = []
+    for lang, words in _LANG_MARKERS.items():
+        pat = "|".join(rf"\b{w}\b" for w in words)
+        parts.append(
+            f"CAST(LEN(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS score_{lang}"
+        )
+    return ",\n       ".join(parts)
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {_marker_counts_sql()}
+  FROM documents
+)
+SELECT doc_id, lang,
+       score_en, score_de, score_fr, score_es, score_zh,
+       CASE
+         WHEN score_en >= score_de AND score_en >= score_fr
+          AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+         WHEN score_de >= score_fr AND score_de >= score_es
+          AND score_de >= score_zh THEN 'de'
+         WHEN score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+         WHEN score_es >= score_zh THEN 'es'
+         ELSE 'zh'
+       END AS predicted_lang
+FROM scored
+""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram heuristic): score each language by
+    stopword-marker hits, argmax with a fixed precedence order so the
+    prediction is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", *_marker_counts_spark(F.col("text")))
+    s = {lang: F.col(f"score_{lang}") for lang in _LANG_MARKERS}
+    pred = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] >= s["zh"]),
+            F.lit("en"),
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] >= s["zh"]), F.lit("de"))
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["zh"]), F.lit("fr"))
+        .when(s["es"] >= s["zh"], F.lit("es"))
+        .otherwise(F.lit("zh"))
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "score_en",
+        "score_de",
+        "score_fr",
+        "score_es",
+        "score_zh",
+        pred.alias("predicted_lang"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+       substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 8) AS bucket
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase
+    text (the canonical-form hash used as the exact-dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        canon.alias("fingerprint"),
+        F.substring(canon, 1, 8).alias("bucket"),
+    )
+
+
+@query(
+    "corpus_lang_profile",
+    oracle=r"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(LEN(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def corpus_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup per language — the monitoring aggregate a
+    pipeline emits per ingest batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"\S+")))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
