@@ -1,0 +1,157 @@
+"""Full copy→fetch→delete matrix against the filesystem backend —
+mirrors the reference's integration matrix (`RemoteStorageManagerTest.
+java:75-150`: {cache} × {chunk size} × {compression} × {encryption} ×
+{txn index}), with deliberately chunk-unaligned segment sizes and
+every-boundary fetch ranges."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tiered_storage_for_apache_kafka_spark.api import (
+    SegmentData,
+    SegmentMetadata,
+    TieredStorageManager,
+)
+from tiered_storage_for_apache_kafka_spark.fetch.cache import (
+    DiskChunkCache,
+    MemoryChunkCache,
+)
+from tiered_storage_for_apache_kafka_spark.manifest.manifest import SegmentManifest
+from tiered_storage_for_apache_kafka_spark.storage.filesystem import FileSystemStorage
+from tiered_storage_for_apache_kafka_spark.transform.encryption import RsaKeyring
+
+SEGMENT_SIZE = 123 * 1024 + 123  # deliberately chunk-unaligned (SingleBrokerTest.java:114-117)
+CHUNK_SIZE = 1024
+
+_rng = random.Random(42)
+SEGMENT_BYTES = bytes(_rng.getrandbits(8) for _ in range(SEGMENT_SIZE))
+INDEXES = {
+    "offset": bytes(_rng.getrandbits(8) for _ in range(512)),
+    "timestamp": bytes(_rng.getrandbits(8) for _ in range(256)),
+    "producerSnapshot": b"snapshot",
+    "leaderEpoch": b"epochs",
+}
+META = SegmentMetadata(
+    topic="t0", topic_id="tid0", partition=0, start_offset=1000,
+    end_offset=2000, segment_uuid="seg-uuid-1",
+)
+
+KEYRING = RsaKeyring.generate()  # RSA keygen is slow; share across the matrix
+
+
+def make_manager(tmp_path, compression, encryption, cache_kind, txn_index):
+    backend = FileSystemStorage(tmp_path / "store")
+    cache = None
+    if cache_kind == "memory":
+        cache = MemoryChunkCache(1 << 22)
+    elif cache_kind == "disk":
+        cache = DiskChunkCache(tmp_path / "cache", 1 << 22)
+    return TieredStorageManager(
+        backend,
+        chunk_size=CHUNK_SIZE,
+        compression_enabled=compression,
+        encryption_keyring=KEYRING if encryption else None,
+        cache=cache,
+    ), backend
+
+
+@pytest.mark.parametrize("compression", [False, True])
+@pytest.mark.parametrize("encryption", [False, True])
+@pytest.mark.parametrize("cache_kind", [None, "memory", "disk"])
+@pytest.mark.parametrize("txn_index", [False, True])
+def test_copy_fetch_delete_cycle(tmp_path, compression, encryption, cache_kind, txn_index):
+    indexes = dict(INDEXES)
+    if txn_index:
+        indexes["transaction"] = b"txn-index-bytes"
+    mgr, backend = make_manager(tmp_path, compression, encryption, cache_kind, txn_index)
+
+    custom = mgr.copy_log_segment_data(META, SegmentData(SEGMENT_BYTES, indexes))
+    assert set(custom["object_keys"]) == {"log", "indexes", "rsm-manifest"}
+    assert len(backend.list_keys()) == 3
+
+    # manifest shape (golden assertions, RemoteStorageManagerTest.java:176-203)
+    with backend.fetch(custom["object_keys"]["rsm-manifest"]) as f:
+        manifest = SegmentManifest.from_json(f.read())
+    assert manifest.compression == compression
+    assert (manifest.encryption is not None) == encryption
+    assert manifest.chunk_index.original_file_size == SEGMENT_SIZE
+    expected_type = "variable" if compression else "fixed"
+    assert manifest.chunk_index.to_dict()["type"] == expected_type
+    assert ("transaction" in manifest.segment_indexes.locations) == txn_index
+
+    # fetch every flavor of range: full, borders, borders±1, mid-chunk,
+    # single byte, last byte, beyond-end clamp
+    ranges = [
+        (0, None),
+        (0, 0),
+        (0, CHUNK_SIZE - 1),
+        (CHUNK_SIZE - 1, CHUNK_SIZE),
+        (CHUNK_SIZE, 2 * CHUNK_SIZE - 1),
+        (CHUNK_SIZE + 17, 5 * CHUNK_SIZE + 99),
+        (SEGMENT_SIZE - 1, SEGMENT_SIZE - 1),
+        (SEGMENT_SIZE - 100, 10 * SEGMENT_SIZE),
+        (123, 123 * 1024),
+    ]
+    for start, end in ranges:
+        got = b"".join(mgr.fetch_log_segment(META, start, end))
+        hi = SEGMENT_SIZE - 1 if end is None else min(end, SEGMENT_SIZE - 1)
+        assert got == SEGMENT_BYTES[start : hi + 1], f"range {start}-{end}"
+
+    # index fetch byte-equality (RemoteStorageManagerTest.java:205-233)
+    for index_type, payload in indexes.items():
+        assert mgr.fetch_index(META, index_type) == payload
+    if not txn_index:
+        with pytest.raises(KeyError):
+            mgr.fetch_index(META, "transaction")
+
+    mgr.delete_log_segment_data(META)
+    assert backend.list_keys() == []
+
+
+def test_cache_hits_on_reread(tmp_path):
+    mgr, _ = make_manager(tmp_path, False, False, "memory", False)
+    mgr.copy_log_segment_data(META, SegmentData(SEGMENT_BYTES, dict(INDEXES)))
+    b"".join(mgr.fetch_log_segment(META, 0, 10 * CHUNK_SIZE))
+    misses_after_first = mgr.chunk_manager.cache.misses
+    b"".join(mgr.fetch_log_segment(META, 0, 10 * CHUNK_SIZE))
+    assert mgr.chunk_manager.cache.misses == misses_after_first
+    assert mgr.chunk_manager.cache.hits >= 11
+
+
+def test_upload_failure_cleans_up(tmp_path):
+    backend = FileSystemStorage(tmp_path / "store")
+    mgr = TieredStorageManager(backend, chunk_size=CHUNK_SIZE)
+    boom = RuntimeError("disk full")
+    real_upload = backend.upload
+    calls = []
+
+    def failing_upload(key, data):
+        calls.append(key)
+        if len(calls) == 3:  # fail on the manifest (last object)
+            raise boom
+        return real_upload(key, data)
+
+    backend.upload = failing_upload
+    with pytest.raises(RuntimeError):
+        mgr.copy_log_segment_data(META, SegmentData(SEGMENT_BYTES, dict(INDEXES)))
+    assert backend.list_keys() == []  # orphans removed (W12)
+
+
+def test_prefetch_warms_cache(tmp_path):
+    backend = FileSystemStorage(tmp_path / "store")
+    cache = MemoryChunkCache(1 << 22, prefetch_max_bytes=4 * CHUNK_SIZE)
+    mgr = TieredStorageManager(backend, chunk_size=CHUNK_SIZE, cache=cache)
+    mgr.copy_log_segment_data(META, SegmentData(SEGMENT_BYTES, dict(INDEXES)))
+    b"".join(mgr.fetch_log_segment(META, 0, CHUNK_SIZE - 1))  # touches chunk 0
+    import time
+
+    deadline = time.monotonic() + 5
+    want = {("t0-tid0/0/00000000000000001000-seg-uuid-1.log", i) for i in range(1, 5)}
+    while time.monotonic() < deadline:
+        if want <= set(cache._data.keys()):
+            break
+        time.sleep(0.05)
+    assert want <= set(cache._data.keys())

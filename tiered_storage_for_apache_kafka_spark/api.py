@@ -1,0 +1,249 @@
+"""The 5-method tiered-storage facade — the engine's public API surface.
+
+Parity with KIP-405 ``RemoteStorageManager`` (``core/.../RemoteStorage
+Manager.java:48-201``): configure, copy_log_segment_data, fetch_log_segment,
+fetch_index, delete_log_segment_data. Classic (byte-fidelity) mode over the
+Python storage layer; the table mode rides Spark (`streaming/ingest.py`).
+
+Upload layout per segment (ObjectKeyFactory scheme):
+- ``...-<uuid>.log``          — chunked/compressed/encrypted segment bytes
+- ``...-<uuid>.indexes``      — 5 aux indexes concatenated (encrypted when
+                                encryption is on; never chunk-split)
+- ``...-<uuid>.rsm-manifest`` — JSON manifest (chunk index, index
+                                locations, compression flag, wrapped DEK)
+
+Failure of any upload best-effort deletes all three objects
+(`KafkaRemoteStorageManager.java:211-220` atomic-upload-or-cleanup).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import BinaryIO, Iterator
+
+from tiered_storage_for_apache_kafka_spark.fetch.cache import ChunkCache
+from tiered_storage_for_apache_kafka_spark.fetch.chunk_manager import ChunkManager
+from tiered_storage_for_apache_kafka_spark.manifest.manifest import (
+    INDEX_TYPES,
+    EncryptionMetadata,
+    IndexLocation,
+    SegmentIndexes,
+    SegmentManifest,
+)
+from tiered_storage_for_apache_kafka_spark.storage.backend import (
+    BytesRange,
+    StorageBackend,
+)
+from tiered_storage_for_apache_kafka_spark.storage.object_key import (
+    ObjectKeyFactory,
+    Suffix,
+)
+from tiered_storage_for_apache_kafka_spark.storage.rate_limiter import (
+    RateLimitedStream,
+    TokenBucket,
+)
+from tiered_storage_for_apache_kafka_spark.transform.compression import (
+    DEFAULT_CODEC,
+    requires_compression,
+)
+from tiered_storage_for_apache_kafka_spark.transform.encryption import (
+    DataKeyAndAAD,
+    RsaKeyring,
+    create_data_key_and_aad,
+    decrypt_chunks,
+    encrypt_chunks,
+)
+from tiered_storage_for_apache_kafka_spark.transform.pipeline import transform
+
+
+@dataclass(frozen=True)
+class SegmentMetadata:
+    """KIP-405 RemoteLogSegmentMetadata essentials."""
+
+    topic: str
+    topic_id: str
+    partition: int
+    start_offset: int
+    end_offset: int
+    segment_uuid: str
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass
+class SegmentData:
+    """The segment bytes plus its aux indexes (TRANSACTION optional)."""
+
+    log: bytes
+    indexes: dict[str, bytes]  # index type name -> bytes
+
+
+class TieredStorageManager:
+    def __init__(
+        self,
+        backend: StorageBackend,
+        chunk_size: int = 4 * 1024 * 1024,
+        compression_enabled: bool = False,
+        compression_heuristic_enabled: bool = False,
+        encryption_keyring: RsaKeyring | None = None,
+        cache: ChunkCache | None = None,
+        key_prefix: str = "",
+        codec: str = DEFAULT_CODEC,
+        upload_rate_limit_bytes_per_second: int | None = None,
+    ):
+        self.backend = backend
+        self.chunk_size = chunk_size
+        self.compression_enabled = compression_enabled
+        self.compression_heuristic_enabled = compression_heuristic_enabled
+        self.keyring = encryption_keyring
+        self.codec = codec
+        self.keys = ObjectKeyFactory(key_prefix)
+        self.chunk_manager = ChunkManager(backend, cache, codec)
+        self.rate_limiter = (
+            TokenBucket(upload_rate_limit_bytes_per_second)
+            if upload_rate_limit_bytes_per_second
+            else None
+        )
+        # per-segment DEK cache (manifest holds only the wrapped DEK)
+        self._dek_cache: dict[str, DataKeyAndAAD] = {}
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _object_keys(self, meta: SegmentMetadata) -> dict[Suffix, str]:
+        return self.keys.all_keys(
+            meta.topic, meta.topic_id, meta.partition, meta.start_offset, meta.segment_uuid
+        )
+
+    def _upload(self, key: str, data: bytes) -> int:
+        stream: BinaryIO | bytes = data
+        if self.rate_limiter is not None:
+            stream = RateLimitedStream(data, self.rate_limiter)
+        return self.backend.upload(key, stream)
+
+    def _segment_key(self, manifest: SegmentManifest) -> DataKeyAndAAD | None:
+        if manifest.encryption is None:
+            return None
+        cached = self._dek_cache.get(manifest.segment_uuid)
+        if cached is None:
+            if self.keyring is None:
+                raise RuntimeError("manifest is encrypted but no keyring configured")
+            dek = self.keyring.unwrap(manifest.encryption.data_key)
+            cached = DataKeyAndAAD(dek, manifest.encryption.aad)
+            self._dek_cache[manifest.segment_uuid] = cached
+        return cached
+
+    # -- API -------------------------------------------------------------------
+
+    def copy_log_segment_data(self, meta: SegmentMetadata, data: SegmentData) -> dict:
+        """Ingest one closed segment; returns custom metadata (sizes +
+        object keys — `SegmentCustomMetadataBuilder` analog)."""
+        keys = self._object_keys(meta)
+        uploaded: list[str] = []
+        try:
+            compression = self.compression_enabled
+            if compression and self.compression_heuristic_enabled:
+                sample = data.log[: min(len(data.log), self.chunk_size or 65536)]
+                compression = requires_compression(sample, self.codec)
+
+            enc_key = create_data_key_and_aad() if self.keyring else None
+
+            result = transform(
+                data.log,
+                self.chunk_size,
+                compression=compression,
+                encryption_key=enc_key,
+                codec=self.codec,
+            )
+            self._upload(keys[Suffix.LOG], result.data)
+            uploaded.append(keys[Suffix.LOG])
+
+            # aux indexes: transform each (no chunking; encrypt-only), concat
+            locations: dict[str, IndexLocation] = {}
+            blob = bytearray()
+            for index_type in INDEX_TYPES:
+                if index_type not in data.indexes:
+                    continue
+                payload = data.indexes[index_type]
+                if enc_key is not None:
+                    payload = next(encrypt_chunks(iter([payload]), enc_key))
+                locations[index_type] = IndexLocation(len(blob), len(payload))
+                blob += payload
+            self._upload(keys[Suffix.INDEXES], bytes(blob))
+            uploaded.append(keys[Suffix.INDEXES])
+
+            encryption_meta = None
+            if enc_key is not None:
+                assert self.keyring is not None
+                encryption_meta = EncryptionMetadata(
+                    data_key=self.keyring.wrap(enc_key.data_key), aad=enc_key.aad
+                )
+                self._dek_cache[meta.segment_uuid] = enc_key
+
+            manifest = SegmentManifest(
+                segment_uuid=meta.segment_uuid,
+                chunk_index=result.chunk_index,
+                segment_indexes=SegmentIndexes(locations),
+                compression=compression,
+                encryption=encryption_meta,
+                kafka_metadata={
+                    "topic": meta.topic,
+                    "topicId": meta.topic_id,
+                    "partition": meta.partition,
+                    "startOffset": meta.start_offset,
+                    "endOffset": meta.end_offset,
+                },
+            )
+            manifest_bytes = manifest.to_json().encode()
+            self._upload(keys[Suffix.MANIFEST], manifest_bytes)
+            uploaded.append(keys[Suffix.MANIFEST])
+
+            return {
+                "remote_size": len(result.data) + len(blob) + len(manifest_bytes),
+                "object_prefix": self.keys.prefix,
+                "object_keys": {s.value: k for s, k in keys.items()},
+            }
+        except BaseException:
+            # atomic upload-or-cleanup (W12)
+            self.backend.delete(uploaded)
+            raise
+
+    def _manifest(self, meta: SegmentMetadata) -> SegmentManifest:
+        key = self._object_keys(meta)[Suffix.MANIFEST]
+        with self.backend.fetch(key) as f:
+            return SegmentManifest.from_json(f.read())
+
+    def fetch_log_segment(
+        self, meta: SegmentMetadata, start_position: int, end_position: int | None = None
+    ) -> Iterator[bytes]:
+        """Ranged read of original segment bytes; end defaults/clamps to
+        segment end (inclusive semantics, `RemoteStorageManager.java:
+        138-152`)."""
+        manifest = self._manifest(meta)
+        size = manifest.chunk_index.original_file_size
+        end = size - 1 if end_position is None else min(end_position, size - 1)
+        return self.chunk_manager.fetch_range(
+            self._object_keys(meta)[Suffix.LOG],
+            manifest,
+            BytesRange(start_position, end),
+            self._segment_key(manifest),
+        )
+
+    def fetch_index(self, meta: SegmentMetadata, index_type: str) -> bytes:
+        """One aux index, decrypted if needed (`KafkaRemoteStorageManager.
+        java:486-530`). Raises KeyError when the segment has no such index."""
+        manifest = self._manifest(meta)
+        loc = manifest.segment_indexes.locations.get(index_type)
+        if loc is None:
+            raise KeyError(f"segment has no {index_type!r} index")
+        key = self._object_keys(meta)[Suffix.INDEXES]
+        if loc.size == 0:
+            return b""
+        with self.backend.fetch(key, BytesRange.of_size(loc.position, loc.size)) as f:
+            payload = f.read()
+        enc_key = self._segment_key(manifest)
+        if enc_key is not None:
+            payload = next(decrypt_chunks(iter([payload]), enc_key))
+        return payload
+
+    def delete_log_segment_data(self, meta: SegmentMetadata) -> None:
+        self.backend.delete(self._object_keys(meta).values())
+        self._dek_cache.pop(meta.segment_uuid, None)

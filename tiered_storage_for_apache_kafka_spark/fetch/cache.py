@@ -1,0 +1,164 @@
+"""Chunk caches: memory and disk, byte-weighted LRU with single-flight.
+
+Parity: ``fetch/cache/ChunkCache.java:49-185`` (async Caffeine cache,
+weight = bytes, `compute()` dedups concurrent loads), `MemoryChunkCache`,
+`DiskChunkCache` (temp file + atomic move). Python rendition: an LRU
+OrderedDict under a lock, with per-key in-flight futures so concurrent
+readers of the same chunk trigger exactly one load — the single-flight
+behavior the reference gets from Caffeine's `compute`.
+
+On a Spark cluster each executor owns one cache instance (process-local,
+like the reference's per-broker cache); the disk variant targets the
+executor's local SSD scratch dir.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import threading
+from collections import OrderedDict
+from concurrent.futures import Future, ThreadPoolExecutor
+from pathlib import Path
+from typing import Callable
+
+ChunkKey = tuple[str, int]  # (object key/segment file name, chunk id) — ChunkKey.java:22-31
+
+
+class ChunkCache:
+    """Base: LRU by total byte weight + single-flight loads + optional
+    sequential prefetch (ChunkCache.java:159-184)."""
+
+    def __init__(self, max_bytes: int, prefetch_max_bytes: int = 0, workers: int = 4):
+        self.max_bytes = max_bytes
+        self.prefetch_max_bytes = prefetch_max_bytes
+        self._lock = threading.Lock()
+        self._inflight: dict[ChunkKey, Future] = {}
+        self._pool = ThreadPoolExecutor(max_workers=workers, thread_name_prefix="chunk-cache")
+        self.hits = 0
+        self.misses = 0
+
+    # storage primitives (subclass) -------------------------------------------
+    def _get(self, key: ChunkKey) -> bytes | None:
+        raise NotImplementedError
+
+    def _put(self, key: ChunkKey, value: bytes) -> None:
+        raise NotImplementedError
+
+    # public ------------------------------------------------------------------
+    def get_chunk(self, key: ChunkKey, loader: Callable[[], bytes]) -> bytes:
+        with self._lock:
+            cached = self._get(key)
+            if cached is not None:
+                self.hits += 1
+                return cached
+            fut = self._inflight.get(key)
+            if fut is None:
+                self.misses += 1
+                fut = Future()
+                self._inflight[key] = fut
+                owner = True
+            else:
+                owner = False
+        if not owner:
+            return fut.result(timeout=30)
+        try:
+            value = loader()
+        except BaseException as e:
+            with self._lock:
+                self._inflight.pop(key, None)
+            fut.set_exception(e)
+            raise
+        with self._lock:
+            self._put(key, value)
+            self._inflight.pop(key, None)
+        fut.set_result(value)
+        return value
+
+    def prefetch(self, keys: list[ChunkKey], loader_for: Callable[[ChunkKey], Callable[[], bytes]]) -> None:
+        """Async-warm upcoming chunks (ignores failures)."""
+        for key in keys:
+            def _load(k: ChunkKey = key) -> None:
+                try:
+                    self.get_chunk(k, loader_for(k))
+                except Exception:
+                    pass
+            self._pool.submit(_load)
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+
+class MemoryChunkCache(ChunkCache):
+    def __init__(self, max_bytes: int = 128 * 1024 * 1024, prefetch_max_bytes: int = 0):
+        super().__init__(max_bytes, prefetch_max_bytes)
+        self._data: OrderedDict[ChunkKey, bytes] = OrderedDict()
+        self._weight = 0
+
+    def _get(self, key: ChunkKey) -> bytes | None:
+        value = self._data.get(key)
+        if value is not None:
+            self._data.move_to_end(key)
+        return value
+
+    def _put(self, key: ChunkKey, value: bytes) -> None:
+        old = self._data.pop(key, None)
+        if old is not None:
+            self._weight -= len(old)
+        self._data[key] = value
+        self._weight += len(value)
+        while self._weight > self.max_bytes and len(self._data) > 1:
+            _, evicted = self._data.popitem(last=False)
+            self._weight -= len(evicted)
+
+
+class DiskChunkCache(ChunkCache):
+    """Disk-backed cache: one file per chunk under
+    ``root/<sanitized object key>/<chunk id>``, written to a temp file
+    then atomically moved (DiskChunkCache.java:70-87)."""
+
+    def __init__(
+        self,
+        root: str | Path,
+        max_bytes: int = 16 * 1024 * 1024 * 1024,
+        prefetch_max_bytes: int = 0,
+    ):
+        super().__init__(max_bytes, prefetch_max_bytes)
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self._index: OrderedDict[ChunkKey, int] = OrderedDict()  # key -> size
+        self._weight = 0
+
+    def _file(self, key: ChunkKey) -> Path:
+        obj, chunk_id = key
+        return self.root / obj.replace("/", "%2F") / str(chunk_id)
+
+    def _get(self, key: ChunkKey) -> bytes | None:
+        if key not in self._index:
+            return None
+        try:
+            data = self._file(key).read_bytes()
+        except FileNotFoundError:
+            self._weight -= self._index.pop(key)
+            return None
+        self._index.move_to_end(key)
+        return data
+
+    def _put(self, key: ChunkKey, value: bytes) -> None:
+        path = self._file(key)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=path.parent, prefix=".tmp-")
+        with os.fdopen(fd, "wb") as f:
+            f.write(value)
+        os.replace(tmp, path)
+        if key in self._index:
+            self._weight -= self._index.pop(key)
+        self._index[key] = len(value)
+        self._weight += len(value)
+        while self._weight > self.max_bytes and len(self._index) > 1:
+            old_key, size = self._index.popitem(last=False)
+            self._weight -= size
+            try:
+                self._file(old_key).unlink()
+            except FileNotFoundError:
+                pass

@@ -1,0 +1,117 @@
+"""Transform / detransform finishers.
+
+Composes the chunk pipeline (split → [compress] → [encrypt]) while
+accumulating the chunk index, choosing the index flavor exactly as the
+reference does (``TransformFinisher.java:47-199``):
+
+- no compression → transformed sizes are deterministic (plain, or plain +
+  fixed GCM overhead) → **FixedSizeChunkIndex**, O(1) metadata;
+- compression → data-dependent sizes → **VariableSizeChunkIndex**.
+
+The zero-copy fast path (no compression, no encryption) still walks the
+stream (we must count bytes) but performs no per-chunk work.
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+from typing import BinaryIO, Iterator
+
+from tiered_storage_for_apache_kafka_spark.manifest.chunk_index import (
+    ChunkIndex,
+    FixedSizeChunkIndex,
+    VariableSizeChunkIndex,
+)
+from tiered_storage_for_apache_kafka_spark.transform.chunking import (
+    resplit_chunks,
+    split_chunks,
+)
+from tiered_storage_for_apache_kafka_spark.transform.compression import (
+    DEFAULT_CODEC,
+    compress_chunks,
+    decompress_chunks,
+)
+from tiered_storage_for_apache_kafka_spark.transform.encryption import (
+    ENCRYPTION_OVERHEAD,
+    DataKeyAndAAD,
+    decrypt_chunks,
+    encrypt_chunks,
+)
+
+
+@dataclass
+class TransformResult:
+    data: bytes
+    chunk_index: ChunkIndex
+    original_size: int
+
+
+def transform(
+    stream: BinaryIO | bytes,
+    chunk_size: int,
+    compression: bool = False,
+    encryption_key: DataKeyAndAAD | None = None,
+    codec: str = DEFAULT_CODEC,
+) -> TransformResult:
+    """Run the write-path pipeline over a whole segment, returning the
+    transformed bytes and the chunk index describing them."""
+    if isinstance(stream, (bytes, bytearray, memoryview)):
+        stream = io.BytesIO(bytes(stream))
+
+    original_sizes: list[int] = []
+    transformed: list[bytes] = []
+
+    def _counted(chunks: Iterator[bytes]) -> Iterator[bytes]:
+        for c in chunks:
+            original_sizes.append(len(c))
+            yield c
+
+    chunks: Iterator[bytes] = _counted(split_chunks(stream, chunk_size))
+    if compression:
+        chunks = compress_chunks(chunks, codec)
+    if encryption_key is not None:
+        chunks = encrypt_chunks(chunks, encryption_key)
+    for c in chunks:
+        transformed.append(c)
+
+    original_size = sum(original_sizes)
+    effective_chunk = chunk_size if chunk_size > 0 else max(original_size, 1)
+
+    index: ChunkIndex
+    if compression:
+        index = VariableSizeChunkIndex(
+            effective_chunk, original_size, [len(c) for c in transformed]
+        )
+    else:
+        overhead = ENCRYPTION_OVERHEAD if encryption_key is not None else 0
+        index = FixedSizeChunkIndex(
+            effective_chunk,
+            original_size,
+            transformed_chunk_size=effective_chunk + overhead,
+            final_transformed_chunk_size=len(transformed[-1]),
+        )
+    return TransformResult(b"".join(transformed), index, original_size)
+
+
+def detransform(
+    stream: BinaryIO | bytes,
+    chunk_index: ChunkIndex,
+    compression: bool = False,
+    encryption_key: DataKeyAndAAD | None = None,
+    codec: str = DEFAULT_CODEC,
+    chunk_ids: list[int] | None = None,
+) -> Iterator[bytes]:
+    """Inverse pipeline: re-split by transformed sizes → [decrypt] →
+    [decompress]. ``chunk_ids`` restricts to a contiguous subset (ranged
+    fetch path) — the stream must contain exactly those chunks."""
+    if isinstance(stream, (bytes, bytearray, memoryview)):
+        stream = io.BytesIO(bytes(stream))
+    ids = chunk_ids if chunk_ids is not None else list(range(chunk_index.count))
+    sizes = [chunk_index.transformed_size(i) for i in ids]
+    chunks: Iterator[bytes] = resplit_chunks(stream, sizes)
+    if encryption_key is not None:
+        chunks = decrypt_chunks(chunks, encryption_key)
+    if compression:
+        chunks = decompress_chunks(chunks, codec)
+    return chunks
