@@ -10,6 +10,7 @@ from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     dedup,
     similarity,
     text,
+    tiered,
     tpch,
 )
 from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: F401

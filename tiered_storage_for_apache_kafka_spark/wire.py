@@ -1,0 +1,82 @@
+"""Record/batch wire format for log segments.
+
+A compact, deterministic framing for segment bytes so the byte-fidelity
+engine can hold *structured* records and Spark can reconstruct them
+exactly — the role Kafka's record-batch format plays in the reference
+(read back byte-exactly in Iceberg mode via `BatchEnumeration.java:
+46-235`; grouping identity `RecordBatchGrouper.java:63-75`).
+
+Layout (big-endian):
+  batch  := base_offset(8) record_count(4) payload_len(4) records...
+  record := offset(8) timestamp_us(8) key_len(4; -1 null) key
+            value_len(4; -1 null) value
+
+This is intentionally NOT Kafka's on-disk format (no CRC/varints — that
+fidelity is tracked as SURVEY §7.4 hard-part 1); it is byte-deterministic,
+so transform→tier→fetch→decode round-trips are hash-checkable.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+_BATCH_HEAD = struct.Struct(">qii")
+_REC_HEAD = struct.Struct(">qq")
+_LEN = struct.Struct(">i")
+
+
+@dataclass(frozen=True)
+class Record:
+    offset: int
+    timestamp_us: int
+    key: bytes | None
+    value: bytes | None
+
+
+def _put_bytes(out: bytearray, b: bytes | None) -> None:
+    if b is None:
+        out += _LEN.pack(-1)
+    else:
+        out += _LEN.pack(len(b))
+        out += b
+
+
+def encode_batch(records: list[Record]) -> bytes:
+    if not records:
+        raise ValueError("batch must contain records")
+    body = bytearray()
+    for r in records:
+        body += _REC_HEAD.pack(r.offset, r.timestamp_us)
+        _put_bytes(body, r.key)
+        _put_bytes(body, r.value)
+    return _BATCH_HEAD.pack(records[0].offset, len(records), len(body)) + bytes(body)
+
+
+def _get_bytes(buf: bytes, off: int) -> tuple[bytes | None, int]:
+    (n,) = _LEN.unpack_from(buf, off)
+    off += 4
+    if n < 0:
+        return None, off
+    return buf[off : off + n], off + n
+
+
+def decode_segment(buf: bytes) -> list[tuple[int, list[Record]]]:
+    """Parse a full segment: list of (base_offset, records) batches."""
+    out = []
+    off = 0
+    while off < len(buf):
+        base_offset, count, payload_len = _BATCH_HEAD.unpack_from(buf, off)
+        off += _BATCH_HEAD.size
+        end = off + payload_len
+        records = []
+        for _ in range(count):
+            r_off, ts = _REC_HEAD.unpack_from(buf, off)
+            off += _REC_HEAD.size
+            key, off = _get_bytes(buf, off)
+            value, off = _get_bytes(buf, off)
+            records.append(Record(r_off, ts, key, value))
+        if off != end:
+            raise ValueError(f"batch payload mismatch at {off} != {end}")
+        out.append((base_offset, records))
+    return out
