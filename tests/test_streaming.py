@@ -1,0 +1,72 @@
+"""Structured Streaming: windowed aggs, session windows, stateful
+operator, and the foreachBatch segment-ingest commit path."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
+    decode_events,
+    manager_conf,
+    read_tiered_records,
+)
+from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+    run_stream_to_memory,
+    stream_events,
+    stream_session_windows,
+    stream_tier_events,
+)
+from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_source_schema_matches_batch(spark):
+    stream = stream_events(spark, SF)
+    assert stream.isStreaming
+    batch = load_table(spark, SF, "events")
+    assert dict(stream.dtypes) == dict(batch.dtypes)
+
+
+def test_session_windows_plumbing(spark):
+    out = run_stream_to_memory(
+        stream_session_windows(stream_events(spark, SF)), "complete"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r["user_id"] for r in rows} <= set(range(0, 200))
+    # sessions per user are disjoint in time => count per user >= 1
+    assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_stream_tier_events_commit_and_readback(spark, tmp_path):
+    conf = manager_conf(str(tmp_path / "store"), chunk_size=2048, compression=True)
+    stream_tier_events(
+        spark,
+        SF,
+        conf,
+        manifest_dir=str(tmp_path / "manifests"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    manifests = spark.read.parquet(str(tmp_path / "manifests"))
+    n_events = load_table(spark, SF, "events").count()
+    assert manifests.agg(F.sum("n_records")).collect()[0][0] == n_events
+    # read every record back through the byte engine
+    events_back = decode_events(read_tiered_records(spark, manifests, conf))
+    assert events_back.count() == n_events
+    orig_sum = load_table(spark, SF, "events").agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+    ).collect()[0][0]
+    back_sum = events_back.agg(F.sum(F.col("value").cast("decimal(18,4)"))).collect()[0][0]
+    assert orig_sum == back_sum
+
+    # idempotency: re-running with the same checkpoint is a no-op
+    stream_tier_events(
+        spark,
+        SF,
+        conf,
+        manifest_dir=str(tmp_path / "manifests"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert spark.read.parquet(str(tmp_path / "manifests")).count() == manifests.count()

@@ -8,7 +8,9 @@ exposes to the driver.
 from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     chunk_relational,
     dedup,
+    sessions,
     similarity,
+    streaming_queries,
     text,
     tiered,
     tpch,

@@ -1,0 +1,55 @@
+"""Driver-checkable streaming queries: each runs a real Structured
+Streaming query (availableNow trigger) to a memory sink and returns the
+result table, so the DuckDB oracle can hash-match streaming output
+against the equivalent batch SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+    run_stream_to_memory,
+    stream_events,
+    stream_user_totals_stateful,
+    stream_windowed_counts,
+)
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+""",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling daily windows, watermarked; complete output
+    mode so the memory sink holds the full (deterministic) result."""
+    return run_stream_to_memory(
+        stream_windowed_counts(stream_events(spark, sf_dir)), "complete"
+    )
+
+
+@query(
+    "streaming_user_totals_stateful",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS total_micros
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) running totals.
+
+    NOTE: with the availableNow file source the whole table arrives in
+    one micro-batch, so the update-mode memory sink holds exactly one
+    row per user — the final running totals."""
+    return run_stream_to_memory(
+        stream_user_totals_stateful(stream_events(spark, sf_dir)), "update"
+    )

@@ -1,0 +1,187 @@
+"""Structured Streaming pipelines.
+
+The reference's streaming semantics (SURVEY.md §2.4): uploads are
+per-closed-segment micro-batches, per-partition total order, no late
+data. Our engine expresses that as Structured Streaming over the record
+stream with `foreachBatch` committing segments + manifest rows
+idempotently; the analytics extensions add watermarked windowed aggs and
+custom stateful operators (the things the reference never had).
+
+Design notes for 100 TB:
+- `stream_tier_events`: the micro-batch commit is *idempotent on
+  segment_uuid* — re-delivered batches overwrite the same objects and
+  dedup in the manifest log (fixing the reference's non-atomic dual
+  commit, SURVEY.md §7.4.3).
+- windowed aggregation uses event-time + watermark so state is bounded;
+  the shuffle key is (window, event_type) — low cardinality, partial
+  aggs upstream.
+- `stream_user_totals_stateful` is applyInPandasWithState: per-key state
+  is O(1) (count + sum), keys partitioned by user hash.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based record stream over the events table (the test stand-in
+    for a Kafka source; the select below matches the Kafka source's
+    envelope columns)."""
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_FILE_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_memory(
+    df: DataFrame, output_mode: str, name: str | None = None
+) -> DataFrame:
+    """Run an availableNow streaming query into a memory sink and return
+    the result table (batch DataFrame)."""
+    spark = df.sparkSession
+    name = name or f"mem_{_uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_windowed_counts(events: DataFrame) -> DataFrame:
+    """Event-time daily windows per event_type with a 1-day watermark."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_windows(events: DataFrame, gap: str = "6 hours") -> DataFrame:
+    """Built-in session windows (gap-based), per user."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total_micros", LongType())]
+)
+_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_micros", LongType()),
+    ]
+)
+
+
+def stream_user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-user
+    totals carried across micro-batches. Value sums are accumulated in
+    integer micro-units so cross-batch accumulation stays exact."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # per-value floor to integer micros BEFORE summing: integer
+            # accumulation is exact and order-independent, so the result
+            # is reproducible across batch splits (and matches the SQL
+            # oracle's SUM(FLOOR(value*1e6)))
+            total += int(np.floor(pdf["value"].to_numpy() * 1_000_000).astype("int64").sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_micros": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_tier_events(
+    spark: SparkSession,
+    sf_dir: str,
+    conf: dict,
+    manifest_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming segment ingest: each micro-batch is tiered through the
+    byte engine (executor-side applyInPandas) and its manifest rows are
+    committed to a parquet manifest log, idempotently on segment_uuid."""
+    from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
+        tier_events_table,
+    )
+
+    events = stream_events(spark, sf_dir)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        manifests = tier_events_table(spark, batch_df, conf)
+        (
+            manifests.withColumn("batch_id", F.lit(batch_id))
+            .dropDuplicates(["segment_uuid"])
+            .write.mode("append")
+            .parquet(manifest_dir)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
