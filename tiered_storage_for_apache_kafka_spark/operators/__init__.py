@@ -8,6 +8,8 @@ exposes to the driver.
 from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     chunk_relational,
     dedup,
+    multimodal,
+    relational_extra,
     sessions,
     similarity,
     streaming_queries,

@@ -1,0 +1,204 @@
+"""Remaining relational operator categories from SURVEY.md §2.4:
+set operations, semi/anti joins, deterministic top-k (sort/limit),
+scalar functions (base64 — the reference's index-encoding wrapper), and
+distinct aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+
+@query(
+    "set_ops_customer_segments",
+    oracle="""
+SELECT c_custkey, 'building_no_orders' AS bucket FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT c_custkey FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+)
+UNION ALL
+SELECT c_custkey, 'machinery_with_orders' AS bucket FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+  INTERSECT
+  SELECT o_custkey FROM orders
+)
+""",
+)
+def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT / UNION ALL over key sets."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = customer.join(
+        orders, orders.o_custkey == customer.c_custkey
+    ).select("c_custkey")
+    machinery = customer.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    order_keys = orders.select(F.col("o_custkey").alias("c_custkey"))
+    a = building.exceptAll(with_orders.distinct()).distinct().select(
+        "c_custkey", F.lit("building_no_orders").alias("bucket")
+    )
+    b = machinery.intersect(order_keys).select(
+        "c_custkey", F.lit("machinery_with_orders").alias("bucket")
+    )
+    return a.unionAll(b)
+
+
+@query(
+    "semi_anti_join_orders",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE has_li) AS n_with_lineitems,
+       COUNT(*) FILTER (WHERE NOT has_li) AS n_without_lineitems
+FROM (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                   AND l.l_shipdate > TIMESTAMP '1995-01-01 00:00:00') AS has_li
+  FROM orders o
+)
+GROUP BY o_orderpriority
+""",
+)
+def semi_anti_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join (TPC-H Q4 shape): EXISTS realized as left_semi /
+    left_anti — at scale these shuffle only the keys, never materialize
+    the probe side."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    semi = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_with_lineitems"))
+    )
+    anti = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_without_lineitems"))
+    )
+    return (
+        semi.join(anti, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            F.coalesce("n_with_lineitems", F.lit(0)).alias("n_with_lineitems"),
+            F.coalesce("n_without_lineitems", F.lit(0)).alias("n_without_lineitems"),
+        )
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg — every predicate must reach the
+    parquet scan (PushedFilters), zero shuffle, single global agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(12,4)")
+            )
+            .cast("decimal(38,6)")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "topk_orders_per_priority",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+                                     o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 10
+""",
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k (sort/limit family): rank on a decimal cast
+    with an id tiebreak. At scale this is the rank-pushdown pattern (AQE
+    turns it into per-partition partial top-k before the shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_orderpriority").orderBy(price.desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            price.alias("totalprice"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "scalar_base64_roundtrip",
+    oracle="""
+SELECT doc_id,
+       to_base64(CAST(substr(text, 1, 48) AS BLOB)) AS head_b64,
+       length(to_base64(CAST(substr(text, 1, 48) AS BLOB))) AS b64_len,
+       substr(md5(to_base64(CAST(substr(text, 1, 48) AS BLOB))), 1, 16) AS b64_md5_head
+FROM documents
+""",
+)
+def scalar_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function parity: base64 (the reference wraps its delta-coded
+    chunk index in base64, README §'Index encoding') composed with substr
+    and md5 — all JVM-side built-ins."""
+    docs = load_table(spark, sf_dir, "documents")
+    b64 = F.base64(F.encode(F.substring("text", 1, 48), "UTF-8"))
+    return docs.select(
+        "doc_id",
+        b64.alias("head_b64"),
+        F.length(b64).cast("bigint").alias("b64_len"),
+        F.substring(F.md5(b64), 1, 16).alias("b64_md5_head"),
+    )
+
+
+@query(
+    "distinct_daily_users",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (expand-based two-phase plan in Spark)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

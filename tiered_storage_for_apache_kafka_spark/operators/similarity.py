@@ -93,6 +93,113 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PLANES = 8
+DIM = 64
+
+
+def _planes() -> list[list[int]]:
+    """Deterministic random hyperplanes with {-1,+1} components, derived
+    from md5 so Spark and the oracle share them as inline literals."""
+    import hashlib
+
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for i in range(DIM):
+            h = hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()
+            row.append(-1 if h[0] < "8" else 1)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _planes()
+
+
+def _signature_spark() -> str:
+    """SQL expr producing the LSH bucket signature of column `emb`."""
+    bits = []
+    for row in _PLANES:
+        vals = ",".join(f"{v}.0D" for v in row)
+        dot = (
+            f"aggregate(zip_with(emb, array({vals}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _signature_sql() -> str:
+    bits = []
+    for row in _PLANES:
+        vals = ",".join(f"{v}.0" for v in row)
+        dot = f"list_dot_product(emb, [{vals}])"
+        bits.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), sigs AS (
+  SELECT vec_id, emb, {_signature_sql()} AS bucket FROM vecs
+), q AS (
+  SELECT vec_id AS query_id, emb AS q_emb, bucket FROM sigs WHERE vec_id < {N_QUERIES}
+), cand AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.q_emb, s.emb)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(s.emb, s.emb))), 4) AS cosine_sim
+  FROM q JOIN sigs s ON s.bucket = q.bucket AND s.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+  FROM cand
+) WHERE rnk <= {TOP_K}
+""",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN *scale path*: random-hyperplane LSH bucketing — candidates
+    are only same-bucket vectors, so the scoring join is
+    |corpus|/2^planes per query instead of |corpus| (at 100 TB: bucket is
+    the shuffle key; queries broadcast; no cross product)."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    sigs = vecs.withColumn("bucket", F.expr(_signature_spark()))
+    q = (
+        sigs.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("bucket"),
+        )
+    )
+    dot_qv = F.expr(_DOT.format(a="q_emb", b="emb"))
+    dot_qq = F.expr(_DOT.format(a="q_emb", b="q_emb"))
+    dot_vv = F.expr(_DOT.format(a="emb", b="emb"))
+    cand = (
+        sigs.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot_qv / (F.sqrt(dot_qq) * F.sqrt(dot_vv)), 4).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
 @query(
     "embedding_label_stats",
     oracle="""
