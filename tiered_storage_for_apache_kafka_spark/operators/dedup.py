@@ -90,6 +90,18 @@ WITH shingles AS (
 """
 
 
+def _wide_signatures(sh: DataFrame) -> DataFrame:
+    """One aggregation pass computing all N_HASHES minhashes as columns:
+    min(md5(i:shingle)) per hash id — partial (map-side) aggregation does
+    most of the work before the single shuffle on doc_id, vs. the naive
+    crossJoin-with-hash-ids plan that multiplies the shingle rows 8x."""
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(f"m{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 @query(
     "minhash_signatures",
     oracle=_SHINGLES_CTE
@@ -102,20 +114,13 @@ GROUP BY doc_id, hash_id
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature matrix: minhash_i(doc) = min over shingles of
-    md5(i || ':' || shingle). Pure groupBy-MIN — the permutation trick of
-    Broder's MinHash realized with keyed md5."""
-    sh = _shingles(spark, sf_dir)
-    ids = spark.range(N_HASHES).select(F.col("id").cast("int").alias("hash_id"))
-    return (
-        sh.crossJoin(F.broadcast(ids))
-        .select(
-            "doc_id",
-            "hash_id",
-            F.md5(F.concat_ws(":", F.col("hash_id"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "hash_id")
-        .agg(F.min("h").alias("minhash"))
-    )
+    md5(i || ':' || shingle) — Broder's permutation trick realized with
+    keyed md5. Computed wide (one agg), emitted long via posexplode."""
+    wide = _wide_signatures(_shingles(spark, sf_dir))
+    cols = F.array(*[F.col(f"m{i}") for i in range(N_HASHES)])
+    return wide.select(
+        "doc_id", F.posexplode(cols).alias("hash_id", "minhash")
+    ).withColumn("hash_id", F.col("hash_id").cast("int"))
 
 
 _BANDS_CTE = (
@@ -142,29 +147,26 @@ _BANDS_CTE = (
 )
 
 
-def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir)
-    return (
-        sig.withColumn(
-            "band_id", F.floor(F.col("hash_id") / F.lit(float(BAND_SIZE))).cast("int")
+def _bands_from_wide(wide: DataFrame) -> DataFrame:
+    """Band keys derived directly from the wide signature row — no second
+    aggregation: band_j = md5(m_{j*B} | ... | m_{j*B+B-1})."""
+    entries = []
+    for band_id in range(N_HASHES // BAND_SIZE):
+        members = [
+            F.col(f"m{band_id * BAND_SIZE + k}") for k in range(BAND_SIZE)
+        ]
+        entries.append(
+            F.struct(
+                F.lit(band_id).alias("band_id"),
+                F.md5(F.concat_ws("|", *members)).alias("band_key"),
+            )
         )
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("hash_id", "minhash"))),
-                        lambda x: x.minhash,
-                    ),
-                    "|",
-                )
-            ).alias("band_key")
-        )
-    )
+    return wide.select(
+        "doc_id", F.explode(F.array(*entries)).alias("b")
+    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
 
 
-def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _bands(spark, sf_dir)
+def _candidates_from_bands(bands: DataFrame) -> DataFrame:
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -204,14 +206,20 @@ WHERE {JACCARD_DEN} * i.n_inter >= {JACCARD_NUM} * (na.n + nb.n - i.n_inter)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: LSH candidate pairs (same band key) verified
     with exact n-gram Jaccard; pairs kept when jaccard >= 0.2 (integer
-    cross-multiplied so the threshold decision is exact)."""
-    sh = _shingles(spark, sf_dir)
-    cand = _candidates(spark, sf_dir)
+    cross-multiplied so the threshold decision is exact).
+
+    The shingle table feeds four consumers (signatures, both sides of the
+    intersection join, sizes) — cached so the scan+explode runs once."""
+    sh = _shingles(spark, sf_dir).cache()
+    cand = _candidates_from_bands(_bands_from_wide(_wide_signatures(sh)))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # candidate pairs are tiny relative to the shingle table: broadcast
+    # them so the intersection join filters shingles map-side instead of
+    # shuffling the full shingle table twice
     inter = (
-        cand.join(sa, "doc_a")
+        sa.join(F.broadcast(cand), "doc_a")
         .join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -220,8 +228,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
         .filter(JACCARD_DEN * F.col("n_inter") >= JACCARD_NUM * n_union)
         .select(
             "doc_a",

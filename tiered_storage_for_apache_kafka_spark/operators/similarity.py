@@ -60,18 +60,24 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: queries broadcast against the corpus,
     dot products via zip_with/aggregate (JVM-side, no Python)."""
     vecs = load_table(spark, sf_dir, "embeddings")
+    # precompute norms ONCE per vector (map stage) instead of per pair —
+    # cuts the pair-stage arithmetic to a single dot product
+    norm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
     q = (
         vecs.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            norm.alias("q_norm"),
+        )
     )
     v = vecs.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("emb"),
+        norm.alias("v_norm"),
     )
     dot_qv = F.expr(_DOT.format(a="q_emb", b="emb"))
-    dot_qq = F.expr(_DOT.format(a="q_emb", b="q_emb"))
-    dot_vv = F.expr(_DOT.format(a="emb", b="emb"))
     scored = (
         F.broadcast(q)
         .crossJoin(v)
@@ -80,7 +86,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            F.round(dot_qv / (F.sqrt(dot_qq) * F.sqrt(dot_vv)), 4).alias("cosine_sim"),
+            F.round(dot_qv / (F.col("q_norm") * F.col("v_norm")), 4).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -169,25 +175,27 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("emb")
     )
-    sigs = vecs.withColumn("bucket", F.expr(_signature_spark()))
+    norm = F.sqrt(F.expr(_DOT.format(a="emb", b="emb")))
+    sigs = vecs.withColumn("bucket", F.expr(_signature_spark())).withColumn(
+        "v_norm", norm
+    )
     q = (
         sigs.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("emb").alias("q_emb"),
+            F.col("v_norm").alias("q_norm"),
             F.col("bucket"),
         )
     )
     dot_qv = F.expr(_DOT.format(a="q_emb", b="emb"))
-    dot_qq = F.expr(_DOT.format(a="q_emb", b="q_emb"))
-    dot_vv = F.expr(_DOT.format(a="emb", b="emb"))
     cand = (
         sigs.join(F.broadcast(q), ["bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot_qv / (F.sqrt(dot_qq) * F.sqrt(dot_vv)), 4).alias("cosine_sim"),
+            F.round(dot_qv / (F.col("q_norm") * F.col("v_norm")), 4).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -29,12 +29,21 @@ OFFSET_RANGE_LO = 100
 OFFSET_RANGE_HI = 599
 
 
+_TIER_CACHE: dict[str, tuple[DataFrame, dict]] = {}
+
+
 def _tier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
+    """Tier the events table once per (process, sf_dir); subsequent tiered
+    queries are pure read-path measurements over the same store."""
+    cached = _TIER_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     events = load_table(spark, sf_dir, "events")
     root = tempfile.mkdtemp(prefix="tiered-segments-")
     conf = manager_conf(root, chunk_size=4096, compression=True)
     manifests = tier_events_table(spark, events, conf).cache()
     manifests.count()  # materialize: uploads happen exactly once
+    _TIER_CACHE[sf_dir] = (manifests, conf)
     return manifests, conf
 
 
