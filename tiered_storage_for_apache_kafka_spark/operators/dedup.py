@@ -30,6 +30,7 @@ BAND_SIZE = 2  # 4 bands of 2 → candidates need 2 consecutive matching minhash
 SHINGLE_WORDS = 3
 JACCARD_NUM = 1  # threshold tau = JACCARD_NUM / JACCARD_DEN
 JACCARD_DEN = 5
+SIMHASH_BITS = 16  # one bit per md5 hex position (digit-vote SimHash)
 
 
 @query(
@@ -240,4 +241,111 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_union.alias("n_union"),
             F.round(F.col("n_inter").cast("double") / n_union, 6).alias("jaccard"),
         )
+    )
+
+
+def _simhash_sql() -> str:
+    """DuckDB expression pieces for the digit-vote SimHash bits."""
+    bits = []
+    for j in range(SIMHASH_BITS):
+        digit_val = (
+            f"(strpos('0123456789abcdef', substr(md5(token), {j + 1}, 1)) - 1)"
+        )
+        bits.append(
+            f"CASE WHEN 2 * SUM({digit_val}) >= 15 * COUNT(*) THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+@query(
+    "simhash_fingerprint",
+    oracle=rf"""
+WITH tokens AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+)
+SELECT doc_id, {_simhash_sql()} AS simhash,
+       COUNT(*) AS n_tokens
+FROM tokens
+GROUP BY doc_id
+""",
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (digit-vote formulation): each token votes its md5 hex
+    digit value at each of 16 positions; a bit is set when the digit sum
+    clears the midpoint. Near-duplicate documents produce signatures at
+    small Hamming distance; the vote threshold is an integer comparison
+    so the output is engine-exact. One explode + one aggregation: a
+    single shuffle on doc_id, partial aggs map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")).alias("token"),
+    )
+    digit_sums = [
+        F.sum(
+            F.expr(
+                f"locate(substr(md5(token), {j + 1}, 1), '0123456789abcdef') - 1"
+            )
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"), *digit_sums)
+    bit_cols = [
+        F.when(2 * F.col(f"s{j}") >= 15 * F.col("n_tokens"), F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for j in range(SIMHASH_BITS)
+    ]
+    return agg.select("doc_id", F.concat(*bit_cols).alias("simhash"), "n_tokens")
+
+
+@query(
+    "simhash_near_dup_pairs",
+    oracle=rf"""
+WITH tokens AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+), sigs AS (
+  SELECT doc_id, {_simhash_sql()} AS simhash
+  FROM tokens GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         LENGTH(REPLACE(
+           (SELECT string_agg(CASE WHEN substr(a.simhash, i, 1) = substr(b.simhash, i, 1)
+                                   THEN '0' ELSE '1' END, '' ORDER BY i)
+            FROM (SELECT unnest(generate_series(1, {SIMHASH_BITS})) AS i)), '0', ''))
+           AS hamming
+  FROM sigs a JOIN sigs b
+    ON substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8) AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= 2
+""",
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: block on the signature's first half
+    (the LSH trick for Hamming space — near-identical signatures must
+    agree on at least one half), then keep pairs with Hamming distance
+    <= 2 over the full signature."""
+    sigs = simhash_fingerprint(spark, sf_dir).select("doc_id", "simhash")
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("sig_a"), ""),
+            F.split(F.col("sig_b"), ""),
+            lambda x, y: F.when(x != y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(
+            b,
+            (F.substring("sig_a", 1, 8) == F.substring("sig_b", 1, 8))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= 2)
     )
