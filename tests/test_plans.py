@@ -1,0 +1,107 @@
+"""Physical-plan quality gates: the 100 TB design assertions.
+
+These tests pin the plan properties that matter at scale — filter/
+projection pushdown into the parquet scan, broadcast joins for dims,
+whole-stage codegen coverage, partial aggregation — so a regression that
+silently de-optimizes a query fails CI, not the cluster."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiered_storage_for_apache_kafka_spark.operators import QUERIES
+from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["q6_forecast_revenue"](spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    # at least the shipdate range predicates must be pushed
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 7 needed columns, not all 11
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_dimension_joins_are_broadcast(spark):
+    plan = plan_of(QUERIES["q5_local_supplier_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4  # c, s, n, r all broadcast
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_partial_aggregation_present(spark):
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, SF))
+    # two-phase agg: partial_ functions before the exchange
+    assert "partial_" in plan
+
+
+def test_whole_stage_codegen_spans(spark):
+    import contextlib
+    import io
+
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    df.collect()  # AQE finalizes (and codegens) the plan only on execution
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "codegen id" in buf.getvalue()
+
+
+def test_semi_anti_realized_as_such(spark):
+    plan = plan_of(QUERIES["semi_anti_join_orders"](spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_table_mode_pushdown_on_nested_offset(spark, tmp_path):
+    from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
+        manager_conf,
+        read_tiered_records,
+        tier_events_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+        read_table,
+        records_to_envelope,
+        write_table,
+    )
+
+    conf = manager_conf(str(tmp_path / "store"), chunk_size=2048)
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    manifests = tier_events_table(spark, events, conf)
+    write_table(records_to_envelope(read_tiered_records(spark, manifests, conf)),
+                str(tmp_path / "table"))
+    plan = plan_of(read_table(spark, str(tmp_path / "table"), partition=1, start_offset=500))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "offset" in pushed
+    # partition column pruned at directory level, not scanned as data
+    assert "PartitionFilters" in plan
+
+
+def test_no_cartesian_products_in_joins(spark):
+    """Joins must never fall back to a cartesian product (the broadcast
+    'cross joins' of the ANN queries carry an explicit tiny broadcast —
+    BroadcastNestedLoopJoin — which is intended; CartesianProduct with
+    two big sides is not)."""
+    for name in [
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "dedup_minhash_lsh",
+        "q17_small_quantity_parts",
+    ]:
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name

@@ -202,3 +202,63 @@ def distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "rollup_pricing",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation (ROLLUP): subtotal rows carry NULL group
+    keys in both engines; Spark executes it as a single Expand + one
+    shuffle, not one job per level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_qty"),
+    )
+
+
+@query(
+    "q17_small_quantity_parts",
+    oracle="""
+SELECT l.l_partkey,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS small_revenue
+FROM lineitem l
+JOIN (
+  SELECT l_partkey, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+) a ON a.l_partkey = l.l_partkey
+WHERE 5 * l.l_quantity * a.cnt < a.sum_qty
+GROUP BY l.l_partkey
+""",
+)
+def q17_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery decorrelated into a
+    self-join against per-part aggregates). The threshold 'quantity <
+    0.2 * avg' is cross-multiplied to the integer-exact form
+    '5*qty*cnt < sum' so both engines decide identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(F.broadcast(per_part), "l_partkey")
+        .filter(5 * F.col("l_quantity") * F.col("cnt") < F.col("sum_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("small_revenue"),
+        )
+    )
