@@ -172,3 +172,28 @@ class TestChunkCaches:
         cache.get_chunk(("topic-x/0/seg.log", 7), lambda: b"payload")
         files = list((tmp_path / "c").rglob("*"))
         assert any(f.name == "7" for f in files)
+
+
+class TestMetrics:
+    def test_manager_metrics_counters(self, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.api import (
+            SegmentData,
+            SegmentMetadata,
+            TieredStorageManager,
+        )
+
+        mgr = TieredStorageManager(FileSystemStorage(tmp_path), chunk_size=1024)
+        meta = SegmentMetadata("t", "tid", 0, 0, 9, "u")
+        mgr.copy_log_segment_data(
+            meta,
+            SegmentData(b"x" * 5000, {"offset": b"o", "timestamp": b"t",
+                                      "producerSnapshot": b"p", "leaderEpoch": b"l"}),
+        )
+        b"".join(mgr.fetch_log_segment(meta, 0, 999))
+        mgr.delete_log_segment_data(meta)
+        snap = mgr.metrics.snapshot()
+        assert snap["upload.bytes[object_type=log]"] == 5000
+        assert snap["segment.copy[topic=t].count"] == 1
+        assert snap["segment.copy[topic=t].seconds"] > 0
+        assert snap["fetch.requested.bytes[topic=t]"] == 1000
+        assert snap["segment.delete[topic=t]"] == 1

@@ -103,6 +103,9 @@ class TieredStorageManager:
             if upload_rate_limit_bytes_per_second
             else None
         )
+        from tiered_storage_for_apache_kafka_spark.metrics import Metrics
+
+        self.metrics = Metrics()
         # per-segment DEK cache (manifest holds only the wrapped DEK)
         self._dek_cache: dict[str, DataKeyAndAAD] = {}
 
@@ -138,6 +141,16 @@ class TieredStorageManager:
         object keys — `SegmentCustomMetadataBuilder` analog)."""
         keys = self._object_keys(meta)
         uploaded: list[str] = []
+        with self.metrics.time("segment.copy", topic=meta.topic):
+            return self._copy_inner(meta, data, keys, uploaded)
+
+    def _copy_inner(
+        self,
+        meta: SegmentMetadata,
+        data: SegmentData,
+        keys: dict[Suffix, str],
+        uploaded: list[str],
+    ) -> dict:
         try:
             compression = self.compression_enabled
             if compression and self.compression_heuristic_enabled:
@@ -154,6 +167,7 @@ class TieredStorageManager:
                 codec=self.codec,
             )
             self._upload(keys[Suffix.LOG], result.data)
+            self.metrics.inc("upload.bytes", len(result.data), object_type="log")
             uploaded.append(keys[Suffix.LOG])
 
             # aux indexes: transform each (no chunking; encrypt-only), concat
@@ -168,6 +182,7 @@ class TieredStorageManager:
                 locations[index_type] = IndexLocation(len(blob), len(payload))
                 blob += payload
             self._upload(keys[Suffix.INDEXES], bytes(blob))
+            self.metrics.inc("upload.bytes", len(blob), object_type="indexes")
             uploaded.append(keys[Suffix.INDEXES])
 
             encryption_meta = None
@@ -194,6 +209,7 @@ class TieredStorageManager:
             )
             manifest_bytes = manifest.to_json().encode()
             self._upload(keys[Suffix.MANIFEST], manifest_bytes)
+            self.metrics.inc("upload.bytes", len(manifest_bytes), object_type="manifest")
             uploaded.append(keys[Suffix.MANIFEST])
 
             return {
@@ -203,6 +219,7 @@ class TieredStorageManager:
             }
         except BaseException:
             # atomic upload-or-cleanup (W12)
+            self.metrics.inc("segment.copy.failures")
             self.backend.delete(uploaded)
             raise
 
@@ -220,6 +237,9 @@ class TieredStorageManager:
         manifest = self._manifest(meta)
         size = manifest.chunk_index.original_file_size
         end = size - 1 if end_position is None else min(end_position, size - 1)
+        self.metrics.inc(
+            "fetch.requested.bytes", end - start_position + 1, topic=meta.topic
+        )
         return self.chunk_manager.fetch_range(
             self._object_keys(meta)[Suffix.LOG],
             manifest,
@@ -245,5 +265,6 @@ class TieredStorageManager:
         return payload
 
     def delete_log_segment_data(self, meta: SegmentMetadata) -> None:
+        self.metrics.inc("segment.delete", topic=meta.topic)
         self.backend.delete(self._object_keys(meta).values())
         self._dek_cache.pop(meta.segment_uuid, None)
