@@ -229,11 +229,17 @@ class TieredStorageManager:
             return SegmentManifest.from_json(f.read())
 
     def fetch_log_segment(
-        self, meta: SegmentMetadata, start_position: int, end_position: int | None = None
+        self,
+        meta: SegmentMetadata,
+        start_position: int,
+        end_position: int | None = None,
+        deadline_seconds: float | None = None,
     ) -> Iterator[bytes]:
         """Ranged read of original segment bytes; end defaults/clamps to
         segment end (inclusive semantics, `RemoteStorageManager.java:
-        138-152`)."""
+        138-152`). `deadline_seconds` surfaces fetch timeouts explicitly
+        (FetchTimeoutError) rather than the reference's silent
+        empty-stream-on-interrupt (R12)."""
         manifest = self._manifest(meta)
         size = manifest.chunk_index.original_file_size
         end = size - 1 if end_position is None else min(end_position, size - 1)
@@ -245,6 +251,7 @@ class TieredStorageManager:
             manifest,
             BytesRange(start_position, end),
             self._segment_key(manifest),
+            deadline_seconds=deadline_seconds,
         )
 
     def fetch_index(self, meta: SegmentMetadata, index_type: str) -> bytes:

@@ -8,7 +8,17 @@ last chunk to the requested bounds).
 
 from __future__ import annotations
 
+import time
 from typing import Iterator
+
+
+class FetchTimeoutError(TimeoutError):
+    """Fetch exceeded its deadline.
+
+    Deliberate divergence from the reference, which silently returns an
+    empty stream when the broker's 500 ms `remote.fetch.max.wait.ms`
+    deadline interrupts it (`KafkaRemoteStorageManager.java:470-484`) —
+    SURVEY.md §7.4.4 calls for surfacing timeouts explicitly instead."""
 
 from tiered_storage_for_apache_kafka_spark.fetch.cache import ChunkCache
 from tiered_storage_for_apache_kafka_spark.manifest.manifest import SegmentManifest
@@ -112,14 +122,26 @@ class ChunkManager:
         manifest: SegmentManifest,
         byte_range: BytesRange,
         key: DataKeyAndAAD | None = None,
+        deadline_seconds: float | None = None,
     ) -> Iterator[bytes]:
         """Stream the original bytes of an inclusive range: plan chunks,
         pull each lazily, trim first/last (FetchChunkEnumeration.java:
-        100-138). End is clamped to the segment's last byte."""
+        100-138). End is clamped to the segment's last byte. A deadline
+        (R12 analog of the broker's remote.fetch.max.wait.ms) raises
+        FetchTimeoutError between chunks instead of silently truncating."""
+        started = time.monotonic()
         index = manifest.chunk_index
         end = min(byte_range.to_pos, index.original_file_size - 1)
         chunks = index.chunks_for_range(BytesRange(byte_range.from_pos, end))
         for chunk in chunks:
+            if (
+                deadline_seconds is not None
+                and time.monotonic() - started > deadline_seconds
+            ):
+                raise FetchTimeoutError(
+                    f"fetch of {object_key} exceeded {deadline_seconds}s "
+                    f"(at chunk {chunk.id}/{chunks[-1].id})"
+                )
             data = self.get_chunk(object_key, manifest, chunk.id, key)
             lo = 0
             hi = len(data)
