@@ -45,11 +45,49 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "transform_mbps": transform_grid(),
                 "sf": sf,
             }
         )
     )
     spark.stop()
+
+
+def transform_grid() -> dict[str, float]:
+    """BASELINE.md's JMH grid, scaled: 10 MiB content x 1 MiB chunks x
+    {compression} x {encryption}; MB/s for transform and detransform."""
+    import random
+
+    from tiered_storage_for_apache_kafka_spark.transform.encryption import (
+        create_data_key_and_aad,
+    )
+    from tiered_storage_for_apache_kafka_spark.transform.pipeline import (
+        detransform,
+        transform,
+    )
+
+    rng = random.Random(42)
+    content = bytes(rng.getrandbits(8) for _ in range(1 << 20)) * 10  # 10 MiB
+    mb = len(content) / 1e6
+    out: dict[str, float] = {}
+    for compression in (False, True):
+        for encryption in (False, True):
+            key = create_data_key_and_aad() if encryption else None
+            label = f"c{int(compression)}e{int(encryption)}"
+            t0 = time.perf_counter()
+            result = transform(content, 1 << 20, compression=compression, encryption_key=key)
+            out[f"transform_{label}"] = round(mb / (time.perf_counter() - t0), 1)
+            t0 = time.perf_counter()
+            n = sum(
+                len(c)
+                for c in detransform(
+                    result.data, result.chunk_index,
+                    compression=compression, encryption_key=key,
+                )
+            )
+            assert n == len(content)
+            out[f"detransform_{label}"] = round(mb / (time.perf_counter() - t0), 1)
+    return out
 
 
 if __name__ == "__main__":

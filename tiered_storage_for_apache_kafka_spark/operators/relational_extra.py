@@ -262,3 +262,70 @@ def q17_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("small_revenue"),
         )
     )
+
+
+@query(
+    "moving_window_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS daily_revenue
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT day, daily_revenue,
+       CAST(SUM(daily_revenue) OVER (ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS trailing_7d
+FROM daily
+""",
+)
+def moving_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based moving window (trailing 7 rows over a daily series) —
+    the time-series smoothing shape; one shuffle to order the (small)
+    daily series."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("daily_revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        "daily_revenue",
+        F.sum("daily_revenue").over(w).cast("decimal(38,2)").alias("trailing_7d"),
+    )
+
+
+@query(
+    "top_supplier_per_part",
+    oracle="""
+SELECT l_partkey, l_suppkey, total_qty, n_shipments
+FROM (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty,
+         COUNT(*) AS n_shipments,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) DESC,
+                                     l_suppkey ASC) AS rnk
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+) WHERE rnk = 1
+""",
+)
+def top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-family argmax-per-group: aggregate then rank inside the group
+    with a deterministic tiebreak (decimal quantities so both engines
+    order identically)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)")
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        qty.alias("total_qty"), F.count(F.lit(1)).alias("n_shipments")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("total_qty").desc(), F.col("l_suppkey").asc()
+    )
+    return (
+        per_supp.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("l_partkey", "l_suppkey", "total_qty", "n_shipments")
+    )
