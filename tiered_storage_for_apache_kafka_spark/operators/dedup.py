@@ -300,6 +300,19 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", F.concat(*bit_cols).alias("simhash"), "n_tokens")
 
 
+def _simhash_int_sql() -> str:
+    """DuckDB expression: the signature as an integer (bit j weighted 2^j)."""
+    terms = []
+    for j in range(SIMHASH_BITS):
+        digit_val = (
+            f"(strpos('0123456789abcdef', substr(md5(token), {j + 1}, 1)) - 1)"
+        )
+        terms.append(
+            f"CASE WHEN 2 * SUM({digit_val}) >= 15 * COUNT(*) THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
 @query(
     "simhash_near_dup_pairs",
     oracle=rf"""
@@ -307,45 +320,55 @@ WITH tokens AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
   FROM documents
 ), sigs AS (
-  SELECT doc_id, {_simhash_sql()} AS simhash
+  SELECT doc_id, CAST({_simhash_int_sql()} AS BIGINT) AS sig
   FROM tokens GROUP BY doc_id
-), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         LENGTH(REPLACE(
-           (SELECT string_agg(CASE WHEN substr(a.simhash, i, 1) = substr(b.simhash, i, 1)
-                                   THEN '0' ELSE '1' END, '' ORDER BY i)
-            FROM (SELECT unnest(generate_series(1, {SIMHASH_BITS})) AS i)), '0', ''))
-           AS hamming
-  FROM sigs a JOIN sigs b
-    ON substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8) AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-FROM pairs WHERE hamming <= 2
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b
+  ON (a.sig // 256) = (b.sig // 256) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 2
 """,
 )
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: block on the signature's first half
-    (the LSH trick for Hamming space — near-identical signatures must
-    agree on at least one half), then keep pairs with Hamming distance
-    <= 2 over the full signature."""
-    sigs = simhash_fingerprint(spark, sf_dir).select("doc_id", "simhash")
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
-    hamming = F.aggregate(
-        F.zip_with(
-            F.split(F.col("sig_a"), ""),
-            F.split(F.col("sig_b"), ""),
-            lambda x, y: F.when(x != y, F.lit(1)).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    """SimHash near-dup candidates: block on the signature's high half
+    (the LSH trick for Hamming space), then keep pairs with Hamming
+    distance <= 2 — computed as integer XOR popcount (one CPU op per
+    pair instead of 16-way string comparison; the signature is built as
+    an integer directly so both engines filter bit-exactly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")).alias("token"),
     )
+    digit_sums = [
+        F.sum(
+            F.expr(f"locate(substr(md5(token), {j + 1}, 1), '0123456789abcdef') - 1")
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"), *digit_sums)
+    sig_int = sum(
+        (
+            F.when(2 * F.col(f"s{j}") >= 15 * F.col("n_tokens"), F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(SIMHASH_BITS)
+        ),
+        start=F.lit(0),
+    ).cast("bigint")
+    # both join sides read the signature table: cache so the token
+    # explode + 16-way aggregation runs once
+    sigs = agg.select("doc_id", sig_int.alias("sig")).cache()
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    hamming = F.expr("bit_count(sig_a ^ sig_b)").cast("bigint")
     return (
         a.join(
             b,
-            (F.substring("sig_a", 1, 8) == F.substring("sig_b", 1, 8))
+            (F.expr("sig_a div 256") == F.expr("sig_b div 256"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 2)
     )
