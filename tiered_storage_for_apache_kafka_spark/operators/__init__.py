@@ -6,6 +6,7 @@ exposes to the driver.
 """
 
 from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
+    asof,
     chunk_relational,
     dedup,
     multimodal,

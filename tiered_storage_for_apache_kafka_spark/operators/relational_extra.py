@@ -329,3 +329,26 @@ def top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .select("l_partkey", "l_suppkey", "total_qty", "n_shipments")
     )
+
+
+@query(
+    "pivot_event_type_daily",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type NOT IN ('click','view','purchase')) AS other
+FROM events
+GROUP BY CAST(ts AS DATE)
+""",
+)
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): fixed pivot values so the
+    plan is a single pass — no second job to discover distinct values."""
+    events = load_table(spark, sf_dir, "events")
+    known = ["click", "view", "purchase"]
+    aggs = [
+        F.count(F.when(F.col("event_type") == v, 1)).alias(v) for v in known
+    ] + [F.count(F.when(~F.col("event_type").isin(known), 1)).alias("other")]
+    return events.groupBy(F.col("ts").cast("date").alias("day")).agg(*aggs)
