@@ -105,3 +105,32 @@ def test_no_cartesian_products_in_joins(spark):
     ]:
         plan = plan_of(QUERIES[name](spark, SF))
         assert "CartesianProduct" not in plan, name
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing parity: pre-bucketed tables joined on the bucket key must
+    not re-shuffle either side (the co-located join strategy for repeated
+    100 TB fact-fact joins)."""
+    import uuid
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    suffix = uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+            f"li_b_{suffix}"
+        )
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(f"o_b_{suffix}")
+        joined = spark.table(f"li_b_{suffix}").join(
+            spark.table(f"o_b_{suffix}"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS o_b_{suffix}")
