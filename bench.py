@@ -74,19 +74,25 @@ def transform_grid() -> dict[str, float]:
         for encryption in (False, True):
             key = create_data_key_and_aad() if encryption else None
             label = f"c{int(compression)}e{int(encryption)}"
-            t0 = time.perf_counter()
-            result = transform(content, 1 << 20, compression=compression, encryption_key=key)
-            out[f"transform_{label}"] = round(mb / (time.perf_counter() - t0), 1)
-            t0 = time.perf_counter()
-            n = sum(
-                len(c)
-                for c in detransform(
-                    result.data, result.chunk_index,
-                    compression=compression, encryption_key=key,
+            best_t = best_d = float("inf")
+            for _trial in range(3):  # best-of-3: drop warmup/GC noise
+                t0 = time.perf_counter()
+                result = transform(
+                    content, 1 << 20, compression=compression, encryption_key=key
                 )
-            )
-            assert n == len(content)
-            out[f"detransform_{label}"] = round(mb / (time.perf_counter() - t0), 1)
+                best_t = min(best_t, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                n = sum(
+                    len(c)
+                    for c in detransform(
+                        result.data, result.chunk_index,
+                        compression=compression, encryption_key=key,
+                    )
+                )
+                best_d = min(best_d, time.perf_counter() - t0)
+                assert n == len(content)
+            out[f"transform_{label}"] = round(mb / best_t, 1)
+            out[f"detransform_{label}"] = round(mb / best_d, 1)
     return out
 
 

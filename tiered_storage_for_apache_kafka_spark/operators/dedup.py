@@ -244,6 +244,111 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_WORDS = 4  # n-gram Jaccard operates on word 4-grams
+MAX_DF = 10  # inverted-index blocking: only grams in <= MAX_DF docs pair
+NJ_NUM = 1  # Jaccard threshold tau = NJ_NUM / NJ_DEN = 0.5
+NJ_DEN = 2
+
+_NGRAMS_CTE = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - {NGRAM_WORDS - 1}, 1)),
+             i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+{NGRAM_WORDS - 1}], ' ')
+           )) AS gram
+    FROM documents)
+)
+"""
+
+
+def _ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = NGRAM_WORDS
+    gram_arr = F.expr(
+        f"transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - {n - 1}, 1)), "
+        f"i -> array_join(slice(split(trim(text), '\\\\s+'), i, {n}), ' '))"
+    )
+    return docs.select("doc_id", F.explode(gram_arr).alias("gram")).distinct()
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAMS_CTE
+    + f"""
+, rare AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= {MAX_DF}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM grams a
+  JOIN rare r ON r.gram = a.gram
+  JOIN grams b ON b.gram = a.gram AND a.doc_id < b.doc_id
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id)
+, inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       na.n + nb.n - i.n_inter AS n_union,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE {NJ_DEN} * i.n_inter >= {NJ_NUM} * (na.n + nb.n - i.n_inter)
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard dedup (standalone, no MinHash): candidate pairs come
+    from an inverted index restricted to *rare* grams (document frequency
+    <= MAX_DF) — the classic DF-pruning that keeps the gram join from
+    exploding on stop-phrases — then full-gram-set Jaccard is verified at
+    tau = 0.5 with integer cross-multiplication. At 100 TB: gram DF is a
+    map-side-combined count, the inverted-index join shuffles on the
+    (rare, hence low-fanout) gram key, and no all-pairs product ever
+    forms."""
+    grams = _ngrams(spark, sf_dir).cache()
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_DF)
+        .select("gram")
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    cand = (
+        ga.join(rare, "gram")
+        .join(gb, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        ga.join(F.broadcast(cand), "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(NJ_DEN * F.col("n_inter") >= NJ_NUM * n_union)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            n_union.alias("n_union"),
+            F.round(F.col("n_inter").cast("double") / n_union, 6).alias("jaccard"),
+        )
+    )
+
+
 def _simhash_sql() -> str:
     """DuckDB expression pieces for the digit-vote SimHash bits."""
     bits = []

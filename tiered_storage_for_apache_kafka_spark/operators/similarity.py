@@ -10,9 +10,12 @@ by ~1e-6 — enough to flip a 4-decimal rounding — double paths differ only
 in ulps). Scores are output rounded to 4 decimals and ranking ties are
 broken by vec_id, so Spark and the DuckDB oracle produce identical rows.
 
-The LSH/IVF bucketed variant (scale path) is planned for a later round:
-deterministic random-hyperplane signs via keyed md5, bucket join instead
-of full cross product.
+`ann_lsh_bucketed` and `ann_ivf_topk` are the scale paths: candidates
+come from an LSH bucket join / an IVF cell join instead of the full
+cross product, so the per-query work is |corpus|/2^planes (resp.
+|corpus|*nprobe/n_cells) and the shuffle key is the bucket/cell id.
+`dedup_embedding_cosine` applies the same blocking to near-duplicate
+*pair* detection (cosine >= threshold within a bucket).
 """
 
 from __future__ import annotations
@@ -197,6 +200,179 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             F.round(dot_qv / (F.col("q_norm") * F.col("v_norm")), 4).alias("cosine_sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), sigs AS (
+  SELECT vec_id, emb, {_signature_sql()} AS bucket FROM vecs
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine_sim
+FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.35
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    blocking (same 8-bit bucket) followed by exact cosine verification at
+    threshold 0.35 (tuned to the synthetic corpus's similarity range). At 100 TB the bucket id is the one shuffle key and the
+    per-bucket pair loop replaces the O(n^2) corpus cross product —
+    identical blocking on both engines keeps the oracle exact."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    norm = F.sqrt(F.expr(_DOT.format(a="emb", b="emb")))
+    sigs = (
+        vecs.withColumn("bucket", F.expr(_signature_spark()))
+        .withColumn("v_norm", norm)
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("v_norm").alias("norm_a"),
+        "bucket",
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("v_norm").alias("norm_b"),
+        "bucket",
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="emb_a", b="emb_b")) / (F.col("norm_a") * F.col("norm_b")),
+        4,
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.35)
+    )
+
+
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, emb AS c_emb FROM vecs WHERE vec_id < {N_CENTROIDS}
+), affinity AS (
+  SELECT v.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND(list_dot_product(v.emb, c.c_emb)
+                          / (sqrt(list_dot_product(v.emb, v.emb))
+                             * sqrt(list_dot_product(c.c_emb, c.c_emb))), 4) DESC,
+                    c.cid ASC) AS crnk
+  FROM vecs v CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cid AS cell FROM affinity WHERE crnk = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM affinity
+  WHERE crnk <= {N_PROBE} AND vec_id < {N_QUERIES}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.emb, v.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(v.emb, v.emb))), 4) AS cosine_sim
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+  JOIN vecs q ON q.vec_id = p.query_id
+  JOIN vecs v ON v.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+  FROM cand
+) WHERE rnk <= {TOP_K}
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: every vector is assigned to its nearest
+    of {N_CENTROIDS} centroids (the coarse quantizer; here the first
+    {N_CENTROIDS} corpus vectors stand in for k-means cell centers — the
+    query plan is identical whichever way centroids are trained), queries
+    probe their {N_PROBE} nearest cells, and only same-cell vectors are
+    scored. At 100 TB: centroids broadcast (tiny), the corpus shuffles
+    once on cell id at build time, and each query touches
+    nprobe/n_cells of the data instead of all of it. Ties in cell
+    affinity are broken on rounded cosine + centroid id so the
+    assignment is engine-exact."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    norm = F.sqrt(F.expr(_DOT.format(a="emb", b="emb")))
+    vn = vecs.withColumn("v_norm", norm)
+    cent = (
+        vn.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("c_emb"),
+            F.col("v_norm").alias("c_norm"),
+        )
+    )
+    cos_vc = F.round(
+        F.expr(_DOT.format(a="emb", b="c_emb")) / (F.col("v_norm") * F.col("c_norm")), 4
+    )
+    w_aff = Window.partitionBy("vec_id").orderBy(
+        F.col("aff").desc(), F.col("cid").asc()
+    )
+    affinity = (
+        vn.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", cos_vc.alias("aff"))
+        .withColumn("crnk", F.row_number().over(w_aff))
+    )
+    assign = affinity.filter(F.col("crnk") == 1).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    probes = (
+        affinity.filter((F.col("crnk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES))
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+    q = vn.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
+    )
+    v = vn.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("n_emb"),
+        F.col("v_norm").alias("n_norm"),
+    )
+    cos_qv = F.round(
+        F.expr(_DOT.format(a="q_emb", b="n_emb")) / (F.col("q_norm") * F.col("n_norm")),
+        4,
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(F.col("query_id"), F.col("vec_id").alias("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .join(v, "neighbor_id")
+        .select("query_id", "neighbor_id", cos_qv.alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

@@ -8,8 +8,10 @@ reference does (``TransformFinisher.java:47-199``):
   fixed GCM overhead) → **FixedSizeChunkIndex**, O(1) metadata;
 - compression → data-dependent sizes → **VariableSizeChunkIndex**.
 
-The zero-copy fast path (no compression, no encryption) still walks the
-stream (we must count bytes) but performs no per-chunk work.
+The zero-copy fast path (no compression, no encryption, in-memory input)
+mirrors ``TransformFinisher.java:112-144``: the chunk index is computed
+arithmetically from the byte count and the data is passed through without
+any per-chunk slicing or copying.
 """
 
 from __future__ import annotations
@@ -57,6 +59,21 @@ def transform(
     """Run the write-path pipeline over a whole segment, returning the
     transformed bytes and the chunk index describing them."""
     if isinstance(stream, (bytes, bytearray, memoryview)):
+        if not compression and encryption_key is None:
+            # zero-copy fast path: identity transform, arithmetic index
+            data = bytes(stream) if not isinstance(stream, bytes) else stream
+            size = len(data)
+            effective_chunk = chunk_size if chunk_size > 0 else max(size, 1)
+            last = size % effective_chunk
+            if last == 0 and size > 0:
+                last = effective_chunk
+            index = FixedSizeChunkIndex(
+                effective_chunk,
+                size,
+                transformed_chunk_size=effective_chunk,
+                final_transformed_chunk_size=last,
+            )
+            return TransformResult(data, index, size)
         stream = io.BytesIO(bytes(stream))
 
     original_sizes: list[int] = []
