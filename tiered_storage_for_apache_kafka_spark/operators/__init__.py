@@ -17,6 +17,7 @@ from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     text,
     tiered,
     tpch,
+    tpch_extra,
 )
 from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: F401
     ORACLES,
