@@ -1,0 +1,90 @@
+"""The `tiered_segments` PySpark Python DataSource: full read parity with
+the mapInPandas reader, offset-range + partition pushdown pruning at
+planning time (no manifest fetches), and residual row-level filtering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiered_storage_for_apache_kafka_spark.sources.datasource import (
+    TieredSegmentsReader,
+    register,
+)
+from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
+    manager_conf,
+    read_tiered_records,
+    tier_events_table,
+)
+from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tiered_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ds-store"))
+    conf = manager_conf(root, chunk_size=2048, compression=True)
+    events = load_table(spark, SF, "events")
+    # small segments so each topic-partition holds several → offset
+    # pruning has real segments to skip
+    manifests = tier_events_table(spark, events, conf, records_per_segment=50).cache()
+    manifests.count()
+    register(spark)
+    return root, conf, manifests
+
+
+def _read_ds(spark, root, **opts):
+    r = spark.read.format("tiered_segments").option("root", root)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_datasource_full_parity(spark, tiered_root):
+    root, conf, manifests = tiered_root
+    via_ds = _read_ds(spark, root)
+    via_map = read_tiered_records(spark, manifests, conf)
+    assert sorted(map(tuple, via_ds.collect())) == sorted(
+        map(tuple, via_map.collect())
+    )
+
+
+def test_datasource_offset_pushdown_prunes_segments(spark, tiered_root):
+    root, conf, manifests = tiered_root
+    lo, hi = 100, 220
+    got = (
+        _read_ds(spark, root)
+        .filter((F.col("offset") >= lo) & (F.col("offset") <= hi))
+        .select("offset")
+        .collect()
+    )
+    expect = (
+        read_tiered_records(spark, manifests, conf, min_offset=lo, max_offset=hi)
+        .select("offset")
+        .collect()
+    )
+    assert sorted(r.offset for r in got) == sorted(r.offset for r in expect)
+    assert len(got) == hi - lo + 1  # events offsets are dense event_ids
+
+    # planning-level proof: the reader plans strictly fewer segment tasks
+    # under the pushed range than for the full scan
+    full = TieredSegmentsReader({"root": root})
+    n_full = len(full.partitions())
+    pruned = TieredSegmentsReader(
+        {"root": root, "min_offset": str(lo), "max_offset": str(hi)}
+    )
+    n_pruned = len(pruned.partitions())
+    assert 0 < n_pruned < n_full
+
+
+def test_datasource_partition_filter(spark, tiered_root):
+    root, conf, manifests = tiered_root
+    got = _read_ds(spark, root).filter(F.col("partition") == 2)
+    assert got.select("partition").distinct().collect() == [(2,)]
+    expect = (
+        read_tiered_records(spark, manifests, conf)
+        .filter(F.col("partition") == 2)
+        .count()
+    )
+    assert got.count() == expect

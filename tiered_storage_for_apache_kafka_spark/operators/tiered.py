@@ -151,3 +151,37 @@ def tiered_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition in offset order)."""
     manifests, _ = _tier(spark, sf_dir)
     return manifests.select("partition", "start_offset", "end_offset", "n_records")
+
+
+@query(
+    "datasource_offset_range_fetch",
+    oracle=f"""
+SELECT event_id, CAST(event_id % 4 AS INT) AS partition, event_type
+FROM events
+WHERE event_id BETWEEN {OFFSET_RANGE_LO} AND {OFFSET_RANGE_HI}
+""",
+)
+def datasource_offset_range_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ranged fetch as `tiered_offset_range_fetch`, but through the
+    registered `tiered_segments` Python DataSource: the offset filters
+    below reach `pushFilters()` and prune whole segments at planning
+    time — Catalyst-driven pushdown into the custom source
+    (sources/datasource.py)."""
+    from tiered_storage_for_apache_kafka_spark.sources.datasource import register
+
+    _, conf = _tier(spark, sf_dir)
+    register(spark)
+    records = (
+        spark.read.format("tiered_segments")
+        .option("root", conf["root"])
+        .option("chunk_size", str(conf.get("chunk_size", 4096)))
+        .load()
+        .filter(
+            (F.col("offset") >= OFFSET_RANGE_LO) & (F.col("offset") <= OFFSET_RANGE_HI)
+        )
+    )
+    return records.select(
+        F.col("offset").alias("event_id"),
+        "partition",
+        F.col("key").cast("string").alias("event_type"),
+    )

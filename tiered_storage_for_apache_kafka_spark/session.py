@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # let Catalyst push offset/partition predicates into the
+        # tiered_segments Python DataSource's segment pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # driver testdata stores events.ts as TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as long and convert in tables.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,214 @@
+"""Segments-as-table as a first-class PySpark (v4) Python DataSource.
+
+`spark.read.format("tiered_segments")` exposes tiered log segments as a
+real Spark source (SURVEY.md §4/§7.3's optional V2-source piece):
+
+- **Planning (driver)**: `partitions()` lists `.log` object keys under
+  the topic prefix — a pure metadata operation; the object-key scheme
+  (`ObjectKeyFactory`, zero-padded start offsets; reference
+  `ObjectKeyFactory.java:117-144`) makes lexicographic order = offset
+  order, so consecutive keys bound each segment's offset window and
+  offset-range pruning needs **no manifest fetches at all**. One Spark
+  input partition per surviving segment.
+- **Filter pushdown**: `pushFilters()` receives Catalyst predicates;
+  `offset >=/<=/=` and `partition =` tighten the prune window exactly
+  like the reference's range→chunk planning (R2) at segment granularity.
+  All filters are also returned as residuals so Spark re-applies them
+  row-level (prune I/O, keep semantics — the same contract as parquet
+  partition pruning).
+- **Execution (executors)**: each task fetches its one segment through
+  the byte engine (ranged GETs, detransform, cache) and yields record
+  rows. The driver never touches segment bytes.
+
+At 100 TB: planning is O(#segments) key names on the driver; tasks are
+independent per segment, so a 1000-executor cluster fans out naturally.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+SCHEMA = (
+    "partition INT, segment_uuid STRING, batch_base_offset BIGINT, "
+    "batch_byte_offset BIGINT, offset BIGINT, timestamp_us BIGINT, "
+    "key BINARY, value BINARY"
+)
+
+
+class SegmentPartition(InputPartition):
+    def __init__(self, partition: int, start_offset: int, segment_uuid: str):
+        self.partition = partition
+        self.start_offset = start_offset
+        self.segment_uuid = segment_uuid
+
+
+def _build_manager(opts: dict):
+    from tiered_storage_for_apache_kafka_spark.api import TieredStorageManager
+    from tiered_storage_for_apache_kafka_spark.storage.filesystem import (
+        FileSystemStorage,
+    )
+    from tiered_storage_for_apache_kafka_spark.transform.encryption import RsaKeyring
+
+    keyring = None
+    if opts.get("kek_pem_b64"):
+        import base64
+
+        from cryptography.hazmat.primitives import serialization
+
+        pem = base64.b64decode(opts["kek_pem_b64"])
+        key = serialization.load_pem_private_key(pem, password=None)
+        keyring = RsaKeyring(opts["kek_id"], {opts["kek_id"]: key})
+    return TieredStorageManager(
+        FileSystemStorage(opts["root"]),
+        chunk_size=int(opts.get("chunk_size", "4096")),
+        compression_enabled=opts.get("compression", "true") == "true",
+        encryption_keyring=keyring,
+        codec=opts.get("codec", "zlib"),
+    )
+
+
+class TieredSegmentsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.opts = dict(options)
+        self.topic = self.opts.get("topic", "events")
+        self.topic_id = self.opts.get("topic_id", "events-tid")
+        self.min_offset: int | None = (
+            int(self.opts["min_offset"]) if "min_offset" in self.opts else None
+        )
+        self.max_offset: int | None = (
+            int(self.opts["max_offset"]) if "max_offset" in self.opts else None
+        )
+        self.partition_eq: int | None = None
+
+    # -- pushdown --------------------------------------------------------------
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Tighten segment pruning from Catalyst predicates; every filter
+        is also handed back as a residual for row-level re-application."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr else None
+            if col == "offset":
+                if isinstance(f, GreaterThanOrEqual):
+                    self._tighten_min(f.value)
+                elif isinstance(f, GreaterThan):
+                    self._tighten_min(f.value + 1)
+                elif isinstance(f, LessThanOrEqual):
+                    self._tighten_max(f.value)
+                elif isinstance(f, LessThan):
+                    self._tighten_max(f.value - 1)
+                elif isinstance(f, EqualTo):
+                    self._tighten_min(f.value)
+                    self._tighten_max(f.value)
+            elif col == "partition" and isinstance(f, EqualTo):
+                self.partition_eq = int(f.value)
+        return iter(filters)  # residuals: Spark re-applies row-level
+
+    def _tighten_min(self, v) -> None:
+        v = int(v)
+        self.min_offset = v if self.min_offset is None else max(self.min_offset, v)
+
+    def _tighten_max(self, v) -> None:
+        v = int(v)
+        self.max_offset = v if self.max_offset is None else min(self.max_offset, v)
+
+    # -- planning --------------------------------------------------------------
+
+    def partitions(self) -> list[SegmentPartition]:
+        backend_mgr = _build_manager(self.opts)
+        prefix = f"{self.topic}-{self.topic_id}/"
+        keys = [
+            k
+            for k in backend_mgr.backend.list_keys(prefix)
+            if k.endswith(".log")
+        ]
+        # key layout: {topic}-{tid}/{partition}/{start:020d}-{uuid}.log —
+        # zero-padding makes the sort below numeric per partition
+        by_partition: dict[int, list[tuple[int, str]]] = {}
+        for k in sorted(keys):
+            rel = k[len(prefix):]
+            part_s, fname = rel.split("/", 1)
+            start_s, rest = fname.split("-", 1)
+            uuid = rest.rsplit(".", 1)[0]
+            by_partition.setdefault(int(part_s), []).append((int(start_s), uuid))
+
+        out: list[SegmentPartition] = []
+        for part, segs in sorted(by_partition.items()):
+            if self.partition_eq is not None and part != self.partition_eq:
+                continue
+            for i, (start, uuid) in enumerate(segs):
+                next_start = segs[i + 1][0] if i + 1 < len(segs) else None
+                if self.max_offset is not None and start > self.max_offset:
+                    continue
+                if (
+                    self.min_offset is not None
+                    and next_start is not None
+                    and next_start <= self.min_offset
+                ):
+                    continue
+                out.append(SegmentPartition(part, start, uuid))
+        return out
+
+    # -- execution -------------------------------------------------------------
+
+    def read(self, partition: SegmentPartition):
+        from tiered_storage_for_apache_kafka_spark.api import SegmentMetadata
+        from tiered_storage_for_apache_kafka_spark.wire import decode_segment
+
+        mgr = _build_manager(self.opts)
+        meta = SegmentMetadata(
+            self.topic,
+            self.topic_id,
+            partition.partition,
+            partition.start_offset,
+            -1,  # end offset not needed for fetch; manifest has sizes
+            partition.segment_uuid,
+        )
+        data = b"".join(mgr.fetch_log_segment(meta, 0))
+        lo, hi = self.min_offset, self.max_offset
+        for base_offset, byte_off, records in decode_segment(data):
+            for r in records:
+                if lo is not None and r.offset < lo:
+                    continue
+                if hi is not None and r.offset > hi:
+                    continue
+                yield (
+                    partition.partition,
+                    partition.segment_uuid,
+                    base_offset,
+                    byte_off,
+                    r.offset,
+                    r.timestamp_us,
+                    r.key,
+                    r.value,
+                )
+
+
+class TieredSegmentsDataSource(DataSource):
+    """`spark.read.format("tiered_segments").option("root", ...)`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tiered_segments"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> TieredSegmentsReader:
+        return TieredSegmentsReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(TieredSegmentsDataSource)
