@@ -352,3 +352,58 @@ def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == v, 1)).alias(v) for v in known
     ] + [F.count(F.when(~F.col("event_type").isin(known), 1)).alias("other")]
     return events.groupBy(F.col("ts").cast("date").alias("day")).agg(*aggs)
+
+
+@query(
+    "cube_order_stats",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+         AS grouping_level,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with GROUPING disambiguation: all 4 grouping-set
+    combinations in one Expand + single shuffle; grouping_level
+    distinguishes a real NULL key from a subtotal row."""
+    o = load_table(spark, sf_dir, "orders")
+    lvl = (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast(
+        "bigint"
+    )
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        lvl.alias("grouping_level"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_price"),
+    )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (continuous interpolation) — both
+    engines sort and linearly interpolate, so rounded values agree.
+    At 100 TB the approx_percentile sketch replaces this plan-for-plan;
+    exact is used here because the oracle must hash-match."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )

@@ -205,3 +205,64 @@ def corpus_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+WINNOW_K = 3  # k-gram size (words) for the rolling hash
+WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive hashes
+
+
+@query(
+    "doc_winnow_fingerprint",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - {WINNOW_K - 1}, 1)),
+           i -> md5(array_to_string(string_split_regex(trim(text), '\\s+')[i:i+{WINNOW_K - 1}], ' '))
+         ) AS hashes
+  FROM documents
+), winnowed AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           generate_series(1, greatest(len(hashes) - {WINNOW_W - 1}, 1)),
+           j -> list_min(hashes[j:j+{WINNOW_W - 1}])
+         ))) AS fps
+  FROM grams
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(fps, ',')) AS fingerprint_digest
+FROM winnowed
+""",
+)
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every word k-gram, slide a w-wide window, keep each window's
+    minimum hash — guaranteeing any match of length >= w+k-1 shares a
+    fingerprint — then emit the deduplicated fingerprint set per doc.
+    Pure JVM array expressions: no explode, no shuffle at all (the
+    whole operator is a narrow map stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k, w = WINNOW_K, WINNOW_W
+    # staged projections: each expensive array is computed once per row
+    # (CollapseProject keeps non-cheap lambda exprs in their own stage)
+    with_hashes = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - {k - 1}, 1)), "
+            f"i -> md5(array_join(slice(split(trim(text), '\\\\s+'), i, {k}), ' ')))"
+        ).alias("hashes"),
+    )
+    with_fps = with_hashes.select(
+        "doc_id",
+        F.expr(
+            f"array_sort(array_distinct(transform("
+            f"sequence(1, greatest(size(hashes) - {w - 1}, 1)), "
+            f"j -> array_min(slice(hashes, j, {w})))))"
+        ).alias("fps"),
+    )
+    return with_fps.select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.md5(F.array_join("fps", ",")).alias("fingerprint_digest"),
+    )

@@ -30,6 +30,7 @@ OFFSET_RANGE_HI = 599
 
 
 _TIER_CACHE: dict[str, tuple[DataFrame, dict]] = {}
+_REC_CACHE: dict[str, DataFrame] = {}
 
 
 def _tier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
@@ -47,6 +48,20 @@ def _tier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
     return manifests, conf
 
 
+def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decoded record set, fetched+detransformed once and cached —
+    the executor-side analog of the reference's chunk cache (R9): every
+    full-scan consumer shares one materialization instead of re-running
+    ranged GETs + decode per query."""
+    cached = _REC_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    manifests, conf = _tier(spark, sf_dir)
+    rec = read_tiered_records(spark, manifests, conf).cache()
+    _REC_CACHE[sf_dir] = rec
+    return rec
+
+
 @query(
     "tiered_roundtrip_agg",
     oracle="""
@@ -62,9 +77,7 @@ GROUP BY event_type
 )
 def tiered_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full write+read pipeline round-trip, verified by aggregation."""
-    manifests, conf = _tier(spark, sf_dir)
-    records = read_tiered_records(spark, manifests, conf)
-    events = decode_events(records)
+    events = decode_events(_records(spark, sf_dir))
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("event_id").alias("min_offset"),
@@ -111,8 +124,7 @@ def table_mode_segment_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         segment_bytes,
     )
 
-    manifests, conf = _tier(spark, sf_dir)
-    env = records_to_envelope(read_tiered_records(spark, manifests, conf))
+    env = records_to_envelope(_records(spark, sf_dir))
     blobs = segment_bytes(reassemble_batches(env))
     return blobs.select(
         "partition",
