@@ -88,3 +88,44 @@ def test_datasource_partition_filter(spark, tiered_root):
         .count()
     )
     assert got.count() == expect
+
+
+def test_datasource_stream_reader_incremental(spark, tmp_path):
+    """readStream over tiered segments: first availableNow batch drains
+    the store; after more segments are tiered, a second run from the same
+    checkpoint consumes exactly the delta."""
+    from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+    root = str(tmp_path / "stream-store")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    conf = manager_conf(root, chunk_size=2048, compression=True)
+    events = load_table(spark, SF, "events")
+    first = events.filter(F.col("event_id") < 500)
+    second = events.filter(F.col("event_id") >= 500)
+
+    def drain():
+        register(spark)
+        q = (
+            spark.readStream.format("tiered_segments")
+            .option("root", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    tier_events_table(spark, first, conf, records_per_segment=50).count()
+    drain()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 500
+
+    tier_events_table(spark, second, conf, records_per_segment=50).count()
+    drain()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 1000  # exactly the delta was appended
+    offsets = sorted(r.offset for r in got.select("offset").collect())
+    assert offsets == list(range(1000))

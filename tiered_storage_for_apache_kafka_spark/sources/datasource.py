@@ -31,6 +31,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -70,12 +71,16 @@ def _build_manager(opts: dict):
         pem = base64.b64decode(opts["kek_pem_b64"])
         key = serialization.load_pem_private_key(pem, password=None)
         keyring = RsaKeyring(opts["kek_id"], {opts["kek_id"]: key})
+    from tiered_storage_for_apache_kafka_spark.transform.compression import (
+        DEFAULT_CODEC,
+    )
+
     return TieredStorageManager(
         FileSystemStorage(opts["root"]),
         chunk_size=int(opts.get("chunk_size", "4096")),
         compression_enabled=opts.get("compression", "true") == "true",
         encryption_keyring=keyring,
-        codec=opts.get("codec", "zlib"),
+        codec=opts.get("codec", DEFAULT_CODEC),
     )
 
 
@@ -196,8 +201,78 @@ class TieredSegmentsReader(DataSourceReader):
                 )
 
 
+class TieredSegmentsStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming over tiered segments: each new closed
+    segment that appears in the object store becomes part of the next
+    micro-batch — the mirror image of the reference's upload cadence
+    (one upload per closed segment, README §Uploads), consumed with
+    exactly-once offsets.
+
+    Offset model: ``{topic_partition: next_unconsumed_start_offset}``.
+    ``latestOffset`` is a driver-side key listing (pure metadata, like
+    the batch planner); ``read`` runs executor-side per segment. Segment
+    end bounds come from consecutive key names, so planning again needs
+    no manifest I/O.
+    """
+
+    def __init__(self, options: dict):
+        self.opts = dict(options)
+        self.topic = self.opts.get("topic", "events")
+        self.topic_id = self.opts.get("topic_id", "events-tid")
+        self._batch_reader = TieredSegmentsReader(self.opts)
+
+    def _segments(self) -> dict[int, list[tuple[int, str]]]:
+        mgr = _build_manager(self.opts)
+        prefix = f"{self.topic}-{self.topic_id}/"
+        by_partition: dict[int, list[tuple[int, str]]] = {}
+        for k in sorted(mgr.backend.list_keys(prefix)):
+            if not k.endswith(".log"):
+                continue
+            rel = k[len(prefix):]
+            part_s, fname = rel.split("/", 1)
+            start_s, rest = fname.split("-", 1)
+            by_partition.setdefault(int(part_s), []).append(
+                (int(start_s), rest.rsplit(".", 1)[0])
+            )
+        return by_partition
+
+    def initialOffset(self) -> dict:
+        return {str(p): 0 for p in self._segments()}
+
+    def latestOffset(self) -> dict:
+        out: dict = {}
+        for p, segs in self._segments().items():
+            # the last segment's exclusive end is unknown from keys alone:
+            # advance past its start (+1) — it is re-listed (idempotent
+            # fetch) only if a later segment starts at the same offset,
+            # which the key scheme forbids
+            out[str(p)] = segs[-1][0] + 1 if segs else 0
+        return out
+
+    def partitions(self, start: dict, end: dict) -> list[SegmentPartition]:
+        out: list[SegmentPartition] = []
+        for p, segs in self._segments().items():
+            lo = int(start.get(str(p), 0))
+            hi = int(end.get(str(p), 0))
+            for s_start, uuid in segs:
+                if lo <= s_start < hi:
+                    out.append(SegmentPartition(p, s_start, uuid))
+        if not out:
+            # Spark requires >= 1 partition per batch; empty sentinel
+            out.append(SegmentPartition(-1, -1, ""))
+        return out
+
+    def read(self, partition: SegmentPartition):
+        if partition.partition < 0:
+            return iter(())
+        return self._batch_reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class TieredSegmentsDataSource(DataSource):
-    """`spark.read.format("tiered_segments").option("root", ...)`"""
+    """`spark.read[Stream].format("tiered_segments").option("root", ...)`"""
 
     @classmethod
     def name(cls) -> str:
@@ -208,6 +283,9 @@ class TieredSegmentsDataSource(DataSource):
 
     def reader(self, schema) -> TieredSegmentsReader:
         return TieredSegmentsReader(self.options)
+
+    def streamReader(self, schema) -> TieredSegmentsStreamReader:
+        return TieredSegmentsStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -36,6 +36,7 @@ from tiered_storage_for_apache_kafka_spark.api import (
     TieredStorageManager,
 )
 from tiered_storage_for_apache_kafka_spark.storage.filesystem import FileSystemStorage
+from tiered_storage_for_apache_kafka_spark.transform.compression import DEFAULT_CODEC
 from tiered_storage_for_apache_kafka_spark.transform.encryption import RsaKeyring
 from tiered_storage_for_apache_kafka_spark.wire import Record, decode_segment, encode_batch
 
@@ -55,7 +56,7 @@ def _build_manager(conf: dict) -> TieredStorageManager:
         chunk_size=conf.get("chunk_size", 4096),
         compression_enabled=conf.get("compression", True),
         encryption_keyring=keyring,
-        codec="zlib",
+        codec=conf.get("codec", DEFAULT_CODEC),
     )
 
 
@@ -64,10 +65,11 @@ def manager_conf(
     chunk_size: int = 4096,
     compression: bool = True,
     keyring: RsaKeyring | None = None,
+    codec: str = DEFAULT_CODEC,
 ) -> dict:
     """Picklable manager config shipped to executors."""
     conf = {"root": root, "chunk_size": chunk_size, "compression": compression,
-            "kek_pem": None, "kek_id": None}
+            "codec": codec, "kek_pem": None, "kek_id": None}
     if keyring is not None:
         conf["kek_pem"] = keyring.serialize_private(keyring.active_kek_id)
         conf["kek_id"] = keyring.active_kek_id

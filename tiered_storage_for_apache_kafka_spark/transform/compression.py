@@ -5,35 +5,60 @@ compressed independently so chunks stay independently fetchable) and the
 skip-if-already-compressed heuristic of ``SegmentCompressionChecker.
 java:31-54``.
 
-Codec: zstd when available, else zlib (this container ships no zstd
-binding; the interface pins the codec name into the manifest so readers
-always use the writer's codec). On the Spark table path compression is
-parquet-native zstd and none of this runs.
+Codec preference: the `zstandard` binding when installed, else pyarrow's
+bundled zstd (always present alongside pyspark), else zlib. The chunk
+format prepends the original size as 4 bytes big-endian — the analog of
+the reference's pledged content size (``CompressionChunkEnumeration.
+java:52-62``) letting decompress pre-allocate exactly. The codec name is
+pinned into the writer conf so readers always use the writer's codec.
+On the Spark table path compression is parquet-native zstd and none of
+this runs.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Callable, Iterator
 
 try:  # pragma: no cover - environment probe
     import zstandard as _zstd
 
     def _zstd_compress(data: bytes) -> bytes:
-        return _zstd.ZstdCompressor().compress(data)
+        return struct.pack(">I", len(data)) + _zstd.ZstdCompressor().compress(data)
 
     def _zstd_decompress(data: bytes) -> bytes:
-        return _zstd.ZstdDecompressor().decompress(data)
+        return _zstd.ZstdDecompressor().decompress(data[4:])
 
     HAVE_ZSTD = True
 except ImportError:  # pragma: no cover
-    HAVE_ZSTD = False
+    try:
+        import pyarrow as _pa
+
+        _PA_ZSTD = _pa.Codec("zstd")
+
+        def _zstd_compress(data: bytes) -> bytes:
+            return struct.pack(">I", len(data)) + _PA_ZSTD.compress(
+                data, asbytes=True
+            )
+
+        def _zstd_decompress(data: bytes) -> bytes:
+            (size,) = struct.unpack(">I", data[:4])
+            if size == 0:
+                return b""
+            return _PA_ZSTD.decompress(
+                data[4:], decompressed_size=size, asbytes=True
+            )
+
+        HAVE_ZSTD = True
+    except Exception:
+        HAVE_ZSTD = False
 
 import zlib
 
 CODECS: dict[str, tuple[Callable[[bytes], bytes], Callable[[bytes], bytes]]] = {
     "zlib": (lambda d: zlib.compress(d, 3), zlib.decompress),
 }
-if HAVE_ZSTD:  # pragma: no cover
+if HAVE_ZSTD:
     CODECS["zstd"] = (_zstd_compress, _zstd_decompress)
 
 DEFAULT_CODEC = "zstd" if HAVE_ZSTD else "zlib"
