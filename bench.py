@@ -54,9 +54,12 @@ def main() -> None:
 
 
 def transform_grid() -> dict[str, float]:
-    """BASELINE.md's JMH grid, scaled: 10 MiB content x 1 MiB chunks x
-    {compression} x {encryption}; MB/s for transform and detransform."""
-    import random
+    """BASELINE.md's JMH grid: random content x chunk {100 KiB, 1 MiB,
+    5 MiB} x {compression} x {encryption}; MB/s per cell, best-of-3.
+    Legacy keys `transform_cXeY` are the 10 MiB / 1 MiB cells; the full
+    grid adds `_10m_<chunk>` cells and 100 MiB / 4 MiB (the reference's
+    recommended chunk size) spot checks."""
+    import numpy as np
 
     from tiered_storage_for_apache_kafka_spark.transform.encryption import (
         create_data_key_and_aad,
@@ -66,33 +69,50 @@ def transform_grid() -> dict[str, float]:
         transform,
     )
 
-    rng = random.Random(42)
-    content = bytes(rng.getrandbits(8) for _ in range(1 << 20)) * 10  # 10 MiB
-    mb = len(content) / 1e6
+    def cell(content: bytes, chunk: int, compression: bool, key) -> tuple[float, float]:
+        mb = len(content) / 1e6
+        best_t = best_d = float("inf")
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            result = transform(
+                content, chunk, compression=compression, encryption_key=key
+            )
+            best_t = min(best_t, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            n = sum(
+                len(c)
+                for c in detransform(
+                    result.data, result.chunk_index,
+                    compression=compression, encryption_key=key,
+                )
+            )
+            best_d = min(best_d, time.perf_counter() - t0)
+            assert n == len(content)
+        return round(mb / best_t, 1), round(mb / best_d, 1)
+
+    rng = np.random.default_rng(42)
+    content_10m = rng.bytes(10 << 20)
+    content_100m = rng.bytes(100 << 20)
     out: dict[str, float] = {}
+    chunks = {"100k": 100 << 10, "1m": 1 << 20, "5m": 5 << 20}
     for compression in (False, True):
         for encryption in (False, True):
             key = create_data_key_and_aad() if encryption else None
-            label = f"c{int(compression)}e{int(encryption)}"
-            best_t = best_d = float("inf")
-            for _trial in range(3):  # best-of-3: drop warmup/GC noise
-                t0 = time.perf_counter()
-                result = transform(
-                    content, 1 << 20, compression=compression, encryption_key=key
-                )
-                best_t = min(best_t, time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                n = sum(
-                    len(c)
-                    for c in detransform(
-                        result.data, result.chunk_index,
-                        compression=compression, encryption_key=key,
-                    )
-                )
-                best_d = min(best_d, time.perf_counter() - t0)
-                assert n == len(content)
-            out[f"transform_{label}"] = round(mb / best_t, 1)
-            out[f"detransform_{label}"] = round(mb / best_d, 1)
+            ce = f"c{int(compression)}e{int(encryption)}"
+            for clabel, chunk in chunks.items():
+                t, d = cell(content_10m, chunk, compression, key)
+                out[f"transform_10m_{clabel}_{ce}"] = t
+                out[f"detransform_10m_{clabel}_{ce}"] = d
+                if clabel == "1m":  # legacy keys (round-over-round continuity)
+                    out[f"transform_{ce}"] = t
+                    out[f"detransform_{ce}"] = d
+    # 100 MiB at the reference's recommended 4 MiB chunk size
+    for compression, encryption in ((False, False), (True, True)):
+        key = create_data_key_and_aad() if encryption else None
+        ce = f"c{int(compression)}e{int(encryption)}"
+        t, d = cell(content_100m, 4 << 20, compression, key)
+        out[f"transform_100m_4m_{ce}"] = t
+        out[f"detransform_100m_4m_{ce}"] = d
     return out
 
 
