@@ -136,3 +136,79 @@ def multimodal_asset_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("meta.n_bytes").cast("bigint").alias("total_bytes"),
         F.max("meta.n_bytes").cast("bigint").alias("max_bytes"),
     )
+
+
+FRAME_BYTES = 256  # deterministic fake "frame" size
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def sample_frames(assets: DataFrame) -> DataFrame:
+    """Frame sampling (the video path): cut each blob into fixed-size
+    frames, keep every FRAME_STRIDE-th, emit per-frame features. One
+    input row fans out to n_frames/stride rows inside the Arrow batch —
+    the exact shape a real ffmpeg frame sampler would have (decode
+    replaced by deterministic byte slicing; swap `blob[a:b]` for a real
+    frame decode in production). Narrow map stage: no shuffle."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n_frames = (len(blob) + FRAME_BYTES - 1) // FRAME_BYTES
+                for f in range(0, n_frames, FRAME_STRIDE):
+                    frame = blob[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_no": f,
+                            "frame_bytes": len(frame),
+                            "frame_md5": hashlib.md5(frame).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_no", "frame_bytes", "frame_md5"],
+            )
+
+    return assets.mapInPandas(
+        frames,
+        schema="doc_id BIGINT, frame_no INT, frame_bytes INT, frame_md5 STRING",
+    )
+
+
+def resize_stub(blob: bytes, width: int, height: int) -> bytes:
+    """STUB: real image resize requires PIL/libvips, absent from this
+    container. `sample_frames` above carries the identical Spark plumbing
+    (mapInPandas fan-out per asset); wire the real kernel here in
+    production."""
+    raise NotImplementedError(
+        "image resize requires an image codec (PIL/libvips); not available "
+        "in this environment"
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH frames AS (
+  SELECT doc_id, f.f AS frame_no,
+         substr(text, f.f * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS frame
+  FROM documents
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(0, CAST(ceil(LENGTH(text) / {FRAME_BYTES}.0) AS INT),
+                  {FRAME_STRIDE})) AS f
+  ) f
+)
+SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+       CAST(LENGTH(frame) AS INT) AS frame_bytes,
+       md5(frame) AS frame_md5
+FROM frames
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over multimodal blobs, oracle-checked: the
+    Arrow fan-out must produce exactly the frames the SQL slicing
+    produces (ASCII payloads ⇒ byte slicing == char slicing)."""
+    return sample_frames(multimodal_assets(spark, sf_dir))
