@@ -134,3 +134,31 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS o_b_{suffix}")
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    """q10's ORDER BY + LIMIT must compile to TakeOrderedAndProject —
+    k rows move per partition, never a full sort of the aggregate."""
+    plan = plan_of(QUERIES["q10_returned_items"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_is_single_exchange_window(spark):
+    """The as-of join plan: exactly one shuffle (on the key) + one sort +
+    one window — no join operator, no Python."""
+    plan = plan_of(QUERIES["asof_latest_order_per_event"](spark, SF))
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1
+    assert "Window" in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+
+
+def test_q9_dims_all_broadcast(spark):
+    plan = plan_of(QUERIES["q9_product_profit"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "CartesianProduct" not in plan
+
+
+def test_cube_single_expand(spark):
+    """CUBE compiles to one Expand + one shuffle, not a union of jobs."""
+    plan = plan_of(QUERIES["cube_order_stats"](spark, SF))
+    assert plan.count("Expand") == 1

@@ -407,3 +407,36 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY event_type
+""",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics: JSON path extraction from a string
+    column straight into a typed aggregate (from_json schema projection
+    — at 100 TB the parse is a narrow codegen stage, one shuffle on the
+    group key)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
