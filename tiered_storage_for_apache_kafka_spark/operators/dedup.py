@@ -67,13 +67,18 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus token count."""
     docs = load_table(spark, sf_dir, "documents")
     n = SHINGLE_WORDS
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    shingle_arr = F.expr(
-        f"transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - {n - 1}, 1)), "
-        f"i -> array_join(slice(split(trim(text), '\\\\s+'), i, {n}), ' '))"
-    )
+    # staged projections: tokenize once per row (CollapseProject keeps
+    # the non-cheap split out of the shingle lambda)
     return (
-        docs.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+                f"i -> array_join(slice(toks, i, {n}), ' '))"
+            ).alias("grams"),
+        )
+        .select("doc_id", F.explode("grams").alias("shingle"))
         .distinct()
     )
 
@@ -265,11 +270,18 @@ WITH grams AS (
 def _ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n = NGRAM_WORDS
-    gram_arr = F.expr(
-        f"transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - {n - 1}, 1)), "
-        f"i -> array_join(slice(split(trim(text), '\\\\s+'), i, {n}), ' '))"
+    return (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+                f"i -> array_join(slice(toks, i, {n}), ' '))"
+            ).alias("grams"),
+        )
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .distinct()
     )
-    return docs.select("doc_id", F.explode(gram_arr).alias("gram")).distinct()
 
 
 @query(
