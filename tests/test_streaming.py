@@ -70,3 +70,38 @@ def test_stream_tier_events_commit_and_readback(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
     assert spark.read.parquet(str(tmp_path / "manifests")).count() == manifests.count()
+
+
+def test_streaming_metrics_listener(spark, tmp_path):
+    """The listener turns StreamingQueryProgress into engine metrics."""
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.metrics import (
+        StreamingMetricsListener,
+    )
+
+    listener = StreamingMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        df = spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+        q = (
+            df.select(F.col("value"))
+            .writeStream.format("memory")
+            .queryName("metrics_probe")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        import time as _t
+
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            snap = listener.metrics.snapshot()
+            if snap.get('stream.rows[query=metrics_probe]', 0) > 0:
+                break
+            _t.sleep(0.5)
+        q.stop()
+        snap = listener.metrics.snapshot()
+        assert snap.get('stream.batch[query=metrics_probe]', 0) >= 1
+        assert snap.get('stream.rows[query=metrics_probe]', 0) > 0
+    finally:
+        spark.streams.removeListener(listener)

@@ -47,3 +47,37 @@ class Metrics:
             out: dict[str, float] = dict(self._counters)
             out.update(self._timers)
             return out
+
+
+try:  # pyspark is an optional import for the pure-Python storage tests
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class StreamingMetricsListener(StreamingQueryListener):
+        """Bridges StreamingQueryProgress into the engine metrics —
+        the Spark-native form of the reference's per-operation metric
+        groups (SURVEY.md §7.5): per-batch rows, processing duration,
+        and input/processed rates, tagged by query name."""
+
+        def __init__(self, metrics: Metrics | None = None):
+            self.metrics = metrics or Metrics()
+
+        def onQueryStarted(self, event) -> None:
+            self.metrics.inc("stream.query.started", query=event.name or "anon")
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            tag = {"query": p.name or "anon"}
+            self.metrics.inc("stream.batch", **tag)
+            self.metrics.inc("stream.rows", int(p.numInputRows), **tag)
+            dur = p.durationMs.get("triggerExecution")
+            if dur is not None:
+                self.metrics.inc("stream.trigger.ms", int(dur), **tag)
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            self.metrics.inc("stream.query.terminated")
+
+except ImportError:  # pragma: no cover
+    pass
