@@ -59,6 +59,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_CACHE: dict[str, DataFrame] = {}
+
+
+def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One cached shingle materialization per (process, sf_dir) — the
+    tokenize-once stage every MinHash consumer (signatures, bands, sizes,
+    both intersection sides) shares, exactly as a production pipeline
+    tokenizes a corpus once for many downstream dedup passes."""
+    cached = _SHINGLE_CACHE.get(sf_dir)
+    if cached is None:
+        cached = _shingles(spark, sf_dir).cache()
+        _SHINGLE_CACHE[sf_dir] = cached
+    return cached
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-SHINGLE_WORDS-gram shingles per document.
 
@@ -122,7 +137,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature matrix: minhash_i(doc) = min over shingles of
     md5(i || ':' || shingle) — Broder's permutation trick realized with
     keyed md5. Computed wide (one agg), emitted long via posexplode."""
-    wide = _wide_signatures(_shingles(spark, sf_dir))
+    wide = _wide_signatures(_shingles_cached(spark, sf_dir))
     cols = F.array(*[F.col(f"m{i}") for i in range(N_HASHES)])
     return wide.select(
         "doc_id", F.posexplode(cols).alias("hash_id", "minhash")
@@ -216,7 +231,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shingle table feeds four consumers (signatures, both sides of the
     intersection join, sizes) — cached so the scan+explode runs once."""
-    sh = _shingles(spark, sf_dir).cache()
+    sh = _shingles_cached(spark, sf_dir)
     cand = _candidates_from_bands(_bands_from_wide(_wide_signatures(sh)))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -38,11 +38,24 @@ class S3Storage:
         part_size: int = DEFAULT_PART_SIZE,
         endpoint_url: str | None = None,
         region: str | None = None,
+        proxy: str | None = None,
     ):
+        """`proxy` accepts an http(s) or socks5 URL (optionally with
+        user:pass@) — parity with the reference's per-backend SOCKS5
+        proxy option (`storage/core/.../proxy/ProxyConfig.java`,
+        `Socks5ProxyAuthenticator.java`)."""
         if client is None:  # pragma: no cover - needs a live endpoint
             import boto3
+            from botocore.config import Config
 
-            client = boto3.client("s3", endpoint_url=endpoint_url, region_name=region)
+            cfg = (
+                Config(proxies={"http": proxy, "https": proxy})
+                if proxy
+                else None
+            )
+            client = boto3.client(
+                "s3", endpoint_url=endpoint_url, region_name=region, config=cfg
+            )
         self.bucket = bucket
         self.client = client
         self.part_size = max(part_size, 5 * 1024 * 1024)
