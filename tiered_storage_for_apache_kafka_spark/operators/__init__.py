@@ -13,6 +13,7 @@ from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     relational_extra,
     sessions,
     similarity,
+    skew,
     streaming_queries,
     text,
     tiered,
