@@ -33,8 +33,8 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import query
 from tiered_storage_for_apache_kafka_spark.tables import load_table
 
 SALT = 16
-BUCKET_DAYS = 16
-WINDOW_DAYS = 30
+WINDOW_SEC = 24 * 3600  # interval width: 24 h after each purchase
+BUCKET_SEC = 12 * 3600  # bucket width: each interval overlaps <= 3 buckets
 
 
 def salted_aggregate(
@@ -89,52 +89,59 @@ def salted_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "range_join_order_window",
+    "range_join_purchase_window",
     oracle=f"""
-SELECT o.o_orderkey, COUNT(e.event_id) AS n_events_in_window
-FROM orders o
-JOIN events e
-  ON e.user_id = o.o_custkey
- AND CAST(e.ts AS DATE) >= CAST(o.o_orderdate AS DATE)
- AND CAST(e.ts AS DATE) <  CAST(o.o_orderdate AS DATE) + INTERVAL {WINDOW_DAYS} DAY
-GROUP BY o.o_orderkey
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), p AS (
+  SELECT event_id AS purchase_id, user_id, sec AS start_sec
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, COUNT(e.event_id) AS n_follow_events
+FROM p
+JOIN ev e
+  ON e.user_id = p.user_id
+ AND e.sec >= p.start_sec
+ AND e.sec <  p.start_sec + {WINDOW_SEC}
+ AND e.event_id != p.purchase_id
+GROUP BY p.purchase_id
 """,
 )
-def range_join_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events inside each order's {WINDOW_DAYS}-day window, per order —
-    executed as a *bucketed* range join: intervals explode into the
-    ceil(window/bucket)+1 time buckets they overlap, the join is equi on
-    (user, bucket), and the BETWEEN is a residual within buckets."""
-    e = load_table(spark, sf_dir, "events").select(
+def range_join_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Follow-on events within 24 h of each purchase, per purchase —
+    executed as a *bucketed* range join: each interval explodes into the
+    (<= 3) time buckets it overlaps, the join is equi on (user, bucket),
+    and the BETWEEN is a residual within buckets. Timestamps quantized
+    to whole seconds so both engines make identical boundary calls."""
+    ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.col("ts").cast("date").alias("day"),
-        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")).alias(
-            "day_no"
-        ),
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("user_id"),
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
-        ).alias("start_no"),
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("sec").alias("start_sec"),
     )
     # each interval [start, start+W) overlaps a bounded set of buckets
-    o_b = o.withColumn(
+    p_b = p.withColumn(
         "bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col("start_no") / BUCKET_DAYS),
-                F.floor((F.col("start_no") + WINDOW_DAYS - 1) / BUCKET_DAYS),
+                F.floor(F.col("start_sec") / BUCKET_SEC),
+                F.floor((F.col("start_sec") + WINDOW_SEC - 1) / BUCKET_SEC),
             )
         ),
     )
-    e_b = e.withColumn("bucket", F.floor(F.col("day_no") / BUCKET_DAYS))
-    joined = o_b.join(e_b, ["user_id", "bucket"]).filter(
-        (F.col("day_no") >= F.col("start_no"))
-        & (F.col("day_no") < F.col("start_no") + WINDOW_DAYS)
+    e_b = ev.withColumn("bucket", F.floor(F.col("sec") / BUCKET_SEC))
+    joined = p_b.join(e_b, ["user_id", "bucket"]).filter(
+        (F.col("sec") >= F.col("start_sec"))
+        & (F.col("sec") < F.col("start_sec") + WINDOW_SEC)
+        & (F.col("event_id") != F.col("purchase_id"))
     )
-    return joined.groupBy("o_orderkey").agg(
-        F.count("event_id").alias("n_events_in_window")
+    return joined.groupBy("purchase_id").agg(
+        F.count("event_id").alias("n_follow_events")
     )
