@@ -162,3 +162,31 @@ def test_cube_single_expand(spark):
     """CUBE compiles to one Expand + one shuffle, not a union of jobs."""
     plan = plan_of(QUERIES["cube_order_stats"](spark, SF))
     assert plan.count("Expand") == 1
+
+
+def test_coverage_doc_names_exist():
+    """Every backtick-quoted queries() name cited in COVERAGE.md §2.4
+    must exist in the registry — the coverage map can't rot."""
+    import re
+
+    text = open("COVERAGE.md").read()
+    cited = set(re.findall(r"`([a-z0-9_]+)`", text))
+    known = set(QUERIES)
+    ghost = {c for c in cited if c in {q.split("(")[0] for q in cited} and
+             c in cited and c not in known and "_" in c and
+             not c.endswith((".py", ".md")) and
+             c in text and c.startswith(tuple("abcdefghijklmnopqrstuvwxyz"))}
+    # only flag names that look like query ids (exist-like) but aren't registered
+    lookalikes = {c for c in ghost if any(c.startswith(p) for p in (
+        "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "dedup_", "ann_",
+        "tiered_", "streaming_", "multimodal_", "doc_", "simhash_", "minhash_",
+        "chunk_index_", "range_", "salted_", "asof_", "top", "cube_", "value_",
+        "json_", "datasource_", "corpus_", "lang_", "token_", "text_", "set_",
+        "semi_", "rollup_", "pivot_", "moving_", "sessionize_", "events_",
+        "distinct_", "manifest_", "segment_", "scalar_", "batch_", "table_mode_",
+        "embedding_",
+    ))}
+    # cited identifiers that are legitimately not queries() entries
+    non_queries = {"tiered_segments", "segment_bytes"}
+    lookalikes -= non_queries
+    assert not lookalikes, f"COVERAGE.md cites unregistered queries: {lookalikes}"
