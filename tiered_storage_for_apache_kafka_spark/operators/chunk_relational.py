@@ -365,3 +365,50 @@ def batch_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("ts").cast("date")).alias("last_day"),
         )
     )
+
+
+@query(
+    "offsets_for_times",
+    oracle="""
+WITH targets AS (
+  SELECT * FROM (VALUES
+    (TIMESTAMP '2024-01-08 00:00:00'),
+    (TIMESTAMP '2024-01-15 00:00:00'),
+    (TIMESTAMP '2024-01-22 00:00:00')) t(target_ts)
+), ev AS (
+  SELECT CAST(event_id % 4 AS INT) AS partition, event_id AS offset, ts
+  FROM events
+)
+SELECT t.target_ts, e.partition,
+       MIN(e.offset) AS first_offset_at_or_after
+FROM targets t
+JOIN ev e ON e.ts >= t.target_ts
+GROUP BY t.target_ts, e.partition
+""",
+)
+def offsets_for_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka `offsetsForTimes` semantics over the tiered log: for each
+    target timestamp, the earliest offset per partition whose record
+    timestamp is at-or-after it — the query the TIMESTAMP aux index
+    (R11, `SegmentIndexesV1`) answers. Relationally: a tiny broadcast of
+    targets against the record plane, min-aggregated per (target,
+    partition); at 100 TB the manifests table prunes to segments whose
+    [min_ts, max_ts] window can contain the answer before any record is
+    touched."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        "ts",
+    )
+    targets = F.broadcast(
+        e.sparkSession.createDataFrame(
+            [("2024-01-08 00:00:00",), ("2024-01-15 00:00:00",),
+             ("2024-01-22 00:00:00",)],
+            "target_ts STRING",
+        ).select(F.col("target_ts").cast("timestamp").alias("target_ts"))
+    )
+    return (
+        e.join(targets, e.ts >= targets.target_ts)
+        .groupBy("target_ts", "partition")
+        .agg(F.min("offset").alias("first_offset_at_or_after"))
+    )
