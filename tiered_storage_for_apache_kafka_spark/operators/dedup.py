@@ -504,3 +504,92 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 2)
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_BANDS_CTE
+    + f"""
+, sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+, inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+), verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE {JACCARD_DEN} * i.n_inter >= {JACCARD_NUM} * (na.n + nb.n - i.n_inter)
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM verified
+), nodes AS (
+  SELECT DISTINCT a AS doc FROM edges
+), reach AS (
+  WITH RECURSIVE r(doc, label) AS (
+    SELECT doc, doc FROM nodes
+    UNION
+    SELECT e.b, r.label FROM r JOIN edges e ON e.a = r.doc
+  )
+  SELECT * FROM r
+)
+SELECT doc AS doc_id, MIN(label) AS canonical_doc_id
+FROM reach
+GROUP BY doc
+""",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: connected components of the verified
+    near-duplicate graph (each doc labeled with the min doc_id reachable
+    through near-dup edges) — the step that turns pairwise dedup into
+    keep/drop decisions.
+
+    Implemented as iterative min-label propagation: each round joins the
+    label frontier across edges and keeps the smaller label; terminates
+    when a round changes nothing (bounded by component diameter). The
+    driver loop only steers — labels stay distributed; `localCheckpoint`
+    truncates lineage per round. At 100 TB the same loop runs with
+    large-star/small-star contraction to cut round counts; the oracle is
+    a recursive CTE computing the identical min-reachable-label.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .withColumnRenamed("doc_a", "src")
+        .withColumnRenamed("doc_b", "dst")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "new_label"
+                ),
+            )
+        )
+        changed = (
+            updated.join(labels, "doc_id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = updated.withColumnRenamed("new_label", "label").localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("canonical_doc_id"))
