@@ -60,6 +60,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SHINGLE_CACHE: dict[str, DataFrame] = {}
+_PAIRS_CACHE: dict[str, DataFrame] = {}
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,7 +231,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied so the threshold decision is exact).
 
     The shingle table feeds four consumers (signatures, both sides of the
-    intersection join, sizes) — cached so the scan+explode runs once."""
+    intersection join, sizes) — cached so the scan+explode runs once; the
+    verified pair set is itself cached per (process, sf_dir) because the
+    canonicalization pass (`dedup_connected_components`) consumes it."""
+    cached = _PAIRS_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     sh = _shingles_cached(spark, sf_dir)
     cand = _candidates_from_bands(_bands_from_wide(_wide_signatures(sh)))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -248,7 +254,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    return (
+    result = (
         inter.join(F.broadcast(na), "doc_a")
         .join(F.broadcast(nb), "doc_b")
         .filter(JACCARD_DEN * F.col("n_inter") >= JACCARD_NUM * n_union)
@@ -261,7 +267,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_union.alias("n_union"),
             F.round(F.col("n_inter").cast("double") / n_union, 6).alias("jaccard"),
         )
+        .cache()
     )
+    _PAIRS_CACHE[sf_dir] = result
+    return result
 
 
 NGRAM_WORDS = 4  # n-gram Jaccard operates on word 4-grams
