@@ -440,3 +440,42 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@query(
+    "lag_lead_user_deltas",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(seq AS BIGINT) AS seq,
+       prev_event_id, next_event_id, first_event_id
+FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER w AS seq,
+         LAG(event_id) OVER w AS prev_event_id,
+         LEAD(event_id) OVER w AS next_event_id,
+         FIRST_VALUE(event_id) OVER w AS first_event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+)
+WHERE seq <= 5
+""",
+)
+def lag_lead_user_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions (LAG/LEAD/FIRST_VALUE) over per-user
+    event timelines — one shuffle on user_id, one sort, all four
+    functions evaluated in a single window pass. Ordering is on whole-second
+    timestamps + event_id so both engines (ns vs us precision) break
+    ties identically."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"), F.col("event_id"))
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).cast("bigint").alias("seq"),
+            F.lag("event_id").over(w).alias("prev_event_id"),
+            F.lead("event_id").over(w).alias("next_event_id"),
+            F.first("event_id").over(w).alias("first_event_id"),
+        )
+        .filter(F.col("seq") <= 5)
+    )
