@@ -169,8 +169,12 @@ class TieredSegmentsReader(DataSourceReader):
     # -- execution -------------------------------------------------------------
 
     def read(self, partition: SegmentPartition):
+        import pyarrow as pa
+
         from tiered_storage_for_apache_kafka_spark.api import SegmentMetadata
-        from tiered_storage_for_apache_kafka_spark.wire import decode_segment
+        from tiered_storage_for_apache_kafka_spark.wire import (
+            decode_segment_columns,
+        )
 
         mgr = _build_manager(self.opts)
         meta = SegmentMetadata(
@@ -182,23 +186,43 @@ class TieredSegmentsReader(DataSourceReader):
             partition.segment_uuid,
         )
         data = b"".join(mgr.fetch_log_segment(meta, 0))
+        bases, byte_offs, offsets, tss, keys, values = decode_segment_columns(data)
         lo, hi = self.min_offset, self.max_offset
-        for base_offset, byte_off, records in decode_segment(data):
-            for r in records:
-                if lo is not None and r.offset < lo:
-                    continue
-                if hi is not None and r.offset > hi:
-                    continue
-                yield (
-                    partition.partition,
-                    partition.segment_uuid,
-                    base_offset,
-                    byte_off,
-                    r.offset,
-                    r.timestamp_us,
-                    r.key,
-                    r.value,
-                )
+        if lo is not None or hi is not None:  # residual trim (R7 analog)
+            sel = [
+                i
+                for i, o in enumerate(offsets)
+                if (lo is None or o >= lo) and (hi is None or o <= hi)
+            ]
+            bases = [bases[i] for i in sel]
+            byte_offs = [byte_offs[i] for i in sel]
+            tss = [tss[i] for i in sel]
+            keys = [keys[i] for i in sel]
+            values = [values[i] for i in sel]
+            offsets = [offsets[i] for i in sel]
+        n = len(offsets)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([partition.partition] * n, pa.int32()),
+                pa.array([partition.segment_uuid] * n, pa.string()),
+                pa.array(bases, pa.int64()),
+                pa.array(byte_offs, pa.int64()),
+                pa.array(offsets, pa.int64()),
+                pa.array(tss, pa.int64()),
+                pa.array(keys, pa.binary()),
+                pa.array(values, pa.binary()),
+            ],
+            names=[
+                "partition",
+                "segment_uuid",
+                "batch_base_offset",
+                "batch_byte_offset",
+                "offset",
+                "timestamp_us",
+                "key",
+                "value",
+            ],
+        )
 
 
 class TieredSegmentsStreamReader(DataSourceStreamReader):

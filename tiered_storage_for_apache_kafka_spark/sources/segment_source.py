@@ -38,7 +38,12 @@ from tiered_storage_for_apache_kafka_spark.api import (
 from tiered_storage_for_apache_kafka_spark.storage.filesystem import FileSystemStorage
 from tiered_storage_for_apache_kafka_spark.transform.compression import DEFAULT_CODEC
 from tiered_storage_for_apache_kafka_spark.transform.encryption import RsaKeyring
-from tiered_storage_for_apache_kafka_spark.wire import Record, decode_segment, encode_batch
+from tiered_storage_for_apache_kafka_spark.wire import (
+    Record,
+    decode_segment,
+    decode_segment_columns,
+    encode_batch,
+)
 
 TOPIC = "events"
 TOPIC_ID = "events-tid"
@@ -196,38 +201,26 @@ def read_tiered_records(
                     t.segment_uuid,
                 )
                 data = b"".join(mgr.fetch_log_segment(meta, 0))
-                rows = []
-                for base_offset, byte_off, records in decode_segment(data):
-                    for r in records:
-                        if lo is not None and r.offset < lo:
-                            continue
-                        if hi is not None and r.offset > hi:
-                            continue
-                        rows.append(
-                            (
-                                int(t.partition),
-                                t.segment_uuid,
-                                base_offset,
-                                byte_off,
-                                r.offset,
-                                r.timestamp_us,
-                                r.key,
-                                r.value,
-                            )
-                        )
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "partition",
-                        "segment_uuid",
-                        "batch_base_offset",
-                        "batch_byte_offset",
-                        "offset",
-                        "timestamp_us",
-                        "key",
-                        "value",
-                    ],
+                bases, byte_offs, offsets, tss, keys, values = (
+                    decode_segment_columns(data)
                 )
+                out = pd.DataFrame(
+                    {
+                        "partition": int(t.partition),
+                        "segment_uuid": t.segment_uuid,
+                        "batch_base_offset": bases,
+                        "batch_byte_offset": byte_offs,
+                        "offset": offsets,
+                        "timestamp_us": tss,
+                        "key": keys,
+                        "value": values,
+                    }
+                )
+                if lo is not None:
+                    out = out[out["offset"] >= lo]
+                if hi is not None:
+                    out = out[out["offset"] <= hi]
+                yield out
 
     return tasks.repartition("partition").mapInPandas(
         fetch_tasks,
