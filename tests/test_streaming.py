@@ -105,3 +105,41 @@ def test_streaming_metrics_listener(spark, tmp_path):
         assert snap.get('stream.rows[query=metrics_probe]', 0) > 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_stream_interval_join(spark):
+    """The watermarked stream-stream join produces exactly the rows the
+    equivalent batch join produces over the full dataset."""
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        run_stream_to_memory,
+        stream_events,
+        stream_purchase_click_join,
+    )
+    from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    joined = stream_purchase_click_join(stream_events(spark, sf))
+    got = run_stream_to_memory(joined, "append")
+
+    e = load_table(spark, sf, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    expect = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    assert got.count() > 0

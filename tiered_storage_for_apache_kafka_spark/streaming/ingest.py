@@ -185,3 +185,35 @@ def stream_tier_events(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_purchase_click_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks that happen within 1 hour after it. Both sides carry
+    watermarks so the join state is bounded (Spark drops buffered rows
+    once the event-time range can no longer match) — the canonical
+    bounded-state stream-stream join shape."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
