@@ -1,5 +1,9 @@
 """End-to-end tiered-storage queries: tier → fetch → decode → aggregate.
 
+Parity: the full copy→fetch lifecycle of the reference
+(`RemoteStorageManager.java:95-152`; e2e verification pattern
+`SingleBrokerTest.java:276-485`), exercised as driver-checkable queries.
+
 These are the driver-checkable proof that the byte engine round-trips:
 the Spark side pushes `events` through the FULL write pipeline
 (wire-format framing → chunk → compress → upload → manifest) and reads it

@@ -1,7 +1,8 @@
 """Segments-as-table: tier a DataFrame into log segments, read them back.
 
 Write path (`tier_events_table`): the distributed analog of
-`copyLogSegmentData` — events are hash-assigned to topic-partitions,
+`copyLogSegmentData` (reference `KafkaRemoteStorageManager.java:167-223`,
+upload cadence README §Uploads) — events are hash-assigned to topic-partitions,
 offset-ordered, framed into record batches (wire.py), cut into fixed-row
 segments, and each segment is pushed through the full transform pipeline
 (chunk/compress/encrypt) by a `TieredStorageManager` **inside an
@@ -11,7 +12,9 @@ tier 100 TB: partitions are independent, zero shuffle beyond the initial
 hash partition).
 
 Read path (`read_tiered_records`): the distributed analog of
-`fetchLogSegment` — a task DataFrame (one row per segment object) is
+`fetchLogSegment` (reference `KafkaRemoteStorageManager.java:448-484`;
+chunk planning `FetchChunkEnumeration.java:54-92`) — a task DataFrame
+(one row per segment object) is
 `mapInPandas`-expanded: each task fetches its segment's manifest, plans
 chunks, does ranged GETs + detransform via the storage layer, decodes
 records, and emits rows. Predicate pushdown happens at *task granularity*
