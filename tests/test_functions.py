@@ -69,3 +69,27 @@ def test_approx_count_distinct_within_envelope(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).first()
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_weighted_mean_udaf_matches_sql(spark):
+    """The grouped-agg pandas UDAF equals the pure-SQL weighted mean."""
+    from tiered_storage_for_apache_kafka_spark.functions import weighted_mean_udaf
+
+    events = load_table(spark, SF, "events").select(
+        "event_type", F.col("value").alias("v"),
+        (F.col("user_id") % 7 + 1).cast("double").alias("w"),
+    )
+    udaf = weighted_mean_udaf()
+    got = {
+        r.event_type: r.wm
+        for r in events.groupBy("event_type")
+        .agg(F.round(udaf("v", "w"), 6).alias("wm"))
+        .collect()
+    }
+    expect = {
+        r.event_type: r.wm
+        for r in events.groupBy("event_type")
+        .agg(F.round(F.sum(F.col("v") * F.col("w")) / F.sum("w"), 6).alias("wm"))
+        .collect()
+    }
+    assert got == expect

@@ -15,7 +15,8 @@ view of `AbstractChunkIndex.chunksForRange` (reference
 
 from __future__ import annotations
 
-from pyspark.sql.functions import udtf
+import pandas as pd
+from pyspark.sql.functions import pandas_udf, udtf
 
 
 @udtf(
@@ -59,3 +60,19 @@ class ChunkPlanUDTF:
 def register_functions(spark) -> None:
     """Register the engine's SQL functions on a session."""
     spark.udtf.register("chunk_plan", ChunkPlanUDTF)
+
+
+def weighted_mean_udaf():
+    """Grouped-aggregate Pandas UDAF (Arrow-batched): value-weighted mean
+    — the UDAF point on the UDF/UDAF/UDTF surface (SURVEY.md §2.4). Used
+    as `df.groupBy(k).agg(weighted_mean_udaf()(col_v, col_w))`; executes
+    as a two-phase aggregation with the Python stage only at the final
+    combine."""
+
+    @pandas_udf("double")
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        total = float((v * w).sum())
+        denom = float(w.sum())
+        return total / denom if denom else float("nan")
+
+    return weighted_mean
