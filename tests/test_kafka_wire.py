@@ -1,0 +1,156 @@
+"""Kafka RecordBatch v2 codec: CRC32C vectors, hypothesis round-trips,
+byte-exact re-encode, and a full tier→fetch round-trip of authentic
+Kafka-format segments through the byte engine."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tiered_storage_for_apache_kafka_spark.kafka_wire import (
+    KafkaBatch,
+    KafkaRecord,
+    crc32c,
+    decode_kafka_batches,
+    encode_kafka_batch,
+)
+
+
+def test_crc32c_known_vectors():
+    # published CRC32C test vectors (RFC 3720 / kernel test suite)
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+@given(
+    base_offset=st.integers(min_value=0, max_value=2**40),
+    base_ts=st.integers(min_value=0, max_value=2**45),
+    recs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # ts delta
+            st.none() | st.binary(max_size=64),  # key
+            st.none() | st.binary(max_size=256),  # value
+            st.lists(
+                st.tuples(st.text(max_size=8), st.none() | st.binary(max_size=16)),
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    pid=st.integers(min_value=-1, max_value=2**40),
+)
+@settings(max_examples=150, deadline=None)
+def test_kafka_batch_roundtrip_property(base_offset, base_ts, recs, pid):
+    records = [
+        KafkaRecord(i, ts, k, v, tuple(hs)) for i, (ts, k, v, hs) in enumerate(recs)
+    ]
+    batch = KafkaBatch(
+        base_offset=base_offset,
+        base_timestamp=base_ts,
+        records=records,
+        producer_id=pid,
+        producer_epoch=3 if pid >= 0 else -1,
+        base_sequence=17 if pid >= 0 else -1,
+        partition_leader_epoch=5,
+    )
+    blob = encode_kafka_batch(batch)
+    [(back, byte_off)] = decode_kafka_batches(blob)
+    assert byte_off == 0
+    assert back.base_offset == base_offset
+    assert back.base_timestamp == base_ts
+    assert back.producer_id == pid
+    assert back.partition_leader_epoch == 5
+    assert back.records == records
+    # byte-exact re-encode (the I12 property): decode → encode is identity
+    assert encode_kafka_batch(back) == blob
+
+
+def test_multi_batch_segment_and_byte_offsets():
+    b1 = encode_kafka_batch(
+        KafkaBatch(0, 1000, [KafkaRecord(0, 0, b"k", b"v1")])
+    )
+    b2 = encode_kafka_batch(
+        KafkaBatch(1, 2000, [KafkaRecord(0, 0, None, b"v2"),
+                             KafkaRecord(1, 5, b"k3", None)])
+    )
+    seg = b1 + b2
+    parsed = decode_kafka_batches(seg)
+    assert [off for _, off in parsed] == [0, len(b1)]
+    assert [b.base_offset for b, _ in parsed] == [0, 1]
+
+
+def test_crc_detects_corruption():
+    blob = bytearray(
+        encode_kafka_batch(KafkaBatch(0, 0, [KafkaRecord(0, 0, b"k", b"v")]))
+    )
+    blob[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_kafka_batches(bytes(blob))
+
+
+def test_control_batch_rejected():
+    blob = bytearray(
+        encode_kafka_batch(KafkaBatch(0, 0, [KafkaRecord(0, 0, b"k", b"v")]))
+    )
+    # flip the control bit (attributes int16 big-endian starts right after
+    # header(17) + crc(4)); re-stamp the CRC so only the control flag trips
+    from tiered_storage_for_apache_kafka_spark.kafka_wire import _CRC, crc32c
+
+    attrs_off = 21
+    blob[attrs_off + 1] |= 0x20
+    payload = bytes(blob[25:])
+    blob[21 - 4 : 21] = _CRC.pack(crc32c(bytes(blob[21:])))
+    with pytest.raises(NotImplementedError, match="control"):
+        decode_kafka_batches(bytes(blob))
+
+
+def test_kafka_segments_roundtrip_through_byte_engine(tmp_path):
+    """Authentic Kafka-v2 segments survive the full tiering pipeline
+    (chunk → zstd → AES-GCM → upload → ranged fetch → detransform)
+    byte-exactly, and decode back to the original records."""
+    from tiered_storage_for_apache_kafka_spark.api import (
+        SegmentData,
+        SegmentMetadata,
+        TieredStorageManager,
+    )
+    from tiered_storage_for_apache_kafka_spark.storage.filesystem import (
+        FileSystemStorage,
+    )
+    from tiered_storage_for_apache_kafka_spark.transform.encryption import (
+        RsaKeyring,
+    )
+
+    seg = b"".join(
+        encode_kafka_batch(
+            KafkaBatch(
+                base_offset=b * 10,
+                base_timestamp=1_700_000_000_000 + b,
+                records=[
+                    KafkaRecord(i, i, f"k{b}-{i}".encode(), b"x" * (17 * i + 1))
+                    for i in range(10)
+                ],
+                partition_leader_epoch=2,
+            )
+        )
+        for b in range(25)
+    )
+    mgr = TieredStorageManager(
+        FileSystemStorage(str(tmp_path)),
+        chunk_size=1000,  # deliberately unaligned with batch borders
+        compression_enabled=True,
+        encryption_keyring=RsaKeyring.generate("kek-1"),
+    )
+    meta = SegmentMetadata("kt", "ktid", 0, 0, 249, "seg-k")
+    mgr.copy_log_segment_data(
+        meta,
+        SegmentData(seg, {"offset": b"", "timestamp": b"",
+                          "producerSnapshot": b"", "leaderEpoch": b""}),
+    )
+    fetched = b"".join(mgr.fetch_log_segment(meta, 0))
+    assert fetched == seg
+    batches = decode_kafka_batches(fetched)
+    assert len(batches) == 25
+    assert batches[24][0].records[9].value == b"x" * (17 * 9 + 1)

@@ -1,0 +1,237 @@
+"""Kafka RecordBatch v2 (magic 2) wire codec — the real on-disk format.
+
+SURVEY.md §7.4 hard-part 1: the reference re-encodes byte-exact Kafka
+batches on the Iceberg-mode fetch path (`BatchEnumeration.java:46-235`,
+restoring magic/compression/timestamp-type/producer info). This module
+implements the public Kafka record-batch v2 layout (KIP-98 format, as
+documented in the Kafka protocol guide) in pure Python so segments
+holding *authentic* Kafka batches round-trip byte-exactly through the
+tiering engine:
+
+    RecordBatch =>
+      baseOffset:           int64
+      batchLength:          int32   (bytes after this field)
+      partitionLeaderEpoch: int32
+      magic:                int8    (=2)
+      crc:                  uint32  (CRC32C of everything after this field)
+      attributes:           int16
+      lastOffsetDelta:      int32
+      baseTimestamp:        int64
+      maxTimestamp:         int64
+      producerId:           int64
+      producerEpoch:        int16
+      baseSequence:         int32
+      recordCount:          int32
+      records:              [Record]     (uncompressed when attributes&7==0)
+
+    Record =>  (all varints zigzag-encoded)
+      length: varint, attributes: int8, timestampDelta: varlong,
+      offsetDelta: varint, keyLength: varint (-1 null), key,
+      valueLength: varint (-1 null), value,
+      headerCount: varint, [headerKeyLen, headerKey, headerValLen, headerVal]
+
+Control/transactional batches are intentionally out of scope — the
+reference punts on them too (`BatchEnumeration.java:84,102`), and we
+surface them as a decode error instead of corrupting silently.
+CRC32C (Castagnoli) is implemented with a table here because the Python
+stdlib only ships zlib's CRC32 (IEEE).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+MAGIC_V2 = 2
+_HEADER = struct.Struct(">qiib")  # baseOffset, batchLength, leaderEpoch, magic
+_CRC = struct.Struct(">I")
+_META = struct.Struct(">hiqqqhii")  # attrs, lastOffsetDelta, baseTs, maxTs,
+#                                     producerId, producerEpoch, baseSeq, count
+
+# -- CRC32C (Castagnoli), reflected, poly 0x1EDC6F41 --------------------------
+
+_CRC32C_TABLE: list[int] = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    crc ^= 0xFFFFFFFF
+    for b in data:
+        crc = (_CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)) & 0xFFFFFFFF
+    return crc ^ 0xFFFFFFFF
+
+
+# -- zigzag varints (Kafka encodes all record-level ints this way) ------------
+
+
+def _write_varint(out: bytearray, n: int) -> None:
+    n = (n << 1) ^ (n >> 63)
+    while (n & ~0x7F) != 0:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+
+
+def _read_varint(buf: bytes, off: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        b = buf[off]
+        off += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), off
+
+
+@dataclass(frozen=True)
+class KafkaRecord:
+    offset_delta: int
+    timestamp_delta: int
+    key: bytes | None
+    value: bytes | None
+    headers: tuple[tuple[str, bytes | None], ...] = ()
+
+
+@dataclass
+class KafkaBatch:
+    base_offset: int
+    base_timestamp: int
+    records: list[KafkaRecord]
+    partition_leader_epoch: int = -1
+    attributes: int = 0
+    producer_id: int = -1
+    producer_epoch: int = -1
+    base_sequence: int = -1
+    max_timestamp: int = field(default=-1)  # -1 → computed from records
+
+
+def encode_kafka_batch(batch: KafkaBatch) -> bytes:
+    if not batch.records:
+        raise ValueError("batch must contain records")
+    if batch.attributes & 0x07:
+        raise NotImplementedError("compressed batch encode not supported")
+    body = bytearray()
+    for r in batch.records:
+        rec = bytearray()
+        rec.append(0)  # record attributes (unused)
+        _write_varint(rec, r.timestamp_delta)
+        _write_varint(rec, r.offset_delta)
+        for payload in (r.key, r.value):
+            if payload is None:
+                _write_varint(rec, -1)
+            else:
+                _write_varint(rec, len(payload))
+                rec += payload
+        _write_varint(rec, len(r.headers))
+        for hk, hv in r.headers:
+            hk_b = hk.encode("utf-8")
+            _write_varint(rec, len(hk_b))
+            rec += hk_b
+            if hv is None:
+                _write_varint(rec, -1)
+            else:
+                _write_varint(rec, len(hv))
+                rec += hv
+        _write_varint(body, len(rec))
+        body += rec
+
+    last_delta = batch.records[-1].offset_delta
+    max_ts = batch.max_timestamp
+    if max_ts < 0:
+        max_ts = batch.base_timestamp + max(
+            r.timestamp_delta for r in batch.records
+        )
+    meta = _META.pack(
+        batch.attributes,
+        last_delta,
+        batch.base_timestamp,
+        max_ts,
+        batch.producer_id,
+        batch.producer_epoch,
+        batch.base_sequence,
+        len(batch.records),
+    )
+    crc_payload = meta + bytes(body)
+    crc = crc32c(crc_payload)
+    # batchLength counts bytes after the batchLength field itself
+    batch_length = 4 + 1 + 4 + len(crc_payload)  # epoch + magic + crc + payload
+    return (
+        _HEADER.pack(batch.base_offset, batch_length,
+                     batch.partition_leader_epoch, MAGIC_V2)
+        + _CRC.pack(crc)
+        + crc_payload
+    )
+
+
+def decode_kafka_batches(buf: bytes) -> list[tuple[KafkaBatch, int]]:
+    """Parse concatenated v2 batches: [(batch, batch_byte_offset)].
+    Verifies CRC32C and magic; control batches raise."""
+    out: list[tuple[KafkaBatch, int]] = []
+    off = 0
+    while off < len(buf):
+        start = off
+        base_offset, batch_length, leader_epoch, magic = _HEADER.unpack_from(buf, off)
+        off += _HEADER.size
+        if magic != MAGIC_V2:
+            raise ValueError(f"unsupported magic {magic} at {start}")
+        (crc,) = _CRC.unpack_from(buf, off)
+        off += 4
+        payload_end = start + 8 + 4 + batch_length
+        payload = buf[off:payload_end]
+        if crc32c(payload) != crc:
+            raise ValueError(f"CRC mismatch in batch at {start}")
+        (attrs, last_delta, base_ts, max_ts, pid, pepoch, bseq, count) = (
+            _META.unpack_from(payload, 0)
+        )
+        if attrs & 0x20:
+            raise NotImplementedError("control batches not supported")
+        if attrs & 0x07:
+            raise NotImplementedError("compressed batch decode not supported")
+        records: list[KafkaRecord] = []
+        p = _META.size
+        for _ in range(count):
+            rec_len, p = _read_varint(payload, p)
+            rec_end = p + rec_len
+            p += 1  # record attributes
+            ts_delta, p = _read_varint(payload, p)
+            off_delta, p = _read_varint(payload, p)
+            n, p = _read_varint(payload, p)
+            key = None if n < 0 else bytes(payload[p : p + max(n, 0)])
+            p += max(n, 0)
+            n, p = _read_varint(payload, p)
+            value = None if n < 0 else bytes(payload[p : p + max(n, 0)])
+            p += max(n, 0)
+            n_headers, p = _read_varint(payload, p)
+            headers = []
+            for _h in range(n_headers):
+                n, p = _read_varint(payload, p)
+                hk = bytes(payload[p : p + n]).decode("utf-8")
+                p += n
+                n, p = _read_varint(payload, p)
+                hv = None if n < 0 else bytes(payload[p : p + max(n, 0)])
+                p += max(n, 0)
+                headers.append((hk, hv))
+            if p != rec_end:
+                raise ValueError(f"record length mismatch at {p} != {rec_end}")
+            records.append(
+                KafkaRecord(off_delta, ts_delta, key, value, tuple(headers))
+            )
+        batch = KafkaBatch(
+            base_offset=base_offset,
+            base_timestamp=base_ts,
+            records=records,
+            partition_leader_epoch=leader_epoch,
+            attributes=attrs,
+            producer_id=pid,
+            producer_epoch=pepoch,
+            base_sequence=bseq,
+            max_timestamp=max_ts,
+        )
+        out.append((batch, start))
+        off = payload_end
+    return out

@@ -11,9 +11,12 @@ Layout (big-endian):
   record := offset(8) timestamp_us(8) key_len(4; -1 null) key
             value_len(4; -1 null) value
 
-This is intentionally NOT Kafka's on-disk format (no CRC/varints — that
-fidelity is tracked as SURVEY §7.4 hard-part 1); it is byte-deterministic,
-so transform→tier→fetch→decode round-trips are hash-checkable.
+This is intentionally NOT Kafka's on-disk format; it is a
+byte-deterministic framing so transform→tier→fetch→decode round-trips
+are hash-checkable at query speed. The *real* Kafka RecordBatch v2
+format (varints, CRC32C, producer fields — SURVEY §7.4 hard-part 1)
+lives in `kafka_wire.py`, and authentic Kafka segments round-trip
+through the byte engine byte-exactly (`test_kafka_wire.py`).
 """
 
 from __future__ import annotations
