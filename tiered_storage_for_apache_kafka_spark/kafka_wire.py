@@ -113,8 +113,6 @@ class KafkaBatch:
 def encode_kafka_batch(batch: KafkaBatch) -> bytes:
     if not batch.records:
         raise ValueError("batch must contain records")
-    if batch.attributes & 0x07:
-        raise NotImplementedError("compressed batch encode not supported")
     body = bytearray()
     for r in batch.records:
         rec = bytearray()
@@ -140,6 +138,10 @@ def encode_kafka_batch(batch: KafkaBatch) -> bytes:
         _write_varint(body, len(rec))
         body += rec
 
+    stored_body = bytes(body)
+    codec = batch.attributes & 0x07
+    if codec:
+        stored_body = _compress_records(codec, stored_body)
     last_delta = batch.records[-1].offset_delta
     max_ts = batch.max_timestamp
     if max_ts < 0:
@@ -156,7 +158,7 @@ def encode_kafka_batch(batch: KafkaBatch) -> bytes:
         batch.base_sequence,
         len(batch.records),
     )
-    crc_payload = meta + bytes(body)
+    crc_payload = meta + stored_body
     crc = crc32c(crc_payload)
     # batchLength counts bytes after the batchLength field itself
     batch_length = 4 + 1 + 4 + len(crc_payload)  # epoch + magic + crc + payload
@@ -190,8 +192,11 @@ def decode_kafka_batches(buf: bytes) -> list[tuple[KafkaBatch, int]]:
         )
         if attrs & 0x20:
             raise NotImplementedError("control batches not supported")
-        if attrs & 0x07:
-            raise NotImplementedError("compressed batch decode not supported")
+        codec = attrs & 0x07
+        if codec:
+            payload = payload[: _META.size] + _decompress_records(
+                codec, payload[_META.size :]
+            )
         records: list[KafkaRecord] = []
         p = _META.size
         for _ in range(count):
@@ -235,3 +240,52 @@ def decode_kafka_batches(buf: bytes) -> list[tuple[KafkaBatch, int]]:
         out.append((batch, start))
         off = payload_end
     return out
+
+
+# -- batch compression (attributes bits 0-2) ----------------------------------
+# 1=gzip, 2=snappy (xerial-framed in Java clients — rejected, see below),
+# 3=lz4 (LZ4 frame), 4=zstd. The records section is compressed as one unit;
+# the CRC covers the *stored* (compressed) bytes, so decode verifies before
+# decompressing — same order as the broker.
+
+_CODEC_GZIP, _CODEC_SNAPPY, _CODEC_LZ4, _CODEC_ZSTD = 1, 2, 3, 4
+
+
+def _compress_records(codec: int, body: bytes) -> bytes:
+    if codec == _CODEC_GZIP:
+        import gzip as _gz
+
+        return _gz.compress(body, mtime=0)  # mtime=0 → deterministic bytes
+    if codec == _CODEC_LZ4:
+        import pyarrow as _pa
+
+        return _pa.Codec("lz4_frame").compress(body, asbytes=True)
+    if codec == _CODEC_ZSTD:
+        import pyarrow as _pa
+
+        return _pa.Codec("zstd").compress(body, asbytes=True)
+    if codec == _CODEC_SNAPPY:
+        raise NotImplementedError(
+            "snappy batches use Java's xerial block framing; out of scope"
+        )
+    raise ValueError(f"unknown compression codec {codec}")
+
+
+def _decompress_records(codec: int, body: bytes) -> bytes:
+    if codec == _CODEC_GZIP:
+        import gzip as _gz
+
+        return _gz.decompress(body)
+    if codec in (_CODEC_LZ4, _CODEC_ZSTD):
+        import pyarrow as _pa
+
+        # streaming decode — frame formats don't always declare content
+        # size, and the broker decodes them streaming too
+        name = "lz4" if codec == _CODEC_LZ4 else "zstd"
+        with _pa.input_stream(_pa.py_buffer(body), compression=name) as f:
+            return f.read()
+    if codec == _CODEC_SNAPPY:
+        raise NotImplementedError(
+            "snappy batches use Java's xerial block framing; out of scope"
+        )
+    raise ValueError(f"unknown compression codec {codec}")
