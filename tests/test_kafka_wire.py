@@ -184,3 +184,58 @@ def test_snappy_rejected_clearly():
         encode_kafka_batch(
             KafkaBatch(0, 0, [KafkaRecord(0, 0, b"k", b"v")], attributes=2)
         )
+
+
+def test_compression_heuristic_reads_batch_attribute():
+    """W3 parity: the heuristic reads the first batch's compression bits
+    exactly like SegmentCompressionChecker; non-Kafka payloads fall back
+    to the ratio probe (None)."""
+    from tiered_storage_for_apache_kafka_spark.transform.compression import (
+        segment_already_compressed,
+    )
+
+    records = [KafkaRecord(i, i, b"k", b"v" * 50) for i in range(5)]
+    plain = encode_kafka_batch(KafkaBatch(0, 0, records, attributes=0))
+    gzipped = encode_kafka_batch(KafkaBatch(0, 0, records, attributes=1))
+    assert segment_already_compressed(plain) is False
+    assert segment_already_compressed(gzipped) is True
+    assert segment_already_compressed(b"not a kafka segment") is None
+    assert segment_already_compressed(b"") is None
+
+
+def test_manager_heuristic_skips_compression_for_compressed_batches(tmp_path):
+    """End-to-end W3: a heuristic-enabled manager detects the gzip flag in
+    the segment's first batch and stores it uncompressed (fixed-size
+    chunk index), while a plain-batch segment still gets compressed
+    (variable index)."""
+    from tiered_storage_for_apache_kafka_spark.api import (
+        SegmentData,
+        SegmentMetadata,
+        TieredStorageManager,
+    )
+    from tiered_storage_for_apache_kafka_spark.storage.filesystem import (
+        FileSystemStorage,
+    )
+
+    mgr = TieredStorageManager(
+        FileSystemStorage(str(tmp_path)),
+        chunk_size=512,
+        compression_enabled=True,
+        compression_heuristic_enabled=True,
+    )
+    records = [KafkaRecord(i, i, b"k", b"v" * 100) for i in range(20)]
+    idx = {"offset": b"", "timestamp": b"", "producerSnapshot": b"",
+           "leaderEpoch": b""}
+
+    gz_seg = encode_kafka_batch(KafkaBatch(0, 0, records, attributes=1))
+    meta_gz = SegmentMetadata("t", "tid", 0, 0, 19, "gz")
+    mgr.copy_log_segment_data(meta_gz, SegmentData(gz_seg, idx))
+    assert mgr._manifest(meta_gz).compression is False
+
+    plain_seg = encode_kafka_batch(KafkaBatch(0, 0, records, attributes=0))
+    meta_pl = SegmentMetadata("t", "tid", 0, 20, 39, "pl")
+    mgr.copy_log_segment_data(meta_pl, SegmentData(plain_seg, idx))
+    assert mgr._manifest(meta_pl).compression is True
+    # both round-trip regardless of the decision
+    assert b"".join(mgr.fetch_log_segment(meta_gz, 0)) == gz_seg
+    assert b"".join(mgr.fetch_log_segment(meta_pl, 0)) == plain_seg

@@ -45,6 +45,7 @@ from tiered_storage_for_apache_kafka_spark.storage.rate_limiter import (
 from tiered_storage_for_apache_kafka_spark.transform.compression import (
     DEFAULT_CODEC,
     requires_compression,
+    segment_already_compressed,
 )
 from tiered_storage_for_apache_kafka_spark.transform.encryption import (
     DataKeyAndAAD,
@@ -154,8 +155,16 @@ class TieredStorageManager:
         try:
             compression = self.compression_enabled
             if compression and self.compression_heuristic_enabled:
-                sample = data.log[: min(len(data.log), self.chunk_size or 65536)]
-                compression = requires_compression(sample, self.codec)
+                # W3: prefer the reference's exact check — the first Kafka
+                # batch's compression attribute (SegmentCompressionChecker.
+                # java:31-54); fall back to a ratio probe for non-Kafka
+                # framings
+                flagged = segment_already_compressed(data.log[:64])
+                if flagged is not None:
+                    compression = not flagged
+                else:
+                    sample = data.log[: min(len(data.log), self.chunk_size or 65536)]
+                    compression = requires_compression(sample, self.codec)
 
             enc_key = create_data_key_and_aad() if self.keyring else None
 

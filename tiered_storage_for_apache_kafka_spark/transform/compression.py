@@ -85,3 +85,23 @@ def requires_compression(sample: bytes, codec: str = DEFAULT_CODEC, min_ratio: f
         return False
     comp, _ = CODECS[codec]
     return len(comp(sample)) < len(sample) * min_ratio
+
+
+def segment_already_compressed(segment_head: bytes) -> bool | None:
+    """Exact parity with `SegmentCompressionChecker.java:31-54`: inspect
+    the FIRST record batch's compression attribute (Kafka v2 framing).
+    Returns True/False when the head parses as a v2 batch, None when the
+    payload isn't Kafka-framed (caller falls back to the ratio probe in
+    `requires_compression`)."""
+    try:
+        import struct as _st
+
+        if len(segment_head) < 22:
+            return None
+        magic = segment_head[16]
+        if magic != 2:
+            return None
+        (attrs,) = _st.unpack_from(">h", segment_head, 21)
+        return (attrs & 0x07) != 0
+    except Exception:
+        return None
