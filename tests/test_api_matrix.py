@@ -42,7 +42,7 @@ META = SegmentMetadata(
 KEYRING = RsaKeyring.generate()  # RSA keygen is slow; share across the matrix
 
 
-def make_manager(tmp_path, compression, encryption, cache_kind, txn_index):
+def make_manager(tmp_path, compression, encryption, cache_kind, txn_index, codec="zstd"):
     backend = FileSystemStorage(tmp_path / "store")
     cache = None
     if cache_kind == "memory":
@@ -55,6 +55,7 @@ def make_manager(tmp_path, compression, encryption, cache_kind, txn_index):
         compression_enabled=compression,
         encryption_keyring=KEYRING if encryption else None,
         cache=cache,
+        codec=codec,
     ), backend
 
 
@@ -62,11 +63,12 @@ def make_manager(tmp_path, compression, encryption, cache_kind, txn_index):
 @pytest.mark.parametrize("encryption", [False, True])
 @pytest.mark.parametrize("cache_kind", [None, "memory", "disk"])
 @pytest.mark.parametrize("txn_index", [False, True])
-def test_copy_fetch_delete_cycle(tmp_path, compression, encryption, cache_kind, txn_index):
+@pytest.mark.parametrize("codec", ["zstd", "zlib"])
+def test_copy_fetch_delete_cycle(tmp_path, compression, encryption, cache_kind, txn_index, codec):
     indexes = dict(INDEXES)
     if txn_index:
         indexes["transaction"] = b"txn-index-bytes"
-    mgr, backend = make_manager(tmp_path, compression, encryption, cache_kind, txn_index)
+    mgr, backend = make_manager(tmp_path, compression, encryption, cache_kind, txn_index, codec)
 
     custom = mgr.copy_log_segment_data(META, SegmentData(SEGMENT_BYTES, indexes))
     assert set(custom["object_keys"]) == {"log", "indexes", "rsm-manifest"}
