@@ -479,3 +479,65 @@ def lag_lead_user_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("seq") <= 5)
     )
+
+
+@query(
+    "ntile_customer_quartiles",
+    oracle="""
+SELECT quartile,
+       COUNT(*) AS n_customers,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_custkey,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+FROM (
+  SELECT c_custkey, c_acctbal,
+         CAST(NTILE(4) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC,
+                             c_custkey ASC) AS INT) AS quartile
+  FROM customer
+)
+GROUP BY quartile
+""",
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: customers split into balance quartiles (total
+    order made deterministic with decimal cast + custkey tiebreak), then
+    rolled up per quartile."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(
+        F.col("c_acctbal").cast("decimal(18,2)").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").cast("bigint").alias("min_custkey"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "value_dispersion_stats",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 4) AS mean_value,
+       ROUND(STDDEV_SAMP(value), 4) AS stddev_value,
+       ROUND(VAR_SAMP(value), 4) AS var_value
+FROM events
+GROUP BY event_type
+""",
+)
+def value_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean / sample stddev / sample variance)
+    per group — both engines use numerically-stable single-pass
+    estimators, so 4-decimal rounding agrees."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+    )
