@@ -304,6 +304,10 @@ def _ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("grams"),
         )
         .select("doc_id", F.explode("grams").alias("gram"))
+        # dedup the per-doc gram *set* on a 64-bit hash, not the ~30-byte
+        # gram string: identical set semantics (collision odds
+        # ~ |grams|^2 / 2^64) and a much smaller distinct/join payload
+        .select("doc_id", F.xxhash64("gram").alias("gram"))
         .distinct()
     )
 
@@ -584,21 +588,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # one materialized pass per round: carry the old label alongside the
+        # new one so convergence detection is a filter over the checkpointed
+        # result, not a second run of the join
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                "label",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
                     "new_label"
                 ),
             )
+            .localCheckpoint()
         )
-        changed = (
-            updated.join(labels, "doc_id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = updated.withColumnRenamed("new_label", "label").localCheckpoint()
+        changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = updated.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("canonical_doc_id"))
