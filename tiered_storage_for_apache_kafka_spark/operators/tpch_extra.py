@@ -10,9 +10,11 @@ shape is what matters for the 100 TB design review:
 - q8  — market-share ratio: conditional aggregation over a 7-table join;
 - q9  — LIKE-filtered part dim, profit rollup by (nation, year);
 - q10 — top-k by aggregate: global sort + limit with deterministic ties;
+- q11 — groups filtered against a fraction of the broadcast grand total;
 - q13 — left outer join + two-level aggregation (distribution of counts);
 - q14 — single-row CASE ratio (promo revenue share);
 - q15 — scalar-subquery max: agg → broadcast the 1-row max → equi-filter;
+- q16 — NOT IN exclusion subquery (anti join) + multi-column COUNT(DISTINCT);
 - q18 — HAVING on a fact-side aggregate joined back to dims;
 - q19 — disjunctive predicate groups (OR of AND-blocks) pushed to scan;
 - q22 — anti join + exact scalar-average threshold via cross-multiply.
@@ -489,5 +491,97 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             F.sum("bal").cast("decimal(38,2)").alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q11_important_brands",
+    oracle=f"""
+WITH brand AS (
+  SELECT p.p_brand,
+         CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS brand_value
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+), tot AS (
+  SELECT CAST(SUM(brand_value) AS DECIMAL(38,6)) AS total_value FROM brand
+)
+SELECT b.p_brand, b.brand_value,
+       ROUND(CAST(b.brand_value AS DOUBLE) / CAST(t.total_value AS DOUBLE), 6)
+         AS value_share
+FROM brand b, tot t
+WHERE 25 * b.brand_value > t.total_value
+""",
+)
+def q11_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp, so revenue stands in for stock
+    value): per-group total filtered against a *fraction of the global
+    total* — aggregate, broadcast the 1-row grand total back over every
+    group, keep groups above threshold. The keep/drop comparison is
+    decimal-exact cross-multiplication (`25 * value > total`), so both
+    engines agree at the boundary; only the reported share is a rounded
+    double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    brand = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(_disc_price()).cast("decimal(38,6)").alias("brand_value"))
+    )
+    tot = brand.agg(F.sum("brand_value").cast("decimal(38,6)").alias("total_value"))
+    return (
+        brand.crossJoin(F.broadcast(tot))
+        .filter(F.lit(25) * F.col("brand_value") > F.col("total_value"))
+        .select(
+            "p_brand",
+            "brand_value",
+            F.round(
+                F.col("brand_value").cast("double")
+                / F.col("total_value").cast("double"),
+                6,
+            ).alias("value_share"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt,
+       COUNT(DISTINCT p.p_partkey) AS part_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size <= 25
+  AND p.p_brand <> 'Brand#45'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type
+""",
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN exclusion subquery + multi-column
+    COUNT(DISTINCT). The excluded-supplier set (negative balance, standing
+    in for the complaints filter) is broadcast as an anti join — exactly
+    the null-aware NOT IN plan, legal here because both key columns are
+    non-null — then supplier/part variety per (brand, type)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 25) & (F.col("p_brand") != "Brand#45"))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.countDistinct("p_partkey").alias("part_cnt"),
         )
     )
