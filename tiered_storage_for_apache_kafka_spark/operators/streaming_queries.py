@@ -53,3 +53,34 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     return run_stream_to_memory(
         stream_user_totals_stateful(stream_events(spark, sf_dir)), "update"
     )
+
+
+@query(
+    "streaming_dedup_exact",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY event_type
+""",
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful deduplication: `dropDuplicates` over the
+    record stream keeps one row per (user_id, event_type) in dedup state,
+    then a streaming aggregate counts survivors per type. Only the dedup
+    keys are carried forward, so the output is deterministic (equal to
+    batch COUNT(DISTINCT)). At 100 TB the production variant is
+    `dropDuplicatesWithinWatermark`, which expires dedup state with the
+    event-time watermark instead of keeping it unbounded."""
+    from pyspark.sql import functions as F
+
+    deduped = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    counts = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_distinct_users")
+    )
+    return run_stream_to_memory(counts, "complete")
