@@ -298,16 +298,16 @@ def _ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
         .select(
             "doc_id",
+            # hash each n-token slice directly (xxhash64 over array<string>):
+            # gram equality == token-sequence equality, no joined-string ever
+            # built, and the distinct/join payload is a 64-bit int instead of
+            # a ~30-byte string (collision odds ~ |grams|^2 / 2^64)
             F.expr(
                 f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
-                f"i -> array_join(slice(toks, i, {n}), ' '))"
+                f"i -> xxhash64(slice(toks, i, {n})))"
             ).alias("grams"),
         )
         .select("doc_id", F.explode("grams").alias("gram"))
-        # dedup the per-doc gram *set* on a 64-bit hash, not the ~30-byte
-        # gram string: identical set semantics (collision odds
-        # ~ |grams|^2 / 2^64) and a much smaller distinct/join payload
-        .select("doc_id", F.xxhash64("gram").alias("gram"))
         .distinct()
     )
 
