@@ -100,31 +100,33 @@ def reassemble_batches(envelope: DataFrame) -> DataFrame:
     byte-exact."""
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas hands over exactly one (partition, segment_uuid,
+        # batch_base_offset) group per call — no inner groupby needed;
+        # zip over columns beats itertuples row objects
         pdf = pdf.sort_values("offset")
-        out = []
-        for (part, seg, base), grp in pdf.groupby(
-            ["partition", "segment_uuid", "batch_base_offset"], sort=True
-        ):
-            records = [
-                Record(
-                    int(r.offset),
-                    int(r.timestamp_us),
-                    bytes(r.key) if r.key is not None else None,
-                    bytes(r.value) if r.value is not None else None,
-                )
-                for r in grp.itertuples()
-            ]
-            out.append(
+        records = [
+            Record(
+                int(o),
+                int(t),
+                bytes(k) if k is not None else None,
+                bytes(v) if v is not None else None,
+            )
+            for o, t, k, v in zip(
+                pdf["offset"], pdf["timestamp_us"], pdf["key"], pdf["value"]
+            )
+        ]
+        return pd.DataFrame(
+            [
                 {
-                    "partition": int(part),
-                    "segment_uuid": seg,
-                    "batch_base_offset": int(base),
-                    "batch_byte_offset": int(grp["batch_byte_offset"].iloc[0]),
+                    "partition": int(pdf["partition"].iloc[0]),
+                    "segment_uuid": pdf["segment_uuid"].iloc[0],
+                    "batch_base_offset": int(pdf["batch_base_offset"].iloc[0]),
+                    "batch_byte_offset": int(pdf["batch_byte_offset"].iloc[0]),
                     "n_records": len(records),
                     "batch_bytes": encode_batch(records),
                 }
-            )
-        return pd.DataFrame(out)
+            ]
+        )
 
     flat = envelope.select(
         "partition",
