@@ -541,3 +541,37 @@ def value_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
         F.round(F.var_samp("value"), 4).alias("var_value"),
     )
+
+
+@query(
+    "grouping_sets_order_mix",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+         AS grouping_level,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+""",
+)
+def grouping_sets_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with an asymmetric set list — (status,
+    priority), (priority), and grand total — a shape neither CUBE nor
+    ROLLUP can express; still one Expand + one shuffle, with
+    grouping_level separating subtotal rows from real NULL keys."""
+    o = load_table(spark, sf_dir, "orders")
+    lvl = (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast(
+        "bigint"
+    )
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        lvl.alias("grouping_level"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_price"),
+    )
