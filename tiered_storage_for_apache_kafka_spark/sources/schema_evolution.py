@@ -1,0 +1,156 @@
+"""Schema evolution for the table engine — the reference's intended
+(not-yet-wired) widening rules, actually wired.
+
+The reference ships the machinery in `SchemaUpdate.java:17-127` +
+`SchemaUtils.java` (type-promotion table at `SchemaUtils.java:80-84`):
+add columns as optional, widen int→long and float→double, make required
+fields optional — but freezes the first record's schema in practice
+(whitepaper §"Current limitations"). SURVEY.md §7.4(6) calls this out as
+a hard part our engine should close: here the same rules run as a pure
+StructType merge, gating every table append (registry-compatibility
+style), with Spark's `mergeSchema` reader handling the physical
+add-column case.
+
+Rules implemented (exactly the reference's promotion table):
+
+- a field present only in the NEW schema is added as **optional**
+  (nullable) — `SchemaUpdate.java` "add columns as optional";
+- a field present only in the OLD schema is kept (new writes leave it
+  null — the reader's union view);
+- same-name fields must agree in type, up to the promotions
+  **int→long** and **float→double** (`SchemaUtils.java:80-84`): the
+  merged field takes the wider type regardless of which side is wider,
+  so old data re-reads with an up-cast, never a narrowing;
+- nullability only ever loosens (required → optional), never tightens;
+- structs recurse field-wise; arrays recurse on the element type; any
+  other mismatch raises `SchemaEvolutionError` (the incompatible case
+  the registry would reject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+class SchemaEvolutionError(ValueError):
+    """Incompatible schema change (would require narrowing or a type
+    rewrite the promotion table does not allow)."""
+
+
+def _merge_types(old: DataType, new: DataType, path: str) -> DataType:
+    if old == new:
+        return old
+    pair = (type(old), type(new))
+    # the reference's promotion table: int→long, float→double — applied
+    # symmetrically so the merged type is always the wider one
+    if pair in ((IntegerType, LongType), (LongType, IntegerType)):
+        return LongType()
+    if pair in ((FloatType, DoubleType), (DoubleType, FloatType)):
+        return DoubleType()
+    if isinstance(old, StructType) and isinstance(new, StructType):
+        return merge_schemas(old, new, _path=path)
+    if isinstance(old, ArrayType) and isinstance(new, ArrayType):
+        elem = _merge_types(old.elementType, new.elementType, f"{path}[]")
+        return ArrayType(elem, old.containsNull or new.containsNull)
+    raise SchemaEvolutionError(
+        f"incompatible type change at {path!r}: "
+        f"{old.simpleString()} -> {new.simpleString()}"
+    )
+
+
+def merge_schemas(old: StructType, new: StructType, _path: str = "") -> StructType:
+    """Merge a table's current schema with an incoming batch's schema
+    under the evolution rules; raises SchemaEvolutionError when the
+    change is not expressible as widening/add-optional."""
+    new_by_name = {f.name: f for f in new.fields}
+    out: list[StructField] = []
+    for f in old.fields:
+        n = new_by_name.pop(f.name, None)
+        if n is None:
+            # removed on the write side: keep, readable as null for new rows
+            out.append(StructField(f.name, f.dataType, True))
+        else:
+            merged = _merge_types(f.dataType, n.dataType, f"{_path}.{f.name}".lstrip("."))
+            out.append(StructField(f.name, merged, f.nullable or n.nullable))
+    for f in new_by_name.values():  # brand-new fields arrive optional
+        out.append(StructField(f.name, f.dataType, True))
+    return StructType(out)
+
+
+def conform(df: DataFrame, target: StructType) -> DataFrame:
+    """Cast/extend a batch to the merged schema: missing columns become
+    typed nulls, widened columns up-cast — a pure projection, no data
+    rewrite (old files stay as written; the reader view unifies)."""
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def _schema_log_path(table_dir: str) -> str:
+    import os
+
+    # underscore prefix: invisible to Spark's parquet file listing
+    return os.path.join(table_dir, "_schema.json")
+
+
+def table_schema(table_dir: str) -> StructType | None:
+    """The table's committed schema from the sidecar log (the minimal
+    Delta/Iceberg-style metadata plane: schema lives in the log, never
+    inferred from data files)."""
+    import json
+    import os
+
+    p = _schema_log_path(table_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return StructType.fromJson(json.load(fh))
+
+
+def evolve_and_append(envelope: DataFrame, table_dir: str) -> StructType:
+    """Gated append: merge the incoming batch's schema with the table's
+    committed schema (if any), conform the batch, append, and commit the
+    merged schema to the sidecar log. Returns the post-commit schema.
+
+    Parquet's own ``mergeSchema`` cannot merge widened primitives
+    (int32 vs int64 files fail), so the log is authoritative and readers
+    go through `read_evolved`, which hands the merged schema to the scan
+    — the parquet reader up-casts old int32/float32 pages in place."""
+    import json
+    import os
+
+    current = table_schema(table_dir)
+    merged = (
+        merge_schemas(current, envelope.schema)
+        if current is not None
+        else envelope.schema
+    )
+    conform(envelope, merged).write.mode("append").parquet(table_dir)
+    with open(_schema_log_path(table_dir), "w") as fh:
+        json.dump(merged.jsonValue(), fh)
+    return merged
+
+
+def read_evolved(spark, table_dir: str) -> DataFrame:
+    """Scan the table under its committed schema: files written before a
+    widening or column-add resolve via reader up-cast / null fill."""
+    schema = table_schema(table_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no schema log at {table_dir}")
+    return spark.read.schema(schema).parquet(table_dir)
