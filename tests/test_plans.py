@@ -190,3 +190,19 @@ def test_coverage_doc_names_exist():
     non_queries = {"tiered_segments", "segment_bytes"}
     lookalikes -= non_queries
     assert not lookalikes, f"COVERAGE.md cites unregistered queries: {lookalikes}"
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark):
+    """The NOT IN exclusion set must broadcast (anti join), never shuffle
+    the fact side against a 100-row dimension."""
+    plan = plan_of(QUERIES["q16_supplier_part_variety"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q11_grand_total_is_broadcast(spark):
+    """The 1-row grand total joins back over the groups as a broadcast
+    nested loop — no shuffle of the aggregated side."""
+    plan = plan_of(QUERIES["q11_important_brands"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    # and the brand agg itself is two-phase
+    assert "partial_sum" in plan
