@@ -199,6 +199,78 @@ def test_q16_exclusion_is_broadcast_anti_join(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_simhash64_banding_beats_16bit_blocking(spark):
+    """The 64-bit banded SimHash must spread candidates over MORE buckets
+    than the 16-bit high-byte blocking can ever have (256 fixed blocks —
+    which go dense at scale and degenerate the intra-block join toward
+    all-pairs), and its densest bucket must be smaller than the densest
+    16-bit block. These are the two properties that keep the candidate
+    join sub-quadratic at 100x corpus size."""
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.operators.dedup import (
+        SIMHASH64_BANDS,
+        _sim64_signatures,
+    )
+
+    sigs = _sim64_signatures(spark, SF).cache()
+    buckets = sigs.select(
+        F.posexplode(
+            F.array(*[F.col(f"b{k}") for k in range(SIMHASH64_BANDS)])
+        ).alias("band_id", "band_val")
+    )
+    occupancy = buckets.groupBy("band_id", "band_val").count()
+    n_buckets_64 = occupancy.count()
+    max_bucket_64 = occupancy.agg(F.max("count")).collect()[0][0]
+
+    # the 16-bit scheme blocks on the signature's high byte: 256 buckets max
+    from tiered_storage_for_apache_kafka_spark.operators.dedup import (
+        simhash_near_dup_pairs,  # noqa: F401  (documentation anchor)
+    )
+
+    docs = load_table(spark, SF, "documents").count()
+    max_block_16 = (
+        # densest high-byte block under the 16-bit scheme
+        QUERIES["simhash_fingerprint"](spark, SF)
+        .select(F.substring("simhash", 1, 8).alias("hi"))
+        .groupBy("hi")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert n_buckets_64 > 256, n_buckets_64
+    assert max_bucket_64 < max_block_16, (max_bucket_64, max_block_16, docs)
+
+
+def test_dedup_cand_broadcast_gated(spark):
+    """With the candidate-broadcast threshold forced to 0, the verify
+    join must fall back to a non-broadcast plan (no unconditional
+    broadcast of an unbounded pair set at 100 TB)."""
+    from tiered_storage_for_apache_kafka_spark.operators import dedup
+
+    sh = dedup._shingles_cached(spark, SF)
+    cand = dedup._candidates_from_bands(
+        dedup._bands_from_wide(dedup._wide_signatures(sh))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    # disable size-based auto-broadcast so the plan shows exactly what the
+    # *hint* does: gated-off → shuffle join; gated-on → broadcast join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.broadcastCandMaxRows", "0")
+    try:
+        plan = plan_of(sa.join(dedup._maybe_broadcast(cand), "doc_a"))
+        assert "BroadcastHashJoin" not in plan
+        spark.conf.unset("spark.graft.broadcastCandMaxRows")
+        # default threshold: small candidate set → hint applied
+        plan = plan_of(sa.join(dedup._maybe_broadcast(cand), "doc_a"))
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.unset("spark.graft.broadcastCandMaxRows")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
 def test_q11_grand_total_is_broadcast(spark):
     """The 1-row grand total joins back over the groups as a broadcast
     nested loop — no shuffle of the aggregated side."""

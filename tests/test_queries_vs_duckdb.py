@@ -2,9 +2,18 @@
 
 For every registered query with an oracle: run the Spark DataFrame and the
 DuckDB SQL on the same parquet tables, then compare row count, column
-names, and an order-insensitive value comparison (columns sorted by name,
-values stringified canonically, rows sorted). This is intentionally at
-least as strict as the driver's hash-match.
+names, and an order-insensitive value comparison.
+
+Driver-faithful comparison: BOTH sides are materialized through pandas
+(Spark ``toPandas()`` vs DuckDB ``.df()``) and cells are stringified
+WITHOUT any semantic normalization — ``Decimal('253942.00')`` and
+``float64 253942.0`` are *different* here, exactly as they hash
+differently in the driver. Round-1 lesson: a semantic compare stayed
+green while the driver hash was red, because Spark emits ``Decimal``/
+``int64`` where DuckDB→pandas emits ``float64`` for the same numbers.
+The portability rules in ``operators/registry.py`` (minor-unit BIGINT
+outputs, no raw DECIMAL/TIMESTAMP) exist to make this representation
+match, and ``test_no_decimal_or_timestamp_outputs`` pins them.
 """
 
 from __future__ import annotations
@@ -15,6 +24,7 @@ import math
 import os
 
 import duckdb
+import pandas as pd
 import pytest
 
 from tiered_storage_for_apache_kafka_spark.operators import ORACLES, QUERIES
@@ -33,51 +43,74 @@ def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v) -> str:
-    if v is None:
+    """Stringify a pandas cell with NO cross-dtype normalization (a
+    Decimal and an equal float must stringify differently, as they hash
+    differently in the driver)."""
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, bool):
-        return "1" if v else "0"
-    if isinstance(v, float):
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, float):  # covers np.float64 (subclass)
         if math.isnan(v):
             return "NaN"
-        return repr(v)
-    if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
-    if isinstance(v, dt.datetime):
+        return f"f:{v!r}"
+    if isinstance(v, pd.Timestamp):
         return v.isoformat()
-    if isinstance(v, dt.date):
+    if isinstance(v, (dt.datetime, dt.date)):
         return v.isoformat()
+    if isinstance(v, bool):
+        return "1" if v else "0"
     return str(v)
 
 
-def _canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+def _canon_frame(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    rows = sorted(
+        tuple(_canon(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    )
+    return rows
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, name):
     sdf = QUERIES[name](spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = sdf.toPandas()
 
     con = _duck_con(SF_DIR)
-    res = con.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pdf = con.execute(ORACLES[name]).df()
     con.close()
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch spark={list(spark_pdf.columns)} "
+        f"duck={list(duck_pdf.columns)}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
-    s = _canon_rows(spark_cols, spark_rows)
-    d = _canon_rows(duck_cols, duck_rows)
+    s = _canon_frame(spark_pdf)
+    d = _canon_frame(duck_pdf)
     if s != d:
         diffs = [(a, b) for a, b in zip(s, d) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_no_decimal_or_timestamp_outputs(spark, name):
+    """Portability invariant (registry.py rules): oracle-checked queries
+    never emit DECIMAL, TIMESTAMP, or DATE in their final schema — all
+    three render engine-dependently through pandas (Decimal vs float64,
+    µs vs ns, datetime.date vs datetime64). ISO strings and scaled
+    BIGINT are the sanctioned forms."""
+    from pyspark.sql.types import DateType, DecimalType, TimestampType
+
+    sdf = QUERIES[name](spark, SF_DIR)
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (DateType, DecimalType, TimestampType))
+    ]
+    assert not bad, f"{name}: non-portable output columns {bad}"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))

@@ -53,7 +53,14 @@ class FakeS3Client:
 
     def get_object(self, Bucket, Key, Range=None):
         if Key not in self.objects:
-            raise KeyError(f"NoSuchKey: {Key}")
+            # botocore-shaped ClientError: structured code in .response
+            # (the engine inspects this, never the message text)
+            err = Exception(f"An error occurred (NoSuchKey): {Key}")
+            err.response = {
+                "Error": {"Code": "NoSuchKey", "Message": "The specified key does not exist."},
+                "ResponseMetadata": {"HTTPStatusCode": 404},
+            }
+            raise err
         data = self.objects[Key]
         if Range:
             spec = Range.removeprefix("bytes=")

@@ -29,9 +29,21 @@ class ChunkCache:
     """Base: LRU by total byte weight + single-flight loads + optional
     sequential prefetch (ChunkCache.java:159-184)."""
 
-    def __init__(self, max_bytes: int, prefetch_max_bytes: int = 0, workers: int = 4):
+    def __init__(
+        self,
+        max_bytes: int,
+        prefetch_max_bytes: int = 0,
+        workers: int = 4,
+        wait_timeout: float | None = None,
+    ):
         self.max_bytes = max_bytes
         self.prefetch_max_bytes = prefetch_max_bytes
+        # How long a single-flight waiter blocks on the owning load; None
+        # (default) = as long as the load itself takes — the reference's
+        # Caffeine compute has no waiter cap, and a hard cap would fail
+        # concurrent readers of a chunk whose cold load is legitimately
+        # slow (large chunk over a slow object store).
+        self.wait_timeout = wait_timeout
         self._lock = threading.Lock()
         self._inflight: dict[ChunkKey, Future] = {}
         self._pool = ThreadPoolExecutor(max_workers=workers, thread_name_prefix="chunk-cache")
@@ -61,7 +73,7 @@ class ChunkCache:
             else:
                 owner = False
         if not owner:
-            return fut.result(timeout=30)
+            return fut.result(timeout=self.wait_timeout)
         try:
             value = loader()
         except BaseException as e:

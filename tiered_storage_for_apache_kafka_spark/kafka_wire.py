@@ -58,11 +58,32 @@ for _n in range(256):
     _CRC32C_TABLE.append(_c)
 
 
-def crc32c(data: bytes, crc: int = 0) -> int:
+def _crc32c_py(data: bytes, crc: int = 0) -> int:
     crc ^= 0xFFFFFFFF
     for b in data:
         crc = (_CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)) & 0xFFFFFFFF
     return crc ^ 0xFFFFFFFF
+
+
+# The per-byte table loop is ~MB/s — a throughput cliff on the byte-exact
+# tiering round-trip that checksums every batch payload. Prefer an
+# accelerated implementation when one is installed (C/SSE4.2-backed),
+# keeping the pure-Python table loop as the dependency-free fallback.
+try:  # `crc32c` package (ICRAR)
+    import crc32c as _crc32c_mod
+
+    def crc32c(data: bytes, crc: int = 0) -> int:
+        return _crc32c_mod.crc32c(data, crc)
+
+except ImportError:
+    try:  # google-crc32c
+        import google_crc32c as _gcrc
+
+        def crc32c(data: bytes, crc: int = 0) -> int:
+            return _gcrc.extend(crc, data)
+
+    except ImportError:
+        crc32c = _crc32c_py
 
 
 # -- zigzag varints (Kafka encodes all record-level ints this way) ------------

@@ -72,7 +72,7 @@ def asof_join_window(
     "asof_latest_order_per_event",
     oracle="""
 SELECT e.event_id, e.user_id,
-       CAST(MAX(CAST(o.o_orderdate AS DATE)) AS DATE) AS last_order_day
+       CAST(CAST(MAX(CAST(o.o_orderdate AS DATE)) AS DATE) AS VARCHAR) AS last_order_day
 FROM events e
 LEFT JOIN orders o
   ON o.o_custkey = e.user_id AND CAST(o.o_orderdate AS DATE) <= CAST(e.ts AS DATE)
@@ -98,7 +98,11 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_on="last_order_day",
         value="last_order_day",
     )
-    return joined.select("event_id", "user_id", "last_order_day")
+    # date → ISO string output: DATE materializes as datetime.date from
+    # Spark but datetime64 from DuckDB→pandas — strings hash identically
+    return joined.select(
+        "event_id", "user_id", F.col("last_order_day").cast("string").alias("last_order_day")
+    )
 
 
 def asof_join_merge(events: DataFrame, orders: DataFrame) -> DataFrame:

@@ -120,9 +120,9 @@ def chunk_index_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM chunks
 )
 SELECT source, chunk_id, original_size, transformed_size,
-       COALESCE(SUM(transformed_size) OVER (
+       CAST(COALESCE(SUM(transformed_size) OVER (
            PARTITION BY source ORDER BY chunk_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS transformed_position
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS transformed_position
 FROM transformed
 """,
 )
@@ -242,9 +242,9 @@ def range_fetch_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM seg s CROSS JOIN idx i
 )
 SELECT source, index_type_id, index_type, index_size,
-       COALESCE(SUM(index_size) OVER (
+       CAST(COALESCE(SUM(index_size) OVER (
            PARTITION BY source ORDER BY index_type_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS position
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS position
 FROM sized
 """,
 )
@@ -335,9 +335,9 @@ SELECT user_id,
        COUNT(*) AS record_count,
        MIN(event_id) AS base_offset,
        MAX(event_id) AS last_offset,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS batch_value,
-       MIN(CAST(ts AS DATE)) AS first_day,
-       MAX(CAST(ts AS DATE)) AS last_day
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(25,4)) * 10000 AS BIGINT) AS batch_value_e4,
+       CAST(MIN(CAST(ts AS DATE)) AS VARCHAR) AS first_day,
+       CAST(MAX(CAST(ts AS DATE)) AS VARCHAR) AS last_day
 FROM events
 GROUP BY user_id, CAST(FLOOR(event_id / 100.0) AS BIGINT)
 """,
@@ -358,11 +358,11 @@ def batch_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("record_count"),
             F.min("event_id").alias("base_offset"),
             F.max("event_id").alias("last_offset"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("decimal(38,4)")
-            .alias("batch_value"),
-            F.min(F.col("ts").cast("date")).alias("first_day"),
-            F.max(F.col("ts").cast("date")).alias("last_day"),
+            (F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(25,4)") * 10000)
+            .cast("bigint")
+            .alias("batch_value_e4"),
+            F.min(F.col("ts").cast("date")).cast("string").alias("first_day"),
+            F.max(F.col("ts").cast("date")).cast("string").alias("last_day"),
         )
     )
 
@@ -379,7 +379,7 @@ WITH targets AS (
   SELECT CAST(event_id % 4 AS INT) AS partition, event_id AS offset, ts
   FROM events
 )
-SELECT t.target_ts, e.partition,
+SELECT CAST(t.target_ts AS VARCHAR) AS target_ts, e.partition,
        MIN(e.offset) AS first_offset_at_or_after
 FROM targets t
 JOIN ev e ON e.ts >= t.target_ts
@@ -411,4 +411,10 @@ def offsets_for_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(targets, e.ts >= targets.target_ts)
         .groupBy("target_ts", "partition")
         .agg(F.min("offset").alias("first_offset_at_or_after"))
+        # timestamp → string output (portability: Spark µs vs pandas ns render)
+        .select(
+            F.date_format("target_ts", "yyyy-MM-dd HH:mm:ss").alias("target_ts"),
+            "partition",
+            "first_offset_at_or_after",
+        )
     )

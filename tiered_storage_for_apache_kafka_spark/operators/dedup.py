@@ -32,6 +32,40 @@ JACCARD_NUM = 1  # threshold tau = JACCARD_NUM / JACCARD_DEN
 JACCARD_DEN = 5
 SIMHASH_BITS = 16  # one bit per md5 hex position (digit-vote SimHash)
 
+# 64-bit SimHash (the scale variant): 4 bands x 16 bits. Hamming <= 3
+# pigeonholes at least one band into exact equality, and each band has
+# 2^16 possible values, so bucket count GROWS with the corpus instead of
+# saturating (the 16-bit variant's 256 blocks each go dense at 100 TB and
+# intra-block pairing degenerates toward all-pairs).
+SIMHASH64_BITS = 64
+SIMHASH64_BAND_BITS = 16
+SIMHASH64_BANDS = SIMHASH64_BITS // SIMHASH64_BAND_BITS
+SIMHASH64_HAMMING = 3
+
+
+def _maybe_broadcast(df: DataFrame, default_max_rows: int = 1_000_000):
+    """Broadcast a candidate-pair set only when it is actually small.
+
+    An unconditional `F.broadcast(cand)` assumes the pair set fits in
+    executor memory — true under LSH at moderate corpora, NOT guaranteed
+    at 100 TB with a skewed near-dup cluster. The candidate set is needed
+    (cached) by the subsequent verify join anyway, so counting it is one
+    cheap extra action; above the threshold the hint is dropped and the
+    join falls back to a shuffle (or AQE's runtime choice).
+
+    Threshold overridable via ``spark.graft.broadcastCandMaxRows`` (used
+    by the plan test to force the fallback path).
+    """
+    df = df.cache()
+    spark = df.sparkSession
+    try:
+        max_rows = int(
+            spark.conf.get("spark.graft.broadcastCandMaxRows", str(default_max_rows))
+        )
+    except Exception:
+        max_rows = default_max_rows
+    return F.broadcast(df) if df.count() <= max_rows else df
+
 
 @query(
     "dedup_exact",
@@ -242,11 +276,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # candidate pairs are tiny relative to the shingle table: broadcast
-    # them so the intersection join filters shingles map-side instead of
-    # shuffling the full shingle table twice
+    # candidate pairs are usually tiny relative to the shingle table:
+    # broadcast them (gated on actual size) so the intersection join
+    # filters shingles map-side instead of shuffling the table twice
     inter = (
-        sa.join(F.broadcast(cand), "doc_a")
+        sa.join(_maybe_broadcast(cand), "doc_a")
         .join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -367,7 +401,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        ga.join(F.broadcast(cand), "doc_a")
+        ga.join(_maybe_broadcast(cand), "doc_a")
         .join(gb, ["doc_b", "gram"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -516,6 +550,136 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 2)
+    )
+
+
+def _sim64_band_sql(k: int) -> str:
+    """DuckDB expression: band k (16 bits) of the 64-bit SimHash as an
+    integer. Bit j comes from md5 hex digit j//4, bit 3-(j%4); a bit is
+    set when the token-majority vote clears the midpoint (2*sum >= n)."""
+    terms = []
+    for jj in range(SIMHASH64_BAND_BITS):
+        j = k * SIMHASH64_BAND_BITS + jj
+        digit = f"(strpos('0123456789abcdef', substr(md5(token), {j // 4 + 1}, 1)) - 1)"
+        vote = f"(({digit} >> {3 - j % 4}) & 1)"
+        terms.append(
+            f"CASE WHEN 2 * SUM({vote}) >= COUNT(*) THEN {1 << jj} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _sim64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures as 4 x 16-bit band integers (b0..b3) —
+    band-integer form keeps every value far from int64 sign issues and
+    makes banding a plain column equality."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")).alias("token"),
+    )
+    votes = [
+        F.sum(
+            F.expr(
+                f"(((locate(substr(md5(token), {j // 4 + 1}, 1), '0123456789abcdef') - 1)"
+                f" >> {3 - j % 4}) & 1)"
+            )
+        ).alias(f"s{j}")
+        for j in range(SIMHASH64_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"), *votes)
+    band_cols = []
+    for k in range(SIMHASH64_BANDS):
+        band = sum(
+            (
+                F.when(
+                    2 * F.col(f"s{k * SIMHASH64_BAND_BITS + jj}") >= F.col("n_tokens"),
+                    F.lit(1 << jj),
+                ).otherwise(F.lit(0))
+                for jj in range(SIMHASH64_BAND_BITS)
+            ),
+            start=F.lit(0),
+        ).cast("int")
+        band_cols.append(band.alias(f"b{k}"))
+    return agg.select("doc_id", *band_cols)
+
+
+@query(
+    "simhash64_near_dup_pairs",
+    oracle=rf"""
+WITH tokens AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+), sigs AS (
+  SELECT doc_id,
+         CAST({_sim64_band_sql(0)} AS INT) AS b0,
+         CAST({_sim64_band_sql(1)} AS INT) AS b1,
+         CAST({_sim64_band_sql(2)} AS INT) AS b2,
+         CAST({_sim64_band_sql(3)} AS INT) AS b3
+  FROM tokens GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT)
+         AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= {SIMHASH64_HAMMING}
+""",
+)
+def simhash64_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-proof SimHash near-dup pairs: 64-bit signatures, banded
+    multi-probe LSH over 4 x 16-bit bands, exact Hamming verify.
+
+    Why this survives 100x where the 16-bit variant does not: blocking on
+    a 16-bit signature's high byte yields at most 256 buckets TOTAL —
+    fixed — so bucket occupancy grows linearly with the corpus and the
+    intra-bucket self-join degenerates toward all-pairs. Here each band
+    key ranges over 2^16 values (x4 bands), so the bucket count grows
+    with corpus size and expected bucket occupancy stays near-constant
+    until ~10^6+ docs per 65k buckets. Hamming <= 3 with 4 bands is
+    pigeonhole-complete: every qualifying pair shares at least one exact
+    band, so banding loses no results (the oracle therefore verifies
+    against the plain all-pairs Hamming filter). The oracle's md5-derived
+    bits are bit-identical in both engines (integer votes, no floats)."""
+    sigs = _sim64_signatures(spark, sf_dir).cache()
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{k}") for k in range(SIMHASH64_BANDS)])).alias(
+            "band_id", "band_val"
+        ),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(SIMHASH64_BANDS)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(SIMHASH64_BANDS)],
+    )
+    hamming = sum(
+        (
+            F.expr(f"bit_count(a{k} ^ bb{k})")
+            for k in range(SIMHASH64_BANDS)
+        ),
+        start=F.lit(0),
+    ).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH64_HAMMING)
     )
 
 

@@ -12,10 +12,16 @@ same values hash identically from Spark and DuckDB):
 
 - money/quantity aggregates: cast to DECIMAL *before* arithmetic/SUM
   (double sums differ in ulps between engines; decimal sums are exact);
+- **never output DECIMAL**: Spark emits ``Decimal`` objects where
+  DuckDB→pandas emits ``float64`` — numerically equal, hash-different.
+  Keep decimal internal, emit minor-unit BIGINT via :func:`minor_units`
+  / :func:`minor_units_sql` (suffix the column ``_e{{scale}}``);
 - integer division: ``FLOOR(x / c.0)`` + cast BIGINT (DuckDB ``/`` on
   ints yields double, Spark yields double too — floor both);
-- no raw TIMESTAMP outputs (parquet ns vs Spark µs truncation) — cast
-  to DATE or extract fields;
+- no raw TIMESTAMP or DATE outputs (Spark→pandas gives datetime.date /
+  µs objects, DuckDB→pandas gives datetime64[ns]) — emit ISO strings
+  (``CAST(d AS VARCHAR)`` / ``.cast("string")``), BIGINT sums of window
+  sums get an explicit outer CAST (DuckDB SUM(BIGINT)→HUGEINT→float64);
 - hashing of content: ``md5`` hex strings (identical in both engines);
 - float similarity scores are never output raw — ranks are output, with
   ordering on ``round(sim, N)`` plus a deterministic id tiebreak.
@@ -31,6 +37,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+
+
+def minor_units(col, scale: int):
+    """Decimal aggregate → minor-unit BIGINT output (the hash-portable
+    form: Spark `Decimal` vs DuckDB→pandas `float64` render differently
+    even when numerically equal, int64 renders identically).
+
+    The tight DECIMAL(25,s) re-cast keeps the multiply inside DECIMAL(38)
+    on both engines, so the conversion is exact end-to-end.
+    """
+    return (col.cast(f"decimal(25,{scale})") * (10**scale)).cast("bigint")
+
+
+def minor_units_sql(expr: str, scale: int) -> str:
+    """DuckDB-side twin of :func:`minor_units`."""
+    return f"CAST(CAST({expr} AS DECIMAL(25,{scale})) * {10**scale} AS BIGINT)"
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

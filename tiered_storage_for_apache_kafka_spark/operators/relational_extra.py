@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    minor_units,
+    minor_units_sql,
+    query,
+)
 from tiered_storage_for_apache_kafka_spark.tables import load_table
 
 
@@ -92,9 +96,9 @@ def semi_anti_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q6_forecast_revenue",
-    oracle="""
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS revenue,
+    oracle=f"""
+SELECT {minor_units_sql('''SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(12,4)))''', 6)} AS revenue_e6,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
@@ -115,12 +119,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * F.col("l_discount").cast("decimal(12,4)")
-            )
-            .cast("decimal(38,6)")
-            .alias("revenue"),
+            minor_units(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(12,4)")
+                ),
+                6,
+            ).alias("revenue_e6"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -128,8 +133,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "topk_orders_per_priority",
-    oracle="""
-SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+    oracle=f"""
+SELECT o_orderpriority, o_orderkey,
+       {minor_units_sql("CAST(o_totalprice AS DECIMAL(18,2))", 2)} AS totalprice_e2,
        CAST(rnk AS BIGINT) AS rnk
 FROM (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -153,7 +159,7 @@ def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderpriority",
             "o_orderkey",
-            price.alias("totalprice"),
+            minor_units(price, 2).alias("totalprice_e2"),
             "rnk",
         )
     )
@@ -206,10 +212,10 @@ def distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_pricing",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+       {minor_units_sql("SUM(CAST(l_quantity AS DECIMAL(18,2)))", 2)} AS sum_qty_e2
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """,
@@ -221,18 +227,18 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("sum_qty"),
+        minor_units(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2).alias(
+            "sum_qty_e2"
+        ),
     )
 
 
 @query(
     "q17_small_quantity_parts",
-    oracle="""
+    oracle=f"""
 SELECT l.l_partkey,
        COUNT(*) AS n_small,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS small_revenue
+       {minor_units_sql("SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))", 2)} AS small_revenue_e2
 FROM lineitem l
 JOIN (
   SELECT l_partkey, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
@@ -257,24 +263,24 @@ def q17_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             F.count(F.lit(1)).alias("n_small"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("small_revenue"),
+            minor_units(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2
+            ).alias("small_revenue_e2"),
         )
     )
 
 
 @query(
     "moving_window_revenue",
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS daily_revenue
+         {minor_units_sql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS daily_revenue_e2
   FROM orders GROUP BY CAST(o_orderdate AS DATE)
 )
-SELECT day, daily_revenue,
-       CAST(SUM(daily_revenue) OVER (ORDER BY day
-            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS trailing_7d
+SELECT CAST(day AS VARCHAR) AS day, daily_revenue_e2,
+       CAST(SUM(daily_revenue_e2) OVER (ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_7d_e2
 FROM daily
 """,
 )
@@ -284,25 +290,25 @@ def moving_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily series."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("daily_revenue")
+        minor_units(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).alias(
+            "daily_revenue_e2"
+        )
     )
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     return daily.select(
-        "day",
-        "daily_revenue",
-        F.sum("daily_revenue").over(w).cast("decimal(38,2)").alias("trailing_7d"),
+        F.col("day").cast("string").alias("day"),
+        "daily_revenue_e2",
+        F.sum("daily_revenue_e2").over(w).cast("bigint").alias("trailing_7d_e2"),
     )
 
 
 @query(
     "top_supplier_per_part",
-    oracle="""
-SELECT l_partkey, l_suppkey, total_qty, n_shipments
+    oracle=f"""
+SELECT l_partkey, l_suppkey, total_qty_e2, n_shipments
 FROM (
   SELECT l_partkey, l_suppkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty,
+         {minor_units_sql("SUM(CAST(l_quantity AS DECIMAL(18,2)))", 2)} AS total_qty_e2,
          COUNT(*) AS n_shipments,
          ROW_NUMBER() OVER (PARTITION BY l_partkey
                             ORDER BY CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) DESC,
@@ -317,24 +323,24 @@ def top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a deterministic tiebreak (decimal quantities so both engines
     order identically)."""
     li = load_table(spark, sf_dir, "lineitem")
-    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)")
+    qty = minor_units(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
     per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
-        qty.alias("total_qty"), F.count(F.lit(1)).alias("n_shipments")
+        qty.alias("total_qty_e2"), F.count(F.lit(1)).alias("n_shipments")
     )
     w = Window.partitionBy("l_partkey").orderBy(
-        F.col("total_qty").desc(), F.col("l_suppkey").asc()
+        F.col("total_qty_e2").desc(), F.col("l_suppkey").asc()
     )
     return (
         per_supp.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
-        .select("l_partkey", "l_suppkey", "total_qty", "n_shipments")
+        .select("l_partkey", "l_suppkey", "total_qty_e2", "n_shipments")
     )
 
 
 @query(
     "pivot_event_type_daily",
     oracle="""
-SELECT CAST(ts AS DATE) AS day,
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
        COUNT(*) FILTER (WHERE event_type = 'click') AS click,
        COUNT(*) FILTER (WHERE event_type = 'view') AS view,
        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
@@ -351,17 +357,19 @@ def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [
         F.count(F.when(F.col("event_type") == v, 1)).alias(v) for v in known
     ] + [F.count(F.when(~F.col("event_type").isin(known), 1)).alias("other")]
-    return events.groupBy(F.col("ts").cast("date").alias("day")).agg(*aggs)
+    return events.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(*aggs)
 
 
 @query(
     "cube_order_stats",
-    oracle="""
+    oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
          AS grouping_level,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+       {minor_units_sql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS total_price_e2
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """,
@@ -377,9 +385,9 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         lvl.alias("grouping_level"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_price"),
+        minor_units(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).alias(
+            "total_price_e2"
+        ),
     )
 
 
@@ -483,11 +491,11 @@ def lag_lead_user_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ntile_customer_quartiles",
-    oracle="""
+    oracle=f"""
 SELECT quartile,
        COUNT(*) AS n_customers,
        CAST(MIN(c_custkey) AS BIGINT) AS min_custkey,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+       {minor_units_sql("SUM(CAST(c_acctbal AS DECIMAL(18,2)))", 2)} AS total_bal_e2
 FROM (
   SELECT c_custkey, c_acctbal,
          CAST(NTILE(4) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC,
@@ -511,9 +519,9 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.min("c_custkey").cast("bigint").alias("min_custkey"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("total_bal"),
+            minor_units(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2).alias(
+                "total_bal_e2"
+            ),
         )
     )
 
@@ -545,12 +553,12 @@ def value_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "grouping_sets_order_mix",
-    oracle="""
+    oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
          AS grouping_level,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+       {minor_units_sql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS total_price_e2
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
 """,
@@ -571,7 +579,7 @@ def grouping_sets_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         lvl.alias("grouping_level"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_price"),
+        minor_units(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).alias(
+            "total_price_e2"
+        ),
     )

@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    minor_units,
+    minor_units_sql,
+    query,
+)
 from tiered_storage_for_apache_kafka_spark.tables import load_table
 
 SALT = 16
@@ -63,10 +67,10 @@ def salted_aggregate(
 
 @query(
     "salted_user_activity",
-    oracle="""
+    oracle=f"""
 SELECT user_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+       {minor_units_sql("SUM(CAST(value AS DECIMAL(18,4)))", 4)} AS total_value_e4
 FROM events
 GROUP BY user_id
 """,
@@ -84,7 +88,7 @@ def salted_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "n_events",
-        F.col("total_value").cast("decimal(38,4)").alias("total_value"),
+        minor_units(F.col("total_value"), 4).alias("total_value_e4"),
     )
 
 

@@ -19,9 +19,9 @@ from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
 @query(
     "streaming_windowed_counts",
     oracle="""
-SELECT CAST(ts AS DATE) AS day, event_type,
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_value_e4
 FROM events
 GROUP BY CAST(ts AS DATE), event_type
 """,
@@ -39,7 +39,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS total_micros
+       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS total_micros
 FROM events
 GROUP BY user_id
 """,

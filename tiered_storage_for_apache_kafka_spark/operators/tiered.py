@@ -20,7 +20,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    minor_units,
+    minor_units_sql,
+    query,
+)
 from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
     decode_events,
     manager_conf,
@@ -68,12 +72,12 @@ def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tiered_roundtrip_agg",
-    oracle="""
+    oracle=f"""
 SELECT event_type,
        COUNT(*) AS n_events,
        MIN(event_id) AS min_offset,
        MAX(event_id) AS max_offset,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value,
+       {minor_units_sql("SUM(CAST(value AS DECIMAL(18,4)))", 4)} AS total_value_e4,
        COUNT(user_id) AS n_with_user
 FROM events
 GROUP BY event_type
@@ -86,9 +90,9 @@ def tiered_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("event_id").alias("min_offset"),
         F.max("event_id").alias("max_offset"),
-        F.sum(F.col("value").cast("decimal(18,4)"))
-        .cast("decimal(38,4)")
-        .alias("total_value"),
+        minor_units(F.sum(F.col("value").cast("decimal(18,4)")), 4).alias(
+            "total_value_e4"
+        ),
         F.count("user_id").alias("n_with_user"),
     )
 

@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    minor_units,
+    minor_units_sql,
+    query,
+)
 from tiered_storage_for_apache_kafka_spark.tables import load_table
 
 _PRICE = "decimal(18,2)"
@@ -34,17 +38,15 @@ _DISC = "decimal(12,4)"
 
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))))
-            AS DECIMAL(38,6)) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       {minor_units_sql("SUM(CAST(l_quantity AS DECIMAL(18,2)))", 2)} AS sum_qty_e2,
+       {minor_units_sql("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))", 2)} AS sum_base_price_e2,
+       {minor_units_sql('''SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))))''', 6)} AS sum_disc_price_e6,
+       {minor_units_sql('''SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
-                * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4))))
-            AS DECIMAL(38,10)) AS sum_charge,
+                * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4))))''', 6)} AS sum_charge_e6,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -62,12 +64,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(_PRICE)).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(price * (one - disc)).cast("decimal(38,6)").alias("sum_disc_price"),
-            F.sum(price * (one - disc) * (one + tax))
-            .cast("decimal(38,10)")
-            .alias("sum_charge"),
+            minor_units(F.sum(F.col("l_quantity").cast(_PRICE)), 2).alias("sum_qty_e2"),
+            minor_units(F.sum(price), 2).alias("sum_base_price_e2"),
+            minor_units(F.sum(price * (one - disc)), 6).alias("sum_disc_price_e6"),
+            minor_units(F.sum(price * (one - disc) * (one + tax)), 6).alias(
+                "sum_charge_e6"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -75,12 +77,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
 SELECT l.l_orderkey,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(12,4)) - CAST(l.l_discount AS DECIMAL(12,4))))
-            AS DECIMAL(38,6)) AS revenue,
-       CAST(o.o_orderdate AS DATE) AS orderdate
+       {minor_units_sql('''SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(12,4)) - CAST(l.l_discount AS DECIMAL(12,4))))''', 6)} AS revenue_e6,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -110,19 +111,21 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
-        .agg(F.sum(price * (one - disc)).cast("decimal(38,6)").alias("revenue"))
-        .select("l_orderkey", "revenue", "orderdate")
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+        )
+        .agg(minor_units(F.sum(price * (one - disc)), 6).alias("revenue_e6"))
+        .select("l_orderkey", "revenue_e6", "orderdate")
     )
 
 
 @query(
     "q5_local_supplier_volume",
-    oracle="""
+    oracle=f"""
 SELECT n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(12,4)) - CAST(l.l_discount AS DECIMAL(12,4))))
-            AS DECIMAL(38,6)) AS revenue
+       {minor_units_sql('''SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(12,4)) - CAST(l.l_discount AS DECIMAL(12,4))))''', 6)} AS revenue_e6
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -154,7 +157,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(price * (one - disc)).cast("decimal(38,6)").alias("revenue"))
+        .agg(minor_units(F.sum(price * (one - disc)), 6).alias("revenue_e6"))
     )
 
 
@@ -185,13 +188,13 @@ def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_daily_kind",
-    oracle="""
-SELECT CAST(ts AS DATE) AS day, event_type,
+    oracle=f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+       {minor_units_sql("SUM(CAST(value AS DECIMAL(18,4)))", 4)} AS total_value_e4
 FROM events
-GROUP BY CAST(ts AS DATE), event_type
+GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR), event_type
 """,
 )
 def events_daily_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,14 +204,14 @@ def events_daily_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(
-            F.col("ts").cast("date").alias("day"),
+            F.col("ts").cast("date").cast("string").alias("day"),
             "event_type",
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("decimal(38,4)")
-            .alias("total_value"),
+            minor_units(F.sum(F.col("value").cast("decimal(18,4)")), 4).alias(
+                "total_value_e4"
+            ),
         )
     )

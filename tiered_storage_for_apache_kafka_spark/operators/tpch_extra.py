@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    minor_units,
+    minor_units_sql,
+    query,
+)
 from tiered_storage_for_apache_kafka_spark.tables import load_table
 
 _PRICE = "decimal(18,2)"
@@ -83,7 +87,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
-       CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS revenue
+       {minor_units_sql(f"SUM({_SQL_DISC_PRICE})", 6)} AS revenue_e6
 FROM supplier s
 JOIN lineitem l ON s.s_suppkey = l.l_suppkey
 JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -126,7 +130,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(F.sum(_disc_price()).cast("decimal(38,6)").alias("revenue"))
+        .agg(minor_units(F.sum(_disc_price()), 6).alias("revenue_e6"))
     )
 
 
@@ -148,9 +152,9 @@ WITH all_nations AS (
   WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
 )
 SELECT o_year,
-       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,6)) AS nation_volume,
-       CAST(SUM(volume) AS DECIMAL(38,6)) AS total_volume,
+       {minor_units_sql('''SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END)''', 6)} AS nation_volume_e6,
+       {minor_units_sql("SUM(volume)", 6)} AS total_volume_e6,
        ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
              / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
@@ -174,8 +178,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = _disc_price()
     nation_vol = F.sum(
         F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(zero)
-    ).cast("decimal(38,6)")
-    total_vol = F.sum(volume).cast("decimal(38,6)")
+    ).cast("decimal(25,6)")
+    total_vol = F.sum(volume).cast("decimal(25,6)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -186,8 +190,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            nation_vol.alias("nation_volume"),
-            total_vol.alias("total_volume"),
+            (nation_vol * 1000000).cast("bigint").alias("nation_volume_e6"),
+            (total_vol * 1000000).cast("bigint").alias("total_volume_e6"),
             F.round(
                 nation_vol.cast("double") / total_vol.cast("double"), 6
             ).alias("mkt_share"),
@@ -200,7 +204,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT n.n_name AS nation,
        CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
-       CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS sum_profit
+       {minor_units_sql(f"SUM({_SQL_DISC_PRICE})", 6)} AS sum_profit_e6
 FROM part p
 JOIN lineitem l ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -228,7 +232,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.sum(_disc_price()).cast("decimal(38,6)").alias("sum_profit"))
+        .agg(minor_units(F.sum(_disc_price()), 6).alias("sum_profit_e6"))
     )
 
 
@@ -236,7 +240,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle=f"""
 SELECT c.c_custkey, c.c_name, n.n_name,
-       CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS revenue
+       {minor_units_sql(f"SUM({_SQL_DISC_PRICE})", 6)} AS revenue_e6
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -245,7 +249,7 @@ WHERE l.l_returnflag = 'R'
   AND o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
   AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
 GROUP BY c.c_custkey, c.c_name, n.n_name
-ORDER BY revenue DESC, c.c_custkey ASC
+ORDER BY revenue_e6 DESC, c.c_custkey ASC
 LIMIT 20
 """,
 )
@@ -266,8 +270,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_disc_price()).cast("decimal(38,6)").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .agg(minor_units(F.sum(_disc_price()), 6).alias("revenue_e6"))
+        .orderBy(F.col("revenue_e6").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
 
@@ -302,9 +306,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     oracle=f"""
-SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_SQL_DISC_PRICE}
-                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,6)) AS promo_revenue,
-       CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS total_revenue,
+SELECT {minor_units_sql(f'''SUM(CASE WHEN p.p_type = 'PROMO' THEN {_SQL_DISC_PRICE}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END)''', 6)} AS promo_revenue_e6,
+       {minor_units_sql(f"SUM({_SQL_DISC_PRICE})", 6)} AS total_revenue_e6,
        ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_SQL_DISC_PRICE}
                                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
              / CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE), 6) AS promo_pct
@@ -324,13 +328,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast(_PRICE)
     promo = F.sum(
         F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(zero)
-    ).cast("decimal(38,6)")
-    total = F.sum(_disc_price()).cast("decimal(38,6)")
+    ).cast("decimal(25,6)")
+    total = F.sum(_disc_price()).cast("decimal(25,6)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            promo.alias("promo_revenue"),
-            total.alias("total_revenue"),
+            (promo * 1000000).cast("bigint").alias("promo_revenue_e6"),
+            (total * 1000000).cast("bigint").alias("total_revenue_e6"),
             F.round(F.lit(100.0) * promo.cast("double") / total.cast("double"), 6).alias(
                 "promo_pct"
             ),
@@ -349,7 +353,8 @@ WITH revenue AS (
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, r.total_revenue
+SELECT s.s_suppkey, s.s_name,
+       {minor_units_sql("r.total_revenue", 6)} AS total_revenue_e6
 FROM supplier s
 JOIN revenue r ON s.s_suppkey = r.supplier_no
 WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
@@ -371,16 +376,20 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.max_revenue)
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            minor_units(F.col("total_revenue"), 6).alias("total_revenue_e6"),
+        )
     )
 
 
 @query(
     "q18_large_volume_customer",
-    oracle="""
+    oracle=f"""
 SELECT c.c_custkey, c.c_name, o.o_orderkey,
-       CAST(o.o_orderdate AS DATE) AS orderdate,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       {minor_units_sql("SUM(CAST(l.l_quantity AS DECIMAL(18,2)))", 2)} AS total_qty_e2
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -401,17 +410,21 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
         )
-        .agg(F.sum(F.col("l_quantity").cast(_PRICE)).cast("decimal(38,2)").alias("total_qty"))
-        .filter(F.col("total_qty") > F.lit(140).cast(_PRICE))
+        .agg(
+            minor_units(F.sum(F.col("l_quantity").cast(_PRICE)), 2).alias(
+                "total_qty_e2"
+            )
+        )
+        .filter(F.col("total_qty_e2") > 140 * 100)
     )
 
 
 @query(
     "q19_discount_eligible",
     oracle=f"""
-SELECT CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS revenue,
+SELECT {minor_units_sql(f"SUM({_SQL_DISC_PRICE})", 6)} AS revenue_e6,
        COUNT(*) AS n_items
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -439,7 +452,7 @@ def q19_discount_eligible(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.sum(_disc_price()).cast("decimal(38,6)").alias("revenue"),
+            minor_units(F.sum(_disc_price()), 6).alias("revenue_e6"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -447,14 +460,14 @@ def q19_discount_eligible(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q22_sales_opportunity",
-    oracle="""
+    oracle=f"""
 WITH pos AS (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_pos,
          COUNT(*) AS n_pos
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c.c_nationkey, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+       {minor_units_sql("SUM(CAST(c.c_acctbal AS DECIMAL(18,2)))", 2)} AS totacctbal_e2
 FROM customer c, pos
 WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n_pos > pos.sum_pos
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -490,7 +503,7 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum("bal").cast("decimal(38,2)").alias("totacctbal"),
+            minor_units(F.sum("bal"), 2).alias("totacctbal_e2"),
         )
     )
 
@@ -507,7 +520,8 @@ WITH brand AS (
 ), tot AS (
   SELECT CAST(SUM(brand_value) AS DECIMAL(38,6)) AS total_value FROM brand
 )
-SELECT b.p_brand, b.brand_value,
+SELECT b.p_brand,
+       {minor_units_sql("b.brand_value", 6)} AS brand_value_e6,
        ROUND(CAST(b.brand_value AS DOUBLE) / CAST(t.total_value AS DOUBLE), 6)
          AS value_share
 FROM brand b, tot t
@@ -535,7 +549,7 @@ def q11_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(25) * F.col("brand_value") > F.col("total_value"))
         .select(
             "p_brand",
-            "brand_value",
+            minor_units(F.col("brand_value"), 6).alias("brand_value_e6"),
             F.round(
                 F.col("brand_value").cast("double")
                 / F.col("total_value").cast("double"),

@@ -7,9 +7,10 @@ offset-ordered, framed into record batches (wire.py), cut into fixed-row
 segments, and each segment is pushed through the full transform pipeline
 (chunk/compress/encrypt) by a `TieredStorageManager` **inside an
 applyInPandas worker**, so segment builds run executor-side in parallel,
-one task per topic-partition (exactly how a 1000-executor cluster would
-tier 100 TB: partitions are independent, zero shuffle beyond the initial
-hash partition).
+one task per *segment* — the reference's own unit of work — never per
+topic-partition (a partition is 10s–100s of GB at 100 TB; a segment is
+bounded). Parallelism therefore scales with n_segments, and per-task
+memory is one segment regardless of data volume.
 
 Read path (`read_tiered_records`): the distributed analog of
 `fetchLogSegment` (reference `KafkaRemoteStorageManager.java:448-484`;
@@ -95,6 +96,8 @@ def tier_events_table(
     """Tier the `events` table into log segments; returns the manifests
     DataFrame (segment metadata + object keys), the engine's metadata
     plane for subsequent reads."""
+    from pyspark.sql import Window
+
     assigned = events.select(
         (F.col("event_id") % n_partitions).cast("int").alias("partition"),
         F.col("event_id").alias("offset"),
@@ -102,42 +105,54 @@ def tier_events_table(
         F.col("event_type").cast("binary").alias("key"),
         F.to_json(F.struct("user_id", "value", "props")).cast("binary").alias("value"),
     )
+    # Segment assignment BEFORE the pandas stage: the reference's unit of
+    # work is one *segment* (`KafkaRemoteStorageManager.java:167-223`), so
+    # no task may ever hold a whole topic-partition (10s–100s of GB at
+    # 100 TB — guaranteed OOM). The JVM-side window sort spills; each
+    # applyInPandas group below is then exactly one segment
+    # (records_per_segment rows) and parallelism is n_segments, not
+    # n_partitions.
+    seg_window = Window.partitionBy("partition").orderBy("offset")
+    assigned = assigned.withColumn(
+        "segment_no",
+        F.floor((F.row_number().over(seg_window) - 1) / records_per_segment).cast(
+            "bigint"
+        ),
+    )
 
-    def tier_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+    def tier_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         mgr = _build_manager(conf)
-        pdf = pdf.sort_values("offset").reset_index(drop=True)
-        partition = int(pdf["partition"].iloc[0])
-        out = []
-        for seg_start in range(0, len(pdf), records_per_segment):
-            seg = pdf.iloc[seg_start : seg_start + records_per_segment]
-            blob = bytearray()
-            for b_start in range(0, len(seg), records_per_batch):
-                batch = seg.iloc[b_start : b_start + records_per_batch]
-                blob += encode_batch(
-                    [
-                        Record(
-                            int(r.offset),
-                            int(r.timestamp_us),
-                            bytes(r.key) if r.key is not None else None,
-                            bytes(r.value) if r.value is not None else None,
-                        )
-                        for r in batch.itertuples()
-                    ]
-                )
-            start_offset = int(seg["offset"].iloc[0])
-            end_offset = int(seg["offset"].iloc[-1])
-            uuid = f"seg-{partition}-{start_offset:020d}"
-            meta = SegmentMetadata(
-                TOPIC, TOPIC_ID, partition, start_offset, end_offset, uuid
+        seg = pdf.sort_values("offset").reset_index(drop=True)
+        partition = int(seg["partition"].iloc[0])
+        blob = bytearray()
+        for b_start in range(0, len(seg), records_per_batch):
+            batch = seg.iloc[b_start : b_start + records_per_batch]
+            blob += encode_batch(
+                [
+                    Record(
+                        int(r.offset),
+                        int(r.timestamp_us),
+                        bytes(r.key) if r.key is not None else None,
+                        bytes(r.value) if r.value is not None else None,
+                    )
+                    for r in batch.itertuples()
+                ]
             )
-            indexes = {
-                "offset": struct_offsets(seg["offset"].tolist()),
-                "timestamp": struct_offsets(seg["timestamp_us"].tolist()),
-                "producerSnapshot": b"",
-                "leaderEpoch": b"",
-            }
-            custom = mgr.copy_log_segment_data(meta, SegmentData(bytes(blob), indexes))
-            out.append(
+        start_offset = int(seg["offset"].iloc[0])
+        end_offset = int(seg["offset"].iloc[-1])
+        uuid = f"seg-{partition}-{start_offset:020d}"
+        meta = SegmentMetadata(
+            TOPIC, TOPIC_ID, partition, start_offset, end_offset, uuid
+        )
+        indexes = {
+            "offset": struct_offsets(seg["offset"].tolist()),
+            "timestamp": struct_offsets(seg["timestamp_us"].tolist()),
+            "producerSnapshot": b"",
+            "leaderEpoch": b"",
+        }
+        custom = mgr.copy_log_segment_data(meta, SegmentData(bytes(blob), indexes))
+        return pd.DataFrame(
+            [
                 {
                     "partition": partition,
                     "start_offset": start_offset,
@@ -147,11 +162,11 @@ def tier_events_table(
                     "segment_size": len(blob),
                     "remote_size": custom["remote_size"],
                 }
-            )
-        return pd.DataFrame(out)
+            ]
+        )
 
-    manifests = assigned.groupBy("partition").applyInPandas(
-        tier_partition,
+    manifests = assigned.groupBy("partition", "segment_no").applyInPandas(
+        tier_segment,
         schema=(
             "partition INT, start_offset BIGINT, end_offset BIGINT, "
             "segment_uuid STRING, n_records BIGINT, segment_size BIGINT, "
@@ -225,7 +240,11 @@ def read_tiered_records(
                     out = out[out["offset"] <= hi]
                 yield out
 
-    return tasks.repartition("partition").mapInPandas(
+    # Each manifest row is an independent fetch task — spread them across
+    # all cores (repartition("partition") capped concurrency at
+    # n_topic_partitions, e.g. 4, regardless of cluster size).
+    n_slots = spark.sparkContext.defaultParallelism
+    return tasks.repartition(n_slots, "segment_uuid").mapInPandas(
         fetch_tasks,
         schema=(
             "partition INT, segment_uuid STRING, batch_base_offset BIGINT, "

@@ -110,9 +110,24 @@ class S3Storage:
             kwargs["Range"] = f"bytes={byte_range.from_pos}-{byte_range.to_pos}"
         try:
             resp = self.client.get_object(**kwargs)
-        except Exception as e:  # boto error classes vary; normalize
-            name = type(e).__name__
-            if "NoSuchKey" in name or "NoSuchKey" in str(e) or "404" in str(e):
+        except Exception as e:
+            # Inspect the structured error code, not the message text — a
+            # substring match on '404' would misreport unrelated boto
+            # errors as missing keys and mask real storage failures.
+            code = None
+            err_resp = getattr(e, "response", None)
+            if isinstance(err_resp, dict):
+                code = (err_resp.get("Error") or {}).get("Code")
+                status = (err_resp.get("ResponseMetadata") or {}).get(
+                    "HTTPStatusCode"
+                )
+            else:
+                status = None
+            # botocore also surfaces this as a generated exception class
+            # literally named NoSuchKey (client.exceptions.NoSuchKey)
+            if code in ("NoSuchKey", "404") or status == 404 or (
+                type(e).__name__ == "NoSuchKey"
+            ):
                 raise KeyNotFoundError(key) from e
             raise StorageBackendError(str(e)) from e
         body = resp["Body"]

@@ -86,15 +86,18 @@ def stream_windowed_counts(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("decimal(38,4)")
-            .alias("total_value"),
+            # decimal internally (exact, order-independent sums), but the
+            # OUTPUT is minor units as BIGINT — decimal outputs render as
+            # Decimal in Spark vs float64 via DuckDB→pandas and hash-differ
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("bigint")
+            .alias("total_value_e4"),
         )
         .select(
-            F.col("win.start").cast("date").alias("day"),
+            F.col("win.start").cast("date").cast("string").alias("day"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_e4",
         )
     )
 
@@ -171,10 +174,19 @@ def stream_tier_events(
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         manifests = tier_events_table(spark, batch_df, conf)
+        # Idempotent under foreachBatch's at-least-once replay: the log is
+        # partitioned by batch_id and written with DYNAMIC partition
+        # overwrite, so a replayed batch (failure between parquet commit
+        # and checkpoint advance) overwrites its own rows instead of
+        # appending duplicate segment_uuid rows that readers would
+        # double-count. Segment objects are likewise rewritten in place
+        # (same deterministic uuid → same object key).
         (
             manifests.withColumn("batch_id", F.lit(batch_id))
             .dropDuplicates(["segment_uuid"])
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(manifest_dir)
         )
 
