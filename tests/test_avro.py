@@ -123,3 +123,85 @@ def test_distributed_avro_decode_over_tiered_segments(spark, tmp_path):
     raws = {bytes(r.value_raw) for r in fell_back.collect()}
     assert raws == {b"not-avro-%d" % i for i in (7, 57, 107, 157)}
     assert good.select("schema_id").distinct().collect() == [(1,)]
+
+
+def test_http_schema_registry_roundtrip():
+    """HttpSchemaRegistry speaks the Confluent REST contract (stdlib
+    urllib) against a local stub: register → get-by-id → cached decode →
+    snapshot() export for executors; unknown ids and a downed registry
+    degrade to fallback typing."""
+    import http.server
+    import threading
+
+    from tiered_storage_for_apache_kafka_spark.avro import HttpSchemaRegistry
+
+    store: dict[int, str] = {}
+    next_id = [0]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/vnd.schemaregistry.v1+json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/schemas/ids/"):
+                sid = int(self.path.rsplit("/", 1)[1])
+                if sid in store:
+                    self._send(200, {"schema": store[sid]})
+                else:
+                    self._send(404, {"error_code": 40403, "message": "not found"})
+            else:
+                self._send(404, {"error_code": 404, "message": "bad path"})
+
+        def do_POST(self):
+            if self.path.startswith("/subjects/") and self.path.endswith("/versions"):
+                n = int(self.headers["Content-Length"])
+                req = json.loads(self.rfile.read(n).decode())
+                next_id[0] += 1
+                store[next_id[0]] = req["schema"]
+                self._send(200, {"id": next_id[0]})
+            else:
+                self._send(404, {"error_code": 404, "message": "bad path"})
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}"
+        reg = HttpSchemaRegistry(url)
+        sid = reg.register("events-value", RECORD_SCHEMA)
+        assert sid == 1
+
+        # fresh client: fetches by id over HTTP, then caches
+        reader = HttpSchemaRegistry(url)
+        assert reader.get(sid) == RECORD_SCHEMA
+        assert reader.get(999) is None  # unknown id -> fallback typing
+
+        value = {
+            "user_id": 7, "value": 1.5, "tag": "t",
+            "scores": [1, 2], "attrs": {"a": "b"},
+        }
+        frame = confluent_frame(sid, avro_encode(value, RECORD_SCHEMA))
+        parsed, raw = reader.decode(frame)
+        assert parsed == value and raw is None
+        parsed, raw = reader.decode(b"\x01not-wire")
+        assert parsed is None and raw == b"\x01not-wire"
+
+        # snapshot(): warmed cache exported for executor broadcast
+        local = reader.snapshot()
+        assert local.get(sid) == RECORD_SCHEMA
+        parsed, _ = local.decode(frame)
+        assert parsed == value
+    finally:
+        srv.shutdown()
+
+    # registry unreachable: get degrades to None (fallback), no raise
+    dead = HttpSchemaRegistry("http://127.0.0.1:1", timeout=0.2)
+    assert dead.get(1) is None

@@ -253,22 +253,59 @@ def test_dedup_cand_broadcast_gated(spark):
         dedup._bands_from_wide(dedup._wide_signatures(sh))
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+
+    def top_join(plan: str) -> str:
+        # the first join node in the rendered tree is the top-level join
+        # (cached InMemoryRelations embed their own historical sub-plans
+        # further down, which may legitimately contain broadcasts)
+        joins = [
+            (plan.find(j), j)
+            for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+            if plan.find(j) != -1
+        ]
+        return min(joins)[1]
+
     # disable size-based auto-broadcast so the plan shows exactly what the
     # *hint* does: gated-off → shuffle join; gated-on → broadcast join
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.graft.broadcastCandMaxRows", "0")
     try:
         plan = plan_of(sa.join(dedup._maybe_broadcast(cand), "doc_a"))
-        assert "BroadcastHashJoin" not in plan
+        assert top_join(plan) != "BroadcastHashJoin", plan[:800]
         spark.conf.unset("spark.graft.broadcastCandMaxRows")
         # default threshold: small candidate set → hint applied
         plan = plan_of(sa.join(dedup._maybe_broadcast(cand), "doc_a"))
-        assert "BroadcastHashJoin" in plan
+        assert top_join(plan) == "BroadcastHashJoin", plan[:800]
     finally:
         spark.conf.unset("spark.graft.broadcastCandMaxRows")
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_tiered_read_parallelism_exceeds_topic_partitions(spark, tmp_path):
+    """The tiered read path must parallelize per *segment*, not per
+    topic-partition: with 4 topic-partitions but many segments, the fetch
+    stage must use more than 4 partitions (round 1 capped all reads at 4
+    concurrent tasks regardless of cluster size)."""
+    from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
+        manager_conf,
+        read_tiered_records,
+        tier_events_table,
+    )
+
+    conf = manager_conf(str(tmp_path / "store"), chunk_size=2048)
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    manifests = tier_events_table(
+        spark, events, conf, records_per_segment=100
+    ).cache()
+    n_segments = manifests.count()
+    assert n_segments > 4, n_segments
+    records = read_tiered_records(spark, manifests, conf)
+    n_tasks = records.rdd.getNumPartitions()
+    assert n_tasks > 4, (n_tasks, n_segments)
+    # and the write path produced one bounded segment per manifest row
+    assert manifests.filter(F.col("n_records") > 100).count() == 0
 
 
 def test_q11_grand_total_is_broadcast(spark):

@@ -238,3 +238,69 @@ class LocalSchemaRegistry:
             return avro_decode(body, schema), None
         except Exception:
             return None, bytes(data)
+
+
+class HttpSchemaRegistry:
+    """Confluent Schema Registry REST client (stdlib-only, no external
+    dependency) with the same decode contract as `LocalSchemaRegistry`
+    — the network twin of the reference's
+    `AvroSchemaRegistryStructureProvider.java:33-92`.
+
+    Implements the two calls the decode path needs:
+
+    - ``GET  /schemas/ids/{id}``               (schema by global id)
+    - ``POST /subjects/{subject}/versions``    (register, returns id)
+
+    Schemas are cached per id after first fetch (the reference caches via
+    `CachedSchemaRegistryClient`); unknown ids / network failures degrade
+    to fallback typing (raw bytes), never an executor crash. For executor
+    distribution, `snapshot()` exports the warmed cache as a
+    `LocalSchemaRegistry` so the hot decode loop never does I/O.
+    """
+
+    def __init__(self, base_url: str, timeout: float = 10.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+        self._cache: dict[int, Any] = {}
+
+    def _request(self, method: str, path: str, payload: dict | None = None):
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.base_url + path,
+            data=json.dumps(payload).encode() if payload is not None else None,
+            headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
+            method=method,
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read().decode())
+
+    def register(self, subject: str, schema: Any) -> int:
+        out = self._request(
+            "POST",
+            f"/subjects/{subject}/versions",
+            {"schema": json.dumps(schema)},
+        )
+        schema_id = int(out["id"])
+        self._cache[schema_id] = schema
+        return schema_id
+
+    def get(self, schema_id: int) -> Any | None:
+        cached = self._cache.get(schema_id)
+        if cached is not None:
+            return cached
+        try:
+            out = self._request("GET", f"/schemas/ids/{schema_id}")
+        except Exception:
+            return None  # unknown id / registry down → fallback typing
+        schema = json.loads(out["schema"])
+        self._cache[schema_id] = schema
+        return schema
+
+    def snapshot(self) -> LocalSchemaRegistry:
+        """Warmed-cache export for broadcast to executors (decode loops
+        must not perform per-record HTTP)."""
+        return LocalSchemaRegistry(dict(self._cache))
+
+    # same decode contract as LocalSchemaRegistry
+    decode = LocalSchemaRegistry.decode
