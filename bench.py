@@ -43,9 +43,13 @@ def main() -> None:
 
     # warmup: JVM + parquet footer reads + codegen; the tiered warmup also
     # builds the segment store once so tiered queries measure the read
-    # path (the store existing is the steady state, not per-query work)
+    # path (the store existing is the steady state, not per-query work);
+    # the streaming + datasource warmups absorb their one-time Python
+    # worker / state-store / source-registration startup (~4-6 s each)
     _force(QUERIES["q1_pricing_summary"](spark, sf_dir))
     _force(QUERIES["tiered_offset_range_fetch"](spark, sf_dir))
+    _force(QUERIES["streaming_user_totals_stateful"](spark, sf_dir))
+    _force(QUERIES["datasource_offset_range_fetch"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

@@ -143,3 +143,38 @@ def test_stream_stream_interval_join(spark):
 
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
     assert got.count() > 0
+
+
+def test_commit_manifests_idempotent_on_replay(spark, tmp_path):
+    """foreachBatch replay semantics: committing the same batch twice
+    (failure between parquet commit and checkpoint advance) must not
+    leave duplicate segment_uuid rows; distinct batches both persist."""
+    from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
+        manager_conf,
+        tier_events_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        commit_manifests,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    conf = manager_conf(str(tmp_path / "store"), chunk_size=2048)
+    events = load_table(spark, sf, "events")
+    first_half = events.filter(F.col("event_id") < 500)
+    second_half = events.filter(F.col("event_id") >= 500)
+    mdir = str(tmp_path / "manifests")
+
+    m0 = tier_events_table(spark, first_half, conf)
+    commit_manifests(m0, 0, mdir)
+    commit_manifests(m0, 0, mdir)  # replayed batch: must overwrite, not append
+    m1 = tier_events_table(spark, second_half, conf)
+    commit_manifests(m1, 1, mdir)
+
+    log = spark.read.parquet(mdir)
+    total = log.count()
+    assert log.select("segment_uuid").distinct().count() == total
+    assert log.filter(F.col("batch_id") == 0).count() == m0.count()
+    assert log.filter(F.col("batch_id") == 1).count() == m1.count()
+    # reader-side totals don't double-count
+    n = log.agg(F.sum("n_records")).collect()[0][0]
+    assert n == events.count()

@@ -156,6 +156,24 @@ def stream_user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def commit_manifests(manifests: DataFrame, batch_id: int, manifest_dir: str) -> None:
+    """Commit one micro-batch's manifest rows, idempotent under
+    foreachBatch's at-least-once replay: the log is partitioned by
+    batch_id and written with DYNAMIC partition overwrite, so a replayed
+    batch (failure between parquet commit and checkpoint advance)
+    overwrites its own rows instead of appending duplicate segment_uuid
+    rows that readers would double-count. Segment objects are likewise
+    rewritten in place (same deterministic uuid → same object key)."""
+    (
+        manifests.withColumn("batch_id", F.lit(batch_id))
+        .dropDuplicates(["segment_uuid"])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(manifest_dir)
+    )
+
+
 def stream_tier_events(
     spark: SparkSession,
     sf_dir: str,
@@ -174,21 +192,7 @@ def stream_tier_events(
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         manifests = tier_events_table(spark, batch_df, conf)
-        # Idempotent under foreachBatch's at-least-once replay: the log is
-        # partitioned by batch_id and written with DYNAMIC partition
-        # overwrite, so a replayed batch (failure between parquet commit
-        # and checkpoint advance) overwrites its own rows instead of
-        # appending duplicate segment_uuid rows that readers would
-        # double-count. Segment objects are likewise rewritten in place
-        # (same deterministic uuid → same object key).
-        (
-            manifests.withColumn("batch_id", F.lit(batch_id))
-            .dropDuplicates(["segment_uuid"])
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(manifest_dir)
-        )
+        commit_manifests(manifests, batch_id, manifest_dir)
 
     q = (
         events.writeStream.foreachBatch(commit_batch)
