@@ -91,20 +91,42 @@ def test_crc_detects_corruption():
         decode_kafka_batches(bytes(blob))
 
 
-def test_control_batch_rejected():
-    blob = bytearray(
-        encode_kafka_batch(KafkaBatch(0, 0, [KafkaRecord(0, 0, b"k", b"v")]))
-    )
-    # flip the control bit (attributes int16 big-endian starts right after
-    # header(17) + crc(4)); re-stamp the CRC so only the control flag trips
-    from tiered_storage_for_apache_kafka_spark.kafka_wire import _CRC, crc32c
+def test_control_batch_roundtrip_and_enumeration_skip():
+    """A transactional segment (data batch + COMMIT control marker)
+    round-trips byte-exactly, while record enumeration via
+    data_batches() skips the marker — the reference's
+    BatchEnumeration.java:84,102 behavior, without its decode limits."""
+    import struct
 
-    attrs_off = 21
-    blob[attrs_off + 1] |= 0x20
-    payload = bytes(blob[25:])
-    blob[21 - 4 : 21] = _CRC.pack(crc32c(bytes(blob[21:])))
-    with pytest.raises(NotImplementedError, match="control"):
-        decode_kafka_batches(bytes(blob))
+    from tiered_storage_for_apache_kafka_spark.kafka_wire import (
+        CONTROL_COMMIT,
+        data_batches,
+        parse_control_record,
+    )
+
+    data = KafkaBatch(
+        base_offset=0, base_timestamp=1000,
+        records=[KafkaRecord(i, i, b"k", b"v%d" % i) for i in range(3)],
+        attributes=0x10, producer_id=7, producer_epoch=1, base_sequence=0,
+    )
+    # COMMIT marker: key = version:int16 type:int16, value = version-specific
+    marker = KafkaBatch(
+        base_offset=3, base_timestamp=1003,
+        records=[KafkaRecord(0, 0, struct.pack(">hh", 0, CONTROL_COMMIT),
+                             struct.pack(">hiq", 0, 0, 0))],
+        attributes=0x30, producer_id=7, producer_epoch=1, base_sequence=-1,
+    )
+    seg = encode_kafka_batch(data) + encode_kafka_batch(marker)
+
+    parsed = decode_kafka_batches(seg)
+    assert [b.is_control for b, _ in parsed] == [False, True]
+    assert [b.is_transactional for b, _ in parsed] == [True, True]
+    # byte-exact re-encode, marker included
+    assert b"".join(encode_kafka_batch(b) for b, _ in parsed) == seg
+    # enumeration drops the marker; its payload decodes to COMMIT
+    assert [b.base_offset for b, _ in data_batches(parsed)] == [0]
+    version, ctype = parse_control_record(parsed[1][0].records[0].key)
+    assert (version, ctype) == (0, CONTROL_COMMIT)
 
 
 def test_kafka_segments_roundtrip_through_byte_engine(tmp_path):

@@ -30,9 +30,14 @@ tiering engine:
       valueLength: varint (-1 null), value,
       headerCount: varint, [headerKeyLen, headerKey, headerValLen, headerVal]
 
-Control/transactional batches are intentionally out of scope — the
-reference punts on them too (`BatchEnumeration.java:84,102`), and we
-surface them as a decode error instead of corrupting silently.
+Control/transactional batches (attributes bits 0x20/0x10) decode and
+re-encode byte-exactly like any other batch — the record layout is
+identical; only the key/value payloads carry the transaction marker.
+The reference *skips* them during record enumeration
+(`BatchEnumeration.java:84,102`) but must still carry their bytes; we
+match that: :func:`data_batches` filters them for consumers, while the
+byte path preserves them, and :func:`parse_control_record` decodes the
+COMMIT/ABORT marker for anyone who wants it.
 CRC32C (Castagnoli) is implemented with a table here because the Python
 stdlib only ships zlib's CRC32 (IEEE).
 """
@@ -130,6 +135,14 @@ class KafkaBatch:
     base_sequence: int = -1
     max_timestamp: int = field(default=-1)  # -1 → computed from records
 
+    @property
+    def is_transactional(self) -> bool:
+        return bool(self.attributes & 0x10)
+
+    @property
+    def is_control(self) -> bool:
+        return bool(self.attributes & 0x20)
+
 
 def encode_kafka_batch(batch: KafkaBatch) -> bytes:
     if not batch.records:
@@ -193,7 +206,10 @@ def encode_kafka_batch(batch: KafkaBatch) -> bytes:
 
 def decode_kafka_batches(buf: bytes) -> list[tuple[KafkaBatch, int]]:
     """Parse concatenated v2 batches: [(batch, batch_byte_offset)].
-    Verifies CRC32C and magic; control batches raise."""
+    Verifies CRC32C and magic. Control batches parse like data batches
+    (`batch.is_control` flags them); record enumeration should go
+    through :func:`data_batches` to skip them, as the broker's
+    consumers and the reference's enumeration do."""
     out: list[tuple[KafkaBatch, int]] = []
     off = 0
     while off < len(buf):
@@ -211,8 +227,6 @@ def decode_kafka_batches(buf: bytes) -> list[tuple[KafkaBatch, int]]:
         (attrs, last_delta, base_ts, max_ts, pid, pepoch, bseq, count) = (
             _META.unpack_from(payload, 0)
         )
-        if attrs & 0x20:
-            raise NotImplementedError("control batches not supported")
         codec = attrs & 0x07
         if codec:
             payload = payload[: _META.size] + _decompress_records(
@@ -261,6 +275,31 @@ def decode_kafka_batches(buf: bytes) -> list[tuple[KafkaBatch, int]]:
         out.append((batch, start))
         off = payload_end
     return out
+
+
+# -- control / transactional batches (attributes bits 4-5) --------------------
+
+CONTROL_ABORT, CONTROL_COMMIT = 0, 1
+
+
+def parse_control_record(key: bytes | None) -> tuple[int, int]:
+    """Decode a control record key → (version, type); type is
+    CONTROL_ABORT (0) or CONTROL_COMMIT (1). The key layout is
+    version:int16, type:int16 (KIP-98 ControlRecordType)."""
+    if key is None or len(key) < 4:
+        raise ValueError("control record key too short")
+    version, ctype = struct.unpack_from(">hh", key, 0)
+    return version, ctype
+
+
+def data_batches(
+    batches: list[tuple[KafkaBatch, int]],
+) -> list[tuple[KafkaBatch, int]]:
+    """Record-enumeration view: drop control batches (transaction
+    COMMIT/ABORT markers), exactly as the broker's read path and the
+    reference's `BatchEnumeration.java:84,102` do. The byte path keeps
+    them — a tiered segment's bytes round-trip with markers intact."""
+    return [(b, off) for b, off in batches if not b.is_control]
 
 
 # -- batch compression (attributes bits 0-2) ----------------------------------
