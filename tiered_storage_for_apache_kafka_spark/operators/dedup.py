@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiered_storage_for_apache_kafka_spark.operators.registry import query
-from tiered_storage_for_apache_kafka_spark.tables import load_table
+from tiered_storage_for_apache_kafka_spark.tables import load_table, scan_parallel
 
 N_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 → candidates need 2 consecutive matching minhashes
@@ -43,15 +43,14 @@ SIMHASH64_BANDS = SIMHASH64_BITS // SIMHASH64_BAND_BITS
 SIMHASH64_HAMMING = 3
 
 
-def _maybe_broadcast(df: DataFrame, default_max_rows: int = 1_000_000):
-    """Broadcast a candidate-pair set only when it is actually small.
-
-    An unconditional `F.broadcast(cand)` assumes the pair set fits in
-    executor memory — true under LSH at moderate corpora, NOT guaranteed
-    at 100 TB with a skewed near-dup cluster. The candidate set is needed
-    (cached) by the subsequent verify join anyway, so counting it is one
-    cheap extra action; above the threshold the hint is dropped and the
-    join falls back to a shuffle (or AQE's runtime choice).
+def _gate_small(df: DataFrame, default_max_rows: int = 1_000_000):
+    """Cache and size-check a candidate-pair set: returns (cached_df,
+    is_small). An unconditional `F.broadcast(cand)` would assume the pair
+    set fits in executor memory — true under LSH at moderate corpora, NOT
+    guaranteed at 100 TB with a skewed near-dup cluster. The set is
+    needed (cached) by the verify join anyway, so counting it is one
+    cheap extra action; every broadcast decision derived from it shares
+    this single count.
 
     Threshold overridable via ``spark.graft.broadcastCandMaxRows`` (used
     by the plan test to force the fallback path).
@@ -64,7 +63,26 @@ def _maybe_broadcast(df: DataFrame, default_max_rows: int = 1_000_000):
         )
     except Exception:
         max_rows = default_max_rows
-    return F.broadcast(df) if df.count() <= max_rows else df
+    return df, df.count() <= max_rows
+
+
+def _maybe_broadcast(df: DataFrame, default_max_rows: int = 1_000_000):
+    df, small = _gate_small(df, default_max_rows)
+    return F.broadcast(df) if small else df
+
+
+def _semi_prune(side: DataFrame, cand: DataFrame, small: bool, doc_col: str) -> DataFrame:
+    """Prune an exploded gram/shingle table to just the docs present in
+    the candidate pair set BEFORE the intersection join. Without this the
+    verify join shuffles the entire exploded table on (doc, gram); with
+    it only candidate docs' rows move — at 100 TB that is the difference
+    between shuffling the corpus and shuffling the near-dup sliver. The
+    doc set inherits the pair set's smallness (it is a projection of it),
+    so no extra count is needed for the broadcast decision."""
+    doc_set = cand.select(doc_col).distinct()
+    if small:
+        doc_set = F.broadcast(doc_set)
+    return side.join(doc_set, doc_col, "left_semi")
 
 
 @query(
@@ -115,20 +133,23 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Built with sequence/transform/slice — all JVM array expressions, no
     UDF; the explode is the only row-multiplying step and it is linear in
     corpus token count."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     n = SHINGLE_WORDS
-    # staged projections: tokenize once per row (CollapseProject keeps
-    # the non-cheap split out of the shingle lambda)
+    # tokenize staged (split runs once per row), but the gram lambda is
+    # fused INTO the explode — an intermediate `.select(grams)` stage
+    # forces the array through an extra projection boundary and measures
+    # ~5x slower than the fused generator
     return (
         docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
         .select(
             "doc_id",
-            F.expr(
-                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
-                f"i -> array_join(slice(toks, i, {n}), ' '))"
-            ).alias("grams"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+                    f"i -> array_join(slice(toks, i, {n}), ' '))"
+                )
+            ).alias("shingle"),
         )
-        .select("doc_id", F.explode("grams").alias("shingle"))
         .distinct()
     )
 
@@ -277,11 +298,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     # candidate pairs are usually tiny relative to the shingle table:
-    # broadcast them (gated on actual size) so the intersection join
-    # filters shingles map-side instead of shuffling the table twice
+    # broadcast them (gated on actual size, one count) so the
+    # intersection join filters BOTH shingle sides map-side instead of
+    # shuffling the exploded table
+    cand, small = _gate_small(cand)
     inter = (
-        sa.join(_maybe_broadcast(cand), "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        sa.join(F.broadcast(cand) if small else cand, "doc_a")
+        .join(_semi_prune(sb, cand, small, "doc_b"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -326,7 +349,7 @@ WITH grams AS (
 
 
 def _ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     n = NGRAM_WORDS
     return (
         docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
@@ -335,13 +358,16 @@ def _ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             # hash each n-token slice directly (xxhash64 over array<string>):
             # gram equality == token-sequence equality, no joined-string ever
             # built, and the distinct/join payload is a 64-bit int instead of
-            # a ~30-byte string (collision odds ~ |grams|^2 / 2^64)
-            F.expr(
-                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
-                f"i -> xxhash64(slice(toks, i, {n})))"
-            ).alias("grams"),
+            # a ~30-byte string (collision odds ~ |grams|^2 / 2^64). The
+            # lambda is fused into the explode (a staged `.select(grams)`
+            # measures ~5x slower — extra projection boundary).
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+                    f"i -> xxhash64(slice(toks, i, {n})))"
+                )
+            ).alias("gram"),
         )
-        .select("doc_id", F.explode("grams").alias("gram"))
         .distinct()
     )
 
@@ -400,9 +426,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand, small = _gate_small(cand)
     inter = (
-        ga.join(_maybe_broadcast(cand), "doc_a")
-        .join(gb, ["doc_b", "gram"])
+        ga.join(F.broadcast(cand) if small else cand, "doc_a")
+        .join(_semi_prune(gb, cand, small, "doc_b"), ["doc_b", "gram"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -456,15 +483,15 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     small Hamming distance; the vote threshold is an integer comparison
     so the output is engine-exact. One explode + one aggregation: a
     single shuffle on doc_id, partial aggs map-side."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     toks = docs.select(
         "doc_id",
         F.explode(F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")).alias("token"),
-    )
+    ).select("doc_id", F.md5("token").alias("th"))  # md5 ONCE per token
     digit_sums = [
         F.sum(
             F.expr(
-                f"locate(substr(md5(token), {j + 1}, 1), '0123456789abcdef') - 1"
+                f"locate(substr(th, {j + 1}, 1), '0123456789abcdef') - 1"
             )
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
@@ -515,14 +542,14 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance <= 2 — computed as integer XOR popcount (one CPU op per
     pair instead of 16-way string comparison; the signature is built as
     an integer directly so both engines filter bit-exactly)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     toks = docs.select(
         "doc_id",
         F.explode(F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")).alias("token"),
-    )
+    ).select("doc_id", F.md5("token").alias("th"))  # md5 ONCE per token
     digit_sums = [
         F.sum(
-            F.expr(f"locate(substr(md5(token), {j + 1}, 1), '0123456789abcdef') - 1")
+            F.expr(f"locate(substr(th, {j + 1}, 1), '0123456789abcdef') - 1")
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
@@ -572,15 +599,15 @@ def _sim64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures as 4 x 16-bit band integers (b0..b3) —
     band-integer form keeps every value far from int64 sign issues and
     makes banding a plain column equality."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     toks = docs.select(
         "doc_id",
         F.explode(F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")).alias("token"),
-    )
+    ).select("doc_id", F.md5("token").alias("th"))  # md5 ONCE per token
     votes = [
         F.sum(
             F.expr(
-                f"(((locate(substr(md5(token), {j // 4 + 1}, 1), '0123456789abcdef') - 1)"
+                f"(((locate(substr(th, {j // 4 + 1}, 1), '0123456789abcdef') - 1)"
                 f" >> {3 - j % 4}) & 1)"
             )
         ).alias(f"s{j}")

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiered_storage_for_apache_kafka_spark.operators.registry import query
-from tiered_storage_for_apache_kafka_spark.tables import load_table
+from tiered_storage_for_apache_kafka_spark.tables import load_table, scan_parallel
 
 # language marker words for the n-gram-free lang-ID heuristic
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -242,7 +242,7 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint — then emit the deduplicated fingerprint set per doc.
     Pure JVM array expressions: no explode, no shuffle at all (the
     whole operator is a narrow map stage)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     k, w = WINNOW_K, WINNOW_W
     # staged projections: each expensive array is computed once per row
     # (CollapseProject keeps non-cheap lambda exprs in their own stage)

@@ -54,6 +54,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scan_parallel(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a narrow, expensive map stage across all cores.
+
+    Spark splits parquet files into byte-range tasks, but a task only
+    produces rows if its range contains a row-group start — a one-row-
+    group file runs the whole pre-shuffle map (tokenize/explode/regexp)
+    on ONE core no matter how many splits the planner reports. So the
+    partition count lies; count actual row groups in the scan's input
+    files instead. Repartition round-robin only when row groups < slots —
+    at 100 TB the table is thousands of files/row-groups and this is a
+    no-op (a blind repartition there would shuffle the entire table).
+
+    Call it directly on the `load_table` result (the raw scan), before
+    any transformation.
+    """
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if len(files) >= target:  # plenty of natural splits (the 100 TB case)
+        return df
+    import pyarrow.parquet as pq
+
+    try:
+        n_rg = sum(
+            pq.ParquetFile(f.removeprefix("file://")).num_row_groups
+            for f in files
+        )
+    except Exception:  # non-local / non-parquet input: trust the planner
+        return df
+    if n_rg < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
