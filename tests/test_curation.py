@@ -1,0 +1,77 @@
+"""Semantic invariants of the curation operators (oracle equality is
+covered by test_queries_vs_duckdb; these pin the *meaning*)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiered_storage_for_apache_kafka_spark.operators.curation import (
+    SPLIT_TEST_UB,
+    SPLIT_VALID_UB,
+    benchmark_decontamination,
+    curation_funnel,
+    dup_cluster_representatives,
+    stratified_sample_by_lang,
+    train_test_split_hash,
+)
+from tiered_storage_for_apache_kafka_spark.operators.dedup import (
+    dedup_connected_components,
+)
+from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_split_partitions_every_doc_and_is_deterministic(spark):
+    out = {r["split"]: r for r in train_test_split_hash(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    assert set(out) == {"train", "valid", "test"}
+    assert sum(r["n_docs"] for r in out.values()) == n
+    # expected mass: test ~ 8/256, valid ~ 24/256 (binomial tolerance 3x)
+    assert 0 < out["test"]["n_docs"] < 3 * n * SPLIT_TEST_UB / 256
+    assert out["valid"]["n_docs"] < 3 * n * (SPLIT_VALID_UB - SPLIT_TEST_UB) / 256
+    assert out["train"]["n_docs"] > n // 2
+    # a rerun assigns identically (pure function of doc_id)
+    again = {r["split"]: r["n_docs"] for r in train_test_split_hash(spark, SF).collect()}
+    assert again == {k: v["n_docs"] for k, v in out.items()}
+
+
+def test_stratified_sample_within_every_stratum(spark):
+    rows = stratified_sample_by_lang(spark, SF).collect()
+    assert rows, "no strata"
+    for r in rows:
+        assert 0 <= r["n_sampled"] <= r["n_total"]
+        # ~25% target; allow wide tolerance on small strata
+        if r["n_total"] >= 100:
+            assert 0.10 * r["n_total"] < r["n_sampled"] < 0.45 * r["n_total"]
+
+
+def test_decontamination_flags_only_corpus_docs(spark):
+    from tiered_storage_for_apache_kafka_spark.operators.curation import BENCH_MOD
+
+    out = benchmark_decontamination(spark, SF)
+    bad = out.filter(F.col("doc_id") % BENCH_MOD == 0).count()
+    assert bad == 0  # benchmark members are never flagged as contaminated
+    assert out.filter(F.col("n_shared_grams") <= 0).count() == 0
+
+
+def test_funnel_is_monotone(spark):
+    [r] = curation_funnel(spark, SF).collect()
+    assert r["n_total"] >= r["n_quality"] >= r["n_quality_unique"] >= r["n_kept_train"]
+    assert r["n_kept_train"] > 0
+    assert r["kept_train_chars"] > 0
+
+
+def test_cluster_representatives_consistent_with_labeling(spark):
+    labels = dedup_connected_components(spark, SF)
+    reps = dup_cluster_representatives(spark, SF)
+    assert reps.count() == labels.select("canonical_doc_id").distinct().count()
+    assert labels.count() == (
+        reps.agg(F.sum("cluster_size")).collect()[0][0]
+    )
+    # the representative is a member of its own cluster
+    assert reps.filter(
+        (F.col("canonical_doc_id") < F.col("min_doc_id"))
+        | (F.col("canonical_doc_id") > F.col("max_doc_id"))
+    ).count() == 0

@@ -315,3 +315,23 @@ def test_q11_grand_total_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan
     # and the brand agg itself is two-phase
     assert "partial_sum" in plan
+
+
+def test_decontamination_broadcasts_bench_grams(spark):
+    """The eval-set gram inventory must broadcast so the training corpus
+    joins map-side and never shuffles — the property that makes
+    decontamination tractable at 100 TB."""
+    plan = plan_of(QUERIES["benchmark_decontamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curation_split_is_narrow_until_final_agg(spark):
+    """The split assignment is a pure projection: no join anywhere, the
+    scan prunes to the 3 needed columns, and the only exchanges are the
+    aggregation's own (2: COUNT DISTINCT's partial-on-(split,lang) pass
+    plus the final per-split merge)."""
+    plan = plan_of(QUERIES["train_test_split_hash"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in plan

@@ -1,0 +1,317 @@
+"""Training-data curation operators: the decisions a pipeline makes
+*after* analysis — which docs go to train/valid/test, which are sampled,
+which are contaminated by eval data, which duplicate survives.
+
+Scale design at 100 TB:
+
+- **hash split / stratified sample**: pure column expressions over the
+  scan (narrow map; the split is a deterministic function of doc_id so
+  re-runs and backfills assign identically — no stored split table, no
+  shuffle). The stratified variant needs one window per stratum —
+  shuffle keyed by the low-cardinality `lang`, acceptable because the
+  per-stratum payload is only (doc_id, sort-hash), not text.
+- **decontamination**: the benchmark set is tiny by construction →
+  its gram inventory broadcasts; the corpus-side gram explode is a
+  narrow map and the contamination join is map-side. The corpus never
+  shuffles.
+- **cluster representatives**: one groupBy over the connected-components
+  labeling (itself LSH-bounded, never all-pairs).
+
+Hash portability: bucket = value of the first two md5 hex digits
+(0..255), computed with locate/strpos arithmetic that is identical in
+Spark and DuckDB — no engine-specific hash function is ever used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiered_storage_for_apache_kafka_spark.operators.dedup import (
+    dedup_connected_components,
+    _CC_ORACLE_PREFIX,
+)
+from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.tables import load_table, scan_parallel
+
+# split fractions in 256ths of the md5 bucket space: [0, TEST) test,
+# [TEST, VALID) valid, rest train  (~3.1% / ~9.4% / 87.5%)
+SPLIT_TEST_UB = 8
+SPLIT_VALID_UB = 32
+
+# stratified sampling: keep docs whose bucket falls under ceil(256/4)
+SAMPLE_BUCKET_UB = 64  # ~25% per stratum
+
+DECON_GRAM_WORDS = 5  # word 5-grams for benchmark-overlap detection
+BENCH_MOD = 97  # doc_id % 97 == 0 stands in for "the benchmark set"
+
+
+def _bucket_expr(hash_col: str) -> str:
+    """Spark/DuckDB-portable 0..255 bucket from a hex md5 column.
+
+    locate/strpos are both 1-based; the arithmetic is integer-exact in
+    both engines."""
+    return (
+        f"(locate(substr({hash_col}, 1, 1), '0123456789abcdef') - 1) * 16 + "
+        f"(locate(substr({hash_col}, 2, 1), '0123456789abcdef') - 1)"
+    )
+
+
+def _bucket_sql(hash_col: str) -> str:
+    return (
+        f"(strpos('0123456789abcdef', substr({hash_col}, 1, 1)) - 1) * 16 + "
+        f"(strpos('0123456789abcdef', substr({hash_col}, 2, 1)) - 1)"
+    )
+
+
+@query(
+    "train_test_split_hash",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         {_bucket_sql("md5(CAST(doc_id AS VARCHAR))")} AS bucket
+  FROM documents
+), assigned AS (
+  SELECT *,
+         CASE WHEN bucket < {SPLIT_TEST_UB} THEN 'test'
+              WHEN bucket < {SPLIT_VALID_UB} THEN 'valid'
+              ELSE 'train' END AS split
+  FROM b
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM assigned
+GROUP BY split
+""",
+)
+def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment by hashing doc_id into
+    256 buckets — the standard leakage-safe split: membership is a pure
+    function of the id, so re-runs, backfills, and late-arriving shards
+    agree without coordination or a stored split table. Emits per-split
+    inventory stats (the counts a pipeline reports after splitting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(_bucket_expr("md5(cast(doc_id as string))")).alias("bucket"),
+    )
+    split = (
+        F.when(F.col("bucket") < SPLIT_TEST_UB, F.lit("test"))
+        .when(F.col("bucket") < SPLIT_VALID_UB, F.lit("valid"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        b.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@query(
+    "stratified_sample_by_lang",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         {_bucket_sql("md5(CAST(doc_id AS VARCHAR))")} AS bucket
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN bucket < {SAMPLE_BUCKET_UB} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
+       CAST(SUM(CASE WHEN bucket < {SAMPLE_BUCKET_UB} THEN n_chars ELSE 0 END) AS BIGINT)
+         AS sampled_chars,
+       MIN(CASE WHEN bucket < {SAMPLE_BUCKET_UB} THEN doc_id END) AS first_sampled_doc
+FROM b
+GROUP BY lang
+""",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% sample within every language stratum, again by
+    id-hash bucket — the downsampling step that balances a corpus before
+    training. Bucket membership is data-independent, so the same doc is
+    sampled in every run and across engines; reports per-stratum kept
+    counts. Narrow map + one agg: no window, no per-stratum shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(_bucket_expr("md5(cast(doc_id as string))")).alias("bucket"),
+    )
+    kept = F.col("bucket") < SAMPLE_BUCKET_UB
+    return b.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_chars"),
+        F.min(F.when(kept, F.col("doc_id"))).alias("first_sampled_doc"),
+    )
+
+
+_DECON_GRAMS_SQL = f"""
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - {DECON_GRAM_WORDS - 1}, 1)),
+             i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+{DECON_GRAM_WORDS - 1}], ' ')
+           )) AS gram
+    FROM documents {{where}})
+"""
+
+
+@query(
+    "benchmark_decontamination",
+    oracle=f"""
+WITH corpus_grams AS (
+{_DECON_GRAMS_SQL.format(where=f"WHERE doc_id % {BENCH_MOD} <> 0")}
+), bench_grams AS (
+  SELECT DISTINCT gram FROM (
+{_DECON_GRAMS_SQL.format(where=f"WHERE doc_id % {BENCH_MOD} = 0")}
+  )
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_shared_grams
+FROM corpus_grams c
+JOIN bench_grams b ON b.gram = c.gram
+GROUP BY c.doc_id
+""",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training docs sharing any word
+     5-gram with the benchmark set (docs with doc_id % 97 == 0 stand in
+    for an eval suite). The benchmark gram inventory is tiny → broadcast;
+    the training corpus explodes its grams in a narrow map and joins
+    map-side, so the corpus itself NEVER shuffles — the shape that makes
+    decontamination tractable at 100 TB. Gram identity is a 64-bit hash
+    (xxhash64 / DuckDB hash are engine-local, so the *output* only
+    reports counts of matching grams, never the hashes: both engines
+    agree because gram-string equality is engine-independent)."""
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
+    n = DECON_GRAM_WORDS
+
+    def grams(df: DataFrame) -> DataFrame:
+        return (
+            df.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+                        f"i -> xxhash64(array_join(slice(toks, i, {n}), ' ')))"
+                    )
+                ).alias("gram"),
+            )
+            .distinct()
+        )
+
+    corpus = grams(docs.filter(F.col("doc_id") % BENCH_MOD != 0))
+    bench = grams(docs.filter(F.col("doc_id") % BENCH_MOD == 0)).select("gram").distinct()
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+@query(
+    "dup_cluster_representatives",
+    oracle=_CC_ORACLE_PREFIX
+    + """
+SELECT canonical_doc_id,
+       COUNT(*) AS cluster_size,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM labeled
+GROUP BY canonical_doc_id
+""",
+)
+def dup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection, cluster view: collapse the
+    connected-components labeling into one row per near-duplicate
+    cluster (representative = min doc_id, the label itself) with its
+    size — the table a pipeline joins against to DROP all non-canonical
+    members. One extra groupBy over the (small) labeling."""
+    labels = dedup_connected_components(spark, sf_dir)
+    return labels.groupBy("canonical_doc_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@query(
+    "curation_funnel",
+    oracle=f"""
+WITH flagged AS (
+  SELECT d.doc_id, d.n_chars,
+         CASE WHEN LENGTH(d.text) >= 100
+               AND LEN(regexp_extract_all(d.text, '\\S+')) >= 20
+              THEN 1 ELSE 0 END AS quality_pass,
+         CASE WHEN d.doc_id = (SELECT MIN(doc_id) FROM documents d2
+                               WHERE md5(d2.text) = md5(d.text))
+              THEN 1 ELSE 0 END AS is_canonical,
+         CASE WHEN {_bucket_sql("md5(CAST(d.doc_id AS VARCHAR))")} >= {SPLIT_VALID_UB}
+              THEN 1 ELSE 0 END AS in_train
+  FROM documents d
+)
+SELECT COUNT(*) AS n_total,
+       CAST(SUM(quality_pass) AS BIGINT) AS n_quality,
+       CAST(SUM(quality_pass * is_canonical) AS BIGINT) AS n_quality_unique,
+       CAST(SUM(quality_pass * is_canonical * in_train) AS BIGINT) AS n_kept_train,
+       CAST(SUM(CASE WHEN quality_pass = 1 AND is_canonical = 1 AND in_train = 1
+                     THEN n_chars ELSE 0 END) AS BIGINT) AS kept_train_chars
+FROM flagged
+""",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation report: total docs -> quality-passing ->
+    unique (exact-dedup canonical) -> in the train split, with the
+    surviving char mass. Composes the quality gate, exact dedup, and the
+    hash split in ONE pass: quality and split are narrow expressions;
+    canonicality is a min-doc_id-per-content-hash window (one shuffle on
+    the uniform md5 key). This is the number-that-goes-on-the-dashboard
+    query a 100 TB curation run emits."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    n_tokens = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    flagged = docs.select(
+        "doc_id",
+        "n_chars",
+        F.when((F.length("text") >= 100) & (n_tokens >= 20), 1)
+        .otherwise(0)
+        .alias("quality_pass"),
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+        .otherwise(0)
+        .alias("is_canonical"),
+        F.when(
+            F.expr(_bucket_expr("md5(cast(doc_id as string))")) >= SPLIT_VALID_UB, 1
+        )
+        .otherwise(0)
+        .alias("in_train"),
+    )
+    keep = F.col("quality_pass") * F.col("is_canonical") * F.col("in_train")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("quality_pass").cast("bigint").alias("n_quality"),
+        F.sum(F.col("quality_pass") * F.col("is_canonical"))
+        .cast("bigint")
+        .alias("n_quality_unique"),
+        F.sum(keep).cast("bigint").alias("n_kept_train"),
+        F.sum(F.when(keep == 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_train_chars"),
+    )

@@ -113,6 +113,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLE_CACHE: dict[str, DataFrame] = {}
 _PAIRS_CACHE: dict[str, DataFrame] = {}
+_CC_CACHE: dict[str, DataFrame] = {}
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,9 +711,11 @@ def simhash64_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_connected_components",
-    oracle=_BANDS_CTE
+# CC oracle as a reusable prefix ending in a `labeled` CTE (doc_id,
+# canonical_doc_id) so downstream curation queries (cluster
+# representatives) can extend the identical labeling.
+_CC_ORACLE_PREFIX = (
+    _BANDS_CTE
     + f"""
 , sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
 , inter AS (
@@ -740,11 +743,18 @@ def simhash64_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.b, r.label FROM r JOIN edges e ON e.a = r.doc
   )
   SELECT * FROM r
+), labeled AS (
+  SELECT doc AS doc_id, MIN(label) AS canonical_doc_id
+  FROM reach
+  GROUP BY doc
 )
-SELECT doc AS doc_id, MIN(label) AS canonical_doc_id
-FROM reach
-GROUP BY doc
-""",
+"""
+)
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_CC_ORACLE_PREFIX + "SELECT doc_id, canonical_doc_id FROM labeled",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection: connected components of the verified
@@ -759,7 +769,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates lineage per round. At 100 TB the same loop runs with
     large-star/small-star contraction to cut round counts; the oracle is
     a recursive CTE computing the identical min-reachable-label.
+
+    The converged labeling is cached per (process, sf_dir): downstream
+    consumers (cluster representatives, keep/drop joins) reuse it
+    instead of replaying the loop.
     """
+    cached = _CC_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
@@ -797,4 +814,6 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    return labels.select("doc_id", F.col("label").alias("canonical_doc_id"))
+    out = labels.select("doc_id", F.col("label").alias("canonical_doc_id"))
+    _CC_CACHE[sf_dir] = out
+    return out
