@@ -92,12 +92,11 @@ def tier_events_table(
     n_partitions: int = 4,
     records_per_segment: int = 500,
     records_per_batch: int = 50,
+    dense_offsets: bool = True,
 ) -> DataFrame:
     """Tier the `events` table into log segments; returns the manifests
     DataFrame (segment metadata + object keys), the engine's metadata
     plane for subsequent reads."""
-    from pyspark.sql import Window
-
     assigned = events.select(
         (F.col("event_id") % n_partitions).cast("int").alias("partition"),
         F.col("event_id").alias("offset"),
@@ -108,17 +107,37 @@ def tier_events_table(
     # Segment assignment BEFORE the pandas stage: the reference's unit of
     # work is one *segment* (`KafkaRemoteStorageManager.java:167-223`), so
     # no task may ever hold a whole topic-partition (10s–100s of GB at
-    # 100 TB — guaranteed OOM). The JVM-side window sort spills; each
-    # applyInPandas group below is then exactly one segment
-    # (records_per_segment rows) and parallelism is n_segments, not
-    # n_partitions.
-    seg_window = Window.partitionBy("partition").orderBy("offset")
-    assigned = assigned.withColumn(
-        "segment_no",
-        F.floor((F.row_number().over(seg_window) - 1) / records_per_segment).cast(
-            "bigint"
-        ),
-    )
+    # 100 TB — guaranteed OOM). Each applyInPandas group below is exactly
+    # one segment (records_per_segment rows) and parallelism is
+    # n_segments, not n_partitions.
+    if dense_offsets:
+        # Kafka log offsets are CONSECUTIVE within a partition, so the
+        # rank of a record in its partition is pure arithmetic on the
+        # offset — segment assignment is a narrow map, no shuffle and no
+        # per-topic-partition sort at all. (Here offsets interleave
+        # round-robin: offset % n_partitions == partition, so rank =
+        # offset div n_partitions; a real per-partition-consecutive log
+        # is the n_partitions=1 case of the same formula.)
+        assigned = assigned.withColumn(
+            "segment_no",
+            F.expr(f"(offset div {n_partitions}) div {records_per_segment}").cast(
+                "bigint"
+            ),
+        )
+    else:
+        # Sparse/compacted offsets: fall back to a per-partition
+        # row_number window. This sorts each topic-partition through one
+        # task — acceptable for compacted topics (small by definition),
+        # wrong for a 100 TB append-only log (use dense_offsets there).
+        from pyspark.sql import Window
+
+        seg_window = Window.partitionBy("partition").orderBy("offset")
+        assigned = assigned.withColumn(
+            "segment_no",
+            F.floor(
+                (F.row_number().over(seg_window) - 1) / records_per_segment
+            ).cast("bigint"),
+        )
 
     def tier_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         mgr = _build_manager(conf)
