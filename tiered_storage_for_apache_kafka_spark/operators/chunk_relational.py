@@ -400,21 +400,28 @@ def offsets_for_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("offset"),
         "ts",
     )
-    targets = F.broadcast(
-        e.sparkSession.createDataFrame(
-            [("2024-01-08 00:00:00",), ("2024-01-15 00:00:00",),
-             ("2024-01-22 00:00:00",)],
-            "target_ts STRING",
-        ).select(F.col("target_ts").cast("timestamp").alias("target_ts"))
+    # The theta-join (`ts >= target_ts`) form is a BroadcastNestedLoopJoin:
+    # no codegen, every record row compared against every target and
+    # multiplied by its matches. With a driver-side target list the same
+    # answer is ONE codegen'd scan — a conditional MIN per target
+    # (map-side partial agg, 4 groups/partition) — then an unpivot of the
+    # per-partition aggregate row. At 100 TB this is the difference
+    # between a full-log nested-loop and a single pruned pass.
+    targets = ["2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-22 00:00:00"]
+    per_part = e.groupBy("partition").agg(
+        *[
+            F.min(
+                F.when(F.col("ts") >= F.lit(t).cast("timestamp"), F.col("offset"))
+            ).alias(f"t{i}")
+            for i, t in enumerate(targets)
+        ]
+    )
+    stack_expr = "stack({n}, {args}) AS (target_ts, first_offset_at_or_after)".format(
+        n=len(targets),
+        args=", ".join(f"'{t}', t{i}" for i, t in enumerate(targets)),
     )
     return (
-        e.join(targets, e.ts >= targets.target_ts)
-        .groupBy("target_ts", "partition")
-        .agg(F.min("offset").alias("first_offset_at_or_after"))
-        # timestamp → string output (portability: Spark µs vs pandas ns render)
-        .select(
-            F.date_format("target_ts", "yyyy-MM-dd HH:mm:ss").alias("target_ts"),
-            "partition",
-            "first_offset_at_or_after",
-        )
+        per_part.select("partition", F.expr(stack_expr))
+        .filter(F.col("first_offset_at_or_after").isNotNull())
+        .select("target_ts", "partition", "first_offset_at_or_after")
     )
