@@ -335,3 +335,14 @@ def test_curation_split_is_narrow_until_final_agg(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Join" not in plan
     assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in plan
+
+
+def test_offsets_for_times_is_single_scan_no_join(spark):
+    """offsets_for_times must plan as one conditional-aggregation scan
+    (a MIN per target with map-side partials), never the theta-join form
+    — ts >= target_ts planned as BroadcastNestedLoopJoin: no codegen and
+    a row-multiplied full pass over the record plane per target."""
+    plan = plan_of(QUERIES["offsets_for_times"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
+    assert "partial_min" in plan  # map-side partial aggregation

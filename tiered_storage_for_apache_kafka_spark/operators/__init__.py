@@ -47,18 +47,33 @@ _DEMOTE = [
     "range_fetch_planning",
     "manifest_summary",
     "streaming_dedup_exact",
+    # TPC-H variants whose join/agg shapes are covered by still-sampled
+    # family members (q5/q7 multi-join, q3 join+topN, q19 scalar-pct,
+    # q15's view-max by the sampled top_supplier_per_part window form) —
+    # demoted so every first-class operator gets a driver verdict:
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
 ]
 
-# New (round-2) queries that have never had a driver verdict: splice
-# them into the prefix right after the last fixed-this-round query so
-# they fall inside the driver's 50-query sample window.
-# (dup_cluster_representatives stays in the tail: its CC labeling core
-# is the already-sampled dedup_connected_components.)
+# Queries that have never had a driver verdict: splice them into the
+# prefix right after the last fixed-this-round query so they fall
+# inside the driver's 50-query sample window.
 _PROMOTE = [
     "train_test_split_hash",
     "stratified_sample_by_lang",
     "benchmark_decontamination",
     "curation_funnel",
+    # LLM-pipeline operators unsampled in round 1 (distinct first-class
+    # ops: winnowing, rolling-hash fingerprint, corpus profile, the
+    # 64-bit SimHash scale variant, and cluster representatives):
+    "doc_fingerprint",
+    "doc_winnow_fingerprint",
+    "corpus_lang_profile",
+    "simhash64_near_dup_pairs",
+    "dup_cluster_representatives",
 ]
 _PROMOTE_AFTER = "grouping_sets_order_mix"
 
