@@ -54,6 +54,7 @@ _DEMOTE = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
+    "q13_customer_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
 ]
@@ -74,6 +75,7 @@ _PROMOTE = [
     "corpus_lang_profile",
     "simhash64_near_dup_pairs",
     "dup_cluster_representatives",
+    "dedup_substring_spans",
 ]
 _PROMOTE_AFTER = "grouping_sets_order_mix"
 
