@@ -266,3 +266,90 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fps").cast("bigint").alias("n_fingerprints"),
         F.md5(F.array_join("fps", ",")).alias("fingerprint_digest"),
     )
+
+
+@query(
+    "gopher_repetition_signals",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM base WHERE len(t) >= 2
+), bgc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+), bga AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         COUNT(*) AS n_distinct_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_count
+  FROM bgc GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(b.t)) AS BIGINT) AS n_distinct_tokens,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       COALESCE(a.top_bigram_count, 0) AS top_bigram_count,
+       CASE WHEN 5 * COALESCE(a.top_bigram_count, 0) <= COALESCE(a.n_bigrams, 0)
+             AND 2 * (len(b.t) - len(list_distinct(b.t))) <= len(b.t)
+            THEN 1 ELSE 0 END AS repetition_pass
+FROM base b LEFT JOIN bga a ON a.doc_id = b.doc_id
+""",
+)
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition quality signals (Rae et al. 2021
+    table A1): per-document duplicate-token and top-2-gram counts, plus
+    the combined pass gate (top bigram <= 20% of bigrams AND duplicate
+    tokens <= 50% of tokens), thresholds decided by exact integer
+    cross-multiplication.
+
+    Plan shape: token counts are per-row array expressions (size /
+    array_distinct — no shuffle); the top-bigram frequency genuinely
+    needs a per-(doc, bigram) count, done with ONE explode and two
+    doc-keyed aggregations (a per-row O(n^2) highest-multiplicity array
+    expression would blow up on long documents). At 100 TB both
+    shuffles key on doc_id(+bigram) — uniform, bounded by doc length."""
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
+    base = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    tok = base.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct_tokens"),
+    )
+    bga = (
+        base.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.max("c").alias("top_bigram_count"),
+        )
+    )
+    joined = tok.join(bga, "doc_id", "left")
+    n_bigrams = F.coalesce("n_bigrams", F.lit(0))
+    top_bg = F.coalesce("top_bigram_count", F.lit(0))
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        n_bigrams.alias("n_bigrams"),
+        F.coalesce("n_distinct_bigrams", F.lit(0)).alias("n_distinct_bigrams"),
+        top_bg.alias("top_bigram_count"),
+        F.when(
+            (5 * top_bg <= n_bigrams)
+            & (2 * (F.col("n_tokens") - F.col("n_distinct_tokens")) <= F.col("n_tokens")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("repetition_pass"),
+    )
