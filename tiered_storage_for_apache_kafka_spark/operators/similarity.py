@@ -416,3 +416,114 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("norm"), 4).alias("max_norm"),
         )
     )
+
+
+SEMDEDUP_TAU = 0.35  # within-cluster cosine above this = semantic duplicate
+
+
+@query(
+    "semdedup_keep_drop",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, emb AS c_emb FROM vecs WHERE vec_id < {N_CENTROIDS}
+), affinity AS (
+  SELECT v.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND(list_dot_product(v.emb, c.c_emb)
+                          / (sqrt(list_dot_product(v.emb, v.emb))
+                             * sqrt(list_dot_product(c.c_emb, c.c_emb))), 4) DESC,
+                    c.cid ASC) AS crnk
+  FROM vecs v CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cid AS cell FROM affinity WHERE crnk = 1
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assign a
+  JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN vecs va ON va.vec_id = a.vec_id
+  JOIN vecs vb ON vb.vec_id = b.vec_id
+  WHERE ROUND(list_dot_product(va.emb, vb.emb)
+              / (sqrt(list_dot_product(va.emb, va.emb))
+                 * sqrt(list_dot_product(vb.emb, vb.emb))), 4) >= {SEMDEDUP_TAU}
+)
+SELECT s.vec_id, s.cell,
+       CASE WHEN d.vec_b IS NULL THEN 1 ELSE 0 END AS kept
+FROM assign s
+LEFT JOIN (SELECT DISTINCT vec_b FROM pairs) d ON d.vec_b = s.vec_id
+""",
+)
+def semdedup_keep_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    the embedding space and dropping all but one member of each
+    within-cluster near-duplicate group. Clustering reuses the IVF coarse
+    quantizer's engine-exact assignment (rounded-cosine affinity,
+    deterministic cid tiebreak); pruning is the paper's greedy rule —
+    a vector is dropped when a lower-id vector in its cell has cosine
+    >= {SEMDEDUP_TAU}.
+
+    Plan shape: centroids broadcast (tiny), ONE corpus shuffle on cell
+    id, within-cell self-join (quadratic only inside a cell — n_cells
+    scales with the corpus so cell size stays bounded), then an anti
+    join of the dropped set back onto the assignment. No Python, no
+    all-pairs product. The keep/drop frame is exactly what a curation
+    pipeline joins against the documents table."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    norm = F.sqrt(F.expr(_DOT.format(a="emb", b="emb")))
+    vn = vecs.withColumn("v_norm", norm)
+    cent = (
+        vn.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("c_emb"),
+            F.col("v_norm").alias("c_norm"),
+        )
+    )
+    cos_vc = F.round(
+        F.expr(_DOT.format(a="emb", b="c_emb")) / (F.col("v_norm") * F.col("c_norm")), 4
+    )
+    w_aff = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cid").asc())
+    assign = (
+        vn.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", cos_vc.alias("aff"), "emb", "v_norm")
+        .withColumn("crnk", F.row_number().over(w_aff))
+        .filter(F.col("crnk") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "emb", "v_norm")
+    )
+    a = assign.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("v_norm").alias("norm_a"),
+        "cell",
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("v_norm").alias("norm_b"),
+        "cell",
+    )
+    cos_ab = F.round(
+        F.expr(_DOT.format(a="emb_a", b="emb_b")) / (F.col("norm_a") * F.col("norm_b")),
+        4,
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_b", cos_ab.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= SEMDEDUP_TAU)
+        .select("vec_b")
+        .distinct()
+    )
+    return (
+        assign.select("vec_id", "cell")
+        .join(dropped, assign.vec_id == dropped.vec_b, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("vec_b").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+        )
+    )
