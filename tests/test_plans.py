@@ -346,3 +346,23 @@ def test_offsets_for_times_is_single_scan_no_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" not in plan
     assert "partial_min" in plan  # map-side partial aggregation
+
+
+def test_substring_spans_no_cartesian_partial_agg(spark):
+    """The substring-span dedup must join windows to duplicated hashes on
+    the hash key (shuffle hash join, never a cartesian) and count window
+    repeats with map-side partial aggregation."""
+    plan = plan_of(QUERIES["dedup_substring_spans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial_max" in plan
+
+
+def test_semdedup_centroids_broadcast(spark):
+    """SemDeDup's affinity stage must broadcast the centroid set (tiny)
+    against the partitioned corpus — the corpus itself never shuffles for
+    assignment; the only corpus shuffle is on cell id for the
+    within-cell self-join. A CartesianProduct (two unpartitioned big
+    sides) must never appear."""
+    plan = plan_of(QUERIES["semdedup_keep_drop"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
