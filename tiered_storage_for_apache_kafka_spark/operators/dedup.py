@@ -762,13 +762,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     through near-dup edges) — the step that turns pairwise dedup into
     keep/drop decisions.
 
-    Implemented as iterative min-label propagation: each round joins the
-    label frontier across edges and keeps the smaller label; terminates
-    when a round changes nothing (bounded by component diameter). The
-    driver loop only steers — labels stay distributed; `localCheckpoint`
-    truncates lineage per round. At 100 TB the same loop runs with
-    large-star/small-star contraction to cut round counts; the oracle is
-    a recursive CTE computing the identical min-reachable-label.
+    Implemented as iterative min-label propagation with POINTER JUMPING:
+    each round (a) takes the min label across edges, then (b) replaces
+    every label with its label's label (L(u) := L(L(u)) — valid because
+    labels only ever decrease, so L(L(u)) <= L(u)). The jump squares the
+    propagation distance per round, so convergence is O(log diameter)
+    rounds instead of O(diameter) — the property that keeps a chained
+    near-dup drift (A~B~C~... over thousands of docs at 100 TB) from
+    turning into thousands of Spark jobs. Terminates when a round
+    changes nothing. The driver loop only steers — labels stay
+    distributed; `localCheckpoint` truncates lineage per round. The
+    oracle is a recursive CTE computing the identical
+    min-reachable-label.
 
     The converged labeling is cached per (process, sf_dir): downstream
     consumers (cluster representatives, keep/drop joins) reuse it
@@ -784,39 +789,65 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_b", "dst")
         .cache()
     )
+    labels, _rounds = propagate_min_labels(edges)
+    out = labels.select("doc_id", F.col("label").alias("canonical_doc_id"))
+    _CC_CACHE[sf_dir] = out
+    return out
+
+
+def propagate_min_labels(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Min-label propagation with pointer jumping over a symmetric edge
+    list (src, dst). Returns (labels(doc_id, label), rounds). Converges
+    in O(log diameter) rounds — see `dedup_connected_components`."""
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    rounds = 0
     while True:
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        # one materialized pass per round: carry the old label alongside the
-        # new one so convergence detection is a filter over the checkpointed
-        # result, not a second run of the join
-        updated = (
+        # carry the old label alongside the new one so convergence
+        # detection is a filter over the checkpointed result, not a
+        # second run of the join; checkpointed so the self-join below
+        # reads the materialized rows instead of re-running the edge join
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 "label",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "new_label"
+                    "mid_label"
                 ),
+            )
+            .localCheckpoint()
+        )
+        # pointer jump: L(u) := L(L(u)). Labels only decrease and every
+        # label value is a node id, so the parent lookup is a self-join
+        # and the jump is always an improvement (or a no-op) — squaring
+        # the propagation distance per round.
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("mid_label").alias("p_label")
+        )
+        updated = (
+            stepped.join(parent, stepped.mid_label == parent.p_id, "left")
+            .select(
+                "doc_id",
+                "label",
+                F.coalesce("p_label", "mid_label").alias("new_label"),
             )
             .localCheckpoint()
         )
         changed = updated.filter(F.col("new_label") != F.col("label")).count()
         labels = updated.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
-            break
-    out = labels.select("doc_id", F.col("label").alias("canonical_doc_id"))
-    _CC_CACHE[sf_dir] = out
-    return out
+            return labels, rounds
 
 
 SPAN_WINDOW = 16  # exact-substring dedup: repeated token windows of this length
