@@ -114,6 +114,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_CACHE: dict[str, DataFrame] = {}
 _PAIRS_CACHE: dict[str, DataFrame] = {}
 _CC_CACHE: dict[str, DataFrame] = {}
+_TOKENS_CACHE: dict[str, DataFrame] = {}
+
+
+def tokens_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One cached (doc_id, toks array) materialization per (process,
+    sf_dir) — the scan+split stage every token-derived operator family
+    (3-word shingles, 4-word grams, 16-token substring windows, bigram
+    repetition stats) shares, so the corpus is read and tokenized once
+    however many dedup/quality passes run."""
+    cached = _TOKENS_CACHE.get(sf_dir)
+    if cached is None:
+        docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
+        cached = docs.select(
+            "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+        ).cache()
+        _TOKENS_CACHE[sf_dir] = cached
+    return cached
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,14 +151,14 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Built with sequence/transform/slice — all JVM array expressions, no
     UDF; the explode is the only row-multiplying step and it is linear in
     corpus token count."""
-    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     n = SHINGLE_WORDS
-    # tokenize staged (split runs once per row), but the gram lambda is
-    # fused INTO the explode — an intermediate `.select(grams)` stage
-    # forces the array through an extra projection boundary and measures
-    # ~5x slower than the fused generator
+    # tokenize staged via the shared token cache (split runs once per
+    # corpus), but the gram lambda is fused INTO the explode — an
+    # intermediate `.select(grams)` stage forces the array through an
+    # extra projection boundary and measures ~5x slower than the fused
+    # generator
     return (
-        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        tokens_cached(spark, sf_dir)
         .select(
             "doc_id",
             F.explode(
@@ -350,10 +367,9 @@ WITH grams AS (
 
 
 def _ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     n = NGRAM_WORDS
     return (
-        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        tokens_cached(spark, sf_dir)
         .select(
             "doc_id",
             # hash each n-token slice directly (xxhash64 over array<string>):
@@ -903,9 +919,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     W = SPAN_WINDOW
-    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     wins = (
-        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        tokens_cached(spark, sf_dir)
         .filter(F.size("toks") >= W)
         .select(
             "doc_id",

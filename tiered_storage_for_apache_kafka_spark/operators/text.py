@@ -311,8 +311,9 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed aggregations (a per-row O(n^2) highest-multiplicity array
     expression would blow up on long documents). At 100 TB both
     shuffles key on doc_id(+bigram) — uniform, bounded by doc length."""
-    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
-    base = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    from tiered_storage_for_apache_kafka_spark.operators.dedup import tokens_cached
+
+    base = tokens_cached(spark, sf_dir).select("doc_id", F.col("toks").alias("t"))
     tok = base.select(
         "doc_id",
         F.size("t").cast("bigint").alias("n_tokens"),
