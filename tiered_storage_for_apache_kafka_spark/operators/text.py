@@ -354,3 +354,55 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("repetition_pass"),
     )
+
+
+@query(
+    "unigram_logprob_quality",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq
+), scored AS (
+  SELECT t.doc_id, ln((SELECT n FROM tot) / f.c) AS nll
+  FROM toks t JOIN freq f ON f.tok = t.tok
+)
+SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(nll), 4) AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality proxy (the CCNet-style statistical
+    filter): score every document by the average negative log-likelihood
+    of its tokens under the corpus's own unigram distribution — low =
+    boilerplate/common, high = rare-token noise; the middle is the
+    keep-band.
+
+    Plan shape: ONE token explode feeds both the frequency table and the
+    scoring join; the corpus total is a broadcast scalar. The score join
+    keys on token — skewed by Zipf's law — so the frequency side is
+    broadcast when it fits (vocab is tiny relative to the corpus;
+    gated, since raw whitespace vocab at 100 TB can exceed the
+    threshold, where AQE's skew-join handles the shuffle fallback).
+    Output NLL is rounded to 4 decimals (double math on both engines)."""
+    from tiered_storage_for_apache_kafka_spark.operators.dedup import (
+        _maybe_broadcast,
+        tokens_cached,
+    )
+
+    toks = tokens_cached(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        toks.join(_maybe_broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("n") / F.col("c")).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+    )
