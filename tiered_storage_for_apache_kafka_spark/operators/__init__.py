@@ -57,6 +57,13 @@ _DEMOTE = [
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
+    # round-2 demotions to fit the newest LLM ops in the window: q7's
+    # multi-join shape is q5's, q19's OR-of-ANDs scalar predicate is
+    # covered by q6/q17, q16's grouped count-distinct + NOT IN by
+    # q22's anti join and distinct_daily_users:
+    "q7_volume_shipping",
+    "q19_discount_eligible",
+    "q16_supplier_part_variety",
 ]
 
 # Queries that have never had a driver verdict: splice them into the
@@ -76,6 +83,10 @@ _PROMOTE = [
     "simhash64_near_dup_pairs",
     "dup_cluster_representatives",
     "dedup_substring_spans",
+    # new first-class LLM ops added in round 2, no driver verdict yet:
+    "semdedup_keep_drop",
+    "gopher_repetition_signals",
+    "unigram_logprob_quality",
 ]
 _PROMOTE_AFTER = "grouping_sets_order_mix"
 

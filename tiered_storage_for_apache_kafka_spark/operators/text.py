@@ -406,3 +406,116 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("nll"), 4).alias("avg_nll"),
     )
+
+
+# GPT-2-style pretokenizer, minus the `\s+(?!\S)` lookahead branch (RE2,
+# DuckDB's engine, has no lookahead; Java would accept it — keeping the
+# pattern to the common subset makes both engines count identically).
+# Branches: contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs, residual whitespace.
+_BPE_PAT = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")  # escaped for the SQL literal
+
+
+@query(
+    "bpe_token_count",
+    oracle=rf"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT) AS n_bpe_pretokens,
+       CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(FLOOR(LENGTH(text) / 4.0) AS BIGINT) AS n_chars_div4
+FROM documents
+""",
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: the GPT-2 pretokenizer regex (the split
+    every byte-pair-encoding tokenizer runs before merges) as a pure JVM
+    `regexp_count` — the standard "how many tokens will this document
+    cost" estimator of a training-data pipeline, next to the whitespace
+    count and the chars/4 rule of thumb.
+
+    Narrow map stage over the document scan: no shuffle, whole-stage
+    codegen, ~O(bytes) per partition — the 100 TB plan is scan-shaped."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_PAT))
+        .cast("bigint")
+        .alias("n_bpe_pretokens"),
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint").alias("n_ws_tokens"),
+        F.floor(F.length("text") / F.lit(4.0)).cast("bigint").alias("n_chars_div4"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), nd AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+), ranked AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         ROUND(t.tf * ln((SELECT n FROM nd) / d.df), 4) AS tfidf,
+         ROW_NUMBER() OVER (
+             PARTITION BY t.doc_id
+             ORDER BY t.tf DESC, d.df ASC, t.tok ASC
+         ) AS term_rank
+  FROM tf t JOIN df d USING (tok)
+)
+SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(term_rank AS BIGINT) AS term_rank
+FROM ranked WHERE term_rank <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic-term extraction: top-3 TF-IDF terms per document —
+    the classic keyword/topic-signal stage of a corpus analysis pipeline
+    (and the deterministic core of TF-IDF featurization).
+
+    Plan shape: the shared cached token table feeds BOTH the per-doc
+    term-frequency agg and the document-frequency agg (map-side partial
+    aggs, one shuffle each); the df table is vocabulary-sized, so the
+    scoring join broadcasts when it fits (gated — raw whitespace vocab
+    at 100 TB can exceed the threshold, where AQE takes over); the
+    corpus size is a broadcast scalar. Top-k is a per-doc window over
+    the tf rows — partitioned by doc_id, never global.
+
+    Portability: ranking uses only integer keys (tf DESC, df ASC, tok) —
+    never the float score, whose ulps could differ between engines; the
+    score itself is emitted ROUND(...,4) like `unigram_logprob_quality`.
+    """
+    from tiered_storage_for_apache_kafka_spark.operators.dedup import (
+        _maybe_broadcast,
+        tokens_cached,
+    )
+    from pyspark.sql import Window
+
+    toks = tokens_cached(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    nd = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(_maybe_broadcast(df_), "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 4).alias("tfidf"),
+            F.row_number().over(w).cast("bigint").alias("term_rank"),
+        )
+        .filter(F.col("term_rank") <= 3)
+    )

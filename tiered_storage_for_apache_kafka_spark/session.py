@@ -48,7 +48,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs everything in the driver JVM: executors' working
+        # memory, every persisted family cache, and shuffle buffers all
+        # share this heap. 8g GC-thrashed at sf0.1 (random 5-8s spikes on
+        # otherwise sub-second queries); 24g keeps full-run GC quiet on a
+        # 128 GiB box. On a real cluster this knob is per-executor memory
+        # territory and the default is irrelevant.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
