@@ -366,3 +366,27 @@ def test_semdedup_centroids_broadcast(spark):
     plan = plan_of(QUERIES["semdedup_keep_drop"](spark, SF))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_text_scoring_ops_broadcast_not_cartesian(spark):
+    """The corpus-statistic text ops join per-token rows to a
+    vocabulary-sized frequency table (broadcast when it fits) and bring
+    the corpus-total scalar in as a 1-row broadcast — neither join may
+    plan as a CartesianProduct, and both aggs must have map-side
+    partials."""
+    for name in ["unigram_logprob_quality", "tfidf_top_terms"]:
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastExchange" in plan, name
+        assert "partial_count" in plan or "HashAggregate" in plan, name
+
+
+def test_bpe_token_count_is_pure_scan(spark):
+    """bpe_token_count must plan as a single narrow scan stage: no
+    joins, no shuffle exchange, whole-stage codegen over the regexp
+    counters."""
+    plan = plan_of(QUERIES["bpe_token_count"](spark, SF))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    # whole-stage codegen prints as a `*(id)` stage prefix in toString
+    assert "*(1)" in plan or "codegen" in plan
