@@ -84,3 +84,38 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_users")
     )
     return run_stream_to_memory(counts, "complete")
+
+
+@query(
+    "streaming_enriched_nation_totals",
+    oracle="""
+SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS total_micros
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, c.c_mktsegment
+""",
+)
+def streaming_enriched_nation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream is joined to the
+    static customer and nation dimensions (broadcast per micro-batch),
+    then aggregated per (nation, segment). Complete output mode — the
+    memory sink holds the full deterministic aggregate, which the batch
+    SQL oracle reproduces exactly."""
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        run_stream_to_memory,
+        stream_enriched_nation_totals,
+        stream_events,
+    )
+    from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+    return run_stream_to_memory(
+        stream_enriched_nation_totals(
+            stream_events(spark, sf_dir),
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "nation"),
+        ),
+        "complete",
+    )

@@ -112,6 +112,32 @@ def stream_session_windows(events: DataFrame, gap: str = "6 hours") -> DataFrame
     )
 
 
+def stream_enriched_nation_totals(
+    events: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment: the record stream joins two static
+    dimension tables (customer, nation), then aggregates per enriched
+    key — the canonical streaming lookup-join. The static sides are
+    dimension-sized, so Spark plans them as broadcast joins against each
+    micro-batch (no stream-side shuffle for the join; state is only the
+    final aggregate, bounded by |nation| x |segment|)."""
+    enriched = events.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        events.user_id == F.col("c_custkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return enriched.groupBy(
+        F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("total_micros"),
+    )
+
+
 _STATE_SCHEMA = StructType(
     [StructField("n", LongType()), StructField("total_micros", LongType())]
 )
