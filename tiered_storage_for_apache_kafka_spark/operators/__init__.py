@@ -64,6 +64,12 @@ _DEMOTE = [
     "q7_volume_shipping",
     "q19_discount_eligible",
     "q16_supplier_part_variety",
+    # CUBE is the same grouping-analytics shape (and got the same
+    # minor-unit BIGINT output fix) as the still-sampled rollup_pricing
+    # and grouping_sets_order_mix — demoted to keep every first-class
+    # operator inside the window after streaming_enriched_nation_totals
+    # joined the streaming family:
+    "cube_order_stats",
 ]
 
 # Queries that have never had a driver verdict: splice them into the
