@@ -390,3 +390,46 @@ def test_bpe_token_count_is_pure_scan(spark):
     assert "Exchange" not in plan
     # whole-stage codegen prints as a `*(id)` stage prefix in toString
     assert "*(1)" in plan or "codegen" in plan
+
+
+def _exchange_inputs(df) -> list[str]:
+    """The `Input [...]` attribute list of every Exchange node in the
+    formatted plan — i.e. exactly what each shuffle carries."""
+    qe = df._jdf.queryExecution()
+    mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    formatted = qe.explainString(mode)
+    inputs = []
+    lines = formatted.splitlines()
+    for i, line in enumerate(lines):
+        if ") Exchange" in line:
+            inputs.append(lines[i + 1])
+    return inputs
+
+
+def test_pack_sequences_prunes_text_before_shuffle(spark):
+    """Sequence packing must reduce each doc to (doc_id, shard, n_toks)
+    BEFORE the shard exchange — the text column never shuffles — and the
+    final per-sequence groupBy must reuse the shard partitioning (one
+    Exchange total, no join)."""
+    df = QUERIES["pack_sequences"](spark, SF)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    exchanges = _exchange_inputs(df)
+    assert exchanges and all("text#" not in e for e in exchanges)
+
+
+def test_source_mixture_window_is_post_agg_only(spark):
+    """The mixture-rebalance totals window must run over the aggregated
+    dimension frame: the corpus-wide stage is a map-side partial agg on
+    `source`, and no shuffle (including the SinglePartition one feeding
+    the totals window) ever carries the text column — only post-agg
+    dimension rows."""
+    df = QUERIES["source_mixture_rebalance"](spark, SF)
+    plan = plan_of(df)
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert plan.count("SinglePartition") == 1
+    exchanges = _exchange_inputs(df)
+    assert exchanges and all("text#" not in e for e in exchanges)

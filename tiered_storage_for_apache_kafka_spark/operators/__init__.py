@@ -70,6 +70,12 @@ _DEMOTE = [
     # operator inside the window after streaming_enriched_nation_totals
     # joined the streaming family:
     "cube_order_stats",
+    # same minor-unit-BIGINT fix family as the still-sampled
+    # rollup_pricing / topk_orders_per_priority / top_supplier_per_part
+    # (q17: scalar-subquery-style avg gate; moving_window: range frame) —
+    # demoted so the round-2 packing/mixture curation ops get a verdict:
+    "q17_small_quantity_parts",
+    "moving_window_revenue",
 ]
 
 # Queries that have never had a driver verdict: splice them into the
@@ -93,6 +99,8 @@ _PROMOTE = [
     "semdedup_keep_drop",
     "gopher_repetition_signals",
     "unigram_logprob_quality",
+    "pack_sequences",
+    "source_mixture_rebalance",
 ]
 _PROMOTE_AFTER = "grouping_sets_order_mix"
 

@@ -315,3 +315,133 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_train_chars"),
     )
+
+
+# sequence packing: concat-and-chunk documents into fixed-token-budget
+# training sequences, independently within each of PACK_SHARDS shards
+PACK_SHARDS = 8
+SEQ_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(LEN(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks
+  FROM documents
+), offs AS (
+  SELECT shard, doc_id, n_toks,
+         SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_toks AS start_off
+  FROM toks
+)
+SELECT shard,
+       CAST(FLOOR(start_off / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM offs
+GROUP BY shard, CAST(FLOOR(start_off / {SEQ_BUDGET}) AS BIGINT)
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): documents are concatenated in
+    doc_id order and cut into SEQ_BUDGET-token training sequences; each
+    doc is attributed to the sequence containing its first token. The
+    GPT-style sample-packing step of a pre-training pipeline.
+
+    Scale design: packing is a running sum, which is inherently
+    sequential — so it runs *per shard* (doc_id % PACK_SHARDS), never as
+    one global window. Parallelism = shard count (raise PACK_SHARDS at
+    100 TB: 4096 shards keeps every window task at corpus/4096), and the
+    window payload is (doc_id, n_toks) only — the text column is pruned
+    before the shuffle, so the sort state per task is a few MB even when
+    the shard's text is tens of GB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = toks.withColumn(
+        "start_off", F.sum("n_toks").over(w) - F.col("n_toks")
+    )
+    seq = F.floor(F.col("start_off") / SEQ_BUDGET).cast("bigint")
+    return offs.groupBy("shard", seq.alias("seq_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+MIXTURE_CAP_MICROS = 1_000_000  # downsample-only policy: weight <= 1.0
+
+
+@query(
+    "source_mixture_rebalance",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CAST(LEN(regexp_extract_all(text, '\\S+')) AS BIGINT)) AS BIGINT)
+           AS n_tokens
+  FROM documents
+  GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(LEAST({MIXTURE_CAP_MICROS},
+             (1000000 * (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per_source))
+             // ((SELECT COUNT(*) FROM per_source) * n_tokens)) AS BIGINT)
+         AS weight_micros,
+       CAST((n_docs * LEAST({MIXTURE_CAP_MICROS},
+             (1000000 * (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per_source))
+             // ((SELECT COUNT(*) FROM per_source) * n_tokens))) // 1000000 AS BIGINT)
+         AS expected_docs
+FROM per_source
+""",
+)
+def source_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixture rebalancing: per-source sampling weights that move
+    the corpus toward a uniform token budget per source (the mixing step
+    of Pile/Dolma-style pipelines), capped at 1.0 (downsample-only).
+
+    Scale design: one map-side-combined agg over the scan (text pruned to
+    a token count before the shuffle; the shuffle key `source` is
+    low-cardinality but each mapper emits one partial row per source, so
+    skew is bounded by mapper count, not row count). The totals window
+    then runs over the *aggregated* frame — dimension-sized, so the
+    single-partition window is over |sources| rows, never the corpus.
+    Weights are integer micro-units computed with BIGINT division —
+    exact, engine-portable arithmetic (no float division)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    weight = F.least(
+        F.lit(MIXTURE_CAP_MICROS),
+        F.expr("1000000 * total_tokens div (n_sources * n_tokens)"),
+    )
+    return (
+        per_source.withColumn("total_tokens", F.sum("n_tokens").over(w))
+        .withColumn("n_sources", F.count(F.lit(1)).over(w))
+        .withColumn("weight_micros", weight)
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight_micros",
+            F.expr("n_docs * weight_micros div 1000000").alias("expected_docs"),
+        )
+    )
