@@ -313,4 +313,10 @@ class TieredSegmentsDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # pushFilters() requires this SQL conf; callers (the correctness
+    # driver) may pass a session without it, and it is runtime-settable.
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
     spark.dataSource.register(TieredSegmentsDataSource)

@@ -97,6 +97,13 @@ def tier_events_table(
     """Tier the `events` table into log segments; returns the manifests
     DataFrame (segment metadata + object keys), the engine's metadata
     plane for subsequent reads."""
+    # ts arrives as TIMESTAMP from load_table/stream_events, but guard
+    # against callers handing the raw scan (ns-as-long or TIMESTAMP_NTZ
+    # depending on the testdata generation) — normalize before unix_micros,
+    # which only accepts TIMESTAMP.
+    from tiered_storage_for_apache_kafka_spark.tables import normalize_ts
+
+    events = normalize_ts(events)
     assigned = events.select(
         (F.col("event_id") % n_partitions).cast("int").alias("partition"),
         F.col("event_id").alias("offset"),

@@ -28,37 +28,34 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-EVENTS_FILE_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
+from pyspark.sql.types import LongType, StructField, StructType
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based record stream over the events table (the test stand-in
-    for a Kafka source; the select below matches the Kafka source's
-    envelope columns)."""
+    for a Kafka source; the envelope matches the Kafka source's columns).
+
+    The streaming file source needs an explicit schema, but the driver
+    has regenerated events.parquet with different physical ts types
+    across rounds (ns-as-long, then TIMESTAMP_NTZ) — so take the schema
+    from the batch reader's footer inference (one driver-side metadata
+    read, no data scan) and normalize ts afterwards instead of
+    hardcoding a flavor."""
+    import os
+
+    from tiered_storage_for_apache_kafka_spark.tables import normalize_ts
+
+    try:  # nanos-as-long flavor needs this conf even for footer inference
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_FILE_SCHEMA)
+        .schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw)
 
 
 def run_stream_to_memory(

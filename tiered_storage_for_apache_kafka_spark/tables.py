@@ -29,28 +29,40 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp-ish column to TIMESTAMP (with session TZ),
+    dtype-agnostically. The driver has regenerated events.parquet with
+    different physical types across rounds — TIMESTAMP(NANOS) (arrives
+    as BIGINT ns under nanosAsLong), then TIMESTAMP(MICROS) without UTC
+    adjustment (arrives as TIMESTAMP_NTZ) — so operators must never
+    assume the on-disk flavor. Session TZ is UTC, so the NTZ→TZ cast is
+    value-preserving."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):  # TIMESTAMP(NANOS) read as raw ns
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects unless
-        # nanosAsLong is set. Callers may pass their own SparkSession (the
-        # correctness driver does), so set it here at runtime — it is a
-        # runtime-settable SQL conf, safe to re-set on every call.
+        # Some testdata generations write events.ts as TIMESTAMP(NANOS),
+        # which Spark rejects unless nanosAsLong is set. Callers may pass
+        # their own SparkSession (the correctness driver does), so set it
+        # here at runtime — it is a runtime-settable SQL conf.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass  # conf locked down — fall through and let the read report it
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as BIGINT ns —
-        # convert to a µs TIMESTAMP so operators see a real timestamp.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_ts(df)
     return df
 
 
