@@ -75,3 +75,34 @@ def test_cluster_representatives_consistent_with_labeling(spark):
         (F.col("canonical_doc_id") < F.col("min_doc_id"))
         | (F.col("canonical_doc_id") > F.col("max_doc_id"))
     ).count() == 0
+
+
+def test_mixture_weight_null_on_empty_source_and_no_overflow(spark):
+    """ANSI-mode edge cases of the mixture weight formula: a source whose
+    docs are all empty (n_tokens=0) must weigh NULL (not DIVIDE_BY_ZERO),
+    and corpora past 9.2e12 tokens must not overflow BIGINT (the naive
+    1000000*total_tokens would)."""
+    from tiered_storage_for_apache_kafka_spark.operators.curation import (
+        MIXTURE_CAP_MICROS,
+        _WEIGHT_SQL,
+    )
+
+    rows = [
+        # (source, n_tokens, total_tokens, n_sources)
+        ("empty", 0, 50_000_000_000_000, 3),
+        ("huge", 24_000_000_000_000, 50_000_000_000_000, 3),  # ratio < 1
+        ("small", 26_000_000_000_000 - 1, 50_000_000_000_000, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, n_tokens long, total_tokens long, n_sources long"
+    )
+    out = {
+        r["source"]: r["w"]
+        for r in df.selectExpr(
+            "source", f"{_WEIGHT_SQL.format(cap=MIXTURE_CAP_MICROS)} AS w"
+        ).collect()
+    }
+    assert out["empty"] is None
+    # floor(1e6 * 5e13 / (3 * 2.4e13)) = 694444
+    assert out["huge"] == 694_444
+    assert 0 < out["small"] <= MIXTURE_CAP_MICROS

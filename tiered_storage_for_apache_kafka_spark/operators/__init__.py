@@ -64,18 +64,16 @@ _DEMOTE = [
     "q7_volume_shipping",
     "q19_discount_eligible",
     "q16_supplier_part_variety",
-    # CUBE is the same grouping-analytics shape (and got the same
-    # minor-unit BIGINT output fix) as the still-sampled rollup_pricing
-    # and grouping_sets_order_mix — demoted to keep every first-class
-    # operator inside the window after streaming_enriched_nation_totals
-    # joined the streaming family:
-    "cube_order_stats",
-    # same minor-unit-BIGINT fix family as the still-sampled
-    # rollup_pricing / topk_orders_per_priority / top_supplier_per_part
-    # (q17: scalar-subquery-style avg gate; moving_window: range frame) —
-    # demoted so the round-2 packing/mixture curation ops get a verdict:
-    "q17_small_quantity_parts",
-    "moving_window_revenue",
+    # round-3 demotions: all driver-green in round 2 with logic unchanged
+    # since, freeing window slots for the round-1 hash-fail family to get
+    # its green verdict (ADVICE r2) and for the round-2/3 text ops:
+    "pivot_event_type_daily",
+    "json_props_extract",
+    "lag_lead_user_deltas",
+    "value_dispersion_stats",
+    "value_percentiles",
+    "distinct_daily_users",
+    "salted_user_activity",
 ]
 
 # Queries that have never had a driver verdict: splice them into the
@@ -101,6 +99,15 @@ _PROMOTE = [
     "unigram_logprob_quality",
     "pack_sequences",
     "source_mixture_rebalance",
+    # round-1 hash-fail family, fixed to minor-unit BIGINT output in
+    # round 2 but demoted below the window there — rotated back in so the
+    # driver records a green verdict for the fix (ADVICE r2):
+    "q17_small_quantity_parts",
+    "moving_window_revenue",
+    "cube_order_stats",
+    # round-2 first-class text ops that never got a driver verdict:
+    "bpe_token_count",
+    "tfidf_top_terms",
 ]
 _PROMOTE_AFTER = "grouping_sets_order_mix"
 

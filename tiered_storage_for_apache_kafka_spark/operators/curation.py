@@ -385,6 +385,27 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXTURE_CAP_MICROS = 1_000_000  # downsample-only policy: weight <= 1.0
 
 
+# Exact floor(1000000 * total / (n_sources * n_tokens)) that is portable
+# AND overflow-free at 100 TB scale: the naive `1000000 * total_tokens`
+# overflows BIGINT past ~9.2e12 corpus tokens (ANSI runtime error in
+# Spark), and DECIMAL `div`/`//` ROUNDS differently across engines
+# (Spark truncates, DuckDB rounds half-up). So compute in DECIMAL(38,0)
+# and divide only the exactly-divisible part — (num - num % den) / den is
+# an exact integer in both engines, immune to result-scale rounding.
+# A source with n_tokens = 0 gets a NULL weight on both sides (DuckDB's
+# `//` yields NULL on zero; Spark ANSI `div` would raise).
+_WEIGHT_SQL = """
+CASE WHEN n_tokens = 0 THEN CAST(NULL AS BIGINT)
+     ELSE LEAST(CAST({cap} AS BIGINT), CAST(
+        (CAST(total_tokens AS DECIMAL(38,0)) * 1000000
+         - (CAST(total_tokens AS DECIMAL(38,0)) * 1000000)
+           % (CAST(n_sources AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))))
+        / (CAST(n_sources AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0)))
+        AS BIGINT))
+END
+""".replace("\n", " ")
+
+
 @query(
     "source_mixture_rebalance",
     oracle=f"""
@@ -395,17 +416,19 @@ WITH per_source AS (
            AS n_tokens
   FROM documents
   GROUP BY source
+), totals AS (
+  SELECT source, n_docs, n_tokens,
+         (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per_source) AS total_tokens,
+         (SELECT COUNT(*) FROM per_source) AS n_sources
+  FROM per_source
+), weighted AS (
+  SELECT source, n_docs, n_tokens,
+         {_WEIGHT_SQL.format(cap=MIXTURE_CAP_MICROS)} AS weight_micros
+  FROM totals
 )
-SELECT source, n_docs, n_tokens,
-       CAST(LEAST({MIXTURE_CAP_MICROS},
-             (1000000 * (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per_source))
-             // ((SELECT COUNT(*) FROM per_source) * n_tokens)) AS BIGINT)
-         AS weight_micros,
-       CAST((n_docs * LEAST({MIXTURE_CAP_MICROS},
-             (1000000 * (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per_source))
-             // ((SELECT COUNT(*) FROM per_source) * n_tokens))) // 1000000 AS BIGINT)
-         AS expected_docs
-FROM per_source
+SELECT source, n_docs, n_tokens, weight_micros,
+       CAST((n_docs * weight_micros) // 1000000 AS BIGINT) AS expected_docs
+FROM weighted
 """,
 )
 def source_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,8 +442,10 @@ def source_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew is bounded by mapper count, not row count). The totals window
     then runs over the *aggregated* frame — dimension-sized, so the
     single-partition window is over |sources| rows, never the corpus.
-    Weights are integer micro-units computed with BIGINT division —
-    exact, engine-portable arithmetic (no float division)."""
+    Weights are integer micro-units from exact DECIMAL(38,0) floor
+    division (`_WEIGHT_SQL`) — engine-portable, no float division, and
+    no BIGINT overflow even past 9.2e12 corpus tokens; zero-token
+    sources weigh NULL instead of raising under ANSI mode."""
     docs = load_table(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -429,14 +454,12 @@ def source_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
     )
     w = Window.partitionBy()
-    weight = F.least(
-        F.lit(MIXTURE_CAP_MICROS),
-        F.expr("1000000 * total_tokens div (n_sources * n_tokens)"),
-    )
     return (
         per_source.withColumn("total_tokens", F.sum("n_tokens").over(w))
         .withColumn("n_sources", F.count(F.lit(1)).over(w))
-        .withColumn("weight_micros", weight)
+        .withColumn(
+            "weight_micros", F.expr(_WEIGHT_SQL.format(cap=MIXTURE_CAP_MICROS))
+        )
         .select(
             "source",
             "n_docs",
