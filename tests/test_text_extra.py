@@ -1,0 +1,92 @@
+"""Semantic + plan tests for the round-3 text/embedding operators
+(oracle equality is covered by test_queries_vs_duckdb)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiered_storage_for_apache_kafka_spark.operators import QUERIES
+from tiered_storage_for_apache_kafka_spark.operators.text_extra import (
+    PMI_MIN_COUNT,
+    scan_redact_pii,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_pii_detects_and_redacts_synthetic_spans(spark):
+    """The driver corpus has no PII, so detection itself is pinned here
+    on synthetic text: each pattern kind is found, counted, and replaced,
+    and clean text passes through byte-identical."""
+    rows = [
+        (1, "contact john.doe+spam@example.co.uk or 555-867-5309 today"),
+        (2, "server at 192.168.1.254 responded; backup 10.0.0.1 did not"),
+        (3, "no pii here, just words and 42 numbers"),
+        (4, "mail a@b.io and b@c.dev; call 212-555-0199; ping 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in scan_redact_pii(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (1, 1, 0)
+    assert "[EMAIL]" in out[1]["redacted_text"]
+    assert "[PHONE]" in out[1]["redacted_text"]
+    assert "john.doe" not in out[1]["redacted_text"]
+    assert out[2]["n_ips"] == 2
+    assert out[2]["redacted_text"].count("[IP]") == 2
+    assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ips"]) == (0, 0, 0)
+    assert out[3]["redacted_text"] == rows[2][1]  # clean text untouched
+    assert (out[4]["n_emails"], out[4]["n_phones"], out[4]["n_ips"]) == (2, 1, 1)
+
+
+def test_pii_scan_is_shuffle_free(spark):
+    plan = (
+        QUERIES["pii_scan_redact"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure scan→project, the 100 TB shape
+
+
+def test_quantize_codes_bounded_and_rmse_small(spark):
+    out = QUERIES["embedding_int8_quantize"](spark, SF)
+    rows = out.collect()
+    assert rows, "no vectors quantized"
+    for r in rows:
+        assert 0 <= r["n_saturated"] <= r["n_dims"]
+        assert r["n_saturated"] >= 1  # the max-abs dim always saturates
+        assert 0.0 <= r["rmse_r"] < r["scale_r"]  # int8 err ≪ the value range
+
+
+def test_quantize_is_shuffle_free(spark):
+    plan = (
+        QUERIES["embedding_int8_quantize"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pmi_symmetric_pairs_agree(spark):
+    """PMI is symmetric in its marginals: for a pair and its reverse
+    (both above min count), the count-identical case must score
+    identically — pins the marginal join wiring (w1 vs w2 columns)."""
+    out = QUERIES["pmi_bigram_collocations"](spark, SF)
+    rows = out.collect()
+    assert rows, "no collocations above min count"
+    assert all(r["pair_count"] >= PMI_MIN_COUNT for r in rows)
+    by_pair = {(r["w1"], r["w2"]): r for r in rows}
+    sym = [
+        (a, by_pair[(a["w2"], a["w1"])])
+        for a in rows
+        if (a["w2"], a["w1"]) in by_pair and a["pair_count"] == by_pair[(a["w2"], a["w1"])]["pair_count"]
+    ]
+    assert sym, "expected at least one symmetric pair in the corpus"
+    for a, b in sym:
+        assert abs(a["pmi"] - b["pmi"]) < 1e-9
+
+
+def test_vocab_growth_ttr_bounds(spark):
+    for r in QUERIES["source_vocab_growth"](spark, SF).collect():
+        assert 0 < r["vocab_size"] <= r["n_tokens"]
+        assert 0.0 < r["type_token_ratio"] <= 1.0

@@ -16,6 +16,7 @@ from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     tiered,  # flagship write+read lifecycle — sample first
     tpch,
     tpch_extra,
+    tpch_close,
     chunk_relational,
     streaming_queries,
     asof,
@@ -26,6 +27,7 @@ from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     similarity,
     multimodal,
     text,
+    text_extra,
     curation,
 )
 from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: F401
@@ -74,6 +76,13 @@ _DEMOTE = [
     "value_percentiles",
     "distinct_daily_users",
     "salted_user_activity",
+    "top_events_per_user",
+    "events_daily_kind",
+    "q4_order_priority",
+    "q18_large_volume_customer",
+    "q22_sales_opportunity",
+    "batch_grouping",
+    "offsets_for_times",
 ]
 
 # Queries that have never had a driver verdict: splice them into the
@@ -108,6 +117,17 @@ _PROMOTE = [
     # round-2 first-class text ops that never got a driver verdict:
     "bpe_token_count",
     "tfidf_top_terms",
+    # round-3 additions — the TPC-H suite closers (q2/q12/q20/q21), the
+    # stream-stream interval join, and the new text/embedding ops:
+    "q2_min_cost_supplier",
+    "q12_ship_priority",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "streaming_interval_join",
+    "pmi_bigram_collocations",
+    "pii_scan_redact",
+    "source_vocab_growth",
+    "embedding_int8_quantize",
 ]
 _PROMOTE_AFTER = "grouping_sets_order_mix"
 

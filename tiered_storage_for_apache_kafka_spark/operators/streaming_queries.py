@@ -87,6 +87,34 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts
+ AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases to the same user's clicks
+    within the following hour), both sides watermarked so join state is
+    bounded by the 2-hour event-time horizon — the canonical
+    bounded-state stream-stream join. With availableNow the whole table
+    arrives before any eviction, so the output is exactly the batch
+    interval join the oracle computes."""
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        stream_purchase_click_join,
+    )
+
+    return run_stream_to_memory(
+        stream_purchase_click_join(stream_events(spark, sf_dir)), "append"
+    )
+
+
+@query(
     "streaming_enriched_nation_totals",
     oracle="""
 SELECT n.n_name AS nation, c.c_mktsegment AS segment,

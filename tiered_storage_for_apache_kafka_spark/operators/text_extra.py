@@ -1,0 +1,202 @@
+"""Round-3 text-analysis operators: PMI collocations, PII scan/redact,
+per-source vocabulary growth.
+
+All three are scan-shaped or one-shuffle JVM-expression pipelines over
+the `documents` table — no Python UDFs anywhere; the 100 TB plan is the
+same plan that runs here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+PMI_MIN_COUNT = 5
+
+
+@query(
+    "pmi_bigram_collocations",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+), big AS (
+  SELECT pr[1] AS w1, pr[2] AS w2
+  FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr FROM toks)
+), uni AS (
+  SELECT unnest(l) AS w FROM toks
+), c1 AS (
+  SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2
+), n_uni AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni),
+   n_big AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM big)
+SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS pair_count,
+       ROUND(ln((b.c / (SELECT n FROM n_big))
+                / ((a.c / (SELECT n FROM n_uni))
+                   * (z.c / (SELECT n FROM n_uni)))), 4) + 0.0 AS pmi
+FROM c12 b
+JOIN c1 a ON a.w = b.w1
+JOIN c1 z ON z.w = b.w2
+WHERE b.c >= {PMI_MIN_COUNT}
+""",
+)
+def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: which word pairs
+    co-occur as consecutive bigrams more than chance — the classic
+    phrase-detection stage (word2vec's phrase pass, quality-signal
+    n-grams) of a corpus pipeline.
+
+    Plan shape: the shared cached token table feeds the bigram explode
+    (a narrow `transform` over each array — no shuffle) and the unigram
+    explode; each count is one map-side-combined agg keyed by words
+    (vocabulary-sized); the two unigram joins broadcast the vocab table;
+    the corpus totals are broadcast scalars. Nothing corpus-sized ever
+    shuffles twice. PMI itself is one double expression over integer
+    counts, ROUND(...,4) per the portability rules."""
+    from tiered_storage_for_apache_kafka_spark.operators.dedup import (
+        _maybe_broadcast,
+        tokens_cached,
+    )
+
+    toks = tokens_cached(spark, sf_dir)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("pr")
+    ).select("pr.w1", "pr.w2")
+    unigrams = toks.select(F.explode("toks").alias("w"))
+    c1 = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    c12 = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= PMI_MIN_COUNT)
+    )
+    n_uni = c1.agg(F.sum("c").cast("double").alias("n_uni"))
+    n_big = bigrams.agg(F.count(F.lit(1)).cast("double").alias("n_big"))
+    a = c1.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
+    z = c1.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))
+    return (
+        c12.join(_maybe_broadcast(a), "w1")
+        .join(_maybe_broadcast(z), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+            # `+ 0.0` normalizes IEEE negative zero: a PMI that rounds to
+            # -0.0 renders '-0.0' vs '0.0' across engines and flips the hash
+            (
+                F.round(
+                    F.log(
+                        (F.col("pair_count") / F.col("n_big"))
+                        / (
+                            (F.col("c_w1") / F.col("n_uni"))
+                            * (F.col("c_w2") / F.col("n_uni"))
+                        )
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround): email, NANP-ish phone, IPv4. Redaction chains in this
+# exact order on both engines so the md5 of the redacted text matches.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scan_redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact email/phone/IPv4 spans in `text_col`: pure JVM
+    regexp expressions, scan-shaped (no shuffle) — the standard PII
+    pass of a training-data pipeline. Returns the input plus per-kind
+    counts and the redacted text."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL, "[EMAIL]"),
+            PII_PHONE,
+            "[PHONE]",
+        ),
+        PII_IPV4,
+        "[IP]",
+    )
+    return docs.select(
+        "*",
+        F.regexp_count(F.col(text_col), F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(F.col(text_col), F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+        redacted.alias("redacted_text"),
+    )
+
+
+@query(
+    "pii_scan_redact",
+    oracle=rf"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(LEN(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(LEN(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_EMAIL}', '[EMAIL]', 'g'),
+           '{PII_PHONE}', '[PHONE]', 'g'),
+           '{PII_IPV4}', '[IP]', 'g')) AS redacted_md5
+FROM documents
+""",
+)
+def pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable PII pass over the documents table: per-kind span
+    counts plus the md5 of the redacted text (proving the rewrite itself
+    matches byte-for-byte across engines — on this synthetic corpus the
+    counts are legitimately zero and the md5 equals the original text's;
+    detection on PII-bearing text is pinned by tests/test_text_extra.py).
+    """
+    out = scan_redact_pii(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
+@query(
+    "source_vocab_growth",
+    oracle=r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_size,
+       ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6) AS type_token_ratio
+FROM toks GROUP BY source
+""",
+)
+def source_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics (the Heaps-law corpus health
+    check): token volume, exact distinct vocabulary, type/token ratio.
+    One explode + one agg with map-side partial distinct; at 100 TB the
+    exact COUNT(DISTINCT) becomes `approx_count_distinct` — the exact
+    form is kept here because the oracle must agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count_distinct("tok").cast("bigint").alias("vocab_size"),
+        F.round(F.count_distinct("tok") / F.count(F.lit(1)), 6).alias(
+            "type_token_ratio"
+        ),
+    )
