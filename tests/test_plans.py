@@ -433,3 +433,32 @@ def test_source_mixture_window_is_post_agg_only(spark):
     assert plan.count("SinglePartition") == 1
     exchanges = _exchange_inputs(df)
     assert exchanges and all("text#" not in e for e in exchanges)
+
+
+def test_q2_dims_broadcast_single_fact_shuffle(spark):
+    """Q2's supplier→nation→region chain and the part dim must broadcast;
+    the only shuffles are the (part, supplier) agg and its per-part
+    re-aggregation — never a fact-fact sort-merge join."""
+    plan = plan_of(QUERIES["q2_min_cost_supplier"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_semi_join_chain(spark):
+    plan = plan_of(QUERIES["q20_part_promotion"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_one_fact_scan_no_self_sort_merge_explosion(spark):
+    """The decorrelated Q21 reads lineitem once into one per-order agg;
+    the classic double self-join would show 3+ lineitem scans."""
+    plan = plan_of(QUERIES["q21_waiting_suppliers"](spark, SF))
+    assert plan.count("lineitem.parquet") <= 2  # lo + its reuse, not 3 self-joins
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_vocab_joins_broadcast(spark):
+    plan = plan_of(QUERIES["pmi_bigram_collocations"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # both unigram marginals
+    assert "CartesianProduct" not in plan or plan.count("BroadcastNestedLoopJoin") >= 2

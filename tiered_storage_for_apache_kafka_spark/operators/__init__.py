@@ -83,6 +83,8 @@ _DEMOTE = [
     "q22_sales_opportunity",
     "batch_grouping",
     "offsets_for_times",
+    # W6-variable got its green fix verdict in round 2; logic unchanged:
+    "chunk_index_variable",
 ]
 
 # Queries that have never had a driver verdict: splice them into the
@@ -124,6 +126,7 @@ _PROMOTE = [
     "q20_part_promotion",
     "q21_waiting_suppliers",
     "streaming_interval_join",
+    "streaming_tier_commit",
     "pmi_bigram_collocations",
     "pii_scan_redact",
     "source_vocab_growth",

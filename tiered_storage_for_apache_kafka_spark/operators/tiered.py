@@ -205,3 +205,61 @@ def datasource_offset_range_fetch(spark: SparkSession, sf_dir: str) -> DataFrame
         "partition",
         F.col("key").cast("string").alias("event_type"),
     )
+
+
+_STREAM_TIER_CACHE: dict[str, DataFrame] = {}
+
+
+@query(
+    "streaming_tier_commit",
+    oracle="""
+WITH assigned AS (
+  SELECT CAST(event_id % 4 AS INT) AS partition, event_id FROM events
+), seg AS (
+  SELECT partition,
+         CAST(FLOOR(rn / 500.0) AS BIGINT) AS seg_no,
+         COUNT(*) AS n_records,
+         MIN(event_id) AS start_offset,
+         MAX(event_id) AS end_offset
+  FROM (
+    SELECT partition, event_id,
+           ROW_NUMBER() OVER (PARTITION BY partition ORDER BY event_id) - 1 AS rn
+    FROM assigned
+  )
+  GROUP BY partition, CAST(FLOOR(rn / 500.0) AS BIGINT)
+)
+SELECT partition, start_offset, end_offset, n_records
+FROM seg
+""",
+)
+def streaming_tier_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING ingest lifecycle, end-to-end and driver-checked: the
+    event stream is tiered through `foreachBatch` (each micro-batch runs
+    the full byte engine executor-side and commits manifest rows to the
+    parquet manifest log, idempotently on segment_uuid with dynamic
+    batch_id partition overwrite — SURVEY.md §2.4 / I6). The query then
+    reads the manifest LOG back and emits per-segment boundaries, which
+    must equal the purely relational derivation of 500-record segments —
+    proving the streaming commit path writes exactly the segments the
+    batch path would. Parity: the reference's per-closed-segment upload
+    (`RemoteLogManager` task loop) expressed as Structured Streaming."""
+    cached = _STREAM_TIER_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        stream_tier_events,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream-tier-")
+    conf = manager_conf(os.path.join(root, "segments"), chunk_size=4096)
+    manifest_dir = os.path.join(root, "manifests")
+    checkpoint = os.path.join(root, "ckpt")
+    stream_tier_events(spark, sf_dir, conf, manifest_dir, checkpoint)
+    out = (
+        spark.read.parquet(manifest_dir)
+        .select("partition", "start_offset", "end_offset", "n_records")
+        .cache()
+    )
+    out.count()
+    _STREAM_TIER_CACHE[sf_dir] = out
+    return out

@@ -59,20 +59,41 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_to_memory(
-    df: DataFrame, output_mode: str, name: str | None = None
+    df: DataFrame,
+    output_mode: str,
+    name: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run an availableNow streaming query into a memory sink and return
-    the result table (batch DataFrame)."""
+    the result table (batch DataFrame).
+
+    ``state_partitions`` sizes the state-store layout: every stateful
+    streaming operator creates one state store PER shuffle partition (a
+    stream-stream join creates four), each with its own init/commit/
+    snapshot cost per micro-batch — so the partition count must track
+    state volume, not default to the session's (CPU-sized) shuffle
+    setting. For these bounded verification streams, 8 partitions cuts a
+    stream-stream join from ~7 s to ~2.5 s of pure store overhead; a
+    100 TB deployment sets it to O(executors), and the number is pinned
+    into the query's checkpoint at first start either way. The session
+    conf is restored after the query finishes."""
     spark = df.sparkSession
     name = name or f"mem_{_uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None and prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
