@@ -106,3 +106,34 @@ def test_mixture_weight_null_on_empty_source_and_no_overflow(spark):
     # floor(1e6 * 5e13 / (3 * 2.4e13)) = 694444
     assert out["huge"] == 694_444
     assert 0 < out["small"] <= MIXTURE_CAP_MICROS
+
+
+def test_incremental_dedup_keeps_majority_and_flags_near_dups(spark):
+    from tiered_storage_for_apache_kafka_spark.operators.curation import (
+        incremental_dedup_verdicts,
+    )
+
+    out = incremental_dedup_verdicts(spark, SF)
+    rows = out.collect()
+    assert rows, "no incoming docs"
+    verdicts = {r["verdict"] for r in rows}
+    assert verdicts <= {"keep", "drop_near", "drop_exact"}
+    # the synthetic corpus has heavy 5-gram overlap — some near-dups must
+    # trip, and no verdict may contradict its own evidence columns
+    for r in rows:
+        if r["verdict"] == "drop_exact":
+            assert r["is_exact_dup"] == 1
+        if r["verdict"] == "keep":
+            assert r["is_exact_dup"] == 0
+
+
+def test_quality_weighted_sample_rates_track_weights(spark):
+    from tiered_storage_for_apache_kafka_spark.operators.curation import (
+        quality_weighted_sample,
+    )
+
+    for r in quality_weighted_sample(spark, SF).collect():
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        expected = r["expected_keep_x256"] / 256.0
+        # realized keep count within a loose band of the expectation
+        assert abs(r["n_kept"] - expected) <= max(10, 0.5 * expected)

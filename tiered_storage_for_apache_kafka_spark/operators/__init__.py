@@ -83,8 +83,11 @@ _DEMOTE = [
     "q22_sales_opportunity",
     "batch_grouping",
     "offsets_for_times",
-    # W6-variable got its green fix verdict in round 2; logic unchanged:
+    # W6-variable / W8 got their green fix verdicts in round 2; logic
+    # unchanged since (sessionize likewise green r2):
     "chunk_index_variable",
+    "segment_offset_index",
+    "sessionize_events",
 ]
 
 # Queries that have never had a driver verdict: splice them into the
@@ -131,6 +134,8 @@ _PROMOTE = [
     "pii_scan_redact",
     "source_vocab_growth",
     "embedding_int8_quantize",
+    "incremental_dedup_verdicts",
+    "quality_weighted_sample",
 ]
 _PROMOTE_AFTER = "grouping_sets_order_mix"
 

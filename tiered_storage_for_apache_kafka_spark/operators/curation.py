@@ -468,3 +468,165 @@ def source_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_docs * weight_micros div 1000000").alias("expected_docs"),
         )
     )
+
+
+INCR_MOD = 7  # doc_id % 7 == 0 stands in for "the newly arrived batch"
+INCR_NEAR_SHARED = 8  # shared corpus 5-grams that make an arrival a near-dup
+
+
+@query(
+    "incremental_dedup_verdicts",
+    oracle=f"""
+WITH incoming AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {INCR_MOD} = 0
+), corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {INCR_MOD} <> 0
+), corpus_md5 AS (
+  SELECT DISTINCT md5(text) AS h FROM corpus
+), corpus_grams AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - {DECON_GRAM_WORDS - 1}, 1)),
+             i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+{DECON_GRAM_WORDS - 1}], ' ')
+           )) AS gram
+    FROM corpus)
+), incoming_grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - {DECON_GRAM_WORDS - 1}, 1)),
+             i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+{DECON_GRAM_WORDS - 1}], ' ')
+           )) AS gram
+    FROM incoming)
+), shared AS (
+  SELECT ig.doc_id, COUNT(*) AS n_shared_grams
+  FROM incoming_grams ig JOIN corpus_grams cg ON cg.gram = ig.gram
+  GROUP BY ig.doc_id
+)
+SELECT i.doc_id,
+       CASE WHEN cm.h IS NOT NULL THEN 1 ELSE 0 END AS is_exact_dup,
+       CAST(COALESCE(s.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+       CASE WHEN cm.h IS NOT NULL THEN 'drop_exact'
+            WHEN COALESCE(s.n_shared_grams, 0) >= {INCR_NEAR_SHARED} THEN 'drop_near'
+            ELSE 'keep' END AS verdict
+FROM incoming i
+LEFT JOIN corpus_md5 cm ON cm.h = md5(i.text)
+LEFT JOIN shared s ON s.doc_id = i.doc_id
+""",
+)
+def incremental_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch-vs-corpus) deduplication — the verdict pass
+    a CONTINUOUSLY-growing training corpus runs on every arriving batch:
+    exact content match against the historical corpus, plus near-dup via
+    shared word-5-gram count, folded into a keep/drop verdict per
+    arrival. (Docs with doc_id % {INCR_MOD} == 0 stand in for the batch.)
+
+    100 TB shape — the corpus NEVER self-joins and never broadcasts:
+    the arriving batch is the small side everywhere. Exact: the corpus's
+    md5 projection (16 B/doc) shuffle-joins the batch on content hash
+    (AQE handles the asymmetry; no hint, the batch side auto-broadcasts
+    when it fits). Near-dup: the corpus gram inventory is reduced to
+    DISTINCT grams once (map-side combine), then joined by the batch's
+    exploded grams — per-gram matches, grouped per arrival. In
+    production the corpus sides are precomputed incremental state
+    (today's corpus hashes = yesterday's + yesterday's keeps), so the
+    per-batch cost is batch-sized, not corpus-sized."""
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
+    incoming = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    n = DECON_GRAM_WORDS
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        return (
+            toks.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+                        f"i -> array_join(slice(toks, i, {n}), ' '))"
+                    )
+                ).alias("gram"),
+            )
+            .distinct()
+        )
+
+    corpus_md5 = corpus.select(F.md5("text").alias("h")).distinct()
+    corpus_grams = grams(corpus).select("gram").distinct()
+    incoming_grams = grams(incoming)
+    shared = (
+        corpus_grams.join(F.broadcast(incoming_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    inc = incoming.select("doc_id", F.md5("text").alias("h_in"))
+    return (
+        inc.join(corpus_md5, inc.h_in == corpus_md5.h, "left")
+        .join(shared.withColumnRenamed("doc_id", "s_doc"),
+              F.col("doc_id") == F.col("s_doc"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("h").isNotNull(), 1).otherwise(0).alias("is_exact_dup"),
+            F.coalesce("n_shared_grams", F.lit(0)).cast("bigint").alias("n_shared_grams"),
+            F.when(F.col("h").isNotNull(), "drop_exact")
+            .when(
+                F.coalesce("n_shared_grams", F.lit(0)) >= INCR_NEAR_SHARED,
+                "drop_near",
+            )
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
+
+
+QW_CHAR_CAP = 2000  # chars at which the quality weight saturates at 1.0
+
+
+@query(
+    "quality_weighted_sample",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         (LEAST(n_chars, {QW_CHAR_CAP}) * 256) // {QW_CHAR_CAP} AS thr,
+         {_bucket_sql("md5(CAST(doc_id AS VARCHAR))")} AS bucket
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN bucket < thr THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       CAST(SUM(thr) AS BIGINT) AS expected_keep_x256
+FROM w GROUP BY lang
+""",
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted (importance) sampling: each document is kept with
+    probability proportional to a quality proxy (here: saturating length
+    weight, the DCLM/FineWeb-style score stand-in), decided
+    DETERMINISTICALLY by comparing the doc's stable md5 bucket against an
+    integer threshold — reproducible across runs/engines, no RNG state.
+    `expected_keep_x256` (the sum of thresholds) lets the consumer audit
+    realized-vs-expected keep rates per stratum.
+
+    Scan-shaped: per-row integer arithmetic (`(LEAST(chars,cap)*256) div
+    cap` — exact in both engines) plus one low-cardinality aggregation;
+    no joins, no corpus shuffle. At 100 TB the weight column would come
+    from a model-scored table instead; the decision rule is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(f"(LEAST(n_chars, {QW_CHAR_CAP}) * 256) div {QW_CHAR_CAP}").alias("thr"),
+        F.expr(_bucket_expr("md5(CAST(doc_id AS STRING))")).alias("bucket"),
+    )
+    kept = F.col("bucket") < F.col("thr")
+    return w.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.sum("thr").cast("bigint").alias("expected_keep_x256"),
+    )
