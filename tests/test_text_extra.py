@@ -90,3 +90,13 @@ def test_vocab_growth_ttr_bounds(spark):
     for r in QUERIES["source_vocab_growth"](spark, SF).collect():
         assert 0 < r["vocab_size"] <= r["n_tokens"]
         assert 0.0 < r["type_token_ratio"] <= 1.0
+
+
+def test_cms_never_underestimates_and_is_tight_here(spark):
+    """The count-min property: estimate >= truth for EVERY token; on this
+    small vocab the 4x256 grid should also be nearly exact."""
+    rows = QUERIES["heavy_hitters_cms"](spark, SF).collect()
+    assert rows, "no heavy hitters found"
+    for r in rows:
+        assert r["overestimate"] >= 0  # one-sided error, always
+        assert r["cms_estimate"] >= r["true_count"]

@@ -84,10 +84,12 @@ _DEMOTE = [
     "batch_grouping",
     "offsets_for_times",
     # W6-variable / W8 got their green fix verdicts in round 2; logic
-    # unchanged since (sessionize likewise green r2):
+    # unchanged since (sessionize/asof/range-join likewise green r2):
     "chunk_index_variable",
     "segment_offset_index",
     "sessionize_events",
+    "asof_latest_order_per_event",
+    "range_join_purchase_window",
 ]
 
 # Queries that have never had a driver verdict: splice them into the
@@ -136,6 +138,8 @@ _PROMOTE = [
     "embedding_int8_quantize",
     "incremental_dedup_verdicts",
     "quality_weighted_sample",
+    "streaming_session_windows",
+    "heavy_hitters_cms",
 ]
 _PROMOTE_AFTER = "grouping_sets_order_mix"
 

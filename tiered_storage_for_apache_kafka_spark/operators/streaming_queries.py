@@ -86,6 +86,61 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(counts, "complete")
 
 
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6 hours, matching stream gap
+
+
+@query(
+    "streaming_session_windows",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), ordered AS (
+  SELECT user_id, ts_us,
+         LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us
+  FROM base
+), flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_break
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts_us,
+         SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in streaming session windows (gap-based merging state) per
+    user — Spark's native `session_window` operator running as a real
+    streaming aggregation. The batch oracle is the classic
+    islands-and-gaps derivation in MICROsecond arithmetic; the break
+    condition is `diff >= gap` because two events exactly `gap` apart do
+    NOT merge (each event's window is the half-open [ts, ts+gap)).
+    Complete output mode: the memory sink holds the final merged
+    sessions, deterministic under availableNow."""
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        stream_session_windows,
+    )
+    from pyspark.sql import functions as F
+
+    out = run_stream_to_memory(
+        stream_session_windows(stream_events(spark, sf_dir)), "complete"
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+    )
+
+
 @query(
     "streaming_interval_join",
     oracle="""

@@ -1,8 +1,8 @@
 """Round-3 text-analysis operators: PMI collocations, PII scan/redact,
-per-source vocabulary growth.
+per-source vocabulary growth, count-min heavy hitters.
 
-All three are scan-shaped or one-shuffle JVM-expression pipelines over
-the `documents` table — no Python UDFs anywhere; the 100 TB plan is the
+All are scan-shaped or one-shuffle JVM-expression pipelines over the
+`documents` table — no Python UDFs anywhere; the 100 TB plan is the
 same plan that runs here.
 """
 
@@ -199,4 +199,123 @@ def source_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count_distinct("tok") / F.count(F.lit(1)), 6).alias(
             "type_token_ratio"
         ),
+    )
+
+
+CMS_ROWS = 4  # independent hash rows
+CMS_WIDTH = 256  # buckets per row (two md5 hex digits)
+CMS_MIN_TRUE = 50  # report tokens at/above this true frequency
+
+
+def _cms_bucket_sql(i: int, tok: str) -> str:
+    """DuckDB 0..255 bucket for hash row i (salted md5, strpos math)."""
+    h = f"md5('r{i}|' || {tok})"
+    return (
+        f"(strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16 + "
+        f"(strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+    )
+
+
+def _cms_bucket_expr(i: int, tok: str) -> str:
+    """Spark twin of :func:`_cms_bucket_sql` (locate is 1-based too)."""
+    h = f"md5(concat('r{i}|', {tok}))"
+    return (
+        f"(locate(substr({h}, 1, 1), '0123456789abcdef') - 1) * 16 + "
+        f"(locate(substr({h}, 2, 1), '0123456789abcdef') - 1)"
+    )
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+), cells AS (
+  SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    {" UNION ALL ".join(f"SELECT {i} AS row_id, {_cms_bucket_sql(i, 'tok')} AS bucket FROM toks" for i in range(CMS_ROWS))}
+  ) GROUP BY row_id, bucket
+), truth AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM toks GROUP BY tok HAVING COUNT(*) >= {CMS_MIN_TRUE}
+), est AS (
+  SELECT t.tok, t.true_count, MIN(c.c) AS cms_estimate
+  FROM truth t
+  JOIN cells c
+    ON (c.row_id = 0 AND c.bucket = {_cms_bucket_sql(0, 't.tok')})
+    OR (c.row_id = 1 AND c.bucket = {_cms_bucket_sql(1, 't.tok')})
+    OR (c.row_id = 2 AND c.bucket = {_cms_bucket_sql(2, 't.tok')})
+    OR (c.row_id = 3 AND c.bucket = {_cms_bucket_sql(3, 't.tok')})
+  GROUP BY t.tok, t.true_count
+)
+SELECT tok, true_count, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - true_count AS BIGINT) AS overestimate
+FROM est
+""",
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection through a count-min sketch — the mergeable
+    fixed-size frequency summary a 100 TB pipeline keeps INSTEAD of the
+    exact vocabulary: each mapper folds its tokens into a {CMS_ROWS}x{CMS_WIDTH}
+    integer grid (map-side combine on (row, bucket) — the sketch IS the
+    aggregation state, corpus never shuffles raw tokens), grids merge by
+    cell-wise addition, and any token's frequency is estimated as the
+    min over its {CMS_ROWS} salted-hash cells — never an underestimate.
+    The query emits estimate-vs-truth for every token at/above
+    {CMS_MIN_TRUE} occurrences so the one-sided error is auditable
+    (`overestimate >= 0` always, pinned in tests). Hashing is salted md5
+    reduced by locate/strpos arithmetic — bit-identical across engines.
+    """
+    from tiered_storage_for_apache_kafka_spark.operators.dedup import tokens_cached
+
+    toks = tokens_cached(spark, sf_dir).select(F.explode("toks").alias("tok"))
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row_id"),
+                            F.expr(_cms_bucket_expr(i, "tok")).alias("bucket"),
+                        )
+                        for i in range(CMS_ROWS)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy("cell.row_id", "cell.bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    truth = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+        .filter(F.col("true_count") >= CMS_MIN_TRUE)
+    )
+    probes = truth.select(
+        "tok",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"),
+                        F.expr(_cms_bucket_expr(i, "tok")).alias("bucket"),
+                    )
+                    for i in range(CMS_ROWS)
+                ]
+            )
+        ).alias("probe"),
+    ).select("tok", "true_count", "probe.row_id", "probe.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["row_id", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "tok",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
     )
