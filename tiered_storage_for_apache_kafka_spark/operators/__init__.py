@@ -90,6 +90,10 @@ _DEMOTE = [
     "sessionize_events",
     "asof_latest_order_per_event",
     "range_join_purchase_window",
+    # minor-unit fix family: green verdicts recorded in r2, and the
+    # family stays represented in-window by q17/moving_window/cube:
+    "topk_orders_per_priority",
+    "rollup_pricing",
 ]
 
 # Queries that have never had a driver verdict: splice them into the
@@ -140,6 +144,8 @@ _PROMOTE = [
     "quality_weighted_sample",
     "streaming_session_windows",
     "heavy_hitters_cms",
+    "semantic_decontamination",
+    "quality_decile_stats",
 ]
 _PROMOTE_AFTER = "grouping_sets_order_mix"
 

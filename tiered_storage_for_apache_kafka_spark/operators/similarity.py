@@ -597,3 +597,79 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rmse_r"),
     )
+
+
+SEMDECON_BENCH_MOD = 97  # vec_id % 97 == 0 stands in for the eval-set vectors
+SEMDECON_TAU = 0.2  # cosine above this = semantically contaminated (low
+# enough to produce non-trivial flags on the synthetic corpus at sf0.01)
+
+
+@query(
+    "semantic_decontamination",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), sigs AS (
+  SELECT vec_id, emb, {_signature_sql()} AS bucket FROM vecs
+), corpus AS (
+  SELECT * FROM sigs WHERE vec_id % {SEMDECON_BENCH_MOD} <> 0
+), bench AS (
+  SELECT * FROM sigs WHERE vec_id % {SEMDECON_BENCH_MOD} = 0
+), hits AS (
+  SELECT c.vec_id,
+         ROUND(list_dot_product(c.emb, b.emb)
+               / (sqrt(list_dot_product(c.emb, c.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
+  FROM corpus c JOIN bench b ON b.bucket = c.bucket
+)
+SELECT vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+       MAX(cos) AS max_cosine
+FROM hits WHERE cos >= {SEMDECON_TAU}
+GROUP BY vec_id
+""",
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination — the SEMANTIC sibling of
+    the lexical `benchmark_decontamination`: flag corpus vectors whose
+    cosine against ANY benchmark vector (vec_id % {SEMDECON_BENCH_MOD}
+    == 0 stands in for the eval suite) reaches {SEMDECON_TAU}, the leak
+    mode 5-gram overlap misses (paraphrases, translations, near-copies).
+
+    100 TB shape: the same random-hyperplane LSH blocking as the
+    embedding dedup family — candidate pairs share a bucket, never
+    all-pairs — with the decontamination asymmetry exploited: the bench
+    side is tiny by construction, so its signed signatures BROADCAST and
+    the corpus never shuffles at all (scan → bucket → broadcast-join →
+    per-vector aggregate; map-side combine on vec_id). Per-pair cosines
+    are rounded to 4 before MAX on both engines (portability rules)."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    )
+    sigs = vecs.select(
+        "vec_id", "emb", F.expr(_signature_spark()).alias("bucket")
+    )
+    corpus = sigs.filter(F.col("vec_id") % SEMDECON_BENCH_MOD != 0)
+    bench = sigs.filter(F.col("vec_id") % SEMDECON_BENCH_MOD == 0).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        "bucket",
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="emb", b="b_emb"))
+        / (
+            F.sqrt(F.expr(_DOT.format(a="emb", b="emb")))
+            * F.sqrt(F.expr(_DOT.format(a="b_emb", b="b_emb")))
+        ),
+        4,
+    )
+    return (
+        corpus.join(F.broadcast(bench), "bucket")
+        .select("vec_id", cos.alias("cos"))
+        .filter(F.col("cos") >= SEMDECON_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bench_matches"),
+            F.max("cos").alias("max_cosine"),
+        )
+    )

@@ -319,3 +319,62 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+N_QUALITY_DECILES = 10
+
+
+@query(
+    "quality_decile_stats",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq
+), scored AS (
+  SELECT t.doc_id, ln((SELECT n FROM tot) / f.c) AS nll
+  FROM toks t JOIN freq f ON f.tok = t.tok
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(nll), 4) AS avg_nll
+  FROM scored GROUP BY doc_id
+), tiled AS (
+  SELECT *, NTILE({N_QUALITY_DECILES}) OVER (ORDER BY avg_nll, doc_id) AS decile
+  FROM per_doc
+)
+SELECT CAST(decile AS INT) AS decile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(avg_nll) AS min_avg_nll,
+       MAX(avg_nll) AS max_avg_nll
+FROM tiled GROUP BY decile
+""",
+)
+def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter bucketing: rank every document by its unigram-LM
+    quality score (avg negative log-likelihood) and cut the corpus into
+    deciles — the CCNet head/middle/tail partitioning generalized to 10
+    buckets, reporting each bucket's volume and score range so a
+    pipeline can pick its keep-band.
+
+    The NTILE here is a single global window ordered by (score, doc_id)
+    — exact and engine-identical, but a one-partition sort at 100 TB. At
+    scale the cut points come from `approxQuantile` on the score column
+    (one pass, mergeable sketches) and the decile assignment becomes a
+    narrow map against the broadcast boundaries; the exact window form
+    is kept here because the oracle must agree row-for-row."""
+    from tiered_storage_for_apache_kafka_spark.operators.text import (
+        unigram_logprob_quality,
+    )
+    from pyspark.sql import Window
+
+    per_doc = unigram_logprob_quality(spark, sf_dir)
+    w = Window.orderBy("avg_nll", "doc_id")
+    tiled = per_doc.withColumn("decile", F.ntile(N_QUALITY_DECILES).over(w))
+    return tiled.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("avg_nll").alias("min_avg_nll"),
+        F.max("avg_nll").alias("max_avg_nll"),
+    )
