@@ -94,6 +94,8 @@ _DEMOTE = [
     # family stays represented in-window by q17/moving_window/cube:
     "topk_orders_per_priority",
     "rollup_pricing",
+    "grouping_sets_order_mix",
+    "top_supplier_per_part",
 ]
 
 # Queries that have never had a driver verdict: splice them into the
@@ -146,8 +148,13 @@ _PROMOTE = [
     "heavy_hitters_cms",
     "semantic_decontamination",
     "quality_decile_stats",
+    "chunk_documents_overlap",
+    "source_overlap_matrix",
 ]
-_PROMOTE_AFTER = "grouping_sets_order_mix"
+# anchor must be a query that is neither promoted nor demoted, early in
+# registration order, so the promote block lands inside the driver's
+# 50-query sample prefix
+_PROMOTE_AFTER = "streaming_enriched_nation_totals"
 
 
 def _reorder() -> None:

@@ -630,3 +630,154 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_chars"),
         F.sum("thr").cast("bigint").alias("expected_keep_x256"),
     )
+
+
+CHUNK_TOKENS = 64  # max tokens per training chunk
+CHUNK_OVERLAP = 8  # tokens shared between consecutive chunks
+
+
+@query(
+    "chunk_documents_overlap",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+), chunks AS (
+  SELECT doc_id,
+         CAST(c.c AS INT) AS chunk_id,
+         l[c.c * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+           c.c * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}] AS chunk
+  FROM toks
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(0, GREATEST(CAST(ceil((len(l) - {CHUNK_OVERLAP})
+               / {CHUNK_TOKENS - CHUNK_OVERLAP}.0) AS INT), 1))) AS c
+  ) c
+)
+SELECT doc_id, chunk_id,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM chunks WHERE len(chunk) > 0
+""",
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split every document into
+    {CHUNK_TOKENS}-token training chunks with {CHUNK_OVERLAP} tokens of
+    overlap between consecutive chunks — the splitter side of sequence
+    preparation (pack_sequences is the merger side): long docs become
+    multiple windows, context is preserved across cut points.
+
+    Scan-shaped: the chunk windows are a `transform` over each doc's
+    token array (stride = chunk - overlap) followed by one explode — no
+    shuffle, no Python; identity of each chunk is the md5 of its joined
+    tokens so the oracle verifies the exact slicing. At 100 TB this is
+    the same narrow map over however many partitions the scan yields."""
+    from tiered_storage_for_apache_kafka_spark.operators.dedup import tokens_cached
+
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    toks = tokens_cached(spark, sf_dir)
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, int(greatest(ceil((size(toks) - {CHUNK_OVERLAP}) / {stride}.0), 1)) - 1), "
+                f"c -> struct(c AS chunk_id, slice(toks, c * {stride} + 1, {CHUNK_TOKENS}) AS chunk))"
+            )
+        ).alias("w"),
+    ).select(
+        "doc_id",
+        F.col("w.chunk_id").cast("int").alias("chunk_id"),
+        F.col("w.chunk").alias("chunk"),
+    )
+    return chunks.filter(F.size("chunk") > 0).select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
+
+
+OVERLAP_GRAM_WORDS = 8  # discriminative long grams for cross-source overlap
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+WITH hashes AS (
+  SELECT DISTINCT source, md5(text) AS h FROM documents
+), exact_pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_docs
+  FROM hashes a JOIN hashes b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+), grams AS (
+  SELECT DISTINCT source, gram FROM (
+    SELECT source,
+           unnest(list_transform(
+             generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - {OVERLAP_GRAM_WORDS - 1}, 1)),
+             i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+{OVERLAP_GRAM_WORDS - 1}], ' ')
+           )) AS gram
+    FROM documents)
+), gram_pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_grams
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT g.source_a, g.source_b,
+       CAST(COALESCE(e.n_shared_docs, 0) AS BIGINT) AS n_shared_docs,
+       CAST(g.n_shared_grams AS BIGINT) AS n_shared_grams
+FROM gram_pairs g
+LEFT JOIN exact_pairs e
+  ON e.source_a = g.source_a AND e.source_b = g.source_b
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, how
+    many identical documents (content hash) AND how many distinct word
+    {OVERLAP_GRAM_WORDS}-grams they share — the dataset diagnostic that
+    tells you two crawls/dumps overlap BEFORE you pay for pairwise
+    near-dup passes between them.
+
+    Plan: exact side is one distinct (source, md5) projection — 16 bytes
+    + source key per doc, text pruned at the scan — self-equi-joined on
+    the hash (matching groups are true duplicates, so output is bounded
+    by duplicate mass, never |corpus|²). Gram side is a distinct
+    (source, gram) inverted index self-joined on gram: each gram's group
+    is at most |sources| rows, so the pair fan-out is bounded by
+    |grams|x|sources|², independent of corpus row count. The final
+    matrix is |sources|² at most."""
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
+    n = OVERLAP_GRAM_WORDS
+    hashes = docs.select("source", F.md5("text").alias("h")).distinct()
+    ha = hashes.select(F.col("source").alias("source_a"), "h")
+    hb = hashes.select(F.col("source").alias("source_b"), "h")
+    exact = (
+        ha.join(hb, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+    )
+    toks = docs.select("source", F.split(F.trim("text"), r"\s+").alias("toks"))
+    grams = (
+        toks.select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+                    f"i -> array_join(slice(toks, i, {n}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    ga = grams.select(F.col("source").alias("source_a"), "gram")
+    gb = grams.select(F.col("source").alias("source_b"), "gram")
+    gram_pairs = (
+        ga.join(gb, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return gram_pairs.join(exact, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce("n_shared_docs", F.lit(0)).cast("bigint").alias("n_shared_docs"),
+        F.col("n_shared_grams").cast("bigint").alias("n_shared_grams"),
+    )
