@@ -121,3 +121,23 @@ def test_promoted_queries_inside_driver_sample_window():
     ]
     missing = [n for n in flagship + ops._PROMOTE if n in names and n not in window]
     assert not missing, f"outside the 50-query sample window: {missing}"
+
+
+def test_sq8_recall_high_and_bounded(spark):
+    rows = QUERIES["sq8_recall_at_k"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= r["k"]
+    # int8 reconstruction should preserve most of the exact top-k
+    assert sum(r["n_overlap"] for r in rows) >= 0.8 * sum(r["k"] for r in rows)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    rows = QUERIES["minhash_jaccard_audit"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+    # 8-hash estimator: mean absolute error should be moderate, not random
+    mae = sum(abs(r["est_jaccard"] - r["exact_jaccard"]) for r in rows) / len(rows)
+    assert mae < 0.35

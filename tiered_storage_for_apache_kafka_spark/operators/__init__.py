@@ -153,6 +153,8 @@ _PROMOTE = [
     "quality_decile_stats",
     "chunk_documents_overlap",
     "source_overlap_matrix",
+    "sq8_recall_at_k",
+    "minhash_jaccard_audit",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's

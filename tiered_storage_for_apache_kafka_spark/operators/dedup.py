@@ -954,3 +954,99 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_end", "span_tokens", "n_windows")
     )
+
+
+@query(
+    "minhash_jaccard_audit",
+    oracle=_BANDS_CTE
+    + f"""
+, est AS (
+  SELECT c.doc_a, c.doc_b,
+         COUNT(CASE WHEN ha.minhash = hb.minhash THEN 1 END) AS est_matches
+  FROM cand c
+  JOIN hashes ha ON ha.doc_id = c.doc_a
+  JOIN hashes hb ON hb.doc_id = c.doc_b AND hb.hash_id = ha.hash_id
+  GROUP BY c.doc_a, c.doc_b
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+, inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT e.doc_a, e.doc_b,
+       CAST(e.est_matches AS BIGINT) AS est_matches,
+       ROUND(e.est_matches / {N_HASHES}.0, 6) AS est_jaccard,
+       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (na.n + nb.n - COALESCE(i.n_inter, 0)), 6) AS exact_jaccard
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes na ON na.doc_id = e.doc_a
+JOIN sizes nb ON nb.doc_id = e.doc_b
+""",
+)
+def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit for the MinHash family: for every LSH
+    candidate pair, the MinHash-ESTIMATED Jaccard (matching minhashes /
+    {N_HASHES}) next to the EXACT shingle Jaccard — the calibration
+    report that tells you whether {N_HASHES} hashes suffice before you
+    trust the estimator at 100 TB (where computing the exact value for
+    every pair is precisely what MinHash exists to avoid).
+
+    Plan: the wide signature table (one agg pass) joins the candidate
+    set twice (broadcast — candidates are the near-dup sliver); the
+    estimate is {N_HASHES} column comparisons per pair, no explode. The
+    exact side reuses the shared cached shingle table with the same
+    candidate-pruned intersection join as `dedup_minhash_lsh`."""
+    sh = _shingles_cached(spark, sf_dir)
+    wide = _wide_signatures(sh)
+    cand = _candidates_from_bands(_bands_from_wide(wide))
+    cand, small = _gate_small(cand)
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    est_matches = sum(
+        (
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(N_HASHES)
+        ),
+        start=F.lit(0),
+    )
+    est = (
+        (F.broadcast(cand) if small else cand)
+        .join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", est_matches.alias("est_matches"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(F.broadcast(cand) if small else cand, "doc_a")
+        .join(_semi_prune(sb, cand, small, "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    n_inter = F.coalesce("n_inter", F.lit(0))
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("est_matches").cast("bigint").alias("est_matches"),
+            F.round(F.col("est_matches") / N_HASHES, 6).alias("est_jaccard"),
+            F.round(
+                n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter), 6
+            ).alias("exact_jaccard"),
+        )
+    )

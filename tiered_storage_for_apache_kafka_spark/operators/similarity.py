@@ -673,3 +673,117 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cos").alias("max_cosine"),
         )
     )
+
+
+@query(
+    "sq8_recall_at_k",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), coded AS (
+  SELECT vec_id, e,
+         list_transform(e, x -> round(x / list_max(list_transform(e, v -> abs(v))) * 127)
+                               * list_max(list_transform(e, v -> abs(v))) / 127) AS r
+  FROM vecs WHERE list_max(list_transform(e, v -> abs(v))) > 0
+), q AS (
+  SELECT vec_id AS query_id, e AS qe, r AS qr FROM coded WHERE vec_id < {N_QUERIES}
+), exact_rk AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           ROUND(list_dot_product(qe, e)
+                 / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 4) DESC,
+           vec_id ASC) AS rnk
+  FROM q JOIN coded ON vec_id != query_id
+), quant_rk AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           ROUND(list_dot_product(qr, r)
+                 / (sqrt(list_dot_product(qr, qr)) * sqrt(list_dot_product(r, r))), 4) DESC,
+           vec_id ASC) AS rnk
+  FROM q JOIN coded ON vec_id != query_id
+)
+SELECT e.query_id,
+       CAST(COUNT(qk.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST({TOP_K} AS BIGINT) AS k
+FROM exact_rk e
+LEFT JOIN quant_rk qk
+  ON qk.query_id = e.query_id AND qk.neighbor_id = e.neighbor_id
+ AND qk.rnk <= {TOP_K}
+WHERE e.rnk <= {TOP_K}
+GROUP BY e.query_id
+""",
+)
+def sq8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-quality evaluation: recall@{TOP_K} of int8 scalar
+    quantization — for each query vector, how many of the exact-cosine
+    top-{TOP_K} neighbors survive when every vector is replaced by its
+    SQ8 reconstruction (`round(x/scale*127) * scale/127`). This is the
+    acceptance gate an ANN pipeline runs before committing to a
+    compressed index: recall ≈ k/k ⇒ 4x smaller index at no ranking
+    cost.
+
+    Plan: queries broadcast twice (exact and reconstructed forms) over
+    one corpus scan that computes both representations in the same
+    projection — two windowed top-k rankings, one per-query overlap
+    count. Rankings order by ROUND(cos,4) with vec_id tiebreak so both
+    engines rank identically; the reconstruction arithmetic is written
+    with the identical op order on both sides."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    coded = vecs.filter(
+        F.expr("array_max(transform(e, v -> abs(v)))") > 0
+    ).select(
+        "vec_id",
+        "e",
+        F.expr(
+            "transform(e, x -> round(x / array_max(transform(e, v -> abs(v))) * 127)"
+            " * array_max(transform(e, v -> abs(v))) / 127)"
+        ).alias("r"),
+    )
+    q = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("r").alias("qr"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(coded)
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+
+    def ranked(a: str, b: str) -> DataFrame:
+        cos = F.round(
+            F.expr(_DOT.format(a=a, b=b))
+            / (
+                F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+                * F.sqrt(F.expr(_DOT.format(a=b, b=b)))
+            ),
+            4,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            cos.desc(), F.col("vec_id").asc()
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    exact = ranked("qe", "e")
+    quant = ranked("qr", "r").select(
+        F.col("query_id").alias("q_query"), F.col("neighbor_id").alias("q_neighbor")
+    )
+    return (
+        exact.join(
+            quant,
+            (F.col("query_id") == F.col("q_query"))
+            & (F.col("neighbor_id") == F.col("q_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("q_neighbor").cast("bigint").alias("n_overlap"),
+            F.lit(TOP_K).cast("bigint").alias("k"),
+        )
+    )
