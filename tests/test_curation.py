@@ -137,3 +137,27 @@ def test_quality_weighted_sample_rates_track_weights(spark):
         expected = r["expected_keep_x256"] / 256.0
         # realized keep count within a loose band of the expectation
         assert abs(r["n_kept"] - expected) <= max(10, 0.5 * expected)
+
+
+def test_bloom_never_misses_a_true_duplicate(spark):
+    """The one-sided Bloom property: every exact duplicate must be in the
+    maybe set — n_maybe >= n_true_dups, and false positives are exactly
+    the surplus."""
+    from tiered_storage_for_apache_kafka_spark.operators.curation import (
+        bloom_prefilter_audit,
+    )
+
+    [r] = bloom_prefilter_audit(spark, SF).collect()
+    assert r["n_maybe"] >= r["n_true_dups"]
+    assert r["n_false_positives"] == r["n_maybe"] - r["n_true_dups"]
+    assert 0 <= r["n_maybe"] <= r["n_incoming"]
+
+
+def test_funnel_is_monotone_decreasing(spark):
+    from tiered_storage_for_apache_kafka_spark.operators.sessions import (
+        funnel_conversion,
+    )
+
+    [r] = funnel_conversion(spark, SF).collect()
+    assert r["n_users"] >= r["n_viewed"] >= r["n_clicked_after"] >= r["n_purchased_after"]
+    assert r["n_purchased_after"] > 0  # dense synthetic events: funnel completes

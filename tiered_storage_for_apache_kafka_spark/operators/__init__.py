@@ -155,6 +155,8 @@ _PROMOTE = [
     "source_overlap_matrix",
     "sq8_recall_at_k",
     "minhash_jaccard_audit",
+    "bloom_prefilter_audit",
+    "funnel_conversion",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's

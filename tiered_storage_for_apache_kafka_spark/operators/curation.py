@@ -781,3 +781,110 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_shared_docs", F.lit(0)).cast("bigint").alias("n_shared_docs"),
         F.col("n_shared_grams").cast("bigint").alias("n_shared_grams"),
     )
+
+
+BLOOM_BITS_LOG2 = 16  # m = 65536 bit positions
+BLOOM_K = 4  # hash functions per key
+
+
+def _bloom_pos_sql(i: int, key: str) -> str:
+    """DuckDB bit position i for a key: 4 salted-md5 hex digits mod 2^16."""
+    h = f"md5('b{i}|' || {key})"
+    return (
+        f"((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096 + "
+        f"(strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256 + "
+        f"(strpos('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16 + "
+        f"(strpos('0123456789abcdef', substr({h}, 4, 1)) - 1))"
+    )
+
+
+def _bloom_pos_expr(i: int, key: str) -> str:
+    h = f"md5(concat('b{i}|', {key}))"
+    return (
+        f"((locate(substr({h}, 1, 1), '0123456789abcdef') - 1) * 4096 + "
+        f"(locate(substr({h}, 2, 1), '0123456789abcdef') - 1) * 256 + "
+        f"(locate(substr({h}, 3, 1), '0123456789abcdef') - 1) * 16 + "
+        f"(locate(substr({h}, 4, 1), '0123456789abcdef') - 1))"
+    )
+
+
+@query(
+    "bloom_prefilter_audit",
+    oracle=f"""
+WITH incoming AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % {INCR_MOD} = 0
+), corpus AS (
+  SELECT md5(text) AS h FROM documents WHERE doc_id % {INCR_MOD} <> 0
+), bits AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos_sql(i, 'h')} AS pos FROM corpus" for i in range(BLOOM_K))}
+  )
+), probes AS (
+  SELECT doc_id, h, pos FROM (
+    {" UNION ALL ".join(f"SELECT doc_id, h, {_bloom_pos_sql(i, 'h')} AS pos FROM incoming" for i in range(BLOOM_K))}
+  )
+), maybe AS (
+  SELECT p.doc_id, p.h
+  FROM probes p JOIN bits b ON b.pos = p.pos
+  GROUP BY p.doc_id, p.h HAVING COUNT(*) >= {BLOOM_K}
+), truth AS (
+  SELECT DISTINCT i.doc_id FROM incoming i JOIN corpus c ON c.h = i.h
+)
+SELECT CAST((SELECT COUNT(*) FROM incoming) AS BIGINT) AS n_incoming,
+       CAST((SELECT COUNT(*) FROM maybe) AS BIGINT) AS n_maybe,
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_dups,
+       CAST((SELECT COUNT(*) FROM maybe m
+             WHERE m.doc_id NOT IN (SELECT doc_id FROM truth)) AS BIGINT)
+         AS n_false_positives
+""",
+)
+def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-filter audit for incremental dedup: the corpus's
+    content hashes populate a {BLOOM_K}-hash / 2^{BLOOM_BITS_LOG2}-bit
+    Bloom filter; arriving docs probe it; the report compares
+    filter-maybe against exact membership — n_false_positives is what
+    the filter costs in unnecessary exact checks, and (guaranteed by the
+    one-sided Bloom property, pinned in tests) no true duplicate is ever
+    missed. At 100 TB this is THE standard shape: the bit set is
+    kilobytes broadcast to every executor, so the arriving batch joins a
+    broadcast bitmap instead of shuffling against the corpus hash table;
+    only the maybe-sliver pays the exact join.
+
+    Portability: bit positions are salted-md5 hex-digit arithmetic
+    (locate/strpos), bit-identical across engines; set bits are modeled
+    relationally as a DISTINCT position table, so the 'all k bits set'
+    probe is a join + count — no engine-specific bitmap type."""
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
+    incoming = docs.filter(F.col("doc_id") % INCR_MOD == 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0).select(
+        F.md5("text").alias("h")
+    )
+    pos_arr = lambda: F.array(
+        *[F.expr(_bloom_pos_expr(i, "h")) for i in range(BLOOM_K)]
+    )
+    bits = (
+        corpus.select(F.explode(pos_arr()).alias("pos")).distinct()
+    )
+    probes = incoming.select(
+        "doc_id", "h", F.explode(pos_arr()).alias("pos")
+    )
+    maybe = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") >= BLOOM_K)
+        .select("doc_id", "h")
+    )
+    truth = incoming.join(
+        corpus.distinct(), "h", "left_semi"
+    ).select("doc_id").distinct()
+    n_incoming = incoming.count()
+    n_maybe = maybe.count()
+    n_true = truth.count()
+    n_fp = maybe.join(truth, "doc_id", "left_anti").count()
+    return docs.sparkSession.createDataFrame(
+        [(n_incoming, n_maybe, n_true, n_fp)],
+        "n_incoming bigint, n_maybe bigint, n_true_dups bigint, n_false_positives bigint",
+    )

@@ -78,3 +78,75 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("last_event_id"),
         (F.max("ts_s") - F.min("ts_s")).cast("bigint").alias("duration_seconds"),
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@query(
+    "funnel_conversion",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events WHERE user_id IS NOT NULL)
+            AS BIGINT) AS n_users,
+       CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how many users progress view → click →
+    purchase with each stage STRICTLY AFTER the previous one (first
+    qualifying event per stage) — the product-analytics shape that needs
+    per-user event-time ordering, not just counts per type.
+
+    Plan: three per-user MIN aggregations, each gated by the previous
+    stage's timestamp through an equi-join on user_id — all three aggs
+    shuffle on the same key, so Spark reuses the hash partitioning
+    across stages (no re-shuffle), and each stage's frame shrinks
+    monotonically. No window over the full event stream, no
+    explode — at 100 TB the funnel costs three user-keyed aggs over
+    filtered scans."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    v = (
+        events.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_users = events.select("user_id").distinct().count()
+    n_viewed = v.count()
+    n_clicked = c.count()
+    n_purchased = p.count()
+    return events.sparkSession.createDataFrame(
+        [(n_users, n_viewed, n_clicked, n_purchased)],
+        "n_users bigint, n_viewed bigint, n_clicked_after bigint, n_purchased_after bigint",
+    )
