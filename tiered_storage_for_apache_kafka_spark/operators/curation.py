@@ -554,8 +554,11 @@ def incremental_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_md5 = corpus.select(F.md5("text").alias("h")).distinct()
     corpus_grams = grams(corpus).select("gram").distinct()
     incoming_grams = grams(incoming)
+    # no broadcast hint: the batch's EXPLODED gram inventory can be far
+    # larger than the batch itself — let AQE pick broadcast when it fits
+    # (same policy as the md5 join below)
     shared = (
-        corpus_grams.join(F.broadcast(incoming_grams), "gram")
+        corpus_grams.join(incoming_grams, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
@@ -880,11 +883,15 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = incoming.join(
         corpus.distinct(), "h", "left_semi"
     ).select("doc_id").distinct()
-    n_incoming = incoming.count()
-    n_maybe = maybe.count()
-    n_true = truth.count()
-    n_fp = maybe.join(truth, "doc_id", "left_anti").count()
-    return docs.sparkSession.createDataFrame(
-        [(n_incoming, n_maybe, n_true, n_fp)],
-        "n_incoming bigint, n_maybe bigint, n_true_dups bigint, n_false_positives bigint",
+    # one declarative plan (four 1-row aggregates cross-joined), not four
+    # eager count() jobs — the caller's single action computes everything
+    return (
+        incoming.agg(F.count(F.lit(1)).cast("bigint").alias("n_incoming"))
+        .crossJoin(maybe.agg(F.count(F.lit(1)).cast("bigint").alias("n_maybe")))
+        .crossJoin(truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_dups")))
+        .crossJoin(
+            maybe.join(truth, "doc_id", "left_anti").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_false_positives")
+            )
+        )
     )

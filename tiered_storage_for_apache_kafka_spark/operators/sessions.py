@@ -88,7 +88,8 @@ FUNNEL_STAGES = ("view", "click", "purchase")
     oracle=f"""
 WITH v AS (
   SELECT user_id, MIN(ts) AS t_view FROM events
-  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+  WHERE event_type = '{FUNNEL_STAGES[0]}' AND user_id IS NOT NULL
+  GROUP BY user_id
 ), c AS (
   SELECT e.user_id, MIN(e.ts) AS t_click
   FROM events e JOIN v ON v.user_id = e.user_id
@@ -142,11 +143,17 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    n_users = events.select("user_id").distinct().count()
-    n_viewed = v.count()
-    n_clicked = c.count()
-    n_purchased = p.count()
-    return events.sparkSession.createDataFrame(
-        [(n_users, n_viewed, n_clicked, n_purchased)],
-        "n_users bigint, n_viewed bigint, n_clicked_after bigint, n_purchased_after bigint",
+    # one declarative plan (four 1-row aggregates cross-joined), not four
+    # eager count() jobs
+    return (
+        events.agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_users")
+        )
+        .crossJoin(v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed")))
+        .crossJoin(
+            c.agg(F.count(F.lit(1)).cast("bigint").alias("n_clicked_after"))
+        )
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchased_after"))
+        )
     )

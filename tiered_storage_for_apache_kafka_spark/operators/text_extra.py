@@ -62,7 +62,11 @@ def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     toks = tokens_cached(spark, sf_dir)
-    bigrams = toks.select(
+    # docs with <2 tokens yield no bigrams (the oracle's list_zip does the
+    # same); without the filter, sequence(1, size-1) would DESCEND to
+    # [1, 0] for a 1-token doc and the toks[i] lookups would raise
+    # INVALID_ARRAY_INDEX under Spark 4's default ANSI mode
+    bigrams = toks.filter(F.size("toks") >= 2).select(
         F.explode(
             F.expr(
                 "transform(sequence(1, size(toks) - 1),"

@@ -37,14 +37,21 @@ OFFSET_RANGE_LO = 100
 OFFSET_RANGE_HI = 599
 
 
-_TIER_CACHE: dict[str, tuple[DataFrame, dict]] = {}
-_REC_CACHE: dict[str, DataFrame] = {}
+_TIER_CACHE: dict[tuple, tuple[DataFrame, dict]] = {}
+_REC_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """Cache key including the Spark application id: a cached DataFrame's
+    lineage is bound to the session that built it, so a same-process
+    session restart must not serve a stale entry."""
+    return (spark.sparkContext.applicationId, sf_dir)
 
 
 def _tier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
-    """Tier the events table once per (process, sf_dir); subsequent tiered
+    """Tier the events table once per (session, sf_dir); subsequent tiered
     queries are pure read-path measurements over the same store."""
-    cached = _TIER_CACHE.get(sf_dir)
+    cached = _TIER_CACHE.get(_cache_key(spark, sf_dir))
     if cached is not None:
         return cached
     events = load_table(spark, sf_dir, "events")
@@ -52,7 +59,7 @@ def _tier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
     conf = manager_conf(root, chunk_size=4096, compression=True)
     manifests = tier_events_table(spark, events, conf).cache()
     manifests.count()  # materialize: uploads happen exactly once
-    _TIER_CACHE[sf_dir] = (manifests, conf)
+    _TIER_CACHE[_cache_key(spark, sf_dir)] = (manifests, conf)
     return manifests, conf
 
 
@@ -61,12 +68,12 @@ def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
     the executor-side analog of the reference's chunk cache (R9): every
     full-scan consumer shares one materialization instead of re-running
     ranged GETs + decode per query."""
-    cached = _REC_CACHE.get(sf_dir)
+    cached = _REC_CACHE.get(_cache_key(spark, sf_dir))
     if cached is not None:
         return cached
     manifests, conf = _tier(spark, sf_dir)
     rec = read_tiered_records(spark, manifests, conf).cache()
-    _REC_CACHE[sf_dir] = rec
+    _REC_CACHE[_cache_key(spark, sf_dir)] = rec
     return rec
 
 
@@ -207,7 +214,7 @@ def datasource_offset_range_fetch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_STREAM_TIER_CACHE: dict[str, DataFrame] = {}
+_STREAM_TIER_CACHE: dict[tuple, DataFrame] = {}
 
 
 @query(
@@ -243,7 +250,7 @@ def streaming_tier_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     proving the streaming commit path writes exactly the segments the
     batch path would. Parity: the reference's per-closed-segment upload
     (`RemoteLogManager` task loop) expressed as Structured Streaming."""
-    cached = _STREAM_TIER_CACHE.get(sf_dir)
+    cached = _STREAM_TIER_CACHE.get(_cache_key(spark, sf_dir))
     if cached is not None:
         return cached
     from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
@@ -261,5 +268,5 @@ def streaming_tier_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     out.count()
-    _STREAM_TIER_CACHE[sf_dir] = out
+    _STREAM_TIER_CACHE[_cache_key(spark, sf_dir)] = out
     return out

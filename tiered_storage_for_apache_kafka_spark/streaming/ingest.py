@@ -92,8 +92,17 @@ def run_stream_to_memory(
         )
         q.awaitTermination()
     finally:
-        if state_partitions is not None and prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if state_partitions is not None:
+            if prev is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            else:
+                # conf was never explicitly set (get(...) returned None
+                # even though a default applies) — unset instead of
+                # pinning the caller's session to state_partitions forever
+                try:
+                    spark.conf.unset("spark.sql.shuffle.partitions")
+                except Exception:
+                    pass
     return spark.table(name)
 
 
