@@ -29,6 +29,7 @@ from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     text,
     text_extra,
     curation,
+    clustering,
 )
 from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: F401
     ORACLES,
@@ -157,6 +158,9 @@ _PROMOTE = [
     "minhash_jaccard_audit",
     "bloom_prefilter_audit",
     "funnel_conversion",
+    # round-3 additions (this round): trained k-means + trained-cell IVF:
+    "kmeans_embedding_clusters",
+    "ann_ivf_kmeans_topk",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's
