@@ -30,6 +30,8 @@ from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     text_extra,
     curation,
     clustering,
+    retrieval,
+    export,
 )
 from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: F401
     ORACLES,
@@ -158,9 +160,14 @@ _PROMOTE = [
     "minhash_jaccard_audit",
     "bloom_prefilter_audit",
     "funnel_conversion",
-    # round-3 additions (this round): trained k-means + trained-cell IVF:
+    # round-3 additions (this round): trained k-means + trained-cell IVF,
+    # BM25 retrieval, export-stage ops, watermark-bounded stream dedup:
     "kmeans_embedding_clusters",
     "ann_ivf_kmeans_topk",
+    "bm25_topk_docs",
+    "per_source_quality_cap",
+    "export_shard_manifest",
+    "streaming_dedup_within_watermark",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's

@@ -202,3 +202,39 @@ def streaming_enriched_nation_totals(spark: SparkSession, sf_dir: str) -> DataFr
         ),
         "complete",
     )
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY event_type
+""",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production variant of streaming_dedup_exact:
+    `dropDuplicatesWithinWatermark` expires dedup state once the
+    event-time watermark passes a key's last-seen timestamp, so state is
+    bounded by the watermark horizon instead of growing forever — the
+    only form that survives an unbounded 100 TB stream. The watermark
+    here (45 days) exceeds the test corpus's 30-day span, so no state
+    expires mid-run and the output equals the batch COUNT(DISTINCT)
+    oracle exactly (with a tighter horizon the streaming result would be
+    a superset — duplicates separated by more than the horizon both
+    survive — which is the documented at-least-once contract of this
+    operator)."""
+    from pyspark.sql import functions as F
+
+    deduped = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("ts", "user_id", "event_type")
+        .withWatermark("ts", "45 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    counts = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_users")
+    )
+    return run_stream_to_memory(counts, "complete")
