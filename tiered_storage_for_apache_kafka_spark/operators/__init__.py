@@ -32,6 +32,8 @@ from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     clustering,
     retrieval,
     export,
+    sketch_audits,
+    graph,
 )
 from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: F401
     ORACLES,
@@ -168,6 +170,9 @@ _PROMOTE = [
     "per_source_quality_cap",
     "export_shard_manifest",
     "streaming_dedup_within_watermark",
+    "approx_quantile_audit",
+    "hll_distinct_audit",
+    "pagerank_dup_graph",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's
