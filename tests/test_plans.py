@@ -462,3 +462,58 @@ def test_pmi_vocab_joins_broadcast(spark):
     plan = plan_of(QUERIES["pmi_bigram_collocations"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2  # both unigram marginals
     assert "CartesianProduct" not in plan or plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_kmeans_assignment_is_joinless_expression(spark):
+    """Lloyd assignment must be a literal-centroid JVM expression — a
+    join against a centroid table would shuffle the corpus every round."""
+    plan = plan_of(QUERIES["kmeans_embedding_clusters"](spark, SF))
+    assert "Join" not in plan
+    assert "partial_" in plan  # final per-cluster agg is map-side combined
+
+
+def test_ivf_kmeans_probe_side_broadcast(spark):
+    plan = plan_of(QUERIES["ann_ivf_kmeans_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan  # probes broadcast, corpus stays put
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_is_take_ordered_with_broadcast_stats(spark):
+    plan = plan_of(QUERIES["bm25_topk_docs"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # no global sort for the top-k
+    # df marginals and corpus stats join the postings via broadcast
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+
+
+def test_export_shard_manifest_is_single_pass(spark):
+    plan = plan_of(QUERIES["export_shard_manifest"](spark, SF))
+    assert "Join" not in plan
+    assert "partial_" in plan  # bit_xor/sums partial-aggregate map-side
+
+
+def test_q18_having_filters_before_dim_joins(spark):
+    """The HAVING gate must run on the narrow (orderkey, qty) aggregate
+    BEFORE orders/customer join in — at 100 TB the filter drops ~99% of
+    orders and the join must only see survivors."""
+    plan = plan_of(QUERIES["q18_large_volume_customer"](spark, SF))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # plan prints top-down: joins consume the aggregate, so the agg node
+    # appears BELOW (after) the join in the dump
+    assert join_pos < agg_pos
+    assert "BroadcastHashJoin" in plan  # customer dim broadcast
+
+
+def test_top_supplier_argmax_has_no_window_sort(spark):
+    plan = plan_of(QUERIES["top_supplier_per_part"](spark, SF))
+    assert "Window" not in plan  # struct-max aggregate, not row_number
+    assert "partial_max" in plan  # second agg partial-aggregates map-side
+
+
+def test_pagerank_no_cartesian_and_partial_inflow(spark):
+    plan = plan_of(QUERIES["pagerank_dup_graph"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # per-dst inflow map-side combined

@@ -327,13 +327,28 @@ def top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
         qty.alias("total_qty_e2"), F.count(F.lit(1)).alias("n_shipments")
     )
-    w = Window.partitionBy("l_partkey").orderBy(
-        F.col("total_qty_e2").desc(), F.col("l_suppkey").asc()
+    # argmax as a plain MAX over a comparison struct (qty desc, suppkey
+    # asc via negation) instead of a row_number window: the second
+    # aggregation is map-side partial and never sorts, where the window
+    # form re-shuffles AND sorts every (part, supplier) group
+    best = (
+        per_supp.select(
+            "l_partkey",
+            F.struct(
+                F.col("total_qty_e2"),
+                (-F.col("l_suppkey")).alias("neg_suppkey"),
+                F.col("l_suppkey").alias("l_suppkey"),
+                F.col("n_shipments").alias("n_shipments"),
+            ).alias("s"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.max("s").alias("s"))
     )
-    return (
-        per_supp.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("l_partkey", "l_suppkey", "total_qty_e2", "n_shipments")
+    return best.select(
+        "l_partkey",
+        F.col("s.l_suppkey").alias("l_suppkey"),
+        F.col("s.total_qty_e2").alias("total_qty_e2"),
+        F.col("s.n_shipments").alias("n_shipments"),
     )
 
 

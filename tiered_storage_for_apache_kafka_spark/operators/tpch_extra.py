@@ -399,25 +399,36 @@ HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > CAST(140 AS DECIMAL(18,2))
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING over a fact aggregate (orders whose total
-    quantity clears a threshold), dims joined in — decimal-exact gate."""
+    quantity clears a threshold), dims joined in — decimal-exact gate.
+
+    Plan: lineitem pre-aggregates on l_orderkey ALONE (the true grain —
+    an order has exactly one customer and date) and the HAVING filter
+    runs before any join, so the only fact-fact shuffle carries
+    (l_orderkey, qty) pairs and the orders/customer joins see just the
+    surviving large-volume orders instead of every lineitem row dragging
+    a c_name string through the aggregate shuffle."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
-        )
+    qty = (
+        li.groupBy("l_orderkey")
         .agg(
             minor_units(F.sum(F.col("l_quantity").cast(_PRICE)), 2).alias(
                 "total_qty_e2"
             )
         )
         .filter(F.col("total_qty_e2") > 140 * 100)
+    )
+    return (
+        qty.join(o, qty.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "total_qty_e2",
+        )
     )
 
 
