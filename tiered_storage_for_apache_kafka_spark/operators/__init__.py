@@ -34,6 +34,7 @@ from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     export,
     sketch_audits,
     graph,
+    cdc,
 )
 from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: F401
     ORACLES,
@@ -173,6 +174,8 @@ _PROMOTE = [
     "approx_quantile_audit",
     "hll_distinct_audit",
     "pagerank_dup_graph",
+    "cdc_chunk_dedup_stats",
+    "temperature_mixture_weights",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's

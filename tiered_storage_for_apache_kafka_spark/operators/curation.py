@@ -895,3 +895,53 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle="""
+WITH per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(LEN(regexp_extract_all(trim(text), '\\S+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), rooted AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isqrt_tokens
+  FROM per_source
+)
+SELECT source, n_docs, n_tokens, isqrt_tokens,
+       CAST((isqrt_tokens * 1000000)
+            // (SELECT SUM(isqrt_tokens) FROM rooted) AS BIGINT) AS p_micro
+FROM rooted
+""",
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (alpha = 0.5): sampling probability
+    p_s proportional to n_tokens_s^alpha — the multilingual/multi-domain
+    rebalancing rule (mBERT/XLM-R style) that upweights small sources
+    without flattening to uniform (the alpha=0 case source_mixture_rebalance
+    covers).
+
+    Portability: sqrt is IEEE correctly-rounded in both engines and every
+    n_tokens is far below 2^53, so FLOOR(SQRT(n)) is exact; from there the
+    normalization is pure integer arithmetic (micro-unit floor division),
+    so Spark and DuckDB emit identical BIGINTs. Scale: one map-side-
+    combined aggregation; the normalizing sum runs over the
+    |sources|-row aggregate, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.regexp_count(F.trim("text"), F.lit(r"\S+")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    rooted = per_source.withColumn(
+        "isqrt_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint"),
+    )
+    w = Window.partitionBy()
+    return rooted.withColumn(
+        "p_micro",
+        F.expr("cast(isqrt_tokens * 1000000 div sum(isqrt_tokens) over () as bigint)"),
+    ).select("source", "n_docs", "n_tokens", "isqrt_tokens", "p_micro")
