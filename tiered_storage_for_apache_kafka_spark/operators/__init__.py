@@ -176,6 +176,7 @@ _PROMOTE = [
     "pagerank_dup_graph",
     "cdc_chunk_dedup_stats",
     "temperature_mixture_weights",
+    "full_outer_daily_activity",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's

@@ -598,3 +598,70 @@ def grouping_sets_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price_e2"
         ),
     )
+
+
+@query(
+    "full_outer_daily_activity",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS DATE)
+), purchases AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, CAST(ts AS DATE)
+), j AS (
+  SELECT COALESCE(c.d, p.d) AS day,
+         CASE WHEN c.user_id IS NOT NULL AND p.user_id IS NOT NULL THEN 'both'
+              WHEN c.user_id IS NOT NULL THEN 'click_only'
+              ELSE 'purchase_only' END AS side,
+         COALESCE(c.n_clicks, 0) + COALESCE(p.n_purchases, 0) AS n_events
+  FROM clicks c FULL OUTER JOIN purchases p
+    ON c.user_id = p.user_id AND c.d = p.d
+)
+SELECT CAST(day AS VARCHAR) AS day, side,
+       COUNT(*) AS n_user_days,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM j GROUP BY day, side
+""",
+)
+def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage: per (user, day) click activity joined
+    full-outer to purchase activity, classifying user-days as
+    click-only / purchase-only / both. Both sides pre-aggregate before
+    the join (the shuffle carries one row per user-day per side, not raw
+    events), and the outer join keys are the aggregation keys so the
+    exchanges are reused across agg and join."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("d")
+
+    def side_counts(ev_type: str, out: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == ev_type)
+            .groupBy("user_id", day)
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    c = side_counts("click", "n_clicks")
+    p = side_counts("purchase", "n_purchases").withColumnsRenamed(
+        {"user_id": "p_user_id", "d": "p_d"}
+    )
+    j = c.join(
+        p,
+        (c.user_id == p.p_user_id) & (c.d == p.p_d),
+        "full_outer",
+    ).select(
+        F.coalesce("d", "p_d").alias("day"),
+        F.when(
+            F.col("user_id").isNotNull() & F.col("p_user_id").isNotNull(), "both"
+        )
+        .when(F.col("user_id").isNotNull(), "click_only")
+        .otherwise("purchase_only")
+        .alias("side"),
+        (
+            F.coalesce("n_clicks", F.lit(0)) + F.coalesce("n_purchases", F.lit(0))
+        ).alias("n_events"),
+    )
+    return j.groupBy(F.col("day").cast("string").alias("day"), "side").agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
