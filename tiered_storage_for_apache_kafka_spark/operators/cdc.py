@@ -8,12 +8,20 @@ boundary, and identical passages chunk identically across documents.
 This is the dedup unit of backup/CAS systems (LBFS, restic, borg) and of
 passage-level corpus dedup.
 
-Token-level CDC here: a boundary closes after token *i* when the md5
-bucket (0..255) of the 4-token window ending at *i* falls below 8 — an
-expected chunk length of 32 tokens, fully deterministic and engine-
-portable. Everything is JVM array expressions (sequence/filter/
-transform/slice) — the only row-multiplying step is the final explode of
-chunk hashes into the per-source distinct count.
+Token-level CDC here: a boundary closes after token *i* when the md5 of
+the 4-token window ending at *i* starts below hex '08' (bucket < 8 of
+256 → expected chunk length 32 tokens) — deterministic and engine-
+portable (ASCII compare in both engines).
+
+PLAN NOTE (the expensive lesson): the boundary-position array MUST be
+bound as a lambda variable (`transform(array(<bpos>), bp -> ...)`), not
+a projected column. Catalyst's CollapseProject inlines a projected
+column's expression into every consumer, so each `element_at(starts, j)`
+inside the per-chunk transform would re-run the full O(n·md5) boundary
+filter — turning the map stage O(n²·md5) per document (measured 90 s v.
+0.8 s at sf0.1). With the lambda binding the filter runs once per row
+and the whole chunker is a single fused JVM expression: no shuffle, no
+UDF, no re-evaluation.
 """
 
 from __future__ import annotations
@@ -25,28 +33,27 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import query
 from tiered_storage_for_apache_kafka_spark.tables import load_table, scan_parallel
 
 CDC_WINDOW = 4  # tokens in the rolling window
-CDC_MASK = 8  # boundary when bucket < 8 of 256 → E[chunk] = 32 tokens
-
-
-def _bucket(h: str) -> str:
-    """0..255 from the first two hex nibbles (shared Spark/DuckDB form;
-    locate == strpos positionally for these literals)."""
-    return (
-        f"(locate(substr({h}, 1, 1), '0123456789abcdef') - 1) * 16 + "
-        f"(locate(substr({h}, 2, 1), '0123456789abcdef') - 1)"
-    )
-
-
-def _bucket_ddb(h: str) -> str:
-    return (
-        f"(strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16 + "
-        f"(strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)"
-    )
-
+CDC_HEX_UB = "08"  # boundary when md5 hex < '08' → 8/256 → E[chunk] = 32
 
 _W = CDC_WINDOW
-_SPARK_GRAM = f"md5(array_join(slice(toks, i - {_W - 1}, {_W}), ' '))"
-_DDB_GRAM = f"md5(array_to_string(t[i - {_W - 1}:i], ' '))"
+
+# boundary positions: i >= W (full window), i < n (a boundary at the last
+# token would close an empty trailing chunk), md5 bucket below threshold
+_SPARK_BPOS = (
+    f"filter(sequence(1, size(toks)), i -> i >= {_W} AND i < size(toks) AND "
+    f"substr(md5(array_join(slice(toks, i - {_W - 1}, {_W}), ' ')), 1, 2) < '{CDC_HEX_UB}')"
+)
+
+# chunk j spans [prev_boundary+1 .. boundary_j] (last chunk ends at n);
+# bp is a lambda-bound array so the boundary filter evaluates ONCE per row
+_SPARK_CHUNKS = (
+    f"element_at(transform(array({_SPARK_BPOS}), bp -> "
+    "transform(sequence(1, size(bp) + 1), j -> "
+    "md5(array_join(slice(toks, "
+    "if(j = 1, 1, element_at(bp, j - 1) + 1), "
+    "if(j > size(bp), size(toks), element_at(bp, j)) "
+    "- if(j = 1, 1, element_at(bp, j - 1) + 1) + 1), ' ')))), 1)"
+)
 
 
 @query(
@@ -59,7 +66,8 @@ WITH toks AS (
   SELECT doc_id, source, t, len(t) AS n,
          list_filter(generate_series(1, len(t)),
                      i -> i >= {_W} AND i < len(t)
-                          AND {_bucket_ddb(_DDB_GRAM)} < {CDC_MASK}) AS bpos
+                          AND substr(md5(array_to_string(t[i - {_W - 1}:i], ' ')), 1, 2)
+                              < '{CDC_HEX_UB}') AS bpos
   FROM toks
 ), chunked AS (
   SELECT doc_id, source, t, n,
@@ -93,41 +101,20 @@ def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks and the unique-chunk ratio — the measurement behind 'how much
     would passage-level dedup save on this source'.
 
-    Scale: chunk boundaries and hashes are computed inside one map stage
-    (array lambdas over the token array — no shuffle, no UDF); the only
-    shuffle is the per-source distinct-count aggregation keyed by
-    (source, chunk_hash), which partial-aggregates map-side."""
+    Scale: chunk boundaries and hashes are computed inside ONE fused map
+    expression (see module PLAN NOTE — no shuffle, no UDF, boundary scan
+    runs exactly once per document); the only shuffle is the per-source
+    distinct-count aggregation keyed by (source, chunk_hash), which
+    partial-aggregates map-side."""
     docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
-    toks = docs.select(
-        "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("toks")
-    )
-    bounds = toks.select(
-        "doc_id",
+    # the token array is ALSO lambda-bound (outer transform) so the split
+    # runs once per row however many times the chunker references it
+    hashes = docs.select(
         "source",
-        "toks",
-        F.size("toks").alias("n"),
-        # a boundary AT the final token would close an empty trailing
-        # chunk — the last chunk ends there anyway, so exclude i = n
+        F.expr("size(split(trim(text), '\\\\s+'))").alias("n"),
         F.expr(
-            f"filter(sequence(1, size(toks)), "
-            f"i -> i >= {_W} AND i < size(toks) AND {_bucket(_SPARK_GRAM)} < {CDC_MASK})"
-        ).alias("bpos"),
-    )
-    chunked = bounds.select(
-        "doc_id",
-        "source",
-        "toks",
-        "n",
-        F.expr("concat(array(1), transform(bpos, p -> p + 1))").alias("starts"),
-        F.expr("concat(bpos, array(n))").alias("ends"),
-    )
-    hashes = chunked.select(
-        "source",
-        "n",
-        F.expr(
-            "transform(sequence(1, size(starts)), "
-            "j -> md5(array_join(slice(toks, element_at(starts, j), "
-            "element_at(ends, j) - element_at(starts, j) + 1), ' ')))"
+            "element_at(transform(array(split(trim(text), '\\\\s+')), "
+            f"toks -> {_SPARK_CHUNKS}), 1)"
         ).alias("chunk_hashes"),
     )
     per_source = hashes.groupBy("source").agg(

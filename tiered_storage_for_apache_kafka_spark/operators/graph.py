@@ -80,6 +80,14 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b"), F.col("doc_a"))
     ).toDF("a", "b")
+    # size-gated compaction: a near-dup graph is usually a sliver of the
+    # corpus — when it fits one partition, collapse it so every power-
+    # iteration job is a handful of tasks instead of 3 rounds x 32-way
+    # shuffles of a few hundred rows (6s -> ~1s at sf0.1). Above the gate
+    # the graph stays distributed and the iterations shuffle on dst as
+    # designed.
+    if edges.count() < 1_000_000:
+        edges = edges.repartition(1).cache()
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     ranks = deg.select(F.col("a").alias("doc"), F.lit(R0).cast("bigint").alias("r"))
     for _ in range(PR_ITERS):
