@@ -85,7 +85,6 @@ _DEMOTE = [
     "top_events_per_user",
     "events_daily_kind",
     "q4_order_priority",
-    "q18_large_volume_customer",
     "q22_sales_opportunity",
     "batch_grouping",
     "offsets_for_times",
@@ -101,7 +100,6 @@ _DEMOTE = [
     "topk_orders_per_priority",
     "rollup_pricing",
     "grouping_sets_order_mix",
-    "top_supplier_per_part",
     # r2 promotes that RECEIVED their green verdicts in CORRECTNESS_r02 —
     # no longer need a slot; demoted so the needs-verdict block starts as
     # early as possible (r2's sample recorded only 45 rows, so the
@@ -177,6 +175,10 @@ _PROMOTE = [
     "cdc_chunk_dedup_stats",
     "temperature_mixture_weights",
     "full_outer_daily_activity",
+    # rewritten plans this round (pre-agg HAVING q18, struct-max argmax)
+    # need fresh driver verdicts — rotated back into the window:
+    "q18_large_volume_customer",
+    "top_supplier_per_part",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's

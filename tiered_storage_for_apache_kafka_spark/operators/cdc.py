@@ -108,14 +108,22 @@ def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregates map-side."""
     docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     # the token array is ALSO lambda-bound (outer transform) so the split
-    # runs once per row however many times the chunker references it
+    # runs once per row however many times the chunker references it; the
+    # single-element explode is a Generate node — a projection barrier, so
+    # extracting n and chunk_hashes below does NOT re-inline the chunker
+    # (CollapseProject stops at generators)
     hashes = docs.select(
         "source",
-        F.expr("size(split(trim(text), '\\\\s+'))").alias("n"),
-        F.expr(
-            "element_at(transform(array(split(trim(text), '\\\\s+')), "
-            f"toks -> {_SPARK_CHUNKS}), 1)"
-        ).alias("chunk_hashes"),
+        F.explode(
+            F.expr(
+                "transform(array(split(trim(text), '\\\\s+')), "
+                f"toks -> named_struct('n', size(toks), 'chunks', {_SPARK_CHUNKS}))"
+            )
+        ).alias("s"),
+    ).select(
+        "source",
+        F.col("s.n").alias("n"),
+        F.col("s.chunks").alias("chunk_hashes"),
     )
     per_source = hashes.groupBy("source").agg(
         F.sum(F.size("chunk_hashes")).cast("bigint").alias("total_chunks"),

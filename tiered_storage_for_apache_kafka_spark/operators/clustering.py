@@ -182,11 +182,13 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization scale down.
     """
     centroids = train_kmeans(spark, sf_dir)
-    key = F.expr(_argmin_key_expr(centroids))
+    key_sql = _argmin_key_expr(centroids)
+    # `div`, not `/`: float division of the packed key is only exact below
+    # 2^53 — integer division keeps the all-integer design cliff-free
     assigned = _quantized(spark, sf_dir).select(
         "vec_id",
-        (key % K).cast("bigint").alias("cid"),
-        (key / K).cast("bigint").alias("dist"),
+        F.expr(f"({key_sql}) % {K}").cast("bigint").alias("cid"),
+        F.expr(f"({key_sql}) div {K}").cast("bigint").alias("dist"),
     )
     return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),

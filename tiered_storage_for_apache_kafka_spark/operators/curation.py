@@ -940,7 +940,6 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "isqrt_tokens",
         F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint"),
     )
-    w = Window.partitionBy()
     return rooted.withColumn(
         "p_micro",
         F.expr("cast(isqrt_tokens * 1000000 div sum(isqrt_tokens) over () as bigint)"),

@@ -743,10 +743,10 @@ def simhash64_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CC oracle as a reusable prefix ending in a `labeled` CTE (doc_id,
-# canonical_doc_id) so downstream curation queries (cluster
-# representatives) can extend the identical labeling.
-_CC_ORACLE_PREFIX = (
+# Verified-pair graph as a reusable prefix ending in `edges`/`nodes`
+# CTEs — shared by the CC labeling below and by graph analytics
+# (pagerank_dup_graph) so both oracles derive the IDENTICAL edge set.
+_CC_EDGES_PREFIX = (
     _BANDS_CTE
     + f"""
 , sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
@@ -768,7 +768,17 @@ _CC_ORACLE_PREFIX = (
   SELECT doc_b AS a, doc_a AS b FROM verified
 ), nodes AS (
   SELECT DISTINCT a AS doc FROM edges
-), reach AS (
+)
+"""
+)
+
+# CC oracle as a reusable prefix ending in a `labeled` CTE (doc_id,
+# canonical_doc_id) so downstream curation queries (cluster
+# representatives) can extend the identical labeling.
+_CC_ORACLE_PREFIX = (
+    _CC_EDGES_PREFIX
+    + """
+, reach AS (
   WITH RECURSIVE r(doc, label) AS (
     SELECT doc, doc FROM nodes
     UNION

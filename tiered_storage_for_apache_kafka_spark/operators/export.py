@@ -41,7 +41,7 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN qrank <= {CAP_PER_SOURCE} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(SUM(CASE WHEN qrank <= {CAP_PER_SOURCE} THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
-       MIN(CASE WHEN qrank <= {CAP_PER_SOURCE} THEN doc_id END) AS best_doc_id
+       MIN(CASE WHEN qrank = 1 THEN doc_id END) AS best_doc_id
 FROM ranked
 GROUP BY source
 """,
@@ -74,7 +74,7 @@ def per_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
         .cast("bigint")
         .alias("kept_tokens"),
-        F.min(F.when(kept, F.col("doc_id"))).alias("best_doc_id"),
+        F.min(F.when(F.col("qrank") == 1, F.col("doc_id"))).alias("best_doc_id"),
     )
 
 

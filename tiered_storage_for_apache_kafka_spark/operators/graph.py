@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiered_storage_for_apache_kafka_spark.operators.dedup import (
-    _CC_ORACLE_PREFIX,
+    _CC_EDGES_PREFIX,
     dedup_minhash_lsh,
 )
 from tiered_storage_for_apache_kafka_spark.operators.registry import query
@@ -27,6 +27,32 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import query
 PR_ITERS = 3
 R0 = 1_000_000
 BASE = 150_000  # (1 - 0.85) * 1e6
+
+_EDGES_CACHE: dict[str, DataFrame] = {}
+
+
+def _edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected edge list of the verified near-dup graph, one cached
+    materialization per (process, sf_dir) — the same pattern as the
+    dedup family's shingle/pair caches, so repeated graph queries don't
+    re-pin fresh copies.
+
+    Size-gated compaction: a near-dup graph is usually a sliver of the
+    corpus — when it fits one partition, collapse it so every power-
+    iteration job is a handful of tasks instead of rounds of 32-way
+    shuffles of a few hundred rows. Above the gate the graph stays
+    distributed and the iterations shuffle on dst as designed."""
+    cached = _EDGES_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("a", "b")
+    if edges.count() < 1_000_000:
+        edges = edges.repartition(1).cache()
+    _EDGES_CACHE[sf_dir] = edges
+    return edges
 
 
 def _pagerank_cte() -> str:
@@ -58,7 +84,7 @@ def _pagerank_cte() -> str:
 
 @query(
     "pagerank_dup_graph",
-    oracle=_CC_ORACLE_PREFIX.split(", reach AS")[0]
+    oracle=_CC_EDGES_PREFIX
     + ",\n"
     + _pagerank_cte()
     + f"""
@@ -76,18 +102,7 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank table stays distributed (never collected). The pair graph comes
     from the shared LSH pipeline cache, so the expensive
     shingle/signature work is already paid for by the dedup family."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b"), F.col("doc_a"))
-    ).toDF("a", "b")
-    # size-gated compaction: a near-dup graph is usually a sliver of the
-    # corpus — when it fits one partition, collapse it so every power-
-    # iteration job is a handful of tasks instead of 3 rounds x 32-way
-    # shuffles of a few hundred rows (6s -> ~1s at sf0.1). Above the gate
-    # the graph stays distributed and the iterations shuffle on dst as
-    # designed.
-    if edges.count() < 1_000_000:
-        edges = edges.repartition(1).cache()
+    edges = _edges_cached(spark, sf_dir)
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     ranks = deg.select(F.col("a").alias("doc"), F.lit(R0).cast("bigint").alias("r"))
     for _ in range(PR_ITERS):

@@ -611,8 +611,8 @@ WITH clicks AS (
   FROM events WHERE event_type = 'purchase' GROUP BY user_id, CAST(ts AS DATE)
 ), j AS (
   SELECT COALESCE(c.d, p.d) AS day,
-         CASE WHEN c.user_id IS NOT NULL AND p.user_id IS NOT NULL THEN 'both'
-              WHEN c.user_id IS NOT NULL THEN 'click_only'
+         CASE WHEN c.n_clicks IS NOT NULL AND p.n_purchases IS NOT NULL THEN 'both'
+              WHEN c.n_clicks IS NOT NULL THEN 'click_only'
               ELSE 'purchase_only' END AS side,
          COALESCE(c.n_clicks, 0) + COALESCE(p.n_purchases, 0) AS n_events
   FROM clicks c FULL OUTER JOIN purchases p
@@ -651,10 +651,13 @@ def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "full_outer",
     ).select(
         F.coalesce("d", "p_d").alias("day"),
+        # side-presence is marked by each side's aggregate column, not the
+        # join key — a NULL user_id never equi-joins, and keying on it
+        # would misclassify those rows
         F.when(
-            F.col("user_id").isNotNull() & F.col("p_user_id").isNotNull(), "both"
+            F.col("n_clicks").isNotNull() & F.col("n_purchases").isNotNull(), "both"
         )
-        .when(F.col("user_id").isNotNull(), "click_only")
+        .when(F.col("n_clicks").isNotNull(), "click_only")
         .otherwise("purchase_only")
         .alias("side"),
         (

@@ -47,7 +47,9 @@ def _score_sql(n: str, df: str, tf: str, dl: str, tot: str) -> str:
     "bm25_topk_docs",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t FROM documents
+  -- string_split_regex mirrors Spark's split() exactly (including the
+  -- [''] result for empty text), keeping dl/avgdl engine-identical
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ), dl AS (
   SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
 ), stats AS (
