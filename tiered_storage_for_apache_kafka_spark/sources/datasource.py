@@ -172,6 +172,9 @@ class TieredSegmentsReader(DataSourceReader):
         import pyarrow as pa
 
         from tiered_storage_for_apache_kafka_spark.api import SegmentMetadata
+        from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
+            fetch_segment_window,
+        )
         from tiered_storage_for_apache_kafka_spark.wire import (
             decode_segment_columns,
         )
@@ -182,12 +185,17 @@ class TieredSegmentsReader(DataSourceReader):
             self.topic_id,
             partition.partition,
             partition.start_offset,
-            -1,  # end offset not needed for fetch; manifest has sizes
+            -1,  # end offset unknown from keys; window planner treats as open
             partition.segment_uuid,
         )
-        data = b"".join(mgr.fetch_log_segment(meta, 0))
-        bases, byte_offs, offsets, tss, keys, values = decode_segment_columns(data)
         lo, hi = self.min_offset, self.max_offset
+        # Boundary segments fetch only the byte window covering [lo, hi]
+        # (offset index → byte range → chunk plan); interior segments and
+        # unfiltered scans fetch whole.
+        base_byte, data = fetch_segment_window(mgr, meta, lo, hi)
+        bases, byte_offs, offsets, tss, keys, values = decode_segment_columns(data)
+        if base_byte:
+            byte_offs = [b + base_byte for b in byte_offs]
         if lo is not None or hi is not None:  # residual trim (R7 analog)
             sel = [
                 i

@@ -151,8 +151,10 @@ def tier_events_table(
         seg = pdf.sort_values("offset").reset_index(drop=True)
         partition = int(seg["partition"].iloc[0])
         blob = bytearray()
+        batch_positions: list[tuple[int, int]] = []
         for b_start in range(0, len(seg), records_per_batch):
             batch = seg.iloc[b_start : b_start + records_per_batch]
+            batch_positions.append((int(batch["offset"].iloc[0]), len(blob)))
             blob += encode_batch(
                 [
                     Record(
@@ -171,7 +173,13 @@ def tier_events_table(
             TOPIC, TOPIC_ID, partition, start_offset, end_offset, uuid
         )
         indexes = {
-            "offset": struct_offsets(seg["offset"].tolist()),
+            # Kafka-style batch-granular offset index: (base_offset,
+            # byte_position) per record batch (`OffsetIndex` analog) —
+            # the read path uses it to map an offset window to a byte
+            # window so boundary segments fetch chunks, not whole
+            # segments (reference planning `FetchChunkEnumeration.java:
+            # 54-92` fed by the offset index, `RemoteLogManager` lookup).
+            "offset": struct_offset_index(batch_positions),
             "timestamp": struct_offsets(seg["timestamp_us"].tolist()),
             "producerSnapshot": b"",
             "leaderEpoch": b"",
@@ -209,6 +217,104 @@ def struct_offsets(values: list[int]) -> bytes:
     return b"".join(_s.pack(">q", int(v)) for v in values)
 
 
+def struct_offset_index(pairs: list[tuple[int, int]]) -> bytes:
+    """Batch-granular offset index: big-endian (base_offset, byte_position)
+    int64 pairs, one per record batch, ascending in both fields — the
+    engine's `OffsetIndex` (Kafka stores int32 relative pairs; 64-bit here
+    per the repo-wide no-2GiB-cap decision, SURVEY.md §7.4)."""
+    import struct as _s
+
+    return b"".join(_s.pack(">qq", int(o), int(p)) for o, p in pairs)
+
+
+def parse_offset_index(buf: bytes) -> list[tuple[int, int]]:
+    """Inverse of `struct_offset_index`. Raises ValueError on a payload
+    that is not a whole number of 16-byte entries (callers fall back to a
+    whole-segment fetch — never a wrong answer, just a wider read)."""
+    import struct as _s
+
+    if len(buf) % 16 != 0:
+        raise ValueError(f"offset index length {len(buf)} not a multiple of 16")
+    return [
+        _s.unpack_from(">qq", buf, i) for i in range(0, len(buf), 16)
+    ]
+
+
+def plan_offset_byte_range(
+    pairs: list[tuple[int, int]],
+    min_offset: int | None,
+    max_offset: int | None,
+) -> tuple[int, int | None]:
+    """Map an offset window to the byte window that covers it, at batch
+    granularity (the R2 range→chunk planning analog one level up: offsets
+    → batch bytes → chunks). Returns (start_byte, end_byte_inclusive);
+    end is None for 'to segment end' (fetch_log_segment clamps).
+
+    A record with offset >= lo can live in the last batch whose
+    base_offset <= lo; everything at offset > hi starts at the first
+    batch whose base_offset > hi. Parity: the reference resolves fetch
+    offsets through the segment's offset index exactly this way before
+    chunk planning (`FetchChunkEnumeration.java:54-92`)."""
+    from bisect import bisect_right
+
+    bases = [o for o, _ in pairs]
+    start_byte = 0
+    if min_offset is not None:
+        i = bisect_right(bases, min_offset) - 1
+        if i >= 0:
+            start_byte = pairs[i][1]
+    end_byte: int | None = None
+    if max_offset is not None:
+        j = bisect_right(bases, max_offset)
+        if j < len(pairs):
+            end_byte = pairs[j][1] - 1
+    return start_byte, end_byte
+
+
+def fetch_segment_window(
+    mgr: TieredStorageManager,
+    meta: SegmentMetadata,
+    min_offset: int | None,
+    max_offset: int | None,
+) -> tuple[int, bytes]:
+    """Fetch the byte window of `meta`'s segment covering the offset
+    window, via the batch-granular offset index — boundary segments pay
+    a tiny index GET + only the covered chunks instead of the whole
+    segment (at 100 TB a ~1 GiB boundary segment would otherwise be
+    fetched twice per ranged query). Interior segments (offset window
+    spans the whole segment) skip the index entirely. Returns
+    (base_byte, data) where base_byte restores absolute
+    batch_byte_offsets. Falls back to a whole-segment fetch when the
+    index is absent/legacy-format (wider read, never wrong)."""
+    end_known = meta.end_offset >= meta.start_offset
+    interior = (min_offset is None or min_offset <= meta.start_offset) and (
+        max_offset is None or (end_known and max_offset >= meta.end_offset)
+    )
+    if not interior:
+        try:
+            pairs = parse_offset_index(mgr.fetch_index(meta, "offset"))
+            # structural sanity (also rejects a legacy 8-byte-per-record
+            # payload that happens to split into 16-byte pairs): first
+            # batch at byte 0, offsets and positions strictly ascending
+            if (
+                not pairs
+                or pairs[0][1] != 0
+                or any(
+                    a[0] >= b[0] or a[1] >= b[1]
+                    for a, b in zip(pairs, pairs[1:])
+                )
+            ):
+                raise ValueError("not a batch offset index")
+            start_byte, end_byte = plan_offset_byte_range(
+                pairs, min_offset, max_offset
+            )
+            data = b"".join(mgr.fetch_log_segment(meta, start_byte, end_byte))
+            return start_byte, data
+        except (KeyError, ValueError):
+            pass
+    return 0, b"".join(mgr.fetch_log_segment(meta, 0))
+
+
 def read_tiered_records(
     spark: SparkSession,
     manifests: DataFrame,
@@ -221,8 +327,12 @@ def read_tiered_records(
     Segment pruning (the R2 analog at file granularity) happens
     declaratively on the manifests DataFrame — segments whose
     [start_offset, end_offset] window misses the requested offset range
-    are never fetched; the residual record-level filter is applied after
-    decode (R7 trim analog)."""
+    are never fetched. Surviving *boundary* segments are then fetched at
+    chunk granularity: the batch-level offset index maps the offset
+    window to a byte window (`fetch_segment_window`), so a sub-segment
+    range pays an index GET + the covered chunks, never the whole
+    segment. The residual record-level filter trims within the boundary
+    batches after decode (R7 trim analog)."""
     tasks = manifests
     if min_offset is not None:
         tasks = tasks.filter(F.col("end_offset") >= min_offset)
@@ -244,10 +354,12 @@ def read_tiered_records(
                     int(t.end_offset),
                     t.segment_uuid,
                 )
-                data = b"".join(mgr.fetch_log_segment(meta, 0))
+                base_byte, data = fetch_segment_window(mgr, meta, lo, hi)
                 bases, byte_offs, offsets, tss, keys, values = (
                     decode_segment_columns(data)
                 )
+                if base_byte:
+                    byte_offs = [b + base_byte for b in byte_offs]
                 out = pd.DataFrame(
                     {
                         "partition": int(t.partition),
