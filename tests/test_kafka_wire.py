@@ -178,7 +178,7 @@ def test_kafka_segments_roundtrip_through_byte_engine(tmp_path):
     assert batches[24][0].records[9].value == b"x" * (17 * 9 + 1)
 
 
-@pytest.mark.parametrize("codec", [1, 3, 4], ids=["gzip", "lz4", "zstd"])
+@pytest.mark.parametrize("codec", [1, 2, 3, 4], ids=["gzip", "snappy", "lz4", "zstd"])
 def test_compressed_batch_roundtrip(codec):
     records = [
         KafkaRecord(i, i * 3, f"key-{i}".encode(), (b"payload-%d " % i) * 20)
@@ -201,11 +201,115 @@ def test_compressed_batch_roundtrip(codec):
     assert encode_kafka_batch(back) == blob
 
 
-def test_snappy_rejected_clearly():
-    with pytest.raises(NotImplementedError, match="xerial"):
-        encode_kafka_batch(
-            KafkaBatch(0, 0, [KafkaRecord(0, 0, b"k", b"v")], attributes=2)
+def test_snappy_xerial_framing():
+    """The snappy batch body must carry Java's xerial stream framing
+    (magic 82 S N A P P Y 00, version pair 1/1, int32-length-prefixed
+    raw-snappy blocks) — the framing Kafka's Java producer writes."""
+    import struct
+
+    from tiered_storage_for_apache_kafka_spark.kafka_wire import (
+        _META,
+        _xerial_compress,
+        _xerial_decompress,
+    )
+
+    body = b"0123456789" * 10_000  # > one 32 KiB block
+    framed = _xerial_compress(body)
+    assert framed[:8] == b"\x82SNAPPY\x00"
+    assert struct.unpack_from(">ii", framed, 8) == (1, 1)
+    # block structure: walk length-prefixed blocks to the exact end
+    off, blocks = 16, 0
+    while off < len(framed):
+        (clen,) = struct.unpack_from(">i", framed, off)
+        off += 4 + clen
+        blocks += 1
+    assert off == len(framed) and blocks == 4  # 100 KB / 32 KiB -> 4 blocks
+    assert _xerial_decompress(framed) == body
+    with pytest.raises(ValueError, match="xerial magic"):
+        _xerial_decompress(b"NOTSNAPPY" + framed)
+
+    # the framed body is what lands inside an attributes=2 batch
+    blob = encode_kafka_batch(
+        KafkaBatch(0, 0, [KafkaRecord(0, 0, b"k", b"v" * 100)], attributes=2)
+    )
+    payload = blob[_HEADER_BYTES + 4 :]
+    assert payload[_META.size : _META.size + 8] == b"\x82SNAPPY\x00"
+
+
+_HEADER_BYTES = 8 + 4 + 4 + 1  # baseOffset + batchLength + epoch + magic
+
+
+def test_mixed_codec_header_heavy_segment_every_offset(tmp_path):
+    """Reference-e2e parity (`SingleBrokerTest.java:358-485` reads every
+    offset back): a segment mixing all five batch codings (plain, gzip,
+    snappy, lz4, zstd), with header-heavy and null-key/value records,
+    tiered through chunk+zstd+AES and read back — every offset present,
+    every record identical, bytes exact."""
+    from tiered_storage_for_apache_kafka_spark.api import (
+        SegmentData,
+        SegmentMetadata,
+        TieredStorageManager,
+    )
+    from tiered_storage_for_apache_kafka_spark.storage.filesystem import (
+        FileSystemStorage,
+    )
+    from tiered_storage_for_apache_kafka_spark.transform.encryption import (
+        RsaKeyring,
+    )
+
+    batches = []
+    offset = 0
+    for b, codec in enumerate([0, 1, 2, 3, 4] * 3):
+        records = [
+            KafkaRecord(
+                i,
+                i * 7,
+                None if i % 3 == 0 else f"k{offset + i}".encode(),
+                None if i % 5 == 4 else (b"v%d|" % (offset + i)) * (i + 1),
+                tuple(
+                    (f"h{j}", None if j == 2 else b"hv%d" % j)
+                    for j in range(i % 4)
+                ),
+            )
+            for i in range(8)
+        ]
+        batches.append(
+            KafkaBatch(
+                base_offset=offset,
+                base_timestamp=1_700_000_000_000 + b,
+                records=records,
+                attributes=codec,
+                producer_id=b % 2,
+            )
         )
+        offset += len(records)
+    seg = b"".join(encode_kafka_batch(b) for b in batches)
+
+    mgr = TieredStorageManager(
+        FileSystemStorage(str(tmp_path)),
+        chunk_size=777,  # unaligned with every batch border
+        compression_enabled=True,
+        encryption_keyring=RsaKeyring.generate("kek-mix"),
+    )
+    meta = SegmentMetadata("kt", "ktid", 0, 0, offset - 1, "seg-mix")
+    mgr.copy_log_segment_data(
+        meta,
+        SegmentData(seg, {"offset": b"", "timestamp": b"",
+                          "producerSnapshot": b"", "leaderEpoch": b""}),
+    )
+    fetched = b"".join(mgr.fetch_log_segment(meta, 0))
+    assert fetched == seg  # byte path exact, compressed bodies included
+
+    parsed = decode_kafka_batches(fetched)
+    got_offsets = sorted(
+        b.base_offset + r.offset_delta for b, _ in parsed for r in b.records
+    )
+    assert got_offsets == list(range(offset))  # EVERY offset read back
+    for want, (got, _) in zip(batches, parsed):
+        assert got.records == want.records
+        assert got.attributes == want.attributes
+    # and the re-encode of the decoded view reproduces the segment
+    assert b"".join(encode_kafka_batch(b) for b, _ in parsed) == seg
 
 
 def test_compression_heuristic_reads_batch_attribute():

@@ -303,12 +303,70 @@ def data_batches(
 
 
 # -- batch compression (attributes bits 0-2) ----------------------------------
-# 1=gzip, 2=snappy (xerial-framed in Java clients — rejected, see below),
+# 1=gzip, 2=snappy (xerial block framing, as the Java clients write it),
 # 3=lz4 (LZ4 frame), 4=zstd. The records section is compressed as one unit;
 # the CRC covers the *stored* (compressed) bytes, so decode verifies before
 # decompressing — same order as the broker.
 
 _CODEC_GZIP, _CODEC_SNAPPY, _CODEC_LZ4, _CODEC_ZSTD = 1, 2, 3, 4
+
+# Xerial SnappyOutputStream framing (org.xerial.snappy, what Kafka's Java
+# producer wraps snappy batches in): 16-byte header = magic "\x82SNAPPY\0"
+# + version:int32 + compatible-version:int32 (both 1, big-endian), then
+# blocks of [compressedLength:int32][raw-snappy block], 32 KiB of
+# uncompressed data per block.
+_XERIAL_MAGIC = b"\x82SNAPPY\x00"
+_XERIAL_HEADER = _XERIAL_MAGIC + struct.pack(">ii", 1, 1)
+_XERIAL_BLOCK = 32 * 1024
+
+
+def _snappy_uncompressed_len(block: bytes) -> int:
+    """Raw snappy blocks lead with the uncompressed length as a
+    little-endian base-128 varint (the snappy format preamble)."""
+    n = shift = 0
+    for b in block:
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n
+        shift += 7
+        if shift > 35:
+            break
+    raise ValueError("malformed snappy length preamble")
+
+
+def _xerial_compress(body: bytes) -> bytes:
+    import pyarrow as _pa
+
+    c = _pa.Codec("snappy")
+    out = bytearray(_XERIAL_HEADER)
+    for i in range(0, len(body), _XERIAL_BLOCK):
+        block = c.compress(body[i : i + _XERIAL_BLOCK], asbytes=True)
+        out += struct.pack(">i", len(block))
+        out += block
+    return bytes(out)
+
+
+def _xerial_decompress(body: bytes) -> bytes:
+    import pyarrow as _pa
+
+    if body[: len(_XERIAL_MAGIC)] != _XERIAL_MAGIC:
+        raise ValueError("snappy batch missing xerial magic")
+    c = _pa.Codec("snappy")
+    out = bytearray()
+    off = 16  # magic + version + compatible version
+    while off < len(body):
+        (clen,) = struct.unpack_from(">i", body, off)
+        off += 4
+        block = body[off : off + clen]
+        if len(block) != clen:
+            raise ValueError("truncated xerial snappy block")
+        out += c.decompress(
+            block,
+            decompressed_size=_snappy_uncompressed_len(block),
+            asbytes=True,
+        )
+        off += clen
+    return bytes(out)
 
 
 def _compress_records(codec: int, body: bytes) -> bytes:
@@ -325,9 +383,7 @@ def _compress_records(codec: int, body: bytes) -> bytes:
 
         return _pa.Codec("zstd").compress(body, asbytes=True)
     if codec == _CODEC_SNAPPY:
-        raise NotImplementedError(
-            "snappy batches use Java's xerial block framing; out of scope"
-        )
+        return _xerial_compress(body)
     raise ValueError(f"unknown compression codec {codec}")
 
 
@@ -345,7 +401,5 @@ def _decompress_records(codec: int, body: bytes) -> bytes:
         with _pa.input_stream(_pa.py_buffer(body), compression=name) as f:
             return f.read()
     if codec == _CODEC_SNAPPY:
-        raise NotImplementedError(
-            "snappy batches use Java's xerial block framing; out of scope"
-        )
+        return _xerial_decompress(body)
     raise ValueError(f"unknown compression codec {codec}")

@@ -151,6 +151,90 @@ def table_mode_segment_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_mode_batch_digest",
+    oracle="""
+WITH assigned AS (
+  SELECT CAST(event_id % 4 AS INT) AS partition,
+         event_id AS rec_offset,
+         epoch_us(ts) AS timestamp_us,
+         event_type AS rec_key
+  FROM events
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY partition ORDER BY rec_offset) - 1 AS rn
+  FROM assigned
+)
+SELECT partition,
+       MIN(rec_offset) AS batch_base_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       MD5(STRING_AGG(
+           CAST(rec_offset AS VARCHAR) || ':' || CAST(timestamp_us AS VARCHAR)
+           || ':' || rec_key, ',' ORDER BY rec_offset)) AS records_md5
+FROM ranked
+GROUP BY partition, rn // 50
+""",
+)
+def table_mode_batch_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracleable companion to `table_mode_segment_blobs` (the
+    round-3 verdict ask): proves the I11 batch grouping + I12 wire
+    re-encode end-to-end with a DuckDB hash row. Each reassembled batch's
+    re-encoded bytes are DECODED BACK (the digest reads the wire bytes,
+    not the envelope rows) and digested over every record's
+    offset:timestamp:key in offset order; the oracle reconstructs the
+    same batches relationally from raw `events` (50-record batches in
+    per-partition offset order). Equal hashes ⇒ the distributed grouping
+    put exactly the right records in every batch and the re-encoded
+    bytes decode to exactly the tiered content. (Record *values* are
+    JSON whose float formatting is engine-specific, so the digest covers
+    offset/timestamp/key; value-byte exactness is pytest-verified
+    byte-for-byte in test_table_mode.py.)"""
+    import hashlib
+
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+        reassemble_batches,
+        records_to_envelope,
+    )
+
+    env = records_to_envelope(_records(spark, sf_dir))
+    batches = reassemble_batches(env)
+
+    def digest(pdfs):
+        import pandas as pd
+
+        from tiered_storage_for_apache_kafka_spark.wire import decode_segment
+
+        for pdf in pdfs:
+            rows = []
+            for t in pdf.itertuples():
+                recs = [
+                    r
+                    for _, _, rs in decode_segment(bytes(t.batch_bytes))
+                    for r in rs
+                ]
+                payload = ",".join(
+                    f"{r.offset}:{r.timestamp_us}:{(r.key or b'').decode()}"
+                    for r in sorted(recs, key=lambda r: r.offset)
+                )
+                rows.append(
+                    {
+                        "partition": int(t.partition),
+                        "batch_base_offset": int(t.batch_base_offset),
+                        "n_records": int(t.n_records),
+                        "records_md5": hashlib.md5(payload.encode()).hexdigest(),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return batches.mapInPandas(
+        digest,
+        schema=(
+            "partition INT, batch_base_offset BIGINT, n_records BIGINT, "
+            "records_md5 STRING"
+        ),
+    )
+
+
+@query(
     "tiered_manifest_stats",
     oracle="""
 WITH assigned AS (
