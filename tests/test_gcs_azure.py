@@ -1,0 +1,226 @@
+"""GCS / Azure backends exercised against protocol-level fake clients —
+the sandbox analog of the reference's fake-gcs-server / Azurite
+integration tests (`storage/gcs/src/integration-test`, `storage/azure/
+src/integration-test`): upload (resumable-chunk / block accounting),
+ranged fetch with each service's range semantics, delete, list, 404
+mapping, and the full tiering manager matrix over each backend."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from tiered_storage_for_apache_kafka_spark.api import (
+    SegmentData,
+    SegmentMetadata,
+    TieredStorageManager,
+)
+from tiered_storage_for_apache_kafka_spark.storage.backend import (
+    BytesRange,
+    KeyNotFoundError,
+)
+from tiered_storage_for_apache_kafka_spark.storage.gcs_azure import (
+    DEFAULT_CHUNK,
+    AzureBlobStorage,
+    GcsStorage,
+)
+from tiered_storage_for_apache_kafka_spark.transform.encryption import RsaKeyring
+
+# -- GCS fake (google-cloud-storage surface our backend touches) ---------------
+
+
+class _GcsBlob:
+    def __init__(self, bucket, name, chunk_size=None):
+        self._bucket = bucket
+        self.name = name
+        self.chunk_size = chunk_size
+        self.size = None
+
+    def upload_from_file(self, stream):
+        chunk = self.chunk_size or DEFAULT_CHUNK
+        pieces = []
+        while True:
+            piece = stream.read(chunk)
+            if not piece:
+                break
+            pieces.append(piece)
+        data = b"".join(pieces)
+        self._bucket.store[self.name] = data
+        self._bucket.upload_chunks.setdefault(self.name, []).extend(
+            len(p) for p in pieces
+        )
+        self.size = len(data)
+
+    def download_as_bytes(self, start=None, end=None):
+        if self.name not in self._bucket.store:
+            raise RuntimeError(f"404 GET {self.name}: Not Found")
+        data = self._bucket.store[self.name]
+        if start is None and end is None:
+            return data
+        return data[start : (end + 1 if end is not None else None)]  # GCS: inclusive end
+
+    def delete(self):
+        if self.name not in self._bucket.store:
+            raise RuntimeError(f"404 DELETE {self.name}: Not Found")
+        del self._bucket.store[self.name]
+
+
+class FakeGcsBucket:
+    def __init__(self, name):
+        self.name = name
+        self.store: dict[str, bytes] = {}
+        self.upload_chunks: dict[str, list[int]] = {}
+
+    def blob(self, key, chunk_size=None):
+        return _GcsBlob(self, key, chunk_size)
+
+    def list_blobs(self, prefix=""):
+        class _B:
+            def __init__(self, name):
+                self.name = name
+
+        return [_B(k) for k in self.store if k.startswith(prefix)]
+
+
+class FakeGcsClient:
+    def __init__(self):
+        self._buckets: dict[str, FakeGcsBucket] = {}
+
+    def bucket(self, name):
+        return self._buckets.setdefault(name, FakeGcsBucket(name))
+
+
+# -- Azure fake (azure-storage-blob ContainerClient surface) -------------------
+
+
+class FakeDownloader:
+    def __init__(self, data):
+        self._data = data
+
+    def readall(self):
+        return self._data
+
+
+class FakeAzureContainerClient:
+    def __init__(self):
+        self.store: dict[str, bytes] = {}
+        self.block_uploads: dict[str, int] = {}
+
+    def upload_blob(self, name, data, overwrite=False):
+        if name in self.store and not overwrite:
+            raise RuntimeError(f"ResourceExistsError: {name}")
+        self.store[name] = bytes(data)
+        self.block_uploads[name] = self.block_uploads.get(name, 0) + 1
+
+    def download_blob(self, key, offset=None, length=None):
+        if key not in self.store:
+            raise RuntimeError(f"ResourceNotFound: 404 {key}")
+        data = self.store[key]
+        if offset is None and length is None:
+            return FakeDownloader(data)
+        start = offset or 0
+        return FakeDownloader(
+            data[start : start + length if length is not None else None]
+        )
+
+    def delete_blob(self, key):
+        if key not in self.store:
+            raise RuntimeError(f"ResourceNotFound: 404 {key}")
+        del self.store[key]
+
+    def list_blobs(self, name_starts_with=""):
+        class _B:
+            def __init__(self, name):
+                self.name = name
+
+        return [_B(k) for k in self.store if k.startswith(name_starts_with)]
+
+
+# -- backend-level semantics ---------------------------------------------------
+
+
+def _gcs():
+    return GcsStorage("test-bucket", client=FakeGcsClient())
+
+
+def _azure():
+    return AzureBlobStorage("test-container", client=FakeAzureContainerClient())
+
+
+@pytest.mark.parametrize("make", [_gcs, _azure], ids=["gcs", "azure"])
+def test_upload_fetch_ranged_delete_list(make):
+    b = make()
+    payload = bytes(range(256)) * 40  # 10240 bytes
+    assert b.upload("a/seg.log", payload) == len(payload)
+    assert b.upload("a/seg.indexes", b"IDX") == 3
+    # whole fetch
+    assert b.fetch("a/seg.log").read() == payload
+    # ranged fetch, inclusive [from, to] protocol semantics
+    assert b.fetch("a/seg.log", BytesRange(0, 0)).read() == payload[:1]
+    assert b.fetch("a/seg.log", BytesRange(100, 199)).read() == payload[100:200]
+    tail = b.fetch("a/seg.log", BytesRange(10000, 10239)).read()
+    assert tail == payload[10000:]
+    # list + delete
+    assert b.list_keys("a/") == ["a/seg.indexes", "a/seg.log"]
+    b.delete(["a/seg.log", "a/never-existed"])  # missing key not an error
+    assert b.list_keys("a/") == ["a/seg.indexes"]
+
+
+@pytest.mark.parametrize("make", [_gcs, _azure], ids=["gcs", "azure"])
+def test_missing_key_maps_to_key_not_found(make):
+    b = make()
+    with pytest.raises(KeyNotFoundError):
+        b.fetch("nope")
+
+
+def test_gcs_resumable_chunk_accounting():
+    """Uploads stream in resumable_chunk pieces (25 MiB default — the
+    reference's GcsStorage resumable chunk size; shrunk here to keep the
+    fixture small)."""
+    client = FakeGcsClient()
+    b = GcsStorage("bkt", client=client, resumable_chunk=1024)
+    payload = b"z" * (1024 * 3 + 100)
+    b.upload("k", io.BytesIO(payload))
+    assert client.bucket("bkt").upload_chunks["k"] == [1024, 1024, 1024, 100]
+    # default parity with the reference's 25 MiB
+    assert DEFAULT_CHUNK == 25 * 1024 * 1024
+    assert GcsStorage("bkt2", client=client).resumable_chunk == DEFAULT_CHUNK
+
+
+def test_azure_block_size_default():
+    assert AzureBlobStorage("c", client=FakeAzureContainerClient()).block_size == DEFAULT_CHUNK
+
+
+# -- full manager matrix over each backend -------------------------------------
+
+
+@pytest.mark.parametrize("make", [_gcs, _azure], ids=["gcs", "azure"])
+def test_manager_lifecycle_over_backend(make):
+    """copy → ranged fetch → index fetch → delete through the full
+    transform pipeline (chunk + zstd + AES-GCM), over each cloud fake —
+    what the reference proves against fake-gcs-server / Azurite."""
+    backend = make()
+    mgr = TieredStorageManager(
+        backend,
+        chunk_size=512,
+        compression_enabled=True,
+        encryption_keyring=RsaKeyring.generate("kek-cloud"),
+    )
+    seg = bytes(i % 251 for i in range(5000))
+    meta = SegmentMetadata("t", "tid", 0, 0, 99, "u-cloud")
+    custom = mgr.copy_log_segment_data(
+        meta,
+        SegmentData(seg, {"offset": b"OFS", "timestamp": b"TS",
+                          "producerSnapshot": b"", "leaderEpoch": b"LE"}),
+    )
+    assert custom["remote_size"] > 0
+    # whole + ranged reads land byte-exact through chunk planning
+    assert b"".join(mgr.fetch_log_segment(meta, 0)) == seg
+    assert b"".join(mgr.fetch_log_segment(meta, 1000, 2999)) == seg[1000:3000]
+    # aux indexes decrypt back
+    assert mgr.fetch_index(meta, "offset") == b"OFS"
+    assert mgr.fetch_index(meta, "leaderEpoch") == b"LE"
+    # delete removes all three objects
+    mgr.delete_log_segment_data(meta)
+    assert backend.list_keys("") == []

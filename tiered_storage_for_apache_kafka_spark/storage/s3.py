@@ -44,7 +44,7 @@ class S3Storage:
         user:pass@) — parity with the reference's per-backend SOCKS5
         proxy option (`storage/core/.../proxy/ProxyConfig.java`,
         `Socks5ProxyAuthenticator.java`)."""
-        if client is None:  # pragma: no cover - needs a live endpoint
+        if client is None:
             import boto3
             from botocore.config import Config
 
