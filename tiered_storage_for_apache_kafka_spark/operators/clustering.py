@@ -20,8 +20,9 @@ key aggregation.
 Cross-engine determinism: float32 embeddings are quantized once to
 integer micro-units (`ROUND(x * 1e6)` as BIGINT); every distance is then
 an exact BIGINT sum of squares and every centroid component an exact
-FLOOR(sum/count) — no float accumulation order to disagree on, so Spark
-and the DuckDB oracle converge to bit-identical centroids and labels.
+integer division (`sum div count` / DuckDB `//`, both truncating) — no
+float step anywhere, exact at any magnitude, so Spark and the DuckDB
+oracle converge to bit-identical centroids and labels.
 argmin ties break to the lowest cluster id via the `dist*K + cid` key.
 """
 
@@ -89,7 +90,11 @@ def train_kmeans(spark: SparkSession, sf_dir: str) -> list[list[int]]:
                 assigned.select("cid", F.posexplode("q").alias("dim", "val"))
                 .groupBy("cid", "dim")
                 .agg(
-                    F.floor(F.sum("val") / F.count(F.lit(1)))
+                    # integer division (`div`), NOT floor(sum/count): the
+                    # double-division intermediate would only be exact
+                    # below 2^53; div is exact at any magnitude and
+                    # truncates identically in Spark and DuckDB (`//`)
+                    F.expr("sum(val) div count(1)")
                     .cast("bigint")
                     .alias("comp")
                 )
@@ -139,7 +144,7 @@ def _kmeans_cte() -> str:
             f"""m{it} AS (
   SELECT cid, list(comp ORDER BY dim) AS c
   FROM (SELECT a.cid, d.dim,
-               CAST(FLOOR(CAST(SUM(a.q[d.dim]) AS BIGINT) / COUNT(*)) AS BIGINT) AS comp
+               CAST(CAST(SUM(a.q[d.dim]) AS BIGINT) // COUNT(*) AS BIGINT) AS comp
         FROM a{it} a CROSS JOIN range(1, {DIM + 1}) d(dim)
         GROUP BY a.cid, d.dim)
   GROUP BY cid

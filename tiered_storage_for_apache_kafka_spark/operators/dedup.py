@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    query,
+    session_cache_key,
+)
 from tiered_storage_for_apache_kafka_spark.tables import load_table, scan_parallel
 
 N_HASHES = 8
@@ -43,20 +46,53 @@ SIMHASH64_BANDS = SIMHASH64_BITS // SIMHASH64_BAND_BITS
 SIMHASH64_HAMMING = 3
 
 
+def _gate_mode(spark) -> str:
+    """``spark.graft.broadcastGate``: ``aqe`` (default) or ``counted``.
+
+    aqe (default): no count, no hint — AQE's runtime SMJ→BHJ conversion
+    decides from the build side's *actual* shuffle stats
+    (`spark.sql.adaptive.autoBroadcastJoinThreshold`). No driver
+    barrier, no reliance on the candidate pipeline staying cached, and
+    the decision can never OOM an executor on a skewed near-dup blow-up
+    (the round-2 concern that motivated gating in the first place).
+    Cost: the probe side is planned into a shuffle whose map-stage write
+    happens before AQE converts (the local shuffle reader skips only the
+    read). Measured at sf0.1 local[32] over dedup_minhash_lsh /
+    dedup_ngram_jaccard / unigram_logprob_quality / tfidf_top_terms:
+    aqe 14.8 s vs counted 19.9 s — the count barrier costs more than
+    the extra shuffle write at every scale where the candidate pipeline
+    itself is nontrivial, and AQE additionally splits skewed partitions
+    on the fallback path.
+
+    counted: cache the build side and run one count() to decide the
+    hint statically. A statically planned broadcast spares the
+    corpus-sized probe (exploded shingle/token tables) its shuffle-map
+    write entirely — worth it on clusters where shuffle disk is the
+    binding constraint and the candidate set is known-small."""
+    try:
+        return str(spark.conf.get("spark.graft.broadcastGate", "aqe"))
+    except Exception:
+        return "aqe"
+
+
 def _gate_small(df: DataFrame, default_max_rows: int = 1_000_000):
     """Cache and size-check a candidate-pair set: returns (cached_df,
-    is_small). An unconditional `F.broadcast(cand)` would assume the pair
-    set fits in executor memory — true under LSH at moderate corpora, NOT
-    guaranteed at 100 TB with a skewed near-dup cluster. The set is
-    needed (cached) by the verify join anyway, so counting it is one
-    cheap extra action; every broadcast decision derived from it shares
-    this single count.
+    is_small) where is_small is True/False under the counted gate and
+    None under the AQE gate (meaning: don't hint, let AQE decide at
+    runtime — see `_gate_mode`). An unconditional `F.broadcast(cand)`
+    would assume the pair set fits in executor memory — true under LSH
+    at moderate corpora, NOT guaranteed at 100 TB with a skewed near-dup
+    cluster. The set is needed (cached) by the verify join anyway, so
+    under the counted gate the count is one cheap extra action shared by
+    every broadcast decision derived from it.
 
     Threshold overridable via ``spark.graft.broadcastCandMaxRows`` (used
     by the plan test to force the fallback path).
     """
     df = df.cache()
     spark = df.sparkSession
+    if _gate_mode(spark) == "aqe":
+        return df, None
     try:
         max_rows = int(
             spark.conf.get("spark.graft.broadcastCandMaxRows", str(default_max_rows))
@@ -71,14 +107,17 @@ def _maybe_broadcast(df: DataFrame, default_max_rows: int = 1_000_000):
     return F.broadcast(df) if small else df
 
 
-def _semi_prune(side: DataFrame, cand: DataFrame, small: bool, doc_col: str) -> DataFrame:
+def _semi_prune(
+    side: DataFrame, cand: DataFrame, small: bool | None, doc_col: str
+) -> DataFrame:
     """Prune an exploded gram/shingle table to just the docs present in
     the candidate pair set BEFORE the intersection join. Without this the
     verify join shuffles the entire exploded table on (doc, gram); with
     it only candidate docs' rows move — at 100 TB that is the difference
     between shuffling the corpus and shuffling the near-dup sliver. The
     doc set inherits the pair set's smallness (it is a projection of it),
-    so no extra count is needed for the broadcast decision."""
+    so no extra count is needed for the broadcast decision; small=None
+    (AQE gate) leaves the decision to runtime stats."""
     doc_set = cand.select(doc_col).distinct()
     if small:
         doc_set = F.broadcast(doc_set)
@@ -111,10 +150,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHINGLE_CACHE: dict[str, DataFrame] = {}
-_PAIRS_CACHE: dict[str, DataFrame] = {}
-_CC_CACHE: dict[str, DataFrame] = {}
-_TOKENS_CACHE: dict[str, DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+_CC_CACHE: dict[tuple, DataFrame] = {}
+_TOKENS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def tokens_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,13 +162,13 @@ def tokens_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3-word shingles, 4-word grams, 16-token substring windows, bigram
     repetition stats) shares, so the corpus is read and tokenized once
     however many dedup/quality passes run."""
-    cached = _TOKENS_CACHE.get(sf_dir)
+    cached = _TOKENS_CACHE.get(session_cache_key(spark, sf_dir))
     if cached is None:
         docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
         cached = docs.select(
             "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
         ).cache()
-        _TOKENS_CACHE[sf_dir] = cached
+        _TOKENS_CACHE[session_cache_key(spark, sf_dir)] = cached
     return cached
 
 
@@ -138,10 +177,10 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize-once stage every MinHash consumer (signatures, bands, sizes,
     both intersection sides) shares, exactly as a production pipeline
     tokenizes a corpus once for many downstream dedup passes."""
-    cached = _SHINGLE_CACHE.get(sf_dir)
+    cached = _SHINGLE_CACHE.get(session_cache_key(spark, sf_dir))
     if cached is None:
         cached = _shingles(spark, sf_dir).cache()
-        _SHINGLE_CACHE[sf_dir] = cached
+        _SHINGLE_CACHE[session_cache_key(spark, sf_dir)] = cached
     return cached
 
 
@@ -323,7 +362,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection join, sizes) — cached so the scan+explode runs once; the
     verified pair set is itself cached per (process, sf_dir) because the
     canonicalization pass (`dedup_connected_components`) consumes it."""
-    cached = _PAIRS_CACHE.get(sf_dir)
+    cached = _PAIRS_CACHE.get(session_cache_key(spark, sf_dir))
     if cached is not None:
         return cached
     sh = _shingles_cached(spark, sf_dir)
@@ -360,7 +399,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    _PAIRS_CACHE[sf_dir] = result
+    _PAIRS_CACHE[session_cache_key(spark, sf_dir)] = result
     return result
 
 
@@ -821,7 +860,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers (cluster representatives, keep/drop joins) reuse it
     instead of replaying the loop.
     """
-    cached = _CC_CACHE.get(sf_dir)
+    cached = _CC_CACHE.get(session_cache_key(spark, sf_dir))
     if cached is not None:
         return cached
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
@@ -833,7 +872,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels, _rounds = propagate_min_labels(edges)
     out = labels.select("doc_id", F.col("label").alias("canonical_doc_id"))
-    _CC_CACHE[sf_dir] = out
+    _CC_CACHE[session_cache_key(spark, sf_dir)] = out
     return out
 
 

@@ -22,13 +22,16 @@ from tiered_storage_for_apache_kafka_spark.operators.dedup import (
     _CC_EDGES_PREFIX,
     dedup_minhash_lsh,
 )
-from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    query,
+    session_cache_key,
+)
 
 PR_ITERS = 3
 R0 = 1_000_000
 BASE = 150_000  # (1 - 0.85) * 1e6
 
-_EDGES_CACHE: dict[str, DataFrame] = {}
+_EDGES_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,7 +45,7 @@ def _edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration job is a handful of tasks instead of rounds of 32-way
     shuffles of a few hundred rows. Above the gate the graph stays
     distributed and the iterations shuffle on dst as designed."""
-    cached = _EDGES_CACHE.get(sf_dir)
+    cached = _EDGES_CACHE.get(session_cache_key(spark, sf_dir))
     if cached is not None:
         return cached
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
@@ -51,7 +54,7 @@ def _edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).toDF("a", "b")
     if edges.count() < 1_000_000:
         edges = edges.repartition(1).cache()
-    _EDGES_CACHE[sf_dir] = edges
+    _EDGES_CACHE[session_cache_key(spark, sf_dir)] = edges
     return edges
 
 

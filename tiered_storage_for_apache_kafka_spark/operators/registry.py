@@ -67,3 +67,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+def session_cache_key(spark, sf_dir: str) -> tuple[str, str]:
+    """Key for module-level DataFrame caches: a cached DataFrame's
+    lineage is bound to the session that built it, so a same-process
+    session restart must never serve a stale entry (it would reference a
+    dead JVM context). applicationId is unique per SparkContext."""
+    return (spark.sparkContext.applicationId, sf_dir)

@@ -8,9 +8,12 @@ plus an integer pass flag; the DuckDB oracle reproduces the exact side
 and pins the flag to 1 — so the driver hash-verifies that the sketch met
 its accuracy contract on this data, not just that it ran.
 
-Both sketches are deterministic functions of the data (GK/KLL summaries
-and HLL registers merge commutatively), so the flags are stable across
-runs and partitionings.
+HLL registers merge exactly commutatively, so its flag is stable across
+runs and partitionings. GK quantile summaries are *near*-deterministic:
+the compression step is not strictly merge-order independent, so the
+quantile audit widens its rank tolerance to 2x the single-summary
+guarantee (see in-function comment) rather than claiming bitwise
+stability.
 """
 
 from __future__ import annotations
@@ -62,11 +65,16 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.sum(F.when(F.col("value") < q, 1).otherwise(0)).alias(f"lo{i}"))
         aggs.append(F.sum(F.when(F.col("value") <= q, 1).otherwise(0)).alias(f"hi{i}"))
     ranks = j.groupBy("event_type", "n_values").agg(*aggs)
-    # tol = n/accuracy + 1; pass iff the rank window reaches the target
+    # tol = 2*(n/accuracy) + 1: the single-summary GK guarantee is
+    # n/accuracy, but Spark merges per-partition summaries and the
+    # compression is not strictly merge-order independent — doubling the
+    # slack absorbs the merge epsilon so the flag is stable across
+    # partitionings (ADVICE r3); at accuracy 10k the widened tolerance is
+    # still 0.02% of n, a meaningful audit
     rows = []
     for i, p in enumerate(PCTS):
         target = f"(n_values * {p} / 100.0)"
-        tol = f"(n_values / {QUANTILE_ACC} + 1)"
+        tol = f"(2 * n_values / {QUANTILE_ACC} + 1)"
         ok = (
             f"CAST((lo{i} - {tol} <= {target}) AND ({target} <= hi{i} + {tol}) "
             "AS BIGINT)"

@@ -218,20 +218,37 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     `dropDuplicatesWithinWatermark` expires dedup state once the
     event-time watermark passes a key's last-seen timestamp, so state is
     bounded by the watermark horizon instead of growing forever — the
-    only form that survives an unbounded 100 TB stream. The watermark
-    here (45 days) exceeds the test corpus's 30-day span, so no state
-    expires mid-run and the output equals the batch COUNT(DISTINCT)
-    oracle exactly (with a tighter horizon the streaming result would be
-    a superset — duplicates separated by more than the horizon both
-    survive — which is the documented at-least-once contract of this
-    operator)."""
+    only form that survives an unbounded 100 TB stream. The horizon is
+    DERIVED from the corpus's actual event-time span (+1 day margin;
+    parquet min/max stats, no scan) so no state expires mid-run and the
+    output equals the batch COUNT(DISTINCT) oracle exactly regardless of
+    the fixture's span (ADVICE r3: a hard-coded 45-day horizon would
+    silently rot if the generator's span grew). With a tighter horizon
+    the streaming result would be a superset — duplicates separated by
+    more than the horizon both survive — the documented at-least-once
+    contract of this operator."""
     from pyspark.sql import functions as F
 
+    from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+    span = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            (
+                F.ceil(
+                    (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                    / (86400 * 1_000_000)
+                )
+                + 1
+            ).alias("days")
+        )
+        .collect()[0]["days"]
+    )
     deduped = (
         stream_events(spark, sf_dir)
         .filter(F.col("user_id").isNotNull())
         .select("ts", "user_id", "event_type")
-        .withWatermark("ts", "45 days")
+        .withWatermark("ts", f"{int(span)} days")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )
     counts = deduped.groupBy("event_type").agg(
