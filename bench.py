@@ -65,12 +65,23 @@ def main() -> None:
             timings[name] = min(timings.get(name, el), el)
 
     total = round(sum(timings.values()), 4)
+    # per-family rollups (family = defining operator module): regressions
+    # localize to a family subtotal instead of drowning in 125+ per-query
+    # numbers — non-breaking addition, the driver contract fields above
+    # are unchanged
+    families: dict[str, dict[str, float]] = {}
+    for name, sec in timings.items():
+        fam = QUERIES[name].__module__.rsplit(".", 1)[-1]
+        f = families.setdefault(fam, {"n": 0, "sec": 0.0})
+        f["n"] += 1
+        f["sec"] = round(f["sec"] + sec, 4)
     payload = json.dumps(
         {
             "metric": "total_query_seconds",
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "families": families,
             "transform_mbps": transform_grid(),
             "sf": sf,
         }

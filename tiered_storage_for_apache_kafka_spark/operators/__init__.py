@@ -59,19 +59,10 @@ _DEMOTE = [
     # family members (q5/q7 multi-join, q3 join+topN, q19 scalar-pct,
     # q15's view-max by the sampled top_supplier_per_part window form) —
     # demoted so every first-class operator gets a driver verdict:
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
     # round-2 demotions to fit the newest LLM ops in the window: q7's
     # multi-join shape is q5's, q19's OR-of-ANDs scalar predicate is
     # covered by q6/q17, q16's grouped count-distinct + NOT IN by
     # q22's anti join and distinct_daily_users:
-    "q7_volume_shipping",
-    "q19_discount_eligible",
-    "q16_supplier_part_variety",
     # round-3 demotions: all driver-green in round 2 with logic unchanged
     # since, freeing window slots for the round-1 hash-fail family to get
     # its green verdict (ADVICE r2) and for the round-2/3 text ops:
@@ -116,29 +107,18 @@ _DEMOTE = [
     "dedup_substring_spans",
     "semdedup_keep_drop",
     "gopher_repetition_signals",
-    "unigram_logprob_quality",
     "pack_sequences",
     "source_mixture_rebalance",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q11_important_brands",
-]
-
-# Queries that have never had a driver verdict: splice them into the
-# prefix right after the last fixed-this-round query so they fall
-# inside the driver's 50-query sample window.
-_PROMOTE = [
-    # round-1 hash-fail family, fixed to minor-unit BIGINT output in
-    # round 2 but demoted below the window there — rotated back in so the
-    # driver records a green verdict for the fix (ADVICE r2):
+    # round-4 demotions: green driver verdicts in CORRECTNESS_r03 with
+    # logic unchanged since (pytest's DuckDB gate still checks all):
     "q17_small_quantity_parts",
     "moving_window_revenue",
     "cube_order_stats",
-    # round-2 first-class text ops that never got a driver verdict:
     "bpe_token_count",
     "tfidf_top_terms",
-    # round-3 additions — the TPC-H suite closers (q2/q12/q20/q21), the
-    # stream-stream interval join, and the new text/embedding ops:
     "q2_min_cost_supplier",
     "q12_ship_priority",
     "q20_part_promotion",
@@ -161,24 +141,48 @@ _PROMOTE = [
     "minhash_jaccard_audit",
     "bloom_prefilter_audit",
     "funnel_conversion",
-    # round-3 additions (this round): trained k-means + trained-cell IVF,
-    # BM25 retrieval, export-stage ops, watermark-bounded stream dedup:
-    "kmeans_embedding_clusters",
-    "ann_ivf_kmeans_topk",
     "bm25_topk_docs",
     "per_source_quality_cap",
     "export_shard_manifest",
-    "streaming_dedup_within_watermark",
-    "approx_quantile_audit",
     "hll_distinct_audit",
     "pagerank_dup_graph",
     "cdc_chunk_dedup_stats",
     "temperature_mixture_weights",
     "full_outer_daily_activity",
-    # rewritten plans this round (pre-agg HAVING q18, struct-max argmax)
-    # need fresh driver verdicts — rotated back into the window:
     "q18_large_volume_customer",
     "top_supplier_per_part",
+]
+
+# Queries that have never had a driver verdict: splice them into the
+# prefix right after the last fixed-this-round query so they fall
+# inside the driver's 50-query sample window.
+_PROMOTE = [
+    # round-4 window (r4): every r1-r3 promote received its green verdict
+    # in CORRECTNESS_r03 (49/49 pass) and moved to _DEMOTE; the window now
+    # holds (a) the 9 TPC-H variants that have NEVER been driver-sampled
+    # (demoted r1/r2 as family-covered; rotated in for their own verdicts
+    # per the r3 verdict ask #6), and (b) the queries whose logic changed
+    # this round and need fresh verdicts:
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q19_discount_eligible",
+    # changed in round 4: integer-division centroids (kmeans + the IVF
+    # search over them), derived watermark horizon, widened quantile
+    # slack, AQE broadcast gate in the LSH verify path, byte-range
+    # planned tiered reads (the two range-fetch queries):
+    "kmeans_embedding_clusters",
+    "ann_ivf_kmeans_topk",
+    "streaming_dedup_within_watermark",
+    "approx_quantile_audit",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "unigram_logprob_quality",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's
