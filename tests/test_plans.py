@@ -541,3 +541,23 @@ def test_pagerank_no_cartesian_and_partial_inflow(spark):
     plan = plan_of(QUERIES["pagerank_dup_graph"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan  # per-dst inflow map-side combined
+
+
+def test_line_dedup_two_shuffles_no_udf(spark):
+    plan = plan_of(QUERIES["dedup_lines_keep_first"](spark, SF))
+    # exactly: line-hash exchange (keep-first window) + doc-keyed agg
+    # exchange; the tokens cache's own repartition doesn't reappear here
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan  # report agg map-side combined
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_weights_broadcast(spark):
+    plan = plan_of(QUERIES["quality_classifier_score"](spark, SF))
+    # the model is a broadcast dim; the corpus shuffles once (per-doc sum)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan

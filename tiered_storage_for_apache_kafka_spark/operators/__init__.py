@@ -35,6 +35,7 @@ from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     sketch_audits,
     graph,
     cdc,
+    filtering,
 )
 from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: F401
     ORACLES,
@@ -183,6 +184,9 @@ _PROMOTE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "unigram_logprob_quality",
+    # new in round 4 — the CCNet/fastText filtering stages:
+    "dedup_lines_keep_first",
+    "quality_classifier_score",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's
