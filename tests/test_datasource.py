@@ -129,3 +129,16 @@ def test_datasource_stream_reader_incremental(spark, tmp_path):
     assert got.count() == 1000  # exactly the delta was appended
     offsets = sorted(r.offset for r in got.select("offset").collect())
     assert offsets == list(range(1000))
+
+
+def test_datasource_contradictory_bounds_empty_not_crash(spark, tiered_root):
+    """offset >= a AND offset <= b with b < a: pushdown plans an empty
+    byte window on the open-ended last segment per partition — must
+    return zero rows, not raise InvalidRangeError inside the task."""
+    root, conf, manifests = tiered_root
+    got = (
+        _read_ds(spark, root)
+        .filter((F.col("offset") >= 1210) & (F.col("offset") <= 1020))
+        .count()
+    )
+    assert got == 0

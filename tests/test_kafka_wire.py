@@ -449,3 +449,16 @@ def test_distributed_decode_of_kafka_segments(spark, tmp_path):
     sample = {(r.partition, r.offset): bytes(r.value) for r in rows}
     assert sample[(1, 7)] == b"p1-b1-r2"
     assert sample[(2, 19)] == b"p2-b3-r4"
+
+
+def test_xerial_truncated_length_header_raises_valueerror():
+    """1-3 stray bytes after the last block must surface as the codec's
+    documented ValueError, not a struct.error."""
+    from tiered_storage_for_apache_kafka_spark.kafka_wire import (
+        _xerial_compress,
+        _xerial_decompress,
+    )
+
+    body = _xerial_compress(b"payload" * 100)
+    with pytest.raises(ValueError, match="truncated xerial"):
+        _xerial_decompress(body + b"\x00\x01")

@@ -185,3 +185,54 @@ def test_spark_ranged_read_is_byte_windowed(spark, tmp_path):
         for row in full.collect()
     }
     assert r == f and len(r) == hi - lo + 1
+
+
+def test_empty_offset_window_returns_no_bytes(tmp_path):
+    """Contradictory bounds (lo > hi) survive pruning when a segment's
+    end is unknown; the planner must yield zero records, not an
+    InvalidRangeError out of BytesRange."""
+    blob, positions, _ = _build_segment()
+    backend, mgr, meta = _tier(tmp_path, blob, positions)
+    # unknown end, as the datasource's last-segment case constructs it
+    open_meta = SegmentMetadata("t", "tid", 0, 1000, -1, "u-range")
+    base_byte, data = fetch_segment_window(mgr, open_meta, 1210, 1020)
+    assert data == b""
+    assert backend.log_bytes_fetched() == 0
+
+
+def test_corrupt_index_positions_fall_back_whole_segment(tmp_path):
+    """An index whose byte positions point past segment end must degrade
+    to the (wider, never wrong) whole-segment fetch, not crash."""
+    blob, positions, offsets = _build_segment()
+    bogus = [(o, p + 10_000_000) if p else (o, p) for o, p in positions]
+    backend, mgr, meta = _tier(tmp_path, blob, bogus)
+    base_byte, data = fetch_segment_window(mgr, meta, 1210, 1239)
+    assert base_byte == 0
+    _, _, got, _, _, _ = decode_segment_columns(data)
+    assert got == offsets  # whole segment came back
+
+
+def test_boundary_fetch_single_manifest_get(tmp_path):
+    """A byte-range planned read needs the manifest for the index GET and
+    for the log GET — the per-manager LRU must make that ONE manifest
+    round-trip, not two."""
+    blob, positions, _ = _build_segment()
+    backend, mgr, meta = _tier(tmp_path, blob, positions)
+    fetch_segment_window(mgr, meta, 1210, 1239)
+    manifest_gets = [k for k, _ in backend.fetches if k.endswith(".rsm-manifest")]
+    assert len(manifest_gets) == 1, backend.fetches
+
+
+def test_known_end_from_manifest_detects_interior(tmp_path):
+    """end_offset unknown on the metadata (datasource keys don't encode
+    it) + an upper bound covering the whole segment: the cached
+    manifest's kafka endOffset must classify the segment interior — no
+    .indexes GET."""
+    blob, positions, _ = _build_segment()
+    backend, mgr, meta = _tier(tmp_path, blob, positions)
+    open_meta = SegmentMetadata("t", "tid", 0, 1000, -1, "u-range")
+    base_byte, data = fetch_segment_window(mgr, open_meta, None, 5000)
+    assert base_byte == 0
+    _, _, got, _, _, _ = decode_segment_columns(data)
+    assert len(got) == 500
+    assert not any(k.endswith(".indexes") for k, _ in backend.fetches)

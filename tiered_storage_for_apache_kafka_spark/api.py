@@ -109,6 +109,15 @@ class TieredStorageManager:
         self.metrics = Metrics()
         # per-segment DEK cache (manifest holds only the wrapped DEK)
         self._dek_cache: dict[str, DataKeyAndAAD] = {}
+        # bounded LRU of segment manifests (reference: caffeine-cached
+        # manifest lookups, `KafkaRemoteStorageManager` R1): a ranged
+        # fetch is index GET + log GET, each needing the manifest —
+        # without this every boundary-segment read pays a redundant
+        # manifest round-trip
+        from collections import OrderedDict
+
+        self._manifest_cache: OrderedDict[str, SegmentManifest] = OrderedDict()
+        self._manifest_cache_size = 256
 
     # -- helpers ---------------------------------------------------------------
 
@@ -218,6 +227,8 @@ class TieredStorageManager:
             )
             manifest_bytes = manifest.to_json().encode()
             self._upload(keys[Suffix.MANIFEST], manifest_bytes)
+            # re-copy of a uuid must not serve the superseded manifest
+            self._manifest_cache.pop(meta.segment_uuid, None)
             self.metrics.inc("upload.bytes", len(manifest_bytes), object_type="manifest")
             uploaded.append(keys[Suffix.MANIFEST])
 
@@ -233,9 +244,17 @@ class TieredStorageManager:
             raise
 
     def _manifest(self, meta: SegmentMetadata) -> SegmentManifest:
+        cached = self._manifest_cache.get(meta.segment_uuid)
+        if cached is not None:
+            self._manifest_cache.move_to_end(meta.segment_uuid)
+            return cached
         key = self._object_keys(meta)[Suffix.MANIFEST]
         with self.backend.fetch(key) as f:
-            return SegmentManifest.from_json(f.read())
+            manifest = SegmentManifest.from_json(f.read())
+        self._manifest_cache[meta.segment_uuid] = manifest
+        while len(self._manifest_cache) > self._manifest_cache_size:
+            self._manifest_cache.popitem(last=False)
+        return manifest
 
     def fetch_log_segment(
         self,
@@ -263,6 +282,12 @@ class TieredStorageManager:
             deadline_seconds=deadline_seconds,
         )
 
+    def segment_manifest(self, meta: SegmentMetadata) -> SegmentManifest:
+        """Cached manifest lookup (R1) — read paths that need segment
+        geometry (true end offset, chunk layout) before deciding a fetch
+        strategy share the LRU entry the fetch itself will use."""
+        return self._manifest(meta)
+
     def fetch_index(self, meta: SegmentMetadata, index_type: str) -> bytes:
         """One aux index, decrypted if needed (`KafkaRemoteStorageManager.
         java:486-530`). Raises KeyError when the segment has no such index."""
@@ -284,3 +309,4 @@ class TieredStorageManager:
         self.metrics.inc("segment.delete", topic=meta.topic)
         self.backend.delete(self._object_keys(meta).values())
         self._dek_cache.pop(meta.segment_uuid, None)
+        self._manifest_cache.pop(meta.segment_uuid, None)

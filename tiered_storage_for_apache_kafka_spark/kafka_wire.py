@@ -355,6 +355,8 @@ def _xerial_decompress(body: bytes) -> bytes:
     out = bytearray()
     off = 16  # magic + version + compatible version
     while off < len(body):
+        if off + 4 > len(body):
+            raise ValueError("truncated xerial snappy block length")
         (clen,) = struct.unpack_from(">i", body, off)
         off += 4
         block = body[off : off + clen]

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from tiered_storage_for_apache_kafka_spark.operators.registry import (
     query,
     session_cache_key,
+    session_cache_put,
 )
 from tiered_storage_for_apache_kafka_spark.tables import load_table, scan_parallel
 
@@ -168,7 +169,7 @@ def tokens_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = docs.select(
             "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
         ).cache()
-        _TOKENS_CACHE[session_cache_key(spark, sf_dir)] = cached
+        session_cache_put(_TOKENS_CACHE, session_cache_key(spark, sf_dir), cached)
     return cached
 
 
@@ -180,7 +181,7 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SHINGLE_CACHE.get(session_cache_key(spark, sf_dir))
     if cached is None:
         cached = _shingles(spark, sf_dir).cache()
-        _SHINGLE_CACHE[session_cache_key(spark, sf_dir)] = cached
+        session_cache_put(_SHINGLE_CACHE, session_cache_key(spark, sf_dir), cached)
     return cached
 
 
@@ -248,6 +249,8 @@ def _wide_signatures(sh: DataFrame) -> DataFrame:
         for i in range(N_HASHES)
     ]
     cached = sh.groupBy("doc_id").agg(*aggs).cache()
+    while len(_WIDE_SIG_CACHE) >= 4:  # bound across session restarts
+        _WIDE_SIG_CACHE.pop(next(iter(_WIDE_SIG_CACHE)))
     _WIDE_SIG_CACHE[id(sh)] = (sh, cached)
     return cached
 
@@ -399,7 +402,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    _PAIRS_CACHE[session_cache_key(spark, sf_dir)] = result
+    session_cache_put(_PAIRS_CACHE, session_cache_key(spark, sf_dir), result)
     return result
 
 
@@ -872,7 +875,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels, _rounds = propagate_min_labels(edges)
     out = labels.select("doc_id", F.col("label").alias("canonical_doc_id"))
-    _CC_CACHE[session_cache_key(spark, sf_dir)] = out
+    session_cache_put(_CC_CACHE, session_cache_key(spark, sf_dir), out)
     return out
 
 

@@ -25,6 +25,7 @@ from tiered_storage_for_apache_kafka_spark.operators.dedup import (
 from tiered_storage_for_apache_kafka_spark.operators.registry import (
     query,
     session_cache_key,
+    session_cache_put,
 )
 
 PR_ITERS = 3
@@ -54,7 +55,7 @@ def _edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).toDF("a", "b")
     if edges.count() < 1_000_000:
         edges = edges.repartition(1).cache()
-    _EDGES_CACHE[session_cache_key(spark, sf_dir)] = edges
+    session_cache_put(_EDGES_CACHE, session_cache_key(spark, sf_dir), edges)
     return edges
 
 

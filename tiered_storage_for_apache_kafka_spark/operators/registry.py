@@ -75,3 +75,14 @@ def session_cache_key(spark, sf_dir: str) -> tuple[str, str]:
     session restart must never serve a stale entry (it would reference a
     dead JVM context). applicationId is unique per SparkContext."""
     return (spark.sparkContext.applicationId, sf_dir)
+
+
+def session_cache_put(cache: dict, key: tuple, value) -> None:
+    """Insert into a session-keyed module cache, evicting every entry
+    belonging to a different (dead) session first: a same-process
+    SparkSession restart must not pin cached DataFrames — and their
+    plan/py4j handles — of a dead JVM context forever. Keys are the
+    :func:`session_cache_key` tuples, so ``key[0]`` is the session."""
+    for stale in [k for k in cache if k[0] != key[0]]:
+        del cache[stale]
+    cache[key] = value

@@ -219,8 +219,10 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     event-time watermark passes a key's last-seen timestamp, so state is
     bounded by the watermark horizon instead of growing forever — the
     only form that survives an unbounded 100 TB stream. The horizon is
-    DERIVED from the corpus's actual event-time span (+1 day margin;
-    parquet min/max stats, no scan) so no state expires mid-run and the
+    DERIVED from the corpus's actual event-time span (+1 day margin; one
+    tiny two-value aggregation job over the single ts column — in
+    production the horizon is a stream config, not derived) so no state
+    expires mid-run and the
     output equals the batch COUNT(DISTINCT) oracle exactly regardless of
     the fixture's span (ADVICE r3: a hard-coded 45-day horizon would
     silently rot if the generator's span grew). With a tighter horizon
@@ -244,6 +246,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .collect()[0]["days"]
     )
+    span = int(span) if span is not None else 1  # empty corpus: any horizon
     deduped = (
         stream_events(spark, sf_dir)
         .filter(F.col("user_id").isNotNull())

@@ -24,6 +24,8 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (
     minor_units,
     minor_units_sql,
     query,
+    session_cache_key,
+    session_cache_put,
 )
 from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
     decode_events,
@@ -41,11 +43,8 @@ _TIER_CACHE: dict[tuple, tuple[DataFrame, dict]] = {}
 _REC_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _cache_key(spark: SparkSession, sf_dir: str) -> tuple:
-    """Cache key including the Spark application id: a cached DataFrame's
-    lineage is bound to the session that built it, so a same-process
-    session restart must not serve a stale entry."""
-    return (spark.sparkContext.applicationId, sf_dir)
+# the one session-keying policy, shared with the dedup/graph caches
+_cache_key = session_cache_key
 
 
 def _tier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
@@ -59,7 +58,7 @@ def _tier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
     conf = manager_conf(root, chunk_size=4096, compression=True)
     manifests = tier_events_table(spark, events, conf).cache()
     manifests.count()  # materialize: uploads happen exactly once
-    _TIER_CACHE[_cache_key(spark, sf_dir)] = (manifests, conf)
+    session_cache_put(_TIER_CACHE, _cache_key(spark, sf_dir), (manifests, conf))
     return manifests, conf
 
 
@@ -73,7 +72,7 @@ def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     manifests, conf = _tier(spark, sf_dir)
     rec = read_tiered_records(spark, manifests, conf).cache()
-    _REC_CACHE[_cache_key(spark, sf_dir)] = rec
+    session_cache_put(_REC_CACHE, _cache_key(spark, sf_dir), rec)
     return rec
 
 
@@ -476,5 +475,5 @@ def streaming_tier_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     out.count()
-    _STREAM_TIER_CACHE[_cache_key(spark, sf_dir)] = out
+    session_cache_put(_STREAM_TIER_CACHE, _cache_key(spark, sf_dir), out)
     return out

@@ -49,10 +49,22 @@ SCHEMA = (
 
 
 class SegmentPartition(InputPartition):
-    def __init__(self, partition: int, start_offset: int, segment_uuid: str):
+    def __init__(
+        self,
+        partition: int,
+        start_offset: int,
+        segment_uuid: str,
+        end_offset: int = -1,
+    ):
         self.partition = partition
         self.start_offset = start_offset
         self.segment_uuid = segment_uuid
+        # inclusive end bound derived from the NEXT key's start at plan
+        # time (-1 = unknown, open end): lets the window planner detect
+        # interior segments so fully-covered segments skip the index GET.
+        # next_start-1 can overstate a gapped segment's true end, which
+        # only errs toward an unnecessary (never incorrect) index read.
+        self.end_offset = end_offset
 
 
 def _build_manager(opts: dict):
@@ -163,7 +175,8 @@ class TieredSegmentsReader(DataSourceReader):
                     and next_start <= self.min_offset
                 ):
                     continue
-                out.append(SegmentPartition(part, start, uuid))
+                end = next_start - 1 if next_start is not None else -1
+                out.append(SegmentPartition(part, start, uuid, end))
         return out
 
     # -- execution -------------------------------------------------------------
@@ -185,7 +198,7 @@ class TieredSegmentsReader(DataSourceReader):
             self.topic_id,
             partition.partition,
             partition.start_offset,
-            -1,  # end offset unknown from keys; window planner treats as open
+            getattr(partition, "end_offset", -1),
             partition.segment_uuid,
         )
         lo, hi = self.min_offset, self.max_offset

@@ -39,6 +39,7 @@ from tiered_storage_for_apache_kafka_spark.api import (
     SegmentMetadata,
     TieredStorageManager,
 )
+from tiered_storage_for_apache_kafka_spark.storage.backend import StorageBackendError
 from tiered_storage_for_apache_kafka_spark.storage.filesystem import FileSystemStorage
 from tiered_storage_for_apache_kafka_spark.transform.compression import DEFAULT_CODEC
 from tiered_storage_for_apache_kafka_spark.transform.encryption import RsaKeyring
@@ -286,9 +287,22 @@ def fetch_segment_window(
     (base_byte, data) where base_byte restores absolute
     batch_byte_offsets. Falls back to a whole-segment fetch when the
     index is absent/legacy-format (wider read, never wrong)."""
-    end_known = meta.end_offset >= meta.start_offset
+    end = meta.end_offset
+    if end < meta.start_offset and max_offset is not None:
+        # end unknown (datasource keys don't encode it) but an upper
+        # bound exists: the manifest's kafka endOffset — cached, and
+        # needed by any fetch below anyway — settles interior-ness
+        # without an index GET
+        try:
+            km = mgr.segment_manifest(meta).kafka_metadata or {}
+            e = km.get("endOffset")
+            if isinstance(e, int) and e >= meta.start_offset:
+                end = e
+        except StorageBackendError:
+            pass  # missing manifest: the fetch below raises properly
+    end_known = end >= meta.start_offset
     interior = (min_offset is None or min_offset <= meta.start_offset) and (
-        max_offset is None or (end_known and max_offset >= meta.end_offset)
+        max_offset is None or (end_known and max_offset >= end)
     )
     if not interior:
         try:
@@ -308,9 +322,17 @@ def fetch_segment_window(
             start_byte, end_byte = plan_offset_byte_range(
                 pairs, min_offset, max_offset
             )
+            if end_byte is not None and end_byte < start_byte:
+                # contradictory bounds (offset >= a AND offset <= b with
+                # b < a survive pruning when a segment's end is unknown):
+                # the offset window is empty — no bytes, no records
+                return 0, b""
             data = b"".join(mgr.fetch_log_segment(meta, start_byte, end_byte))
             return start_byte, data
-        except (KeyError, ValueError):
+        except (KeyError, ValueError, StorageBackendError):
+            # missing/legacy/corrupt index (incl. positions past segment
+            # end -> InvalidRangeError): wider whole-segment read below —
+            # never wrong, a genuine backend outage fails there instead
             pass
     return 0, b"".join(mgr.fetch_log_segment(meta, 0))
 
