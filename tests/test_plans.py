@@ -561,3 +561,14 @@ def test_quality_classifier_weights_broadcast(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hybrid_rrf_pools_take_ordered(spark):
+    plan = plan_of(QUERIES["hybrid_rrf_retrieval"](spark, SF))
+    # each ranker pool is a TakeOrdered limit, the query vector is a
+    # broadcast, and no corpus-sized cartesian exists (the only cross
+    # join is the 1-row query vector / scalar stats attachments)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan

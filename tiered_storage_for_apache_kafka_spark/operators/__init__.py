@@ -184,9 +184,11 @@ _PROMOTE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "unigram_logprob_quality",
-    # new in round 4 — the CCNet/fastText filtering stages:
+    # new in round 4 — the CCNet/fastText filtering stages and the
+    # hybrid-retrieval fusion:
     "dedup_lines_keep_first",
     "quality_classifier_score",
+    "hybrid_rrf_retrieval",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's
