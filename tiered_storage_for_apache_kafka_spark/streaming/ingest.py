@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based record stream over the events table (the test stand-in
@@ -286,3 +286,82 @@ def stream_purchase_click_join(events: DataFrame) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts"))
         & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+
+_TWS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_type", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_micros", LongType()),
+    ]
+)
+
+
+def stream_user_type_counts_tws(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the transformWithState API (the
+    Spark 4 successor of applyInPandasWithState, SPARK-46815): per-user
+    ValueState carries exact running totals and a per-user MapState
+    carries per-event-type counts — the composite-state layout the older
+    API can't express without packing everything into one value row.
+    Runs on the RocksDB state store (required by transformWithState;
+    the disk-backed store a 100 TB deployment uses anyway, state size
+    no longer bounded by executor heap). Arithmetic matches
+    `stream_user_totals_stateful`: per-value floor to integer micros
+    before summing, so accumulation is exact and batch-split order
+    independent."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserTypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, total_micros bigint"
+            )
+            self._by_type = handle.getMapState(
+                "by_type", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            prev = self._totals.get() if self._totals.exists() else None
+            n, total = (int(prev[0]), int(prev[1])) if prev else (0, 0)
+            batch_counts: dict[str, int] = {}
+            for pdf in rows:
+                n += len(pdf)
+                total += int(
+                    np.floor(pdf["value"].to_numpy() * 1_000_000)
+                    .astype("int64")
+                    .sum()
+                )
+                for t, c in pdf.groupby("event_type").size().items():
+                    batch_counts[t] = batch_counts.get(t, 0) + int(c)
+            self._totals.update((n, total))
+            for t, c in batch_counts.items():
+                old = (
+                    self._by_type.getValue((t,))
+                    if self._by_type.containsKey((t,))
+                    else None
+                )
+                self._by_type.updateValue((t,), ((int(old[0]) if old else 0) + c,))
+            out = [
+                (int(key[0]), k[0], int(v[0]), n, total)
+                for k, v in self._by_type.iterator()
+            ]
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "event_type", "n_type", "n_events", "total_micros"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.filter(F.col("user_id").isNotNull()).groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        UserTypeCounts(),
+        outputStructType=_TWS_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
