@@ -236,3 +236,42 @@ def test_known_end_from_manifest_detects_interior(tmp_path):
     _, _, got, _, _, _ = decode_segment_columns(data)
     assert len(got) == 500
     assert not any(k.endswith(".indexes") for k, _ in backend.fetches)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=1, max_size=12),
+    base=st.integers(0, 10_000),
+    lo_off=st.integers(-5, 500),
+    width=st.integers(0, 500),
+)
+def test_planned_window_covers_requested_offsets(sizes, base, lo_off, width):
+    """Property: every record whose offset falls in [lo, hi] lies inside
+    the planned byte window; bytes before the window belong to batches
+    wholly below lo."""
+    pairs = []
+    pos = 0
+    off = base
+    for n in sizes:
+        pairs.append((off, pos))
+        pos += n * 7  # 7 bytes per record, arbitrary but consistent
+        off += n
+    total_bytes = pos
+    lo = base + lo_off
+    hi = lo + width
+    start_byte, end_byte = plan_offset_byte_range(pairs, lo, hi)
+    end_byte = total_bytes - 1 if end_byte is None else min(end_byte, total_bytes - 1)
+    # walk every record; assert covered iff wanted
+    off = base
+    pos = 0
+    for (b_off, b_pos), n in zip(pairs, sizes):
+        for i in range(n):
+            r_off = b_off + i
+            if lo <= r_off <= hi:
+                # the whole batch containing a wanted record is covered
+                assert b_pos >= start_byte and b_pos + n * 7 - 1 <= end_byte, (
+                    pairs, lo, hi, start_byte, end_byte)
