@@ -114,10 +114,14 @@ class TieredStorageManager:
         # fetch is index GET + log GET, each needing the manifest —
         # without this every boundary-segment read pays a redundant
         # manifest round-trip
+        import threading
         from collections import OrderedDict
 
         self._manifest_cache: OrderedDict[str, SegmentManifest] = OrderedDict()
         self._manifest_cache_size = 256
+        # fetches may run concurrently (the chunk cache is single-flight
+        # across threads); OrderedDict reorder/evict needs the same care
+        self._manifest_lock = threading.Lock()
 
     # -- helpers ---------------------------------------------------------------
 
@@ -244,16 +248,18 @@ class TieredStorageManager:
             raise
 
     def _manifest(self, meta: SegmentMetadata) -> SegmentManifest:
-        cached = self._manifest_cache.get(meta.segment_uuid)
-        if cached is not None:
-            self._manifest_cache.move_to_end(meta.segment_uuid)
-            return cached
+        with self._manifest_lock:
+            cached = self._manifest_cache.get(meta.segment_uuid)
+            if cached is not None:
+                self._manifest_cache.move_to_end(meta.segment_uuid)
+                return cached
         key = self._object_keys(meta)[Suffix.MANIFEST]
         with self.backend.fetch(key) as f:
             manifest = SegmentManifest.from_json(f.read())
-        self._manifest_cache[meta.segment_uuid] = manifest
-        while len(self._manifest_cache) > self._manifest_cache_size:
-            self._manifest_cache.popitem(last=False)
+        with self._manifest_lock:
+            self._manifest_cache[meta.segment_uuid] = manifest
+            while len(self._manifest_cache) > self._manifest_cache_size:
+                self._manifest_cache.popitem(last=False)
         return manifest
 
     def fetch_log_segment(
