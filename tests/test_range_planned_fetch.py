@@ -251,8 +251,9 @@ from hypothesis import strategies as st
 )
 def test_planned_window_covers_requested_offsets(sizes, base, lo_off, width):
     """Property: every record whose offset falls in [lo, hi] lies inside
-    the planned byte window; bytes before the window belong to batches
-    wholly below lo."""
+    the planned byte window (coverage), and every batch fully inside the
+    window contains at least one wanted record (tightness — a regression
+    to whole-segment (0, None) plans fails here, not just correctness)."""
     pairs = []
     pos = 0
     off = base
@@ -275,3 +276,17 @@ def test_planned_window_covers_requested_offsets(sizes, base, lo_off, width):
                 # the whole batch containing a wanted record is covered
                 assert b_pos >= start_byte and b_pos + n * 7 - 1 <= end_byte, (
                     pairs, lo, hi, start_byte, end_byte)
+    # tightness: the window covers EXACTLY the batch span
+    # [last base <= lo .. last base <= hi] — batch granularity means a
+    # record >= lo may sit in the last batch whose base <= lo, nothing
+    # earlier; an over-wide plan (whole-segment (0, None) fallback)
+    # covers earlier batches and fails here
+    from bisect import bisect_right as _br
+
+    bases = [o for o, _ in pairs]
+    si = max(_br(bases, lo) - 1, 0)
+    ei = _br(bases, hi) - 1  # -1 when hi < first base: nothing wanted
+    for idx, ((b_off, b_pos), n) in enumerate(zip(pairs, sizes)):
+        covered = b_pos >= start_byte and b_pos + n * 7 - 1 <= end_byte
+        assert covered == (si <= idx <= ei), (
+            pairs, lo, hi, start_byte, end_byte, idx)

@@ -190,7 +190,7 @@ def test_transform_with_state_composite_counts(spark):
         streaming_user_type_counts_tws,
     )
 
-    out = streaming_user_type_counts_tws(spark, "/root/testdata/sf0.001")
+    out = streaming_user_type_counts_tws(spark, SF)
     rows = out.collect()
     assert rows
     by_user = {}

@@ -74,13 +74,13 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bm25_topk_docs",
-    oracle=f"""
-WITH toks AS (
+
+# the BM25 scoring CTE chain, shared verbatim by the pure-BM25 oracle
+# and the hybrid-RRF oracle so the two can never silently disagree
+_BM25_CTE = rf"""toks AS (
   -- string_split_regex mirrors Spark's split() exactly (including the
   -- [''] result for empty text), keeping dl/avgdl engine-identical
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
 ), dl AS (
   SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
 ), stats AS (
@@ -101,7 +101,13 @@ WITH toks AS (
   JOIN dl USING (doc_id)
   CROSS JOIN stats s
   GROUP BY tf.doc_id
-)
+)"""
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+WITH {_BM25_CTE}
 SELECT doc_id, n_matched_terms, ROUND(score, 4) AS bm25_score,
        CAST(rnk AS BIGINT) AS rnk
 FROM (
@@ -145,28 +151,7 @@ _COS = (
 @query(
     "hybrid_rrf_retrieval",
     oracle=f"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-), dl AS (
-  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
-), stats AS (
-  SELECT CAST(SUM(dl) AS BIGINT) AS total_dl, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl
-), tf AS (
-  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
-  WHERE tok IN ({_TERMS_SQL})
-  GROUP BY doc_id, tok
-), df AS (
-  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
-), scored AS (
-  SELECT tf.doc_id,
-         {_score_sql("s.n_docs", "d.df", "tf.tf", "dl.dl", "s.total_dl")} AS score
-  FROM tf
-  JOIN df d USING (tok)
-  JOIN dl USING (doc_id)
-  CROSS JOIN stats s
-  GROUP BY tf.doc_id
-), text_pool AS (
+WITH {_BM25_CTE}, text_pool AS (
   SELECT doc_id, CAST(rn AS BIGINT) AS r_text FROM (
     SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, doc_id ASC) AS rn
     FROM scored

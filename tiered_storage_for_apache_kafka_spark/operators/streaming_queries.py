@@ -267,7 +267,7 @@ SELECT user_id, event_type,
        CAST(SUM(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)))
             OVER (PARTITION BY user_id) AS BIGINT) AS total_micros
 FROM events
-WHERE user_id IS NOT NULL
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL
 GROUP BY user_id, event_type
 """
 

@@ -357,9 +357,12 @@ def stream_user_type_counts_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return events.filter(F.col("user_id").isNotNull()).groupBy(
-        "user_id"
-    ).transformWithStateInPandas(
+    # NULL event_type is excluded explicitly (matching the oracle's
+    # WHERE): MapState keys are non-null, and pandas groupby would
+    # silently drop the NULL group while n_events still counted it
+    return events.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).groupBy("user_id").transformWithStateInPandas(
         UserTypeCounts(),
         outputStructType=_TWS_OUT,
         outputMode="Update",
