@@ -215,12 +215,19 @@ def test_corrupt_index_positions_fall_back_whole_segment(tmp_path):
 def test_boundary_fetch_single_manifest_get(tmp_path):
     """A byte-range planned read needs the manifest for the index GET and
     for the log GET — the per-manager LRU must make that ONE manifest
-    round-trip, not two."""
+    round-trip, not two. A fresh reader-side manager models the real
+    topology (readers are not the writer, whose copy pre-caches)."""
     blob, positions, _ = _build_segment()
     backend, mgr, meta = _tier(tmp_path, blob, positions)
-    fetch_segment_window(mgr, meta, 1210, 1239)
+    reader = TieredStorageManager(backend, chunk_size=1024, compression_enabled=False)
+    backend.fetches.clear()
+    fetch_segment_window(reader, meta, 1210, 1239)
     manifest_gets = [k for k, _ in backend.fetches if k.endswith(".rsm-manifest")]
     assert len(manifest_gets) == 1, backend.fetches
+    # and the writer-side manager, having cached at copy, needs none
+    backend.fetches.clear()
+    fetch_segment_window(mgr, meta, 1210, 1239)
+    assert not any(k.endswith(".rsm-manifest") for k, _ in backend.fetches)
 
 
 def test_known_end_from_manifest_detects_interior(tmp_path):

@@ -18,6 +18,8 @@ Failure of any upload best-effort deletes all three objects
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import BinaryIO, Iterator
 
@@ -114,9 +116,6 @@ class TieredStorageManager:
         # fetch is index GET + log GET, each needing the manifest —
         # without this every boundary-segment read pays a redundant
         # manifest round-trip
-        import threading
-        from collections import OrderedDict
-
         self._manifest_cache: OrderedDict[str, SegmentManifest] = OrderedDict()
         self._manifest_cache_size = 256
         # fetches may run concurrently (the chunk cache is single-flight
@@ -231,8 +230,13 @@ class TieredStorageManager:
             )
             manifest_bytes = manifest.to_json().encode()
             self._upload(keys[Suffix.MANIFEST], manifest_bytes)
-            # re-copy of a uuid must not serve the superseded manifest
-            self._manifest_cache.pop(meta.segment_uuid, None)
+            # the writer has the freshest manifest in hand: cache it
+            # (also ensures a re-copied uuid never serves the superseded
+            # one) — the first read after copy skips the manifest GET
+            with self._manifest_lock:
+                self._manifest_cache[meta.segment_uuid] = manifest
+                while len(self._manifest_cache) > self._manifest_cache_size:
+                    self._manifest_cache.popitem(last=False)
             self.metrics.inc("upload.bytes", len(manifest_bytes), object_type="manifest")
             uploaded.append(keys[Suffix.MANIFEST])
 

@@ -74,7 +74,6 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 # the BM25 scoring CTE chain, shared verbatim by the pure-BM25 oracle
 # and the hybrid-RRF oracle so the two can never silently disagree
 _BM25_CTE = rf"""toks AS (

@@ -198,7 +198,7 @@ class TieredSegmentsReader(DataSourceReader):
             self.topic_id,
             partition.partition,
             partition.start_offset,
-            getattr(partition, "end_offset", -1),
+            partition.end_offset,
             partition.segment_uuid,
         )
         lo, hi = self.min_offset, self.max_offset
