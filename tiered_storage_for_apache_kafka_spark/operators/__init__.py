@@ -189,6 +189,7 @@ _PROMOTE = [
     "dedup_lines_keep_first",
     "quality_classifier_score",
     "hybrid_rrf_retrieval",
+    "multimodal_image_decode",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's

@@ -212,3 +212,122 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow fan-out must produce exactly the frames the SQL slicing
     produces (ASCII payloads ⇒ byte slicing == char slicing)."""
     return sample_frames(multimodal_assets(spark, sf_dir))
+
+
+# -- real image decode: netpbm P6 (PPM), pure numpy ---------------------------
+
+PPM_W = PPM_H = 16
+_PPM_PIXELS = PPM_W * PPM_H * 3  # 768 payload bytes per image
+_PPM_HEADER = f"P6\n{PPM_W} {PPM_H}\n255\n"
+
+
+def encode_ppm(pixels: "np.ndarray") -> bytes:
+    """Binary PPM (P6) encoder: 8-bit RGB, the netpbm wire format."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(blob: bytes) -> "np.ndarray":
+    """REAL image decode — binary PPM (P6) needs no external codec:
+    header = magic, width, height, maxval separated by whitespace, then
+    raw RGB bytes. This is the dependency-free member of the decode
+    family; `decode_image` above stays a stub for formats (JPEG/PNG)
+    that genuinely need libjpeg/zlib codecs."""
+    import re
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", blob)
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = (int(g) for g in m.groups())
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    need = w * h * 3
+    if len(blob) - m.end() < need:
+        raise ValueError("truncated PPM payload")
+    pixels = np.frombuffer(blob, dtype=np.uint8, count=need, offset=m.end())
+    return pixels.reshape(h, w, 3)
+
+
+def multimodal_ppm_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic VALID PPM image per document: the first 768 ASCII
+    bytes of the text (space-padded) become the 16x16 RGB payload — so
+    the decoded pixels are byte-predictable and the decode+resize
+    pipeline is DuckDB-oracle-checkable end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.rpad(F.substring("text", 1, _PPM_PIXELS), _PPM_PIXELS, " "), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.concat(F.encode(F.lit(_PPM_HEADER), "UTF-8"), payload).alias("blob"),
+    )
+
+
+@query(
+    "multimodal_image_decode",
+    oracle=f"""
+WITH padded AS (
+  SELECT doc_id, rpad(substr(text, 1, {_PPM_PIXELS}), {_PPM_PIXELS}, ' ') AS s
+  FROM documents
+), px AS (
+  SELECT doc_id,
+         ord(substr(s, i, 1)) AS b,
+         (i - 1) % 3 AS ch,
+         ((i - 1) // 3) // {PPM_W} AS r,
+         ((i - 1) // 3) % {PPM_W} AS c
+  FROM padded, generate_series(1, {_PPM_PIXELS}) t(i)
+)
+SELECT doc_id,
+       CAST({PPM_W} AS INT) AS width,
+       CAST({PPM_H} AS INT) AS height,
+       CAST(SUM(CASE WHEN ch = 0 THEN b ELSE 0 END) // {PPM_W * PPM_H} AS BIGINT) AS mean_r,
+       CAST(SUM(CASE WHEN ch = 1 THEN b ELSE 0 END) // {PPM_W * PPM_H} AS BIGINT) AS mean_g,
+       CAST(SUM(CASE WHEN ch = 2 THEN b ELSE 0 END) // {PPM_W * PPM_H} AS BIGINT) AS mean_b,
+       CAST(SUM(CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN b ELSE 0 END) AS BIGINT) AS thumb_byte_sum
+FROM px
+GROUP BY doc_id
+""",
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + resize over a real image format: every doc carries a
+    valid 16x16 binary PPM; the Arrow stage parses the netpbm header,
+    reshapes the RGB payload, computes floored per-channel means, and
+    takes a 2x nearest-neighbor thumbnail (stride-2 slice — the actual
+    resize kernel) whose byte sum is emitted. The DuckDB oracle
+    recomputes all of it from raw byte arithmetic over the same ASCII
+    payload — equal hashes prove the decoder and the resize read exactly
+    the bytes they claim. (JPEG/PNG stay honestly stubbed: they need
+    codecs this container lacks; the pipeline shape is identical.)
+
+    Plan shape: narrow map end-to-end — blob synthesis is JVM concat,
+    decode+thumbnail run in one Arrow batch stage, the only shuffle is
+    the final nothing (per-doc rows come straight out of the map)."""
+    assets = multimodal_ppm_assets(spark, sf_dir)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_ppm(bytes(blob))
+                h, w, _ = img.shape
+                thumb = img[::2, ::2, :]  # nearest-neighbor 2x downsample
+                sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": int(w),
+                        "height": int(h),
+                        "mean_r": int(sums[0]) // (w * h),
+                        "mean_g": int(sums[1]) // (w * h),
+                        "mean_b": int(sums[2]) // (w * h),
+                        "thumb_byte_sum": int(thumb.sum(dtype=np.int64)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        feats,
+        schema=(
+            "doc_id BIGINT, width INT, height INT, mean_r BIGINT, "
+            "mean_g BIGINT, mean_b BIGINT, thumb_byte_sum BIGINT"
+        ),
+    )
