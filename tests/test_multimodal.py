@@ -54,3 +54,60 @@ class TestPpmDecode:
             img = decode_ppm(blob)
             assert rows[doc_id].thumb_byte_sum == int(img[::2, ::2, :].sum())
             assert rows[doc_id].mean_r == int(img[:, :, 0].sum()) // 256
+
+
+class TestWavDecode:
+    def test_roundtrip_random_audio(self):
+        import numpy as np
+
+        from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+            decode_wav_pcm16,
+            encode_wav_pcm16,
+        )
+
+        rng = np.random.default_rng(11)
+        samples = rng.integers(-32768, 32768, size=301, dtype=np.int16)
+        rate, out = decode_wav_pcm16(encode_wav_pcm16(samples, 8000))
+        assert rate == 8000
+        assert (out == samples).all()
+
+    def test_rejects_non_wave_and_unsupported(self):
+        import numpy as np
+        import pytest
+
+        from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+            decode_wav_pcm16,
+            encode_wav_pcm16,
+        )
+
+        good = encode_wav_pcm16(np.zeros(8, dtype=np.int16))
+        with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+            decode_wav_pcm16(b"RIFX" + good[4:])
+        with pytest.raises(ValueError, match="truncated"):
+            decode_wav_pcm16(good[:-3])
+        # stereo fmt chunk -> unsupported
+        import struct
+
+        bad = bytearray(good)
+        struct.pack_into("<H", bad, 22, 2)  # channels = 2
+        with pytest.raises(ValueError, match="PCM16 mono"):
+            decode_wav_pcm16(bytes(bad))
+
+    def test_chunk_walker_skips_foreign_chunks(self):
+        import numpy as np
+        import struct
+
+        from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+            decode_wav_pcm16,
+            encode_wav_pcm16,
+        )
+
+        samples = np.arange(16, dtype=np.int16)
+        good = encode_wav_pcm16(samples)
+        # splice a LIST chunk (odd length -> exercises word alignment)
+        # between fmt and data
+        fmt_end = 12 + 8 + 16
+        foreign = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        spliced = good[:fmt_end] + foreign + good[fmt_end:]
+        rate, out = decode_wav_pcm16(spliced)
+        assert rate == 16000 and (out == samples).all()

@@ -190,6 +190,7 @@ _PROMOTE = [
     "quality_classifier_score",
     "hybrid_rrf_retrieval",
     "multimodal_image_decode",
+    "multimodal_audio_decode",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's
