@@ -111,3 +111,38 @@ class TestWavDecode:
         spliced = good[:fmt_end] + foreign + good[fmt_end:]
         rate, out = decode_wav_pcm16(spliced)
         assert rate == 16000 and (out == samples).all()
+
+
+class TestY4mDecode:
+    def test_roundtrip(self):
+        import numpy as np
+
+        from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+            decode_y4m,
+            encode_y4m,
+        )
+
+        rng = np.random.default_rng(3)
+        frames = [rng.integers(0, 256, 192, dtype=np.uint8) for _ in range(4)]
+        w, h, out = decode_y4m(encode_y4m(frames))
+        assert (w, h) == (8, 8) and len(out) == 4
+        assert all((a == b).all() for a, b in zip(out, frames))
+
+    def test_rejections(self):
+        import numpy as np
+        import pytest
+
+        from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+            decode_y4m,
+            encode_y4m,
+        )
+
+        good = encode_y4m([np.zeros(192, dtype=np.uint8)])
+        with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+            decode_y4m(b"JUNK" + good)
+        with pytest.raises(ValueError, match="truncated"):
+            decode_y4m(good[:-10])
+        with pytest.raises(ValueError, match="C444"):
+            decode_y4m(good.replace(b"C444", b"C420"))
+        with pytest.raises(ValueError, match="FRAME"):
+            decode_y4m(good.replace(b"FRAME\n", b"FRAMX\n"))

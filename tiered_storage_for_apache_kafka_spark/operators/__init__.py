@@ -191,6 +191,7 @@ _PROMOTE = [
     "hybrid_rrf_retrieval",
     "multimodal_image_decode",
     "multimodal_audio_decode",
+    "multimodal_video_frames",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's

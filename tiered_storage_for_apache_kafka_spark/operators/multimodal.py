@@ -466,3 +466,142 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_abs BIGINT, abs_sum BIGINT, stride4_sum BIGINT"
         ),
     )
+
+
+# -- real video container: YUV4MPEG2 (y4m), pure parsing ----------------------
+
+Y4M_W = Y4M_H = 8
+_Y4M_FRAME_BYTES = Y4M_W * Y4M_H * 3  # C444: full-res Y, U, V planes
+Y4M_FRAMES = 3
+Y4M_STRIDE = 2  # keep frames 0, 2 — the temporal sampler
+_Y4M_HEADER = f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 C444\n"
+_Y4M_DATA_CHARS = Y4M_FRAMES * _Y4M_FRAME_BYTES
+
+
+def encode_y4m(frames: "list[np.ndarray]", w: int = Y4M_W, h: int = Y4M_H) -> bytes:
+    """YUV4MPEG2 stream: ASCII header, then FRAME-delimited raw C444
+    planes — the uncompressed interchange format ffmpeg reads/writes."""
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode())
+    for f in frames:
+        assert f.dtype == np.uint8 and f.size == w * h * 3
+        out += b"FRAME\n" + f.tobytes()
+    return bytes(out)
+
+
+def decode_y4m(blob: bytes) -> tuple[int, int, "list[np.ndarray]"]:
+    """REAL container parse — y4m needs no codec: read the parameter
+    line (W/H/C tags), then split FRAME sections of W*H*3 bytes (C444).
+    Compressed video (h264/vp9) stays honestly stubbed: those need
+    real codecs."""
+    nl = blob.find(b"\n")
+    if nl < 0 or not blob.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = "C420"
+    for tag in blob[:nl].split(b" ")[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            colorspace = tag.decode()
+    if w is None or h is None:
+        raise ValueError("y4m header missing W/H")
+    if colorspace != "C444":
+        raise ValueError("only C444 supported")
+    frame_bytes = w * h * 3
+    frames = []
+    off = nl + 1
+    while off < len(blob):
+        fnl = blob.find(b"\n", off)
+        if fnl < 0 or blob[off:off + 5] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        body = blob[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(body) != frame_bytes:
+            raise ValueError("truncated y4m frame")
+        frames.append(np.frombuffer(body, dtype=np.uint8))
+        off = fnl + 1 + frame_bytes
+    return w, h, frames
+
+
+def multimodal_y4m_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic VALID y4m clip per document: 3 C444 frames of 8x8,
+    planes filled from consecutive ASCII text slices (space-padded) —
+    frame contents are byte-predictable, so the container parse and the
+    temporal sampler are oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.rpad(F.substring("text", 1, _Y4M_DATA_CHARS), _Y4M_DATA_CHARS, " ")
+    pieces = [F.encode(F.lit(_Y4M_HEADER), "UTF-8")]
+    for i in range(Y4M_FRAMES):
+        pieces.append(F.encode(F.lit("FRAME\n"), "UTF-8"))
+        pieces.append(
+            F.encode(
+                F.substring(padded, i * _Y4M_FRAME_BYTES + 1, _Y4M_FRAME_BYTES),
+                "UTF-8",
+            )
+        )
+    return docs.select("doc_id", F.concat(*pieces).alias("blob"))
+
+
+@query(
+    "multimodal_video_frames",
+    oracle=f"""
+WITH padded AS (
+  SELECT doc_id, rpad(substr(text, 1, {_Y4M_DATA_CHARS}), {_Y4M_DATA_CHARS}, ' ') AS s
+  FROM documents
+), px AS (
+  SELECT doc_id,
+         (i - 1) // {_Y4M_FRAME_BYTES} AS frame_no,
+         (i - 1) % {_Y4M_FRAME_BYTES} AS p,
+         ord(substr(s, i, 1)) AS b
+  FROM padded, generate_series(1, {_Y4M_DATA_CHARS}) t(i)
+)
+SELECT doc_id,
+       CAST(frame_no AS INT) AS frame_no,
+       CAST({Y4M_W} AS INT) AS width,
+       CAST({Y4M_H} AS INT) AS height,
+       CAST(SUM(b) AS BIGINT) AS frame_byte_sum,
+       CAST(SUM(CASE WHEN p < {Y4M_W * Y4M_H} THEN b ELSE 0 END) AS BIGINT) AS y_plane_sum
+FROM px
+WHERE frame_no % {Y4M_STRIDE} = 0
+GROUP BY doc_id, frame_no
+""",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container frame sampling: each doc carries a valid
+    3-frame YUV4MPEG2 clip; the Arrow stage parses the header and FRAME
+    markers with a real parser, keeps every {Y4M_STRIDE}nd frame (the
+    temporal sampler of a training-data video pipeline), and emits
+    per-frame byte and Y-plane sums — all recomputed by the DuckDB
+    oracle from position arithmetic over the same payload. One input
+    row fans out to the kept frames inside the Arrow batch, the exact
+    shape a real ffmpeg-backed sampler has (decode of COMPRESSED video
+    stays honestly stubbed — codecs absent here)."""
+    assets = multimodal_y4m_assets(spark, sf_dir)
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                w, h, fr = decode_y4m(bytes(blob))
+                for f_no in range(0, len(fr), Y4M_STRIDE):
+                    frame = fr[f_no].astype(np.int64)
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_no": f_no,
+                            "width": w,
+                            "height": h,
+                            "frame_byte_sum": int(frame.sum()),
+                            "y_plane_sum": int(frame[: w * h].sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        frames,
+        schema=(
+            "doc_id BIGINT, frame_no INT, width INT, height INT, "
+            "frame_byte_sum BIGINT, y_plane_sum BIGINT"
+        ),
+    )
