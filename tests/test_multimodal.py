@@ -146,3 +146,65 @@ class TestY4mDecode:
             decode_y4m(good.replace(b"C444", b"C420"))
         with pytest.raises(ValueError, match="FRAME"):
             decode_y4m(good.replace(b"FRAME\n", b"FRAMX\n"))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=80, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=2048))
+def test_decoders_never_crash_on_garbage(blob):
+    """Robustness contract of every decode stage: arbitrary bytes either
+    decode or raise ValueError — never an IndexError/struct.error that
+    would kill an executor task with an undiagnosable traceback."""
+    from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav_pcm16,
+        decode_y4m,
+    )
+
+    for dec in (decode_ppm, decode_wav_pcm16, decode_y4m):
+        try:
+            dec(blob)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(prefix=st.binary(min_size=0, max_size=64))
+def test_decoders_never_crash_on_corrupted_valid_headers(prefix):
+    """Garbage appended after a valid magic/header is the nastier case:
+    parsers are past their cheap magic check and walking structure."""
+    from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav_pcm16,
+        decode_y4m,
+    )
+
+    for dec, head in (
+        (decode_ppm, b"P6\n16 16\n255\n"),
+        (decode_wav_pcm16, b"RIFF\x24\x08\x00\x00WAVE"),
+        (decode_y4m, b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C444\n"),
+    ):
+        try:
+            dec(head + prefix)
+        except ValueError:
+            pass
+
+
+def test_wav_short_fmt_chunk_raises_valueerror():
+    import struct
+
+    import pytest
+
+    from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+        decode_wav_pcm16,
+    )
+
+    blob = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    )
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        decode_wav_pcm16(blob)

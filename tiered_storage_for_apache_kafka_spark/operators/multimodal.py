@@ -372,6 +372,8 @@ def decode_wav_pcm16(blob: bytes) -> tuple[int, "np.ndarray"]:
         if len(body) != clen:
             raise ValueError("truncated WAVE chunk")
         if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("fmt chunk too short")
             fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
             if fmt != 1 or ch != 1 or bits != 16:
                 raise ValueError("only PCM16 mono supported")
