@@ -208,3 +208,20 @@ def test_wav_short_fmt_chunk_raises_valueerror():
     )
     with pytest.raises(ValueError, match="fmt chunk too short"):
         decode_wav_pcm16(blob)
+
+
+def test_ppm_comment_headers_and_negative_y4m_dims():
+    import pytest
+
+    from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+        decode_ppm,
+        decode_y4m,
+    )
+
+    # spec-legal comment lines (GIMP/ImageMagick) decode fine
+    blob = b"P6\n# created by GIMP\n4 4\n255\n" + bytes(range(48))
+    assert decode_ppm(blob).shape == (4, 4, 3)
+    with pytest.raises(ValueError, match="non-positive"):
+        decode_ppm(b"P6\n0 4\n255\n")
+    with pytest.raises(ValueError, match="non-positive"):
+        decode_y4m(b"YUV4MPEG2 W-8 H-8 C444\nFRAME\n" + b"\x00" * 192)

@@ -224,28 +224,55 @@ _PPM_HEADER = f"P6\n{PPM_W} {PPM_H}\n255\n"
 def encode_ppm(pixels: "np.ndarray") -> bytes:
     """Binary PPM (P6) encoder: 8-bit RGB, the netpbm wire format."""
     h, w, c = pixels.shape
-    assert c == 3 and pixels.dtype == np.uint8
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_ppm needs uint8 HxWx3 pixels")
     return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
 
 
 def decode_ppm(blob: bytes) -> "np.ndarray":
     """REAL image decode — binary PPM (P6) needs no external codec:
     header = magic, width, height, maxval separated by whitespace, then
-    raw RGB bytes. This is the dependency-free member of the decode
-    family; `decode_image` above stays a stub for formats (JPEG/PNG)
-    that genuinely need libjpeg/zlib codecs."""
-    import re
-
-    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", blob)
-    if not m:
+    raw RGB bytes. Spec-legal `#` comment lines between header tokens
+    (GIMP/ImageMagick write them) are honored. This is the
+    dependency-free member of the decode family; `decode_image` above
+    stays a stub for formats (JPEG/PNG) that genuinely need
+    libjpeg/zlib codecs."""
+    if blob[:2] != b"P6":
         raise ValueError("not a binary PPM (P6) payload")
-    w, h, maxval = (int(g) for g in m.groups())
+    # tokenize the header: whitespace-separated fields, # starts a
+    # comment running to end-of-line; exactly one whitespace byte
+    # follows the maxval before pixel data
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(blob):
+        c = blob[pos : pos + 1]
+        if c == b"#":
+            nl = blob.find(b"\n", pos)
+            if nl < 0:
+                break
+            pos = nl + 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            end = pos
+            while end < len(blob) and blob[end : end + 1].isdigit():
+                end += 1
+            tokens.append(int(blob[pos:end]))
+            pos = end
+        else:
+            raise ValueError("not a binary PPM (P6) payload")
+    if len(tokens) < 3 or pos >= len(blob) or not blob[pos : pos + 1].isspace():
+        raise ValueError("not a binary PPM (P6) payload")
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive PPM dimensions")
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     need = w * h * 3
-    if len(blob) - m.end() < need:
+    if len(blob) - pos < need:
         raise ValueError("truncated PPM payload")
-    pixels = np.frombuffer(blob, dtype=np.uint8, count=need, offset=m.end())
+    pixels = np.frombuffer(blob, dtype=np.uint8, count=need, offset=pos)
     return pixels.reshape(h, w, 3)
 
 
@@ -389,16 +416,9 @@ def multimodal_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic VALID WAV per document: the first 512 ASCII bytes of
     the text (space-padded) become 256 little-endian PCM16 samples, so
     decoded sample values are byte-predictable and oracle-checkable."""
-    import struct
-
-    header = (
-        b"RIFF"
-        + struct.pack("<I", 36 + _WAV_DATA_BYTES)
-        + b"WAVEfmt "
-        + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
-        + b"data"
-        + struct.pack("<I", _WAV_DATA_BYTES)
-    )
+    # derive the 44-byte canonical header from the roundtrip-tested
+    # encoder so the two layouts can never diverge
+    header = encode_wav_pcm16(np.zeros(_WAV_SAMPLES, dtype=np.int16))[:44]
     docs = load_table(spark, sf_dir, "documents")
     payload = F.encode(
         F.rpad(F.substring("text", 1, _WAV_DATA_BYTES), _WAV_DATA_BYTES, " "),
@@ -485,7 +505,8 @@ def encode_y4m(frames: "list[np.ndarray]", w: int = Y4M_W, h: int = Y4M_H) -> by
     planes — the uncompressed interchange format ffmpeg reads/writes."""
     out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode())
     for f in frames:
-        assert f.dtype == np.uint8 and f.size == w * h * 3
+        if f.dtype != np.uint8 or f.size != w * h * 3:
+            raise ValueError("encode_y4m needs uint8 frames of w*h*3 bytes")
         out += b"FRAME\n" + f.tobytes()
     return bytes(out)
 
@@ -509,6 +530,8 @@ def decode_y4m(blob: bytes) -> tuple[int, int, "list[np.ndarray]"]:
             colorspace = tag.decode()
     if w is None or h is None:
         raise ValueError("y4m header missing W/H")
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive y4m dimensions")
     if colorspace != "C444":
         raise ValueError("only C444 supported")
     frame_bytes = w * h * 3
