@@ -578,3 +578,17 @@ def test_hybrid_rrf_pools_take_ordered(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_multimodal_decoders_are_narrow_maps(spark):
+    """The decode/resample stages must stay narrow: one Arrow stage per
+    asset batch, no shuffle anywhere between scan and output rows."""
+    for q in (
+        "multimodal_image_decode",
+        "multimodal_audio_decode",
+        "multimodal_video_frames",
+    ):
+        plan = plan_of(QUERIES[q](spark, SF))
+        assert "Exchange hashpartitioning" not in plan, q
+        assert "MapInPandas" in plan, q
+        assert "CartesianProduct" not in plan, q
