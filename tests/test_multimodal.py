@@ -225,3 +225,153 @@ def test_ppm_comment_headers_and_negative_y4m_dims():
         decode_ppm(b"P6\n0 4\n255\n")
     with pytest.raises(ValueError, match="non-positive"):
         decode_y4m(b"YUV4MPEG2 W-8 H-8 C444\nFRAME\n" + b"\x00" * 192)
+
+
+class TestPngDecode:
+    """Baseline PNG codec (stdlib zlib + numpy unfiltering): round-trips
+    across color types and filter assignments, spec validation, CRC."""
+
+    def test_roundtrip_all_color_types_and_filters(self):
+        import numpy as np
+
+        from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(11)
+        for shape in [(16, 16, 3), (5, 7, 1), (9, 4, 4), (1, 1, 3), (2, 3, 3)]:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            out = decode_png(encode_png(px))
+            assert out.shape == shape and (out == px).all()
+        # each filter type alone, so every unfilter kernel is pinned
+        for ft in range(5):
+            px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+            assert (decode_png(encode_png(px, filters=[ft] * 8)) == px).all()
+
+    def test_grayscale_2d_input_roundtrips(self):
+        import numpy as np
+
+        from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        px = np.arange(35, dtype=np.uint8).reshape(5, 7)
+        out = decode_png(encode_png(px))
+        assert out.shape == (5, 7, 1)
+        assert (out[:, :, 0] == px).all()
+
+    def test_rejections(self):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest
+
+        from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+            _png_chunk,
+            _PNG_SIG,
+            decode_png,
+            encode_png,
+        )
+
+        good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"NOPE" + good[4:])
+        # flip a byte inside the IHDR body -> CRC mismatch
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(good[:20] + bytes([good[20] ^ 1]) + good[21:])
+        with pytest.raises(ValueError, match="truncated"):
+            decode_png(good[:-6])
+
+        def make(depth=8, color=2, interlace=0, comp=0, fmeth=0, raw=None, w=2, h=2):
+            ihdr = struct.pack(">IIBBBBB", w, h, depth, color, comp, fmeth, interlace)
+            if raw is None:
+                ch = {0: 1, 2: 3, 6: 4}.get(color, 3)
+                raw = b"".join(b"\x00" + b"\x00" * (w * ch) for _ in range(h))
+            return (
+                _PNG_SIG
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b"")
+            )
+
+        with pytest.raises(ValueError, match="bit depth"):
+            decode_png(make(depth=16))
+        with pytest.raises(ValueError, match="color type"):
+            decode_png(make(color=3))  # palette needs PLTE, unsupported
+        with pytest.raises(ValueError, match="interlace"):
+            decode_png(make(interlace=1))
+        with pytest.raises(ValueError, match="size mismatch"):
+            decode_png(make(raw=b"\x00" * 7))
+        with pytest.raises(ValueError, match="filter type"):
+            decode_png(make(raw=b"\x09" + b"\x00" * 6 + b"\x00" * 7))
+        with pytest.raises(ValueError, match="inflate"):
+            decode_png(
+                _PNG_SIG
+                + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+                + _png_chunk(b"IDAT", b"not deflate data")
+                + _png_chunk(b"IEND", b"")
+            )
+        with pytest.raises(ValueError, match="first chunk"):
+            decode_png(_PNG_SIG + _png_chunk(b"IDAT", b"") + good[len(_PNG_SIG):])
+        with pytest.raises(ValueError, match="non-positive"):
+            decode_png(make(w=0))
+
+    def test_ancillary_chunks_are_skipped(self):
+        import numpy as np
+
+        from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+            _png_chunk,
+            _PNG_SIG,
+            decode_png,
+            encode_png,
+        )
+
+        px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        blob = encode_png(px)
+        # splice a tEXt chunk between IHDR and IDAT (writers emit these)
+        ihdr_end = len(_PNG_SIG) + 12 + 13
+        spliced = (
+            blob[:ihdr_end]
+            + _png_chunk(b"tEXt", b"Comment\x00synthetic")
+            + blob[ihdr_end:]
+        )
+        assert (decode_png(spliced) == px).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=2048))
+def test_png_decoder_never_crashes_on_garbage(blob):
+    from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    for payload in (blob, _PNG_SIG + blob):
+        try:
+            decode_png(payload)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    ch=st.sampled_from([1, 3, 4]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, ch, data):
+    import numpy as np
+
+    from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    assert (decode_png(encode_png(px, filters=filters)) == px).all()

@@ -319,4 +319,5 @@ class TieredStorageManager:
         self.metrics.inc("segment.delete", topic=meta.topic)
         self.backend.delete(self._object_keys(meta).values())
         self._dek_cache.pop(meta.segment_uuid, None)
-        self._manifest_cache.pop(meta.segment_uuid, None)
+        with self._manifest_lock:
+            self._manifest_cache.pop(meta.segment_uuid, None)

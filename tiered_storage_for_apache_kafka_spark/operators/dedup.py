@@ -250,7 +250,15 @@ def _wide_signatures(sh: DataFrame) -> DataFrame:
     ]
     cached = sh.groupBy("doc_id").agg(*aggs).cache()
     while len(_WIDE_SIG_CACHE) >= 4:  # bound across session restarts
-        _WIDE_SIG_CACHE.pop(next(iter(_WIDE_SIG_CACHE)))
+        _src, evicted = _WIDE_SIG_CACHE.pop(next(iter(_WIDE_SIG_CACHE)))
+        try:
+            # release the evicted entry's executor storage blocks when its
+            # session is still alive; a dead session's blocks are already
+            # gone and unpersist would raise
+            if evicted.sparkSession is sh.sparkSession:
+                evicted.unpersist()
+        except Exception:
+            pass
     _WIDE_SIG_CACHE[id(sh)] = (sh, cached)
     return cached
 

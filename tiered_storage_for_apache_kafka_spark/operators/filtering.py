@@ -185,9 +185,14 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = toks.select(
         "doc_id",
         F.explode(
+            # size guard: for <2 tokens sequence(1, size-1) DESCENDS to
+            # [1, 0] and toks[1] raises INVALID_ARRAY_INDEX under ANSI
+            # mode (same hazard as pmi_bigram_collocations / _lines_expr)
             F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
                 "transform(sequence(1, size(toks) - 1), "
-                "i -> concat(toks[i - 1], '_', toks[i]))"
+                "i -> concat(toks[i - 1], '_', toks[i])) "
+                "ELSE CAST(array() AS array<string>) END"
             )
         ).alias("tok"),
     )
