@@ -1,0 +1,614 @@
+"""Minimal Apache Iceberg v2 metadata writer for the table-mode output.
+
+Parity target: the reference's Iceberg mode commits segment data through
+a real Iceberg catalog (`core/src/main/java/io/aiven/kafka/tieredstorage/
+iceberg/IcebergTableManager.java:46-95` — table create + appendFiles
+transaction; `iceberg/manifest/SegmentManifestWriter.java:35-112` —
+per-segment data-file bookkeeping). This engine's transaction plane is
+Spark parquet plus a parquet manifest log (`streaming/ingest.py`); this
+module closes the interop gap by ALSO emitting spec-compliant Iceberg v2
+table metadata over the same data files, so an external Iceberg reader
+(Trino/Flink/Spark's iceberg catalog) can open the table:
+
+- ``metadata/v{N}.metadata.json`` — TableMetadata (format-version 2),
+- ``metadata/snap-*.avro``        — the snapshot's manifest list,
+- ``metadata/*-m0.avro``          — a manifest of data-file entries,
+- ``metadata/version-hint.text``  — HadoopCatalog-style version pointer.
+
+The Avro files are written with the repo's pure-Python Avro codec
+(`avro.py`, Apache Avro spec) wrapped in a standard Object Container
+File, with the Iceberg field-id annotations (``field-id`` /
+``element-id``) external readers require. Everything here is public
+knowledge: the Iceberg table spec (https://iceberg.apache.org/spec/)
+and the Avro 1.x container format.
+
+Scale note: metadata commits are inherently driver-side (one snapshot
+per commit, O(files) manifest entries — exactly the Java library's
+cost); the data plane stays fully distributed. At 100 TB the manifest
+would be split per partition-spec bucket; a single manifest per commit
+is the spec-minimal baseline and external readers accept it.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import time
+import uuid
+from typing import Any
+
+from tiered_storage_for_apache_kafka_spark.avro import avro_decode, avro_encode
+
+FORMAT_VERSION = 2
+
+# -- Avro Object Container File (Avro spec section "Object Container Files") --
+
+_OCF_MAGIC = b"Obj\x01"
+_OCF_META_SCHEMA = {"type": "map", "values": "bytes"}
+
+
+def write_avro_ocf(
+    path: str,
+    schema: dict,
+    records: list[dict],
+    extra_meta: dict[str, bytes] | None = None,
+) -> int:
+    """Write records as a single-block Avro OCF; returns the file length.
+    The sync marker is derived deterministically from the schema + path
+    so repeated commits of identical content are byte-identical."""
+    import hashlib
+
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"}
+    meta.update(extra_meta or {})
+    sync = hashlib.md5(path.encode() + meta["avro.schema"]).digest()
+    out = io.BytesIO()
+    out.write(_OCF_MAGIC)
+    out.write(avro_encode(meta, _OCF_META_SCHEMA))
+    out.write(sync)
+    if records:
+        block = io.BytesIO()
+        for rec in records:
+            block.write(avro_encode(rec, schema))
+        payload = block.getvalue()
+        buf = io.BytesIO()
+        avro_encode(len(records), "long", buf)
+        avro_encode(len(payload), "long", buf)
+        out.write(buf.getvalue())
+        out.write(payload)
+        out.write(sync)
+    data = out.getvalue()
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
+def read_avro_ocf(path: str) -> tuple[dict, list[dict], dict[str, bytes]]:
+    """Read an Avro OCF back: (schema-from-header, records, file meta).
+    Decodes against the schema parsed from the file header — the same
+    thing an external reader does — not a Python-side schema object."""
+    with open(path, "rb") as f:
+        buf = io.BytesIO(f.read())
+    if buf.read(4) != _OCF_MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta = avro_decode(buf, _OCF_META_SCHEMA)
+    schema = json.loads(meta["avro.schema"].decode())
+    sync = buf.read(16)
+    records: list[dict] = []
+    while True:
+        probe = buf.read(1)
+        if not probe:
+            break
+        buf.seek(-1, io.SEEK_CUR)
+        n = avro_decode(buf, "long")
+        _size = avro_decode(buf, "long")
+        for _ in range(n):
+            records.append(avro_decode(buf, schema))
+        if buf.read(16) != sync:
+            raise ValueError("Avro OCF sync marker mismatch")
+    return schema, records, meta
+
+
+# -- Spark schema -> Iceberg schema (field-id assignment) ---------------------
+
+_PRIMITIVES = {
+    "integer": "int",
+    "long": "long",
+    "string": "string",
+    "binary": "binary",
+    "boolean": "boolean",
+    "double": "double",
+    "float": "float",
+    "date": "date",
+}
+
+
+def spark_schema_to_iceberg(schema) -> tuple[dict, int]:
+    """Convert a Spark StructType to an Iceberg schema dict, assigning
+    fresh field ids depth-first (any unique assignment is spec-legal).
+    Returns (schema-dict, last-column-id)."""
+    counter = {"id": 0}
+
+    def nxt() -> int:
+        counter["id"] += 1
+        return counter["id"]
+
+    def conv(dt) -> Any:
+        name = dt.typeName()
+        if name == "struct":
+            fields = []
+            for f in dt.fields:
+                fid = nxt()
+                fields.append(
+                    {
+                        "id": fid,
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": conv(f.dataType),
+                    }
+                )
+            return {"type": "struct", "fields": fields}
+        if name == "array":
+            eid = nxt()
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": conv(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if name == "map":
+            kid, vid = nxt(), nxt()
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": conv(dt.keyType),
+                "value-id": vid,
+                "value": conv(dt.valueType),
+                "value-required": not dt.valueContainsNull,
+            }
+        if name in ("timestamp", "timestamp_ntz"):
+            return "timestamptz" if name == "timestamp" else "timestamp"
+        if name.startswith("decimal"):
+            return f"decimal({dt.precision}, {dt.scale})"
+        if name in _PRIMITIVES:
+            return _PRIMITIVES[name]
+        raise TypeError(f"unsupported Spark type for Iceberg schema: {name}")
+
+    struct = conv(schema)
+    struct["schema-id"] = 0
+    struct["identifier-field-ids"] = []
+    return struct, counter["id"]
+
+
+def _field_id(schema_struct: dict, name: str) -> int:
+    for f in schema_struct["fields"]:
+        if f["name"] == name:
+            return f["id"]
+    raise KeyError(name)
+
+
+# -- manifest / manifest-list Avro schemas (Iceberg spec, v2 names+ids) -------
+
+
+def _partition_struct_schema(partition_col: str) -> dict:
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": partition_col,
+                "type": ["null", "int"],
+                "default": None,
+                "field-id": 1000,
+            }
+        ],
+    }
+
+
+def manifest_entry_schema(partition_col: str) -> dict:
+    """Avro schema of a v2 ``manifest_entry`` (spec "Manifest" section);
+    field ids via the ``field-id`` attribute as the Java writer emits."""
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": _partition_struct_schema(partition_col),
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "split_offsets",
+                "type": ["null", {"type": "array", "items": "long", "element-id": 133}],
+                "default": None,
+                "field-id": 132,
+            },
+            {
+                "name": "sort_order_id",
+                "type": ["null", "int"],
+                "default": None,
+                "field-id": 140,
+            },
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+MANIFEST_FILE_SCHEMA: dict = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "element-id": 508,
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                                "field-id": 509,
+                            },
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "default": None,
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+            "field-id": 507,
+        },
+    ],
+}
+
+
+# -- data-file discovery ------------------------------------------------------
+
+
+def _discover_data_files(table_dir: str, partition_col: str) -> list[dict]:
+    """Walk the parquet table (written by ``table_mode.write_table``,
+    hive-partitioned ``{partition_col}=N`` dirs) and collect per-file
+    stats from the parquet footers (pyarrow — the same footer stats the
+    Java writer records)."""
+    import pyarrow.parquet as pq
+
+    files = []
+    for root, _dirs, names in os.walk(table_dir):
+        if os.path.basename(root) == "metadata" or f"{os.sep}metadata" in root:
+            continue
+        part_val = None
+        for seg in root[len(table_dir):].split(os.sep):
+            if seg.startswith(f"{partition_col}="):
+                part_val = int(seg.split("=", 1)[1])
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(root, name)
+            md = pq.ParquetFile(path).metadata
+            # row-group starting positions = the spec's split_offsets
+            offsets = []
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                starts = []
+                for c in range(rg.num_columns):
+                    col = rg.column(c)
+                    dp = col.dictionary_page_offset
+                    starts.append(dp if dp is not None else col.data_page_offset)
+                offsets.append(min(starts))
+            files.append(
+                {
+                    "file_path": path,
+                    "partition_value": part_val,
+                    "record_count": md.num_rows,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "split_offsets": sorted(offsets),
+                }
+            )
+    return sorted(files, key=lambda f: f["file_path"])
+
+
+# -- the commit ---------------------------------------------------------------
+
+
+def commit_append(
+    table_dir: str,
+    spark_schema,
+    partition_col: str = "partition",
+    now_ms: int | None = None,
+) -> dict:
+    """Append-commit every not-yet-committed parquet data file under
+    ``table_dir`` into the table's Iceberg metadata, creating the table
+    metadata on first call (`IcebergTableManager.java:46-95` semantics:
+    create-if-absent, then an appendFiles transaction). Returns the new
+    TableMetadata dict. Idempotent: a commit with zero new files writes
+    nothing and returns the current metadata."""
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+
+    prior = read_table_metadata(table_dir)
+    if prior is None:
+        version = 1
+        schema_struct, last_col = spark_schema_to_iceberg(spark_schema)
+        table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, "iceberg:" + table_dir))
+        base = {
+            "format-version": FORMAT_VERSION,
+            "table-uuid": table_uuid,
+            "location": table_dir,
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms,
+            "last-column-id": last_col,
+            "current-schema-id": 0,
+            "schemas": [schema_struct],
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": partition_col,
+                            "transform": "identity",
+                            "source-id": _field_id(schema_struct, partition_col),
+                            "field-id": 1000,
+                        }
+                    ],
+                }
+            ],
+            "last-partition-id": 1000,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {"write.format.default": "parquet"},
+            "current-snapshot-id": -1,
+            "refs": {},
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        known: set[str] = set()
+    else:
+        version, base = prior["version"], prior["metadata"]
+        known = {
+            e["data_file"]["file_path"]
+            for m in prior["manifests"]
+            for e in m["entries"]
+        }
+        version += 1
+
+    all_files = _discover_data_files(table_dir, partition_col)
+    new_files = [f for f in all_files if f["file_path"] not in known]
+    if not new_files:
+        if prior is None:  # empty table: metadata without a snapshot
+            with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+                json.dump(base, f, indent=2)
+            with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+                f.write("1")
+        return base
+
+    seq = base["last-sequence-number"] + 1
+    snapshot_id = seq  # deterministic; any unique long is spec-legal
+    entry_schema = manifest_entry_schema(partition_col)
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,  # DATA
+                "file_path": f["file_path"],
+                "file_format": "PARQUET",
+                "partition": {partition_col: f["partition_value"]},
+                "record_count": f["record_count"],
+                "file_size_in_bytes": f["file_size_in_bytes"],
+                "split_offsets": f["split_offsets"],
+                "sort_order_id": 0,
+            },
+        }
+        for f in new_files
+    ]
+    schema_struct = base["schemas"][0]
+    spec = base["partition-specs"][0]
+    manifest_path = os.path.join(meta_dir, f"{base['table-uuid']}-m{seq}.avro")
+    manifest_len = write_avro_ocf(
+        manifest_path,
+        entry_schema,
+        entries,
+        {
+            "schema": json.dumps(schema_struct).encode(),
+            "schema-id": b"0",
+            "partition-spec": json.dumps(spec["fields"]).encode(),
+            "partition-spec-id": b"0",
+            "format-version": str(FORMAT_VERSION).encode(),
+            "content": b"data",
+        },
+    )
+
+    parts = [f["partition_value"] for f in new_files]
+    non_null = [p for p in parts if p is not None] or [0]
+    lo, hi = min(non_null), max(non_null)
+    added_rows = sum(f["record_count"] for f in new_files)
+    manifest_file = {
+        "manifest_path": manifest_path,
+        "manifest_length": manifest_len,
+        "partition_spec_id": 0,
+        "content": 0,  # data manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(new_files),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": [
+            {
+                "contains_null": any(p is None for p in parts),
+                "contains_nan": False,
+                "lower_bound": struct.pack("<i", lo),
+                "upper_bound": struct.pack("<i", hi),
+            }
+        ],
+    }
+    # a snapshot's manifest list carries the prior snapshot's manifests
+    # too (existing files stay live across an append)
+    prior_manifest_files = []
+    if prior is not None and base.get("current-snapshot-id", -1) != -1:
+        cur = next(
+            s for s in base["snapshots"] if s["snapshot-id"] == base["current-snapshot-id"]
+        )
+        _, prior_manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+    list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{base['table-uuid']}.avro"
+    )
+    write_avro_ocf(
+        list_path,
+        MANIFEST_FILE_SCHEMA,
+        [manifest_file] + prior_manifest_files,
+        {
+            "format-version": str(FORMAT_VERSION).encode(),
+            "snapshot-id": str(snapshot_id).encode(),
+            "sequence-number": str(seq).encode(),
+            "parent-snapshot-id": str(base.get("current-snapshot-id", -1)).encode(),
+        },
+    )
+
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "schema-id": 0,
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(new_files)),
+            "added-records": str(added_rows),
+            "total-records": str(
+                added_rows
+                + sum(int(s["summary"].get("added-records", 0)) for s in base["snapshots"])
+            ),
+        },
+    }
+    if base.get("current-snapshot-id", -1) != -1:
+        snapshot["parent-snapshot-id"] = base["current-snapshot-id"]
+
+    meta = dict(base)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = base["snapshots"] + [snapshot]
+    meta["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+    meta["snapshot-log"] = base["snapshot-log"] + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    if prior is not None:
+        meta["metadata-log"] = base["metadata-log"] + [
+            {
+                "timestamp-ms": base["last-updated-ms"],
+                "metadata-file": os.path.join(
+                    meta_dir, f"v{version - 1}.metadata.json"
+                ),
+            }
+        ]
+
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return meta
+
+
+def read_table_metadata(table_dir: str) -> dict | None:
+    """Open the table the way an external HadoopCatalog reader does:
+    version-hint → v{N}.metadata.json → current snapshot's manifest
+    list (Avro) → each manifest (Avro) → data-file entries. Returns
+    ``{"version", "metadata", "manifest_list", "manifests"}`` or None
+    when no metadata exists yet."""
+    hint = os.path.join(table_dir, "metadata", "version-hint.text")
+    if not os.path.exists(hint):
+        return None
+    with open(hint) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(table_dir, "metadata", f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    manifests = []
+    manifest_files: list[dict] = []
+    if meta.get("current-snapshot-id", -1) != -1:
+        cur = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+        for mf in manifest_files:
+            _, entries, mmeta = read_avro_ocf(mf["manifest_path"])
+            manifests.append({"file": mf, "entries": entries, "meta": mmeta})
+    return {
+        "version": version,
+        "metadata": meta,
+        "manifest_list": manifest_files,
+        "manifests": manifests,
+    }

@@ -74,7 +74,16 @@ def read_table(
 ) -> DataFrame:
     """I9: pushdown scan — partition value prunes directories, offset
     predicates prune parquet row groups via min/max stats."""
-    df = spark.read.parquet(table_dir)
+    import os
+
+    if os.path.isdir(os.path.join(table_dir, "metadata")):
+        # the table also carries Iceberg metadata (sources/iceberg.py):
+        # scan only the hive partition dirs, like Iceberg's data/ split
+        df = spark.read.option("basePath", table_dir).parquet(
+            os.path.join(table_dir, "partition=*")
+        )
+    else:
+        df = spark.read.parquet(table_dir)
     if partition is not None:
         df = df.filter(F.col("partition") == partition)
     if start_offset is not None:
