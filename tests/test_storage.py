@@ -197,3 +197,119 @@ class TestMetrics:
         assert snap["segment.copy[topic=t].seconds"] > 0
         assert snap["fetch.requested.bytes[topic=t]"] == 1000
         assert snap["segment.delete[topic=t]"] == 1
+
+
+class TestCacheTtlRetention:
+    """Time-based retention (reference `expireAfterAccess(retention.ms)`,
+    CacheConfig.java:31 / ChunkCache.java:147 / MemorySegmentManifestCache
+    .java:109): injected clock, no sleeps."""
+
+    def _clock(self):
+        state = {"t": 0.0}
+
+        def clock():
+            return state["t"]
+
+        return state, clock
+
+    def test_memory_cache_expires_after_access(self):
+        from tiered_storage_for_apache_kafka_spark.fetch.cache import MemoryChunkCache
+
+        state, clock = self._clock()
+        cache = MemoryChunkCache(retention_seconds=600.0, clock=clock)
+        loads = []
+
+        def loader():
+            loads.append(1)
+            return b"x" * 10
+
+        cache.get_chunk(("seg", 0), loader)
+        state["t"] = 500.0
+        cache.get_chunk(("seg", 0), loader)  # hit; refreshes access time
+        assert len(loads) == 1
+        # 601 s after the LAST ACCESS (t=500) -> still fresh at t=1000
+        state["t"] = 1000.0
+        cache.get_chunk(("seg", 0), loader)
+        assert len(loads) == 1
+        # now step past retention with no access in between -> reload
+        state["t"] = 1701.0
+        cache.get_chunk(("seg", 0), loader)
+        assert len(loads) == 2
+        assert cache._weight == 10  # expired entry's weight released
+
+    def test_memory_cache_infinite_retention(self):
+        from tiered_storage_for_apache_kafka_spark.fetch.cache import MemoryChunkCache
+
+        state, clock = self._clock()
+        cache = MemoryChunkCache(retention_seconds=None, clock=clock)
+        loads = []
+        cache.get_chunk(("seg", 0), lambda: loads.append(1) or b"v")
+        state["t"] = 1e9
+        cache.get_chunk(("seg", 0), lambda: loads.append(1) or b"v")
+        assert len(loads) == 1
+
+    def test_disk_cache_expiry_unlinks_file(self, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.fetch.cache import DiskChunkCache
+
+        state, clock = self._clock()
+        cache = DiskChunkCache(tmp_path, retention_seconds=600.0, clock=clock)
+        loads = []
+
+        def loader():
+            loads.append(1)
+            return b"payload"
+
+        cache.get_chunk(("obj/seg.log", 3), loader)
+        path = cache._file(("obj/seg.log", 3))
+        assert path.exists()
+        state["t"] = 601.0
+        cache.get_chunk(("obj/seg.log", 3), loader)
+        assert len(loads) == 2  # expired -> reloaded
+        assert cache._weight == len(b"payload")
+
+    def test_manifest_cache_expires_after_access(self, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.api import (
+            SegmentMetadata,
+            TieredStorageManager,
+        )
+        from tiered_storage_for_apache_kafka_spark.storage.filesystem import (
+            FileSystemStorage,
+        )
+
+        state, clock = self._clock()
+        mgr = TieredStorageManager(
+            FileSystemStorage(tmp_path),
+            chunk_size=64,
+            manifest_retention_seconds=3600.0,
+            clock=clock,
+        )
+        meta = SegmentMetadata(
+            topic="t", topic_id="tid", partition=0, start_offset=0,
+            end_offset=9, segment_uuid="u1",
+        )
+        from tiered_storage_for_apache_kafka_spark.api import SegmentData
+
+        indexes = {
+            "offset": b"o" * 16,
+            "timestamp": b"t" * 16,
+            "producerSnapshot": b"s",
+            "leaderEpoch": b"e",
+        }
+        mgr.copy_log_segment_data(meta, SegmentData(b"a" * 200, indexes))
+        fetches = {"n": 0}
+        orig_fetch = mgr.backend.fetch
+
+        def counting_fetch(key, *a, **kw):
+            if key.endswith("rsm-manifest"):
+                fetches["n"] += 1
+            return orig_fetch(key, *a, **kw)
+
+        mgr.backend.fetch = counting_fetch
+        mgr._manifest(meta)  # cached by the copy -> no GET
+        assert fetches["n"] == 0
+        state["t"] = 3601.0  # past 1 h since last access
+        mgr._manifest(meta)
+        assert fetches["n"] == 1
+        state["t"] = 3700.0  # fresh again (access refreshed)
+        mgr._manifest(meta)
+        assert fetches["n"] == 1

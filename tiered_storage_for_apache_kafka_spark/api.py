@@ -92,6 +92,8 @@ class TieredStorageManager:
         key_prefix: str = "",
         codec: str = DEFAULT_CODEC,
         upload_rate_limit_bytes_per_second: int | None = None,
+        manifest_retention_seconds: float | None = 3600.0,
+        clock=None,
     ):
         self.backend = backend
         self.chunk_size = chunk_size
@@ -116,8 +118,18 @@ class TieredStorageManager:
         # fetch is index GET + log GET, each needing the manifest —
         # without this every boundary-segment read pays a redundant
         # manifest round-trip
-        self._manifest_cache: OrderedDict[str, SegmentManifest] = OrderedDict()
+        # values are (manifest, last-access ts): retention mirrors the
+        # reference's `expireAfterAccess` manifest cache
+        # (`fetch/manifest/MemorySegmentManifestCache.java:51-52,109` —
+        # 1 h default); None = infinite. Injectable clock for tests.
+        self._manifest_cache: OrderedDict[str, tuple[SegmentManifest, float]] = (
+            OrderedDict()
+        )
         self._manifest_cache_size = 256
+        self._manifest_retention = manifest_retention_seconds
+        import time as _time
+
+        self._clock = clock or _time.monotonic
         # fetches may run concurrently (the chunk cache is single-flight
         # across threads); OrderedDict reorder/evict needs the same care
         self._manifest_lock = threading.Lock()
@@ -234,7 +246,7 @@ class TieredStorageManager:
             # (also ensures a re-copied uuid never serves the superseded
             # one) — the first read after copy skips the manifest GET
             with self._manifest_lock:
-                self._manifest_cache[meta.segment_uuid] = manifest
+                self._manifest_cache[meta.segment_uuid] = (manifest, self._clock())
                 while len(self._manifest_cache) > self._manifest_cache_size:
                     self._manifest_cache.popitem(last=False)
             self.metrics.inc("upload.bytes", len(manifest_bytes), object_type="manifest")
@@ -253,15 +265,27 @@ class TieredStorageManager:
 
     def _manifest(self, meta: SegmentMetadata) -> SegmentManifest:
         with self._manifest_lock:
-            cached = self._manifest_cache.get(meta.segment_uuid)
-            if cached is not None:
-                self._manifest_cache.move_to_end(meta.segment_uuid)
-                return cached
+            entry = self._manifest_cache.get(meta.segment_uuid)
+            if entry is not None:
+                manifest, ts = entry
+                if (
+                    self._manifest_retention is not None
+                    and self._clock() - ts > self._manifest_retention
+                ):
+                    del self._manifest_cache[meta.segment_uuid]
+                else:
+                    # refresh on hit: expireAfterAccess semantics
+                    self._manifest_cache[meta.segment_uuid] = (
+                        manifest,
+                        self._clock(),
+                    )
+                    self._manifest_cache.move_to_end(meta.segment_uuid)
+                    return manifest
         key = self._object_keys(meta)[Suffix.MANIFEST]
         with self.backend.fetch(key) as f:
             manifest = SegmentManifest.from_json(f.read())
         with self._manifest_lock:
-            self._manifest_cache[meta.segment_uuid] = manifest
+            self._manifest_cache[meta.segment_uuid] = (manifest, self._clock())
             while len(self._manifest_cache) > self._manifest_cache_size:
                 self._manifest_cache.popitem(last=False)
         return manifest

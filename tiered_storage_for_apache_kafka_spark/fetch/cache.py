@@ -35,9 +35,22 @@ class ChunkCache:
         prefetch_max_bytes: int = 0,
         workers: int = 4,
         wait_timeout: float | None = None,
+        retention_seconds: float | None = 600.0,
+        clock: Callable[[], float] | None = None,
     ):
+        import time
+
         self.max_bytes = max_bytes
         self.prefetch_max_bytes = prefetch_max_bytes
+        # Time-based retention mirroring the reference's Caffeine
+        # `expireAfterAccess(retention.ms)` (`config/CacheConfig.java:31`,
+        # wired in `fetch/cache/ChunkCache.java:147`): default 600 s for
+        # chunk caches, None = infinite (the reference's "-1"). The
+        # timestamp refreshes on every hit (expire-after-ACCESS, not
+        # after-write). `clock` is injectable so expiry tests need no
+        # sleeps.
+        self.retention_seconds = retention_seconds
+        self._clock = clock or time.monotonic
         # How long a single-flight waiter blocks on the owning load; None
         # (default) = as long as the load itself takes — the reference's
         # Caffeine compute has no waiter cap, and a hard cap would fail
@@ -102,25 +115,46 @@ class ChunkCache:
 
 
 class MemoryChunkCache(ChunkCache):
-    def __init__(self, max_bytes: int = 128 * 1024 * 1024, prefetch_max_bytes: int = 0):
-        super().__init__(max_bytes, prefetch_max_bytes)
-        self._data: OrderedDict[ChunkKey, bytes] = OrderedDict()
+    def __init__(
+        self,
+        max_bytes: int = 128 * 1024 * 1024,
+        prefetch_max_bytes: int = 0,
+        retention_seconds: float | None = 600.0,
+        clock: Callable[[], float] | None = None,
+    ):
+        super().__init__(
+            max_bytes,
+            prefetch_max_bytes,
+            retention_seconds=retention_seconds,
+            clock=clock,
+        )
+        self._data: OrderedDict[ChunkKey, tuple[bytes, float]] = OrderedDict()
         self._weight = 0
 
     def _get(self, key: ChunkKey) -> bytes | None:
-        value = self._data.get(key)
-        if value is not None:
-            self._data.move_to_end(key)
+        entry = self._data.get(key)
+        if entry is None:
+            return None
+        value, ts = entry
+        if (
+            self.retention_seconds is not None
+            and self._clock() - ts > self.retention_seconds
+        ):
+            del self._data[key]
+            self._weight -= len(value)
+            return None
+        self._data[key] = (value, self._clock())  # refresh: expireAfterAccess
+        self._data.move_to_end(key)
         return value
 
     def _put(self, key: ChunkKey, value: bytes) -> None:
         old = self._data.pop(key, None)
         if old is not None:
-            self._weight -= len(old)
-        self._data[key] = value
+            self._weight -= len(old[0])
+        self._data[key] = (value, self._clock())
         self._weight += len(value)
         while self._weight > self.max_bytes and len(self._data) > 1:
-            _, evicted = self._data.popitem(last=False)
+            _, (evicted, _ts) = self._data.popitem(last=False)
             self._weight -= len(evicted)
 
 
@@ -134,11 +168,19 @@ class DiskChunkCache(ChunkCache):
         root: str | Path,
         max_bytes: int = 16 * 1024 * 1024 * 1024,
         prefetch_max_bytes: int = 0,
+        retention_seconds: float | None = 600.0,
+        clock: Callable[[], float] | None = None,
     ):
-        super().__init__(max_bytes, prefetch_max_bytes)
+        super().__init__(
+            max_bytes,
+            prefetch_max_bytes,
+            retention_seconds=retention_seconds,
+            clock=clock,
+        )
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
-        self._index: OrderedDict[ChunkKey, int] = OrderedDict()  # key -> size
+        # key -> (size, last-access ts)
+        self._index: OrderedDict[ChunkKey, tuple[int, float]] = OrderedDict()
         self._weight = 0
 
     def _file(self, key: ChunkKey) -> Path:
@@ -146,13 +188,27 @@ class DiskChunkCache(ChunkCache):
         return self.root / obj.replace("/", "%2F") / str(chunk_id)
 
     def _get(self, key: ChunkKey) -> bytes | None:
-        if key not in self._index:
+        entry = self._index.get(key)
+        if entry is None:
+            return None
+        size, ts = entry
+        if (
+            self.retention_seconds is not None
+            and self._clock() - ts > self.retention_seconds
+        ):
+            self._weight -= size
+            del self._index[key]
+            try:
+                self._file(key).unlink()
+            except FileNotFoundError:
+                pass
             return None
         try:
             data = self._file(key).read_bytes()
         except FileNotFoundError:
-            self._weight -= self._index.pop(key)
+            self._weight -= self._index.pop(key)[0]
             return None
+        self._index[key] = (size, self._clock())  # refresh: expireAfterAccess
         self._index.move_to_end(key)
         return data
 
@@ -164,11 +220,11 @@ class DiskChunkCache(ChunkCache):
             f.write(value)
         os.replace(tmp, path)
         if key in self._index:
-            self._weight -= self._index.pop(key)
-        self._index[key] = len(value)
+            self._weight -= self._index.pop(key)[0]
+        self._index[key] = (len(value), self._clock())
         self._weight += len(value)
         while self._weight > self.max_bytes and len(self._index) > 1:
-            old_key, size = self._index.popitem(last=False)
+            old_key, (size, _ts) = self._index.popitem(last=False)
             self._weight -= size
             try:
                 self._file(old_key).unlink()
