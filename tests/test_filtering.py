@@ -117,3 +117,19 @@ def test_session_cache_put_evicts_dead_sessions():
     session_cache_put(cache, ("app-2", "sfA"), 3)
     # new session: every app-1 entry (dead JVM) evicted
     assert cache == {("app-2", "sfA"): 3}
+
+
+def test_trained_classifier_beats_base_rate(spark):
+    """The perceptron must actually LEARN: full-corpus accuracy well
+    above the majority-class base rate (the training loop's oracle
+    parity is covered by the DuckDB gate; this pins model quality)."""
+    from tiered_storage_for_apache_kafka_spark.operators import QUERIES
+
+    rows = QUERIES["quality_classifier_trained"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    acc = sum(1 for r in rows if r.pred == r.label) / len(rows)
+    pos = sum(1 for r in rows if r.label == 1) / len(rows)
+    base = max(pos, 1 - pos)
+    assert acc >= 0.75, f"accuracy {acc:.3f}"
+    assert acc >= base + 0.15, f"accuracy {acc:.3f} vs base rate {base:.3f}"

@@ -593,3 +593,12 @@ def test_multimodal_decoders_are_narrow_maps(spark):
         assert "Exchange hashpartitioning" not in plan, q
         assert "MapInPandas" in plan, q
         assert "CartesianProduct" not in plan, q
+
+
+def test_trained_classifier_serves_as_broadcast_dim(spark):
+    """Serving the trained model must keep the score query's plan shape:
+    learned weights as a broadcast dimension, no cartesian, no UDF."""
+    plan = plan_of(QUERIES["quality_classifier_trained"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
