@@ -75,6 +75,12 @@ def main() -> None:
         f = families.setdefault(fam, {"n": 0, "sec": 0.0})
         f["n"] += 1
         f["sec"] = round(f["sec"] + sec, 4)
+    regressions = _family_regressions(families)
+    if regressions:
+        sys.stderr.write(
+            "FAMILY REGRESSIONS >1.5x vs last recorded round (per-query "
+            f"rate): {json.dumps(regressions)}\n"
+        )
     payload = json.dumps(
         {
             "metric": "total_query_seconds",
@@ -82,6 +88,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "families": families,
+            "family_regressions": regressions,
             "transform_mbps": transform_grid(),
             "sf": sf,
         }
@@ -91,6 +98,37 @@ def main() -> None:
     sys.stdout.write(payload + "\n")
     sys.stdout.flush()
     spark.stop()
+
+
+def _family_regressions(families: dict) -> dict[str, float]:
+    """Per-family budget gate (round-4 verdict ask #3): compare this
+    run's per-query rate (family sec / n) against the newest committed
+    BENCH_r*.json; families >1.5x slower are reported in the payload and
+    on stderr so a regression fails loudly in the round it happens, not
+    in a judge diff two rounds later. Rates, not totals, so adding
+    queries to a family is not a false positive; families under a 0.5 s
+    floor are skipped (absolute-noise regime)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prev_files:
+        return {}
+    try:
+        with open(prev_files[-1]) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    prev_fams = prev.get("families") or {}
+    regs: dict[str, float] = {}
+    for fam, cur in families.items():
+        p = prev_fams.get(fam)
+        if not p or p.get("sec", 0) <= 0.5 or not p.get("n"):
+            continue
+        ratio = (cur["sec"] / cur["n"]) / (p["sec"] / p["n"])
+        if ratio > 1.5:
+            regs[fam] = round(ratio, 2)
+    return regs
 
 
 def transform_grid() -> dict[str, float]:

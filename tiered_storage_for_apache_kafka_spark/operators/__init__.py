@@ -152,18 +152,9 @@ _DEMOTE = [
     "full_outer_daily_activity",
     "q18_large_volume_customer",
     "top_supplier_per_part",
-]
-
-# Queries that have never had a driver verdict: splice them into the
-# prefix right after the last fixed-this-round query so they fall
-# inside the driver's 50-query sample window.
-_PROMOTE = [
-    # round-4 window (r4): every r1-r3 promote received its green verdict
-    # in CORRECTNESS_r03 (49/49 pass) and moved to _DEMOTE; the window now
-    # holds (a) the 9 TPC-H variants that have NEVER been driver-sampled
-    # (demoted r1/r2 as family-covered; rotated in for their own verdicts
-    # per the r3 verdict ask #6), and (b) the queries whose logic changed
-    # this round and need fresh verdicts:
+    # round-5 demotions: every r4 promote received its green verdict in
+    # CORRECTNESS_r04 (49/49 sampled green) and the logic is unchanged
+    # since (the pytest DuckDB gate still re-checks all of them):
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
@@ -173,10 +164,6 @@ _PROMOTE = [
     "q15_top_supplier",
     "q16_supplier_part_variety",
     "q19_discount_eligible",
-    # changed in round 4: integer-division centroids (kmeans + the IVF
-    # search over them), derived watermark horizon, widened quantile
-    # slack, AQE broadcast gate in the LSH verify path, byte-range
-    # planned tiered reads (the two range-fetch queries):
     "kmeans_embedding_clusters",
     "ann_ivf_kmeans_topk",
     "streaming_dedup_within_watermark",
@@ -184,14 +171,37 @@ _PROMOTE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "unigram_logprob_quality",
-    # new in round 4 — the CCNet/fastText filtering stages and the
-    # hybrid-retrieval fusion:
     "dedup_lines_keep_first",
-    "quality_classifier_score",
     "hybrid_rrf_retrieval",
     "multimodal_image_decode",
     "multimodal_audio_decode",
     "multimodal_video_frames",
+]
+# r5 re-promotions pulled back OUT of the demote tail (verdict ask #5:
+# their green verdicts predate a refactor / gate change, so they need a
+# fresh driver verdict): bm25_topk_docs (CTE refactored for RRF sharing
+# in r4), simhash64_near_dup_pairs + dedup_substring_spans (_gate_small
+# AQE broadcast-gate sharing, never driver-sampled since)
+for _requeue in ("bm25_topk_docs", "simhash64_near_dup_pairs", "dedup_substring_spans"):
+    _DEMOTE.remove(_requeue)
+
+# Queries that have never had a driver verdict: splice them into the
+# prefix right after the last fixed-this-round query so they fall
+# inside the driver's 50-query sample window.
+_PROMOTE = [
+    # round-5 window (r5): every r4 promote got its green verdict in
+    # CORRECTNESS_r04 and moved to _DEMOTE. The window now holds:
+    # (a) NEW queries this round:
+    "multimodal_png_decode",
+    "iceberg_metadata_summary",
+    "quality_classifier_trained",
+    "dedup_lines_newline",
+    # (b) logic changed this round (bigram size guard):
+    "quality_classifier_score",
+    # (c) verdict ask #5 — green verdicts predate a refactor/gate change:
+    "bm25_topk_docs",
+    "simhash64_near_dup_pairs",
+    "dedup_substring_spans",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's
