@@ -27,7 +27,20 @@ DEFAULT_CHUNK = 25 * 1024 * 1024
 class GcsStorage:
     """Google Cloud Storage backend (resumable uploads, ranged reads)."""
 
-    def __init__(self, bucket: str, client=None, resumable_chunk: int = DEFAULT_CHUNK):
+    def __init__(
+        self,
+        bucket: str,
+        client=None,
+        resumable_chunk: int = DEFAULT_CHUNK,
+        proxy: str | None = None,
+    ):
+        """`proxy` accepts an http(s) or socks5 URL (optionally with
+        user:pass@) — parity with the reference's per-backend SOCKS5
+        option, tested on all three backends there
+        (`GcsStorageSocks5Test.java`); same contract as
+        `S3Storage(proxy=...)`."""
+        self.proxy = proxy
+        self.proxies = {"http": proxy, "https": proxy} if proxy else None
         if client is None:
             try:
                 from google.cloud import storage as gcs  # type: ignore
@@ -36,7 +49,17 @@ class GcsStorage:
                     "GcsStorage requires google-cloud-storage (not installed "
                     "in this environment); use S3Storage or FileSystemStorage"
                 ) from e
-            client = gcs.Client()
+            http = None
+            if self.proxies:  # pragma: no cover - SDK absent here
+                import requests  # type: ignore
+
+                http = requests.Session()
+                http.proxies.update(self.proxies)
+            client = gcs.Client(_http=http) if http is not None else gcs.Client()
+        elif self.proxies and hasattr(client, "configure_proxy"):
+            # protocol-level fakes record the proxy map, standing in for
+            # the reference's fake-gcs-server-behind-SOCKS5 integration
+            client.configure_proxy(self.proxies)
         self.client = client
         self.bucket = client.bucket(bucket) if hasattr(client, "bucket") else bucket
         self.resumable_chunk = resumable_chunk
@@ -76,7 +99,18 @@ class GcsStorage:
 class AzureBlobStorage:
     """Azure Blob Storage backend (block uploads, ranged reads)."""
 
-    def __init__(self, container: str, client=None, block_size: int = DEFAULT_CHUNK):
+    def __init__(
+        self,
+        container: str,
+        client=None,
+        block_size: int = DEFAULT_CHUNK,
+        proxy: str | None = None,
+    ):
+        """`proxy`: http(s)/socks5 URL, reference SOCKS5 parity (the
+        Azure equivalent of `GcsStorageSocks5Test.java`); azure-core
+        accepts it as a per-client `proxies` transport kwarg."""
+        self.proxy = proxy
+        self.proxies = {"http": proxy, "https": proxy} if proxy else None
         if client is None:
             try:
                 from azure.storage.blob import ContainerClient  # type: ignore
@@ -86,9 +120,12 @@ class AzureBlobStorage:
                     "installed in this environment); use S3Storage or "
                     "FileSystemStorage"
                 ) from e
+            kwargs = {"proxies": self.proxies} if self.proxies else {}
             client = ContainerClient.from_connection_string(
-                conn_str="", container_name=container
+                conn_str="", container_name=container, **kwargs
             )
+        elif self.proxies and hasattr(client, "configure_proxy"):
+            client.configure_proxy(self.proxies)
         self.client = client
         self.block_size = block_size
 
