@@ -14,24 +14,38 @@ scaling (fixed overheads amortize); ~10 means linear (expected for the
 fixed-K IVF probe and Lloyd iterations — at real scale K grows ~sqrt(N)
 so per-cell cost stays flat).
 
-Measured on local[32] (2026-08-14, round 4):
+Measured on local[32] (2026-08-14, round 5; events replicated 10x with
+shifted event_id/user_id so the tiered store, the offset domain, and the
+streaming key cardinality all grow 10x):
 
     query                             1x_s    10x_s  ratio
-    dedup_exact                       0.24     0.37    1.5
-    dedup_lines_keep_first            0.40     0.48    1.2
-    quality_classifier_score          1.56     2.43    1.6
-    dedup_minhash_lsh                 0.20     0.17    0.8
-    dedup_ngram_jaccard               1.84     4.24    2.3   (pairs 256 -> 213k)
-    simhash64_near_dup_pairs          1.39     2.74    2.0   (pairs 299 -> 186k)
-    dedup_connected_components        0.05     0.05    1.0
-    bm25_topk_docs                    0.90     1.70    1.9
-    hybrid_rrf_retrieval              1.28     2.42    1.9
-    kmeans_embedding_clusters         0.50     3.53    7.1   (linear/iteration, expected)
-    ann_ivf_kmeans_topk               1.29    13.08   10.1   (fixed K: linear; scale K~sqrt(N))
-    heavy_hitters_cms                 1.27     4.16    3.3
-    pack_sequences                    0.38     0.97    2.6
-    cdc_chunk_dedup_stats             0.62     2.25    3.6
-    multimodal_image_decode           0.46     1.94    4.2
+    dedup_exact                       0.22     0.50    2.3
+    dedup_lines_keep_first            0.45     0.43    1.0
+    quality_classifier_score          1.61     1.99    1.2
+    dedup_minhash_lsh                 0.16     0.17    1.1
+    dedup_ngram_jaccard               1.86     4.09    2.2   (pairs 256 -> 213k)
+    simhash64_near_dup_pairs          1.64     2.43    1.5   (pairs 299 -> 186k)
+    dedup_connected_components        0.05     0.06    1.2
+    bm25_topk_docs                    0.99     1.88    1.9
+    hybrid_rrf_retrieval              1.50     2.84    1.9
+    kmeans_embedding_clusters         0.51     2.09    4.1   (linear/iteration, expected)
+    ann_ivf_kmeans_topk               1.42     7.28    5.1   (fixed K: linear; scale K~sqrt(N))
+    heavy_hitters_cms                 1.37     2.72    2.0
+    pack_sequences                    0.34     1.17    3.4
+    cdc_chunk_dedup_stats             0.77     2.96    3.8
+    multimodal_image_decode           0.57     2.43    4.3
+    tiered_roundtrip_agg              0.30     0.72    2.4   (full-store scan, sub-linear)
+    tiered_offset_range_fetch         0.64     0.67    1.0   (fixed window: FLAT)
+    streaming_windowed_counts         1.12     1.62    1.4
+    streaming_dedup_exact             1.18     1.32    1.1
+    streaming_user_totals_stateful    1.92     7.46    3.9   (rows 1.5k -> 15k, sub-linear/row)
+
+    tiered read, fixed offset window 100-599 (bytes-fetched accounting):
+      1x : store  3.4 MB -> fetched 21.4 KB over 4 boundary segments
+      10x: store 33.6 MB -> fetched 21.4 KB over 4 boundary segments
+    Bytes pulled from the store are EXACTLY FLAT while the store grows
+    10x — the range-planning win measured, not asserted (a whole-segment
+    reader would fetch a constant fraction of the store instead).
 """
 
 from __future__ import annotations
@@ -55,6 +69,14 @@ PROBES = [
     "pack_sequences",
     "cdc_chunk_dedup_stats",
     "multimodal_image_decode",
+    # round-5 extension: the tiered read path and the streaming families
+    # (events is replicated 10x with shifted event_id/user_id, so the
+    # store, the offset domain, and the key cardinality all grow 10x)
+    "tiered_roundtrip_agg",
+    "tiered_offset_range_fetch",
+    "streaming_windowed_counts",
+    "streaming_dedup_exact",
+    "streaming_user_totals_stateful",
 ]
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,7 +107,17 @@ COPY (
        generate_series(0, {REPLICAS - 1}) t(r)
 ) TO '{BIG_SF}/embeddings.parquet' (FORMAT PARQUET)
 """)
-    for t in ["events", "region", "nation", "customer", "supplier",
+    con.execute(f"""
+COPY (
+  SELECT event_id + 500000 * r AS event_id,
+         ts,
+         user_id + 100000 * r AS user_id,
+         event_type, value, props
+  FROM read_parquet('{BASE_SF}/events.parquet'),
+       generate_series(0, {REPLICAS - 1}) t(r)
+) TO '{BIG_SF}/events.parquet' (FORMAT PARQUET)
+""")
+    for t in ["region", "nation", "customer", "supplier",
               "part", "orders", "lineitem"]:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{BASE_SF}/{t}.parquet')) "
@@ -120,7 +152,62 @@ def main() -> None:
         g, n2 = big[name]
         ratio = round(g / b, 1) if b > 0.01 else float("inf")
         print(f"{name:32s} {b:7.2f} {g:8.2f} {ratio:6.1f}  {n1}->{n2}")
+    probe_tiered_bytes(spark)
     spark.stop()
+
+
+def probe_tiered_bytes(spark) -> None:
+    """Bytes-fetched accounting for the byte-range-planned tiered read
+    (round-4 verdict ask #8): for the fixed offset window the queries
+    use, the bytes pulled from the store must stay ~FLAT while the store
+    grows 10x — the direct measurement of the range-planning win (a
+    whole-segment reader would hold a constant fraction of store size,
+    not a constant byte count)."""
+    from tiered_storage_for_apache_kafka_spark.api import SegmentMetadata
+    from tiered_storage_for_apache_kafka_spark.operators import tiered as T
+    from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
+        TOPIC,
+        TOPIC_ID,
+        _build_manager,
+        fetch_segment_window,
+    )
+
+    print()
+    print(f"{'tiered read (window '+str(T.OFFSET_RANGE_LO)+'-'+str(T.OFFSET_RANGE_HI)+')':42s} "
+          f"{'store_MB':>9} {'fetched_KB':>11} {'segs':>5} {'recs':>6}")
+    for label, sf in (("1x", BASE_SF), ("10x", BIG_SF)):
+        manifests, conf = T._tier(spark, sf)
+        rows = manifests.collect()
+        store_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(conf["root"]) for f in fs
+        )
+        mgr = _build_manager(conf)
+        counter = {"bytes": 0}
+        orig_fetch = mgr.backend.fetch
+
+        def counting(key, byte_range=None, _o=orig_fetch, _c=counter):
+            import io
+
+            with (_o(key, byte_range) if byte_range is not None else _o(key)) as f:
+                data = f.read()
+            _c["bytes"] += len(data)
+            return io.BytesIO(data)
+
+        mgr.backend.fetch = counting
+        lo, hi = T.OFFSET_RANGE_LO, T.OFFSET_RANGE_HI
+        segs = 0
+        for r in rows:
+            if r.end_offset < lo or r.start_offset > hi:
+                continue
+            segs += 1
+            meta = SegmentMetadata(
+                TOPIC, TOPIC_ID, int(r.partition), int(r.start_offset),
+                int(r.end_offset), r.segment_uuid,
+            )
+            fetch_segment_window(mgr, meta, lo, hi)
+        print(f"{label:42s} {store_bytes/1e6:9.1f} {counter['bytes']/1e3:11.1f} "
+              f"{segs:5d} {hi-lo+1:6d}")
 
 
 if __name__ == "__main__":
