@@ -72,10 +72,54 @@ def _canon_frame(df: pd.DataFrame):
     return rows
 
 
+# Queries whose construction populates the cross-query session caches
+# (tokens_cached, the tiered store, the minhash signature matrix, the
+# trained models): run these SEQUENTIALLY first so the thread-pool pass
+# below never races two builders of the same shared cache.
+_CACHE_WARMUP = [
+    "dedup_exact",  # tokens_cached
+    "tiered_roundtrip_agg",  # _tier + _records
+    "minhash_signatures",  # _WIDE_SIG_CACHE
+    "kmeans_embedding_clusters",
+    "quality_classifier_trained",
+    "iceberg_metadata_summary",
+]
+
+
+@pytest.fixture(scope="module")
+def spark_results(spark):
+    """Execute every oracled query once, concurrently (Spark's scheduler
+    interleaves jobs from multiple submitter threads), and hand each
+    parametrized compare its finished pandas frame — the per-query
+    verdict granularity is unchanged, but the wall-clock is the pool's,
+    not the sum of 130+ sequential job latencies."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    res: dict[str, object] = {}
+
+    def go(name):
+        try:
+            sdf = QUERIES[name](spark, SF_DIR)
+            return name, (sdf.toPandas(), sdf.schema)
+        except Exception as e:  # surfaced by the per-query test
+            return name, e
+
+    for name in _CACHE_WARMUP:
+        if name in ORACLES:
+            res[name] = go(name)[1]
+    rest = [n for n in sorted(ORACLES) if n not in res]
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        for name, r in ex.map(go, rest):
+            res[name] = r
+    return res
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_query_matches_oracle(spark, name):
-    sdf = QUERIES[name](spark, SF_DIR)
-    spark_pdf = sdf.toPandas()
+def test_query_matches_oracle(spark, spark_results, name):
+    entry = spark_results[name]
+    if isinstance(entry, Exception):
+        raise AssertionError(f"{name}: spark side failed") from entry
+    spark_pdf, _schema = entry
 
     con = _duck_con(SF_DIR)
     duck_pdf = con.execute(ORACLES[name]).df()
@@ -96,7 +140,7 @@ def test_query_matches_oracle(spark, name):
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_no_decimal_or_timestamp_outputs(spark, name):
+def test_no_decimal_or_timestamp_outputs(spark, spark_results, name):
     """Portability invariant (registry.py rules): oracle-checked queries
     never emit DECIMAL, TIMESTAMP, or DATE in their final schema — all
     three render engine-dependently through pandas (Decimal vs float64,
@@ -104,10 +148,13 @@ def test_no_decimal_or_timestamp_outputs(spark, name):
     BIGINT are the sanctioned forms."""
     from pyspark.sql.types import DateType, DecimalType, TimestampType
 
-    sdf = QUERIES[name](spark, SF_DIR)
+    entry = spark_results[name]
+    if isinstance(entry, Exception):
+        raise AssertionError(f"{name}: spark side failed") from entry
+    _pdf, schema = entry
     bad = [
         f.name
-        for f in sdf.schema.fields
+        for f in schema.fields
         if isinstance(f.dataType, (DateType, DecimalType, TimestampType))
     ]
     assert not bad, f"{name}: non-portable output columns {bad}"
