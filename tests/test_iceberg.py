@@ -216,3 +216,64 @@ class TestCommitAppend:
         assert {os.path.realpath(p) for p in manifest_files} == {
             os.path.realpath(p.removeprefix("file://")) for p in spark_files
         }
+
+
+class TestScanPlanning:
+    def test_plan_scan_prunes_to_partition(self, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            plan_scan,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema, now_ms=1_000)
+        all_files = plan_scan(tdir)
+        assert len(all_files) == 4
+        pruned = plan_scan(tdir, partition_value=2)
+        assert len(pruned) == 1
+        assert "partition=2" in pruned[0]["file_path"]
+        # a value outside the summary bounds prunes the MANIFEST unopened
+        assert plan_scan(tdir, partition_value=99) == []
+
+    def test_read_iceberg_table_matches_direct_read(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            read_iceberg_table,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema, now_ms=1_000)
+        through_metadata = read_iceberg_table(spark, tdir)
+        assert through_metadata.count() == 200
+        one_part = read_iceberg_table(spark, tdir, partition_value=1)
+        assert one_part.count() == 50
+        # the pruned scan touches exactly one file
+        files = {
+            r.f
+            for r in one_part.selectExpr("input_file_name() AS f").distinct().collect()
+        }
+        assert len(files) == 1
+
+    def test_deleted_entries_are_skipped(self, table, tmp_path):
+        """A manifest entry with status=2 (DELETED) must not be planned."""
+        import json
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            plan_scan,
+            read_avro_ocf,
+            read_table_metadata,
+            write_avro_ocf,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema, now_ms=1_000)
+        back = read_table_metadata(tdir)
+        man = back["manifests"][0]
+        path = man["file"]["manifest_path"]
+        schema, entries, meta = read_avro_ocf(path)
+        entries[0]["status"] = 2  # mark one file deleted
+        write_avro_ocf(path, schema, entries, {
+            k: v for k, v in meta.items() if k not in ("avro.schema", "avro.codec")
+        })
+        assert len(plan_scan(tdir)) == 3

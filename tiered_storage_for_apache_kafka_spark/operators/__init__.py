@@ -194,6 +194,7 @@ _PROMOTE = [
     # (a) NEW queries this round:
     "multimodal_png_decode",
     "iceberg_metadata_summary",
+    "iceberg_scan_pruned",
     "quality_classifier_trained",
     "dedup_lines_newline",
     # (b) logic changed this round (bigram size guard):

@@ -479,7 +479,48 @@ def streaming_tier_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_ICEBERG_CACHE: dict[tuple, list] = {}
+_ICEBERG_CACHE: dict[tuple, tuple] = {}  # (session, sf) -> (tdir, rows)
+
+
+def _iceberg_table(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    """Commit the envelope as an Iceberg table once per (session, sf);
+    returns (table_dir, per-partition summary rows from the metadata)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        read_table_metadata,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+        records_to_envelope,
+        write_table,
+    )
+
+    key = _cache_key(spark, sf_dir)
+    cached = _ICEBERG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    env = records_to_envelope(_records(spark, sf_dir)).repartition(4, "partition")
+    tdir = tempfile.mkdtemp(prefix="iceberg-table-")
+    write_table(env, tdir)
+    meta = commit_append(tdir, env.schema)
+    back = read_table_metadata(tdir)
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    per_part: dict[int, dict] = {}
+    for man in back["manifests"]:
+        for e in man["entries"]:
+            d = e["data_file"]
+            p = per_part.setdefault(
+                int(d["partition"]["partition"]), {"files": 0, "records": 0}
+            )
+            p["files"] += 1
+            p["records"] += int(d["record_count"])
+    rows = [
+        (part, p["files"], p["records"], int(cur["sequence-number"]))
+        for part, p in sorted(per_part.items())
+    ]
+    session_cache_put(_ICEBERG_CACHE, key, (tdir, rows))
+    return tdir, rows
 
 
 @query(
@@ -511,42 +552,53 @@ def iceberg_metadata_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files oracle-predictable. Metadata commits are driver-side by
     design (same as the Java library); the data plane stays distributed.
     """
-    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
-        commit_append,
-        read_table_metadata,
-    )
-    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
-        records_to_envelope,
-        write_table,
-    )
-
-    key = _cache_key(spark, sf_dir)
-    rows = _ICEBERG_CACHE.get(key)
-    if rows is None:
-        env = records_to_envelope(_records(spark, sf_dir)).repartition(4, "partition")
-        tdir = tempfile.mkdtemp(prefix="iceberg-table-")
-        write_table(env, tdir)
-        meta = commit_append(tdir, env.schema)
-        back = read_table_metadata(tdir)
-        cur = next(
-            s
-            for s in meta["snapshots"]
-            if s["snapshot-id"] == meta["current-snapshot-id"]
-        )
-        per_part: dict[int, dict] = {}
-        for man in back["manifests"]:
-            for e in man["entries"]:
-                d = e["data_file"]
-                p = per_part.setdefault(
-                    int(d["partition"]["partition"]), {"files": 0, "records": 0}
-                )
-                p["files"] += 1
-                p["records"] += int(d["record_count"])
-        rows = [
-            (part, p["files"], p["records"], int(cur["sequence-number"]))
-            for part, p in sorted(per_part.items())
-        ]
-        session_cache_put(_ICEBERG_CACHE, key, rows)
+    _tdir, rows = _iceberg_table(spark, sf_dir)
     return spark.createDataFrame(
         rows, "partition INT, n_files BIGINT, n_records BIGINT, snapshot_seq BIGINT"
+    )
+
+
+ICEBERG_SCAN_PARTITION = 2
+
+
+@query(
+    "iceberg_scan_pruned",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(event_id) AS min_offset,
+       MAX(event_id) AS max_offset
+FROM events
+WHERE CAST(event_id % 4 AS INT) = {ICEBERG_SCAN_PARTITION}
+GROUP BY event_type
+""",
+)
+def iceberg_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ side of the Iceberg interop: open the committed table
+    THROUGH its own metadata the way Trino/Flink would — current
+    snapshot → manifest list → manifests → data-file entries
+    (`sources/iceberg.py::plan_scan`), with partition pruning at the
+    METADATA level: the manifest-list's per-manifest partition field
+    summaries skip whole manifests unopened, and surviving entries are
+    filtered on the partition value, so pruned files never reach Spark's
+    scan (the Iceberg contract — no directory listing, no footer reads
+    for pruned files). The planned file set is handed to the parquet
+    reader and aggregated; the oracle recomputes from raw `events`
+    restricted to the same partition. At 100 TB the metadata walk is
+    O(manifests) on the driver — the same cost profile as the Java
+    library — and the data scan is exactly the pruned file set."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+    )
+
+    tdir, _rows = _iceberg_table(spark, sf_dir)
+    env = read_iceberg_table(spark, tdir, partition_value=ICEBERG_SCAN_PARTITION)
+    decoded = env.select(
+        F.col("kafka.offset").alias("event_id"),
+        F.col("key").cast("string").alias("event_type"),
+    )
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("event_id").alias("min_offset"),
+        F.max("event_id").alias("max_offset"),
     )

@@ -612,3 +612,68 @@ def read_table_metadata(table_dir: str) -> dict | None:
         "manifest_list": manifest_files,
         "manifests": manifests,
     }
+
+
+# -- the read side: scan planning FROM the Iceberg metadata -------------------
+
+
+def plan_scan(
+    table_dir: str,
+    partition_value: int | None = None,
+) -> list[dict]:
+    """Plan a table scan from the Iceberg metadata alone (never listing
+    the filesystem): current snapshot -> manifest list -> manifests ->
+    data-file entries, with two levels of spec pruning:
+
+    1. manifest-level: a manifest whose ``partitions`` field summary
+       bounds exclude the predicate is skipped WITHOUT being opened
+       (the manifest-list is the index over manifests), and
+    2. file-level: surviving manifests' entries are filtered on the
+       partition value.
+
+    This is exactly how Iceberg readers avoid both file listing and
+    full-metadata reads at 100k-file scale; returns the matching
+    data-file dicts."""
+    state = read_table_metadata(table_dir)
+    if state is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {table_dir}")
+    files: list[dict] = []
+    for mf in state["manifest_list"]:
+        if partition_value is not None and mf.get("partitions"):
+            summary = mf["partitions"][0]
+            lo_b, hi_b = summary.get("lower_bound"), summary.get("upper_bound")
+            if lo_b is not None and hi_b is not None:
+                lo = struct.unpack("<i", lo_b)[0]
+                hi = struct.unpack("<i", hi_b)[0]
+                if not (lo <= partition_value <= hi):
+                    continue  # manifest pruned unopened
+        _, entries, _ = read_avro_ocf(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:  # DELETED
+                continue
+            d = e["data_file"]
+            if (
+                partition_value is not None
+                and d["partition"].get(next(iter(d["partition"]))) != partition_value
+            ):
+                continue
+            files.append(d)
+    return files
+
+
+def read_iceberg_table(
+    spark,
+    table_dir: str,
+    partition_value: int | None = None,
+):
+    """Open the table THROUGH its Iceberg metadata the way Trino/Flink
+    would: plan the file set from the snapshot's manifests (plan_scan),
+    then hand exactly those parquet files to Spark. Partition pruning
+    happens at the metadata level — pruned files never reach the scan,
+    which is the Iceberg contract (vs. Hive-style directory listing)."""
+    files = plan_scan(table_dir, partition_value)
+    if not files:
+        raise FileNotFoundError("scan planned zero data files")
+    return spark.read.option("basePath", table_dir).parquet(
+        *sorted(d["file_path"] for d in files)
+    )
