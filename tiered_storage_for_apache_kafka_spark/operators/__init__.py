@@ -193,6 +193,7 @@ _PROMOTE = [
     # CORRECTNESS_r04 and moved to _DEMOTE. The window now holds:
     # (a) NEW queries this round:
     "multimodal_png_decode",
+    "multimodal_jpeg_decode",
     "iceberg_metadata_summary",
     "iceberg_scan_pruned",
     "quality_classifier_trained",

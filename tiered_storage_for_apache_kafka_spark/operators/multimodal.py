@@ -4,10 +4,11 @@ Arrow-batched (mapInPandas) decode / feature-extract stages.
 Design (per the brief): image/audio/video are `BINARY` columns with a
 metadata struct; decode and feature extraction run as Pandas UDFs over
 `mapInPandas` so bytes never round-trip through Python row-at-a-time.
-The real codecs (PIL/ffmpeg) are not in this container, so `decode_image`
-is a clearly-marked stub; the *Spark-side plumbing* — schema, batch
-shape, partitioning, deterministic feature math — is real and oracle-
-checked (`multimodal_decode_features` reproduces the byte-level features
+Every image/audio/video container here is decoded by REAL pure-Python
+codecs implemented from the public specs — netpbm PPM, PNG (stdlib
+zlib + scanline unfilters), baseline JPEG (`jpeg_codec`: DCT, Huffman,
+byte stuffing), RIFF/WAVE PCM16, YUV4MPEG2 — and the feature math is
+oracle-checked (`multimodal_*_decode` reproduce the byte-level features
 in DuckDB SQL, proving the Arrow path computes exactly what it claims).
 
 At 100 TB: assets are hash-partitioned by asset id; feature extraction is
@@ -52,19 +53,22 @@ def multimodal_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image(blob: bytes) -> "np.ndarray":
-    """Dispatching image decode: PPM and PNG are decoded for real by the
-    pure-Python codecs below; JPEG remains an honest stub (it genuinely
-    needs libjpeg, absent from this container). The Spark plumbing that
-    hosts any of them is `extract_features` below (same mapInPandas
-    shape)."""
+    """Dispatching image decode — every format decoded for real by the
+    pure-Python codecs in this package: PPM (decode_ppm), PNG
+    (decode_png, stdlib zlib), baseline JPEG (jpeg_codec.decode_jpeg).
+    The Spark plumbing that hosts them is `extract_features` below
+    (same mapInPandas shape)."""
     if blob[:2] == b"P6":
         return decode_ppm(blob)
     if blob[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(blob)
-    raise NotImplementedError(
-        "JPEG decode requires libjpeg; not available in this environment — "
-        "wire a real decoder here in production (PPM/PNG decode for real)"
-    )
+    if blob[:2] == b"\xff\xd8":
+        from tiered_storage_for_apache_kafka_spark.operators.jpeg_codec import (
+            decode_jpeg,
+        )
+
+        return decode_jpeg(blob)
+    raise ValueError("unrecognized image payload (PPM/PNG/JPEG supported)")
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -184,15 +188,23 @@ def sample_frames(assets: DataFrame) -> DataFrame:
     )
 
 
-def resize_stub(blob: bytes, width: int, height: int) -> bytes:
-    """STUB: real image resize requires PIL/libvips, absent from this
-    container. `sample_frames` above carries the identical Spark plumbing
-    (mapInPandas fan-out per asset); wire the real kernel here in
-    production."""
-    raise NotImplementedError(
-        "image resize requires an image codec (PIL/libvips); not available "
-        "in this environment"
-    )
+def resize_image(blob: bytes, width: int, height: int) -> bytes:
+    """REAL image resize, no PIL/libvips: decode (any supported format
+    via decode_image), nearest-neighbor sample to (height, width) with
+    the standard index map floor((i + 0.5) * src / dst), re-encode as
+    binary PPM (RGB) — the deterministic thumbnailing kernel of an image
+    pipeline. `sample_frames` above carries the identical Spark plumbing
+    (mapInPandas fan-out per asset)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive resize dimensions")
+    img = decode_image(blob)
+    h, w, ch = img.shape
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    out = img[ys][:, xs]
+    if ch == 1:
+        out = np.repeat(out, 3, axis=2)
+    return encode_ppm(out)
 
 
 @query(
@@ -901,5 +913,126 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id BIGINT, width INT, height INT, mean_r BIGINT, "
             "mean_g BIGINT, mean_b BIGINT, thumb_byte_sum BIGINT"
+        ),
+    )
+
+
+# -- real JPEG decode: baseline JFIF codec, pure numpy ------------------------
+
+JPEG_QUALITY = 92  # scaled luma q00 = 3 (odd: no rounding ties, see codec)
+
+
+def _jpeg_q00() -> int:
+    from tiered_storage_for_apache_kafka_spark.operators.jpeg_codec import (
+        QUANT_LUMA,
+        scale_quant_table,
+    )
+
+    return int(scale_quant_table(QUANT_LUMA, JPEG_QUALITY)[0, 0])
+
+
+def _jpeg_block_sql(b: str, q00: int) -> str:
+    """DuckDB twin of the baseline JPEG DC path for a constant 8x8 block
+    of value ``b``: quantized DC d = floor(8(b-128)/q + 0.5), decoded
+    value = clamp(floor(d*q/8 + 0.5) + 128). Exact because a constant
+    block's AC coefficients quantize to zero and the decoder's DC-only
+    fast path is integer arithmetic (jpeg_codec._idct_block)."""
+    d = f"FLOOR((8*({b}-128))/{q00}.0 + 0.5)"
+    return (
+        f"CAST(LEAST(255, GREATEST(0, "
+        f"CAST(FLOOR(({d})*{q00}/8.0 + 0.5) AS INT) + 128)) AS INT)"
+    )
+
+
+def multimodal_jpeg_pixel_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four deterministic block values per doc: the first 4 ASCII bytes
+    of the text (space-padded) each fill one constant 8x8 block of a
+    16x16 grayscale image — the piecewise-constant fixture that makes a
+    LOSSY codec oracle-checkable (constant blocks survive DCT+quant
+    exactly, see jpeg_codec docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, 4), 4, " "), "UTF-8").alias(
+            "block_bytes"
+        ),
+    )
+
+
+def _jpeg_oracle() -> str:
+    q00 = _jpeg_q00()
+    cells = ", ".join(
+        f"{_jpeg_block_sql(f'ord(substr(s, {k + 1}, 1))', q00)} AS b{k // 2}{k % 2}"
+        for k in range(4)
+    )
+    return f"""
+WITH padded AS (
+  SELECT doc_id, rpad(substr(text, 1, 4), 4, ' ') AS s FROM documents
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       {cells}
+FROM padded
+"""
+
+
+@query("multimodal_jpeg_decode", oracle=_jpeg_oracle())
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode — the last image format de-stubbed: every doc's
+    four deterministic block values become a 16x16 grayscale baseline
+    JFIF (full encoder: DCT, Annex K quality-scaled quantization,
+    differential-DC + run-length-AC Huffman coding, byte stuffing) and
+    are decoded back by `jpeg_codec.decode_jpeg` — marker parse, Huffman
+    decode with unstuffing, dequantize, IDCT — on the hot path. The
+    fixture is piecewise-constant 8x8 blocks, the one input family a
+    LOSSY codec decodes to SQL-predictable bytes: constant blocks have
+    zero AC energy, so the whole round-trip reduces to the exact integer
+    DC formula the oracle replays (floor-half-up quantize + the
+    decoder's libjpeg-style DC-only fast path). A green hash proves the
+    entropy coder, the coefficient pipeline, and the DC reconstruction
+    compute exactly what T.81 says for these streams; general blocks
+    (gradients, color, noise) are covered by the codec's pytest
+    round-trips.
+
+    Plan shape: narrow map end-to-end — fixture synthesis is JVM
+    rpad/encode, encode+decode run in one Arrow stage, no shuffle
+    (plan-gated)."""
+    from tiered_storage_for_apache_kafka_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    assets = multimodal_jpeg_pixel_bytes(spark, sf_dir)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["block_bytes"]):
+                vals = list(bytes(payload))
+                px = np.zeros((16, 16), dtype=np.uint8)
+                px[:8, :8], px[:8, 8:] = vals[0], vals[1]
+                px[8:, :8], px[8:, 8:] = vals[2], vals[3]
+                img = decode_jpeg(encode_jpeg(px, quality=JPEG_QUALITY))
+                if img.shape != (16, 16, 1):
+                    raise ValueError("JPEG round-trip shape mismatch")
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": 16,
+                        "height": 16,
+                        "b00": int(img[0, 0, 0]),
+                        "b01": int(img[0, 8, 0]),
+                        "b10": int(img[8, 0, 0]),
+                        "b11": int(img[8, 8, 0]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        feats,
+        schema=(
+            "doc_id BIGINT, width INT, height INT, "
+            "b00 INT, b01 INT, b10 INT, b11 INT"
         ),
     )
