@@ -277,3 +277,81 @@ class TestScanPlanning:
             k: v for k, v in meta.items() if k not in ("avro.schema", "avro.codec")
         })
         assert len(plan_scan(tdir)) == 3
+
+
+class TestPuffinStatistics:
+    def test_puffin_roundtrip_and_rejections(self, tmp_path):
+        import struct as _struct
+
+        from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+            FILE_LIST,
+            OFFSET_INDEX,
+            read_puffin,
+            write_puffin,
+        )
+
+        path = str(tmp_path / "s.puffin")
+        blobs = [(OFFSET_INDEX, b"\x01" * 32), (FILE_LIST, b'{"a": 1}')]
+        stats = write_puffin(path, blobs, snapshot_id=7, sequence_number=3)
+        assert stats["file_size"] == os.path.getsize(path)
+        back = read_puffin(path)
+        assert back["blobs"][OFFSET_INDEX] == b"\x01" * 32
+        assert back["blobs"][FILE_LIST] == b'{"a": 1}'
+        bm = back["metadata"]["blobs"][0]
+        assert bm["snapshot-id"] == 7 and bm["sequence-number"] == 3
+        assert back["metadata"]["properties"]["created-by"]
+
+        with pytest.raises(ValueError, match="already written"):
+            write_puffin(path, [(FILE_LIST, b"x"), (FILE_LIST, b"y")], 1, 1)
+        raw = open(path, "rb").read()
+        with pytest.raises(ValueError, match="leading magic"):
+            read_puffin_bytes(tmp_path, b"XXXX" + raw[4:])
+        with pytest.raises(ValueError, match="trailing magic"):
+            read_puffin_bytes(tmp_path, raw[:-4] + b"XXXX")
+        # compressed-footer flag rejected
+        bad = raw[:-8] + _struct.pack("<i", 1) + raw[-4:]
+        with pytest.raises(ValueError, match="compressed Puffin footer"):
+            read_puffin_bytes(tmp_path, bad)
+
+    def test_commit_registers_statistics_file(self, table):
+        import json as _json
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            read_table_metadata,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+            FILE_LIST,
+            OFFSET_INDEX,
+            read_puffin,
+        )
+
+        tdir, df = table
+        commit_append(
+            tdir, df.schema, now_ms=1_000,
+            stats_blobs=[(OFFSET_INDEX, b"\x02" * 16)],
+        )
+        meta = read_table_metadata(tdir)["metadata"]
+        (entry,) = meta["statistics"]
+        assert entry["snapshot-id"] == meta["current-snapshot-id"]
+        assert os.path.getsize(entry["statistics-path"]) == entry["file-size-in-bytes"]
+        types = {b["type"] for b in entry["blob-metadata"]}
+        assert types == {FILE_LIST, OFFSET_INDEX}
+
+        back = read_puffin(entry["statistics-path"])
+        assert back["blobs"][OFFSET_INDEX] == b"\x02" * 16
+        file_list = _json.loads(back["blobs"][FILE_LIST].decode())
+        assert len(file_list) == 4
+        assert sum(f["recordCount"] for f in file_list) == 200
+        for f in file_list:
+            assert os.path.getsize(f["location"]) == f["fileSizeInBytes"]
+            assert f"partition={f['partition']}" in f["location"]
+
+
+def read_puffin_bytes(tmp_path, data: bytes):
+    from tiered_storage_for_apache_kafka_spark.sources.puffin import read_puffin
+
+    p = str(tmp_path / "_tmp_probe.puffin")
+    with open(p, "wb") as f:
+        f.write(data)
+    return read_puffin(p)

@@ -196,6 +196,7 @@ _PROMOTE = [
     "multimodal_jpeg_decode",
     "iceberg_metadata_summary",
     "iceberg_scan_pruned",
+    "iceberg_puffin_stats",
     "quality_classifier_trained",
     "dedup_lines_newline",
     # (b) logic changed this round (bigram size guard):

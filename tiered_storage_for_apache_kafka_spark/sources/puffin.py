@@ -1,0 +1,113 @@
+"""Minimal Apache Iceberg Puffin file writer/reader (the public Puffin
+spec: https://iceberg.apache.org/puffin-spec/).
+
+Parity target: the reference packages each segment's Kafka aux indexes
+and a data-file list as Puffin blobs and registers the file as an
+Iceberg snapshot statistics file (`iceberg/manifest/SegmentManifest
+Writer.java:35-112`, blob type names in `BlobTypes.java`). This module
+implements the container format itself in pure Python:
+
+    Magic | blob payloads ... | Magic | FooterPayload (JSON) |
+    FooterPayloadSize (4-byte LE) | Flags (4 bytes) | Magic
+
+Blobs are written uncompressed (``compression-codec`` omitted), which
+every Puffin reader accepts. The footer JSON carries per-blob
+``type / fields / snapshot-id / sequence-number / offset / length``
+exactly as the spec requires, so an external Iceberg reader can load
+the statistics file without this engine present.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+MAGIC = b"PFA1"
+
+# reference blob type names (BlobTypes.java) — public contract
+OFFSET_INDEX = "aiven-tiered-storage-offset-index"
+TIMESTAMP_INDEX = "aiven-tiered-storage-timestamp-index"
+PRODUCER_SNAPSHOT_INDEX = "aiven-tiered-storage-producer-snapshot-index"
+TRANSACTION_INDEX = "aiven-tiered-storage-transaction-index"
+LEADER_EPOCH_INDEX = "aiven-tiered-storage-leader-epoch-index"
+FILE_LIST = "aiven-tiered-storage-file-list"
+
+
+def write_puffin(
+    path: str,
+    blobs: list[tuple[str, bytes]],
+    snapshot_id: int,
+    sequence_number: int,
+    created_by: str = "tiered-storage-for-apache-kafka spark engine",
+) -> dict:
+    """Write a Puffin file; blobs are (type, payload) in order. A type
+    may appear only once (`SegmentManifestWriter.writeBlob` contract).
+    Returns {"file_size", "footer_size", "blob_metadata"} — the fields
+    an Iceberg ``statistics`` entry needs (GenericStatisticsFile)."""
+    seen: set[str] = set()
+    out = bytearray(MAGIC)
+    blob_meta = []
+    for btype, payload in blobs:
+        if btype in seen:
+            raise ValueError(f"{btype} blob already written")
+        seen.add(btype)
+        offset = len(out)
+        out += payload
+        blob_meta.append(
+            {
+                "type": btype,
+                "fields": [],
+                "snapshot-id": snapshot_id,
+                "sequence-number": sequence_number,
+                "offset": offset,
+                "length": len(payload),
+            }
+        )
+    footer_payload = json.dumps(
+        {"blobs": blob_meta, "properties": {"created-by": created_by}}
+    ).encode()
+    footer_start = len(out)
+    out += MAGIC
+    out += footer_payload
+    out += struct.pack("<i", len(footer_payload))
+    out += struct.pack("<i", 0)  # flags: footer payload not compressed
+    out += MAGIC
+    with open(path, "wb") as f:
+        f.write(out)
+    return {
+        "file_size": len(out),
+        "footer_size": len(out) - footer_start,
+        "blob_metadata": blob_meta,
+    }
+
+
+def read_puffin(path: str) -> dict:
+    """Read a Puffin file the way an external reader does: validate the
+    leading magic, seek to the trailing footer (Magic..payload..size..
+    flags..Magic), parse the footer JSON, then slice each blob by its
+    recorded offset/length. Returns {"blobs": {type: bytes},
+    "metadata": footer-json}."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != MAGIC:
+        raise ValueError("not a Puffin file: bad leading magic")
+    if data[-4:] != MAGIC:
+        raise ValueError("not a Puffin file: bad trailing magic")
+    (flags,) = struct.unpack("<i", data[-8:-4])
+    if flags & 0x1:
+        raise ValueError("compressed Puffin footer payload not supported")
+    (payload_size,) = struct.unpack("<i", data[-12:-8])
+    payload_end = len(data) - 12
+    payload_start = payload_end - payload_size
+    if data[payload_start - 4 : payload_start] != MAGIC:
+        raise ValueError("Puffin footer magic mismatch")
+    meta = json.loads(data[payload_start:payload_end].decode())
+    blobs = {}
+    for bm in meta["blobs"]:
+        start, length = bm["offset"], bm["length"]
+        if start + length > payload_start - 4:
+            raise ValueError("Puffin blob overlaps the footer")
+        if bm.get("compression-codec"):
+            raise ValueError("compressed Puffin blobs not supported")
+        blobs[bm["type"]] = data[start : start + length]
+    return {"blobs": blobs, "metadata": meta}
