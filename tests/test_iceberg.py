@@ -355,3 +355,73 @@ def read_puffin_bytes(tmp_path, data: bytes):
     with open(p, "wb") as f:
         f.write(data)
     return read_puffin(p)
+
+
+class TestReviewFixes:
+    """Round-5 self-review pins: lazy scan planning, empty scans,
+    metadata-lookalike paths."""
+
+    def test_plan_scan_opens_only_surviving_manifests(self, table, monkeypatch):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, df = table
+        ice.commit_append(tdir, df.schema, now_ms=1_000)
+        opened = []
+        real = ice.read_avro_ocf
+
+        def counting(path):
+            opened.append(path)
+            return real(path)
+
+        monkeypatch.setattr(ice, "read_avro_ocf", counting)
+        ice.plan_scan(tdir, partition_value=2)
+        # one manifest-list read + exactly ONE manifest read (no double)
+        assert len(opened) == 2
+        opened.clear()
+        ice.plan_scan(tdir, partition_value=99)  # outside summary bounds
+        assert len(opened) == 1  # only the manifest list; manifest pruned
+
+    def test_empty_scan_returns_typed_zero_rows(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            read_iceberg_table,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema, now_ms=1_000)
+        empty = read_iceberg_table(spark, tdir, partition_value=99)
+        assert empty.count() == 0
+        assert [f.name for f in empty.schema.fields] == [
+            "partition", "kafka", "headers", "key", "value",
+        ]
+        assert empty.schema["kafka"].dataType.typeName() == "struct"
+
+    def test_metadata_lookalike_ancestor_dir(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            read_table_metadata,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir = str(tmp_path / "metadata_backup" / "table")
+        df = (
+            spark.range(20)
+            .select(
+                (F.col("id") % 2).cast("int").alias("partition"),
+                F.col("id").alias("v"),
+            )
+            .repartition(2, "partition")
+        )
+        write_table(df, tdir)
+        commit_append(tdir, df.schema, now_ms=1_000)
+        back = read_table_metadata(tdir)
+        rows = sum(
+            e["data_file"]["record_count"]
+            for man in back["manifests"]
+            for e in man["entries"]
+        )
+        assert rows == 20  # data under a metadata-lookalike path still found

@@ -375,3 +375,32 @@ def test_png_roundtrip_property(w, h, ch, data):
     filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
     px = np.random.default_rng(seed).integers(0, 256, size=(h, w, ch), dtype=np.uint8)
     assert (decode_png(encode_png(px, filters=filters)) == px).all()
+
+
+def test_resize_image_real_kernel_all_formats():
+    import numpy as np
+
+    from tiered_storage_for_apache_kafka_spark.operators.multimodal import (
+        decode_ppm,
+        encode_png,
+        encode_ppm,
+        resize_image,
+    )
+    from tiered_storage_for_apache_kafka_spark.operators.jpeg_codec import encode_jpeg
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    # PPM in -> PPM out, nearest-neighbor index map
+    small = decode_ppm(resize_image(encode_ppm(rgb), 4, 4))
+    assert small.shape == (4, 4, 3)
+    assert (small[0, 0] == rgb[2, 2]).all()  # floor((0+0.5)*16/4) = 2
+    # RGBA PNG: alpha dropped, not a crash
+    rgba = rng.integers(0, 256, size=(8, 8, 4), dtype=np.uint8)
+    out = decode_ppm(resize_image(encode_png(rgba), 2, 2))
+    assert out.shape == (2, 2, 3)
+    # grayscale JPEG: channel replicated to RGB
+    gray = np.full((8, 8), 77, dtype=np.uint8)
+    out = decode_ppm(resize_image(encode_jpeg(gray), 3, 3))
+    assert out.shape == (3, 3, 3)
+    with __import__("pytest").raises(ValueError, match="non-positive"):
+        resize_image(encode_ppm(rgb), 0, 4)

@@ -80,6 +80,9 @@ _CACHE_WARMUP = [
     "dedup_exact",  # tokens_cached
     "tiered_roundtrip_agg",  # _tier + _records
     "minhash_signatures",  # _WIDE_SIG_CACHE
+    "dedup_minhash_lsh",  # _PAIRS_CACHE (the verified LSH pair set)
+    "dedup_connected_components",  # _CC_CACHE (labels over the pairs)
+    "pagerank_dup_graph",  # _EDGES_CACHE (graph edges over the pairs)
     "kmeans_embedding_clusters",
     "quality_classifier_trained",
     "iceberg_metadata_summary",

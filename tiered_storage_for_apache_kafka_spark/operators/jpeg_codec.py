@@ -418,6 +418,8 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        if pos + 2 > len(blob):
+            raise ValueError("truncated JPEG: lone 0xFF at end of stream")
         tag = blob[pos + 1]
         if tag == 0xD9:  # EOI
             raise ValueError("JPEG has no scan data before EOI")
@@ -449,7 +451,11 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
                 f"unsupported JPEG process (SOF{tag - 0xC0}): baseline only"
             )
         elif tag == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("short SOF0 payload")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if len(body) < 6 + nc * 3:
+                raise ValueError("short SOF0 component list")
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
             comps = []
@@ -464,6 +470,8 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
             while p < len(body):
                 tc, th = body[p] >> 4, body[p] & 0x0F
                 bits = list(body[p + 1 : p + 17])
+                if len(bits) != 16:
+                    raise ValueError("short DHT payload")
                 n = sum(bits)
                 vals = list(body[p + 17 : p + 17 + n])
                 if len(vals) != n:
@@ -471,12 +479,16 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 p += 17 + n
         elif tag == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("short DRI payload")
             (ri,) = struct.unpack(">H", body[:2])
             if ri:
                 raise ValueError("restart intervals not supported")
         elif tag == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not body or len(body) < 1 + body[0] * 2 + 3:
+                raise ValueError("short SOS payload")
             ns = body[0]
             scan = []
             for c in range(ns):

@@ -204,6 +204,8 @@ def resize_image(blob: bytes, width: int, height: int) -> bytes:
     out = img[ys][:, xs]
     if ch == 1:
         out = np.repeat(out, 3, axis=2)
+    elif ch == 4:
+        out = out[:, :, :3]  # drop alpha: PPM is RGB
     return encode_ppm(out)
 
 
@@ -252,8 +254,9 @@ def decode_ppm(blob: bytes) -> "np.ndarray":
     header = magic, width, height, maxval separated by whitespace, then
     raw RGB bytes. Spec-legal `#` comment lines between header tokens
     (GIMP/ImageMagick write them) are honored. PNG is handled for real
-    by :func:`decode_png` (stdlib zlib); only JPEG remains a stub
-    (genuinely needs libjpeg)."""
+    by :func:`decode_png` (stdlib zlib) and baseline JPEG by
+    `jpeg_codec.decode_jpeg` — every image format here is a real
+    decoder."""
     if blob[:2] != b"P6":
         raise ValueError("not a binary PPM (P6) payload")
     # tokenize the header: whitespace-separated fields, # starts a
@@ -339,10 +342,9 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     resize kernel) whose byte sum is emitted. The DuckDB oracle
     recomputes all of it from raw byte arithmetic over the same ASCII
     payload — equal hashes prove the decoder and the resize read exactly
-    the bytes they claim. (PNG is now decoded for real too — see
-    `multimodal_png_decode`; JPEG stays honestly stubbed: it needs
-    libjpeg, which this container lacks; the pipeline shape is
-    identical.)
+    the bytes they claim. (PNG and baseline JPEG are decoded for real
+    too — see `multimodal_png_decode` / `multimodal_jpeg_decode`; the
+    pipeline shape is identical across all three.)
 
     Plan shape: narrow map end-to-end — blob synthesis is JVM concat,
     decode+thumbnail run in one Arrow batch stage, the only shuffle is

@@ -339,7 +339,11 @@ def _discover_data_files(table_dir: str, partition_col: str) -> list[dict]:
 
     files = []
     for root, _dirs, names in os.walk(table_dir):
-        if os.path.basename(root) == "metadata" or f"{os.sep}metadata" in root:
+        # skip the table's own metadata/ subtree — by path COMPONENT
+        # relative to table_dir (a substring match would drop all data
+        # when an ancestor dir merely starts with "metadata")
+        rel = os.path.relpath(root, table_dir)
+        if rel != os.curdir and "metadata" in rel.split(os.sep):
             continue
         part_val = None
         for seg in root[len(table_dir):].split(os.sep):
@@ -674,12 +678,25 @@ def plan_scan(
 
     This is exactly how Iceberg readers avoid both file listing and
     full-metadata reads at 100k-file scale; returns the matching
-    data-file dicts."""
-    state = read_table_metadata(table_dir)
-    if state is None:
+    data-file dicts. Unlike :func:`read_table_metadata` (the diagnostic
+    full parse), this walks lazily: only metadata.json + the manifest
+    list are always read; a pruned manifest is genuinely never opened,
+    and a surviving one is opened exactly once."""
+    hint = os.path.join(table_dir, "metadata", "version-hint.text")
+    if not os.path.exists(hint):
         raise FileNotFoundError(f"no Iceberg metadata under {table_dir}")
+    with open(hint) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(table_dir, "metadata", f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    if meta.get("current-snapshot-id", -1) == -1:
+        return []
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifest_files, _ = read_avro_ocf(cur["manifest-list"])
     files: list[dict] = []
-    for mf in state["manifest_list"]:
+    for mf in manifest_files:
         if partition_value is not None and mf.get("partitions"):
             summary = mf["partitions"][0]
             lo_b, hi_b = summary.get("lower_bound"), summary.get("upper_bound")
@@ -702,6 +719,48 @@ def plan_scan(
     return files
 
 
+def iceberg_schema_to_spark(schema_struct: dict):
+    """Inverse of :func:`spark_schema_to_iceberg` for the types this
+    writer emits — lets a reader type an EMPTY scan correctly."""
+    from pyspark.sql import types as T
+
+    prim = {
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "string": T.StringType(),
+        "binary": T.BinaryType(),
+        "boolean": T.BooleanType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "date": T.DateType(),
+        "timestamptz": T.TimestampType(),
+        "timestamp": T.TimestampNTZType(),
+    }
+
+    def conv(t):
+        if isinstance(t, str):
+            if t in prim:
+                return prim[t]
+            if t.startswith("decimal("):
+                p, s = t[8:-1].split(",")
+                return T.DecimalType(int(p), int(s))
+            raise TypeError(f"unsupported Iceberg type {t!r}")
+        if t["type"] == "struct":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], conv(f["type"]), not f["required"])
+                    for f in t["fields"]
+                ]
+            )
+        if t["type"] == "list":
+            return T.ArrayType(conv(t["element"]), not t["element-required"])
+        if t["type"] == "map":
+            return T.MapType(conv(t["key"]), conv(t["value"]), not t["value-required"])
+        raise TypeError(f"unsupported Iceberg type {t['type']!r}")
+
+    return conv(schema_struct)
+
+
 def read_iceberg_table(
     spark,
     table_dir: str,
@@ -711,10 +770,17 @@ def read_iceberg_table(
     would: plan the file set from the snapshot's manifests (plan_scan),
     then hand exactly those parquet files to Spark. Partition pruning
     happens at the metadata level — pruned files never reach the scan,
-    which is the Iceberg contract (vs. Hive-style directory listing)."""
+    which is the Iceberg contract (vs. Hive-style directory listing).
+    An empty plan (empty partition, all files deleted, or a table with
+    no snapshot yet) is a valid ZERO-ROW scan typed from the table
+    schema, not an error."""
     files = plan_scan(table_dir, partition_value)
     if not files:
-        raise FileNotFoundError("scan planned zero data files")
+        state = read_table_metadata(table_dir)
+        if state is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {table_dir}")
+        schema = iceberg_schema_to_spark(state["metadata"]["schemas"][0])
+        return spark.createDataFrame([], schema)
     return spark.read.option("basePath", table_dir).parquet(
         *sorted(d["file_path"] for d in files)
     )
