@@ -425,3 +425,79 @@ class TestReviewFixes:
             for e in man["entries"]
         )
         assert rows == 20  # data under a metadata-lookalike path still found
+
+
+class TestMaintenance:
+    def _two_commits(self, table, spark):
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema, now_ms=1_000)
+        extra = df.limit(40).repartition(2, "partition")
+        write_table(extra, tdir)
+        commit_append(tdir, df.schema, now_ms=2_000)
+        return tdir, df
+
+    def test_time_travel_reads_historical_file_set(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_iceberg_table,
+            read_iceberg_table_at,
+        )
+
+        tdir, df = self._two_commits(table, spark)
+        assert read_iceberg_table(spark, tdir).count() == 240  # current
+        assert read_iceberg_table_at(spark, tdir, snapshot_id=1).count() == 200
+        assert read_iceberg_table_at(spark, tdir, snapshot_id=2).count() == 240
+        with pytest.raises(ValueError, match="not found"):
+            read_iceberg_table_at(spark, tdir, snapshot_id=77)
+
+    def test_expire_snapshots_prunes_metadata_not_live_data(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            expire_snapshots,
+            read_iceberg_table,
+            read_iceberg_table_at,
+            read_table_metadata,
+        )
+
+        tdir, df = self._two_commits(table, spark)
+        before = read_table_metadata(tdir)
+        old_list = before["metadata"]["snapshots"][0]["manifest-list"]
+        old_stats = before["metadata"]["statistics"][0]["statistics-path"]
+
+        meta = expire_snapshots(tdir, keep_last=1, now_ms=3_000)
+        assert [s["snapshot-id"] for s in meta["snapshots"]] == [2]
+        assert "parent-snapshot-id" not in meta["snapshots"][0]
+        assert not os.path.exists(old_list)
+        assert not os.path.exists(old_stats)
+        # the current snapshot still reads everything (append-only table)
+        assert read_iceberg_table(spark, tdir).count() == 240
+        # the expired snapshot is no longer time-travelable
+        with pytest.raises(ValueError, match="not found"):
+            read_iceberg_table_at(spark, tdir, snapshot_id=1)
+        # version bumped; idempotent when nothing to expire
+        assert read_table_metadata(tdir)["version"] == 3
+        expire_snapshots(tdir, keep_last=1, now_ms=4_000)
+        assert read_table_metadata(tdir)["version"] == 3
+
+    def test_expired_snapshot_keeps_shared_manifests(self, table, spark):
+        """Snapshot 2's manifest list carries snapshot 1's manifest too
+        (carried-forward append); expiring snapshot 1 must NOT delete a
+        manifest the surviving snapshot still references."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            expire_snapshots,
+            plan_scan,
+        )
+
+        tdir, df = self._two_commits(table, spark)
+        before = {d["file_path"] for d in plan_scan(tdir)}
+        expire_snapshots(tdir, keep_last=1, now_ms=3_000)
+        after = {d["file_path"] for d in plan_scan(tdir)}
+        assert after == before  # commit-1 files still planned via the
+        assert len(after) > 4  # carried-forward manifest, which survived

@@ -784,3 +784,114 @@ def read_iceberg_table(
     return spark.read.option("basePath", table_dir).parquet(
         *sorted(d["file_path"] for d in files)
     )
+
+
+# -- maintenance: time travel + snapshot expiration ---------------------------
+
+
+def _load_current_metadata(table_dir: str) -> tuple[int, dict]:
+    hint = os.path.join(table_dir, "metadata", "version-hint.text")
+    if not os.path.exists(hint):
+        raise FileNotFoundError(f"no Iceberg metadata under {table_dir}")
+    with open(hint) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(table_dir, "metadata", f"v{version}.metadata.json")) as f:
+        return version, json.load(f)
+
+
+def read_iceberg_table_at(spark, table_dir: str, snapshot_id: int):
+    """Time travel: open the table AS OF a historical snapshot — the
+    file set is whatever that snapshot's manifest list said, regardless
+    of later appends (Iceberg's ``VERSION AS OF`` semantics; any
+    snapshot still present in the metadata is readable)."""
+    _version, meta = _load_current_metadata(table_dir)
+    snap = next(
+        (s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id), None
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snapshot_id} not found (expired or never existed)")
+    _, manifest_files, _ = read_avro_ocf(snap["manifest-list"])
+    files = []
+    for mf in manifest_files:
+        _, entries, _ = read_avro_ocf(mf["manifest_path"])
+        files.extend(
+            e["data_file"]["file_path"] for e in entries if e["status"] != 2
+        )
+    if not files:
+        return spark.createDataFrame(
+            [], iceberg_schema_to_spark(meta["schemas"][0])
+        )
+    return spark.read.option("basePath", table_dir).parquet(*sorted(files))
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1, now_ms: int | None = None) -> dict:
+    """Iceberg snapshot expiration (`expireSnapshots` maintenance — the
+    catalog-side analog of the reference's retention/delete plane):
+    drop all but the newest ``keep_last`` snapshots from the metadata,
+    delete their no-longer-referenced manifest lists, manifests, and
+    statistics files, and write a new metadata version. Data files
+    still referenced by a surviving snapshot are untouched (an append-
+    only table's old files stay live in the current snapshot). Returns
+    the new metadata dict."""
+    import time as _time
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    version, meta = _load_current_metadata(table_dir)
+    snaps = meta["snapshots"]
+    if len(snaps) <= keep_last:
+        return meta
+    keep = snaps[-keep_last:]
+    expired = snaps[:-keep_last]
+    keep_ids = {s["snapshot-id"] for s in keep}
+
+    # files referenced by surviving snapshots stay; everything metadata-
+    # side that only the expired snapshots referenced is deleted
+    live_manifest_paths: set[str] = set()
+    for s in keep:
+        _, manifest_files, _ = read_avro_ocf(s["manifest-list"])
+        live_manifest_paths.update(mf["manifest_path"] for mf in manifest_files)
+    removed: list[str] = []
+    for s in expired:
+        _, manifest_files, _ = read_avro_ocf(s["manifest-list"])
+        for mf in manifest_files:
+            if mf["manifest_path"] not in live_manifest_paths:
+                removed.append(mf["manifest_path"])
+        removed.append(s["manifest-list"])
+    new_stats = []
+    for st in meta.get("statistics", []):
+        if st["snapshot-id"] in keep_ids:
+            new_stats.append(st)
+        else:
+            removed.append(st["statistics-path"])
+    for path in removed:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    new_meta = dict(meta)
+    new_meta["snapshots"] = keep
+    new_meta["statistics"] = new_stats
+    new_meta["snapshot-log"] = [
+        e for e in meta["snapshot-log"] if e["snapshot-id"] in keep_ids
+    ]
+    new_meta["last-updated-ms"] = now_ms
+    # oldest surviving snapshot loses its parent pointer if the parent
+    # was expired (spec: parent-snapshot-id may reference a missing
+    # snapshot only transiently; drop it for cleanliness)
+    new_meta["snapshots"] = [
+        (
+            {k: v for k, v in s.items() if k != "parent-snapshot-id"}
+            if s.get("parent-snapshot-id") not in keep_ids
+            else s
+        )
+        for s in keep
+    ]
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as f:
+        json.dump(new_meta, f, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version + 1))
+    return new_meta
