@@ -142,3 +142,95 @@ def test_datasource_contradictory_bounds_empty_not_crash(spark, tiered_root):
         .count()
     )
     assert got == 0
+
+
+def test_stream_reader_max_segments_per_trigger(spark, tmp_path):
+    """Admission control: with maxSegmentsPerTrigger=N a backfill over a
+    populated store drains as a sequence of bounded micro-batches (at
+    most N segments each), not one unbounded batch — the Kafka
+    maxOffsetsPerTrigger analog at this source's unit of consumption."""
+    from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+    root = str(tmp_path / "throttle-store")
+    conf = manager_conf(root, chunk_size=2048, compression=True)
+    events = load_table(spark, SF, "events").filter(F.col("event_id") < 500)
+    n_segs = tier_events_table(spark, events, conf, records_per_segment=50).count()
+    assert n_segs >= 8
+
+    register(spark)
+    batches: list[tuple[int, int]] = []  # (n_segments, n_rows)
+
+    def record(df, _bid):
+        rows = df.collect()
+        batches.append((len({r.segment_uuid for r in rows}), len(rows)))
+
+    q = (
+        spark.readStream.format("tiered_segments")
+        .option("root", root)
+        .option("maxSegmentsPerTrigger", "3")
+        .option("throttleStateDir", str(tmp_path / "ckpt" / "throttle"))
+        .load()
+        .writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    non_empty = [b for b in batches if b[1] > 0]
+    assert sum(r for _s, r in non_empty) == 500  # fully drained, no dupes
+    assert all(s <= 3 for s, _r in non_empty), non_empty
+    assert len(non_empty) >= (n_segs + 2) // 3  # genuinely split up
+
+
+def test_stream_reader_throttle_restart_safe(spark, tmp_path):
+    """A restarted throttled query (same checkpoint + throttleStateDir)
+    consumes exactly the delta — no duplicates, still capped."""
+    from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+    root = str(tmp_path / "throttle-store")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "ckpt" / "throttle")
+    conf = manager_conf(root, chunk_size=2048, compression=True)
+    events = load_table(spark, SF, "events")
+    batches: list[tuple[int, int]] = []
+
+    def record(df, _bid):
+        rows = df.collect()
+        batches.append((len({r.segment_uuid for r in rows}), len(rows)))
+
+    def drain():
+        register(spark)
+        q = (
+            spark.readStream.format("tiered_segments")
+            .option("root", root)
+            .option("maxSegmentsPerTrigger", "2")
+            .option("throttleStateDir", state)
+            .load()
+            .writeStream.foreachBatch(record)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    tier_events_table(
+        spark, events.filter(F.col("event_id") < 400), conf, records_per_segment=50
+    ).count()
+    drain()
+    rows_run1 = sum(r for _s, r in batches)
+    assert rows_run1 == 400
+
+    tier_events_table(
+        spark, events.filter(F.col("event_id") >= 400).filter(F.col("event_id") < 600),
+        conf, records_per_segment=50,
+    ).count()
+    drain()
+    assert sum(r for _s, r in batches) == 600  # only the delta, no dupes
+    assert all(s <= 2 for s, _r in batches if _r > 0), batches

@@ -265,6 +265,56 @@ class TieredSegmentsStreamReader(DataSourceStreamReader):
         self.topic = self.opts.get("topic", "events")
         self.topic_id = self.opts.get("topic_id", "events-tid")
         self._batch_reader = TieredSegmentsReader(self.opts)
+        # admission control (Kafka's maxOffsetsPerTrigger analog at the
+        # unit this source consumes): at most N segments enter one
+        # micro-batch, so a backfill over a large store becomes a
+        # sequence of bounded batches instead of one unbounded one.
+        # None = unthrottled.
+        # DSv2 option keys arrive lower-cased (case-insensitive map)
+        cap = self.opts.get("maxsegmentspertrigger", self.opts.get("maxSegmentsPerTrigger"))
+        self.max_segments_per_trigger = int(cap) if cap is not None else None
+        # Throttle state. Offsets returned by latestOffset must NEVER
+        # regress below anything previously reported/committed — Spark
+        # checkpoints whatever latestOffset says and would re-consume
+        # (duplicates) after a regression. Three layers:
+        #   _reported  — high-water mark this instance has returned;
+        #   _committed — positions learned from partitions()/commit();
+        #   state dir  — optional persisted _reported (restart-safe).
+        # `throttleStateDir` (point it INSIDE the query's checkpoint
+        # location) makes the cap effective from the very first batch of
+        # a fresh query and across restarts; without it the planner has
+        # no pre-initialOffset base, so the first batch of each run is
+        # unthrottled and the cap applies from the second batch on.
+        self._committed: dict[str, int] | None = None
+        self._reported: dict[str, int] | None = None
+        self._state_dir = self.opts.get(
+            "throttlestatedir", self.opts.get("throttleStateDir")
+        )
+        if self._state_dir:
+            import json as _json
+            import os as _os
+
+            f = _os.path.join(self._state_dir, "planned-offsets.json")
+            if _os.path.exists(f):
+                with open(f) as fh:
+                    self._reported = {
+                        k: int(v) for k, v in _json.load(fh).items()
+                    }
+            else:
+                self._reported = {}
+
+    def _persist_reported(self) -> None:
+        if not self._state_dir:
+            return
+        import json as _json
+        import os as _os
+        import tempfile as _tempfile
+
+        _os.makedirs(self._state_dir, exist_ok=True)
+        fd, tmp = _tempfile.mkstemp(dir=self._state_dir, prefix=".planned-")
+        with _os.fdopen(fd, "w") as fh:
+            _json.dump(self._reported, fh)
+        _os.replace(tmp, _os.path.join(self._state_dir, "planned-offsets.json"))
 
     def _segments(self) -> dict[int, list[tuple[int, str]]]:
         mgr = _build_manager(self.opts)
@@ -281,20 +331,56 @@ class TieredSegmentsStreamReader(DataSourceStreamReader):
             )
         return by_partition
 
+
     def initialOffset(self) -> dict:
-        return {str(p): 0 for p in self._segments()}
+        out = {str(p): 0 for p in self._segments()}
+        self._committed = dict(out)
+        return out
 
     def latestOffset(self) -> dict:
-        out: dict = {}
+        avail: dict = {}
         for p, segs in self._segments().items():
             # the last segment's exclusive end is unknown from keys alone:
             # advance past its start (+1) — it is re-listed (idempotent
             # fetch) only if a later segment starts at the same offset,
             # which the key scheme forbids
-            out[str(p)] = segs[-1][0] + 1 if segs else 0
+            avail[str(p)] = segs[-1][0] + 1 if segs else 0
+        cap = self.max_segments_per_trigger
+        floor: dict[str, int] = {}
+        for d in (self._committed, self._reported):
+            for p, v in (d or {}).items():
+                floor[p] = max(int(v), floor.get(p, 0))
+        if cap is None or (self._committed is None and self._reported is None):
+            # unthrottled, or no safe base yet (see __init__ notes)
+            out = {p: max(v, floor.get(p, 0)) for p, v in avail.items()}
+        else:
+            # admit at most `cap` segments past the base, in partition
+            # order; untouched partitions stay at their base (offsets
+            # are monotonic, never behind the floor)
+            out = {p: floor.get(p, 0) for p in avail}
+            budget = cap
+            for p, segs in sorted(self._segments().items()):
+                key = str(p)
+                for s_start, _uuid in segs:
+                    if budget == 0:
+                        break
+                    if s_start >= out[key]:
+                        out[key] = s_start + 1
+                        budget -= 1
+            out = {
+                p: min(max(out[p], floor.get(p, 0)), max(avail[p], floor.get(p, 0)))
+                for p in avail
+            }
+        self._reported = {**(self._reported or {}), **out}
+        self._persist_reported()
         return out
 
     def partitions(self, start: dict, end: dict) -> list[SegmentPartition]:
+        # re-sync the throttle base with the authoritative checkpoint
+        merged = dict(self._committed or {})
+        for p, v in start.items():
+            merged[p] = max(int(v), merged.get(p, 0))
+        self._committed = merged
         out: list[SegmentPartition] = []
         for p, segs in self._segments().items():
             lo = int(start.get(str(p), 0))
@@ -313,7 +399,10 @@ class TieredSegmentsStreamReader(DataSourceStreamReader):
         return self._batch_reader.read(partition)
 
     def commit(self, end: dict) -> None:
-        pass
+        merged = dict(self._committed or {})
+        for p, v in end.items():
+            merged[p] = max(int(v), merged.get(p, 0))
+        self._committed = merged
 
 
 class TieredSegmentsDataSource(DataSource):
