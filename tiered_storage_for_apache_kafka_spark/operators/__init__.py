@@ -36,6 +36,7 @@ from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     graph,
     cdc,
     filtering,
+    bpe,
 )
 from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: F401
     ORACLES,
@@ -198,6 +199,7 @@ _PROMOTE = [
     "iceberg_scan_pruned",
     "iceberg_puffin_stats",
     "quality_classifier_trained",
+    "bpe_train_merges",
     "dedup_lines_newline",
     # (b) logic changed this round (bigram size guard):
     "quality_classifier_score",
