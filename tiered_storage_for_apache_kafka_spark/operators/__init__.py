@@ -200,6 +200,7 @@ _PROMOTE = [
     "iceberg_puffin_stats",
     "quality_classifier_trained",
     "bpe_train_merges",
+    "bpe_encode_token_count",
     "dedup_lines_newline",
     # (b) logic changed this round (bigram size guard):
     "quality_classifier_score",

@@ -146,7 +146,6 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cache()
         merges = []
         for rank in range(1, BPE_MERGES + 1):
-            syms = F.split("seq", " ")
             pairs = (
                 vocab.select(
                     F.explode(
@@ -183,4 +182,75 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_cache_put(_BPE_CACHE, key, merges)
     return spark.createDataFrame(
         merges, "merge_rank INT, pair STRING, merged STRING, cnt BIGINT"
+    )
+
+
+def _encode_oracle() -> str:
+    """Replay training (same CTEs), then apply the learned merges in
+    rank order to every document word and report per-doc subword
+    stats."""
+    base = _bpe_oracle()
+    # strip the final UNION-ALL select: keep the WITH chain only
+    cut = base.index("\nSELECT 1 AS merge_rank")
+    with_chain = base[:cut]
+    seq = _seq_sql("tok")
+    for k in range(1, BPE_MERGES + 1):
+        seq = _apply_merge_sql(
+            f"({seq})", f"(SELECT pair FROM b{k})",
+            f"(SELECT replace(pair, ' ', '') FROM b{k})",
+        )
+    return (
+        with_chain
+        + rf"""
+, doc_words AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), encoded AS MATERIALIZED (
+  SELECT doc_id, len(string_split({seq}, ' ')) AS n_sub
+  FROM doc_words WHERE tok <> ''
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+FROM encoded
+GROUP BY doc_id
+"""
+    )
+
+
+@query("bpe_encode_token_count", oracle=_encode_oracle())
+def bpe_encode_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING side of the trained tokenizer: apply the learned merge
+    list (rank order) to every document word and report per-doc subword
+    counts — the token accounting a training-data pipeline runs with its
+    real tokenizer (sequence packing budgets, mixture weighting by
+    tokens, cost estimates). The merge table is driver-held model state
+    (8 rows — the broadcast-dim pattern); application is one nested JVM
+    string expression per word, no UDF, one doc-keyed agg. The oracle
+    retrains AND re-applies in SQL; equal hashes prove train+serve
+    agree end to end."""
+    from tiered_storage_for_apache_kafka_spark.operators.dedup import (
+        tokens_cached,
+    )
+
+    # ensure the merge table is trained (and cached) for this corpus
+    bpe_train_merges(spark, sf_dir)
+    merges = _BPE_CACHE[session_cache_key(spark, sf_dir)]
+
+    seq = _seq_expr("tok")
+    for _rank, pair, merged, _cnt in merges:
+        lp, lm = pair.replace("'", "''"), merged.replace("'", "''")
+        seq = _apply_merge_sql(f"({seq})", f"'{lp}'", f"'{lm}'")
+
+    words = (
+        tokens_cached(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    encoded = words.select(
+        "doc_id", F.size(F.split(F.expr(seq), " ")).alias("n_sub")
+    )
+    return encoded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_sub").cast("bigint").alias("n_subwords"),
     )
