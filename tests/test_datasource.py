@@ -234,3 +234,89 @@ def test_stream_reader_throttle_restart_safe(spark, tmp_path):
     drain()
     assert sum(r for _s, r in batches) == 600  # only the delta, no dupes
     assert all(s <= 2 for s, _r in batches if _r > 0), batches
+
+
+def test_write_path_roundtrip(spark, tmp_path):
+    """df.write.format('tiered_segments') tiers records through the full
+    copy pipeline; reading the same store back through the source
+    returns exactly the written records."""
+    root = str(tmp_path / "written-store")
+    register(spark)
+    df = (
+        spark.range(1000)
+        .selectExpr(
+            "CAST(id % 4 AS INT) AS partition",
+            "id AS offset",
+            "id * 1000 AS timestamp_us",
+            "CAST(CONCAT('k', id % 7) AS BINARY) AS key",
+            "CAST(CONCAT('v', id) AS BINARY) AS value",
+        )
+        .repartition(4, "partition")
+        .sortWithinPartitions("offset")
+    )
+    (
+        df.write.format("tiered_segments")
+        .option("root", root)
+        .option("records_per_segment", "100")
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("tiered_segments").option("root", root).load()
+    )
+    assert back.count() == 1000
+    got = {
+        (r.partition, r.offset, r.timestamp_us, bytes(r.key), bytes(r.value))
+        for r in back.collect()
+    }
+    want = {
+        (i % 4, i, i * 1000, f"k{i % 7}".encode(), f"v{i}".encode())
+        for i in range(1000)
+    }
+    assert got == want
+    # segment cutting honored: 1000 rows / 4 partitions / 100-record segs
+    segs = {r.segment_uuid for r in back.select("segment_uuid").distinct().collect()}
+    assert len(segs) == 12  # ceil(250/100)=3 per partition x 4
+
+
+def test_write_path_validation_and_abort(spark, tmp_path):
+    import pytest as _pytest
+
+    from tiered_storage_for_apache_kafka_spark.sources.datasource import (
+        SegmentsCommitMessage,
+        TieredSegmentsWriter,
+        _build_manager,
+    )
+
+    root = str(tmp_path / "abort-store")
+    register(spark)
+    good = spark.range(10).selectExpr(
+        "CAST(0 AS INT) AS partition", "id AS offset",
+        "id AS timestamp_us", "CAST(NULL AS BINARY) AS key",
+        "CAST('x' AS BINARY) AS value",
+    )
+    # overwrite rejected (append-only log)
+    with _pytest.raises(Exception, match="append-only"):
+        good.write.format("tiered_segments").option("root", root).mode(
+            "overwrite"
+        ).save()
+    # missing columns rejected at planning time
+    with _pytest.raises(Exception, match="missing"):
+        spark.range(5).selectExpr("id AS offset").write.format(
+            "tiered_segments"
+        ).option("root", root).mode("append").save()
+
+    # abort deletes everything a completed task uploaded
+    good.write.format("tiered_segments").option("root", root).mode("append").save()
+    mgr = _build_manager({"root": root})
+    keys_before = mgr.backend.list_keys("")
+    assert keys_before
+    # simulate the driver aborting with the manifests of that write
+    back = spark.read.format("tiered_segments").option("root", root).load()
+    uuids = {r.segment_uuid for r in back.collect()}
+    writer = TieredSegmentsWriter({"root": root}, good.schema, False)
+    # reconstruct object keys from the store listing
+    manifests = [{"object_keys": {i: k for i, k in enumerate(keys_before)}}]
+    writer.abort([SegmentsCommitMessage(manifests)])
+    assert mgr.backend.list_keys("") == []
+    assert uuids  # the write had really happened before the abort

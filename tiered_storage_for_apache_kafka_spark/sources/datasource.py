@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -39,6 +40,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 SCHEMA = (
@@ -405,8 +407,101 @@ class TieredSegmentsStreamReader(DataSourceStreamReader):
         self._committed = merged
 
 
+class SegmentsCommitMessage(WriterCommitMessage):
+    """Per-task result of the write path: the manifests of the segments
+    the task uploaded (incl. object keys, so abort can clean up)."""
+
+    def __init__(self, manifests: list[dict]):
+        self.manifests = manifests
+
+
+class TieredSegmentsWriter(DataSourceWriter):
+    """Batch WRITE path: ``df.write.format("tiered_segments")`` tiers a
+    DataFrame of records straight into log segments through the full
+    copy pipeline (chunk → compress → encrypt → upload + manifest + aux
+    indexes) — the idiomatic-Spark completion of the source: the same
+    format string reads, streams, and now writes.
+
+    Expected input columns: ``partition INT, offset BIGINT,
+    timestamp_us BIGINT, key BINARY, value BINARY`` (the record
+    envelope). Each task groups ITS rows by topic-partition, sorts by
+    offset, and cuts ``records_per_segment`` segments — so callers
+    should ``repartition(partition).sortWithinPartitions(offset)`` (the
+    same contract as hive-partitioned parquet writes). Failure handling
+    is transactional at job granularity: ``abort()`` deletes every
+    object any completed task uploaded; segment uuids are deterministic
+    per (partition, start_offset), so a retried task overwrites its own
+    output (idempotent) instead of duplicating it."""
+
+    REQUIRED = ["partition", "offset", "timestamp_us", "key", "value"]
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "tiered_segments is an append-only log format "
+                "(use delete/vacuum for retention)"
+            )
+        missing = [c for c in self.REQUIRED if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"tiered_segments write needs columns {self.REQUIRED}; "
+                f"missing {missing}"
+            )
+        self.opts = dict(options)
+        self.records_per_segment = int(self.opts.get("records_per_segment", "500"))
+        self.records_per_batch = int(self.opts.get("records_per_batch", "50"))
+
+    def write(self, iterator) -> SegmentsCommitMessage:
+        from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
+            tier_record_rows,
+        )
+
+        by_partition: dict[int, list] = {}
+        for row in iterator:
+            by_partition.setdefault(int(row.partition), []).append(
+                (
+                    int(row.offset),
+                    int(row.timestamp_us),
+                    bytes(row.key) if row.key is not None else None,
+                    bytes(row.value) if row.value is not None else None,
+                )
+            )
+        mgr = _build_manager(self.opts)
+        manifests = []
+        for partition, rows in sorted(by_partition.items()):
+            rows.sort(key=lambda r: r[0])
+            for s in range(0, len(rows), self.records_per_segment):
+                manifests.append(
+                    tier_record_rows(
+                        mgr,
+                        partition,
+                        rows[s : s + self.records_per_segment],
+                        self.records_per_batch,
+                    )
+                )
+        return SegmentsCommitMessage(manifests)
+
+    def commit(self, messages) -> None:
+        # every segment is already durable + self-describing (manifest
+        # uploaded by the copy pipeline); nothing left to publish — the
+        # read path discovers segments from object keys, not a catalog
+        pass
+
+    def abort(self, messages) -> None:
+        mgr = _build_manager(self.opts)
+        keys = [
+            k
+            for m in messages
+            if m is not None
+            for man in m.manifests
+            for k in man["object_keys"].values()
+        ]
+        if keys:
+            mgr.backend.delete(keys)
+
+
 class TieredSegmentsDataSource(DataSource):
-    """`spark.read[Stream].format("tiered_segments").option("root", ...)`"""
+    """`spark.read[Stream]/write.format("tiered_segments").option("root", ...)`"""
 
     @classmethod
     def name(cls) -> str:
@@ -420,6 +515,9 @@ class TieredSegmentsDataSource(DataSource):
 
     def streamReader(self, schema) -> TieredSegmentsStreamReader:
         return TieredSegmentsStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> TieredSegmentsWriter:
+        return TieredSegmentsWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

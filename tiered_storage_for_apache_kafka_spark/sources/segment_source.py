@@ -151,54 +151,18 @@ def tier_events_table(
         mgr = _build_manager(conf)
         seg = pdf.sort_values("offset").reset_index(drop=True)
         partition = int(seg["partition"].iloc[0])
-        blob = bytearray()
-        batch_positions: list[tuple[int, int]] = []
-        for b_start in range(0, len(seg), records_per_batch):
-            batch = seg.iloc[b_start : b_start + records_per_batch]
-            batch_positions.append((int(batch["offset"].iloc[0]), len(blob)))
-            blob += encode_batch(
-                [
-                    Record(
-                        int(r.offset),
-                        int(r.timestamp_us),
-                        bytes(r.key) if r.key is not None else None,
-                        bytes(r.value) if r.value is not None else None,
-                    )
-                    for r in batch.itertuples()
-                ]
+        rows = [
+            (
+                int(r.offset),
+                int(r.timestamp_us),
+                bytes(r.key) if r.key is not None else None,
+                bytes(r.value) if r.value is not None else None,
             )
-        start_offset = int(seg["offset"].iloc[0])
-        end_offset = int(seg["offset"].iloc[-1])
-        uuid = f"seg-{partition}-{start_offset:020d}"
-        meta = SegmentMetadata(
-            TOPIC, TOPIC_ID, partition, start_offset, end_offset, uuid
-        )
-        indexes = {
-            # Kafka-style batch-granular offset index: (base_offset,
-            # byte_position) per record batch (`OffsetIndex` analog) —
-            # the read path uses it to map an offset window to a byte
-            # window so boundary segments fetch chunks, not whole
-            # segments (reference planning `FetchChunkEnumeration.java:
-            # 54-92` fed by the offset index, `RemoteLogManager` lookup).
-            "offset": struct_offset_index(batch_positions),
-            "timestamp": struct_offsets(seg["timestamp_us"].tolist()),
-            "producerSnapshot": b"",
-            "leaderEpoch": b"",
-        }
-        custom = mgr.copy_log_segment_data(meta, SegmentData(bytes(blob), indexes))
-        return pd.DataFrame(
-            [
-                {
-                    "partition": partition,
-                    "start_offset": start_offset,
-                    "end_offset": end_offset,
-                    "segment_uuid": uuid,
-                    "n_records": len(seg),
-                    "segment_size": len(blob),
-                    "remote_size": custom["remote_size"],
-                }
-            ]
-        )
+            for r in seg.itertuples()
+        ]
+        manifest = tier_record_rows(mgr, partition, rows, records_per_batch)
+        manifest.pop("object_keys")  # not part of the manifests schema
+        return pd.DataFrame([manifest])
 
     manifests = assigned.groupBy("partition", "segment_no").applyInPandas(
         tier_segment,
@@ -209,6 +173,55 @@ def tier_events_table(
         ),
     )
     return manifests
+
+
+def tier_record_rows(
+    mgr: TieredStorageManager,
+    partition: int,
+    rows: list[tuple[int, int, bytes | None, bytes | None]],
+    records_per_batch: int = 50,
+) -> dict:
+    """Tier ONE segment's records (already sorted by offset): wire-encode
+    into record batches, build the aux indexes (incl. the batch-granular
+    offset index the range-planned read path uses), upload through the
+    full copy pipeline. Shared by the applyInPandas tiering stage and
+    the `tiered_segments` DataSource write path. Returns the manifest
+    row dict."""
+    blob = bytearray()
+    batch_positions: list[tuple[int, int]] = []
+    for b_start in range(0, len(rows), records_per_batch):
+        batch = rows[b_start : b_start + records_per_batch]
+        batch_positions.append((batch[0][0], len(blob)))
+        blob += encode_batch(
+            [Record(o, ts, k, v) for o, ts, k, v in batch]
+        )
+    start_offset = rows[0][0]
+    end_offset = rows[-1][0]
+    uuid = f"seg-{partition}-{start_offset:020d}"
+    meta = SegmentMetadata(TOPIC, TOPIC_ID, partition, start_offset, end_offset, uuid)
+    indexes = {
+        # Kafka-style batch-granular offset index: (base_offset,
+        # byte_position) per record batch (`OffsetIndex` analog) — the
+        # read path uses it to map an offset window to a byte window so
+        # boundary segments fetch chunks, not whole segments (reference
+        # planning `FetchChunkEnumeration.java:54-92` fed by the offset
+        # index, `RemoteLogManager` lookup).
+        "offset": struct_offset_index(batch_positions),
+        "timestamp": struct_offsets([ts for _o, ts, _k, _v in rows]),
+        "producerSnapshot": b"",
+        "leaderEpoch": b"",
+    }
+    custom = mgr.copy_log_segment_data(meta, SegmentData(bytes(blob), indexes))
+    return {
+        "partition": partition,
+        "start_offset": start_offset,
+        "end_offset": end_offset,
+        "segment_uuid": uuid,
+        "n_records": len(rows),
+        "segment_size": len(blob),
+        "remote_size": custom["remote_size"],
+        "object_keys": custom["object_keys"],
+    }
 
 
 def struct_offsets(values: list[int]) -> bytes:
