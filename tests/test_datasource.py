@@ -306,17 +306,21 @@ def test_write_path_validation_and_abort(spark, tmp_path):
             "tiered_segments"
         ).option("root", root).mode("append").save()
 
-    # abort deletes everything a completed task uploaded
-    good.write.format("tiered_segments").option("root", root).mode("append").save()
-    mgr = _build_manager({"root": root})
-    keys_before = mgr.backend.list_keys("")
-    assert keys_before
-    # simulate the driver aborting with the manifests of that write
-    back = spark.read.format("tiered_segments").option("root", root).load()
-    uuids = {r.segment_uuid for r in back.collect()}
+    # abort deletes every upload — including those of a task that died
+    # BEFORE returning its commit message (found via staging markers)
     writer = TieredSegmentsWriter({"root": root}, good.schema, False)
-    # reconstruct object keys from the store listing
-    manifests = [{"object_keys": {i: k for i, k in enumerate(keys_before)}}]
-    writer.abort([SegmentsCommitMessage(manifests)])
+    msg = writer.write(iter(good.collect()))
+    mgr = _build_manager({"root": root})
+    assert mgr.backend.list_keys("")  # segments + staging marker landed
+    assert mgr.backend.list_keys(writer._staging_prefix())
+    # pass NO commit messages: simulates the failed-task case
+    writer.abort([])
     assert mgr.backend.list_keys("") == []
-    assert uuids  # the write had really happened before the abort
+
+    # commit drops the markers but keeps the segments
+    writer2 = TieredSegmentsWriter({"root": root}, good.schema, False)
+    msg2 = writer2.write(iter(good.collect()))
+    writer2.commit([msg2])
+    assert mgr.backend.list_keys(writer2._staging_prefix()) == []
+    remaining = mgr.backend.list_keys("")
+    assert remaining and all(not k.startswith("_staging/") for k in remaining)

@@ -149,10 +149,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs = (
                 vocab.select(
                     F.explode(
+                        # size guard: a fully-merged single-symbol word
+                        # makes sequence(1, size-1) DESCEND to [1, 0] —
+                        # INVALID_ARRAY_INDEX under ANSI mode (same
+                        # hazard as _hashed_features' bigrams)
                         F.expr(
+                            "CASE WHEN size(split(seq, ' ')) >= 2 THEN "
                             "transform(sequence(1, size(split(seq, ' ')) - 1), "
                             "i -> concat(split(seq, ' ')[i - 1], ' ', "
-                            "split(seq, ' ')[i]))"
+                            "split(seq, ' ')[i])) "
+                            "ELSE CAST(array() AS array<string>) END"
                         )
                     ).alias("pair"),
                     "f",

@@ -340,8 +340,12 @@ class TieredSegmentsStreamReader(DataSourceStreamReader):
         return out
 
     def latestOffset(self) -> dict:
+        # ONE store listing per trigger (a second listing could surface
+        # a partition the first one missed, and on S3 each listing is a
+        # full prefix pagination)
+        segments = self._segments()
         avail: dict = {}
-        for p, segs in self._segments().items():
+        for p, segs in segments.items():
             # the last segment's exclusive end is unknown from keys alone:
             # advance past its start (+1) — it is re-listed (idempotent
             # fetch) only if a later segment starts at the same offset,
@@ -361,7 +365,7 @@ class TieredSegmentsStreamReader(DataSourceStreamReader):
             # are monotonic, never behind the floor)
             out = {p: floor.get(p, 0) for p in avail}
             budget = cap
-            for p, segs in sorted(self._segments().items()):
+            for p, segs in sorted(segments.items()):
                 key = str(p)
                 for s_start, _uuid in segs:
                     if budget == 0:
@@ -427,15 +431,24 @@ class TieredSegmentsWriter(DataSourceWriter):
     envelope). Each task groups ITS rows by topic-partition, sorts by
     offset, and cuts ``records_per_segment`` segments — so callers
     should ``repartition(partition).sortWithinPartitions(offset)`` (the
-    same contract as hive-partitioned parquet writes). Failure handling
-    is transactional at job granularity: ``abort()`` deletes every
-    object any completed task uploaded; segment uuids are deterministic
-    per (partition, start_offset), so a retried task overwrites its own
-    output (idempotent) instead of duplicating it."""
+    same contract as hive-partitioned parquet writes).
+
+    Failure handling: every segment a task uploads is also recorded
+    under a per-job staging marker (``_staging/<job>/<segment-uuid>``)
+    the moment it lands, so ``abort()`` can delete the uploads of tasks
+    that FAILED midway, not just the completed tasks whose commit
+    messages Spark hands back; ``commit()`` removes the markers.
+    Segment uuids are deterministic per (partition, start_offset), so a
+    retried task overwrites its own output (idempotent) instead of
+    duplicating it. Visibility is per-segment like the reference's
+    broker copy path (a reader can see a segment before the writing job
+    commits); cleanup is job-level."""
 
     REQUIRED = ["partition", "offset", "timestamp_us", "key", "value"]
 
     def __init__(self, options: dict, schema, overwrite: bool):
+        import uuid as _uuid
+
         if overwrite:
             raise ValueError(
                 "tiered_segments is an append-only log format "
@@ -450,8 +463,15 @@ class TieredSegmentsWriter(DataSourceWriter):
         self.opts = dict(options)
         self.records_per_segment = int(self.opts.get("records_per_segment", "500"))
         self.records_per_batch = int(self.opts.get("records_per_batch", "50"))
+        # driver-generated, pickled to every task: the job's staging id
+        self.job_token = _uuid.uuid4().hex
+
+    def _staging_prefix(self) -> str:
+        return f"_staging/{self.job_token}/"
 
     def write(self, iterator) -> SegmentsCommitMessage:
+        import json as _json
+
         from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
             tier_record_rows,
         )
@@ -471,33 +491,52 @@ class TieredSegmentsWriter(DataSourceWriter):
         for partition, rows in sorted(by_partition.items()):
             rows.sort(key=lambda r: r[0])
             for s in range(0, len(rows), self.records_per_segment):
-                manifests.append(
-                    tier_record_rows(
-                        mgr,
-                        partition,
-                        rows[s : s + self.records_per_segment],
-                        self.records_per_batch,
-                    )
+                man = tier_record_rows(
+                    mgr,
+                    partition,
+                    rows[s : s + self.records_per_segment],
+                    self.records_per_batch,
                 )
+                # marker lands right after the segment: abort can find
+                # this upload even if the task dies on its NEXT segment
+                mgr.backend.upload(
+                    f"{self._staging_prefix()}{man['segment_uuid']}",
+                    _json.dumps(list(man["object_keys"].values())).encode(),
+                )
+                manifests.append(man)
         return SegmentsCommitMessage(manifests)
 
     def commit(self, messages) -> None:
-        # every segment is already durable + self-describing (manifest
-        # uploaded by the copy pipeline); nothing left to publish — the
-        # read path discovers segments from object keys, not a catalog
-        pass
+        # segments are already durable + self-describing (manifest
+        # uploaded by the copy pipeline); publishing = dropping the
+        # staging markers
+        mgr = _build_manager(self.opts)
+        markers = mgr.backend.list_keys(self._staging_prefix())
+        if markers:
+            mgr.backend.delete(markers)
 
     def abort(self, messages) -> None:
+        import json as _json
+
         mgr = _build_manager(self.opts)
-        keys = [
-            k
-            for m in messages
-            if m is not None
-            for man in m.manifests
-            for k in man["object_keys"].values()
-        ]
+        keys: set[str] = set()
+        # staging markers cover EVERY upload, including those of tasks
+        # that failed before returning a commit message
+        markers = mgr.backend.list_keys(self._staging_prefix())
+        for marker in markers:
+            try:
+                with mgr.backend.fetch(marker) as f:
+                    keys.update(_json.loads(f.read().decode()))
+            except Exception:
+                continue
+        for m in messages or []:
+            if m is not None:
+                for man in m.manifests:
+                    keys.update(man["object_keys"].values())
         if keys:
-            mgr.backend.delete(keys)
+            mgr.backend.delete(sorted(keys))
+        if markers:
+            mgr.backend.delete(markers)
 
 
 class TieredSegmentsDataSource(DataSource):

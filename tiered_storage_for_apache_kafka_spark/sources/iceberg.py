@@ -864,20 +864,23 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, now_ms: int | None = No
             new_stats.append(st)
         else:
             removed.append(st["statistics-path"])
-    for path in removed:
-        try:
-            os.remove(path)
-        except FileNotFoundError:
-            pass
 
     now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    meta_dir = os.path.join(table_dir, "metadata")
     new_meta = dict(meta)
-    new_meta["snapshots"] = keep
     new_meta["statistics"] = new_stats
     new_meta["snapshot-log"] = [
         e for e in meta["snapshot-log"] if e["snapshot-id"] in keep_ids
     ]
     new_meta["last-updated-ms"] = now_ms
+    # the superseded metadata version joins metadata-log (same chain
+    # maintenance as commit_append — external history walkers rely on it)
+    new_meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+        }
+    ]
     # oldest surviving snapshot loses its parent pointer if the parent
     # was expired (spec: parent-snapshot-id may reference a missing
     # snapshot only transiently; drop it for cleanliness)
@@ -889,9 +892,18 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, now_ms: int | None = No
         )
         for s in keep
     ]
-    meta_dir = os.path.join(table_dir, "metadata")
+    # COMMIT FIRST, clean up after: the new metadata version + hint are
+    # durable before any file is removed, so a crash mid-delete leaves a
+    # fully consistent table plus some not-yet-collected orphans (the
+    # safe failure mode; the reverse order wedges the current metadata
+    # on already-deleted manifest lists)
     with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as f:
         json.dump(new_meta, f, indent=2)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
         f.write(str(version + 1))
+    for path in removed:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
     return new_meta
