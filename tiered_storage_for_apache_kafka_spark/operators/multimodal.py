@@ -721,10 +721,15 @@ def encode_png(pixels: "np.ndarray", filters: "list[int] | None" = None) -> byte
         elif ft == 4:
             left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
             ul = np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]])
-            pred = np.array(
-                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, ul)],
-                dtype=np.int16,
-            )
+            # vectorized Paeth predictor (encoder side uses RAW
+            # neighbors, so no sequential dependency)
+            pp = left + prior - ul
+            pa = np.abs(pp - left)
+            pb = np.abs(pp - prior)
+            pc = np.abs(pp - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            ).astype(np.int16)
             filt = cur - pred
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
@@ -810,18 +815,28 @@ def decode_png(blob: bytes) -> "np.ndarray":
             rec = line
         elif ft == 2:
             rec = (line + prior) % 256
-        elif ft in (1, 3, 4):
-            rec = np.zeros(stride, dtype=np.int32)
+        elif ft == 1:
+            # Sub unfilter vectorized: within a channel, recon is the
+            # running sum of filtered bytes (mod 256) — one cumsum per
+            # channel instead of a per-byte Python loop
+            rec = (
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64) % 256
+            ).reshape(-1)
+        elif ft in (3, 4):
+            # Average/Paeth depend on RECONSTRUCTED left neighbors —
+            # inherently sequential; plain-list indexing is ~10x numpy
+            # scalar indexing here
+            ln, pr = line.tolist(), prior.tolist()
+            out_row = [0] * stride
             for x in range(stride):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                if ft == 1:
-                    pred = left
-                elif ft == 3:
-                    pred = (left + int(prior[x])) // 2
+                left = out_row[x - bpp] if x >= bpp else 0
+                if ft == 3:
+                    pred = (left + pr[x]) // 2
                 else:
-                    ul = int(prior[x - bpp]) if x >= bpp else 0
-                    pred = _paeth(left, int(prior[x]), ul)
-                rec[x] = (int(line[x]) + pred) % 256
+                    ul = pr[x - bpp] if x >= bpp else 0
+                    pred = _paeth(left, pr[x], ul)
+                out_row[x] = (ln[x] + pred) % 256
+            rec = np.array(out_row, dtype=np.int32)
         else:
             raise ValueError(f"invalid PNG filter type {ft} on row {r}")
         recon[r] = rec.astype(np.uint8)
