@@ -157,3 +157,84 @@ def test_prefetch_warms_cache(tmp_path):
             break
         time.sleep(0.05)
     assert want <= set(cache._data.keys())
+
+
+class TestCustomMetadataSerde:
+    """W13 broker-facing form: Kafka-protocol tagged fields
+    (`SegmentCustomMetadataField.java:30-64` tag contract,
+    `SegmentCustomMetadataSerde.java` wire format)."""
+
+    def test_roundtrip_and_known_vectors(self):
+        from tiered_storage_for_apache_kafka_spark.metadata_serde import (
+            OBJECT_KEY,
+            OBJECT_PREFIX,
+            REMOTE_SIZE,
+            deserialize_custom_metadata,
+            serialize_custom_metadata,
+        )
+
+        fields = {REMOTE_SIZE: 126_000, OBJECT_PREFIX: "pfx/", OBJECT_KEY: "t-x/0/k.log"}
+        data = serialize_custom_metadata(fields)
+        assert deserialize_custom_metadata(data) == fields
+        # empty map -> empty bytes (reference serialize contract)
+        assert serialize_custom_metadata({}) == b""
+        assert deserialize_custom_metadata(b"") == {}
+        # hand-checked vector: 1 field, tag 0, VARLONG zigzag(5) = 10
+        one = serialize_custom_metadata({REMOTE_SIZE: 5})
+        assert one == bytes([1, 0, 1, 10])
+        # compact string framing: uvarint(len+1) + utf8
+        s = serialize_custom_metadata({OBJECT_PREFIX: "ab"})
+        assert s == bytes([1, 1, 3, 3]) + b"ab"
+
+    def test_rejections_and_forward_compat(self):
+        import pytest
+
+        from tiered_storage_for_apache_kafka_spark.metadata_serde import (
+            REMOTE_SIZE,
+            deserialize_custom_metadata,
+            serialize_custom_metadata,
+        )
+
+        with pytest.raises(ValueError, match="unknown"):
+            serialize_custom_metadata({9: "x"})
+        good = serialize_custom_metadata({REMOTE_SIZE: 7})
+        with pytest.raises(ValueError, match="truncated"):
+            deserialize_custom_metadata(good[:-1])
+        with pytest.raises(ValueError, match="trailing"):
+            deserialize_custom_metadata(good + b"\x00")
+        # an unknown tag decodes to raw bytes (KIP-482 forward compat)
+        unknown = bytes([1, 7, 2]) + b"\xaa\xbb"
+        assert deserialize_custom_metadata(unknown) == {7: b"\xaa\xbb"}
+
+    def test_copy_returns_broker_wire_bytes(self, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.api import (
+            SegmentData,
+            SegmentMetadata,
+            TieredStorageManager,
+        )
+        from tiered_storage_for_apache_kafka_spark.metadata_serde import (
+            OBJECT_KEY,
+            OBJECT_PREFIX,
+            REMOTE_SIZE,
+            deserialize_custom_metadata,
+        )
+        from tiered_storage_for_apache_kafka_spark.storage.filesystem import (
+            FileSystemStorage,
+        )
+
+        mgr = TieredStorageManager(FileSystemStorage(tmp_path), chunk_size=64)
+        meta = SegmentMetadata(
+            topic="t", topic_id="tid", partition=0, start_offset=0,
+            end_offset=9, segment_uuid="u-cm",
+        )
+        custom = mgr.copy_log_segment_data(
+            meta,
+            SegmentData(b"a" * 100, {
+                "offset": b"o", "timestamp": b"t",
+                "producerSnapshot": b"s", "leaderEpoch": b"e",
+            }),
+        )
+        decoded = deserialize_custom_metadata(custom["custom_metadata"])
+        assert decoded[REMOTE_SIZE] == custom["remote_size"]
+        assert decoded[OBJECT_PREFIX] == ""
+        assert decoded[OBJECT_KEY].endswith(".log")

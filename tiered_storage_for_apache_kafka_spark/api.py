@@ -252,10 +252,27 @@ class TieredStorageManager:
             self.metrics.inc("upload.bytes", len(manifest_bytes), object_type="manifest")
             uploaded.append(keys[Suffix.MANIFEST])
 
+            from tiered_storage_for_apache_kafka_spark.metadata_serde import (
+                OBJECT_KEY,
+                OBJECT_PREFIX,
+                REMOTE_SIZE,
+                serialize_custom_metadata,
+            )
+
+            remote_size = len(result.data) + len(blob) + len(manifest_bytes)
             return {
-                "remote_size": len(result.data) + len(blob) + len(manifest_bytes),
+                "remote_size": remote_size,
                 "object_prefix": self.keys.prefix,
                 "object_keys": {s.value: k for s, k in keys.items()},
+                # broker-facing form: Kafka-protocol tagged fields (W13,
+                # `SegmentCustomMetadataSerde.java` wire compatibility)
+                "custom_metadata": serialize_custom_metadata(
+                    {
+                        REMOTE_SIZE: remote_size,
+                        OBJECT_PREFIX: self.keys.prefix,
+                        OBJECT_KEY: keys[Suffix.LOG],
+                    }
+                ),
             }
         except BaseException:
             # atomic upload-or-cleanup (W12)
