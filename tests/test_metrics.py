@@ -58,3 +58,40 @@ def test_lifecycle_emits_reference_metric_groups(tmp_path):
     assert snap["segment.delete[topic=t]"] == 1
     # failure counter only on failure paths
     assert "segment.copy.failures" not in snap
+
+
+def test_chunk_cache_stats_bridge_into_engine_metrics(tmp_path):
+    """CaffeineStatsCounter parity: a manager-wired cache reports its
+    hits/misses through the engine metrics plane."""
+    from tiered_storage_for_apache_kafka_spark.api import (
+        SegmentData,
+        SegmentMetadata,
+        TieredStorageManager,
+    )
+    from tiered_storage_for_apache_kafka_spark.fetch.cache import MemoryChunkCache
+    from tiered_storage_for_apache_kafka_spark.storage.filesystem import (
+        FileSystemStorage,
+    )
+
+    cache = MemoryChunkCache()
+    mgr = TieredStorageManager(
+        FileSystemStorage(tmp_path), chunk_size=64, cache=cache
+    )
+    meta = SegmentMetadata(
+        topic="t", topic_id="tid", partition=0, start_offset=0,
+        end_offset=9, segment_uuid="u-metrics",
+    )
+    mgr.copy_log_segment_data(
+        meta,
+        SegmentData(b"z" * 300, {
+            "offset": b"o", "timestamp": b"t",
+            "producerSnapshot": b"s", "leaderEpoch": b"e",
+        }),
+    )
+    b"".join(mgr.fetch_log_segment(meta, 0))  # cold: misses
+    b"".join(mgr.fetch_log_segment(meta, 0))  # warm: hits
+    snap = mgr.metrics.snapshot()
+    assert snap.get("chunk_cache.misses", 0) >= 1
+    assert snap.get("chunk_cache.hits", 0) >= 1
+    assert snap["chunk_cache.hits"] == cache.hits
+    assert snap["chunk_cache.misses"] == cache.misses

@@ -111,6 +111,10 @@ class TieredStorageManager:
         from tiered_storage_for_apache_kafka_spark.metrics import Metrics
 
         self.metrics = Metrics()
+        if cache is not None and getattr(cache, "metrics", None) is None:
+            # bridge cache hit/miss stats into the engine metrics
+            # (reference `metrics/CaffeineStatsCounter.java` parity)
+            cache.metrics = self.metrics
         # per-segment DEK cache (manifest holds only the wrapped DEK)
         self._dek_cache: dict[str, DataKeyAndAAD] = {}
         # bounded LRU of segment manifests (reference: caffeine-cached

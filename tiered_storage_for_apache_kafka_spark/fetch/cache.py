@@ -62,6 +62,10 @@ class ChunkCache:
         self._pool = ThreadPoolExecutor(max_workers=workers, thread_name_prefix="chunk-cache")
         self.hits = 0
         self.misses = 0
+        # optional engine-metrics sink (reference: CaffeineStatsCounter
+        # bridges cache stats into the metric groups, `metrics/
+        # CaffeineStatsCounter.java`); wired by TieredStorageManager
+        self.metrics = None
 
     # storage primitives (subclass) -------------------------------------------
     def _get(self, key: ChunkKey) -> bytes | None:
@@ -76,10 +80,14 @@ class ChunkCache:
             cached = self._get(key)
             if cached is not None:
                 self.hits += 1
+                if self.metrics is not None:
+                    self.metrics.inc("chunk_cache.hits")
                 return cached
             fut = self._inflight.get(key)
             if fut is None:
                 self.misses += 1
+                if self.metrics is not None:
+                    self.metrics.inc("chunk_cache.misses")
                 fut = Future()
                 self._inflight[key] = fut
                 owner = True
