@@ -238,3 +238,39 @@ class TestCustomMetadataSerde:
         assert decoded[REMOTE_SIZE] == custom["remote_size"]
         assert decoded[OBJECT_PREFIX] == ""
         assert decoded[OBJECT_KEY].endswith(".log")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    size=st.integers(0, 2**62),
+    prefix=st.text(max_size=30),
+    key=st.text(min_size=1, max_size=60),
+)
+def test_custom_metadata_roundtrip_property(size, prefix, key):
+    from tiered_storage_for_apache_kafka_spark.metadata_serde import (
+        OBJECT_KEY,
+        OBJECT_PREFIX,
+        REMOTE_SIZE,
+        deserialize_custom_metadata,
+        serialize_custom_metadata,
+    )
+
+    fields = {REMOTE_SIZE: size, OBJECT_PREFIX: prefix, OBJECT_KEY: key}
+    assert deserialize_custom_metadata(serialize_custom_metadata(fields)) == fields
+
+
+@settings(max_examples=60, deadline=None)
+@given(blob=st.binary(min_size=1, max_size=128))
+def test_custom_metadata_never_crashes_on_garbage(blob):
+    from tiered_storage_for_apache_kafka_spark.metadata_serde import (
+        deserialize_custom_metadata,
+    )
+
+    try:
+        deserialize_custom_metadata(blob)
+    except ValueError:
+        pass

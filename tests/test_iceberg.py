@@ -501,3 +501,43 @@ class TestMaintenance:
         after = {d["file_path"] for d in plan_scan(tdir)}
         assert after == before  # commit-1 files still planned via the
         assert len(after) > 4  # carried-forward manifest, which survived
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    recs=st.lists(
+        st.fixed_dictionaries(
+            {
+                "a": st.integers(-(2**62), 2**62),
+                "b": st.one_of(st.none(), st.text(max_size=40)),
+                "c": st.binary(max_size=64),
+                "d": st.lists(st.integers(-1000, 1000), max_size=8),
+            }
+        ),
+        max_size=12,
+    )
+)
+def test_avro_ocf_roundtrip_property(tmp_path_factory, recs):
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_avro_ocf,
+        write_avro_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long", "field-id": 1},
+            {"name": "b", "type": ["null", "string"], "field-id": 2},
+            {"name": "c", "type": "bytes", "field-id": 3},
+            {"name": "d", "type": {"type": "array", "items": "long"}, "field-id": 4},
+        ],
+    }
+    path = str(tmp_path_factory.mktemp("ocf") / "t.avro")
+    write_avro_ocf(path, schema, recs)
+    _, got, _ = read_avro_ocf(path)
+    assert got == recs
