@@ -541,3 +541,122 @@ def test_avro_ocf_roundtrip_property(tmp_path_factory, recs):
     write_avro_ocf(path, schema, recs)
     _, got, _ = read_avro_ocf(path)
     assert got == recs
+
+
+class TestStreamingIcebergCommit:
+    def _envelope_stream(self, spark, src_dir):
+        from pyspark.sql import functions as F
+
+        raw = spark.readStream.schema("id LONG").parquet(src_dir)
+        return raw.select(
+            (F.col("id") % 2).cast("int").alias("partition"),
+            F.struct(
+                (F.col("id") % 2).cast("int").alias("partition"),
+                F.col("id").alias("offset"),
+                (F.col("id") * 1000).alias("timestamp_us"),
+            ).alias("kafka"),
+            F.encode(F.col("id").cast("string"), "UTF-8").alias("value"),
+        )
+
+    def test_each_batch_is_one_snapshot_and_replay_is_exactly_once(
+        self, spark, tmp_path
+    ):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_iceberg_table,
+            read_table_metadata,
+        )
+        from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+            stream_envelope_to_iceberg,
+        )
+
+        src = str(tmp_path / "src")
+        tdir = str(tmp_path / "ice")
+        ckpt = str(tmp_path / "ck")
+        os.makedirs(tdir, exist_ok=True)
+        spark.range(0, 100).write.mode("append").parquet(src)
+
+        q = stream_envelope_to_iceberg(
+            self._envelope_stream(spark, src), tdir, ckpt
+        )
+        q.awaitTermination(120)
+        state = read_table_metadata(tdir)
+        assert len(state["metadata"]["snapshots"]) == 1
+        assert state["metadata"]["snapshots"][0]["summary"]["batch-id"] == "0"
+        assert read_iceberg_table(spark, tdir).count() == 100
+
+        # second tranche -> second snapshot, exactly the delta
+        spark.range(100, 160).write.mode("append").parquet(src)
+        q = stream_envelope_to_iceberg(
+            self._envelope_stream(spark, src), tdir, ckpt
+        )
+        q.awaitTermination(120)
+        state = read_table_metadata(tdir)
+        assert len(state["metadata"]["snapshots"]) == 2
+        assert read_iceberg_table(spark, tdir).count() == 160
+
+        # REPLAY: simulate a restart re-delivering batch 1 (checkpoint
+        # lost after commit) — the batch-id skip makes it a no-op
+        from tiered_storage_for_apache_kafka_spark.streaming import ingest as ing
+
+        batch_df = spark.read.parquet(src).where("id >= 100").selectExpr(
+            "CAST(id % 2 AS INT) AS partition",
+            "named_struct('partition', CAST(id % 2 AS INT), 'offset', id, "
+            "'timestamp_us', id * 1000) AS kafka",
+            "CAST(CAST(id AS STRING) AS BINARY) AS value",
+        )
+        # call the inner commit protocol directly with the same batch id
+        q2 = stream_envelope_to_iceberg(
+            self._envelope_stream(spark, src), tdir, str(tmp_path / "ck-lost")
+        )
+        q2.awaitTermination(120)
+        # fresh checkpoint re-delivered EVERYTHING as its batch 0 — but
+        # batch-id "0" is already committed, so nothing changed
+        state = read_table_metadata(tdir)
+        assert len(state["metadata"]["snapshots"]) == 2
+        assert read_iceberg_table(spark, tdir).count() == 160
+
+    def test_crashed_attempt_replay_leaves_no_orphans(self, spark, tmp_path):
+        """Files staged+renamed by a crashed attempt are overwritten by
+        the replay (deterministic destinations) and the explicit-file
+        commit never sweeps in unrelated on-disk files."""
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_iceberg_table,
+            read_table_metadata,
+        )
+        from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+            stream_envelope_to_iceberg,
+        )
+
+        src = str(tmp_path / "src")
+        tdir = str(tmp_path / "ice")
+        ckpt = str(tmp_path / "ck")
+        os.makedirs(os.path.join(tdir, "partition=0"), exist_ok=True)
+        spark.range(0, 40).write.mode("append").parquet(src)
+
+        # simulate a crashed first attempt: its renamed output exists
+        # at the deterministic destination, uncommitted
+        spark.range(0, 40).selectExpr(
+            "CAST(id % 2 AS INT) AS partition",
+            "named_struct('partition', CAST(id % 2 AS INT), 'offset', id, "
+            "'timestamp_us', id * 1000) AS kafka",
+            "CAST(CAST(id AS STRING) AS BINARY) AS value",
+        ).where("partition = 0").coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "pre")
+        )
+        import glob as g
+        import shutil
+
+        pre = g.glob(str(tmp_path / "pre" / "*.parquet"))[0]
+        shutil.copy(pre, os.path.join(tdir, "partition=0", "batch-00000000-0000.parquet"))
+
+        q = stream_envelope_to_iceberg(
+            self._envelope_stream(spark, src), tdir, ckpt
+        )
+        q.awaitTermination(120)
+        state = read_table_metadata(tdir)
+        assert len(state["metadata"]["snapshots"]) == 1
+        # 40 rows total: the crashed attempt's file was OVERWRITTEN, not
+        # double-committed
+        assert read_iceberg_table(spark, tdir).count() == 40

@@ -198,6 +198,7 @@ _PROMOTE = [
     "iceberg_metadata_summary",
     "iceberg_scan_pruned",
     "iceberg_puffin_stats",
+    "streaming_iceberg_commit",
     "quality_classifier_trained",
     "bpe_train_merges",
     "bpe_encode_token_count",

@@ -660,3 +660,74 @@ def iceberg_puffin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "partition INT, n_files BIGINT, n_records BIGINT, n_blobs BIGINT"
     )
+
+
+_STREAM_ICEBERG_CACHE: dict[tuple, str] = {}
+
+
+@query(
+    "streaming_iceberg_commit",
+    oracle="""
+SELECT CAST(event_id % 4 AS INT) AS partition,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       MIN(event_id) AS min_offset,
+       MAX(event_id) AS max_offset,
+       CAST(1 AS BIGINT) AS n_snapshots
+FROM events
+GROUP BY CAST(event_id % 4 AS INT)
+""",
+)
+def streaming_iceberg_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming Iceberg commits end-to-end: the events
+    stream flows through the envelope projection into
+    `streaming.ingest.stream_envelope_to_iceberg` — one Iceberg snapshot
+    per micro-batch, batch-id recorded in the snapshot summary for
+    replay skips, deterministic staged-rename destinations so a crashed
+    attempt's files are overwritten, explicit-file commits that never
+    sweep in unrelated on-disk files. The committed table is then
+    re-opened THROUGH its own metadata (`read_iceberg_table`) and
+    aggregated; the oracle recomputes per-partition counts from raw
+    `events` (one availableNow batch over the static corpus ⇒ exactly
+    one snapshot). A green hash proves the streaming commit protocol
+    delivered every record exactly once into a table any Iceberg reader
+    can open."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+        read_table_metadata,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        stream_envelope_to_iceberg,
+        stream_events,
+    )
+
+    key = _cache_key(spark, sf_dir)
+    tdir = _STREAM_ICEBERG_CACHE.get(key)
+    if tdir is None:
+        tdir = tempfile.mkdtemp(prefix="stream-iceberg-")
+        ckpt = tempfile.mkdtemp(prefix="stream-iceberg-ck-")
+        envelope = stream_events(spark, sf_dir).select(
+            (F.col("event_id") % 4).cast("int").alias("partition"),
+            F.struct(
+                (F.col("event_id") % 4).cast("int").alias("partition"),
+                F.col("event_id").alias("offset"),
+                F.unix_micros("ts").alias("timestamp_us"),
+            ).alias("kafka"),
+            F.col("event_type").cast("binary").alias("key"),
+            F.to_json(F.struct("user_id", "value", "props")).cast("binary").alias(
+                "value"
+            ),
+        )
+        q = stream_envelope_to_iceberg(envelope, tdir, ckpt)
+        q.awaitTermination(300)
+        session_cache_put(_STREAM_ICEBERG_CACHE, key, tdir)
+    n_snapshots = len(read_table_metadata(tdir)["metadata"]["snapshots"])
+    env = read_iceberg_table(spark, tdir)
+    return (
+        env.groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+            F.min("kafka.offset").alias("min_offset"),
+            F.max("kafka.offset").alias("max_offset"),
+        )
+        .withColumn("n_snapshots", F.lit(n_snapshots).cast("bigint"))
+    )

@@ -385,6 +385,8 @@ def commit_append(
     partition_col: str = "partition",
     now_ms: int | None = None,
     stats_blobs: list[tuple[str, bytes]] | None = None,
+    files: list[str] | None = None,
+    summary_extra: dict | None = None,
 ) -> dict:
     """Append-commit every not-yet-committed parquet data file under
     ``table_dir`` into the table's Iceberg metadata, creating the table
@@ -451,7 +453,21 @@ def commit_append(
         }
         version += 1
 
-    all_files = _discover_data_files(table_dir, partition_col)
+    if files is not None:
+        # EXPLICIT file list (the streaming-commit path): only these
+        # files enter the snapshot — crashed-attempt orphans on disk are
+        # never swept in (vs. the discovery mode below, which commits
+        # everything on disk not yet known to the metadata)
+        all_files = [
+            f
+            for f in _discover_data_files(table_dir, partition_col)
+            if f["file_path"] in set(files)
+        ]
+        missing = set(files) - {f["file_path"] for f in all_files}
+        if missing:
+            raise FileNotFoundError(f"explicit commit files absent: {sorted(missing)}")
+    else:
+        all_files = _discover_data_files(table_dir, partition_col)
     new_files = [f for f in all_files if f["file_path"] not in known]
     if not new_files:
         if prior is None:  # empty table: metadata without a snapshot
@@ -564,6 +580,7 @@ def commit_append(
                 added_rows
                 + sum(int(s["summary"].get("added-records", 0)) for s in base["snapshots"])
             ),
+            **{k: str(v) for k, v in (summary_extra or {}).items()},
         },
     }
     if base.get("current-snapshot-id", -1) != -1:

@@ -368,3 +368,78 @@ def stream_user_type_counts_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_envelope_to_iceberg(
+    envelope_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "iceberg_commit",
+):
+    """EXACTLY-ONCE streaming Iceberg commits: each micro-batch becomes
+    one Iceberg snapshot, and a replayed batch (checkpoint restart mid-
+    commit) commits exactly once.
+
+    The idempotency protocol (the standard foreachBatch + transaction-id
+    pattern, realized on the Iceberg metadata itself):
+
+    1. **skip check** — if any existing snapshot's summary carries this
+       ``batch-id``, the batch already committed: do nothing;
+    2. **deterministic staging** — the batch is written to a scratch dir
+       and every file is ``os.replace``d to a deterministic destination
+       ``<table>/partition=P/batch-<id>-<k>.parquet``; a replay of a
+       crashed attempt OVERWRITES the same destinations instead of
+       accumulating orphans;
+    3. **explicit-file commit** — ``commit_append(files=...)`` puts
+       exactly those destinations in the snapshot (never sweeping in
+       unrelated on-disk files), with the batch id recorded in the
+       snapshot summary for step 1.
+
+    At 100 TB the parquet write is the distributed part; steps 1 and 3
+    are O(metadata) driver work per micro-batch, the same cost profile
+    as any Iceberg streaming sink."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        read_table_metadata,
+    )
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = read_table_metadata(table_dir)
+        if state is not None:
+            for s in state["metadata"]["snapshots"]:
+                if s["summary"].get("batch-id") == str(batch_id):
+                    return  # replayed batch: already committed
+        staging = _os.path.join(table_dir, f"_staging-batch-{batch_id}")
+        _shutil.rmtree(staging, ignore_errors=True)
+        batch_df.write.mode("overwrite").partitionBy("partition").parquet(staging)
+        dests: list[str] = []
+        for src in sorted(
+            _glob.glob(_os.path.join(staging, "partition=*", "*.parquet"))
+        ):
+            part_dir = _os.path.basename(_os.path.dirname(src))
+            k = len([d for d in dests if f"/{part_dir}/" in d])
+            dest_dir = _os.path.join(table_dir, part_dir)
+            _os.makedirs(dest_dir, exist_ok=True)
+            dest = _os.path.join(dest_dir, f"batch-{batch_id:08d}-{k:04d}.parquet")
+            _os.replace(src, dest)
+            dests.append(dest)
+        _shutil.rmtree(staging, ignore_errors=True)
+        if dests:
+            commit_append(
+                table_dir,
+                batch_df.schema,
+                files=dests,
+                summary_extra={"batch-id": batch_id},
+            )
+
+    return (
+        envelope_stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
