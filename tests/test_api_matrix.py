@@ -197,6 +197,10 @@ class TestCustomMetadataSerde:
 
         with pytest.raises(ValueError, match="unknown"):
             serialize_custom_metadata({9: "x"})
+        with pytest.raises(ValueError, match="64-bit"):
+            serialize_custom_metadata({REMOTE_SIZE: 2**63})
+        with pytest.raises(ValueError, match="64-bit"):
+            serialize_custom_metadata({REMOTE_SIZE: -(2**63) - 1})
         good = serialize_custom_metadata({REMOTE_SIZE: 7})
         with pytest.raises(ValueError, match="truncated"):
             deserialize_custom_metadata(good[:-1])
@@ -246,7 +250,7 @@ from hypothesis import strategies as st
 
 @settings(max_examples=60, deadline=None)
 @given(
-    size=st.integers(0, 2**62),
+    size=st.integers(0, 2**63 - 1),
     prefix=st.text(max_size=30),
     key=st.text(min_size=1, max_size=60),
 )

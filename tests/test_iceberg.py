@@ -558,7 +558,15 @@ class TestStreamingIcebergCommit:
             F.encode(F.col("id").cast("string"), "UTF-8").alias("value"),
         )
 
-    def test_each_batch_is_one_snapshot_and_replay_is_exactly_once(
+    def _batch_df(self, spark, src, where):
+        return spark.read.parquet(src).where(where).selectExpr(
+            "CAST(id % 2 AS INT) AS partition",
+            "named_struct('partition', CAST(id % 2 AS INT), 'offset', id, "
+            "'timestamp_us', id * 1000) AS kafka",
+            "CAST(CAST(id AS STRING) AS BINARY) AS value",
+        )
+
+    def test_each_batch_is_one_snapshot_and_same_checkpoint_is_delta(
         self, spark, tmp_path
     ):
         from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
@@ -575,88 +583,106 @@ class TestStreamingIcebergCommit:
         os.makedirs(tdir, exist_ok=True)
         spark.range(0, 100).write.mode("append").parquet(src)
 
-        q = stream_envelope_to_iceberg(
-            self._envelope_stream(spark, src), tdir, ckpt
-        )
-        q.awaitTermination(120)
+        q = stream_envelope_to_iceberg(self._envelope_stream(spark, src), tdir, ckpt)
+        assert q.awaitTermination(120)
         state = read_table_metadata(tdir)
         assert len(state["metadata"]["snapshots"]) == 1
-        assert state["metadata"]["snapshots"][0]["summary"]["batch-id"] == "0"
+        summ = state["metadata"]["snapshots"][0]["summary"]
+        assert summ["batch-id"] == "0" and summ["commit-app-id"]
         assert read_iceberg_table(spark, tdir).count() == 100
 
-        # second tranche -> second snapshot, exactly the delta
+        # second tranche, SAME checkpoint -> second snapshot, exactly the
+        # delta (exactly-once under checkpoint retention)
         spark.range(100, 160).write.mode("append").parquet(src)
-        q = stream_envelope_to_iceberg(
-            self._envelope_stream(spark, src), tdir, ckpt
-        )
-        q.awaitTermination(120)
+        q = stream_envelope_to_iceberg(self._envelope_stream(spark, src), tdir, ckpt)
+        assert q.awaitTermination(120)
         state = read_table_metadata(tdir)
         assert len(state["metadata"]["snapshots"]) == 2
         assert read_iceberg_table(spark, tdir).count() == 160
 
-        # REPLAY: simulate a restart re-delivering batch 1 (checkpoint
-        # lost after commit) — the batch-id skip makes it a no-op
-        from tiered_storage_for_apache_kafka_spark.streaming import ingest as ing
-
-        batch_df = spark.read.parquet(src).where("id >= 100").selectExpr(
-            "CAST(id % 2 AS INT) AS partition",
-            "named_struct('partition', CAST(id % 2 AS INT), 'offset', id, "
-            "'timestamp_us', id * 1000) AS kafka",
-            "CAST(CAST(id AS STRING) AS BINARY) AS value",
+    def test_replay_skips_same_lineage_but_not_a_different_one(
+        self, spark, tmp_path
+    ):
+        """The skip key is (app_id, batch_id): a replayed batch of the
+        SAME lineage commits once; a different lineage's batch 0 is a
+        new transaction — duplicates on a lost checkpoint, never silent
+        loss of its extra rows (the documented semantics)."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_iceberg_table,
+            read_table_metadata,
         )
-        # call the inner commit protocol directly with the same batch id
-        q2 = stream_envelope_to_iceberg(
-            self._envelope_stream(spark, src), tdir, str(tmp_path / "ck-lost")
+        from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+            commit_envelope_batch,
         )
-        q2.awaitTermination(120)
-        # fresh checkpoint re-delivered EVERYTHING as its batch 0 — but
-        # batch-id "0" is already committed, so nothing changed
-        state = read_table_metadata(tdir)
-        assert len(state["metadata"]["snapshots"]) == 2
-        assert read_iceberg_table(spark, tdir).count() == 160
 
-    def test_crashed_attempt_replay_leaves_no_orphans(self, spark, tmp_path):
-        """Files staged+renamed by a crashed attempt are overwritten by
-        the replay (deterministic destinations) and the explicit-file
-        commit never sweeps in unrelated on-disk files."""
-        from pyspark.sql import functions as F
+        src = str(tmp_path / "src")
+        tdir = str(tmp_path / "ice")
+        os.makedirs(tdir, exist_ok=True)
+        spark.range(0, 40).write.mode("append").parquet(src)
+        batch = self._batch_df(spark, src, "id < 40")
+
+        assert commit_envelope_batch(batch, 0, tdir, app_id="ck-A") is True
+        # same (app, batch) replay: no-op
+        assert commit_envelope_batch(batch, 0, tdir, app_id="ck-A") is False
+        assert len(read_table_metadata(tdir)["metadata"]["snapshots"]) == 1
+        assert read_iceberg_table(spark, tdir).count() == 40
+        # a DIFFERENT lineage's batch 0 with extra rows is NOT swallowed
+        spark.range(40, 50).write.mode("append").parquet(src)
+        bigger = self._batch_df(spark, src, "id < 50")
+        assert commit_envelope_batch(bigger, 0, tdir, app_id="ck-B") is True
+        assert len(read_table_metadata(tdir)["metadata"]["snapshots"]) == 2
+        # duplicates (documented), but the 10 new rows are present
+        got = read_iceberg_table(spark, tdir)
+        assert got.count() == 90
+        assert got.where("kafka.offset >= 40").count() == 10
+
+    def test_crashed_attempt_higher_k_files_are_cleared(self, spark, tmp_path):
+        """A crashed attempt that produced MORE files than the replay
+        (different parallelism) leaves no uncommitted leftovers: all
+        stale destinations of the (app, batch) are deleted before the
+        rename, and discovery-mode commits skip _staging dirs."""
+        import glob as g
+        import hashlib
+        import shutil
 
         from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
             read_iceberg_table,
             read_table_metadata,
         )
         from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
-            stream_envelope_to_iceberg,
+            commit_envelope_batch,
         )
 
         src = str(tmp_path / "src")
         tdir = str(tmp_path / "ice")
-        ckpt = str(tmp_path / "ck")
         os.makedirs(os.path.join(tdir, "partition=0"), exist_ok=True)
         spark.range(0, 40).write.mode("append").parquet(src)
+        app_tag = hashlib.md5(b"ck-A").hexdigest()[:12]
 
-        # simulate a crashed first attempt: its renamed output exists
-        # at the deterministic destination, uncommitted
-        spark.range(0, 40).selectExpr(
-            "CAST(id % 2 AS INT) AS partition",
-            "named_struct('partition', CAST(id % 2 AS INT), 'offset', id, "
-            "'timestamp_us', id * 1000) AS kafka",
-            "CAST(CAST(id AS STRING) AS BINARY) AS value",
-        ).where("partition = 0").coalesce(1).write.mode("overwrite").parquet(
-            str(tmp_path / "pre")
-        )
-        import glob as g
-        import shutil
-
+        # crashed attempt's leftovers: deterministic destinations k=7..8
+        # (more files than the replay will produce) + a staging dir
+        spark.range(0, 4).selectExpr("id AS x").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "pre"))
         pre = g.glob(str(tmp_path / "pre" / "*.parquet"))[0]
-        shutil.copy(pre, os.path.join(tdir, "partition=0", "batch-00000000-0000.parquet"))
-
-        q = stream_envelope_to_iceberg(
-            self._envelope_stream(spark, src), tdir, ckpt
+        for k in (17, 18):  # beyond any plausible replay file count
+            shutil.copy(
+                pre,
+                os.path.join(
+                    tdir, "partition=0", f"batch-{app_tag}-00000000-{k:04d}.parquet"
+                ),
+            )
+        os.makedirs(
+            os.path.join(tdir, f"_staging-batch-{app_tag}-0", "partition=0"),
+            exist_ok=True,
         )
-        q.awaitTermination(120)
-        state = read_table_metadata(tdir)
-        assert len(state["metadata"]["snapshots"]) == 1
-        # 40 rows total: the crashed attempt's file was OVERWRITTEN, not
-        # double-committed
+
+        batch = self._batch_df(spark, src, "id < 40")
+        assert commit_envelope_batch(batch, 0, tdir, app_id="ck-A") is True
+        # stale higher-k files are gone; exactly the committed rows read
+        stale = g.glob(
+            os.path.join(tdir, "partition=*", f"batch-{app_tag}-00000000-001[78]*")
+        )
+        assert stale == []
         assert read_iceberg_table(spark, tdir).count() == 40
+        assert len(read_table_metadata(tdir)["metadata"]["snapshots"]) == 1

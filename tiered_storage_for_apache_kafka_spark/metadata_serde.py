@@ -57,7 +57,15 @@ def _encode_value(tag: int, value) -> bytes:
     out = bytearray()
     if tag == REMOTE_SIZE:
         n = int(value)
-        _write_uvarint(out, (n << 1) ^ (n >> 63))  # zigzag VARLONG
+        if not -(2**63) <= n < 2**63:
+            raise ValueError("VARLONG value outside 64-bit signed range")
+        # zigzag varint — the same wire primitive the Kafka batch codec
+        # uses; reuse it rather than keeping a third copy in the repo
+        from tiered_storage_for_apache_kafka_spark.kafka_wire import (
+            _write_varint,
+        )
+
+        _write_varint(out, n)
     elif tag in _STRING_TAGS:
         raw = str(value).encode("utf-8")
         _write_uvarint(out, len(raw) + 1)  # COMPACT_STRING: len + 1
@@ -69,10 +77,15 @@ def _encode_value(tag: int, value) -> bytes:
 
 def _decode_value(tag: int, payload: bytes):
     if tag == REMOTE_SIZE:
-        acc, off = _read_uvarint(payload, 0)
+        from tiered_storage_for_apache_kafka_spark.kafka_wire import _read_varint
+
+        try:
+            value, off = _read_varint(payload, 0)
+        except IndexError as e:
+            raise ValueError("truncated VARLONG payload") from e
         if off != len(payload):
             raise ValueError("trailing bytes in VARLONG payload")
-        return (acc >> 1) ^ -(acc & 1)
+        return value
     n_plus_1, off = _read_uvarint(payload, 0)
     raw = payload[off:]
     if len(raw) != n_plus_1 - 1:

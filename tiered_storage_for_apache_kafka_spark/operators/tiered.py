@@ -718,9 +718,15 @@ def streaming_iceberg_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         q = stream_envelope_to_iceberg(envelope, tdir, ckpt)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming Iceberg commit did not finish in 300 s")
+        state = read_table_metadata(tdir)
+        if state is None or not state["metadata"]["snapshots"]:
+            raise RuntimeError("streaming Iceberg commit produced no snapshot")
         session_cache_put(_STREAM_ICEBERG_CACHE, key, tdir)
-    n_snapshots = len(read_table_metadata(tdir)["metadata"]["snapshots"])
+    state = read_table_metadata(tdir)
+    n_snapshots = len(state["metadata"]["snapshots"])
     env = read_iceberg_table(spark, tdir)
     return (
         env.groupBy("partition")

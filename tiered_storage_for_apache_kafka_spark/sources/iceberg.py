@@ -343,7 +343,11 @@ def _discover_data_files(table_dir: str, partition_col: str) -> list[dict]:
         # relative to table_dir (a substring match would drop all data
         # when an ancestor dir merely starts with "metadata")
         rel = os.path.relpath(root, table_dir)
-        if rel != os.curdir and "metadata" in rel.split(os.sep):
+        parts = rel.split(os.sep)
+        if rel != os.curdir and (
+            "metadata" in parts
+            or any(p.startswith("_staging") for p in parts)
+        ):
             continue
         part_val = None
         for seg in root[len(table_dir):].split(os.sep):
@@ -352,28 +356,46 @@ def _discover_data_files(table_dir: str, partition_col: str) -> list[dict]:
         for name in sorted(names):
             if not name.endswith(".parquet"):
                 continue
-            path = os.path.join(root, name)
-            md = pq.ParquetFile(path).metadata
-            # row-group starting positions = the spec's split_offsets
-            offsets = []
-            for g in range(md.num_row_groups):
-                rg = md.row_group(g)
-                starts = []
-                for c in range(rg.num_columns):
-                    col = rg.column(c)
-                    dp = col.dictionary_page_offset
-                    starts.append(dp if dp is not None else col.data_page_offset)
-                offsets.append(min(starts))
-            files.append(
-                {
-                    "file_path": path,
-                    "partition_value": part_val,
-                    "record_count": md.num_rows,
-                    "file_size_in_bytes": os.path.getsize(path),
-                    "split_offsets": sorted(offsets),
-                }
-            )
+            files.append(_stat_one_file(os.path.join(root, name), part_val))
     return sorted(files, key=lambda f: f["file_path"])
+
+
+def _stat_one_file(path: str, part_val: int | None) -> dict:
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    # row-group starting positions = the spec's split_offsets
+    offsets = []
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        starts = []
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            dp = col.dictionary_page_offset
+            starts.append(dp if dp is not None else col.data_page_offset)
+        offsets.append(min(starts))
+    return {
+        "file_path": path,
+        "partition_value": part_val,
+        "record_count": md.num_rows,
+        "file_size_in_bytes": os.path.getsize(path),
+        "split_offsets": sorted(offsets),
+    }
+
+
+def _stat_data_files(paths: list[str], partition_col: str) -> list[dict]:
+    """Footer stats for an explicit file list; the partition value comes
+    from the hive path component, same layout discovery walks."""
+    out = []
+    for path in paths:
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"explicit commit file absent: {path}")
+        part_val = None
+        for seg in path.split(os.sep):
+            if seg.startswith(f"{partition_col}="):
+                part_val = int(seg.split("=", 1)[1])
+        out.append(_stat_one_file(path, part_val))
+    return out
 
 
 # -- the commit ---------------------------------------------------------------
@@ -457,15 +479,10 @@ def commit_append(
         # EXPLICIT file list (the streaming-commit path): only these
         # files enter the snapshot — crashed-attempt orphans on disk are
         # never swept in (vs. the discovery mode below, which commits
-        # everything on disk not yet known to the metadata)
-        all_files = [
-            f
-            for f in _discover_data_files(table_dir, partition_col)
-            if f["file_path"] in set(files)
-        ]
-        missing = set(files) - {f["file_path"] for f in all_files}
-        if missing:
-            raise FileNotFoundError(f"explicit commit files absent: {sorted(missing)}")
+        # everything on disk not yet known to the metadata). Footers are
+        # read for exactly the listed files — O(batch), not O(table) —
+        # so per-micro-batch commit cost does not grow with table age.
+        all_files = _stat_data_files(sorted(set(files)), partition_col)
     else:
         all_files = _discover_data_files(table_dir, partition_col)
     new_files = [f for f in all_files if f["file_path"] not in known]

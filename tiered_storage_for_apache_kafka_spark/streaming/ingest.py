@@ -370,35 +370,25 @@ def stream_user_type_counts_tws(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_envelope_to_iceberg(
-    envelope_stream: DataFrame,
-    table_dir: str,
-    checkpoint_dir: str,
-    query_name: str = "iceberg_commit",
-):
-    """EXACTLY-ONCE streaming Iceberg commits: each micro-batch becomes
-    one Iceberg snapshot, and a replayed batch (checkpoint restart mid-
-    commit) commits exactly once.
+def commit_envelope_batch(
+    batch_df: DataFrame, batch_id: int, table_dir: str, app_id: str
+) -> bool:
+    """One micro-batch -> one Iceberg snapshot, idempotently. The skip
+    key is ``(app_id, batch_id)`` — the standard foreachBatch
+    transaction-id pattern (Delta's txnAppId/txnVersion): batch ids are
+    only unique within one checkpoint lineage, so the app id (derived
+    from the checkpoint path by default) prevents a DIFFERENT lineage's
+    batch 0 from being silently swallowed by this one's. Returns True if
+    a snapshot was committed, False on a replay skip.
 
-    The idempotency protocol (the standard foreachBatch + transaction-id
-    pattern, realized on the Iceberg metadata itself):
-
-    1. **skip check** — if any existing snapshot's summary carries this
-       ``batch-id``, the batch already committed: do nothing;
-    2. **deterministic staging** — the batch is written to a scratch dir
-       and every file is ``os.replace``d to a deterministic destination
-       ``<table>/partition=P/batch-<id>-<k>.parquet``; a replay of a
-       crashed attempt OVERWRITES the same destinations instead of
-       accumulating orphans;
-    3. **explicit-file commit** — ``commit_append(files=...)`` puts
-       exactly those destinations in the snapshot (never sweeping in
-       unrelated on-disk files), with the batch id recorded in the
-       snapshot summary for step 1.
-
-    At 100 TB the parquet write is the distributed part; steps 1 and 3
-    are O(metadata) driver work per micro-batch, the same cost profile
-    as any Iceberg streaming sink."""
+    Crash safety: the batch is staged then renamed to deterministic
+    destinations ``batch-<id>-<k>.parquet``; before renaming, ALL
+    existing destinations of this (app, batch) are deleted, so a replay
+    with different parallelism (fewer output files) cannot leave a
+    crashed attempt's higher-k files behind to be swept into a later
+    snapshot."""
     import glob as _glob
+    import hashlib as _hashlib
     import os as _os
     import shutil as _shutil
 
@@ -407,34 +397,72 @@ def stream_envelope_to_iceberg(
         read_table_metadata,
     )
 
+    app_tag = _hashlib.md5(app_id.encode()).hexdigest()[:12]
+    state = read_table_metadata(table_dir)
+    if state is not None:
+        for s in state["metadata"]["snapshots"]:
+            summ = s["summary"]
+            if (
+                summ.get("batch-id") == str(batch_id)
+                and summ.get("commit-app-id") == app_tag
+            ):
+                return False  # replayed batch of THIS lineage: done
+    staging = _os.path.join(table_dir, f"_staging-batch-{app_tag}-{batch_id}")
+    _shutil.rmtree(staging, ignore_errors=True)
+    batch_df.write.mode("overwrite").partitionBy("partition").parquet(staging)
+    # clear every stale destination of this (app, batch) BEFORE renaming:
+    # a crashed attempt may have produced more files than this replay
+    prefix = f"batch-{app_tag}-{batch_id:08d}-"
+    for stale in _glob.glob(_os.path.join(table_dir, "partition=*", f"{prefix}*")):
+        _os.remove(stale)
+    dests: list[str] = []
+    for src in sorted(_glob.glob(_os.path.join(staging, "partition=*", "*.parquet"))):
+        part_dir = _os.path.basename(_os.path.dirname(src))
+        k = len([d for d in dests if f"{_os.sep}{part_dir}{_os.sep}" in d])
+        dest_dir = _os.path.join(table_dir, part_dir)
+        _os.makedirs(dest_dir, exist_ok=True)
+        dest = _os.path.join(dest_dir, f"{prefix}{k:04d}.parquet")
+        _os.replace(src, dest)
+        dests.append(dest)
+    _shutil.rmtree(staging, ignore_errors=True)
+    if not dests:
+        return False
+    commit_append(
+        table_dir,
+        batch_df.schema,
+        files=dests,
+        summary_extra={"batch-id": batch_id, "commit-app-id": app_tag},
+    )
+    return True
+
+
+def stream_envelope_to_iceberg(
+    envelope_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "iceberg_commit",
+    app_id: str | None = None,
+):
+    """EXACTLY-ONCE streaming Iceberg commits: each micro-batch becomes
+    one Iceberg snapshot via :func:`commit_envelope_batch` — skip key
+    ``(app_id, batch_id)``, deterministic staged-rename destinations,
+    explicit-file commits that never sweep in unrelated on-disk files.
+
+    ``app_id`` defaults to the checkpoint path: restarting WITH the
+    checkpoint is exactly-once; restarting with a LOST checkpoint under
+    a new app id re-delivers (and re-commits) from the beginning —
+    duplicates, never silent loss — so start a fresh table in that
+    case. The table should be owned by this protocol: do not mix in
+    discovery-mode ``commit_append()`` calls, which would sweep any
+    crashed attempt's not-yet-replayed files into a snapshot.
+
+    At 100 TB the parquet write is the distributed part; the skip check
+    and the commit are O(batch files + snapshots) driver work per
+    micro-batch, the same cost profile as any Iceberg streaming sink."""
+    resolved_app_id = app_id if app_id is not None else checkpoint_dir
+
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        state = read_table_metadata(table_dir)
-        if state is not None:
-            for s in state["metadata"]["snapshots"]:
-                if s["summary"].get("batch-id") == str(batch_id):
-                    return  # replayed batch: already committed
-        staging = _os.path.join(table_dir, f"_staging-batch-{batch_id}")
-        _shutil.rmtree(staging, ignore_errors=True)
-        batch_df.write.mode("overwrite").partitionBy("partition").parquet(staging)
-        dests: list[str] = []
-        for src in sorted(
-            _glob.glob(_os.path.join(staging, "partition=*", "*.parquet"))
-        ):
-            part_dir = _os.path.basename(_os.path.dirname(src))
-            k = len([d for d in dests if f"/{part_dir}/" in d])
-            dest_dir = _os.path.join(table_dir, part_dir)
-            _os.makedirs(dest_dir, exist_ok=True)
-            dest = _os.path.join(dest_dir, f"batch-{batch_id:08d}-{k:04d}.parquet")
-            _os.replace(src, dest)
-            dests.append(dest)
-        _shutil.rmtree(staging, ignore_errors=True)
-        if dests:
-            commit_append(
-                table_dir,
-                batch_df.schema,
-                files=dests,
-                summary_extra={"batch-id": batch_id},
-            )
+        commit_envelope_batch(batch_df, batch_id, table_dir, resolved_app_id)
 
     return (
         envelope_stream.writeStream.foreachBatch(commit_batch)
