@@ -686,3 +686,90 @@ class TestStreamingIcebergCommit:
         assert stale == []
         assert read_iceberg_table(spark, tdir).count() == 40
         assert len(read_table_metadata(tdir)["metadata"]["snapshots"]) == 1
+
+
+class TestSchemaEvolution:
+    def test_add_column_evolves_schema_with_stable_ids(self, table, spark):
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            read_iceberg_table,
+            read_table_metadata,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema, now_ms=1_000)
+        before = read_table_metadata(tdir)["metadata"]
+        old_ids = {f["name"]: f["id"] for f in before["schemas"][0]["fields"]}
+
+        wider = df.withColumn("lang", F.lit("en")).limit(40).repartition(2, "partition")
+        write_table(wider, tdir)
+        meta = commit_append(tdir, wider.schema, now_ms=2_000)
+
+        assert meta["current-schema-id"] == 1
+        assert len(meta["schemas"]) == 2  # history retained
+        new_schema = next(s for s in meta["schemas"] if s["schema-id"] == 1)
+        by_name = {f["name"]: f for f in new_schema["fields"]}
+        # existing columns keep their ids (the Iceberg identity contract)
+        for name, fid in old_ids.items():
+            assert by_name[name]["id"] == fid
+        # the added column is optional with a FRESH id past the old max
+        assert by_name["lang"]["required"] is False
+        assert by_name["lang"]["id"] == before["last-column-id"] + 1
+        assert meta["last-column-id"] == before["last-column-id"] + 1
+        assert meta["snapshots"][1]["schema-id"] == 1
+
+        # reads span both schema versions: old rows have NULL lang
+        got = read_iceberg_table(spark, tdir)
+        assert got.count() == 240
+        assert got.where("lang IS NULL").count() == 200
+        assert got.where("lang = 'en'").count() == 40
+
+    def test_incompatible_change_rejected(self, table):
+        from pyspark.sql import types as T
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema, now_ms=1_000)
+        bad = T.StructType(
+            [
+                T.StructField("partition", T.StringType(), True),  # int -> string
+            ]
+            + [f for f in df.schema.fields if f.name != "partition"]
+        )
+        # force a commit attempt with a new file so evolution runs
+        import shutil
+
+        src_file = None
+        for root, _d, names in os.walk(tdir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    src_file = os.path.join(root, n)
+                    break
+        shutil.copy(src_file, src_file.replace(".parquet", "-dup.parquet"))
+        with pytest.raises(TypeError, match="incompatible change"):
+            commit_append(tdir, bad, now_ms=2_000)
+
+    def test_unchanged_schema_stays_version_zero(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            read_table_metadata,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema, now_ms=1_000)
+        write_table(df.limit(20).repartition(1, "partition"), tdir)
+        commit_append(tdir, df.schema, now_ms=2_000)
+        meta = read_table_metadata(tdir)["metadata"]
+        assert meta["current-schema-id"] == 0
+        assert len(meta["schemas"]) == 1

@@ -181,6 +181,142 @@ def spark_schema_to_iceberg(schema) -> tuple[dict, int]:
     return struct, counter["id"]
 
 
+def evolve_iceberg_schema(
+    current: dict, new_spark_schema, last_column_id: int
+) -> tuple[dict, int, bool]:
+    """Schema evolution for the Iceberg metadata plane (the machinery the
+    reference intends but never wires, `SchemaUpdate.java:17-127`):
+    ADD-AS-OPTIONAL only — new columns get fresh field ids, existing
+    fields KEEP their ids and types (the Iceberg correctness contract:
+    ids are the identity of a column across files). Removals keep the
+    old field (Iceberg drops are explicit operations, not inferred);
+    type changes are rejected here — the parquet-level widening path
+    lives in `sources/schema_evolution.py`'s sidecar reader, which plain
+    multi-file parquet scans can't express. Returns
+    (schema-struct, last-column-id, changed)."""
+    counter = {"id": last_column_id}
+
+    def nxt() -> int:
+        counter["id"] += 1
+        return counter["id"]
+
+    def conv_new(dt) -> Any:
+        # fresh conversion for an ADDED subtree
+        s, _last = spark_schema_to_iceberg_type(dt, counter)
+        return s
+
+    changed = {"v": False}
+
+    def merge_struct(cur_struct: dict, new_dt) -> dict:
+        by_name = {f["name"]: f for f in cur_struct["fields"]}
+        out_fields = []
+        seen = set()
+        for nf in new_dt.fields:
+            seen.add(nf.name)
+            cf = by_name.get(nf.name)
+            if cf is None:
+                changed["v"] = True
+                out_fields.append(
+                    {
+                        "id": nxt(),
+                        "name": nf.name,
+                        "required": False,  # additions are optional
+                        "type": conv_new(nf.dataType),
+                    }
+                )
+                continue
+            cur_t = cf["type"]
+            if isinstance(cur_t, dict) and cur_t.get("type") == "struct":
+                if nf.dataType.typeName() != "struct":
+                    raise TypeError(
+                        f"incompatible change at {nf.name}: struct -> "
+                        f"{nf.dataType.typeName()}"
+                    )
+                out_fields.append({**cf, "type": merge_struct(cur_t, nf.dataType)})
+                continue
+            new_flat, _ = spark_schema_to_iceberg_type(nf.dataType, {"id": 0})
+            if _strip_ids(new_flat) != _strip_ids(cur_t):
+                raise TypeError(
+                    f"incompatible change at {nf.name}: {cur_t!r} -> "
+                    f"{new_flat!r} (only add-as-optional is supported in "
+                    "the Iceberg metadata plane)"
+                )
+            out_fields.append(cf)
+        # fields absent from the new schema stay (drops are explicit)
+        for f in cur_struct["fields"]:
+            if f["name"] not in seen:
+                out_fields.append(f)
+        return {**cur_struct, "fields": out_fields}
+
+    merged = merge_struct(current, new_spark_schema)
+    return merged, counter["id"], changed["v"]
+
+
+def spark_schema_to_iceberg_type(dt, counter: dict) -> tuple[Any, int]:
+    """Single-type version of :func:`spark_schema_to_iceberg`, sharing a
+    caller-provided id counter (used by schema evolution for added
+    subtrees)."""
+
+    def nxt() -> int:
+        counter["id"] += 1
+        return counter["id"]
+
+    def conv(dt) -> Any:
+        name = dt.typeName()
+        if name == "struct":
+            fields = []
+            for f in dt.fields:
+                fid = nxt()
+                fields.append(
+                    {
+                        "id": fid,
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": conv(f.dataType),
+                    }
+                )
+            return {"type": "struct", "fields": fields}
+        if name == "array":
+            eid = nxt()
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": conv(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if name == "map":
+            kid, vid = nxt(), nxt()
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": conv(dt.keyType),
+                "value-id": vid,
+                "value": conv(dt.valueType),
+                "value-required": not dt.valueContainsNull,
+            }
+        if name in ("timestamp", "timestamp_ntz"):
+            return "timestamptz" if name == "timestamp" else "timestamp"
+        if name.startswith("decimal"):
+            return f"decimal({dt.precision}, {dt.scale})"
+        if name in _PRIMITIVES:
+            return _PRIMITIVES[name]
+        raise TypeError(f"unsupported Spark type for Iceberg schema: {name}")
+
+    return conv(dt), counter["id"]
+
+
+def _strip_ids(t):
+    """Type equality ignoring field/element ids (ids are assigned, types
+    are declared)."""
+    if isinstance(t, dict):
+        return {
+            k: ([_strip_ids(x) for x in v] if isinstance(v, list) else _strip_ids(v))
+            for k, v in t.items()
+            if k not in ("id", "field-id", "element-id", "key-id", "value-id")
+        }
+    return t
+
+
 def _field_id(schema_struct: dict, name: str) -> int:
     for f in schema_struct["fields"]:
         if f["name"] == name:
@@ -494,6 +630,25 @@ def commit_append(
                 f.write("1")
         return base
 
+    # schema evolution on append (add-as-optional; reference
+    # `SchemaUpdate.java` intent, wired here): existing field ids are
+    # stable, added columns get fresh ids in a NEW schema version
+    cur_sid = base["current-schema-id"]
+    cur_schema = next(s for s in base["schemas"] if s["schema-id"] == cur_sid)
+    if prior is not None:
+        evolved, new_last, schema_changed = evolve_iceberg_schema(
+            cur_schema, spark_schema, base["last-column-id"]
+        )
+        if schema_changed:
+            new_sid = max(s["schema-id"] for s in base["schemas"]) + 1
+            evolved = {**evolved, "schema-id": new_sid}
+            base = {
+                **base,
+                "schemas": base["schemas"] + [evolved],
+                "current-schema-id": new_sid,
+                "last-column-id": new_last,
+            }
+
     seq = base["last-sequence-number"] + 1
     snapshot_id = seq  # deterministic; any unique long is spec-legal
     entry_schema = manifest_entry_schema(partition_col)
@@ -516,7 +671,9 @@ def commit_append(
         }
         for f in new_files
     ]
-    schema_struct = base["schemas"][0]
+    schema_struct = next(
+        s for s in base["schemas"] if s["schema-id"] == base["current-schema-id"]
+    )
     spec = base["partition-specs"][0]
     manifest_path = os.path.join(meta_dir, f"{base['table-uuid']}-m{seq}.avro")
     manifest_len = write_avro_ocf(
@@ -525,7 +682,7 @@ def commit_append(
         entries,
         {
             "schema": json.dumps(schema_struct).encode(),
-            "schema-id": b"0",
+            "schema-id": str(base["current-schema-id"]).encode(),
             "partition-spec": json.dumps(spec["fields"]).encode(),
             "partition-spec-id": b"0",
             "format-version": str(FORMAT_VERSION).encode(),
@@ -588,7 +745,7 @@ def commit_append(
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": list_path,
-        "schema-id": 0,
+        "schema-id": base["current-schema-id"],
         "summary": {
             "operation": "append",
             "added-data-files": str(len(new_files)),
@@ -813,10 +970,15 @@ def read_iceberg_table(
         state = read_table_metadata(table_dir)
         if state is None:
             raise FileNotFoundError(f"no Iceberg metadata under {table_dir}")
-        schema = iceberg_schema_to_spark(state["metadata"]["schemas"][0])
+        m = state["metadata"]
+        schema = iceberg_schema_to_spark(
+            next(s for s in m["schemas"] if s["schema-id"] == m["current-schema-id"])
+        )
         return spark.createDataFrame([], schema)
-    return spark.read.option("basePath", table_dir).parquet(
-        *sorted(d["file_path"] for d in files)
+    return (
+        spark.read.option("basePath", table_dir)
+        .option("mergeSchema", "true")  # files may span schema versions
+        .parquet(*sorted(d["file_path"] for d in files))
     )
 
 
@@ -853,7 +1015,14 @@ def read_iceberg_table_at(spark, table_dir: str, snapshot_id: int):
         )
     if not files:
         return spark.createDataFrame(
-            [], iceberg_schema_to_spark(meta["schemas"][0])
+            [],
+            iceberg_schema_to_spark(
+                next(
+                    s
+                    for s in meta["schemas"]
+                    if s["schema-id"] == meta["current-schema-id"]
+                )
+            ),
         )
     return spark.read.option("basePath", table_dir).parquet(*sorted(files))
 
