@@ -128,57 +128,10 @@ def spark_schema_to_iceberg(schema) -> tuple[dict, int]:
     """Convert a Spark StructType to an Iceberg schema dict, assigning
     fresh field ids depth-first (any unique assignment is spec-legal).
     Returns (schema-dict, last-column-id)."""
-    counter = {"id": 0}
-
-    def nxt() -> int:
-        counter["id"] += 1
-        return counter["id"]
-
-    def conv(dt) -> Any:
-        name = dt.typeName()
-        if name == "struct":
-            fields = []
-            for f in dt.fields:
-                fid = nxt()
-                fields.append(
-                    {
-                        "id": fid,
-                        "name": f.name,
-                        "required": not f.nullable,
-                        "type": conv(f.dataType),
-                    }
-                )
-            return {"type": "struct", "fields": fields}
-        if name == "array":
-            eid = nxt()
-            return {
-                "type": "list",
-                "element-id": eid,
-                "element": conv(dt.elementType),
-                "element-required": not dt.containsNull,
-            }
-        if name == "map":
-            kid, vid = nxt(), nxt()
-            return {
-                "type": "map",
-                "key-id": kid,
-                "key": conv(dt.keyType),
-                "value-id": vid,
-                "value": conv(dt.valueType),
-                "value-required": not dt.valueContainsNull,
-            }
-        if name in ("timestamp", "timestamp_ntz"):
-            return "timestamptz" if name == "timestamp" else "timestamp"
-        if name.startswith("decimal"):
-            return f"decimal({dt.precision}, {dt.scale})"
-        if name in _PRIMITIVES:
-            return _PRIMITIVES[name]
-        raise TypeError(f"unsupported Spark type for Iceberg schema: {name}")
-
-    struct = conv(schema)
+    struct, last = spark_schema_to_iceberg_type(schema, {"id": 0})
     struct["schema-id"] = 0
     struct["identifier-field-ids"] = []
-    return struct, counter["id"]
+    return struct, last
 
 
 def evolve_iceberg_schema(
