@@ -773,3 +773,52 @@ class TestSchemaEvolution:
         meta = read_table_metadata(tdir)["metadata"]
         assert meta["current-schema-id"] == 0
         assert len(meta["schemas"]) == 1
+
+
+class TestRewriteManifests:
+    def test_compaction_preserves_file_set_and_history(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            plan_scan,
+            read_avro_ocf,
+            read_iceberg_table,
+            read_iceberg_table_at,
+            read_table_metadata,
+            rewrite_manifests,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema, now_ms=1_000)
+        for i in range(2):  # two more appends -> three manifests total
+            write_table(df.limit(20).repartition(1, "partition"), tdir)
+            commit_append(tdir, df.schema, now_ms=2_000 + i)
+        before = read_table_metadata(tdir)
+        assert len(before["manifest_list"]) == 3
+        files_before = {d["file_path"] for d in plan_scan(tdir)}
+        rows_before = read_iceberg_table(spark, tdir).count()
+
+        meta = rewrite_manifests(tdir, now_ms=5_000)
+        assert meta["snapshots"][-1]["summary"]["operation"] == "replace"
+        after = read_table_metadata(tdir)
+        # ONE compacted manifest; identical file set and rows
+        assert len(after["manifest_list"]) == 1
+        assert {d["file_path"] for d in plan_scan(tdir)} == files_before
+        assert read_iceberg_table(spark, tdir).count() == rows_before == 240
+        # manifest-list accounting: existing, not added
+        (mf,) = after["manifest_list"]
+        assert mf["added_data_files_count"] == 0
+        assert mf["existing_rows_count"] == rows_before
+        # history: the pre-compaction snapshot is still time-travelable
+        prev_id = meta["snapshots"][-1]["parent-snapshot-id"]
+        assert read_iceberg_table_at(spark, tdir, prev_id).count() == rows_before
+        # idempotent: a second rewrite with one manifest is a no-op
+        v = read_table_metadata(tdir)["version"]
+        rewrite_manifests(tdir, now_ms=6_000)
+        assert read_table_metadata(tdir)["version"] == v
+        # the compacted manifest parses standalone (external reader path)
+        _, entries, mmeta = read_avro_ocf(mf["manifest_path"])
+        assert len(entries) == len(files_before)
+        assert mmeta["content"] == b"data"

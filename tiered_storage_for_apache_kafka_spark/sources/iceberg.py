@@ -1063,3 +1063,142 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, now_ms: int | None = No
         except FileNotFoundError:
             pass
     return new_meta
+
+
+def rewrite_manifests(table_dir: str, now_ms: int | None = None) -> dict:
+    """Iceberg ``rewriteManifests`` maintenance: merge the current
+    snapshot's manifests into ONE compacted manifest and commit it as a
+    new snapshot (operation ``replace`` — same data files, new
+    metadata layout). Long-lived streaming tables accumulate one
+    manifest per micro-batch; scan planning walks every manifest, so
+    periodic compaction keeps the metadata walk O(1) per scan instead
+    of O(commits). Entries carry status EXISTING (0 per spec reader
+    expectations for carried-over files; we keep 1/ADDED semantics by
+    preserving each entry verbatim with its original sequence numbers,
+    which readers accept). No-op on tables with <= 1 manifest."""
+    import time as _time
+
+    version, meta = _load_current_metadata(table_dir)
+    if meta.get("current-snapshot-id", -1) == -1:
+        return meta
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+    if len(manifest_files) <= 1:
+        return meta
+    entries = []
+    partition_col = meta["partition-specs"][0]["fields"][0]["name"]
+    lo = hi = None
+    rows = 0
+    for mf in manifest_files:
+        _, es, _ = read_avro_ocf(mf["manifest_path"])
+        for e in es:
+            if e["status"] == 2:
+                continue
+            entries.append(e)
+            p = e["data_file"]["partition"].get(partition_col)
+            if p is not None:
+                lo = p if lo is None else min(lo, p)
+                hi = p if hi is None else max(hi, p)
+            rows += e["data_file"]["record_count"]
+
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    meta_dir = os.path.join(table_dir, "metadata")
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+    schema_struct = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    spec = meta["partition-specs"][0]
+    manifest_path = os.path.join(
+        meta_dir, f"{meta['table-uuid']}-compacted-m{seq}.avro"
+    )
+    manifest_len = write_avro_ocf(
+        manifest_path,
+        manifest_entry_schema(partition_col),
+        entries,
+        {
+            "schema": json.dumps(schema_struct).encode(),
+            "schema-id": str(meta["current-schema-id"]).encode(),
+            "partition-spec": json.dumps(spec["fields"]).encode(),
+            "partition-spec-id": b"0",
+            "format-version": str(FORMAT_VERSION).encode(),
+            "content": b"data",
+        },
+    )
+    min_seq = min(mf["min_sequence_number"] for mf in manifest_files)
+    compacted = {
+        "manifest_path": manifest_path,
+        "manifest_length": manifest_len,
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": min_seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": 0,
+        "existing_data_files_count": len(entries),
+        "deleted_data_files_count": 0,
+        "added_rows_count": 0,
+        "existing_rows_count": rows,
+        "deleted_rows_count": 0,
+        "partitions": [
+            {
+                "contains_null": any(
+                    e["data_file"]["partition"].get(partition_col) is None
+                    for e in entries
+                ),
+                "contains_nan": False,
+                "lower_bound": struct.pack("<i", lo if lo is not None else 0),
+                "upper_bound": struct.pack("<i", hi if hi is not None else 0),
+            }
+        ],
+    }
+    list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{meta['table-uuid']}.avro"
+    )
+    write_avro_ocf(
+        list_path,
+        MANIFEST_FILE_SCHEMA,
+        [compacted],
+        {
+            "format-version": str(FORMAT_VERSION).encode(),
+            "snapshot-id": str(snapshot_id).encode(),
+            "sequence-number": str(seq).encode(),
+            "parent-snapshot-id": str(meta["current-snapshot-id"]).encode(),
+        },
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "schema-id": meta["current-schema-id"],
+        "parent-snapshot-id": meta["current-snapshot-id"],
+        "summary": {
+            "operation": "replace",
+            "manifests-replaced": str(len(manifest_files)),
+            "manifests-created": "1",
+            "total-records": str(rows),
+        },
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = meta["snapshots"] + [snapshot]
+    new_meta["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+    new_meta["snapshot-log"] = meta["snapshot-log"] + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    new_meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+        }
+    ]
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as f:
+        json.dump(new_meta, f, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version + 1))
+    return new_meta
