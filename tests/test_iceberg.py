@@ -822,3 +822,135 @@ class TestRewriteManifests:
         _, entries, mmeta = read_avro_ocf(mf["manifest_path"])
         assert len(entries) == len(files_before)
         assert mmeta["content"] == b"data"
+
+
+class TestFourthReviewPins:
+    def test_time_travel_sees_evolved_columns(self, table, spark):
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            read_iceberg_table_at,
+            read_table_metadata,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema, now_ms=1_000)
+        wider = df.withColumn("lang", F.lit("en")).limit(40).repartition(2, "partition")
+        write_table(wider, tdir)
+        commit_append(tdir, wider.schema, now_ms=2_000)
+        cur_id = read_table_metadata(tdir)["metadata"]["current-snapshot-id"]
+        got = read_iceberg_table_at(spark, tdir, cur_id)
+        assert "lang" in got.columns  # merged across schema versions
+        assert got.where("lang = 'en'").count() == 40
+
+    def test_schema_evolution_without_new_files_still_commits(self, table):
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            read_table_metadata,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema, now_ms=1_000)
+        wider_schema = df.withColumn("lang", F.lit("en")).schema
+        commit_append(tdir, wider_schema, now_ms=2_000)  # no new parquet
+        meta = read_table_metadata(tdir)["metadata"]
+        assert meta["current-schema-id"] == 1  # metadata-only commit
+        assert len(meta["snapshots"]) == 1  # no phantom snapshot
+
+    def test_required_to_optional_relaxation_recorded(self, table):
+        from pyspark.sql import types as T
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            evolve_iceberg_schema,
+            spark_schema_to_iceberg,
+        )
+
+        strict = T.StructType([T.StructField("a", T.LongType(), False)])
+        relaxed = T.StructType([T.StructField("a", T.LongType(), True)])
+        cur, last = spark_schema_to_iceberg(strict)
+        evolved, _last, changed = evolve_iceberg_schema(cur, relaxed, last)
+        assert changed
+        assert evolved["fields"][0]["required"] is False
+
+    def test_compaction_keeps_statistics_lookup_working(self, table, spark):
+        import json as _json
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            read_table_metadata,
+            rewrite_manifests,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+            FILE_LIST,
+            read_puffin,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema, now_ms=1_000)
+        write_table(df.limit(20).repartition(1, "partition"), tdir)
+        commit_append(tdir, df.schema, now_ms=2_000)
+        rewrite_manifests(tdir, now_ms=3_000)
+        meta = read_table_metadata(tdir)["metadata"]
+        # the exact lookup iceberg_puffin_stats performs must succeed
+        entry = next(
+            s for s in meta["statistics"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        back = read_puffin(entry["statistics-path"])
+        file_list = _json.loads(back["blobs"][FILE_LIST].decode())
+        assert sum(f["recordCount"] for f in file_list) == 220
+
+    def test_compacted_entries_are_existing_status(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            read_avro_ocf,
+            read_table_metadata,
+            rewrite_manifests,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema, now_ms=1_000)
+        write_table(df.limit(20).repartition(1, "partition"), tdir)
+        commit_append(tdir, df.schema, now_ms=2_000)
+        rewrite_manifests(tdir, now_ms=3_000)
+        (mf,) = read_table_metadata(tdir)["manifest_list"]
+        _, entries, _ = read_avro_ocf(mf["manifest_path"])
+        assert entries and all(e["status"] == 0 for e in entries)  # EXISTING
+
+    def test_total_records_survives_expiration(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            expire_snapshots,
+            read_table_metadata,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema, now_ms=1_000)  # 200 rows
+        write_table(df.limit(20).repartition(1, "partition"), tdir)
+        commit_append(tdir, df.schema, now_ms=2_000)  # +20
+        expire_snapshots(tdir, keep_last=1, now_ms=3_000)
+        write_table(df.limit(40).repartition(1, "partition"), tdir)
+        commit_append(tdir, df.schema, now_ms=4_000)  # +40
+        meta = read_table_metadata(tdir)["metadata"]
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        # running total chains through the surviving snapshot, not the
+        # (expired) per-snapshot added-records sum
+        assert cur["summary"]["total-records"] == "260"

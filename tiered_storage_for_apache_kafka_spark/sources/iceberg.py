@@ -179,6 +179,11 @@ def evolve_iceberg_schema(
                 )
                 continue
             cur_t = cf["type"]
+            # required -> optional relaxation (Iceberg makeColumnOptional;
+            # the reverse tightening is never inferred)
+            if cf["required"] and nf.nullable:
+                cf = {**cf, "required": False}
+                changed["v"] = True
             if isinstance(cur_t, dict) and cur_t.get("type") == "struct":
                 if nf.dataType.typeName() != "struct":
                     raise TypeError(
@@ -259,15 +264,58 @@ def spark_schema_to_iceberg_type(dt, counter: dict) -> tuple[Any, int]:
 
 
 def _strip_ids(t):
-    """Type equality ignoring field/element ids (ids are assigned, types
-    are declared)."""
+    """Type equality ignoring assigned ids AND nullability flags:
+    ids are assigned (not declared), and nullability drift inside
+    container types is tolerated the same way top-level
+    required->optional is (Spark plans flip these routinely)."""
     if isinstance(t, dict):
         return {
             k: ([_strip_ids(x) for x in v] if isinstance(v, list) else _strip_ids(v))
             for k, v in t.items()
-            if k not in ("id", "field-id", "element-id", "key-id", "value-id")
+            if k
+            not in (
+                "id",
+                "field-id",
+                "element-id",
+                "key-id",
+                "value-id",
+                "required",
+                "element-required",
+                "value-required",
+            )
         }
     return t
+
+
+def _write_metadata_version(meta_dir: str, version: int, meta: dict) -> None:
+    """Write v{N}.metadata.json + version-hint atomically-enough for the
+    single-writer model all three maintenance/commit paths share."""
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+
+
+def _prev_total_records(meta: dict) -> int:
+    """Running table total from the current snapshot's summary (correct
+    across expiration and compaction, unlike summing surviving
+    snapshots' added-records)."""
+    cur_id = meta.get("current-snapshot-id", -1)
+    if cur_id == -1:
+        return 0
+    cur = next((s for s in meta["snapshots"] if s["snapshot-id"] == cur_id), None)
+    if cur is None:
+        return 0
+    return int(cur["summary"].get("total-records", 0))
+
+
+def _read_planned_files(spark, table_dir: str, meta: dict, paths: list[str]):
+    """Hand a planned file set to Spark's parquet reader; schema merging
+    is paid only when the table actually has multiple schema versions."""
+    reader = spark.read.option("basePath", table_dir)
+    if len(meta.get("schemas", [])) > 1:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*sorted(paths))
 
 
 def _field_id(schema_struct: dict, name: str) -> int:
@@ -575,17 +623,12 @@ def commit_append(
     else:
         all_files = _discover_data_files(table_dir, partition_col)
     new_files = [f for f in all_files if f["file_path"] not in known]
-    if not new_files:
-        if prior is None:  # empty table: metadata without a snapshot
-            with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
-                json.dump(base, f, indent=2)
-            with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-                f.write("1")
-        return base
-
-    # schema evolution on append (add-as-optional; reference
-    # `SchemaUpdate.java` intent, wired here): existing field ids are
-    # stable, added columns get fresh ids in a NEW schema version
+    # schema evolution on append (add-as-optional + required->optional
+    # relaxation; reference `SchemaUpdate.java` intent, wired here):
+    # existing field ids are stable, added columns get fresh ids in a
+    # NEW schema version. Runs BEFORE the zero-new-files return so an
+    # evolved schema is never silently discarded.
+    schema_changed = False
     cur_sid = base["current-schema-id"]
     cur_schema = next(s for s in base["schemas"] if s["schema-id"] == cur_sid)
     if prior is not None:
@@ -601,6 +644,17 @@ def commit_append(
                 "current-schema-id": new_sid,
                 "last-column-id": new_last,
             }
+
+    if not new_files:
+        if prior is None:  # empty table: metadata without a snapshot
+            _write_metadata_version(meta_dir, 1, base)
+        elif schema_changed:
+            # metadata-only commit: the schema version advances even
+            # though no data files entered
+            base = dict(base)
+            base["last-updated-ms"] = now_ms
+            _write_metadata_version(meta_dir, version, base)
+        return base
 
     seq = base["last-sequence-number"] + 1
     snapshot_id = seq  # deterministic; any unique long is spec-legal
@@ -703,10 +757,7 @@ def commit_append(
             "operation": "append",
             "added-data-files": str(len(new_files)),
             "added-records": str(added_rows),
-            "total-records": str(
-                added_rows
-                + sum(int(s["summary"].get("added-records", 0)) for s in base["snapshots"])
-            ),
+            "total-records": str(added_rows + _prev_total_records(base)),
             **{k: str(v) for k, v in (summary_extra or {}).items()},
         },
     }
@@ -765,10 +816,7 @@ def commit_append(
             }
         ]
 
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f, indent=2)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write(str(version))
+    _write_metadata_version(meta_dir, version, meta)
     return meta
 
 
@@ -928,10 +976,9 @@ def read_iceberg_table(
             next(s for s in m["schemas"] if s["schema-id"] == m["current-schema-id"])
         )
         return spark.createDataFrame([], schema)
-    return (
-        spark.read.option("basePath", table_dir)
-        .option("mergeSchema", "true")  # files may span schema versions
-        .parquet(*sorted(d["file_path"] for d in files))
+    state = read_table_metadata(table_dir)
+    return _read_planned_files(
+        spark, table_dir, state["metadata"], [d["file_path"] for d in files]
     )
 
 
@@ -977,7 +1024,7 @@ def read_iceberg_table_at(spark, table_dir: str, snapshot_id: int):
                 )
             ),
         )
-    return spark.read.option("basePath", table_dir).parquet(*sorted(files))
+    return _read_planned_files(spark, table_dir, meta, files)
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1, now_ms: int | None = None) -> dict:
@@ -1053,10 +1100,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, now_ms: int | None = No
     # fully consistent table plus some not-yet-collected orphans (the
     # safe failure mode; the reverse order wedges the current metadata
     # on already-deleted manifest lists)
-    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as f:
-        json.dump(new_meta, f, indent=2)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write(str(version + 1))
+    _write_metadata_version(meta_dir, version + 1, new_meta)
     for path in removed:
         try:
             os.remove(path)
@@ -1072,10 +1116,10 @@ def rewrite_manifests(table_dir: str, now_ms: int | None = None) -> dict:
     metadata layout). Long-lived streaming tables accumulate one
     manifest per micro-batch; scan planning walks every manifest, so
     periodic compaction keeps the metadata walk O(1) per scan instead
-    of O(commits). Entries carry status EXISTING (0 per spec reader
-    expectations for carried-over files; we keep 1/ADDED semantics by
-    preserving each entry verbatim with its original sequence numbers,
-    which readers accept). No-op on tables with <= 1 manifest."""
+    of O(commits). Carried-over entries get status 0/EXISTING (their
+    original sequence numbers preserved), so external incremental/CDC
+    readers do not see compaction as appends. No-op on tables with
+    <= 1 manifest."""
     import time as _time
 
     version, meta = _load_current_metadata(table_dir)
@@ -1096,7 +1140,9 @@ def rewrite_manifests(table_dir: str, now_ms: int | None = None) -> dict:
         for e in es:
             if e["status"] == 2:
                 continue
-            entries.append(e)
+            # spec: carried-over files are status 0 (EXISTING) — an
+            # incremental/CDC reader must not see compaction as appends
+            entries.append({**e, "status": 0})
             p = e["data_file"]["partition"].get(partition_col)
             if p is not None:
                 lo = p if lo is None else min(lo, p)
@@ -1182,11 +1228,43 @@ def rewrite_manifests(table_dir: str, now_ms: int | None = None) -> dict:
             "total-records": str(rows),
         },
     }
+    # per-current-snapshot statistics (the pattern every consumer of
+    # meta["statistics"] relies on): FILE_LIST of the live files
+    from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+        FILE_LIST,
+        write_puffin,
+    )
+
+    file_list = [
+        {
+            "location": e["data_file"]["file_path"],
+            "partition": e["data_file"]["partition"].get(partition_col),
+            "recordCount": e["data_file"]["record_count"],
+            "fileSizeInBytes": e["data_file"]["file_size_in_bytes"],
+        }
+        for e in entries
+    ]
+    stats_path = os.path.join(
+        meta_dir, f"stats-{snapshot_id}-{meta['table-uuid']}.puffin"
+    )
+    stats = write_puffin(
+        stats_path, [(FILE_LIST, json.dumps(file_list).encode())], snapshot_id, seq
+    )
+
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = now_ms
     new_meta["current-snapshot-id"] = snapshot_id
     new_meta["snapshots"] = meta["snapshots"] + [snapshot]
+    new_meta["statistics"] = meta.get("statistics", []) + [
+        {
+            "snapshot-id": snapshot_id,
+            "statistics-path": stats_path,
+            "file-size-in-bytes": stats["file_size"],
+            "file-footer-size-in-bytes": stats["footer_size"],
+            "blob-metadata": stats["blob_metadata"],
+        }
+    ]
     new_meta["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
     new_meta["snapshot-log"] = meta["snapshot-log"] + [
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
@@ -1197,8 +1275,5 @@ def rewrite_manifests(table_dir: str, now_ms: int | None = None) -> dict:
             "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
         }
     ]
-    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as f:
-        json.dump(new_meta, f, indent=2)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write(str(version + 1))
+    _write_metadata_version(meta_dir, version + 1, new_meta)
     return new_meta
