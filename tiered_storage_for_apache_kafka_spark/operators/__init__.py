@@ -199,6 +199,7 @@ _PROMOTE = [
     "iceberg_scan_pruned",
     "iceberg_puffin_stats",
     "streaming_iceberg_commit",
+    "iceberg_time_travel",
     "quality_classifier_trained",
     "bpe_train_merges",
     "bpe_encode_token_count",

@@ -737,3 +737,72 @@ def streaming_iceberg_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_snapshots", F.lit(n_snapshots).cast("bigint"))
     )
+
+
+_ICEBERG_TT_CACHE: dict[tuple, tuple] = {}
+
+
+@query(
+    "iceberg_time_travel",
+    oracle="""
+SELECT CAST(event_id % 4 AS INT) AS partition,
+       CAST(COUNT(*) AS BIGINT) AS n_records_asof,
+       CAST(COUNT(*) + CASE WHEN CAST(event_id % 4 AS INT) = 0
+                            THEN 25 ELSE 0 END AS BIGINT) AS n_records_now
+FROM events
+GROUP BY CAST(event_id % 4 AS INT)
+""",
+)
+def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel hash-verified end-to-end: after the base Iceberg
+    commit, a second snapshot appends 25 duplicate partition-0 rows;
+    the query reads BOTH views through the metadata — the current
+    snapshot (sees the duplicates) and ``VERSION AS OF`` the first
+    snapshot (`read_iceberg_table_at`; does not) — and reports
+    per-partition counts from each. The oracle recomputes both from raw
+    `events`; equal hashes prove historical manifests still plan
+    exactly the historical file set after later appends."""
+    from pyspark.sql import functions as FX
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        read_iceberg_table,
+        read_iceberg_table_at,
+        read_table_metadata,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+        records_to_envelope,
+        write_table,
+    )
+
+    key = _cache_key(spark, sf_dir)
+    cached = _ICEBERG_TT_CACHE.get(key)
+    if cached is None:
+        env = records_to_envelope(_records(spark, sf_dir)).repartition(
+            4, "partition"
+        )
+        tdir = tempfile.mkdtemp(prefix="iceberg-tt-")
+        write_table(env, tdir)
+        commit_append(tdir, env.schema)
+        first_snapshot = read_table_metadata(tdir)["metadata"][
+            "current-snapshot-id"
+        ]
+        extra = (
+            env.filter(FX.col("partition") == 0)
+            .limit(25)
+            .repartition(1, "partition")
+        )
+        write_table(extra, tdir)
+        commit_append(tdir, extra.schema)
+        session_cache_put(_ICEBERG_TT_CACHE, key, (tdir, first_snapshot))
+        cached = (tdir, first_snapshot)
+    tdir, first_snapshot = cached
+    now = read_iceberg_table(spark, tdir).groupBy("partition").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records_now")
+    )
+    asof = read_iceberg_table_at(spark, tdir, first_snapshot).groupBy(
+        "partition"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_records_asof"))
+    return asof.join(now, "partition").select(
+        "partition", "n_records_asof", "n_records_now"
+    )
