@@ -77,6 +77,7 @@ PROBES = [
     "streaming_windowed_counts",
     "streaming_dedup_exact",
     "streaming_user_totals_stateful",
+    "iceberg_scan_pruned",  # metadata-planned scan: prune cost is O(manifests)
 ]
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

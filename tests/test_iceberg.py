@@ -954,3 +954,25 @@ class TestFourthReviewPins:
         # running total chains through the surviving snapshot, not the
         # (expired) per-snapshot added-records sum
         assert cur["summary"]["total-records"] == "260"
+
+
+def test_timestamp_as_of_resolution(table, spark):
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        read_iceberg_table_at,
+        snapshot_as_of_timestamp,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import write_table
+
+    tdir, df = table
+    commit_append(tdir, df.schema, now_ms=1_000)
+    write_table(df.limit(20).repartition(1, "partition"), tdir)
+    commit_append(tdir, df.schema, now_ms=2_000)
+
+    assert snapshot_as_of_timestamp(tdir, 1_500) == 1
+    assert snapshot_as_of_timestamp(tdir, 2_000) == 2
+    assert snapshot_as_of_timestamp(tdir, 9_999) == 2
+    with __import__("pytest").raises(ValueError, match="no snapshot"):
+        snapshot_as_of_timestamp(tdir, 500)
+    sid = snapshot_as_of_timestamp(tdir, 1_999)
+    assert read_iceberg_table_at(spark, tdir, sid).count() == 200

@@ -995,11 +995,31 @@ def _load_current_metadata(table_dir: str) -> tuple[int, dict]:
         return version, json.load(f)
 
 
+def snapshot_as_of_timestamp(table_dir: str, timestamp_ms: int) -> int:
+    """``TIMESTAMP AS OF``: the latest snapshot whose commit time is
+    <= the given timestamp (walks the snapshot-log, the same structure
+    external readers use). Raises if the table has no snapshot that
+    old."""
+    _version, meta = _load_current_metadata(table_dir)
+    best = None
+    for entry in meta.get("snapshot-log", []):
+        if entry["timestamp-ms"] <= timestamp_ms:
+            best = entry["snapshot-id"]
+    if best is None:
+        raise ValueError(
+            f"no snapshot at or before timestamp {timestamp_ms} "
+            "(table created later, or history expired)"
+        )
+    return best
+
+
 def read_iceberg_table_at(spark, table_dir: str, snapshot_id: int):
     """Time travel: open the table AS OF a historical snapshot — the
     file set is whatever that snapshot's manifest list said, regardless
     of later appends (Iceberg's ``VERSION AS OF`` semantics; any
-    snapshot still present in the metadata is readable)."""
+    snapshot still present in the metadata is readable). For
+    ``TIMESTAMP AS OF``, resolve the id via
+    :func:`snapshot_as_of_timestamp` first."""
     _version, meta = _load_current_metadata(table_dir)
     snap = next(
         (s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id), None
