@@ -39,6 +39,7 @@ streaming key cardinality all grow 10x):
     streaming_windowed_counts         1.12     1.62    1.4
     streaming_dedup_exact             1.18     1.32    1.1
     streaming_user_totals_stateful    1.92     7.46    3.9   (rows 1.5k -> 15k, sub-linear/row)
+    iceberg_scan_pruned               0.22     0.21    1.0   (metadata-planned prune: FLAT)
 
     tiered read, fixed offset window 100-599 (bytes-fetched accounting):
       1x : store  3.4 MB -> fetched 21.4 KB over 4 boundary segments
