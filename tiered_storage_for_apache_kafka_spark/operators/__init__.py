@@ -200,6 +200,7 @@ _PROMOTE = [
     "iceberg_puffin_stats",
     "streaming_iceberg_commit",
     "iceberg_time_travel",
+    "iceberg_compaction_verify",
     "quality_classifier_trained",
     "bpe_train_merges",
     "bpe_encode_token_count",

@@ -806,3 +806,68 @@ def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.join(now, "partition").select(
         "partition", "n_records_asof", "n_records_now"
     )
+
+
+_ICEBERG_COMPACT_CACHE: dict[tuple, str] = {}
+
+
+@query(
+    "iceberg_compaction_verify",
+    oracle="""
+SELECT CAST(event_id % 4 AS INT) AS partition,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(1 AS BIGINT) AS n_manifests,
+       CAST(3 AS BIGINT) AS n_snapshots
+FROM events
+GROUP BY CAST(event_id % 4 AS INT)
+""",
+)
+def iceberg_compaction_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest compaction hash-verified end-to-end: the envelope is
+    split into two appends (partitions {0,1}, then {2,3}) so the table
+    accumulates two manifests, then `rewrite_manifests` merges them
+    into one replace snapshot. The query re-opens the compacted table through
+    its metadata and reports per-partition counts + the manifest and
+    snapshot counts; the oracle recomputes the counts from raw `events`
+    with the structural constants (1 compacted manifest, 3 snapshots =
+    2 appends + 1 replace). Equal hashes prove compaction preserved
+    exactly the committed row set."""
+    from pyspark.sql import functions as FX
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        read_iceberg_table,
+        read_table_metadata,
+        rewrite_manifests,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+        records_to_envelope,
+        write_table,
+    )
+
+    key = _cache_key(spark, sf_dir)
+    tdir = _ICEBERG_COMPACT_CACHE.get(key)
+    if tdir is None:
+        env = records_to_envelope(_records(spark, sf_dir))
+        tdir = tempfile.mkdtemp(prefix="iceberg-compact-")
+        # two appends: partitions {0,1} then {2,3} -> two manifests
+        write_table(
+            env.filter(FX.col("partition") < 2).repartition(2, "partition"), tdir
+        )
+        commit_append(tdir, env.schema)
+        write_table(
+            env.filter(FX.col("partition") >= 2).repartition(2, "partition"), tdir
+        )
+        commit_append(tdir, env.schema)
+        rewrite_manifests(tdir)
+        session_cache_put(_ICEBERG_COMPACT_CACHE, key, tdir)
+    back = read_table_metadata(tdir)
+    n_manifests = len(back["manifest_list"])
+    n_snapshots = len(back["metadata"]["snapshots"])
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy("partition")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+        .withColumn("n_manifests", F.lit(n_manifests).cast("bigint"))
+        .withColumn("n_snapshots", F.lit(n_snapshots).cast("bigint"))
+    )
