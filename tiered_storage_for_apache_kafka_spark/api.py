@@ -94,6 +94,7 @@ class TieredStorageManager:
         upload_rate_limit_bytes_per_second: int | None = None,
         manifest_retention_seconds: float | None = 3600.0,
         clock=None,
+        index_cache: ChunkCache | None = None,
     ):
         self.backend = backend
         self.chunk_size = chunk_size
@@ -137,6 +138,20 @@ class TieredStorageManager:
         # fetches may run concurrently (the chunk cache is single-flight
         # across threads); OrderedDict reorder/evict needs the same care
         self._manifest_lock = threading.Lock()
+        # Segment-indexes byte cache (R11): the reference ALWAYS wires a
+        # dedicated 10 MiB byte-weighted single-flight TTL cache for
+        # fetched aux-index bytes (`fetch/index/MemorySegmentIndexesCache
+        # .java:49-147`, wired `KafkaRemoteStorageManager.java:548-576`)
+        # — brokers hit the offset/time indexes on every remote lookup.
+        if index_cache is None:
+            from tiered_storage_for_apache_kafka_spark.fetch.index_cache import (
+                MemorySegmentIndexesCache,
+            )
+
+            index_cache = MemorySegmentIndexesCache(clock=clock)
+        self._index_cache = index_cache
+        if getattr(self._index_cache, "metrics", None) is None:
+            self._index_cache.metrics = self.metrics
 
     # -- helpers ---------------------------------------------------------------
 
@@ -345,20 +360,33 @@ class TieredStorageManager:
 
     def fetch_index(self, meta: SegmentMetadata, index_type: str) -> bytes:
         """One aux index, decrypted if needed (`KafkaRemoteStorageManager.
-        java:486-530`). Raises KeyError when the segment has no such index."""
+        java:486-530`). Raises KeyError when the segment has no such index.
+
+        Decrypted index bytes are cached in the segment-indexes cache
+        (`fetch/index/MemorySegmentIndexesCache.java:49-147` parity, wired
+        `KafkaRemoteStorageManager.java:548-576`): repeat lookups of the
+        same (segment, index type) do zero backend GETs until TTL expiry
+        or eviction. The reference caches the post-decrypt form too — its
+        supplier runs fetchIndexBytes (GET + detransform) before insert."""
         manifest = self._manifest(meta)
         loc = manifest.segment_indexes.locations.get(index_type)
         if loc is None:
             raise KeyError(f"segment has no {index_type!r} index")
-        key = self._object_keys(meta)[Suffix.INDEXES]
         if loc.size == 0:
             return b""
-        with self.backend.fetch(key, BytesRange.of_size(loc.position, loc.size)) as f:
-            payload = f.read()
-        enc_key = self._segment_key(manifest)
-        if enc_key is not None:
-            payload = next(decrypt_chunks(iter([payload]), enc_key))
-        return payload
+
+        def _load() -> bytes:
+            key = self._object_keys(meta)[Suffix.INDEXES]
+            with self.backend.fetch(
+                key, BytesRange.of_size(loc.position, loc.size)
+            ) as f:
+                payload = f.read()
+            enc_key = self._segment_key(manifest)
+            if enc_key is not None:
+                payload = next(decrypt_chunks(iter([payload]), enc_key))
+            return payload
+
+        return self._index_cache.get_chunk((meta.segment_uuid, index_type), _load)
 
     def delete_log_segment_data(self, meta: SegmentMetadata) -> None:
         self.metrics.inc("segment.delete", topic=meta.topic)
@@ -366,3 +394,6 @@ class TieredStorageManager:
         self._dek_cache.pop(meta.segment_uuid, None)
         with self._manifest_lock:
             self._manifest_cache.pop(meta.segment_uuid, None)
+        # drop cached aux-index bytes alongside the manifest entry so a
+        # deleted segment can't serve stale indexes
+        self._index_cache.invalidate_object(meta.segment_uuid)

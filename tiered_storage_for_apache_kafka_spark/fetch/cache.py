@@ -66,6 +66,11 @@ class ChunkCache:
         # bridges cache stats into the metric groups, `metrics/
         # CaffeineStatsCounter.java`); wired by TieredStorageManager
         self.metrics = None
+        # metric-name namespace: the reference registers one stats group
+        # per cache (`chunk-cache-metrics` vs `segment-indexes-cache-
+        # metrics`, MemorySegmentIndexesCache.java:53); subclasses
+        # override so hit/miss counters stay distinguishable.
+        self.metric_prefix = "chunk_cache"
 
     # storage primitives (subclass) -------------------------------------------
     def _get(self, key: ChunkKey) -> bytes | None:
@@ -81,13 +86,13 @@ class ChunkCache:
             if cached is not None:
                 self.hits += 1
                 if self.metrics is not None:
-                    self.metrics.inc("chunk_cache.hits")
+                    self.metrics.inc(f"{self.metric_prefix}.hits")
                 return cached
             fut = self._inflight.get(key)
             if fut is None:
                 self.misses += 1
                 if self.metrics is not None:
-                    self.metrics.inc("chunk_cache.misses")
+                    self.metrics.inc(f"{self.metric_prefix}.misses")
                 fut = Future()
                 self._inflight[key] = fut
                 owner = True
@@ -117,6 +122,24 @@ class ChunkCache:
                 except Exception:
                     pass
             self._pool.submit(_load)
+
+    def invalidate_object(self, obj: str) -> int:
+        """Drop every cached entry whose key's first component equals
+        ``obj`` (all chunks of a segment / all aux indexes of a segment).
+        Called from ``delete_log_segment_data`` so deleted segments don't
+        serve stale bytes. Returns the number of entries removed."""
+        with self._lock:
+            victims = [k for k in self._keys() if k[0] == obj]
+            for k in victims:
+                self._remove(k)
+        return len(victims)
+
+    # subclass storage primitives for invalidation ----------------------------
+    def _keys(self) -> list[ChunkKey]:
+        raise NotImplementedError
+
+    def _remove(self, key: ChunkKey) -> None:
+        raise NotImplementedError
 
     def close(self) -> None:
         self._pool.shutdown(wait=False, cancel_futures=True)
@@ -164,6 +187,14 @@ class MemoryChunkCache(ChunkCache):
         while self._weight > self.max_bytes and len(self._data) > 1:
             _, (evicted, _ts) = self._data.popitem(last=False)
             self._weight -= len(evicted)
+
+    def _keys(self) -> list[ChunkKey]:
+        return list(self._data.keys())
+
+    def _remove(self, key: ChunkKey) -> None:
+        entry = self._data.pop(key, None)
+        if entry is not None:
+            self._weight -= len(entry[0])
 
 
 class DiskChunkCache(ChunkCache):
@@ -236,5 +267,17 @@ class DiskChunkCache(ChunkCache):
             self._weight -= size
             try:
                 self._file(old_key).unlink()
+            except FileNotFoundError:
+                pass
+
+    def _keys(self) -> list[ChunkKey]:
+        return list(self._index.keys())
+
+    def _remove(self, key: ChunkKey) -> None:
+        entry = self._index.pop(key, None)
+        if entry is not None:
+            self._weight -= entry[0]
+            try:
+                self._file(key).unlink()
             except FileNotFoundError:
                 pass

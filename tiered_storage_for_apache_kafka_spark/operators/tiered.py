@@ -321,6 +321,8 @@ UNION ALL SELECT 'object-upload-bytes-total.log', CAST(SUM(seg_size) AS BIGINT) 
 UNION ALL SELECT 'segment-copy-total', CAST(COUNT(*) AS BIGINT) FROM seg
 UNION ALL SELECT 'segment-delete-total', CAST(COUNT(*) AS BIGINT) FROM seg
 UNION ALL SELECT 'segment-fetch-requested-bytes-total', CAST(SUM(seg_size) AS BIGINT) FROM seg
+UNION ALL SELECT 'segment-indexes-cache-hits-total', CAST(COUNT(*) AS BIGINT) FROM seg
+UNION ALL SELECT 'segment-indexes-cache-misses-total', CAST(COUNT(*) AS BIGINT) FROM seg
 """,
 )
 def engine_metrics_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,6 +401,12 @@ def engine_metrics_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         b"".join(mgr.fetch_log_segment(meta, 0))
+        # two lookups of the same aux index: the first misses the
+        # segment-indexes cache (one backend GET), the second hits it
+        # (zero GETs) — MemorySegmentIndexesCache.java:49-147 parity,
+        # counted deterministically so the oracle can recompute totals
+        mgr.fetch_index(meta, "offset")
+        mgr.fetch_index(meta, "offset")
         mgr.delete_log_segment_data(meta)
         snap = mgr.metrics.snapshot()
         rows = [
@@ -410,6 +418,8 @@ def engine_metrics_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("segment-delete-total", snap["segment.delete[topic=events]"]),
             ("segment-fetch-requested-bytes-total",
              snap["fetch.requested.bytes[topic=events]"]),
+            ("segment-indexes-cache-hits-total", snap["index_cache.hits"]),
+            ("segment-indexes-cache-misses-total", snap["index_cache.misses"]),
         ]
         return pd.DataFrame(rows, columns=["metric", "value"])
 
