@@ -95,3 +95,136 @@ def test_chunk_cache_stats_bridge_into_engine_metrics(tmp_path):
     assert snap.get("chunk_cache.hits", 0) >= 1
     assert snap["chunk_cache.hits"] == cache.hits
     assert snap["chunk_cache.misses"] == cache.misses
+
+
+def test_derived_avg_max_rate():
+    from tiered_storage_for_apache_kafka_spark.metrics import Metrics
+
+    now = [100.0]
+    m = Metrics(clock=lambda: now[0])
+    m.inc("upload.bytes", 500, object_type="log")
+    with m.time("segment.copy", topic="t"):
+        pass
+    with m.time("segment.copy", topic="t"):
+        pass
+    now[0] = 110.0  # 10 s elapsed
+    snap = m.snapshot(derived=True)
+    # existing keys unchanged
+    assert snap["upload.bytes[object_type=log]"] == 500
+    assert "segment.copy[topic=t].seconds" in snap
+    # derivations
+    assert snap["upload.bytes[object_type=log].rate"] == 50.0
+    base = "segment.copy[topic=t]"
+    assert snap[base + ".avg"] == snap[base + ".seconds"] / 2
+    assert snap[base + ".max"] >= snap[base + ".avg"]
+
+
+# The checked-in name list mirroring docs/metrics.rst groups (generated
+# from the reference's MetricRegistry classes): remote-storage-manager-
+# metrics attributes (metrics.rst:16-30), the cache groups'
+# hit/miss attributes (metrics.rst:121-183), and the s3-client-metrics
+# request/time attributes (storage/s3/.../MetricRegistry.java:24-84).
+REFERENCE_RSM_NAMES = {
+    "object-upload-bytes-rate",
+    "object-upload-bytes-total",
+    "object-upload-rate",
+    "object-upload-total",
+    "segment-copy-time-avg",
+    "segment-copy-time-max",
+    "segment-delete-bytes-total",
+    "segment-delete-errors-rate",
+    "segment-delete-errors-total",
+    "segment-delete-rate",
+    "segment-delete-time-avg",
+    "segment-delete-time-max",
+    "segment-delete-total",
+    "segment-fetch-requested-bytes-rate",
+    "segment-fetch-requested-bytes-total",
+}
+REFERENCE_CACHE_NAMES = {
+    f"{group}.{attr}"
+    for group in (
+        "chunk-cache-metrics",
+        "segment-indexes-cache-metrics",
+        "segment-manifest-cache-metrics",
+    )
+    for attr in ("cache-hits-total", "cache-misses-total")
+}
+REFERENCE_CLIENT_NAMES = {
+    f"filesystem-client-metrics.{op}-{kind}"
+    for op in ("get-object", "put-object", "delete-object", "delete-objects")
+    for kind in ("requests-total", "requests-rate", "time-avg", "time-max")
+}
+
+
+def test_reference_snapshot_name_parity(tmp_path):
+    from tiered_storage_for_apache_kafka_spark.api import (
+        SegmentData,
+        SegmentMetadata,
+        TieredStorageManager,
+    )
+    from tiered_storage_for_apache_kafka_spark.storage.filesystem import (
+        FileSystemStorage,
+    )
+    from tiered_storage_for_apache_kafka_spark.storage.metering import (
+        MeteredBackend,
+    )
+
+    mgr = TieredStorageManager(
+        MeteredBackend(FileSystemStorage(tmp_path), None), chunk_size=64
+    )
+    mgr.backend.metrics = mgr.metrics
+    meta = SegmentMetadata(
+        topic="t", topic_id="tid", partition=0, start_offset=0,
+        end_offset=9, segment_uuid="u-ref-names",
+    )
+    mgr.copy_log_segment_data(
+        meta,
+        SegmentData(b"z" * 300, {
+            "offset": b"o", "timestamp": b"t",
+            "producerSnapshot": b"s", "leaderEpoch": b"e",
+        }),
+    )
+    b"".join(mgr.fetch_log_segment(meta, 0))
+    mgr.fetch_index(meta, "offset")
+    mgr.fetch_index(meta, "offset")
+    mgr.delete_log_segment_data(meta)
+
+    ref = mgr.metrics.reference_snapshot()
+    missing = (
+        REFERENCE_RSM_NAMES | REFERENCE_CACHE_NAMES | REFERENCE_CLIENT_NAMES
+    ) - set(ref)
+    assert not missing, f"missing reference metric names: {sorted(missing)}"
+    # spot-check values
+    assert ref["object-upload-total"] == 3  # log + indexes + manifest
+    assert ref["object-upload-bytes-total"] > 300
+    assert ref["segment-delete-total"] == 1
+    assert ref["segment-delete-bytes-total"] == 300  # manifest was cached
+    assert ref["segment-delete-time-max"] > 0
+    assert ref["segment-copy-time-avg"] > 0
+    assert ref["segment-indexes-cache-metrics.cache-hits-total"] == 1
+    assert ref["segment-indexes-cache-metrics.cache-misses-total"] == 1
+    # copy write-through seeds the manifest cache, so lookups HIT
+    assert ref["segment-manifest-cache-metrics.cache-hits-total"] >= 1
+    assert ref["filesystem-client-metrics.put-object-requests-total"] == 3
+    assert ref["filesystem-client-metrics.delete-objects-requests-total"] == 1
+    assert ref["filesystem-client-metrics.get-object-time-avg"] > 0
+    assert ref["object-upload-rate"] > 0
+
+
+def test_metered_backend_delete_single_key(tmp_path):
+    from tiered_storage_for_apache_kafka_spark.metrics import Metrics
+    from tiered_storage_for_apache_kafka_spark.storage.filesystem import (
+        FileSystemStorage,
+    )
+    from tiered_storage_for_apache_kafka_spark.storage.metering import (
+        MeteredBackend,
+    )
+
+    m = Metrics()
+    b = MeteredBackend(FileSystemStorage(tmp_path), m)
+    b.upload("k1", b"abc")
+    b.delete("k1")
+    snap = m.snapshot()
+    assert snap["storage.delete-object-requests[backend=filesystem]"] == 1
+    assert snap["storage.put-object-requests[backend=filesystem]"] == 1

@@ -220,6 +220,7 @@ class TieredStorageManager:
             )
             self._upload(keys[Suffix.LOG], result.data)
             self.metrics.inc("upload.bytes", len(result.data), object_type="log")
+            self.metrics.inc("upload.requests", object_type="log")
             uploaded.append(keys[Suffix.LOG])
 
             # aux indexes: transform each (no chunking; encrypt-only), concat
@@ -235,6 +236,7 @@ class TieredStorageManager:
                 blob += payload
             self._upload(keys[Suffix.INDEXES], bytes(blob))
             self.metrics.inc("upload.bytes", len(blob), object_type="indexes")
+            self.metrics.inc("upload.requests", object_type="indexes")
             uploaded.append(keys[Suffix.INDEXES])
 
             encryption_meta = None
@@ -269,6 +271,7 @@ class TieredStorageManager:
                 while len(self._manifest_cache) > self._manifest_cache_size:
                     self._manifest_cache.popitem(last=False)
             self.metrics.inc("upload.bytes", len(manifest_bytes), object_type="manifest")
+            self.metrics.inc("upload.requests", object_type="manifest")
             uploaded.append(keys[Suffix.MANIFEST])
 
             from tiered_storage_for_apache_kafka_spark.metadata_serde import (
@@ -316,7 +319,9 @@ class TieredStorageManager:
                         self._clock(),
                     )
                     self._manifest_cache.move_to_end(meta.segment_uuid)
+                    self.metrics.inc("manifest_cache.hits")
                     return manifest
+        self.metrics.inc("manifest_cache.misses")
         key = self._object_keys(meta)[Suffix.MANIFEST]
         with self.backend.fetch(key) as f:
             manifest = SegmentManifest.from_json(f.read())
@@ -390,10 +395,26 @@ class TieredStorageManager:
 
     def delete_log_segment_data(self, meta: SegmentMetadata) -> None:
         self.metrics.inc("segment.delete", topic=meta.topic)
-        self.backend.delete(self._object_keys(meta).values())
+        try:
+            # segment-delete-time-avg/max parity (docs/metrics.rst:26-27)
+            with self.metrics.time("segment.delete.time", topic=meta.topic):
+                self.backend.delete(self._object_keys(meta).values())
+        except BaseException:
+            # segment-delete-errors-total/-rate (docs/metrics.rst:23-24)
+            self.metrics.inc("segment.delete.errors", topic=meta.topic)
+            raise
         self._dek_cache.pop(meta.segment_uuid, None)
         with self._manifest_lock:
-            self._manifest_cache.pop(meta.segment_uuid, None)
+            entry = self._manifest_cache.pop(meta.segment_uuid, None)
+        if entry is not None:
+            # segment-delete-bytes-total, estimated from segment size as
+            # the reference does from RLMM metadata (best-effort: only
+            # when the manifest is already cached; never a GET)
+            self.metrics.inc(
+                "segment.delete.bytes",
+                entry[0].chunk_index.original_file_size,
+                topic=meta.topic,
+            )
         # drop cached aux-index bytes alongside the manifest entry so a
         # deleted segment can't serve stale indexes
         self._index_cache.invalidate_object(meta.segment_uuid)

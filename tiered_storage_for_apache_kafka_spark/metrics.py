@@ -14,10 +14,13 @@ from contextlib import contextmanager
 
 
 class Metrics:
-    def __init__(self) -> None:
+    def __init__(self, clock=None) -> None:
         self._lock = threading.Lock()
         self._counters: dict[str, int] = defaultdict(int)
         self._timers: dict[str, float] = defaultdict(float)
+        self._timer_max: dict[str, float] = defaultdict(float)
+        self._clock = clock or time.monotonic
+        self._created = self._clock()
 
     def inc(self, name: str, value: int = 1, **tags: str | int) -> None:
         with self._lock:
@@ -34,6 +37,8 @@ class Metrics:
                 key = self._key(name, tags)
                 self._timers[key + ".seconds"] += elapsed
                 self._counters[key + ".count"] += 1
+                if elapsed > self._timer_max[key]:
+                    self._timer_max[key] = elapsed
 
     @staticmethod
     def _key(name: str, tags: dict) -> str:
@@ -42,10 +47,134 @@ class Metrics:
         suffix = ",".join(f"{k}={v}" for k, v in sorted(tags.items()))
         return f"{name}[{suffix}]"
 
-    def snapshot(self) -> dict[str, float]:
+    def snapshot(self, derived: bool = False) -> dict[str, float]:
+        """Raw counters/timers; with ``derived=True`` also the
+        reference's Kafka-metrics derivations (`metrics/Metrics.java:
+        79-262` registers Rate alongside every CumulativeSum and
+        Avg/Max alongside every cumulative timer — `docs/metrics.rst`
+        ``*-rate``/``*-time-avg``/``*-time-max``): per-timer ``.avg`` and
+        ``.max``, per-counter ``.rate`` (per second since this registry
+        was created). Existing key names are unchanged."""
         with self._lock:
             out: dict[str, float] = dict(self._counters)
             out.update(self._timers)
+            if not derived:
+                return out
+            elapsed = max(self._clock() - self._created, 1e-9)
+            for key, seconds in self._timers.items():
+                base = key[: -len(".seconds")]
+                count = self._counters.get(base + ".count", 0)
+                if count:
+                    out[base + ".avg"] = seconds / count
+                out[base + ".max"] = self._timer_max[base]
+            for key, value in self._counters.items():
+                if not key.endswith(".count"):
+                    out[key + ".rate"] = value / elapsed
+            return out
+
+    # -- metrics.rst name parity ----------------------------------------------
+
+    def _agg_counter(self, base: str) -> float:
+        """Sum a counter across all tag combinations (untagged JMX group)."""
+        total = 0.0
+        for key, value in self._counters.items():
+            name = key.split("[", 1)[0]
+            if name == base:
+                total += value
+        return total
+
+    def _agg_timer(self, base: str) -> tuple[float, float, float]:
+        """(seconds, count, max) for a timer across all tag combinations."""
+        seconds = count = maxv = 0.0
+        for key, value in self._timers.items():
+            stem = key[: -len(".seconds")]
+            if stem.split("[", 1)[0] == base:
+                seconds += value
+                count += self._counters.get(stem + ".count", 0)
+                maxv = max(maxv, self._timer_max[stem])
+        return seconds, count, maxv
+
+    def reference_snapshot(self) -> dict[str, float]:
+        """The engine's counters under the reference's published JMX
+        attribute names (``docs/metrics.rst``, generated from the
+        ``MetricRegistry`` classes): the untagged
+        ``remote-storage-manager-metrics`` group plus the three cache
+        groups and the per-backend ``*-client-metrics`` groups
+        (``storage/s3/.../MetricRegistry.java:24-84``). Names not yet
+        fired report 0, mirroring a registered-but-idle Kafka sensor.
+        Cache/backend groups are namespaced ``<group>.<attribute>``."""
+        with self._lock:
+            elapsed = max(self._clock() - self._created, 1e-9)
+
+            def rate(v: float) -> float:
+                return v / elapsed
+
+            out: dict[str, float] = {}
+            # remote-storage-manager-metrics (metrics.rst:16-30)
+            for ref, internal in [
+                ("object-upload-bytes", "upload.bytes"),
+                ("object-upload", "upload.requests"),
+                ("segment-delete", "segment.delete"),
+                ("segment-delete-bytes", "segment.delete.bytes"),
+                ("segment-delete-errors", "segment.delete.errors"),
+                ("segment-copy-errors", "segment.copy.failures"),
+                ("segment-fetch-requested-bytes", "fetch.requested.bytes"),
+            ]:
+                total = self._agg_counter(internal)
+                out[ref + "-total"] = total
+                if ref not in ("segment-delete-bytes",):  # rst: no rate form
+                    out[ref + "-rate"] = rate(total)
+            for ref, internal in [
+                ("segment-copy-time", "segment.copy"),
+                ("segment-delete-time", "segment.delete.time"),
+            ]:
+                seconds, count, maxv = self._agg_timer(internal)
+                out[ref + "-avg"] = seconds / count if count else 0.0
+                out[ref + "-max"] = maxv
+            # cache groups (metrics.rst:121-183): cache-hits/misses-total
+            for group, internal in [
+                ("chunk-cache-metrics", "chunk_cache"),
+                ("segment-indexes-cache-metrics", "index_cache"),
+                ("segment-manifest-cache-metrics", "manifest_cache"),
+            ]:
+                out[f"{group}.cache-hits-total"] = self._agg_counter(
+                    internal + ".hits"
+                )
+                out[f"{group}.cache-misses-total"] = self._agg_counter(
+                    internal + ".misses"
+                )
+            # per-backend client groups (storage/*/MetricRegistry.java):
+            # requests + time per op, tagged by backend label
+            ops = [
+                "get-object",
+                "put-object",
+                "delete-object",
+                "delete-objects",
+            ]
+            backends = set()
+            for key in list(self._counters) + list(self._timers):
+                if key.startswith("storage.") and "[backend=" in key:
+                    backends.add(key.split("[backend=", 1)[1].split("]")[0].split(",")[0])
+            for backend in sorted(backends):
+                group = f"{backend}-client-metrics"
+                for op in ops:
+                    req_key = self._key(
+                        f"storage.{op}-requests", {"backend": backend}
+                    )
+                    total = self._counters.get(req_key, 0)
+                    out[f"{group}.{op}-requests-total"] = total
+                    out[f"{group}.{op}-requests-rate"] = rate(total)
+                    t_stem = self._key(
+                        f"storage.{op}-time", {"backend": backend}
+                    )
+                    seconds = self._timers.get(t_stem + ".seconds", 0.0)
+                    count = self._counters.get(t_stem + ".count", 0)
+                    out[f"{group}.{op}-time-avg"] = (
+                        seconds / count if count else 0.0
+                    )
+                    out[f"{group}.{op}-time-max"] = self._timer_max.get(
+                        t_stem, 0.0
+                    )
             return out
 
 
