@@ -89,7 +89,9 @@ def main() -> None:
             "queries": timings,
             "families": families,
             "family_regressions": regressions,
-            "transform_mbps": transform_grid(),
+            "transform_mbps": transform_grid(
+                full_grid="--full-grid" in sys.argv
+            ),
             "sf": sf,
         }
     )
@@ -131,12 +133,14 @@ def _family_regressions(families: dict) -> dict[str, float]:
     return regs
 
 
-def transform_grid() -> dict[str, float]:
+def transform_grid(full_grid: bool = False) -> dict[str, float]:
     """BASELINE.md's JMH grid: random content x chunk {100 KiB, 1 MiB,
     5 MiB} x {compression} x {encryption}; MB/s per cell, best-of-3.
     Legacy keys `transform_cXeY` are the 10 MiB / 1 MiB cells; the full
     grid adds `_10m_<chunk>` cells and 100 MiB / 4 MiB (the reference's
-    recommended chunk size) spot checks."""
+    recommended chunk size) spot checks. ``full_grid`` (--full-grid)
+    additionally runs the declared 1 GiB row's endpoint cells; the
+    ``grid`` key records which variant this run measured."""
     import numpy as np
 
     from tiered_storage_for_apache_kafka_spark.transform.encryption import (
@@ -191,6 +195,20 @@ def transform_grid() -> dict[str, float]:
         t, d = cell(content_100m, 4 << 20, compression, key)
         out[f"transform_100m_4m_{ce}"] = t
         out[f"detransform_100m_4m_{ce}"] = d
+    # BASELINE.md declares the content grid {10 MiB, 100 MiB, 1 GiB};
+    # the 1 GiB row runs only with --full-grid (the endpoint cells
+    # c0e0/c1e1, ~10 s at measured rates) — recorded once per round, so
+    # BENCH.json says explicitly whether this run covered the full grid.
+    if full_grid:
+        del content_10m, content_100m  # a 1 GiB buffer is coming
+        content_1g = rng.bytes(1 << 30)
+        for compression, encryption in ((False, False), (True, True)):
+            key = create_data_key_and_aad() if encryption else None
+            ce = f"c{int(compression)}e{int(encryption)}"
+            t, d = cell(content_1g, 4 << 20, compression, key)
+            out[f"transform_1g_4m_{ce}"] = t
+            out[f"detransform_1g_4m_{ce}"] = d
+    out["grid"] = "full-10m-100m-1g" if full_grid else "reduced-10m-100m"
     return out
 
 
