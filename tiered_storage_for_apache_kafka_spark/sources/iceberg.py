@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import io
 import json
+import re
 import os
 import struct
 import time
@@ -538,6 +539,29 @@ def _stat_data_files(paths: list[str], partition_col: str) -> list[dict]:
 # -- the commit ---------------------------------------------------------------
 
 
+def _load_prior_state(table_dir: str, catalog=None, table_name: str | None = None):
+    """Current table state for a commit: from the version-hint file
+    layout, or — when a REST catalog is configured — from the catalog
+    service (`GET /v1/namespaces/{ns}/tables/{t}`), which is then the
+    source of truth for the metadata pointer. Manifest files themselves
+    live in storage either way, so entry parsing is shared."""
+    if catalog is None:
+        return read_table_metadata(table_dir)
+    resp = catalog.load_table(table_name)
+    if resp is None:
+        return None
+    meta = resp["metadata"]
+    m = re.search(r"v(\d+)\.metadata\.json$", resp["metadata-location"])
+    version = int(m.group(1)) if m else 1
+    manifest_files, manifests = _parse_current_manifests(meta)
+    return {
+        "version": version,
+        "metadata": meta,
+        "manifest_list": manifest_files,
+        "manifests": manifests,
+    }
+
+
 def commit_append(
     table_dir: str,
     spark_schema,
@@ -546,6 +570,9 @@ def commit_append(
     stats_blobs: list[tuple[str, bytes]] | None = None,
     files: list[str] | None = None,
     summary_extra: dict | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    max_commit_retries: int = 3,
 ) -> dict:
     """Append-commit every not-yet-committed parquet data file under
     ``table_dir`` into the table's Iceberg metadata, creating the table
@@ -559,12 +586,55 @@ def commit_append(
     of the snapshot's new data files) plus any caller-provided
     ``stats_blobs`` (e.g. the segment aux indexes, reference
     `BlobTypes.java` names), registered under the metadata's
-    ``statistics`` field as the spec requires."""
+    ``statistics`` field as the spec requires.
+
+    With ``catalog`` (a ``rest_catalog.RestCatalogClient``), the commit
+    routes through the Iceberg REST-catalog protocol instead of the
+    version-hint file layout: the writer still stages manifests /
+    manifest lists / Puffin stats in storage, but the metadata pointer
+    advances via ``POST /v1/namespaces/{ns}/tables/{t}`` with
+    requirements + updates, and a 409 (a concurrent writer won the race)
+    triggers reload-and-rebase up to ``max_commit_retries`` times —
+    the reference's catalog-service commit path
+    (`RemoteStorageManagerConfig.java:261-284`,
+    `IcebergTableManager.java:46-95`)."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+    )
+
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None and table_name is None:
+        table_name = os.path.basename(os.path.normpath(table_dir))
 
-    prior = read_table_metadata(table_dir)
+    last_err: Exception | None = None
+    for _attempt in range(max_commit_retries):
+        prior = _load_prior_state(table_dir, catalog, table_name)
+        try:
+            return _commit_append_once(
+                table_dir, spark_schema, partition_col, now_ms, stats_blobs,
+                files, summary_extra, catalog, table_name, meta_dir, prior,
+            )
+        except CommitConflictError as e:
+            last_err = e  # reload + rebase on the next iteration
+    assert last_err is not None
+    raise last_err
+
+
+def _commit_append_once(
+    table_dir: str,
+    spark_schema,
+    partition_col: str,
+    now_ms: int,
+    stats_blobs,
+    files,
+    summary_extra,
+    catalog,
+    table_name,
+    meta_dir: str,
+    prior,
+) -> dict:
     if prior is None:
         version = 1
         schema_struct, last_col = spark_schema_to_iceberg(spark_schema)
@@ -647,12 +717,24 @@ def commit_append(
 
     if not new_files:
         if prior is None:  # empty table: metadata without a snapshot
-            _write_metadata_version(meta_dir, 1, base)
+            if catalog is not None:
+                catalog.ensure_namespace()
+                catalog.create_table(table_name, base)
+            else:
+                _write_metadata_version(meta_dir, 1, base)
         elif schema_changed:
             # metadata-only commit: the schema version advances even
             # though no data files entered
             base = dict(base)
             base["last-updated-ms"] = now_ms
+            if catalog is not None:
+                resp = catalog.commit_table(
+                    table_name,
+                    _commit_requirements(prior["metadata"]),
+                    _schema_updates(base),
+                    now_ms,
+                )
+                return resp["metadata"]
             _write_metadata_version(meta_dir, version, base)
         return base
 
@@ -793,15 +875,14 @@ def commit_append(
     meta["last-updated-ms"] = now_ms
     meta["current-snapshot-id"] = snapshot_id
     meta["snapshots"] = base["snapshots"] + [snapshot]
-    meta["statistics"] = base.get("statistics", []) + [
-        {
-            "snapshot-id": snapshot_id,
-            "statistics-path": stats_path,
-            "file-size-in-bytes": stats["file_size"],
-            "file-footer-size-in-bytes": stats["footer_size"],
-            "blob-metadata": stats["blob_metadata"],
-        }
-    ]
+    stat_entry = {
+        "snapshot-id": snapshot_id,
+        "statistics-path": stats_path,
+        "file-size-in-bytes": stats["file_size"],
+        "file-footer-size-in-bytes": stats["footer_size"],
+        "blob-metadata": stats["blob_metadata"],
+    }
+    meta["statistics"] = base.get("statistics", []) + [stat_entry]
     meta["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
     meta["snapshot-log"] = base["snapshot-log"] + [
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
@@ -816,8 +897,81 @@ def commit_append(
             }
         ]
 
+    if catalog is not None:
+        # REST-catalog commit: manifests/stats are already staged in
+        # storage; only the metadata pointer moves, and only if our
+        # parent snapshot is still the head (optimistic concurrency)
+        requirements = _commit_requirements(
+            None if prior is None else prior["metadata"], base
+        )
+        updates = []
+        if schema_changed:
+            updates += _schema_updates(base)
+        updates += [
+            {"action": "add-snapshot", "snapshot": snapshot},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": snapshot_id,
+            },
+            {"action": "set-statistics", "statistics": stat_entry},
+        ]
+        if prior is None:
+            catalog.ensure_namespace()
+            catalog.create_table(table_name, base)
+        resp = catalog.commit_table(table_name, requirements, updates, now_ms)
+        return resp["metadata"]
+
     _write_metadata_version(meta_dir, version, meta)
     return meta
+
+
+def _commit_requirements(prior_meta: dict | None, created_base: dict | None = None) -> list[dict]:
+    """CommitTableRequest requirements: pin the table uuid and require
+    main to still point at the parent snapshot we built against (None =
+    ref must not exist yet) — the optimistic-concurrency contract."""
+    if prior_meta is None:
+        # table was just created in this commit; main must be unset
+        return [
+            {"type": "assert-table-uuid", "uuid": created_base["table-uuid"]},
+            {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": None},
+        ]
+    head = (prior_meta.get("refs") or {}).get("main", {}).get("snapshot-id")
+    return [
+        {"type": "assert-table-uuid", "uuid": prior_meta["table-uuid"]},
+        {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": head},
+    ]
+
+
+def _schema_updates(base: dict) -> list[dict]:
+    """add-schema + set-current-schema updates for an evolved schema
+    (the last schema in ``base`` is the one evolution just appended)."""
+    return [
+        {
+            "action": "add-schema",
+            "schema": base["schemas"][-1],
+            "last-column-id": base["last-column-id"],
+        },
+        {"action": "set-current-schema", "schema-id": base["current-schema-id"]},
+    ]
+
+
+def _parse_current_manifests(meta: dict) -> tuple[list[dict], list[dict]]:
+    """Current snapshot's manifest list (Avro) -> each manifest (Avro) ->
+    data-file entries; shared by the file-layout and REST-catalog loaders
+    (the manifests live in storage in both protocols)."""
+    manifests: list[dict] = []
+    manifest_files: list[dict] = []
+    if meta.get("current-snapshot-id", -1) != -1:
+        cur = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+        for mf in manifest_files:
+            _, entries, mmeta = read_avro_ocf(mf["manifest_path"])
+            manifests.append({"file": mf, "entries": entries, "meta": mmeta})
+    return manifest_files, manifests
 
 
 def read_table_metadata(table_dir: str) -> dict | None:
@@ -833,16 +987,7 @@ def read_table_metadata(table_dir: str) -> dict | None:
         version = int(f.read().strip())
     with open(os.path.join(table_dir, "metadata", f"v{version}.metadata.json")) as f:
         meta = json.load(f)
-    manifests = []
-    manifest_files: list[dict] = []
-    if meta.get("current-snapshot-id", -1) != -1:
-        cur = next(
-            s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
-        )
-        _, manifest_files, _ = read_avro_ocf(cur["manifest-list"])
-        for mf in manifest_files:
-            _, entries, mmeta = read_avro_ocf(mf["manifest_path"])
-            manifests.append({"file": mf, "entries": entries, "meta": mmeta})
+    manifest_files, manifests = _parse_current_manifests(meta)
     return {
         "version": version,
         "metadata": meta,
