@@ -93,15 +93,18 @@ class TestRejections:
         with pytest.raises(ValueError, match="baseline only"):
             decode_jpeg(bad)
 
-    def test_subsampling_rejected(self):
+    def test_sampling_factors_beyond_2x2_rejected(self):
+        # 2x2 (4:2:0) is now supported; >2 factors (e.g. 4:1:1's 4x1)
+        # remain rejected
         good = self._good()
         i = good.find(b"\xff\xc0")
         # component 1's H/V byte sits at SOF payload offset 7 (after
         # len(2) prec(1) h(2) w(2) nc(1) cid(1))
         j = i + 4 + 6 + 1
-        bad = good[:j] + b"\x22" + good[j + 1 :]
-        with pytest.raises(ValueError, match="subsampling"):
-            decode_jpeg(bad)
+        for hv in (b"\x33", b"\x41"):
+            bad = good[:j] + hv + good[j + 1 :]
+            with pytest.raises(ValueError, match="sampling factors"):
+                decode_jpeg(bad)
 
     def test_restart_interval_rejected(self):
         good = self._good()
@@ -145,3 +148,81 @@ def test_roundtrip_property_never_crashes(bh, bw, quality, seed):
     px = rng.integers(0, 256, size=(bh * 8, bw * 8), dtype=np.uint8)
     out = decode_jpeg(encode_jpeg(px, quality=quality))
     assert out.shape == (bh * 8, bw * 8, 1)
+
+
+class TestChromaSubsampling:
+    """4:2:0 (2x2 luma MCUs + box-averaged chroma) — the dominant
+    real-corpus JPEG layout (T.81 A.2.3 interleaving)."""
+
+    def test_420_roundtrip_piecewise_constant_color(self):
+        # 16x16 constant-color tiles: chroma is constant within each
+        # 2x2 box, so subsampling loses nothing; DC-only blocks decode
+        # near-exactly at q92
+        rng = np.random.default_rng(7)
+        px = np.zeros((32, 32, 3), dtype=np.uint8)
+        for ty in range(2):
+            for tx in range(2):
+                px[ty * 16 : ty * 16 + 16, tx * 16 : tx * 16 + 16] = rng.integers(
+                    30, 220, size=3
+                )
+        blob = encode_jpeg(px, quality=95, subsampling="420")
+        img = decode_jpeg(blob)
+        assert img.shape == (32, 32, 3)
+        assert np.max(np.abs(img.astype(int) - px.astype(int))) <= 6
+
+    def test_420_sof_declares_2x2_luma(self):
+        px = np.full((16, 16, 3), 77, dtype=np.uint8)
+        blob = encode_jpeg(px, subsampling="420")
+        i = blob.find(b"\xff\xc0")
+        # luma H/V byte (SOF payload offset 7)
+        assert blob[i + 4 + 6 + 1] == 0x22
+        # chroma components 1x1
+        assert blob[i + 4 + 6 + 4] == 0x11
+        assert blob[i + 4 + 6 + 7] == 0x11
+        # and the stream is smaller than 4:4:4 of the same content
+        assert len(blob) < len(encode_jpeg(px, subsampling="444"))
+
+    def test_420_gradient_close_to_444(self):
+        y, x = np.mgrid[0:32, 0:32]
+        px = np.stack(
+            [
+                (y * 8).astype(np.uint8),
+                (x * 8).astype(np.uint8),
+                ((y + x) * 4).astype(np.uint8),
+            ],
+            axis=2,
+        )
+        img420 = decode_jpeg(encode_jpeg(px, quality=95, subsampling="420"))
+        img444 = decode_jpeg(encode_jpeg(px, quality=95, subsampling="444"))
+        # luma is untouched by subsampling; overall error stays bounded
+        err420 = np.mean(np.abs(img420.astype(int) - px.astype(int)))
+        err444 = np.mean(np.abs(img444.astype(int) - px.astype(int)))
+        assert err420 < err444 + 4.0
+        assert np.max(np.abs(img420.astype(int) - px.astype(int))) < 40
+
+    def test_420_noise_roundtrip_decodes(self):
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, size=(48, 80, 3), dtype=np.uint8).astype(
+            np.uint8
+        )
+        img = decode_jpeg(encode_jpeg(px, quality=85, subsampling="420"))
+        assert img.shape == px.shape  # worst-case content still decodes
+
+    def test_420_dimension_validation(self):
+        px = np.zeros((24, 24, 3), dtype=np.uint8)  # % 8 ok, % 16 not
+        with pytest.raises(ValueError, match="multiples of 16"):
+            encode_jpeg(px, subsampling="420")
+        with pytest.raises(ValueError, match="subsampling"):
+            encode_jpeg(np.zeros((16, 16, 3), np.uint8), subsampling="422")
+
+    def test_420_grayscale_ignores_subsampling(self):
+        px = np.full((16, 16), 90, dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg(px, subsampling="420")).shape == (16, 16, 1)
+
+    def test_444_bitstreams_unchanged(self):
+        # the default path emits byte-identical streams to before the
+        # 4:2:0 addition (the driver's fixture hashes depend on it)
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        blob = encode_jpeg(px, quality=92)
+        i = blob.find(b"\xff\xc0")
+        assert blob[i + 4 + 6 + 1] == 0x11

@@ -290,10 +290,15 @@ def _ycbcr_to_rgb(px: "np.ndarray") -> "np.ndarray":
     return np.clip(_round_half_up(out), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(pixels: "np.ndarray", quality: int = 92) -> bytes:
+def encode_jpeg(
+    pixels: "np.ndarray", quality: int = 92, subsampling: str = "444"
+) -> bytes:
     """Baseline JFIF encoder: uint8 HxW (grayscale) or HxWx3 (RGB,
-    coded as YCbCr 4:4:4). Dimensions must be multiples of 8 (this
-    encoder does not edge-pad)."""
+    coded as YCbCr). ``subsampling`` is ``"444"`` (one block per
+    component per MCU) or ``"420"`` (2x2 luma MCUs with 2x2-box-averaged
+    chroma — the dominant real-corpus layout; needs 3 components and
+    dimensions that are multiples of 16). Dimensions must be multiples
+    of 8 (this encoder does not edge-pad)."""
     if pixels.dtype != np.uint8:
         raise ValueError("encode_jpeg needs uint8 pixels")
     if pixels.ndim == 2:
@@ -303,6 +308,13 @@ def encode_jpeg(pixels: "np.ndarray", quality: int = 92) -> bytes:
         raise ValueError("encode_jpeg supports 1 or 3 components")
     if h % 8 or w % 8:
         raise ValueError("dimensions must be multiples of 8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = subsampling == "420" and ncomp == 3
+    if subsampling == "420" and ncomp != 3:
+        sub420 = False  # grayscale has no chroma to subsample
+    if sub420 and (h % 16 or w % 16):
+        raise ValueError("4:2:0 needs dimensions that are multiples of 16")
     if ncomp == 3:
         pixels = _rgb_to_ycbcr(pixels)
 
@@ -316,7 +328,8 @@ def encode_jpeg(pixels: "np.ndarray", quality: int = 92) -> bytes:
         out += _marker(0xDB, bytes([tid]) + bytes(int(v) for v in q.flatten()[ZIGZAG]))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])  # 4:4:4, Tq
+        hv = 0x22 if (sub420 and c == 0) else 0x11
+        sof += bytes([c + 1, hv, 0 if c == 0 else 1])
     out += _marker(0xC0, sof)  # SOF0 baseline
     huff_defs = [
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -344,15 +357,51 @@ def encode_jpeg(pixels: "np.ndarray", quality: int = 92) -> bytes:
 
     writer = _BitWriter()
     preds = [0] * ncomp
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for c in range(ncomp):
-                block = pixels[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c]
-                q = ql if c == 0 else qc
-                coeffs = _fdct_quant(block, q)
-                dc_codes = dc_l if c == 0 else dc_c
-                ac_codes = ac_l if c == 0 else ac_c
-                preds[c] = _encode_block(coeffs, preds[c], dc_codes, ac_codes, writer)
+    if sub420:
+        # chroma planes: 2x2 box average (round-half-up), then MCU
+        # interleave 4 Y blocks + 1 Cb + 1 Cr (T.81 A.2.3 order)
+        y_plane = pixels[:, :, 0]
+        chroma = [
+            np.clip(
+                _round_half_up(
+                    pixels[:, :, c]
+                    .astype(np.float64)
+                    .reshape(h // 2, 2, w // 2, 2)
+                    .mean(axis=(1, 3))
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+            for c in (1, 2)
+        ]
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                for byi in range(2):
+                    for bxi in range(2):
+                        y0 = my * 16 + byi * 8
+                        x0 = mx * 16 + bxi * 8
+                        coeffs = _fdct_quant(
+                            y_plane[y0 : y0 + 8, x0 : x0 + 8], ql
+                        )
+                        preds[0] = _encode_block(
+                            coeffs, preds[0], dc_l, ac_l, writer
+                        )
+                for c, plane in enumerate(chroma, start=1):
+                    y0, x0 = my * 8, mx * 8
+                    coeffs = _fdct_quant(plane[y0 : y0 + 8, x0 : x0 + 8], qc)
+                    preds[c] = _encode_block(
+                        coeffs, preds[c], dc_c, ac_c, writer
+                    )
+    else:
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                for c in range(ncomp):
+                    block = pixels[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c]
+                    q = ql if c == 0 else qc
+                    coeffs = _fdct_quant(block, q)
+                    dc_codes = dc_l if c == 0 else dc_c
+                    ac_codes = ac_l if c == 0 else ac_c
+                    preds[c] = _encode_block(coeffs, preds[c], dc_codes, ac_codes, writer)
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -461,9 +510,12 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
-                if hv != 0x11:
-                    raise ValueError("chroma subsampling not supported (4:4:4 only)")
-                comps.append({"id": cid, "tq": tq})
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        f"unsupported sampling factors {hi}x{vi} (max 2x2)"
+                    )
+                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
             frame = (h, w, nc)
         elif tag == 0xC4:  # DHT
             p = 0
@@ -504,7 +556,43 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
     raise ValueError("JPEG has no SOS marker")
 
 
+def _decode_one_block(reader, comp, ci, preds, qtables, huff) -> "np.ndarray":
+    dc_dec = huff.get((0, comp["td"]))
+    ac_dec = huff.get((1, comp["ta"]))
+    q = qtables.get(comp["tq"])
+    if dc_dec is None or ac_dec is None or q is None:
+        raise ValueError("scan references missing table")
+    t = dc_dec.decode(reader)
+    diff = _extend(reader.receive(t), t)
+    preds[ci] += diff
+    z = np.zeros(64, dtype=np.int64)
+    z[0] = preds[ci]
+    k = 1
+    while k < 64:
+        rs = ac_dec.decode(reader)
+        r_, s_ = rs >> 4, rs & 0x0F
+        if s_ == 0:
+            if r_ == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r_
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        z[k] = _extend(reader.receive(s_), s_)
+        k += 1
+    coeffs = np.zeros(64, dtype=np.int64)
+    coeffs[ZIGZAG] = z
+    return _idct_block(coeffs.reshape(8, 8), q)
+
+
 def _decode_scan(blob, start, frame, scan, qtables, huff) -> "np.ndarray":
+    """MCU-interleaved entropy decode (T.81 A.2.3): the MCU is hmax x
+    vmax luma blocks plus each chroma component's hi x vi blocks; after
+    reconstruction, subsampled planes are box-upsampled (nearest) to the
+    frame size. 4:4:4 degenerates to the one-block-per-component MCU; a
+    single-component scan is non-interleaved by definition (data unit =
+    one block, regardless of its sampling factors)."""
     h, w, nc = frame
     if len(scan) != nc:
         raise ValueError("interleaved single-scan baseline expected")
@@ -512,42 +600,38 @@ def _decode_scan(blob, start, frame, scan, qtables, huff) -> "np.ndarray":
     if end < 0:
         raise ValueError("missing EOI")
     reader = _BitReader(blob[start:end])
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    planes = np.zeros((nc, bh * 8, bw * 8), dtype=np.uint8)
+    if nc == 1:
+        scan = [{**scan[0], "h": 1, "v": 1}]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.uint8)
+        for c in scan
+    ]
     preds = [0] * nc
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, comp in enumerate(scan):
-                dc_dec = huff.get((0, comp["td"]))
-                ac_dec = huff.get((1, comp["ta"]))
-                q = qtables.get(comp["tq"])
-                if dc_dec is None or ac_dec is None or q is None:
-                    raise ValueError("scan references missing table")
-                t = dc_dec.decode(reader)
-                diff = _extend(reader.receive(t), t)
-                preds[ci] += diff
-                z = np.zeros(64, dtype=np.int64)
-                z[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = ac_dec.decode(reader)
-                    r_, s_ = rs >> 4, rs & 0x0F
-                    if s_ == 0:
-                        if r_ == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r_
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    z[k] = _extend(reader.receive(s_), s_)
-                    k += 1
-                coeffs = np.zeros(64, dtype=np.int64)
-                coeffs[ZIGZAG] = z
-                planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block(
-                    coeffs.reshape(8, 8), q
-                )
-    img = np.stack([p[:h, :w] for p in planes], axis=2)
+                for byi in range(comp["v"]):
+                    for bxi in range(comp["h"]):
+                        block = _decode_one_block(
+                            reader, comp, ci, preds, qtables, huff
+                        )
+                        y0 = (my * comp["v"] + byi) * 8
+                        x0 = (mx * comp["h"] + bxi) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    full = []
+    for ci, comp in enumerate(scan):
+        p = planes[ci]
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1:
+            p = p.repeat(ry, axis=0)
+        if rx > 1:
+            p = p.repeat(rx, axis=1)
+        full.append(p[:h, :w])
+    img = np.stack(full, axis=2)
     if nc == 3:
         img = _ycbcr_to_rgb(img)
     return img

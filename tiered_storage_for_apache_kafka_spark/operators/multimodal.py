@@ -1053,3 +1053,94 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b00 INT, b01 INT, b10 INT, b11 INT"
         ),
     )
+
+
+def _jpeg420_oracle() -> str:
+    q00 = _jpeg_q00()
+    cells = ", ".join(
+        f"{_jpeg_block_sql(f'ord(substr(s, {k + 1}, 1))', q00)} AS t{k // 2}{k % 2}"
+        for k in range(4)
+    )
+    return f"""
+WITH padded AS (
+  SELECT doc_id, rpad(substr(text, 1, 4), 4, ' ') AS s FROM documents
+)
+SELECT doc_id,
+       CAST(32 AS INT) AS width,
+       CAST(32 AS INT) AS height,
+       {cells}
+FROM padded
+"""
+
+
+@query("multimodal_jpeg420_decode", oracle=_jpeg420_oracle())
+def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled JPEG decode on the hot path — the
+    dominant real-corpus layout (2x2 luma MCUs + box-averaged chroma,
+    T.81 A.2.3). Each doc's four byte values become a 32x32 COLOR image
+    of four constant 16x16 GRAY tiles (R=G=B=v). Gray content makes the
+    lossy 4:2:0 round-trip oracle-exact: Y=v and Cb=Cr=128 exactly under
+    the T.871 matrix, the 2x2 chroma box average of a constant 128 plane
+    is 128, its level-shifted DC quantizes to exactly 0, so the decoded
+    chroma is exactly 128 and every RGB channel reduces to the SAME
+    integer luma-DC formula the 4:4:4 fixture uses. The UDF additionally
+    asserts all three decoded channels agree on every tile corner — a
+    wrong chroma path (bad MCU interleave, bad upsample, bad un-
+    subsampled reconstruction) breaks that equality and errors the
+    query, so a green hash certifies the full 4:2:0 pipeline, not just
+    luma. General 4:2:0 content (gradients, noise, color) is covered by
+    the codec pytest round-trips.
+
+    Plan shape: narrow map end-to-end, no shuffle (plan-gated)."""
+    from tiered_storage_for_apache_kafka_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    assets = multimodal_jpeg_pixel_bytes(spark, sf_dir)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["block_bytes"]):
+                vals = list(bytes(payload))
+                px = np.zeros((32, 32, 3), dtype=np.uint8)
+                px[:16, :16] = vals[0]
+                px[:16, 16:] = vals[1]
+                px[16:, :16] = vals[2]
+                px[16:, 16:] = vals[3]
+                img = decode_jpeg(
+                    encode_jpeg(px, quality=JPEG_QUALITY, subsampling="420")
+                )
+                if img.shape != (32, 32, 3):
+                    raise ValueError("JPEG 4:2:0 round-trip shape mismatch")
+                corners = [(0, 0), (0, 16), (16, 0), (16, 16)]
+                tiles = []
+                for y, x in corners:
+                    rgb = img[y, x, :]
+                    if not (rgb[0] == rgb[1] == rgb[2]):
+                        raise ValueError(
+                            "4:2:0 chroma path broke gray neutrality: "
+                            f"{rgb.tolist()}"
+                        )
+                    tiles.append(int(rgb[0]))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": 32,
+                        "height": 32,
+                        "t00": tiles[0],
+                        "t01": tiles[1],
+                        "t10": tiles[2],
+                        "t11": tiles[3],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        feats,
+        schema=(
+            "doc_id BIGINT, width INT, height INT, "
+            "t00 INT, t01 INT, t10 INT, t11 INT"
+        ),
+    )
