@@ -290,3 +290,60 @@ def test_apply_updates_unit():
     # unknown action rejected
     with pytest.raises(ValueError):
         apply_updates(meta, [{"action": "mystery"}], 1)
+
+
+def _batch_df(spark, src, where):
+    return spark.read.parquet(src).where(where).selectExpr(
+        "CAST(id % 2 AS INT) AS partition",
+        "named_struct('partition', CAST(id % 2 AS INT), 'offset', id, "
+        "'timestamp_us', id * 1000) AS kafka",
+        "CAST(CAST(id AS STRING) AS BINARY) AS value",
+    )
+
+
+def test_streaming_commit_through_catalog(server, spark, tmp_path):
+    """Micro-batch Iceberg commits route through the REST catalog when
+    configured — the reference's production path (catalog service owns
+    the pointer) — and the (app_id, batch_id) replay-skip check reads
+    catalog state, so exactly-once semantics survive the protocol
+    switch."""
+    import os
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+        read_table_metadata,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        commit_envelope_batch,
+    )
+
+    src = str(tmp_path / "src")
+    tdir = str(tmp_path / "stream_rest")
+    os.makedirs(tdir, exist_ok=True)
+    spark.range(0, 40).write.mode("append").parquet(src)
+    client = RestCatalogClient(server.base_url)
+    batch = _batch_df(spark, src, "id < 40")
+
+    assert commit_envelope_batch(
+        batch, 0, tdir, app_id="ck-A", catalog=client, table_name="stream_rest"
+    ) is True
+    assert server.commit_count >= 1
+    # replay of the same (app, batch): skipped — decided from CATALOG state
+    commits = server.commit_count
+    assert commit_envelope_batch(
+        batch, 0, tdir, app_id="ck-A", catalog=client, table_name="stream_rest"
+    ) is False
+    assert server.commit_count == commits
+    # second batch: one more snapshot, chained
+    spark.range(40, 60).write.mode("append").parquet(src)
+    batch2 = _batch_df(spark, src, "id >= 40 AND id < 60")
+    assert commit_envelope_batch(
+        batch2, 1, tdir, app_id="ck-A", catalog=client, table_name="stream_rest"
+    ) is True
+    loaded = client.load_table("stream_rest")["metadata"]
+    assert len(loaded["snapshots"]) == 2
+    assert loaded["snapshots"][1]["summary"]["batch-id"] == "1"
+    # file layout agrees with the catalog; reads see both batches
+    assert read_table_metadata(tdir)["metadata"]["current-snapshot-id"] == \
+        loaded["current-snapshot-id"]
+    assert read_iceberg_table(spark, tdir).count() == 60

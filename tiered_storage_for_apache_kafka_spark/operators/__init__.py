@@ -177,40 +177,132 @@ _DEMOTE = [
     "multimodal_image_decode",
     "multimodal_audio_decode",
     "multimodal_video_frames",
+    # round-6 demotions: every one of these got its green driver verdict
+    # in CORRECTNESS_r05 and its logic is unchanged this round (the
+    # pytest DuckDB gate still re-checks all of them every round):
+    "multimodal_png_decode",
+    "quality_classifier_trained",
+    "bpe_train_merges",
+    "bpe_encode_token_count",
+    "dedup_lines_newline",
+    "quality_classifier_score",
+    # (bm25_topk_docs / simhash64_near_dup_pairs / dedup_substring_spans
+    # r5 re-verdicts came back green; their original entries above
+    # demote them again)
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash_fingerprint",
+    "simhash_near_dup_pairs",
+    "dedup_connected_components",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "embedding_label_stats",
+    "multimodal_decode_features",
+    "multimodal_asset_catalog",
+    "multimodal_frame_sample",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "streaming_windowed_counts",
+    "streaming_user_totals_stateful",
 ]
 # r5 re-promotions pulled back OUT of the demote tail (verdict ask #5:
 # their green verdicts predate a refactor / gate change, so they need a
 # fresh driver verdict): bm25_topk_docs (CTE refactored for RRF sharing
 # in r4), simhash64_near_dup_pairs + dedup_substring_spans (_gate_small
 # AQE broadcast-gate sharing, never driver-sampled since)
-for _requeue in ("bm25_topk_docs", "simhash64_near_dup_pairs", "dedup_substring_spans"):
+# round-6 re-promotions pulled back OUT of the demote tail (verdict ask
+# #7: rotate the oldest driver verdicts — nothing in the registry should
+# carry a verdict older than 4 rounds; these last saw the driver in
+# r1/r2):
+for _requeue in (
+    "manifest_summary",          # r1 verdict
+    "streaming_dedup_exact",     # r2
+    "pivot_event_type_daily",
+    "json_props_extract",
+    "lag_lead_user_deltas",
+    "value_dispersion_stats",
+    "value_percentiles",
+    "distinct_daily_users",
+    "salted_user_activity",
+    "top_events_per_user",
+    "events_daily_kind",
+    "q4_order_priority",
+    "q22_sales_opportunity",
+    "batch_grouping",
+    "offsets_for_times",
+    "chunk_index_variable",
+    "segment_offset_index",
+    "sessionize_events",
+    "asof_latest_order_per_event",
+    "range_join_purchase_window",
+    "topk_orders_per_priority",
+    "rollup_pricing",
+    "grouping_sets_order_mix",
+    "train_test_split_hash",
+    "stratified_sample_by_lang",
+    "benchmark_decontamination",
+    "curation_funnel",
+    "doc_fingerprint",
+    "doc_winnow_fingerprint",
+    "corpus_lang_profile",
+    "dup_cluster_representatives",
+    "semdedup_keep_drop",
+):
     _DEMOTE.remove(_requeue)
 
 # Queries that have never had a driver verdict: splice them into the
 # prefix right after the last fixed-this-round query so they fall
 # inside the driver's 50-query sample window.
 _PROMOTE = [
-    # round-5 window (r5): every r4 promote got its green verdict in
-    # CORRECTNESS_r04 and moved to _DEMOTE. The window now holds:
-    # (a) NEW queries this round:
-    "multimodal_png_decode",
+    # round-6 window: (a) queries whose logic CHANGED this round and
+    # need a fresh verdict — the jpeg decode path (4:2:0 MCU decode
+    # refactor) and the iceberg commit flow (REST-catalog routing
+    # refactor split commit_append):
     "multimodal_jpeg_decode",
+    "multimodal_jpeg420_decode",  # NEW this round (4:2:0 fixture)
     "iceberg_metadata_summary",
     "iceberg_scan_pruned",
     "iceberg_puffin_stats",
     "streaming_iceberg_commit",
     "iceberg_time_travel",
     "iceberg_compaction_verify",
-    "quality_classifier_trained",
-    "bpe_train_merges",
-    "bpe_encode_token_count",
-    "dedup_lines_newline",
-    # (b) logic changed this round (bigram size guard):
-    "quality_classifier_score",
-    # (c) verdict ask #5 — green verdicts predate a refactor/gate change:
-    "bm25_topk_docs",
-    "simhash64_near_dup_pairs",
-    "dedup_substring_spans",
+    # (b) the oldest-verdict rotation slice (r1/r2 verdicts, re-queued
+    # out of the demote tail above, oldest first):
+    "manifest_summary",
+    "streaming_dedup_exact",
+    "pivot_event_type_daily",
+    "json_props_extract",
+    "lag_lead_user_deltas",
+    "value_dispersion_stats",
+    "value_percentiles",
+    "distinct_daily_users",
+    "salted_user_activity",
+    "top_events_per_user",
+    "events_daily_kind",
+    "q4_order_priority",
+    "q22_sales_opportunity",
+    "batch_grouping",
+    "offsets_for_times",
+    "chunk_index_variable",
+    "segment_offset_index",
+    "sessionize_events",
+    "asof_latest_order_per_event",
+    "range_join_purchase_window",
+    "topk_orders_per_priority",
+    "rollup_pricing",
+    "grouping_sets_order_mix",
+    "train_test_split_hash",
+    "stratified_sample_by_lang",
+    "benchmark_decontamination",
+    "curation_funnel",
+    "doc_fingerprint",
+    "doc_winnow_fingerprint",
+    "corpus_lang_profile",
+    "dup_cluster_representatives",
+    "semdedup_keep_drop",
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's

@@ -371,7 +371,8 @@ def stream_user_type_counts_tws(events: DataFrame) -> DataFrame:
 
 
 def commit_envelope_batch(
-    batch_df: DataFrame, batch_id: int, table_dir: str, app_id: str
+    batch_df: DataFrame, batch_id: int, table_dir: str, app_id: str,
+    catalog=None, table_name: str | None = None,
 ) -> bool:
     """One micro-batch -> one Iceberg snapshot, idempotently. The skip
     key is ``(app_id, batch_id)`` — the standard foreachBatch
@@ -397,8 +398,18 @@ def commit_envelope_batch(
         read_table_metadata,
     )
 
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        _load_prior_state,
+    )
+
     app_tag = _hashlib.md5(app_id.encode()).hexdigest()[:12]
-    state = read_table_metadata(table_dir)
+    # with a REST catalog configured, the catalog service is the source
+    # of truth for the replay-skip check too
+    state = (
+        read_table_metadata(table_dir)
+        if catalog is None
+        else _load_prior_state(table_dir, catalog, table_name)
+    )
     if state is not None:
         for s in state["metadata"]["snapshots"]:
             summ = s["summary"]
@@ -432,6 +443,8 @@ def commit_envelope_batch(
         batch_df.schema,
         files=dests,
         summary_extra={"batch-id": batch_id, "commit-app-id": app_tag},
+        catalog=catalog,
+        table_name=table_name,
     )
     return True
 
@@ -442,6 +455,8 @@ def stream_envelope_to_iceberg(
     checkpoint_dir: str,
     query_name: str = "iceberg_commit",
     app_id: str | None = None,
+    catalog=None,
+    table_name: str | None = None,
 ):
     """EXACTLY-ONCE streaming Iceberg commits: each micro-batch becomes
     one Iceberg snapshot via :func:`commit_envelope_batch` — skip key
@@ -458,11 +473,20 @@ def stream_envelope_to_iceberg(
 
     At 100 TB the parquet write is the distributed part; the skip check
     and the commit are O(batch files + snapshots) driver work per
-    micro-batch, the same cost profile as any Iceberg streaming sink."""
+    micro-batch, the same cost profile as any Iceberg streaming sink.
+
+    With ``catalog`` (a ``rest_catalog.RestCatalogClient``), every
+    micro-batch snapshot commits through the Iceberg REST-catalog
+    protocol — the reference's production path (a real catalog service
+    owns the metadata pointer, `IcebergTableManager.java:46-95`) — with
+    the replay-skip check reading catalog state."""
     resolved_app_id = app_id if app_id is not None else checkpoint_dir
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        commit_envelope_batch(batch_df, batch_id, table_dir, resolved_app_id)
+        commit_envelope_batch(
+            batch_df, batch_id, table_dir, resolved_app_id,
+            catalog=catalog, table_name=table_name,
+        )
 
     return (
         envelope_stream.writeStream.foreachBatch(commit_batch)
