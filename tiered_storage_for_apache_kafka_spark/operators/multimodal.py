@@ -1066,8 +1066,8 @@ WITH padded AS (
   SELECT doc_id, rpad(substr(text, 1, 4), 4, ' ') AS s FROM documents
 )
 SELECT doc_id,
-       CAST(32 AS INT) AS width,
-       CAST(32 AS INT) AS height,
+       CAST(16 AS INT) AS width,
+       CAST(16 AS INT) AS height,
        {cells}
 FROM padded
 """
@@ -1077,8 +1077,10 @@ FROM padded
 def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4:2:0 chroma-subsampled JPEG decode on the hot path — the
     dominant real-corpus layout (2x2 luma MCUs + box-averaged chroma,
-    T.81 A.2.3). Each doc's four byte values become a 32x32 COLOR image
-    of four constant 16x16 GRAY tiles (R=G=B=v). Gray content makes the
+    T.81 A.2.3). Each doc's four byte values become a 16x16 COLOR image
+    of four constant 8x8 GRAY tiles (R=G=B=v) — exactly one 4:2:0 MCU
+    (4 luma + 1 Cb + 1 Cr blocks), so per-doc decode cost matches the
+    4:4:4 fixture. Gray content makes the
     lossy 4:2:0 round-trip oracle-exact: Y=v and Cb=Cr=128 exactly under
     the T.871 matrix, the 2x2 chroma box average of a constant 128 plane
     is 128, its level-shifted DC quantizes to exactly 0, so the decoded
@@ -1104,17 +1106,17 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["block_bytes"]):
                 vals = list(bytes(payload))
-                px = np.zeros((32, 32, 3), dtype=np.uint8)
-                px[:16, :16] = vals[0]
-                px[:16, 16:] = vals[1]
-                px[16:, :16] = vals[2]
-                px[16:, 16:] = vals[3]
+                px = np.zeros((16, 16, 3), dtype=np.uint8)
+                px[:8, :8] = vals[0]
+                px[:8, 8:] = vals[1]
+                px[8:, :8] = vals[2]
+                px[8:, 8:] = vals[3]
                 img = decode_jpeg(
                     encode_jpeg(px, quality=JPEG_QUALITY, subsampling="420")
                 )
-                if img.shape != (32, 32, 3):
+                if img.shape != (16, 16, 3):
                     raise ValueError("JPEG 4:2:0 round-trip shape mismatch")
-                corners = [(0, 0), (0, 16), (16, 0), (16, 16)]
+                corners = [(0, 0), (0, 8), (8, 0), (8, 8)]
                 tiles = []
                 for y, x in corners:
                     rgb = img[y, x, :]
@@ -1127,8 +1129,8 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append(
                     {
                         "doc_id": int(doc_id),
-                        "width": 32,
-                        "height": 32,
+                        "width": 16,
+                        "height": 16,
                         "t00": tiles[0],
                         "t01": tiles[1],
                         "t10": tiles[2],
