@@ -179,3 +179,36 @@ def test_empty_index_not_a_backend_get(tmp_path):
     backend.fetch_calls.clear()
     assert mgr.fetch_index(meta2, "producerSnapshot") == b""
     assert backend.gets_of(".indexes") == 0
+
+
+def test_invalidation_races_inflight_load(tmp_path):
+    """Review finding (r6): a load in flight when the segment is deleted
+    must not re-insert the deleted segment's bytes after invalidation."""
+    mgr, backend = make_manager(tmp_path)
+    gate = threading.Event()
+    started = threading.Event()
+    inner_fetch = backend.inner.fetch
+
+    def slow_fetch(key, byte_range=None):
+        backend.fetch_calls.append(key)
+        if key.endswith(".indexes"):
+            started.set()
+            gate.wait(5)
+        return inner_fetch(key, byte_range)
+
+    backend.fetch = slow_fetch
+    result = []
+    t = threading.Thread(
+        target=lambda: result.append(mgr.fetch_index(META, "offset"))
+    )
+    t.start()
+    started.wait(5)
+    # delete lands while the load is mid-flight
+    mgr._index_cache.invalidate_object(META.segment_uuid)
+    gate.set()
+    t.join(10)
+    # the in-flight caller still got its bytes (load predates delete)...
+    assert result == [INDEXES["offset"]]
+    # ...but nothing was cached: the deleted segment cannot serve from
+    # cache afterwards
+    assert (META.segment_uuid, "offset") not in mgr._index_cache._data

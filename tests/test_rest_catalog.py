@@ -347,3 +347,200 @@ def test_streaming_commit_through_catalog(server, spark, tmp_path):
     assert read_table_metadata(tdir)["metadata"]["current-snapshot-id"] == \
         loaded["current-snapshot-id"]
     assert read_iceberg_table(spark, tdir).count() == 60
+
+
+class LateRacingClient(RestCatalogClient):
+    """The DANGEROUS interleaving: the rival commits right after this
+    writer LOADS state (so this writer stages from a stale base and its
+    staged metadata files coexist with the rival's already-committed
+    ones — they must never share paths)."""
+
+    def __init__(self, base_url, tdir, schema):
+        super().__init__(base_url)
+        self.tdir = tdir
+        self.schema = schema
+        self.raced = False
+        self.rival_file: str | None = None
+
+    def load_table(self, table):
+        resp = super().load_table(table)
+        if resp is not None and not self.raced:
+            self.raced = True
+            self.rival_file = _clone_data_file(self.tdir, "late-rival")
+            from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+                commit_append,
+            )
+
+            commit_append(
+                self.tdir, self.schema, now_ms=9_000,
+                catalog=RestCatalogClient(self.base_url),
+                files=[self.rival_file],
+            )
+        return resp
+
+
+def test_stale_base_staging_cannot_clobber_committed_metadata(server, table):
+    """Review finding (r6): staged manifest/list paths used to be
+    deterministic functions of shared base state, so a loser staging
+    AFTER the winner committed overwrote the winner's committed manifest
+    — silent data loss. Staged paths now embed a per-attempt token."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        plan_scan,
+    )
+
+    tdir, df = table
+    plain = RestCatalogClient(server.base_url)
+    commit_append(tdir, df.schema, now_ms=1_000, catalog=plain)
+
+    mine = _clone_data_file(tdir, "late-mine")
+    racing = LateRacingClient(server.base_url, tdir, df.schema)
+    meta = commit_append(
+        tdir, df.schema, now_ms=5_000, catalog=racing, files=[mine]
+    )
+    # the winner's committed file AND the loser's rebased file are live
+    paths = {os.path.basename(f["file_path"]) for f in plan_scan(tdir)}
+    assert os.path.basename(racing.rival_file) in paths  # winner survived
+    assert os.path.basename(mine) in paths               # loser rebased in
+    assert len(meta["snapshots"]) == 3
+    # review finding: snapshot-log stays monotonic even though the
+    # rebased writer's clock (5000) predates the rival's commit (9000)
+    log_ts = [e["timestamp-ms"] for e in meta["snapshot-log"]]
+    assert log_ts == sorted(log_ts)
+    assert meta["snapshots"][-1]["timestamp-ms"] >= 9_000
+
+
+class CreateRacingClient(RestCatalogClient):
+    """Rival creates the table between this writer's load (None) and its
+    create_table call — the concurrent-bootstrap race."""
+
+    def __init__(self, base_url, tdir, schema):
+        super().__init__(base_url)
+        self.tdir = tdir
+        self.schema = schema
+        self.raced = False
+
+    def create_table(self, table, metadata):
+        if not self.raced:
+            self.raced = True
+            from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+                commit_append,
+            )
+
+            base_files = sorted(
+                p for p in glob.glob(
+                    os.path.join(self.tdir, "partition=*", "*.parquet")
+                )
+                if "boot-mine" not in p
+            )
+            commit_append(
+                self.tdir, self.schema, now_ms=500,
+                catalog=RestCatalogClient(self.base_url),
+                files=base_files,
+            )
+        return super().create_table(table, metadata)
+
+
+def test_concurrent_create_is_retryable(server, table):
+    """Review finding (r6): a 409 AlreadyExistsException from
+    create_table must surface as CommitConflictError so the retry loop
+    reloads the now-existing table and appends on top of it."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        plan_scan,
+    )
+
+    tdir, df = table
+    racing = CreateRacingClient(server.base_url, tdir, df.schema)
+    mine = _clone_data_file(tdir, "boot-mine")
+    meta = commit_append(
+        tdir, df.schema, now_ms=1_000, catalog=racing, files=[mine]
+    )
+    # rival's bootstrap committed the 3 base files; ours appended on top
+    assert len(meta["snapshots"]) == 2
+    assert len(plan_scan(tdir)) == 4
+
+
+def test_streaming_default_table_name_replay_skip(server, spark, tmp_path):
+    """Review finding (r6): with a catalog and table_name omitted, the
+    replay-skip check used to query table 'None' (404 → no state) and
+    re-commit every replayed batch."""
+    import os
+
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        commit_envelope_batch,
+    )
+
+    src = str(tmp_path / "src")
+    tdir = str(tmp_path / "default_name")
+    os.makedirs(tdir, exist_ok=True)
+    spark.range(0, 20).write.mode("append").parquet(src)
+    client = RestCatalogClient(server.base_url)
+    batch = _batch_df(spark, src, "id < 20")
+    assert commit_envelope_batch(
+        batch, 0, tdir, app_id="ck", catalog=client  # no table_name
+    ) is True
+    # replay MUST be skipped (the old bug re-committed it)
+    assert commit_envelope_batch(
+        batch, 0, tdir, app_id="ck", catalog=client
+    ) is False
+    assert len(client.load_table("default_name")["metadata"]["snapshots"]) == 1
+
+
+def test_maintenance_routes_through_catalog(server, table):
+    """Review finding (r6): rewrite_manifests / expire_snapshots on a
+    catalog-managed table must commit through the catalog pointer —
+    file-layout-only maintenance would fork the metadata and be undone
+    by the next REST commit."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        plan_scan,
+        expire_snapshots,
+        read_table_metadata,
+        rewrite_manifests,
+    )
+
+    tdir, df = table
+    client = RestCatalogClient(server.base_url)
+    commit_append(tdir, df.schema, now_ms=1_000, catalog=client)
+    f2 = _clone_data_file(tdir, "m2")
+    commit_append(tdir, df.schema, now_ms=2_000, catalog=client, files=[f2])
+
+    meta = rewrite_manifests(tdir, now_ms=3_000, catalog=client)
+    assert meta["snapshots"][-1]["summary"]["operation"] == "replace"
+    # catalog head moved; file layout agrees
+    loaded = client.load_table("rest_table")["metadata"]
+    assert loaded["current-snapshot-id"] == meta["current-snapshot-id"]
+    assert read_table_metadata(tdir)["metadata"]["current-snapshot-id"] == \
+        meta["current-snapshot-id"]
+    assert len(read_table_metadata(tdir)["manifest_list"]) == 1
+
+    # a follow-up REST commit builds on the COMPACTED state (no fork)
+    f3 = _clone_data_file(tdir, "m3")
+    meta = commit_append(tdir, df.schema, now_ms=4_000, catalog=client, files=[f3])
+    assert meta["snapshots"][-1]["parent-snapshot-id"] == \
+        meta["snapshots"][-2]["snapshot-id"]
+    assert len(plan_scan(tdir)) == 5
+
+    # expiry through the catalog drops old snapshots from the SERVICE
+    meta = expire_snapshots(tdir, keep_last=1, now_ms=5_000, catalog=client)
+    assert len(meta["snapshots"]) == 1
+    loaded = client.load_table("rest_table")["metadata"]
+    assert len(loaded["snapshots"]) == 1
+    assert len(plan_scan(tdir)) == 5  # data untouched
+
+
+def test_rest_commits_maintain_metadata_log(server, table):
+    """Review finding (r6): the catalog service owns metadata-log — each
+    commit chains the superseded version, matching the file layout."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import commit_append
+
+    tdir, df = table
+    client = RestCatalogClient(server.base_url)
+    commit_append(tdir, df.schema, now_ms=1_000, catalog=client)
+    f2 = _clone_data_file(tdir, "log2")
+    meta = commit_append(tdir, df.schema, now_ms=2_000, catalog=client, files=[f2])
+    log = meta["metadata-log"]
+    assert len(log) >= 2  # create + first commit superseded
+    assert all("metadata-file" in e and "timestamp-ms" in e for e in log)
+    assert log[-1]["metadata-file"].endswith(".metadata.json")

@@ -108,8 +108,12 @@ class ChunkCache:
             fut.set_exception(e)
             raise
         with self._lock:
-            self._put(key, value)
-            self._inflight.pop(key, None)
+            if self._inflight.get(key) is fut:
+                self._put(key, value)
+                self._inflight.pop(key, None)
+            # else: the object was invalidated mid-load (segment delete
+            # raced this fetch) — deliver to waiters but do NOT cache,
+            # or a deleted segment's bytes would reappear post-delete
         fut.set_result(value)
         return value
 
@@ -132,6 +136,11 @@ class ChunkCache:
             victims = [k for k in self._keys() if k[0] == obj]
             for k in victims:
                 self._remove(k)
+            # drop in-flight loads for the object too: their owners then
+            # skip the _put (see get_chunk), so a load racing the delete
+            # cannot re-insert bytes after this invalidation
+            for k in [k for k in self._inflight if k[0] == obj]:
+                self._inflight.pop(k)
         return len(victims)
 
     # subclass storage primitives for invalidation ----------------------------

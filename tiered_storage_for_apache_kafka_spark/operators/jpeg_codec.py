@@ -310,9 +310,8 @@ def encode_jpeg(
         raise ValueError("dimensions must be multiples of 8")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
+    # grayscale has no chroma to subsample: '420' degrades to 4:4:4
     sub420 = subsampling == "420" and ncomp == 3
-    if subsampling == "420" and ncomp != 3:
-        sub420 = False  # grayscale has no chroma to subsample
     if sub420 and (h % 16 or w % 16):
         raise ValueError("4:2:0 needs dimensions that are multiples of 16")
     if ncomp == 3:

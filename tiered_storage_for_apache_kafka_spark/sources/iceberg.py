@@ -738,8 +738,20 @@ def _commit_append_once(
             _write_metadata_version(meta_dir, version, base)
         return base
 
+    # snapshot-log monotonicity: after a lost race the rebased commit
+    # may carry a caller clock EARLIER than the rival's snapshot; a
+    # non-monotonic log would make TIMESTAMP AS OF resolve a child for a
+    # timestamp that predates its parent. Clamp to the newest snapshot.
+    newest_ts = max((s["timestamp-ms"] for s in base["snapshots"]), default=0)
+    now_ms = max(now_ms, newest_ts)
     seq = base["last-sequence-number"] + 1
     snapshot_id = seq  # deterministic; any unique long is spec-legal
+    # staged metadata files get a per-attempt random token (real Iceberg
+    # embeds a commit uuid in manifest/list names): two concurrent
+    # catalog writers that loaded the same base state must never collide
+    # on staged paths — a colliding loser would overwrite the winner's
+    # already-committed manifest before its own commit is rejected.
+    commit_uuid = uuid.uuid4().hex[:16]
     entry_schema = manifest_entry_schema(partition_col)
     entries = [
         {
@@ -764,7 +776,9 @@ def _commit_append_once(
         s for s in base["schemas"] if s["schema-id"] == base["current-schema-id"]
     )
     spec = base["partition-specs"][0]
-    manifest_path = os.path.join(meta_dir, f"{base['table-uuid']}-m{seq}.avro")
+    manifest_path = os.path.join(
+        meta_dir, f"{base['table-uuid']}-m{seq}-{commit_uuid}.avro"
+    )
     manifest_len = write_avro_ocf(
         manifest_path,
         entry_schema,
@@ -815,7 +829,7 @@ def _commit_append_once(
         )
         _, prior_manifest_files, _ = read_avro_ocf(cur["manifest-list"])
     list_path = os.path.join(
-        meta_dir, f"snap-{snapshot_id}-1-{base['table-uuid']}.avro"
+        meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
     )
     write_avro_ocf(
         list_path,
@@ -861,7 +875,7 @@ def _commit_append_once(
         for f in new_files
     ]
     stats_path = os.path.join(
-        meta_dir, f"stats-{snapshot_id}-{base['table-uuid']}.puffin"
+        meta_dir, f"stats-{snapshot_id}-{commit_uuid}.puffin"
     )
     stats = write_puffin(
         stats_path,
@@ -1192,7 +1206,37 @@ def read_iceberg_table_at(spark, table_dir: str, snapshot_id: int):
     return _read_planned_files(spark, table_dir, meta, files)
 
 
-def expire_snapshots(table_dir: str, keep_last: int = 1, now_ms: int | None = None) -> dict:
+def _maintenance_state(table_dir: str, catalog, table_name: str | None):
+    """(version, metadata, table_name) for a maintenance op — from the
+    file layout, or from the catalog service when one manages the
+    table (maintaining a catalog table through the file layout would
+    fork the pointer: the next catalog commit would silently undo it)."""
+    if catalog is None:
+        version, meta = _load_current_metadata(table_dir)
+        return version, meta, table_name
+    if table_name is None:
+        table_name = os.path.basename(os.path.normpath(table_dir))
+    state = _load_prior_state(table_dir, catalog, table_name)
+    if state is None:
+        raise FileNotFoundError(f"table {table_name!r} not in catalog")
+    return state["version"], state["metadata"], table_name
+
+
+def _maintenance_requirements(meta: dict) -> list[dict]:
+    head = (meta.get("refs") or {}).get("main", {}).get("snapshot-id")
+    return [
+        {"type": "assert-table-uuid", "uuid": meta["table-uuid"]},
+        {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": head},
+    ]
+
+
+def expire_snapshots(
+    table_dir: str,
+    keep_last: int = 1,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> dict:
     """Iceberg snapshot expiration (`expireSnapshots` maintenance — the
     catalog-side analog of the reference's retention/delete plane):
     drop all but the newest ``keep_last`` snapshots from the metadata,
@@ -1205,7 +1249,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, now_ms: int | None = No
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    version, meta = _load_current_metadata(table_dir)
+    version, meta, table_name = _maintenance_state(table_dir, catalog, table_name)
     snaps = meta["snapshots"]
     if len(snaps) <= keep_last:
         return meta
@@ -1265,7 +1309,19 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, now_ms: int | None = No
     # fully consistent table plus some not-yet-collected orphans (the
     # safe failure mode; the reverse order wedges the current metadata
     # on already-deleted manifest lists)
-    _write_metadata_version(meta_dir, version + 1, new_meta)
+    if catalog is not None:
+        expired_ids = [s["snapshot-id"] for s in expired]
+        updates = [{"action": "remove-snapshots", "snapshot-ids": expired_ids}]
+        updates += [
+            {"action": "remove-statistics", "snapshot-id": sid}
+            for sid in expired_ids
+        ]
+        resp = catalog.commit_table(
+            table_name, _maintenance_requirements(meta), updates, now_ms
+        )
+        new_meta = resp["metadata"]
+    else:
+        _write_metadata_version(meta_dir, version + 1, new_meta)
     for path in removed:
         try:
             os.remove(path)
@@ -1274,7 +1330,12 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, now_ms: int | None = No
     return new_meta
 
 
-def rewrite_manifests(table_dir: str, now_ms: int | None = None) -> dict:
+def rewrite_manifests(
+    table_dir: str,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> dict:
     """Iceberg ``rewriteManifests`` maintenance: merge the current
     snapshot's manifests into ONE compacted manifest and commit it as a
     new snapshot (operation ``replace`` — same data files, new
@@ -1287,7 +1348,7 @@ def rewrite_manifests(table_dir: str, now_ms: int | None = None) -> dict:
     <= 1 manifest."""
     import time as _time
 
-    version, meta = _load_current_metadata(table_dir)
+    version, meta, table_name = _maintenance_state(table_dir, catalog, table_name)
     if meta.get("current-snapshot-id", -1) == -1:
         return meta
     cur = next(
@@ -1322,8 +1383,11 @@ def rewrite_manifests(table_dir: str, now_ms: int | None = None) -> dict:
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
     )
     spec = meta["partition-specs"][0]
+    compact_uuid = uuid.uuid4().hex[:16]  # same per-attempt token as
+    # commit_append: concurrent maintenance must not collide on staged
+    # metadata paths
     manifest_path = os.path.join(
-        meta_dir, f"{meta['table-uuid']}-compacted-m{seq}.avro"
+        meta_dir, f"{meta['table-uuid']}-compacted-m{seq}-{compact_uuid}.avro"
     )
     manifest_len = write_avro_ocf(
         manifest_path,
@@ -1366,7 +1430,7 @@ def rewrite_manifests(table_dir: str, now_ms: int | None = None) -> dict:
         ],
     }
     list_path = os.path.join(
-        meta_dir, f"snap-{snapshot_id}-1-{meta['table-uuid']}.avro"
+        meta_dir, f"snap-{snapshot_id}-1-{compact_uuid}.avro"
     )
     write_avro_ocf(
         list_path,
@@ -1410,7 +1474,7 @@ def rewrite_manifests(table_dir: str, now_ms: int | None = None) -> dict:
         for e in entries
     ]
     stats_path = os.path.join(
-        meta_dir, f"stats-{snapshot_id}-{meta['table-uuid']}.puffin"
+        meta_dir, f"stats-{snapshot_id}-{compact_uuid}.puffin"
     )
     stats = write_puffin(
         stats_path, [(FILE_LIST, json.dumps(file_list).encode())], snapshot_id, seq
@@ -1440,5 +1504,25 @@ def rewrite_manifests(table_dir: str, now_ms: int | None = None) -> dict:
             "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
         }
     ]
+    if catalog is not None:
+        resp = catalog.commit_table(
+            table_name,
+            _maintenance_requirements(meta),
+            [
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": snapshot_id,
+                },
+                {
+                    "action": "set-statistics",
+                    "statistics": new_meta["statistics"][-1],
+                },
+            ],
+            now_ms,
+        )
+        return resp["metadata"]
     _write_metadata_version(meta_dir, version + 1, new_meta)
     return new_meta

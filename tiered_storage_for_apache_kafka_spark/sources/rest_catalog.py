@@ -139,6 +139,32 @@ def apply_updates(meta: dict, updates: list[dict], now_ms: int) -> dict:
             props = dict(meta.get("properties") or {})
             props.update(upd.get("updates") or {})
             meta["properties"] = props
+        elif action == "remove-snapshots":
+            gone = set(upd["snapshot-ids"])
+            meta["snapshots"] = [
+                s for s in meta.get("snapshots", [])
+                if s["snapshot-id"] not in gone
+            ]
+            meta["snapshot-log"] = [
+                e for e in meta.get("snapshot-log", [])
+                if e["snapshot-id"] not in gone
+            ]
+            keep_ids = {s["snapshot-id"] for s in meta["snapshots"]}
+            # strip dangling parent pointers (spec: only transient refs
+            # to missing snapshots are allowed)
+            meta["snapshots"] = [
+                (
+                    {k: v for k, v in s.items() if k != "parent-snapshot-id"}
+                    if s.get("parent-snapshot-id") not in keep_ids
+                    else s
+                )
+                for s in meta["snapshots"]
+            ]
+        elif action == "remove-statistics":
+            meta["statistics"] = [
+                st for st in meta.get("statistics", [])
+                if st["snapshot-id"] != upd["snapshot-id"]
+            ]
         elif action == "assign-uuid":
             meta["table-uuid"] = upd["uuid"]
         else:
@@ -205,6 +231,17 @@ class FakeRestCatalogServer:
             if entry is None:
                 raise NoSuchTableError(f"{ns}.{table}")
             new_meta = apply_updates(cur_meta, updates, now_ms)
+            # the catalog service owns metadata-log (file-layout parity:
+            # the superseded version joins the chain, as commit_append's
+            # file branch does) — external history walkers rely on it
+            new_meta["metadata-log"] = list(
+                cur_meta.get("metadata-log", [])
+            ) + [
+                {
+                    "timestamp-ms": cur_meta.get("last-updated-ms", 0),
+                    "metadata-file": self.metadata_location(entry),
+                }
+            ]
             entry = {
                 "metadata": new_meta,
                 "version": entry["version"] + 1,
@@ -390,9 +427,12 @@ class RestCatalogClient:
                 err = json.loads(body)["error"]
             except Exception:
                 err = {"message": body.decode("utf-8", "replace"), "type": "?"}
-            if err.get("type") == "CommitFailedException" or (
-                e.code == 409 and "Commit" in str(err.get("type"))
-            ):
+            if err.get("type") in (
+                "CommitFailedException",
+                # a concurrent writer created the table first — same
+                # recovery as a commit conflict: reload and rebase
+                "AlreadyExistsException",
+            ) or (e.code == 409 and "Commit" in str(err.get("type"))):
                 raise CommitConflictError(err.get("message", "")) from None
             if e.code == 404 and err.get("type") == "NoSuchTableException":
                 raise NoSuchTableError(err.get("message", "")) from None

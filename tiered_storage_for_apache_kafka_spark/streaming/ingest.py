@@ -403,6 +403,11 @@ def commit_envelope_batch(
     )
 
     app_tag = _hashlib.md5(app_id.encode()).hexdigest()[:12]
+    # resolve the default table name HERE, not just inside commit_append:
+    # the replay-skip check below must query the same catalog table the
+    # commit will write, or a restart would re-commit every batch
+    if catalog is not None and table_name is None:
+        table_name = _os.path.basename(_os.path.normpath(table_dir))
     # with a REST catalog configured, the catalog service is the source
     # of truth for the replay-skip check too
     state = (
