@@ -86,6 +86,7 @@ _CACHE_WARMUP = [
     "kmeans_embedding_clusters",
     "quality_classifier_trained",
     "iceberg_metadata_summary",
+    "iceberg_rest_commit",  # _ICEBERG_REST_CACHE (REST-committed twin)
 ]
 
 
