@@ -544,3 +544,35 @@ def test_rest_commits_maintain_metadata_log(server, table):
     assert len(log) >= 2  # create + first commit superseded
     assert all("metadata-file" in e and "timestamp-ms" in e for e in log)
     assert log[-1]["metadata-file"].endswith(".metadata.json")
+
+
+def test_read_side_uses_catalog_pointer(server, table, spark, tmp_path):
+    """Read-side symmetry: with a catalog, plan_scan/read_iceberg_table
+    take the snapshot pointer from the service — a stale local
+    version-hint must not win."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        plan_scan,
+        read_iceberg_table,
+        read_table_metadata,
+    )
+
+    tdir, df = table
+    client = RestCatalogClient(server.base_url)
+    commit_append(tdir, df.schema, now_ms=1_000, catalog=client)
+    f2 = _clone_data_file(tdir, "read2")
+    commit_append(tdir, df.schema, now_ms=2_000, catalog=client, files=[f2])
+
+    # sabotage the local hint back to an older version (a reader whose
+    # local mirror lags the catalog)
+    meta_dir = os.path.join(tdir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("2")
+
+    # file-layout read now sees the stale snapshot...
+    assert len(plan_scan(tdir)) == len(
+        [e for m in read_table_metadata(tdir)["manifests"] for e in m["entries"]]
+    )
+    # ...but the catalog-backed read sees the CURRENT one (4 files)
+    assert len(plan_scan(tdir, catalog=client)) == 4
+    assert read_iceberg_table(spark, tdir, catalog=client).count() == 160

@@ -547,6 +547,8 @@ def _load_prior_state(table_dir: str, catalog=None, table_name: str | None = Non
     live in storage either way, so entry parsing is shared."""
     if catalog is None:
         return read_table_metadata(table_dir)
+    if table_name is None:
+        table_name = os.path.basename(os.path.normpath(table_dir))
     resp = catalog.load_table(table_name)
     if resp is None:
         return None
@@ -1016,6 +1018,8 @@ def read_table_metadata(table_dir: str) -> dict | None:
 def plan_scan(
     table_dir: str,
     partition_value: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
 ) -> list[dict]:
     """Plan a table scan from the Iceberg metadata alone (never listing
     the filesystem): current snapshot -> manifest list -> manifests ->
@@ -1032,14 +1036,30 @@ def plan_scan(
     data-file dicts. Unlike :func:`read_table_metadata` (the diagnostic
     full parse), this walks lazily: only metadata.json + the manifest
     list are always read; a pruned manifest is genuinely never opened,
-    and a surviving one is opened exactly once."""
-    hint = os.path.join(table_dir, "metadata", "version-hint.text")
-    if not os.path.exists(hint):
-        raise FileNotFoundError(f"no Iceberg metadata under {table_dir}")
-    with open(hint) as f:
-        version = int(f.read().strip())
-    with open(os.path.join(table_dir, "metadata", f"v{version}.metadata.json")) as f:
-        meta = json.load(f)
+    and a surviving one is opened exactly once.
+
+    With ``catalog``, the current-snapshot pointer comes from the
+    catalog service (``GET .../tables/{t}``) instead of the
+    version-hint file — the read-side symmetry of the REST commit path
+    (a real external catalog's pointer is authoritative; a stale local
+    hint must not win)."""
+    if catalog is not None:
+        if table_name is None:
+            table_name = os.path.basename(os.path.normpath(table_dir))
+        resp = catalog.load_table(table_name)
+        if resp is None:
+            raise FileNotFoundError(f"table {table_name!r} not in catalog")
+        meta = resp["metadata"]
+    else:
+        hint = os.path.join(table_dir, "metadata", "version-hint.text")
+        if not os.path.exists(hint):
+            raise FileNotFoundError(f"no Iceberg metadata under {table_dir}")
+        with open(hint) as f:
+            version = int(f.read().strip())
+        with open(
+            os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
+        ) as f:
+            meta = json.load(f)
     if meta.get("current-snapshot-id", -1) == -1:
         return []
     cur = next(
@@ -1116,6 +1136,8 @@ def read_iceberg_table(
     spark,
     table_dir: str,
     partition_value: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
 ):
     """Open the table THROUGH its Iceberg metadata the way Trino/Flink
     would: plan the file set from the snapshot's manifests (plan_scan),
@@ -1124,18 +1146,18 @@ def read_iceberg_table(
     which is the Iceberg contract (vs. Hive-style directory listing).
     An empty plan (empty partition, all files deleted, or a table with
     no snapshot yet) is a valid ZERO-ROW scan typed from the table
-    schema, not an error."""
-    files = plan_scan(table_dir, partition_value)
+    schema, not an error. With ``catalog``, the snapshot pointer comes
+    from the catalog service (see :func:`plan_scan`)."""
+    files = plan_scan(table_dir, partition_value, catalog, table_name)
+    state = _load_prior_state(table_dir, catalog, table_name) if catalog is not None         else read_table_metadata(table_dir)
+    if state is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {table_dir}")
     if not files:
-        state = read_table_metadata(table_dir)
-        if state is None:
-            raise FileNotFoundError(f"no Iceberg metadata under {table_dir}")
         m = state["metadata"]
         schema = iceberg_schema_to_spark(
             next(s for s in m["schemas"] if s["schema-id"] == m["current-schema-id"])
         )
         return spark.createDataFrame([], schema)
-    state = read_table_metadata(table_dir)
     return _read_planned_files(
         spark, table_dir, state["metadata"], [d["file_path"] for d in files]
     )
