@@ -228,3 +228,30 @@ def test_metered_backend_delete_single_key(tmp_path):
     snap = m.snapshot()
     assert snap["storage.delete-object-requests[backend=filesystem]"] == 1
     assert snap["storage.put-object-requests[backend=filesystem]"] == 1
+
+
+def test_thread_pool_monitor_groups(tmp_path):
+    from tiered_storage_for_apache_kafka_spark.api import TieredStorageManager
+    from tiered_storage_for_apache_kafka_spark.fetch.cache import MemoryChunkCache
+    from tiered_storage_for_apache_kafka_spark.storage.filesystem import (
+        FileSystemStorage,
+    )
+
+    mgr = TieredStorageManager(
+        FileSystemStorage(tmp_path), cache=MemoryChunkCache()
+    )
+    ref = mgr.metrics.reference_snapshot()
+    for group in (
+        "chunk-cache-thread-pool-metrics",
+        "segment-indexes-cache-thread-pool-metrics",
+    ):
+        for attr in (
+            "active-thread-count-total",
+            "parallelism-total",
+            "pool-size-total",
+            "queued-task-count-total",
+            "running-thread-count-total",
+            "steal-task-count-total",
+        ):
+            assert f"{group}.{attr}" in ref, f"{group}.{attr}"
+    assert ref["chunk-cache-thread-pool-metrics.parallelism-total"] == 4

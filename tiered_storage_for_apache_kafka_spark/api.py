@@ -152,6 +152,13 @@ class TieredStorageManager:
         self._index_cache = index_cache
         if getattr(self._index_cache, "metrics", None) is None:
             self._index_cache.metrics = self.metrics
+        # thread-pool gauges per cache (ThreadPoolMonitor.java parity)
+        if cache is not None and getattr(cache, "_pool", None) is not None:
+            self.metrics.register_pool("chunk-cache", cache._pool)
+        if getattr(self._index_cache, "_pool", None) is not None:
+            self.metrics.register_pool(
+                "segment-indexes-cache", self._index_cache._pool
+            )
 
     # -- helpers ---------------------------------------------------------------
 

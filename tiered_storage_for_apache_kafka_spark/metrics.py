@@ -13,6 +13,37 @@ from collections import defaultdict
 from contextlib import contextmanager
 
 
+class ThreadPoolMonitor:
+    """Gauges over a cache's worker pool, published under the
+    reference's ``<group>-thread-pool-metrics`` JMX groups
+    (``metrics/ThreadPoolMonitor.java:58-93``; attribute names from
+    ``docs/metrics.rst:150-162``). The reference monitors a
+    ForkJoinPool; the Python pools are ThreadPoolExecutors, so the
+    ForkJoin-only gauges (running threads not blocked on joins, steal
+    count) report 0 — registered-but-idle, like an FJ pool that never
+    forks."""
+
+    def __init__(self, group: str, pool) -> None:
+        self.group = group
+        self.pool = pool  # concurrent.futures.ThreadPoolExecutor
+
+    def snapshot(self) -> dict[str, float]:
+        threads = getattr(self.pool, "_threads", ()) or ()
+        queue = getattr(self.pool, "_work_queue", None)
+        queued = queue.qsize() if queue is not None else 0
+        alive = sum(1 for t in threads if t.is_alive())
+        return {
+            f"{self.group}.active-thread-count-total": alive,
+            f"{self.group}.parallelism-total": getattr(
+                self.pool, "_max_workers", 0
+            ),
+            f"{self.group}.pool-size-total": len(threads),
+            f"{self.group}.queued-task-count-total": queued,
+            f"{self.group}.running-thread-count-total": 0,
+            f"{self.group}.steal-task-count-total": 0,
+        }
+
+
 class Metrics:
     def __init__(self, clock=None) -> None:
         self._lock = threading.Lock()
@@ -21,6 +52,14 @@ class Metrics:
         self._timer_max: dict[str, float] = defaultdict(float)
         self._clock = clock or time.monotonic
         self._created = self._clock()
+        self._pool_monitors: list[ThreadPoolMonitor] = []
+
+    def register_pool(self, group: str, pool) -> None:
+        """Attach a worker pool's gauges to ``reference_snapshot()``
+        under ``<group>-thread-pool-metrics``."""
+        self._pool_monitors.append(
+            ThreadPoolMonitor(f"{group}-thread-pool-metrics", pool)
+        )
 
     def inc(self, name: str, value: int = 1, **tags: str | int) -> None:
         with self._lock:
@@ -175,6 +214,8 @@ class Metrics:
                     out[f"{group}.{op}-time-max"] = self._timer_max.get(
                         t_stem, 0.0
                     )
+            for mon in self._pool_monitors:
+                out.update(mon.snapshot())
             return out
 
 
