@@ -576,3 +576,105 @@ def test_read_side_uses_catalog_pointer(server, table, spark, tmp_path):
     # ...but the catalog-backed read sees the CURRENT one (4 files)
     assert len(plan_scan(tdir, catalog=client)) == 4
     assert read_iceberg_table(spark, tdir, catalog=client).count() == 160
+
+
+def test_duplicate_namespace_is_tolerated(server, table):
+    """Review finding (r6 pass 2): a spec-compliant service 409s a
+    duplicate create-namespace; ensure_namespace must treat that as
+    success, or the FIRST commit of every new table after the first
+    would fail."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import commit_append
+
+    tdir, df = table
+    client = RestCatalogClient(server.base_url)
+    client.ensure_namespace()  # namespace now exists
+    client.ensure_namespace()  # second create: 409 from the service, tolerated
+    meta = commit_append(tdir, df.schema, now_ms=1_000, catalog=client)
+    assert meta["current-snapshot-id"] == 1
+
+
+class MaintenanceRacingClient(RestCatalogClient):
+    """A concurrent append lands between the maintenance op's load and
+    its commit."""
+
+    def __init__(self, base_url, tdir, schema):
+        super().__init__(base_url)
+        self.tdir = tdir
+        self.schema = schema
+        self.raced = False
+
+    def commit_table(self, table, requirements, updates, now_ms):
+        is_maintenance = any(
+            u.get("action") in ("remove-snapshots",)
+            or (u.get("action") == "add-snapshot"
+                and u["snapshot"]["summary"].get("operation") == "replace")
+            for u in updates
+        )
+        if is_maintenance and not self.raced:
+            self.raced = True
+            from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+                commit_append,
+            )
+
+            rival = _clone_data_file(self.tdir, "maint-rival")
+            commit_append(
+                self.tdir, self.schema, now_ms=now_ms + 1,
+                catalog=RestCatalogClient(self.base_url), files=[rival],
+            )
+        return super().commit_table(table, requirements, updates, now_ms)
+
+
+def test_rewrite_manifests_retries_on_concurrent_append(server, table):
+    """Review finding (r6 pass 2): maintenance must reload-and-rebase on
+    a lost race — a busy streaming table is exactly where compaction
+    matters."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        plan_scan,
+        rewrite_manifests,
+    )
+
+    tdir, df = table
+    plain = RestCatalogClient(server.base_url)
+    commit_append(tdir, df.schema, now_ms=1_000, catalog=plain)
+    f2 = _clone_data_file(tdir, "maint2")
+    commit_append(tdir, df.schema, now_ms=2_000, catalog=plain, files=[f2])
+
+    racing = MaintenanceRacingClient(server.base_url, tdir, df.schema)
+    meta = rewrite_manifests(tdir, now_ms=3_000, catalog=racing)
+    assert server.conflict_count >= 1  # the first attempt lost
+    assert meta["snapshots"][-1]["summary"]["operation"] == "replace"
+    # the rival's file made it into the compacted manifest (re-compacted
+    # from the post-race state) and everything is live
+    assert len(plan_scan(tdir)) == 5
+    # monotonic log despite the maintenance clock (3000) trailing the
+    # rival's commit (3001)
+    log_ts = [e["timestamp-ms"] for e in meta["snapshot-log"]]
+    assert log_ts == sorted(log_ts)
+
+
+def test_time_travel_respects_catalog_pointer(server, table, spark):
+    """Review finding (r6 pass 2): TIMESTAMP/VERSION AS OF must read the
+    catalog's snapshot list, not a lagging local hint."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        read_iceberg_table_at,
+        snapshot_as_of_timestamp,
+    )
+
+    tdir, df = table
+    client = RestCatalogClient(server.base_url)
+    commit_append(tdir, df.schema, now_ms=1_000, catalog=client)
+    f2 = _clone_data_file(tdir, "tt2")
+    commit_append(tdir, df.schema, now_ms=2_000, catalog=client, files=[f2])
+
+    # lag the local hint back to the create version
+    with open(os.path.join(tdir, "metadata", "version-hint.text"), "w") as f:
+        f.write("2")
+
+    # catalog-backed resolution sees BOTH snapshots
+    assert snapshot_as_of_timestamp(tdir, 1_500, catalog=client) == 1
+    sid2 = snapshot_as_of_timestamp(tdir, 9_999, catalog=client)
+    assert sid2 == 2
+    assert read_iceberg_table_at(spark, tdir, sid2, catalog=client).count() == 160
+    assert read_iceberg_table_at(spark, tdir, 1, catalog=client).count() == 120

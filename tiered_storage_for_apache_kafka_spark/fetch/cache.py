@@ -104,7 +104,11 @@ class ChunkCache:
             value = loader()
         except BaseException as e:
             with self._lock:
-                self._inflight.pop(key, None)
+                # only OUR registration: after an invalidation popped
+                # this future, a successor owner may have registered a
+                # fresh one — popping that would orphan its caching
+                if self._inflight.get(key) is fut:
+                    self._inflight.pop(key)
             fut.set_exception(e)
             raise
         with self._lock:

@@ -28,7 +28,16 @@ class ThreadPoolMonitor:
         self.pool = pool  # concurrent.futures.ThreadPoolExecutor
 
     def snapshot(self) -> dict[str, float]:
-        threads = getattr(self.pool, "_threads", ()) or ()
+        # _threads is a live set the executor mutates while spawning;
+        # snapshot it with a bounded retry instead of crashing a metrics
+        # read on "set changed size during iteration"
+        threads: tuple = ()
+        for _ in range(3):
+            try:
+                threads = tuple(getattr(self.pool, "_threads", ()) or ())
+                break
+            except RuntimeError:
+                continue
         queue = getattr(self.pool, "_work_queue", None)
         queued = queue.qsize() if queue is not None else 0
         alive = sum(1 for t in threads if t.is_alive())

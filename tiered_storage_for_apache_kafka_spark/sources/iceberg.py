@@ -539,6 +539,34 @@ def _stat_data_files(paths: list[str], partition_col: str) -> list[dict]:
 # -- the commit ---------------------------------------------------------------
 
 
+def _default_table_name(table_dir: str) -> str:
+    """The one naming rule for catalog tables defaulted from a path —
+    every catalog call site must use this (a writer and reader deriving
+    names differently would split one table across two catalog
+    entries)."""
+    return os.path.basename(os.path.normpath(table_dir))
+
+
+def _current_state_meta(
+    table_dir: str, catalog=None, table_name: str | None = None
+) -> tuple[int, dict, str | None]:
+    """(version, metadata, resolved_table_name) WITHOUT parsing
+    manifests — for consumers that only need metadata.json content
+    (replay-skip checks, time travel, maintenance state): parsing every
+    manifest Avro just to read snapshot summaries would make those
+    paths O(table) instead of O(metadata)."""
+    if catalog is None:
+        version, meta = _load_current_metadata(table_dir)
+        return version, meta, table_name
+    if table_name is None:
+        table_name = _default_table_name(table_dir)
+    resp = catalog.load_table(table_name)
+    if resp is None:
+        raise FileNotFoundError(f"table {table_name!r} not in catalog")
+    m = re.search(r"v(\d+)\.metadata\.json$", resp["metadata-location"])
+    return (int(m.group(1)) if m else 1), resp["metadata"], table_name
+
+
 def _load_prior_state(table_dir: str, catalog=None, table_name: str | None = None):
     """Current table state for a commit: from the version-hint file
     layout, or — when a REST catalog is configured — from the catalog
@@ -548,7 +576,7 @@ def _load_prior_state(table_dir: str, catalog=None, table_name: str | None = Non
     if catalog is None:
         return read_table_metadata(table_dir)
     if table_name is None:
-        table_name = os.path.basename(os.path.normpath(table_dir))
+        table_name = _default_table_name(table_dir)
     resp = catalog.load_table(table_name)
     if resp is None:
         return None
@@ -608,7 +636,7 @@ def commit_append(
     os.makedirs(meta_dir, exist_ok=True)
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     if catalog is not None and table_name is None:
-        table_name = os.path.basename(os.path.normpath(table_dir))
+        table_name = _default_table_name(table_dir)
 
     last_err: Exception | None = None
     for _attempt in range(max_commit_retries):
@@ -1044,12 +1072,7 @@ def plan_scan(
     (a real external catalog's pointer is authoritative; a stale local
     hint must not win)."""
     if catalog is not None:
-        if table_name is None:
-            table_name = os.path.basename(os.path.normpath(table_dir))
-        resp = catalog.load_table(table_name)
-        if resp is None:
-            raise FileNotFoundError(f"table {table_name!r} not in catalog")
-        meta = resp["metadata"]
+        _v, meta, table_name = _current_state_meta(table_dir, catalog, table_name)
     else:
         hint = os.path.join(table_dir, "metadata", "version-hint.text")
         if not os.path.exists(hint):
@@ -1060,6 +1083,15 @@ def plan_scan(
             os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
         ) as f:
             meta = json.load(f)
+    return _plan_from_meta(meta, partition_value)
+
+
+def _plan_from_meta(meta: dict, partition_value: int | None) -> list[dict]:
+    """The lazy manifest walk of :func:`plan_scan` over an
+    already-loaded metadata dict — shared so readers that hold the
+    metadata (e.g. a single catalog load) plan and type the scan from
+    the SAME snapshot (no second load, no TOCTOU between plan and
+    schema)."""
     if meta.get("current-snapshot-id", -1) == -1:
         return []
     cur = next(
@@ -1147,19 +1179,21 @@ def read_iceberg_table(
     An empty plan (empty partition, all files deleted, or a table with
     no snapshot yet) is a valid ZERO-ROW scan typed from the table
     schema, not an error. With ``catalog``, the snapshot pointer comes
-    from the catalog service (see :func:`plan_scan`)."""
-    files = plan_scan(table_dir, partition_value, catalog, table_name)
-    state = _load_prior_state(table_dir, catalog, table_name) if catalog is not None         else read_table_metadata(table_dir)
-    if state is None:
-        raise FileNotFoundError(f"no Iceberg metadata under {table_dir}")
+    from the catalog service (see :func:`plan_scan`). Metadata is
+    loaded exactly ONCE; the plan and the schema both derive from that
+    load, so a rival commit landing mid-read cannot split them."""
+    _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    files = _plan_from_meta(meta, partition_value)
     if not files:
-        m = state["metadata"]
         schema = iceberg_schema_to_spark(
-            next(s for s in m["schemas"] if s["schema-id"] == m["current-schema-id"])
+            next(
+                s for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )
         )
         return spark.createDataFrame([], schema)
     return _read_planned_files(
-        spark, table_dir, state["metadata"], [d["file_path"] for d in files]
+        spark, table_dir, meta, [d["file_path"] for d in files]
     )
 
 
@@ -1176,12 +1210,15 @@ def _load_current_metadata(table_dir: str) -> tuple[int, dict]:
         return version, json.load(f)
 
 
-def snapshot_as_of_timestamp(table_dir: str, timestamp_ms: int) -> int:
+def snapshot_as_of_timestamp(
+    table_dir: str, timestamp_ms: int, catalog=None, table_name: str | None = None
+) -> int:
     """``TIMESTAMP AS OF``: the latest snapshot whose commit time is
     <= the given timestamp (walks the snapshot-log, the same structure
     external readers use). Raises if the table has no snapshot that
-    old."""
-    _version, meta = _load_current_metadata(table_dir)
+    old. With ``catalog``, the snapshot-log comes from the catalog
+    service — same stale-local-hint rule as :func:`plan_scan`."""
+    _version, meta, _t = _current_state_meta(table_dir, catalog, table_name)
     best = None
     for entry in meta.get("snapshot-log", []):
         if entry["timestamp-ms"] <= timestamp_ms:
@@ -1194,14 +1231,18 @@ def snapshot_as_of_timestamp(table_dir: str, timestamp_ms: int) -> int:
     return best
 
 
-def read_iceberg_table_at(spark, table_dir: str, snapshot_id: int):
+def read_iceberg_table_at(
+    spark, table_dir: str, snapshot_id: int, catalog=None,
+    table_name: str | None = None,
+):
     """Time travel: open the table AS OF a historical snapshot — the
     file set is whatever that snapshot's manifest list said, regardless
     of later appends (Iceberg's ``VERSION AS OF`` semantics; any
     snapshot still present in the metadata is readable). For
     ``TIMESTAMP AS OF``, resolve the id via
-    :func:`snapshot_as_of_timestamp` first."""
-    _version, meta = _load_current_metadata(table_dir)
+    :func:`snapshot_as_of_timestamp` first. With ``catalog``, the
+    snapshot list comes from the catalog service."""
+    _version, meta, _t = _current_state_meta(table_dir, catalog, table_name)
     snap = next(
         (s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id), None
     )
@@ -1232,16 +1273,10 @@ def _maintenance_state(table_dir: str, catalog, table_name: str | None):
     """(version, metadata, table_name) for a maintenance op — from the
     file layout, or from the catalog service when one manages the
     table (maintaining a catalog table through the file layout would
-    fork the pointer: the next catalog commit would silently undo it)."""
-    if catalog is None:
-        version, meta = _load_current_metadata(table_dir)
-        return version, meta, table_name
-    if table_name is None:
-        table_name = os.path.basename(os.path.normpath(table_dir))
-    state = _load_prior_state(table_dir, catalog, table_name)
-    if state is None:
-        raise FileNotFoundError(f"table {table_name!r} not in catalog")
-    return state["version"], state["metadata"], table_name
+    fork the pointer: the next catalog commit would silently undo it).
+    Metadata-only: the maintenance ops read the manifest lists they
+    need themselves."""
+    return _current_state_meta(table_dir, catalog, table_name)
 
 
 def _maintenance_requirements(meta: dict) -> list[dict]:
@@ -1258,6 +1293,7 @@ def expire_snapshots(
     now_ms: int | None = None,
     catalog=None,
     table_name: str | None = None,
+    max_commit_retries: int = 3,
 ) -> dict:
     """Iceberg snapshot expiration (`expireSnapshots` maintenance — the
     catalog-side analog of the reference's retention/delete plane):
@@ -1266,7 +1302,33 @@ def expire_snapshots(
     statistics files, and write a new metadata version. Data files
     still referenced by a surviving snapshot are untouched (an append-
     only table's old files stay live in the current snapshot). Returns
-    the new metadata dict."""
+    the new metadata dict. In catalog mode a lost race (concurrent
+    append moved the head between load and commit) reloads and retries
+    — maintenance on a busy streaming table must not deterministically
+    fail."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+    )
+
+    last_err: Exception | None = None
+    for _attempt in range(max_commit_retries if catalog is not None else 1):
+        try:
+            return _expire_snapshots_once(
+                table_dir, keep_last, now_ms, catalog, table_name
+            )
+        except CommitConflictError as e:
+            last_err = e
+    assert last_err is not None
+    raise last_err
+
+
+def _expire_snapshots_once(
+    table_dir: str,
+    keep_last: int,
+    now_ms: int | None,
+    catalog,
+    table_name: str | None,
+) -> dict:
     import time as _time
 
     if keep_last < 1:
@@ -1357,6 +1419,30 @@ def rewrite_manifests(
     now_ms: int | None = None,
     catalog=None,
     table_name: str | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """See :func:`_rewrite_manifests_once`; in catalog mode a lost race
+    against a concurrent append reloads the (now longer) manifest list
+    and re-compacts — exactly the table state compaction exists for."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+    )
+
+    last_err: Exception | None = None
+    for _attempt in range(max_commit_retries if catalog is not None else 1):
+        try:
+            return _rewrite_manifests_once(table_dir, now_ms, catalog, table_name)
+        except CommitConflictError as e:
+            last_err = e
+    assert last_err is not None
+    raise last_err
+
+
+def _rewrite_manifests_once(
+    table_dir: str,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
 ) -> dict:
     """Iceberg ``rewriteManifests`` maintenance: merge the current
     snapshot's manifests into ONE compacted manifest and commit it as a
@@ -1398,6 +1484,11 @@ def rewrite_manifests(
             rows += e["data_file"]["record_count"]
 
     now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    # snapshot-log monotonicity (same clamp as _commit_append_once): a
+    # maintenance clock behind the head must not time-travel the log
+    now_ms = max(
+        now_ms, max((s["timestamp-ms"] for s in meta["snapshots"]), default=0)
+    )
     meta_dir = os.path.join(table_dir, "metadata")
     seq = meta["last-sequence-number"] + 1
     snapshot_id = seq

@@ -54,6 +54,16 @@ class NoSuchTableError(Exception):
     pass
 
 
+class CatalogHttpError(RuntimeError):
+    """Non-commit catalog error, typed so callers can branch on the
+    spec's error type (e.g. AlreadyExistsException)."""
+
+    def __init__(self, code: int, error_type: str, message: str):
+        super().__init__(f"{code} {error_type}: {message}")
+        self.code = code
+        self.error_type = error_type
+
+
 # ---------------------------------------------------------------------------
 # Server-side metadata update application (spec: MetadataUpdate union)
 # ---------------------------------------------------------------------------
@@ -323,7 +333,18 @@ class FakeRestCatalogServer:
                 if self.path == "/v1/namespaces":
                     ns = "\x1f".join(body.get("namespace", []))
                     with catalog._lock:
-                        catalog._namespaces.add(ns)
+                        if ns in catalog._namespaces:
+                            exists = True
+                        else:
+                            exists = False
+                            catalog._namespaces.add(ns)
+                    if exists:
+                        # spec: duplicate create-namespace is a 409
+                        self._error(
+                            409, "AlreadyExistsException",
+                            f"Namespace already exists: {ns}",
+                        )
+                        return
                     self._send(200, {"namespace": body.get("namespace", [])})
                     return
                 m = re.fullmatch(r"/v1/namespaces/([^/]+)/tables", self.path)
@@ -427,24 +448,29 @@ class RestCatalogClient:
                 err = json.loads(body)["error"]
             except Exception:
                 err = {"message": body.decode("utf-8", "replace"), "type": "?"}
-            if err.get("type") in (
-                "CommitFailedException",
-                # a concurrent writer created the table first — same
-                # recovery as a commit conflict: reload and rebase
-                "AlreadyExistsException",
-            ) or (e.code == 409 and "Commit" in str(err.get("type"))):
+            if err.get("type") == "CommitFailedException" or (
+                e.code == 409 and "Commit" in str(err.get("type"))
+            ):
                 raise CommitConflictError(err.get("message", "")) from None
             if e.code == 404 and err.get("type") == "NoSuchTableException":
                 raise NoSuchTableError(err.get("message", "")) from None
-            raise RuntimeError(f"{e.code}: {err.get('message')}") from None
+            raise CatalogHttpError(
+                e.code, err.get("type", "?"), err.get("message", "")
+            ) from None
 
     def config(self) -> dict:
         return self._request("GET", "/v1/config")
 
     def ensure_namespace(self) -> None:
-        self._request(
-            "POST", "/v1/namespaces", {"namespace": [self.namespace]}
-        )
+        try:
+            self._request(
+                "POST", "/v1/namespaces", {"namespace": [self.namespace]}
+            )
+        except CatalogHttpError as e:
+            # a spec-compliant service 409s when the namespace exists —
+            # which is exactly the state we want
+            if e.error_type != "AlreadyExistsException":
+                raise
 
     def load_table(self, table: str) -> dict | None:
         try:
@@ -455,11 +481,18 @@ class RestCatalogClient:
             return None
 
     def create_table(self, table: str, metadata: dict) -> dict:
-        return self._request(
-            "POST",
-            f"/v1/namespaces/{self.namespace}/tables",
-            {"name": table, "metadata": metadata},
-        )
+        try:
+            return self._request(
+                "POST",
+                f"/v1/namespaces/{self.namespace}/tables",
+                {"name": table, "metadata": metadata},
+            )
+        except CatalogHttpError as e:
+            if e.error_type == "AlreadyExistsException":
+                # a concurrent writer created the table first — same
+                # recovery as a commit conflict: reload and rebase
+                raise CommitConflictError(str(e)) from None
+            raise
 
     def commit_table(
         self,

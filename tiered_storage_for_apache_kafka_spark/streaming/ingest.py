@@ -394,12 +394,9 @@ def commit_envelope_batch(
     import shutil as _shutil
 
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        _current_state_meta,
+        _default_table_name,
         commit_append,
-        read_table_metadata,
-    )
-
-    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
-        _load_prior_state,
     )
 
     app_tag = _hashlib.md5(app_id.encode()).hexdigest()[:12]
@@ -407,16 +404,17 @@ def commit_envelope_batch(
     # the replay-skip check below must query the same catalog table the
     # commit will write, or a restart would re-commit every batch
     if catalog is not None and table_name is None:
-        table_name = _os.path.basename(_os.path.normpath(table_dir))
-    # with a REST catalog configured, the catalog service is the source
-    # of truth for the replay-skip check too
-    state = (
-        read_table_metadata(table_dir)
-        if catalog is None
-        else _load_prior_state(table_dir, catalog, table_name)
-    )
-    if state is not None:
-        for s in state["metadata"]["snapshots"]:
+        table_name = _default_table_name(table_dir)
+    # metadata-ONLY state load (snapshot summaries suffice): parsing the
+    # manifests here would make every micro-batch O(table age) instead
+    # of O(batch). With a REST catalog, the service is the source of
+    # truth for the skip check too.
+    try:
+        _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    except FileNotFoundError:
+        meta = None
+    if meta is not None:
+        for s in meta["snapshots"]:
             summ = s["summary"]
             if (
                 summ.get("batch-id") == str(batch_id)
