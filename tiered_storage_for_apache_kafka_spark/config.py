@@ -1,0 +1,272 @@
+"""String-keyed configure() facade — parity with the reference's
+``RemoteStorageManagerConfig`` (``core/.../config/RemoteStorageManager
+Config.java:51-440`` and the cache config classes): the same config KEYS,
+defaults, ranges, and validation messages, so a user of the reference
+can carry their ``rsm.config.*`` properties over unchanged.
+
+Supported keys (reference line references in parentheses):
+
+- ``storage.backend.class`` (required, :58) — short name ``filesystem`` /
+  ``s3`` / ``gcs`` / ``azure`` or a dotted ``module.Class`` path; all
+  other ``storage.``-prefixed keys are passed to the backend constructor
+  (``storage()`` at :411 does ``originalsWithPrefix(STORAGE_PREFIX)``).
+- ``key.prefix`` ("" default, :61) / ``key.prefix.mask`` (false, :64).
+- ``chunk.size`` (required int in [1, 2^30], :67,174).
+- ``compression.enabled`` / ``compression.heuristic.enabled``
+  (:72-78; heuristic requires compression — ``validateCompression``
+  :399-404, message preserved).
+- ``encryption.enabled`` + ``encryption.key.pair.id`` +
+  ``encryption.key.pairs`` + per-id
+  ``encryption.key.pairs.<id>.private.key.file`` /
+  ``.public.key.file`` (EncryptionConfig :295-360; the active id must
+  be listed — message preserved).
+- ``upload.rate.limit.bytes.per.second`` (optional,
+  [1 MiB, 1e9] — :240).
+- ``fetch.chunk.cache.class`` (``memory`` / ``disk`` / ``none``),
+  ``fetch.chunk.cache.size``, ``fetch.chunk.cache.retention.ms``
+  (-1 = infinite, default 600000 — ``CacheConfig.java:31-41``),
+  ``fetch.chunk.cache.prefetch.max.size`` (``ChunkCacheConfig:24-33``),
+  ``fetch.chunk.cache.path`` (disk variant,
+  ``DiskChunkCacheConfig:30``).
+- ``fetch.indexes.cache.size`` (10 MiB default,
+  ``MemorySegmentIndexesCache.java:55``) /
+  ``fetch.indexes.cache.retention.ms``.
+- ``fetch.manifest.cache.size`` / ``fetch.manifest.cache.retention.ms``
+  (1 h default — ``MemorySegmentManifestCache.java:51-52``).
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Any
+
+from tiered_storage_for_apache_kafka_spark.api import TieredStorageManager
+from tiered_storage_for_apache_kafka_spark.fetch.cache import (
+    DiskChunkCache,
+    MemoryChunkCache,
+)
+from tiered_storage_for_apache_kafka_spark.fetch.index_cache import (
+    MemorySegmentIndexesCache,
+)
+
+
+class ConfigException(ValueError):
+    """Invalid configuration (the reference's ConfigException analog)."""
+
+
+_BACKENDS = {
+    "filesystem": (
+        "tiered_storage_for_apache_kafka_spark.storage.filesystem",
+        "FileSystemStorage",
+    ),
+    "s3": ("tiered_storage_for_apache_kafka_spark.storage.s3", "S3Storage"),
+    "gcs": (
+        "tiered_storage_for_apache_kafka_spark.storage.gcs_azure",
+        "GcsStorage",
+    ),
+    "azure": (
+        "tiered_storage_for_apache_kafka_spark.storage.gcs_azure",
+        "AzureBlobStorage",
+    ),
+}
+
+
+def _get_bool(configs: dict, key: str, default: bool) -> bool:
+    v = configs.get(key, default)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, str):
+        if v.lower() in ("true", "1"):
+            return True
+        if v.lower() in ("false", "0"):
+            return False
+    raise ConfigException(f"{key} must be a boolean, got {v!r}")
+
+
+def _get_int(
+    configs: dict,
+    key: str,
+    default: int | None = None,
+    lo: int | None = None,
+    hi: int | None = None,
+    required: bool = False,
+) -> int | None:
+    if key not in configs:
+        if required:
+            raise ConfigException(f"missing required configuration {key!r}")
+        v = default
+    else:
+        try:
+            v = int(configs[key])
+        except (TypeError, ValueError):
+            raise ConfigException(f"{key} must be an integer") from None
+    if v is None:
+        return None
+    if lo is not None and v < lo:
+        raise ConfigException(f"{key} must be at least {lo}, got {v}")
+    if hi is not None and v > hi:
+        raise ConfigException(f"{key} must be at most {hi}, got {v}")
+    return v
+
+
+def _prefixed(configs: dict, prefix: str) -> dict[str, Any]:
+    """originalsWithPrefix: strip the prefix, snake_case the rest."""
+    out = {}
+    for k, v in configs.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):].replace(".", "_")] = v
+    return out
+
+
+def _build_backend(configs: dict):
+    cls_name = configs.get("storage.backend.class")
+    if not cls_name:
+        raise ConfigException(
+            "missing required configuration 'storage.backend.class'"
+        )
+    if cls_name in _BACKENDS:
+        module, attr = _BACKENDS[cls_name]
+    else:
+        module, _, attr = str(cls_name).rpartition(".")
+        if not module:
+            raise ConfigException(
+                f"unknown storage backend {cls_name!r} "
+                f"(short names: {sorted(_BACKENDS)})"
+            )
+    cls = getattr(importlib.import_module(module), attr)
+    kwargs = _prefixed(configs, "storage.")
+    kwargs.pop("backend_class", None)
+    return cls(**kwargs)
+
+
+def _build_keyring(configs: dict):
+    from tiered_storage_for_apache_kafka_spark.transform.encryption import (
+        RsaKeyring,
+    )
+
+    if not _get_bool(configs, "encryption.enabled", False):
+        return None
+    active = configs.get("encryption.key.pair.id")
+    if not active:
+        raise ConfigException(
+            "missing required configuration 'encryption.key.pair.id'"
+        )
+    raw_ids = configs.get("encryption.key.pairs")
+    if raw_ids is None:
+        raise ConfigException(
+            "missing required configuration 'encryption.key.pairs'"
+        )
+    ids = (
+        [i.strip() for i in raw_ids.split(",") if i.strip()]
+        if isinstance(raw_ids, str)
+        else list(raw_ids)
+    )
+    if active not in ids:
+        # message preserved from EncryptionConfig.create (:344-347)
+        raise ConfigException(f"Encryption key '{active}' must be provided")
+    from cryptography.hazmat.primitives.serialization import (
+        load_pem_private_key,
+    )
+
+    keys = {}
+    for kid in ids:
+        path_key = f"encryption.key.pairs.{kid}.private.key.file"
+        path = configs.get(path_key)
+        if not path:
+            raise ConfigException(f"missing required configuration {path_key!r}")
+        with open(path, "rb") as f:
+            keys[kid] = load_pem_private_key(f.read(), password=None)
+    return RsaKeyring(active, keys)
+
+
+def _retention(configs: dict, key: str, default_ms: int) -> float | None:
+    ms = _get_int(configs, key, default=default_ms)
+    return None if ms == -1 else ms / 1000.0  # reference: -1 = infinite
+
+
+def _build_chunk_cache(configs: dict):
+    kind = str(configs.get("fetch.chunk.cache.class", "none")).lower()
+    if kind in ("none", ""):
+        return None
+    retention = _retention(configs, "fetch.chunk.cache.retention.ms", 600_000)
+    prefetch = _get_int(
+        configs, "fetch.chunk.cache.prefetch.max.size", default=0, lo=0
+    )
+    if kind in ("memory", "memorychunkcache"):
+        return MemoryChunkCache(
+            max_bytes=_get_int(
+                configs, "fetch.chunk.cache.size",
+                default=128 * 1024 * 1024, lo=1,
+            ),
+            prefetch_max_bytes=prefetch,
+            retention_seconds=retention,
+        )
+    if kind in ("disk", "diskchunkcache"):
+        path = configs.get("fetch.chunk.cache.path")
+        if not path:
+            raise ConfigException(
+                "missing required configuration 'fetch.chunk.cache.path'"
+            )
+        return DiskChunkCache(
+            path,
+            max_bytes=_get_int(
+                configs, "fetch.chunk.cache.size",
+                default=16 * 1024 * 1024 * 1024, lo=1,
+            ),
+            prefetch_max_bytes=prefetch,
+            retention_seconds=retention,
+        )
+    raise ConfigException(
+        f"fetch.chunk.cache.class must be 'memory', 'disk' or 'none', "
+        f"got {kind!r}"
+    )
+
+
+def configure(configs: dict) -> TieredStorageManager:
+    """Build a fully-wired ``TieredStorageManager`` from reference-keyed
+    string configs — the KIP-405 ``configure(Map<String, ?>)`` entry
+    point."""
+    compression = _get_bool(configs, "compression.enabled", False)
+    heuristic = _get_bool(configs, "compression.heuristic.enabled", False)
+    if heuristic and not compression:
+        # validateCompression (:399-404), message preserved
+        raise ConfigException(
+            "compression.enabled must be enabled if "
+            "compression.heuristic.enabled is"
+        )
+    chunk_size = _get_int(
+        configs, "chunk.size", lo=1, hi=1 << 30, required=True
+    )
+    rate = _get_int(
+        configs, "upload.rate.limit.bytes.per.second",
+        default=None, lo=1024 * 1024, hi=1_000_000_000,
+    )
+    manager = TieredStorageManager(
+        backend=_build_backend(configs),
+        chunk_size=chunk_size,
+        compression_enabled=compression,
+        compression_heuristic_enabled=heuristic,
+        encryption_keyring=_build_keyring(configs),
+        cache=_build_chunk_cache(configs),
+        key_prefix=str(configs.get("key.prefix", "")),
+        upload_rate_limit_bytes_per_second=rate,
+        manifest_retention_seconds=_retention(
+            configs, "fetch.manifest.cache.retention.ms", 3_600_000
+        ),
+        index_cache=MemorySegmentIndexesCache(
+            max_bytes=_get_int(
+                configs, "fetch.indexes.cache.size",
+                default=10 * 1024 * 1024, lo=1,
+            ),
+            retention_seconds=_retention(
+                configs, "fetch.indexes.cache.retention.ms", 600_000
+            ),
+        ),
+    )
+    manager._manifest_cache_size = _get_int(
+        configs, "fetch.manifest.cache.size", default=256, lo=1
+    )
+    # key.prefix.mask only affects log/metric rendering (the bytes on
+    # the wire always carry the real prefix — :64-66)
+    manager.key_prefix_masked = _get_bool(configs, "key.prefix.mask", False)
+    return manager
