@@ -175,3 +175,44 @@ def test_key_prefix_and_mask(tmp_path):
 def test_unknown_backend_rejected(tmp_path):
     with pytest.raises(ConfigException, match="unknown storage backend"):
         configure({"storage.backend.class": "bogus", "chunk.size": "8"})
+
+
+def test_segment_format_validated(tmp_path):
+    assert configure(base(tmp_path)).segment_format == "kafka"
+    assert configure(
+        base(tmp_path, **{"segment.format": "iceberg"})
+    ).segment_format == "iceberg"
+    with pytest.raises(ConfigException, match="segment.format"):
+        configure(base(tmp_path, **{"segment.format": "orc"}))
+
+
+def test_custom_metadata_fields_include(tmp_path):
+    from tiered_storage_for_apache_kafka_spark.metadata_serde import (
+        deserialize_custom_metadata,
+    )
+
+    data = SegmentData(b"p" * 100, {"offset": b"O", "timestamp": b"T",
+                                    "producerSnapshot": b"", "leaderEpoch": b""})
+    # reference default: EMPTY include list -> empty wire bytes
+    mgr = configure(base(tmp_path))
+    custom = mgr.copy_log_segment_data(META, data)
+    assert custom["custom_metadata"] == b""
+
+    # subset include
+    mgr2 = configure(base(
+        tmp_path / "b",
+        **{"storage.root": str(tmp_path / "b" / "store"),
+           "custom.metadata.fields.include": "REMOTE_SIZE,OBJECT_KEY"},
+    ))
+    custom = mgr2.copy_log_segment_data(META, data)
+    fields = deserialize_custom_metadata(custom["custom_metadata"])
+    assert set(fields) == {0, 2}  # REMOTE_SIZE, OBJECT_KEY tags
+    assert fields[0] == custom["remote_size"]
+
+    # unknown name rejected
+    with pytest.raises(ValueError, match="unknown custom metadata fields"):
+        configure(base(
+            tmp_path / "c",
+            **{"storage.root": str(tmp_path / "c" / "store"),
+               "custom.metadata.fields.include": "SHOE_SIZE"},
+        ))

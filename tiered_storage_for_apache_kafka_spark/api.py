@@ -95,6 +95,7 @@ class TieredStorageManager:
         manifest_retention_seconds: float | None = 3600.0,
         clock=None,
         index_cache: ChunkCache | None = None,
+        custom_metadata_fields: list[str] | None = None,
     ):
         self.backend = backend
         self.chunk_size = chunk_size
@@ -152,6 +153,22 @@ class TieredStorageManager:
         self._index_cache = index_cache
         if getattr(self._index_cache, "metrics", None) is None:
             self._index_cache.metrics = self.metrics
+        # which tagged fields enter the broker-facing custom metadata
+        # (reference `custom.metadata.fields.include`, names from
+        # `SegmentCustomMetadataField.java:31-33`; None = all — the
+        # engine's historical default; the reference's config default
+        # is the empty list, applied by config.configure())
+        allowed = {"REMOTE_SIZE", "OBJECT_PREFIX", "OBJECT_KEY"}
+        if custom_metadata_fields is None:
+            self.custom_metadata_fields = allowed
+        else:
+            bad = set(custom_metadata_fields) - allowed
+            if bad:
+                raise ValueError(
+                    f"unknown custom metadata fields {sorted(bad)}; "
+                    f"allowed: {sorted(allowed)}"
+                )
+            self.custom_metadata_fields = set(custom_metadata_fields)
         # thread-pool gauges per cache (ThreadPoolMonitor.java parity)
         if cache is not None and getattr(cache, "_pool", None) is not None:
             self.metrics.register_pool("chunk-cache", cache._pool)
@@ -297,9 +314,13 @@ class TieredStorageManager:
                 # `SegmentCustomMetadataSerde.java` wire compatibility)
                 "custom_metadata": serialize_custom_metadata(
                     {
-                        REMOTE_SIZE: remote_size,
-                        OBJECT_PREFIX: self.keys.prefix,
-                        OBJECT_KEY: keys[Suffix.LOG],
+                        tag: value
+                        for name, tag, value in (
+                            ("REMOTE_SIZE", REMOTE_SIZE, remote_size),
+                            ("OBJECT_PREFIX", OBJECT_PREFIX, self.keys.prefix),
+                            ("OBJECT_KEY", OBJECT_KEY, keys[Suffix.LOG]),
+                        )
+                        if name in self.custom_metadata_fields
                     }
                 ),
             }

@@ -33,6 +33,10 @@ Supported keys (reference line references in parentheses):
   ``fetch.indexes.cache.retention.ms``.
 - ``fetch.manifest.cache.size`` / ``fetch.manifest.cache.retention.ms``
   (1 h default — ``MemorySegmentManifestCache.java:51-52``).
+- ``segment.format`` (``kafka`` | ``iceberg``, :51,139).
+- ``custom.metadata.fields.include`` (list from
+  ``SegmentCustomMetadataField.names()``: REMOTE_SIZE / OBJECT_PREFIX /
+  OBJECT_KEY; default EMPTY like the reference — :85,229).
 """
 
 from __future__ import annotations
@@ -241,6 +245,17 @@ def configure(configs: dict) -> TieredStorageManager:
         configs, "upload.rate.limit.bytes.per.second",
         default=None, lo=1024 * 1024, hi=1_000_000_000,
     )
+    segment_format = str(configs.get("segment.format", "kafka")).lower()
+    if segment_format not in ("kafka", "iceberg"):
+        raise ConfigException(
+            f"segment.format must be 'kafka' or 'iceberg', got {segment_format!r}"
+        )
+    raw_fields = configs.get("custom.metadata.fields.include", "")
+    fields = (
+        [f.strip() for f in raw_fields.split(",") if f.strip()]
+        if isinstance(raw_fields, str)
+        else list(raw_fields)
+    )
     manager = TieredStorageManager(
         backend=_build_backend(configs),
         chunk_size=chunk_size,
@@ -253,6 +268,7 @@ def configure(configs: dict) -> TieredStorageManager:
         manifest_retention_seconds=_retention(
             configs, "fetch.manifest.cache.retention.ms", 3_600_000
         ),
+        custom_metadata_fields=fields,
         index_cache=MemorySegmentIndexesCache(
             max_bytes=_get_int(
                 configs, "fetch.indexes.cache.size",
@@ -269,4 +285,8 @@ def configure(configs: dict) -> TieredStorageManager:
     # key.prefix.mask only affects log/metric rendering (the bytes on
     # the wire always carry the real prefix — :64-66)
     manager.key_prefix_masked = _get_bool(configs, "key.prefix.mask", False)
+    # "kafka" = byte-fidelity engine (this manager); "iceberg" = the
+    # table-mode plane — recorded so a dual-engine dispatcher
+    # (`selector.DualEngineFetcher`) knows the PRIMARY format
+    manager.segment_format = segment_format
     return manager
