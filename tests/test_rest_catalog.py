@@ -678,3 +678,58 @@ def test_time_travel_respects_catalog_pointer(server, table, spark):
     assert sid2 == 2
     assert read_iceberg_table_at(spark, tdir, sid2, catalog=client).count() == 160
     assert read_iceberg_table_at(spark, tdir, 1, catalog=client).count() == 120
+
+
+def test_concurrent_writers_stress(server, table):
+    """Real concurrency (not an injected race): 6 threads each commit
+    their own file through the HTTP service simultaneously. Every file
+    must end up live in exactly one snapshot each, chained linearly —
+    the optimistic-concurrency loop under genuine contention."""
+    import threading
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        plan_scan,
+    )
+
+    tdir, df = table
+    plain = RestCatalogClient(server.base_url)
+    commit_append(tdir, df.schema, now_ms=1_000, catalog=plain)
+
+    n = 6
+    files = [_clone_data_file(tdir, f"stress{i}") for i in range(n)]
+    errors: list[Exception] = []
+
+    def writer(i: int):
+        try:
+            commit_append(
+                tdir, df.schema, now_ms=2_000 + i,
+                catalog=RestCatalogClient(server.base_url),
+                files=[files[i]],
+                max_commit_retries=n + 2,  # worst case: lose to everyone
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert errors == []
+
+    meta = plain.load_table("rest_table")["metadata"]
+    assert len(meta["snapshots"]) == 1 + n  # initial + one per writer
+    # linear chain: every snapshot's parent is the previous one
+    snaps = meta["snapshots"]
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur["parent-snapshot-id"] == prev["snapshot-id"]
+    # every writer's file is live exactly once (FULL paths: Spark task
+    # files in different partition dirs legitimately share basenames)
+    paths = [f["file_path"] for f in plan_scan(tdir)]
+    assert len(paths) == len(set(paths))
+    for f in files:
+        assert f in paths
+    # monotonic history
+    log_ts = [e["timestamp-ms"] for e in meta["snapshot-log"]]
+    assert log_ts == sorted(log_ts)
