@@ -169,7 +169,16 @@ def test_key_prefix_and_mask(tmp_path):
         tmp_path, **{"key.prefix": "tier/", "key.prefix.mask": "true"}
     ))
     assert mgr.keys.prefix == "tier/"
-    assert mgr.key_prefix_masked is True
+    assert mgr.keys.mask_prefix is True
+    # masking affects DISPLAY forms only; wire keys keep the real prefix
+    key = mgr.keys.key("t", "tid", 0, 5, "u1", __import__(
+        "tiered_storage_for_apache_kafka_spark.storage.object_key",
+        fromlist=["Suffix"]).Suffix.LOG)
+    assert key.startswith("tier/")
+    assert mgr.keys.display(key) == "..." + key[len("tier/"):]
+    unmasked = configure(base(tmp_path / "u", **{
+        "storage.root": str(tmp_path / "u" / "store"), "key.prefix": "tier/"}))
+    assert unmasked.keys.display(key) == key
 
 
 def test_unknown_backend_rejected(tmp_path):
@@ -209,8 +218,8 @@ def test_custom_metadata_fields_include(tmp_path):
     assert set(fields) == {0, 2}  # REMOTE_SIZE, OBJECT_KEY tags
     assert fields[0] == custom["remote_size"]
 
-    # unknown name rejected
-    with pytest.raises(ValueError, match="unknown custom metadata fields"):
+    # unknown name rejected (as ConfigException, like every other key)
+    with pytest.raises(ConfigException, match="custom.metadata.fields.include"):
         configure(base(
             tmp_path / "c",
             **{"storage.root": str(tmp_path / "c" / "store"),

@@ -716,6 +716,7 @@ def test_concurrent_writers_stress(server, table):
         t.start()
     for t in threads:
         t.join(60)
+        assert not t.is_alive(), "writer hung in the commit retry loop"
     assert errors == []
 
     meta = plain.load_table("rest_table")["metadata"]

@@ -90,6 +90,7 @@ class TieredStorageManager:
         encryption_keyring: RsaKeyring | None = None,
         cache: ChunkCache | None = None,
         key_prefix: str = "",
+        key_prefix_mask: bool = False,
         codec: str = DEFAULT_CODEC,
         upload_rate_limit_bytes_per_second: int | None = None,
         manifest_retention_seconds: float | None = 3600.0,
@@ -103,8 +104,10 @@ class TieredStorageManager:
         self.compression_heuristic_enabled = compression_heuristic_enabled
         self.keyring = encryption_keyring
         self.codec = codec
-        self.keys = ObjectKeyFactory(key_prefix)
-        self.chunk_manager = ChunkManager(backend, cache, codec)
+        self.keys = ObjectKeyFactory(key_prefix, mask_prefix=key_prefix_mask)
+        self.chunk_manager = ChunkManager(
+            backend, cache, codec, display_key=self.keys.display
+        )
         self.rate_limiter = (
             TokenBucket(upload_rate_limit_bytes_per_second)
             if upload_rate_limit_bytes_per_second
@@ -131,7 +134,8 @@ class TieredStorageManager:
         self._manifest_cache: OrderedDict[str, tuple[SegmentManifest, float]] = (
             OrderedDict()
         )
-        self._manifest_cache_size = 256
+        # reference default: MemorySegmentManifestCache.java:51 (1000)
+        self._manifest_cache_size = 1000
         self._manifest_retention = manifest_retention_seconds
         import time as _time
 

@@ -113,13 +113,39 @@ def _get_int(
     return v
 
 
+# reference backend config keys (each backend's *StorageConfig.java) ->
+# this engine's constructor kwargs; int-typed kwargs are converted
+_BACKEND_KEY_MAPS: dict[str, dict[str, str]] = {
+    "filesystem": {  # FileSystemStorageConfig.java:27-30
+        "root": "root",
+        "overwrite.enabled": "overwrite_enabled",
+    },
+    "s3": {  # S3StorageConfig.java:46-77
+        "s3.bucket.name": "bucket",
+        "s3.endpoint.url": "endpoint_url",
+        "s3.region": "region",
+        "s3.multipart.upload.part.size": "part_size",
+        "proxy": "proxy",
+    },
+    "gcs": {  # GcsStorageConfig.java:32-39
+        "gcs.bucket.name": "bucket",
+        "gcs.resumable.upload.chunk.size": "resumable_chunk",
+        "proxy": "proxy",
+    },
+    "azure": {  # AzureBlobStorageConfig.java:41-51
+        "azure.container.name": "container",
+        "azure.upload.block.size": "block_size",
+        "proxy": "proxy",
+    },
+}
+_BACKEND_INT_KWARGS = {"part_size", "resumable_chunk", "block_size"}
+_BOOL_KWARGS = {"overwrite_enabled"}
+
+
 def _prefixed(configs: dict, prefix: str) -> dict[str, Any]:
-    """originalsWithPrefix: strip the prefix, snake_case the rest."""
-    out = {}
-    for k, v in configs.items():
-        if k.startswith(prefix):
-            out[k[len(prefix):].replace(".", "_")] = v
-    return out
+    return {
+        k[len(prefix):]: v for k, v in configs.items() if k.startswith(prefix)
+    }
 
 
 def _build_backend(configs: dict):
@@ -128,8 +154,21 @@ def _build_backend(configs: dict):
         raise ConfigException(
             "missing required configuration 'storage.backend.class'"
         )
+    raw = _prefixed(configs, "storage.")
+    raw.pop("backend.class", None)
     if cls_name in _BACKENDS:
         module, attr = _BACKENDS[cls_name]
+        key_map = _BACKEND_KEY_MAPS[cls_name]
+        kwargs: dict[str, Any] = {}
+        for k, v in raw.items():
+            # accept the reference's documented key OR our native
+            # snake_case kwarg name directly
+            kw = key_map.get(k, k.replace(".", "_"))
+            if kw in _BACKEND_INT_KWARGS:
+                v = int(v)
+            elif kw in _BOOL_KWARGS and isinstance(v, str):
+                v = v.lower() in ("true", "1")
+            kwargs[kw] = v
     else:
         module, _, attr = str(cls_name).rpartition(".")
         if not module:
@@ -137,10 +176,14 @@ def _build_backend(configs: dict):
                 f"unknown storage backend {cls_name!r} "
                 f"(short names: {sorted(_BACKENDS)})"
             )
+        kwargs = {k.replace(".", "_"): v for k, v in raw.items()}
     cls = getattr(importlib.import_module(module), attr)
-    kwargs = _prefixed(configs, "storage.")
-    kwargs.pop("backend_class", None)
-    return cls(**kwargs)
+    try:
+        return cls(**kwargs)
+    except TypeError as e:
+        raise ConfigException(
+            f"invalid storage.* configuration for {cls_name!r}: {e}"
+        ) from None
 
 
 def _build_keyring(configs: dict):
@@ -184,8 +227,20 @@ def _build_keyring(configs: dict):
 
 
 def _retention(configs: dict, key: str, default_ms: int) -> float | None:
-    ms = _get_int(configs, key, default=default_ms)
-    return None if ms == -1 else ms / 1000.0  # reference: -1 = infinite
+    # reference CacheConfig: Range.between(-1, MAX); -1 = infinite
+    ms = _get_int(configs, key, default=default_ms, lo=-1)
+    return None if ms == -1 else ms / 1000.0
+
+
+_UNBOUNDED = 1 << 62  # effectively-infinite byte/entry budget
+
+
+def _cache_size(configs: dict, key: str, default: int) -> int:
+    # reference CacheConfig: Range.between(-1, MAX); "-1" = unbounded
+    v = _get_int(configs, key, default=default, lo=-1)
+    if v == 0:
+        raise ConfigException(f"{key} must be -1 (unbounded) or positive")
+    return _UNBOUNDED if v == -1 else v
 
 
 def _build_chunk_cache(configs: dict):
@@ -198,9 +253,8 @@ def _build_chunk_cache(configs: dict):
     )
     if kind in ("memory", "memorychunkcache"):
         return MemoryChunkCache(
-            max_bytes=_get_int(
-                configs, "fetch.chunk.cache.size",
-                default=128 * 1024 * 1024, lo=1,
+            max_bytes=_cache_size(
+                configs, "fetch.chunk.cache.size", 128 * 1024 * 1024
             ),
             prefetch_max_bytes=prefetch,
             retention_seconds=retention,
@@ -213,9 +267,8 @@ def _build_chunk_cache(configs: dict):
             )
         return DiskChunkCache(
             path,
-            max_bytes=_get_int(
-                configs, "fetch.chunk.cache.size",
-                default=16 * 1024 * 1024 * 1024, lo=1,
+            max_bytes=_cache_size(
+                configs, "fetch.chunk.cache.size", 16 * 1024 * 1024 * 1024
             ),
             prefetch_max_bytes=prefetch,
             retention_seconds=retention,
@@ -229,7 +282,11 @@ def _build_chunk_cache(configs: dict):
 def configure(configs: dict) -> TieredStorageManager:
     """Build a fully-wired ``TieredStorageManager`` from reference-keyed
     string configs — the KIP-405 ``configure(Map<String, ?>)`` entry
-    point."""
+    point. ALL validation runs before any construction (the reference
+    validates the whole AbstractConfig before ``storage()`` builds
+    anything), so a rejected config performs no side effects — no
+    directories created, no SDK clients built."""
+    # ---- validation pass (no side effects) -------------------------------
     compression = _get_bool(configs, "compression.enabled", False)
     heuristic = _get_bool(configs, "compression.heuristic.enabled", False)
     if heuristic and not compression:
@@ -238,8 +295,9 @@ def configure(configs: dict) -> TieredStorageManager:
             "compression.enabled must be enabled if "
             "compression.heuristic.enabled is"
         )
+    # reference range: between(1, Integer.MAX_VALUE / 2) = [1, 2^30 - 1]
     chunk_size = _get_int(
-        configs, "chunk.size", lo=1, hi=1 << 30, required=True
+        configs, "chunk.size", lo=1, hi=(1 << 30) - 1, required=True
     )
     rate = _get_int(
         configs, "upload.rate.limit.bytes.per.second",
@@ -256,6 +314,45 @@ def configure(configs: dict) -> TieredStorageManager:
         if isinstance(raw_fields, str)
         else list(raw_fields)
     )
+    bad_fields = set(fields) - {"REMOTE_SIZE", "OBJECT_PREFIX", "OBJECT_KEY"}
+    if bad_fields:
+        raise ConfigException(
+            "custom.metadata.fields.include allows "
+            f"[REMOTE_SIZE, OBJECT_PREFIX, OBJECT_KEY]; got {sorted(bad_fields)}"
+        )
+    cache_kind = str(configs.get("fetch.chunk.cache.class", "none")).lower()
+    if cache_kind not in (
+        "none", "", "memory", "memorychunkcache", "disk", "diskchunkcache",
+    ):
+        raise ConfigException(
+            f"fetch.chunk.cache.class must be 'memory', 'disk' or 'none', "
+            f"got {cache_kind!r}"
+        )
+    if cache_kind in ("disk", "diskchunkcache") and not configs.get(
+        "fetch.chunk.cache.path"
+    ):
+        raise ConfigException(
+            "missing required configuration 'fetch.chunk.cache.path'"
+        )
+    manifest_retention = _retention(
+        configs, "fetch.manifest.cache.retention.ms", 3_600_000
+    )
+    # reference default: MemorySegmentManifestCache.java:51 (1000 entries)
+    manifest_cache_size = _cache_size(
+        configs, "fetch.manifest.cache.size", 1000
+    )
+    indexes_cache_size = _cache_size(
+        configs, "fetch.indexes.cache.size", 10 * 1024 * 1024
+    )
+    indexes_retention = _retention(
+        configs, "fetch.indexes.cache.retention.ms", 600_000
+    )
+    key_prefix_mask = _get_bool(configs, "key.prefix.mask", False)
+    # (chunk cache numerics are validated inside _build_chunk_cache via
+    # the same _cache_size/_retention helpers; its class/path cross-key
+    # requirements were checked above)
+
+    # ---- construction pass ----------------------------------------------
     manager = TieredStorageManager(
         backend=_build_backend(configs),
         chunk_size=chunk_size,
@@ -264,27 +361,16 @@ def configure(configs: dict) -> TieredStorageManager:
         encryption_keyring=_build_keyring(configs),
         cache=_build_chunk_cache(configs),
         key_prefix=str(configs.get("key.prefix", "")),
+        key_prefix_mask=key_prefix_mask,
         upload_rate_limit_bytes_per_second=rate,
-        manifest_retention_seconds=_retention(
-            configs, "fetch.manifest.cache.retention.ms", 3_600_000
-        ),
+        manifest_retention_seconds=manifest_retention,
         custom_metadata_fields=fields,
         index_cache=MemorySegmentIndexesCache(
-            max_bytes=_get_int(
-                configs, "fetch.indexes.cache.size",
-                default=10 * 1024 * 1024, lo=1,
-            ),
-            retention_seconds=_retention(
-                configs, "fetch.indexes.cache.retention.ms", 600_000
-            ),
+            max_bytes=indexes_cache_size,
+            retention_seconds=indexes_retention,
         ),
     )
-    manager._manifest_cache_size = _get_int(
-        configs, "fetch.manifest.cache.size", default=256, lo=1
-    )
-    # key.prefix.mask only affects log/metric rendering (the bytes on
-    # the wire always carry the real prefix — :64-66)
-    manager.key_prefix_masked = _get_bool(configs, "key.prefix.mask", False)
+    manager._manifest_cache_size = manifest_cache_size
     # "kafka" = byte-fidelity engine (this manager); "iceberg" = the
     # table-mode plane — recorded so a dual-engine dispatcher
     # (`selector.DualEngineFetcher`) knows the PRIMARY format

@@ -36,10 +36,13 @@ class ChunkManager:
         backend: StorageBackend,
         cache: ChunkCache | None = None,
         codec: str = "zlib",
+        display_key=None,
     ):
         self.backend = backend
         self.cache = cache
         self.codec = codec
+        # how object keys render in error messages (key.prefix.mask)
+        self.display_key = display_key or (lambda k: k)
 
     def _load_chunk_raw(self, object_key: str, manifest: SegmentManifest, chunk_id: int) -> bytes:
         chunk = manifest.chunk_index.chunk(chunk_id)
@@ -139,8 +142,8 @@ class ChunkManager:
                 and time.monotonic() - started > deadline_seconds
             ):
                 raise FetchTimeoutError(
-                    f"fetch of {object_key} exceeded {deadline_seconds}s "
-                    f"(at chunk {chunk.id}/{chunks[-1].id})"
+                    f"fetch of {self.display_key(object_key)} exceeded "
+                    f"{deadline_seconds}s (at chunk {chunk.id}/{chunks[-1].id})"
                 )
             data = self.get_chunk(object_key, manifest, chunk.id, key)
             lo = 0

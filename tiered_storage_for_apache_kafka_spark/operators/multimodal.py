@@ -678,14 +678,6 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
-
-
 def encode_png(pixels: "np.ndarray", filters: "list[int] | None" = None) -> bytes:
     """Baseline PNG encoder: 8-bit gray/RGB/RGBA, one IDAT, per-row
     filter types (default cycles 0..4 so a decode of any image >=5 rows

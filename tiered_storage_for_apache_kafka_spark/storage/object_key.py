@@ -39,8 +39,20 @@ class ObjectKey:
 
 
 class ObjectKeyFactory:
-    def __init__(self, prefix: str = ""):
+    def __init__(self, prefix: str = "", mask_prefix: bool = False):
+        # mask_prefix: render keys with the prefix hidden in logs /
+        # error messages (reference ObjectKeyFactory.java maskPrefix —
+        # the wire always carries the real prefix; only DISPLAY forms
+        # are masked)
         self.prefix = prefix
+        self.mask_prefix = mask_prefix
+
+    def display(self, key: str) -> str:
+        """Key as it should appear in logs/errors: prefix masked when
+        configured."""
+        if self.mask_prefix and self.prefix and key.startswith(self.prefix):
+            return "..." + key[len(self.prefix):]
+        return key
 
     def key(
         self,
