@@ -734,3 +734,133 @@ def test_concurrent_writers_stress(server, table):
     # monotonic history
     log_ts = [e["timestamp-ms"] for e in meta["snapshot-log"]]
     assert log_ts == sorted(log_ts)
+
+
+class TestCachingCatalog:
+    """NamespaceAwareCachingCatalog parity: load-table caching with
+    expire-after-write TTL; commits refresh the cache; conflicts
+    invalidate it so the rebase loop reads live state."""
+
+    def _cached(self, server, expiration=600.0, clock=None):
+        from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+            CachingCatalog,
+        )
+
+        return CachingCatalog(
+            RestCatalogClient(server.base_url),
+            expiration_seconds=expiration,
+            clock=clock,
+        )
+
+    def test_load_hits_cache_until_ttl(self, server, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+        )
+
+        tdir, df = table
+        now = [0.0]
+        cat = self._cached(server, expiration=10.0, clock=lambda: now[0])
+        commit_append(tdir, df.schema, now_ms=1_000, catalog=cat)
+        cat.load_table("rest_table")
+        hits0 = cat.hits
+        cat.load_table("rest_table")
+        cat.load_table("rest_table")
+        assert cat.hits == hits0 + 2
+        now[0] = 11.0  # past TTL → refetch
+        misses0 = cat.misses
+        cat.load_table("rest_table")
+        assert cat.misses == misses0 + 1
+
+    def test_commit_refreshes_cache(self, server, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+        )
+
+        tdir, df = table
+        cat = self._cached(server)
+        commit_append(tdir, df.schema, now_ms=1_000, catalog=cat)
+        f2 = _clone_data_file(tdir, "cache2")
+        commit_append(tdir, df.schema, now_ms=2_000, catalog=cat, files=[f2])
+        # the post-commit load is served from cache AND is current
+        misses0 = cat.misses
+        loaded = cat.load_table("rest_table")
+        assert cat.misses == misses0
+        assert len(loaded["metadata"]["snapshots"]) == 2
+
+    def test_conflict_invalidates_so_rebase_sees_live_state(self, server, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            plan_scan,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+            CachingCatalog,
+        )
+
+        tdir, df = table
+        plain = RestCatalogClient(server.base_url)
+        commit_append(tdir, df.schema, now_ms=1_000, catalog=plain)
+
+        # a CACHED client that loses a race: without the conflict
+        # invalidation, its retry would reload the same stale cached
+        # state and spin until retries exhaust
+        racing = CachingCatalog(
+            RacingClient(server.base_url, tdir, df.schema, races=1)
+        )
+        racing.namespace = "default"
+        mine = _clone_data_file(tdir, "cached-mine")
+        meta = commit_append(
+            tdir, df.schema, now_ms=5_000, catalog=racing, files=[mine]
+        )
+        assert len(meta["snapshots"]) == 3  # rival + mine both landed
+        assert mine in [f["file_path"] for f in plan_scan(tdir)]
+
+    def test_disabled_cache_bypasses(self, server, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+        )
+
+        tdir, df = table
+        cat = self._cached(server, expiration=0)
+        commit_append(tdir, df.schema, now_ms=1_000, catalog=cat)
+        cat.load_table("rest_table")
+        cat.load_table("rest_table")
+        assert cat.hits == 0
+
+
+def test_configure_builds_iceberg_catalog(server, tmp_path):
+    from tiered_storage_for_apache_kafka_spark.config import (
+        ConfigException,
+        configure,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CachingCatalog,
+    )
+
+    cfg = {
+        "storage.backend.class": "filesystem",
+        "storage.root": str(tmp_path / "store"),
+        "chunk.size": "1024",
+        "iceberg.catalog.class": "rest",
+        "iceberg.catalog.uri": server.base_url,
+        "iceberg.namespace": "prod",
+    }
+    mgr = configure(cfg)
+    assert isinstance(mgr.iceberg_catalog, CachingCatalog)
+    assert mgr.iceberg_catalog.namespace == "prod"
+    assert mgr.iceberg_catalog.config() == {"defaults": {}, "overrides": {}}
+
+    uncached = configure({**cfg, "iceberg.catalog.cache.enabled": "false"})
+    assert not isinstance(uncached.iceberg_catalog, CachingCatalog)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigException, match="iceberg.catalog.uri"):
+        configure({k: v for k, v in cfg.items() if k != "iceberg.catalog.uri"})
+    with _pytest.raises(ConfigException, match="iceberg.catalog.class"):
+        configure({**cfg, "iceberg.catalog.class": "hive"})
+    # no iceberg keys -> no catalog
+    assert configure({
+        "storage.backend.class": "filesystem",
+        "storage.root": str(tmp_path / "s2"),
+        "chunk.size": "1024",
+    }).iceberg_catalog is None

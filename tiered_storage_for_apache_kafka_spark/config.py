@@ -37,6 +37,10 @@ Supported keys (reference line references in parentheses):
 - ``custom.metadata.fields.include`` (list from
   ``SegmentCustomMetadataField.names()``: REMOTE_SIZE / OBJECT_PREFIX /
   OBJECT_KEY; default EMPTY like the reference — :85,229).
+- ``iceberg.namespace`` + ``iceberg.catalog.class`` (``rest``) +
+  ``iceberg.catalog.uri`` + ``iceberg.catalog.cache.enabled`` /
+  ``iceberg.catalog.cache.expiration.ms`` (600 000 default — :109-131;
+  ``NamespaceAwareCachingCatalog.java`` wrapper).
 """
 
 from __future__ import annotations
@@ -348,6 +352,24 @@ def configure(configs: dict) -> TieredStorageManager:
         configs, "fetch.indexes.cache.retention.ms", 600_000
     )
     key_prefix_mask = _get_bool(configs, "key.prefix.mask", False)
+    iceberg_catalog_cls = configs.get("iceberg.catalog.class")
+    if iceberg_catalog_cls is not None and str(iceberg_catalog_cls) not in (
+        "rest", "RestCatalogClient",
+    ):
+        raise ConfigException(
+            "iceberg.catalog.class supports 'rest' "
+            f"(the Iceberg REST catalog protocol), got {iceberg_catalog_cls!r}"
+        )
+    if iceberg_catalog_cls is not None and not configs.get("iceberg.catalog.uri"):
+        raise ConfigException(
+            "missing required configuration 'iceberg.catalog.uri'"
+        )
+    catalog_cache_enabled = _get_bool(
+        configs, "iceberg.catalog.cache.enabled", True
+    )
+    catalog_cache_expiration = _get_int(
+        configs, "iceberg.catalog.cache.expiration.ms", default=600_000, lo=-1
+    )
     # (chunk cache numerics are validated inside _build_chunk_cache via
     # the same _cache_size/_retention helpers; its class/path cross-key
     # requirements were checked above)
@@ -371,6 +393,24 @@ def configure(configs: dict) -> TieredStorageManager:
         ),
     )
     manager._manifest_cache_size = manifest_cache_size
+    # iceberg catalog-service plumbing (RemoteStorageManagerConfig:109-131):
+    # a REST catalog client, optionally behind the caching wrapper
+    manager.iceberg_catalog = None
+    if iceberg_catalog_cls is not None:
+        from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+            CachingCatalog,
+            RestCatalogClient,
+        )
+
+        client = RestCatalogClient(
+            str(configs["iceberg.catalog.uri"]),
+            namespace=str(configs.get("iceberg.namespace", "default")),
+        )
+        if catalog_cache_enabled and catalog_cache_expiration > 0:
+            client = CachingCatalog(
+                client, expiration_seconds=catalog_cache_expiration / 1000.0
+            )
+        manager.iceberg_catalog = client
     # "kafka" = byte-fidelity engine (this manager); "iceberg" = the
     # table-mode plane — recorded so a dual-engine dispatcher
     # (`selector.DualEngineFetcher`) knows the PRIMARY format

@@ -422,6 +422,82 @@ class FakeRestCatalogServer:
 # ---------------------------------------------------------------------------
 
 
+class CachingCatalog:
+    """Expire-after-write cache over a catalog client's table
+    operations — parity with the reference's
+    ``iceberg/NamespaceAwareCachingCatalog.java`` (Iceberg's
+    ``CachingCatalog.wrap(catalog, expirationMs)`` when
+    ``iceberg.catalog.cache.enabled``; default expiration 600 000 ms —
+    ``RemoteStorageManagerConfig.java:121-131``). Namespace operations
+    delegate uncached, as the reference's wrapper does.
+
+    Correctness under writers: a successful commit CACHES its response
+    (the commit result IS the fresh table), and a conflict INVALIDATES
+    the entry before re-raising — so the reload-and-rebase loop in
+    ``commit_append`` always rebases from live state instead of
+    spinning on its own cached staleness until TTL. Cross-reader
+    staleness is bounded by the TTL, exactly the trade the reference's
+    doc describes. ``expiration_seconds <= 0`` disables caching
+    (``cacheExpirationMs > 0`` guard in the reference)."""
+
+    def __init__(self, inner, expiration_seconds: float = 600.0, clock=None):
+        import time
+
+        self.inner = inner
+        self.namespace = inner.namespace
+        self.expiration = expiration_seconds
+        self._clock = clock or time.monotonic
+        self._cache: dict[str, tuple[dict, float]] = {}
+        self.hits = 0
+        self.misses = 0
+
+    # namespace ops: uncached delegation
+    def config(self) -> dict:
+        return self.inner.config()
+
+    def ensure_namespace(self) -> None:
+        self.inner.ensure_namespace()
+
+    def invalidate(self, table: str) -> None:
+        self._cache.pop(table, None)
+
+    def load_table(self, table: str) -> dict | None:
+        if self.expiration > 0:
+            entry = self._cache.get(table)
+            if entry is not None:
+                resp, ts = entry
+                if self._clock() - ts <= self.expiration:
+                    self.hits += 1
+                    return json.loads(json.dumps(resp))
+                del self._cache[table]
+        self.misses += 1
+        resp = self.inner.load_table(table)
+        if resp is not None and self.expiration > 0:
+            self._cache[table] = (resp, self._clock())
+        return resp
+
+    def create_table(self, table: str, metadata: dict) -> dict:
+        resp = self.inner.create_table(table, metadata)
+        if self.expiration > 0:
+            self._cache[table] = (resp, self._clock())
+        return resp
+
+    def commit_table(
+        self, table: str, requirements: list[dict], updates: list[dict],
+        now_ms: int,
+    ) -> dict:
+        try:
+            resp = self.inner.commit_table(table, requirements, updates, now_ms)
+        except CommitConflictError:
+            # a rival moved the head: the cached entry is definitionally
+            # stale — drop it so the caller's rebase reloads live state
+            self.invalidate(table)
+            raise
+        if self.expiration > 0:
+            self._cache[table] = (resp, self._clock())
+        return resp
+
+
 class RestCatalogClient:
     """urllib client for the REST catalog subset above. All methods
     speak the spec's request/response bodies; conflicts surface as
