@@ -225,3 +225,30 @@ def test_custom_metadata_fields_include(tmp_path):
             **{"storage.root": str(tmp_path / "c" / "store"),
                "custom.metadata.fields.include": "SHOE_SIZE"},
         ))
+
+
+def test_structure_provider_wiring(tmp_path):
+    from tiered_storage_for_apache_kafka_spark.avro import HttpSchemaRegistry
+
+    cfg = base(tmp_path, **{
+        "structure.provider.class": "avro-registry",
+        "structure.provider.serde.schema.registry.url": "http://127.0.0.1:9",
+    })
+    mgr = configure(cfg)
+    assert isinstance(mgr.structure_provider, HttpSchemaRegistry)
+
+    with pytest.raises(ConfigException, match="schema.registry.url"):
+        configure(base(
+            tmp_path / "x",
+            **{"storage.root": str(tmp_path / "x" / "s"),
+               "structure.provider.class": "avro-registry"},
+        ))
+    with pytest.raises(ConfigException, match="structure.provider.class"):
+        configure(base(
+            tmp_path / "y",
+            **{"storage.root": str(tmp_path / "y" / "s"),
+               "structure.provider.class": "protobuf"},
+        ))
+    assert configure(base(
+        tmp_path / "z", **{"storage.root": str(tmp_path / "z" / "s")}
+    )).structure_provider is None

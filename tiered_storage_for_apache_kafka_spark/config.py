@@ -37,6 +37,10 @@ Supported keys (reference line references in parentheses):
 - ``custom.metadata.fields.include`` (list from
   ``SegmentCustomMetadataField.names()``: REMOTE_SIZE / OBJECT_PREFIX /
   OBJECT_KEY; default EMPTY like the reference — :85,229).
+- ``structure.provider.class`` (``avro-registry``) +
+  ``structure.provider.serde.schema.registry.url``
+  (``AvroSchemaRegistryStructureProvider[Config].java`` — the
+  serde.-prefixed Confluent client settings; :104-107).
 - ``iceberg.namespace`` + ``iceberg.catalog.class`` (``rest``) +
   ``iceberg.catalog.uri`` + ``iceberg.catalog.cache.enabled`` /
   ``iceberg.catalog.cache.expiration.ms`` (600 000 default — :109-131;
@@ -370,6 +374,21 @@ def configure(configs: dict) -> TieredStorageManager:
     catalog_cache_expiration = _get_int(
         configs, "iceberg.catalog.cache.expiration.ms", default=600_000, lo=-1
     )
+    structure_provider_cls = configs.get("structure.provider.class")
+    if structure_provider_cls is not None and str(structure_provider_cls) not in (
+        "avro-registry", "AvroSchemaRegistryStructureProvider",
+    ):
+        raise ConfigException(
+            "structure.provider.class supports 'avro-registry', got "
+            f"{structure_provider_cls!r}"
+        )
+    if structure_provider_cls is not None and not configs.get(
+        "structure.provider.serde.schema.registry.url"
+    ):
+        raise ConfigException(
+            "missing required configuration "
+            "'structure.provider.serde.schema.registry.url'"
+        )
     # (chunk cache numerics are validated inside _build_chunk_cache via
     # the same _cache_size/_retention helpers; its class/path cross-key
     # requirements were checked above)
@@ -411,6 +430,18 @@ def configure(configs: dict) -> TieredStorageManager:
                 client, expiration_seconds=catalog_cache_expiration / 1000.0
             )
         manager.iceberg_catalog = client
+    # structure provider (iceberg/AvroSchemaRegistryStructureProvider
+    # .java:33-92 + its Config: serde.-prefixed Confluent settings —
+    # serde.schema.registry.url is the one the decode path needs)
+    manager.structure_provider = None
+    if structure_provider_cls is not None:
+        from tiered_storage_for_apache_kafka_spark.avro import (
+            HttpSchemaRegistry,
+        )
+
+        manager.structure_provider = HttpSchemaRegistry(
+            str(configs["structure.provider.serde.schema.registry.url"])
+        )
     # "kafka" = byte-fidelity engine (this manager); "iceberg" = the
     # table-mode plane — recorded so a dual-engine dispatcher
     # (`selector.DualEngineFetcher`) knows the PRIMARY format
