@@ -61,6 +61,9 @@ streaming key cardinality all grow 10x):
     resets it — measured, matching the Java library's appendFiles
     behavior; the residual slope is the known-files dedup set, the
     documented O(files-per-commit) driver-side term.
+      via REST catalog: 5.7 ms/commit (1-10), 25.8 (91-100) — the HTTP
+      round-trip + server-side update application adds ~2-8 ms/commit,
+      constant in table age (the protocol is not the scaling term).
 """
 
 from __future__ import annotations
@@ -290,6 +293,32 @@ def probe_iceberg_commit_cost() -> None:
     print(f"  commits 101-110: {bucket(100, 110):7.1f}   (post-compaction)")
     print(f"  commits 191-200: {bucket(190, 200):7.1f}")
     shutil.rmtree(tdir, ignore_errors=True)
+
+    # the same curve through the REST-catalog protocol: what the HTTP
+    # round-trip + server-side update application adds per commit
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        FakeRestCatalogServer,
+        RestCatalogClient,
+    )
+
+    tdir2 = tempfile.mkdtemp(prefix="iceberg-commit-rest-probe-")
+    os.makedirs(os.path.join(tdir2, "partition=0"), exist_ok=True)
+    with FakeRestCatalogServer() as srv:
+        client = RestCatalogClient(srv.base_url)
+
+        def one_rest_commit(i: int) -> float:
+            path = os.path.join(tdir2, "partition=0", f"f{i:04d}.parquet")
+            pq.write_table(tbl, path)
+            t0 = time.perf_counter()
+            commit_append(tdir2, schema, now_ms=i + 1, files=[path],
+                          catalog=client)
+            return time.perf_counter() - t0
+
+        times = [one_rest_commit(i) for i in range(100)]
+        print("iceberg commit cost via REST catalog (ms/commit):")
+        print(f"  commits   1-10 : {bucket(0, 10):7.1f}")
+        print(f"  commits  91-100: {bucket(90, 100):7.1f}")
+    shutil.rmtree(tdir2, ignore_errors=True)
 
 
 if __name__ == "__main__":
