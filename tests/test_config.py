@@ -252,3 +252,19 @@ def test_structure_provider_wiring(tmp_path):
     assert configure(base(
         tmp_path / "z", **{"storage.root": str(tmp_path / "z" / "s")}
     )).structure_provider is None
+
+
+def test_metrics_configs(tmp_path):
+    mgr = configure(base(tmp_path, **{
+        "metrics.num.samples": "3",
+        "metrics.sample.window.ms": "10000",
+        "metrics.recording.level": "DEBUG",
+    }))
+    assert mgr.metrics.num_samples == 3
+    assert mgr.metrics.sample_window_seconds == 10.0
+    assert mgr.metrics.recording_level == "DEBUG"
+    with pytest.raises(ConfigException, match="metrics.recording.level"):
+        configure(base(tmp_path / "x", **{
+            "storage.root": str(tmp_path / "x" / "s"),
+            "metrics.recording.level": "LOUD",
+        }))

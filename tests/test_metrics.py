@@ -112,8 +112,10 @@ def test_derived_avg_max_rate():
     # existing keys unchanged
     assert snap["upload.bytes[object_type=log]"] == 500
     assert "segment.copy[topic=t].seconds" in snap
-    # derivations
-    assert snap["upload.bytes[object_type=log].rate"] == 50.0
+    # derivations: the rate is the Kafka-sensor WINDOWED rate — with the
+    # default 2 x 30 s samples, a fresh sensor divides by the one full
+    # window floor, not elapsed-since-start
+    assert snap["upload.bytes[object_type=log].rate"] == 500 / 30.0
     base = "segment.copy[topic=t]"
     assert snap[base + ".avg"] == snap[base + ".seconds"] / 2
     assert snap[base + ".max"] >= snap[base + ".avg"]
@@ -255,3 +257,29 @@ def test_thread_pool_monitor_groups(tmp_path):
         ):
             assert f"{group}.{attr}" in ref, f"{group}.{attr}"
     assert ref["chunk-cache-thread-pool-metrics.parallelism-total"] == 4
+
+
+def test_windowed_rate_semantics():
+    """Kafka Rate parity: sampled windows expire — a burst an hour ago
+    contributes ZERO to the current rate (a since-start average would
+    keep reporting it forever)."""
+    from tiered_storage_for_apache_kafka_spark.metrics import Metrics
+
+    now = [0.0]
+    m = Metrics(clock=lambda: now[0], num_samples=2,
+                sample_window_seconds=30.0)
+    m.inc("upload.bytes", 3000)
+    now[0] = 10.0
+    assert m.windowed_rate("upload.bytes") == 3000 / 30.0
+    # burst ages out entirely after num_samples * window
+    now[0] = 100.0
+    assert m.windowed_rate("upload.bytes") == 0.0
+    # new activity measures fresh
+    m.inc("upload.bytes", 600)
+    now[0] = 105.0
+    assert m.windowed_rate("upload.bytes") == 600 / 30.0
+    # recording level validated like the reference config
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="recording level"):
+        Metrics(recording_level="VERBOSE")

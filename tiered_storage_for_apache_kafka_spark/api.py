@@ -97,6 +97,7 @@ class TieredStorageManager:
         clock=None,
         index_cache: ChunkCache | None = None,
         custom_metadata_fields: list[str] | None = None,
+        metrics=None,
     ):
         self.backend = backend
         self.chunk_size = chunk_size
@@ -115,7 +116,7 @@ class TieredStorageManager:
         )
         from tiered_storage_for_apache_kafka_spark.metrics import Metrics
 
-        self.metrics = Metrics()
+        self.metrics = metrics if metrics is not None else Metrics()
         if cache is not None and getattr(cache, "metrics", None) is None:
             # bridge cache hit/miss stats into the engine metrics
             # (reference `metrics/CaffeineStatsCounter.java` parity)

@@ -41,6 +41,9 @@ Supported keys (reference line references in parentheses):
   ``structure.provider.serde.schema.registry.url``
   (``AvroSchemaRegistryStructureProvider[Config].java`` — the
   serde.-prefixed Confluent client settings; :104-107).
+- ``metrics.num.samples`` / ``metrics.sample.window.ms`` /
+  ``metrics.recording.level`` (Kafka common metric configs, :95-101 —
+  shape the windowed ``*-rate`` sensors).
 - ``iceberg.namespace`` + ``iceberg.catalog.class`` (``rest``) +
   ``iceberg.catalog.uri`` + ``iceberg.catalog.cache.enabled`` /
   ``iceberg.catalog.cache.expiration.ms`` (600 000 default — :109-131;
@@ -356,6 +359,18 @@ def configure(configs: dict) -> TieredStorageManager:
         configs, "fetch.indexes.cache.retention.ms", 600_000
     )
     key_prefix_mask = _get_bool(configs, "key.prefix.mask", False)
+    # Kafka common metric configs (RemoteStorageManagerConfig.java:95-101,
+    # 205-220): sampled-rate shape + recording level
+    metrics_num_samples = _get_int(configs, "metrics.num.samples", default=2, lo=1)
+    metrics_window_ms = _get_int(
+        configs, "metrics.sample.window.ms", default=30_000, lo=1
+    )
+    metrics_level = str(configs.get("metrics.recording.level", "INFO"))
+    if metrics_level not in ("INFO", "DEBUG", "TRACE"):
+        raise ConfigException(
+            "metrics.recording.level must be one of INFO, DEBUG, TRACE, "
+            f"got {metrics_level!r}"
+        )
     iceberg_catalog_cls = configs.get("iceberg.catalog.class")
     if iceberg_catalog_cls is not None and str(iceberg_catalog_cls) not in (
         "rest", "RestCatalogClient",
@@ -394,7 +409,14 @@ def configure(configs: dict) -> TieredStorageManager:
     # requirements were checked above)
 
     # ---- construction pass ----------------------------------------------
+    from tiered_storage_for_apache_kafka_spark.metrics import Metrics
+
     manager = TieredStorageManager(
+        metrics=Metrics(
+            num_samples=metrics_num_samples,
+            sample_window_seconds=metrics_window_ms / 1000.0,
+            recording_level=metrics_level,
+        ),
         backend=_build_backend(configs),
         chunk_size=chunk_size,
         compression_enabled=compression,

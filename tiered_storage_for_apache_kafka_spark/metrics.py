@@ -53,8 +53,58 @@ class ThreadPoolMonitor:
         }
 
 
+class _SampledRate:
+    """Kafka-metrics style windowed rate (org.apache.kafka.common.
+    metrics.stats.Rate over SampledStat): ``num_samples`` rolling
+    windows of ``window_s`` seconds; the measured rate is the sum of
+    non-expired sample values over the elapsed window span, floored at
+    (num_samples - 1) full windows so a fresh sensor does not
+    over-report. This is what the reference's ``*-rate`` attributes
+    actually measure (vs. a since-start average), configured by
+    ``metrics.num.samples`` / ``metrics.sample.window.ms``
+    (``RemoteStorageManagerConfig.java:95-99,205-215``)."""
+
+    __slots__ = ("num_samples", "window_s", "samples")
+
+    def __init__(self, num_samples: int, window_s: float):
+        self.num_samples = num_samples
+        self.window_s = window_s
+        self.samples: list[list[float]] = []  # [start_ts, value]
+
+    def record(self, value: float, now: float) -> None:
+        if not self.samples or now - self.samples[-1][0] >= self.window_s:
+            self.samples.append([now, 0.0])
+            if len(self.samples) > self.num_samples:
+                del self.samples[0]
+        self.samples[-1][1] += value
+
+    def measure(self, now: float) -> float:
+        live = [
+            s for s in self.samples
+            if now - s[0] < self.num_samples * self.window_s
+        ]
+        if not live:
+            return 0.0
+        total = sum(v for _, v in live)
+        elapsed = max(
+            now - live[0][0], (self.num_samples - 1) * self.window_s
+        )
+        return total / elapsed if elapsed > 0 else 0.0
+
+
 class Metrics:
-    def __init__(self, clock=None) -> None:
+    def __init__(
+        self,
+        clock=None,
+        num_samples: int = 2,
+        sample_window_seconds: float = 30.0,
+        recording_level: str = "INFO",
+    ) -> None:
+        if recording_level not in ("INFO", "DEBUG", "TRACE"):
+            raise ValueError(
+                "recording level must be INFO, DEBUG or TRACE, "
+                f"got {recording_level!r}"
+            )
         self._lock = threading.Lock()
         self._counters: dict[str, int] = defaultdict(int)
         self._timers: dict[str, float] = defaultdict(float)
@@ -62,6 +112,10 @@ class Metrics:
         self._clock = clock or time.monotonic
         self._created = self._clock()
         self._pool_monitors: list[ThreadPoolMonitor] = []
+        self.num_samples = num_samples
+        self.sample_window_seconds = sample_window_seconds
+        self.recording_level = recording_level
+        self._rates: dict[str, _SampledRate] = {}
 
     def register_pool(self, group: str, pool) -> None:
         """Attach a worker pool's gauges to ``reference_snapshot()``
@@ -72,7 +126,14 @@ class Metrics:
 
     def inc(self, name: str, value: int = 1, **tags: str | int) -> None:
         with self._lock:
-            self._counters[self._key(name, tags)] += value
+            key = self._key(name, tags)
+            self._counters[key] += value
+            rate = self._rates.get(key)
+            if rate is None:
+                rate = self._rates[key] = _SampledRate(
+                    self.num_samples, self.sample_window_seconds
+                )
+            rate.record(value, self._clock())
 
     @contextmanager
     def time(self, name: str, **tags: str | int):
@@ -108,17 +169,25 @@ class Metrics:
             out.update(self._timers)
             if not derived:
                 return out
-            elapsed = max(self._clock() - self._created, 1e-9)
+            now = self._clock()
             for key, seconds in self._timers.items():
                 base = key[: -len(".seconds")]
                 count = self._counters.get(base + ".count", 0)
                 if count:
                     out[base + ".avg"] = seconds / count
                 out[base + ".max"] = self._timer_max[base]
-            for key, value in self._counters.items():
+            for key in self._counters:
                 if not key.endswith(".count"):
-                    out[key + ".rate"] = value / elapsed
+                    r = self._rates.get(key)
+                    out[key + ".rate"] = r.measure(now) if r else 0.0
             return out
+
+    def windowed_rate(self, name: str, **tags) -> float:
+        """The Kafka-sensor rate of a counter: per-second over the
+        configured sample windows, NOT since-registry-start."""
+        with self._lock:
+            rate = self._rates.get(self._key(name, tags))
+            return rate.measure(self._clock()) if rate else 0.0
 
     # -- metrics.rst name parity ----------------------------------------------
 
@@ -152,10 +221,15 @@ class Metrics:
         fired report 0, mirroring a registered-but-idle Kafka sensor.
         Cache/backend groups are namespaced ``<group>.<attribute>``."""
         with self._lock:
-            elapsed = max(self._clock() - self._created, 1e-9)
+            now = self._clock()
 
-            def rate(v: float) -> float:
-                return v / elapsed
+            def rate(base: str) -> float:
+                # windowed Kafka-sensor rate summed across tag variants
+                return sum(
+                    r.measure(now)
+                    for key, r in self._rates.items()
+                    if key.split("[", 1)[0] == base
+                )
 
             out: dict[str, float] = {}
             # remote-storage-manager-metrics (metrics.rst:16-30)
@@ -168,10 +242,9 @@ class Metrics:
                 ("segment-copy-errors", "segment.copy.failures"),
                 ("segment-fetch-requested-bytes", "fetch.requested.bytes"),
             ]:
-                total = self._agg_counter(internal)
-                out[ref + "-total"] = total
+                out[ref + "-total"] = self._agg_counter(internal)
                 if ref not in ("segment-delete-bytes",):  # rst: no rate form
-                    out[ref + "-rate"] = rate(total)
+                    out[ref + "-rate"] = rate(internal)
             for ref, internal in [
                 ("segment-copy-time", "segment.copy"),
                 ("segment-delete-time", "segment.delete.time"),
@@ -211,7 +284,10 @@ class Metrics:
                     )
                     total = self._counters.get(req_key, 0)
                     out[f"{group}.{op}-requests-total"] = total
-                    out[f"{group}.{op}-requests-rate"] = rate(total)
+                    op_rate = self._rates.get(req_key)
+                    out[f"{group}.{op}-requests-rate"] = (
+                        op_rate.measure(now) if op_rate else 0.0
+                    )
                     t_stem = self._key(
                         f"storage.{op}-time", {"backend": backend}
                     )
