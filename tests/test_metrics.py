@@ -283,3 +283,65 @@ def test_windowed_rate_semantics():
 
     with _pytest.raises(ValueError, match="recording level"):
         Metrics(recording_level="VERBOSE")
+
+
+def test_group_rate_is_one_sensor_not_a_sum():
+    """Review finding (r6 pass 4): tagged increments feed ONE untagged
+    aggregate sampler per base name, so a skewed-in-time tag mix does
+    not over-report the JMX group rate."""
+    from tiered_storage_for_apache_kafka_spark.metrics import Metrics
+
+    now = [0.0]
+    m = Metrics(clock=lambda: now[0], num_samples=2,
+                sample_window_seconds=30.0)
+    m.inc("upload.bytes", 300, object_type="log")
+    now[0] = 54.0
+    m.inc("upload.bytes", 300, object_type="indexes")
+    now[0] = 59.0
+    ref = m.reference_snapshot()
+    # one sensor spanning both samples: 600 bytes over max(59, 30) s
+    assert abs(ref["object-upload-bytes-rate"] - 600 / 59.0) < 1e-9
+
+
+def test_recording_level_gates_sensors():
+    from tiered_storage_for_apache_kafka_spark.metrics import Metrics
+
+    info = Metrics(recording_level="INFO")
+    info.inc("fine.grained", 5, level="DEBUG")
+    info.inc("normal", 1)
+    assert "fine.grained" not in info.snapshot()
+    assert info.snapshot()["normal"] == 1
+
+    debug = Metrics(recording_level="DEBUG")
+    debug.inc("fine.grained", 5, level="DEBUG")
+    debug.inc("tracey", 1, level="TRACE")
+    snap = debug.snapshot()
+    assert snap["fine.grained"] == 5
+    assert "tracey" not in snap
+
+
+def test_caching_catalog_never_expire_and_pristine(tmp_path):
+    """Review findings (r6 pass 4): expiration=-1 means NEVER expire
+    (not 'off'), and a caller mutating a miss-path response cannot
+    corrupt the cache."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CachingCatalog,
+    )
+
+    class FakeInner:
+        namespace = "default"
+        loads = 0
+
+        def load_table(self, t):
+            self.loads += 1
+            return {"metadata": {"current-snapshot-id": 7, "snapshots": []}}
+
+    now = [0.0]
+    inner = FakeInner()
+    cat = CachingCatalog(inner, expiration_seconds=-1, clock=lambda: now[0])
+    first = cat.load_table("t")
+    first["metadata"]["current-snapshot-id"] = 999  # caller mutates
+    now[0] = 1e9  # far future: -1 never expires
+    again = cat.load_table("t")
+    assert inner.loads == 1  # served from cache forever
+    assert again["metadata"]["current-snapshot-id"] == 7  # pristine

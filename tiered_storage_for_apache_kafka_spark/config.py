@@ -447,9 +447,15 @@ def configure(configs: dict) -> TieredStorageManager:
             str(configs["iceberg.catalog.uri"]),
             namespace=str(configs.get("iceberg.namespace", "default")),
         )
-        if catalog_cache_enabled and catalog_cache_expiration > 0:
+        if catalog_cache_enabled and catalog_cache_expiration != 0:
+            # -1 = never expire (the surface-wide '-1 = infinite'
+            # convention); 0 = caching off
             client = CachingCatalog(
-                client, expiration_seconds=catalog_cache_expiration / 1000.0
+                client,
+                expiration_seconds=(
+                    -1 if catalog_cache_expiration == -1
+                    else catalog_cache_expiration / 1000.0
+                ),
             )
         manager.iceberg_catalog = client
     # structure provider (iceberg/AvroSchemaRegistryStructureProvider

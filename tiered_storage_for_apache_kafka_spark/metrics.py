@@ -124,16 +124,36 @@ class Metrics:
             ThreadPoolMonitor(f"{group}-thread-pool-metrics", pool)
         )
 
-    def inc(self, name: str, value: int = 1, **tags: str | int) -> None:
+    _LEVELS = {"INFO": 0, "DEBUG": 1, "TRACE": 2}
+
+    def _records_at(self, level: str) -> bool:
+        """Kafka MetricConfig semantics: a sensor records only when its
+        level is at or below the registry's recording level (all the
+        engine's built-in sensors are INFO; DEBUG/TRACE is for
+        fine-grained opt-in sensors)."""
+        return self._LEVELS[level] <= self._LEVELS[self.recording_level]
+
+    def inc(
+        self, name: str, value: int = 1, level: str = "INFO",
+        **tags: str | int,
+    ) -> None:
+        if not self._records_at(level):
+            return
         with self._lock:
+            now = self._clock()
             key = self._key(name, tags)
             self._counters[key] += value
-            rate = self._rates.get(key)
-            if rate is None:
-                rate = self._rates[key] = _SampledRate(
-                    self.num_samples, self.sample_window_seconds
-                )
-            rate.record(value, self._clock())
+            for k in ({key, name} if tags else {key}):
+                rate = self._rates.get(k)
+                if rate is None:
+                    rate = self._rates[k] = _SampledRate(
+                        self.num_samples, self.sample_window_seconds
+                    )
+                # the UNTAGGED base sampler aggregates all tag variants
+                # into ONE sensor so the JMX-group rate is a single
+                # window, not a sum of per-tag windows with independent
+                # elapsed floors (which over-reports on skewed activity)
+                rate.record(value, now)
 
     @contextmanager
     def time(self, name: str, **tags: str | int):
@@ -162,8 +182,10 @@ class Metrics:
         79-262` registers Rate alongside every CumulativeSum and
         Avg/Max alongside every cumulative timer — `docs/metrics.rst`
         ``*-rate``/``*-time-avg``/``*-time-max``): per-timer ``.avg`` and
-        ``.max``, per-counter ``.rate`` (per second since this registry
-        was created). Existing key names are unchanged."""
+        ``.max``, per-counter ``.rate`` measured as the Kafka-sensor
+        WINDOWED rate (num_samples x sample_window; idle sensors decay
+        to 0 — NOT a since-start average). Existing key names are
+        unchanged."""
         with self._lock:
             out: dict[str, float] = dict(self._counters)
             out.update(self._timers)
@@ -224,12 +246,9 @@ class Metrics:
             now = self._clock()
 
             def rate(base: str) -> float:
-                # windowed Kafka-sensor rate summed across tag variants
-                return sum(
-                    r.measure(now)
-                    for key, r in self._rates.items()
-                    if key.split("[", 1)[0] == base
-                )
+                # the untagged aggregate sampler IS the group's sensor
+                r = self._rates.get(base)
+                return r.measure(now) if r else 0.0
 
             out: dict[str, float] = {}
             # remote-storage-manager-metrics (metrics.rst:16-30)

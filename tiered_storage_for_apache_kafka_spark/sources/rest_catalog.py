@@ -437,15 +437,19 @@ class CachingCatalog:
     ``commit_append`` always rebases from live state instead of
     spinning on its own cached staleness until TTL. Cross-reader
     staleness is bounded by the TTL, exactly the trade the reference's
-    doc describes. ``expiration_seconds <= 0`` disables caching
-    (``cacheExpirationMs > 0`` guard in the reference)."""
+    doc describes. ``expiration_seconds == 0`` disables caching;
+    ``-1`` (or ``float('inf')``) = never expire — matching the
+    '-1 = infinite' convention of every other TTL in this config
+    surface."""
 
     def __init__(self, inner, expiration_seconds: float = 600.0, clock=None):
         import time
 
         self.inner = inner
         self.namespace = inner.namespace
-        self.expiration = expiration_seconds
+        self.expiration = (
+            float("inf") if expiration_seconds == -1 else expiration_seconds
+        )
         self._clock = clock or time.monotonic
         self._cache: dict[str, tuple[dict, float]] = {}
         self.hits = 0
@@ -473,13 +477,15 @@ class CachingCatalog:
         self.misses += 1
         resp = self.inner.load_table(table)
         if resp is not None and self.expiration > 0:
-            self._cache[table] = (resp, self._clock())
+            # store a PRISTINE copy: the returned object may be mutated
+            # by the caller; hits copy back out of the pristine entry
+            self._cache[table] = (json.loads(json.dumps(resp)), self._clock())
         return resp
 
     def create_table(self, table: str, metadata: dict) -> dict:
         resp = self.inner.create_table(table, metadata)
         if self.expiration > 0:
-            self._cache[table] = (resp, self._clock())
+            self._cache[table] = (json.loads(json.dumps(resp)), self._clock())
         return resp
 
     def commit_table(
@@ -494,7 +500,7 @@ class CachingCatalog:
             self.invalidate(table)
             raise
         if self.expiration > 0:
-            self._cache[table] = (resp, self._clock())
+            self._cache[table] = (json.loads(json.dumps(resp)), self._clock())
         return resp
 
 
