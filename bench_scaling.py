@@ -48,6 +48,12 @@ streaming key cardinality all grow 10x):
     10x — the range-planning win measured, not asserted (a whole-segment
     reader would fetch a constant fraction of the store instead).
 
+    Re-measured round 6 (post index-cache / codec / catalog changes):
+    every ratio within noise of round 5 or better (dedup_exact 2.0,
+    multimodal_image_decode 3.1, simhash64 2.0, dedup_ngram_jaccard 2.4,
+    tiered fixed-window 1.1, iceberg_scan_pruned 1.0), and the fixed
+    offset window fetched EXACTLY 21.4 KB at both store scales again.
+
     Iceberg metadata-plane WRITE side (--iceberg-commits, round 6;
     1-file appends, pure metadata, no Spark):
       commits   1-10 :  3.6 ms/commit
