@@ -212,3 +212,66 @@ def test_invalidation_races_inflight_load(tmp_path):
     # ...but nothing was cached: the deleted segment cannot serve from
     # cache afterwards
     assert (META.segment_uuid, "offset") not in mgr._index_cache._data
+
+
+def test_manifest_lookup_single_flight(tmp_path):
+    """Concurrent COLD manifest lookups do exactly one backend GET
+    (MemorySegmentManifestCache's Caffeine compute semantics)."""
+    import time
+
+    mgr, backend = make_manager(tmp_path)
+    # evict the write-through entry so the lookup is cold
+    with mgr._manifest_lock:
+        mgr._manifest_cache.clear()
+    gate = threading.Event()
+    inner_fetch = backend.inner.fetch
+
+    def slow_fetch(key, byte_range=None):
+        backend.fetch_calls.append(key)
+        if key.endswith(".rsm-manifest"):
+            gate.wait(5)
+        return inner_fetch(key, byte_range)
+
+    backend.fetch = slow_fetch
+    results = []
+    threads = [
+        threading.Thread(
+            target=lambda: results.append(mgr.segment_manifest(META))
+        )
+        for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    time.sleep(0.2)
+    gate.set()
+    for t in threads:
+        t.join(10)
+    assert len(results) == 8
+    assert all(m is results[0] for m in results)
+    assert backend.gets_of(".rsm-manifest") == 1  # one load for 8 callers
+
+
+def test_manifest_single_flight_failure_retries(tmp_path):
+    """A failing owner propagates to no one else permanently: waiters
+    retry the load themselves."""
+    mgr, backend = make_manager(tmp_path)
+    with mgr._manifest_lock:
+        mgr._manifest_cache.clear()
+    calls = {"n": 0}
+    inner_fetch = backend.inner.fetch
+
+    def flaky_fetch(key, byte_range=None):
+        backend.fetch_calls.append(key)
+        if key.endswith(".rsm-manifest"):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise OSError("transient backend failure")
+        return inner_fetch(key, byte_range)
+
+    backend.fetch = flaky_fetch
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        mgr.segment_manifest(META)
+    # next caller retries and succeeds
+    assert mgr.segment_manifest(META).chunk_index.original_file_size == 4096

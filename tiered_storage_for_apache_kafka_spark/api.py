@@ -144,6 +144,7 @@ class TieredStorageManager:
         # fetches may run concurrently (the chunk cache is single-flight
         # across threads); OrderedDict reorder/evict needs the same care
         self._manifest_lock = threading.Lock()
+        self._manifest_inflight: dict = {}
         # Segment-indexes byte cache (R11): the reference ALWAYS wires a
         # dedicated 10 MiB byte-weighted single-flight TTL cache for
         # fetched aux-index bytes (`fetch/index/MemorySegmentIndexesCache
@@ -336,32 +337,61 @@ class TieredStorageManager:
             raise
 
     def _manifest(self, meta: SegmentMetadata) -> SegmentManifest:
-        with self._manifest_lock:
-            entry = self._manifest_cache.get(meta.segment_uuid)
-            if entry is not None:
-                manifest, ts = entry
-                if (
-                    self._manifest_retention is not None
-                    and self._clock() - ts > self._manifest_retention
-                ):
-                    del self._manifest_cache[meta.segment_uuid]
-                else:
-                    # refresh on hit: expireAfterAccess semantics
-                    self._manifest_cache[meta.segment_uuid] = (
-                        manifest,
-                        self._clock(),
-                    )
-                    self._manifest_cache.move_to_end(meta.segment_uuid)
-                    self.metrics.inc("manifest_cache.hits")
-                    return manifest
+        from concurrent.futures import Future
+
+        while True:
+            with self._manifest_lock:
+                entry = self._manifest_cache.get(meta.segment_uuid)
+                if entry is not None:
+                    manifest, ts = entry
+                    if (
+                        self._manifest_retention is not None
+                        and self._clock() - ts > self._manifest_retention
+                    ):
+                        del self._manifest_cache[meta.segment_uuid]
+                    else:
+                        # refresh on hit: expireAfterAccess semantics
+                        self._manifest_cache[meta.segment_uuid] = (
+                            manifest,
+                            self._clock(),
+                        )
+                        self._manifest_cache.move_to_end(meta.segment_uuid)
+                        self.metrics.inc("manifest_cache.hits")
+                        return manifest
+                # single-flight: the reference's Caffeine manifest cache
+                # computes once per key under concurrency
+                # (`MemorySegmentManifestCache.java` get via compute);
+                # concurrent cold lookups here must not each GET the
+                # manifest
+                fut = self._manifest_inflight.get(meta.segment_uuid)
+                if fut is None:
+                    self._manifest_inflight[meta.segment_uuid] = Future()
+                    break  # we own the load
+            # someone else is loading: wait, then re-check the cache
+            # (the owner may have failed — the loop retries ourselves)
+            try:
+                return fut.result()
+            except BaseException:
+                continue
+
         self.metrics.inc("manifest_cache.misses")
-        key = self._object_keys(meta)[Suffix.MANIFEST]
-        with self.backend.fetch(key) as f:
-            manifest = SegmentManifest.from_json(f.read())
+        try:
+            key = self._object_keys(meta)[Suffix.MANIFEST]
+            with self.backend.fetch(key) as f:
+                manifest = SegmentManifest.from_json(f.read())
+        except BaseException as e:
+            with self._manifest_lock:
+                fut = self._manifest_inflight.pop(meta.segment_uuid, None)
+            if fut is not None:
+                fut.set_exception(e)
+            raise
         with self._manifest_lock:
             self._manifest_cache[meta.segment_uuid] = (manifest, self._clock())
             while len(self._manifest_cache) > self._manifest_cache_size:
                 self._manifest_cache.popitem(last=False)
+            fut = self._manifest_inflight.pop(meta.segment_uuid, None)
+        if fut is not None:
+            fut.set_result(manifest)
         return manifest
 
     def fetch_log_segment(
