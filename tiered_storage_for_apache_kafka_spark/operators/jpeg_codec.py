@@ -419,6 +419,20 @@ def encode_jpeg(
 # -- decoder ------------------------------------------------------------------
 
 
+_DECODER_CACHE: dict = {}
+
+
+def _decoder_for(bits: list[int], vals: list[int]) -> "_HuffDecoder":
+    """Decoders are pure functions of their DHT payload — cache them
+    (real corpora reuse the Annex K tables on every image, and profiles
+    showed 4 rebuilds per decode)."""
+    key = (tuple(bits), tuple(vals))
+    dec = _DECODER_CACHE.get(key)
+    if dec is None:
+        dec = _DECODER_CACHE[key] = _HuffDecoder(bits, vals)
+    return dec
+
+
 class _HuffDecoder:
     """Canonical Huffman decode table: (mincode/maxcode/valptr per
     length) per T.81 Annex F."""
@@ -540,7 +554,7 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
                 vals = list(body[p + 17 : p + 17 + n])
                 if len(vals) != n:
                     raise ValueError("short DHT payload")
-                huff[(tc, th)] = _HuffDecoder(bits, vals)
+                huff[(tc, th)] = _decoder_for(bits, vals)
                 p += 17 + n
         elif tag == 0xDD:  # DRI
             if len(body) < 2:
