@@ -300,6 +300,10 @@ class TieredStorageManager:
                 self._manifest_cache[meta.segment_uuid] = (manifest, self._clock())
                 while len(self._manifest_cache) > self._manifest_cache_size:
                     self._manifest_cache.popitem(last=False)
+                # an older fetch in flight must not clobber this fresher
+                # write-through when it completes (its owner checks the
+                # registration before caching)
+                self._manifest_inflight.pop(meta.segment_uuid, None)
             self.metrics.inc("upload.bytes", len(manifest_bytes), object_type="manifest")
             self.metrics.inc("upload.requests", object_type="manifest")
             uploaded.append(keys[Suffix.MANIFEST])
@@ -337,61 +341,67 @@ class TieredStorageManager:
             raise
 
     def _manifest(self, meta: SegmentMetadata) -> SegmentManifest:
+        # Single-flight cold loads — the reference's Caffeine manifest
+        # cache computes once per key under concurrency
+        # (`MemorySegmentManifestCache.java` get via compute). Same
+        # audited shape as ChunkCache.get_chunk: the owner's exception
+        # propagates to every waiter (Caffeine semantics — no serialized
+        # retry chain), and the owner caches only while its future is
+        # still the registered one, so a racing delete or re-copy that
+        # popped it cannot be clobbered by this older load.
         from concurrent.futures import Future
 
-        while True:
-            with self._manifest_lock:
-                entry = self._manifest_cache.get(meta.segment_uuid)
-                if entry is not None:
-                    manifest, ts = entry
-                    if (
-                        self._manifest_retention is not None
-                        and self._clock() - ts > self._manifest_retention
-                    ):
-                        del self._manifest_cache[meta.segment_uuid]
-                    else:
-                        # refresh on hit: expireAfterAccess semantics
-                        self._manifest_cache[meta.segment_uuid] = (
-                            manifest,
-                            self._clock(),
-                        )
-                        self._manifest_cache.move_to_end(meta.segment_uuid)
-                        self.metrics.inc("manifest_cache.hits")
-                        return manifest
-                # single-flight: the reference's Caffeine manifest cache
-                # computes once per key under concurrency
-                # (`MemorySegmentManifestCache.java` get via compute);
-                # concurrent cold lookups here must not each GET the
-                # manifest
-                fut = self._manifest_inflight.get(meta.segment_uuid)
-                if fut is None:
-                    self._manifest_inflight[meta.segment_uuid] = Future()
-                    break  # we own the load
-            # someone else is loading: wait, then re-check the cache
-            # (the owner may have failed — the loop retries ourselves)
-            try:
-                return fut.result()
-            except BaseException:
-                continue
+        with self._manifest_lock:
+            entry = self._manifest_cache.get(meta.segment_uuid)
+            if entry is not None:
+                manifest, ts = entry
+                if (
+                    self._manifest_retention is not None
+                    and self._clock() - ts > self._manifest_retention
+                ):
+                    del self._manifest_cache[meta.segment_uuid]
+                else:
+                    # refresh on hit: expireAfterAccess semantics
+                    self._manifest_cache[meta.segment_uuid] = (
+                        manifest,
+                        self._clock(),
+                    )
+                    self._manifest_cache.move_to_end(meta.segment_uuid)
+                    self.metrics.inc("manifest_cache.hits")
+                    return manifest
+            fut = self._manifest_inflight.get(meta.segment_uuid)
+            if fut is None:
+                fut = Future()
+                self._manifest_inflight[meta.segment_uuid] = fut
+                owner = True
+            else:
+                owner = False
+        if not owner:
+            return fut.result()
 
-        self.metrics.inc("manifest_cache.misses")
         try:
+            self.metrics.inc("manifest_cache.misses")
             key = self._object_keys(meta)[Suffix.MANIFEST]
             with self.backend.fetch(key) as f:
                 manifest = SegmentManifest.from_json(f.read())
         except BaseException as e:
             with self._manifest_lock:
-                fut = self._manifest_inflight.pop(meta.segment_uuid, None)
-            if fut is not None:
-                fut.set_exception(e)
+                if self._manifest_inflight.get(meta.segment_uuid) is fut:
+                    self._manifest_inflight.pop(meta.segment_uuid)
+            fut.set_exception(e)
             raise
         with self._manifest_lock:
-            self._manifest_cache[meta.segment_uuid] = (manifest, self._clock())
-            while len(self._manifest_cache) > self._manifest_cache_size:
-                self._manifest_cache.popitem(last=False)
-            fut = self._manifest_inflight.pop(meta.segment_uuid, None)
-        if fut is not None:
-            fut.set_result(manifest)
+            if self._manifest_inflight.get(meta.segment_uuid) is fut:
+                # still the registered load: cache the result
+                self._manifest_cache[meta.segment_uuid] = (
+                    manifest, self._clock(),
+                )
+                while len(self._manifest_cache) > self._manifest_cache_size:
+                    self._manifest_cache.popitem(last=False)
+                self._manifest_inflight.pop(meta.segment_uuid)
+            # else: a delete or re-copy invalidated this load mid-flight
+            # — deliver to waiters, do NOT cache over the newer state
+        fut.set_result(manifest)
         return manifest
 
     def fetch_log_segment(
@@ -469,6 +479,8 @@ class TieredStorageManager:
         self._dek_cache.pop(meta.segment_uuid, None)
         with self._manifest_lock:
             entry = self._manifest_cache.pop(meta.segment_uuid, None)
+            # in-flight loads of the deleted segment must not re-cache
+            self._manifest_inflight.pop(meta.segment_uuid, None)
         if entry is not None:
             # segment-delete-bytes-total, estimated from segment size as
             # the reference does from RLMM metadata (best-effort: only

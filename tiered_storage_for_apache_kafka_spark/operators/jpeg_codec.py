@@ -139,6 +139,8 @@ def _build_huffman(bits: list[int], vals: list[int]):
     cached = _HUFFMAN_CACHE.get(key)
     if cached is not None:
         return cached
+    if len(_HUFFMAN_CACHE) >= _CODEC_CACHE_MAX:
+        _HUFFMAN_CACHE.pop(next(iter(_HUFFMAN_CACHE)))
     sizes = []
     for length, n in enumerate(bits, start=1):
         sizes.extend([length] * n)
@@ -420,15 +422,21 @@ def encode_jpeg(
 
 
 _DECODER_CACHE: dict = {}
+_CODEC_CACHE_MAX = 64  # bounded: optimized JPEGs carry per-image DHTs,
+# so an unbounded cache would grow with the corpus (and adversarial
+# inputs could force it); 64 covers the standard-table population
 
 
 def _decoder_for(bits: list[int], vals: list[int]) -> "_HuffDecoder":
     """Decoders are pure functions of their DHT payload — cache them
-    (real corpora reuse the Annex K tables on every image, and profiles
-    showed 4 rebuilds per decode)."""
+    (non-optimized corpora reuse the Annex K tables on every image, and
+    profiles showed 4 rebuilds per decode); FIFO-bounded for
+    per-image-optimized tables."""
     key = (tuple(bits), tuple(vals))
     dec = _DECODER_CACHE.get(key)
     if dec is None:
+        if len(_DECODER_CACHE) >= _CODEC_CACHE_MAX:
+            _DECODER_CACHE.pop(next(iter(_DECODER_CACHE)))
         dec = _DECODER_CACHE[key] = _HuffDecoder(bits, vals)
     return dec
 
