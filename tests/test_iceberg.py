@@ -976,3 +976,203 @@ def test_timestamp_as_of_resolution(table, spark):
         snapshot_as_of_timestamp(tdir, 500)
     sid = snapshot_as_of_timestamp(tdir, 1_999)
     assert read_iceberg_table_at(spark, tdir, sid).count() == 200
+
+
+class TestPositionDeletes:
+    """Row-level DELETE as v2 position-delete files, merge-on-read
+    (spec "Position Delete Files" / "Sequence Numbers"; the reference's
+    Iceberg mode is append-only — `IcebergTableManager.java:46-95` —
+    so this is the engine's row-delta extension over the same
+    metadata plane)."""
+
+    def _committed(self, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema)
+        return tdir, df
+
+    def test_merge_on_read_hides_deleted_rows(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, df = self._committed(table)
+        meta = ice.commit_position_deletes(spark, tdir, "kafka.offset % 5 = 3")
+        summ = meta["snapshots"][-1]["summary"]
+        assert summ["operation"] == "delete"
+        assert summ["added-position-deletes"] == "40"
+        assert summ["total-position-deletes"] == "40"
+        assert summ["total-records"] == "200"  # data rows, not live rows
+
+        live = ice.read_iceberg_table(spark, tdir)
+        assert live.count() == 160
+        assert live.where("kafka.offset % 5 = 3").count() == 0
+        # partition-pruned reads apply the partition's deletes too
+        p2 = ice.read_iceberg_table(spark, tdir, partition_value=2)
+        expect = sum(1 for i in range(200) if i % 4 == 2 and i % 5 != 3)
+        assert p2.count() == expect
+
+    def test_time_travel_is_delete_scoped(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, _df = self._committed(table)
+        ice.commit_position_deletes(spark, tdir, "kafka.offset % 5 = 3")
+        assert ice.read_iceberg_table_at(spark, tdir, snapshot_id=1).count() == 200
+        assert ice.read_iceberg_table_at(spark, tdir, snapshot_id=2).count() == 160
+
+    def test_later_appends_not_retro_deleted(self, table, spark):
+        """The sequence-number rule: a delete applies only to data files
+        with data seq <= the delete's seq. Rows appended AFTER the
+        delete land at the same positions of same-partition files and
+        must survive."""
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = self._committed(table)
+        ice.commit_position_deletes(spark, tdir, "kafka.offset % 5 = 3")
+        df2 = (
+            spark.range(200, 280)
+            .select(
+                (F.col("id") % 4).cast("int").alias("partition"),
+                F.struct(
+                    (F.col("id") % 4).cast("int").alias("partition"),
+                    F.col("id").alias("offset"),
+                    (F.col("id") * 1000).alias("timestamp_us"),
+                    (F.col("id") - F.col("id") % 50).alias("batch_base_offset"),
+                    F.lit(0).cast("long").alias("batch_byte_offset"),
+                    F.lit("seg-1").alias("segment_uuid"),
+                ).alias("kafka"),
+                F.array()
+                .cast("array<struct<key:string,value:binary>>")
+                .alias("headers"),
+                F.encode(F.col("id").cast("string"), "UTF-8").alias("key"),
+                F.encode(F.col("id").cast("string"), "UTF-8").alias("value"),
+            )
+            .repartition(4, "partition")
+        )
+        write_table(df2, tdir)
+        ice.commit_append(tdir, df2.schema)
+        live = ice.read_iceberg_table(spark, tdir)
+        assert live.count() == 160 + 80
+        # the new rows matching the old predicate are all alive
+        assert (
+            live.where("kafka.offset >= 200 and kafka.offset % 5 = 3").count()
+            == 16
+        )
+        # and the append snapshot carried the cumulative total forward
+        meta = ice.read_table_metadata(tdir)["metadata"]
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        assert cur["summary"]["total-position-deletes"] == "40"
+
+    def test_redundant_delete_is_a_noop(self, table, spark):
+        """The match scan runs over the MERGED view: re-issuing the same
+        predicate finds nothing and commits nothing."""
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, _df = self._committed(table)
+        m1 = ice.commit_position_deletes(spark, tdir, "kafka.offset % 5 = 3")
+        m2 = ice.commit_position_deletes(spark, tdir, "kafka.offset % 5 = 3")
+        assert m2["current-snapshot-id"] == m1["current-snapshot-id"]
+        assert len(m2["snapshots"]) == len(m1["snapshots"])
+
+    def test_delete_files_are_spec_shaped(self, table, spark):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, _df = self._committed(table)
+        ice.commit_position_deletes(spark, tdir, "kafka.offset % 5 = 3")
+        paths = glob.glob(tdir + "/deletes/partition=*/delete-*.parquet")
+        assert len(paths) == 4  # one per partition
+        sch = pq.read_schema(paths[0])
+        assert [f.name for f in sch] == ["file_path", "pos"]
+        assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+        assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+        pdf = pq.read_table(paths[0]).to_pandas()
+        assert pdf.sort_values(["file_path", "pos"]).reset_index(drop=True).equals(
+            pdf.reset_index(drop=True)
+        )
+        # delete entries live in a content=1 manifest; data stays content=0
+        meta = ice.read_table_metadata(tdir)
+        by_content = {
+            mf["content"]: mf for mf in meta["manifest_list"]
+        }
+        assert set(by_content) == {0, 1}
+        assert by_content[1]["added_rows_count"] == 40
+
+    def test_plan_scan_returns_data_files_only(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, _df = self._committed(table)
+        n_before = len(ice.plan_scan(tdir))
+        ice.commit_position_deletes(spark, tdir, "kafka.offset % 5 = 3")
+        planned = ice.plan_scan(tdir)
+        assert len(planned) == n_before
+        assert all(d.get("content") != 1 for d in planned)
+
+    def test_compaction_splits_by_content(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = self._committed(table)
+        ice.commit_position_deletes(spark, tdir, "kafka.offset % 5 = 3")
+        write_table(df.limit(40).repartition(1, "partition"), tdir)
+        ice.commit_append(tdir, df.schema)
+        ice.commit_position_deletes(spark, tdir, "kafka.offset % 7 = 1")
+        expect = ice.read_iceberg_table(spark, tdir).count()
+
+        meta = ice.rewrite_manifests(tdir)
+        summ = meta["snapshots"][-1]["summary"]
+        assert summ["manifests-replaced"] == "4"
+        assert summ["manifests-created"] == "2"
+        back = ice.read_table_metadata(tdir)
+        contents = sorted(mf["content"] for mf in back["manifest_list"])
+        assert contents == [0, 1]
+        # reads through the compacted metadata are unchanged (sequence
+        # numbers stayed explicit on the carried-over delete entries)
+        assert ice.read_iceberg_table(spark, tdir).count() == expect
+
+    def test_discovery_append_ignores_delete_files(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, df = self._committed(table)
+        m1 = ice.commit_position_deletes(spark, tdir, "kafka.offset % 5 = 3")
+        m2 = ice.commit_append(tdir, df.schema)  # discovery mode
+        assert m2["last-sequence-number"] == m1["last-sequence-number"]
+
+    def test_catalog_mode_delete_commit(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+            FakeRestCatalogServer,
+            RestCatalogClient,
+        )
+
+        tdir, df = table
+        with FakeRestCatalogServer() as server:
+            cat = RestCatalogClient(server.base_url)
+            ice.commit_append(tdir, df.schema, catalog=cat)
+            m = ice.commit_position_deletes(
+                spark, tdir, "kafka.offset % 5 = 3", catalog=cat
+            )
+            assert m["snapshots"][-1]["summary"]["operation"] == "delete"
+            live = ice.read_iceberg_table(spark, tdir, catalog=cat)
+            assert live.count() == 160
+            # empty-match delete via catalog: no snapshot added
+            head = m["current-snapshot-id"]
+            m2 = ice.commit_position_deletes(
+                spark, tdir, "kafka.offset < 0", catalog=cat
+            )
+            assert m2["current-snapshot-id"] == head

@@ -87,6 +87,7 @@ _CACHE_WARMUP = [
     "quality_classifier_trained",
     "iceberg_metadata_summary",
     "iceberg_rest_commit",  # _ICEBERG_REST_CACHE (REST-committed twin)
+    "iceberg_row_delete_scan",  # _ICEBERG_DEL_CACHE (row-delta twin)
 ]
 
 

@@ -269,6 +269,7 @@ _PROMOTE = [
     "streaming_iceberg_commit",
     "iceberg_time_travel",
     "iceberg_compaction_verify",
+    "iceberg_row_delete_scan",  # NEW this round (v2 position deletes)
     # (b) the oldest-verdict rotation slice (r1/r2 verdicts, re-queued
     # out of the demote tail above, oldest first):
     "manifest_summary",

@@ -974,3 +974,104 @@ def iceberg_compaction_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_manifests", F.lit(n_manifests).cast("bigint"))
         .withColumn("n_snapshots", F.lit(n_snapshots).cast("bigint"))
     )
+
+
+_ICEBERG_DEL_CACHE: dict[tuple, tuple] = {}
+
+
+@query(
+    "iceberg_row_delete_scan",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CASE WHEN event_id % 5 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       MIN(CASE WHEN event_id % 5 <> 3 THEN event_id END) AS min_live_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST((SELECT COUNT(*) FROM events WHERE event_id % 5 = 3) AS BIGINT)
+           AS n_pos_deletes
+FROM events
+GROUP BY event_type
+""",
+)
+def iceberg_row_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE hash-verified end-to-end: after the base Iceberg
+    commit, ``commit_position_deletes`` issues ``DELETE FROM t WHERE
+    kafka.offset % 5 = 3`` as a v2 row-delta snapshot — spec-shaped
+    position-delete parquet files (file_path/pos, field ids
+    2147483546/2147483545) tracked by a content=1 DELETE manifest; data
+    files are never rewritten (merge-on-read). The query reads the
+    CURRENT view (deletes applied via the sequence-number-aware
+    (file, pos) anti-join — `sources/iceberg.py::
+    _apply_position_deletes`), the pre-delete snapshot via ``VERSION AS
+    OF`` (sees every row), and the snapshot summary's cumulative
+    ``total-position-deletes``; the oracle recomputes all three from
+    raw `events`. Equal hashes prove the delete plane is exact: the
+    right rows vanished, history is untouched, and the metadata
+    accounting matches the data. The reference's Iceberg mode is
+    append-only (`IcebergTableManager.java:46-95`); this is the
+    engine's row-delta extension over the same metadata plane.
+
+    Scale: the delete-planning scan and the merge-on-read anti-join
+    are both distributed; at 100 TB the anti-join broadcasts the
+    delete set when small (AQE) and shuffles on (file, pos) otherwise —
+    the same strategy Spark's Iceberg source picks."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        commit_position_deletes,
+        read_iceberg_table,
+        read_iceberg_table_at,
+        read_table_metadata,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+        records_to_envelope,
+        write_table,
+    )
+
+    key = _cache_key(spark, sf_dir)
+    cached = _ICEBERG_DEL_CACHE.get(key)
+    if cached is None:
+        env = records_to_envelope(_records(spark, sf_dir)).repartition(
+            4, "partition"
+        )
+        tdir = tempfile.mkdtemp(prefix="iceberg-del-")
+        write_table(env, tdir)
+        commit_append(tdir, env.schema)
+        first_snapshot = read_table_metadata(tdir)["metadata"][
+            "current-snapshot-id"
+        ]
+        meta = commit_position_deletes(spark, tdir, "kafka.offset % 5 = 3")
+        n_del = int(
+            meta["snapshots"][-1]["summary"]["total-position-deletes"]
+        )
+        session_cache_put(
+            _ICEBERG_DEL_CACHE, key, (tdir, first_snapshot, n_del)
+        )
+        cached = (tdir, first_snapshot, n_del)
+    tdir, first_snapshot, n_del = cached
+    live = (
+        read_iceberg_table(spark, tdir)
+        .select(
+            F.col("key").cast("string").alias("event_type"),
+            F.col("kafka.offset").alias("event_id"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.min("event_id").alias("min_live_offset"),
+        )
+    )
+    before = (
+        read_iceberg_table_at(spark, tdir, first_snapshot)
+        .select(F.col("key").cast("string").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    )
+    # inner join is total here: every event_type keeps live rows (the
+    # delete drops exactly the offsets ≡3 mod 5 of each type)
+    return (
+        live.join(before, "event_type")
+        .withColumn("n_pos_deletes", F.lit(n_del).cast("bigint"))
+        .select(
+            "event_type", "n_live", "min_live_offset", "n_before",
+            "n_pos_deletes",
+        )
+    )

@@ -484,6 +484,7 @@ def _discover_data_files(table_dir: str, partition_col: str) -> list[dict]:
         parts = rel.split(os.sep)
         if rel != os.curdir and (
             "metadata" in parts
+            or "deletes" in parts
             or any(p.startswith("_staging") for p in parts)
         ):
             continue
@@ -493,6 +494,10 @@ def _discover_data_files(table_dir: str, partition_col: str) -> list[dict]:
                 part_val = int(seg.split("=", 1)[1])
         for name in sorted(names):
             if not name.endswith(".parquet"):
+                continue
+            if name.startswith("delete-"):
+                # position-delete files (write_position_deletes);
+                # discovery mode must never sweep them in as data
                 continue
             files.append(_stat_one_file(os.path.join(root, name), part_val))
     return sorted(files, key=lambda f: f["file_path"])
@@ -884,6 +889,7 @@ def _commit_append_once(
             "added-data-files": str(len(new_files)),
             "added-records": str(added_rows),
             "total-records": str(added_rows + _prev_total_records(base)),
+            "total-position-deletes": str(_prev_total_pos_deletes(base)),
             **{k: str(v) for k, v in (summary_extra or {}).items()},
         },
     }
@@ -1001,6 +1007,352 @@ def _schema_updates(base: dict) -> list[dict]:
     ]
 
 
+# -- row-level deletes: v2 position-delete files (merge-on-read) --------------
+
+
+def _prev_total_pos_deletes(meta: dict) -> int:
+    cur_id = meta.get("current-snapshot-id", -1)
+    if cur_id == -1:
+        return 0
+    cur = next((s for s in meta["snapshots"] if s["snapshot-id"] == cur_id), None)
+    if cur is None:
+        return 0
+    return int(cur["summary"].get("total-position-deletes", 0))
+
+
+def write_position_deletes(
+    spark,
+    table_dir: str,
+    predicate,
+    partition_col: str = "partition",
+    meta: dict | None = None,
+) -> list[dict]:
+    """Plan and write spec-shaped **position-delete files** for every
+    current-snapshot row matching ``predicate`` (a Spark SQL string or
+    Column over the table schema). Fully declarative and distributed:
+    the match scan is a native parquet read projecting only the
+    predicate columns plus the hidden ``_metadata`` file/row-index
+    columns (Catalyst prunes the rest), and each partition's matches
+    are written by one Arrow task as a parquet file with the spec's
+    exact shape — columns ``file_path`` (field id 2147483546) and
+    ``pos`` (field id 2147483545), sorted by (file_path, pos), stored
+    beside the data files in the partition dir (spec "Position Delete
+    Files"). Returns per-file stats for :func:`commit_position_deletes`;
+    rows that match nothing produce no files. At 100 TB you would
+    additionally shard each partition's writer by a file-path bucket;
+    one file per partition per call is the spec-minimal baseline."""
+    from pyspark.sql import functions as F
+
+    if meta is None:
+        _v, meta, _t = _current_state_meta(table_dir)
+    if meta.get("current-snapshot-id", -1) == -1:
+        return []
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    data, deletes = _plan_snapshot(cur, None)
+    if not data:
+        return []
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    df = _read_with_positions(spark, table_dir, meta, [d["file_path"] for d in data])
+    if deletes:
+        # match against the MERGED view: a row already position-deleted
+        # must not re-match (duplicate delete rows are spec-legal but
+        # inflate added-position-deletes and every later delete scan)
+        df = _apply_position_deletes(
+            spark, df, data, deletes, keep_position_cols=True
+        )
+    part_map = spark.createDataFrame(
+        [(d["file_path"], d["partition"].get(partition_col)) for d in data],
+        "__iceberg_file string, __iceberg_part int",
+    )
+    matches = (
+        df.where(cond)
+        .select("__iceberg_file", "__iceberg_pos")
+        .join(F.broadcast(part_map), "__iceberg_file")
+    )
+    token = uuid.uuid4().hex[:16]
+
+    def _write_group(pdf):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pdf.sort_values(["__iceberg_file", "__iceberg_pos"])
+        part = pdf["__iceberg_part"].iloc[0]
+        part = None if pd.isna(part) else int(part)
+        part_dir = (
+            f"{partition_col}={part}"
+            if part is not None
+            else f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+        )
+        out_dir = os.path.join(table_dir, "deletes", part_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"delete-{token}-p{part}.parquet")
+        schema = pa.schema(
+            [
+                pa.field(
+                    "file_path",
+                    pa.string(),
+                    nullable=False,
+                    metadata={b"PARQUET:field_id": b"2147483546"},
+                ),
+                pa.field(
+                    "pos",
+                    pa.int64(),
+                    nullable=False,
+                    metadata={b"PARQUET:field_id": b"2147483545"},
+                ),
+            ]
+        )
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(pdf["__iceberg_file"], pa.string()),
+                pa.array(pdf["__iceberg_pos"], pa.int64()),
+            ],
+            schema=schema,
+        )
+        pq.write_table(tbl, path, compression="zstd")
+        return pd.DataFrame(
+            [[path, part, len(pdf), os.path.getsize(path)]],
+            columns=["delete_path", "partition", "n_rows", "file_size"],
+        )
+
+    stats = matches.groupBy("__iceberg_part").applyInPandas(
+        _write_group,
+        "delete_path string, partition int, n_rows bigint, file_size bigint",
+    )
+    return [r.asDict() for r in stats.collect()]
+
+
+def commit_position_deletes(
+    spark,
+    table_dir: str,
+    predicate,
+    partition_col: str = "partition",
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """Row-level DELETE as an Iceberg v2 **row-delta commit**: write
+    position-delete files for the matching rows (merge-on-read — data
+    files are never rewritten; `DELETE FROM t WHERE ...` semantics) and
+    commit them as a new snapshot whose manifest list adds a DELETE
+    manifest (content=1). Matching zero rows returns the current
+    metadata unchanged — no empty snapshot. With ``catalog``, the
+    pointer moves through the REST-catalog protocol and a lost race
+    reloads, RE-PLANS the deletes against the new head (the predicate
+    must evaluate against the data files that are actually current),
+    and retries; a lost attempt's staged delete files stay behind as
+    unreferenced orphans, the same crash-safe failure mode as staged
+    append manifests."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+    )
+
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None and table_name is None:
+        table_name = _default_table_name(table_dir)
+    last_err: Exception | None = None
+    for _attempt in range(max_commit_retries if catalog is not None else 1):
+        version, base, table_name = _current_state_meta(
+            table_dir, catalog, table_name
+        )
+        stats = write_position_deletes(
+            spark, table_dir, predicate, partition_col, meta=base
+        )
+        if not stats:
+            return base
+        try:
+            return _commit_deletes_once(
+                table_dir, version, base, stats, partition_col, now_ms,
+                catalog, table_name,
+            )
+        except CommitConflictError as e:
+            last_err = e
+    assert last_err is not None
+    raise last_err
+
+
+def _commit_deletes_once(
+    table_dir: str,
+    version: int,
+    base: dict,
+    stats: list[dict],
+    partition_col: str,
+    now_ms: int,
+    catalog,
+    table_name: str | None,
+) -> dict:
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    newest_ts = max((s["timestamp-ms"] for s in base["snapshots"]), default=0)
+    now_ms = max(now_ms, newest_ts)  # snapshot-log monotonicity clamp
+    seq = base["last-sequence-number"] + 1
+    snapshot_id = seq
+    commit_uuid = uuid.uuid4().hex[:16]
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 1,  # POSITION_DELETES
+                "file_path": s["delete_path"],
+                "file_format": "PARQUET",
+                "partition": {partition_col: s["partition"]},
+                "record_count": s["n_rows"],
+                "file_size_in_bytes": s["file_size"],
+                "split_offsets": None,
+                "sort_order_id": None,
+            },
+        }
+        for s in sorted(stats, key=lambda s: s["delete_path"])
+    ]
+    schema_struct = next(
+        s for s in base["schemas"] if s["schema-id"] == base["current-schema-id"]
+    )
+    spec = base["partition-specs"][0]
+    manifest_path = os.path.join(
+        meta_dir, f"{base['table-uuid']}-d{seq}-{commit_uuid}.avro"
+    )
+    manifest_len = write_avro_ocf(
+        manifest_path,
+        manifest_entry_schema(partition_col),
+        entries,
+        {
+            "schema": json.dumps(schema_struct).encode(),
+            "schema-id": str(base["current-schema-id"]).encode(),
+            "partition-spec": json.dumps(spec["fields"]).encode(),
+            "partition-spec-id": b"0",
+            "format-version": str(FORMAT_VERSION).encode(),
+            "content": b"deletes",
+        },
+    )
+    parts = [s["partition"] for s in stats]
+    non_null = [p for p in parts if p is not None] or [0]
+    n_del_rows = sum(int(s["n_rows"]) for s in stats)
+    delete_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": manifest_len,
+        "partition_spec_id": 0,
+        "content": 1,  # DELETES manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": n_del_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": [
+            {
+                "contains_null": any(p is None for p in parts),
+                "contains_nan": False,
+                "lower_bound": struct.pack("<i", min(non_null)),
+                "upper_bound": struct.pack("<i", max(non_null)),
+            }
+        ],
+    }
+    cur = next(
+        s for s in base["snapshots"] if s["snapshot-id"] == base["current-snapshot-id"]
+    )
+    _, prior_manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+    write_avro_ocf(
+        list_path,
+        MANIFEST_FILE_SCHEMA,
+        [delete_manifest] + prior_manifest_files,
+        {
+            "format-version": str(FORMAT_VERSION).encode(),
+            "snapshot-id": str(snapshot_id).encode(),
+            "sequence-number": str(seq).encode(),
+            "parent-snapshot-id": str(base["current-snapshot-id"]).encode(),
+        },
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "schema-id": base["current-schema-id"],
+        "parent-snapshot-id": base["current-snapshot-id"],
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(len(entries)),
+            "added-position-deletes": str(n_del_rows),
+            "total-position-deletes": str(
+                _prev_total_pos_deletes(base) + n_del_rows
+            ),
+            "total-records": str(_prev_total_records(base)),
+        },
+    }
+
+    from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+        FILE_LIST,
+        write_puffin,
+    )
+
+    stats_path = os.path.join(meta_dir, f"stats-{snapshot_id}-{commit_uuid}.puffin")
+    file_list = [
+        {
+            "location": s["delete_path"],
+            "partition": s["partition"],
+            "recordCount": int(s["n_rows"]),
+            "fileSizeInBytes": int(s["file_size"]),
+        }
+        for s in stats
+    ]
+    pstats = write_puffin(
+        stats_path, [(FILE_LIST, json.dumps(file_list).encode())], snapshot_id, seq
+    )
+    stat_entry = {
+        "snapshot-id": snapshot_id,
+        "statistics-path": stats_path,
+        "file-size-in-bytes": pstats["file_size"],
+        "file-footer-size-in-bytes": pstats["footer_size"],
+        "blob-metadata": pstats["blob_metadata"],
+    }
+
+    meta = dict(base)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = base["snapshots"] + [snapshot]
+    meta["statistics"] = base.get("statistics", []) + [stat_entry]
+    meta["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+    meta["snapshot-log"] = base["snapshot-log"] + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    meta["metadata-log"] = base.get("metadata-log", []) + [
+        {
+            "timestamp-ms": base["last-updated-ms"],
+            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+        }
+    ]
+
+    if catalog is not None:
+        updates = [
+            {"action": "add-snapshot", "snapshot": snapshot},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": snapshot_id,
+            },
+            {"action": "set-statistics", "statistics": stat_entry},
+        ]
+        resp = catalog.commit_table(
+            table_name, _maintenance_requirements(base), updates, now_ms
+        )
+        return resp["metadata"]
+    _write_metadata_version(meta_dir, version + 1, meta)
+    return meta
+
+
 def _parse_current_manifests(meta: dict) -> tuple[list[dict], list[dict]]:
     """Current snapshot's manifest list (Avro) -> each manifest (Avro) ->
     data-file entries; shared by the file-layout and REST-catalog loaders
@@ -1086,19 +1438,22 @@ def plan_scan(
     return _plan_from_meta(meta, partition_value)
 
 
-def _plan_from_meta(meta: dict, partition_value: int | None) -> list[dict]:
-    """The lazy manifest walk of :func:`plan_scan` over an
-    already-loaded metadata dict — shared so readers that hold the
-    metadata (e.g. a single catalog load) plan and type the scan from
-    the SAME snapshot (no second load, no TOCTOU between plan and
-    schema)."""
-    if meta.get("current-snapshot-id", -1) == -1:
-        return []
-    cur = next(
-        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
-    )
-    _, manifest_files, _ = read_avro_ocf(cur["manifest-list"])
-    files: list[dict] = []
+def _plan_snapshot(
+    snap: dict, partition_value: int | None
+) -> tuple[list[dict], list[dict]]:
+    """Walk ONE snapshot's manifest list lazily and split its live
+    entries by manifest content: ``(data_files, delete_files)``. Each
+    returned dict is the entry's ``data_file`` record plus ``_seq``,
+    the entry's data sequence number (inherited from the manifest when
+    the entry's own field is null, as the spec's inheritance rule
+    says) — the read side needs it to decide which position deletes
+    apply to which data files (a delete applies only to data files
+    whose sequence number is <= the delete's). Manifest-level
+    partition-summary pruning applies to BOTH kinds: a pruned manifest
+    is never opened."""
+    _, manifest_files, _ = read_avro_ocf(snap["manifest-list"])
+    data: list[dict] = []
+    deletes: list[dict] = []
     for mf in manifest_files:
         if partition_value is not None and mf.get("partitions"):
             summary = mf["partitions"][0]
@@ -1118,8 +1473,29 @@ def _plan_from_meta(meta: dict, partition_value: int | None) -> list[dict]:
                 and d["partition"].get(next(iter(d["partition"]))) != partition_value
             ):
                 continue
-            files.append(d)
-    return files
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf.get("sequence_number", 0)
+            rec = {**d, "_seq": int(seq)}
+            (deletes if d.get("content") == 1 else data).append(rec)
+    return data, deletes
+
+
+def _plan_from_meta(meta: dict, partition_value: int | None) -> list[dict]:
+    """The lazy manifest walk of :func:`plan_scan` over an
+    already-loaded metadata dict — shared so readers that hold the
+    metadata (e.g. a single catalog load) plan and type the scan from
+    the SAME snapshot (no second load, no TOCTOU between plan and
+    schema). Returns the DATA file entries only; position-delete files
+    (manifest content=1) are planned by the snapshot readers via
+    :func:`_plan_snapshot`."""
+    if meta.get("current-snapshot-id", -1) == -1:
+        return []
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    data, _deletes = _plan_snapshot(cur, partition_value)
+    return [{k: v for k, v in d.items() if k != "_seq"} for d in data]
 
 
 def iceberg_schema_to_spark(schema_struct: dict):
@@ -1181,20 +1557,116 @@ def read_iceberg_table(
     schema, not an error. With ``catalog``, the snapshot pointer comes
     from the catalog service (see :func:`plan_scan`). Metadata is
     loaded exactly ONCE; the plan and the schema both derive from that
-    load, so a rival commit landing mid-read cannot split them."""
+    load, so a rival commit landing mid-read cannot split them.
+
+    Tables that carry position-delete files (a row-delta commit via
+    :func:`commit_position_deletes`) are read merge-on-read: the scan
+    anti-joins the delete set on (file, row position) — see
+    :func:`_apply_position_deletes`."""
     _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
-    files = _plan_from_meta(meta, partition_value)
-    if not files:
-        schema = iceberg_schema_to_spark(
+    if meta.get("current-snapshot-id", -1) == -1:
+        return _empty_table_df(spark, meta)
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    return _read_snapshot(spark, table_dir, meta, cur, partition_value)
+
+
+def _empty_table_df(spark, meta: dict):
+    """A valid ZERO-ROW scan typed from the table's current schema."""
+    return spark.createDataFrame(
+        [],
+        iceberg_schema_to_spark(
             next(
                 s for s in meta["schemas"]
                 if s["schema-id"] == meta["current-schema-id"]
             )
-        )
-        return spark.createDataFrame([], schema)
-    return _read_planned_files(
-        spark, table_dir, meta, [d["file_path"] for d in files]
+        ),
     )
+
+
+def _read_snapshot(spark, table_dir: str, meta: dict, snap: dict, partition_value):
+    """Plan one snapshot and hand it to Spark, applying the snapshot's
+    position deletes when it has any (shared by the current-state and
+    time-travel readers, so ``VERSION AS OF`` sees exactly the row set
+    that snapshot defined — deletes included)."""
+    data, deletes = _plan_snapshot(snap, partition_value)
+    if not data:
+        return _empty_table_df(spark, meta)
+    paths = [d["file_path"] for d in data]
+    if not deletes:
+        return _read_planned_files(spark, table_dir, meta, paths)
+    df = _read_with_positions(spark, table_dir, meta, paths)
+    return _apply_position_deletes(spark, df, data, deletes)
+
+
+_NORM_FILE_RE = "^file:/+"  # file:///p and file:/p both -> /p
+
+
+def _read_with_positions(spark, table_dir: str, meta: dict, paths: list[str]):
+    """The planned-file scan plus Spark's hidden parquet ``_metadata``
+    columns projected as ``(__iceberg_file, __iceberg_pos)`` — the same
+    mechanism the Iceberg Spark reader uses to apply position deletes
+    (``_metadata.row_index`` is the row's ordinal within its data file,
+    exactly the spec's ``pos``). Stays a native columnar scan: the
+    metadata columns are generated JVM-side, no Python crossing."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.option("basePath", table_dir)
+    if len(meta.get("schemas", [])) > 1:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*sorted(paths)).select(
+        "*",
+        F.regexp_replace(F.col("_metadata.file_path"), _NORM_FILE_RE, "/").alias(
+            "__iceberg_file"
+        ),
+        F.col("_metadata.row_index").alias("__iceberg_pos"),
+    )
+
+
+def _apply_position_deletes(
+    spark, df_pos, data_entries, delete_entries, keep_position_cols=False
+):
+    """Merge-on-read: anti-join the data scan against the snapshot's
+    position-delete rows on (data file path, row position), honoring
+    the spec's sequence-number rule — a position delete applies only
+    to data files whose data sequence number is <= the delete file's
+    (rows appended AFTER a delete are never retro-deleted even when
+    they land at the same positions of a same-partition file).
+
+    Scale shape: the delete parquet scan is a normal distributed read;
+    the two sequence-number attachments are broadcast joins over the
+    O(files) planning metadata; the final anti-join broadcasts the
+    delete set when small (AQE) and shuffles on (file, pos) otherwise —
+    the same physical strategy Spark's Iceberg source picks."""
+    from pyspark.sql import functions as F
+
+    data_seq = spark.createDataFrame(
+        [(d["file_path"], d["_seq"]) for d in data_entries],
+        "__iceberg_file string, __iceberg_data_seq bigint",
+    )
+    del_files = sorted({(d["file_path"], d["_seq"]) for d in delete_entries})
+    del_seq = spark.createDataFrame(
+        del_files, "__iceberg_dfile string, __iceberg_del_seq bigint"
+    )
+    dels = (
+        spark.read.parquet(*[p for p, _ in del_files])
+        .select(
+            F.col("file_path").alias("__iceberg_file"),
+            F.col("pos").alias("__iceberg_pos"),
+            F.regexp_replace(
+                F.col("_metadata.file_path"), _NORM_FILE_RE, "/"
+            ).alias("__iceberg_dfile"),
+        )
+        .join(F.broadcast(del_seq), "__iceberg_dfile")
+        .join(F.broadcast(data_seq), "__iceberg_file")
+        .where(F.col("__iceberg_del_seq") >= F.col("__iceberg_data_seq"))
+        .select("__iceberg_file", "__iceberg_pos")
+    )
+    out = df_pos.join(dels, ["__iceberg_file", "__iceberg_pos"], "left_anti")
+    if keep_position_cols:
+        return out
+    return out.drop("__iceberg_file", "__iceberg_pos")
 
 
 # -- maintenance: time travel + snapshot expiration ---------------------------
@@ -1241,32 +1713,16 @@ def read_iceberg_table_at(
     snapshot still present in the metadata is readable). For
     ``TIMESTAMP AS OF``, resolve the id via
     :func:`snapshot_as_of_timestamp` first. With ``catalog``, the
-    snapshot list comes from the catalog service."""
+    snapshot list comes from the catalog service. A historical
+    snapshot's position deletes are applied exactly as they were live
+    at that snapshot — deletes committed later do not leak backwards."""
     _version, meta, _t = _current_state_meta(table_dir, catalog, table_name)
     snap = next(
         (s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id), None
     )
     if snap is None:
         raise ValueError(f"snapshot {snapshot_id} not found (expired or never existed)")
-    _, manifest_files, _ = read_avro_ocf(snap["manifest-list"])
-    files = []
-    for mf in manifest_files:
-        _, entries, _ = read_avro_ocf(mf["manifest_path"])
-        files.extend(
-            e["data_file"]["file_path"] for e in entries if e["status"] != 2
-        )
-    if not files:
-        return spark.createDataFrame(
-            [],
-            iceberg_schema_to_spark(
-                next(
-                    s
-                    for s in meta["schemas"]
-                    if s["schema-id"] == meta["current-schema-id"]
-                )
-            ),
-        )
-    return _read_planned_files(spark, table_dir, meta, files)
+    return _read_snapshot(spark, table_dir, meta, snap, None)
 
 
 def _maintenance_state(table_dir: str, catalog, table_name: str | None):
@@ -1463,25 +1919,37 @@ def _rewrite_manifests_once(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
     _, manifest_files, _ = read_avro_ocf(cur["manifest-list"])
-    if len(manifest_files) <= 1:
-        return meta
-    entries = []
+    n_data_m = sum(1 for mf in manifest_files if not mf.get("content"))
+    if n_data_m <= 1 and len(manifest_files) - n_data_m <= 1:
+        return meta  # already compact (<=1 manifest of each content)
     partition_col = meta["partition-specs"][0]["fields"][0]["name"]
-    lo = hi = None
-    rows = 0
+    # data and delete manifests compact SEPARATELY (spec: a manifest
+    # holds either data files or delete files, never both — merging
+    # them would make every scan read delete entries as data)
+    groups: dict[int, list] = {0: [], 1: []}
     for mf in manifest_files:
         _, es, _ = read_avro_ocf(mf["manifest_path"])
         for e in es:
             if e["status"] == 2:
                 continue
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf.get("sequence_number", 0)
             # spec: carried-over files are status 0 (EXISTING) — an
-            # incremental/CDC reader must not see compaction as appends
-            entries.append({**e, "status": 0})
-            p = e["data_file"]["partition"].get(partition_col)
-            if p is not None:
-                lo = p if lo is None else min(lo, p)
-                hi = p if hi is None else max(hi, p)
-            rows += e["data_file"]["record_count"]
+            # incremental/CDC reader must not see compaction as appends;
+            # sequence numbers become explicit so inheritance from the
+            # NEW manifest cannot rewrite history
+            e2 = {**e, "status": 0, "sequence_number": int(seq)}
+            groups[int(e["data_file"].get("content") or 0)].append(e2)
+    entries = groups[0]
+    lo = hi = None
+    rows = 0
+    for e in entries:
+        p = e["data_file"]["partition"].get(partition_col)
+        if p is not None:
+            lo = p if lo is None else min(lo, p)
+            hi = p if hi is None else max(hi, p)
+        rows += e["data_file"]["record_count"]
 
     now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
     # snapshot-log monotonicity (same clamp as _commit_append_once): a
@@ -1515,7 +1983,10 @@ def _rewrite_manifests_once(
             "content": b"data",
         },
     )
-    min_seq = min(mf["min_sequence_number"] for mf in manifest_files)
+    min_seq = min(
+        (e["sequence_number"] for e in entries),
+        default=min(mf["min_sequence_number"] for mf in manifest_files),
+    )
     compacted = {
         "manifest_path": manifest_path,
         "manifest_length": manifest_len,
@@ -1542,13 +2013,68 @@ def _rewrite_manifests_once(
             }
         ],
     }
+    new_manifest_files = [compacted]
+    if groups[1]:
+        # the table's live position-delete entries compact into their
+        # own content=1 manifest, preserving each entry's sequence
+        # number (the delete-applies-to rule depends on it)
+        del_entries = groups[1]
+        del_path = os.path.join(
+            meta_dir, f"{meta['table-uuid']}-compacted-d{seq}-{compact_uuid}.avro"
+        )
+        del_len = write_avro_ocf(
+            del_path,
+            manifest_entry_schema(partition_col),
+            del_entries,
+            {
+                "schema": json.dumps(schema_struct).encode(),
+                "schema-id": str(meta["current-schema-id"]).encode(),
+                "partition-spec": json.dumps(spec["fields"]).encode(),
+                "partition-spec-id": b"0",
+                "format-version": str(FORMAT_VERSION).encode(),
+                "content": b"deletes",
+            },
+        )
+        dparts = [
+            e["data_file"]["partition"].get(partition_col) for e in del_entries
+        ]
+        d_non_null = [p for p in dparts if p is not None] or [0]
+        new_manifest_files.append(
+            {
+                "manifest_path": del_path,
+                "manifest_length": del_len,
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    e["sequence_number"] for e in del_entries
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": 0,
+                "existing_data_files_count": len(del_entries),
+                "deleted_data_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"] for e in del_entries
+                ),
+                "deleted_rows_count": 0,
+                "partitions": [
+                    {
+                        "contains_null": any(p is None for p in dparts),
+                        "contains_nan": False,
+                        "lower_bound": struct.pack("<i", min(d_non_null)),
+                        "upper_bound": struct.pack("<i", max(d_non_null)),
+                    }
+                ],
+            }
+        )
     list_path = os.path.join(
         meta_dir, f"snap-{snapshot_id}-1-{compact_uuid}.avro"
     )
     write_avro_ocf(
         list_path,
         MANIFEST_FILE_SCHEMA,
-        [compacted],
+        new_manifest_files,
         {
             "format-version": str(FORMAT_VERSION).encode(),
             "snapshot-id": str(snapshot_id).encode(),
@@ -1566,8 +2092,9 @@ def _rewrite_manifests_once(
         "summary": {
             "operation": "replace",
             "manifests-replaced": str(len(manifest_files)),
-            "manifests-created": "1",
+            "manifests-created": str(len(new_manifest_files)),
             "total-records": str(rows),
+            "total-position-deletes": str(_prev_total_pos_deletes(meta)),
         },
     }
     # per-current-snapshot statistics (the pattern every consumer of
