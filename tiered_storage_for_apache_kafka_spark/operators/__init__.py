@@ -270,6 +270,7 @@ _PROMOTE = [
     "iceberg_time_travel",
     "iceberg_compaction_verify",
     "iceberg_row_delete_scan",  # NEW this round (v2 position deletes)
+    "dsir_importance_topk",  # NEW this round (DSIR data selection)
     # (b) the oldest-verdict rotation slice (r1/r2 verdicts, re-queued
     # out of the demote tail above, oldest first):
     "manifest_summary",

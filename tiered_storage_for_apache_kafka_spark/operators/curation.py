@@ -944,3 +944,119 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_micro",
         F.expr("cast(isqrt_tokens * 1000000 div sum(isqrt_tokens) over () as bigint)"),
     ).select("source", "n_docs", "n_tokens", "isqrt_tokens", "p_micro")
+
+
+DSIR_TOPK = 100  # resampling budget: docs selected toward the target
+
+
+def _dsir_oracle() -> str:
+    from tiered_storage_for_apache_kafka_spark.operators.filtering import (
+        QUALITY_BUCKETS,
+        _bucket_sql as _qbucket_sql,
+    )
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+), feats AS (
+  SELECT doc_id, tok FROM (SELECT doc_id, unnest(l) AS tok FROM toks)
+  UNION ALL
+  SELECT doc_id, pr[1] || '_' || pr[2] AS tok
+  FROM (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr
+        FROM toks)
+), hashed AS (
+  SELECT doc_id, {_qbucket_sql('tok')} AS bucket FROM feats
+), tagged AS (
+  SELECT h.doc_id, h.bucket, d.lang
+  FROM hashed h JOIN documents d USING (doc_id)
+), counts AS (
+  SELECT bucket, COUNT(*) AS c_r,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+  FROM tagged GROUP BY bucket
+), tot AS (
+  SELECT COUNT(*) AS t_r,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_t
+  FROM tagged
+), model AS (
+  SELECT bucket, ln(c_t + 1) - ln(c_r + 1) AS w FROM counts
+), scored AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_features,
+         ROUND(SUM(m.w)
+               + COUNT(*) * (ln((SELECT t_r FROM tot) + {QUALITY_BUCKETS})
+                             - ln((SELECT t_t FROM tot) + {QUALITY_BUCKETS})),
+               4) AS dsir_weight
+  FROM tagged t JOIN model m USING (bucket)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_features, dsir_weight
+FROM scored
+ORDER BY dsir_weight DESC, doc_id
+LIMIT {DSIR_TOPK}
+"""
+
+
+@query("dsir_importance_topk", oracle=_dsir_oracle())
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023, public): select raw-corpus documents toward a target
+    distribution by importance weight under two hashed bag-of-ngrams
+    models. Target = the ``lang = 'en'`` slice; features = the same
+    hashed uni+bigram buckets the quality classifier uses
+    (`filtering._hashed_features`, 4096 buckets, md5-bucket arithmetic
+    identical in both engines). Per-bucket weight is the smoothed
+    log-likelihood ratio ``ln(c_target+1) - ln(c_raw+1)``; a document's
+    importance weight is the sum over its feature occurrences plus the
+    normalization ``n_features * (ln(T_raw+B) - ln(T_target+B))``, and
+    the deterministic resampling step keeps the top-K by (rounded
+    weight, doc_id).
+
+    100 TB shape: the corpus is never collected — bucket counting is
+    one map-side-combined shuffle of (bucket, flag) pairs; the model is
+    a <=4096-row broadcast dimension; scoring is a broadcast join plus
+    one doc-keyed agg; the two corpus totals attach as a broadcast
+    scalar; top-K plans as TakeOrderedAndProject (no global sort
+    materialization). No Python UDFs anywhere."""
+    from tiered_storage_for_apache_kafka_spark.operators.filtering import (
+        QUALITY_BUCKETS,
+        _hashed_features,
+    )
+
+    feats = _hashed_features(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tagged = feats.join(docs, "doc_id")
+    is_t = F.when(F.col("lang") == "en", 1).otherwise(0)
+    counts = tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_r"), F.sum(is_t).alias("c_t")
+    )
+    tot = tagged.agg(
+        F.count(F.lit(1)).alias("t_r"), F.sum(is_t).alias("t_t")
+    )
+    model = counts.select(
+        "bucket", (F.log(F.col("c_t") + 1) - F.log(F.col("c_r") + 1)).alias("w")
+    )
+    scored = (
+        tagged.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.sum("w").alias("sw"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_features",
+            F.round(
+                F.col("sw")
+                + F.col("n_features")
+                * (
+                    F.log(F.col("t_r") + QUALITY_BUCKETS)
+                    - F.log(F.col("t_t") + QUALITY_BUCKETS)
+                ),
+                4,
+            ).alias("dsir_weight"),
+        )
+    )
+    return scored.orderBy(
+        F.col("dsir_weight").desc(), "doc_id"
+    ).limit(DSIR_TOPK)
