@@ -604,3 +604,56 @@ def test_trained_classifier_serves_as_broadcast_dim(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_dsir_model_broadcast_topk_take_ordered(spark):
+    """DSIR: the LLR model is a broadcast dim, the totals attach as a
+    broadcast scalar (never a corpus cartesian), and the resampling
+    top-K plans as TakeOrderedAndProject — no global sort
+    materialization, no Python UDF."""
+    plan = plan_of(QUERIES["dsir_importance_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_iceberg_merge_on_read_plan_shapes(spark):
+    """Position deletes: a snapshot WITHOUT deletes scans exactly as
+    before (no anti-join, no _metadata projection); a snapshot WITH
+    deletes applies them as one (file, pos) anti-join over a native
+    columnar scan — no Python crossing anywhere."""
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+        write_table,
+    )
+    import tempfile
+
+    df = (
+        spark.range(200)
+        .select(
+            (F.col("id") % 4).cast("int").alias("partition"),
+            F.col("id").alias("offset"),
+            (F.col("id") * 2).alias("val"),
+        )
+        .repartition(4, "partition")
+    )
+    tdir = tempfile.mkdtemp(prefix="mor-plan-")
+    write_table(df, tdir)
+    ice.commit_append(tdir, df.schema)
+
+    clean = plan_of(ice.read_iceberg_table(spark, tdir))
+    assert "left_anti" not in clean.lower()
+    assert "row_index" not in clean
+
+    ice.commit_position_deletes(spark, tdir, "offset % 5 = 3")
+    merged_df = ice.read_iceberg_table(spark, tdir)
+    merged = plan_of(merged_df)
+    assert "left_anti" in merged.lower() or "LeftAnti" in merged
+    assert "PythonUDF" not in merged and "BatchEvalPython" not in merged
+    # the user-visible schema is unchanged by merge-on-read
+    assert merged_df.columns == ice.read_iceberg_table_at(
+        spark, tdir, 1
+    ).columns
