@@ -1176,3 +1176,125 @@ class TestPositionDeletes:
                 spark, tdir, "kafka.offset < 0", catalog=cat
             )
             assert m2["current-snapshot-id"] == head
+
+
+class TestEqualityDeletes:
+    """v2 equality-delete files (content=2): delete-by-key without
+    scanning the data — the CDC upsert primitive (spec "Equality Delete
+    Files"); strict sequence-number rule, partition scoping, null-safe
+    matching."""
+
+    def _committed(self, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema)
+        return tdir, df
+
+    def test_delete_by_key_merge_on_read(self, table, spark):
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, df = self._committed(table)
+        # the envelope's key column is the stringified id; delete two ids
+        keys = (
+            df.where(F.col("key").isin(F.lit(b"7"), F.lit(b"13")))
+            .select("partition", "key")
+            .distinct()
+        )
+        meta = ice.commit_equality_deletes(spark, tdir, keys, ["key"])
+        summ = meta["snapshots"][-1]["summary"]
+        assert summ["operation"] == "delete"
+        assert summ["added-equality-deletes"] == "2"
+        assert summ["added-position-deletes"] == "0"
+        assert summ["total-equality-deletes"] == "2"
+
+        live = ice.read_iceberg_table(spark, tdir)
+        assert live.count() == 198
+        assert live.where("key in (X'37', X'3133')").count() == 0
+        # entries carry the equality field ids of the key column
+        back = ice.read_table_metadata(tdir)
+        eq_entries = [
+            e
+            for man in back["manifests"]
+            for e in man["entries"]
+            if e["data_file"]["content"] == 2
+        ]
+        assert eq_entries and all(
+            e["data_file"]["equality_ids"] for e in eq_entries
+        )
+
+    def test_strict_sequence_rule_enables_upsert(self, table, spark):
+        """delete key K (seq 2) + re-append rows with key K (seq 3):
+        the replacements survive — the upsert contract."""
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = self._committed(table)
+        keys = (
+            df.where(F.col("key") == F.lit(b"7"))
+            .select("partition", "key")
+            .distinct()
+        )
+        ice.commit_equality_deletes(spark, tdir, keys, ["key"])
+        assert ice.read_iceberg_table(spark, tdir).count() == 199
+        replacement = df.where(F.col("key") == F.lit(b"7")).repartition(
+            1, "partition"
+        )
+        write_table(replacement, tdir)
+        ice.commit_append(tdir, df.schema)
+        live = ice.read_iceberg_table(spark, tdir)
+        assert live.count() == 200
+        assert live.where("key = X'37'").count() == 1  # the replacement
+
+    def test_partition_scoping(self, table, spark):
+        """An equality delete committed for partition 1 must not touch
+        equal keys in other partitions."""
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, df = self._committed(table)
+        # value b"x" never occurs; use a real key that exists in exactly
+        # one partition: key "6" lives in partition 6%4=2. Scope the
+        # delete to partition 0 instead -> nothing may vanish.
+        keys = spark.createDataFrame(
+            [(0, bytearray(b"6"))], "partition int, key binary"
+        )
+        ice.commit_equality_deletes(spark, tdir, keys, ["key"])
+        live = ice.read_iceberg_table(spark, tdir)
+        assert live.count() == 200
+        assert live.where("key = X'36'").count() == 1
+
+    def test_mixed_kinds_compact_and_read(self, table, spark):
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, df = self._committed(table)
+        keys = (
+            df.where(F.col("key") == F.lit(b"9"))
+            .select("partition", "key")
+            .distinct()
+        )
+        ice.commit_equality_deletes(spark, tdir, keys, ["key"])
+        ice.commit_position_deletes(spark, tdir, "kafka.offset % 5 = 3")
+        expect = ice.read_iceberg_table(spark, tdir).count()
+        assert expect == 200 - 1 - 40 + (1 if 9 % 5 == 3 else 0)
+        meta = ice.rewrite_manifests(tdir)
+        assert meta["snapshots"][-1]["summary"]["total-equality-deletes"] == "1"
+        back = ice.read_table_metadata(tdir)
+        del_entries = [
+            e
+            for man in back["manifests"]
+            for e in man["entries"]
+            if e["data_file"]["content"] in (1, 2)
+        ]
+        # both kinds survive compaction in the single deletes manifest
+        assert {e["data_file"]["content"] for e in del_entries} == {1, 2}
+        assert ice.read_iceberg_table(spark, tdir).count() == expect

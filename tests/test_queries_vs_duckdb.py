@@ -88,6 +88,7 @@ _CACHE_WARMUP = [
     "iceberg_metadata_summary",
     "iceberg_rest_commit",  # _ICEBERG_REST_CACHE (REST-committed twin)
     "iceberg_row_delete_scan",  # _ICEBERG_DEL_CACHE (row-delta twin)
+    "iceberg_upsert_scan",  # _ICEBERG_UPSERT_CACHE (upsert twin)
 ]
 
 

@@ -271,6 +271,7 @@ _PROMOTE = [
     "iceberg_compaction_verify",
     "iceberg_row_delete_scan",  # NEW this round (v2 position deletes)
     "dsir_importance_topk",  # NEW this round (DSIR data selection)
+    "iceberg_upsert_scan",  # NEW this round (v2 equality deletes / upsert)
     # (b) the oldest-verdict rotation slice (r1/r2 verdicts, re-queued
     # out of the demote tail above, oldest first):
     "manifest_summary",

@@ -1075,3 +1075,111 @@ def iceberg_row_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pos_deletes",
         )
     )
+
+
+_ICEBERG_UPSERT_CACHE: dict[tuple, tuple] = {}
+
+UPSERT_REPLACEMENT_ROWS = 25
+
+
+@query(
+    "iceberg_upsert_scan",
+    oracle=f"""
+WITH del_types AS (
+  SELECT DISTINCT event_type FROM events ORDER BY event_type LIMIT 2
+), t0 AS (
+  SELECT MIN(event_type) AS t FROM events
+)
+SELECT event_type,
+       CAST(CASE WHEN event_type = (SELECT t FROM t0)
+                     THEN {UPSERT_REPLACEMENT_ROWS}
+                 WHEN event_type IN (SELECT event_type FROM del_types)
+                     THEN 0
+                 ELSE COUNT(*) END AS BIGINT) AS n_live,
+       CAST(COUNT(*) AS BIGINT) AS n_before
+FROM events
+GROUP BY event_type
+""",
+)
+def iceberg_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert over the Iceberg metadata plane, hash-verified
+    end-to-end: EQUALITY-delete the two lexicographically-first
+    event-type keys (v2 content=2 delete files — delete-by-key with NO
+    data scan, the Flink-CDC-into-Iceberg primitive), then re-append
+    {UPSERT_REPLACEMENT_ROWS} replacement rows of the first type. The
+    strict sequence-number rule (an equality delete applies only to
+    data files with seq STRICTLY below it) guarantees exactly the
+    replacements survive. The query reports per-type live counts (the
+    first deleted type shows exactly the replacements, the second
+    shows 0, everything else is untouched) against the pre-delete
+    snapshot's counts; the oracle recomputes both from raw `events`.
+
+    Scale: the key set is a broadcast; neither the delete commit nor
+    the merge-on-read anti-join re-shuffles the corpus
+    (`sources/iceberg.py::_apply_equality_deletes`)."""
+    from pyspark.sql import functions as FX
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        commit_equality_deletes,
+        read_iceberg_table,
+        read_iceberg_table_at,
+        read_table_metadata,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+        records_to_envelope,
+        write_table,
+    )
+
+    key = _cache_key(spark, sf_dir)
+    cached = _ICEBERG_UPSERT_CACHE.get(key)
+    if cached is None:
+        env = records_to_envelope(_records(spark, sf_dir)).repartition(
+            4, "partition"
+        )
+        tdir = tempfile.mkdtemp(prefix="iceberg-upsert-")
+        write_table(env, tdir)
+        commit_append(tdir, env.schema)
+        first_snapshot = read_table_metadata(tdir)["metadata"][
+            "current-snapshot-id"
+        ]
+        types = sorted(
+            r[0]
+            for r in env.select(
+                FX.col("key").cast("string")
+            ).distinct().collect()
+        )[:2]
+        type_bytes = [t.encode() for t in types]
+        keys = (
+            env.where(FX.col("key").isin(type_bytes))
+            .select("partition", "key")
+            .distinct()
+        )
+        commit_equality_deletes(spark, tdir, keys, ["key"])
+        replacement = (
+            env.where(FX.col("key") == FX.lit(type_bytes[0]))
+            .limit(UPSERT_REPLACEMENT_ROWS)
+            .repartition(1, "partition")
+        )
+        write_table(replacement, tdir)
+        commit_append(tdir, env.schema)
+        session_cache_put(_ICEBERG_UPSERT_CACHE, key, (tdir, first_snapshot))
+        cached = (tdir, first_snapshot)
+    tdir, first_snapshot = cached
+    live = (
+        read_iceberg_table(spark, tdir)
+        .select(F.col("key").cast("string").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_live_raw"))
+    )
+    before = (
+        read_iceberg_table_at(spark, tdir, first_snapshot)
+        .select(F.col("key").cast("string").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    )
+    return before.join(live, "event_type", "left").select(
+        "event_type",
+        F.coalesce(F.col("n_live_raw"), F.lit(0)).cast("bigint").alias("n_live"),
+        "n_before",
+    )

@@ -368,6 +368,12 @@ def manifest_entry_schema(partition_col: str) -> dict:
                 "field-id": 132,
             },
             {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+                "default": None,
+                "field-id": 135,
+            },
+            {
                 "name": "sort_order_id",
                 "type": ["null", "int"],
                 "default": None,
@@ -802,6 +808,7 @@ def _commit_append_once(
                 "record_count": f["record_count"],
                 "file_size_in_bytes": f["file_size_in_bytes"],
                 "split_offsets": f["split_offsets"],
+                "equality_ids": None,
                 "sort_order_id": 0,
             },
         }
@@ -890,6 +897,9 @@ def _commit_append_once(
             "added-records": str(added_rows),
             "total-records": str(added_rows + _prev_total_records(base)),
             "total-position-deletes": str(_prev_total_pos_deletes(base)),
+            "total-equality-deletes": str(
+                _prev_summary_counter(base, "total-equality-deletes")
+            ),
             **{k: str(v) for k, v in (summary_extra or {}).items()},
         },
     }
@@ -1007,17 +1017,84 @@ def _schema_updates(base: dict) -> list[dict]:
     ]
 
 
+def _apply_equality_deletes(
+    spark, df_pos, data_entries, eq_entries, meta, keep_position_cols=False
+):
+    """Merge-on-read for **equality-delete files** (content=2): a data
+    row is dropped when some equality-delete row in the SAME partition
+    matches it on every equality column (null-safe, the spec's
+    IS NOT DISTINCT FROM semantics) and the delete's sequence number is
+    STRICTLY greater than the data file's (vs <= for position deletes —
+    an equality delete never touches rows committed with it or after
+    it, which is what makes CDC upserts [delete key + re-append] safe
+    in one or adjacent commits).
+
+    Scale shape: delete files are small key sets — broadcast; the data
+    side attaches its per-file sequence number via a broadcast O(files)
+    map and anti-joins without re-shuffling the corpus."""
+    from pyspark.sql import functions as F
+
+    schema_struct = next(
+        sc for sc in meta["schemas"] if sc["schema-id"] == meta["current-schema-id"]
+    )
+    id_to_name = {f["id"]: f["name"] for f in schema_struct["fields"]}
+    ids_set = {tuple(d["equality_ids"]) for d in eq_entries}
+    if len(ids_set) != 1:
+        raise NotImplementedError(
+            f"mixed equality_ids across delete files: {sorted(ids_set)}"
+        )
+    eq_cols = [id_to_name[i] for i in next(iter(ids_set))]
+    partition_col = meta["partition-specs"][0]["fields"][0]["name"]
+
+    del_meta = spark.createDataFrame(
+        sorted(
+            {
+                (d["file_path"], d["_seq"], d["partition"].get(partition_col))
+                for d in eq_entries
+            }
+        ),
+        "__iceberg_dfile string, __iceberg_del_seq bigint, __iceberg_del_part int",
+    )
+    data_seq = spark.createDataFrame(
+        [(d["file_path"], d["_seq"]) for d in data_entries],
+        "__iceberg_file string, __iceberg_data_seq bigint",
+    )
+    dels = (
+        spark.read.parquet(*sorted({d["file_path"] for d in eq_entries}))
+        .select(
+            *[F.col(c).alias(f"__eq_{c}") for c in eq_cols],
+            F.regexp_replace(
+                F.col("_metadata.file_path"), _NORM_FILE_RE, "/"
+            ).alias("__iceberg_dfile"),
+        )
+        .join(F.broadcast(del_meta), "__iceberg_dfile")
+    )
+    df2 = df_pos.join(F.broadcast(data_seq), "__iceberg_file")
+    cond = df2["__iceberg_data_seq"] < dels["__iceberg_del_seq"]
+    cond = cond & df2[partition_col].eqNullSafe(dels["__iceberg_del_part"])
+    for c in eq_cols:
+        cond = cond & df2[c].eqNullSafe(dels[f"__eq_{c}"])
+    out = df2.join(dels, cond, "left_anti").drop("__iceberg_data_seq")
+    if keep_position_cols:
+        return out
+    return out.drop("__iceberg_file", "__iceberg_pos")
+
+
 # -- row-level deletes: v2 position-delete files (merge-on-read) --------------
 
 
-def _prev_total_pos_deletes(meta: dict) -> int:
+def _prev_summary_counter(meta: dict, key: str) -> int:
     cur_id = meta.get("current-snapshot-id", -1)
     if cur_id == -1:
         return 0
     cur = next((s for s in meta["snapshots"] if s["snapshot-id"] == cur_id), None)
     if cur is None:
         return 0
-    return int(cur["summary"].get("total-position-deletes", 0))
+    return int(cur["summary"].get(key, 0))
+
+
+def _prev_total_pos_deletes(meta: dict) -> int:
+    return _prev_summary_counter(meta, "total-position-deletes")
 
 
 def write_position_deletes(
@@ -1055,12 +1132,18 @@ def write_position_deletes(
         return []
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     df = _read_with_positions(spark, table_dir, meta, [d["file_path"] for d in data])
-    if deletes:
-        # match against the MERGED view: a row already position-deleted
-        # must not re-match (duplicate delete rows are spec-legal but
-        # inflate added-position-deletes and every later delete scan)
+    # match against the MERGED view: a row already deleted (by either
+    # kind) must not re-match (duplicate delete rows are spec-legal but
+    # inflate added-position-deletes and every later delete scan)
+    eq = [d for d in deletes if d.get("content") == 2]
+    pos = [d for d in deletes if d.get("content") == 1]
+    if eq:
+        df = _apply_equality_deletes(
+            spark, df, data, eq, meta, keep_position_cols=True
+        )
+    if pos:
         df = _apply_position_deletes(
-            spark, df, data, deletes, keep_position_cols=True
+            spark, df, data, pos, keep_position_cols=True
         )
     part_map = spark.createDataFrame(
         [(d["file_path"], d["partition"].get(partition_col)) for d in data],
@@ -1175,6 +1258,125 @@ def commit_position_deletes(
     raise last_err
 
 
+def write_equality_deletes(
+    spark,
+    table_dir: str,
+    keys_df,
+    equality_cols: list[str],
+    partition_col: str = "partition",
+    meta: dict | None = None,
+) -> list[dict]:
+    """Write spec-shaped **equality-delete files** (content=2) for the
+    key rows in ``keys_df`` — the CDC-writer primitive: delete every
+    row matching a key WITHOUT scanning the data (vs position deletes,
+    which cost one corpus scan to plan). ``keys_df`` must carry the
+    equality columns plus the partition column (an equality delete is
+    scoped to its partition, per spec); each partition's distinct keys
+    are written by one Arrow task as a parquet file of exactly the
+    equality columns, with their Iceberg field ids, sorted. Returns
+    stats (with ``equality_ids``) for :func:`commit_equality_deletes`."""
+    if meta is None:
+        _v, meta, _t = _current_state_meta(table_dir)
+    schema_struct = next(
+        sc for sc in meta["schemas"] if sc["schema-id"] == meta["current-schema-id"]
+    )
+    ids = [_field_id(schema_struct, c) for c in equality_cols]
+    missing = [
+        c for c in [partition_col, *equality_cols] if c not in keys_df.columns
+    ]
+    if missing:
+        raise ValueError(f"keys_df lacks columns {missing}")
+    token = uuid.uuid4().hex[:16]
+    cols = list(equality_cols)
+
+    def _write_group(pdf):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part = pdf[partition_col].iloc[0]
+        part = None if pd.isna(part) else int(part)
+        part_dir = (
+            f"{partition_col}={part}"
+            if part is not None
+            else f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+        )
+        out_dir = os.path.join(table_dir, "deletes", part_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"delete-eq-{token}-p{part}.parquet")
+        body = pdf[cols].sort_values(cols).reset_index(drop=True)
+        tbl = pa.Table.from_pandas(body, preserve_index=False)
+        fields = [
+            f.with_metadata(
+                {b"PARQUET:field_id": str(ids[cols.index(f.name)]).encode()}
+            )
+            for f in tbl.schema
+        ]
+        tbl = tbl.cast(pa.schema(fields))
+        pq.write_table(tbl, path, compression="zstd")
+        return pd.DataFrame(
+            [[path, part, len(body), os.path.getsize(path)]],
+            columns=["delete_path", "partition", "n_rows", "file_size"],
+        )
+
+    stats = (
+        keys_df.select(partition_col, *equality_cols)
+        .distinct()
+        .groupBy(partition_col)
+        .applyInPandas(
+            _write_group,
+            "delete_path string, partition int, n_rows bigint, file_size bigint",
+        )
+    )
+    return [{**r.asDict(), "equality_ids": ids} for r in stats.collect()]
+
+
+def commit_equality_deletes(
+    spark,
+    table_dir: str,
+    keys_df,
+    equality_cols: list[str],
+    partition_col: str = "partition",
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """Row-level DELETE by key as an Iceberg v2 row-delta commit of
+    equality-delete files — the upsert building block real CDC writers
+    (Flink CDC into Iceberg) use: commit the delete of a key set
+    without reading the data, then append the replacement rows; the
+    strict sequence-number rule (applies only to data files with seq
+    STRICTLY below the delete's) guarantees the replacements survive.
+    An empty key set returns the current metadata unchanged."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+    )
+
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None and table_name is None:
+        table_name = _default_table_name(table_dir)
+    last_err: Exception | None = None
+    for _attempt in range(max_commit_retries if catalog is not None else 1):
+        version, base, table_name = _current_state_meta(
+            table_dir, catalog, table_name
+        )
+        stats = write_equality_deletes(
+            spark, table_dir, keys_df, equality_cols, partition_col, meta=base
+        )
+        if not stats:
+            return base
+        try:
+            return _commit_deletes_once(
+                table_dir, version, base, stats, partition_col, now_ms,
+                catalog, table_name,
+            )
+        except CommitConflictError as e:
+            last_err = e
+    assert last_err is not None
+    raise last_err
+
+
 def _commit_deletes_once(
     table_dir: str,
     version: int,
@@ -1199,13 +1401,15 @@ def _commit_deletes_once(
             "sequence_number": seq,
             "file_sequence_number": seq,
             "data_file": {
-                "content": 1,  # POSITION_DELETES
+                # 1 = POSITION_DELETES, 2 = EQUALITY_DELETES
+                "content": 2 if s.get("equality_ids") else 1,
                 "file_path": s["delete_path"],
                 "file_format": "PARQUET",
                 "partition": {partition_col: s["partition"]},
                 "record_count": s["n_rows"],
                 "file_size_in_bytes": s["file_size"],
                 "split_offsets": None,
+                "equality_ids": s.get("equality_ids") or None,
                 "sort_order_id": None,
             },
         }
@@ -1234,6 +1438,8 @@ def _commit_deletes_once(
     parts = [s["partition"] for s in stats]
     non_null = [p for p in parts if p is not None] or [0]
     n_del_rows = sum(int(s["n_rows"]) for s in stats)
+    n_pos = sum(int(s["n_rows"]) for s in stats if not s.get("equality_ids"))
+    n_eq = n_del_rows - n_pos
     delete_manifest = {
         "manifest_path": manifest_path,
         "manifest_length": manifest_len,
@@ -1283,9 +1489,13 @@ def _commit_deletes_once(
         "summary": {
             "operation": "delete",
             "added-delete-files": str(len(entries)),
-            "added-position-deletes": str(n_del_rows),
+            "added-position-deletes": str(n_pos),
+            "added-equality-deletes": str(n_eq),
             "total-position-deletes": str(
-                _prev_total_pos_deletes(base) + n_del_rows
+                _prev_total_pos_deletes(base) + n_pos
+            ),
+            "total-equality-deletes": str(
+                _prev_summary_counter(base, "total-equality-deletes") + n_eq
             ),
             "total-records": str(_prev_total_records(base)),
         },
@@ -1477,7 +1687,7 @@ def _plan_snapshot(
             if seq is None:
                 seq = mf.get("sequence_number", 0)
             rec = {**d, "_seq": int(seq)}
-            (deletes if d.get("content") == 1 else data).append(rec)
+            (deletes if d.get("content") in (1, 2) else data).append(rec)
     return data, deletes
 
 
@@ -1596,8 +1806,18 @@ def _read_snapshot(spark, table_dir: str, meta: dict, snap: dict, partition_valu
     paths = [d["file_path"] for d in data]
     if not deletes:
         return _read_planned_files(spark, table_dir, meta, paths)
+    pos = [d for d in deletes if d.get("content") == 1]
+    eq = [d for d in deletes if d.get("content") == 2]
     df = _read_with_positions(spark, table_dir, meta, paths)
-    return _apply_position_deletes(spark, df, data, deletes)
+    if eq:
+        df = _apply_equality_deletes(
+            spark, df, data, eq, meta, keep_position_cols=True
+        )
+    if pos:
+        df = _apply_position_deletes(
+            spark, df, data, pos, keep_position_cols=True
+        )
+    return df.drop("__iceberg_file", "__iceberg_pos")
 
 
 _NORM_FILE_RE = "^file:/+"  # file:///p and file:/p both -> /p
@@ -1939,8 +2159,10 @@ def _rewrite_manifests_once(
             # incremental/CDC reader must not see compaction as appends;
             # sequence numbers become explicit so inheritance from the
             # NEW manifest cannot rewrite history
-            e2 = {**e, "status": 0, "sequence_number": int(seq)}
-            groups[int(e["data_file"].get("content") or 0)].append(e2)
+            d2 = dict(e["data_file"])
+            d2.setdefault("equality_ids", None)
+            e2 = {**e, "status": 0, "sequence_number": int(seq), "data_file": d2}
+            groups[0 if not d2.get("content") else 1].append(e2)
     entries = groups[0]
     lo = hi = None
     rows = 0
@@ -2095,6 +2317,9 @@ def _rewrite_manifests_once(
             "manifests-created": str(len(new_manifest_files)),
             "total-records": str(rows),
             "total-position-deletes": str(_prev_total_pos_deletes(meta)),
+            "total-equality-deletes": str(
+                _prev_summary_counter(meta, "total-equality-deletes")
+            ),
         },
     }
     # per-current-snapshot statistics (the pattern every consumer of
