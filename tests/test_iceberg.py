@@ -1298,3 +1298,30 @@ class TestEqualityDeletes:
         # both kinds survive compaction in the single deletes manifest
         assert {e["data_file"]["content"] for e in del_entries} == {1, 2}
         assert ice.read_iceberg_table(spark, tdir).count() == expect
+
+    def test_delete_keys_before_first_data_commit_noop(self, table, spark):
+        """CDC keys arriving before any data batch: metadata exists but
+        current-snapshot-id is -1 — the commit must be a no-op (an
+        equality delete only applies to STRICTLY older data files, and
+        none exist), not a StopIteration crash with orphan delete
+        files left behind (round-6 review finding)."""
+        import glob
+        import os
+
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        _tdir, df = table
+        # a truly snapshot-less table: fresh dir, schema-only commit
+        import tempfile
+
+        empty = tempfile.mkdtemp(prefix="ice-empty-")
+        meta = ice.commit_append(empty, df.schema)
+        assert meta["current-snapshot-id"] == -1
+        keys = df.select("partition", "key").distinct().limit(3)
+        out = ice.commit_equality_deletes(spark, empty, keys, ["key"])
+        assert out["current-snapshot-id"] == -1
+        assert out["snapshots"] == []
+        # and no orphan delete files were written
+        assert glob.glob(os.path.join(empty, "**", "delete-*"), recursive=True) == []

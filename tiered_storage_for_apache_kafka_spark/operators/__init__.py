@@ -49,6 +49,10 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: 
 _DEMOTE = [
     "set_ops_customer_segments",
     "semi_anti_join_orders",
+    # green r5, logic unchanged in r6 — demoted to make window room for
+    # the r2-verdict rotation slice:
+    "table_mode_batch_digest",
+    "q1_pricing_summary",
     "q6_forecast_revenue",
     "scalar_base64_roundtrip",
     "ntile_customer_quartiles",
@@ -305,7 +309,8 @@ _PROMOTE = [
     "doc_winnow_fingerprint",
     "corpus_lang_profile",
     "dup_cluster_representatives",
-    "semdedup_keep_drop",
+    # semdedup_keep_drop (r2 verdict) deferred to the r7 rotation —
+    # the 50-slot window is full this round
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's

@@ -1065,13 +1065,17 @@ def iceberg_row_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
     )
-    # inner join is total here: every event_type keeps live rows (the
-    # delete drops exactly the offsets ≡3 mod 5 of each type)
+    # left join from the pre-delete side: an event_type whose every
+    # offset is ≡3 mod 5 has zero live rows, and the oracle's GROUP BY
+    # still emits it with n_live=0 / NULL min_live_offset
     return (
-        live.join(before, "event_type")
+        before.join(live, "event_type", "left")
         .withColumn("n_pos_deletes", F.lit(n_del).cast("bigint"))
         .select(
-            "event_type", "n_live", "min_live_offset", "n_before",
+            "event_type",
+            F.coalesce(F.col("n_live"), F.lit(0)).cast("bigint").alias("n_live"),
+            "min_live_offset",
+            "n_before",
             "n_pos_deletes",
         )
     )
@@ -1092,7 +1096,7 @@ WITH del_types AS (
 )
 SELECT event_type,
        CAST(CASE WHEN event_type = (SELECT t FROM t0)
-                     THEN {UPSERT_REPLACEMENT_ROWS}
+                     THEN LEAST({UPSERT_REPLACEMENT_ROWS}, COUNT(*))
                  WHEN event_type IN (SELECT event_type FROM del_types)
                      THEN 0
                  ELSE COUNT(*) END AS BIGINT) AS n_live,

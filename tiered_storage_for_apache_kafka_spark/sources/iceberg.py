@@ -1017,9 +1017,7 @@ def _schema_updates(base: dict) -> list[dict]:
     ]
 
 
-def _apply_equality_deletes(
-    spark, df_pos, data_entries, eq_entries, meta, keep_position_cols=False
-):
+def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
     """Merge-on-read for **equality-delete files** (content=2): a data
     row is dropped when some equality-delete row in the SAME partition
     matches it on every equality column (null-safe, the spec's
@@ -1074,10 +1072,9 @@ def _apply_equality_deletes(
     cond = cond & df2[partition_col].eqNullSafe(dels["__iceberg_del_part"])
     for c in eq_cols:
         cond = cond & df2[c].eqNullSafe(dels[f"__eq_{c}"])
-    out = df2.join(dels, cond, "left_anti").drop("__iceberg_data_seq")
-    if keep_position_cols:
-        return out
-    return out.drop("__iceberg_file", "__iceberg_pos")
+    # callers drop __iceberg_file/__iceberg_pos once all delete layers
+    # have been applied
+    return df2.join(dels, cond, "left_anti").drop("__iceberg_data_seq")
 
 
 # -- row-level deletes: v2 position-delete files (merge-on-read) --------------
@@ -1139,11 +1136,11 @@ def write_position_deletes(
     pos = [d for d in deletes if d.get("content") == 1]
     if eq:
         df = _apply_equality_deletes(
-            spark, df, data, eq, meta, keep_position_cols=True
+            spark, df, data, eq, meta
         )
     if pos:
         df = _apply_position_deletes(
-            spark, df, data, pos, keep_position_cols=True
+            spark, df, data, pos
         )
     part_map = spark.createDataFrame(
         [(d["file_path"], d["partition"].get(partition_col)) for d in data],
@@ -1277,6 +1274,13 @@ def write_equality_deletes(
     stats (with ``equality_ids``) for :func:`commit_equality_deletes`."""
     if meta is None:
         _v, meta, _t = _current_state_meta(table_dir)
+    if meta.get("current-snapshot-id", -1) == -1:
+        # no data has ever been committed: an equality delete applies
+        # only to data files with a strictly lower sequence number, so
+        # there is nothing to delete — no-op (mirrors the position-
+        # delete path) instead of writing orphan files and crashing in
+        # _commit_deletes_once's current-snapshot lookup
+        return []
     schema_struct = next(
         sc for sc in meta["schemas"] if sc["schema-id"] == meta["current-schema-id"]
     )
@@ -1811,11 +1815,11 @@ def _read_snapshot(spark, table_dir: str, meta: dict, snap: dict, partition_valu
     df = _read_with_positions(spark, table_dir, meta, paths)
     if eq:
         df = _apply_equality_deletes(
-            spark, df, data, eq, meta, keep_position_cols=True
+            spark, df, data, eq, meta
         )
     if pos:
         df = _apply_position_deletes(
-            spark, df, data, pos, keep_position_cols=True
+            spark, df, data, pos
         )
     return df.drop("__iceberg_file", "__iceberg_pos")
 
@@ -1844,9 +1848,7 @@ def _read_with_positions(spark, table_dir: str, meta: dict, paths: list[str]):
     )
 
 
-def _apply_position_deletes(
-    spark, df_pos, data_entries, delete_entries, keep_position_cols=False
-):
+def _apply_position_deletes(spark, df_pos, data_entries, delete_entries):
     """Merge-on-read: anti-join the data scan against the snapshot's
     position-delete rows on (data file path, row position), honoring
     the spec's sequence-number rule — a position delete applies only
@@ -1883,10 +1885,9 @@ def _apply_position_deletes(
         .where(F.col("__iceberg_del_seq") >= F.col("__iceberg_data_seq"))
         .select("__iceberg_file", "__iceberg_pos")
     )
-    out = df_pos.join(dels, ["__iceberg_file", "__iceberg_pos"], "left_anti")
-    if keep_position_cols:
-        return out
-    return out.drop("__iceberg_file", "__iceberg_pos")
+    # callers drop __iceberg_file/__iceberg_pos once all delete layers
+    # have been applied
+    return df_pos.join(dels, ["__iceberg_file", "__iceberg_pos"], "left_anti")
 
 
 # -- maintenance: time travel + snapshot expiration ---------------------------
