@@ -161,3 +161,37 @@ def test_funnel_is_monotone_decreasing(spark):
     [r] = funnel_conversion(spark, SF).collect()
     assert r["n_users"] >= r["n_viewed"] >= r["n_clicked_after"] >= r["n_purchased_after"]
     assert r["n_purchased_after"] > 0  # dense synthetic events: funnel completes
+
+
+def test_weighted_sample_pps_is_pps_biased_and_deterministic(spark):
+    """Sequential Poisson sampling: priority u/w with w = n_chars means
+    longer docs are proportionally likelier — the per-lang sample's mean
+    length must exceed the stratum mean. Determinism: two runs agree."""
+    from tiered_storage_for_apache_kafka_spark.operators.curation import (
+        PPS_SAMPLE_K,
+        weighted_sample_pps,
+    )
+
+    rows = {r["lang"]: r for r in weighted_sample_pps(spark, SF).collect()}
+    assert rows
+    docs = load_table(spark, SF, "documents")
+    stratum = {
+        r["lang"]: r
+        for r in docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
+        .collect()
+    }
+    biased = 0
+    for lang, r in rows.items():
+        assert r["n_sampled"] == min(PPS_SAMPLE_K, stratum[lang]["n"])
+        if r["sample_chars"] / r["n_sampled"] > stratum[lang]["avg_chars"]:
+            biased += 1
+    # PPS bias must show in (nearly) every stratum, not on average only
+    assert biased >= len(rows) - 1, (rows, stratum)
+    again = {r["lang"]: r for r in weighted_sample_pps(spark, SF).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }

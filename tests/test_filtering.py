@@ -133,3 +133,33 @@ def test_trained_classifier_beats_base_rate(spark):
     base = max(pos, 1 - pos)
     assert acc >= 0.75, f"accuracy {acc:.3f}"
     assert acc >= base + 0.15, f"accuracy {acc:.3f} vs base rate {base:.3f}"
+
+
+def test_kmv_set_ops_accuracy_and_algebra(spark):
+    """KMV estimates must respect the sketch's accuracy contract
+    (RSE ~ 1/sqrt(K-2) at K=64 -> 3 sigma ~ 38%) and basic set algebra
+    on the exact side."""
+    from tiered_storage_for_apache_kafka_spark.operators.sketch_audits import (
+        kmv_set_ops_audit,
+    )
+
+    rows = {
+        r["set_name"]: r
+        for r in kmv_set_ops_audit(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert set(rows) == {"en", "de", "union", "intersect"}
+    for name, r in rows.items():
+        assert r["n_exact"] > 0
+        err = abs(r["n_estimate"] - r["n_exact"]) / r["n_exact"]
+        assert err <= 0.38, (name, r["n_estimate"], r["n_exact"])
+    assert rows["union"]["n_exact"] >= max(
+        rows["en"]["n_exact"], rows["de"]["n_exact"]
+    )
+    assert rows["intersect"]["n_exact"] <= min(
+        rows["en"]["n_exact"], rows["de"]["n_exact"]
+    )
+    # inclusion-exclusion on the exact side
+    assert (
+        rows["union"]["n_exact"] + rows["intersect"]["n_exact"]
+        == rows["en"]["n_exact"] + rows["de"]["n_exact"]
+    )

@@ -657,3 +657,27 @@ def test_iceberg_merge_on_read_plan_shapes(spark):
     assert merged_df.columns == ice.read_iceberg_table_at(
         spark, tdir, 1
     ).columns
+
+
+def test_weighted_sample_pps_plan(spark):
+    """One shuffle (keyed by the stratum), map-side WindowGroupLimit
+    below it (the per-partition top-k that makes the sampler scale),
+    and a text-free pruned scan."""
+    df = QUERIES["weighted_sample_pps"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan.split("Exchange")[-1], (
+        "partial top-k must run below the exchange"
+    )
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" not in read, read
+
+
+def test_kmv_set_ops_plan(spark):
+    """The sketch build gets the same partial-top-k pushdown; the set
+    ops afterwards only touch K-row inputs (broadcast/single-partition
+    by construction)."""
+    df = QUERIES["kmv_set_ops_audit"](spark, SF)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Partial") >= 1

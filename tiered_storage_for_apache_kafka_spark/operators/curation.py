@@ -1060,3 +1060,92 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("dsir_weight").desc(), "doc_id"
     ).limit(DSIR_TOPK)
+
+
+# -- sequential Poisson (PPS) weighted sampling --------------------------------
+
+PPS_SAMPLE_K = 20  # sampled docs per language stratum
+
+# 40-bit uniform integer from md5 hex chars 1..10 — exact in a double,
+# so priority = u / weight is ONE correctly-rounded IEEE-754 division
+# and therefore bit-identical in Spark and DuckDB (the registry's
+# portability rules allow raw float ORDER BY only under this property;
+# transcendentals like pow/log would NOT be portable)
+
+
+def _hex40_expr(hash_col: str, fn: str) -> str:
+    """40-bit BIGINT from the first 10 hex chars; `fn` is locate (Spark,
+    needle-first) or strpos (DuckDB, haystack-first) — both 1-based."""
+    digits = "'0123456789abcdef'"
+    terms = []
+    for i in range(10):
+        ch = f"substr({hash_col}, {i + 1}, 1)"
+        call = f"locate({ch}, {digits})" if fn == "locate" else f"strpos({digits}, {ch})"
+        terms.append(f"CAST({call} - 1 AS BIGINT) * {16 ** (9 - i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "weighted_sample_pps",
+    oracle=f"""
+WITH pri AS (
+  SELECT doc_id, lang, n_chars,
+         CAST({_hex40_expr("md5(CAST(doc_id AS VARCHAR))", "strpos")} AS DOUBLE)
+             / n_chars AS p
+  FROM documents
+), rk AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY p, doc_id) AS r
+  FROM pri
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sample_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM rk WHERE r <= {PPS_SAMPLE_K}
+GROUP BY lang
+""",
+)
+def weighted_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic probability-proportional-to-size sampling via
+    **sequential Poisson sampling** (Ohlsson 1998, the PPS scheme used
+    by large survey/statistics offices): each doc draws a uniform
+    u from md5(doc_id) and is ranked by priority u / weight — taking
+    the k smallest priorities per stratum approximates inclusion
+    probability ∝ weight (here n_chars: longer docs proportionally
+    more likely, the standard token-budget-aware corpus sampler).
+    Deterministic: membership is a pure function of doc_id, so re-runs
+    and distributed backfills agree with zero coordination.
+
+    Scale: one shuffle keyed by the low-cardinality stratum (`lang`)
+    for the window rank; the payload is (doc_id, priority), never text.
+    At 100 TB with a hot stratum, swap ROW_NUMBER for the two-pass
+    "sample the priority threshold, then filter" trick — the threshold
+    is the k-th order statistic, broadcastable after a per-partition
+    top-k. Priorities are a single IEEE division of two exactly-
+    representable integers, so Spark and DuckDB order identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    pri = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            F.expr(
+                _hex40_expr("md5(cast(doc_id as string))", "locate")
+            ).cast("double")
+            / F.col("n_chars")
+        ).alias("p"),
+    )
+    w = Window.partitionBy("lang").orderBy("p", "doc_id")
+    return (
+        pri.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= PPS_SAMPLE_K)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sample_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -121,3 +121,215 @@ def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"<= count(distinct user_id) * {HLL_TOL_PCT} as bigint)"
         ).alias("within_5pct"),
     )
+
+
+# -- KMV (theta-sketch) distinct set operations --------------------------------
+
+KMV_K = 64  # sketch size; RSE ~ 1/sqrt(K-2) ~ 12.7%
+_KMV_SPACE = 1 << 40  # hash domain: the 40-bit hex40 integer
+_KMV_NUM = (KMV_K - 1) * _KMV_SPACE  # (k-1)/theta_frac numerator, exact in double
+
+
+def _kmv_oracle() -> str:
+    from tiered_storage_for_apache_kafka_spark.operators.curation import (
+        _hex40_expr,
+    )
+
+    u = _hex40_expr("md5(tok)", "strpos")
+    return f"""
+WITH ws AS (
+  SELECT lang, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE lang IN ('en', 'de')
+), tok AS (  -- word bigrams: the shingle domain the sketch estimates over
+  SELECT DISTINCT lang,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 1, 1)),
+           i -> array_to_string(w[i:i+1], ' '))) AS tok
+  FROM ws
+), u AS (
+  SELECT DISTINCT lang, {u} AS u FROM tok
+), rk AS (
+  SELECT lang, u, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u) AS r,
+         COUNT(*) OVER (PARTITION BY lang) AS n_u
+  FROM u
+), theta AS (  -- k-th smallest hash per set; full domain when n <= k
+  SELECT lang,
+         MAX(CASE WHEN n_u <= {KMV_K} THEN {_KMV_SPACE}
+                  WHEN r = {KMV_K} THEN u END) AS theta,
+         MAX(n_u) AS n_u
+  FROM rk WHERE r <= {KMV_K} GROUP BY lang
+), per_set AS (
+  SELECT lang,
+         CASE WHEN n_u <= {KMV_K} THEN n_u
+              ELSE CAST(FLOOR({_KMV_NUM} / CAST(theta AS DOUBLE)) AS BIGINT)
+         END AS n_estimate
+  FROM theta
+), sk AS (SELECT lang, u FROM rk WHERE r <= {KMV_K}),
+union_rk AS (
+  SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS r,
+         COUNT(*) OVER () AS n_u
+  FROM (SELECT DISTINCT u FROM sk)
+), union_est AS (
+  SELECT CASE WHEN MAX(n_u) <= {KMV_K} THEN MAX(n_u)
+              ELSE CAST(FLOOR({_KMV_NUM} /
+                   CAST(MAX(CASE WHEN r = {KMV_K} THEN u END) AS DOUBLE))
+                   AS BIGINT)
+         END AS n_estimate
+  FROM union_rk WHERE r <= {KMV_K}
+), min_theta AS (
+  SELECT MIN(theta) AS th FROM theta
+), inter_est AS (
+  SELECT CAST(FLOOR(
+           COUNT(*) * CAST({_KMV_SPACE} AS DOUBLE) / (SELECT th FROM min_theta)
+         ) AS BIGINT) AS n_estimate
+  FROM (SELECT u FROM sk WHERE lang = 'en'
+        INTERSECT SELECT u FROM sk WHERE lang = 'de') c
+  WHERE c.u < (SELECT th FROM min_theta)
+), exact AS (
+  SELECT 'en' AS set_name, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact
+  FROM tok WHERE lang = 'en'
+  UNION ALL
+  SELECT 'de', CAST(COUNT(DISTINCT tok) AS BIGINT) FROM tok WHERE lang = 'de'
+  UNION ALL
+  SELECT 'union', CAST(COUNT(DISTINCT tok) AS BIGINT) FROM tok
+  UNION ALL
+  SELECT 'intersect', CAST(COUNT(*) AS BIGINT) FROM
+    (SELECT tok FROM tok WHERE lang = 'en'
+     INTERSECT SELECT tok FROM tok WHERE lang = 'de') i
+), est AS (
+  SELECT lang AS set_name, n_estimate FROM per_set
+  UNION ALL SELECT 'union', n_estimate FROM union_est
+  UNION ALL SELECT 'intersect', n_estimate FROM inter_est
+)
+SELECT e.set_name, est.n_estimate, e.n_exact
+FROM exact e JOIN est ON est.set_name = e.set_name
+"""
+
+
+@query("kmv_set_ops_audit", oracle=_kmv_oracle())
+def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch set algebra (Beyer et al. 2007; the DataSketches
+    theta sketch): per-set distinct-count estimates from the K smallest
+    hash values, plus UNION (k smallest of the merged sketches) and
+    INTERSECTION (common hashes below min theta, scaled by 1/theta) —
+    the mergeable way to answer "how many distinct tokens do these two
+    corpora share" without ever shuffling full token sets together.
+    Deterministic by construction (hash order statistics, no RNG), so
+    the oracle recomputes the *estimates themselves*, not just a
+    tolerance flag; the accuracy contract (RSE ~ 1/sqrt(K-2)) is pinned
+    in pytest against the exact counts emitted alongside.
+
+    Scale: each set's sketch is a per-partition top-K (Spark pushes a
+    partial WindowGroupLimit below the exchange) over the deduped
+    token stream — one shuffle keyed by the set id; sketch merge and
+    intersection touch only K-row inputs. Exact counts (the audit's
+    ground truth) are the expensive distinct aggregations the sketch
+    replaces at 100 TB."""
+    from pyspark.sql import Window
+
+    from tiered_storage_for_apache_kafka_spark.operators.curation import (
+        _hex40_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isin("en", "de")
+    )
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(trim(text), "
+                "'\\\\s+')) - 1, 1)), "
+                "i -> array_join(slice(split(trim(text), '\\\\s+'), i, 2), ' '))"
+            )
+        ).alias("tok"),
+    ).distinct()
+    u = tok.select(
+        "lang", F.expr(_hex40_expr("md5(tok)", "locate")).alias("u")
+    ).distinct()
+    # n_u via a 2-row groupBy joined AFTER the rank filter: mixing an
+    # unbounded count window into the row_number window would defeat
+    # Spark's WindowGroupLimit pushdown (the partial top-K below the
+    # exchange that keeps the sketch build O(K) per partition)
+    counts = u.groupBy("lang").agg(F.count(F.lit(1)).alias("n_u"))
+    w = Window.partitionBy("lang").orderBy("u")
+    sk = (
+        u.select("lang", "u", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= KMV_K)
+        .join(F.broadcast(counts), "lang")
+        .cache()
+    )
+    theta = sk.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("n_u") <= KMV_K, F.lit(_KMV_SPACE)).when(
+                F.col("r") == KMV_K, F.col("u")
+            )
+        ).alias("theta"),
+        F.max("n_u").alias("n_u"),
+    )
+    per_set = theta.select(
+        F.col("lang").alias("set_name"),
+        F.when(F.col("n_u") <= KMV_K, F.col("n_u"))
+        .otherwise(
+            F.floor(F.lit(float(_KMV_NUM)) / F.col("theta").cast("double"))
+        )
+        .cast("bigint")
+        .alias("n_estimate"),
+    )
+    union_rk = (
+        sk.select("u")
+        .distinct()
+        .select(
+            "u",
+            F.row_number().over(Window.orderBy("u")).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_u"),
+        )
+        .where(F.col("r") <= KMV_K)
+    )
+    union_est = union_rk.agg(
+        F.when(F.max("n_u") <= KMV_K, F.max("n_u"))
+        .otherwise(
+            F.floor(
+                F.lit(float(_KMV_NUM))
+                / F.max(F.when(F.col("r") == KMV_K, F.col("u"))).cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("n_estimate")
+    ).select(F.lit("union").alias("set_name"), "n_estimate")
+    min_theta = theta.agg(F.min("theta").alias("th"))
+    common = (
+        sk.where(F.col("lang") == "en")
+        .select("u")
+        .join(sk.where(F.col("lang") == "de").select("u"), "u")
+        .crossJoin(F.broadcast(min_theta))
+        .where(F.col("u") < F.col("th"))
+    )
+    inter_est = common.agg(
+        F.floor(
+            F.count(F.lit(1)) * F.lit(float(_KMV_SPACE)) / F.first("th")
+        )
+        .cast("bigint")
+        .alias("n_estimate")
+    ).select(F.lit("intersect").alias("set_name"), "n_estimate")
+    est = per_set.unionByName(union_est).unionByName(inter_est)
+    exact = (
+        tok.groupBy("lang")
+        .agg(F.countDistinct("tok").cast("bigint").alias("n_exact"))
+        .select(F.col("lang").alias("set_name"), "n_exact")
+        .unionByName(
+            tok.agg(
+                F.countDistinct("tok").cast("bigint").alias("n_exact")
+            ).select(F.lit("union").alias("set_name"), "n_exact")
+        )
+        .unionByName(
+            tok.where(F.col("lang") == "en")
+            .select("tok")
+            .join(tok.where(F.col("lang") == "de").select("tok"), "tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+            .select(F.lit("intersect").alias("set_name"), "n_exact")
+        )
+    )
+    return exact.join(est, "set_name").select(
+        "set_name", "n_estimate", "n_exact"
+    )
