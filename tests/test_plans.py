@@ -681,3 +681,14 @@ def test_kmv_set_ops_plan(spark):
     plan = plan_of(df)
     assert "WindowGroupLimit" in plan
     assert plan.count("Partial") >= 1
+
+
+def test_jl_projection_plan_is_jvm_narrow(spark):
+    """The projection must be whole-stage JVM expressions (no Python
+    UDF) over a pruned two-column scan; only the sample-bounded audit
+    join is quadratic."""
+    df = QUERIES["jl_projection_audit"](spark, SF)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "embedding" in read and "label" not in read, read

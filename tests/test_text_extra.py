@@ -141,3 +141,20 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     # 8-hash estimator: mean absolute error should be moderate, not random
     mae = sum(abs(r["est_jaccard"] - r["exact_jaccard"]) for r in rows) / len(rows)
     assert mae < 0.35
+
+
+def test_jl_projection_concentrates_distances(spark):
+    """JL with D'=16 has distance-ratio RSE ~ sqrt(2/16) ~ 35%; the
+    bulk of sampled pairs must land within +-50% of exact (ratio_pm in
+    [500, 1500]) and the histogram must be integer-consistent."""
+    rows = QUERIES["jl_projection_audit"](spark, SF).collect()
+    assert rows
+    total = sum(r["n_pairs"] for r in rows)
+    inside = sum(
+        r["n_pairs"] for r in rows if 5 <= r["ratio_bucket"] <= 14
+    )
+    assert total >= 100  # sf0.01: C(20,2) = 190 sampled pairs
+    assert inside / total >= 0.7, (inside, total)
+    for r in rows:
+        assert r["ratio_bucket"] * 100 <= r["min_ratio_pm"]
+        assert r["max_ratio_pm"] < (r["ratio_bucket"] + 1) * 100

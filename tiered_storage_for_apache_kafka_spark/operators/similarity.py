@@ -787,3 +787,131 @@ def sq8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(TOP_K).cast("bigint").alias("k"),
         )
     )
+
+
+# -- Johnson-Lindenstrauss random projection ------------------------------------
+
+JL_DIMS = 16  # projected dimensionality; JL distance RSE ~ sqrt(2/D') ~ 35%
+JL_SCALE = 1000  # embedding quantization: q = floor(x*1000 + 0.5)
+JL_SAMPLE_MOD = 25  # audit pairs drawn from vec_id % 25 == 0 (~N/25 docs)
+_EMB_DIM = 64
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """±1 from the parity of the first md5 hex digit of "i:j" — the same
+    value SQL computes as 1 - 2*((hexval of md5 char 1) % 2)."""
+    import hashlib
+
+    return 1 - 2 * (int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0], 16) % 2)
+
+
+def _jl_oracle() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE)*{JL_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % {JL_SAMPLE_MOD} = 0
+), dims AS (
+  SELECT i, j,
+         1 - 2*((strpos('0123456789abcdef',
+                 substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+                        1, 1)) - 1) % 2) AS s
+  FROM generate_series(0, {_EMB_DIM - 1}) t(i),
+       generate_series(0, {JL_DIMS - 1}) u(j)
+), proj AS (
+  SELECT vec_id, j, CAST(SUM(q[i + 1] * s) AS BIGINT) AS p
+  FROM q, dims GROUP BY vec_id, j
+), d2o AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+              i -> (a.q[i]-b.q[i])*(a.q[i]-b.q[i]))) AS BIGINT) AS d2
+  FROM q a JOIN q b ON a.vec_id < b.vec_id
+), d2p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(SUM((a.p-b.p)*(a.p-b.p)) AS BIGINT) AS d2
+  FROM proj a JOIN proj b ON a.vec_id < b.vec_id AND a.j = b.j
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT CAST((1000 * d2p.d2) // ({JL_DIMS} * d2o.d2) // 100 AS BIGINT)
+           AS ratio_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN((1000 * d2p.d2) // ({JL_DIMS} * d2o.d2)) AS BIGINT)
+           AS min_ratio_pm,
+       CAST(MAX((1000 * d2p.d2) // ({JL_DIMS} * d2o.d2)) AS BIGINT)
+           AS max_ratio_pm
+FROM d2o JOIN d2p ON d2o.va = d2p.va AND d2o.vb = d2p.vb
+GROUP BY 1
+"""
+
+
+@query("jl_projection_audit", oracle=_jl_oracle())
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2001 ±1
+    signs) audited for distance preservation: embeddings are quantized
+    to integers, projected 64→{JL_DIMS} dims with a deterministic
+    md5-derived sign matrix, and the audit reports the histogram of
+    projected-vs-original squared-distance ratios over a hash-sampled
+    doc subset. Everything is INTEGER arithmetic end-to-end (quantize →
+    signed sums → squared distances → integer-division ratio), so sums
+    are order-independent and the DuckDB oracle reproduces the exact
+    histogram — no float-accumulation hazard anywhere.
+
+    Scale: the projection itself is a narrow map (16 JVM `aggregate`
+    expressions over the embedding array — this is the 100 TB path that
+    shrinks vectors 4x before any ANN indexing); only the O((N/mod)^2)
+    audit join is quadratic, and it runs on the hash-sampled subset
+    only, the established audit-baseline pattern."""
+    vecs = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % JL_SAMPLE_MOD == 0
+    )
+    q = vecs.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)*{JL_SCALE}"
+            " + 0.5) as bigint))"
+        ).alias("q"),
+    )
+    proj_cols = []
+    for j in range(JL_DIMS):
+        signs = ",".join(str(_jl_sign(i, j)) for i in range(_EMB_DIM))
+        proj_cols.append(
+            F.expr(
+                f"aggregate(zip_with(q, array({signs}), (x, s) -> x * s), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias(f"p{j}")
+        )
+    p = q.select("vec_id", "q", *proj_cols)
+    a = p.select(
+        F.col("vec_id").alias("va"),
+        F.col("q").alias("qa"),
+        *[F.col(f"p{j}").alias(f"pa{j}") for j in range(JL_DIMS)],
+    )
+    b = p.select(
+        F.col("vec_id").alias("vb"),
+        F.col("q").alias("qb"),
+        *[F.col(f"p{j}").alias(f"pb{j}") for j in range(JL_DIMS)],
+    )
+    d2p_expr = " + ".join(
+        f"(pa{j} - pb{j}) * (pa{j} - pb{j})" for j in range(JL_DIMS)
+    )
+    pairs = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .select(
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias("d2o"),
+            F.expr(f"cast({d2p_expr} as bigint)").alias("d2p"),
+        )
+        .select(
+            F.expr(f"(1000 * d2p) div ({JL_DIMS} * d2o)").alias("ratio_pm")
+        )
+    )
+    return pairs.groupBy(
+        F.expr("ratio_pm div 100").cast("bigint").alias("ratio_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("ratio_pm").cast("bigint").alias("min_ratio_pm"),
+        F.max("ratio_pm").cast("bigint").alias("max_ratio_pm"),
+    )
