@@ -308,9 +308,10 @@ _PROMOTE = [
     "doc_fingerprint",
     "doc_winnow_fingerprint",
     "corpus_lang_profile",
-    "dup_cluster_representatives",
-    # semdedup_keep_drop (r2 verdict) deferred to the r7 rotation —
-    # the 50-slot window is full this round
+    # dup_cluster_representatives + semdedup_keep_drop (r2 verdicts)
+    # deferred to the r7 rotation — the 50-slot window is full this
+    # round (rlmm_event_replay, registered early in tiered.py, takes
+    # the last head slot as a NEW query)
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's

@@ -1187,3 +1187,151 @@ def iceberg_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_live_raw"), F.lit(0)).cast("bigint").alias("n_live"),
         "n_before",
     )
+
+
+RLMM_SEGMENT_RECORDS = 50  # records per derived remote segment
+
+
+@query(
+    "rlmm_event_replay",
+    oracle=f"""
+WITH assigned AS (
+  SELECT CAST(event_id % 4 AS INT) AS partition,
+         event_id AS rec_offset,
+         epoch_us(ts) AS timestamp_us,
+         event_type AS rec_key
+  FROM events
+), ranked AS (
+  SELECT *, (ROW_NUMBER() OVER (PARTITION BY partition ORDER BY rec_offset) - 1)
+            // {RLMM_SEGMENT_RECORDS} AS seg
+  FROM assigned
+), segs AS (
+  SELECT partition, seg,
+         MIN(rec_offset) AS s_start,
+         MAX(rec_offset) AS s_end,
+         MAX(timestamp_us) // 1000 AS max_ts_ms,
+         CAST(SUM(octet_length(CAST(rec_key AS BLOB))) AS BIGINT) AS s_size
+  FROM ranked GROUP BY partition, seg
+)
+SELECT partition,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(2 * COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(s_size) AS BIGINT) AS total_size,
+       MD5(STRING_AGG(
+           CAST(s_start AS VARCHAR) || ':' || CAST(s_end AS VARCHAR)
+           || ':' || CAST(s_size AS VARCHAR) || ':' || CAST(max_ts_ms AS VARCHAR)
+           || ':' || substr(md5(CAST(partition AS VARCHAR) || ':'
+                            || CAST(s_start AS VARCHAR)), 1, 8),
+           ',' ORDER BY s_start)) AS segments_md5
+FROM segs
+GROUP BY partition
+""",
+)
+def rlmm_event_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KIP-405 metadata-plane lifecycle, hash-verified end-to-end: the
+    tiered record set is grouped into {RLMM_SEGMENT_RECORDS}-record
+    remote segments, each segment's COPY_SEGMENT_STARTED metadata and
+    COPY_SEGMENT_FINISHED update are serialized to the REAL
+    `__remote_log_metadata` wire form (`rlmm.py` — apiKey/version
+    envelope + Kafka flexible protocol), deserialized back, and
+    replayed through the RemoteLogMetadataTracker state machine (the
+    broker-side view the reference e2e asserts,
+    `RemoteLogMetadataTracker.java:55-118`). The emitted digest reads
+    the DESERIALIZED fields — offsets, size, max timestamp, and the
+    segment uuid that traveled as 16 raw bytes — so any wire-layout
+    corruption flips the hash; the oracle rebuilds the same view
+    relationally from raw `events`.
+
+    Scale: segment stats aggregate relationally (one shuffle); the
+    serde+replay runs per partition in applyInPandas over the tiny
+    per-segment summaries — trackers are per-partition independent, so
+    replay parallelizes across the cluster exactly as Kafka partitions
+    the metadata topic by user-partition."""
+    import hashlib
+
+    import pandas as pd
+
+    from tiered_storage_for_apache_kafka_spark import rlmm
+
+    rec = _records(spark, sf_dir)
+    segs = (
+        rec.select(
+            "partition",
+            "offset",
+            "timestamp_us",
+            F.length("key").alias("key_bytes"),
+        )
+        .withColumn(
+            "seg",
+            F.expr(
+                f"(row_number() over (partition by partition order by offset)"
+                f" - 1) div {RLMM_SEGMENT_RECORDS}"
+            ),
+        )
+        .groupBy("partition", "seg")
+        .agg(
+            F.min("offset").alias("s_start"),
+            F.max("offset").alias("s_end"),
+            F.expr("max(timestamp_us) div 1000").alias("max_ts_ms"),
+            F.sum("key_bytes").cast("bigint").alias("s_size"),
+        )
+    )
+
+    topic_id = hashlib.md5(b"topic:events").digest()
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["partition"].iloc[0])
+        wire = []
+        for t in pdf.sort_values("s_start").itertuples():
+            sid = rlmm.RemoteLogSegmentId(
+                "events",
+                topic_id,
+                part,
+                hashlib.md5(f"{part}:{int(t.s_start)}".encode()).digest(),
+            )
+            meta = rlmm.RemoteLogSegmentMetadata(
+                segment=sid,
+                start_offset=int(t.s_start),
+                end_offset=int(t.s_end),
+                broker_epoch=1,
+                max_timestamp_ms=int(t.max_ts_ms),
+                event_timestamp_ms=int(t.max_ts_ms) + 1,
+                leader_epochs=((0, int(t.s_start)),),
+                segment_size=int(t.s_size),
+            )
+            upd = rlmm.RemoteLogSegmentMetadataUpdate(
+                sid, int(t.max_ts_ms) + 2, 1, rlmm.COPY_SEGMENT_FINISHED
+            )
+            wire.append(rlmm.serialize_event(meta))
+            wire.append(rlmm.serialize_event(upd))
+        tracker = rlmm.RemoteLogMetadataTracker()
+        decoded = [rlmm.deserialize_event(b) for b in wire]
+        for ev in decoded:
+            tracker.apply(ev)
+        live = tracker.live_segments("events", part)
+        payload = ",".join(
+            f"{m.start_offset}:{m.end_offset}:{m.segment_size}"
+            f":{m.max_timestamp_ms}:{m.segment.segment_id.hex()[:8]}"
+            for m in live
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "partition": part,
+                    "n_segments": len(pdf),
+                    "n_live": len(live),
+                    "n_events": len(decoded),
+                    "total_size": sum(m.segment_size for m in live),
+                    "segments_md5": hashlib.md5(
+                        payload.encode()
+                    ).hexdigest(),
+                }
+            ]
+        )
+
+    return segs.groupBy("partition").applyInPandas(
+        replay,
+        "partition int, n_segments bigint, n_live bigint, n_events bigint, "
+        "total_size bigint, segments_md5 string",
+    )
