@@ -1325,3 +1325,108 @@ class TestEqualityDeletes:
         assert out["snapshots"] == []
         # and no orphan delete files were written
         assert glob.glob(os.path.join(empty, "**", "delete-*"), recursive=True) == []
+
+
+class TestSnapshotRefs:
+    """Spec "Snapshot References": tags pin snapshots, branches have
+    movable heads, commits preserve unrelated refs, expiration never
+    collects a referenced snapshot."""
+
+    def _two_commits(self, table, spark):
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = table
+        meta = ice.commit_append(tdir, df.schema)
+        first = meta["current-snapshot-id"]
+        write_table(df.where(F.col("partition") == 0).limit(10), tdir)
+        meta = ice.commit_append(tdir, df.schema)
+        return tdir, df, first, meta
+
+    def test_tag_pins_and_survives_commits(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, df, first, meta = self._two_commits(table, spark)
+        assert meta["current-snapshot-id"] != first
+        # tag the FIRST snapshot after later commits already happened
+        meta = ice.create_ref(tdir, "corpus-v1", "tag", snapshot_id=first)
+        assert meta["refs"]["corpus-v1"] == {
+            "snapshot-id": first,
+            "type": "tag",
+        }
+        assert meta["refs"]["main"]["snapshot-id"] != first
+        assert ice.read_iceberg_table_ref(spark, tdir, "corpus-v1").count() == 200
+        assert ice.read_iceberg_table(spark, tdir).count() == 210
+        # a further commit must PRESERVE the tag (the _advance_main fix)
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+        from pyspark.sql import functions as F
+
+        write_table(df.where(F.col("partition") == 1).limit(5), tdir)
+        meta = ice.commit_append(tdir, df.schema)
+        assert meta["refs"]["corpus-v1"]["snapshot-id"] == first
+
+    def test_expire_protects_referenced_snapshot(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, df, first, _ = self._two_commits(table, spark)
+        ice.create_ref(tdir, "pin", "tag", snapshot_id=first)
+        meta = ice.expire_snapshots(tdir, keep_last=1)
+        ids = {s["snapshot-id"] for s in meta["snapshots"]}
+        assert first in ids  # tagged snapshot survived keep_last=1
+        assert ice.read_iceberg_table_ref(spark, tdir, "pin").count() == 200
+        # drop the tag -> the next expiration collects it
+        ice.drop_ref(tdir, "pin")
+        meta = ice.expire_snapshots(tdir, keep_last=1)
+        assert first not in {s["snapshot-id"] for s in meta["snapshots"]}
+
+    def test_branch_points_and_errors(self, table, spark):
+        import pytest
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, df, first, meta = self._two_commits(table, spark)
+        ice.create_ref(tdir, "audit", "branch", snapshot_id=first)
+        got = ice.read_iceberg_table_ref(spark, tdir, "audit")
+        assert got.count() == 200
+        with pytest.raises(ValueError, match="cannot be a tag"):
+            ice.create_ref(tdir, "main", "tag")
+        with pytest.raises(ValueError, match="not found"):
+            ice.create_ref(tdir, "x", "tag", snapshot_id=123456)
+        with pytest.raises(ValueError, match="cannot drop the main"):
+            ice.drop_ref(tdir, "main")
+        with pytest.raises(ValueError, match="not found"):
+            ice.drop_ref(tdir, "nope")
+        with pytest.raises(ValueError, match="'tag' or 'branch'"):
+            ice.create_ref(tdir, "y", "label")
+
+    def test_refs_through_rest_catalog(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+            FakeRestCatalogServer,
+            RestCatalogClient,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = table
+        with FakeRestCatalogServer() as server:
+            cat = RestCatalogClient(server.base_url)
+            meta = ice.commit_append(tdir, df.schema, catalog=cat)
+            first = meta["current-snapshot-id"]
+            write_table(df.limit(7), tdir)
+            ice.commit_append(tdir, df.schema, catalog=cat)
+            meta = ice.create_ref(
+                tdir, "rel", "tag", snapshot_id=first, catalog=cat
+            )
+            assert meta["refs"]["rel"]["snapshot-id"] == first
+            got = ice.read_iceberg_table_ref(spark, tdir, "rel", catalog=cat)
+            assert got.count() == 200
+            meta = ice.drop_ref(tdir, "rel", catalog=cat)
+            assert "rel" not in meta["refs"]

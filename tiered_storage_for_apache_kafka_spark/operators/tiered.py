@@ -1335,3 +1335,78 @@ def rlmm_event_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition int, n_segments bigint, n_live bigint, n_events bigint, "
         "total_size bigint, segments_md5 string",
     )
+
+
+_ICEBERG_TAG_CACHE: dict[tuple, tuple] = {}
+
+
+@query(
+    "iceberg_tag_read",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_tagged,
+       CAST(COUNT(*) + COUNT(*) FILTER (event_id % 10 = 7) AS BIGINT)
+           AS n_head
+FROM events
+GROUP BY event_type
+""",
+)
+def iceberg_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot references end-to-end (spec "Snapshot References"):
+    commit the corpus, `create_ref` tags it `corpus-v1`, a second
+    append advances `main` — then the query reads BOTH the immutable
+    tag (`read_iceberg_table_ref`, the reproducible-training-corpus
+    read) and the branch head, and the oracle recomputes both counts
+    from raw `events`. Equal hashes prove the tag pinned exactly the
+    pre-append snapshot, survived the later commit (refs are preserved
+    by `_advance_main`), and resolves through the same pruned metadata
+    scan as any time travel.
+
+    Scale: ref resolution is one metadata read; both reads plan
+    through manifest-level pruning like every other snapshot read."""
+    from pyspark.sql import functions as FX
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        create_ref,
+        read_iceberg_table,
+        read_iceberg_table_ref,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+        records_to_envelope,
+        write_table,
+    )
+
+    key = _cache_key(spark, sf_dir)
+    cached = _ICEBERG_TAG_CACHE.get(key)
+    if cached is None:
+        env = records_to_envelope(_records(spark, sf_dir)).repartition(
+            4, "partition"
+        )
+        tdir = tempfile.mkdtemp(prefix="iceberg-tag-")
+        write_table(env, tdir)
+        commit_append(tdir, env.schema)
+        create_ref(tdir, "corpus-v1", "tag")
+        extra = env.where(
+            FX.col("kafka.offset") % 10 == 7
+        ).repartition(1, "partition")
+        write_table(extra, tdir)
+        commit_append(tdir, env.schema)
+        session_cache_put(_ICEBERG_TAG_CACHE, key, (tdir,))
+        cached = (tdir,)
+    (tdir,) = cached
+    tagged = (
+        read_iceberg_table_ref(spark, tdir, "corpus-v1")
+        .select(F.col("key").cast("string").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tagged"))
+    )
+    head = (
+        read_iceberg_table(spark, tdir)
+        .select(F.col("key").cast("string").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_head"))
+    )
+    return tagged.join(head, "event_type").select(
+        "event_type", "n_tagged", "n_head"
+    )

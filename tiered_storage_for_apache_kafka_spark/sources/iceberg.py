@@ -288,6 +288,16 @@ def _strip_ids(t):
     return t
 
 
+def _advance_main(refs: dict | None, snapshot_id: int) -> dict:
+    """New refs map for a commit: advance the ``main`` branch head,
+    PRESERVE every other ref — user tags and branches must survive
+    unrelated commits (spec "Snapshot References"; clobbering them was
+    a latent bug while main was the only ref that ever existed)."""
+    out = dict(refs or {})
+    out["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    return out
+
+
 def _write_metadata_version(meta_dir: str, version: int, meta: dict) -> None:
     """Write v{N}.metadata.json + version-hint atomically-enough for the
     single-writer model all three maintenance/commit paths share."""
@@ -943,7 +953,7 @@ def _commit_append_once(
         "blob-metadata": stats["blob_metadata"],
     }
     meta["statistics"] = base.get("statistics", []) + [stat_entry]
-    meta["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+    meta["refs"] = _advance_main(base.get("refs"), snapshot_id)
     meta["snapshot-log"] = base["snapshot-log"] + [
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
     ]
@@ -1537,7 +1547,7 @@ def _commit_deletes_once(
     meta["current-snapshot-id"] = snapshot_id
     meta["snapshots"] = base["snapshots"] + [snapshot]
     meta["statistics"] = base.get("statistics", []) + [stat_entry]
-    meta["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+    meta["refs"] = _advance_main(base.get("refs"), snapshot_id)
     meta["snapshot-log"] = base["snapshot-log"] + [
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
     ]
@@ -1903,6 +1913,129 @@ def _load_current_metadata(table_dir: str) -> tuple[int, dict]:
         return version, json.load(f)
 
 
+def create_ref(
+    table_dir: str,
+    name: str,
+    kind: str = "tag",
+    snapshot_id: int | None = None,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> dict:
+    """Create (or move) a named snapshot reference — spec "Snapshot
+    References": a ``tag`` is an immutable label for auditing /
+    reproducible reads ("the corpus release we trained on"), a
+    ``branch`` a movable head. Defaults to the current snapshot.
+    Commits never disturb refs other than ``main`` (see
+    :func:`_advance_main`) and :func:`expire_snapshots` protects every
+    referenced snapshot, so a tagged snapshot stays readable for the
+    tag's lifetime. In catalog mode this commits a ``set-snapshot-ref``
+    update (the REST spec's update type)."""
+    import time as _time
+
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"ref type must be 'tag' or 'branch', got {kind!r}")
+    if name == "main" and kind == "tag":
+        raise ValueError("'main' is the branch head; it cannot be a tag")
+    version, meta, table_name = _current_state_meta(
+        table_dir, catalog, table_name
+    )
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id", -1)
+    if not any(s["snapshot-id"] == snapshot_id for s in meta["snapshots"]):
+        raise ValueError(f"snapshot {snapshot_id} not found")
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None:
+        resp = catalog.commit_table(
+            table_name,
+            _maintenance_requirements(meta),
+            [
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": name,
+                    "snapshot-id": snapshot_id,
+                    "type": kind,
+                }
+            ],
+            now_ms,
+        )
+        return resp["metadata"]
+    new_meta = dict(meta)
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": snapshot_id, "type": kind}
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = now_ms
+    meta_dir = os.path.join(table_dir, "metadata")
+    new_meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+        }
+    ]
+    _write_metadata_version(meta_dir, version + 1, new_meta)
+    return new_meta
+
+
+def drop_ref(
+    table_dir: str,
+    name: str,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> dict:
+    """Remove a named ref (``remove-snapshot-ref`` in the REST spec).
+    The snapshot itself stays until :func:`expire_snapshots` collects
+    it. Dropping ``main`` is refused — a table always has a head."""
+    import time as _time
+
+    if name == "main":
+        raise ValueError("cannot drop the main branch")
+    version, meta, table_name = _current_state_meta(
+        table_dir, catalog, table_name
+    )
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"ref {name!r} not found")
+    del refs[name]
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None:
+        resp = catalog.commit_table(
+            table_name,
+            _maintenance_requirements(meta),
+            [{"action": "remove-snapshot-ref", "ref-name": name}],
+            now_ms,
+        )
+        return resp["metadata"]
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = now_ms
+    meta_dir = os.path.join(table_dir, "metadata")
+    new_meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+        }
+    ]
+    _write_metadata_version(meta_dir, version + 1, new_meta)
+    return new_meta
+
+
+def read_iceberg_table_ref(
+    spark, table_dir: str, ref_name: str, catalog=None,
+    table_name: str | None = None,
+):
+    """Open the table at a named ref (``VERSION AS OF 'tag'``): resolve
+    the ref to its snapshot and time-travel there. Reading a branch
+    reads that branch's head."""
+    _version, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    ref = (meta.get("refs") or {}).get(ref_name)
+    if ref is None:
+        raise ValueError(f"ref {ref_name!r} not found")
+    return read_iceberg_table_at(
+        spark, table_dir, ref["snapshot-id"], catalog, table_name
+    )
+
+
 def snapshot_as_of_timestamp(
     table_dir: str, timestamp_ms: int, catalog=None, table_name: str | None = None
 ) -> int:
@@ -2014,9 +2147,16 @@ def _expire_snapshots_once(
     snaps = meta["snapshots"]
     if len(snaps) <= keep_last:
         return meta
-    keep = snaps[-keep_last:]
-    expired = snaps[:-keep_last]
-    keep_ids = {s["snapshot-id"] for s in keep}
+    # spec: expiration never removes a snapshot any ref points at — a
+    # tag pins its snapshot for the tag's lifetime
+    ref_ids = {
+        r["snapshot-id"] for r in (meta.get("refs") or {}).values()
+    }
+    keep_ids = {s["snapshot-id"] for s in snaps[-keep_last:]} | ref_ids
+    keep = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return meta
 
     # files referenced by surviving snapshots stay; everything metadata-
     # side that only the expired snapshots referenced is deleted
@@ -2360,7 +2500,7 @@ def _rewrite_manifests_once(
             "blob-metadata": stats["blob_metadata"],
         }
     ]
-    new_meta["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+    new_meta["refs"] = _advance_main(meta.get("refs"), snapshot_id)
     new_meta["snapshot-log"] = meta["snapshot-log"] + [
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
     ]

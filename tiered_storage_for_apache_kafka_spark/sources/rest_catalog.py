@@ -175,6 +175,10 @@ def apply_updates(meta: dict, updates: list[dict], now_ms: int) -> dict:
                 st for st in meta.get("statistics", [])
                 if st["snapshot-id"] != upd["snapshot-id"]
             ]
+        elif action == "remove-snapshot-ref":
+            refs = dict(meta.get("refs") or {})
+            refs.pop(upd["ref-name"], None)
+            meta["refs"] = refs
         elif action == "assign-uuid":
             meta["table-uuid"] = upd["uuid"]
         else:
