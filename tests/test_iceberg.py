@@ -1430,3 +1430,155 @@ class TestSnapshotRefs:
             assert got.count() == 200
             meta = ice.drop_ref(tdir, "rel", catalog=cat)
             assert "rel" not in meta["refs"]
+
+
+class TestColumnBoundsPruning:
+    """Per-file column stats (spec lower_bounds/upper_bounds + value/
+    null counts) and the scan planner's third pruning level."""
+
+    def _banded(self, spark, tmp_path):
+        """Three appends, each a distinct kafka.offset band — the
+        sorted-write layout bounds pruning exists for."""
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir = str(tmp_path / "banded")
+        schema = None
+        for band in range(3):
+            df = (
+                spark.range(band * 100, band * 100 + 100)
+                .select(
+                    (F.col("id") % 2).cast("int").alias("partition"),
+                    F.struct(
+                        (F.col("id") % 2).cast("int").alias("partition"),
+                        F.col("id").alias("offset"),
+                        (F.col("id") * 1000).alias("timestamp_us"),
+                        F.col("id").alias("batch_base_offset"),
+                        F.lit(0).cast("long").alias("batch_byte_offset"),
+                        F.lit(f"seg-{band}").alias("segment_uuid"),
+                    ).alias("kafka"),
+                    F.array().cast(
+                        "array<struct<key:string,value:binary>>"
+                    ).alias("headers"),
+                    F.encode(F.col("id").cast("string"), "UTF-8").alias("key"),
+                    F.encode(F.col("id").cast("string"), "UTF-8").alias("value"),
+                )
+                .coalesce(1)  # ONE writer task -> exactly one file per
+                # partition dir per band (deterministic file census)
+            )
+            schema = df.schema
+            write_table(df, tdir)
+            ice.commit_append(tdir, schema)
+        return tdir
+
+    def test_entries_carry_footer_true_bounds(self, table):
+        import pyarrow.parquet as pq
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, df = table
+        ice.commit_append(tdir, df.schema)
+        back = ice.read_table_metadata(tdir)
+        schema_struct = back["metadata"]["schemas"][0]
+        fid = ice._leaf_field_ids(schema_struct)["kafka.offset"]
+        for man in back["manifests"]:
+            for e in man["entries"]:
+                d = e["data_file"]
+                lo = next(
+                    kv["value"] for kv in d["lower_bounds"] if kv["key"] == fid
+                )
+                hi = next(
+                    kv["value"] for kv in d["upper_bounds"] if kv["key"] == fid
+                )
+                import struct as _s
+
+                pf = pq.ParquetFile(d["file_path"])
+                tbl = pf.read(columns=["kafka.offset"])
+                vals = [r["offset"] for r in tbl.column(0).to_pylist()]
+                assert _s.unpack("<q", lo)[0] == min(vals)
+                assert _s.unpack("<q", hi)[0] == max(vals)
+                nvc = next(
+                    kv["value"]
+                    for kv in d["value_counts"]
+                    if kv["key"] == fid
+                )
+                assert nvc == d["record_count"]
+
+    def test_plan_scan_prunes_by_offset_bounds(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir = self._banded(spark, tmp_path)
+        all_files = ice.plan_scan(tdir)
+        assert len(all_files) == 6  # 3 bands x 2 files
+        mid = ice.plan_scan(tdir, column_bounds=("kafka.offset", 100, 199))
+        assert len(mid) == 2
+        # exactly the band-1 files: recorded offset bounds inside [100,199]
+        import struct as _s
+
+        meta = ice.read_table_metadata(tdir)["metadata"]
+        fid = ice._leaf_field_ids(meta["schemas"][0])["kafka.offset"]
+
+        def rng(f):
+            lo = next(kv["value"] for kv in f["lower_bounds"] if kv["key"] == fid)
+            hi = next(kv["value"] for kv in f["upper_bounds"] if kv["key"] == fid)
+            return _s.unpack("<q", lo)[0], _s.unpack("<q", hi)[0]
+
+        got = {f["file_path"] for f in mid}
+        band1 = {
+            f["file_path"]
+            for f in all_files
+            if rng(f)[0] >= 100 and rng(f)[1] <= 199
+        }
+        assert got == band1 and len(band1) == 2
+        # straddling window: two bands' files
+        assert len(
+            ice.plan_scan(tdir, column_bounds=("kafka.offset", 150, 250))
+        ) == 4
+        # out-of-range window: nothing planned
+        assert ice.plan_scan(
+            tdir, column_bounds=("kafka.offset", 10_000, 20_000)
+        ) == []
+        # unknown column is an explicit error
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError, match="no scalar leaf column"):
+            ice.plan_scan(tdir, column_bounds=("kafka.nope", 0, 1))
+
+    def test_bounds_pruned_read_matches_full_read_filter(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir = self._banded(spark, tmp_path)
+        files = ice.plan_scan(tdir, column_bounds=("kafka.offset", 100, 199))
+        got = (
+            spark.read.option("basePath", tdir)
+            .parquet(*sorted(f["file_path"] for f in files))
+            .where("kafka.offset between 100 and 199")
+        )
+        assert got.count() == 100
+        full = ice.read_iceberg_table(spark, tdir).where(
+            "kafka.offset between 100 and 199"
+        )
+        assert got.count() == full.count()
+
+    def test_missing_bounds_kept_conservatively(self):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _bounds_overlap,
+        )
+
+        assert _bounds_overlap({}, 5, 0, 10)
+        assert _bounds_overlap({"lower_bounds": None, "upper_bounds": None}, 5, 0, 10)
+        # bounds for a DIFFERENT field only -> kept
+        assert _bounds_overlap(
+            {
+                "lower_bounds": [{"key": 7, "value": b"\x00" * 8}],
+                "upper_bounds": [{"key": 7, "value": b"\x00" * 8}],
+            },
+            5,
+            0,
+            10,
+        )
+

@@ -48,8 +48,9 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: 
 # fixed) driver verdict. Everything stays registered and pytest-checked.
 _DEMOTE = [
     # NEW in late r6 with the window already full — first in line for
-    # the r7 promote slice (in-repo DuckDB gate covers it meanwhile):
+    # the r7 promote slice (in-repo DuckDB gate covers them meanwhile):
     "iceberg_tag_read",
+    "iceberg_bounds_pruned_scan",
     "set_ops_customer_segments",
     "semi_anti_join_orders",
     # green r5, logic unchanged in r6 — demoted to make window room for

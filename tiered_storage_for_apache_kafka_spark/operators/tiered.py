@@ -1410,3 +1410,105 @@ def iceberg_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.join(head, "event_type").select(
         "event_type", "n_tagged", "n_head"
     )
+
+
+_ICEBERG_BANDS_CACHE: dict[tuple, tuple] = {}
+
+BOUNDS_BAND = 500  # offsets per banded commit (sorted-write layout)
+
+
+@query(
+    "iceberg_bounds_pruned_scan",
+    oracle=f"""
+WITH banded AS (
+  SELECT event_id, event_type,
+         event_id // {BOUNDS_BAND} AS band,
+         CAST(event_id % 4 AS INT) AS part
+  FROM events
+), census AS (
+  SELECT CAST(COUNT(DISTINCT band * 10 + part) AS BIGINT) AS n_files_total,
+         CAST(COUNT(DISTINCT CASE WHEN band IN (1, 2)
+                                  THEN band * 10 + part END) AS BIGINT)
+             AS n_files_planned
+  FROM banded
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(event_id) AS min_offset,
+       MAX(event_id) AS max_offset,
+       (SELECT n_files_planned FROM census) AS n_files_planned,
+       (SELECT n_files_total FROM census) AS n_files_total
+FROM banded
+WHERE event_id BETWEEN {BOUNDS_BAND} AND {3 * BOUNDS_BAND - 1}
+GROUP BY event_type
+""",
+)
+def iceberg_bounds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats file pruning end-to-end (spec lower_bounds/
+    upper_bounds): the corpus is committed in sorted offset BANDS (one
+    commit per {BOUNDS_BAND}-offset band — the sorted-write layout a
+    streaming tiering pipeline produces naturally), then an offset-
+    window read plans through `plan_scan(column_bounds=...)`: only
+    files whose manifest-recorded offset bounds overlap the window are
+    opened. The emitted n_files_planned/n_files_total columns make the
+    pruning itself hash-verified — the oracle recomputes the file
+    census relationally ((band, partition) pairs) — and the window
+    aggregation proves the pruned read is still exact.
+
+    Scale: this is the access path that keeps an offset-window fetch
+    O(overlapping files) as the table grows — the same read stays 8
+    files whether the table holds 4 bands or 4000 (the bench_scaling
+    tiered probe's metadata analog)."""
+    from pyspark.sql import functions as FX
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        plan_scan,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+        records_to_envelope,
+        write_table,
+    )
+
+    key = _cache_key(spark, sf_dir)
+    cached = _ICEBERG_BANDS_CACHE.get(key)
+    if cached is None:
+        env = records_to_envelope(_records(spark, sf_dir))
+        tdir = tempfile.mkdtemp(prefix="iceberg-bands-")
+        n_bands = env.agg(
+            FX.max(FX.expr(f"kafka.offset div {BOUNDS_BAND}"))
+        ).collect()[0][0]
+        schema = env.schema
+        for band in range(int(n_bands) + 1):
+            part = env.where(
+                FX.expr(f"kafka.offset div {BOUNDS_BAND}") == band
+            ).coalesce(1)
+            write_table(part, tdir)
+            commit_append(tdir, schema)
+        session_cache_put(_ICEBERG_BANDS_CACHE, key, (tdir,))
+        cached = (tdir,)
+    (tdir,) = cached
+    lo, hi = BOUNDS_BAND, 3 * BOUNDS_BAND - 1
+    planned = plan_scan(tdir, column_bounds=("kafka.offset", lo, hi))
+    n_total = len(plan_scan(tdir))
+    rows = (
+        spark.read.option("basePath", tdir)
+        .parquet(*sorted(f["file_path"] for f in planned))
+        .where(FX.col("kafka.offset").between(lo, hi))
+    )
+    return (
+        rows.select(
+            FX.col("key").cast("string").alias("event_type"),
+            FX.col("kafka.offset").alias("off"),
+        )
+        .groupBy("event_type")
+        .agg(
+            FX.count(FX.lit(1)).cast("bigint").alias("n_events"),
+            FX.min("off").alias("min_offset"),
+            FX.max("off").alias("max_offset"),
+        )
+        .withColumn(
+            "n_files_planned", FX.lit(len(planned)).cast("bigint")
+        )
+        .withColumn("n_files_total", FX.lit(n_total).cast("bigint"))
+    )

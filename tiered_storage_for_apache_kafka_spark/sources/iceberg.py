@@ -336,6 +336,60 @@ def _field_id(schema_struct: dict, name: str) -> int:
     raise KeyError(name)
 
 
+def _leaf_field_ids(schema_struct: dict) -> dict[str, int]:
+    """Dotted leaf path -> Iceberg field id for scalar leaves (the key
+    space of the column-stats maps; matches parquet's path_in_schema
+    for struct nesting). Non-struct composites (lists/maps) are not
+    bounds candidates and are skipped."""
+    out: dict[str, int] = {}
+
+    def walk(struct: dict, prefix: str) -> None:
+        for f in struct["fields"]:
+            path = f"{prefix}{f['name']}"
+            t = f["type"]
+            if isinstance(t, dict):
+                if t.get("type") == "struct":
+                    walk(t, path + ".")
+                continue
+            out[path] = f["id"]
+
+    walk(schema_struct, "")
+    return out
+
+
+def _bounds_pack(value: int, physical: str) -> bytes:
+    """Iceberg single-value binary serialization (spec Appendix D):
+    int -> 4-byte little-endian, long -> 8-byte little-endian."""
+    return struct.pack("<i" if physical == "INT32" else "<q", value)
+
+
+def _column_stats_fields(
+    column_stats: dict[str, dict], leaf_ids: dict[str, int]
+) -> dict:
+    """Footer stats -> the four manifest stats maps (key/value record
+    lists in field-id order); all-None when nothing mapped."""
+    vc, nvc, lb, ub = [], [], [], []
+    mapped = sorted(
+        (leaf_ids[p], st)
+        for p, st in column_stats.items()
+        if p in leaf_ids
+    )
+    for fid, st in mapped:
+        vc.append({"key": fid, "value": int(st["n"])})
+        nvc.append({"key": fid, "value": int(st["nulls"])})
+        lb.append({"key": fid, "value": _bounds_pack(st["min"], st["physical"])})
+        ub.append({"key": fid, "value": _bounds_pack(st["max"], st["physical"])})
+    return {
+        "value_counts": vc or None,
+        "null_value_counts": nvc or None,
+        "lower_bounds": lb or None,
+        "upper_bounds": ub or None,
+    }
+
+
+_STATS_KEYS = ("value_counts", "null_value_counts", "lower_bounds", "upper_bounds")
+
+
 # -- manifest / manifest-list Avro schemas (Iceberg spec, v2 names+ids) -------
 
 
@@ -354,9 +408,44 @@ def _partition_struct_schema(partition_col: str) -> dict:
     }
 
 
+def _int_kv_map_schema(
+    name: str, field_id: int, key_id: int, value_id: int, value_type: str
+) -> dict:
+    """Iceberg's map<int, V> representation in manifest Avro: a nullable
+    array of key/value records with ``logicalType: map`` (how the Java
+    writer emits the column-stats maps)."""
+    return {
+        "name": name,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{key_id}_v{value_id}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": key_id},
+                        {
+                            "name": "value",
+                            "type": value_type,
+                            "field-id": value_id,
+                        },
+                    ],
+                },
+            },
+        ],
+        "default": None,
+        "field-id": field_id,
+    }
+
+
 def manifest_entry_schema(partition_col: str) -> dict:
     """Avro schema of a v2 ``manifest_entry`` (spec "Manifest" section);
-    field ids via the ``field-id`` attribute as the Java writer emits."""
+    field ids via the ``field-id`` attribute as the Java writer emits.
+    Includes the column-stats maps (value/null counts, lower/upper
+    bounds — spec Appendix field ids) the scan planner prunes files
+    with."""
     data_file = {
         "type": "record",
         "name": "r2",
@@ -371,6 +460,10 @@ def manifest_entry_schema(partition_col: str) -> dict:
             },
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            _int_kv_map_schema("value_counts", 109, 119, 120, "long"),
+            _int_kv_map_schema("null_value_counts", 110, 121, 122, "long"),
+            _int_kv_map_schema("lower_bounds", 125, 126, 127, "bytes"),
+            _int_kv_map_schema("upper_bounds", 128, 129, 130, "bytes"),
             {
                 "name": "split_offsets",
                 "type": ["null", {"type": "array", "items": "long", "element-id": 133}],
@@ -519,12 +612,38 @@ def _discover_data_files(table_dir: str, partition_col: str) -> list[dict]:
     return sorted(files, key=lambda f: f["file_path"])
 
 
+def _fold_column_stats(col_stats: dict, col, rg_rows: int) -> None:
+    """Fold one row-group column chunk's footer stats into the per-file
+    aggregate (min/max/null-count/value-count keyed by leaf path)."""
+    st = col.statistics
+    if st is None or not st.has_min_max:
+        return
+    cur = col_stats.get(col.path_in_schema)
+    if cur is None:
+        col_stats[col.path_in_schema] = {
+            "min": st.min,
+            "max": st.max,
+            "nulls": st.null_count or 0,
+            "n": rg_rows,
+            "physical": col.physical_type,
+        }
+        return
+    cur["min"] = min(cur["min"], st.min)
+    cur["max"] = max(cur["max"], st.max)
+    cur["nulls"] += st.null_count or 0
+    cur["n"] += rg_rows
+
+
 def _stat_one_file(path: str, part_val: int | None) -> dict:
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
-    # row-group starting positions = the spec's split_offsets
+    # row-group starting positions = the spec's split_offsets; while
+    # walking, fold each integer leaf column's footer min/max into the
+    # per-file bounds the manifest entry publishes (spec lower_bounds/
+    # upper_bounds — what lets plan_scan skip files by value range)
     offsets = []
+    col_stats: dict[str, dict] = {}
     for g in range(md.num_row_groups):
         rg = md.row_group(g)
         starts = []
@@ -532,6 +651,9 @@ def _stat_one_file(path: str, part_val: int | None) -> dict:
             col = rg.column(c)
             dp = col.dictionary_page_offset
             starts.append(dp if dp is not None else col.data_page_offset)
+            if col.physical_type not in ("INT32", "INT64"):
+                continue
+            _fold_column_stats(col_stats, col, rg.num_rows)
         offsets.append(min(starts))
     return {
         "file_path": path,
@@ -539,6 +661,7 @@ def _stat_one_file(path: str, part_val: int | None) -> dict:
         "record_count": md.num_rows,
         "file_size_in_bytes": os.path.getsize(path),
         "split_offsets": sorted(offsets),
+        "column_stats": col_stats,
     }
 
 
@@ -804,6 +927,10 @@ def _commit_append_once(
     # already-committed manifest before its own commit is rejected.
     commit_uuid = uuid.uuid4().hex[:16]
     entry_schema = manifest_entry_schema(partition_col)
+    schema_struct = next(
+        s for s in base["schemas"] if s["schema-id"] == base["current-schema-id"]
+    )
+    leaf_ids = _leaf_field_ids(schema_struct)
     entries = [
         {
             "status": 1,  # ADDED
@@ -817,6 +944,7 @@ def _commit_append_once(
                 "partition": {partition_col: f["partition_value"]},
                 "record_count": f["record_count"],
                 "file_size_in_bytes": f["file_size_in_bytes"],
+                **_column_stats_fields(f.get("column_stats") or {}, leaf_ids),
                 "split_offsets": f["split_offsets"],
                 "equality_ids": None,
                 "sort_order_id": 0,
@@ -824,9 +952,6 @@ def _commit_append_once(
         }
         for f in new_files
     ]
-    schema_struct = next(
-        s for s in base["schemas"] if s["schema-id"] == base["current-schema-id"]
-    )
     spec = base["partition-specs"][0]
     manifest_path = os.path.join(
         meta_dir, f"{base['table-uuid']}-m{seq}-{commit_uuid}.avro"
@@ -1422,6 +1547,10 @@ def _commit_deletes_once(
                 "partition": {partition_col: s["partition"]},
                 "record_count": s["n_rows"],
                 "file_size_in_bytes": s["file_size"],
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
                 "split_offsets": None,
                 "equality_ids": s.get("equality_ids") or None,
                 "sort_order_id": None,
@@ -1624,10 +1753,16 @@ def plan_scan(
     partition_value: int | None = None,
     catalog=None,
     table_name: str | None = None,
+    column_bounds: tuple[str, int, int] | None = None,
 ) -> list[dict]:
     """Plan a table scan from the Iceberg metadata alone (never listing
     the filesystem): current snapshot -> manifest list -> manifests ->
-    data-file entries, with two levels of spec pruning:
+    data-file entries, with THREE levels of spec pruning (pass
+    ``column_bounds=("kafka.offset", lo, hi)`` for the third: files
+    whose manifest-recorded lower/upper bounds provably miss the range
+    are skipped — the spec's column-stats pruning, what keeps an
+    offset-window read O(overlapping files) on a sorted-write table
+    regardless of table size):
 
     1. manifest-level: a manifest whose ``partitions`` field summary
        bounds exclude the predicate is skipped WITHOUT being opened
@@ -1659,11 +1794,28 @@ def plan_scan(
             os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
         ) as f:
             meta = json.load(f)
-    return _plan_from_meta(meta, partition_value)
+    return _plan_from_meta(meta, partition_value, column_bounds)
+
+
+def _bounds_overlap(d: dict, field_id: int, lo: int, hi: int) -> bool:
+    """File-level bounds pruning (spec lower_bounds/upper_bounds): skip
+    a data file only when its recorded range PROVABLY misses [lo, hi];
+    a file without bounds for the column is conservatively kept."""
+    lbs, ubs = d.get("lower_bounds"), d.get("upper_bounds")
+    if not lbs or not ubs:
+        return True
+    f_lo = next((kv["value"] for kv in lbs if kv["key"] == field_id), None)
+    f_hi = next((kv["value"] for kv in ubs if kv["key"] == field_id), None)
+    if f_lo is None or f_hi is None:
+        return True
+    fmt = "<i" if len(f_lo) == 4 else "<q"
+    return struct.unpack(fmt, f_lo)[0] <= hi and lo <= struct.unpack(fmt, f_hi)[0]
 
 
 def _plan_snapshot(
-    snap: dict, partition_value: int | None
+    snap: dict,
+    partition_value: int | None,
+    bounds: tuple[int, int, int] | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Walk ONE snapshot's manifest list lazily and split its live
     entries by manifest content: ``(data_files, delete_files)``. Each
@@ -1697,15 +1849,44 @@ def _plan_snapshot(
                 and d["partition"].get(next(iter(d["partition"]))) != partition_value
             ):
                 continue
+            is_delete = d.get("content") in (1, 2)
+            if (
+                bounds is not None
+                and not is_delete
+                and not _bounds_overlap(d, *bounds)
+            ):
+                continue  # data file pruned by column bounds
             seq = e.get("sequence_number")
             if seq is None:
                 seq = mf.get("sequence_number", 0)
             rec = {**d, "_seq": int(seq)}
-            (deletes if d.get("content") in (1, 2) else data).append(rec)
+            (deletes if is_delete else data).append(rec)
     return data, deletes
 
 
-def _plan_from_meta(meta: dict, partition_value: int | None) -> list[dict]:
+def _resolve_bounds(
+    meta: dict, column_bounds: tuple[str, int, int] | None
+) -> tuple[int, int, int] | None:
+    """(dotted column path, lo, hi) -> (field id, lo, hi) against the
+    current schema; unknown columns are an explicit error (silently
+    skipping the prune would be correct but hide the typo)."""
+    if column_bounds is None:
+        return None
+    path, lo, hi = column_bounds
+    schema_struct = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    fid = _leaf_field_ids(schema_struct).get(path)
+    if fid is None:
+        raise KeyError(f"no scalar leaf column {path!r} in the table schema")
+    return (fid, lo, hi)
+
+
+def _plan_from_meta(
+    meta: dict,
+    partition_value: int | None,
+    column_bounds: tuple[str, int, int] | None = None,
+) -> list[dict]:
     """The lazy manifest walk of :func:`plan_scan` over an
     already-loaded metadata dict — shared so readers that hold the
     metadata (e.g. a single catalog load) plan and type the scan from
@@ -1718,7 +1899,9 @@ def _plan_from_meta(meta: dict, partition_value: int | None) -> list[dict]:
     cur = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
-    data, _deletes = _plan_snapshot(cur, partition_value)
+    data, _deletes = _plan_snapshot(
+        cur, partition_value, _resolve_bounds(meta, column_bounds)
+    )
     return [{k: v for k, v in d.items() if k != "_seq"} for d in data]
 
 
@@ -2302,6 +2485,8 @@ def _rewrite_manifests_once(
             # NEW manifest cannot rewrite history
             d2 = dict(e["data_file"])
             d2.setdefault("equality_ids", None)
+            for k in _STATS_KEYS:  # pre-stats manifests lack these
+                d2.setdefault(k, None)
             e2 = {**e, "status": 0, "sequence_number": int(seq), "data_file": d2}
             groups[0 if not d2.get("content") else 1].append(e2)
     entries = groups[0]
