@@ -63,6 +63,15 @@ streaming key cardinality all grow 10x):
     anti-join overhead grew 1.4x while the data grew 10x — the delete
     set stays a broadcast, the corpus never re-shuffles.
 
+    Column-stats bounds pruning (--bounds-pruning, round 6): a FIXED
+    offset window planned over sorted-band tables at 40 vs 400 bands:
+      bands= 40  files_total= 40  files_planned=3  plan_ms=  5.0  compacted= 2.4
+      bands=400  files_total=400  files_planned=3  plan_ms= 50.8  compacted=22.1
+    Files planned (the term that drives read cost) EXACTLY FLAT at 10x
+    table size; plan walk is O(manifests) pre-compaction and O(entries)
+    after — the same shape as the Java planner, and the reason
+    rewrite_manifests exists for long-lived streaming tables.
+
     Iceberg metadata-plane WRITE side (--iceberg-commits, round 6;
     1-file appends, pure metadata, no Spark):
       commits   1-10 :  3.6 ms/commit
@@ -394,11 +403,81 @@ def probe_position_deletes() -> None:
         shutil.rmtree(tdir, ignore_errors=True)
     spark.stop()
 
+def probe_bounds_pruning() -> None:
+    """Column-stats pruning flatness: commit N sorted offset bands, then
+    plan a FIXED offset window with plan_scan(column_bounds=...) at N
+    and 10N bands. Files planned (and bytes behind them) must be flat —
+    the metadata analog of the tiered fixed-window byte probe. Pure
+    metadata: 1-row files. Run: python bench_scaling.py --bounds-pruning
+    """
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        plan_scan,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+
+    def build(n_bands: int) -> str:
+        tdir = tempfile.mkdtemp(prefix=f"iceberg-bounds-{n_bands}-")
+        os.makedirs(os.path.join(tdir, "partition=0"), exist_ok=True)
+        for b in range(n_bands):
+            path = os.path.join(tdir, "partition=0", f"band{b:05d}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "partition": pa.array([0, 0], pa.int32()),
+                        "offset": pa.array(
+                            [b * 100, b * 100 + 99], pa.int64()
+                        ),
+                    }
+                ),
+                path,
+            )
+            commit_append(tdir, schema, now_ms=b + 1, files=[path])
+        return tdir
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        rewrite_manifests,
+    )
+
+    for n in (40, 400):
+        tdir = build(n)
+        t0 = time.perf_counter()
+        planned = plan_scan(tdir, column_bounds=("offset", 500, 799))
+        ms = (time.perf_counter() - t0) * 1000
+        total = len(plan_scan(tdir))
+        rewrite_manifests(tdir, now_ms=n + 10)
+        t0 = time.perf_counter()
+        planned2 = plan_scan(tdir, column_bounds=("offset", 500, 799))
+        ms2 = (time.perf_counter() - t0) * 1000
+        assert {f["file_path"] for f in planned2} == {
+            f["file_path"] for f in planned
+        }
+        print(
+            f"bands={n:4d}  files_total={total:4d}  "
+            f"files_planned={len(planned)}  plan_ms={ms:7.1f}  "
+            f"plan_ms_compacted={ms2:6.1f}"
+        )
+
+
 if __name__ == "__main__":
     import sys
 
     if "--iceberg-commits" in sys.argv:
         probe_iceberg_commit_cost()
+    elif "--bounds-pruning" in sys.argv:
+        probe_bounds_pruning()
     elif "--position-deletes" in sys.argv:
         probe_position_deletes()
     else:
