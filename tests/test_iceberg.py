@@ -1582,3 +1582,102 @@ class TestColumnBoundsPruning:
             10,
         )
 
+
+
+class TestColumnStatsSafety:
+    """Round-6 review pins: footer-stats collection must never publish
+    partial or non-integer stats (wrong stats prune rows; absent stats
+    never do)."""
+
+    def test_timestamp_column_commit_does_not_crash(self, spark, tmp_path):
+        """pyarrow returns datetime objects for timestamp logical types;
+        the stats folder must poison such columns, not struct.pack them."""
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        df = spark.range(20).select(
+            (F.col("id") % 2).cast("int").alias("partition"),
+            F.col("id").alias("offset"),
+            F.timestamp_micros(F.col("id") * 1000000).alias("ts"),
+        )
+        tdir = str(tmp_path / "ts_table")
+        write_table(df.coalesce(1), tdir)
+        meta = ice.commit_append(tdir, df.schema)  # crashed pre-fix
+        assert meta["current-snapshot-id"] != -1
+        back = ice.read_table_metadata(tdir)
+        fid_off = ice._leaf_field_ids(meta["schemas"][0])["offset"]
+        fid_ts = ice._leaf_field_ids(meta["schemas"][0])["ts"]
+        for man in back["manifests"]:
+            for e in man["entries"]:
+                d = e["data_file"]
+                keys = {kv["key"] for kv in (d["lower_bounds"] or [])}
+                assert fid_off in keys  # plain int64 column still bounded
+                assert fid_ts not in keys  # timestamp poisoned, unpublished
+
+    def test_statless_chunk_poisons_column(self, tmp_path):
+        """A file where one row group lacks min/max must publish NO stats
+        for that column rather than partial counts/bounds."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _column_stats_fields,
+            _stat_one_file,
+        )
+
+        path = str(tmp_path / "two_groups.parquet")
+        with pq.ParquetWriter(
+            path,
+            pa.schema([("v", pa.int64())]),
+            write_statistics=False,
+        ) as w:
+            w.write_table(pa.table({"v": pa.array([1, 2], pa.int64())}))
+        f = _stat_one_file(path, 0)
+        assert f["column_stats"].get("v") is None  # poisoned
+        out = _column_stats_fields(f["column_stats"], {"v": 7})
+        assert out["lower_bounds"] is None and out["value_counts"] is None
+
+    def test_all_null_second_group_poisons(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _stat_one_file,
+        )
+
+        path = str(tmp_path / "null_group.parquet")
+        with pq.ParquetWriter(path, pa.schema([("v", pa.int64())])) as w:
+            w.write_table(pa.table({"v": pa.array([1, 2], pa.int64())}))
+            w.write_table(
+                pa.table({"v": pa.array([None, None], pa.int64())})
+            )
+        f = _stat_one_file(path, 0)
+        # either both groups carried full stats (then counts are whole-
+        # file true) or the column is poisoned — never partial
+        st = f["column_stats"].get("v")
+        if st is not None:
+            assert st["n"] == 4 and st["nulls"] == 2
+
+    def test_create_ref_main_moves_head_locally(self, table, spark):
+        """Moving the main branch ref without a catalog must move
+        current-snapshot-id too (catalog-path parity)."""
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = table
+        meta = ice.commit_append(tdir, df.schema)
+        first = meta["current-snapshot-id"]
+        write_table(df.where(F.col("partition") == 0).limit(5), tdir)
+        ice.commit_append(tdir, df.schema)
+        meta = ice.create_ref(tdir, "main", "branch", snapshot_id=first)
+        assert meta["current-snapshot-id"] == first
+        assert meta["refs"]["main"]["snapshot-id"] == first
+        assert ice.read_iceberg_table(spark, tdir).count() == 200

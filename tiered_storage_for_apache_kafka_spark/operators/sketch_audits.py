@@ -170,7 +170,9 @@ union_rk AS (
          COUNT(*) OVER () AS n_u
   FROM (SELECT DISTINCT u FROM sk)
 ), union_est AS (
-  SELECT CASE WHEN MAX(n_u) <= {KMV_K} THEN MAX(n_u)
+  -- exact only when strictly under K: a merged sketch holding exactly
+  -- K hashes may be saturated while the true union is far larger
+  SELECT CASE WHEN MAX(n_u) < {KMV_K} THEN MAX(n_u)
               ELSE CAST(FLOOR({_KMV_NUM} /
                    CAST(MAX(CASE WHEN r = {KMV_K} THEN u END) AS DOUBLE))
                    AS BIGINT)
@@ -287,7 +289,8 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r") <= KMV_K)
     )
     union_est = union_rk.agg(
-        F.when(F.max("n_u") <= KMV_K, F.max("n_u"))
+        # strict <: n_u == K can mean saturated sketches, not exactness
+        F.when(F.max("n_u") < KMV_K, F.max("n_u"))
         .otherwise(
             F.floor(
                 F.lit(float(_KMV_NUM))

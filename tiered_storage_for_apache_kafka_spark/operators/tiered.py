@@ -1462,8 +1462,9 @@ def iceberg_bounds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as FX
 
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        _current_state_meta,
+        _plan_from_meta,
         commit_append,
-        plan_scan,
     )
     from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
         records_to_envelope,
@@ -1489,8 +1490,11 @@ def iceberg_bounds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = (tdir,)
     (tdir,) = cached
     lo, hi = BOUNDS_BAND, 3 * BOUNDS_BAND - 1
-    planned = plan_scan(tdir, column_bounds=("kafka.offset", lo, hi))
-    n_total = len(plan_scan(tdir))
+    # one metadata load, both plans from it (review finding: plan_scan
+    # twice re-walked every manifest)
+    _v, meta, _t = _current_state_meta(tdir)
+    planned = _plan_from_meta(meta, None, ("kafka.offset", lo, hi))
+    n_total = len(_plan_from_meta(meta, None))
     rows = (
         spark.read.option("basePath", tdir)
         .parquet(*sorted(f["file_path"] for f in planned))

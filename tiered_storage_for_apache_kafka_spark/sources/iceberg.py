@@ -372,7 +372,7 @@ def _column_stats_fields(
     mapped = sorted(
         (leaf_ids[p], st)
         for p, st in column_stats.items()
-        if p in leaf_ids
+        if st is not None and p in leaf_ids  # None = poisoned, unpublished
     )
     for fid, st in mapped:
         vc.append({"key": fid, "value": int(st["n"])})
@@ -614,23 +614,42 @@ def _discover_data_files(table_dir: str, partition_col: str) -> list[dict]:
 
 def _fold_column_stats(col_stats: dict, col, rg_rows: int) -> None:
     """Fold one row-group column chunk's footer stats into the per-file
-    aggregate (min/max/null-count/value-count keyed by leaf path)."""
+    aggregate (min/max/null-count/value-count keyed by leaf path).
+
+    A column is POISONED (entry set to None, never published) when any
+    chunk lacks min/max or reports a non-plain-integer value (pyarrow
+    returns datetime objects for timestamp/date logical types): partial
+    stats would publish too-narrow bounds / undercounted nulls, and an
+    external engine pruning on them would silently drop rows — no stats
+    is always safe, wrong stats never are."""
+    path = col.path_in_schema
+    if col_stats.get(path, False) is None:
+        return  # already poisoned by an earlier chunk
     st = col.statistics
-    if st is None or not st.has_min_max:
+    plain_ints = (
+        st is not None
+        and st.has_min_max
+        and isinstance(st.min, int)
+        and isinstance(st.max, int)
+        and not isinstance(st.min, bool)
+        and st.null_count is not None
+    )
+    if not plain_ints:
+        col_stats[path] = None
         return
-    cur = col_stats.get(col.path_in_schema)
+    cur = col_stats.get(path)
     if cur is None:
-        col_stats[col.path_in_schema] = {
+        col_stats[path] = {
             "min": st.min,
             "max": st.max,
-            "nulls": st.null_count or 0,
+            "nulls": st.null_count,
             "n": rg_rows,
             "physical": col.physical_type,
         }
         return
     cur["min"] = min(cur["min"], st.min)
     cur["max"] = max(cur["max"], st.max)
-    cur["nulls"] += st.null_count or 0
+    cur["nulls"] += st.null_count
     cur["n"] += rg_rows
 
 
@@ -2143,20 +2162,19 @@ def create_ref(
             now_ms,
         )
         return resp["metadata"]
-    new_meta = dict(meta)
     refs = dict(meta.get("refs") or {})
     refs[name] = {"snapshot-id": snapshot_id, "type": kind}
-    new_meta["refs"] = refs
-    new_meta["last-updated-ms"] = now_ms
-    meta_dir = os.path.join(table_dir, "metadata")
-    new_meta["metadata-log"] = meta.get("metadata-log", []) + [
-        {
-            "timestamp-ms": meta["last-updated-ms"],
-            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
-        }
-    ]
-    _write_metadata_version(meta_dir, version + 1, new_meta)
-    return new_meta
+    return _commit_refs_local(
+        table_dir,
+        version,
+        meta,
+        refs,
+        now_ms,
+        # moving main IS moving the head (same invariant the catalog
+        # path's set-snapshot-ref keeps): refs.main and
+        # current-snapshot-id must never diverge
+        current_snapshot_id=snapshot_id if name == "main" else None,
+    )
 
 
 def drop_ref(
@@ -2189,8 +2207,24 @@ def drop_ref(
             now_ms,
         )
         return resp["metadata"]
+    return _commit_refs_local(table_dir, version, meta, refs, now_ms)
+
+
+def _commit_refs_local(
+    table_dir: str,
+    version: int,
+    meta: dict,
+    refs: dict,
+    now_ms: int,
+    current_snapshot_id: int | None = None,
+) -> dict:
+    """Shared metadata-only commit for the file-layout ref operations:
+    new refs map (+ optionally a moved head), metadata-log chain entry,
+    next version + hint."""
     new_meta = dict(meta)
     new_meta["refs"] = refs
+    if current_snapshot_id is not None:
+        new_meta["current-snapshot-id"] = current_snapshot_id
     new_meta["last-updated-ms"] = now_ms
     meta_dir = os.path.join(table_dir, "metadata")
     new_meta["metadata-log"] = meta.get("metadata-log", []) + [
