@@ -1681,3 +1681,71 @@ class TestColumnStatsSafety:
         assert meta["current-snapshot-id"] == first
         assert meta["refs"]["main"]["snapshot-id"] == first
         assert ice.read_iceberg_table(spark, tdir).count() == 200
+
+
+class TestIncrementalScan:
+    """Incremental append scan between snapshots (the batch form of
+    Iceberg's start-snapshot-id read): appended files only, compaction
+    never mistaken for data, deletes in range rejected."""
+
+    def _banded3(self, spark, tmp_path):
+        return TestColumnBoundsPruning()._banded(spark, tmp_path)
+
+    def test_appended_rows_only(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir = self._banded3(spark, tmp_path)
+        meta = ice.read_table_metadata(tdir)["metadata"]
+        snaps = [s["snapshot-id"] for s in meta["snapshots"]]
+        assert len(snaps) == 3
+        inc = ice.read_iceberg_incremental(spark, tdir, snaps[0])
+        assert inc.count() == 200  # bands 1-2 only
+        assert inc.agg({"kafka.offset": "min"}).collect()[0][0] == 100
+        mid = ice.read_iceberg_incremental(spark, tdir, snaps[0], snaps[1])
+        assert mid.count() == 100  # band 1 exactly
+        # from == to -> empty, typed
+        assert ice.read_iceberg_incremental(
+            spark, tdir, snaps[2], snaps[2]
+        ).count() == 0
+
+    def test_compaction_is_not_new_data(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir = self._banded3(spark, tmp_path)
+        meta = ice.read_table_metadata(tdir)["metadata"]
+        first = meta["snapshots"][0]["snapshot-id"]
+        last = meta["snapshots"][-1]["snapshot-id"]
+        n_before = ice.read_iceberg_incremental(spark, tdir, first).count()
+        ice.rewrite_manifests(tdir)
+        # carried entries keep their sequence numbers: the same window
+        # yields the same rows, and scanning past compaction adds none
+        assert ice.read_iceberg_incremental(
+            spark, tdir, first, last
+        ).count() == n_before
+        assert ice.read_iceberg_incremental(spark, tdir, last).count() == 0
+
+    def test_delete_in_window_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir = self._banded3(spark, tmp_path)
+        meta = ice.read_table_metadata(tdir)["metadata"]
+        first = meta["snapshots"][0]["snapshot-id"]
+        ice.commit_position_deletes(spark, tdir, "kafka.offset % 50 = 3")
+        with _pytest.raises(ValueError, match="row-delta delete"):
+            ice.plan_incremental_scan(tdir, first)
+        # a window that STOPS before the delete still works
+        ok = ice.plan_incremental_scan(
+            tdir, first, meta["snapshots"][-1]["snapshot-id"]
+        )
+        assert len(ok) == 4  # bands 1-2, 2 files each
+
+    def test_expired_from_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir = self._banded3(spark, tmp_path)
+        with _pytest.raises(ValueError, match="expired or never existed"):
+            ice.plan_incremental_scan(tdir, 999)

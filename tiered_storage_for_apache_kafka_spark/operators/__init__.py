@@ -51,6 +51,7 @@ _DEMOTE = [
     # the r7 promote slice (in-repo DuckDB gate covers them meanwhile):
     "iceberg_tag_read",
     "iceberg_bounds_pruned_scan",
+    "iceberg_incremental_scan",
     "set_ops_customer_segments",
     "semi_anti_join_orders",
     # green r5, logic unchanged in r6 — demoted to make window room for

@@ -1516,3 +1516,57 @@ def iceberg_bounds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_files_total", FX.lit(n_total).cast("bigint"))
     )
+
+
+@query(
+    "iceberg_incremental_scan",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       MIN(event_id) AS min_new_offset,
+       MAX(event_id) AS max_new_offset
+FROM events
+WHERE event_id >= {BOUNDS_BAND}
+GROUP BY event_type
+""",
+)
+def iceberg_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan hash-verified end-to-end: over the
+    banded table (one snapshot per {BOUNDS_BAND}-offset commit, shared
+    with `iceberg_bounds_pruned_scan`), read everything appended AFTER
+    the first snapshot via `read_iceberg_incremental` — the
+    consume-only-the-new-shards step an incremental training-data
+    pipeline runs between corpus releases. Selection is by data
+    sequence number, so `rewrite_manifests` can never be mistaken for
+    new data (pinned in TestIncrementalScan), and a row-delta delete
+    inside the window is an explicit error rather than a silent wrong
+    changelog. The oracle recomputes the appended row set relationally
+    (everything past band 0).
+
+    Scale: planning reads manifests only (no file listing); the scan
+    reads exactly the appended files — cost tracks the DELTA size, not
+    the table size."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_incremental,
+        read_table_metadata,
+    )
+
+    # build (or reuse) the banded table via the bounds query's cache
+    iceberg_bounds_pruned_scan(spark, sf_dir)
+    (tdir,) = _ICEBERG_BANDS_CACHE[_cache_key(spark, sf_dir)]
+    first = read_table_metadata(tdir)["metadata"]["snapshots"][0][
+        "snapshot-id"
+    ]
+    inc = read_iceberg_incremental(spark, tdir, first)
+    return (
+        inc.select(
+            F.col("key").cast("string").alias("event_type"),
+            F.col("kafka.offset").alias("off"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_new"),
+            F.min("off").alias("min_new_offset"),
+            F.max("off").alias("max_new_offset"),
+        )
+    )

@@ -1998,6 +1998,88 @@ def read_iceberg_table(
     return _read_snapshot(spark, table_dir, meta, cur, partition_value)
 
 
+def plan_incremental_scan(
+    table_dir: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> list[dict]:
+    """Iceberg incremental APPEND scan (what Spark's
+    ``spark.readStream.format("iceberg")`` and batch
+    ``start-snapshot-id`` options plan): the data files appended
+    STRICTLY AFTER ``from_snapshot_id`` up to and including
+    ``to_snapshot_id`` (default: current). Selection is by data
+    sequence number — robust across `rewrite_manifests`, whose
+    carried-over entries keep their original sequence numbers, so
+    compaction is never mistaken for new data.
+
+    A row-delta (delete) snapshot inside the window is an explicit
+    error, exactly like the Java incremental append scan: silently
+    handing a consumer appended rows while hiding that other rows were
+    retracted would corrupt any downstream incremental materialization.
+    An expired ``from_snapshot_id`` is an error too (the changelog gap
+    is unrecoverable; re-bootstrap from a full scan)."""
+    _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    return _plan_incremental_from_meta(meta, from_snapshot_id, to_snapshot_id)
+
+
+def _plan_incremental_from_meta(
+    meta: dict, from_snapshot_id: int, to_snapshot_id: int | None
+) -> list[dict]:
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if from_snapshot_id not in by_id:
+        raise ValueError(
+            f"from snapshot {from_snapshot_id} expired or never existed — "
+            "re-bootstrap from a full scan"
+        )
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id", -1)
+    if to_snapshot_id not in by_id:
+        raise ValueError(f"to snapshot {to_snapshot_id} not found")
+    from_seq = int(by_id[from_snapshot_id]["sequence-number"])
+    to_seq = int(by_id[to_snapshot_id]["sequence-number"])
+    if to_seq < from_seq:
+        raise ValueError("to snapshot predates from snapshot")
+    for s in meta["snapshots"]:
+        seq = int(s["sequence-number"])
+        if from_seq < seq <= to_seq and s["summary"].get("operation") == "delete":
+            raise ValueError(
+                f"snapshot {s['snapshot-id']} in the incremental window is a "
+                "row-delta delete; an append-only changelog cannot represent it"
+            )
+    data, _deletes = _plan_snapshot(by_id[to_snapshot_id], None)
+    return [
+        {k: v for k, v in d.items() if k != "_seq"}
+        for d in data
+        if from_seq < d["_seq"] <= to_seq
+    ]
+
+
+def read_iceberg_incremental(
+    spark,
+    table_dir: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+):
+    """The rows appended between two snapshots (see
+    :func:`plan_incremental_scan`) — the batch form of an incremental
+    training-data ingestion step: each run consumes exactly the new
+    corpus shards, never rereads history. One metadata load serves both
+    the plan and the schema typing."""
+    _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    files = _plan_incremental_from_meta(
+        meta, from_snapshot_id, to_snapshot_id
+    )
+    if not files:
+        return _empty_table_df(spark, meta)
+    return _read_planned_files(
+        spark, table_dir, meta, [f["file_path"] for f in files]
+    )
+
+
 def _empty_table_df(spark, meta: dict):
     """A valid ZERO-ROW scan typed from the table's current schema."""
     return spark.createDataFrame(
