@@ -324,3 +324,204 @@ def test_write_path_validation_and_abort(spark, tmp_path):
     assert mgr.backend.list_keys(writer2._staging_prefix()) == []
     remaining = mgr.backend.list_keys("")
     assert remaining and all(not k.startswith("_staging/") for k in remaining)
+
+
+class TestIcebergIncrementalStream:
+    """Streaming read of the Iceberg metadata plane: one micro-batch
+    per admitted snapshot window, compaction invisible, deletes fail
+    the batch explicitly."""
+
+    def _banded(self, spark, tmp_path, n_bands=3):
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir = str(tmp_path / "stream_table")
+        for band in range(n_bands):
+            df = (
+                spark.range(band * 100, band * 100 + 100)
+                .select(
+                    (F.col("id") % 2).cast("int").alias("partition"),
+                    F.struct(
+                        (F.col("id") % 2).cast("int").alias("partition"),
+                        F.col("id").alias("offset"),
+                        (F.col("id") * 1000).alias("timestamp_us"),
+                        F.col("id").alias("batch_base_offset"),
+                        F.lit(0).cast("long").alias("batch_byte_offset"),
+                        F.lit(f"seg-{band}").alias("segment_uuid"),
+                    ).alias("kafka"),
+                    F.array().cast(
+                        "array<struct<key:string,value:binary>>"
+                    ).alias("headers"),
+                    F.encode(F.col("id").cast("string"), "UTF-8").alias("key"),
+                    F.encode(F.col("id").cast("string"), "UTF-8").alias("value"),
+                )
+                .coalesce(1)
+            )
+            schema = df.schema
+            write_table(df, tdir)
+            ice.commit_append(tdir, schema)
+        return tdir
+
+    def test_available_now_consumes_all_snapshots(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+            register,
+        )
+
+        register(spark)
+        tdir = self._banded(spark, tmp_path)
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        q = (
+            spark.readStream.format("iceberg_inc")
+            .option("path", tdir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() == 300
+        assert got.agg({"kafka.offset": "max"}).collect()[0][0] == 299
+        # hive partition column reattached correctly
+        assert got.where("partition = kafka.partition").count() == 300
+
+    def test_throttled_resume_consumes_delta_only(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+            register,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        register(spark)
+        tdir = self._banded(spark, tmp_path)
+        out = str(tmp_path / "out2")
+        ckpt = str(tmp_path / "ckpt2")
+
+        def run_once():
+            q = (
+                spark.readStream.format("iceberg_inc")
+                .option("path", tdir)
+                .option("maxSnapshotsPerTrigger", "1")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        assert spark.read.parquet(out).count() == 300
+        # compaction, then one more band: restart reads ONLY the new band
+        ice.rewrite_manifests(tdir)
+        df = (
+            spark.range(300, 400)
+            .select(
+                (F.col("id") % 2).cast("int").alias("partition"),
+                F.struct(
+                    (F.col("id") % 2).cast("int").alias("partition"),
+                    F.col("id").alias("offset"),
+                    (F.col("id") * 1000).alias("timestamp_us"),
+                    F.col("id").alias("batch_base_offset"),
+                    F.lit(0).cast("long").alias("batch_byte_offset"),
+                    F.lit("seg-3").alias("segment_uuid"),
+                ).alias("kafka"),
+                F.array().cast(
+                    "array<struct<key:string,value:binary>>"
+                ).alias("headers"),
+                F.encode(F.col("id").cast("string"), "UTF-8").alias("key"),
+                F.encode(F.col("id").cast("string"), "UTF-8").alias("value"),
+            )
+            .coalesce(1)
+        )
+        write_table(df, tdir)
+        ice.commit_append(tdir, df.schema)
+        run_once()
+        got = spark.read.parquet(out)
+        assert got.count() == 400  # 300 + the new band, never re-read
+        assert got.select("kafka.offset").distinct().count() == 400
+
+    def test_throttle_binds_with_state_dir(self, spark, tmp_path):
+        """With throttleStateDir the cap is effective from the first
+        batch of a resumed run: 3 new snapshots at cap=1 -> 3 distinct
+        micro-batches (counted from the checkpoint offsets log)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+            register,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        register(spark)
+        tdir = self._banded(spark, tmp_path, n_bands=1)
+        out = str(tmp_path / "out3")
+        ckpt = str(tmp_path / "ckpt3")
+        state = os.path.join(ckpt, "throttle")
+
+        def run_once():
+            q = (
+                spark.readStream.format("iceberg_inc")
+                .option("path", tdir)
+                .option("maxSnapshotsPerTrigger", "1")
+                .option("throttleStateDir", state)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        for band in range(1, 4):
+            df = (
+                spark.range(band * 100, band * 100 + 100)
+                .select(
+                    (F.col("id") % 2).cast("int").alias("partition"),
+                    F.struct(
+                        (F.col("id") % 2).cast("int").alias("partition"),
+                        F.col("id").alias("offset"),
+                        (F.col("id") * 1000).alias("timestamp_us"),
+                        F.col("id").alias("batch_base_offset"),
+                        F.lit(0).cast("long").alias("batch_byte_offset"),
+                        F.lit(f"seg-{band}").alias("segment_uuid"),
+                    ).alias("kafka"),
+                    F.array().cast(
+                        "array<struct<key:string,value:binary>>"
+                    ).alias("headers"),
+                    F.encode(F.col("id").cast("string"), "UTF-8").alias("key"),
+                    F.encode(F.col("id").cast("string"), "UTF-8").alias("value"),
+                )
+                .coalesce(1)
+            )
+            write_table(df, tdir)
+            ice.commit_append(tdir, df.schema)
+        # availableNow fixes its endpoint at the run's first
+        # latestOffset, so cap=1 admits exactly ONE snapshot per run:
+        # three runs drain the three new snapshots one at a time
+        counts = []
+        for _ in range(3):
+            run_once()
+            counts.append(spark.read.parquet(out).count())
+        assert counts == [200, 300, 400]
+        # a fourth run finds nothing new
+        run_once()
+        assert spark.read.parquet(out).count() == 400

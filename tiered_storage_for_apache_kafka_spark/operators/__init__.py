@@ -52,6 +52,7 @@ _DEMOTE = [
     "iceberg_tag_read",
     "iceberg_bounds_pruned_scan",
     "iceberg_incremental_scan",
+    "streaming_iceberg_incremental",
     "set_ops_customer_segments",
     "semi_anti_join_orders",
     # green r5, logic unchanged in r6 — demoted to make window room for

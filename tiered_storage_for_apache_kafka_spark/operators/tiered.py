@@ -1570,3 +1570,72 @@ def iceberg_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("off").alias("max_new_offset"),
         )
     )
+
+
+_ICEBERG_STREAM_READ_CACHE: dict[tuple, str] = {}
+
+
+@query(
+    "streaming_iceberg_incremental",
+    oracle=f"""
+SELECT CAST(event_id % 4 AS INT) AS partition,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(event_id) AS min_offset,
+       MAX(event_id) AS max_offset
+FROM events
+GROUP BY 1
+""",
+)
+def streaming_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ half of the streaming Iceberg loop: the banded table
+    (one snapshot per offset band) is consumed through the
+    `iceberg_inc` Python DataSource — Iceberg's snapshot-incremental
+    streaming read protocol: offsets are data sequence numbers and
+    every appended file flows exactly once into the sink (parquet +
+    checkpoint). `maxSnapshotsPerTrigger` caps steady-state batches;
+    the FIRST trigger of a fresh query is unthrottled (the same
+    documented contract as the segment source, which needs a persisted
+    base to throttle from), so this availableNow pass is one batch at
+    any SF. The sink is then aggregated per partition and
+    hash-verified against raw `events` — the whole corpus, each row
+    exactly once, no band skipped or re-read across micro-batches.
+
+    Scale: latestOffset reads only metadata.json; each batch reads only
+    that snapshot's appended files (cost tracks the delta); the
+    throttle turns a backfill into bounded batches — the same contract
+    as the segment stream source and Iceberg's JVM streaming read."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+        register,
+    )
+
+    key = _cache_key(spark, sf_dir)
+    out = _ICEBERG_STREAM_READ_CACHE.get(key)
+    if out is None:
+        # build (or reuse) the banded multi-snapshot table
+        iceberg_bounds_pruned_scan(spark, sf_dir)
+        (tdir,) = _ICEBERG_BANDS_CACHE[key]
+        register(spark)
+        out = tempfile.mkdtemp(prefix="iceberg-stream-read-")
+        ckpt = tempfile.mkdtemp(prefix="iceberg-stream-read-ck-")
+        q = (
+            spark.readStream.format("iceberg_inc")
+            .option("path", tdir)
+            .option("maxSnapshotsPerTrigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        session_cache_put(_ICEBERG_STREAM_READ_CACHE, key, out)
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("partition"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("kafka.offset").alias("min_offset"),
+            F.max("kafka.offset").alias("max_offset"),
+        )
+    )

@@ -1,0 +1,217 @@
+"""Streaming READ of the Iceberg metadata plane: a PySpark (v4) Python
+DataSource that turns each committed snapshot into micro-batch input —
+the consume side of the exactly-once streaming commits in
+`streaming/ingest.py`, and the protocol shape of Iceberg's own Spark
+streaming source (`spark.readStream.format("iceberg")`, which plans
+appended files per snapshot via the incremental append scan).
+
+Offset model: ``{"seq": last-planned-data-sequence-number}`` — one
+monotonic long, because the table's sequence number IS the changelog
+position (every commit increments it exactly once). ``latestOffset``
+reads only ``metadata.json`` (no manifest I/O); ``partitions`` plans the
+appended files for the (start, end] window with the same
+sequence-number selection as :func:`plan_incremental_scan`, so
+`rewrite_manifests` snapshots contribute nothing and a row-delta delete
+inside the window fails the batch explicitly rather than emitting a
+wrong append-only changelog.
+
+``maxSnapshotsPerTrigger`` bounds how many commits one micro-batch
+admits (the analog of the segment source's ``maxSegmentsPerTrigger``
+and Iceberg's own option of the same name); a backfill over a
+long-lived table becomes a sequence of bounded batches.
+
+Production note: on a JVM cluster the Iceberg Spark source does this
+natively; this Python DataSource proves the protocol against THIS
+repo's metadata plane (executor-side pyarrow file reads, Arrow-batch
+hand-off — no row-at-a-time Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class IcebergFilePartition(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class IcebergIncrementalStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.table_dir = options.get("path") or options.get("table_dir")
+        if not self.table_dir:
+            raise ValueError("iceberg_inc requires .option('path', <table dir>)")
+        cap = options.get(
+            "maxsnapshotspertrigger", options.get("maxSnapshotsPerTrigger")
+        )
+        self.max_snapshots_per_trigger = int(cap) if cap is not None else None
+        start = options.get("startingsequencenumber")
+        self._start_seq = int(start) if start is not None else 0
+        # monotonic guard: latestOffset may fire BEFORE initialOffset in
+        # the DSv2 lifecycle, and must never regress a reported offset
+        self._reported: int | None = None
+        self._committed: int | None = None
+        # optional persisted throttle base (same contract as the segment
+        # source's throttleStateDir): without it a fresh query's first
+        # trigger is unthrottled because no safe base exists yet
+        self._state_file = None
+        state_dir = options.get(
+            "throttlestatedir", options.get("throttleStateDir")
+        )
+        if state_dir:
+            import json as _json
+            import os as _os
+
+            self._state_file = _os.path.join(state_dir, "planned-seq.json")
+            if _os.path.exists(self._state_file):
+                with open(self._state_file) as fh:
+                    self._reported = int(_json.load(fh)["seq"])
+
+    def _persist_reported(self) -> None:
+        if not self._state_file:
+            return
+        import json as _json
+        import os as _os
+        import tempfile as _tempfile
+
+        d = _os.path.dirname(self._state_file)
+        _os.makedirs(d, exist_ok=True)
+        fd, tmp = _tempfile.mkstemp(dir=d, prefix=".planned-")
+        with _os.fdopen(fd, "w") as fh:
+            _json.dump({"seq": self._reported}, fh)
+        _os.replace(tmp, self._state_file)
+
+    def _meta(self) -> dict:
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _current_state_meta,
+        )
+
+        _v, meta, _t = _current_state_meta(self.table_dir)
+        return meta
+
+    def initialOffset(self) -> dict:
+        self._committed = max(self._start_seq, self._committed or 0)
+        return {"seq": self._start_seq}
+
+    def latestOffset(self) -> dict:
+        meta = self._meta()
+        cur = max(
+            (int(s["sequence-number"]) for s in meta.get("snapshots", [])),
+            default=0,
+        )
+        base = max(
+            self._start_seq,
+            self._committed or 0,
+            self._reported or 0,
+        )
+        cap = self.max_snapshots_per_trigger
+        if cap is not None and self._reported is not None:
+            # throttle only once a safe base exists (first trigger of a
+            # fresh query has none — same contract as the segment source)
+            out = min(cur, base + cap)
+        else:
+            out = cur
+        out = max(out, base)
+        self._reported = out
+        self._persist_reported()
+        return {"seq": out}
+
+    def partitions(self, start: dict, end: dict) -> list[IcebergFilePartition]:
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _plan_snapshot,
+        )
+
+        self._committed = max(int(start["seq"]), self._committed or 0)
+        lo, hi = int(start["seq"]), int(end["seq"])
+        out: list[IcebergFilePartition] = []
+        if hi > lo:
+            meta = self._meta()
+            snaps = [
+                s
+                for s in meta.get("snapshots", [])
+                if int(s["sequence-number"]) <= hi
+            ]
+            for s in snaps:
+                if (
+                    lo < int(s["sequence-number"]) <= hi
+                    and s["summary"].get("operation") == "delete"
+                ):
+                    raise ValueError(
+                        f"snapshot {s['snapshot-id']} in the micro-batch "
+                        "window is a row-delta delete; an append-only "
+                        "stream cannot represent it"
+                    )
+            if snaps:
+                head = max(snaps, key=lambda s: int(s["sequence-number"]))
+                data, _deletes = _plan_snapshot(head, None)
+                out = [
+                    IcebergFilePartition(d["file_path"])
+                    for d in data
+                    if lo < d["_seq"] <= hi
+                ]
+        if not out:
+            out.append(IcebergFilePartition(""))  # empty-batch sentinel
+        return out
+
+    def read(self, partition: IcebergFilePartition):
+        if not partition.file_path:
+            return
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # hive-partitioned files carry the partition VALUE in the path,
+        # not in the file (same reason the batch readers pass basePath);
+        # reattach it as the leading column the table schema declares
+        part_val = None
+        for seg in partition.file_path.split(os.sep):
+            if seg.startswith("partition="):
+                part_val = int(seg.split("=", 1)[1])
+        for batch in pq.ParquetFile(partition.file_path).iter_batches():
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([part_val] * batch.num_rows, pa.int32()),
+                    *batch.columns,
+                ],
+                names=["partition", *batch.schema.names],
+            )
+
+    def commit(self, end: dict) -> None:
+        self._committed = max(int(end["seq"]), self._committed or 0)
+
+
+class IcebergIncrementalDataSource(DataSource):
+    """`spark.readStream.format("iceberg_inc").option("path", table_dir)`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_inc"
+
+    def schema(self):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _current_state_meta,
+            iceberg_schema_to_spark,
+        )
+
+        _v, meta, _t = _current_state_meta(
+            self.options.get("path") or self.options.get("table_dir")
+        )
+        return iceberg_schema_to_spark(
+            next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )
+        )
+
+    def streamReader(self, schema) -> IcebergIncrementalStreamReader:
+        return IcebergIncrementalStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(IcebergIncrementalDataSource)
