@@ -326,14 +326,39 @@ def test_write_path_validation_and_abort(spark, tmp_path):
     assert remaining and all(not k.startswith("_staging/") for k in remaining)
 
 
+def _band_df(spark, start, end, seg):
+    """One offset band of the envelope (shared by the iceberg_inc
+    stream tests; single writer task -> one file per partition dir)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(start, end)
+        .select(
+            (F.col("id") % 2).cast("int").alias("partition"),
+            F.struct(
+                (F.col("id") % 2).cast("int").alias("partition"),
+                F.col("id").alias("offset"),
+                (F.col("id") * 1000).alias("timestamp_us"),
+                F.col("id").alias("batch_base_offset"),
+                F.lit(0).cast("long").alias("batch_byte_offset"),
+                F.lit(seg).alias("segment_uuid"),
+            ).alias("kafka"),
+            F.array().cast(
+                "array<struct<key:string,value:binary>>"
+            ).alias("headers"),
+            F.encode(F.col("id").cast("string"), "UTF-8").alias("key"),
+            F.encode(F.col("id").cast("string"), "UTF-8").alias("value"),
+        )
+        .coalesce(1)
+    )
+
+
 class TestIcebergIncrementalStream:
     """Streaming read of the Iceberg metadata plane: one micro-batch
     per admitted snapshot window, compaction invisible, deletes fail
     the batch explicitly."""
 
     def _banded(self, spark, tmp_path, n_bands=3):
-        from pyspark.sql import functions as F
-
         from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
         from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
             write_table,
@@ -341,29 +366,9 @@ class TestIcebergIncrementalStream:
 
         tdir = str(tmp_path / "stream_table")
         for band in range(n_bands):
-            df = (
-                spark.range(band * 100, band * 100 + 100)
-                .select(
-                    (F.col("id") % 2).cast("int").alias("partition"),
-                    F.struct(
-                        (F.col("id") % 2).cast("int").alias("partition"),
-                        F.col("id").alias("offset"),
-                        (F.col("id") * 1000).alias("timestamp_us"),
-                        F.col("id").alias("batch_base_offset"),
-                        F.lit(0).cast("long").alias("batch_byte_offset"),
-                        F.lit(f"seg-{band}").alias("segment_uuid"),
-                    ).alias("kafka"),
-                    F.array().cast(
-                        "array<struct<key:string,value:binary>>"
-                    ).alias("headers"),
-                    F.encode(F.col("id").cast("string"), "UTF-8").alias("key"),
-                    F.encode(F.col("id").cast("string"), "UTF-8").alias("value"),
-                )
-                .coalesce(1)
-            )
-            schema = df.schema
+            df = _band_df(spark, band * 100, band * 100 + 100, f"seg-{band}")
             write_table(df, tdir)
-            ice.commit_append(tdir, schema)
+            ice.commit_append(tdir, df.schema)
         return tdir
 
     def test_available_now_consumes_all_snapshots(self, spark, tmp_path):
@@ -426,26 +431,7 @@ class TestIcebergIncrementalStream:
         assert spark.read.parquet(out).count() == 300
         # compaction, then one more band: restart reads ONLY the new band
         ice.rewrite_manifests(tdir)
-        df = (
-            spark.range(300, 400)
-            .select(
-                (F.col("id") % 2).cast("int").alias("partition"),
-                F.struct(
-                    (F.col("id") % 2).cast("int").alias("partition"),
-                    F.col("id").alias("offset"),
-                    (F.col("id") * 1000).alias("timestamp_us"),
-                    F.col("id").alias("batch_base_offset"),
-                    F.lit(0).cast("long").alias("batch_byte_offset"),
-                    F.lit("seg-3").alias("segment_uuid"),
-                ).alias("kafka"),
-                F.array().cast(
-                    "array<struct<key:string,value:binary>>"
-                ).alias("headers"),
-                F.encode(F.col("id").cast("string"), "UTF-8").alias("key"),
-                F.encode(F.col("id").cast("string"), "UTF-8").alias("value"),
-            )
-            .coalesce(1)
-        )
+        df = _band_df(spark, 300, 400, "seg-3")
         write_table(df, tdir)
         ice.commit_append(tdir, df.schema)
         run_once()
@@ -492,26 +478,7 @@ class TestIcebergIncrementalStream:
 
         run_once()
         for band in range(1, 4):
-            df = (
-                spark.range(band * 100, band * 100 + 100)
-                .select(
-                    (F.col("id") % 2).cast("int").alias("partition"),
-                    F.struct(
-                        (F.col("id") % 2).cast("int").alias("partition"),
-                        F.col("id").alias("offset"),
-                        (F.col("id") * 1000).alias("timestamp_us"),
-                        F.col("id").alias("batch_base_offset"),
-                        F.lit(0).cast("long").alias("batch_byte_offset"),
-                        F.lit(f"seg-{band}").alias("segment_uuid"),
-                    ).alias("kafka"),
-                    F.array().cast(
-                        "array<struct<key:string,value:binary>>"
-                    ).alias("headers"),
-                    F.encode(F.col("id").cast("string"), "UTF-8").alias("key"),
-                    F.encode(F.col("id").cast("string"), "UTF-8").alias("value"),
-                )
-                .coalesce(1)
-            )
+            df = _band_df(spark, band * 100, band * 100 + 100, f"seg-{band}")
             write_table(df, tdir)
             ice.commit_append(tdir, df.schema)
         # availableNow fixes its endpoint at the run's first

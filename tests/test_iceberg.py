@@ -1749,3 +1749,46 @@ class TestIncrementalScan:
         tdir = self._banded3(spark, tmp_path)
         with _pytest.raises(ValueError, match="expired or never existed"):
             ice.plan_incremental_scan(tdir, 999)
+
+    def test_window_survives_snapshot_expiration(self, spark, tmp_path):
+        """Planning is by carried sequence numbers from the CURRENT
+        snapshot, so a replayed window stays complete even after every
+        snapshot inside it was expired (round-6 review pin: the stream
+        used to emit an empty batch and silently lose the range)."""
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir = self._banded3(spark, tmp_path)
+        meta = ice.read_table_metadata(tdir)["metadata"]
+        seqs = [int(s["sequence-number"]) for s in meta["snapshots"]]
+        ice.expire_snapshots(tdir, keep_last=1)
+        _v, meta2, _t = ice._current_state_meta(tdir)
+        files = ice._plan_seq_window(meta2, seqs[0], seqs[2])
+        got = (
+            spark.read.option("basePath", tdir)
+            .parquet(*sorted(f["file_path"] for f in files))
+        )
+        assert got.count() == 200  # bands 1-2, intact post-expiry
+
+    def test_delete_detected_after_summary_expired(self, spark, tmp_path):
+        """The delete-in-window check reads the delete FILES (which
+        survive in the current manifests), not snapshot summaries
+        (which expire) — review pin."""
+        import pytest as _pytest
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir = self._banded3(spark, tmp_path)
+        ice.commit_position_deletes(spark, tdir, "kafka.offset % 50 = 3")
+        # advance the head (compaction) and expire everything else: the
+        # delete SNAPSHOT (and its summary) is gone, its files are not
+        ice.rewrite_manifests(tdir)
+        ice.expire_snapshots(tdir, keep_last=1)
+        _v, meta2, _t = ice._current_state_meta(tdir)
+        assert all(
+            s["summary"].get("operation") != "delete"
+            for s in meta2["snapshots"]
+        )
+        lo = 0  # window spanning all history
+        hi = max(int(s["sequence-number"]) for s in meta2["snapshots"])
+        with _pytest.raises(ValueError, match="row-delta delete"):
+            ice._plan_seq_window(meta2, lo, hi)

@@ -1417,6 +1417,43 @@ _ICEBERG_BANDS_CACHE: dict[tuple, tuple] = {}
 BOUNDS_BAND = 500  # offsets per banded commit (sorted-write layout)
 
 
+def _ensure_banded_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session/sf) the sorted-offset-band Iceberg table
+    the bounds/incremental/streaming queries share: one commit per
+    {BOUNDS_BAND}-offset band, one file per (band, partition dir).
+    Returns the table dir without any manifest walking on cache hits
+    (review finding: dependents used to invoke the whole bounds query,
+    paying two full plans just to warm this cache)."""
+    from pyspark.sql import functions as FX
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+        records_to_envelope,
+        write_table,
+    )
+
+    key = _cache_key(spark, sf_dir)
+    cached = _ICEBERG_BANDS_CACHE.get(key)
+    if cached is None:
+        env = records_to_envelope(_records(spark, sf_dir))
+        tdir = tempfile.mkdtemp(prefix="iceberg-bands-")
+        n_bands = env.agg(
+            FX.max(FX.expr(f"kafka.offset div {BOUNDS_BAND}"))
+        ).collect()[0][0]
+        schema = env.schema
+        for band in range(int(n_bands) + 1):
+            part = env.where(
+                FX.expr(f"kafka.offset div {BOUNDS_BAND}") == band
+            ).coalesce(1)
+            write_table(part, tdir)
+            commit_append(tdir, schema)
+        session_cache_put(_ICEBERG_BANDS_CACHE, key, (tdir,))
+        cached = (tdir,)
+    return cached[0]
+
+
 @query(
     "iceberg_bounds_pruned_scan",
     oracle=f"""
@@ -1464,31 +1501,9 @@ def iceberg_bounds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
         _current_state_meta,
         _plan_from_meta,
-        commit_append,
-    )
-    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
-        records_to_envelope,
-        write_table,
     )
 
-    key = _cache_key(spark, sf_dir)
-    cached = _ICEBERG_BANDS_CACHE.get(key)
-    if cached is None:
-        env = records_to_envelope(_records(spark, sf_dir))
-        tdir = tempfile.mkdtemp(prefix="iceberg-bands-")
-        n_bands = env.agg(
-            FX.max(FX.expr(f"kafka.offset div {BOUNDS_BAND}"))
-        ).collect()[0][0]
-        schema = env.schema
-        for band in range(int(n_bands) + 1):
-            part = env.where(
-                FX.expr(f"kafka.offset div {BOUNDS_BAND}") == band
-            ).coalesce(1)
-            write_table(part, tdir)
-            commit_append(tdir, schema)
-        session_cache_put(_ICEBERG_BANDS_CACHE, key, (tdir,))
-        cached = (tdir,)
-    (tdir,) = cached
+    tdir = _ensure_banded_table(spark, sf_dir)
     lo, hi = BOUNDS_BAND, 3 * BOUNDS_BAND - 1
     # one metadata load, both plans from it (review finding: plan_scan
     # twice re-walked every manifest)
@@ -1551,9 +1566,7 @@ def iceberg_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table_metadata,
     )
 
-    # build (or reuse) the banded table via the bounds query's cache
-    iceberg_bounds_pruned_scan(spark, sf_dir)
-    (tdir,) = _ICEBERG_BANDS_CACHE[_cache_key(spark, sf_dir)]
+    tdir = _ensure_banded_table(spark, sf_dir)
     first = read_table_metadata(tdir)["metadata"]["snapshots"][0][
         "snapshot-id"
     ]
@@ -1611,9 +1624,7 @@ def streaming_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     key = _cache_key(spark, sf_dir)
     out = _ICEBERG_STREAM_READ_CACHE.get(key)
     if out is None:
-        # build (or reuse) the banded multi-snapshot table
-        iceberg_bounds_pruned_scan(spark, sf_dir)
-        (tdir,) = _ICEBERG_BANDS_CACHE[key]
+        tdir = _ensure_banded_table(spark, sf_dir)
         register(spark)
         out = tempfile.mkdtemp(prefix="iceberg-stream-read-")
         ckpt = tempfile.mkdtemp(prefix="iceberg-stream-read-ck-")
@@ -1628,7 +1639,11 @@ def streaming_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming Iceberg incremental read did not finish in 300 s"
+            )
         session_cache_put(_ICEBERG_STREAM_READ_CACHE, key, out)
     return (
         spark.read.parquet(out)

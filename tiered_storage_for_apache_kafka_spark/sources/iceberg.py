@@ -298,6 +298,14 @@ def _advance_main(refs: dict | None, snapshot_id: int) -> dict:
     return out
 
 
+def _current_schema_struct(meta: dict) -> dict:
+    """The metadata's current schema struct (single place to fail on a
+    missing/corrupt current-schema-id)."""
+    return next(
+        sc for sc in meta["schemas"] if sc["schema-id"] == meta["current-schema-id"]
+    )
+
+
 def _write_metadata_version(meta_dir: str, version: int, meta: dict) -> None:
     """Write v{N}.metadata.json + version-hint atomically-enough for the
     single-writer model all three maintenance/commit paths share."""
@@ -946,9 +954,7 @@ def _commit_append_once(
     # already-committed manifest before its own commit is rejected.
     commit_uuid = uuid.uuid4().hex[:16]
     entry_schema = manifest_entry_schema(partition_col)
-    schema_struct = next(
-        s for s in base["schemas"] if s["schema-id"] == base["current-schema-id"]
-    )
+    schema_struct = _current_schema_struct(base)
     leaf_ids = _leaf_field_ids(schema_struct)
     entries = [
         {
@@ -1186,9 +1192,7 @@ def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
     map and anti-joins without re-shuffling the corpus."""
     from pyspark.sql import functions as F
 
-    schema_struct = next(
-        sc for sc in meta["schemas"] if sc["schema-id"] == meta["current-schema-id"]
-    )
+    schema_struct = _current_schema_struct(meta)
     id_to_name = {f["id"]: f["name"] for f in schema_struct["fields"]}
     ids_set = {tuple(d["equality_ids"]) for d in eq_entries}
     if len(ids_set) != 1:
@@ -1435,9 +1439,7 @@ def write_equality_deletes(
         # delete path) instead of writing orphan files and crashing in
         # _commit_deletes_once's current-snapshot lookup
         return []
-    schema_struct = next(
-        sc for sc in meta["schemas"] if sc["schema-id"] == meta["current-schema-id"]
-    )
+    schema_struct = _current_schema_struct(meta)
     ids = [_field_id(schema_struct, c) for c in equality_cols]
     missing = [
         c for c in [partition_col, *equality_cols] if c not in keys_df.columns
@@ -1577,9 +1579,7 @@ def _commit_deletes_once(
         }
         for s in sorted(stats, key=lambda s: s["delete_path"])
     ]
-    schema_struct = next(
-        s for s in base["schemas"] if s["schema-id"] == base["current-schema-id"]
-    )
+    schema_struct = _current_schema_struct(base)
     spec = base["partition-specs"][0]
     manifest_path = os.path.join(
         meta_dir, f"{base['table-uuid']}-d{seq}-{commit_uuid}.avro"
@@ -1892,9 +1892,7 @@ def _resolve_bounds(
     if column_bounds is None:
         return None
     path, lo, hi = column_bounds
-    schema_struct = next(
-        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
-    )
+    schema_struct = _current_schema_struct(meta)
     fid = _leaf_field_ids(schema_struct).get(path)
     if fid is None:
         raise KeyError(f"no scalar leaf column {path!r} in the table schema")
@@ -2024,6 +2022,59 @@ def plan_incremental_scan(
     return _plan_incremental_from_meta(meta, from_snapshot_id, to_snapshot_id)
 
 
+def _plan_seq_window(meta: dict, lo_seq: int, hi_seq: int) -> list[dict]:
+    """Data files appended with ``lo_seq < seq <= hi_seq``, planned from
+    the CURRENT snapshot — correct even when every snapshot inside the
+    window has been expired, because carried-over manifest entries keep
+    their original sequence numbers. Shared by the batch incremental
+    scan and the streaming source so their window/delete semantics can
+    never drift.
+
+    Safety: a DELETE FILE with a sequence number inside the window is
+    an explicit error (rows were retracted; an append-only changelog
+    cannot represent it). This checks the delete FILES themselves, not
+    snapshot summaries — summaries disappear with snapshot expiration,
+    the files do not.
+
+    Scale: manifests are pruned by their sequence-number bounds before
+    being opened — ``manifest.sequence_number <= lo`` means every entry
+    is <= lo (entries never postdate their manifest), and
+    ``min_sequence_number > hi`` means every entry is > hi — so a
+    bounded window over a long history opens only the overlapping
+    manifests."""
+    cur_id = meta.get("current-snapshot-id", -1)
+    if cur_id == -1 or hi_seq <= lo_seq:
+        return []
+    cur = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur_id)
+    _, manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+    out: list[dict] = []
+    for mf in manifest_files:
+        if int(mf.get("sequence_number", 0)) <= lo_seq:
+            continue  # every entry predates the window
+        if int(mf.get("min_sequence_number", 0)) > hi_seq:
+            continue  # every entry postdates the window
+        _, entries, _ = read_avro_ocf(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf.get("sequence_number", 0)
+            seq = int(seq)
+            if not (lo_seq < seq <= hi_seq):
+                continue
+            d = e["data_file"]
+            if d.get("content") in (1, 2):
+                raise ValueError(
+                    f"row-delta delete file {d['file_path']} has sequence "
+                    f"number {seq} inside the incremental window ({lo_seq}, "
+                    f"{hi_seq}]; an append-only changelog cannot represent "
+                    "row retraction"
+                )
+            out.append(dict(d))
+    return out
+
+
 def _plan_incremental_from_meta(
     meta: dict, from_snapshot_id: int, to_snapshot_id: int | None
 ) -> list[dict]:
@@ -2041,19 +2092,7 @@ def _plan_incremental_from_meta(
     to_seq = int(by_id[to_snapshot_id]["sequence-number"])
     if to_seq < from_seq:
         raise ValueError("to snapshot predates from snapshot")
-    for s in meta["snapshots"]:
-        seq = int(s["sequence-number"])
-        if from_seq < seq <= to_seq and s["summary"].get("operation") == "delete":
-            raise ValueError(
-                f"snapshot {s['snapshot-id']} in the incremental window is a "
-                "row-delta delete; an append-only changelog cannot represent it"
-            )
-    data, _deletes = _plan_snapshot(by_id[to_snapshot_id], None)
-    return [
-        {k: v for k, v in d.items() if k != "_seq"}
-        for d in data
-        if from_seq < d["_seq"] <= to_seq
-    ]
+    return _plan_seq_window(meta, from_seq, to_seq)
 
 
 def read_iceberg_incremental(
@@ -2083,13 +2122,7 @@ def read_iceberg_incremental(
 def _empty_table_df(spark, meta: dict):
     """A valid ZERO-ROW scan typed from the table's current schema."""
     return spark.createDataFrame(
-        [],
-        iceberg_schema_to_spark(
-            next(
-                s for s in meta["schemas"]
-                if s["schema-id"] == meta["current-schema-id"]
-            )
-        ),
+        [], iceberg_schema_to_spark(_current_schema_struct(meta))
     )
 
 
@@ -2624,9 +2657,7 @@ def _rewrite_manifests_once(
     meta_dir = os.path.join(table_dir, "metadata")
     seq = meta["last-sequence-number"] + 1
     snapshot_id = seq
-    schema_struct = next(
-        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
-    )
+    schema_struct = _current_schema_struct(meta)
     spec = meta["partition-specs"][0]
     compact_uuid = uuid.uuid4().hex[:16]  # same per-attempt token as
     # commit_append: concurrent maintenance must not collide on staged

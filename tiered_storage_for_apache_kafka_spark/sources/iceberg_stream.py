@@ -121,41 +121,43 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
         return {"seq": out}
 
     def partitions(self, start: dict, end: dict) -> list[IcebergFilePartition]:
+        # the shared sequence-window planner (same one the batch
+        # incremental scan uses): plans from the CURRENT snapshot, so a
+        # replayed window stays correct even after every snapshot inside
+        # it was expired (carried entries keep their sequence numbers),
+        # and a delete FILE in the window fails the batch explicitly —
+        # checked on the files, not on expirable snapshot summaries
         from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
-            _plan_snapshot,
+            _plan_seq_window,
         )
 
         self._committed = max(int(start["seq"]), self._committed or 0)
         lo, hi = int(start["seq"]), int(end["seq"])
-        out: list[IcebergFilePartition] = []
-        if hi > lo:
-            meta = self._meta()
-            snaps = [
-                s
-                for s in meta.get("snapshots", [])
-                if int(s["sequence-number"]) <= hi
-            ]
-            for s in snaps:
-                if (
-                    lo < int(s["sequence-number"]) <= hi
-                    and s["summary"].get("operation") == "delete"
-                ):
-                    raise ValueError(
-                        f"snapshot {s['snapshot-id']} in the micro-batch "
-                        "window is a row-delta delete; an append-only "
-                        "stream cannot represent it"
-                    )
-            if snaps:
-                head = max(snaps, key=lambda s: int(s["sequence-number"]))
-                data, _deletes = _plan_snapshot(head, None)
-                out = [
-                    IcebergFilePartition(d["file_path"])
-                    for d in data
-                    if lo < d["_seq"] <= hi
-                ]
+        out = [
+            IcebergFilePartition(d["file_path"])
+            for d in _plan_seq_window(self._meta(), lo, hi)
+        ]
         if not out:
             out.append(IcebergFilePartition(""))  # empty-batch sentinel
         return out
+
+    def _expected_arrow_schema(self):
+        """Arrow schema of the table's CURRENT Iceberg schema — computed
+        once per reader so evolved tables stream correctly (a file
+        written before an add-column lacks the new field; the batch
+        reader pays mergeSchema, the stream pads nulls below)."""
+        if getattr(self, "_arrow_schema", None) is None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+                _current_schema_struct,
+                iceberg_schema_to_spark,
+            )
+
+            self._arrow_schema = to_arrow_schema(
+                iceberg_schema_to_spark(_current_schema_struct(self._meta()))
+            )
+        return self._arrow_schema
 
     def read(self, partition: IcebergFilePartition):
         if not partition.file_path:
@@ -167,19 +169,29 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
 
         # hive-partitioned files carry the partition VALUE in the path,
         # not in the file (same reason the batch readers pass basePath);
-        # reattach it as the leading column the table schema declares
+        # reattach it, and pad columns the file predates (add-as-optional
+        # schema evolution) with nulls, in declared-schema order
         part_val = None
         for seg in partition.file_path.split(os.sep):
             if seg.startswith("partition="):
                 part_val = int(seg.split("=", 1)[1])
+        expected = self._expected_arrow_schema()
         for batch in pq.ParquetFile(partition.file_path).iter_batches():
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array([part_val] * batch.num_rows, pa.int32()),
-                    *batch.columns,
-                ],
-                names=["partition", *batch.schema.names],
-            )
+            cols, names = [], []
+            by_name = {
+                n: batch.column(i) for i, n in enumerate(batch.schema.names)
+            }
+            for field in expected:
+                names.append(field.name)
+                if field.name == "partition":
+                    cols.append(
+                        pa.array([part_val] * batch.num_rows, field.type)
+                    )
+                elif field.name in by_name:
+                    cols.append(by_name[field.name])
+                else:
+                    cols.append(pa.nulls(batch.num_rows, field.type))
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     def commit(self, end: dict) -> None:
         self._committed = max(int(end["seq"]), self._committed or 0)
@@ -198,16 +210,14 @@ class IcebergIncrementalDataSource(DataSource):
             iceberg_schema_to_spark,
         )
 
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _current_schema_struct,
+        )
+
         _v, meta, _t = _current_state_meta(
             self.options.get("path") or self.options.get("table_dir")
         )
-        return iceberg_schema_to_spark(
-            next(
-                s
-                for s in meta["schemas"]
-                if s["schema-id"] == meta["current-schema-id"]
-            )
-        )
+        return iceberg_schema_to_spark(_current_schema_struct(meta))
 
     def streamReader(self, schema) -> IcebergIncrementalStreamReader:
         return IcebergIncrementalStreamReader(self.options)
