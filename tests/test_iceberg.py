@@ -1792,3 +1792,128 @@ class TestIncrementalScan:
         hi = max(int(s["sequence-number"]) for s in meta2["snapshots"])
         with _pytest.raises(ValueError, match="row-delta delete"):
             ice._plan_seq_window(meta2, lo, hi)
+
+
+class TestChangelogScan:
+    """NET changelog between snapshots: typed insert/delete rows on
+    (file, pos) identity — the CDC read the append-only incremental
+    scan refuses."""
+
+    def _committed(self, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+        )
+
+        tdir, df = table
+        commit_append(tdir, df.schema)
+        return tdir, df
+
+    def test_delete_window_emits_deletes(self, table, spark):
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, df = self._committed(table)
+        meta = ice.read_table_metadata(tdir)["metadata"]
+        first = meta["current-snapshot-id"]
+        ice.commit_position_deletes(spark, tdir, "kafka.offset % 5 = 3")
+        log = ice.read_iceberg_changelog(spark, tdir, first)
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in log.groupBy("_change_type").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert by_type == {"delete": 40}  # 200 rows, offsets %5==3
+        assert log.where(
+            "_change_type = 'delete' and kafka.offset % 5 != 3"
+        ).count() == 0
+
+    def test_upsert_window_emits_delete_plus_insert(self, table, spark):
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = self._committed(table)
+        meta = ice.read_table_metadata(tdir)["metadata"]
+        first = meta["current-snapshot-id"]
+        keys = (
+            df.where(F.col("key") == F.lit(b"7"))
+            .select("partition", "key")
+            .distinct()
+        )
+        ice.commit_equality_deletes(spark, tdir, keys, ["key"])
+        write_table(
+            df.where(F.col("key") == F.lit(b"7")).coalesce(1), tdir
+        )
+        ice.commit_append(tdir, df.schema)
+        log = ice.read_iceberg_changelog(spark, tdir, first)
+        rows = log.select("_change_type", "key").collect()
+        assert sorted((r["_change_type"], bytes(r["key"])) for r in rows) == [
+            ("delete", b"7"),
+            ("insert", b"7"),
+        ]
+
+    def test_append_and_delete_net_out(self, table, spark):
+        """A row appended AND deleted inside the window must not appear
+        in the changelog at all."""
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = self._committed(table)
+        meta = ice.read_table_metadata(tdir)["metadata"]
+        first = meta["current-snapshot-id"]
+        extra = (
+            df.where(F.col("kafka.offset") < 10)  # ids 0..9, both parities
+            .withColumn(
+                "kafka",
+                F.col("kafka").withField(
+                    "offset", F.col("kafka.offset") + 1000
+                ),
+            )
+            .coalesce(1)
+        )
+        write_table(extra, tdir)
+        ice.commit_append(tdir, df.schema)
+        # delete half of the JUST-APPENDED rows (and nothing else)
+        ice.commit_position_deletes(
+            spark, tdir, "kafka.offset >= 1000 and kafka.offset % 2 = 0"
+        )
+        log = ice.read_iceberg_changelog(spark, tdir, first)
+        assert log.where("_change_type = 'delete'").count() == 0
+        ins = log.where("_change_type = 'insert'")
+        assert ins.count() == 5  # 10 appended, 5 netted out in-window
+        assert ins.where("kafka.offset % 2 = 0").count() == 0
+
+    def test_append_only_window_is_all_inserts(self, table, spark):
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = self._committed(table)
+        meta = ice.read_table_metadata(tdir)["metadata"]
+        first = meta["current-snapshot-id"]
+        write_table(df.limit(25).coalesce(1), tdir)
+        ice.commit_append(tdir, df.schema)
+        log = ice.read_iceberg_changelog(spark, tdir, first)
+        assert log.groupBy("_change_type").count().collect()[0][0] == "insert"
+        assert log.count() == 25
+        # and the same window through the strict append-only scan agrees
+        inc = ice.read_iceberg_incremental(spark, tdir, first)
+        assert inc.count() == 25
+
+    def test_expired_from_rejected(self, table, spark):
+        import pytest as _pytest
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir, _df = self._committed(table)
+        with _pytest.raises(ValueError, match="expired or never existed"):
+            ice.read_iceberg_changelog(spark, tdir, 424242)

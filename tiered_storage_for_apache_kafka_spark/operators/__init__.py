@@ -53,6 +53,7 @@ _DEMOTE = [
     "iceberg_bounds_pruned_scan",
     "iceberg_incremental_scan",
     "streaming_iceberg_incremental",
+    "iceberg_changelog_scan",
     "set_ops_customer_segments",
     "semi_anti_join_orders",
     # green r5, logic unchanged in r6 — demoted to make window room for

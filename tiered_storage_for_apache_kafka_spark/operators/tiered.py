@@ -1654,3 +1654,56 @@ def streaming_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("kafka.offset").alias("max_offset"),
         )
     )
+
+
+@query(
+    "iceberg_changelog_scan",
+    oracle=f"""
+WITH del_types AS (
+  SELECT DISTINCT event_type FROM events ORDER BY event_type LIMIT 2
+), t0 AS (
+  SELECT MIN(event_type) AS t FROM events
+)
+SELECT 'delete' AS change_type, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+WHERE event_type IN (SELECT event_type FROM del_types)
+GROUP BY event_type
+UNION ALL
+SELECT 'insert', (SELECT t FROM t0),
+       CAST(LEAST({UPSERT_REPLACEMENT_ROWS}, COUNT(*)) AS BIGINT)
+FROM events WHERE event_type = (SELECT t FROM t0)
+""",
+)
+def iceberg_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog read hash-verified end-to-end: over the upsert
+    table (equality-delete two keys, re-append replacements for the
+    first — `iceberg_upsert_scan`'s fixture), `read_iceberg_changelog`
+    emits the NET row-level changes between the pre-upsert snapshot and
+    the head as typed rows: DELETE for every old identity of both keys,
+    INSERT for the replacement rows (new file = new (file, pos)
+    identity — exactly how Iceberg's changelog scan reports an upsert).
+    The oracle recomputes both sides relationally. This is the read the
+    append-only incremental scan refuses when deletes are present —
+    together they cover both halves of Iceberg's incremental-consumption
+    contract.
+
+    Scale: inserts are planned metadata-only (the window's appended
+    files); only pre-window files pay the row-level identity anti-join,
+    pruned to pre-window files on both sides."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_changelog,
+    )
+
+    # build (or reuse) the upsert fixture via its query
+    iceberg_upsert_scan(spark, sf_dir)
+    tdir, first_snapshot = _ICEBERG_UPSERT_CACHE[_cache_key(spark, sf_dir)]
+    log = read_iceberg_changelog(spark, tdir, first_snapshot)
+    return (
+        log.select(
+            F.col("_change_type").alias("change_type"),
+            F.col("key").cast("string").alias("event_type"),
+        )
+        .groupBy("change_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )

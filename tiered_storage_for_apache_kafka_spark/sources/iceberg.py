@@ -2119,6 +2119,81 @@ def read_iceberg_incremental(
     )
 
 
+def read_iceberg_changelog(
+    spark,
+    table_dir: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+):
+    """NET changelog between two snapshots as typed change rows — the
+    CDC read that the append-only incremental scan refuses when deletes
+    are present (Iceberg's changelog scan / Spark's
+    ``create_changelog_view``): every table column plus
+    ``_change_type`` (``insert`` | ``delete``). Row identity is
+    (data file, row position) — the same identity position deletes use
+    — so the diff is exact: a row appended AND deleted inside the
+    window nets out, replacement rows from a CDC upsert surface as
+    deletes of the old identities plus inserts of the new ones.
+
+    Scale shape: inserts are read METADATA-ONLY (the window's appended
+    files, already net of later in-window deletes because the ``to``
+    snapshot's view applies them); only rows of PRE-WINDOW files need
+    the row-level anti-join (old-file rows can only disappear), and
+    both sides of that join are pruned to pre-window files first. No
+    full-table diff is ever materialized."""
+    from pyspark.sql import functions as F
+
+    _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if from_snapshot_id not in by_id:
+        raise ValueError(
+            f"from snapshot {from_snapshot_id} expired or never existed — "
+            "re-bootstrap from a full scan"
+        )
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id", -1)
+    if to_snapshot_id not in by_id:
+        raise ValueError(f"to snapshot {to_snapshot_id} not found")
+    from_seq = int(by_id[from_snapshot_id]["sequence-number"])
+    to_seq = int(by_id[to_snapshot_id]["sequence-number"])
+    if to_seq < from_seq:
+        raise ValueError("to snapshot predates from snapshot")
+    ids = ["__iceberg_file", "__iceberg_pos"]
+    empty = _empty_table_df(spark, meta).withColumn(
+        "_change_type", F.lit("")
+    ).where(F.lit(False))
+    a = _read_snapshot(
+        spark, table_dir, meta, by_id[from_snapshot_id], None,
+        keep_identity=True,
+    )
+    b = _read_snapshot(
+        spark, table_dir, meta, by_id[to_snapshot_id], None,
+        keep_identity=True,
+    )
+    if b is None:
+        return empty  # nothing ever committed up to `to`
+    to_data, _ = _plan_snapshot(by_id[to_snapshot_id], None)
+    window_files = sorted(
+        d["file_path"] for d in to_data if from_seq < d["_seq"] <= to_seq
+    )
+    inserted = (
+        b.where(F.col("__iceberg_file").isin(window_files))
+        .withColumn("_change_type", F.lit("insert"))
+        .drop(*ids)
+    )
+    if a is None:
+        return inserted  # table was empty at `from`: everything is new
+    b_old = b.where(~F.col("__iceberg_file").isin(window_files))
+    deleted = (
+        a.join(b_old.select(*ids), ids, "left_anti")
+        .withColumn("_change_type", F.lit("delete"))
+        .drop(*ids)
+    )
+    return inserted.unionByName(deleted)
+
+
 def _empty_table_df(spark, meta: dict):
     """A valid ZERO-ROW scan typed from the table's current schema."""
     return spark.createDataFrame(
@@ -2126,20 +2201,30 @@ def _empty_table_df(spark, meta: dict):
     )
 
 
-def _read_snapshot(spark, table_dir: str, meta: dict, snap: dict, partition_value):
+def _read_snapshot(
+    spark,
+    table_dir: str,
+    meta: dict,
+    snap: dict,
+    partition_value,
+    keep_identity: bool = False,
+):
     """Plan one snapshot and hand it to Spark, applying the snapshot's
     position deletes when it has any (shared by the current-state and
     time-travel readers, so ``VERSION AS OF`` sees exactly the row set
-    that snapshot defined — deletes included)."""
+    that snapshot defined — deletes included). ``keep_identity=True``
+    retains the ``(__iceberg_file, __iceberg_pos)`` row-identity columns
+    (and returns None for an empty plan) — the changelog reader diffs
+    two snapshots on exactly that identity."""
     data, deletes = _plan_snapshot(snap, partition_value)
     if not data:
-        return _empty_table_df(spark, meta)
+        return None if keep_identity else _empty_table_df(spark, meta)
     paths = [d["file_path"] for d in data]
-    if not deletes:
+    if not deletes and not keep_identity:
         return _read_planned_files(spark, table_dir, meta, paths)
+    df = _read_with_positions(spark, table_dir, meta, paths)
     pos = [d for d in deletes if d.get("content") == 1]
     eq = [d for d in deletes if d.get("content") == 2]
-    df = _read_with_positions(spark, table_dir, meta, paths)
     if eq:
         df = _apply_equality_deletes(
             spark, df, data, eq, meta
@@ -2148,6 +2233,8 @@ def _read_snapshot(spark, table_dir: str, meta: dict, snap: dict, partition_valu
         df = _apply_position_deletes(
             spark, df, data, pos
         )
+    if keep_identity:
+        return df
     return df.drop("__iceberg_file", "__iceberg_pos")
 
 
