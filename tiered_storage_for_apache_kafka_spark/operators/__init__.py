@@ -54,6 +54,7 @@ _DEMOTE = [
     "iceberg_incremental_scan",
     "streaming_iceberg_incremental",
     "iceberg_changelog_scan",
+    "changelog_materialized_counts",
     "set_ops_customer_segments",
     "semi_anti_join_orders",
     # green r5, logic unchanged in r6 — demoted to make window room for

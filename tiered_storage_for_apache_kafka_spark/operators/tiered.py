@@ -1707,3 +1707,86 @@ def iceberg_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type", "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
+
+
+@query(
+    "changelog_materialized_counts",
+    oracle=f"""
+WITH del_types AS (
+  SELECT DISTINCT event_type FROM events ORDER BY event_type LIMIT 2
+), t0 AS (
+  SELECT MIN(event_type) AS t FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(CASE WHEN event_type = (SELECT t FROM t0)
+                     THEN LEAST({UPSERT_REPLACEMENT_ROWS}, COUNT(*))
+                 WHEN event_type IN (SELECT event_type FROM del_types)
+                     THEN 0
+                 ELSE COUNT(*) END AS BIGINT) AS n_maintained,
+       CAST(1 AS BIGINT) AS matches_recompute
+FROM events
+GROUP BY event_type
+""",
+)
+def changelog_materialized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the changelog —
+    the downstream half of CDC: a per-key count aggregate materialized
+    at the pre-upsert snapshot is brought to the head by applying the
+    changelog's +1/-1 deltas (never rescanning the corpus), then
+    checked against a full recompute at the head. `matches_recompute`
+    is pinned to 1 in the oracle, so the driver hash proves the
+    incremental path and the full recompute agree on every key — the
+    invariant that makes changelog-fed aggregate tables trustworthy.
+
+    Scale: the maintained side touches only the changelog (delta-sized);
+    the recompute side is the expensive full pass it replaces — here it
+    doubles as the audit's ground truth, the established audit pattern."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_changelog,
+        read_iceberg_table,
+        read_iceberg_table_at,
+    )
+
+    iceberg_upsert_scan(spark, sf_dir)
+    tdir, first_snapshot = _ICEBERG_UPSERT_CACHE[_cache_key(spark, sf_dir)]
+    base = (
+        read_iceberg_table_at(spark, tdir, first_snapshot)
+        .select(F.col("key").cast("string").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    )
+    deltas = (
+        read_iceberg_changelog(spark, tdir, first_snapshot)
+        .select(
+            F.col("key").cast("string").alias("event_type"),
+            F.when(F.col("_change_type") == "insert", F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("d"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("d").cast("bigint").alias("delta"))
+    )
+    maintained = base.join(deltas, "event_type", "left").select(
+        "event_type",
+        "n_before",
+        (F.col("n_before") + F.coalesce(F.col("delta"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_maintained"),
+    )
+    recomputed = (
+        read_iceberg_table(spark, tdir)
+        .select(F.col("key").cast("string").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_head"))
+    )
+    return maintained.join(recomputed, "event_type", "left").select(
+        "event_type",
+        "n_before",
+        "n_maintained",
+        (
+            F.col("n_maintained") == F.coalesce(F.col("n_head"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("matches_recompute"),
+    )
