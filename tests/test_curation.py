@@ -195,3 +195,22 @@ def test_weighted_sample_pps_is_pps_biased_and_deterministic(spark):
     assert {k: tuple(v) for k, v in rows.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_containment_sketch_accuracy(spark):
+    """Bottom-k containment (k=16): mean absolute error across audited
+    pairs must sit within the sketch's statistical envelope, and the
+    estimator must separate contained from disjoint pairs."""
+    from tiered_storage_for_apache_kafka_spark.operators.curation import (
+        containment_sketch_audit,
+    )
+
+    rows = containment_sketch_audit(spark, SF).collect()
+    assert len(rows) > 50
+    errs = [abs(r["est_pm"] - r["exact_pm"]) for r in rows]
+    # RSE ~ 1/sqrt(16) = 25%; mean |err| well under one sigma
+    assert sum(errs) / len(errs) <= 200, sum(errs) / len(errs)
+    for r in rows:
+        assert 0 <= r["est_pm"] <= 1000
+        assert 0 <= r["exact_pm"] <= 1000
+        assert 0 <= r["n_hits"] <= 16

@@ -692,3 +692,12 @@ def test_jl_projection_plan_is_jvm_narrow(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     read = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "embedding" in read and "label" not in read, read
+
+
+def test_containment_sketch_plan(spark):
+    """Bench sketches broadcast; the train corpus never self-joins."""
+    df = QUERIES["containment_sketch_audit"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

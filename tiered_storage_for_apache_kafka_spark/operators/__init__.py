@@ -55,6 +55,7 @@ _DEMOTE = [
     "streaming_iceberg_incremental",
     "iceberg_changelog_scan",
     "changelog_materialized_counts",
+    "containment_sketch_audit",
     "set_ops_customer_segments",
     "semi_anti_join_orders",
     # green r5, logic unchanged in r6 — demoted to make window room for

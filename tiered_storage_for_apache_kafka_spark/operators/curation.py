@@ -1149,3 +1149,159 @@ def weighted_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# -- bottom-k containment sketch (asymmetric contamination) --------------------
+
+CONTAIN_K = 16  # bottom-k sketch size per benchmark doc
+CONTAIN_TRAIN_MOD = 7  # train-side audit sample: doc_id % 7 == 0
+
+
+def _containment_oracle() -> str:
+    g_bench = f"""
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(w) - 1, 1)),
+             i -> array_to_string(w[i:i+1], ' '))) AS tok
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents WHERE doc_id % {BENCH_MOD} = 0) t
+  )"""
+    g_train = f"""
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(w) - 1, 1)),
+             i -> array_to_string(w[i:i+1], ' '))) AS tok
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents
+          WHERE doc_id % {BENCH_MOD} <> 0
+            AND doc_id % {CONTAIN_TRAIN_MOD} = 0) t
+  )"""
+    u = _hex40_expr("md5(tok)", "strpos")
+    return f"""
+WITH bench_grams AS ({g_bench}
+), train_grams AS ({g_train}
+), bench_rk AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY {u}, tok) AS r,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM bench_grams
+), sketch AS (
+  SELECT doc_id, tok, n_grams,
+         LEAST(n_grams, {CONTAIN_K}) AS k_eff
+  FROM bench_rk WHERE r <= {CONTAIN_K}
+), keff AS (
+  SELECT doc_id AS bench_doc, MAX(k_eff) AS k_eff FROM sketch GROUP BY 1
+), hits AS (
+  SELECT s.doc_id AS bench_doc, t.doc_id AS train_doc,
+         CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM sketch s JOIN train_grams t ON t.tok = s.tok
+  GROUP BY 1, 2
+), exact AS (
+  SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc,
+         CAST(COUNT(*) AS BIGINT) AS n_inter,
+         MAX(n.n_grams) AS n_bench
+  FROM bench_grams b
+  JOIN train_grams t ON t.tok = b.tok
+  JOIN (SELECT doc_id, COUNT(*) AS n_grams FROM bench_grams GROUP BY 1) n
+    ON n.doc_id = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT e.bench_doc, e.train_doc,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((1000 * COALESCE(h.n_hits, 0)) // k.k_eff AS BIGINT) AS est_pm,
+       CAST((1000 * e.n_inter) // e.n_bench AS BIGINT) AS exact_pm
+FROM exact e
+JOIN keff k ON k.bench_doc = e.bench_doc
+LEFT JOIN hits h
+  ON h.bench_doc = e.bench_doc AND h.train_doc = e.train_doc
+"""
+
+
+@query("containment_sketch_audit", oracle=_containment_oracle())
+def containment_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric contamination via **bottom-k containment sketches**
+    (Broder's bottom-k; the direction Jaccard misses: a tiny eval doc
+    fully CONTAINED in a huge train doc has low Jaccard but containment
+    ~1): each benchmark doc keeps its k smallest bigram hashes; the
+    estimated containment in a train doc is the fraction of those k
+    present in the train doc's shingle set. Deterministic hash order
+    statistics end-to-end, so the oracle recomputes the estimates AND
+    the exact containments; the accuracy contract (RSE ~ 1/sqrt(k)) is
+    pinned in pytest.
+
+    Scale: bench sketches are O(bench x k) — broadcast; the train side
+    streams its shingles through one hash join, never self-joins, and
+    the exact side (the audit's ground truth) is the expensive pass the
+    sketch replaces at 100 TB. The train-side audit sample keeps the
+    pair surface bounded; production would score ALL train docs against
+    the broadcast sketches with the same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(split(trim(text), "
+        "'\\\\s+')) - 1, 1)), "
+        "i -> array_join(slice(split(trim(text), '\\\\s+'), i, 2), ' '))"
+    )
+    bench = (
+        docs.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select("doc_id", F.explode(bigrams).alias("tok"))
+        .distinct()
+    )
+    train = (
+        docs.where(
+            (F.col("doc_id") % BENCH_MOD != 0)
+            & (F.col("doc_id") % CONTAIN_TRAIN_MOD == 0)
+        )
+        .select("doc_id", F.explode(bigrams).alias("tok"))
+        .distinct()
+    )
+    u = F.expr(_hex40_expr("md5(tok)", "locate"))
+    w = Window.partitionBy("doc_id").orderBy("u", "tok")
+    bench_rk = bench.select("doc_id", "tok", u.alias("u")).select(
+        "doc_id",
+        "tok",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_grams"),
+    )
+    sketch = bench_rk.where(F.col("r") <= CONTAIN_K).select(
+        F.col("doc_id").alias("bench_doc"),
+        "tok",
+        F.least(F.col("n_grams"), F.lit(CONTAIN_K)).alias("k_eff"),
+    )
+    keff = sketch.groupBy("bench_doc").agg(F.max("k_eff").alias("k_eff"))
+    hits = (
+        F.broadcast(sketch)
+        .join(train.withColumnRenamed("doc_id", "train_doc"), "tok")
+        .groupBy("bench_doc", "train_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    n_bench = bench.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    exact = (
+        F.broadcast(bench)
+        .join(train.withColumnRenamed("doc_id", "train_doc"), "tok")
+        .groupBy(F.col("doc_id").alias("bench_doc"), "train_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+        .join(
+            F.broadcast(
+                n_bench.select(
+                    F.col("doc_id").alias("bench_doc"), "n_grams"
+                )
+            ),
+            "bench_doc",
+        )
+    )
+    return (
+        exact.join(F.broadcast(keff), "bench_doc")
+        .join(hits, ["bench_doc", "train_doc"], "left")
+    ).select(
+        "bench_doc",
+        "train_doc",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.expr("(1000 * coalesce(n_hits, 0L)) div k_eff")
+        .cast("bigint")
+        .alias("est_pm"),
+        F.expr("(1000 * n_inter) div n_grams").cast("bigint").alias("exact_pm"),
+    )
