@@ -1917,3 +1917,39 @@ class TestChangelogScan:
         tdir, _df = self._committed(table)
         with _pytest.raises(ValueError, match="expired or never existed"):
             ice.read_iceberg_changelog(spark, tdir, 424242)
+
+    def test_changelog_spans_schema_evolution(self, table, spark):
+        """Window with an add-column evolution inside it: delete rows are
+        read under the pre-evolution file schema and must union with the
+        evolved insert rows (null-filled), not crash (round-6 review
+        pin: unionByName without allowMissingColumns raised)."""
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+            write_table,
+        )
+
+        tdir, df = self._committed(table)
+        meta = ice.read_table_metadata(tdir)["metadata"]
+        first = meta["current-snapshot-id"]
+        # delete a key, then append WIDER rows (schema evolution)
+        keys = (
+            df.where(F.col("key") == F.lit(b"3"))
+            .select("partition", "key")
+            .distinct()
+        )
+        ice.commit_equality_deletes(spark, tdir, keys, ["key"])
+        wider = (
+            df.where(F.col("key") == F.lit(b"3"))
+            .withColumn("lang", F.lit("en"))
+            .coalesce(1)
+        )
+        write_table(wider, tdir)
+        ice.commit_append(tdir, wider.schema)
+        log = ice.read_iceberg_changelog(spark, tdir, first)
+        rows = log.select("_change_type", "key", "lang").collect()
+        got = sorted(
+            (r["_change_type"], bytes(r["key"]), r["lang"]) for r in rows
+        )
+        assert got == [("delete", b"3", None), ("insert", b"3", "en")]

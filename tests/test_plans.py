@@ -695,9 +695,11 @@ def test_jl_projection_plan_is_jvm_narrow(spark):
 
 
 def test_containment_sketch_plan(spark):
-    """Bench sketches broadcast; the train corpus never self-joins."""
+    """Bench sketches broadcast; the train corpus never self-joins; the
+    sketch build keeps the map-side partial top-K (pure rank window)."""
     df = QUERIES["containment_sketch_audit"](spark, SF)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan

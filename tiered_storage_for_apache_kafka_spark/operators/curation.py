@@ -1073,6 +1073,21 @@ PPS_SAMPLE_K = 20  # sampled docs per language stratum
 # transcendentals like pow/log would NOT be portable)
 
 
+# word-bigram shingles, shared by the KMV and containment sketches (one
+# place to fix the empty-text / single-word edge in BOTH engines)
+BIGRAM_SPARK_EXPR = (
+    # Spark SQL string literals unescape backslashes, so the regex
+    # needs double-escaping here (the DuckDB literal below does not)
+    "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 1, 1)), "
+    "i -> array_join(slice(split(trim(text), '\\\\s+'), i, 2), ' '))"
+)
+BIGRAM_WORDS_SQL = "string_split_regex(trim(text), '\s+')"
+BIGRAM_LIST_SQL = (
+    "list_transform(generate_series(1, greatest(len(w) - 1, 1)), "
+    "i -> array_to_string(w[i:i+1], ' '))"
+)
+
+
 def _hex40_expr(hash_col: str, fn: str) -> str:
     """40-bit BIGINT from the first 10 hex chars; `fn` is locate (Spark,
     needle-first) or strpos (DuckDB, haystack-first) — both 1-based."""
@@ -1160,20 +1175,14 @@ CONTAIN_TRAIN_MOD = 7  # train-side audit sample: doc_id % 7 == 0
 def _containment_oracle() -> str:
     g_bench = f"""
   SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id,
-           unnest(list_transform(
-             generate_series(1, greatest(len(w) - 1, 1)),
-             i -> array_to_string(w[i:i+1], ' '))) AS tok
-    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+    SELECT doc_id, unnest({BIGRAM_LIST_SQL}) AS tok
+    FROM (SELECT doc_id, {BIGRAM_WORDS_SQL} AS w
           FROM documents WHERE doc_id % {BENCH_MOD} = 0) t
   )"""
     g_train = f"""
   SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id,
-           unnest(list_transform(
-             generate_series(1, greatest(len(w) - 1, 1)),
-             i -> array_to_string(w[i:i+1], ' '))) AS tok
-    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+    SELECT doc_id, unnest({BIGRAM_LIST_SQL}) AS tok
+    FROM (SELECT doc_id, {BIGRAM_WORDS_SQL} AS w
           FROM documents
           WHERE doc_id % {BENCH_MOD} <> 0
             AND doc_id % {CONTAIN_TRAIN_MOD} = 0) t
@@ -1182,17 +1191,19 @@ def _containment_oracle() -> str:
     return f"""
 WITH bench_grams AS ({g_bench}
 ), train_grams AS ({g_train}
+), bench_n AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM bench_grams GROUP BY 1
 ), bench_rk AS (
+  -- pure rank window: no count mixed in, so the engine can push the
+  -- partial top-K below the exchange (same note as the KMV sketch)
   SELECT doc_id, tok,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY {u}, tok) AS r,
-         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY {u}, tok) AS r
   FROM bench_grams
 ), sketch AS (
-  SELECT doc_id, tok, n_grams,
-         LEAST(n_grams, {CONTAIN_K}) AS k_eff
-  FROM bench_rk WHERE r <= {CONTAIN_K}
+  SELECT doc_id, tok FROM bench_rk WHERE r <= {CONTAIN_K}
 ), keff AS (
-  SELECT doc_id AS bench_doc, MAX(k_eff) AS k_eff FROM sketch GROUP BY 1
+  SELECT doc_id AS bench_doc, LEAST(n_grams, {CONTAIN_K}) AS k_eff
+  FROM bench_n
 ), hits AS (
   SELECT s.doc_id AS bench_doc, t.doc_id AS train_doc,
          CAST(COUNT(*) AS BIGINT) AS n_hits
@@ -1204,8 +1215,7 @@ WITH bench_grams AS ({g_bench}
          MAX(n.n_grams) AS n_bench
   FROM bench_grams b
   JOIN train_grams t ON t.tok = b.tok
-  JOIN (SELECT doc_id, COUNT(*) AS n_grams FROM bench_grams GROUP BY 1) n
-    ON n.doc_id = b.doc_id
+  JOIN bench_n n ON n.doc_id = b.doc_id
   GROUP BY 1, 2
 )
 SELECT e.bench_doc, e.train_doc,
@@ -1238,11 +1248,7 @@ def containment_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair surface bounded; production would score ALL train docs against
     the broadcast sketches with the same plan."""
     docs = load_table(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "transform(sequence(1, greatest(size(split(trim(text), "
-        "'\\\\s+')) - 1, 1)), "
-        "i -> array_join(slice(split(trim(text), '\\\\s+'), i, 2), ' '))"
-    )
+    bigrams = F.expr(BIGRAM_SPARK_EXPR)
     bench = (
         docs.where(F.col("doc_id") % BENCH_MOD == 0)
         .select("doc_id", F.explode(bigrams).alias("tok"))
@@ -1257,19 +1263,16 @@ def containment_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     u = F.expr(_hex40_expr("md5(tok)", "locate"))
+    # pure rank window (no count mixed in) so Spark's WindowGroupLimit
+    # pushes a partial top-K below the exchange — the same note the KMV
+    # sketch build carries; k_eff derives from the gram counts instead
     w = Window.partitionBy("doc_id").orderBy("u", "tok")
-    bench_rk = bench.select("doc_id", "tok", u.alias("u")).select(
-        "doc_id",
-        "tok",
-        F.row_number().over(w).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_grams"),
+    sketch = (
+        bench.select("doc_id", "tok", u.alias("u"))
+        .select("doc_id", "tok", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= CONTAIN_K)
+        .select(F.col("doc_id").alias("bench_doc"), "tok")
     )
-    sketch = bench_rk.where(F.col("r") <= CONTAIN_K).select(
-        F.col("doc_id").alias("bench_doc"),
-        "tok",
-        F.least(F.col("n_grams"), F.lit(CONTAIN_K)).alias("k_eff"),
-    )
-    keff = sketch.groupBy("bench_doc").agg(F.max("k_eff").alias("k_eff"))
     hits = (
         F.broadcast(sketch)
         .join(train.withColumnRenamed("doc_id", "train_doc"), "tok")
@@ -1278,6 +1281,10 @@ def containment_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_bench = bench.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams")
+    )
+    keff = n_bench.select(
+        F.col("doc_id").alias("bench_doc"),
+        F.least(F.col("n_grams"), F.lit(CONTAIN_K)).alias("k_eff"),
     )
     exact = (
         F.broadcast(bench)

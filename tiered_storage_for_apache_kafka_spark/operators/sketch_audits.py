@@ -135,16 +135,18 @@ def _kmv_oracle() -> str:
         _hex40_expr,
     )
 
+    from tiered_storage_for_apache_kafka_spark.operators.curation import (
+        BIGRAM_LIST_SQL,
+        BIGRAM_WORDS_SQL,
+    )
+
     u = _hex40_expr("md5(tok)", "strpos")
     return f"""
 WITH ws AS (
-  SELECT lang, string_split_regex(trim(text), '\\s+') AS w
+  SELECT lang, {BIGRAM_WORDS_SQL} AS w
   FROM documents WHERE lang IN ('en', 'de')
 ), tok AS (  -- word bigrams: the shingle domain the sketch estimates over
-  SELECT DISTINCT lang,
-         unnest(list_transform(
-           generate_series(1, greatest(len(w) - 1, 1)),
-           i -> array_to_string(w[i:i+1], ' '))) AS tok
+  SELECT DISTINCT lang, unnest({BIGRAM_LIST_SQL}) AS tok
   FROM ws
 ), u AS (
   SELECT DISTINCT lang, {u} AS u FROM tok
@@ -236,15 +238,12 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("lang").isin("en", "de")
     )
+    from tiered_storage_for_apache_kafka_spark.operators.curation import (
+        BIGRAM_SPARK_EXPR,
+    )
+
     tok = docs.select(
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(split(trim(text), "
-                "'\\\\s+')) - 1, 1)), "
-                "i -> array_join(slice(split(trim(text), '\\\\s+'), i, 2), ' '))"
-            )
-        ).alias("tok"),
+        "lang", F.explode(F.expr(BIGRAM_SPARK_EXPR)).alias("tok")
     ).distinct()
     u = tok.select(
         "lang", F.expr(_hex40_expr("md5(tok)", "locate")).alias("u")

@@ -2161,37 +2161,55 @@ def read_iceberg_changelog(
     if to_seq < from_seq:
         raise ValueError("to snapshot predates from snapshot")
     ids = ["__iceberg_file", "__iceberg_pos"]
-    empty = _empty_table_df(spark, meta).withColumn(
-        "_change_type", F.lit("")
-    ).where(F.lit(False))
+    # ONE manifest walk of the `to` snapshot; the window/pre-window
+    # split is a FILE-LEVEL plan split (two separately planned scans),
+    # not a post-scan row filter — each data file is read at most once
+    # and only the files a side needs are opened
+    to_data, to_deletes = _plan_snapshot(by_id[to_snapshot_id], None)
+    if not to_data:
+        return (
+            _empty_table_df(spark, meta)
+            .withColumn("_change_type", F.lit(""))
+            .where(F.lit(False))
+        )
+    new_data = [d for d in to_data if from_seq < d["_seq"] <= to_seq]
+    old_data = [d for d in to_data if d["_seq"] <= from_seq]
+    inserted = None
+    if new_data:
+        inserted = (
+            _read_plan_with_identity(
+                spark, table_dir, meta, new_data, to_deletes
+            )
+            .withColumn("_change_type", F.lit("insert"))
+            .drop(*ids)
+        )
     a = _read_snapshot(
         spark, table_dir, meta, by_id[from_snapshot_id], None,
         keep_identity=True,
     )
-    b = _read_snapshot(
-        spark, table_dir, meta, by_id[to_snapshot_id], None,
-        keep_identity=True,
+    if a is None or not old_data:
+        # table was empty at `from`: everything live in-window is new
+        if inserted is not None:
+            return inserted
+        return (
+            _empty_table_df(spark, meta)
+            .withColumn("_change_type", F.lit(""))
+            .where(F.lit(False))
+        )
+    b_old = _read_plan_with_identity(
+        spark, table_dir, meta, old_data, to_deletes
     )
-    if b is None:
-        return empty  # nothing ever committed up to `to`
-    to_data, _ = _plan_snapshot(by_id[to_snapshot_id], None)
-    window_files = sorted(
-        d["file_path"] for d in to_data if from_seq < d["_seq"] <= to_seq
-    )
-    inserted = (
-        b.where(F.col("__iceberg_file").isin(window_files))
-        .withColumn("_change_type", F.lit("insert"))
-        .drop(*ids)
-    )
-    if a is None:
-        return inserted  # table was empty at `from`: everything is new
-    b_old = b.where(~F.col("__iceberg_file").isin(window_files))
     deleted = (
         a.join(b_old.select(*ids), ids, "left_anti")
         .withColumn("_change_type", F.lit("delete"))
         .drop(*ids)
     )
-    return inserted.unionByName(deleted)
+    if inserted is None:
+        return deleted
+    # allowMissingColumns: a window spanning a schema evolution has
+    # delete rows read under the pre-evolution file schema — added
+    # optional columns fill with null instead of failing the union
+    return inserted.unionByName(deleted, allowMissingColumns=True)
 
 
 def _empty_table_df(spark, meta: dict):
@@ -2219,23 +2237,34 @@ def _read_snapshot(
     data, deletes = _plan_snapshot(snap, partition_value)
     if not data:
         return None if keep_identity else _empty_table_df(spark, meta)
-    paths = [d["file_path"] for d in data]
     if not deletes and not keep_identity:
-        return _read_planned_files(spark, table_dir, meta, paths)
-    df = _read_with_positions(spark, table_dir, meta, paths)
-    pos = [d for d in deletes if d.get("content") == 1]
-    eq = [d for d in deletes if d.get("content") == 2]
-    if eq:
-        df = _apply_equality_deletes(
-            spark, df, data, eq, meta
+        return _read_planned_files(
+            spark, table_dir, meta, [d["file_path"] for d in data]
         )
-    if pos:
-        df = _apply_position_deletes(
-            spark, df, data, pos
-        )
+    df = _read_plan_with_identity(spark, table_dir, meta, data, deletes)
     if keep_identity:
         return df
     return df.drop("__iceberg_file", "__iceberg_pos")
+
+
+def _read_plan_with_identity(
+    spark, table_dir: str, meta: dict, data: list[dict], deletes: list[dict]
+):
+    """Scan an explicit data-file plan with the (file, pos) identity
+    columns retained and the given delete files applied — the shared
+    core of snapshot reads and the changelog's plan-split scans
+    (deletes match per (file, pos) / per key, so applying them against
+    a SUBSET of the snapshot's data files is sound)."""
+    df = _read_with_positions(
+        spark, table_dir, meta, [d["file_path"] for d in data]
+    )
+    pos = [d for d in deletes if d.get("content") == 1]
+    eq = [d for d in deletes if d.get("content") == 2]
+    if eq:
+        df = _apply_equality_deletes(spark, df, data, eq, meta)
+    if pos:
+        df = _apply_position_deletes(spark, df, data, pos)
+    return df
 
 
 _NORM_FILE_RE = "^file:/+"  # file:///p and file:/p both -> /p
