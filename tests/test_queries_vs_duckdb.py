@@ -89,6 +89,10 @@ _CACHE_WARMUP = [
     "iceberg_rest_commit",  # _ICEBERG_REST_CACHE (REST-committed twin)
     "iceberg_row_delete_scan",  # _ICEBERG_DEL_CACHE (row-delta twin)
     "iceberg_upsert_scan",  # _ICEBERG_UPSERT_CACHE (upsert twin)
+    "iceberg_tag_read",  # _ICEBERG_TAG_CACHE (tagged twin)
+    "iceberg_bounds_pruned_scan",  # _ICEBERG_BANDS_CACHE (banded twin,
+    # shared with iceberg_incremental_scan + streaming_iceberg_incremental)
+    "streaming_iceberg_incremental",  # _ICEBERG_STREAM_READ_CACHE (sink dir)
 ]
 
 
