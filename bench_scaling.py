@@ -72,6 +72,17 @@ streaming key cardinality all grow 10x):
     after — the same shape as the Java planner, and the reason
     rewrite_manifests exists for long-lived streaming tables.
 
+    Incremental window planning (--incremental-window, round 6): a FIXED
+    3-band window planned at 40 vs 400 total bands:
+      bands= 40  window_files=3  plan_ms= 1.1  compacted= 2.0
+      bands=400  window_files=3  plan_ms= 9.6  compacted=18.1
+    Files planned EXACTLY FLAT; note the inversion vs full scans: the
+    sequence-bounded manifest pruning skips per-commit manifests
+    unopened (fast pre-compaction), while a compacted table's single
+    manifest must be fully decoded — compaction optimizes FULL scans,
+    per-commit manifests optimize bounded windows; both shapes stay
+    far under the cost of opening even one data file.
+
     Iceberg metadata-plane WRITE side (--iceberg-commits, round 6;
     1-file appends, pure metadata, no Spark):
       commits   1-10 :  3.6 ms/commit
@@ -471,6 +482,69 @@ def probe_bounds_pruning() -> None:
         )
 
 
+def probe_incremental_window() -> None:
+    """Delta-tracking cost: a FIXED 3-band incremental window planned
+    against tables with 40 vs 400 total bands — files planned and rows
+    read must track the DELTA, not the table; the manifest walk is
+    bounded by the seq-window manifest pruning (pre-compaction it still
+    opens O(manifests) lists, so both raw and compacted shapes are
+    shown). Run: python bench_scaling.py --incremental-window
+    """
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        plan_incremental_scan,
+        read_table_metadata,
+        rewrite_manifests,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+
+    def build(n_bands: int) -> str:
+        tdir = tempfile.mkdtemp(prefix=f"iceberg-inc-{n_bands}-")
+        os.makedirs(os.path.join(tdir, "partition=0"), exist_ok=True)
+        for b in range(n_bands):
+            path = os.path.join(tdir, "partition=0", f"band{b:05d}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "partition": pa.array([0, 0], pa.int32()),
+                        "offset": pa.array([b * 100, b * 100 + 99], pa.int64()),
+                    }
+                ),
+                path,
+            )
+            commit_append(tdir, schema, now_ms=b + 1, files=[path])
+        return tdir
+
+    for n in (40, 400):
+        tdir = build(n)
+        snaps = read_table_metadata(tdir)["metadata"]["snapshots"]
+        frm, to = snaps[4]["snapshot-id"], snaps[7]["snapshot-id"]
+        t0 = time.perf_counter()
+        files = plan_incremental_scan(tdir, frm, to)
+        ms = (time.perf_counter() - t0) * 1000
+        rewrite_manifests(tdir, now_ms=n + 10)
+        t0 = time.perf_counter()
+        files2 = plan_incremental_scan(tdir, frm, to)
+        ms2 = (time.perf_counter() - t0) * 1000
+        assert {f["file_path"] for f in files2} == {f["file_path"] for f in files}
+        print(
+            f"bands={n:4d}  window_files={len(files)}  "
+            f"plan_ms={ms:7.1f}  plan_ms_compacted={ms2:6.1f}"
+        )
+
+
 if __name__ == "__main__":
     import sys
 
@@ -478,6 +552,8 @@ if __name__ == "__main__":
         probe_iceberg_commit_cost()
     elif "--bounds-pruning" in sys.argv:
         probe_bounds_pruning()
+    elif "--incremental-window" in sys.argv:
+        probe_incremental_window()
     elif "--position-deletes" in sys.argv:
         probe_position_deletes()
     else:
