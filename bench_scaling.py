@@ -72,6 +72,16 @@ streaming key cardinality all grow 10x):
     after — the same shape as the Java planner, and the reason
     rewrite_manifests exists for long-lived streaming tables.
 
+    Round-6 families (main table, measured 2026-08-15):
+      weighted_sample_pps      0.28 ->  0.48  (1.7x: partial top-K holds)
+      kmv_set_ops_audit        1.96 -> 15.14  (7.7x: the EXACT COUNT
+        DISTINCT audit side is linear by design — it is the ground
+        truth the sketch replaces; the sketch build itself is top-K)
+      containment_sketch_audit 0.91 ->  6.26  (6.9x while the audited
+        pair surface grew 100x: 30k -> 3.0M pairs)
+      iceberg_changelog_scan   1.80 ->  2.72  (1.5x: window-file plan
+        split keeps the diff delta-sized)
+
     Incremental window planning (--incremental-window, round 6): a FIXED
     3-band window planned at 40 vs 400 total bands:
       bands= 40  window_files=3  plan_ms= 1.1  compacted= 2.0
@@ -131,6 +141,13 @@ PROBES = [
     "streaming_dedup_exact",
     "streaming_user_totals_stateful",
     "iceberg_scan_pruned",  # metadata-planned scan: prune cost is O(manifests)
+    # round-6 extension: the sketch/sampling families and the CDC
+    # changelog (the banded fixtures are covered by the dedicated
+    # metadata probes instead — their cost is in commit count, not rows)
+    "weighted_sample_pps",
+    "kmv_set_ops_audit",
+    "containment_sketch_audit",
+    "iceberg_changelog_scan",
 ]
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
