@@ -1081,7 +1081,7 @@ BIGRAM_SPARK_EXPR = (
     "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 1, 1)), "
     "i -> array_join(slice(split(trim(text), '\\\\s+'), i, 2), ' '))"
 )
-BIGRAM_WORDS_SQL = "string_split_regex(trim(text), '\s+')"
+BIGRAM_WORDS_SQL = r"string_split_regex(trim(text), '\s+')"
 BIGRAM_LIST_SQL = (
     "list_transform(generate_series(1, greatest(len(w) - 1, 1)), "
     "i -> array_to_string(w[i:i+1], ' '))"
