@@ -1,0 +1,167 @@
+"""Iceberg metadata tables (snapshots/history/refs/manifests/files/entries).
+
+The Spark-Iceberg `SELECT * FROM tbl.<meta>` surface over the engine's
+own metadata plane; verified against tables committed by
+`sources/iceberg.py` (appends, tags, rewrite_manifests, deletes).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    """Two appends + a tag on the first snapshot."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        create_ref,
+    )
+
+    tdir = str(tmp_path_factory.mktemp("meta-tbl"))
+    df1 = spark.range(0, 100).select(
+        (F.col("id") % 4).cast("int").alias("partition"), F.col("id").alias("v")
+    )
+    df1.write.partitionBy("partition").parquet(tdir, mode="append")
+    commit_append(tdir, df1.schema, now_ms=1_000)
+    create_ref(tdir, "first", "tag")
+    df2 = spark.range(100, 160).select(
+        (F.col("id") % 4).cast("int").alias("partition"), F.col("id").alias("v")
+    )
+    df2.write.partitionBy("partition").parquet(tdir, mode="append")
+    commit_append(tdir, df1.schema, now_ms=2_000)
+    return tdir
+
+
+class TestSnapshotsHistoryRefs:
+    def test_snapshots_rows(self, spark, table):
+        rows = {
+            r["sequence_number"]: r
+            for r in __import__(
+                "tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables",
+                fromlist=["snapshots_table"],
+            ).snapshots_table(spark, table).collect()
+        }
+        assert set(rows) == {1, 2}
+        assert rows[1]["parent_id"] is None
+        assert rows[2]["parent_id"] == rows[1]["snapshot_id"]
+        assert rows[1]["operation"] == rows[2]["operation"] == "append"
+        assert rows[1]["summary"]["added-records"] == "100"
+        assert rows[2]["summary"]["total-records"] == "160"
+
+    def test_history_ancestry(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (
+            history_table,
+        )
+
+        hist = history_table(spark, table).orderBy("made_current_at_ms").collect()
+        assert len(hist) == 2
+        assert all(h["is_current_ancestor"] for h in hist)
+        assert hist[0]["parent_id"] is None
+
+    def test_refs(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (
+            refs_table,
+            snapshots_table,
+        )
+
+        refs = {r["name"]: r for r in refs_table(spark, table).collect()}
+        assert refs["first"]["type"] == "TAG"
+        assert refs["main"]["type"] == "BRANCH"
+        snaps = {
+            r["sequence_number"]: r["snapshot_id"]
+            for r in snapshots_table(spark, table).collect()
+        }
+        assert refs["first"]["snapshot_id"] == snaps[1]
+        assert refs["main"]["snapshot_id"] == snaps[2]
+
+
+class TestManifestsFilesEntries:
+    def test_manifests_counts(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (
+            manifests_table,
+        )
+
+        mans = manifests_table(spark, table).collect()
+        assert len(mans) == 2  # one manifest per append
+        assert sorted(m["added_rows_count"] for m in mans) == [60, 100]
+        assert all(m["content"] == 0 for m in mans)
+        for m in mans:
+            # identity-partition summary bounds decoded to ints
+            s = m["partition_summaries"][0]
+            assert s["lower_bound"] == 0 and s["upper_bound"] == 3
+
+    def test_files_match_scan_plan(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import plan_scan
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (
+            files_table,
+        )
+
+        files = files_table(spark, table)
+        planned = {d["file_path"] for d in plan_scan(table)}
+        assert {r["file_path"] for r in files.collect()} == planned
+        agg = files.groupBy("partition").agg(
+            F.sum("record_count").alias("n")
+        ).collect()
+        assert {(r["partition"], r["n"]) for r in agg} == {
+            (0, 40), (1, 40), (2, 40), (3, 40)
+        }
+
+    def test_entries_statuses_after_compaction(self, spark, table, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            rewrite_manifests,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (
+            entries_table,
+            files_table,
+        )
+
+        tdir = str(tmp_path / "compact")
+        for lo in (0, 50):
+            df = spark.range(lo, lo + 50).select(
+                (F.col("id") % 2).cast("int").alias("partition"),
+                F.col("id").alias("v"),
+            )
+            df.write.partitionBy("partition").parquet(tdir, mode="append")
+            commit_append(tdir, df.schema)
+        rewrite_manifests(tdir)
+        ent = entries_table(spark, tdir)
+        # compaction rewrites entries as status=existing (0) in 1 manifest
+        statuses = [r["status"] for r in ent.collect()]
+        assert statuses and all(s == 0 for s in statuses)
+        assert files_table(spark, tdir).count() == len(statuses)
+
+    def test_entries_stats_maps_present(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (
+            entries_table,
+        )
+
+        row = entries_table(spark, table).first()
+        assert row["record_count"] > 0
+        assert row["value_counts"] and all(
+            isinstance(k, int) for k in row["value_counts"]
+        )
+        assert row["lower_bounds"]  # packed little-endian single values
+
+    def test_empty_table(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (
+            entries_table,
+            files_table,
+            snapshots_table,
+        )
+
+        tdir = str(tmp_path / "empty")
+        df = spark.range(0).select(
+            F.col("id").cast("int").alias("partition"), F.col("id").alias("v")
+        )
+        commit_append(tdir, df.schema)
+        assert files_table(spark, tdir).count() == 0
+        assert entries_table(spark, tdir).count() == 0
+        # a bare create writes table metadata but no snapshot (Iceberg
+        # spec: current-snapshot-id = -1 until the first data commit)
+        assert snapshots_table(spark, tdir).count() == 0

@@ -15,6 +15,7 @@ covered by `tests/test_queries_vs_duckdb.py`, which checks all of them).
 from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     tiered,  # flagship write+read lifecycle — sample first
     txn_read,  # read_committed + TransactionIndex (new this round)
+    iceberg_meta,  # Iceberg metadata tables (new this round)
     tpch,
     tpch_extra,
     tpch_close,

@@ -1,0 +1,338 @@
+"""Iceberg metadata tables: the table's own metadata as DataFrames.
+
+The Spark-Iceberg integration exposes every table's bookkeeping as
+queryable side-tables (``SELECT * FROM tbl.snapshots / .history /
+.refs / .manifests / .files / .entries``) — the operational surface a
+user of the reference's Iceberg mode (`IcebergTableManager.java:46-95`)
+gets from their catalog. This module provides the same six views over
+the engine's own spec-compliant metadata plane (`sources/iceberg.py`),
+with the upstream column names.
+
+Scale design: ``snapshots``/``history``/``refs`` are O(#commits) and
+``manifests`` is O(#manifests) — metadata.json + the manifest list are
+the only driver-side reads, exactly what any Iceberg client pays to
+plan. ``files``/``entries`` are O(#data-files): the driver reads ONLY
+the manifest list, then the manifest Avro files are opened and
+flattened **executor-side** (one mapInPandas task per manifest), so a
+100k-file table's entries never pass through the driver — the same
+distributed-metadata-read strategy Spark's Iceberg metadata tables use.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+    _current_state_meta,
+    _load_current_metadata,
+    read_avro_ocf,
+)
+
+
+def _resolve_meta(
+    table_dir: str, catalog=None, table_name: str | None = None
+) -> dict:
+    if catalog is not None:
+        _v, meta, _name = _current_state_meta(table_dir, catalog, table_name)
+        return meta
+    _v, meta = _load_current_metadata(table_dir)
+    return meta
+
+
+_SNAPSHOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("committed_at_ms", T.LongType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("parent_id", T.LongType()),
+        T.StructField("sequence_number", T.LongType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("manifest_list", T.StringType()),
+        T.StructField("summary", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def snapshots_table(
+    spark: SparkSession,
+    table_dir: str,
+    catalog=None,
+    table_name: str | None = None,
+) -> DataFrame:
+    """`tbl.snapshots`: one row per snapshot in the table metadata."""
+    meta = _resolve_meta(table_dir, catalog, table_name)
+    rows = [
+        (
+            int(s["timestamp-ms"]),
+            int(s["snapshot-id"]),
+            s.get("parent-snapshot-id"),
+            int(s["sequence-number"]),
+            s["summary"].get("operation"),
+            s["manifest-list"],
+            {k: str(v) for k, v in s["summary"].items()},
+        )
+        for s in meta.get("snapshots", [])
+    ]
+    return spark.createDataFrame(rows, _SNAPSHOTS_SCHEMA)
+
+
+_HISTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("made_current_at_ms", T.LongType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("parent_id", T.LongType()),
+        T.StructField("is_current_ancestor", T.BooleanType()),
+    ]
+)
+
+
+def history_table(
+    spark: SparkSession,
+    table_dir: str,
+    catalog=None,
+    table_name: str | None = None,
+) -> DataFrame:
+    """`tbl.history`: the snapshot-log, with `is_current_ancestor`
+    computed by walking the parent chain from the current snapshot
+    (a logged snapshot off the ancestry means a rollback happened)."""
+    meta = _resolve_meta(table_dir, catalog, table_name)
+    parents = {
+        int(s["snapshot-id"]): s.get("parent-snapshot-id")
+        for s in meta.get("snapshots", [])
+    }
+    ancestors: set[int] = set()
+    cur = meta.get("current-snapshot-id", -1)
+    while cur is not None and cur != -1 and cur not in ancestors:
+        ancestors.add(int(cur))
+        cur = parents.get(int(cur))
+    rows = [
+        (
+            int(e["timestamp-ms"]),
+            int(e["snapshot-id"]),
+            parents.get(int(e["snapshot-id"])),
+            int(e["snapshot-id"]) in ancestors,
+        )
+        for e in meta.get("snapshot-log", [])
+    ]
+    return spark.createDataFrame(rows, _HISTORY_SCHEMA)
+
+
+_REFS_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("snapshot_id", T.LongType()),
+    ]
+)
+
+
+def refs_table(
+    spark: SparkSession,
+    table_dir: str,
+    catalog=None,
+    table_name: str | None = None,
+) -> DataFrame:
+    """`tbl.refs`: named branches and tags."""
+    meta = _resolve_meta(table_dir, catalog, table_name)
+    rows = [
+        (name, r.get("type", "branch").upper(), int(r["snapshot-id"]))
+        for name, r in (meta.get("refs") or {}).items()
+    ]
+    return spark.createDataFrame(rows, _REFS_SCHEMA)
+
+
+_MANIFESTS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("partition_spec_id", T.IntegerType()),
+        T.StructField("content", T.IntegerType()),
+        T.StructField("sequence_number", T.LongType()),
+        T.StructField("min_sequence_number", T.LongType()),
+        T.StructField("added_snapshot_id", T.LongType()),
+        T.StructField("added_data_files_count", T.IntegerType()),
+        T.StructField("existing_data_files_count", T.IntegerType()),
+        T.StructField("deleted_data_files_count", T.IntegerType()),
+        T.StructField("added_rows_count", T.LongType()),
+        T.StructField("existing_rows_count", T.LongType()),
+        T.StructField("deleted_rows_count", T.LongType()),
+        T.StructField(
+            "partition_summaries",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("contains_null", T.BooleanType()),
+                        T.StructField("lower_bound", T.LongType()),
+                        T.StructField("upper_bound", T.LongType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _unpack_bound(b: bytes | None) -> int | None:
+    if b is None:
+        return None
+    return struct.unpack("<i" if len(b) == 4 else "<q", b)[0]
+
+
+def _manifest_list(meta: dict) -> list[dict]:
+    cur_id = meta.get("current-snapshot-id", -1)
+    if cur_id == -1:
+        return []
+    cur = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur_id)
+    _, manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+    return manifest_files
+
+
+def manifests_table(
+    spark: SparkSession,
+    table_dir: str,
+    catalog=None,
+    table_name: str | None = None,
+) -> DataFrame:
+    """`tbl.manifests`: the current snapshot's manifest list — the
+    index the scan planner prunes with (partition summaries decoded
+    from their single-value binary form)."""
+    meta = _resolve_meta(table_dir, catalog, table_name)
+    rows = []
+    for mf in _manifest_list(meta):
+        summaries = [
+            (
+                bool(p["contains_null"]),
+                _unpack_bound(p.get("lower_bound")),
+                _unpack_bound(p.get("upper_bound")),
+            )
+            for p in (mf.get("partitions") or [])
+        ]
+        rows.append(
+            (
+                mf["manifest_path"],
+                int(mf["manifest_length"]),
+                int(mf["partition_spec_id"]),
+                int(mf.get("content", 0)),
+                int(mf["sequence_number"]),
+                int(mf["min_sequence_number"]),
+                int(mf["added_snapshot_id"]),
+                int(mf["added_data_files_count"]),
+                int(mf["existing_data_files_count"]),
+                int(mf["deleted_data_files_count"]),
+                int(mf["added_rows_count"]),
+                int(mf["existing_rows_count"]),
+                int(mf["deleted_rows_count"]),
+                summaries,
+            )
+        )
+    return spark.createDataFrame(rows, _MANIFESTS_SCHEMA)
+
+
+_ENTRY_COLUMNS = (
+    "status INT, snapshot_id BIGINT, sequence_number BIGINT, "
+    "file_sequence_number BIGINT, manifest_content INT, content INT, "
+    "file_path STRING, file_format STRING, partition BIGINT, "
+    "record_count BIGINT, file_size_in_bytes BIGINT, "
+    "value_counts MAP<INT, BIGINT>, null_value_counts MAP<INT, BIGINT>, "
+    "lower_bounds MAP<INT, BINARY>, upper_bounds MAP<INT, BINARY>"
+)
+
+
+def entries_table(
+    spark: SparkSession,
+    table_dir: str,
+    catalog=None,
+    table_name: str | None = None,
+) -> DataFrame:
+    """`tbl.entries`: every manifest entry of the current snapshot
+    (status 0=existing / 1=added / 2=deleted), data_file flattened.
+
+    The driver touches only metadata.json + the manifest list; each
+    manifest Avro is opened executor-side, one task per manifest."""
+    meta = _resolve_meta(table_dir, catalog, table_name)
+    mfs = [
+        (mf["manifest_path"], int(mf.get("content", 0)))
+        for mf in _manifest_list(meta)
+    ]
+    if not mfs:
+        return spark.createDataFrame([], _ENTRY_COLUMNS)
+
+    def read_manifests(pdfs):
+        for pdf in pdfs:
+            for t in pdf.itertuples():
+                _, entries, _m = read_avro_ocf(t.manifest_path)
+                rows = []
+                for e in entries:
+                    d = e["data_file"]
+                    part = d.get("partition") or {}
+                    part_val = next(iter(part.values()), None)
+                    rows.append(
+                        (
+                            int(e["status"]),
+                            e.get("snapshot_id"),
+                            e.get("sequence_number"),
+                            e.get("file_sequence_number"),
+                            int(t.manifest_content),
+                            int(d.get("content", 0)),
+                            d["file_path"],
+                            d["file_format"],
+                            part_val,
+                            int(d["record_count"]),
+                            int(d["file_size_in_bytes"]),
+                            _kv_map(d.get("value_counts")),
+                            _kv_map(d.get("null_value_counts")),
+                            _kv_map(d.get("lower_bounds")),
+                            _kv_map(d.get("upper_bounds")),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "status",
+                        "snapshot_id",
+                        "sequence_number",
+                        "file_sequence_number",
+                        "manifest_content",
+                        "content",
+                        "file_path",
+                        "file_format",
+                        "partition",
+                        "record_count",
+                        "file_size_in_bytes",
+                        "value_counts",
+                        "null_value_counts",
+                        "lower_bounds",
+                        "upper_bounds",
+                    ],
+                )
+
+    n_slots = spark.sparkContext.defaultParallelism
+    paths_df = spark.createDataFrame(
+        mfs, "manifest_path STRING, manifest_content INT"
+    ).repartition(min(n_slots, len(mfs)))
+    return paths_df.mapInPandas(read_manifests, schema=_ENTRY_COLUMNS)
+
+
+def _kv_map(kvs) -> dict | None:
+    if not kvs:
+        return None
+    return {int(kv["key"]): kv["value"] for kv in kvs}
+
+
+def files_table(
+    spark: SparkSession,
+    table_dir: str,
+    catalog=None,
+    table_name: str | None = None,
+) -> DataFrame:
+    """`tbl.files`: live DATA files of the current snapshot — entries
+    with status existing/added, data manifests only (delete manifests
+    carry position/equality deletes, surfaced by `entries_table`)."""
+    ent = entries_table(spark, table_dir, catalog, table_name)
+    return ent.filter(
+        (F.col("status") != 2) & (F.col("manifest_content") == 0)
+    ).drop("status", "manifest_content")
