@@ -703,3 +703,40 @@ def test_containment_sketch_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_read_committed_is_task_local_fetch(spark):
+    """read_committed filtering must happen inside the fetch task (the
+    txn index is per-segment and tiny): one manifest-spread exchange +
+    one final agg exchange, no broadcast of aborted ranges, no
+    cartesian; the wire decode is the only Arrow stage."""
+    plan = plan_of(QUERIES["tiered_read_committed"](spark, SF))
+    # the cached tier fixture's own (already-executed) plan prints under
+    # InMemoryRelation — gate only the live read path above it
+    live = plan.split("InMemoryRelation")[0]
+    assert "MapInPandas" in live
+    assert live.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in live
+    assert "BroadcastHashJoin" not in live
+
+
+def test_txn_index_scan_is_metadata_only(spark):
+    """The aborted-index scan reads index blobs, never segment data:
+    same two-exchange shape (task spread + per-partition agg)."""
+    plan = plan_of(QUERIES["txn_aborted_index_scan"](spark, SF))
+    live = plan.split("InMemoryRelation")[0]
+    assert "MapInPandas" in live
+    # task spread + the two-level count-distinct agg (all over the tiny
+    # decoded-entry set, never segment bytes)
+    assert live.count("Exchange hashpartitioning") == 3
+    assert "partial_count" in live  # map-side combine before the shuffle
+    assert "CartesianProduct" not in live
+
+
+def test_iceberg_files_table_reads_manifests_distributed(spark):
+    """tbl.files must open manifest Avro executor-side (MapInPandas over
+    the manifest-path list), with no shuffle besides the path spread."""
+    plan = plan_of(QUERIES["iceberg_files_table"](spark, SF))
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
