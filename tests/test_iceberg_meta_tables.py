@@ -165,3 +165,29 @@ class TestManifestsFilesEntries:
         # a bare create writes table metadata but no snapshot (Iceberg
         # spec: current-snapshot-id = -1 until the first data commit)
         assert snapshots_table(spark, tdir).count() == 0
+
+
+class TestTimeTravel:
+    def test_files_at_historical_snapshot(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (
+            files_table,
+            snapshots_table,
+        )
+
+        snaps = {
+            r["sequence_number"]: r["snapshot_id"]
+            for r in snapshots_table(spark, table).collect()
+        }
+        # at snapshot 1 only the first append's 100 rows exist
+        old = files_table(spark, table, snapshot_id=snaps[1])
+        assert old.agg(F.sum("record_count")).collect()[0][0] == 100
+        cur = files_table(spark, table)
+        assert cur.agg(F.sum("record_count")).collect()[0][0] == 160
+
+    def test_unknown_snapshot_rejected(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (
+            manifests_table,
+        )
+
+        with pytest.raises(ValueError, match="unknown snapshot"):
+            manifests_table(spark, table, snapshot_id=12345)

@@ -182,12 +182,20 @@ def _unpack_bound(b: bytes | None) -> int | None:
     return struct.unpack("<i" if len(b) == 4 else "<q", b)[0]
 
 
-def _manifest_list(meta: dict) -> list[dict]:
-    cur_id = meta.get("current-snapshot-id", -1)
-    if cur_id == -1:
+def _manifest_list(meta: dict, snapshot_id: int | None = None) -> list[dict]:
+    """Manifest list of a snapshot (default: current). Passing a
+    historical ``snapshot_id`` gives the metadata tables VERSION AS OF
+    semantics — the manifests/files/entries exactly as that snapshot
+    planned them (snapshots are immutable, so this is a pure read)."""
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id", -1)
+    if sid == -1:
         return []
-    cur = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur_id)
-    _, manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+    snap = next(
+        (s for s in meta["snapshots"] if s["snapshot-id"] == sid), None
+    )
+    if snap is None:
+        raise ValueError(f"unknown snapshot id {sid}")
+    _, manifest_files, _ = read_avro_ocf(snap["manifest-list"])
     return manifest_files
 
 
@@ -196,13 +204,14 @@ def manifests_table(
     table_dir: str,
     catalog=None,
     table_name: str | None = None,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
-    """`tbl.manifests`: the current snapshot's manifest list — the
-    index the scan planner prunes with (partition summaries decoded
+    """`tbl.manifests`: a snapshot's manifest list (default current) —
+    the index the scan planner prunes with (partition summaries decoded
     from their single-value binary form)."""
     meta = _resolve_meta(table_dir, catalog, table_name)
     rows = []
-    for mf in _manifest_list(meta):
+    for mf in _manifest_list(meta, snapshot_id):
         summaries = [
             (
                 bool(p["contains_null"]),
@@ -247,16 +256,18 @@ def entries_table(
     table_dir: str,
     catalog=None,
     table_name: str | None = None,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
-    """`tbl.entries`: every manifest entry of the current snapshot
-    (status 0=existing / 1=added / 2=deleted), data_file flattened.
+    """`tbl.entries`: every manifest entry of a snapshot (default
+    current; status 0=existing / 1=added / 2=deleted), data_file
+    flattened.
 
     The driver touches only metadata.json + the manifest list; each
     manifest Avro is opened executor-side, one task per manifest."""
     meta = _resolve_meta(table_dir, catalog, table_name)
     mfs = [
         (mf["manifest_path"], int(mf.get("content", 0)))
-        for mf in _manifest_list(meta)
+        for mf in _manifest_list(meta, snapshot_id)
     ]
     if not mfs:
         return spark.createDataFrame([], _ENTRY_COLUMNS)
@@ -328,11 +339,13 @@ def files_table(
     table_dir: str,
     catalog=None,
     table_name: str | None = None,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
-    """`tbl.files`: live DATA files of the current snapshot — entries
-    with status existing/added, data manifests only (delete manifests
-    carry position/equality deletes, surfaced by `entries_table`)."""
-    ent = entries_table(spark, table_dir, catalog, table_name)
+    """`tbl.files`: live DATA files of a snapshot (default current) —
+    entries with status existing/added, data manifests only (delete
+    manifests carry position/equality deletes, surfaced by
+    `entries_table`)."""
+    ent = entries_table(spark, table_dir, catalog, table_name, snapshot_id)
     return ent.filter(
         (F.col("status") != 2) & (F.col("manifest_content") == 0)
     ).drop("status", "manifest_content")
