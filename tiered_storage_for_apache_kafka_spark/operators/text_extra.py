@@ -382,3 +382,99 @@ def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("avg_nll").alias("min_avg_nll"),
         F.max("avg_nll").alias("max_avg_nll"),
     )
+
+
+# character classes for the diversity index: 26 letters + 10 digits +
+# space; everything else (punctuation, unicode) is one residual class.
+_DIVERSITY_CLASSES = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [
+    chr(c) for c in range(ord("0"), ord("9") + 1)
+] + [" "]
+
+
+_CLASS_ARRAY = ", ".join(f"'{c}'" for c in _DIVERSITY_CLASSES)
+
+
+def _simpson_spark(text_expr: str) -> str:
+    """Exact Gini-Simpson diversity over the character classes, scaled
+    e6 — INTEGER arithmetic end to end (sum of squared class counts vs
+    squared total), so Spark and DuckDB hash identically; no logs, no
+    doubles (the reason this is Simpson and not Shannon entropy).
+
+    Each class count is computed ONCE via transform over the class
+    array + one higher-order aggregate carrying (sum, sum-of-squares)
+    — 37 length/replace scans per doc, not the ~150 the naive expanded
+    polynomial costs (Catalyst does not CSE across the expansion;
+    measured 4x on the sf0.1 corpus)."""
+    t = f"lower({text_expr})"
+    n = f"CAST(length({t}) AS BIGINT)"
+    counts = (
+        f"transform(array({_CLASS_ARRAY}), c -> "
+        f"CAST(length({t}) - length(replace({t}, c, '')) AS BIGINT))"
+    )
+    return (
+        f"aggregate({counts}, "
+        f"named_struct('s', CAST(0 AS BIGINT), 'q', CAST(0 AS BIGINT)), "
+        f"(a, x) -> named_struct('s', a.s + x, 'q', a.q + x * x), "
+        f"a -> CASE WHEN {n} = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"(({n} * {n} - (a.q + ({n} - a.s) * ({n} - a.s))) * 1000000) "
+        f"div ({n} * {n}) END)"
+    )
+
+
+def _simpson_duckdb(text_expr: str) -> str:
+    """DuckDB twin of :func:`_simpson_spark` (list_transform/list_sum
+    instead of Spark's higher-order aggregate; same integer math)."""
+    t = f"lower({text_expr})"
+    n = f"CAST(length({t}) AS BIGINT)"
+    counts = (
+        f"list_transform([{_CLASS_ARRAY}], c -> "
+        f"CAST(length({t}) - length(replace({t}, c, '')) AS BIGINT))"
+    )
+    s = f"CAST(list_sum({counts}) AS BIGINT)"
+    q = f"CAST(list_sum(list_transform({counts}, x -> x * x)) AS BIGINT)"
+    return (
+        f"(CASE WHEN {n} = 0 THEN 0 ELSE "
+        f"(({n} * {n} - ({q} + ({n} - {s}) * ({n} - {s}))) * 1000000) "
+        f"// ({n} * {n}) END)"
+    )
+
+
+@query(
+    "char_diversity_quality",
+    oracle=f"""
+WITH scored AS (
+  SELECT source, lang,
+         CAST({_simpson_duckdb("text")} AS BIGINT) AS simpson_e6
+  FROM documents
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(simpson_e6) AS BIGINT) AS sum_simpson_e6,
+       MIN(simpson_e6) AS min_simpson_e6,
+       MAX(simpson_e6) AS max_simpson_e6
+FROM scored
+GROUP BY source, lang
+""",
+)
+def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality signal: exact Gini-Simpson index
+    (1 - sum p_i^2) over 37 character classes + a residual class, the
+    boilerplate/garbage detector that complements the word-level Gopher
+    rules (a low-diversity doc is dominated by few characters —
+    repeated padding, ASCII art, key-mashing; a natural-language doc
+    sits in a tight band per language). Scaled-integer arithmetic end
+    to end: the per-doc score is exact, so unlike Shannon entropy the
+    cross-engine hash can never flake on a log ulp. One narrow scan +
+    one agg shuffle; 37 JVM string scans per doc, no explode, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    simpson = F.expr(_simpson_spark("text")).cast("long")
+    return (
+        docs.select("source", "lang", simpson.alias("simpson_e6"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("simpson_e6").cast("long").alias("sum_simpson_e6"),
+            F.min("simpson_e6").alias("min_simpson_e6"),
+            F.max("simpson_e6").alias("max_simpson_e6"),
+        )
+    )
