@@ -93,6 +93,8 @@ _CACHE_WARMUP = [
     "iceberg_bounds_pruned_scan",  # _ICEBERG_BANDS_CACHE (banded twin,
     # shared with iceberg_incremental_scan + streaming_iceberg_incremental)
     "streaming_iceberg_incremental",  # _ICEBERG_STREAM_READ_CACHE (sink dir)
+    "tiered_read_committed",  # _TXN_CACHE (transactional tiered store,
+    # shared with txn_aborted_index_scan)
 ]
 
 

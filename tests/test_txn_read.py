@@ -70,10 +70,12 @@ class TestAbortedTxnCodec:
         ]
         hit = aborted_in_range(entries, 25, 55)
         assert hit == [entries[1], entries[2]]
-        assert aborted_in_range(entries, 10, 19) == []
-        # boundary inclusivity both sides
-        assert aborted_in_range(entries, 9, 9) == [entries[0]]
-        assert aborted_in_range(entries, 29, 50) == [entries[1], entries[2]]
+        assert aborted_in_range(entries, 10, 20) == []
+        # Kafka bounds: fetchOffset inclusive (lastOffset >= it), upper
+        # bound EXCLUSIVE (firstOffset < it) — collectAbortedTxns parity
+        assert aborted_in_range(entries, 9, 10) == [entries[0]]
+        assert aborted_in_range(entries, 29, 50) == [entries[1]]
+        assert aborted_in_range(entries, 29, 51) == [entries[1], entries[2]]
 
 
 def _batch(base, n, *, attrs=0, pid=-1, key=b"k"):

@@ -392,6 +392,7 @@ _DIVERSITY_CLASSES = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [
 
 
 _CLASS_ARRAY = ", ".join(f"'{c}'" for c in _DIVERSITY_CLASSES)
+_DIVERSITY_CAP = 1_000_000  # chars scored; keeps n^2 * 1e6 inside int64
 
 
 def _simpson_spark(text_expr: str) -> str:
@@ -404,8 +405,14 @@ def _simpson_spark(text_expr: str) -> str:
     array + one higher-order aggregate carrying (sum, sum-of-squares)
     — 37 length/replace scans per doc, not the ~150 the naive expanded
     polynomial costs (Catalyst does not CSE across the expansion;
-    measured 4x on the sf0.1 corpus)."""
-    t = f"lower({text_expr})"
+    measured 4x on the sf0.1 corpus).
+
+    The score is computed over the first _DIVERSITY_CAP (1M) chars:
+    n^2 * 1e6 must stay inside int64, and an un-capped 3M+-char doc
+    would overflow (silently under non-ANSI Spark, an error in
+    DuckDB). A 1M-char prefix is statistically identical for a
+    diversity index and keeps the arithmetic provably exact."""
+    t = f"lower(substring({text_expr}, 1, {_DIVERSITY_CAP}))"
     n = f"CAST(length({t}) AS BIGINT)"
     counts = (
         f"transform(array({_CLASS_ARRAY}), c -> "
@@ -423,8 +430,9 @@ def _simpson_spark(text_expr: str) -> str:
 
 def _simpson_duckdb(text_expr: str) -> str:
     """DuckDB twin of :func:`_simpson_spark` (list_transform/list_sum
-    instead of Spark's higher-order aggregate; same integer math)."""
-    t = f"lower({text_expr})"
+    instead of Spark's higher-order aggregate; same integer math and
+    the same overflow-proof prefix cap)."""
+    t = f"lower(substring({text_expr}, 1, {_DIVERSITY_CAP}))"
     n = f"CAST(length({t}) AS BIGINT)"
     counts = (
         f"list_transform([{_CLASS_ARRAY}], c -> "

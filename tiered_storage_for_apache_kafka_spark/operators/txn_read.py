@@ -58,12 +58,14 @@ from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
     TOPIC_ID,
     _build_manager,
     manager_conf,
+    manifest_row_meta,
     struct_offset_index,
     struct_offsets,
 )
 from tiered_storage_for_apache_kafka_spark.tables import load_table, normalize_ts
 from tiered_storage_for_apache_kafka_spark.txn_index import (
     AbortedTxn,
+    aborted_in_range,
     decode_transaction_index,
     encode_transaction_index,
     filter_read_committed,
@@ -252,17 +254,18 @@ def read_committed_records(
         mgr = _build_manager(conf)
         for pdf in batches:
             for t in pdf.itertuples():
-                meta = SegmentMetadata(
-                    TOPIC,
-                    TOPIC_ID,
-                    int(t.partition),
-                    int(t.start_offset),
-                    int(t.end_offset),
-                    t.segment_uuid,
-                )
+                meta = manifest_row_meta(t)
                 data = b"".join(mgr.fetch_log_segment(meta, 0))
-                aborted = decode_transaction_index(
-                    mgr.fetch_index(meta, "transaction")
+                # collectAbortedTxns parity: bound the entries to the
+                # fetched offset window (exclusive upper bound) before
+                # filtering — a no-op for a whole-segment fetch, the
+                # correct narrowing for future sub-segment windows
+                aborted = aborted_in_range(
+                    decode_transaction_index(
+                        mgr.fetch_index(meta, "transaction")
+                    ),
+                    int(t.start_offset),
+                    int(t.end_offset) + 1,
                 )
                 visible = filter_read_committed(
                     decode_kafka_batches(data), aborted
@@ -368,14 +371,7 @@ def txn_aborted_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for t in pdf.itertuples():
-                meta = SegmentMetadata(
-                    TOPIC,
-                    TOPIC_ID,
-                    int(t.partition),
-                    int(t.start_offset),
-                    int(t.end_offset),
-                    t.segment_uuid,
-                )
+                meta = manifest_row_meta(t)
                 for e in decode_transaction_index(
                     mgr.fetch_index(meta, "transaction")
                 ):

@@ -5,8 +5,14 @@ queryable side-tables (``SELECT * FROM tbl.snapshots / .history /
 .refs / .manifests / .files / .entries``) — the operational surface a
 user of the reference's Iceberg mode (`IcebergTableManager.java:46-95`)
 gets from their catalog. This module provides the same six views over
-the engine's own spec-compliant metadata plane (`sources/iceberg.py`),
-with the upstream column names.
+the engine's own spec-compliant metadata plane (`sources/iceberg.py`).
+Column names follow upstream with two deliberate deviations: integer
+epoch-millis columns carry an explicit ``_ms`` suffix
+(``committed_at_ms`` / ``made_current_at_ms`` — raw TIMESTAMP outputs
+are banned by this engine's cross-engine hashing rules, see
+`operators/registry.py`), and ``snapshots`` additionally exposes
+``sequence_number`` (the v2 ordering key upstream only shows in the
+summary).
 
 Scale design: ``snapshots``/``history``/``refs`` are O(#commits) and
 ``manifests`` is O(#manifests) — metadata.json + the manifest list are
@@ -257,10 +263,13 @@ def entries_table(
     catalog=None,
     table_name: str | None = None,
     snapshot_id: int | None = None,
+    data_only: bool = False,
 ) -> DataFrame:
     """`tbl.entries`: every manifest entry of a snapshot (default
     current; status 0=existing / 1=added / 2=deleted), data_file
-    flattened.
+    flattened. ``data_only`` prunes DELETE manifests from the path
+    list before anything ships to executors — they are never opened,
+    not parsed-then-discarded.
 
     The driver touches only metadata.json + the manifest list; each
     manifest Avro is opened executor-side, one task per manifest."""
@@ -268,6 +277,7 @@ def entries_table(
     mfs = [
         (mf["manifest_path"], int(mf.get("content", 0)))
         for mf in _manifest_list(meta, snapshot_id)
+        if not (data_only and int(mf.get("content", 0)) != 0)
     ]
     if not mfs:
         return spark.createDataFrame([], _ENTRY_COLUMNS)
@@ -345,7 +355,7 @@ def files_table(
     entries with status existing/added, data manifests only (delete
     manifests carry position/equality deletes, surfaced by
     `entries_table`)."""
-    ent = entries_table(spark, table_dir, catalog, table_name, snapshot_id)
-    return ent.filter(
-        (F.col("status") != 2) & (F.col("manifest_content") == 0)
-    ).drop("status", "manifest_content")
+    ent = entries_table(
+        spark, table_dir, catalog, table_name, snapshot_id, data_only=True
+    )
+    return ent.filter(F.col("status") != 2).drop("status", "manifest_content")

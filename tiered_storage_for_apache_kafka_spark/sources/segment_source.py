@@ -86,6 +86,21 @@ def manager_conf(
     return conf
 
 
+def manifest_row_meta(t) -> SegmentMetadata:
+    """SegmentMetadata from a manifests-DataFrame row (itertuples shape)
+    — the one reconstruction every fetch task performs; keep all call
+    sites on this helper so the manifest row shape and SegmentMetadata
+    can't silently diverge."""
+    return SegmentMetadata(
+        TOPIC,
+        TOPIC_ID,
+        int(t.partition),
+        int(t.start_offset),
+        int(t.end_offset),
+        t.segment_uuid,
+    )
+
+
 def tier_events_table(
     spark: SparkSession,
     events: DataFrame,
@@ -381,14 +396,7 @@ def read_tiered_records(
         mgr = _build_manager(conf)
         for pdf in batches:
             for t in pdf.itertuples():
-                meta = SegmentMetadata(
-                    TOPIC,
-                    TOPIC_ID,
-                    int(t.partition),
-                    int(t.start_offset),
-                    int(t.end_offset),
-                    t.segment_uuid,
-                )
+                meta = manifest_row_meta(t)
                 base_byte, data = fetch_segment_window(mgr, meta, lo, hi)
                 bases, byte_offs, offsets, tss, keys, values = (
                     decode_segment_columns(data)

@@ -82,14 +82,16 @@ def decode_transaction_index(buf: bytes) -> list[AbortedTxn]:
 
 
 def aborted_in_range(
-    entries: list[AbortedTxn], fetch_start: int, fetch_end: int
+    entries: list[AbortedTxn], fetch_offset: int, upper_bound_offset: int
 ) -> list[AbortedTxn]:
     """Entries overlapping a fetch window — TransactionIndex.java's
-    `collectAbortedTxns(fetchOffset, upperBoundOffset)` predicate."""
+    `collectAbortedTxns(fetchOffset, upperBoundOffset)` predicate:
+    `lastOffset >= fetchOffset && firstOffset < upperBoundOffset`
+    (the upper bound is EXCLUSIVE, as in Kafka)."""
     return [
         e
         for e in entries
-        if e.last_offset >= fetch_start and e.first_offset <= fetch_end
+        if e.last_offset >= fetch_offset and e.first_offset < upper_bound_offset
     ]
 
 
