@@ -191,3 +191,54 @@ class TestTimeTravel:
 
         with pytest.raises(ValueError, match="unknown snapshot"):
             manifests_table(spark, table, snapshot_id=12345)
+
+
+class TestPartitionsAndAllTables:
+    def test_partitions_rollup(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (
+            partitions_table,
+        )
+
+        parts = {
+            r["partition"]: r for r in partitions_table(spark, table).collect()
+        }
+        assert set(parts) == {0, 1, 2, 3}
+        assert all(p["record_count"] == 40 for p in parts.values())
+        # each commit adds >=1 file per partition dir (task count varies)
+        assert all(p["file_count"] >= 2 for p in parts.values())
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (
+            files_table,
+        )
+
+        assert sum(p["file_count"] for p in parts.values()) == files_table(
+            spark, table
+        ).count()
+        assert all(
+            p["total_data_file_size_in_bytes"] > 0 for p in parts.values()
+        )
+
+    def test_all_manifests_spans_snapshots(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (
+            all_manifests_table,
+            snapshots_table,
+        )
+
+        allm = all_manifests_table(spark, table)
+        snaps = snapshots_table(spark, table).count()
+        # snapshot 1 has 1 manifest; snapshot 2 carries it + adds one
+        assert snaps == 2
+        assert allm.count() == 3
+        assert allm.select("reference_snapshot_id").distinct().count() == 2
+
+    def test_all_files_dedupes_carried_files(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (
+            all_files_table,
+            files_table,
+        )
+
+        # every file of the current snapshot was added by some snapshot,
+        # and carried files appear exactly once
+        allf = all_files_table(spark, table)
+        cur = files_table(spark, table)
+        assert allf.count() == cur.count()
+        assert allf.select("file_path").distinct().count() == allf.count()

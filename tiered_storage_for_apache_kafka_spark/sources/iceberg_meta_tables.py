@@ -359,3 +359,75 @@ def files_table(
         spark, table_dir, catalog, table_name, snapshot_id, data_only=True
     )
     return ent.filter(F.col("status") != 2).drop("status", "manifest_content")
+
+
+def partitions_table(
+    spark: SparkSession,
+    table_dir: str,
+    catalog=None,
+    table_name: str | None = None,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """`tbl.partitions`: per-partition rollup of the live data files
+    (record_count / file_count / total_size), the view planners use to
+    spot skewed or fragmented partitions. Pure aggregation over
+    `files_table` — inherits its executor-side manifest reads."""
+    return (
+        files_table(spark, table_dir, catalog, table_name, snapshot_id)
+        .groupBy("partition")
+        .agg(
+            F.sum("record_count").alias("record_count"),
+            F.count(F.lit(1)).cast("long").alias("file_count"),
+            F.sum("file_size_in_bytes").alias("total_data_file_size_in_bytes"),
+        )
+    )
+
+
+def all_manifests_table(
+    spark: SparkSession,
+    table_dir: str,
+    catalog=None,
+    table_name: str | None = None,
+) -> DataFrame:
+    """`tbl.all_manifests`: the union of every snapshot's manifest list
+    (one row per (snapshot, manifest) pair, `reference_snapshot_id`
+    column as upstream) — the audit view for manifest reuse across
+    snapshots and compaction behavior. O(#snapshots) driver-side
+    manifest-list reads; each list is a tiny Avro."""
+    meta = _resolve_meta(table_dir, catalog, table_name)
+    frames = []
+    for s in meta.get("snapshots", []):
+        df = manifests_table(
+            spark, table_dir, catalog, table_name, snapshot_id=int(s["snapshot-id"])
+        ).withColumn("reference_snapshot_id", F.lit(int(s["snapshot-id"])))
+        frames.append(df)
+    if not frames:
+        return manifests_table(spark, table_dir, catalog, table_name).withColumn(
+            "reference_snapshot_id", F.lit(None).cast("long")
+        )
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def all_files_table(
+    spark: SparkSession,
+    table_dir: str,
+    catalog=None,
+    table_name: str | None = None,
+) -> DataFrame:
+    """`tbl.all_data_files`: live data files of EVERY snapshot, deduped
+    by path (upstream semantics: a file carried across snapshots
+    appears once). Distributed per snapshot via `files_table`; the
+    dedup is one hash aggregation on file_path."""
+    meta = _resolve_meta(table_dir, catalog, table_name)
+    snaps = [int(s["snapshot-id"]) for s in meta.get("snapshots", [])]
+    if not snaps:
+        return files_table(spark, table_dir, catalog, table_name)
+    out = files_table(spark, table_dir, catalog, table_name, snapshot_id=snaps[0])
+    for sid in snaps[1:]:
+        out = out.unionByName(
+            files_table(spark, table_dir, catalog, table_name, snapshot_id=sid)
+        )
+    return out.dropDuplicates(["file_path"])
