@@ -237,3 +237,79 @@ class TestTieredReadCommittedEndToEnd:
         entries = decode_transaction_index(mgr.fetch_index(meta2, "transaction"))
         # batch_no 3: base 3*51=153, 50 records -> marker 203, pid 9000
         assert entries == [AbortedTxn(PRODUCER_BASE, 153, 203, 203)]
+
+
+    def test_tiered_checkpoint_matches_wire_epochs(self, tiered):
+        """The checkpoint chain must agree with the epochs stamped on
+        the wire batches themselves (both derive from batch_no)."""
+        from tiered_storage_for_apache_kafka_spark.api import SegmentMetadata
+        from tiered_storage_for_apache_kafka_spark.leader_epoch import (
+            decode_leader_epoch_checkpoint,
+            epoch_for_offset,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
+            TOPIC,
+            TOPIC_ID,
+        )
+
+        mgr, (m1, _m2) = tiered
+        meta = SegmentMetadata(TOPIC, TOPIC_ID, 0, m1["start_offset"],
+                               m1["end_offset"], m1["segment_uuid"])
+        entries = decode_leader_epoch_checkpoint(
+            mgr.fetch_index(meta, "leaderEpoch")
+        )
+        data = b"".join(mgr.fetch_log_segment(meta, 0))
+        for batch, _off in decode_kafka_batches(data):
+            assert (
+                epoch_for_offset(entries, batch.base_offset)
+                == batch.partition_leader_epoch
+            )
+
+
+class TestLeaderEpochCheckpoint:
+    def test_golden_text(self):
+        from tiered_storage_for_apache_kafka_spark.leader_epoch import (
+            EpochEntry,
+            encode_leader_epoch_checkpoint,
+        )
+
+        buf = encode_leader_epoch_checkpoint(
+            [EpochEntry(0, 0), EpochEntry(5, 100)]
+        )
+        assert buf == b"0\n2\n0 0\n5 100\n"
+
+    def test_round_trip_and_rejections(self):
+        from tiered_storage_for_apache_kafka_spark.leader_epoch import (
+            EpochEntry,
+            decode_leader_epoch_checkpoint,
+            encode_leader_epoch_checkpoint,
+        )
+
+        entries = [EpochEntry(e, e * 204) for e in range(7)]
+        assert (
+            decode_leader_epoch_checkpoint(
+                encode_leader_epoch_checkpoint(entries)
+            )
+            == entries
+        )
+        assert decode_leader_epoch_checkpoint(b"0\n0\n") == []
+        with pytest.raises(ValueError, match="version"):
+            decode_leader_epoch_checkpoint(b"9\n0\n")
+        with pytest.raises(ValueError, match="carries"):
+            decode_leader_epoch_checkpoint(b"0\n2\n0 0\n")
+        with pytest.raises(ValueError, match="malformed"):
+            decode_leader_epoch_checkpoint(b"0\n1\n0 0 0\n")
+
+    def test_epoch_for_offset(self):
+        from tiered_storage_for_apache_kafka_spark.leader_epoch import (
+            EpochEntry,
+            epoch_for_offset,
+        )
+
+        entries = [EpochEntry(0, 0), EpochEntry(2, 100), EpochEntry(3, 250)]
+        assert epoch_for_offset(entries, 0) == 0
+        assert epoch_for_offset(entries, 99) == 0
+        assert epoch_for_offset(entries, 100) == 2
+        assert epoch_for_offset(entries, 10_000) == 3
+        assert epoch_for_offset([EpochEntry(4, 50)], 49) is None
+

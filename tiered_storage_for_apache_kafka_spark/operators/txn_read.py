@@ -40,6 +40,11 @@ from tiered_storage_for_apache_kafka_spark.api import (
     SegmentMetadata,
     TieredStorageManager,
 )
+from tiered_storage_for_apache_kafka_spark.leader_epoch import (
+    EpochEntry,
+    decode_leader_epoch_checkpoint,
+    encode_leader_epoch_checkpoint,
+)
 from tiered_storage_for_apache_kafka_spark.kafka_wire import (
     CONTROL_ABORT,
     CONTROL_COMMIT,
@@ -78,6 +83,7 @@ ABORT_EVERY = 5  # batch_no % ABORT_EVERY == ABORT_PHASE aborts
 ABORT_PHASE = 3
 PRODUCER_BASE = 9000
 N_PRODUCERS = 3
+EPOCH_EVERY = 4  # leader epoch bumps every EPOCH_EVERY transactions
 
 _TXN_CACHE: dict[tuple, tuple[DataFrame, dict]] = {}
 
@@ -112,12 +118,14 @@ def tier_transactional_rows(
             KafkaRecord(i, ts - base_ts, key, value)
             for i, (ts, _eid, key, value) in enumerate(recs)
         ]
+        leader_epoch = batch_no // EPOCH_EVERY
         batch_positions.append((base_offset, len(blob)))
         blob += encode_kafka_batch(
             KafkaBatch(
                 base_offset=base_offset,
                 base_timestamp=base_ts,
                 records=kafka_records,
+                partition_leader_epoch=leader_epoch,
                 attributes=0x10,  # transactional
                 producer_id=producer_id,
                 producer_epoch=0,
@@ -142,6 +150,7 @@ def tier_transactional_rows(
                         struct.pack(">hi", 0, 0),
                     )
                 ],
+                partition_leader_epoch=leader_epoch,
                 attributes=0x30,  # control + transactional
                 producer_id=producer_id,
                 producer_epoch=0,
@@ -159,6 +168,14 @@ def tier_transactional_rows(
         n_records += len(recs)
 
     assert first_offset is not None
+    # leader-epoch checkpoint snapshot at upload time (the cache state
+    # up to this segment): every epoch that began at or before the
+    # segment's last batch, with its partition-wide start offset
+    max_batch = max(by_batch)
+    epochs = [
+        EpochEntry(e, e * EPOCH_EVERY * (RECORDS_PER_TXN + 1))
+        for e in range(max_batch // EPOCH_EVERY + 1)
+    ]
     uuid = f"txn-{partition}-{first_offset:020d}"
     meta = SegmentMetadata(
         TOPIC, TOPIC_ID, partition, first_offset, last_offset, uuid
@@ -167,7 +184,7 @@ def tier_transactional_rows(
         "offset": struct_offset_index(batch_positions),
         "timestamp": struct_offsets(timestamps),
         "producerSnapshot": b"",
-        "leaderEpoch": b"",
+        "leaderEpoch": encode_leader_epoch_checkpoint(epochs),
         "transaction": encode_transaction_index(aborted),
     }
     custom = mgr.copy_log_segment_data(meta, SegmentData(bytes(blob), indexes))
@@ -401,4 +418,67 @@ def txn_aborted_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("producer_id").cast("long").alias("n_producers"),
         F.sum("first_offset").cast("long").alias("sum_first"),
         F.sum("last_offset").cast("long").alias("sum_last"),
+    )
+
+
+@query(
+    "leader_epoch_checkpoint_scan",
+    oracle=f"""
+WITH batches AS (
+  SELECT CAST(event_id % {N_PARTITIONS} AS INT) AS partition,
+         (event_id // {N_PARTITIONS}) // {RECORDS_PER_TXN} AS batch_no
+  FROM events
+  GROUP BY 1, 2
+), segs AS (
+  SELECT partition, batch_no // {TXNS_PER_SEGMENT} AS seg,
+         MAX(batch_no) AS max_b
+  FROM batches
+  GROUP BY 1, 2
+)
+SELECT partition,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(max_b // {EPOCH_EVERY} + 1) AS BIGINT) AS sum_entries,
+       CAST(MAX(max_b // {EPOCH_EVERY}) AS BIGINT) AS max_epoch
+FROM segs
+GROUP BY partition
+""",
+)
+def leader_epoch_checkpoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan of the tiered LEADER_EPOCH checkpoints: fetch
+    each segment's checkpoint blob (Kafka CheckpointFile text format,
+    `leader_epoch.py`), decode the epoch chain, aggregate per
+    partition. The oracle rebuilds each segment's expected epoch-cache
+    snapshot arithmetically from `events` — equal hashes prove the
+    checkpoint codec and the per-segment snapshot cut are exact."""
+    manifests, conf = _tier_txn(spark, sf_dir)
+
+    def fetch_checkpoints(batches):
+        mgr = _build_manager(conf)
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                meta = manifest_row_meta(t)
+                entries = decode_leader_epoch_checkpoint(
+                    mgr.fetch_index(meta, "leaderEpoch")
+                )
+                rows.append(
+                    (
+                        int(t.partition),
+                        len(entries),
+                        max(e.epoch for e in entries),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["partition", "n_entries", "seg_max_epoch"]
+            )
+
+    n_slots = spark.sparkContext.defaultParallelism
+    per_seg = manifests.repartition(n_slots, "segment_uuid").mapInPandas(
+        fetch_checkpoints,
+        schema="partition INT, n_entries BIGINT, seg_max_epoch BIGINT",
+    )
+    return per_seg.groupBy("partition").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("n_entries").cast("long").alias("sum_entries"),
+        F.max("seg_max_epoch").alias("max_epoch"),
     )
