@@ -148,6 +148,16 @@ PROBES = [
     "kmv_set_ops_audit",
     "containment_sketch_audit",
     "iceberg_changelog_scan",
+    # round-6 late extension: the transactional read family (store,
+    # aborted-range count, and epoch chains all grow 10x; note the 10x
+    # event_ids are sparse — replicas offset by 500k — which the wire
+    # arithmetic handles, only the DuckDB oracles assume density),
+    # the diversity gate, and the distributed metadata-table read
+    "tiered_read_committed",
+    "txn_aborted_index_scan",
+    "leader_epoch_checkpoint_scan",
+    "char_diversity_quality",
+    "iceberg_files_table",
 ]
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -257,14 +257,6 @@ for _requeue in (
     "rollup_pricing",
     "grouping_sets_order_mix",
     "train_test_split_hash",
-    "stratified_sample_by_lang",
-    "benchmark_decontamination",
-    "curation_funnel",
-    "doc_fingerprint",
-    "doc_winnow_fingerprint",
-    "corpus_lang_profile",
-    "dup_cluster_representatives",
-    "semdedup_keep_drop",
 ):
     _DEMOTE.remove(_requeue)
 
@@ -313,16 +305,15 @@ _PROMOTE = [
     "rollup_pricing",
     "grouping_sets_order_mix",
     "train_test_split_hash",
-    "stratified_sample_by_lang",
-    "benchmark_decontamination",
-    "curation_funnel",
-    "doc_fingerprint",
-    "doc_winnow_fingerprint",
-    "corpus_lang_profile",
-    # dup_cluster_representatives + semdedup_keep_drop (r2 verdicts)
-    # deferred to the r7 rotation — the 50-slot window is full this
-    # round (rlmm_event_replay, registered early in tiered.py, takes
-    # the last head slot as a NEW query)
+    # NEW late-r6 additions that register early (txn_read, iceberg_meta)
+    # took five head slots, and char_diversity_quality (text_extra,
+    # registers late) needs its first verdict — promoted here:
+    "char_diversity_quality",
+    # Deferred to the r7 rotation (r2 verdicts, gate-checked meanwhile;
+    # the 50-slot window is full this round): stratified_sample_by_lang,
+    # benchmark_decontamination, curation_funnel, doc_fingerprint,
+    # doc_winnow_fingerprint, corpus_lang_profile,
+    # dup_cluster_representatives, semdedup_keep_drop
 ]
 # anchor must be a query that is neither promoted nor demoted, early in
 # registration order, so the promote block lands inside the driver's
