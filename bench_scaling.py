@@ -82,6 +82,21 @@ streaming key cardinality all grow 10x):
       iceberg_changelog_scan   1.80 ->  2.72  (1.5x: window-file plan
         split keeps the diff delta-sized)
 
+    Round-6 late families (measured 2026-08-15, post host restart):
+      tiered_read_committed         0.67 ->  1.75  (2.6x: full-store
+        transactional scan + wire decode + visibility filter — same
+        sub-linear shape as tiered_roundtrip_agg's full scan)
+      txn_aborted_index_scan        0.62 ->  0.79  (1.3x: metadata-only
+        — index blobs, never segment bytes; near flat)
+      leader_epoch_checkpoint_scan  0.65 ->  1.25  (1.9x: checkpoint
+        blobs per segment, segment count grows 10x)
+      iceberg_files_table           0.60 ->  0.58  (1.0x: manifest-list
+        driver read flat; entries parse executor-side)
+      char_diversity_quality        0.31 ->  0.29  (count() prunes the
+        aggregate values, so this row measures only the group-by keys;
+        the simpson expression itself is a narrow map, linear in chars
+        by construction and bench-measured at sf0.1 under noop-force)
+
     Incremental window planning (--incremental-window, round 6): a FIXED
     3-band window planned at 40 vs 400 total bands:
       bands= 40  window_files=3  plan_ms= 1.1  compacted= 2.0

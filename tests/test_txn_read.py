@@ -266,6 +266,41 @@ class TestTieredReadCommittedEndToEnd:
             )
 
 
+    def test_tiered_snapshot_agrees_with_wire(self, tiered):
+        """Snapshot entries must equal the state derivable from the
+        segment's own wire batches (last data batch per producer)."""
+        from tiered_storage_for_apache_kafka_spark.api import SegmentMetadata
+        from tiered_storage_for_apache_kafka_spark.kafka_wire import data_batches
+        from tiered_storage_for_apache_kafka_spark.producer_snapshot import (
+            decode_producer_snapshot,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.segment_source import (
+            TOPIC,
+            TOPIC_ID,
+        )
+
+        mgr, (m1, _m2) = tiered
+        meta = SegmentMetadata(TOPIC, TOPIC_ID, 0, m1["start_offset"],
+                               m1["end_offset"], m1["segment_uuid"])
+        snap = {
+            e.producer_id: e
+            for e in decode_producer_snapshot(
+                mgr.fetch_index(meta, "producerSnapshot")
+            )
+        }
+        data = b"".join(mgr.fetch_log_segment(meta, 0))
+        last_data_batch = {}
+        for batch, _off in data_batches(decode_kafka_batches(data)):
+            last_data_batch[batch.producer_id] = batch
+        assert set(snap) == set(last_data_batch)
+        for pid, batch in last_data_batch.items():
+            e = snap[pid]
+            n = len(batch.records)
+            assert e.last_sequence == batch.base_sequence + n - 1
+            assert e.last_offset == batch.base_offset + n - 1
+            assert e.offset_delta == n - 1
+
+
 class TestLeaderEpochCheckpoint:
     def test_golden_text(self):
         from tiered_storage_for_apache_kafka_spark.leader_epoch import (
@@ -313,3 +348,70 @@ class TestLeaderEpochCheckpoint:
         assert epoch_for_offset(entries, 10_000) == 3
         assert epoch_for_offset([EpochEntry(4, 50)], 49) is None
 
+
+
+class TestProducerSnapshot:
+    def test_golden_vector(self):
+        import zlib
+        from tiered_storage_for_apache_kafka_spark.producer_snapshot import (
+            ProducerStateEntry,
+            encode_producer_snapshot,
+        )
+
+        buf = encode_producer_snapshot(
+            [ProducerStateEntry(9000, 0, 49, 50, 49, 1234)]
+        )
+        # version 1, then crc over (count + entry)
+        body = (
+            (1).to_bytes(4, "big")          # count
+            + (9000).to_bytes(8, "big")     # producer_id
+            + (0).to_bytes(2, "big")        # epoch
+            + (49).to_bytes(4, "big")       # last_sequence
+            + (50).to_bytes(8, "big")       # last_offset
+            + (49).to_bytes(4, "big")       # offset_delta
+            + (1234).to_bytes(8, "big")     # timestamp
+            + (0).to_bytes(4, "big")        # coordinator_epoch
+            + (-1).to_bytes(8, "big", signed=True)  # open txn
+        )
+        assert buf == (1).to_bytes(2, "big") + zlib.crc32(body).to_bytes(
+            4, "big"
+        ) + body
+
+    def test_round_trip_and_rejections(self):
+        from tiered_storage_for_apache_kafka_spark.producer_snapshot import (
+            ProducerStateEntry,
+            decode_producer_snapshot,
+            encode_producer_snapshot,
+        )
+
+        entries = [
+            ProducerStateEntry(9000 + i, i, 10 * i, 11 * i, 3, 500 + i)
+            for i in range(5)
+        ]
+        buf = encode_producer_snapshot(entries)
+        assert decode_producer_snapshot(buf) == entries
+        assert decode_producer_snapshot(encode_producer_snapshot([])) == []
+        corrupt = bytearray(buf)
+        corrupt[-1] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            decode_producer_snapshot(bytes(corrupt))
+        with pytest.raises(ValueError, match="version"):
+            decode_producer_snapshot(b"\x00\x09" + buf[2:])
+        with pytest.raises(ValueError, match="carries"):
+            decode_producer_snapshot(buf[:-4])
+
+    def test_merge_latest_state(self):
+        from tiered_storage_for_apache_kafka_spark.producer_snapshot import (
+            ProducerStateEntry,
+            merge_latest_state,
+        )
+
+        s1 = [ProducerStateEntry(1, 0, 49, 50, 49, 100)]
+        s2 = [
+            ProducerStateEntry(1, 0, 149, 152, 49, 200),
+            ProducerStateEntry(2, 0, 99, 101, 49, 150),
+        ]
+        merged = merge_latest_state([s1, s2])
+        assert merged[1].last_offset == 152 and merged[2].last_offset == 101
+        # order independence
+        assert merge_latest_state([s2, s1]) == merged

@@ -256,7 +256,6 @@ for _requeue in (
     "topk_orders_per_priority",
     "rollup_pricing",
     "grouping_sets_order_mix",
-    "train_test_split_hash",
 ):
     _DEMOTE.remove(_requeue)
 
@@ -304,13 +303,13 @@ _PROMOTE = [
     "topk_orders_per_priority",
     "rollup_pricing",
     "grouping_sets_order_mix",
-    "train_test_split_hash",
     # NEW late-r6 additions that register early (txn_read, iceberg_meta)
     # took five head slots, and char_diversity_quality (text_extra,
     # registers late) needs its first verdict — promoted here:
     "char_diversity_quality",
     # Deferred to the r7 rotation (r2 verdicts, gate-checked meanwhile;
-    # the 50-slot window is full this round): stratified_sample_by_lang,
+    # the 50-slot window is full this round): train_test_split_hash,
+    # stratified_sample_by_lang,
     # benchmark_decontamination, curation_funnel, doc_fingerprint,
     # doc_winnow_fingerprint, corpus_lang_profile,
     # dup_cluster_representatives, semdedup_keep_drop

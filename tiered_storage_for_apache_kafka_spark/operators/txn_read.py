@@ -40,6 +40,12 @@ from tiered_storage_for_apache_kafka_spark.api import (
     SegmentMetadata,
     TieredStorageManager,
 )
+from tiered_storage_for_apache_kafka_spark.producer_snapshot import (
+    ProducerStateEntry,
+    decode_producer_snapshot,
+    encode_producer_snapshot,
+    merge_latest_state,
+)
 from tiered_storage_for_apache_kafka_spark.leader_epoch import (
     EpochEntry,
     decode_leader_epoch_checkpoint,
@@ -168,6 +174,28 @@ def tier_transactional_rows(
         n_records += len(recs)
 
     assert first_offset is not None
+    # producer-state snapshot at upload time: per producer, the state
+    # of its last data batch in this segment (segment-local; the read
+    # side max-merges across segments — see producer_snapshot.py)
+    last_batch_of: dict[int, int] = {}
+    for b in by_batch:
+        pid = PRODUCER_BASE + b % N_PRODUCERS
+        if b > last_batch_of.get(pid, -1):
+            last_batch_of[pid] = b
+    producer_entries = []
+    for pid in sorted(last_batch_of):
+        b = last_batch_of[pid]
+        n = len(by_batch[b])
+        producer_entries.append(
+            ProducerStateEntry(
+                producer_id=pid,
+                producer_epoch=0,
+                last_sequence=b * RECORDS_PER_TXN + n - 1,
+                last_offset=b * (RECORDS_PER_TXN + 1) + n - 1,
+                offset_delta=n - 1,
+                timestamp=max(ts for ts, _e, _k, _v in by_batch[b]),
+            )
+        )
     # leader-epoch checkpoint snapshot at upload time (the cache state
     # up to this segment): every epoch that began at or before the
     # segment's last batch, with its partition-wide start offset
@@ -183,7 +211,7 @@ def tier_transactional_rows(
     indexes = {
         "offset": struct_offset_index(batch_positions),
         "timestamp": struct_offsets(timestamps),
-        "producerSnapshot": b"",
+        "producerSnapshot": encode_producer_snapshot(producer_entries),
         "leaderEpoch": encode_leader_epoch_checkpoint(epochs),
         "transaction": encode_transaction_index(aborted),
     }
@@ -481,4 +509,92 @@ def leader_epoch_checkpoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_segments"),
         F.sum("n_entries").cast("long").alias("sum_entries"),
         F.max("seg_max_epoch").alias("max_epoch"),
+    )
+
+
+@query(
+    "producer_state_snapshot_scan",
+    oracle=f"""
+WITH batches AS (
+  SELECT CAST(event_id % {N_PARTITIONS} AS INT) AS partition,
+         (event_id // {N_PARTITIONS}) // {RECORDS_PER_TXN} AS batch_no,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2
+), last_per_producer AS (
+  SELECT partition,
+         {PRODUCER_BASE} + batch_no % {N_PRODUCERS} AS producer_id,
+         MAX(batch_no) AS lb
+  FROM batches
+  GROUP BY 1, 2
+)
+SELECT l.partition, l.producer_id,
+       CAST(l.lb * {RECORDS_PER_TXN} + b.n - 1 AS BIGINT) AS last_sequence,
+       CAST(l.lb * {RECORDS_PER_TXN + 1} + b.n - 1 AS BIGINT) AS last_offset,
+       CAST(b.n - 1 AS BIGINT) AS offset_delta
+FROM last_per_producer l
+JOIN batches b ON b.partition = l.partition AND b.batch_no = l.lb
+""",
+)
+def producer_state_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Producer-state recovery from the tiered PRODUCER_SNAPSHOT
+    indexes: fetch every segment's snapshot blob (Kafka
+    ProducerStateManager layout, `producer_snapshot.py`, CRC-verified
+    on decode), max-merge to end-of-log state per partition — the
+    broker's idempotence-dedup rebuild. The oracle recomputes each
+    producer's final (sequence, offset) arithmetically from `events`;
+    equal hashes prove the binary codec, the per-segment snapshot cut,
+    and the merge are exact. With this, ALL FIVE aux index types the
+    reference tiers opaquely have real, decodable content."""
+    manifests, conf = _tier_txn(spark, sf_dir)
+
+    def fetch_snapshots(batches):
+        mgr = _build_manager(conf)
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                meta = manifest_row_meta(t)
+                snap = decode_producer_snapshot(
+                    mgr.fetch_index(meta, "producerSnapshot")
+                )
+                for pid, e in merge_latest_state([snap]).items():
+                    rows.append(
+                        (
+                            int(t.partition),
+                            pid,
+                            e.last_sequence,
+                            e.last_offset,
+                            e.offset_delta,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "partition",
+                    "producer_id",
+                    "last_sequence",
+                    "last_offset",
+                    "offset_delta",
+                ],
+            )
+
+    n_slots = spark.sparkContext.defaultParallelism
+    per_seg = manifests.repartition(n_slots, "segment_uuid").mapInPandas(
+        fetch_snapshots,
+        schema=(
+            "partition INT, producer_id BIGINT, last_sequence BIGINT, "
+            "last_offset BIGINT, offset_delta BIGINT"
+        ),
+    )
+    # end-of-log state: the max-last_offset entry per (partition,
+    # producer) — a single agg shuffle over O(segments x producers) rows
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("partition", "producer_id").orderBy(
+        F.col("last_offset").desc()
+    )
+    return (
+        per_seg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
