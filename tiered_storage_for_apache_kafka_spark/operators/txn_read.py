@@ -44,7 +44,6 @@ from tiered_storage_for_apache_kafka_spark.producer_snapshot import (
     ProducerStateEntry,
     decode_producer_snapshot,
     encode_producer_snapshot,
-    merge_latest_state,
 )
 from tiered_storage_for_apache_kafka_spark.leader_epoch import (
     EpochEntry,
@@ -554,14 +553,17 @@ def producer_state_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for t in pdf.itertuples():
                 meta = manifest_row_meta(t)
-                snap = decode_producer_snapshot(
+                # one segment's snapshot has unique producer ids; the
+                # cross-segment end-of-log merge is the row_number
+                # window below (merge_latest_state is the local-Python
+                # equivalent for non-Spark callers)
+                for e in decode_producer_snapshot(
                     mgr.fetch_index(meta, "producerSnapshot")
-                )
-                for pid, e in merge_latest_state([snap]).items():
+                ):
                     rows.append(
                         (
                             int(t.partition),
-                            pid,
+                            e.producer_id,
                             e.last_sequence,
                             e.last_offset,
                             e.offset_delta,

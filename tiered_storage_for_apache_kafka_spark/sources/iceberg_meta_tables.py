@@ -4,7 +4,7 @@ The Spark-Iceberg integration exposes every table's bookkeeping as
 queryable side-tables (``SELECT * FROM tbl.snapshots / .history /
 .refs / .manifests / .files / .entries``) — the operational surface a
 user of the reference's Iceberg mode (`IcebergTableManager.java:46-95`)
-gets from their catalog. This module provides the same six views over
+gets from their catalog. This module provides the same views (nine tables) over
 the engine's own spec-compliant metadata plane (`sources/iceberg.py`).
 Column names follow upstream with two deliberate deviations: integer
 epoch-millis columns carry an explicit ``_ms`` suffix
@@ -211,11 +211,14 @@ def manifests_table(
     catalog=None,
     table_name: str | None = None,
     snapshot_id: int | None = None,
+    _meta: dict | None = None,
 ) -> DataFrame:
     """`tbl.manifests`: a snapshot's manifest list (default current) —
     the index the scan planner prunes with (partition summaries decoded
     from their single-value binary form)."""
-    meta = _resolve_meta(table_dir, catalog, table_name)
+    meta = _meta if _meta is not None else _resolve_meta(
+        table_dir, catalog, table_name
+    )
     rows = []
     for mf in _manifest_list(meta, snapshot_id):
         summaries = [
@@ -264,6 +267,7 @@ def entries_table(
     table_name: str | None = None,
     snapshot_id: int | None = None,
     data_only: bool = False,
+    _meta: dict | None = None,
 ) -> DataFrame:
     """`tbl.entries`: every manifest entry of a snapshot (default
     current; status 0=existing / 1=added / 2=deleted), data_file
@@ -273,7 +277,9 @@ def entries_table(
 
     The driver touches only metadata.json + the manifest list; each
     manifest Avro is opened executor-side, one task per manifest."""
-    meta = _resolve_meta(table_dir, catalog, table_name)
+    meta = _meta if _meta is not None else _resolve_meta(
+        table_dir, catalog, table_name
+    )
     mfs = [
         (mf["manifest_path"], int(mf.get("content", 0)))
         for mf in _manifest_list(meta, snapshot_id)
@@ -350,13 +356,15 @@ def files_table(
     catalog=None,
     table_name: str | None = None,
     snapshot_id: int | None = None,
+    _meta: dict | None = None,
 ) -> DataFrame:
     """`tbl.files`: live DATA files of a snapshot (default current) —
     entries with status existing/added, data manifests only (delete
     manifests carry position/equality deletes, surfaced by
     `entries_table`)."""
     ent = entries_table(
-        spark, table_dir, catalog, table_name, snapshot_id, data_only=True
+        spark, table_dir, catalog, table_name, snapshot_id,
+        data_only=True, _meta=_meta,
     )
     return ent.filter(F.col("status") != 2).drop("status", "manifest_content")
 
@@ -398,13 +406,14 @@ def all_manifests_table(
     frames = []
     for s in meta.get("snapshots", []):
         df = manifests_table(
-            spark, table_dir, catalog, table_name, snapshot_id=int(s["snapshot-id"])
+            spark, table_dir, catalog, table_name,
+            snapshot_id=int(s["snapshot-id"]), _meta=meta,
         ).withColumn("reference_snapshot_id", F.lit(int(s["snapshot-id"])))
         frames.append(df)
     if not frames:
-        return manifests_table(spark, table_dir, catalog, table_name).withColumn(
-            "reference_snapshot_id", F.lit(None).cast("long")
-        )
+        return manifests_table(
+            spark, table_dir, catalog, table_name, _meta=meta
+        ).withColumn("reference_snapshot_id", F.lit(None).cast("long"))
     out = frames[0]
     for df in frames[1:]:
         out = out.unionByName(df)
@@ -417,17 +426,34 @@ def all_files_table(
     catalog=None,
     table_name: str | None = None,
 ) -> DataFrame:
-    """`tbl.all_data_files`: live data files of EVERY snapshot, deduped
-    by path (upstream semantics: a file carried across snapshots
-    appears once). Distributed per snapshot via `files_table`; the
-    dedup is one hash aggregation on file_path."""
+    """`tbl.all_data_files`: live data files of EVERY snapshot, one
+    row per file path. A file carried across snapshots keeps the entry
+    from its EARLIEST sequence number (deterministic — a plain
+    dropDuplicates would keep an arbitrary row if a later commit ever
+    rewrote the entry's bookkeeping columns). Distributed per snapshot
+    via `files_table`; metadata.json is read once for the whole call."""
+    from pyspark.sql import Window
+
     meta = _resolve_meta(table_dir, catalog, table_name)
     snaps = [int(s["snapshot-id"]) for s in meta.get("snapshots", [])]
     if not snaps:
-        return files_table(spark, table_dir, catalog, table_name)
-    out = files_table(spark, table_dir, catalog, table_name, snapshot_id=snaps[0])
+        return files_table(spark, table_dir, catalog, table_name, _meta=meta)
+    out = files_table(
+        spark, table_dir, catalog, table_name, snapshot_id=snaps[0], _meta=meta
+    )
     for sid in snaps[1:]:
         out = out.unionByName(
-            files_table(spark, table_dir, catalog, table_name, snapshot_id=sid)
+            files_table(
+                spark, table_dir, catalog, table_name, snapshot_id=sid,
+                _meta=meta,
+            )
         )
-    return out.dropDuplicates(["file_path"])
+    w = Window.partitionBy("file_path").orderBy(
+        F.col("sequence_number").asc_nulls_last(),
+        F.col("snapshot_id").asc_nulls_last(),
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
