@@ -1,0 +1,241 @@
+"""Deletion vectors: roaring codec + v3-style DV commits/reads.
+
+The portable-roaring bytes are the public RoaringFormatSpec layout;
+the DV plane stores them as `deletion-vector-v1` Puffin blobs located
+from delete-manifest entries (referenced_data_file/content_offset/
+content_size_in_bytes), and merge-on-read applies them without the
+deleted positions ever materializing on the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiered_storage_for_apache_kafka_spark.roaring import (
+    _deserialize_32,
+    deserialize_roaring64,
+    serialize_roaring64,
+)
+
+
+class TestRoaring:
+    @pytest.mark.parametrize(
+        "vals",
+        [
+            [],
+            [0],
+            [0, 1, 5, 65535, 65536, 2**20],
+            list(range(10_000)),  # dense key -> bitmap container
+            [7, 2**40, 2**40 + 1, 2**63 - 1],  # multi-bucket 64-bit
+        ],
+    )
+    def test_round_trip(self, vals):
+        arr = np.array(vals, dtype=np.uint64)
+        back = deserialize_roaring64(serialize_roaring64(arr))
+        assert np.array_equal(back, np.unique(arr))
+
+    def test_dedups_and_sorts(self):
+        arr = np.array([5, 3, 5, 3, 100], dtype=np.uint64)
+        assert list(deserialize_roaring64(serialize_roaring64(arr))) == [3, 5, 100]
+
+    def test_golden_vector_single_array_container(self):
+        # one 64-bit bucket (high=0), one array container (key=0) with
+        # values {1, 3}: hand-built per RoaringFormatSpec
+        buf = serialize_roaring64(np.array([1, 3], dtype=np.uint64))
+        expect = (
+            struct.pack("<Q", 1)             # 1 bucket
+            + struct.pack("<I", 0)           # high 32 bits
+            + struct.pack("<II", 12346, 1)   # cookie, 1 container
+            + struct.pack("<HH", 0, 1)       # key 0, cardinality-1
+            + struct.pack("<I", 16)          # offset of container data
+            + struct.pack("<HH", 1, 3)       # array values
+        )
+        assert buf == expect
+
+    def test_run_container_decode(self):
+        # cookie 12347 stream with one run container [10..14] + {100}
+        s = bytearray()
+        s += struct.pack("<I", 12347 | (0 << 16))
+        s += bytes([0b1])
+        s += struct.pack("<HH", 0, 5)
+        s += struct.pack("<H", 2)
+        s += struct.pack("<HH", 10, 4)
+        s += struct.pack("<HH", 100, 0)
+        vals, used = _deserialize_32(bytes(s), 0)
+        assert used == len(s)
+        assert list(vals) == [10, 11, 12, 13, 14, 100]
+
+    def test_trailing_bytes_rejected(self):
+        buf = serialize_roaring64(np.array([1], dtype=np.uint64)) + b"x"
+        with pytest.raises(ValueError, match="trailing"):
+            deserialize_roaring64(buf)
+
+    def test_bad_cookie_rejected(self):
+        with pytest.raises(ValueError, match="cookie"):
+            _deserialize_32(struct.pack("<II", 999, 0), 0)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+    )
+
+    tdir = str(tmp_path / "dv-tbl")
+    df = spark.range(0, 200).select(
+        (F.col("id") % 2).cast("int").alias("partition"), F.col("id").alias("v")
+    )
+    df.repartition(2, "partition").write.partitionBy("partition").parquet(
+        tdir, mode="append"
+    )
+    commit_append(tdir, df.schema, now_ms=1_000)
+    return tdir
+
+
+def _values(spark, tdir, **kw):
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+    )
+
+    return sorted(
+        r["v"] for r in read_iceberg_table(spark, tdir, **kw).collect()
+    )
+
+
+class TestDeletionVectors:
+    def test_commit_and_read(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+
+        meta = commit_deletion_vectors(spark, table, "v % 10 = 3", now_ms=2_000)
+        assert _values(spark, table) == [v for v in range(200) if v % 10 != 3]
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        assert cur["summary"]["operation"] == "delete"
+        assert cur["summary"]["added-position-deletes"] == "20"
+        assert cur["summary"]["total-position-deletes"] == "20"
+
+    def test_manifest_entries_carry_dv_locators(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            _plan_snapshot,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+            read_puffin_blobs,
+        )
+
+        commit_deletion_vectors(spark, table, "v < 6")
+        _v, meta = _load_current_metadata(table)
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _data, deletes = _plan_snapshot(cur, None)
+        assert deletes and all(d["file_format"] == "PUFFIN" for d in deletes)
+        for d in deletes:
+            assert d["referenced_data_file"]
+            blobs = read_puffin_blobs(d["file_path"])
+            mine = [
+                b for b in blobs
+                if b["properties"]["referenced-data-file"]
+                == d["referenced_data_file"]
+            ]
+            assert len(mine) == 1
+            positions = deserialize_roaring64(mine[0]["payload"])
+            assert len(positions) == d["record_count"]
+            # the locator slices the blob exactly
+            with open(d["file_path"], "rb") as f:
+                f.seek(d["content_offset"])
+                assert f.read(d["content_size_in_bytes"]) == mine[0]["payload"]
+
+    def test_sequence_rule_new_appends_not_retro_deleted(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+        )
+
+        commit_deletion_vectors(spark, table, "v < 50", now_ms=2_000)
+        df = spark.range(1000, 1100).select(
+            (F.col("id") % 2).cast("int").alias("partition"),
+            (F.col("id") - 1000).alias("v"),  # SAME v values as deleted rows
+        )
+        df.repartition(2, "partition").write.partitionBy("partition").parquet(
+            table, mode="append"
+        )
+        commit_append(table, df.schema, now_ms=3_000)
+        vals = _values(spark, table)
+        # old rows v<50 gone; the new appends' v 0..99 all present
+        assert vals == sorted(list(range(50, 200)) + list(range(100)))
+
+    def test_second_dv_commit_unions(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+
+        commit_deletion_vectors(spark, table, "v < 10")
+        commit_deletion_vectors(spark, table, "v >= 190")
+        assert _values(spark, table) == list(range(10, 190))
+
+    def test_rematch_skips_dv_deleted_rows(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+            write_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_position_deletes,
+        )
+
+        commit_deletion_vectors(spark, table, "v < 10")
+        # same predicate again: every match is already DV-deleted
+        assert write_deletion_vectors(spark, table, "v < 10") == []
+        # and the v2 parquet path also sees the DV-deleted view
+        meta = commit_position_deletes(spark, table, "v < 12")
+        assert _values(spark, table) == list(range(12, 200))
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        assert cur["summary"]["added-position-deletes"] == "2"  # rows 10, 11
+
+    def test_time_travel_sees_pre_dv_rows(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            read_iceberg_table_at,
+        )
+
+        _v, before = _load_current_metadata(table)
+        pre_snap = before["current-snapshot-id"]
+        commit_deletion_vectors(spark, table, "v % 2 = 0")
+        old = sorted(
+            r["v"]
+            for r in read_iceberg_table_at(spark, table, pre_snap).collect()
+        )
+        assert old == list(range(200))
+        assert _values(spark, table) == list(range(1, 200, 2))
+
+    def test_no_match_returns_base(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+        )
+
+        _v, before = _load_current_metadata(table)
+        meta = commit_deletion_vectors(spark, table, "v > 10000")
+        assert meta["current-snapshot-id"] == before["current-snapshot-id"]

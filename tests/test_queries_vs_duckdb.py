@@ -93,6 +93,7 @@ _CACHE_WARMUP = [
     "iceberg_bounds_pruned_scan",  # _ICEBERG_BANDS_CACHE (banded twin,
     # shared with iceberg_incremental_scan + streaming_iceberg_incremental)
     "streaming_iceberg_incremental",  # _ICEBERG_STREAM_READ_CACHE (sink dir)
+    "iceberg_dv_scan",  # _ICEBERG_DV_CACHE (deletion-vector twin)
     "tiered_read_committed",  # _TXN_CACHE (transactional tiered store,
     # shared with txn_aborted_index_scan, leader_epoch_checkpoint_scan,
     # and producer_state_snapshot_scan)

@@ -255,7 +255,6 @@ for _requeue in (
     "range_join_purchase_window",
     "topk_orders_per_priority",
     "rollup_pricing",
-    "grouping_sets_order_mix",
 ):
     _DEMOTE.remove(_requeue)
 
@@ -302,13 +301,13 @@ _PROMOTE = [
     "range_join_purchase_window",
     "topk_orders_per_priority",
     "rollup_pricing",
-    "grouping_sets_order_mix",
     # NEW late-r6 additions that register early (txn_read, iceberg_meta)
     # took five head slots, and char_diversity_quality (text_extra,
     # registers late) needs its first verdict — promoted here:
     "char_diversity_quality",
     # Deferred to the r7 rotation (r2 verdicts, gate-checked meanwhile;
-    # the 50-slot window is full this round): train_test_split_hash,
+    # the 50-slot window is full this round): grouping_sets_order_mix,
+    # train_test_split_hash,
     # stratified_sample_by_lang,
     # benchmark_decontamination, curation_funnel, doc_fingerprint,
     # doc_winnow_fingerprint, corpus_lang_profile,

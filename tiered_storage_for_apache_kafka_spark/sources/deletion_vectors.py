@@ -1,0 +1,389 @@
+"""Iceberg v3-style deletion vectors: position deletes as roaring
+bitmaps in Puffin blobs.
+
+Iceberg v3 replaces v2's position-delete *parquet files* with deletion
+vectors — per-data-file roaring bitmaps of deleted row ordinals stored
+as ``deletion-vector-v1`` blobs in a shared Puffin file, located from
+the delete manifest by ``referenced_data_file`` + ``content_offset`` /
+``content_size_in_bytes``. This module adds that representation to the
+engine's metadata plane (`sources/iceberg.py`), alongside the existing
+v2 row-delta files:
+
+- bitmaps are the spec's portable 64-bit roaring layout (`roaring.py`,
+  the public RoaringFormatSpec) — the same bytes every Iceberg v3
+  implementation reads;
+- the Puffin container and blob metadata (type, per-blob properties
+  ``referenced-data-file`` / ``cardinality``) follow the public Puffin
+  spec (`sources/puffin.py`);
+- the three DV locator fields are written on the delete-manifest
+  entries under the v3 spec's names (``referenced_data_file``,
+  ``content_offset``, ``content_size_in_bytes``) as optional Avro
+  fields, so non-DV manifests are byte-identical to before.
+
+Documented divergence from v3: the spec requires a writer to maintain
+at most ONE live DV per data file (a new DV must supersede the old
+entry). This writer appends DV entries without rewriting prior delete
+manifests; the reader unions every applicable DV for a file — a strict
+superset of the single-DV behavior that is correct for unions of
+deletes, and simpler to keep crash-safe.
+
+Scale shape: the match scan is the same declarative parquet read the
+v2 path uses; each referenced file's bitmap is built by one Arrow task
+(`applyInPandas`); only O(#touched-files) (path, blob) pairs pass the
+driver to be packed into one Puffin. On read the blobs ship to
+executors as binary rows, are exploded to (file, pos) there, and the
+main scan stays a JVM anti-join — deleted positions never materialize
+on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+    FORMAT_VERSION,
+    _apply_equality_deletes,
+    _apply_position_deletes,
+    _current_schema_struct,
+    _current_state_meta,
+    _default_table_name,
+    _plan_snapshot,
+    _read_with_positions,
+    manifest_entry_schema,
+    write_avro_ocf,
+)
+from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+    DELETION_VECTOR_V1,
+    read_puffin_blobs,
+    write_puffin_file,
+)
+
+
+def manifest_entry_schema_dv(partition_col: str) -> dict:
+    """The manifest-entry Avro schema plus the v3 deletion-vector
+    locator fields (optional, default null — absent from every non-DV
+    manifest this engine writes)."""
+    schema = manifest_entry_schema(partition_col)
+    data_file = next(f for f in schema["fields"] if f["name"] == "data_file")
+    data_file["type"]["fields"] += [
+        {
+            "name": "referenced_data_file",
+            "type": ["null", "string"],
+            "default": None,
+            "field-id": 143,
+        },
+        {
+            "name": "content_offset",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 144,
+        },
+        {
+            "name": "content_size_in_bytes",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 145,
+        },
+    ]
+    return schema
+
+
+def write_deletion_vectors(
+    spark,
+    table_dir: str,
+    predicate,
+    partition_col: str = "partition",
+    meta: dict | None = None,
+) -> list[dict]:
+    """Match current-snapshot rows against ``predicate`` and write ONE
+    Puffin file holding a roaring-bitmap DV blob per touched data file.
+    Returns one stats dict per DV (the locator fields
+    :func:`commit_deletion_vectors` records)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.roaring import (
+        serialize_roaring64,
+    )
+
+    if meta is None:
+        _v, meta, _t = _current_state_meta(table_dir)
+    if meta.get("current-snapshot-id", -1) == -1:
+        return []
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    data, deletes = _plan_snapshot(cur, None)
+    if not data:
+        return []
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    df = _read_with_positions(
+        spark, table_dir, meta, [d["file_path"] for d in data]
+    )
+    # already-deleted rows (any representation) must not re-match
+    eq = [d for d in deletes if d.get("content") == 2]
+    pos, dv = split_position_deletes(deletes)
+    if eq:
+        df = _apply_equality_deletes(spark, df, data, eq, meta)
+    if pos:
+        df = _apply_position_deletes(spark, df, data, pos)
+    if dv:
+        df = apply_deletion_vectors(spark, df, data, dv)
+
+    def _bitmap_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        payload = serialize_roaring64(
+            pdf["__iceberg_pos"].to_numpy(dtype=np.int64)
+        )
+        return pd.DataFrame(
+            [[pdf["__iceberg_file"].iloc[0], payload, len(pdf)]],
+            columns=["file", "payload", "cardinality"],
+        )
+
+    blobs = (
+        df.where(cond)
+        .select("__iceberg_file", "__iceberg_pos")
+        .groupBy("__iceberg_file")
+        .applyInPandas(_bitmap_group, "file string, payload binary, cardinality bigint")
+        .collect()
+    )
+    if not blobs:
+        return []
+    blobs = sorted(blobs, key=lambda r: r["file"])
+    out_dir = os.path.join(table_dir, "deletes")
+    os.makedirs(out_dir, exist_ok=True)
+    puffin_path = os.path.join(out_dir, f"dv-{uuid.uuid4().hex[:16]}.puffin")
+    part_of = {d["file_path"]: d["partition"].get(partition_col) for d in data}
+    result = write_puffin_file(
+        puffin_path,
+        [
+            {
+                "type": DELETION_VECTOR_V1,
+                "payload": bytes(r["payload"]),
+                "properties": {
+                    "referenced-data-file": r["file"],
+                    "cardinality": str(r["cardinality"]),
+                },
+            }
+            for r in blobs
+        ],
+        snapshot_id=meta["current-snapshot-id"],
+        sequence_number=meta["last-sequence-number"] + 1,
+    )
+    stats = []
+    for r, bm in zip(blobs, result["blob_metadata"]):
+        stats.append(
+            {
+                "delete_path": puffin_path,
+                "file_size": result["file_size"],
+                "referenced_data_file": r["file"],
+                "content_offset": bm["offset"],
+                "content_size_in_bytes": bm["length"],
+                "n_rows": int(r["cardinality"]),
+                "partition": part_of.get(r["file"]),
+            }
+        )
+    return stats
+
+
+def commit_deletion_vectors(
+    spark,
+    table_dir: str,
+    predicate,
+    partition_col: str = "partition",
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """Row-level DELETE as a v3-style DV commit: write deletion-vector
+    blobs for the matching rows and commit a snapshot whose DELETE
+    manifest entries carry the DV locator fields. Matching zero rows
+    returns the current metadata unchanged. Catalog-routed commits
+    re-plan and retry on lost races, like the v2 path."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+    )
+
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None and table_name is None:
+        table_name = _default_table_name(table_dir)
+    last_err: Exception | None = None
+    for _attempt in range(max_commit_retries if catalog is not None else 1):
+        version, base, table_name = _current_state_meta(
+            table_dir, catalog, table_name
+        )
+        stats = write_deletion_vectors(
+            spark, table_dir, predicate, partition_col, meta=base
+        )
+        if not stats:
+            return base
+        try:
+            return _commit_dv_once(
+                table_dir, version, base, stats, partition_col, now_ms,
+                catalog, table_name,
+            )
+        except CommitConflictError as e:
+            last_err = e
+    assert last_err is not None
+    raise last_err
+
+
+def _commit_dv_once(
+    table_dir: str,
+    version: int,
+    base: dict,
+    stats: list[dict],
+    partition_col: str,
+    now_ms: int,
+    catalog,
+    table_name: str | None,
+) -> dict:
+    """One DV snapshot commit — the DV twin of iceberg._commit_deletes_
+    once, sharing its downstream machinery via _finish_delete_commit."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        _finish_delete_commit,
+    )
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    newest_ts = max((s["timestamp-ms"] for s in base["snapshots"]), default=0)
+    now_ms = max(now_ms, newest_ts)
+    seq = base["last-sequence-number"] + 1
+    snapshot_id = seq
+    commit_uuid = uuid.uuid4().hex[:16]
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 1,  # POSITION_DELETES (DV representation)
+                "file_path": s["delete_path"],
+                "file_format": "PUFFIN",
+                "partition": {partition_col: s["partition"]},
+                "record_count": s["n_rows"],
+                "file_size_in_bytes": s["file_size"],
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "split_offsets": None,
+                "equality_ids": None,
+                "sort_order_id": None,
+                "referenced_data_file": s["referenced_data_file"],
+                "content_offset": s["content_offset"],
+                "content_size_in_bytes": s["content_size_in_bytes"],
+            },
+        }
+        for s in sorted(stats, key=lambda s: s["referenced_data_file"])
+    ]
+    schema_struct = _current_schema_struct(base)
+    spec = base["partition-specs"][0]
+    manifest_path = os.path.join(
+        meta_dir, f"{base['table-uuid']}-dv{seq}-{commit_uuid}.avro"
+    )
+    manifest_len = write_avro_ocf(
+        manifest_path,
+        manifest_entry_schema_dv(partition_col),
+        entries,
+        {
+            "schema": json.dumps(schema_struct).encode(),
+            "schema-id": str(base["current-schema-id"]).encode(),
+            "partition-spec": json.dumps(spec["fields"]).encode(),
+            "partition-spec-id": b"0",
+            "format-version": str(FORMAT_VERSION).encode(),
+            "content": b"deletes",
+        },
+    )
+    return _finish_delete_commit(
+        table_dir, version, base, stats, now_ms, catalog, table_name,
+        seq, snapshot_id, commit_uuid, manifest_path, manifest_len,
+        len(entries),
+    )
+
+
+def split_position_deletes(
+    deletes: list[dict],
+) -> tuple[list[dict], list[dict]]:
+    """Split content==1 delete entries into (parquet position-delete
+    files, Puffin deletion vectors) by file_format."""
+    pos = [
+        d
+        for d in deletes
+        if d.get("content") == 1 and d.get("file_format") != "PUFFIN"
+    ]
+    dv = [
+        d
+        for d in deletes
+        if d.get("content") == 1 and d.get("file_format") == "PUFFIN"
+    ]
+    return pos, dv
+
+
+def apply_deletion_vectors(spark, df_pos, data_entries, dv_entries):
+    """Merge-on-read for DV entries: decode each applicable bitmap
+    executor-side, explode to (file, pos) rows, anti-join the scan —
+    the same physical strategy as parquet position deletes, with the
+    bitmap explode replacing the delete-file scan. The sequence rule
+    matches the v2 path: a DV applies only to data files whose data
+    sequence number is <= the DV's."""
+    from pyspark.sql import functions as F
+
+    data_seq = {d["file_path"]: d["_seq"] for d in data_entries}
+    blob_cache: dict[str, list[dict]] = {}
+    rows: list[tuple[str, bytes]] = []
+    for e in dv_entries:
+        path = e["file_path"]
+        if path not in blob_cache:
+            blob_cache[path] = read_puffin_blobs(path)
+        ref = e.get("referenced_data_file")
+        dseq = data_seq.get(ref)
+        if dseq is None or e["_seq"] < dseq:
+            continue
+        for blob in blob_cache[path]:
+            if (
+                blob["type"] == DELETION_VECTOR_V1
+                and blob["properties"].get("referenced-data-file") == ref
+            ):
+                rows.append((ref, blob["payload"]))
+    if not rows:
+        return df_pos
+
+    def explode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tiered_storage_for_apache_kafka_spark.roaring import (
+            deserialize_roaring64,
+        )
+
+        for pdf in batches:
+            # plain tuples: itertuples mangles the __-prefixed names
+            for fname, blob in pdf.itertuples(index=False, name=None):
+                positions = deserialize_roaring64(bytes(blob)).astype(
+                    np.int64
+                )
+                yield pd.DataFrame(
+                    {
+                        "__iceberg_file": fname,
+                        "__iceberg_pos": positions,
+                    }
+                )
+
+    dv_df = spark.createDataFrame(
+        rows, "__iceberg_file string, __dv binary"
+    )
+    dels = dv_df.mapInPandas(
+        explode, "__iceberg_file string, __iceberg_pos bigint"
+    )
+    return df_pos.join(
+        dels, ["__iceberg_file", "__iceberg_pos"], "left_anti"
+    )

@@ -1290,8 +1290,13 @@ def write_position_deletes(
     # match against the MERGED view: a row already deleted (by either
     # kind) must not re-match (duplicate delete rows are spec-legal but
     # inflate added-position-deletes and every later delete scan)
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+        apply_deletion_vectors,
+        split_position_deletes,
+    )
+
     eq = [d for d in deletes if d.get("content") == 2]
-    pos = [d for d in deletes if d.get("content") == 1]
+    pos, dv = split_position_deletes(deletes)
     if eq:
         df = _apply_equality_deletes(
             spark, df, data, eq, meta
@@ -1300,6 +1305,8 @@ def write_position_deletes(
         df = _apply_position_deletes(
             spark, df, data, pos
         )
+    if dv:
+        df = apply_deletion_vectors(spark, df, data, dv)
     part_map = spark.createDataFrame(
         [(d["file_path"], d["partition"].get(partition_col)) for d in data],
         "__iceberg_file string, __iceberg_part int",
@@ -1597,6 +1604,34 @@ def _commit_deletes_once(
             "content": b"deletes",
         },
     )
+    return _finish_delete_commit(
+        table_dir, version, base, stats, now_ms, catalog, table_name,
+        seq, snapshot_id, commit_uuid, manifest_path, manifest_len,
+        len(entries),
+    )
+
+
+def _finish_delete_commit(
+    table_dir: str,
+    version: int,
+    base: dict,
+    stats: list[dict],
+    now_ms: int,
+    catalog,
+    table_name: str | None,
+    seq: int,
+    snapshot_id: int,
+    commit_uuid: str,
+    manifest_path: str,
+    manifest_len: int,
+    n_entries: int,
+) -> dict:
+    """Shared tail of every delete-flavored commit (v2 parquet
+    row-deltas and v3-style deletion vectors): build the DELETE
+    manifest-list entry, chain the snapshot, bump the delete counters,
+    register the FILE_LIST statistics Puffin, and move the pointer
+    (catalog protocol or local version write)."""
+    meta_dir = os.path.join(table_dir, "metadata")
     parts = [s["partition"] for s in stats]
     non_null = [p for p in parts if p is not None] or [0]
     n_del_rows = sum(int(s["n_rows"]) for s in stats)
@@ -1610,7 +1645,7 @@ def _commit_deletes_once(
         "sequence_number": seq,
         "min_sequence_number": seq,
         "added_snapshot_id": snapshot_id,
-        "added_data_files_count": len(entries),
+        "added_data_files_count": n_entries,
         "existing_data_files_count": 0,
         "deleted_data_files_count": 0,
         "added_rows_count": n_del_rows,
@@ -1650,7 +1685,7 @@ def _commit_deletes_once(
         "parent-snapshot-id": base["current-snapshot-id"],
         "summary": {
             "operation": "delete",
-            "added-delete-files": str(len(entries)),
+            "added-delete-files": str(n_entries),
             "added-position-deletes": str(n_pos),
             "added-equality-deletes": str(n_eq),
             "total-position-deletes": str(
@@ -2255,15 +2290,22 @@ def _read_plan_with_identity(
     core of snapshot reads and the changelog's plan-split scans
     (deletes match per (file, pos) / per key, so applying them against
     a SUBSET of the snapshot's data files is sound)."""
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+        apply_deletion_vectors,
+        split_position_deletes,
+    )
+
     df = _read_with_positions(
         spark, table_dir, meta, [d["file_path"] for d in data]
     )
-    pos = [d for d in deletes if d.get("content") == 1]
+    pos, dv = split_position_deletes(deletes)
     eq = [d for d in deletes if d.get("content") == 2]
     if eq:
         df = _apply_equality_deletes(spark, df, data, eq, meta)
     if pos:
         df = _apply_position_deletes(spark, df, data, pos)
+    if dv:
+        df = apply_deletion_vectors(spark, df, data, dv)
     return df
 
 

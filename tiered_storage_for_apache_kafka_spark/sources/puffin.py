@@ -111,3 +111,88 @@ def read_puffin(path: str) -> dict:
             raise ValueError("compressed Puffin blobs not supported")
         blobs[bm["type"]] = data[start : start + length]
     return {"blobs": blobs, "metadata": meta}
+
+
+DELETION_VECTOR_V1 = "deletion-vector-v1"  # Iceberg v3 DV blob type
+
+
+def write_puffin_file(
+    path: str,
+    blob_specs: list[dict],
+    snapshot_id: int,
+    sequence_number: int,
+    created_by: str = "tiered-storage-for-apache-kafka spark engine",
+) -> dict:
+    """Generalized Puffin writer: a blob spec is ``{"type", "payload",
+    "properties"?, "fields"?}``. Unlike :func:`write_puffin` (the
+    reference's one-blob-per-type segment manifests), a type may repeat
+    — Iceberg v3 deletion vectors store MANY ``deletion-vector-v1``
+    blobs in one file, distinguished by their ``referenced-data-file``
+    property. Returns the same shape plus per-blob offsets."""
+    out = bytearray(MAGIC)
+    blob_meta = []
+    for spec in blob_specs:
+        offset = len(out)
+        payload = spec["payload"]
+        out += payload
+        bm = {
+            "type": spec["type"],
+            "fields": list(spec.get("fields") or []),
+            "snapshot-id": snapshot_id,
+            "sequence-number": sequence_number,
+            "offset": offset,
+            "length": len(payload),
+        }
+        if spec.get("properties"):
+            bm["properties"] = dict(spec["properties"])
+        blob_meta.append(bm)
+    footer_payload = json.dumps(
+        {"blobs": blob_meta, "properties": {"created-by": created_by}}
+    ).encode()
+    footer_start = len(out)
+    out += MAGIC
+    out += footer_payload
+    out += struct.pack("<i", len(footer_payload))
+    out += struct.pack("<i", 0)
+    out += MAGIC
+    with open(path, "wb") as f:
+        f.write(out)
+    return {
+        "file_size": len(out),
+        "footer_size": len(out) - footer_start,
+        "blob_metadata": blob_meta,
+    }
+
+
+def read_puffin_blobs(path: str) -> list[dict]:
+    """Read a Puffin file preserving repeated blob types: returns a
+    list of ``{"type", "properties", "payload"}`` in footer order (the
+    dict-keyed :func:`read_puffin` collapses repeats)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != MAGIC or data[-4:] != MAGIC:
+        raise ValueError("not a Puffin file")
+    (flags,) = struct.unpack("<i", data[-8:-4])
+    if flags & 0x1:
+        raise ValueError("compressed Puffin footer payload not supported")
+    (payload_size,) = struct.unpack("<i", data[-12:-8])
+    payload_end = len(data) - 12
+    payload_start = payload_end - payload_size
+    if data[payload_start - 4 : payload_start] != MAGIC:
+        raise ValueError("Puffin footer magic mismatch")
+    meta = json.loads(data[payload_start:payload_end].decode())
+    out = []
+    for bm in meta["blobs"]:
+        start, length = bm["offset"], bm["length"]
+        if start + length > payload_start - 4:
+            raise ValueError("Puffin blob overlaps the footer")
+        if bm.get("compression-codec"):
+            raise ValueError("compressed Puffin blobs not supported")
+        out.append(
+            {
+                "type": bm["type"],
+                "properties": bm.get("properties") or {},
+                "payload": data[start : start + length],
+            }
+        )
+    return out
