@@ -69,6 +69,35 @@ class TestRoaring:
         assert used == len(s)
         assert list(vals) == [10, 11, 12, 13, 14, 100]
 
+    def test_run_container_ending_at_65535(self):
+        # regression: u16 arithmetic on the run bounds wrapped the
+        # arange stop to 0 under NEP-50 promotion, dropping the run —
+        # external writers (Java/Rust roaring) emit runs that can end
+        # at the container max
+        s = bytearray()
+        s += struct.pack("<I", 12347 | (0 << 16))
+        s += bytes([0b1])
+        s += struct.pack("<HH", 0, 7)
+        s += struct.pack("<H", 2)
+        s += struct.pack("<HH", 7, 1)      # run 7..8 (runs are sorted)
+        s += struct.pack("<HH", 65530, 5)  # run 65530..65535
+        vals, used = _deserialize_32(bytes(s), 0)
+        assert used == len(s)
+        assert list(vals) == [7, 8, 65530, 65531, 65532, 65533, 65534, 65535]
+
+    def test_full_container_run(self):
+        # one run covering the whole 0..65535 container
+        s = bytearray()
+        s += struct.pack("<I", 12347 | (0 << 16))
+        s += bytes([0b1])
+        s += struct.pack("<HH", 0, 0xFFFF)
+        s += struct.pack("<H", 1)
+        s += struct.pack("<HH", 0, 65535)
+        vals, used = _deserialize_32(bytes(s), 0)
+        assert used == len(s)
+        assert len(vals) == 65536
+        assert vals[0] == 0 and vals[-1] == 65535
+
     def test_trailing_bytes_rejected(self):
         buf = serialize_roaring64(np.array([1], dtype=np.uint64)) + b"x"
         with pytest.raises(ValueError, match="trailing"):
@@ -227,6 +256,82 @@ class TestDeletionVectors:
         )
         assert old == list(range(200))
         assert _values(spark, table) == list(range(1, 200, 2))
+
+    def test_blob_snapshot_id_matches_committing_snapshot(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _plan_snapshot,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+            _read_puffin_entries,
+        )
+
+        meta = commit_deletion_vectors(spark, table, "v < 4")
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _data, deletes = _plan_snapshot(cur, None)
+        for path in {d["file_path"] for d in deletes}:
+            _entries, footer = _read_puffin_entries(path)
+            for bm in footer["blobs"]:
+                assert bm["snapshot-id"] == meta["current-snapshot-id"]
+                assert bm["sequence-number"] == cur["sequence-number"]
+
+    def test_rewrite_manifests_preserves_deletion_vectors(self, spark, table):
+        # regression: compacting delete manifests with the base entry
+        # schema stripped the DV locator fields, so every DV silently
+        # stopped applying after rewrite_manifests
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            _plan_snapshot,
+            rewrite_manifests,
+        )
+
+        commit_deletion_vectors(spark, table, "v < 10", now_ms=2_000)
+        commit_deletion_vectors(spark, table, "v >= 190", now_ms=3_000)
+        meta = rewrite_manifests(table, now_ms=4_000)
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_avro_ocf,
+        )
+
+        _s, mfs, _m = read_avro_ocf(cur["manifest-list"])
+        assert len(mfs) == 2  # one data + one delete manifest
+        _data, deletes = _plan_snapshot(cur, None)
+        assert deletes and all(
+            d["referenced_data_file"]
+            and d["content_offset"] is not None
+            and d["content_size_in_bytes"] is not None
+            for d in deletes
+        )
+        assert _values(spark, table) == list(range(10, 190))
+        _v, now = _load_current_metadata(table)
+        assert now["current-snapshot-id"] == meta["current-snapshot-id"]
+
+    def test_rewrite_manifests_mixed_v2_and_dv_deletes(self, spark, table):
+        # parquet position deletes and DVs compact into ONE delete
+        # manifest: DV entries keep locators, v2 entries get nulls
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_position_deletes,
+            rewrite_manifests,
+        )
+
+        commit_position_deletes(spark, table, "v < 5", now_ms=2_000)
+        commit_deletion_vectors(spark, table, "v >= 195", now_ms=3_000)
+        rewrite_manifests(table, now_ms=4_000)
+        assert _values(spark, table) == list(range(5, 195))
 
     def test_no_match_returns_base(self, spark, table):
         from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (

@@ -105,9 +105,12 @@ def _deserialize_32(buf: bytes, off: int) -> tuple[np.ndarray, int]:
             off += 2
             runs = np.frombuffer(buf, "<u2", n_runs * 2, off).reshape(-1, 2)
             off += 4 * n_runs
+            # int() the u16 scalars: under NEP-50 promotion (numpy 2.x)
+            # uint16 + python-int stays uint16, so a run ending at 65535
+            # would wrap the arange stop to 0 and drop the whole run
             lows = np.concatenate(
                 [
-                    np.arange(s, s + l + 1, dtype=np.uint32)
+                    np.arange(int(s), int(s) + int(l) + 1, dtype=np.uint32)
                     for s, l in runs
                 ]
             ) if n_runs else np.empty(0, np.uint32)

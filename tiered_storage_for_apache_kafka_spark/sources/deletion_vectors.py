@@ -173,7 +173,9 @@ def write_deletion_vectors(
             }
             for r in blobs
         ],
-        snapshot_id=meta["current-snapshot-id"],
+        # the snapshot that adds these DVs is the NEXT one: the commit
+        # path assigns snapshot_id = seq = last-sequence-number + 1
+        snapshot_id=meta["last-sequence-number"] + 1,
         sequence_number=meta["last-sequence-number"] + 1,
     )
     stats = []
@@ -338,16 +340,35 @@ def apply_deletion_vectors(spark, df_pos, data_entries, dv_entries):
     from pyspark.sql import functions as F
 
     data_seq = {d["file_path"]: d["_seq"] for d in data_entries}
+    file_cache: dict[str, bytes] = {}
     blob_cache: dict[str, list[dict]] = {}
     rows: list[tuple[str, bytes]] = []
     for e in dv_entries:
         path = e["file_path"]
-        if path not in blob_cache:
-            blob_cache[path] = read_puffin_blobs(path)
         ref = e.get("referenced_data_file")
         dseq = data_seq.get(ref)
         if dseq is None or e["_seq"] < dseq:
             continue
+        off = e.get("content_offset")
+        size = e.get("content_size_in_bytes")
+        if off is not None and size is not None:
+            # the fast path every v3 reader uses: slice the blob by the
+            # committed locator triple — O(1) per DV, no footer parse
+            if path not in file_cache:
+                with open(path, "rb") as f:
+                    file_cache[path] = f.read()
+            payload = file_cache[path][off : off + size]
+            if len(payload) != size:
+                raise ValueError(
+                    f"DV locator out of bounds: {path} offset={off} "
+                    f"size={size} file_size={len(file_cache[path])}"
+                )
+            rows.append((ref, payload))
+            continue
+        # locator-less entry (e.g. written by a pre-v3 tool): fall back
+        # to the Puffin footer and match on the blob property
+        if path not in blob_cache:
+            blob_cache[path] = read_puffin_blobs(path)
         for blob in blob_cache[path]:
             if (
                 blob["type"] == DELETION_VECTOR_V1

@@ -2872,12 +2872,32 @@ def _rewrite_manifests_once(
         # own content=1 manifest, preserving each entry's sequence
         # number (the delete-applies-to rule depends on it)
         del_entries = groups[1]
+        # DV entries carry the v3 locator triple; the Avro writer emits
+        # only schema-declared fields, so compacting them with the base
+        # entry schema would silently strip the locators and every DV
+        # would stop applying. Use the DV-extended schema whenever any
+        # entry has one, normalizing locator-less entries to nulls.
+        if any(
+            e["data_file"].get("referenced_data_file") is not None
+            for e in del_entries
+        ):
+            from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501 (local import: deletion_vectors imports this module)
+                manifest_entry_schema_dv,
+            )
+
+            del_schema = manifest_entry_schema_dv(partition_col)
+            for e in del_entries:
+                e["data_file"].setdefault("referenced_data_file", None)
+                e["data_file"].setdefault("content_offset", None)
+                e["data_file"].setdefault("content_size_in_bytes", None)
+        else:
+            del_schema = manifest_entry_schema(partition_col)
         del_path = os.path.join(
             meta_dir, f"{meta['table-uuid']}-compacted-d{seq}-{compact_uuid}.avro"
         )
         del_len = write_avro_ocf(
             del_path,
-            manifest_entry_schema(partition_col),
+            del_schema,
             del_entries,
             {
                 "schema": json.dumps(schema_struct).encode(),

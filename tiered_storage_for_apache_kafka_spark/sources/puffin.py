@@ -45,40 +45,17 @@ def write_puffin(
     Returns {"file_size", "footer_size", "blob_metadata"} — the fields
     an Iceberg ``statistics`` entry needs (GenericStatisticsFile)."""
     seen: set[str] = set()
-    out = bytearray(MAGIC)
-    blob_meta = []
-    for btype, payload in blobs:
+    for btype, _ in blobs:
         if btype in seen:
             raise ValueError(f"{btype} blob already written")
         seen.add(btype)
-        offset = len(out)
-        out += payload
-        blob_meta.append(
-            {
-                "type": btype,
-                "fields": [],
-                "snapshot-id": snapshot_id,
-                "sequence-number": sequence_number,
-                "offset": offset,
-                "length": len(payload),
-            }
-        )
-    footer_payload = json.dumps(
-        {"blobs": blob_meta, "properties": {"created-by": created_by}}
-    ).encode()
-    footer_start = len(out)
-    out += MAGIC
-    out += footer_payload
-    out += struct.pack("<i", len(footer_payload))
-    out += struct.pack("<i", 0)  # flags: footer payload not compressed
-    out += MAGIC
-    with open(path, "wb") as f:
-        f.write(out)
-    return {
-        "file_size": len(out),
-        "footer_size": len(out) - footer_start,
-        "blob_metadata": blob_meta,
-    }
+    return write_puffin_file(
+        path,
+        [{"type": btype, "payload": payload} for btype, payload in blobs],
+        snapshot_id=snapshot_id,
+        sequence_number=sequence_number,
+        created_by=created_by,
+    )
 
 
 def read_puffin(path: str) -> dict:
@@ -87,30 +64,11 @@ def read_puffin(path: str) -> dict:
     flags..Magic), parse the footer JSON, then slice each blob by its
     recorded offset/length. Returns {"blobs": {type: bytes},
     "metadata": footer-json}."""
-    with open(path, "rb") as f:
-        data = f.read()
-    if data[:4] != MAGIC:
-        raise ValueError("not a Puffin file: bad leading magic")
-    if data[-4:] != MAGIC:
-        raise ValueError("not a Puffin file: bad trailing magic")
-    (flags,) = struct.unpack("<i", data[-8:-4])
-    if flags & 0x1:
-        raise ValueError("compressed Puffin footer payload not supported")
-    (payload_size,) = struct.unpack("<i", data[-12:-8])
-    payload_end = len(data) - 12
-    payload_start = payload_end - payload_size
-    if data[payload_start - 4 : payload_start] != MAGIC:
-        raise ValueError("Puffin footer magic mismatch")
-    meta = json.loads(data[payload_start:payload_end].decode())
-    blobs = {}
-    for bm in meta["blobs"]:
-        start, length = bm["offset"], bm["length"]
-        if start + length > payload_start - 4:
-            raise ValueError("Puffin blob overlaps the footer")
-        if bm.get("compression-codec"):
-            raise ValueError("compressed Puffin blobs not supported")
-        blobs[bm["type"]] = data[start : start + length]
-    return {"blobs": blobs, "metadata": meta}
+    entries, meta = _read_puffin_entries(path)
+    return {
+        "blobs": {e["type"]: e["payload"] for e in entries},
+        "metadata": meta,
+    }
 
 
 DELETION_VECTOR_V1 = "deletion-vector-v1"  # Iceberg v3 DV blob type
@@ -168,10 +126,20 @@ def read_puffin_blobs(path: str) -> list[dict]:
     """Read a Puffin file preserving repeated blob types: returns a
     list of ``{"type", "properties", "payload"}`` in footer order (the
     dict-keyed :func:`read_puffin` collapses repeats)."""
+    entries, _meta = _read_puffin_entries(path)
+    return entries
+
+
+def _read_puffin_entries(path: str) -> tuple[list[dict], dict]:
+    """Shared footer parse for :func:`read_puffin` /
+    :func:`read_puffin_blobs`: validate magics, parse the footer JSON,
+    slice each blob by its recorded offset/length."""
     with open(path, "rb") as f:
         data = f.read()
-    if data[:4] != MAGIC or data[-4:] != MAGIC:
-        raise ValueError("not a Puffin file")
+    if data[:4] != MAGIC:
+        raise ValueError("not a Puffin file: bad leading magic")
+    if data[-4:] != MAGIC:
+        raise ValueError("not a Puffin file: bad trailing magic")
     (flags,) = struct.unpack("<i", data[-8:-4])
     if flags & 0x1:
         raise ValueError("compressed Puffin footer payload not supported")
@@ -181,18 +149,18 @@ def read_puffin_blobs(path: str) -> list[dict]:
     if data[payload_start - 4 : payload_start] != MAGIC:
         raise ValueError("Puffin footer magic mismatch")
     meta = json.loads(data[payload_start:payload_end].decode())
-    out = []
+    entries = []
     for bm in meta["blobs"]:
         start, length = bm["offset"], bm["length"]
         if start + length > payload_start - 4:
             raise ValueError("Puffin blob overlaps the footer")
         if bm.get("compression-codec"):
             raise ValueError("compressed Puffin blobs not supported")
-        out.append(
+        entries.append(
             {
                 "type": bm["type"],
                 "properties": bm.get("properties") or {},
                 "payload": data[start : start + length],
             }
         )
-    return out
+    return entries, meta
