@@ -257,6 +257,65 @@ class TestDeletionVectors:
         assert old == list(range(200))
         assert _values(spark, table) == list(range(1, 200, 2))
 
+    def test_supersede_single_live_dv_per_file(self, spark, table):
+        # v3 rule: the second commit's DV carries the union and the
+        # old entry is tombstoned — exactly one live DV per data file
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _plan_snapshot,
+        )
+
+        commit_deletion_vectors(spark, table, "v < 10", now_ms=2_000)
+        meta = commit_deletion_vectors(spark, table, "v < 20", now_ms=3_000)
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _data, deletes = _plan_snapshot(cur, None)
+        refs = [d["referenced_data_file"] for d in deletes]
+        assert len(refs) == len(set(refs)), "more than one live DV per file"
+        # union cardinality: 20 distinct deleted rows, not 10+20
+        assert sum(d["record_count"] for d in deletes) == 20
+        assert cur["summary"]["total-position-deletes"] == "20"
+        assert int(cur["summary"]["removed-delete-files"]) >= 1
+        assert _values(spark, table) == list(range(20, 200))
+
+    def test_supersede_union_is_exact(self, spark, table):
+        # disjoint predicates: union = old ∪ new with nothing dropped
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+
+        commit_deletion_vectors(spark, table, "v % 10 = 0", now_ms=2_000)
+        meta = commit_deletion_vectors(spark, table, "v % 10 = 5", now_ms=3_000)
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        assert cur["summary"]["total-position-deletes"] == "40"
+        assert _values(spark, table) == [v for v in range(200) if v % 10 not in (0, 5)]
+
+    def test_incremental_guard_survives_supersede(self, spark, table):
+        # the superseded (tombstoned) DV entry must still trip the
+        # append-only window's retraction guard at its original seq
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            plan_incremental_scan,
+        )
+
+        _v, m0 = _load_current_metadata(table)
+        s1 = m0["current-snapshot-id"]
+        m1 = commit_deletion_vectors(spark, table, "v < 10", now_ms=2_000)
+        s2 = m1["current-snapshot-id"]
+        commit_deletion_vectors(spark, table, "v < 20", now_ms=3_000)
+        with pytest.raises(ValueError, match="row retraction"):
+            plan_incremental_scan(table, s1, s2)
+
     def test_blob_snapshot_id_matches_committing_snapshot(self, spark, table):
         from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
             commit_deletion_vectors,
@@ -344,3 +403,130 @@ class TestDeletionVectors:
         _v, before = _load_current_metadata(table)
         meta = commit_deletion_vectors(spark, table, "v > 10000")
         assert meta["current-snapshot-id"] == before["current-snapshot-id"]
+
+
+class TestRewriteDataFiles:
+    def test_applies_deletes_and_compacts(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _plan_snapshot,
+            commit_position_deletes,
+            read_iceberg_table_at,
+            rewrite_data_files,
+        )
+
+        commit_deletion_vectors(spark, table, "v < 10", now_ms=2_000)
+        commit_position_deletes(spark, table, "v >= 195", now_ms=3_000)
+        meta = rewrite_data_files(spark, table, now_ms=4_000)
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        assert cur["summary"]["operation"] == "replace"
+        assert cur["summary"]["total-position-deletes"] == "0"
+        assert cur["summary"]["total-records"] == "185"
+        data, deletes = _plan_snapshot(cur, None)
+        assert deletes == []
+        # bin-packed: one file per partition
+        assert len(data) == 2
+        assert all("_compacted-" in d["file_path"] for d in data)
+        assert _values(spark, table) == list(range(10, 195))
+        # pre-rewrite snapshots still read (old files untouched on disk)
+        pre = cur["parent-snapshot-id"]
+        old = sorted(
+            r["v"] for r in read_iceberg_table_at(spark, table, pre).collect()
+        )
+        assert old == list(range(10, 195))
+
+    def test_noop_when_already_compact(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            rewrite_data_files,
+        )
+
+        _v, before = _load_current_metadata(table)
+        # fixture wrote with repartition(2, partition): one file per
+        # partition value and no deletes -> nothing to do
+        meta = rewrite_data_files(spark, table, now_ms=2_000)
+        assert meta["current-snapshot-id"] == before["current-snapshot-id"]
+
+    def test_discovery_append_ignores_compacted_dir(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            commit_append,
+            rewrite_data_files,
+        )
+
+        commit_deletion_vectors(spark, table, "v < 10", now_ms=2_000)
+        rewrite_data_files(spark, table, now_ms=3_000)
+        _v, before = _load_current_metadata(table)
+        # discovery-mode append: _compacted-* files are hidden, the
+        # original partition dirs are already known -> no-op
+        schema = spark.createDataFrame(
+            [(0, 1)], "partition int, v long"
+        ).schema
+        meta = commit_append(table, schema, now_ms=4_000)
+        assert meta["current-snapshot-id"] == before["current-snapshot-id"]
+        assert _values(spark, table) == list(range(10, 200))
+
+    def test_changelog_refuses_window_spanning_rewrite(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            read_iceberg_changelog,
+            rewrite_data_files,
+        )
+
+        _v, m0 = _load_current_metadata(table)
+        s1 = m0["current-snapshot-id"]
+        commit_deletion_vectors(spark, table, "v < 10", now_ms=2_000)
+        rewrite_data_files(spark, table, now_ms=3_000)
+        with pytest.raises(ValueError, match="data-file rewrite"):
+            read_iceberg_changelog(spark, table, s1)
+
+    def test_incremental_window_semantics_across_rewrite(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            commit_append,
+            read_iceberg_incremental,
+            rewrite_data_files,
+        )
+
+        _v, m0 = _load_current_metadata(table)
+        s1 = m0["current-snapshot-id"]
+        df = spark.range(1000, 1050).select(
+            (F.col("id") % 2).cast("int").alias("partition"),
+            F.col("id").alias("v"),
+        )
+        df.repartition(2, "partition").write.partitionBy("partition").parquet(
+            table, mode="append"
+        )
+        m1 = commit_append(table, df.schema, now_ms=2_000)
+        s2 = m1["current-snapshot-id"]
+        # pure compaction (no deletes): split one partition's files
+        # so the rewrite is not a no-op
+        m2 = rewrite_data_files(spark, table, now_ms=3_000)
+        s3 = m2["current-snapshot-id"]
+        assert s3 != s2
+        # window before the rewrite: batch-2 rows served from the
+        # tombstoned (compacted-away) originals
+        got = sorted(
+            r["v"] for r in read_iceberg_incremental(spark, table, s1, s2).collect()
+        )
+        assert got == list(range(1000, 1050))
+        # window spanning the rewrite: same logical appends, the
+        # rewrite itself adds nothing
+        spanning = sorted(
+            r["v"] for r in read_iceberg_incremental(spark, table, s1, s3).collect()
+        )
+        assert spanning == list(range(1000, 1050))
+        # window after the rewrite: empty
+        after = read_iceberg_incremental(spark, table, s2, s3).collect()
+        assert after == []

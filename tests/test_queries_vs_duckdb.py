@@ -94,6 +94,7 @@ _CACHE_WARMUP = [
     # shared with iceberg_incremental_scan + streaming_iceberg_incremental)
     "streaming_iceberg_incremental",  # _ICEBERG_STREAM_READ_CACHE (sink dir)
     "iceberg_dv_scan",  # _ICEBERG_DV_CACHE (deletion-vector twin)
+    "iceberg_rewrite_datafiles",  # _ICEBERG_RWDF_CACHE (compacted twin)
     "tiered_read_committed",  # _TXN_CACHE (transactional tiered store,
     # shared with txn_aborted_index_scan, leader_epoch_checkpoint_scan,
     # and producer_state_snapshot_scan)

@@ -1886,3 +1886,108 @@ def iceberg_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dv_deletes",
         )
     )
+
+
+_ICEBERG_RWDF_CACHE: dict[tuple, tuple] = {}
+
+
+@query(
+    "iceberg_rewrite_datafiles",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CASE WHEN event_id % 6 <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       MIN(CASE WHEN event_id % 6 <> 1 THEN event_id END) AS min_live_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(4 AS BIGINT) AS n_data_files,
+       CAST(0 AS BIGINT) AS n_delete_files
+FROM events
+GROUP BY event_type
+""",
+)
+def iceberg_rewrite_datafiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rewriteDataFiles`` compaction hash-verified end to end: DV-
+    delete ``kafka.offset % 6 = 1`` (v3 deletion vectors), then
+    ``rewrite_data_files`` materializes the merge-on-read view — live
+    rows rewritten bin-packed (one file per partition here), a REPLACE
+    snapshot whose plan carries ZERO delete files, tombstone manifests
+    recording the replaced files. The query reads the compacted table
+    plus the pre-delete snapshot via VERSION AS OF and reports the
+    plan's structural counts (4 compacted data files = one per
+    partition, 0 delete files); the oracle recomputes the row
+    arithmetic from raw `events` with the structural constants. Equal
+    hashes prove compaction applied every deletion vector exactly and
+    lost nothing else. Scale shape: one distributed read + one
+    distributed write; the driver only stats O(#files) footers —
+    `sources/iceberg.py::_rewrite_data_files_once`."""
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+        commit_deletion_vectors,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        _plan_snapshot,
+        commit_append,
+        read_iceberg_table,
+        read_iceberg_table_at,
+        read_table_metadata,
+        rewrite_data_files,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+        records_to_envelope,
+        write_table,
+    )
+
+    key = _cache_key(spark, sf_dir)
+    cached = _ICEBERG_RWDF_CACHE.get(key)
+    if cached is None:
+        env = records_to_envelope(_records(spark, sf_dir)).repartition(
+            4, "partition"
+        )
+        tdir = tempfile.mkdtemp(prefix="iceberg-rwdf-")
+        write_table(env, tdir)
+        commit_append(tdir, env.schema)
+        first_snapshot = read_table_metadata(tdir)["metadata"][
+            "current-snapshot-id"
+        ]
+        commit_deletion_vectors(spark, tdir, "kafka.offset % 6 = 1")
+        meta = rewrite_data_files(spark, tdir)
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        data, deletes = _plan_snapshot(cur, None)
+        session_cache_put(
+            _ICEBERG_RWDF_CACHE,
+            key,
+            (tdir, first_snapshot, len(data), len(deletes)),
+        )
+        cached = (tdir, first_snapshot, len(data), len(deletes))
+    tdir, first_snapshot, n_data_files, n_delete_files = cached
+    live = (
+        read_iceberg_table(spark, tdir)
+        .select(
+            F.col("key").cast("string").alias("event_type"),
+            F.col("kafka.offset").alias("event_id"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.min("event_id").alias("min_live_offset"),
+        )
+    )
+    before = (
+        read_iceberg_table_at(spark, tdir, first_snapshot)
+        .select(F.col("key").cast("string").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    )
+    return (
+        before.join(live, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("n_live"), F.lit(0)).cast("bigint").alias("n_live"),
+            "min_live_offset",
+            "n_before",
+            F.lit(n_data_files).cast("bigint").alias("n_data_files"),
+            F.lit(n_delete_files).cast("bigint").alias("n_delete_files"),
+        )
+    )

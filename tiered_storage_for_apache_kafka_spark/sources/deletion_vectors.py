@@ -20,12 +20,13 @@ v2 row-delta files:
   ``content_offset``, ``content_size_in_bytes``) as optional Avro
   fields, so non-DV manifests are byte-identical to before.
 
-Documented divergence from v3: the spec requires a writer to maintain
-at most ONE live DV per data file (a new DV must supersede the old
-entry). This writer appends DV entries without rewriting prior delete
-manifests; the reader unions every applicable DV for a file — a strict
-superset of the single-DV behavior that is correct for unions of
-deletes, and simpler to keep crash-safe.
+The v3 single-live-DV rule is enforced on write: a new DV for a data
+file carries the UNION of the old DV's positions and the new matches,
+and the commit rewrites the prior delete manifests to tombstone
+(status=2) the superseded entries — external v3 readers that take
+"the" DV per file see exactly one. The reader still unions every
+applicable DV it finds, so tables written by the pre-supersede
+appender (or by a foreign multi-DV writer) read correctly too.
 
 Scale shape: the match scan is the same declarative parquet read the
 v2 path uses; each referenced file's bitmap is built by one Arrow task
@@ -155,7 +156,63 @@ def write_deletion_vectors(
     )
     if not blobs:
         return []
-    blobs = sorted(blobs, key=lambda r: r["file"])
+    # v3 single-live-DV rule: the new DV for a file SUPERSEDES the old
+    # one, so it must carry the union of both position sets (the new
+    # matches are disjoint from the old — the re-match above already
+    # excluded DV-deleted rows). The union runs over roaring payloads
+    # that are on the driver either way; O(per-file cardinality).
+    import numpy as np
+
+    from tiered_storage_for_apache_kafka_spark.roaring import (
+        deserialize_roaring64,
+    )
+
+    data_seq = {d["file_path"]: d["_seq"] for d in data}
+    live_dv: dict[str, list[dict]] = {}
+    for e in dv:
+        ref = e.get("referenced_data_file")
+        dseq = data_seq.get(ref)
+        if dseq is not None and e["_seq"] >= dseq:
+            live_dv.setdefault(ref, []).append(e)
+    file_cache: dict[str, bytes] = {}
+    blob_cache: dict[str, list[dict]] = {}
+    out_blobs: list[dict] = []
+    for r in sorted(blobs, key=lambda r: r["file"]):
+        fname = r["file"]
+        payload = bytes(r["payload"])
+        card = int(r["cardinality"])
+        superseded: list[dict] = []
+        olds = live_dv.get(fname) or []
+        if olds:
+            parts = [deserialize_roaring64(payload)]
+            for oe in olds:
+                parts.append(
+                    deserialize_roaring64(
+                        _dv_entry_payload(oe, file_cache, blob_cache)
+                    )
+                )
+                superseded.append(
+                    {
+                        "puffin_path": oe["file_path"],
+                        "referenced_data_file": fname,
+                        "cardinality": int(oe["record_count"]),
+                    }
+                )
+            from tiered_storage_for_apache_kafka_spark.roaring import (
+                serialize_roaring64,
+            )
+
+            union = np.unique(np.concatenate(parts))
+            payload = serialize_roaring64(union)
+            card = len(union)
+        out_blobs.append(
+            {
+                "file": fname,
+                "payload": payload,
+                "cardinality": card,
+                "superseded": superseded,
+            }
+        )
     out_dir = os.path.join(table_dir, "deletes")
     os.makedirs(out_dir, exist_ok=True)
     puffin_path = os.path.join(out_dir, f"dv-{uuid.uuid4().hex[:16]}.puffin")
@@ -165,13 +222,13 @@ def write_deletion_vectors(
         [
             {
                 "type": DELETION_VECTOR_V1,
-                "payload": bytes(r["payload"]),
+                "payload": r["payload"],
                 "properties": {
                     "referenced-data-file": r["file"],
                     "cardinality": str(r["cardinality"]),
                 },
             }
-            for r in blobs
+            for r in out_blobs
         ],
         # the snapshot that adds these DVs is the NEXT one: the commit
         # path assigns snapshot_id = seq = last-sequence-number + 1
@@ -179,7 +236,7 @@ def write_deletion_vectors(
         sequence_number=meta["last-sequence-number"] + 1,
     )
     stats = []
-    for r, bm in zip(blobs, result["blob_metadata"]):
+    for r, bm in zip(out_blobs, result["blob_metadata"]):
         stats.append(
             {
                 "delete_path": puffin_path,
@@ -189,6 +246,7 @@ def write_deletion_vectors(
                 "content_size_in_bytes": bm["length"],
                 "n_rows": int(r["cardinality"]),
                 "partition": part_of.get(r["file"]),
+                "superseded": r["superseded"],
             }
         )
     return stats
@@ -305,11 +363,188 @@ def _commit_dv_once(
             "content": b"deletes",
         },
     )
+    prior_manifests, removed_pos, n_superseded = _tombstone_superseded(
+        base, stats, partition_col, meta_dir, seq, snapshot_id, commit_uuid
+    )
+    summary_extra = (
+        {"removed-delete-files": n_superseded} if n_superseded else None
+    )
     return _finish_delete_commit(
         table_dir, version, base, stats, now_ms, catalog, table_name,
         seq, snapshot_id, commit_uuid, manifest_path, manifest_len,
-        len(entries),
+        len(entries), prior_manifests=prior_manifests,
+        removed_pos_deletes=removed_pos, summary_extra=summary_extra,
     )
+
+
+def _tombstone_superseded(
+    base: dict,
+    stats: list[dict],
+    partition_col: str,
+    meta_dir: str,
+    seq: int,
+    snapshot_id: int,
+    commit_uuid: str,
+) -> tuple[list[dict] | None, int, int]:
+    """Enforce the v3 single-live-DV rule at commit time: rewrite every
+    prior delete manifest that holds a DV entry this commit supersedes,
+    flipping those entries to status=2 (DELETED, attributed to the new
+    snapshot) and carrying the rest as status=0 EXISTING with explicit
+    sequence numbers. Returns (carried manifest list or None when
+    nothing is superseded, superseded cardinality sum, count)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_avro_ocf,
+    )
+
+    sup = [x for s in stats for x in (s.get("superseded") or [])]
+    if not sup:
+        return None, 0, 0
+    sup_keys = {
+        (x["puffin_path"], x["referenced_data_file"]) for x in sup
+    }
+    removed_pos = sum(int(x["cardinality"]) for x in sup)
+    cur = next(
+        s
+        for s in base["snapshots"]
+        if s["snapshot-id"] == base["current-snapshot-id"]
+    )
+    _, prior_mfs, _ = read_avro_ocf(cur["manifest-list"])
+    carried: list[dict] = []
+    dv_schema = manifest_entry_schema_dv(partition_col)
+    schema_struct = _current_schema_struct(base)
+    spec = base["partition-specs"][0]
+    n_rewritten = 0
+    for mf in prior_mfs:
+        if mf.get("content") != 1:
+            carried.append(mf)
+            continue
+        _, es, _ = read_avro_ocf(mf["manifest_path"])
+        hits = [
+            e
+            for e in es
+            if e["status"] != 2
+            and (
+                e["data_file"]["file_path"],
+                e["data_file"].get("referenced_data_file"),
+            )
+            in sup_keys
+        ]
+        if not hits:
+            carried.append(mf)
+            continue
+        new_entries = []
+        n_kept = n_del = kept_rows = del_rows = 0
+        seqs = []
+        for e in es:
+            seq_e = e.get("sequence_number")
+            if seq_e is None:
+                seq_e = mf.get("sequence_number", 0)
+            seqs.append(int(seq_e))
+            d2 = dict(e["data_file"])
+            d2.setdefault("referenced_data_file", None)
+            d2.setdefault("content_offset", None)
+            d2.setdefault("content_size_in_bytes", None)
+            key = (d2["file_path"], d2.get("referenced_data_file"))
+            if e["status"] != 2 and key in sup_keys:
+                e2 = {
+                    **e,
+                    "status": 2,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": int(seq_e),
+                    "data_file": d2,
+                }
+                n_del += 1
+                del_rows += d2["record_count"]
+            elif e["status"] == 2:
+                # an already-tombstoned entry keeps its original
+                # deleting snapshot attribution
+                e2 = {**e, "sequence_number": int(seq_e), "data_file": d2}
+                n_del += 1
+                del_rows += d2["record_count"]
+            else:
+                e2 = {
+                    **e,
+                    "status": 0,  # EXISTING on rewrite, spec rule
+                    "sequence_number": int(seq_e),
+                    "data_file": d2,
+                }
+                n_kept += 1
+                kept_rows += d2["record_count"]
+            new_entries.append(e2)
+        n_rewritten += 1
+        new_path = os.path.join(
+            meta_dir,
+            f"{base['table-uuid']}-dvr{seq}-{commit_uuid}-{n_rewritten}.avro",
+        )
+        new_len = write_avro_ocf(
+            new_path,
+            dv_schema,
+            new_entries,
+            {
+                "schema": json.dumps(schema_struct).encode(),
+                "schema-id": str(base["current-schema-id"]).encode(),
+                "partition-spec": json.dumps(spec["fields"]).encode(),
+                "partition-spec-id": b"0",
+                "format-version": str(FORMAT_VERSION).encode(),
+                "content": b"deletes",
+            },
+        )
+        carried.append(
+            {
+                "manifest_path": new_path,
+                "manifest_length": new_len,
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": min(seqs),
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": 0,
+                "existing_data_files_count": n_kept,
+                "deleted_data_files_count": n_del,
+                "added_rows_count": 0,
+                "existing_rows_count": kept_rows,
+                "deleted_rows_count": del_rows,
+                # the old partition summary stays valid: tombstoning
+                # only narrows the live set, a superset bound is safe
+                "partitions": mf.get("partitions"),
+            }
+        )
+    return carried, removed_pos, len(sup)
+
+
+def _dv_entry_payload(
+    e: dict,
+    file_cache: dict[str, bytes],
+    blob_cache: dict[str, list[dict]],
+) -> bytes:
+    """The roaring payload a DV manifest entry points at. Fast path:
+    slice the Puffin by the committed locator triple — O(1) per DV, no
+    footer parse. Locator-less entries (written by a pre-v3 tool) fall
+    back to the footer and match on the blob property."""
+    path = e["file_path"]
+    ref = e.get("referenced_data_file")
+    off = e.get("content_offset")
+    size = e.get("content_size_in_bytes")
+    if off is not None and size is not None:
+        if path not in file_cache:
+            with open(path, "rb") as f:
+                file_cache[path] = f.read()
+        payload = file_cache[path][off : off + size]
+        if len(payload) != size:
+            raise ValueError(
+                f"DV locator out of bounds: {path} offset={off} "
+                f"size={size} file_size={len(file_cache[path])}"
+            )
+        return payload
+    if path not in blob_cache:
+        blob_cache[path] = read_puffin_blobs(path)
+    for blob in blob_cache[path]:
+        if (
+            blob["type"] == DELETION_VECTOR_V1
+            and blob["properties"].get("referenced-data-file") == ref
+        ):
+            return blob["payload"]
+    raise ValueError(f"no deletion-vector-v1 blob for {ref} in {path}")
 
 
 def split_position_deletes(
@@ -344,37 +579,11 @@ def apply_deletion_vectors(spark, df_pos, data_entries, dv_entries):
     blob_cache: dict[str, list[dict]] = {}
     rows: list[tuple[str, bytes]] = []
     for e in dv_entries:
-        path = e["file_path"]
         ref = e.get("referenced_data_file")
         dseq = data_seq.get(ref)
         if dseq is None or e["_seq"] < dseq:
             continue
-        off = e.get("content_offset")
-        size = e.get("content_size_in_bytes")
-        if off is not None and size is not None:
-            # the fast path every v3 reader uses: slice the blob by the
-            # committed locator triple — O(1) per DV, no footer parse
-            if path not in file_cache:
-                with open(path, "rb") as f:
-                    file_cache[path] = f.read()
-            payload = file_cache[path][off : off + size]
-            if len(payload) != size:
-                raise ValueError(
-                    f"DV locator out of bounds: {path} offset={off} "
-                    f"size={size} file_size={len(file_cache[path])}"
-                )
-            rows.append((ref, payload))
-            continue
-        # locator-less entry (e.g. written by a pre-v3 tool): fall back
-        # to the Puffin footer and match on the blob property
-        if path not in blob_cache:
-            blob_cache[path] = read_puffin_blobs(path)
-        for blob in blob_cache[path]:
-            if (
-                blob["type"] == DELETION_VECTOR_V1
-                and blob["properties"].get("referenced-data-file") == ref
-            ):
-                rows.append((ref, blob["payload"]))
+        rows.append((ref, _dv_entry_payload(e, file_cache, blob_cache)))
     if not rows:
         return df_pos
 

@@ -599,10 +599,13 @@ def _discover_data_files(table_dir: str, partition_col: str) -> list[dict]:
         # when an ancestor dir merely starts with "metadata")
         rel = os.path.relpath(root, table_dir)
         parts = rel.split(os.sep)
+        # "_"-prefixed components are hidden by Hadoop/Spark convention;
+        # rewrite_data_files parks compacted files under _compacted-*
+        # so a discovery-mode append can never sweep them in twice
         if rel != os.curdir and (
             "metadata" in parts
             or "deletes" in parts
-            or any(p.startswith("_staging") for p in parts)
+            or any(p.startswith("_") for p in parts)
         ):
             continue
         part_val = None
@@ -1625,12 +1628,21 @@ def _finish_delete_commit(
     manifest_path: str,
     manifest_len: int,
     n_entries: int,
+    prior_manifests: list[dict] | None = None,
+    removed_pos_deletes: int = 0,
+    summary_extra: dict | None = None,
 ) -> dict:
     """Shared tail of every delete-flavored commit (v2 parquet
     row-deltas and v3-style deletion vectors): build the DELETE
     manifest-list entry, chain the snapshot, bump the delete counters,
     register the FILE_LIST statistics Puffin, and move the pointer
-    (catalog protocol or local version write)."""
+    (catalog protocol or local version write).
+
+    ``prior_manifests`` overrides the carried-over manifest list (the
+    DV supersede path rewrites prior delete manifests to tombstone the
+    replaced DV entries); ``removed_pos_deletes`` is subtracted from
+    the running total (a superseding DV's cardinality includes the
+    union of the old one, which must not double-count)."""
     meta_dir = os.path.join(table_dir, "metadata")
     parts = [s["partition"] for s in stats]
     non_null = [p for p in parts if p is not None] or [0]
@@ -1660,10 +1672,15 @@ def _finish_delete_commit(
             }
         ],
     }
-    cur = next(
-        s for s in base["snapshots"] if s["snapshot-id"] == base["current-snapshot-id"]
-    )
-    _, prior_manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+    if prior_manifests is None:
+        cur = next(
+            s
+            for s in base["snapshots"]
+            if s["snapshot-id"] == base["current-snapshot-id"]
+        )
+        _, prior_manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+    else:
+        prior_manifest_files = prior_manifests
     list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
     write_avro_ocf(
         list_path,
@@ -1689,12 +1706,13 @@ def _finish_delete_commit(
             "added-position-deletes": str(n_pos),
             "added-equality-deletes": str(n_eq),
             "total-position-deletes": str(
-                _prev_total_pos_deletes(base) + n_pos
+                _prev_total_pos_deletes(base) + n_pos - removed_pos_deletes
             ),
             "total-equality-deletes": str(
                 _prev_summary_counter(base, "total-equality-deletes") + n_eq
             ),
             "total-records": str(_prev_total_records(base)),
+            **{k: str(v) for k, v in (summary_extra or {}).items()},
         },
     }
 
@@ -2082,6 +2100,15 @@ def _plan_seq_window(meta: dict, lo_seq: int, hi_seq: int) -> list[dict]:
         return []
     cur = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur_id)
     _, manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+    # snapshots that REWROTE data files (rewrite_data_files): their
+    # added files are compaction output, not logical appends — skip
+    # them; conversely the data entries they tombstoned are still
+    # logical appends for windows that contain the original append.
+    # Like the Java IncrementalAppendScan this consults snapshot
+    # summaries, so it degrades if the rewrite snapshot is expired
+    # while an older window is still queried (the tombstoned DELETE
+    # files keep the retraction guard itself durable).
+    rewrite_ids = _data_rewrite_snapshot_ids(meta)
     out: list[dict] = []
     for mf in manifest_files:
         if int(mf.get("sequence_number", 0)) <= lo_seq:
@@ -2090,8 +2117,6 @@ def _plan_seq_window(meta: dict, lo_seq: int, hi_seq: int) -> list[dict]:
             continue  # every entry postdates the window
         _, entries, _ = read_avro_ocf(mf["manifest_path"])
         for e in entries:
-            if e["status"] == 2:
-                continue
             seq = e.get("sequence_number")
             if seq is None:
                 seq = mf.get("sequence_number", 0)
@@ -2099,6 +2124,11 @@ def _plan_seq_window(meta: dict, lo_seq: int, hi_seq: int) -> list[dict]:
             if not (lo_seq < seq <= hi_seq):
                 continue
             d = e["data_file"]
+            # the retraction guard fires for TOMBSTONED (status=2)
+            # delete files too: a DV supersede or data-file rewrite
+            # tombstones the old delete entry, but the rows it
+            # retracted inside the window are still retracted — the
+            # tombstone must not blind the guard
             if d.get("content") in (1, 2):
                 raise ValueError(
                     f"row-delta delete file {d['file_path']} has sequence "
@@ -2106,7 +2136,31 @@ def _plan_seq_window(meta: dict, lo_seq: int, hi_seq: int) -> list[dict]:
                     f"{hi_seq}]; an append-only changelog cannot represent "
                     "row retraction"
                 )
+            if e["status"] == 2:
+                if e.get("snapshot_id") in rewrite_ids:
+                    # tombstoned by a data-file rewrite: compacted, not
+                    # logically deleted — the file (still on disk until
+                    # vacuum) serves the window's appended rows
+                    out.append(dict(d))
+                continue
+            if e.get("snapshot_id") in rewrite_ids:
+                continue  # compaction output, not a logical append
             out.append(dict(d))
+    return out
+
+
+def _data_rewrite_snapshot_ids(meta: dict) -> set:
+    """Snapshot ids whose commit REWROTE data files (operation
+    ``replace`` that deleted data files — `rewrite_data_files`;
+    `rewrite_manifests` is also ``replace`` but touches no files)."""
+    out = set()
+    for s in meta["snapshots"]:
+        summary = s.get("summary") or {}
+        if (
+            summary.get("operation") == "replace"
+            and int(summary.get("deleted-data-files", "0") or 0) > 0
+        ):
+            out.add(s["snapshot-id"])
     return out
 
 
@@ -2195,6 +2249,22 @@ def read_iceberg_changelog(
     to_seq = int(by_id[to_snapshot_id]["sequence-number"])
     if to_seq < from_seq:
         raise ValueError("to snapshot predates from snapshot")
+    # a data-file rewrite inside the window churns every surviving
+    # row's (file, pos) identity — the net diff would report the whole
+    # table as delete+insert. Same rows by construction, so the honest
+    # answer is to refuse and have the caller split the window at the
+    # rewrite (Spark's changelog likewise skips REPLACE snapshots).
+    rewrite_ids = _data_rewrite_snapshot_ids(meta)
+    for s in meta["snapshots"]:
+        if (
+            from_seq < int(s["sequence-number"]) <= to_seq
+            and s["snapshot-id"] in rewrite_ids
+        ):
+            raise ValueError(
+                f"changelog window spans data-file rewrite snapshot "
+                f"{s['snapshot-id']} (rewrite_data_files churns row "
+                "identity); split the window at the rewrite"
+            )
     ids = ["__iceberg_file", "__iceberg_pos"]
     # ONE manifest walk of the `to` snapshot; the window/pre-window
     # split is a FILE-LEVEL plan split (two separately planned scans),
@@ -2941,8 +3011,52 @@ def _rewrite_manifests_once(
                 ],
             }
         )
+    summary = {
+        "operation": "replace",
+        "manifests-replaced": str(len(manifest_files)),
+        "manifests-created": str(len(new_manifest_files)),
+        "total-records": str(rows),
+        "total-position-deletes": str(_prev_total_pos_deletes(meta)),
+        "total-equality-deletes": str(
+            _prev_summary_counter(meta, "total-equality-deletes")
+        ),
+    }
+    file_list = [
+        {
+            "location": e["data_file"]["file_path"],
+            "partition": e["data_file"]["partition"].get(partition_col),
+            "recordCount": e["data_file"]["record_count"],
+            "fileSizeInBytes": e["data_file"]["file_size_in_bytes"],
+        }
+        for e in entries
+    ]
+    return _finish_replace_commit(
+        table_dir, version, meta, now_ms, seq, snapshot_id, compact_uuid,
+        new_manifest_files, summary, file_list, catalog, table_name,
+    )
+
+
+def _finish_replace_commit(
+    table_dir: str,
+    version: int,
+    meta: dict,
+    now_ms: int,
+    seq: int,
+    snapshot_id: int,
+    commit_uuid: str,
+    new_manifest_files: list[dict],
+    summary: dict,
+    file_list: list[dict],
+    catalog,
+    table_name: str | None,
+) -> dict:
+    """Shared tail of the REPLACE-flavored maintenance commits
+    (`rewrite_manifests`, `rewrite_data_files`): write the manifest
+    list, chain the snapshot, register the FILE_LIST statistics Puffin,
+    and move the pointer (catalog protocol or local version write)."""
+    meta_dir = os.path.join(table_dir, "metadata")
     list_path = os.path.join(
-        meta_dir, f"snap-{snapshot_id}-1-{compact_uuid}.avro"
+        meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
     )
     write_avro_ocf(
         list_path,
@@ -2962,16 +3076,7 @@ def _rewrite_manifests_once(
         "manifest-list": list_path,
         "schema-id": meta["current-schema-id"],
         "parent-snapshot-id": meta["current-snapshot-id"],
-        "summary": {
-            "operation": "replace",
-            "manifests-replaced": str(len(manifest_files)),
-            "manifests-created": str(len(new_manifest_files)),
-            "total-records": str(rows),
-            "total-position-deletes": str(_prev_total_pos_deletes(meta)),
-            "total-equality-deletes": str(
-                _prev_summary_counter(meta, "total-equality-deletes")
-            ),
-        },
+        "summary": summary,
     }
     # per-current-snapshot statistics (the pattern every consumer of
     # meta["statistics"] relies on): FILE_LIST of the live files
@@ -2980,17 +3085,8 @@ def _rewrite_manifests_once(
         write_puffin,
     )
 
-    file_list = [
-        {
-            "location": e["data_file"]["file_path"],
-            "partition": e["data_file"]["partition"].get(partition_col),
-            "recordCount": e["data_file"]["record_count"],
-            "fileSizeInBytes": e["data_file"]["file_size_in_bytes"],
-        }
-        for e in entries
-    ]
     stats_path = os.path.join(
-        meta_dir, f"stats-{snapshot_id}-{compact_uuid}.puffin"
+        meta_dir, f"stats-{snapshot_id}-{commit_uuid}.puffin"
     )
     stats = write_puffin(
         stats_path, [(FILE_LIST, json.dumps(file_list).encode())], snapshot_id, seq
@@ -3042,3 +3138,293 @@ def _rewrite_manifests_once(
         return resp["metadata"]
     _write_metadata_version(meta_dir, version + 1, new_meta)
     return new_meta
+
+
+def rewrite_data_files(
+    spark,
+    table_dir: str,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    max_records_per_file: int | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """See :func:`_rewrite_data_files_once`; in catalog mode a lost
+    race against a concurrent writer reloads and re-compacts against
+    the new head."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+    )
+
+    last_err: Exception | None = None
+    for _attempt in range(max_commit_retries if catalog is not None else 1):
+        try:
+            return _rewrite_data_files_once(
+                spark, table_dir, now_ms, catalog, table_name,
+                max_records_per_file,
+            )
+        except CommitConflictError as e:
+            last_err = e
+    assert last_err is not None
+    raise last_err
+
+
+def _rewrite_data_files_once(
+    spark,
+    table_dir: str,
+    now_ms: int | None,
+    catalog,
+    table_name: str | None,
+    max_records_per_file: int | None,
+) -> dict:
+    """Iceberg ``rewriteDataFiles`` maintenance (bin-pack compaction
+    with merge-on-read materialization): read the current snapshot's
+    LIVE rows — every position delete, deletion vector, and equality
+    delete applied — rewrite them as fresh parquet (one file per
+    partition under ``local[n]``; cap file size at scale with
+    ``max_records_per_file``), and commit a REPLACE snapshot whose
+    manifest list holds one new data manifest plus tombstone manifests
+    recording the replaced data files and the now-fully-applied delete
+    files as status=2 entries. After the rewrite the table carries
+    ZERO delete files — small-file pressure and merge-on-read cost
+    both reset. Same logical rows by construction (the rewrite is the
+    planned live scan), so the snapshot is spec-``replace``.
+
+    Positional identity intentionally changes: every surviving row
+    gets a new (file, pos). Consumers that diff by identity are
+    guarded — ``read_iceberg_changelog`` refuses windows spanning a
+    data rewrite, and the incremental append scan skips replace-added
+    files (the guard consults snapshot summaries, so like the Java
+    ``IncrementalAppendScan`` it degrades if the rewrite snapshot
+    itself is expired while an older window is still being queried;
+    the tombstoned delete entries keep the retraction guard durable
+    for windows that contained deletes).
+
+    New files live under ``<table>/_compacted-<token>/`` — a
+    "_"-prefixed (Hadoop-hidden) directory the discovery-mode append
+    skips, so a crash between staging and commit leaves orphans that
+    can never be double-committed. Scale shape: the rewrite is one
+    distributed read + one distributed write, no driver materialization
+    — the driver handles only O(#files) footer stats, same as every
+    commit path."""
+    import time as _time
+
+    version, meta, table_name = _maintenance_state(table_dir, catalog, table_name)
+    if meta.get("current-snapshot-id", -1) == -1:
+        return meta
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    data, deletes = _plan_snapshot(cur, None)
+    if not data:
+        return meta
+    partition_col = meta["partition-specs"][0]["fields"][0]["name"]
+    per_part: dict = {}
+    for d in data:
+        per_part[d["partition"].get(partition_col)] = (
+            per_part.get(d["partition"].get(partition_col), 0) + 1
+        )
+    if not deletes and max(per_part.values()) <= 1:
+        return meta  # already compact, nothing to apply
+
+    live = _read_plan_with_identity(spark, table_dir, meta, data, deletes).drop(
+        "__iceberg_file", "__iceberg_pos"
+    )
+    compact_uuid = uuid.uuid4().hex[:16]
+    out_dir = os.path.join(table_dir, f"_compacted-{compact_uuid}")
+    writer = live.repartition(partition_col).write.partitionBy(partition_col)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(out_dir, mode="overwrite")
+    new_paths = []
+    for root, _dirs, names in os.walk(out_dir):
+        if "_temporary" in root.split(os.sep):
+            continue
+        new_paths += [
+            os.path.join(root, n) for n in names if n.endswith(".parquet")
+        ]
+    new_files = _stat_data_files(sorted(new_paths), partition_col)
+
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    now_ms = max(
+        now_ms, max((s["timestamp-ms"] for s in meta["snapshots"]), default=0)
+    )
+    meta_dir = os.path.join(table_dir, "metadata")
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+    schema_struct = _current_schema_struct(meta)
+    spec = meta["partition-specs"][0]
+    leaf_ids = _leaf_field_ids(schema_struct)
+    ocf_meta = {
+        "schema": json.dumps(schema_struct).encode(),
+        "schema-id": str(meta["current-schema-id"]).encode(),
+        "partition-spec": json.dumps(spec["fields"]).encode(),
+        "partition-spec-id": b"0",
+        "format-version": str(FORMAT_VERSION).encode(),
+    }
+    added_entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": f["file_path"],
+                "file_format": "PARQUET",
+                "partition": {partition_col: f["partition_value"]},
+                "record_count": f["record_count"],
+                "file_size_in_bytes": f["file_size_in_bytes"],
+                **_column_stats_fields(f.get("column_stats") or {}, leaf_ids),
+                "split_offsets": f["split_offsets"],
+                "equality_ids": None,
+                "sort_order_id": 0,
+            },
+        }
+        for f in new_files
+    ]
+    data_manifest_path = os.path.join(
+        meta_dir, f"{meta['table-uuid']}-rw{seq}-{compact_uuid}.avro"
+    )
+    data_manifest_len = write_avro_ocf(
+        data_manifest_path,
+        manifest_entry_schema(partition_col),
+        added_entries,
+        {**ocf_meta, "content": b"data"},
+    )
+    live_rows = sum(f["record_count"] for f in new_files)
+    parts = [f["partition_value"] for f in new_files]
+    non_null = [p for p in parts if p is not None] or [0]
+    new_manifest_files = [
+        {
+            "manifest_path": data_manifest_path,
+            "manifest_length": data_manifest_len,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(new_files),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": live_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": [
+                {
+                    "contains_null": any(p is None for p in parts),
+                    "contains_nan": False,
+                    "lower_bound": struct.pack("<i", min(non_null)),
+                    "upper_bound": struct.pack("<i", max(non_null)),
+                }
+            ],
+        }
+    ]
+
+    def _tombstones(flat: list[dict], content: int, tag: str) -> None:
+        """One status=2 manifest recording the replaced entries; the
+        tombstones keep their original sequence numbers so the
+        incremental planner's retraction guard stays durable."""
+        entries = []
+        for d in sorted(flat, key=lambda d: d["file_path"]):
+            d2 = {k: v for k, v in d.items() if k != "_seq"}
+            d2.setdefault("equality_ids", None)
+            for k in _STATS_KEYS:
+                d2.setdefault(k, None)
+            d2.setdefault("split_offsets", None)
+            d2.setdefault("sort_order_id", None)
+            entries.append(
+                {
+                    "status": 2,  # DELETED by this snapshot
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": int(d["_seq"]),
+                    "file_sequence_number": None,
+                    "data_file": d2,
+                }
+            )
+        has_dv = any(
+            e["data_file"].get("referenced_data_file") is not None
+            for e in entries
+        )
+        if has_dv:
+            from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501
+                manifest_entry_schema_dv,
+            )
+
+            entry_schema = manifest_entry_schema_dv(partition_col)
+            for e in entries:
+                e["data_file"].setdefault("referenced_data_file", None)
+                e["data_file"].setdefault("content_offset", None)
+                e["data_file"].setdefault("content_size_in_bytes", None)
+        else:
+            entry_schema = manifest_entry_schema(partition_col)
+        path = os.path.join(
+            meta_dir, f"{meta['table-uuid']}-{tag}{seq}-{compact_uuid}.avro"
+        )
+        length = write_avro_ocf(
+            path,
+            entry_schema,
+            entries,
+            {**ocf_meta, "content": b"data" if content == 0 else b"deletes"},
+        )
+        tparts = [e["data_file"]["partition"].get(partition_col) for e in entries]
+        t_non_null = [p for p in tparts if p is not None] or [0]
+        new_manifest_files.append(
+            {
+                "manifest_path": path,
+                "manifest_length": length,
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    int(e["sequence_number"]) for e in entries
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": 0,
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": len(entries),
+                "added_rows_count": 0,
+                "existing_rows_count": 0,
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                ),
+                "partitions": [
+                    {
+                        "contains_null": any(p is None for p in tparts),
+                        "contains_nan": False,
+                        "lower_bound": struct.pack("<i", min(t_non_null)),
+                        "upper_bound": struct.pack("<i", max(t_non_null)),
+                    }
+                ],
+            }
+        )
+
+    _tombstones(data, 0, "rwdel")
+    if deletes:
+        _tombstones(deletes, 1, "rwdrop")
+
+    summary = {
+        "operation": "replace",
+        "added-data-files": str(len(new_files)),
+        "deleted-data-files": str(len(data)),
+        "removed-delete-files": str(len(deletes)),
+        "added-records": str(live_rows),
+        "deleted-records": str(sum(d["record_count"] for d in data)),
+        "total-records": str(live_rows),
+        "total-data-files": str(len(new_files)),
+        "total-position-deletes": "0",
+        "total-equality-deletes": "0",
+    }
+    file_list = [
+        {
+            "location": f["file_path"],
+            "partition": f["partition_value"],
+            "recordCount": f["record_count"],
+            "fileSizeInBytes": f["file_size_in_bytes"],
+        }
+        for f in new_files
+    ]
+    return _finish_replace_commit(
+        table_dir, version, meta, now_ms, seq, snapshot_id, compact_uuid,
+        new_manifest_files, summary, file_list, catalog, table_name,
+    )
