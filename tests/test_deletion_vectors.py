@@ -530,3 +530,109 @@ class TestRewriteDataFiles:
         # window after the rewrite: empty
         after = read_iceberg_incremental(spark, table, s2, s3).collect()
         assert after == []
+
+
+class TestMaintenanceComposition:
+    """Regression: maintenance ops must not destroy the tombstone
+    history the incremental planner relies on (second rewrite,
+    manifest compaction after a rewrite or supersede)."""
+
+    def _append(self, spark, table, lo, hi, now_ms):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+        )
+
+        df = spark.range(lo, hi).select(
+            (F.col("id") % 2).cast("int").alias("partition"),
+            F.col("id").alias("v"),
+        )
+        df.repartition(2, "partition").write.partitionBy("partition").parquet(
+            table, mode="append"
+        )
+        return commit_append(table, df.schema, now_ms=now_ms)
+
+    def test_windows_survive_two_rewrites(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            read_iceberg_incremental,
+            rewrite_data_files,
+        )
+
+        _v, m0 = _load_current_metadata(table)
+        s1 = m0["current-snapshot-id"]
+        m_a2 = self._append(spark, table, 1000, 1050, 2_000)
+        s2 = m_a2["current-snapshot-id"]
+        rewrite_data_files(spark, table, now_ms=3_000)  # R1
+        m_b = self._append(spark, table, 2000, 2050, 4_000)
+        s4 = m_b["current-snapshot-id"]
+        m_r2 = rewrite_data_files(spark, table, now_ms=5_000)  # R2
+        s5 = m_r2["current-snapshot-id"]
+        assert s5 != s4
+        # window before R1, queried after R2: A2 served from carried
+        # tombstones (was silently lost when R2 dropped R1's tombstones)
+        got = sorted(
+            r["v"]
+            for r in read_iceberg_incremental(spark, table, s1, s2).collect()
+        )
+        assert got == list(range(1000, 1050))
+        # window spanning R1 (but not R2): only B is a logical append —
+        # R1's compaction output must not be double-delivered
+        got = sorted(
+            r["v"]
+            for r in read_iceberg_incremental(spark, table, s2, s4).collect()
+        )
+        assert got == list(range(2000, 2050))
+        # window spanning both rewrites: still exactly B
+        got = sorted(
+            r["v"]
+            for r in read_iceberg_incremental(spark, table, s2, s5).collect()
+        )
+        assert got == list(range(2000, 2050))
+        # table contents intact throughout
+        assert _values(spark, table) == (
+            list(range(200)) + list(range(1000, 1050)) + list(range(2000, 2050))
+        )
+
+    def test_retraction_guard_survives_manifest_compaction(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            plan_incremental_scan,
+            rewrite_manifests,
+        )
+
+        _v, m0 = _load_current_metadata(table)
+        s1 = m0["current-snapshot-id"]
+        m1 = commit_deletion_vectors(spark, table, "v < 10", now_ms=2_000)
+        s2 = m1["current-snapshot-id"]
+        commit_deletion_vectors(spark, table, "v < 20", now_ms=3_000)
+        rewrite_manifests(table, now_ms=4_000)
+        # the superseded DV entry (tombstoned at seq 2) must survive
+        # compaction so the window still refuses
+        with pytest.raises(ValueError, match="row retraction"):
+            plan_incremental_scan(table, s1, s2)
+        # and the table still reads correctly through the compacted
+        # delete manifest (status mix, locators intact)
+        assert _values(spark, table) == list(range(20, 200))
+
+    def test_pre_rewrite_window_survives_manifest_compaction(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            read_iceberg_incremental,
+            rewrite_data_files,
+            rewrite_manifests,
+        )
+
+        _v, m0 = _load_current_metadata(table)
+        s1 = m0["current-snapshot-id"]
+        m_a2 = self._append(spark, table, 1000, 1050, 2_000)
+        s2 = m_a2["current-snapshot-id"]
+        rewrite_data_files(spark, table, now_ms=3_000)
+        rewrite_manifests(table, now_ms=4_000)
+        got = sorted(
+            r["v"]
+            for r in read_iceberg_incremental(spark, table, s1, s2).collect()
+        )
+        assert got == list(range(1000, 1050))

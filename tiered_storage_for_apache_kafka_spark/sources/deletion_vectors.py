@@ -174,7 +174,6 @@ def write_deletion_vectors(
         dseq = data_seq.get(ref)
         if dseq is not None and e["_seq"] >= dseq:
             live_dv.setdefault(ref, []).append(e)
-    file_cache: dict[str, bytes] = {}
     blob_cache: dict[str, list[dict]] = {}
     out_blobs: list[dict] = []
     for r in sorted(blobs, key=lambda r: r["file"]):
@@ -188,7 +187,7 @@ def write_deletion_vectors(
             for oe in olds:
                 parts.append(
                     deserialize_roaring64(
-                        _dv_entry_payload(oe, file_cache, blob_cache)
+                        _dv_entry_payload(oe, blob_cache)
                     )
                 )
                 superseded.append(
@@ -410,7 +409,6 @@ def _tombstone_superseded(
     )
     _, prior_mfs, _ = read_avro_ocf(cur["manifest-list"])
     carried: list[dict] = []
-    dv_schema = manifest_entry_schema_dv(partition_col)
     schema_struct = _current_schema_struct(base)
     spec = base["partition-specs"][0]
     n_rewritten = 0
@@ -441,9 +439,6 @@ def _tombstone_superseded(
                 seq_e = mf.get("sequence_number", 0)
             seqs.append(int(seq_e))
             d2 = dict(e["data_file"])
-            d2.setdefault("referenced_data_file", None)
-            d2.setdefault("content_offset", None)
-            d2.setdefault("content_size_in_bytes", None)
             key = (d2["file_path"], d2.get("referenced_data_file"))
             if e["status"] != 2 and key in sup_keys:
                 e2 = {
@@ -478,7 +473,7 @@ def _tombstone_superseded(
         )
         new_len = write_avro_ocf(
             new_path,
-            dv_schema,
+            normalize_delete_entries(new_entries, partition_col),
             new_entries,
             {
                 "schema": json.dumps(schema_struct).encode(),
@@ -512,28 +507,52 @@ def _tombstone_superseded(
     return carried, removed_pos, len(sup)
 
 
+def normalize_delete_entries(entries: list[dict], partition_col: str) -> dict:
+    """The one schema-selection rule for writing delete-manifest
+    entries: when ANY entry carries a v3 DV locator, use the
+    DV-extended Avro schema and normalize locator-less entries to
+    nulls (the Avro writer emits only schema-declared fields, so the
+    base schema would silently strip locators — and a stripped locator
+    means the DV stops applying). Mutates ``entries`` in place and
+    returns the schema to write with. Every delete-manifest writer
+    (supersede rewrite, manifest compaction, data-file rewrite
+    tombstones) must route through this."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        manifest_entry_schema,
+    )
+
+    if any(
+        e["data_file"].get("referenced_data_file") is not None
+        for e in entries
+    ):
+        for e in entries:
+            e["data_file"].setdefault("referenced_data_file", None)
+            e["data_file"].setdefault("content_offset", None)
+            e["data_file"].setdefault("content_size_in_bytes", None)
+        return manifest_entry_schema_dv(partition_col)
+    return manifest_entry_schema(partition_col)
+
+
 def _dv_entry_payload(
     e: dict,
-    file_cache: dict[str, bytes],
     blob_cache: dict[str, list[dict]],
 ) -> bytes:
     """The roaring payload a DV manifest entry points at. Fast path:
-    slice the Puffin by the committed locator triple — O(1) per DV, no
-    footer parse. Locator-less entries (written by a pre-v3 tool) fall
-    back to the footer and match on the blob property."""
+    seek+read exactly the committed locator triple — O(blob bytes) per
+    DV, no footer parse, never the whole file. Locator-less entries
+    (written by a pre-v3 tool) fall back to the footer and match on
+    the blob property."""
     path = e["file_path"]
     ref = e.get("referenced_data_file")
     off = e.get("content_offset")
     size = e.get("content_size_in_bytes")
     if off is not None and size is not None:
-        if path not in file_cache:
-            with open(path, "rb") as f:
-                file_cache[path] = f.read()
-        payload = file_cache[path][off : off + size]
+        with open(path, "rb") as f:
+            f.seek(off)
+            payload = f.read(size)
         if len(payload) != size:
             raise ValueError(
-                f"DV locator out of bounds: {path} offset={off} "
-                f"size={size} file_size={len(file_cache[path])}"
+                f"DV locator out of bounds: {path} offset={off} size={size}"
             )
         return payload
     if path not in blob_cache:
@@ -575,7 +594,6 @@ def apply_deletion_vectors(spark, df_pos, data_entries, dv_entries):
     from pyspark.sql import functions as F
 
     data_seq = {d["file_path"]: d["_seq"] for d in data_entries}
-    file_cache: dict[str, bytes] = {}
     blob_cache: dict[str, list[dict]] = {}
     rows: list[tuple[str, bytes]] = []
     for e in dv_entries:
@@ -583,7 +601,7 @@ def apply_deletion_vectors(spark, df_pos, data_entries, dv_entries):
         dseq = data_seq.get(ref)
         if dseq is None or e["_seq"] < dseq:
             continue
-        rows.append((ref, _dv_entry_payload(e, file_cache, blob_cache)))
+        rows.append((ref, _dv_entry_payload(e, blob_cache)))
     if not rows:
         return df_pos
 

@@ -328,13 +328,40 @@ def _prev_total_records(meta: dict) -> int:
     return int(cur["summary"].get("total-records", 0))
 
 
+def _base_path_groups(table_dir: str, paths: list[str]) -> list[tuple[str, list[str]]]:
+    """Group planned files by the basePath Spark must infer hive
+    partitions under. Original files live at
+    ``<table>/partition=N/…``; `rewrite_data_files` output lives one
+    level deeper at ``<table>/_compacted-<token>/partition=N/…`` —
+    mixing both depths under one basePath trips Spark's
+    CONFLICTING_DIRECTORY_STRUCTURES check, so each compaction dir
+    reads under its own base and the scans union."""
+    groups: dict[str, list[str]] = {}
+    for p in paths:
+        rel = os.path.relpath(p, table_dir)
+        first = rel.split(os.sep)[0]
+        base = (
+            os.path.join(table_dir, first)
+            if first.startswith("_compacted-")
+            else table_dir
+        )
+        groups.setdefault(base, []).append(p)
+    return sorted(groups.items())
+
+
 def _read_planned_files(spark, table_dir: str, meta: dict, paths: list[str]):
     """Hand a planned file set to Spark's parquet reader; schema merging
     is paid only when the table actually has multiple schema versions."""
-    reader = spark.read.option("basePath", table_dir)
-    if len(meta.get("schemas", [])) > 1:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*sorted(paths))
+    dfs = []
+    for base, ps in _base_path_groups(table_dir, paths):
+        reader = spark.read.option("basePath", base)
+        if len(meta.get("schemas", [])) > 1:
+            reader = reader.option("mergeSchema", "true")
+        dfs.append(reader.parquet(*sorted(ps)))
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
 
 
 def _field_id(schema_struct: dict, name: str) -> int:
@@ -2136,14 +2163,28 @@ def _plan_seq_window(meta: dict, lo_seq: int, hi_seq: int) -> list[dict]:
                     f"{hi_seq}]; an append-only changelog cannot represent "
                     "row retraction"
                 )
+            # compaction output is never a logical append, whatever its
+            # status — the path marker survives snapshot expiration and
+            # manifest compaction, unlike summary lookups
+            compacted = "/_compacted-" in d["file_path"]
             if e["status"] == 2:
+                if compacted:
+                    continue  # replaced output of an earlier rewrite
                 if e.get("snapshot_id") in rewrite_ids:
                     # tombstoned by a data-file rewrite: compacted, not
                     # logically deleted — the file (still on disk until
                     # vacuum) serves the window's appended rows
                     out.append(dict(d))
-                continue
-            if e.get("snapshot_id") in rewrite_ids:
+                    continue
+                raise ValueError(
+                    f"data file {d['file_path']} (sequence {seq}) was "
+                    f"removed inside the window ({lo_seq}, {hi_seq}] by "
+                    "a snapshot this metadata no longer explains (an "
+                    "expired rewrite or a foreign overwrite); cannot "
+                    "certify the window append-only — re-bootstrap from "
+                    "a full scan"
+                )
+            if compacted or e.get("snapshot_id") in rewrite_ids:
                 continue  # compaction output, not a logical append
             out.append(dict(d))
     return out
@@ -2271,6 +2312,17 @@ def read_iceberg_changelog(
     # not a post-scan row filter — each data file is read at most once
     # and only the files a side needs are opened
     to_data, to_deletes = _plan_snapshot(by_id[to_snapshot_id], None)
+    # durable twin of the summary-based refusal above: rewrite output
+    # carries the _compacted- path marker, so an expired rewrite
+    # snapshot (e.g. a tag keeps `from` alive across expiration) still
+    # cannot slip identity-churned files into the diff as inserts
+    for d in to_data:
+        if "/_compacted-" in d["file_path"] and from_seq < d["_seq"] <= to_seq:
+            raise ValueError(
+                f"changelog window spans data-file rewrite output "
+                f"{d['file_path']} (rewrite_data_files churns row "
+                "identity); split the window at the rewrite"
+            )
     if not to_data:
         return (
             _empty_table_df(spark, meta)
@@ -2391,16 +2443,24 @@ def _read_with_positions(spark, table_dir: str, meta: dict, paths: list[str]):
     metadata columns are generated JVM-side, no Python crossing."""
     from pyspark.sql import functions as F
 
-    reader = spark.read.option("basePath", table_dir)
-    if len(meta.get("schemas", [])) > 1:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*sorted(paths)).select(
-        "*",
-        F.regexp_replace(F.col("_metadata.file_path"), _NORM_FILE_RE, "/").alias(
-            "__iceberg_file"
-        ),
-        F.col("_metadata.row_index").alias("__iceberg_pos"),
-    )
+    dfs = []
+    for base, ps in _base_path_groups(table_dir, paths):
+        reader = spark.read.option("basePath", base)
+        if len(meta.get("schemas", [])) > 1:
+            reader = reader.option("mergeSchema", "true")
+        dfs.append(
+            reader.parquet(*sorted(ps)).select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), _NORM_FILE_RE, "/"
+                ).alias("__iceberg_file"),
+                F.col("_metadata.row_index").alias("__iceberg_pos"),
+            )
+        )
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
 
 
 def _apply_position_deletes(spark, df_pos, data_entries, delete_entries):
@@ -2844,6 +2904,15 @@ def _rewrite_manifests_once(
     if n_data_m <= 1 and len(manifest_files) - n_data_m <= 1:
         return meta  # already compact (<=1 manifest of each content)
     partition_col = meta["partition-specs"][0]["fields"][0]["name"]
+    # tombstone GC horizon: status=2 entries are load-bearing for the
+    # incremental planner (rewrite_data_files / DV-supersede history),
+    # but only inside windows a caller can still open — and a window's
+    # `from` must be a snapshot that still exists. Entries at or below
+    # the oldest live snapshot's sequence number are unreachable.
+    horizon = min(
+        (int(s["sequence-number"]) for s in meta["snapshots"]),
+        default=0,
+    )
     # data and delete manifests compact SEPARATELY (spec: a manifest
     # holds either data files or delete files, never both — merging
     # them would make every scan read delete entries as data)
@@ -2851,30 +2920,50 @@ def _rewrite_manifests_once(
     for mf in manifest_files:
         _, es, _ = read_avro_ocf(mf["manifest_path"])
         for e in es:
-            if e["status"] == 2:
-                continue
             seq = e.get("sequence_number")
             if seq is None:
                 seq = mf.get("sequence_number", 0)
-            # spec: carried-over files are status 0 (EXISTING) — an
-            # incremental/CDC reader must not see compaction as appends;
-            # sequence numbers become explicit so inheritance from the
-            # NEW manifest cannot rewrite history
             d2 = dict(e["data_file"])
             d2.setdefault("equality_ids", None)
             for k in _STATS_KEYS:  # pre-stats manifests lack these
                 d2.setdefault(k, None)
-            e2 = {**e, "status": 0, "sequence_number": int(seq), "data_file": d2}
+            if e["status"] == 2:
+                # carry tombstones (original deleting-snapshot
+                # attribution intact) until no queryable window can
+                # reach them — dropping them would blind the
+                # incremental planner's retraction guard and lose
+                # pre-rewrite windows (see _plan_seq_window)
+                if int(seq) <= horizon:
+                    continue
+                e2 = {**e, "sequence_number": int(seq), "data_file": d2}
+            else:
+                # spec: carried-over files are status 0 (EXISTING) — an
+                # incremental/CDC reader must not see compaction as
+                # appends; sequence numbers become explicit so
+                # inheritance from the NEW manifest cannot rewrite
+                # history
+                e2 = {
+                    **e,
+                    "status": 0,
+                    "sequence_number": int(seq),
+                    "data_file": d2,
+                }
             groups[0 if not d2.get("content") else 1].append(e2)
     entries = groups[0]
     lo = hi = None
     rows = 0
+    n_live = n_dead = dead_rows = 0
     for e in entries:
         p = e["data_file"]["partition"].get(partition_col)
         if p is not None:
             lo = p if lo is None else min(lo, p)
             hi = p if hi is None else max(hi, p)
-        rows += e["data_file"]["record_count"]
+        if e["status"] == 2:
+            n_dead += 1
+            dead_rows += e["data_file"]["record_count"]
+        else:
+            n_live += 1
+            rows += e["data_file"]["record_count"]
 
     now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
     # snapshot-log monotonicity (same clamp as _commit_append_once): a
@@ -2919,11 +3008,11 @@ def _rewrite_manifests_once(
         "min_sequence_number": min_seq,
         "added_snapshot_id": snapshot_id,
         "added_data_files_count": 0,
-        "existing_data_files_count": len(entries),
-        "deleted_data_files_count": 0,
+        "existing_data_files_count": n_live,
+        "deleted_data_files_count": n_dead,
         "added_rows_count": 0,
         "existing_rows_count": rows,
-        "deleted_rows_count": 0,
+        "deleted_rows_count": dead_rows,
         "partitions": [
             {
                 "contains_null": any(
@@ -2938,30 +3027,17 @@ def _rewrite_manifests_once(
     }
     new_manifest_files = [compacted]
     if groups[1]:
-        # the table's live position-delete entries compact into their
-        # own content=1 manifest, preserving each entry's sequence
-        # number (the delete-applies-to rule depends on it)
+        # the table's position-delete entries compact into their own
+        # content=1 manifest, preserving each entry's sequence number
+        # (the delete-applies-to rule depends on it); the schema
+        # selection goes through normalize_delete_entries so DV
+        # locators survive compaction
         del_entries = groups[1]
-        # DV entries carry the v3 locator triple; the Avro writer emits
-        # only schema-declared fields, so compacting them with the base
-        # entry schema would silently strip the locators and every DV
-        # would stop applying. Use the DV-extended schema whenever any
-        # entry has one, normalizing locator-less entries to nulls.
-        if any(
-            e["data_file"].get("referenced_data_file") is not None
-            for e in del_entries
-        ):
-            from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501 (local import: deletion_vectors imports this module)
-                manifest_entry_schema_dv,
-            )
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501 (local import: deletion_vectors imports this module)
+            normalize_delete_entries,
+        )
 
-            del_schema = manifest_entry_schema_dv(partition_col)
-            for e in del_entries:
-                e["data_file"].setdefault("referenced_data_file", None)
-                e["data_file"].setdefault("content_offset", None)
-                e["data_file"].setdefault("content_size_in_bytes", None)
-        else:
-            del_schema = manifest_entry_schema(partition_col)
+        del_schema = normalize_delete_entries(del_entries, partition_col)
         del_path = os.path.join(
             meta_dir, f"{meta['table-uuid']}-compacted-d{seq}-{compact_uuid}.avro"
         )
@@ -2994,13 +3070,23 @@ def _rewrite_manifests_once(
                 ),
                 "added_snapshot_id": snapshot_id,
                 "added_data_files_count": 0,
-                "existing_data_files_count": len(del_entries),
-                "deleted_data_files_count": 0,
+                "existing_data_files_count": sum(
+                    1 for e in del_entries if e["status"] != 2
+                ),
+                "deleted_data_files_count": sum(
+                    1 for e in del_entries if e["status"] == 2
+                ),
                 "added_rows_count": 0,
                 "existing_rows_count": sum(
-                    e["data_file"]["record_count"] for e in del_entries
+                    e["data_file"]["record_count"]
+                    for e in del_entries
+                    if e["status"] != 2
                 ),
-                "deleted_rows_count": 0,
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in del_entries
+                    if e["status"] == 2
+                ),
                 "partitions": [
                     {
                         "contains_null": any(p is None for p in dparts),
@@ -3029,6 +3115,7 @@ def _rewrite_manifests_once(
             "fileSizeInBytes": e["data_file"]["file_size_in_bytes"],
         }
         for e in entries
+        if e["status"] != 2
     ]
     return _finish_replace_commit(
         table_dir, version, meta, now_ms, seq, snapshot_id, compact_uuid,
@@ -3194,11 +3281,13 @@ def _rewrite_data_files_once(
     gets a new (file, pos). Consumers that diff by identity are
     guarded — ``read_iceberg_changelog`` refuses windows spanning a
     data rewrite, and the incremental append scan skips replace-added
-    files (the guard consults snapshot summaries, so like the Java
-    ``IncrementalAppendScan`` it degrades if the rewrite snapshot
-    itself is expired while an older window is still being queried;
-    the tombstoned delete entries keep the retraction guard durable
-    for windows that contained deletes).
+    files. Both guards are durable: compaction output is recognizable
+    by its ``_compacted-`` path marker even after the rewrite snapshot
+    expires, prior tombstones are carried forward through later
+    rewrites and manifest compactions (GC'd only once no queryable
+    window can reach them), and a tombstone whose deleting snapshot
+    the metadata can no longer explain is an explicit error, never a
+    silently wrong window.
 
     New files live under ``<table>/_compacted-<token>/`` — a
     "_"-prefixed (Hadoop-hidden) directory the discovery-mode append
@@ -3321,18 +3410,43 @@ def _rewrite_data_files_once(
         }
     ]
 
+    # prior tombstones (earlier rewrites / DV supersedes) must survive
+    # this rewrite too — dropping them would lose pre-rewrite
+    # incremental windows and blind the retraction guard. Same GC
+    # horizon as rewrite_manifests: entries no queryable window can
+    # reach any more are dropped.
+    horizon = min(
+        (int(s["sequence-number"]) for s in meta["snapshots"]), default=0
+    )
+    prior_tombstones: dict[int, list[dict]] = {0: [], 1: []}
+    _, prior_mfs, _ = read_avro_ocf(cur["manifest-list"])
+    for mf in prior_mfs:
+        _, es, _ = read_avro_ocf(mf["manifest_path"])
+        for e in es:
+            if e["status"] != 2:
+                continue
+            seq_e = e.get("sequence_number")
+            if seq_e is None:
+                seq_e = mf.get("sequence_number", 0)
+            if int(seq_e) <= horizon:
+                continue
+            d2 = dict(e["data_file"])
+            # keep the ORIGINAL deleting-snapshot attribution
+            e2 = {**e, "sequence_number": int(seq_e), "data_file": d2}
+            prior_tombstones[0 if not d2.get("content") else 1].append(e2)
+
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+        normalize_delete_entries,
+    )
+
     def _tombstones(flat: list[dict], content: int, tag: str) -> None:
-        """One status=2 manifest recording the replaced entries; the
-        tombstones keep their original sequence numbers so the
-        incremental planner's retraction guard stays durable."""
+        """One status=2 manifest recording the replaced entries (plus
+        carried prior tombstones); tombstones keep their original
+        sequence numbers so the incremental planner's retraction guard
+        stays durable."""
         entries = []
         for d in sorted(flat, key=lambda d: d["file_path"]):
             d2 = {k: v for k, v in d.items() if k != "_seq"}
-            d2.setdefault("equality_ids", None)
-            for k in _STATS_KEYS:
-                d2.setdefault(k, None)
-            d2.setdefault("split_offsets", None)
-            d2.setdefault("sort_order_id", None)
             entries.append(
                 {
                     "status": 2,  # DELETED by this snapshot
@@ -3342,22 +3456,19 @@ def _rewrite_data_files_once(
                     "data_file": d2,
                 }
             )
-        has_dv = any(
-            e["data_file"].get("referenced_data_file") is not None
-            for e in entries
+        entries += prior_tombstones[content]
+        for e in entries:
+            d2 = e["data_file"]
+            d2.setdefault("equality_ids", None)
+            for k in _STATS_KEYS:
+                d2.setdefault(k, None)
+            d2.setdefault("split_offsets", None)
+            d2.setdefault("sort_order_id", None)
+        entry_schema = (
+            normalize_delete_entries(entries, partition_col)
+            if content == 1
+            else manifest_entry_schema(partition_col)
         )
-        if has_dv:
-            from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501
-                manifest_entry_schema_dv,
-            )
-
-            entry_schema = manifest_entry_schema_dv(partition_col)
-            for e in entries:
-                e["data_file"].setdefault("referenced_data_file", None)
-                e["data_file"].setdefault("content_offset", None)
-                e["data_file"].setdefault("content_size_in_bytes", None)
-        else:
-            entry_schema = manifest_entry_schema(partition_col)
         path = os.path.join(
             meta_dir, f"{meta['table-uuid']}-{tag}{seq}-{compact_uuid}.avro"
         )
@@ -3400,7 +3511,7 @@ def _rewrite_data_files_once(
         )
 
     _tombstones(data, 0, "rwdel")
-    if deletes:
+    if deletes or prior_tombstones[1]:
         _tombstones(deletes, 1, "rwdrop")
 
     summary = {
