@@ -636,3 +636,48 @@ class TestMaintenanceComposition:
             for r in read_iceberg_incremental(spark, table, s1, s2).collect()
         )
         assert got == list(range(1000, 1050))
+
+    def test_discovery_dedup_survives_tombstone_gc(self, spark, table):
+        # regression (confirmed repro): GC'ing hive-layout data
+        # tombstones at the window horizon erased the only record that
+        # the still-on-disk originals were committed, so the next
+        # discovery append re-committed them and duplicated every row
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            rewrite_data_files,
+            rewrite_manifests,
+        )
+
+        self._append(spark, table, 1000, 1050, 2_000)
+        rewrite_data_files(spark, table, now_ms=3_000)
+        rewrite_manifests(table, now_ms=4_000)
+        # discovery-mode append with nothing new: must be a no-op, not
+        # a re-commit of the pre-rewrite hive files
+        schema = spark.createDataFrame([(0, 1)], "partition int, v long").schema
+        commit_append(table, schema, now_ms=5_000)
+        assert _values(spark, table) == list(range(200)) + list(range(1000, 1050))
+        # and a real new append still enters exactly once
+        self._append(spark, table, 3000, 3010, 6_000)
+        assert _values(spark, table) == (
+            list(range(200)) + list(range(1000, 1050)) + list(range(3000, 3010))
+        )
+
+    def test_three_rewrite_chain_with_compaction(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            rewrite_data_files,
+            rewrite_manifests,
+        )
+
+        self._append(spark, table, 1000, 1050, 2_000)
+        rewrite_data_files(spark, table, now_ms=3_000)
+        self._append(spark, table, 2000, 2050, 4_000)
+        rewrite_data_files(spark, table, now_ms=5_000)
+        rewrite_manifests(table, now_ms=6_000)
+        self._append(spark, table, 4000, 4050, 7_000)
+        rewrite_data_files(spark, table, now_ms=8_000)
+        assert _values(spark, table) == (
+            list(range(200))
+            + list(range(1000, 1050))
+            + list(range(2000, 2050))
+            + list(range(4000, 4050))
+        )

@@ -244,17 +244,6 @@ for _requeue in (
     "salted_user_activity",
     "top_events_per_user",
     "events_daily_kind",
-    "q4_order_priority",
-    "q22_sales_opportunity",
-    "batch_grouping",
-    "offsets_for_times",
-    "chunk_index_variable",
-    "segment_offset_index",
-    "sessionize_events",
-    "asof_latest_order_per_event",
-    "range_join_purchase_window",
-    "topk_orders_per_priority",
-    "rollup_pricing",
 ):
     _DEMOTE.remove(_requeue)
 
@@ -290,25 +279,31 @@ _PROMOTE = [
     "salted_user_activity",
     "top_events_per_user",
     "events_daily_kind",
-    "q4_order_priority",
-    "q22_sales_opportunity",
-    "batch_grouping",
-    "offsets_for_times",
-    "chunk_index_variable",
-    "segment_offset_index",
-    "sessionize_events",
-    "asof_latest_order_per_event",
-    "range_join_purchase_window",
-    "topk_orders_per_priority",
-    "rollup_pricing",
     # NEW late-r6 additions that register early (txn_read, iceberg_meta)
     # took five head slots, and char_diversity_quality (text_extra,
     # registers late) needs its first verdict — promoted here:
     "char_diversity_quality",
+    # (c) FIRST-VERDICT queries that registered past the 50-slot window
+    # (in-repo gate green, but the judge should see a driver verdict):
+    # sketch/sampling audits and the late-r6 Iceberg read family.
+    # iceberg_rewrite_datafiles registers in the head prefix already.
+    "jl_projection_audit",
+    "weighted_sample_pps",
+    "kmv_set_ops_audit",
+    "iceberg_tag_read",
+    "iceberg_bounds_pruned_scan",
+    "iceberg_incremental_scan",
+    "streaming_iceberg_incremental",
+    "iceberg_changelog_scan",
+    "changelog_materialized_counts",
+    "containment_sketch_audit",
     # Deferred to the r7 rotation (r2 verdicts, gate-checked meanwhile;
-    # the 50-slot window is full this round): grouping_sets_order_mix,
-    # train_test_split_hash,
-    # stratified_sample_by_lang,
+    # the 50-slot window is full this round): q4_order_priority,
+    # q22_sales_opportunity, batch_grouping, offsets_for_times,
+    # chunk_index_variable, segment_offset_index, sessionize_events,
+    # asof_latest_order_per_event, range_join_purchase_window,
+    # topk_orders_per_priority, rollup_pricing, grouping_sets_order_mix,
+    # train_test_split_hash, stratified_sample_by_lang,
     # benchmark_decontamination, curation_funnel, doc_fingerprint,
     # doc_winnow_fingerprint, corpus_lang_profile,
     # dup_cluster_representatives, semdedup_keep_drop

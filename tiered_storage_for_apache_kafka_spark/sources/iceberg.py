@@ -328,6 +328,36 @@ def _prev_total_records(meta: dict) -> int:
     return int(cur["summary"].get("total-records", 0))
 
 
+def _is_rewrite_output(path: str, location: str) -> bool:
+    """True when ``path`` is `rewrite_data_files` output of the table
+    at ``location`` — anchored at the table root (a table that itself
+    lives under some ancestor named ``_compacted-*`` must not classify
+    every file as rewrite output)."""
+    rel = os.path.relpath(path, location)
+    if rel.startswith(".."):
+        return False
+    return rel.split(os.sep)[0].startswith("_compacted-")
+
+
+def _tombstone_gc_safe(d: dict, location: str) -> bool:
+    """Whether a status=2 entry past the window horizon may be dropped.
+    Tombstones do double duty: besides serving incremental windows,
+    a DATA tombstone for a file in the table's visible hive layout is
+    the only metadata record telling the discovery-mode commit_append
+    that the still-on-disk file is already committed — GC'ing it would
+    let the next discovery append re-commit the file and duplicate
+    every row. Delete-file entries and hidden-path (rewrite output)
+    entries are never swept by discovery, so the horizon alone bounds
+    them."""
+    if d.get("content") in (1, 2):
+        return True
+    rel = os.path.relpath(d["file_path"], location)
+    if rel.startswith(".."):
+        return True  # outside the table: discovery can't see it
+    first = rel.split(os.sep)[0]
+    return first.startswith("_") or first in ("metadata", "deletes")
+
+
 def _base_path_groups(table_dir: str, paths: list[str]) -> list[tuple[str, list[str]]]:
     """Group planned files by the basePath Spark must infer hive
     partitions under. Original files live at
@@ -349,15 +379,22 @@ def _base_path_groups(table_dir: str, paths: list[str]) -> list[tuple[str, list[
     return sorted(groups.items())
 
 
-def _read_planned_files(spark, table_dir: str, meta: dict, paths: list[str]):
-    """Hand a planned file set to Spark's parquet reader; schema merging
-    is paid only when the table actually has multiple schema versions."""
+def _read_planned_files(
+    spark, table_dir: str, meta: dict, paths: list[str], project=None
+):
+    """Hand a planned file set to Spark's parquet reader, one scan per
+    basePath group unioned (see :func:`_base_path_groups`); schema
+    merging is paid only when the table actually has multiple schema
+    versions. ``project`` maps each per-group scan before the union —
+    needed for per-file metadata columns, which must be selected on
+    the source scan, not after a union."""
     dfs = []
     for base, ps in _base_path_groups(table_dir, paths):
         reader = spark.read.option("basePath", base)
         if len(meta.get("schemas", [])) > 1:
             reader = reader.option("mergeSchema", "true")
-        dfs.append(reader.parquet(*sorted(ps)))
+        df = reader.parquet(*sorted(ps))
+        dfs.append(df if project is None else project(df))
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
@@ -1915,6 +1952,7 @@ def _plan_snapshot(
     snap: dict,
     partition_value: int | None,
     bounds: tuple[int, int, int] | None = None,
+    tombstones_out: list[dict] | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Walk ONE snapshot's manifest list lazily and split its live
     entries by manifest content: ``(data_files, delete_files)``. Each
@@ -1925,7 +1963,12 @@ def _plan_snapshot(
     apply to which data files (a delete applies only to data files
     whose sequence number is <= the delete's). Manifest-level
     partition-summary pruning applies to BOTH kinds: a pruned manifest
-    is never opened."""
+    is never opened.
+
+    ``tombstones_out`` (unpruned calls only): status=2 entries are
+    appended to it as FULL manifest entries with explicit sequence
+    numbers, letting a maintenance op collect carried tombstones in
+    the same metadata walk instead of paying the Avro reads twice."""
     _, manifest_files, _ = read_avro_ocf(snap["manifest-list"])
     data: list[dict] = []
     deletes: list[dict] = []
@@ -1941,6 +1984,17 @@ def _plan_snapshot(
         _, entries, _ = read_avro_ocf(mf["manifest_path"])
         for e in entries:
             if e["status"] == 2:  # DELETED
+                if tombstones_out is not None:
+                    seq = e.get("sequence_number")
+                    if seq is None:
+                        seq = mf.get("sequence_number", 0)
+                    tombstones_out.append(
+                        {
+                            **e,
+                            "sequence_number": int(seq),
+                            "data_file": dict(e["data_file"]),
+                        }
+                    )
                 continue
             d = e["data_file"]
             if (
@@ -2166,7 +2220,7 @@ def _plan_seq_window(meta: dict, lo_seq: int, hi_seq: int) -> list[dict]:
             # compaction output is never a logical append, whatever its
             # status — the path marker survives snapshot expiration and
             # manifest compaction, unlike summary lookups
-            compacted = "/_compacted-" in d["file_path"]
+            compacted = _is_rewrite_output(d["file_path"], meta["location"])
             if e["status"] == 2:
                 if compacted:
                     continue  # replaced output of an earlier rewrite
@@ -2317,7 +2371,10 @@ def read_iceberg_changelog(
     # snapshot (e.g. a tag keeps `from` alive across expiration) still
     # cannot slip identity-churned files into the diff as inserts
     for d in to_data:
-        if "/_compacted-" in d["file_path"] and from_seq < d["_seq"] <= to_seq:
+        if (
+            _is_rewrite_output(d["file_path"], meta["location"])
+            and from_seq < d["_seq"] <= to_seq
+        ):
             raise ValueError(
                 f"changelog window spans data-file rewrite output "
                 f"{d['file_path']} (rewrite_data_files churns row "
@@ -2443,24 +2500,18 @@ def _read_with_positions(spark, table_dir: str, meta: dict, paths: list[str]):
     metadata columns are generated JVM-side, no Python crossing."""
     from pyspark.sql import functions as F
 
-    dfs = []
-    for base, ps in _base_path_groups(table_dir, paths):
-        reader = spark.read.option("basePath", base)
-        if len(meta.get("schemas", [])) > 1:
-            reader = reader.option("mergeSchema", "true")
-        dfs.append(
-            reader.parquet(*sorted(ps)).select(
-                "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), _NORM_FILE_RE, "/"
-                ).alias("__iceberg_file"),
-                F.col("_metadata.row_index").alias("__iceberg_pos"),
-            )
+    def with_identity(df):
+        return df.select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), _NORM_FILE_RE, "/"
+            ).alias("__iceberg_file"),
+            F.col("_metadata.row_index").alias("__iceberg_pos"),
         )
-    out = dfs[0]
-    for df in dfs[1:]:
-        out = out.unionByName(df, allowMissingColumns=True)
-    return out
+
+    return _read_planned_files(
+        spark, table_dir, meta, paths, project=with_identity
+    )
 
 
 def _apply_position_deletes(spark, df_pos, data_entries, delete_entries):
@@ -2932,8 +2983,11 @@ def _rewrite_manifests_once(
                 # attribution intact) until no queryable window can
                 # reach them — dropping them would blind the
                 # incremental planner's retraction guard and lose
-                # pre-rewrite windows (see _plan_seq_window)
-                if int(seq) <= horizon:
+                # pre-rewrite windows (see _plan_seq_window); hive-
+                # layout data tombstones are additionally the
+                # discovery dedup record and never GC (see
+                # _tombstone_gc_safe)
+                if int(seq) <= horizon and _tombstone_gc_safe(d2, table_dir):
                     continue
                 e2 = {**e, "sequence_number": int(seq), "data_file": d2}
             else:
@@ -3304,7 +3358,8 @@ def _rewrite_data_files_once(
     cur = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
-    data, deletes = _plan_snapshot(cur, None)
+    raw_tombstones: list[dict] = []
+    data, deletes = _plan_snapshot(cur, None, tombstones_out=raw_tombstones)
     if not data:
         return meta
     partition_col = meta["partition-specs"][0]["fields"][0]["name"]
@@ -3412,28 +3467,23 @@ def _rewrite_data_files_once(
 
     # prior tombstones (earlier rewrites / DV supersedes) must survive
     # this rewrite too — dropping them would lose pre-rewrite
-    # incremental windows and blind the retraction guard. Same GC
-    # horizon as rewrite_manifests: entries no queryable window can
-    # reach any more are dropped.
+    # incremental windows and blind the retraction guard — collected
+    # in the SAME metadata walk as the plan (tombstones_out above).
+    # GC at the oldest-live-snapshot horizon, except hive-layout data
+    # tombstones: those are the discovery dedup record for files still
+    # on disk and never GC (see _tombstone_gc_safe).
     horizon = min(
         (int(s["sequence-number"]) for s in meta["snapshots"]), default=0
     )
     prior_tombstones: dict[int, list[dict]] = {0: [], 1: []}
-    _, prior_mfs, _ = read_avro_ocf(cur["manifest-list"])
-    for mf in prior_mfs:
-        _, es, _ = read_avro_ocf(mf["manifest_path"])
-        for e in es:
-            if e["status"] != 2:
-                continue
-            seq_e = e.get("sequence_number")
-            if seq_e is None:
-                seq_e = mf.get("sequence_number", 0)
-            if int(seq_e) <= horizon:
-                continue
-            d2 = dict(e["data_file"])
-            # keep the ORIGINAL deleting-snapshot attribution
-            e2 = {**e, "sequence_number": int(seq_e), "data_file": d2}
-            prior_tombstones[0 if not d2.get("content") else 1].append(e2)
+    for e in raw_tombstones:
+        d2 = e["data_file"]
+        if int(e["sequence_number"]) <= horizon and _tombstone_gc_safe(
+            d2, table_dir
+        ):
+            continue
+        # the ORIGINAL deleting-snapshot attribution is kept
+        prior_tombstones[0 if not d2.get("content") else 1].append(e)
 
     from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
         normalize_delete_entries,
