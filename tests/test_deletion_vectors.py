@@ -681,3 +681,85 @@ class TestMaintenanceComposition:
             + list(range(2000, 2050))
             + list(range(4000, 4050))
         )
+
+
+class TestRemoveOrphanFiles:
+    def test_crash_orphans_removed_live_files_kept(self, spark, table):
+        import os
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            remove_orphan_files,
+        )
+
+        # simulate a crashed writer: one unreferenced parquet in a
+        # partition dir, one under a staging dir, plus a _SUCCESS marker
+        orphan1 = os.path.join(table, "partition=0", "part-crashed.parquet")
+        with open(orphan1, "wb") as f:
+            f.write(b"not really parquet")
+        os.makedirs(os.path.join(table, "_staging-crash"), exist_ok=True)
+        orphan2 = os.path.join(table, "_staging-crash", "part-0.parquet")
+        with open(orphan2, "wb") as f:
+            f.write(b"bytes")
+        marker = os.path.join(table, "partition=0", "_SUCCESS")
+        open(marker, "w").close()
+
+        dry = remove_orphan_files(table, older_than_ms=2**62, dry_run=True)
+        assert sorted(dry) == sorted([orphan1, orphan2])
+        assert os.path.exists(orphan1)  # dry run touched nothing
+
+        removed = remove_orphan_files(table, older_than_ms=2**62)
+        assert sorted(removed) == sorted([orphan1, orphan2])
+        assert not os.path.exists(orphan1)
+        assert not os.path.exists(os.path.join(table, "_staging-crash"))
+        assert os.path.exists(marker)  # fs markers ride along
+        assert _values(spark, table) == list(range(200))
+
+    def test_recency_guard_keeps_inflight_files(self, spark, table):
+        import os
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            remove_orphan_files,
+        )
+
+        staged = os.path.join(table, "partition=1", "part-inflight.parquet")
+        with open(staged, "wb") as f:
+            f.write(b"staged ahead of commit")
+        # default cutoff = now - 3 days: the fresh file survives
+        assert remove_orphan_files(table) == []
+        assert os.path.exists(staged)
+        os.remove(staged)
+
+    def test_expired_rewrite_originals_collected(self, spark, table):
+        import os
+
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            _plan_snapshot,
+            expire_snapshots,
+            remove_orphan_files,
+            rewrite_data_files,
+        )
+
+        commit_deletion_vectors(spark, table, "v < 10", now_ms=2_000)
+        rewrite_data_files(spark, table, now_ms=3_000)
+        # while pre-rewrite snapshots survive, the originals are live-
+        # referenced there and must be kept
+        assert remove_orphan_files(table, older_than_ms=2**62) == []
+        expire_snapshots(table, keep_last=1, now_ms=4_000)
+        removed = remove_orphan_files(table, older_than_ms=2**62)
+        # the two original hive parquet files + the DV puffin
+        assert len(removed) == 3
+        assert any(p.endswith(".puffin") for p in removed)
+        assert _values(spark, table) == list(range(10, 200))
+        # head plan untouched: all live files still present
+        _v, meta = _load_current_metadata(table)
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        data, deletes = _plan_snapshot(cur, None)
+        assert deletes == []
+        assert all(os.path.exists(d["file_path"]) for d in data)

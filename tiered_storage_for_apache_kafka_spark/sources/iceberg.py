@@ -3589,3 +3589,95 @@ def _rewrite_data_files_once(
         table_dir, version, meta, now_ms, seq, snapshot_id, compact_uuid,
         new_manifest_files, summary, file_list, catalog, table_name,
     )
+
+
+def remove_orphan_files(
+    table_dir: str,
+    older_than_ms: int | None = None,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Iceberg ``removeOrphanFiles`` maintenance — the fourth leg of
+    the maintenance set (expire / rewrite_manifests /
+    rewrite_data_files / this): delete files under the table location
+    that no surviving snapshot references LIVE. Orphans accumulate
+    from crashed writer attempts (staged ``_staging-*`` dirs, Spark
+    ``_temporary`` leftovers) and from snapshot expiration (a
+    ``rewrite_data_files``-replaced original whose last live
+    referencing snapshot has been expired — its head-list tombstone
+    alone keeps no bytes alive: reads never touch it, discovery dedup
+    needs only the tombstone entry, and any incremental window that
+    could still serve it has a surviving ``to`` snapshot referencing
+    it live, which keeps it out of the orphan set).
+
+    Metadata-only read; commits nothing (like the Java action). Files
+    newer than ``older_than_ms`` (default: 3 days before now) are
+    kept — an in-flight writer stages files BEFORE its commit makes
+    them referenced, so a recency guard is the only thing separating
+    "orphan" from "about to be committed". The ``metadata/`` tree is
+    governed by :func:`expire_snapshots` and never touched. Returns
+    the removed (or, under ``dry_run``, would-be-removed) paths.
+
+    Scale shape: one metadata walk (manifest lists + manifests, each
+    read once via a path cache) and one filesystem listing — the same
+    O(metadata + files) any orphan scan pays; nothing row-level."""
+    import time as _time
+
+    _version, meta, table_name = _maintenance_state(
+        table_dir, catalog, table_name
+    )
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    cutoff_ms = (
+        now_ms - 3 * 24 * 3600 * 1000 if older_than_ms is None else older_than_ms
+    )
+    referenced: set[str] = set()
+    seen_manifests: set[str] = set()
+    for s in meta.get("snapshots", []):
+        _, mfs, _ = read_avro_ocf(s["manifest-list"])
+        for mf in mfs:
+            mp = mf["manifest_path"]
+            if mp in seen_manifests:
+                continue
+            seen_manifests.add(mp)
+            _, es, _ = read_avro_ocf(mp)
+            for e in es:
+                if e["status"] == 2:
+                    continue  # tombstones keep no bytes alive
+                referenced.add(os.path.realpath(e["data_file"]["file_path"]))
+    removed: list[str] = []
+    for root, _dirs, names in os.walk(table_dir):
+        rel = os.path.relpath(root, table_dir)
+        parts = [] if rel == os.curdir else rel.split(os.sep)
+        if parts and parts[0] == "metadata":
+            continue
+        for name in names:
+            if name.startswith(".") or name == "_SUCCESS":
+                continue  # fs markers ride along with their dir
+            p = os.path.join(root, name)
+            if os.path.realpath(p) in referenced:
+                continue
+            try:
+                mtime_ms = os.path.getmtime(p) * 1000
+            except FileNotFoundError:
+                continue
+            if mtime_ms > cutoff_ms:
+                continue  # possibly staged ahead of an in-flight commit
+            removed.append(p)
+    if not dry_run:
+        for p in removed:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+        # prune now-empty directories (but never the table root);
+        # bottom-up with a live listing so a parent emptied by its
+        # children's removal goes too
+        for root, _d, _n in os.walk(table_dir, topdown=False):
+            try:
+                if root != table_dir and not os.listdir(root):
+                    os.rmdir(root)
+            except OSError:
+                pass
+    return sorted(removed)
