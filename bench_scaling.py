@@ -163,6 +163,12 @@ PROBES = [
     "kmv_set_ops_audit",
     "containment_sketch_audit",
     "iceberg_changelog_scan",
+    # late-r6: the full delete plane — DV commit+read and the
+    # rewrite-data-files compaction (one distributed read + one
+    # distributed write; cost scales with live rows, never with
+    # snapshot count)
+    "iceberg_dv_scan",
+    "iceberg_rewrite_datafiles",
     # round-6 late extension: the transactional read family (store,
     # aborted-range count, and epoch chains all grow 10x; note the 10x
     # event_ids are sparse — replicas offset by 500k — which the wire

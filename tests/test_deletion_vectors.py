@@ -763,3 +763,66 @@ class TestRemoveOrphanFiles:
         data, deletes = _plan_snapshot(cur, None)
         assert deletes == []
         assert all(os.path.exists(d["file_path"]) for d in data)
+
+
+class TestSortedCompaction(TestMaintenanceComposition):
+    def test_sorted_compaction_tightens_bounds(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            _plan_snapshot,
+            plan_scan,
+            rewrite_data_files,
+        )
+
+        # fragment: interleaved value ranges across two batches so the
+        # unsorted layout has wide per-file bounds
+        self._append(spark, table, 1000, 1200, 2_000)
+        meta = rewrite_data_files(
+            spark, table, sort_by="v", max_records_per_file=50, now_ms=3_000
+        )
+        # the sort order is recorded and stamped on the entries
+        orders = meta["sort-orders"]
+        assert any(
+            o["order-id"] == 1
+            and o["fields"][0]["direction"] == "asc"
+            for o in orders
+        )
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        data, _deletes = _plan_snapshot(cur, None)
+        assert all(d["sort_order_id"] == 1 for d in data)
+        # bounds pruning: a narrow v window opens a strict subset of
+        # the sorted files
+        pruned = plan_scan(table, column_bounds=("v", 0, 20))
+        assert 0 < len(pruned) < len(data)
+        # and a full read is unchanged
+        assert _values(spark, table) == list(range(200)) + list(range(1000, 1200))
+
+    def test_sort_order_reaches_catalog_metadata(self):
+        from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+            apply_updates,
+        )
+
+        order = {
+            "order-id": 1,
+            "fields": [
+                {
+                    "transform": "identity",
+                    "source-id": 2,
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+            ],
+        }
+        meta = {"sort-orders": [{"order-id": 0, "fields": []}]}
+        out = apply_updates(
+            meta, [{"action": "add-sort-order", "sort-order": order}], 1_000
+        )
+        assert order in out["sort-orders"]
+        # idempotent on replay of the same order id
+        out2 = apply_updates(
+            out, [{"action": "add-sort-order", "sort-order": order}], 2_000
+        )
+        assert [o["order-id"] for o in out2["sort-orders"]] == [0, 1]

@@ -636,6 +636,35 @@ class TestStreamingIcebergCommit:
         assert got.count() == 90
         assert got.where("kafka.offset >= 40").count() == 10
 
+    def test_auto_compact_every(self, spark, tmp_path):
+        """auto_compact_every=N runs rewrite_manifests after every Nth
+        committed batch: three tranches through the same checkpoint ->
+        3 commit snapshots + 1 replace snapshot after batch 1, and the
+        head manifest walk stays compact."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_iceberg_table,
+            read_table_metadata,
+        )
+        from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+            stream_envelope_to_iceberg,
+        )
+
+        src = str(tmp_path / "src")
+        tdir = str(tmp_path / "ice")
+        ckpt = str(tmp_path / "ck")
+        os.makedirs(tdir, exist_ok=True)
+        for lo, hi in ((0, 40), (40, 80), (80, 120)):
+            spark.range(lo, hi).write.mode("append").parquet(src)
+            q = stream_envelope_to_iceberg(
+                self._envelope_stream(spark, src), tdir, ckpt,
+                auto_compact_every=2,
+            )
+            assert q.awaitTermination(120)
+        meta = read_table_metadata(tdir)["metadata"]
+        ops = [s["summary"]["operation"] for s in meta["snapshots"]]
+        assert ops == ["append", "append", "replace", "append"]
+        assert read_iceberg_table(spark, tdir).count() == 120
+
     def test_crashed_attempt_higher_k_files_are_cleared(self, spark, tmp_path):
         """A crashed attempt that produced MORE files than the replay
         (different parallelism) leaves no uncommitted leftovers: all

@@ -3190,11 +3190,15 @@ def _finish_replace_commit(
     file_list: list[dict],
     catalog,
     table_name: str | None,
+    extra_updates: list[dict] | None = None,
 ) -> dict:
     """Shared tail of the REPLACE-flavored maintenance commits
     (`rewrite_manifests`, `rewrite_data_files`): write the manifest
     list, chain the snapshot, register the FILE_LIST statistics Puffin,
-    and move the pointer (catalog protocol or local version write)."""
+    and move the pointer (catalog protocol or local version write).
+    ``extra_updates`` ride along in the catalog commit (e.g. the
+    add-sort-order a sorted rewrite records); local mode picks the
+    same changes up from the caller-mutated ``meta``."""
     meta_dir = os.path.join(table_dir, "metadata")
     list_path = os.path.join(
         meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
@@ -3261,7 +3265,8 @@ def _finish_replace_commit(
         resp = catalog.commit_table(
             table_name,
             _maintenance_requirements(meta),
-            [
+            list(extra_updates or [])
+            + [
                 {"action": "add-snapshot", "snapshot": snapshot},
                 {
                     "action": "set-snapshot-ref",
@@ -3288,6 +3293,7 @@ def rewrite_data_files(
     catalog=None,
     table_name: str | None = None,
     max_records_per_file: int | None = None,
+    sort_by: str | list[str] | None = None,
     max_commit_retries: int = 3,
 ) -> dict:
     """See :func:`_rewrite_data_files_once`; in catalog mode a lost
@@ -3302,7 +3308,7 @@ def rewrite_data_files(
         try:
             return _rewrite_data_files_once(
                 spark, table_dir, now_ms, catalog, table_name,
-                max_records_per_file,
+                max_records_per_file, sort_by,
             )
         except CommitConflictError as e:
             last_err = e
@@ -3317,6 +3323,7 @@ def _rewrite_data_files_once(
     catalog,
     table_name: str | None,
     max_records_per_file: int | None,
+    sort_by: str | list[str] | None = None,
 ) -> dict:
     """Iceberg ``rewriteDataFiles`` maintenance (bin-pack compaction
     with merge-on-read materialization): read the current snapshot's
@@ -3371,12 +3378,67 @@ def _rewrite_data_files_once(
     if not deletes and max(per_part.values()) <= 1:
         return meta  # already compact, nothing to apply
 
+    # sorted compaction (Iceberg's sort strategy): range-partition on
+    # (partition, sort columns) then sort within tasks, so each output
+    # file covers a NARROW value range — the recorded lower/upper
+    # bounds get tight and plan_scan's bounds pruning skips whole
+    # files instead of row groups. The order is recorded as a spec
+    # sort-order and stamped on the entries via sort_order_id.
+    sort_cols = (
+        [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
+    )
+    sort_order_id = 0
+    new_sort_order: dict | None = None
+    if sort_cols:
+        order_fields = []
+        leaf_pre = _leaf_field_ids(_current_schema_struct(meta))
+        for c in sort_cols:
+            fid = leaf_pre.get(c)
+            if fid is None:
+                raise KeyError(
+                    f"no scalar leaf column {c!r} in the table schema"
+                )
+            order_fields.append(
+                {
+                    "transform": "identity",
+                    "source-id": fid,
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+            )
+        existing_orders = meta.get("sort-orders", [])
+        match = next(
+            (o for o in existing_orders if o.get("fields") == order_fields),
+            None,
+        )
+        if match is not None:
+            sort_order_id = int(match["order-id"])
+        else:
+            sort_order_id = (
+                max((int(o["order-id"]) for o in existing_orders), default=0)
+                + 1
+            )
+            new_sort_order = {"order-id": sort_order_id, "fields": order_fields}
+            meta = {**meta, "sort-orders": existing_orders + [new_sort_order]}
+
     live = _read_plan_with_identity(spark, table_dir, meta, data, deletes).drop(
         "__iceberg_file", "__iceberg_pos"
     )
     compact_uuid = uuid.uuid4().hex[:16]
     out_dir = os.path.join(table_dir, f"_compacted-{compact_uuid}")
-    writer = live.repartition(partition_col).write.partitionBy(partition_col)
+    if sort_cols:
+        from pyspark.sql import functions as F
+
+        keys = [F.col(partition_col)] + [F.col(c) for c in sort_cols]
+        # sort within the partition-colocated tasks; file-level range
+        # slicing comes from maxRecordsPerFile (AQE may coalesce a
+        # range shuffle on small data, but a sorted task split by
+        # record cap yields consecutive — hence tight-bounded — files
+        # deterministically at every scale)
+        shaped = live.repartition(partition_col).sortWithinPartitions(*keys)
+    else:
+        shaped = live.repartition(partition_col)
+    writer = shaped.write.partitionBy(partition_col)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(out_dir, mode="overwrite")
@@ -3422,7 +3484,7 @@ def _rewrite_data_files_once(
                 **_column_stats_fields(f.get("column_stats") or {}, leaf_ids),
                 "split_offsets": f["split_offsets"],
                 "equality_ids": None,
-                "sort_order_id": 0,
+                "sort_order_id": sort_order_id,
             },
         }
         for f in new_files
@@ -3588,6 +3650,11 @@ def _rewrite_data_files_once(
     return _finish_replace_commit(
         table_dir, version, meta, now_ms, seq, snapshot_id, compact_uuid,
         new_manifest_files, summary, file_list, catalog, table_name,
+        extra_updates=(
+            [{"action": "add-sort-order", "sort-order": new_sort_order}]
+            if new_sort_order is not None
+            else None
+        ),
     )
 
 

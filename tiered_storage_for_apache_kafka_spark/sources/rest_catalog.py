@@ -179,6 +179,11 @@ def apply_updates(meta: dict, updates: list[dict], now_ms: int) -> dict:
             refs = dict(meta.get("refs") or {})
             refs.pop(upd["ref-name"], None)
             meta["refs"] = refs
+        elif action == "add-sort-order":
+            order = upd["sort-order"]
+            orders = list(meta.get("sort-orders", []))
+            if all(o["order-id"] != order["order-id"] for o in orders):
+                meta["sort-orders"] = orders + [order]
         elif action == "assign-uuid":
             meta["table-uuid"] = upd["uuid"]
         else:

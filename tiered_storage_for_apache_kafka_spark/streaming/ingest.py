@@ -460,6 +460,7 @@ def stream_envelope_to_iceberg(
     app_id: str | None = None,
     catalog=None,
     table_name: str | None = None,
+    auto_compact_every: int | None = None,
 ):
     """EXACTLY-ONCE streaming Iceberg commits: each micro-batch becomes
     one Iceberg snapshot via :func:`commit_envelope_batch` — skip key
@@ -482,14 +483,40 @@ def stream_envelope_to_iceberg(
     micro-batch snapshot commits through the Iceberg REST-catalog
     protocol — the reference's production path (a real catalog service
     owns the metadata pointer, `IcebergTableManager.java:46-95`) — with
-    the replay-skip check reading catalog state."""
+    the replay-skip check reading catalog state.
+
+    ``auto_compact_every=N`` runs ``rewrite_manifests`` after every Nth
+    committed batch (counted by batch_id), so a long-lived streaming
+    table's scan planning stays O(1) per scan without an external
+    maintenance scheduler; a replayed (skipped) batch never triggers
+    compaction because only a real commit (commit_envelope_batch →
+    True) reaches the counter check. Compaction failures are
+    deliberately non-fatal to the stream — ingest keeps its
+    exactly-once guarantee and the next window retries."""
     resolved_app_id = app_id if app_id is not None else checkpoint_dir
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        commit_envelope_batch(
+        committed = commit_envelope_batch(
             batch_df, batch_id, table_dir, resolved_app_id,
             catalog=catalog, table_name=table_name,
         )
+        if (
+            committed
+            and auto_compact_every
+            and (batch_id + 1) % auto_compact_every == 0
+        ):
+            from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+                rewrite_manifests,
+            )
+
+            try:
+                rewrite_manifests(
+                    table_dir, catalog=catalog, table_name=table_name
+                )
+            except Exception:
+                # maintenance must never fail ingest; the next
+                # compaction window retries on fresher state
+                pass
 
     return (
         envelope_stream.writeStream.foreachBatch(commit_batch)
