@@ -125,6 +125,21 @@ def table(spark, tmp_path):
     return tdir
 
 
+def _append_batch(spark, tdir, lo, hi, now_ms):
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+    )
+
+    df = spark.range(lo, hi).select(
+        (F.col("id") % 2).cast("int").alias("partition"),
+        F.col("id").alias("v"),
+    )
+    df.repartition(2, "partition").write.partitionBy("partition").parquet(
+        tdir, mode="append"
+    )
+    return commit_append(tdir, df.schema, now_ms=now_ms)
+
+
 def _values(spark, tdir, **kw):
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
         read_iceberg_table,
@@ -537,20 +552,6 @@ class TestMaintenanceComposition:
     history the incremental planner relies on (second rewrite,
     manifest compaction after a rewrite or supersede)."""
 
-    def _append(self, spark, table, lo, hi, now_ms):
-        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
-            commit_append,
-        )
-
-        df = spark.range(lo, hi).select(
-            (F.col("id") % 2).cast("int").alias("partition"),
-            F.col("id").alias("v"),
-        )
-        df.repartition(2, "partition").write.partitionBy("partition").parquet(
-            table, mode="append"
-        )
-        return commit_append(table, df.schema, now_ms=now_ms)
-
     def test_windows_survive_two_rewrites(self, spark, table):
         from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
             _load_current_metadata,
@@ -560,10 +561,10 @@ class TestMaintenanceComposition:
 
         _v, m0 = _load_current_metadata(table)
         s1 = m0["current-snapshot-id"]
-        m_a2 = self._append(spark, table, 1000, 1050, 2_000)
+        m_a2 = _append_batch(spark, table, 1000, 1050, 2_000)
         s2 = m_a2["current-snapshot-id"]
         rewrite_data_files(spark, table, now_ms=3_000)  # R1
-        m_b = self._append(spark, table, 2000, 2050, 4_000)
+        m_b = _append_batch(spark, table, 2000, 2050, 4_000)
         s4 = m_b["current-snapshot-id"]
         m_r2 = rewrite_data_files(spark, table, now_ms=5_000)  # R2
         s5 = m_r2["current-snapshot-id"]
@@ -627,7 +628,7 @@ class TestMaintenanceComposition:
 
         _v, m0 = _load_current_metadata(table)
         s1 = m0["current-snapshot-id"]
-        m_a2 = self._append(spark, table, 1000, 1050, 2_000)
+        m_a2 = _append_batch(spark, table, 1000, 1050, 2_000)
         s2 = m_a2["current-snapshot-id"]
         rewrite_data_files(spark, table, now_ms=3_000)
         rewrite_manifests(table, now_ms=4_000)
@@ -648,7 +649,7 @@ class TestMaintenanceComposition:
             rewrite_manifests,
         )
 
-        self._append(spark, table, 1000, 1050, 2_000)
+        _append_batch(spark, table, 1000, 1050, 2_000)
         rewrite_data_files(spark, table, now_ms=3_000)
         rewrite_manifests(table, now_ms=4_000)
         # discovery-mode append with nothing new: must be a no-op, not
@@ -657,7 +658,7 @@ class TestMaintenanceComposition:
         commit_append(table, schema, now_ms=5_000)
         assert _values(spark, table) == list(range(200)) + list(range(1000, 1050))
         # and a real new append still enters exactly once
-        self._append(spark, table, 3000, 3010, 6_000)
+        _append_batch(spark, table, 3000, 3010, 6_000)
         assert _values(spark, table) == (
             list(range(200)) + list(range(1000, 1050)) + list(range(3000, 3010))
         )
@@ -668,12 +669,12 @@ class TestMaintenanceComposition:
             rewrite_manifests,
         )
 
-        self._append(spark, table, 1000, 1050, 2_000)
+        _append_batch(spark, table, 1000, 1050, 2_000)
         rewrite_data_files(spark, table, now_ms=3_000)
-        self._append(spark, table, 2000, 2050, 4_000)
+        _append_batch(spark, table, 2000, 2050, 4_000)
         rewrite_data_files(spark, table, now_ms=5_000)
         rewrite_manifests(table, now_ms=6_000)
-        self._append(spark, table, 4000, 4050, 7_000)
+        _append_batch(spark, table, 4000, 4050, 7_000)
         rewrite_data_files(spark, table, now_ms=8_000)
         assert _values(spark, table) == (
             list(range(200))
@@ -765,7 +766,7 @@ class TestRemoveOrphanFiles:
         assert all(os.path.exists(d["file_path"]) for d in data)
 
 
-class TestSortedCompaction(TestMaintenanceComposition):
+class TestSortedCompaction:
     def test_sorted_compaction_tightens_bounds(self, spark, table):
         from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
             _load_current_metadata,
@@ -776,7 +777,7 @@ class TestSortedCompaction(TestMaintenanceComposition):
 
         # fragment: interleaved value ranges across two batches so the
         # unsorted layout has wide per-file bounds
-        self._append(spark, table, 1000, 1200, 2_000)
+        _append_batch(spark, table, 1000, 1200, 2_000)
         meta = rewrite_data_files(
             spark, table, sort_by="v", max_records_per_file=50, now_ms=3_000
         )

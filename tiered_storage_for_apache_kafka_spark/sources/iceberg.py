@@ -3370,20 +3370,18 @@ def _rewrite_data_files_once(
     if not data:
         return meta
     partition_col = meta["partition-specs"][0]["fields"][0]["name"]
-    per_part: dict = {}
-    for d in data:
-        per_part[d["partition"].get(partition_col)] = (
-            per_part.get(d["partition"].get(partition_col), 0) + 1
-        )
-    if not deletes and max(per_part.values()) <= 1:
-        return meta  # already compact, nothing to apply
+    schema_struct = _current_schema_struct(meta)
+    leaf_ids = _leaf_field_ids(schema_struct)
 
-    # sorted compaction (Iceberg's sort strategy): range-partition on
-    # (partition, sort columns) then sort within tasks, so each output
-    # file covers a NARROW value range — the recorded lower/upper
-    # bounds get tight and plan_scan's bounds pruning skips whole
-    # files instead of row groups. The order is recorded as a spec
-    # sort-order and stamped on the entries via sort_order_id.
+    # sorted compaction (Iceberg's sort strategy): sort rows within
+    # the partition-colocated write tasks and slice by
+    # max_records_per_file, so each output file covers a NARROW value
+    # range — the recorded lower/upper bounds get tight and
+    # plan_scan's bounds pruning skips whole files instead of row
+    # groups. The order is recorded as a spec sort-order and stamped
+    # on the entries via sort_order_id. Resolved BEFORE the
+    # already-compact early-return: a sort request must re-layout (or
+    # error on a bad column) even when file counts look fine.
     sort_cols = (
         [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
     )
@@ -3391,9 +3389,8 @@ def _rewrite_data_files_once(
     new_sort_order: dict | None = None
     if sort_cols:
         order_fields = []
-        leaf_pre = _leaf_field_ids(_current_schema_struct(meta))
         for c in sort_cols:
-            fid = leaf_pre.get(c)
+            fid = leaf_ids.get(c)
             if fid is None:
                 raise KeyError(
                     f"no scalar leaf column {c!r} in the table schema"
@@ -3420,6 +3417,21 @@ def _rewrite_data_files_once(
             )
             new_sort_order = {"order-id": sort_order_id, "fields": order_fields}
             meta = {**meta, "sort-orders": existing_orders + [new_sort_order]}
+
+    per_part: dict = {}
+    for d in data:
+        per_part[d["partition"].get(partition_col)] = (
+            per_part.get(d["partition"].get(partition_col), 0) + 1
+        )
+    already_sorted = bool(sort_cols) and all(
+        int(d.get("sort_order_id") or 0) == sort_order_id for d in data
+    )
+    if (
+        not deletes
+        and max(per_part.values()) <= 1
+        and (not sort_cols or already_sorted)
+    ):
+        return meta  # already compact (and in the requested order)
 
     live = _read_plan_with_identity(spark, table_dir, meta, data, deletes).drop(
         "__iceberg_file", "__iceberg_pos"
@@ -3458,9 +3470,7 @@ def _rewrite_data_files_once(
     meta_dir = os.path.join(table_dir, "metadata")
     seq = meta["last-sequence-number"] + 1
     snapshot_id = seq
-    schema_struct = _current_schema_struct(meta)
     spec = meta["partition-specs"][0]
-    leaf_ids = _leaf_field_ids(schema_struct)
     ocf_meta = {
         "schema": json.dumps(schema_struct).encode(),
         "schema-id": str(meta["current-schema-id"]).encode(),

@@ -182,8 +182,20 @@ def apply_updates(meta: dict, updates: list[dict], now_ms: int) -> dict:
         elif action == "add-sort-order":
             order = upd["sort-order"]
             orders = list(meta.get("sort-orders", []))
-            if all(o["order-id"] != order["order-id"] for o in orders):
+            clash = next(
+                (o for o in orders if o["order-id"] == order["order-id"]), None
+            )
+            if clash is None:
                 meta["sort-orders"] = orders + [order]
+            elif clash.get("fields") != order.get("fields"):
+                # replaying the SAME order is idempotent; a different
+                # definition under an existing id would let committed
+                # sort_order_id stamps point at a sort that does not
+                # exist — a commit error, never a silent drop
+                raise ValueError(
+                    f"sort order id {order['order-id']} already exists "
+                    "with different fields"
+                )
         elif action == "assign-uuid":
             meta["table-uuid"] = upd["uuid"]
         else:

@@ -513,10 +513,19 @@ def stream_envelope_to_iceberg(
                 rewrite_manifests(
                     table_dir, catalog=catalog, table_name=table_name
                 )
-            except Exception:
+            except Exception as exc:
                 # maintenance must never fail ingest; the next
-                # compaction window retries on fresher state
-                pass
+                # compaction window retries on fresher state — but a
+                # persistent failure must be operator-visible, not a
+                # silent drift to O(commits) scan planning
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "auto-compaction after batch %d failed (ingest "
+                    "unaffected, next window retries): %s",
+                    batch_id,
+                    exc,
+                )
 
     return (
         envelope_stream.writeStream.foreachBatch(commit_batch)
