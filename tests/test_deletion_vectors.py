@@ -125,7 +125,7 @@ def table(spark, tmp_path):
     return tdir
 
 
-def _append_batch(spark, tdir, lo, hi, now_ms):
+def _append_batch(spark, tdir, lo, hi, now_ms, branch=None):
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
         commit_append,
     )
@@ -137,7 +137,7 @@ def _append_batch(spark, tdir, lo, hi, now_ms):
     df.repartition(2, "partition").write.partitionBy("partition").parquet(
         tdir, mode="append"
     )
-    return commit_append(tdir, df.schema, now_ms=now_ms)
+    return commit_append(tdir, df.schema, now_ms=now_ms, branch=branch)
 
 
 def _values(spark, tdir, **kw):
@@ -827,3 +827,99 @@ class TestSortedCompaction:
             out, [{"action": "add-sort-order", "sort-order": order}], 2_000
         )
         assert [o["order-id"] for o in out2["sort-orders"]] == [0, 1]
+
+
+class TestWriteAuditPublish:
+    """Branch commits + fast_forward: Iceberg's write-audit-publish."""
+
+    def _branch_values(self, spark, tdir, name):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_iceberg_table_ref,
+        )
+
+        return sorted(
+            r["v"]
+            for r in read_iceberg_table_ref(spark, tdir, name).collect()
+        )
+
+    def test_staged_commits_invisible_until_publish(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            fast_forward,
+        )
+
+        _v, m0 = _load_current_metadata(table)
+        log_before = len(m0["snapshot-log"])
+        _append_batch(spark, table, 1000, 1050, 2_000, branch="audit")
+        m1_v, m1 = _load_current_metadata(table)
+        # main untouched: pointer, log, and reads
+        assert m1["current-snapshot-id"] == m0["current-snapshot-id"]
+        assert len(m1["snapshot-log"]) == log_before
+        assert _values(spark, table) == list(range(200))
+        # the branch sees the staged rows
+        assert self._branch_values(spark, table, "audit") == (
+            list(range(200)) + list(range(1000, 1050))
+        )
+        # second staged commit chains off the branch head
+        _append_batch(spark, table, 2000, 2050, 3_000, branch="audit")
+        assert self._branch_values(spark, table, "audit") == (
+            list(range(200)) + list(range(1000, 1050)) + list(range(2000, 2050))
+        )
+        meta = fast_forward(table, "audit", now_ms=4_000)
+        assert meta["current-snapshot-id"] == meta["refs"]["audit"]["snapshot-id"]
+        assert len(meta["snapshot-log"]) == log_before + 1
+        assert _values(spark, table) == (
+            list(range(200)) + list(range(1000, 1050)) + list(range(2000, 2050))
+        )
+        # publish is idempotent
+        again = fast_forward(table, "audit", now_ms=5_000)
+        assert again["current-snapshot-id"] == meta["current-snapshot-id"]
+
+    def test_branch_totals_chain_off_branch_parent(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+        )
+
+        _append_batch(spark, table, 1000, 1050, 2_000, branch="audit")
+        _v, meta = _load_current_metadata(table)
+        head = meta["refs"]["audit"]["snapshot-id"]
+        snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == head)
+        assert snap["summary"]["total-records"] == "250"
+        assert snap["parent-snapshot-id"] == meta["current-snapshot-id"]
+
+    def test_divergent_target_refused(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            fast_forward,
+        )
+
+        _append_batch(spark, table, 1000, 1050, 2_000, branch="audit")
+        # main moves independently -> target no longer an ancestor
+        _append_batch(spark, table, 5000, 5010, 3_000)
+        with pytest.raises(ValueError, match="not an ancestor"):
+            fast_forward(table, "audit", now_ms=4_000)
+
+    def test_branch_discovery_dedups_against_all_heads(self, spark, table):
+        # a file committed on main must not be re-swept into the branch
+        _append_batch(spark, table, 5000, 5010, 2_000)  # main commit
+        _append_batch(spark, table, 1000, 1050, 3_000, branch="audit")
+        assert self._branch_values(spark, table, "audit") == (
+            list(range(200)) + list(range(1000, 1050)) + list(range(5000, 5010))
+        )
+        # and vice versa: the staged file is not swept into main
+        _append_batch(spark, table, 6000, 6010, 4_000)
+        assert _values(spark, table) == (
+            list(range(200)) + list(range(5000, 5010)) + list(range(6000, 6010))
+        )
+
+    def test_tag_guards(self, spark, table):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            create_ref,
+            fast_forward,
+        )
+
+        create_ref(table, "release", kind="tag", now_ms=2_000)
+        with pytest.raises(ValueError, match="tag"):
+            _append_batch(spark, table, 1000, 1010, 3_000, branch="release")
+        _append_batch(spark, table, 1000, 1050, 4_000, branch="audit")
+        with pytest.raises(ValueError, match="tag"):
+            fast_forward(table, "audit", target="release", now_ms=5_000)

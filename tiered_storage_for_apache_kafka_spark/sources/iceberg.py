@@ -840,6 +840,7 @@ def commit_append(
     summary_extra: dict | None = None,
     catalog=None,
     table_name: str | None = None,
+    branch: str | None = None,
     max_commit_retries: int = 3,
 ) -> dict:
     """Append-commit every not-yet-committed parquet data file under
@@ -848,6 +849,14 @@ def commit_append(
     create-if-absent, then an appendFiles transaction). Returns the new
     TableMetadata dict. Idempotent: a commit with zero new files writes
     nothing and returns the current metadata.
+
+    ``branch="audit"`` commits to that branch instead of ``main`` —
+    the write-audit-publish (WAP) pattern: staged snapshots chain off
+    the branch head (auto-created at the current main head on first
+    use), ``main`` and the snapshot-log are untouched, readers of the
+    table see nothing until :func:`fast_forward` publishes the branch.
+    Branch discovery commits dedup against EVERY ref head, so a file
+    committed on one branch is never re-swept into another.
 
     Each snapshot also gets a Puffin statistics file
     (`SegmentManifestWriter.java:35-112` parity): a FILE_LIST blob (JSON
@@ -883,6 +892,7 @@ def commit_append(
             return _commit_append_once(
                 table_dir, spark_schema, partition_col, now_ms, stats_blobs,
                 files, summary_extra, catalog, table_name, meta_dir, prior,
+                branch,
             )
         except CommitConflictError as e:
             last_err = e  # reload + rebase on the next iteration
@@ -902,7 +912,15 @@ def _commit_append_once(
     table_name,
     meta_dir: str,
     prior,
+    branch: str | None = None,
 ) -> dict:
+    if branch == "main":
+        branch = None  # explicit main is just the default path
+    if branch is not None and prior is None:
+        raise ValueError(
+            "cannot commit to a branch before the table exists — make "
+            "the first (table-creating) commit on main"
+        )
     if prior is None:
         version = 1
         schema_struct, last_col = spark_schema_to_iceberg(spark_schema)
@@ -960,6 +978,39 @@ def _commit_append_once(
         all_files = _stat_data_files(sorted(set(files)), partition_col)
     else:
         all_files = _discover_data_files(table_dir, partition_col)
+    parent_id = (
+        base.get("current-snapshot-id", -1) if prior is not None else -1
+    )
+    base_refs = base.get("refs") or {} if prior is not None else {}
+    if branch is not None:
+        ref = base_refs.get(branch)
+        if ref is not None:
+            if ref.get("type") == "tag":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            parent_id = int(ref["snapshot-id"])
+        # else: first commit to this branch forks it off the main head
+        # (parent_id stays the current snapshot) — WAP auto-create
+    if branch is not None or any(n != "main" for n in base_refs):
+        # dedup against EVERY ref head, not just the commit target's
+        # lineage: a file staged on one branch (still sitting in the
+        # hive dirs) must never be swept into main or another branch,
+        # and vice versa
+        head_ids = {int(r["snapshot-id"]) for r in base_refs.values()}
+        head_ids.add(parent_id)
+        if base.get("current-snapshot-id", -1) != -1:
+            head_ids.add(int(base["current-snapshot-id"]))
+        known = set()
+        seen_manifest_paths: set[str] = set()
+        for s in base["snapshots"]:
+            if s["snapshot-id"] not in head_ids:
+                continue
+            _, mfs, _ = read_avro_ocf(s["manifest-list"])
+            for mf in mfs:
+                if mf["manifest_path"] in seen_manifest_paths:
+                    continue
+                seen_manifest_paths.add(mf["manifest_path"])
+                _, es, _ = read_avro_ocf(mf["manifest_path"])
+                known |= {e["data_file"]["file_path"] for e in es}
     new_files = [f for f in all_files if f["file_path"] not in known]
     # schema evolution on append (add-as-optional + required->optional
     # relaxation; reference `SchemaUpdate.java` intent, wired here):
@@ -1089,12 +1140,13 @@ def _commit_append_once(
             }
         ],
     }
-    # a snapshot's manifest list carries the prior snapshot's manifests
-    # too (existing files stay live across an append)
+    # a snapshot's manifest list carries its PARENT's manifests too
+    # (existing files stay live across an append); for a branch commit
+    # the parent is the branch head, not main
     prior_manifest_files = []
-    if prior is not None and base.get("current-snapshot-id", -1) != -1:
+    if prior is not None and parent_id != -1:
         cur = next(
-            s for s in base["snapshots"] if s["snapshot-id"] == base["current-snapshot-id"]
+            s for s in base["snapshots"] if s["snapshot-id"] == parent_id
         )
         _, prior_manifest_files, _ = read_avro_ocf(cur["manifest-list"])
     list_path = os.path.join(
@@ -1108,7 +1160,7 @@ def _commit_append_once(
             "format-version": str(FORMAT_VERSION).encode(),
             "snapshot-id": str(snapshot_id).encode(),
             "sequence-number": str(seq).encode(),
-            "parent-snapshot-id": str(base.get("current-snapshot-id", -1)).encode(),
+            "parent-snapshot-id": str(parent_id).encode(),
         },
     )
 
@@ -1122,16 +1174,25 @@ def _commit_append_once(
             "operation": "append",
             "added-data-files": str(len(new_files)),
             "added-records": str(added_rows),
-            "total-records": str(added_rows + _prev_total_records(base)),
-            "total-position-deletes": str(_prev_total_pos_deletes(base)),
+            "total-records": str(
+                added_rows
+                + _prev_summary_counter(base, "total-records", parent_id)
+            ),
+            "total-position-deletes": str(
+                _prev_summary_counter(
+                    base, "total-position-deletes", parent_id
+                )
+            ),
             "total-equality-deletes": str(
-                _prev_summary_counter(base, "total-equality-deletes")
+                _prev_summary_counter(
+                    base, "total-equality-deletes", parent_id
+                )
             ),
             **{k: str(v) for k, v in (summary_extra or {}).items()},
         },
     }
-    if base.get("current-snapshot-id", -1) != -1:
-        snapshot["parent-snapshot-id"] = base["current-snapshot-id"]
+    if parent_id != -1:
+        snapshot["parent-snapshot-id"] = parent_id
 
     from tiered_storage_for_apache_kafka_spark.sources.puffin import (
         FILE_LIST,
@@ -1160,7 +1221,6 @@ def _commit_append_once(
     meta = dict(base)
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
-    meta["current-snapshot-id"] = snapshot_id
     meta["snapshots"] = base["snapshots"] + [snapshot]
     stat_entry = {
         "snapshot-id": snapshot_id,
@@ -1170,10 +1230,18 @@ def _commit_append_once(
         "blob-metadata": stats["blob_metadata"],
     }
     meta["statistics"] = base.get("statistics", []) + [stat_entry]
-    meta["refs"] = _advance_main(base.get("refs"), snapshot_id)
-    meta["snapshot-log"] = base["snapshot-log"] + [
-        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
-    ]
+    if branch is None:
+        meta["current-snapshot-id"] = snapshot_id
+        meta["refs"] = _advance_main(base.get("refs"), snapshot_id)
+        # the snapshot-log tracks current-snapshot-id changes only
+        # (spec) — staged branch commits stay out of TIMESTAMP AS OF
+        meta["snapshot-log"] = base["snapshot-log"] + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ]
+    else:
+        refs = dict(base.get("refs") or {})
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        meta["refs"] = refs
     if prior is not None:
         meta["metadata-log"] = base["metadata-log"] + [
             {
@@ -1198,7 +1266,7 @@ def _commit_append_once(
             {"action": "add-snapshot", "snapshot": snapshot},
             {
                 "action": "set-snapshot-ref",
-                "ref-name": "main",
+                "ref-name": branch if branch is not None else "main",
                 "type": "branch",
                 "snapshot-id": snapshot_id,
             },
@@ -1305,8 +1373,17 @@ def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
 # -- row-level deletes: v2 position-delete files (merge-on-read) --------------
 
 
-def _prev_summary_counter(meta: dict, key: str) -> int:
-    cur_id = meta.get("current-snapshot-id", -1)
+def _prev_summary_counter(
+    meta: dict, key: str, at_snapshot_id: int | None = None
+) -> int:
+    """Running counter from a snapshot's summary — the CURRENT one by
+    default, or an explicit lineage head (branch commits chain their
+    totals off the branch parent, not off main)."""
+    cur_id = (
+        meta.get("current-snapshot-id", -1)
+        if at_snapshot_id is None
+        else at_snapshot_id
+    )
     if cur_id == -1:
         return 0
     cur = next((s for s in meta["snapshots"] if s["snapshot-id"] == cur_id), None)
@@ -3758,3 +3835,96 @@ def remove_orphan_files(
             except OSError:
                 pass
     return sorted(removed)
+
+
+def fast_forward(
+    table_dir: str,
+    source: str,
+    target: str = "main",
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> dict:
+    """Publish a branch — the WAP (write-audit-publish) publish step:
+    move ``target`` (default ``main``) to ``source``'s head. Requires
+    the target head to be an ANCESTOR of the source head (walked via
+    parent-snapshot-id), exactly Iceberg's ``fast_forward`` procedure —
+    a divergent target needs an explicit choice (drop the branch or
+    re-stage), never a silent overwrite. Advancing ``main`` also moves
+    ``current-snapshot-id`` and appends the published head to the
+    snapshot-log, so TIMESTAMP AS OF sees the publish instant, not the
+    staging instants."""
+    import time as _time
+
+    version, meta, table_name = _maintenance_state(table_dir, catalog, table_name)
+    refs = meta.get("refs") or {}
+    src = refs.get(source)
+    if src is None:
+        raise ValueError(f"ref {source!r} not found")
+    src_id = int(src["snapshot-id"])
+    tgt = refs.get(target)
+    tgt_id = int(tgt["snapshot-id"]) if tgt is not None else -1
+    if tgt is not None and tgt.get("type") == "tag":
+        raise ValueError(f"target ref {target!r} is a tag, not a branch")
+    if tgt_id == src_id:
+        return meta  # already published
+    # ancestry walk: target head must be reachable from the source head
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    node = src_id
+    while tgt_id != -1:
+        snap = by_id.get(node)
+        if snap is None:
+            raise ValueError(
+                f"cannot fast-forward {target!r}: its head {tgt_id} is "
+                f"not an ancestor of {source!r} (lineage broken at "
+                f"{node}); drop or re-stage the branch instead"
+            )
+        parent = snap.get("parent-snapshot-id")
+        if parent == tgt_id:
+            break
+        if parent is None:
+            raise ValueError(
+                f"cannot fast-forward {target!r}: its head {tgt_id} is "
+                f"not an ancestor of {source!r}; drop or re-stage the "
+                "branch instead"
+            )
+        node = parent
+
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    now_ms = max(
+        now_ms, max((e["timestamp-ms"] for e in meta["snapshot-log"]), default=0)
+    )
+    if catalog is not None:
+        resp = catalog.commit_table(
+            table_name,
+            _maintenance_requirements(meta),
+            [
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": target,
+                    "type": "branch",
+                    "snapshot-id": src_id,
+                }
+            ],
+            now_ms,
+        )
+        return resp["metadata"]
+    meta_dir = os.path.join(table_dir, "metadata")
+    new_meta = dict(meta)
+    new_refs = dict(refs)
+    new_refs[target] = {"snapshot-id": src_id, "type": "branch"}
+    new_meta["refs"] = new_refs
+    new_meta["last-updated-ms"] = now_ms
+    if target == "main":
+        new_meta["current-snapshot-id"] = src_id
+        new_meta["snapshot-log"] = meta["snapshot-log"] + [
+            {"timestamp-ms": now_ms, "snapshot-id": src_id}
+        ]
+    new_meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+        }
+    ]
+    _write_metadata_version(meta_dir, version + 1, new_meta)
+    return new_meta

@@ -122,12 +122,6 @@ def apply_updates(meta: dict, updates: list[dict], now_ms: int) -> dict:
                 meta.get("last-sequence-number", 0),
                 snap.get("sequence-number", 0),
             )
-            meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
-                {
-                    "timestamp-ms": snap["timestamp-ms"],
-                    "snapshot-id": snap["snapshot-id"],
-                }
-            ]
         elif action == "set-snapshot-ref":
             ref_name = upd.get("ref-name", "main")
             refs = dict(meta.get("refs") or {})
@@ -138,6 +132,18 @@ def apply_updates(meta: dict, updates: list[dict], now_ms: int) -> dict:
             meta["refs"] = refs
             if ref_name == "main":
                 meta["current-snapshot-id"] = upd["snapshot-id"]
+                # the snapshot-log tracks current-snapshot-id changes
+                # (spec), so it rides THIS update, not add-snapshot —
+                # staged branch commits stay out of TIMESTAMP AS OF
+                # until a fast-forward publishes them
+                log = list(meta.get("snapshot-log", []))
+                if not log or log[-1]["snapshot-id"] != upd["snapshot-id"]:
+                    meta["snapshot-log"] = log + [
+                        {
+                            "timestamp-ms": now_ms,
+                            "snapshot-id": upd["snapshot-id"],
+                        }
+                    ]
         elif action == "set-statistics":
             stats = [
                 s
