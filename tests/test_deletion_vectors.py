@@ -704,11 +704,11 @@ class TestRemoveOrphanFiles:
         marker = os.path.join(table, "partition=0", "_SUCCESS")
         open(marker, "w").close()
 
-        dry = remove_orphan_files(table, older_than_ms=2**62, dry_run=True)
+        dry = remove_orphan_files(table, older_than_timestamp_ms=2**62, dry_run=True)
         assert sorted(dry) == sorted([orphan1, orphan2])
         assert os.path.exists(orphan1)  # dry run touched nothing
 
-        removed = remove_orphan_files(table, older_than_ms=2**62)
+        removed = remove_orphan_files(table, older_than_timestamp_ms=2**62)
         assert sorted(removed) == sorted([orphan1, orphan2])
         assert not os.path.exists(orphan1)
         assert not os.path.exists(os.path.join(table, "_staging-crash"))
@@ -748,9 +748,9 @@ class TestRemoveOrphanFiles:
         rewrite_data_files(spark, table, now_ms=3_000)
         # while pre-rewrite snapshots survive, the originals are live-
         # referenced there and must be kept
-        assert remove_orphan_files(table, older_than_ms=2**62) == []
+        assert remove_orphan_files(table, older_than_timestamp_ms=2**62) == []
         expire_snapshots(table, keep_last=1, now_ms=4_000)
-        removed = remove_orphan_files(table, older_than_ms=2**62)
+        removed = remove_orphan_files(table, older_than_timestamp_ms=2**62)
         # the two original hive parquet files + the DV puffin
         assert len(removed) == 3
         assert any(p.endswith(".puffin") for p in removed)
@@ -765,6 +765,65 @@ class TestRemoveOrphanFiles:
         assert deletes == []
         assert all(os.path.exists(d["file_path"]) for d in data)
 
+
+    def test_tag_pinned_window_keeps_tombstoned_bytes(self, spark, table):
+        # a tag pinning an old `from` snapshot keeps a pre-rewrite
+        # window openable — the vacuum must keep the tombstoned bytes
+        # that window serves (review repro: they were collected and the
+        # window crashed on FileNotFound)
+        import os
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+            create_ref,
+            drop_ref,
+            expire_snapshots,
+            read_iceberg_incremental,
+            remove_orphan_files,
+            rewrite_data_files,
+        )
+
+        _v, m0 = _load_current_metadata(table)
+        s1 = m0["current-snapshot-id"]
+        create_ref(table, "pin", kind="tag", snapshot_id=s1, now_ms=1_500)
+        _append_batch(spark, table, 1000, 1050, 2_000)
+        rewrite_data_files(spark, table, now_ms=3_000)
+        expire_snapshots(table, keep_last=1, now_ms=4_000)
+        # the appended batch is tombstone-only now, but the (s1, head]
+        # window still serves it — vacuum must keep its bytes
+        assert remove_orphan_files(table, older_than_timestamp_ms=2**62) == []
+        got = sorted(
+            r["v"] for r in read_iceberg_incremental(spark, table, s1).collect()
+        )
+        assert got == list(range(1000, 1050))
+        # drop the pin: the window becomes unopenable, the bytes dead
+        drop_ref(table, "pin", now_ms=5_000)
+        expire_snapshots(table, keep_last=1, now_ms=6_000)
+        removed = remove_orphan_files(table, older_than_timestamp_ms=2**62)
+        assert removed != []
+        assert _values(spark, table) == list(range(200)) + list(range(1000, 1050))
+
+    def test_crc_sidecars_removed_and_inflight_dirs_kept(self, spark, table):
+        import os
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            remove_orphan_files,
+        )
+
+        stage = os.path.join(table, "_staging-dead")
+        os.makedirs(stage, exist_ok=True)
+        orphan = os.path.join(stage, "part-0.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"x")
+        open(os.path.join(stage, ".part-0.parquet.crc"), "w").close()
+        # a concurrent writer's FRESH, still-empty staging dir
+        inflight = os.path.join(table, "_staging-inflight")
+        os.makedirs(inflight, exist_ok=True)
+
+        removed = remove_orphan_files(table, older_than_timestamp_ms=2**62)
+        assert removed == [orphan]
+        assert not os.path.exists(stage)  # crc went with its data file
+        assert os.path.isdir(inflight)  # never pruned from under a writer
 
 class TestSortedCompaction:
     def test_sorted_compaction_tightens_bounds(self, spark, table):
@@ -923,3 +982,4 @@ class TestWriteAuditPublish:
         _append_batch(spark, table, 1000, 1050, 4_000, branch="audit")
         with pytest.raises(ValueError, match="tag"):
             fast_forward(table, "audit", target="release", now_ms=5_000)
+

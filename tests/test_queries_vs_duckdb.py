@@ -123,7 +123,7 @@ def spark_results(spark):
         if name in ORACLES:
             res[name] = go(name)[1]
     rest = [n for n in sorted(ORACLES) if n not in res]
-    with ThreadPoolExecutor(max_workers=6) as ex:
+    with ThreadPoolExecutor(max_workers=8) as ex:
         for name, r in ex.map(go, rest):
             res[name] = r
     return res

@@ -3747,7 +3747,7 @@ def _rewrite_data_files_once(
 
 def remove_orphan_files(
     table_dir: str,
-    older_than_ms: int | None = None,
+    older_than_timestamp_ms: int | None = None,
     now_ms: int | None = None,
     catalog=None,
     table_name: str | None = None,
@@ -3756,23 +3756,33 @@ def remove_orphan_files(
     """Iceberg ``removeOrphanFiles`` maintenance — the fourth leg of
     the maintenance set (expire / rewrite_manifests /
     rewrite_data_files / this): delete files under the table location
-    that no surviving snapshot references LIVE. Orphans accumulate
-    from crashed writer attempts (staged ``_staging-*`` dirs, Spark
-    ``_temporary`` leftovers) and from snapshot expiration (a
-    ``rewrite_data_files``-replaced original whose last live
-    referencing snapshot has been expired — its head-list tombstone
-    alone keeps no bytes alive: reads never touch it, discovery dedup
-    needs only the tombstone entry, and any incremental window that
-    could still serve it has a surviving ``to`` snapshot referencing
-    it live, which keeps it out of the orphan set).
+    that no surviving snapshot references LIVE and no still-openable
+    incremental window can serve. Orphans accumulate from crashed
+    writer attempts (staged ``_staging-*`` dirs, Spark ``_temporary``
+    leftovers) and from snapshot expiration (a ``rewrite_data_files``-
+    replaced original whose last live-referencing snapshot has been
+    expired). Tombstoned files are kept while their sequence number is
+    still above the oldest-live-snapshot horizon — exactly the
+    reachability rule `_plan_seq_window` uses to serve pre-rewrite
+    windows from tombstones, so a tag pinning an old ``from`` snapshot
+    keeps the window's bytes alive here too.
 
     Metadata-only read; commits nothing (like the Java action). Files
-    newer than ``older_than_ms`` (default: 3 days before now) are
-    kept — an in-flight writer stages files BEFORE its commit makes
-    them referenced, so a recency guard is the only thing separating
-    "orphan" from "about to be committed". The ``metadata/`` tree is
-    governed by :func:`expire_snapshots` and never touched. Returns
-    the removed (or, under ``dry_run``, would-be-removed) paths.
+    whose mtime is at or after ``older_than_timestamp_ms`` (an ABSOLUTE
+    epoch-ms cutoff, default: 3 days before now — pass
+    ``now_ms - age`` for a duration) are kept: an in-flight writer
+    stages files BEFORE its commit makes them referenced, so the
+    recency guard is the only thing separating "orphan" from "about to
+    be committed". Caveat inherited from the Java action's mtime
+    semantics: files staged for a FUTURE discovery-mode
+    ``commit_append`` with preserved old timestamps (``cp -p`` /
+    ``rsync -a`` backfills) look like orphans — commit first, or vacuum
+    with a cutoff older than the backfill. The ``metadata/`` tree is
+    governed by :func:`expire_snapshots` and never touched; emptied
+    directories are pruned only along the removed files' ancestor
+    chains, so an in-flight writer's freshly-created empty staging dir
+    is never rmdir'd from under it. Returns the removed (or, under
+    ``dry_run``, would-be-removed) paths.
 
     Scale shape: one metadata walk (manifest lists + manifests, each
     read once via a path cache) and one filesystem listing — the same
@@ -3784,7 +3794,13 @@ def remove_orphan_files(
     )
     now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
     cutoff_ms = (
-        now_ms - 3 * 24 * 3600 * 1000 if older_than_ms is None else older_than_ms
+        now_ms - 3 * 24 * 3600 * 1000
+        if older_than_timestamp_ms is None
+        else older_than_timestamp_ms
+    )
+    horizon = min(
+        (int(s["sequence-number"]) for s in meta.get("snapshots", [])),
+        default=0,
     )
     referenced: set[str] = set()
     seen_manifests: set[str] = set()
@@ -3798,14 +3814,17 @@ def remove_orphan_files(
             _, es, _ = read_avro_ocf(mp)
             for e in es:
                 if e["status"] == 2:
-                    continue  # tombstones keep no bytes alive
+                    seq = e.get("sequence_number")
+                    if seq is None:
+                        seq = mf.get("sequence_number", 0)
+                    if int(seq) <= horizon:
+                        # no openable window reaches it: bytes dead
+                        continue
                 referenced.add(os.path.realpath(e["data_file"]["file_path"]))
     removed: list[str] = []
-    for root, _dirs, names in os.walk(table_dir):
-        rel = os.path.relpath(root, table_dir)
-        parts = [] if rel == os.curdir else rel.split(os.sep)
-        if parts and parts[0] == "metadata":
-            continue
+    for root, dirs, names in os.walk(table_dir):
+        if root == table_dir and "metadata" in dirs:
+            dirs.remove("metadata")  # expire_snapshots' jurisdiction
         for name in names:
             if name.startswith(".") or name == "_SUCCESS":
                 continue  # fs markers ride along with their dir
@@ -3820,18 +3839,32 @@ def remove_orphan_files(
                 continue  # possibly staged ahead of an in-flight commit
             removed.append(p)
     if not dry_run:
+        prune_dirs: set[str] = set()
         for p in removed:
             try:
                 os.remove(p)
             except FileNotFoundError:
                 pass
-        # prune now-empty directories (but never the table root);
-        # bottom-up with a live listing so a parent emptied by its
-        # children's removal goes too
-        for root, _d, _n in os.walk(table_dir, topdown=False):
+            # a checksum sidecar (.f.crc) of a removed file is pure
+            # leak once its data file is gone
+            crc = os.path.join(
+                os.path.dirname(p), f".{os.path.basename(p)}.crc"
+            )
             try:
-                if root != table_dir and not os.listdir(root):
-                    os.rmdir(root)
+                os.remove(crc)
+            except OSError:
+                pass
+            d = os.path.dirname(p)
+            while d != table_dir and d.startswith(table_dir):
+                prune_dirs.add(d)
+                d = os.path.dirname(d)
+        # prune emptied dirs bottom-up, but ONLY along removed files'
+        # ancestor chains — never a concurrent writer's fresh (still
+        # empty) staging dir, and never anything under metadata/
+        for d in sorted(prune_dirs, key=len, reverse=True):
+            try:
+                if not os.listdir(d):
+                    os.rmdir(d)
             except OSError:
                 pass
     return sorted(removed)
