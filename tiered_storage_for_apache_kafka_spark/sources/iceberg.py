@@ -990,27 +990,38 @@ def _commit_append_once(
             parent_id = int(ref["snapshot-id"])
         # else: first commit to this branch forks it off the main head
         # (parent_id stays the current snapshot) — WAP auto-create
-    if branch is not None or any(n != "main" for n in base_refs):
-        # dedup against EVERY ref head, not just the commit target's
-        # lineage: a file staged on one branch (still sitting in the
-        # hive dirs) must never be swept into main or another branch,
-        # and vice versa
-        head_ids = {int(r["snapshot-id"]) for r in base_refs.values()}
-        head_ids.add(parent_id)
-        if base.get("current-snapshot-id", -1) != -1:
-            head_ids.add(int(base["current-snapshot-id"]))
-        known = set()
-        seen_manifest_paths: set[str] = set()
-        for s in base["snapshots"]:
-            if s["snapshot-id"] not in head_ids:
-                continue
-            _, mfs, _ = read_avro_ocf(s["manifest-list"])
-            for mf in mfs:
-                if mf["manifest_path"] in seen_manifest_paths:
-                    continue
-                seen_manifest_paths.add(mf["manifest_path"])
-                _, es, _ = read_avro_ocf(mf["manifest_path"])
-                known |= {e["data_file"]["file_path"] for e in es}
+    if prior is not None:
+        # staged lineages — branch snapshots, including ones orphaned
+        # by a dropped branch — hold files that sit in the hive dirs
+        # without appearing on main's lineage; discovery must dedup
+        # against them or the next commit re-sweeps audit-rejected
+        # rows into main. Tag heads lie ON main's lineage and are
+        # already covered by prior["manifests"], so a mere release tag
+        # costs nothing; only genuinely stray snapshots are read, and
+        # the head's already-parsed manifests seed the cache.
+        by_id = {s["snapshot-id"]: s for s in base["snapshots"]}
+        main_lineage: set = set()
+        node = base.get("current-snapshot-id", -1)
+        while node in by_id:
+            main_lineage.add(node)
+            node = by_id[node].get("parent-snapshot-id")
+        stray = [
+            s
+            for s in base["snapshots"]
+            if s["snapshot-id"] not in main_lineage
+        ]
+        if stray:
+            seen_manifest_paths = {
+                m["file"]["manifest_path"] for m in prior["manifests"]
+            }
+            for s in stray:
+                _, mfs, _ = read_avro_ocf(s["manifest-list"])
+                for mf in mfs:
+                    if mf["manifest_path"] in seen_manifest_paths:
+                        continue
+                    seen_manifest_paths.add(mf["manifest_path"])
+                    _, es, _ = read_avro_ocf(mf["manifest_path"])
+                    known |= {e["data_file"]["file_path"] for e in es}
     new_files = [f for f in all_files if f["file_path"] not in known]
     # schema evolution on append (add-as-optional + required->optional
     # relaxation; reference `SchemaUpdate.java` intent, wired here):
@@ -1024,6 +1035,16 @@ def _commit_append_once(
         evolved, new_last, schema_changed = evolve_iceberg_schema(
             cur_schema, spark_schema, base["last-column-id"]
         )
+        if schema_changed and branch is not None:
+            # current-schema-id is table-level: evolving it from a
+            # staged commit would publish the schema change to main
+            # readers immediately, breaking WAP's nothing-visible
+            # promise — evolve on main first, then stage
+            raise ValueError(
+                "schema evolution inside a branch commit would be "
+                "visible to main readers before publish; commit the "
+                "schema change on main first"
+            )
         if schema_changed:
             new_sid = max(s["schema-id"] for s in base["schemas"]) + 1
             evolved = {**evolved, "schema-id": new_sid}
@@ -1257,7 +1278,7 @@ def _commit_append_once(
         # storage; only the metadata pointer moves, and only if our
         # parent snapshot is still the head (optimistic concurrency)
         requirements = _commit_requirements(
-            None if prior is None else prior["metadata"], base
+            None if prior is None else prior["metadata"], base, branch=branch
         )
         updates = []
         if schema_changed:
@@ -1282,10 +1303,17 @@ def _commit_append_once(
     return meta
 
 
-def _commit_requirements(prior_meta: dict | None, created_base: dict | None = None) -> list[dict]:
+def _commit_requirements(
+    prior_meta: dict | None,
+    created_base: dict | None = None,
+    branch: str | None = None,
+) -> list[dict]:
     """CommitTableRequest requirements: pin the table uuid and require
     main to still point at the parent snapshot we built against (None =
-    ref must not exist yet) — the optimistic-concurrency contract."""
+    ref must not exist yet) — the optimistic-concurrency contract. A
+    branch commit asserts the BRANCH ref it is advancing too (real
+    Iceberg asserts the ref being moved): two concurrent writers to
+    the same branch must conflict, not silently orphan one snapshot."""
     if prior_meta is None:
         # table was just created in this commit; main must be unset
         return [
@@ -1293,10 +1321,22 @@ def _commit_requirements(prior_meta: dict | None, created_base: dict | None = No
             {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": None},
         ]
     head = (prior_meta.get("refs") or {}).get("main", {}).get("snapshot-id")
-    return [
+    out = [
         {"type": "assert-table-uuid", "uuid": prior_meta["table-uuid"]},
         {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": head},
     ]
+    if branch is not None and branch != "main":
+        bhead = (
+            (prior_meta.get("refs") or {}).get(branch, {}).get("snapshot-id")
+        )
+        out.append(
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": branch,
+                "snapshot-id": bhead,
+            }
+        )
+    return out
 
 
 def _schema_updates(base: dict) -> list[dict]:
@@ -2751,11 +2791,24 @@ def _commit_refs_local(
 ) -> dict:
     """Shared metadata-only commit for the file-layout ref operations:
     new refs map (+ optionally a moved head), metadata-log chain entry,
-    next version + hint."""
+    next version + hint. Moving the head also appends to the
+    snapshot-log (the spec's log of current-snapshot-id changes) — a
+    rollback or publish is a TIMESTAMP AS OF event, and the catalog
+    protocol records it the same way (set-snapshot-ref main)."""
     new_meta = dict(meta)
     new_meta["refs"] = refs
     if current_snapshot_id is not None:
         new_meta["current-snapshot-id"] = current_snapshot_id
+        log = list(meta.get("snapshot-log", []))
+        if not log or log[-1]["snapshot-id"] != current_snapshot_id:
+            ts = max(
+                now_ms,
+                max((e["timestamp-ms"] for e in log), default=0),
+            )
+            log.append(
+                {"timestamp-ms": ts, "snapshot-id": current_snapshot_id}
+            )
+        new_meta["snapshot-log"] = log
     new_meta["last-updated-ms"] = now_ms
     meta_dir = os.path.join(table_dir, "metadata")
     new_meta["metadata-log"] = meta.get("metadata-log", []) + [
@@ -2901,6 +2954,29 @@ def _expire_snapshots_once(
         r["snapshot-id"] for r in (meta.get("refs") or {}).values()
     }
     keep_ids = {s["snapshot-id"] for s in snaps[-keep_last:]} | ref_ids
+    # an unpublished BRANCH lineage survives too: fast_forward's
+    # ancestry check needs the parent chain from the branch head back
+    # to the fork point. Bounded by the branch-only chain — the walk
+    # stops at anything already kept or on main's lineage, so old
+    # published history is never dragged back in.
+    by_id_all = {s["snapshot-id"]: s for s in snaps}
+    main_lineage: set = set()
+    node = meta.get("current-snapshot-id", -1)
+    while node in by_id_all:
+        main_lineage.add(node)
+        node = by_id_all[node].get("parent-snapshot-id")
+    for name, r in (meta.get("refs") or {}).items():
+        if name == "main" or r.get("type") != "branch":
+            continue
+        head = by_id_all.get(r["snapshot-id"])
+        node = head.get("parent-snapshot-id") if head else None
+        while (
+            node in by_id_all
+            and node not in keep_ids
+            and node not in main_lineage
+        ):
+            keep_ids.add(node)
+            node = by_id_all[node].get("parent-snapshot-id")
     keep = [s for s in snaps if s["snapshot-id"] in keep_ids]
     expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
     if not expired:
@@ -3942,22 +4018,9 @@ def fast_forward(
             now_ms,
         )
         return resp["metadata"]
-    meta_dir = os.path.join(table_dir, "metadata")
-    new_meta = dict(meta)
     new_refs = dict(refs)
     new_refs[target] = {"snapshot-id": src_id, "type": "branch"}
-    new_meta["refs"] = new_refs
-    new_meta["last-updated-ms"] = now_ms
-    if target == "main":
-        new_meta["current-snapshot-id"] = src_id
-        new_meta["snapshot-log"] = meta["snapshot-log"] + [
-            {"timestamp-ms": now_ms, "snapshot-id": src_id}
-        ]
-    new_meta["metadata-log"] = meta.get("metadata-log", []) + [
-        {
-            "timestamp-ms": meta["last-updated-ms"],
-            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
-        }
-    ]
-    _write_metadata_version(meta_dir, version + 1, new_meta)
-    return new_meta
+    return _commit_refs_local(
+        table_dir, version, meta, new_refs, now_ms,
+        current_snapshot_id=src_id if target == "main" else None,
+    )

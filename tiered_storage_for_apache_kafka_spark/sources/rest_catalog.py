@@ -117,6 +117,17 @@ def apply_updates(meta: dict, updates: list[dict], now_ms: int) -> dict:
             meta["current-schema-id"] = sid
         elif action == "add-snapshot":
             snap = upd["snapshot"]
+            if any(
+                s["snapshot-id"] == snap["snapshot-id"]
+                for s in meta.get("snapshots", [])
+            ):
+                # two lineages committed the same computed id (branch
+                # and main racing): a 409, so the loser rebases onto a
+                # fresh sequence number — never two snapshots under
+                # one id
+                raise CommitConflictError(
+                    f"snapshot id {snap['snapshot-id']} already exists"
+                )
             meta["snapshots"] = list(meta.get("snapshots", [])) + [snap]
             meta["last-sequence-number"] = max(
                 meta.get("last-sequence-number", 0),
