@@ -20,6 +20,42 @@ from tiered_storage_for_apache_kafka_spark.roaring import (
     deserialize_roaring64,
     serialize_roaring64,
 )
+from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+    DV_MAGIC,
+    frame_dv_payload,
+    unframe_dv_payload,
+)
+
+
+class TestDvFraming:
+    """Iceberg v3 deletion-vector blob framing: 4B BE length of
+    (magic+vector), magic D1 D3 39 64, vector, 4B BE CRC-32 of
+    (magic+vector)."""
+
+    def test_round_trip(self):
+        bitmap = serialize_roaring64(np.array([1, 5, 2**40], dtype=np.uint64))
+        blob = frame_dv_payload(bitmap)
+        assert blob[:4] == struct.pack(">I", len(bitmap) + 4)
+        assert blob[4:8] == DV_MAGIC
+        assert len(blob) == len(bitmap) + 12
+        assert unframe_dv_payload(blob) == bitmap
+
+    def test_legacy_bare_payload_passes_through(self):
+        bitmap = serialize_roaring64(np.array([3, 9], dtype=np.uint64))
+        assert unframe_dv_payload(bitmap) == bitmap
+
+    def test_crc_mismatch_rejected(self):
+        blob = bytearray(
+            frame_dv_payload(serialize_roaring64(np.array([7], dtype=np.uint64)))
+        )
+        blob[10] ^= 0xFF  # flip a vector byte; stored CRC now stale
+        with pytest.raises(ValueError, match="CRC"):
+            unframe_dv_payload(bytes(blob))
+
+    def test_length_mismatch_rejected(self):
+        blob = frame_dv_payload(serialize_roaring64(np.array([7], dtype=np.uint64)))
+        with pytest.raises(ValueError, match="length"):
+            unframe_dv_payload(blob + b"\x00")
 
 
 class TestRoaring:
@@ -195,12 +231,36 @@ class TestDeletionVectors:
                 == d["referenced_data_file"]
             ]
             assert len(mine) == 1
-            positions = deserialize_roaring64(mine[0]["payload"])
+            # blob carries the v3 framing: 4B BE length, magic, vector,
+            # 4B BE CRC-32 — verified and stripped by unframe
+            blob = mine[0]["payload"]
+            assert blob[4:8] == DV_MAGIC
+            assert int.from_bytes(blob[:4], "big") == len(blob) - 8
+            positions = deserialize_roaring64(unframe_dv_payload(blob))
             assert len(positions) == d["record_count"]
             # the locator slices the blob exactly
             with open(d["file_path"], "rb") as f:
                 f.seek(d["content_offset"])
-                assert f.read(d["content_size_in_bytes"]) == mine[0]["payload"]
+                assert f.read(d["content_size_in_bytes"]) == blob
+
+    def test_collect_guard_fails_loudly_before_gathering(self, spark, table):
+        # the pre-collect estimate trips BEFORE any bitmap bytes are
+        # gathered; the table is left untouched (no new snapshot)
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _load_current_metadata,
+        )
+
+        _v, before = _load_current_metadata(table)
+        with pytest.raises(ValueError, match="split your delete predicate"):
+            commit_deletion_vectors(
+                spark, table, "v < 100", max_collect_bytes=64
+            )
+        _v, after = _load_current_metadata(table)
+        assert after["current-snapshot-id"] == before["current-snapshot-id"]
+        assert _values(spark, table) == list(range(200))
 
     def test_sequence_rule_new_appends_not_retro_deleted(self, spark, table):
         from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (

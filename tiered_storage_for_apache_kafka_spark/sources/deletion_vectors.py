@@ -10,8 +10,11 @@ engine's metadata plane (`sources/iceberg.py`), alongside the existing
 v2 row-delta files:
 
 - bitmaps are the spec's portable 64-bit roaring layout (`roaring.py`,
-  the public RoaringFormatSpec) — the same bytes every Iceberg v3
-  implementation reads;
+  the public RoaringFormatSpec) wrapped in the v3 blob framing —
+  4-byte BE length, magic D1 D3 39 64, vector, 4-byte BE CRC-32
+  (:func:`frame_dv_payload`) — the same bytes every Iceberg v3
+  implementation reads; reads verify and strip the framing and accept
+  legacy unframed payloads (:func:`unframe_dv_payload`);
 - the Puffin container and blob metadata (type, per-blob properties
   ``referenced-data-file`` / ``cardinality``) follow the public Puffin
   spec (`sources/puffin.py`);
@@ -21,17 +24,21 @@ v2 row-delta files:
   fields, so non-DV manifests are byte-identical to before.
 
 The v3 single-live-DV rule is enforced on write: a new DV for a data
-file carries the UNION of the old DV's positions and the new matches,
-and the commit rewrites the prior delete manifests to tombstone
-(status=2) the superseded entries — external v3 readers that take
-"the" DV per file see exactly one. The reader still unions every
-applicable DV it finds, so tables written by the pre-supersede
-appender (or by a foreign multi-DV writer) read correctly too.
+file carries the UNION of the old DV's positions and the new matches
+(the old bitmaps explode into the match set executor-side — deleted
+positions never materialize on the driver), and the commit rewrites
+the prior delete manifests to tombstone (status=2) the superseded
+entries — external v3 readers that take "the" DV per file see exactly
+one. The reader still unions every applicable DV it finds, so tables
+written by the pre-supersede appender (or by a foreign multi-DV
+writer) read correctly too.
 
 Scale shape: the match scan is the same declarative parquet read the
 v2 path uses; each referenced file's bitmap is built by one Arrow task
 (`applyInPandas`); only O(#touched-files) (path, blob) pairs pass the
-driver to be packed into one Puffin. On read the blobs ship to
+driver to be packed into one Puffin, and a pre-collect estimate
+(``max_collect_bytes``, default 256 MiB) fails a pathological delete
+loudly before any payload is gathered. On read the blobs ship to
 executors as binary rows, are exploded to (file, pos) there, and the
 main scan stays a JVM anti-join — deleted positions never materialize
 on the driver.
@@ -41,8 +48,58 @@ from __future__ import annotations
 
 import json
 import os
+import struct
 import time
 import uuid
+import zlib
+
+#: Iceberg v3 deletion-vector blob framing (spec "Position delete
+#: vectors"): 4-byte BE length of (magic + vector), the 4 magic bytes
+#: D1 D3 39 64, the serialized portable roaring64 vector, then a
+#: 4-byte BE CRC-32 of (magic + vector). External v3 readers reject
+#: unframed bitmaps, so every blob this engine writes carries it.
+DV_MAGIC = bytes((0xD1, 0xD3, 0x39, 0x64))
+
+#: Default cap on deletion-vector bytes gathered to the driver by one
+#: commit (the per-touched-file roaring payloads that get packed into
+#: a single Puffin file). Estimated BEFORE any payload is collected —
+#: a breach raises instead of pressuring driver memory.
+MAX_DV_COLLECT_BYTES = 256 * 1024 * 1024
+
+
+def frame_dv_payload(bitmap: bytes) -> bytes:
+    """Wrap portable-roaring64 bytes in the v3 blob framing."""
+    body = DV_MAGIC + bitmap
+    return (
+        struct.pack(">I", len(body))
+        + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+
+
+def unframe_dv_payload(blob: bytes) -> bytes:
+    """Strip and VERIFY the v3 framing, returning the roaring bytes.
+    Blobs written by this engine before the framing fix (and by any
+    writer that stored bare bitmaps) lack the magic — passed through
+    unchanged, since the roaring cookie makes the formats disjoint."""
+    blob = bytes(blob)
+    if len(blob) < 12 or blob[4:8] != DV_MAGIC:
+        return blob  # legacy bare roaring64 payload
+    (length,) = struct.unpack(">I", blob[:4])
+    if length + 8 != len(blob):
+        raise ValueError(
+            f"deletion-vector blob length mismatch: header says "
+            f"{length} + 8 framing bytes, blob is {len(blob)}"
+        )
+    body = blob[4 : 4 + length]
+    (crc,) = struct.unpack(">I", blob[4 + length :])
+    actual = zlib.crc32(body) & 0xFFFFFFFF
+    if crc != actual:
+        raise ValueError(
+            f"deletion-vector blob CRC mismatch: stored {crc:#x}, "
+            f"computed {actual:#x}"
+        )
+    return body[4:]
 
 from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
     FORMAT_VERSION,
@@ -98,11 +155,14 @@ def write_deletion_vectors(
     predicate,
     partition_col: str = "partition",
     meta: dict | None = None,
+    max_collect_bytes: int = MAX_DV_COLLECT_BYTES,
 ) -> list[dict]:
     """Match current-snapshot rows against ``predicate`` and write ONE
-    Puffin file holding a roaring-bitmap DV blob per touched data file.
-    Returns one stats dict per DV (the locator fields
-    :func:`commit_deletion_vectors` records)."""
+    Puffin file holding a spec-framed roaring-bitmap DV blob per
+    touched data file. Returns one stats dict per DV (the locator
+    fields :func:`commit_deletion_vectors` records). Raises before any
+    bitmap bytes reach the driver when the estimated collected payload
+    exceeds ``max_collect_bytes``."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -136,82 +196,93 @@ def write_deletion_vectors(
     if dv:
         df = apply_deletion_vectors(spark, df, data, dv)
 
-    def _bitmap_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    matched = df.where(cond).select("__iceberg_file", "__iceberg_pos")
 
-        payload = serialize_roaring64(
-            pdf["__iceberg_pos"].to_numpy(dtype=np.int64)
-        )
-        return pd.DataFrame(
-            [[pdf["__iceberg_file"].iloc[0], payload, len(pdf)]],
-            columns=["file", "payload", "cardinality"],
-        )
-
-    blobs = (
-        df.where(cond)
-        .select("__iceberg_file", "__iceberg_pos")
-        .groupBy("__iceberg_file")
-        .applyInPandas(_bitmap_group, "file string, payload binary, cardinality bigint")
+    # Driver guard + touched-file discovery: ONE metadata-sized
+    # aggregation (per-file match counts, map-side combined) runs
+    # before any bitmap bytes are gathered, so an over-cap delete
+    # fails loudly instead of pressuring driver memory. Estimate is a
+    # roaring upper bound: ~2 bytes/position (array containers) plus
+    # fixed per-file container/framing overhead.
+    counts = {
+        r["__iceberg_file"]: int(r["n"])
+        for r in matched.groupBy("__iceberg_file")
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
-    )
-    if not blobs:
+    }
+    if not counts:
         return []
-    # v3 single-live-DV rule: the new DV for a file SUPERSEDES the old
-    # one, so it must carry the union of both position sets (the new
-    # matches are disjoint from the old — the re-match above already
-    # excluded DV-deleted rows). The union runs over roaring payloads
-    # that are on the driver either way; O(per-file cardinality).
-    import numpy as np
-
-    from tiered_storage_for_apache_kafka_spark.roaring import (
-        deserialize_roaring64,
-    )
-
     data_seq = {d["file_path"]: d["_seq"] for d in data}
     live_dv: dict[str, list[dict]] = {}
     for e in dv:
         ref = e.get("referenced_data_file")
         dseq = data_seq.get(ref)
-        if dseq is not None and e["_seq"] >= dseq:
+        if dseq is not None and e["_seq"] >= dseq and ref in counts:
             live_dv.setdefault(ref, []).append(e)
-    blob_cache: dict[str, list[dict]] = {}
-    out_blobs: list[dict] = []
-    for r in sorted(blobs, key=lambda r: r["file"]):
-        fname = r["file"]
-        payload = bytes(r["payload"])
-        card = int(r["cardinality"])
-        superseded: list[dict] = []
-        olds = live_dv.get(fname) or []
-        if olds:
-            parts = [deserialize_roaring64(payload)]
-            for oe in olds:
-                parts.append(
-                    deserialize_roaring64(
-                        _dv_entry_payload(oe, blob_cache)
-                    )
-                )
-                superseded.append(
+    old_cards = sum(
+        int(e["record_count"]) for es in live_dv.values() for e in es
+    )
+    est = sum(2 * c + 1024 for c in counts.values()) + 2 * old_cards
+    if est > max_collect_bytes:
+        raise ValueError(
+            f"deletion-vector commit would gather ~{est:,} payload "
+            f"bytes across {len(counts):,} touched data files on the "
+            f"driver (cap {max_collect_bytes:,}): split your delete "
+            f"predicate into smaller commits (e.g. add a partition "
+            f"bound) or raise max_collect_bytes"
+        )
+
+    # v3 single-live-DV rule: the new DV for a file SUPERSEDES the old
+    # one, so it must carry the union of both position sets (the new
+    # matches are disjoint from the old — the re-match above already
+    # excluded DV-deleted rows). Old bitmaps ship to executors as
+    # binary rows and explode into the matched set BEFORE the per-file
+    # bitmap build — deleted positions never materialize on the driver.
+    superseded_by_file: dict[str, list[dict]] = {}
+    if live_dv:
+        blob_cache: dict[str, list[dict]] = {}
+        old_rows: list[tuple[str, bytes]] = []
+        for ref in sorted(live_dv):
+            for oe in live_dv[ref]:
+                old_rows.append((ref, _dv_entry_payload(oe, blob_cache)))
+                superseded_by_file.setdefault(ref, []).append(
                     {
                         "puffin_path": oe["file_path"],
-                        "referenced_data_file": fname,
+                        "referenced_data_file": ref,
                         "cardinality": int(oe["record_count"]),
                     }
                 )
-            from tiered_storage_for_apache_kafka_spark.roaring import (
-                serialize_roaring64,
-            )
-
-            union = np.unique(np.concatenate(parts))
-            payload = serialize_roaring64(union)
-            card = len(union)
-        out_blobs.append(
-            {
-                "file": fname,
-                "payload": payload,
-                "cardinality": card,
-                "superseded": superseded,
-            }
+        old_pos = spark.createDataFrame(
+            old_rows, "__iceberg_file string, __dv binary"
+        ).mapInPandas(
+            _explode_dv_rows, "__iceberg_file string, __iceberg_pos bigint"
         )
+        matched = matched.unionByName(old_pos)
+
+    def _bitmap_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        vals = np.unique(pdf["__iceberg_pos"].to_numpy(dtype=np.int64))
+        payload = frame_dv_payload(serialize_roaring64(vals))
+        return pd.DataFrame(
+            [[pdf["__iceberg_file"].iloc[0], payload, len(vals)]],
+            columns=["file", "payload", "cardinality"],
+        )
+
+    blobs = (
+        matched.groupBy("__iceberg_file")
+        .applyInPandas(_bitmap_group, "file string, payload binary, cardinality bigint")
+        .collect()
+    )
+    out_blobs = [
+        {
+            "file": r["file"],
+            "payload": bytes(r["payload"]),
+            "cardinality": int(r["cardinality"]),
+            "superseded": superseded_by_file.get(r["file"], []),
+        }
+        for r in sorted(blobs, key=lambda r: r["file"])
+    ]
     out_dir = os.path.join(table_dir, "deletes")
     os.makedirs(out_dir, exist_ok=True)
     puffin_path = os.path.join(out_dir, f"dv-{uuid.uuid4().hex[:16]}.puffin")
@@ -260,6 +331,7 @@ def commit_deletion_vectors(
     catalog=None,
     table_name: str | None = None,
     max_commit_retries: int = 3,
+    max_collect_bytes: int = MAX_DV_COLLECT_BYTES,
 ) -> dict:
     """Row-level DELETE as a v3-style DV commit: write deletion-vector
     blobs for the matching rows and commit a snapshot whose DELETE
@@ -279,7 +351,8 @@ def commit_deletion_vectors(
             table_dir, catalog, table_name
         )
         stats = write_deletion_vectors(
-            spark, table_dir, predicate, partition_col, meta=base
+            spark, table_dir, predicate, partition_col, meta=base,
+            max_collect_bytes=max_collect_bytes,
         )
         if not stats:
             return base
@@ -566,6 +639,31 @@ def _dv_entry_payload(
     raise ValueError(f"no deletion-vector-v1 blob for {ref} in {path}")
 
 
+def _explode_dv_rows(batches):
+    """Arrow map: (file, DV blob) rows → (file, position) rows.
+    Executor-side — unframes (verifying length/CRC) and decodes each
+    roaring bitmap where the rows already live."""
+    import numpy as np
+    import pandas as pd
+
+    from tiered_storage_for_apache_kafka_spark.roaring import (
+        deserialize_roaring64,
+    )
+
+    for pdf in batches:
+        # plain tuples: itertuples mangles the __-prefixed names
+        for fname, blob in pdf.itertuples(index=False, name=None):
+            positions = deserialize_roaring64(
+                unframe_dv_payload(bytes(blob))
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "__iceberg_file": fname,
+                    "__iceberg_pos": positions,
+                }
+            )
+
+
 def split_position_deletes(
     deletes: list[dict],
 ) -> tuple[list[dict], list[dict]]:
@@ -605,32 +703,11 @@ def apply_deletion_vectors(spark, df_pos, data_entries, dv_entries):
     if not rows:
         return df_pos
 
-    def explode(batches):
-        import numpy as np
-        import pandas as pd
-
-        from tiered_storage_for_apache_kafka_spark.roaring import (
-            deserialize_roaring64,
-        )
-
-        for pdf in batches:
-            # plain tuples: itertuples mangles the __-prefixed names
-            for fname, blob in pdf.itertuples(index=False, name=None):
-                positions = deserialize_roaring64(bytes(blob)).astype(
-                    np.int64
-                )
-                yield pd.DataFrame(
-                    {
-                        "__iceberg_file": fname,
-                        "__iceberg_pos": positions,
-                    }
-                )
-
     dv_df = spark.createDataFrame(
         rows, "__iceberg_file string, __dv binary"
     )
     dels = dv_df.mapInPandas(
-        explode, "__iceberg_file string, __iceberg_pos bigint"
+        _explode_dv_rows, "__iceberg_file string, __iceberg_pos bigint"
     )
     return df_pos.join(
         dels, ["__iceberg_file", "__iceberg_pos"], "left_anti"

@@ -1309,34 +1309,31 @@ def _commit_requirements(
     branch: str | None = None,
 ) -> list[dict]:
     """CommitTableRequest requirements: pin the table uuid and require
-    main to still point at the parent snapshot we built against (None =
-    ref must not exist yet) — the optimistic-concurrency contract. A
-    branch commit asserts the BRANCH ref it is advancing too (real
-    Iceberg asserts the ref being moved): two concurrent writers to
-    the same branch must conflict, not silently orphan one snapshot."""
+    the ref being MOVED to still point at the parent snapshot we built
+    against (None = ref must not exist yet) — the optimistic-
+    concurrency contract, matching real Iceberg's UpdateRequirements:
+    a branch (WAP) commit asserts only its own branch head, so an
+    unrelated writer advancing main never spuriously conflicts a
+    staged commit; two concurrent writers to the SAME ref still
+    conflict rather than silently orphaning one snapshot."""
     if prior_meta is None:
         # table was just created in this commit; main must be unset
         return [
             {"type": "assert-table-uuid", "uuid": created_base["table-uuid"]},
             {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": None},
         ]
-    head = (prior_meta.get("refs") or {}).get("main", {}).get("snapshot-id")
-    out = [
+    moved_ref = branch if branch is not None else "main"
+    head = (
+        (prior_meta.get("refs") or {}).get(moved_ref, {}).get("snapshot-id")
+    )
+    return [
         {"type": "assert-table-uuid", "uuid": prior_meta["table-uuid"]},
-        {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": head},
+        {
+            "type": "assert-ref-snapshot-id",
+            "ref": moved_ref,
+            "snapshot-id": head,
+        },
     ]
-    if branch is not None and branch != "main":
-        bhead = (
-            (prior_meta.get("refs") or {}).get(branch, {}).get("snapshot-id")
-        )
-        out.append(
-            {
-                "type": "assert-ref-snapshot-id",
-                "ref": branch,
-                "snapshot-id": bhead,
-            }
-        )
-    return out
 
 
 def _schema_updates(base: dict) -> list[dict]:
@@ -3911,7 +3908,7 @@ def remove_orphan_files(
                 mtime_ms = os.path.getmtime(p) * 1000
             except FileNotFoundError:
                 continue
-            if mtime_ms > cutoff_ms:
+            if mtime_ms >= cutoff_ms:
                 continue  # possibly staged ahead of an in-flight commit
             removed.append(p)
     if not dry_run:
