@@ -1,5 +1,5 @@
 """Iceberg v2 metadata writer: an external-reader-shaped parse-back of
-everything `sources/iceberg.py` emits (metadata.json -> manifest list
+everything `sources/iceberg/` emits (metadata.json -> manifest list
 Avro -> manifest Avro -> data files), mirroring the reference's
 `IcebergTableManager.java:46-95` commit semantics."""
 
@@ -363,6 +363,9 @@ class TestReviewFixes:
 
     def test_plan_scan_opens_only_surviving_manifests(self, table, monkeypatch):
         from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            scan as ice_scan,
+        )
 
         tdir, df = table
         ice.commit_append(tdir, df.schema, now_ms=1_000)
@@ -373,7 +376,8 @@ class TestReviewFixes:
             opened.append(path)
             return real(path)
 
-        monkeypatch.setattr(ice, "read_avro_ocf", counting)
+        # patch the binding plan_scan actually reads (scan module global)
+        monkeypatch.setattr(ice_scan, "read_avro_ocf", counting)
         ice.plan_scan(tdir, partition_value=2)
         # one manifest-list read + exactly ONE manifest read (no double)
         assert len(opened) == 2

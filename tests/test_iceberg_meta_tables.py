@@ -2,7 +2,7 @@
 
 The Spark-Iceberg `SELECT * FROM tbl.<meta>` surface over the engine's
 own metadata plane; verified against tables committed by
-`sources/iceberg.py` (appends, tags, rewrite_manifests, deletes).
+`sources/iceberg/` (appends, tags, rewrite_manifests, deletes).
 """
 
 from __future__ import annotations

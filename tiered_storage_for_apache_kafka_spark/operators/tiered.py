@@ -549,7 +549,7 @@ def iceberg_metadata_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     46-95`, `iceberg/manifest/SegmentManifestWriter.java:35-112`): tier →
     decode to the envelope table → commit as parquet WITH spec-compliant
     Iceberg v2 metadata (metadata.json + snapshot + Avro manifest list +
-    Avro manifest, `sources/iceberg.py`) → re-open the table the way an
+    Avro manifest, `sources/iceberg/`) → re-open the table the way an
     external HadoopCatalog reader does (version-hint → metadata.json →
     manifest-list Avro → manifest Avro) and aggregate the DATA FILE
     ENTRIES, not the parquet. The oracle recomputes per-partition record
@@ -587,7 +587,7 @@ def iceberg_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The READ side of the Iceberg interop: open the committed table
     THROUGH its own metadata the way Trino/Flink would — current
     snapshot → manifest list → manifests → data-file entries
-    (`sources/iceberg.py::plan_scan`), with partition pruning at the
+    (`sources/iceberg/scan.py::plan_scan`), with partition pruning at the
     METADATA level: the manifest-list's per-manifest partition field
     summaries skip whole manifests unopened, and surviving entries are
     filtered on the partition value, so pruned files never reach Spark's
@@ -1000,7 +1000,7 @@ def iceberg_row_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     2147483546/2147483545) tracked by a content=1 DELETE manifest; data
     files are never rewritten (merge-on-read). The query reads the
     CURRENT view (deletes applied via the sequence-number-aware
-    (file, pos) anti-join — `sources/iceberg.py::
+    (file, pos) anti-join — `sources/iceberg/scan.py::
     _apply_position_deletes`), the pre-delete snapshot via ``VERSION AS
     OF`` (sees every row), and the snapshot summary's cumulative
     ``total-position-deletes``; the oracle recomputes all three from
@@ -1120,7 +1120,7 @@ def iceberg_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the key set is a broadcast; neither the delete commit nor
     the merge-on-read anti-join re-shuffles the corpus
-    (`sources/iceberg.py::_apply_equality_deletes`)."""
+    (`sources/iceberg/scan.py::_apply_equality_deletes`)."""
     from pyspark.sql import functions as FX
 
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
@@ -1918,7 +1918,7 @@ def iceberg_rewrite_datafiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes prove compaction applied every deletion vector exactly and
     lost nothing else. Scale shape: one distributed read + one
     distributed write; the driver only stats O(#files) footers —
-    `sources/iceberg.py::_rewrite_data_files_once`."""
+    `sources/iceberg/maintenance.py::_rewrite_data_files_once`."""
     from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
         commit_deletion_vectors,
     )

@@ -6,7 +6,7 @@ vectors — per-data-file roaring bitmaps of deleted row ordinals stored
 as ``deletion-vector-v1`` blobs in a shared Puffin file, located from
 the delete manifest by ``referenced_data_file`` + ``content_offset`` /
 ``content_size_in_bytes``. This module adds that representation to the
-engine's metadata plane (`sources/iceberg.py`), alongside the existing
+engine's metadata plane (`sources/iceberg/`), alongside the existing
 v2 row-delta files:
 
 - bitmaps are the spec's portable 64-bit roaring layout (`roaring.py`,
@@ -52,6 +52,24 @@ import struct
 import time
 import uuid
 import zlib
+
+from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+    FORMAT_VERSION,
+    _apply_equality_deletes,
+    _apply_position_deletes,
+    _current_schema_struct,
+    _current_state_meta,
+    _default_table_name,
+    _plan_snapshot,
+    _read_with_positions,
+    manifest_entry_schema,
+    write_avro_ocf,
+)
+from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+    DELETION_VECTOR_V1,
+    read_puffin_blobs,
+    write_puffin_file,
+)
 
 #: Iceberg v3 deletion-vector blob framing (spec "Position delete
 #: vectors"): 4-byte BE length of (magic + vector), the 4 magic bytes
@@ -100,25 +118,6 @@ def unframe_dv_payload(blob: bytes) -> bytes:
             f"computed {actual:#x}"
         )
     return body[4:]
-
-from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
-    FORMAT_VERSION,
-    _apply_equality_deletes,
-    _apply_position_deletes,
-    _current_schema_struct,
-    _current_state_meta,
-    _default_table_name,
-    _plan_snapshot,
-    _read_with_positions,
-    manifest_entry_schema,
-    write_avro_ocf,
-)
-from tiered_storage_for_apache_kafka_spark.sources.puffin import (
-    DELETION_VECTOR_V1,
-    read_puffin_blobs,
-    write_puffin_file,
-)
-
 
 def manifest_entry_schema_dv(partition_col: str) -> dict:
     """The manifest-entry Avro schema plus the v3 deletion-vector

@@ -1,0 +1,560 @@
+"""The append commit plane (commit_append + REST requirements).
+
+Split from the original sources/iceberg.py (r7); provenance and
+parity citations live in the package __init__ and the function
+docstrings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import uuid
+
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+    MANIFEST_FILE_SCHEMA,
+    _column_stats_fields,
+    _discover_data_files,
+    _field_id,
+    _leaf_field_ids,
+    _stat_data_files,
+    manifest_entry_schema,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
+    FORMAT_VERSION,
+    read_avro_ocf,
+    write_avro_ocf,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+    evolve_iceberg_schema,
+    spark_schema_to_iceberg,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+    _advance_main,
+    _current_schema_struct,
+    _default_table_name,
+    _load_prior_state,
+    _prev_summary_counter,
+    _write_metadata_version,
+)
+
+
+def commit_append(
+    table_dir: str,
+    spark_schema,
+    partition_col: str = "partition",
+    now_ms: int | None = None,
+    stats_blobs: list[tuple[str, bytes]] | None = None,
+    files: list[str] | None = None,
+    summary_extra: dict | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    branch: str | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """Append-commit every not-yet-committed parquet data file under
+    ``table_dir`` into the table's Iceberg metadata, creating the table
+    metadata on first call (`IcebergTableManager.java:46-95` semantics:
+    create-if-absent, then an appendFiles transaction). Returns the new
+    TableMetadata dict. Idempotent: a commit with zero new files writes
+    nothing and returns the current metadata.
+
+    ``branch="audit"`` commits to that branch instead of ``main`` —
+    the write-audit-publish (WAP) pattern: staged snapshots chain off
+    the branch head (auto-created at the current main head on first
+    use), ``main`` and the snapshot-log are untouched, readers of the
+    table see nothing until :func:`fast_forward` publishes the branch.
+    Branch discovery commits dedup against EVERY ref head, so a file
+    committed on one branch is never re-swept into another.
+
+    Each snapshot also gets a Puffin statistics file
+    (`SegmentManifestWriter.java:35-112` parity): a FILE_LIST blob (JSON
+    of the snapshot's new data files) plus any caller-provided
+    ``stats_blobs`` (e.g. the segment aux indexes, reference
+    `BlobTypes.java` names), registered under the metadata's
+    ``statistics`` field as the spec requires.
+
+    With ``catalog`` (a ``rest_catalog.RestCatalogClient``), the commit
+    routes through the Iceberg REST-catalog protocol instead of the
+    version-hint file layout: the writer still stages manifests /
+    manifest lists / Puffin stats in storage, but the metadata pointer
+    advances via ``POST /v1/namespaces/{ns}/tables/{t}`` with
+    requirements + updates, and a 409 (a concurrent writer won the race)
+    triggers reload-and-rebase up to ``max_commit_retries`` times —
+    the reference's catalog-service commit path
+    (`RemoteStorageManagerConfig.java:261-284`,
+    `IcebergTableManager.java:46-95`)."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+    )
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None and table_name is None:
+        table_name = _default_table_name(table_dir)
+
+    last_err: Exception | None = None
+    for _attempt in range(max_commit_retries):
+        prior = _load_prior_state(table_dir, catalog, table_name)
+        try:
+            return _commit_append_once(
+                table_dir, spark_schema, partition_col, now_ms, stats_blobs,
+                files, summary_extra, catalog, table_name, meta_dir, prior,
+                branch,
+            )
+        except CommitConflictError as e:
+            last_err = e  # reload + rebase on the next iteration
+    assert last_err is not None
+    raise last_err
+
+
+def _commit_append_once(
+    table_dir: str,
+    spark_schema,
+    partition_col: str,
+    now_ms: int,
+    stats_blobs,
+    files,
+    summary_extra,
+    catalog,
+    table_name,
+    meta_dir: str,
+    prior,
+    branch: str | None = None,
+) -> dict:
+    if branch == "main":
+        branch = None  # explicit main is just the default path
+    if branch is not None and prior is None:
+        raise ValueError(
+            "cannot commit to a branch before the table exists — make "
+            "the first (table-creating) commit on main"
+        )
+    if prior is None:
+        version = 1
+        schema_struct, last_col = spark_schema_to_iceberg(spark_schema)
+        table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, "iceberg:" + table_dir))
+        base = {
+            "format-version": FORMAT_VERSION,
+            "table-uuid": table_uuid,
+            "location": table_dir,
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms,
+            "last-column-id": last_col,
+            "current-schema-id": 0,
+            "schemas": [schema_struct],
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": partition_col,
+                            "transform": "identity",
+                            "source-id": _field_id(schema_struct, partition_col),
+                            "field-id": 1000,
+                        }
+                    ],
+                }
+            ],
+            "last-partition-id": 1000,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {"write.format.default": "parquet"},
+            "current-snapshot-id": -1,
+            "refs": {},
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        known: set[str] = set()
+    else:
+        version, base = prior["version"], prior["metadata"]
+        known = {
+            e["data_file"]["file_path"]
+            for m in prior["manifests"]
+            for e in m["entries"]
+        }
+        version += 1
+
+    if files is not None:
+        # EXPLICIT file list (the streaming-commit path): only these
+        # files enter the snapshot — crashed-attempt orphans on disk are
+        # never swept in (vs. the discovery mode below, which commits
+        # everything on disk not yet known to the metadata). Footers are
+        # read for exactly the listed files — O(batch), not O(table) —
+        # so per-micro-batch commit cost does not grow with table age.
+        all_files = _stat_data_files(sorted(set(files)), partition_col)
+    else:
+        all_files = _discover_data_files(table_dir, partition_col)
+    parent_id = (
+        base.get("current-snapshot-id", -1) if prior is not None else -1
+    )
+    base_refs = base.get("refs") or {} if prior is not None else {}
+    if branch is not None:
+        ref = base_refs.get(branch)
+        if ref is not None:
+            if ref.get("type") == "tag":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            parent_id = int(ref["snapshot-id"])
+        # else: first commit to this branch forks it off the main head
+        # (parent_id stays the current snapshot) — WAP auto-create
+    if prior is not None:
+        # staged lineages — branch snapshots, including ones orphaned
+        # by a dropped branch — hold files that sit in the hive dirs
+        # without appearing on main's lineage; discovery must dedup
+        # against them or the next commit re-sweeps audit-rejected
+        # rows into main. Tag heads lie ON main's lineage and are
+        # already covered by prior["manifests"], so a mere release tag
+        # costs nothing; only genuinely stray snapshots are read, and
+        # the head's already-parsed manifests seed the cache.
+        by_id = {s["snapshot-id"]: s for s in base["snapshots"]}
+        main_lineage: set = set()
+        node = base.get("current-snapshot-id", -1)
+        while node in by_id:
+            main_lineage.add(node)
+            node = by_id[node].get("parent-snapshot-id")
+        stray = [
+            s
+            for s in base["snapshots"]
+            if s["snapshot-id"] not in main_lineage
+        ]
+        if stray:
+            seen_manifest_paths = {
+                m["file"]["manifest_path"] for m in prior["manifests"]
+            }
+            for s in stray:
+                _, mfs, _ = read_avro_ocf(s["manifest-list"])
+                for mf in mfs:
+                    if mf["manifest_path"] in seen_manifest_paths:
+                        continue
+                    seen_manifest_paths.add(mf["manifest_path"])
+                    _, es, _ = read_avro_ocf(mf["manifest_path"])
+                    known |= {e["data_file"]["file_path"] for e in es}
+    new_files = [f for f in all_files if f["file_path"] not in known]
+    # schema evolution on append (add-as-optional + required->optional
+    # relaxation; reference `SchemaUpdate.java` intent, wired here):
+    # existing field ids are stable, added columns get fresh ids in a
+    # NEW schema version. Runs BEFORE the zero-new-files return so an
+    # evolved schema is never silently discarded.
+    schema_changed = False
+    cur_sid = base["current-schema-id"]
+    cur_schema = next(s for s in base["schemas"] if s["schema-id"] == cur_sid)
+    if prior is not None:
+        evolved, new_last, schema_changed = evolve_iceberg_schema(
+            cur_schema, spark_schema, base["last-column-id"]
+        )
+        if schema_changed and branch is not None:
+            # current-schema-id is table-level: evolving it from a
+            # staged commit would publish the schema change to main
+            # readers immediately, breaking WAP's nothing-visible
+            # promise — evolve on main first, then stage
+            raise ValueError(
+                "schema evolution inside a branch commit would be "
+                "visible to main readers before publish; commit the "
+                "schema change on main first"
+            )
+        if schema_changed:
+            new_sid = max(s["schema-id"] for s in base["schemas"]) + 1
+            evolved = {**evolved, "schema-id": new_sid}
+            base = {
+                **base,
+                "schemas": base["schemas"] + [evolved],
+                "current-schema-id": new_sid,
+                "last-column-id": new_last,
+            }
+
+    if not new_files:
+        if prior is None:  # empty table: metadata without a snapshot
+            if catalog is not None:
+                catalog.ensure_namespace()
+                catalog.create_table(table_name, base)
+            else:
+                _write_metadata_version(meta_dir, 1, base)
+        elif schema_changed:
+            # metadata-only commit: the schema version advances even
+            # though no data files entered
+            base = dict(base)
+            base["last-updated-ms"] = now_ms
+            if catalog is not None:
+                resp = catalog.commit_table(
+                    table_name,
+                    _commit_requirements(prior["metadata"]),
+                    _schema_updates(base),
+                    now_ms,
+                )
+                return resp["metadata"]
+            _write_metadata_version(meta_dir, version, base)
+        return base
+
+    # snapshot-log monotonicity: after a lost race the rebased commit
+    # may carry a caller clock EARLIER than the rival's snapshot; a
+    # non-monotonic log would make TIMESTAMP AS OF resolve a child for a
+    # timestamp that predates its parent. Clamp to the newest snapshot.
+    newest_ts = max((s["timestamp-ms"] for s in base["snapshots"]), default=0)
+    now_ms = max(now_ms, newest_ts)
+    seq = base["last-sequence-number"] + 1
+    snapshot_id = seq  # deterministic; any unique long is spec-legal
+    # staged metadata files get a per-attempt random token (real Iceberg
+    # embeds a commit uuid in manifest/list names): two concurrent
+    # catalog writers that loaded the same base state must never collide
+    # on staged paths — a colliding loser would overwrite the winner's
+    # already-committed manifest before its own commit is rejected.
+    commit_uuid = uuid.uuid4().hex[:16]
+    entry_schema = manifest_entry_schema(partition_col)
+    schema_struct = _current_schema_struct(base)
+    leaf_ids = _leaf_field_ids(schema_struct)
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,  # DATA
+                "file_path": f["file_path"],
+                "file_format": "PARQUET",
+                "partition": {partition_col: f["partition_value"]},
+                "record_count": f["record_count"],
+                "file_size_in_bytes": f["file_size_in_bytes"],
+                **_column_stats_fields(f.get("column_stats") or {}, leaf_ids),
+                "split_offsets": f["split_offsets"],
+                "equality_ids": None,
+                "sort_order_id": 0,
+            },
+        }
+        for f in new_files
+    ]
+    spec = base["partition-specs"][0]
+    manifest_path = os.path.join(
+        meta_dir, f"{base['table-uuid']}-m{seq}-{commit_uuid}.avro"
+    )
+    manifest_len = write_avro_ocf(
+        manifest_path,
+        entry_schema,
+        entries,
+        {
+            "schema": json.dumps(schema_struct).encode(),
+            "schema-id": str(base["current-schema-id"]).encode(),
+            "partition-spec": json.dumps(spec["fields"]).encode(),
+            "partition-spec-id": b"0",
+            "format-version": str(FORMAT_VERSION).encode(),
+            "content": b"data",
+        },
+    )
+
+    parts = [f["partition_value"] for f in new_files]
+    non_null = [p for p in parts if p is not None] or [0]
+    lo, hi = min(non_null), max(non_null)
+    added_rows = sum(f["record_count"] for f in new_files)
+    manifest_file = {
+        "manifest_path": manifest_path,
+        "manifest_length": manifest_len,
+        "partition_spec_id": 0,
+        "content": 0,  # data manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(new_files),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": [
+            {
+                "contains_null": any(p is None for p in parts),
+                "contains_nan": False,
+                "lower_bound": struct.pack("<i", lo),
+                "upper_bound": struct.pack("<i", hi),
+            }
+        ],
+    }
+    # a snapshot's manifest list carries its PARENT's manifests too
+    # (existing files stay live across an append); for a branch commit
+    # the parent is the branch head, not main
+    prior_manifest_files = []
+    if prior is not None and parent_id != -1:
+        cur = next(
+            s for s in base["snapshots"] if s["snapshot-id"] == parent_id
+        )
+        _, prior_manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+    list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
+    )
+    write_avro_ocf(
+        list_path,
+        MANIFEST_FILE_SCHEMA,
+        [manifest_file] + prior_manifest_files,
+        {
+            "format-version": str(FORMAT_VERSION).encode(),
+            "snapshot-id": str(snapshot_id).encode(),
+            "sequence-number": str(seq).encode(),
+            "parent-snapshot-id": str(parent_id).encode(),
+        },
+    )
+
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "schema-id": base["current-schema-id"],
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(new_files)),
+            "added-records": str(added_rows),
+            "total-records": str(
+                added_rows
+                + _prev_summary_counter(base, "total-records", parent_id)
+            ),
+            "total-position-deletes": str(
+                _prev_summary_counter(
+                    base, "total-position-deletes", parent_id
+                )
+            ),
+            "total-equality-deletes": str(
+                _prev_summary_counter(
+                    base, "total-equality-deletes", parent_id
+                )
+            ),
+            **{k: str(v) for k, v in (summary_extra or {}).items()},
+        },
+    }
+    if parent_id != -1:
+        snapshot["parent-snapshot-id"] = parent_id
+
+    from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+        FILE_LIST,
+        write_puffin,
+    )
+
+    file_list = [
+        {
+            "location": f["file_path"],
+            "partition": f["partition_value"],
+            "recordCount": f["record_count"],
+            "fileSizeInBytes": f["file_size_in_bytes"],
+        }
+        for f in new_files
+    ]
+    stats_path = os.path.join(
+        meta_dir, f"stats-{snapshot_id}-{commit_uuid}.puffin"
+    )
+    stats = write_puffin(
+        stats_path,
+        [(FILE_LIST, json.dumps(file_list).encode())] + list(stats_blobs or []),
+        snapshot_id,
+        seq,
+    )
+
+    meta = dict(base)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["snapshots"] = base["snapshots"] + [snapshot]
+    stat_entry = {
+        "snapshot-id": snapshot_id,
+        "statistics-path": stats_path,
+        "file-size-in-bytes": stats["file_size"],
+        "file-footer-size-in-bytes": stats["footer_size"],
+        "blob-metadata": stats["blob_metadata"],
+    }
+    meta["statistics"] = base.get("statistics", []) + [stat_entry]
+    if branch is None:
+        meta["current-snapshot-id"] = snapshot_id
+        meta["refs"] = _advance_main(base.get("refs"), snapshot_id)
+        # the snapshot-log tracks current-snapshot-id changes only
+        # (spec) — staged branch commits stay out of TIMESTAMP AS OF
+        meta["snapshot-log"] = base["snapshot-log"] + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ]
+    else:
+        refs = dict(base.get("refs") or {})
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        meta["refs"] = refs
+    if prior is not None:
+        meta["metadata-log"] = base["metadata-log"] + [
+            {
+                "timestamp-ms": base["last-updated-ms"],
+                "metadata-file": os.path.join(
+                    meta_dir, f"v{version - 1}.metadata.json"
+                ),
+            }
+        ]
+
+    if catalog is not None:
+        # REST-catalog commit: manifests/stats are already staged in
+        # storage; only the metadata pointer moves, and only if our
+        # parent snapshot is still the head (optimistic concurrency)
+        requirements = _commit_requirements(
+            None if prior is None else prior["metadata"], base, branch=branch
+        )
+        updates = []
+        if schema_changed:
+            updates += _schema_updates(base)
+        updates += [
+            {"action": "add-snapshot", "snapshot": snapshot},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": branch if branch is not None else "main",
+                "type": "branch",
+                "snapshot-id": snapshot_id,
+            },
+            {"action": "set-statistics", "statistics": stat_entry},
+        ]
+        if prior is None:
+            catalog.ensure_namespace()
+            catalog.create_table(table_name, base)
+        resp = catalog.commit_table(table_name, requirements, updates, now_ms)
+        return resp["metadata"]
+
+    _write_metadata_version(meta_dir, version, meta)
+    return meta
+
+
+def _commit_requirements(
+    prior_meta: dict | None,
+    created_base: dict | None = None,
+    branch: str | None = None,
+) -> list[dict]:
+    """CommitTableRequest requirements: pin the table uuid and require
+    the ref being MOVED to still point at the parent snapshot we built
+    against (None = ref must not exist yet) — the optimistic-
+    concurrency contract, matching real Iceberg's UpdateRequirements:
+    a branch (WAP) commit asserts only its own branch head, so an
+    unrelated writer advancing main never spuriously conflicts a
+    staged commit; two concurrent writers to the SAME ref still
+    conflict rather than silently orphaning one snapshot."""
+    if prior_meta is None:
+        # table was just created in this commit; main must be unset
+        return [
+            {"type": "assert-table-uuid", "uuid": created_base["table-uuid"]},
+            {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": None},
+        ]
+    moved_ref = branch if branch is not None else "main"
+    head = (
+        (prior_meta.get("refs") or {}).get(moved_ref, {}).get("snapshot-id")
+    )
+    return [
+        {"type": "assert-table-uuid", "uuid": prior_meta["table-uuid"]},
+        {
+            "type": "assert-ref-snapshot-id",
+            "ref": moved_ref,
+            "snapshot-id": head,
+        },
+    ]
+
+
+def _schema_updates(base: dict) -> list[dict]:
+    """add-schema + set-current-schema updates for an evolved schema
+    (the last schema in ``base`` is the one evolution just appended)."""
+    return [
+        {
+            "action": "add-schema",
+            "schema": base["schemas"][-1],
+            "last-column-id": base["last-column-id"],
+        },
+        {"action": "set-current-schema", "schema-id": base["current-schema-id"]},
+    ]

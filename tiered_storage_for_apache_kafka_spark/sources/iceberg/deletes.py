@@ -1,0 +1,565 @@
+"""v2 row-level deletes: position/equality delete files + commits.
+
+Split from the original sources/iceberg.py (r7); provenance and
+parity citations live in the package __init__ and the function
+docstrings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import uuid
+
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+    MANIFEST_FILE_SCHEMA,
+    _field_id,
+    manifest_entry_schema,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
+    FORMAT_VERSION,
+    read_avro_ocf,
+    write_avro_ocf,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
+    _apply_equality_deletes,
+    _apply_position_deletes,
+    _plan_snapshot,
+    _read_with_positions,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+    _advance_main,
+    _current_schema_struct,
+    _current_state_meta,
+    _default_table_name,
+    _maintenance_requirements,
+    _prev_summary_counter,
+    _prev_total_pos_deletes,
+    _prev_total_records,
+    _write_metadata_version,
+)
+
+
+def write_position_deletes(
+    spark,
+    table_dir: str,
+    predicate,
+    partition_col: str = "partition",
+    meta: dict | None = None,
+) -> list[dict]:
+    """Plan and write spec-shaped **position-delete files** for every
+    current-snapshot row matching ``predicate`` (a Spark SQL string or
+    Column over the table schema). Fully declarative and distributed:
+    the match scan is a native parquet read projecting only the
+    predicate columns plus the hidden ``_metadata`` file/row-index
+    columns (Catalyst prunes the rest), and each partition's matches
+    are written by one Arrow task as a parquet file with the spec's
+    exact shape — columns ``file_path`` (field id 2147483546) and
+    ``pos`` (field id 2147483545), sorted by (file_path, pos), stored
+    beside the data files in the partition dir (spec "Position Delete
+    Files"). Returns per-file stats for :func:`commit_position_deletes`;
+    rows that match nothing produce no files. At 100 TB you would
+    additionally shard each partition's writer by a file-path bucket;
+    one file per partition per call is the spec-minimal baseline."""
+    from pyspark.sql import functions as F
+
+    if meta is None:
+        _v, meta, _t = _current_state_meta(table_dir)
+    if meta.get("current-snapshot-id", -1) == -1:
+        return []
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    data, deletes = _plan_snapshot(cur, None)
+    if not data:
+        return []
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    df = _read_with_positions(spark, table_dir, meta, [d["file_path"] for d in data])
+    # match against the MERGED view: a row already deleted (by either
+    # kind) must not re-match (duplicate delete rows are spec-legal but
+    # inflate added-position-deletes and every later delete scan)
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+        apply_deletion_vectors,
+        split_position_deletes,
+    )
+
+    eq = [d for d in deletes if d.get("content") == 2]
+    pos, dv = split_position_deletes(deletes)
+    if eq:
+        df = _apply_equality_deletes(
+            spark, df, data, eq, meta
+        )
+    if pos:
+        df = _apply_position_deletes(
+            spark, df, data, pos
+        )
+    if dv:
+        df = apply_deletion_vectors(spark, df, data, dv)
+    part_map = spark.createDataFrame(
+        [(d["file_path"], d["partition"].get(partition_col)) for d in data],
+        "__iceberg_file string, __iceberg_part int",
+    )
+    matches = (
+        df.where(cond)
+        .select("__iceberg_file", "__iceberg_pos")
+        .join(F.broadcast(part_map), "__iceberg_file")
+    )
+    token = uuid.uuid4().hex[:16]
+
+    def _write_group(pdf):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pdf.sort_values(["__iceberg_file", "__iceberg_pos"])
+        part = pdf["__iceberg_part"].iloc[0]
+        part = None if pd.isna(part) else int(part)
+        part_dir = (
+            f"{partition_col}={part}"
+            if part is not None
+            else f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+        )
+        out_dir = os.path.join(table_dir, "deletes", part_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"delete-{token}-p{part}.parquet")
+        schema = pa.schema(
+            [
+                pa.field(
+                    "file_path",
+                    pa.string(),
+                    nullable=False,
+                    metadata={b"PARQUET:field_id": b"2147483546"},
+                ),
+                pa.field(
+                    "pos",
+                    pa.int64(),
+                    nullable=False,
+                    metadata={b"PARQUET:field_id": b"2147483545"},
+                ),
+            ]
+        )
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(pdf["__iceberg_file"], pa.string()),
+                pa.array(pdf["__iceberg_pos"], pa.int64()),
+            ],
+            schema=schema,
+        )
+        pq.write_table(tbl, path, compression="zstd")
+        return pd.DataFrame(
+            [[path, part, len(pdf), os.path.getsize(path)]],
+            columns=["delete_path", "partition", "n_rows", "file_size"],
+        )
+
+    stats = matches.groupBy("__iceberg_part").applyInPandas(
+        _write_group,
+        "delete_path string, partition int, n_rows bigint, file_size bigint",
+    )
+    return [r.asDict() for r in stats.collect()]
+
+
+def commit_position_deletes(
+    spark,
+    table_dir: str,
+    predicate,
+    partition_col: str = "partition",
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """Row-level DELETE as an Iceberg v2 **row-delta commit**: write
+    position-delete files for the matching rows (merge-on-read — data
+    files are never rewritten; `DELETE FROM t WHERE ...` semantics) and
+    commit them as a new snapshot whose manifest list adds a DELETE
+    manifest (content=1). Matching zero rows returns the current
+    metadata unchanged — no empty snapshot. With ``catalog``, the
+    pointer moves through the REST-catalog protocol and a lost race
+    reloads, RE-PLANS the deletes against the new head (the predicate
+    must evaluate against the data files that are actually current),
+    and retries; a lost attempt's staged delete files stay behind as
+    unreferenced orphans, the same crash-safe failure mode as staged
+    append manifests."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+    )
+
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None and table_name is None:
+        table_name = _default_table_name(table_dir)
+    last_err: Exception | None = None
+    for _attempt in range(max_commit_retries if catalog is not None else 1):
+        version, base, table_name = _current_state_meta(
+            table_dir, catalog, table_name
+        )
+        stats = write_position_deletes(
+            spark, table_dir, predicate, partition_col, meta=base
+        )
+        if not stats:
+            return base
+        try:
+            return _commit_deletes_once(
+                table_dir, version, base, stats, partition_col, now_ms,
+                catalog, table_name,
+            )
+        except CommitConflictError as e:
+            last_err = e
+    assert last_err is not None
+    raise last_err
+
+
+def write_equality_deletes(
+    spark,
+    table_dir: str,
+    keys_df,
+    equality_cols: list[str],
+    partition_col: str = "partition",
+    meta: dict | None = None,
+) -> list[dict]:
+    """Write spec-shaped **equality-delete files** (content=2) for the
+    key rows in ``keys_df`` — the CDC-writer primitive: delete every
+    row matching a key WITHOUT scanning the data (vs position deletes,
+    which cost one corpus scan to plan). ``keys_df`` must carry the
+    equality columns plus the partition column (an equality delete is
+    scoped to its partition, per spec); each partition's distinct keys
+    are written by one Arrow task as a parquet file of exactly the
+    equality columns, with their Iceberg field ids, sorted. Returns
+    stats (with ``equality_ids``) for :func:`commit_equality_deletes`."""
+    if meta is None:
+        _v, meta, _t = _current_state_meta(table_dir)
+    if meta.get("current-snapshot-id", -1) == -1:
+        # no data has ever been committed: an equality delete applies
+        # only to data files with a strictly lower sequence number, so
+        # there is nothing to delete — no-op (mirrors the position-
+        # delete path) instead of writing orphan files and crashing in
+        # _commit_deletes_once's current-snapshot lookup
+        return []
+    schema_struct = _current_schema_struct(meta)
+    ids = [_field_id(schema_struct, c) for c in equality_cols]
+    missing = [
+        c for c in [partition_col, *equality_cols] if c not in keys_df.columns
+    ]
+    if missing:
+        raise ValueError(f"keys_df lacks columns {missing}")
+    token = uuid.uuid4().hex[:16]
+    cols = list(equality_cols)
+
+    def _write_group(pdf):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part = pdf[partition_col].iloc[0]
+        part = None if pd.isna(part) else int(part)
+        part_dir = (
+            f"{partition_col}={part}"
+            if part is not None
+            else f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+        )
+        out_dir = os.path.join(table_dir, "deletes", part_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"delete-eq-{token}-p{part}.parquet")
+        body = pdf[cols].sort_values(cols).reset_index(drop=True)
+        tbl = pa.Table.from_pandas(body, preserve_index=False)
+        fields = [
+            f.with_metadata(
+                {b"PARQUET:field_id": str(ids[cols.index(f.name)]).encode()}
+            )
+            for f in tbl.schema
+        ]
+        tbl = tbl.cast(pa.schema(fields))
+        pq.write_table(tbl, path, compression="zstd")
+        return pd.DataFrame(
+            [[path, part, len(body), os.path.getsize(path)]],
+            columns=["delete_path", "partition", "n_rows", "file_size"],
+        )
+
+    stats = (
+        keys_df.select(partition_col, *equality_cols)
+        .distinct()
+        .groupBy(partition_col)
+        .applyInPandas(
+            _write_group,
+            "delete_path string, partition int, n_rows bigint, file_size bigint",
+        )
+    )
+    return [{**r.asDict(), "equality_ids": ids} for r in stats.collect()]
+
+
+def commit_equality_deletes(
+    spark,
+    table_dir: str,
+    keys_df,
+    equality_cols: list[str],
+    partition_col: str = "partition",
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """Row-level DELETE by key as an Iceberg v2 row-delta commit of
+    equality-delete files — the upsert building block real CDC writers
+    (Flink CDC into Iceberg) use: commit the delete of a key set
+    without reading the data, then append the replacement rows; the
+    strict sequence-number rule (applies only to data files with seq
+    STRICTLY below the delete's) guarantees the replacements survive.
+    An empty key set returns the current metadata unchanged."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+    )
+
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None and table_name is None:
+        table_name = _default_table_name(table_dir)
+    last_err: Exception | None = None
+    for _attempt in range(max_commit_retries if catalog is not None else 1):
+        version, base, table_name = _current_state_meta(
+            table_dir, catalog, table_name
+        )
+        stats = write_equality_deletes(
+            spark, table_dir, keys_df, equality_cols, partition_col, meta=base
+        )
+        if not stats:
+            return base
+        try:
+            return _commit_deletes_once(
+                table_dir, version, base, stats, partition_col, now_ms,
+                catalog, table_name,
+            )
+        except CommitConflictError as e:
+            last_err = e
+    assert last_err is not None
+    raise last_err
+
+
+def _commit_deletes_once(
+    table_dir: str,
+    version: int,
+    base: dict,
+    stats: list[dict],
+    partition_col: str,
+    now_ms: int,
+    catalog,
+    table_name: str | None,
+) -> dict:
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    newest_ts = max((s["timestamp-ms"] for s in base["snapshots"]), default=0)
+    now_ms = max(now_ms, newest_ts)  # snapshot-log monotonicity clamp
+    seq = base["last-sequence-number"] + 1
+    snapshot_id = seq
+    commit_uuid = uuid.uuid4().hex[:16]
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                # 1 = POSITION_DELETES, 2 = EQUALITY_DELETES
+                "content": 2 if s.get("equality_ids") else 1,
+                "file_path": s["delete_path"],
+                "file_format": "PARQUET",
+                "partition": {partition_col: s["partition"]},
+                "record_count": s["n_rows"],
+                "file_size_in_bytes": s["file_size"],
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "split_offsets": None,
+                "equality_ids": s.get("equality_ids") or None,
+                "sort_order_id": None,
+            },
+        }
+        for s in sorted(stats, key=lambda s: s["delete_path"])
+    ]
+    schema_struct = _current_schema_struct(base)
+    spec = base["partition-specs"][0]
+    manifest_path = os.path.join(
+        meta_dir, f"{base['table-uuid']}-d{seq}-{commit_uuid}.avro"
+    )
+    manifest_len = write_avro_ocf(
+        manifest_path,
+        manifest_entry_schema(partition_col),
+        entries,
+        {
+            "schema": json.dumps(schema_struct).encode(),
+            "schema-id": str(base["current-schema-id"]).encode(),
+            "partition-spec": json.dumps(spec["fields"]).encode(),
+            "partition-spec-id": b"0",
+            "format-version": str(FORMAT_VERSION).encode(),
+            "content": b"deletes",
+        },
+    )
+    return _finish_delete_commit(
+        table_dir, version, base, stats, now_ms, catalog, table_name,
+        seq, snapshot_id, commit_uuid, manifest_path, manifest_len,
+        len(entries),
+    )
+
+
+def _finish_delete_commit(
+    table_dir: str,
+    version: int,
+    base: dict,
+    stats: list[dict],
+    now_ms: int,
+    catalog,
+    table_name: str | None,
+    seq: int,
+    snapshot_id: int,
+    commit_uuid: str,
+    manifest_path: str,
+    manifest_len: int,
+    n_entries: int,
+    prior_manifests: list[dict] | None = None,
+    removed_pos_deletes: int = 0,
+    summary_extra: dict | None = None,
+) -> dict:
+    """Shared tail of every delete-flavored commit (v2 parquet
+    row-deltas and v3-style deletion vectors): build the DELETE
+    manifest-list entry, chain the snapshot, bump the delete counters,
+    register the FILE_LIST statistics Puffin, and move the pointer
+    (catalog protocol or local version write).
+
+    ``prior_manifests`` overrides the carried-over manifest list (the
+    DV supersede path rewrites prior delete manifests to tombstone the
+    replaced DV entries); ``removed_pos_deletes`` is subtracted from
+    the running total (a superseding DV's cardinality includes the
+    union of the old one, which must not double-count)."""
+    meta_dir = os.path.join(table_dir, "metadata")
+    parts = [s["partition"] for s in stats]
+    non_null = [p for p in parts if p is not None] or [0]
+    n_del_rows = sum(int(s["n_rows"]) for s in stats)
+    n_pos = sum(int(s["n_rows"]) for s in stats if not s.get("equality_ids"))
+    n_eq = n_del_rows - n_pos
+    delete_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": manifest_len,
+        "partition_spec_id": 0,
+        "content": 1,  # DELETES manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": n_entries,
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": n_del_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": [
+            {
+                "contains_null": any(p is None for p in parts),
+                "contains_nan": False,
+                "lower_bound": struct.pack("<i", min(non_null)),
+                "upper_bound": struct.pack("<i", max(non_null)),
+            }
+        ],
+    }
+    if prior_manifests is None:
+        cur = next(
+            s
+            for s in base["snapshots"]
+            if s["snapshot-id"] == base["current-snapshot-id"]
+        )
+        _, prior_manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+    else:
+        prior_manifest_files = prior_manifests
+    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+    write_avro_ocf(
+        list_path,
+        MANIFEST_FILE_SCHEMA,
+        [delete_manifest] + prior_manifest_files,
+        {
+            "format-version": str(FORMAT_VERSION).encode(),
+            "snapshot-id": str(snapshot_id).encode(),
+            "sequence-number": str(seq).encode(),
+            "parent-snapshot-id": str(base["current-snapshot-id"]).encode(),
+        },
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "schema-id": base["current-schema-id"],
+        "parent-snapshot-id": base["current-snapshot-id"],
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(n_entries),
+            "added-position-deletes": str(n_pos),
+            "added-equality-deletes": str(n_eq),
+            "total-position-deletes": str(
+                _prev_total_pos_deletes(base) + n_pos - removed_pos_deletes
+            ),
+            "total-equality-deletes": str(
+                _prev_summary_counter(base, "total-equality-deletes") + n_eq
+            ),
+            "total-records": str(_prev_total_records(base)),
+            **{k: str(v) for k, v in (summary_extra or {}).items()},
+        },
+    }
+
+    from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+        FILE_LIST,
+        write_puffin,
+    )
+
+    stats_path = os.path.join(meta_dir, f"stats-{snapshot_id}-{commit_uuid}.puffin")
+    file_list = [
+        {
+            "location": s["delete_path"],
+            "partition": s["partition"],
+            "recordCount": int(s["n_rows"]),
+            "fileSizeInBytes": int(s["file_size"]),
+        }
+        for s in stats
+    ]
+    pstats = write_puffin(
+        stats_path, [(FILE_LIST, json.dumps(file_list).encode())], snapshot_id, seq
+    )
+    stat_entry = {
+        "snapshot-id": snapshot_id,
+        "statistics-path": stats_path,
+        "file-size-in-bytes": pstats["file_size"],
+        "file-footer-size-in-bytes": pstats["footer_size"],
+        "blob-metadata": pstats["blob_metadata"],
+    }
+
+    meta = dict(base)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = base["snapshots"] + [snapshot]
+    meta["statistics"] = base.get("statistics", []) + [stat_entry]
+    meta["refs"] = _advance_main(base.get("refs"), snapshot_id)
+    meta["snapshot-log"] = base["snapshot-log"] + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    meta["metadata-log"] = base.get("metadata-log", []) + [
+        {
+            "timestamp-ms": base["last-updated-ms"],
+            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+        }
+    ]
+
+    if catalog is not None:
+        updates = [
+            {"action": "add-snapshot", "snapshot": snapshot},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": snapshot_id,
+            },
+            {"action": "set-statistics", "statistics": stat_entry},
+        ]
+        resp = catalog.commit_table(
+            table_name, _maintenance_requirements(base), updates, now_ms
+        )
+        return resp["metadata"]
+    _write_metadata_version(meta_dir, version + 1, meta)
+    return meta

@@ -1,0 +1,321 @@
+"""Incremental windows and the changelog reader.
+
+Split from the original sources/iceberg.py (r7); provenance and
+parity citations live in the package __init__ and the function
+docstrings.
+"""
+
+from __future__ import annotations
+
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+    _is_rewrite_output,
+    _read_planned_files,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
+    read_avro_ocf,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
+    _empty_table_df,
+    _plan_snapshot,
+    _read_plan_with_identity,
+    _read_snapshot,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+    _current_state_meta,
+)
+
+
+def plan_incremental_scan(
+    table_dir: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> list[dict]:
+    """Iceberg incremental APPEND scan (what Spark's
+    ``spark.readStream.format("iceberg")`` and batch
+    ``start-snapshot-id`` options plan): the data files appended
+    STRICTLY AFTER ``from_snapshot_id`` up to and including
+    ``to_snapshot_id`` (default: current). Selection is by data
+    sequence number — robust across `rewrite_manifests`, whose
+    carried-over entries keep their original sequence numbers, so
+    compaction is never mistaken for new data.
+
+    A row-delta (delete) snapshot inside the window is an explicit
+    error, exactly like the Java incremental append scan: silently
+    handing a consumer appended rows while hiding that other rows were
+    retracted would corrupt any downstream incremental materialization.
+    An expired ``from_snapshot_id`` is an error too (the changelog gap
+    is unrecoverable; re-bootstrap from a full scan)."""
+    _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    return _plan_incremental_from_meta(meta, from_snapshot_id, to_snapshot_id)
+
+
+def _plan_seq_window(meta: dict, lo_seq: int, hi_seq: int) -> list[dict]:
+    """Data files appended with ``lo_seq < seq <= hi_seq``, planned from
+    the CURRENT snapshot — correct even when every snapshot inside the
+    window has been expired, because carried-over manifest entries keep
+    their original sequence numbers. Shared by the batch incremental
+    scan and the streaming source so their window/delete semantics can
+    never drift.
+
+    Safety: a DELETE FILE with a sequence number inside the window is
+    an explicit error (rows were retracted; an append-only changelog
+    cannot represent it). This checks the delete FILES themselves, not
+    snapshot summaries — summaries disappear with snapshot expiration,
+    the files do not.
+
+    Scale: manifests are pruned by their sequence-number bounds before
+    being opened — ``manifest.sequence_number <= lo`` means every entry
+    is <= lo (entries never postdate their manifest), and
+    ``min_sequence_number > hi`` means every entry is > hi — so a
+    bounded window over a long history opens only the overlapping
+    manifests."""
+    cur_id = meta.get("current-snapshot-id", -1)
+    if cur_id == -1 or hi_seq <= lo_seq:
+        return []
+    cur = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur_id)
+    _, manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+    # snapshots that REWROTE data files (rewrite_data_files): their
+    # added files are compaction output, not logical appends — skip
+    # them; conversely the data entries they tombstoned are still
+    # logical appends for windows that contain the original append.
+    # Like the Java IncrementalAppendScan this consults snapshot
+    # summaries, so it degrades if the rewrite snapshot is expired
+    # while an older window is still queried (the tombstoned DELETE
+    # files keep the retraction guard itself durable).
+    rewrite_ids = _data_rewrite_snapshot_ids(meta)
+    out: list[dict] = []
+    for mf in manifest_files:
+        if int(mf.get("sequence_number", 0)) <= lo_seq:
+            continue  # every entry predates the window
+        if int(mf.get("min_sequence_number", 0)) > hi_seq:
+            continue  # every entry postdates the window
+        _, entries, _ = read_avro_ocf(mf["manifest_path"])
+        for e in entries:
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf.get("sequence_number", 0)
+            seq = int(seq)
+            if not (lo_seq < seq <= hi_seq):
+                continue
+            d = e["data_file"]
+            # the retraction guard fires for TOMBSTONED (status=2)
+            # delete files too: a DV supersede or data-file rewrite
+            # tombstones the old delete entry, but the rows it
+            # retracted inside the window are still retracted — the
+            # tombstone must not blind the guard
+            if d.get("content") in (1, 2):
+                raise ValueError(
+                    f"row-delta delete file {d['file_path']} has sequence "
+                    f"number {seq} inside the incremental window ({lo_seq}, "
+                    f"{hi_seq}]; an append-only changelog cannot represent "
+                    "row retraction"
+                )
+            # compaction output is never a logical append, whatever its
+            # status — the path marker survives snapshot expiration and
+            # manifest compaction, unlike summary lookups
+            compacted = _is_rewrite_output(d["file_path"], meta["location"])
+            if e["status"] == 2:
+                if compacted:
+                    continue  # replaced output of an earlier rewrite
+                if e.get("snapshot_id") in rewrite_ids:
+                    # tombstoned by a data-file rewrite: compacted, not
+                    # logically deleted — the file (still on disk until
+                    # vacuum) serves the window's appended rows
+                    out.append(dict(d))
+                    continue
+                raise ValueError(
+                    f"data file {d['file_path']} (sequence {seq}) was "
+                    f"removed inside the window ({lo_seq}, {hi_seq}] by "
+                    "a snapshot this metadata no longer explains (an "
+                    "expired rewrite or a foreign overwrite); cannot "
+                    "certify the window append-only — re-bootstrap from "
+                    "a full scan"
+                )
+            if compacted or e.get("snapshot_id") in rewrite_ids:
+                continue  # compaction output, not a logical append
+            out.append(dict(d))
+    return out
+
+
+def _data_rewrite_snapshot_ids(meta: dict) -> set:
+    """Snapshot ids whose commit REWROTE data files (operation
+    ``replace`` that deleted data files — `rewrite_data_files`;
+    `rewrite_manifests` is also ``replace`` but touches no files)."""
+    out = set()
+    for s in meta["snapshots"]:
+        summary = s.get("summary") or {}
+        if (
+            summary.get("operation") == "replace"
+            and int(summary.get("deleted-data-files", "0") or 0) > 0
+        ):
+            out.add(s["snapshot-id"])
+    return out
+
+
+def _plan_incremental_from_meta(
+    meta: dict, from_snapshot_id: int, to_snapshot_id: int | None
+) -> list[dict]:
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if from_snapshot_id not in by_id:
+        raise ValueError(
+            f"from snapshot {from_snapshot_id} expired or never existed — "
+            "re-bootstrap from a full scan"
+        )
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id", -1)
+    if to_snapshot_id not in by_id:
+        raise ValueError(f"to snapshot {to_snapshot_id} not found")
+    from_seq = int(by_id[from_snapshot_id]["sequence-number"])
+    to_seq = int(by_id[to_snapshot_id]["sequence-number"])
+    if to_seq < from_seq:
+        raise ValueError("to snapshot predates from snapshot")
+    return _plan_seq_window(meta, from_seq, to_seq)
+
+
+def read_iceberg_incremental(
+    spark,
+    table_dir: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+):
+    """The rows appended between two snapshots (see
+    :func:`plan_incremental_scan`) — the batch form of an incremental
+    training-data ingestion step: each run consumes exactly the new
+    corpus shards, never rereads history. One metadata load serves both
+    the plan and the schema typing."""
+    _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    files = _plan_incremental_from_meta(
+        meta, from_snapshot_id, to_snapshot_id
+    )
+    if not files:
+        return _empty_table_df(spark, meta)
+    return _read_planned_files(
+        spark, table_dir, meta, [f["file_path"] for f in files]
+    )
+
+
+def read_iceberg_changelog(
+    spark,
+    table_dir: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+):
+    """NET changelog between two snapshots as typed change rows — the
+    CDC read that the append-only incremental scan refuses when deletes
+    are present (Iceberg's changelog scan / Spark's
+    ``create_changelog_view``): every table column plus
+    ``_change_type`` (``insert`` | ``delete``). Row identity is
+    (data file, row position) — the same identity position deletes use
+    — so the diff is exact: a row appended AND deleted inside the
+    window nets out, replacement rows from a CDC upsert surface as
+    deletes of the old identities plus inserts of the new ones.
+
+    Scale shape: inserts are read METADATA-ONLY (the window's appended
+    files, already net of later in-window deletes because the ``to``
+    snapshot's view applies them); only rows of PRE-WINDOW files need
+    the row-level anti-join (old-file rows can only disappear), and
+    both sides of that join are pruned to pre-window files first. No
+    full-table diff is ever materialized."""
+    from pyspark.sql import functions as F
+
+    _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if from_snapshot_id not in by_id:
+        raise ValueError(
+            f"from snapshot {from_snapshot_id} expired or never existed — "
+            "re-bootstrap from a full scan"
+        )
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id", -1)
+    if to_snapshot_id not in by_id:
+        raise ValueError(f"to snapshot {to_snapshot_id} not found")
+    from_seq = int(by_id[from_snapshot_id]["sequence-number"])
+    to_seq = int(by_id[to_snapshot_id]["sequence-number"])
+    if to_seq < from_seq:
+        raise ValueError("to snapshot predates from snapshot")
+    # a data-file rewrite inside the window churns every surviving
+    # row's (file, pos) identity — the net diff would report the whole
+    # table as delete+insert. Same rows by construction, so the honest
+    # answer is to refuse and have the caller split the window at the
+    # rewrite (Spark's changelog likewise skips REPLACE snapshots).
+    rewrite_ids = _data_rewrite_snapshot_ids(meta)
+    for s in meta["snapshots"]:
+        if (
+            from_seq < int(s["sequence-number"]) <= to_seq
+            and s["snapshot-id"] in rewrite_ids
+        ):
+            raise ValueError(
+                f"changelog window spans data-file rewrite snapshot "
+                f"{s['snapshot-id']} (rewrite_data_files churns row "
+                "identity); split the window at the rewrite"
+            )
+    ids = ["__iceberg_file", "__iceberg_pos"]
+    # ONE manifest walk of the `to` snapshot; the window/pre-window
+    # split is a FILE-LEVEL plan split (two separately planned scans),
+    # not a post-scan row filter — each data file is read at most once
+    # and only the files a side needs are opened
+    to_data, to_deletes = _plan_snapshot(by_id[to_snapshot_id], None)
+    # durable twin of the summary-based refusal above: rewrite output
+    # carries the _compacted- path marker, so an expired rewrite
+    # snapshot (e.g. a tag keeps `from` alive across expiration) still
+    # cannot slip identity-churned files into the diff as inserts
+    for d in to_data:
+        if (
+            _is_rewrite_output(d["file_path"], meta["location"])
+            and from_seq < d["_seq"] <= to_seq
+        ):
+            raise ValueError(
+                f"changelog window spans data-file rewrite output "
+                f"{d['file_path']} (rewrite_data_files churns row "
+                "identity); split the window at the rewrite"
+            )
+    if not to_data:
+        return (
+            _empty_table_df(spark, meta)
+            .withColumn("_change_type", F.lit(""))
+            .where(F.lit(False))
+        )
+    new_data = [d for d in to_data if from_seq < d["_seq"] <= to_seq]
+    old_data = [d for d in to_data if d["_seq"] <= from_seq]
+    inserted = None
+    if new_data:
+        inserted = (
+            _read_plan_with_identity(
+                spark, table_dir, meta, new_data, to_deletes
+            )
+            .withColumn("_change_type", F.lit("insert"))
+            .drop(*ids)
+        )
+    a = _read_snapshot(
+        spark, table_dir, meta, by_id[from_snapshot_id], None,
+        keep_identity=True,
+    )
+    if a is None or not old_data:
+        # table was empty at `from`: everything live in-window is new
+        if inserted is not None:
+            return inserted
+        return (
+            _empty_table_df(spark, meta)
+            .withColumn("_change_type", F.lit(""))
+            .where(F.lit(False))
+        )
+    b_old = _read_plan_with_identity(
+        spark, table_dir, meta, old_data, to_deletes
+    )
+    deleted = (
+        a.join(b_old.select(*ids), ids, "left_anti")
+        .withColumn("_change_type", F.lit("delete"))
+        .drop(*ids)
+    )
+    if inserted is None:
+        return deleted
+    # allowMissingColumns: a window spanning a schema evolution has
+    # delete rows read under the pre-evolution file schema — added
+    # optional columns fill with null instead of failing the union
+    return inserted.unionByName(deleted, allowMissingColumns=True)

@@ -1,0 +1,1089 @@
+"""expire_snapshots / rewrite_manifests / rewrite_data_files / remove_orphan_files.
+
+Split from the original sources/iceberg.py (r7); provenance and
+parity citations live in the package __init__ and the function
+docstrings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+    MANIFEST_FILE_SCHEMA,
+    _STATS_KEYS,
+    _column_stats_fields,
+    _leaf_field_ids,
+    _stat_data_files,
+    _tombstone_gc_safe,
+    manifest_entry_schema,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
+    FORMAT_VERSION,
+    read_avro_ocf,
+    write_avro_ocf,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
+    _plan_snapshot,
+    _read_plan_with_identity,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+    _advance_main,
+    _current_schema_struct,
+    _maintenance_requirements,
+    _maintenance_state,
+    _prev_summary_counter,
+    _prev_total_pos_deletes,
+    _write_metadata_version,
+)
+
+
+def expire_snapshots(
+    table_dir: str,
+    keep_last: int = 1,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """Iceberg snapshot expiration (`expireSnapshots` maintenance — the
+    catalog-side analog of the reference's retention/delete plane):
+    drop all but the newest ``keep_last`` snapshots from the metadata,
+    delete their no-longer-referenced manifest lists, manifests, and
+    statistics files, and write a new metadata version. Data files
+    still referenced by a surviving snapshot are untouched (an append-
+    only table's old files stay live in the current snapshot). Returns
+    the new metadata dict. In catalog mode a lost race (concurrent
+    append moved the head between load and commit) reloads and retries
+    — maintenance on a busy streaming table must not deterministically
+    fail."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+    )
+
+    last_err: Exception | None = None
+    for _attempt in range(max_commit_retries if catalog is not None else 1):
+        try:
+            return _expire_snapshots_once(
+                table_dir, keep_last, now_ms, catalog, table_name
+            )
+        except CommitConflictError as e:
+            last_err = e
+    assert last_err is not None
+    raise last_err
+
+
+def _expire_snapshots_once(
+    table_dir: str,
+    keep_last: int,
+    now_ms: int | None,
+    catalog,
+    table_name: str | None,
+) -> dict:
+    import time as _time
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    version, meta, table_name = _maintenance_state(table_dir, catalog, table_name)
+    snaps = meta["snapshots"]
+    if len(snaps) <= keep_last:
+        return meta
+    # spec: expiration never removes a snapshot any ref points at — a
+    # tag pins its snapshot for the tag's lifetime
+    ref_ids = {
+        r["snapshot-id"] for r in (meta.get("refs") or {}).values()
+    }
+    keep_ids = {s["snapshot-id"] for s in snaps[-keep_last:]} | ref_ids
+    # an unpublished BRANCH lineage survives too: fast_forward's
+    # ancestry check needs the parent chain from the branch head back
+    # to the fork point. Bounded by the branch-only chain — the walk
+    # stops at anything already kept or on main's lineage, so old
+    # published history is never dragged back in.
+    by_id_all = {s["snapshot-id"]: s for s in snaps}
+    main_lineage: set = set()
+    node = meta.get("current-snapshot-id", -1)
+    while node in by_id_all:
+        main_lineage.add(node)
+        node = by_id_all[node].get("parent-snapshot-id")
+    for name, r in (meta.get("refs") or {}).items():
+        if name == "main" or r.get("type") != "branch":
+            continue
+        head = by_id_all.get(r["snapshot-id"])
+        node = head.get("parent-snapshot-id") if head else None
+        while (
+            node in by_id_all
+            and node not in keep_ids
+            and node not in main_lineage
+        ):
+            keep_ids.add(node)
+            node = by_id_all[node].get("parent-snapshot-id")
+    keep = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return meta
+
+    # files referenced by surviving snapshots stay; everything metadata-
+    # side that only the expired snapshots referenced is deleted
+    live_manifest_paths: set[str] = set()
+    for s in keep:
+        _, manifest_files, _ = read_avro_ocf(s["manifest-list"])
+        live_manifest_paths.update(mf["manifest_path"] for mf in manifest_files)
+    removed: list[str] = []
+    for s in expired:
+        _, manifest_files, _ = read_avro_ocf(s["manifest-list"])
+        for mf in manifest_files:
+            if mf["manifest_path"] not in live_manifest_paths:
+                removed.append(mf["manifest_path"])
+        removed.append(s["manifest-list"])
+    new_stats = []
+    for st in meta.get("statistics", []):
+        if st["snapshot-id"] in keep_ids:
+            new_stats.append(st)
+        else:
+            removed.append(st["statistics-path"])
+
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    meta_dir = os.path.join(table_dir, "metadata")
+    new_meta = dict(meta)
+    new_meta["statistics"] = new_stats
+    new_meta["snapshot-log"] = [
+        e for e in meta["snapshot-log"] if e["snapshot-id"] in keep_ids
+    ]
+    new_meta["last-updated-ms"] = now_ms
+    # the superseded metadata version joins metadata-log (same chain
+    # maintenance as commit_append — external history walkers rely on it)
+    new_meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+        }
+    ]
+    # oldest surviving snapshot loses its parent pointer if the parent
+    # was expired (spec: parent-snapshot-id may reference a missing
+    # snapshot only transiently; drop it for cleanliness)
+    new_meta["snapshots"] = [
+        (
+            {k: v for k, v in s.items() if k != "parent-snapshot-id"}
+            if s.get("parent-snapshot-id") not in keep_ids
+            else s
+        )
+        for s in keep
+    ]
+    # COMMIT FIRST, clean up after: the new metadata version + hint are
+    # durable before any file is removed, so a crash mid-delete leaves a
+    # fully consistent table plus some not-yet-collected orphans (the
+    # safe failure mode; the reverse order wedges the current metadata
+    # on already-deleted manifest lists)
+    if catalog is not None:
+        expired_ids = [s["snapshot-id"] for s in expired]
+        updates = [{"action": "remove-snapshots", "snapshot-ids": expired_ids}]
+        updates += [
+            {"action": "remove-statistics", "snapshot-id": sid}
+            for sid in expired_ids
+        ]
+        resp = catalog.commit_table(
+            table_name, _maintenance_requirements(meta), updates, now_ms
+        )
+        new_meta = resp["metadata"]
+    else:
+        _write_metadata_version(meta_dir, version + 1, new_meta)
+    for path in removed:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+    return new_meta
+
+
+def rewrite_manifests(
+    table_dir: str,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """See :func:`_rewrite_manifests_once`; in catalog mode a lost race
+    against a concurrent append reloads the (now longer) manifest list
+    and re-compacts — exactly the table state compaction exists for."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+    )
+
+    last_err: Exception | None = None
+    for _attempt in range(max_commit_retries if catalog is not None else 1):
+        try:
+            return _rewrite_manifests_once(table_dir, now_ms, catalog, table_name)
+        except CommitConflictError as e:
+            last_err = e
+    assert last_err is not None
+    raise last_err
+
+
+def _rewrite_manifests_once(
+    table_dir: str,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> dict:
+    """Iceberg ``rewriteManifests`` maintenance: merge the current
+    snapshot's manifests into ONE compacted manifest and commit it as a
+    new snapshot (operation ``replace`` — same data files, new
+    metadata layout). Long-lived streaming tables accumulate one
+    manifest per micro-batch; scan planning walks every manifest, so
+    periodic compaction keeps the metadata walk O(1) per scan instead
+    of O(commits). Carried-over entries get status 0/EXISTING (their
+    original sequence numbers preserved), so external incremental/CDC
+    readers do not see compaction as appends. No-op on tables with
+    <= 1 manifest."""
+    import time as _time
+
+    version, meta, table_name = _maintenance_state(table_dir, catalog, table_name)
+    if meta.get("current-snapshot-id", -1) == -1:
+        return meta
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifest_files, _ = read_avro_ocf(cur["manifest-list"])
+    n_data_m = sum(1 for mf in manifest_files if not mf.get("content"))
+    if n_data_m <= 1 and len(manifest_files) - n_data_m <= 1:
+        return meta  # already compact (<=1 manifest of each content)
+    partition_col = meta["partition-specs"][0]["fields"][0]["name"]
+    # tombstone GC horizon: status=2 entries are load-bearing for the
+    # incremental planner (rewrite_data_files / DV-supersede history),
+    # but only inside windows a caller can still open — and a window's
+    # `from` must be a snapshot that still exists. Entries at or below
+    # the oldest live snapshot's sequence number are unreachable.
+    horizon = min(
+        (int(s["sequence-number"]) for s in meta["snapshots"]),
+        default=0,
+    )
+    # data and delete manifests compact SEPARATELY (spec: a manifest
+    # holds either data files or delete files, never both — merging
+    # them would make every scan read delete entries as data)
+    groups: dict[int, list] = {0: [], 1: []}
+    for mf in manifest_files:
+        _, es, _ = read_avro_ocf(mf["manifest_path"])
+        for e in es:
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf.get("sequence_number", 0)
+            d2 = dict(e["data_file"])
+            d2.setdefault("equality_ids", None)
+            for k in _STATS_KEYS:  # pre-stats manifests lack these
+                d2.setdefault(k, None)
+            if e["status"] == 2:
+                # carry tombstones (original deleting-snapshot
+                # attribution intact) until no queryable window can
+                # reach them — dropping them would blind the
+                # incremental planner's retraction guard and lose
+                # pre-rewrite windows (see _plan_seq_window); hive-
+                # layout data tombstones are additionally the
+                # discovery dedup record and never GC (see
+                # _tombstone_gc_safe)
+                if int(seq) <= horizon and _tombstone_gc_safe(d2, table_dir):
+                    continue
+                e2 = {**e, "sequence_number": int(seq), "data_file": d2}
+            else:
+                # spec: carried-over files are status 0 (EXISTING) — an
+                # incremental/CDC reader must not see compaction as
+                # appends; sequence numbers become explicit so
+                # inheritance from the NEW manifest cannot rewrite
+                # history
+                e2 = {
+                    **e,
+                    "status": 0,
+                    "sequence_number": int(seq),
+                    "data_file": d2,
+                }
+            groups[0 if not d2.get("content") else 1].append(e2)
+    entries = groups[0]
+    lo = hi = None
+    rows = 0
+    n_live = n_dead = dead_rows = 0
+    for e in entries:
+        p = e["data_file"]["partition"].get(partition_col)
+        if p is not None:
+            lo = p if lo is None else min(lo, p)
+            hi = p if hi is None else max(hi, p)
+        if e["status"] == 2:
+            n_dead += 1
+            dead_rows += e["data_file"]["record_count"]
+        else:
+            n_live += 1
+            rows += e["data_file"]["record_count"]
+
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    # snapshot-log monotonicity (same clamp as _commit_append_once): a
+    # maintenance clock behind the head must not time-travel the log
+    now_ms = max(
+        now_ms, max((s["timestamp-ms"] for s in meta["snapshots"]), default=0)
+    )
+    meta_dir = os.path.join(table_dir, "metadata")
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+    schema_struct = _current_schema_struct(meta)
+    spec = meta["partition-specs"][0]
+    compact_uuid = uuid.uuid4().hex[:16]  # same per-attempt token as
+    # commit_append: concurrent maintenance must not collide on staged
+    # metadata paths
+    manifest_path = os.path.join(
+        meta_dir, f"{meta['table-uuid']}-compacted-m{seq}-{compact_uuid}.avro"
+    )
+    manifest_len = write_avro_ocf(
+        manifest_path,
+        manifest_entry_schema(partition_col),
+        entries,
+        {
+            "schema": json.dumps(schema_struct).encode(),
+            "schema-id": str(meta["current-schema-id"]).encode(),
+            "partition-spec": json.dumps(spec["fields"]).encode(),
+            "partition-spec-id": b"0",
+            "format-version": str(FORMAT_VERSION).encode(),
+            "content": b"data",
+        },
+    )
+    min_seq = min(
+        (e["sequence_number"] for e in entries),
+        default=min(mf["min_sequence_number"] for mf in manifest_files),
+    )
+    compacted = {
+        "manifest_path": manifest_path,
+        "manifest_length": manifest_len,
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": min_seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": 0,
+        "existing_data_files_count": n_live,
+        "deleted_data_files_count": n_dead,
+        "added_rows_count": 0,
+        "existing_rows_count": rows,
+        "deleted_rows_count": dead_rows,
+        "partitions": [
+            {
+                "contains_null": any(
+                    e["data_file"]["partition"].get(partition_col) is None
+                    for e in entries
+                ),
+                "contains_nan": False,
+                "lower_bound": struct.pack("<i", lo if lo is not None else 0),
+                "upper_bound": struct.pack("<i", hi if hi is not None else 0),
+            }
+        ],
+    }
+    new_manifest_files = [compacted]
+    if groups[1]:
+        # the table's position-delete entries compact into their own
+        # content=1 manifest, preserving each entry's sequence number
+        # (the delete-applies-to rule depends on it); the schema
+        # selection goes through normalize_delete_entries so DV
+        # locators survive compaction
+        del_entries = groups[1]
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501 (local import: deletion_vectors imports this module)
+            normalize_delete_entries,
+        )
+
+        del_schema = normalize_delete_entries(del_entries, partition_col)
+        del_path = os.path.join(
+            meta_dir, f"{meta['table-uuid']}-compacted-d{seq}-{compact_uuid}.avro"
+        )
+        del_len = write_avro_ocf(
+            del_path,
+            del_schema,
+            del_entries,
+            {
+                "schema": json.dumps(schema_struct).encode(),
+                "schema-id": str(meta["current-schema-id"]).encode(),
+                "partition-spec": json.dumps(spec["fields"]).encode(),
+                "partition-spec-id": b"0",
+                "format-version": str(FORMAT_VERSION).encode(),
+                "content": b"deletes",
+            },
+        )
+        dparts = [
+            e["data_file"]["partition"].get(partition_col) for e in del_entries
+        ]
+        d_non_null = [p for p in dparts if p is not None] or [0]
+        new_manifest_files.append(
+            {
+                "manifest_path": del_path,
+                "manifest_length": del_len,
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    e["sequence_number"] for e in del_entries
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": 0,
+                "existing_data_files_count": sum(
+                    1 for e in del_entries if e["status"] != 2
+                ),
+                "deleted_data_files_count": sum(
+                    1 for e in del_entries if e["status"] == 2
+                ),
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in del_entries
+                    if e["status"] != 2
+                ),
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in del_entries
+                    if e["status"] == 2
+                ),
+                "partitions": [
+                    {
+                        "contains_null": any(p is None for p in dparts),
+                        "contains_nan": False,
+                        "lower_bound": struct.pack("<i", min(d_non_null)),
+                        "upper_bound": struct.pack("<i", max(d_non_null)),
+                    }
+                ],
+            }
+        )
+    summary = {
+        "operation": "replace",
+        "manifests-replaced": str(len(manifest_files)),
+        "manifests-created": str(len(new_manifest_files)),
+        "total-records": str(rows),
+        "total-position-deletes": str(_prev_total_pos_deletes(meta)),
+        "total-equality-deletes": str(
+            _prev_summary_counter(meta, "total-equality-deletes")
+        ),
+    }
+    file_list = [
+        {
+            "location": e["data_file"]["file_path"],
+            "partition": e["data_file"]["partition"].get(partition_col),
+            "recordCount": e["data_file"]["record_count"],
+            "fileSizeInBytes": e["data_file"]["file_size_in_bytes"],
+        }
+        for e in entries
+        if e["status"] != 2
+    ]
+    return _finish_replace_commit(
+        table_dir, version, meta, now_ms, seq, snapshot_id, compact_uuid,
+        new_manifest_files, summary, file_list, catalog, table_name,
+    )
+
+
+def _finish_replace_commit(
+    table_dir: str,
+    version: int,
+    meta: dict,
+    now_ms: int,
+    seq: int,
+    snapshot_id: int,
+    commit_uuid: str,
+    new_manifest_files: list[dict],
+    summary: dict,
+    file_list: list[dict],
+    catalog,
+    table_name: str | None,
+    extra_updates: list[dict] | None = None,
+) -> dict:
+    """Shared tail of the REPLACE-flavored maintenance commits
+    (`rewrite_manifests`, `rewrite_data_files`): write the manifest
+    list, chain the snapshot, register the FILE_LIST statistics Puffin,
+    and move the pointer (catalog protocol or local version write).
+    ``extra_updates`` ride along in the catalog commit (e.g. the
+    add-sort-order a sorted rewrite records); local mode picks the
+    same changes up from the caller-mutated ``meta``."""
+    meta_dir = os.path.join(table_dir, "metadata")
+    list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
+    )
+    write_avro_ocf(
+        list_path,
+        MANIFEST_FILE_SCHEMA,
+        new_manifest_files,
+        {
+            "format-version": str(FORMAT_VERSION).encode(),
+            "snapshot-id": str(snapshot_id).encode(),
+            "sequence-number": str(seq).encode(),
+            "parent-snapshot-id": str(meta["current-snapshot-id"]).encode(),
+        },
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "schema-id": meta["current-schema-id"],
+        "parent-snapshot-id": meta["current-snapshot-id"],
+        "summary": summary,
+    }
+    # per-current-snapshot statistics (the pattern every consumer of
+    # meta["statistics"] relies on): FILE_LIST of the live files
+    from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+        FILE_LIST,
+        write_puffin,
+    )
+
+    stats_path = os.path.join(
+        meta_dir, f"stats-{snapshot_id}-{commit_uuid}.puffin"
+    )
+    stats = write_puffin(
+        stats_path, [(FILE_LIST, json.dumps(file_list).encode())], snapshot_id, seq
+    )
+
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = meta["snapshots"] + [snapshot]
+    new_meta["statistics"] = meta.get("statistics", []) + [
+        {
+            "snapshot-id": snapshot_id,
+            "statistics-path": stats_path,
+            "file-size-in-bytes": stats["file_size"],
+            "file-footer-size-in-bytes": stats["footer_size"],
+            "blob-metadata": stats["blob_metadata"],
+        }
+    ]
+    new_meta["refs"] = _advance_main(meta.get("refs"), snapshot_id)
+    new_meta["snapshot-log"] = meta["snapshot-log"] + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    new_meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+        }
+    ]
+    if catalog is not None:
+        resp = catalog.commit_table(
+            table_name,
+            _maintenance_requirements(meta),
+            list(extra_updates or [])
+            + [
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": snapshot_id,
+                },
+                {
+                    "action": "set-statistics",
+                    "statistics": new_meta["statistics"][-1],
+                },
+            ],
+            now_ms,
+        )
+        return resp["metadata"]
+    _write_metadata_version(meta_dir, version + 1, new_meta)
+    return new_meta
+
+
+def rewrite_data_files(
+    spark,
+    table_dir: str,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    max_records_per_file: int | None = None,
+    sort_by: str | list[str] | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """See :func:`_rewrite_data_files_once`; in catalog mode a lost
+    race against a concurrent writer reloads and re-compacts against
+    the new head."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+    )
+
+    last_err: Exception | None = None
+    for _attempt in range(max_commit_retries if catalog is not None else 1):
+        try:
+            return _rewrite_data_files_once(
+                spark, table_dir, now_ms, catalog, table_name,
+                max_records_per_file, sort_by,
+            )
+        except CommitConflictError as e:
+            last_err = e
+    assert last_err is not None
+    raise last_err
+
+
+def _rewrite_data_files_once(
+    spark,
+    table_dir: str,
+    now_ms: int | None,
+    catalog,
+    table_name: str | None,
+    max_records_per_file: int | None,
+    sort_by: str | list[str] | None = None,
+) -> dict:
+    """Iceberg ``rewriteDataFiles`` maintenance (bin-pack compaction
+    with merge-on-read materialization): read the current snapshot's
+    LIVE rows — every position delete, deletion vector, and equality
+    delete applied — rewrite them as fresh parquet (one file per
+    partition under ``local[n]``; cap file size at scale with
+    ``max_records_per_file``), and commit a REPLACE snapshot whose
+    manifest list holds one new data manifest plus tombstone manifests
+    recording the replaced data files and the now-fully-applied delete
+    files as status=2 entries. After the rewrite the table carries
+    ZERO delete files — small-file pressure and merge-on-read cost
+    both reset. Same logical rows by construction (the rewrite is the
+    planned live scan), so the snapshot is spec-``replace``.
+
+    Positional identity intentionally changes: every surviving row
+    gets a new (file, pos). Consumers that diff by identity are
+    guarded — ``read_iceberg_changelog`` refuses windows spanning a
+    data rewrite, and the incremental append scan skips replace-added
+    files. Both guards are durable: compaction output is recognizable
+    by its ``_compacted-`` path marker even after the rewrite snapshot
+    expires, prior tombstones are carried forward through later
+    rewrites and manifest compactions (GC'd only once no queryable
+    window can reach them), and a tombstone whose deleting snapshot
+    the metadata can no longer explain is an explicit error, never a
+    silently wrong window.
+
+    New files live under ``<table>/_compacted-<token>/`` — a
+    "_"-prefixed (Hadoop-hidden) directory the discovery-mode append
+    skips, so a crash between staging and commit leaves orphans that
+    can never be double-committed. Scale shape: the rewrite is one
+    distributed read + one distributed write, no driver materialization
+    — the driver handles only O(#files) footer stats, same as every
+    commit path."""
+    import time as _time
+
+    version, meta, table_name = _maintenance_state(table_dir, catalog, table_name)
+    if meta.get("current-snapshot-id", -1) == -1:
+        return meta
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    raw_tombstones: list[dict] = []
+    data, deletes = _plan_snapshot(cur, None, tombstones_out=raw_tombstones)
+    if not data:
+        return meta
+    partition_col = meta["partition-specs"][0]["fields"][0]["name"]
+    schema_struct = _current_schema_struct(meta)
+    leaf_ids = _leaf_field_ids(schema_struct)
+
+    # sorted compaction (Iceberg's sort strategy): sort rows within
+    # the partition-colocated write tasks and slice by
+    # max_records_per_file, so each output file covers a NARROW value
+    # range — the recorded lower/upper bounds get tight and
+    # plan_scan's bounds pruning skips whole files instead of row
+    # groups. The order is recorded as a spec sort-order and stamped
+    # on the entries via sort_order_id. Resolved BEFORE the
+    # already-compact early-return: a sort request must re-layout (or
+    # error on a bad column) even when file counts look fine.
+    sort_cols = (
+        [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
+    )
+    sort_order_id = 0
+    new_sort_order: dict | None = None
+    if sort_cols:
+        order_fields = []
+        for c in sort_cols:
+            fid = leaf_ids.get(c)
+            if fid is None:
+                raise KeyError(
+                    f"no scalar leaf column {c!r} in the table schema"
+                )
+            order_fields.append(
+                {
+                    "transform": "identity",
+                    "source-id": fid,
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+            )
+        existing_orders = meta.get("sort-orders", [])
+        match = next(
+            (o for o in existing_orders if o.get("fields") == order_fields),
+            None,
+        )
+        if match is not None:
+            sort_order_id = int(match["order-id"])
+        else:
+            sort_order_id = (
+                max((int(o["order-id"]) for o in existing_orders), default=0)
+                + 1
+            )
+            new_sort_order = {"order-id": sort_order_id, "fields": order_fields}
+            meta = {**meta, "sort-orders": existing_orders + [new_sort_order]}
+
+    per_part: dict = {}
+    for d in data:
+        per_part[d["partition"].get(partition_col)] = (
+            per_part.get(d["partition"].get(partition_col), 0) + 1
+        )
+    already_sorted = bool(sort_cols) and all(
+        int(d.get("sort_order_id") or 0) == sort_order_id for d in data
+    )
+    if (
+        not deletes
+        and max(per_part.values()) <= 1
+        and (not sort_cols or already_sorted)
+    ):
+        return meta  # already compact (and in the requested order)
+
+    live = _read_plan_with_identity(spark, table_dir, meta, data, deletes).drop(
+        "__iceberg_file", "__iceberg_pos"
+    )
+    compact_uuid = uuid.uuid4().hex[:16]
+    out_dir = os.path.join(table_dir, f"_compacted-{compact_uuid}")
+    if sort_cols:
+        from pyspark.sql import functions as F
+
+        keys = [F.col(partition_col)] + [F.col(c) for c in sort_cols]
+        # sort within the partition-colocated tasks; file-level range
+        # slicing comes from maxRecordsPerFile (AQE may coalesce a
+        # range shuffle on small data, but a sorted task split by
+        # record cap yields consecutive — hence tight-bounded — files
+        # deterministically at every scale)
+        shaped = live.repartition(partition_col).sortWithinPartitions(*keys)
+    else:
+        shaped = live.repartition(partition_col)
+    writer = shaped.write.partitionBy(partition_col)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(out_dir, mode="overwrite")
+    new_paths = []
+    for root, _dirs, names in os.walk(out_dir):
+        if "_temporary" in root.split(os.sep):
+            continue
+        new_paths += [
+            os.path.join(root, n) for n in names if n.endswith(".parquet")
+        ]
+    new_files = _stat_data_files(sorted(new_paths), partition_col)
+
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    now_ms = max(
+        now_ms, max((s["timestamp-ms"] for s in meta["snapshots"]), default=0)
+    )
+    meta_dir = os.path.join(table_dir, "metadata")
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+    spec = meta["partition-specs"][0]
+    ocf_meta = {
+        "schema": json.dumps(schema_struct).encode(),
+        "schema-id": str(meta["current-schema-id"]).encode(),
+        "partition-spec": json.dumps(spec["fields"]).encode(),
+        "partition-spec-id": b"0",
+        "format-version": str(FORMAT_VERSION).encode(),
+    }
+    added_entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": f["file_path"],
+                "file_format": "PARQUET",
+                "partition": {partition_col: f["partition_value"]},
+                "record_count": f["record_count"],
+                "file_size_in_bytes": f["file_size_in_bytes"],
+                **_column_stats_fields(f.get("column_stats") or {}, leaf_ids),
+                "split_offsets": f["split_offsets"],
+                "equality_ids": None,
+                "sort_order_id": sort_order_id,
+            },
+        }
+        for f in new_files
+    ]
+    data_manifest_path = os.path.join(
+        meta_dir, f"{meta['table-uuid']}-rw{seq}-{compact_uuid}.avro"
+    )
+    data_manifest_len = write_avro_ocf(
+        data_manifest_path,
+        manifest_entry_schema(partition_col),
+        added_entries,
+        {**ocf_meta, "content": b"data"},
+    )
+    live_rows = sum(f["record_count"] for f in new_files)
+    parts = [f["partition_value"] for f in new_files]
+    non_null = [p for p in parts if p is not None] or [0]
+    new_manifest_files = [
+        {
+            "manifest_path": data_manifest_path,
+            "manifest_length": data_manifest_len,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(new_files),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": live_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": [
+                {
+                    "contains_null": any(p is None for p in parts),
+                    "contains_nan": False,
+                    "lower_bound": struct.pack("<i", min(non_null)),
+                    "upper_bound": struct.pack("<i", max(non_null)),
+                }
+            ],
+        }
+    ]
+
+    # prior tombstones (earlier rewrites / DV supersedes) must survive
+    # this rewrite too — dropping them would lose pre-rewrite
+    # incremental windows and blind the retraction guard — collected
+    # in the SAME metadata walk as the plan (tombstones_out above).
+    # GC at the oldest-live-snapshot horizon, except hive-layout data
+    # tombstones: those are the discovery dedup record for files still
+    # on disk and never GC (see _tombstone_gc_safe).
+    horizon = min(
+        (int(s["sequence-number"]) for s in meta["snapshots"]), default=0
+    )
+    prior_tombstones: dict[int, list[dict]] = {0: [], 1: []}
+    for e in raw_tombstones:
+        d2 = e["data_file"]
+        if int(e["sequence_number"]) <= horizon and _tombstone_gc_safe(
+            d2, table_dir
+        ):
+            continue
+        # the ORIGINAL deleting-snapshot attribution is kept
+        prior_tombstones[0 if not d2.get("content") else 1].append(e)
+
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+        normalize_delete_entries,
+    )
+
+    def _tombstones(flat: list[dict], content: int, tag: str) -> None:
+        """One status=2 manifest recording the replaced entries (plus
+        carried prior tombstones); tombstones keep their original
+        sequence numbers so the incremental planner's retraction guard
+        stays durable."""
+        entries = []
+        for d in sorted(flat, key=lambda d: d["file_path"]):
+            d2 = {k: v for k, v in d.items() if k != "_seq"}
+            entries.append(
+                {
+                    "status": 2,  # DELETED by this snapshot
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": int(d["_seq"]),
+                    "file_sequence_number": None,
+                    "data_file": d2,
+                }
+            )
+        entries += prior_tombstones[content]
+        for e in entries:
+            d2 = e["data_file"]
+            d2.setdefault("equality_ids", None)
+            for k in _STATS_KEYS:
+                d2.setdefault(k, None)
+            d2.setdefault("split_offsets", None)
+            d2.setdefault("sort_order_id", None)
+        entry_schema = (
+            normalize_delete_entries(entries, partition_col)
+            if content == 1
+            else manifest_entry_schema(partition_col)
+        )
+        path = os.path.join(
+            meta_dir, f"{meta['table-uuid']}-{tag}{seq}-{compact_uuid}.avro"
+        )
+        length = write_avro_ocf(
+            path,
+            entry_schema,
+            entries,
+            {**ocf_meta, "content": b"data" if content == 0 else b"deletes"},
+        )
+        tparts = [e["data_file"]["partition"].get(partition_col) for e in entries]
+        t_non_null = [p for p in tparts if p is not None] or [0]
+        new_manifest_files.append(
+            {
+                "manifest_path": path,
+                "manifest_length": length,
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    int(e["sequence_number"]) for e in entries
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": 0,
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": len(entries),
+                "added_rows_count": 0,
+                "existing_rows_count": 0,
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                ),
+                "partitions": [
+                    {
+                        "contains_null": any(p is None for p in tparts),
+                        "contains_nan": False,
+                        "lower_bound": struct.pack("<i", min(t_non_null)),
+                        "upper_bound": struct.pack("<i", max(t_non_null)),
+                    }
+                ],
+            }
+        )
+
+    _tombstones(data, 0, "rwdel")
+    if deletes or prior_tombstones[1]:
+        _tombstones(deletes, 1, "rwdrop")
+
+    summary = {
+        "operation": "replace",
+        "added-data-files": str(len(new_files)),
+        "deleted-data-files": str(len(data)),
+        "removed-delete-files": str(len(deletes)),
+        "added-records": str(live_rows),
+        "deleted-records": str(sum(d["record_count"] for d in data)),
+        "total-records": str(live_rows),
+        "total-data-files": str(len(new_files)),
+        "total-position-deletes": "0",
+        "total-equality-deletes": "0",
+    }
+    file_list = [
+        {
+            "location": f["file_path"],
+            "partition": f["partition_value"],
+            "recordCount": f["record_count"],
+            "fileSizeInBytes": f["file_size_in_bytes"],
+        }
+        for f in new_files
+    ]
+    return _finish_replace_commit(
+        table_dir, version, meta, now_ms, seq, snapshot_id, compact_uuid,
+        new_manifest_files, summary, file_list, catalog, table_name,
+        extra_updates=(
+            [{"action": "add-sort-order", "sort-order": new_sort_order}]
+            if new_sort_order is not None
+            else None
+        ),
+    )
+
+
+def remove_orphan_files(
+    table_dir: str,
+    older_than_timestamp_ms: int | None = None,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Iceberg ``removeOrphanFiles`` maintenance — the fourth leg of
+    the maintenance set (expire / rewrite_manifests /
+    rewrite_data_files / this): delete files under the table location
+    that no surviving snapshot references LIVE and no still-openable
+    incremental window can serve. Orphans accumulate from crashed
+    writer attempts (staged ``_staging-*`` dirs, Spark ``_temporary``
+    leftovers) and from snapshot expiration (a ``rewrite_data_files``-
+    replaced original whose last live-referencing snapshot has been
+    expired). Tombstoned files are kept while their sequence number is
+    still above the oldest-live-snapshot horizon — exactly the
+    reachability rule `_plan_seq_window` uses to serve pre-rewrite
+    windows from tombstones, so a tag pinning an old ``from`` snapshot
+    keeps the window's bytes alive here too.
+
+    Metadata-only read; commits nothing (like the Java action). Files
+    whose mtime is at or after ``older_than_timestamp_ms`` (an ABSOLUTE
+    epoch-ms cutoff, default: 3 days before now — pass
+    ``now_ms - age`` for a duration) are kept: an in-flight writer
+    stages files BEFORE its commit makes them referenced, so the
+    recency guard is the only thing separating "orphan" from "about to
+    be committed". Caveat inherited from the Java action's mtime
+    semantics: files staged for a FUTURE discovery-mode
+    ``commit_append`` with preserved old timestamps (``cp -p`` /
+    ``rsync -a`` backfills) look like orphans — commit first, or vacuum
+    with a cutoff older than the backfill. The ``metadata/`` tree is
+    governed by :func:`expire_snapshots` and never touched; emptied
+    directories are pruned only along the removed files' ancestor
+    chains, so an in-flight writer's freshly-created empty staging dir
+    is never rmdir'd from under it. Returns the removed (or, under
+    ``dry_run``, would-be-removed) paths.
+
+    Scale shape: one metadata walk (manifest lists + manifests, each
+    read once via a path cache) and one filesystem listing — the same
+    O(metadata + files) any orphan scan pays; nothing row-level."""
+    import time as _time
+
+    _version, meta, table_name = _maintenance_state(
+        table_dir, catalog, table_name
+    )
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    cutoff_ms = (
+        now_ms - 3 * 24 * 3600 * 1000
+        if older_than_timestamp_ms is None
+        else older_than_timestamp_ms
+    )
+    horizon = min(
+        (int(s["sequence-number"]) for s in meta.get("snapshots", [])),
+        default=0,
+    )
+    referenced: set[str] = set()
+    seen_manifests: set[str] = set()
+    for s in meta.get("snapshots", []):
+        _, mfs, _ = read_avro_ocf(s["manifest-list"])
+        for mf in mfs:
+            mp = mf["manifest_path"]
+            if mp in seen_manifests:
+                continue
+            seen_manifests.add(mp)
+            _, es, _ = read_avro_ocf(mp)
+            for e in es:
+                if e["status"] == 2:
+                    seq = e.get("sequence_number")
+                    if seq is None:
+                        seq = mf.get("sequence_number", 0)
+                    if int(seq) <= horizon:
+                        # no openable window reaches it: bytes dead
+                        continue
+                referenced.add(os.path.realpath(e["data_file"]["file_path"]))
+    removed: list[str] = []
+    for root, dirs, names in os.walk(table_dir):
+        if root == table_dir and "metadata" in dirs:
+            dirs.remove("metadata")  # expire_snapshots' jurisdiction
+        for name in names:
+            if name.startswith(".") or name == "_SUCCESS":
+                continue  # fs markers ride along with their dir
+            p = os.path.join(root, name)
+            if os.path.realpath(p) in referenced:
+                continue
+            try:
+                mtime_ms = os.path.getmtime(p) * 1000
+            except FileNotFoundError:
+                continue
+            if mtime_ms >= cutoff_ms:
+                continue  # possibly staged ahead of an in-flight commit
+            removed.append(p)
+    if not dry_run:
+        prune_dirs: set[str] = set()
+        for p in removed:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+            # a checksum sidecar (.f.crc) of a removed file is pure
+            # leak once its data file is gone
+            crc = os.path.join(
+                os.path.dirname(p), f".{os.path.basename(p)}.crc"
+            )
+            try:
+                os.remove(crc)
+            except OSError:
+                pass
+            d = os.path.dirname(p)
+            while d != table_dir and d.startswith(table_dir):
+                prune_dirs.add(d)
+                d = os.path.dirname(d)
+        # prune emptied dirs bottom-up, but ONLY along removed files'
+        # ancestor chains — never a concurrent writer's fresh (still
+        # empty) staging dir, and never anything under metadata/
+        for d in sorted(prune_dirs, key=len, reverse=True):
+            try:
+                if not os.listdir(d):
+                    os.rmdir(d)
+            except OSError:
+                pass
+    return sorted(removed)

@@ -1,0 +1,460 @@
+"""Manifest-entry Avro schemas, column stats, data-file discovery.
+
+Split from the original sources/iceberg.py (r7); provenance and
+parity citations live in the package __init__ and the function
+docstrings.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+
+def _is_rewrite_output(path: str, location: str) -> bool:
+    """True when ``path`` is `rewrite_data_files` output of the table
+    at ``location`` — anchored at the table root (a table that itself
+    lives under some ancestor named ``_compacted-*`` must not classify
+    every file as rewrite output)."""
+    rel = os.path.relpath(path, location)
+    if rel.startswith(".."):
+        return False
+    return rel.split(os.sep)[0].startswith("_compacted-")
+
+
+def _tombstone_gc_safe(d: dict, location: str) -> bool:
+    """Whether a status=2 entry past the window horizon may be dropped.
+    Tombstones do double duty: besides serving incremental windows,
+    a DATA tombstone for a file in the table's visible hive layout is
+    the only metadata record telling the discovery-mode commit_append
+    that the still-on-disk file is already committed — GC'ing it would
+    let the next discovery append re-commit the file and duplicate
+    every row. Delete-file entries and hidden-path (rewrite output)
+    entries are never swept by discovery, so the horizon alone bounds
+    them."""
+    if d.get("content") in (1, 2):
+        return True
+    rel = os.path.relpath(d["file_path"], location)
+    if rel.startswith(".."):
+        return True  # outside the table: discovery can't see it
+    first = rel.split(os.sep)[0]
+    return first.startswith("_") or first in ("metadata", "deletes")
+
+
+def _base_path_groups(table_dir: str, paths: list[str]) -> list[tuple[str, list[str]]]:
+    """Group planned files by the basePath Spark must infer hive
+    partitions under. Original files live at
+    ``<table>/partition=N/…``; `rewrite_data_files` output lives one
+    level deeper at ``<table>/_compacted-<token>/partition=N/…`` —
+    mixing both depths under one basePath trips Spark's
+    CONFLICTING_DIRECTORY_STRUCTURES check, so each compaction dir
+    reads under its own base and the scans union."""
+    groups: dict[str, list[str]] = {}
+    for p in paths:
+        rel = os.path.relpath(p, table_dir)
+        first = rel.split(os.sep)[0]
+        base = (
+            os.path.join(table_dir, first)
+            if first.startswith("_compacted-")
+            else table_dir
+        )
+        groups.setdefault(base, []).append(p)
+    return sorted(groups.items())
+
+
+def _read_planned_files(
+    spark, table_dir: str, meta: dict, paths: list[str], project=None
+):
+    """Hand a planned file set to Spark's parquet reader, one scan per
+    basePath group unioned (see :func:`_base_path_groups`); schema
+    merging is paid only when the table actually has multiple schema
+    versions. ``project`` maps each per-group scan before the union —
+    needed for per-file metadata columns, which must be selected on
+    the source scan, not after a union."""
+    dfs = []
+    for base, ps in _base_path_groups(table_dir, paths):
+        reader = spark.read.option("basePath", base)
+        if len(meta.get("schemas", [])) > 1:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*sorted(ps))
+        dfs.append(df if project is None else project(df))
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def _field_id(schema_struct: dict, name: str) -> int:
+    for f in schema_struct["fields"]:
+        if f["name"] == name:
+            return f["id"]
+    raise KeyError(name)
+
+
+def _leaf_field_ids(schema_struct: dict) -> dict[str, int]:
+    """Dotted leaf path -> Iceberg field id for scalar leaves (the key
+    space of the column-stats maps; matches parquet's path_in_schema
+    for struct nesting). Non-struct composites (lists/maps) are not
+    bounds candidates and are skipped."""
+    out: dict[str, int] = {}
+
+    def walk(struct: dict, prefix: str) -> None:
+        for f in struct["fields"]:
+            path = f"{prefix}{f['name']}"
+            t = f["type"]
+            if isinstance(t, dict):
+                if t.get("type") == "struct":
+                    walk(t, path + ".")
+                continue
+            out[path] = f["id"]
+
+    walk(schema_struct, "")
+    return out
+
+
+def _bounds_pack(value: int, physical: str) -> bytes:
+    """Iceberg single-value binary serialization (spec Appendix D):
+    int -> 4-byte little-endian, long -> 8-byte little-endian."""
+    return struct.pack("<i" if physical == "INT32" else "<q", value)
+
+
+def _column_stats_fields(
+    column_stats: dict[str, dict], leaf_ids: dict[str, int]
+) -> dict:
+    """Footer stats -> the four manifest stats maps (key/value record
+    lists in field-id order); all-None when nothing mapped."""
+    vc, nvc, lb, ub = [], [], [], []
+    mapped = sorted(
+        (leaf_ids[p], st)
+        for p, st in column_stats.items()
+        if st is not None and p in leaf_ids  # None = poisoned, unpublished
+    )
+    for fid, st in mapped:
+        vc.append({"key": fid, "value": int(st["n"])})
+        nvc.append({"key": fid, "value": int(st["nulls"])})
+        lb.append({"key": fid, "value": _bounds_pack(st["min"], st["physical"])})
+        ub.append({"key": fid, "value": _bounds_pack(st["max"], st["physical"])})
+    return {
+        "value_counts": vc or None,
+        "null_value_counts": nvc or None,
+        "lower_bounds": lb or None,
+        "upper_bounds": ub or None,
+    }
+
+
+_STATS_KEYS = ("value_counts", "null_value_counts", "lower_bounds", "upper_bounds")
+
+
+# -- manifest / manifest-list Avro schemas (Iceberg spec, v2 names+ids) -------
+
+
+def _partition_struct_schema(partition_col: str) -> dict:
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": partition_col,
+                "type": ["null", "int"],
+                "default": None,
+                "field-id": 1000,
+            }
+        ],
+    }
+
+
+def _int_kv_map_schema(
+    name: str, field_id: int, key_id: int, value_id: int, value_type: str
+) -> dict:
+    """Iceberg's map<int, V> representation in manifest Avro: a nullable
+    array of key/value records with ``logicalType: map`` (how the Java
+    writer emits the column-stats maps)."""
+    return {
+        "name": name,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{key_id}_v{value_id}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": key_id},
+                        {
+                            "name": "value",
+                            "type": value_type,
+                            "field-id": value_id,
+                        },
+                    ],
+                },
+            },
+        ],
+        "default": None,
+        "field-id": field_id,
+    }
+
+
+def manifest_entry_schema(partition_col: str) -> dict:
+    """Avro schema of a v2 ``manifest_entry`` (spec "Manifest" section);
+    field ids via the ``field-id`` attribute as the Java writer emits.
+    Includes the column-stats maps (value/null counts, lower/upper
+    bounds — spec Appendix field ids) the scan planner prunes files
+    with."""
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": _partition_struct_schema(partition_col),
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            _int_kv_map_schema("value_counts", 109, 119, 120, "long"),
+            _int_kv_map_schema("null_value_counts", 110, 121, 122, "long"),
+            _int_kv_map_schema("lower_bounds", 125, 126, 127, "bytes"),
+            _int_kv_map_schema("upper_bounds", 128, 129, 130, "bytes"),
+            {
+                "name": "split_offsets",
+                "type": ["null", {"type": "array", "items": "long", "element-id": 133}],
+                "default": None,
+                "field-id": 132,
+            },
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+                "default": None,
+                "field-id": 135,
+            },
+            {
+                "name": "sort_order_id",
+                "type": ["null", "int"],
+                "default": None,
+                "field-id": 140,
+            },
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+MANIFEST_FILE_SCHEMA: dict = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "element-id": 508,
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                                "field-id": 509,
+                            },
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "default": None,
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+            "field-id": 507,
+        },
+    ],
+}
+
+
+# -- data-file discovery ------------------------------------------------------
+
+
+def _discover_data_files(table_dir: str, partition_col: str) -> list[dict]:
+    """Walk the parquet table (written by ``table_mode.write_table``,
+    hive-partitioned ``{partition_col}=N`` dirs) and collect per-file
+    stats from the parquet footers (pyarrow — the same footer stats the
+    Java writer records)."""
+    import pyarrow.parquet as pq
+
+    files = []
+    for root, _dirs, names in os.walk(table_dir):
+        # skip the table's own metadata/ subtree — by path COMPONENT
+        # relative to table_dir (a substring match would drop all data
+        # when an ancestor dir merely starts with "metadata")
+        rel = os.path.relpath(root, table_dir)
+        parts = rel.split(os.sep)
+        # "_"-prefixed components are hidden by Hadoop/Spark convention;
+        # rewrite_data_files parks compacted files under _compacted-*
+        # so a discovery-mode append can never sweep them in twice
+        if rel != os.curdir and (
+            "metadata" in parts
+            or "deletes" in parts
+            or any(p.startswith("_") for p in parts)
+        ):
+            continue
+        part_val = None
+        for seg in root[len(table_dir):].split(os.sep):
+            if seg.startswith(f"{partition_col}="):
+                part_val = int(seg.split("=", 1)[1])
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            if name.startswith("delete-"):
+                # position-delete files (write_position_deletes);
+                # discovery mode must never sweep them in as data
+                continue
+            files.append(_stat_one_file(os.path.join(root, name), part_val))
+    return sorted(files, key=lambda f: f["file_path"])
+
+
+def _fold_column_stats(col_stats: dict, col, rg_rows: int) -> None:
+    """Fold one row-group column chunk's footer stats into the per-file
+    aggregate (min/max/null-count/value-count keyed by leaf path).
+
+    A column is POISONED (entry set to None, never published) when any
+    chunk lacks min/max or reports a non-plain-integer value (pyarrow
+    returns datetime objects for timestamp/date logical types): partial
+    stats would publish too-narrow bounds / undercounted nulls, and an
+    external engine pruning on them would silently drop rows — no stats
+    is always safe, wrong stats never are."""
+    path = col.path_in_schema
+    if col_stats.get(path, False) is None:
+        return  # already poisoned by an earlier chunk
+    st = col.statistics
+    plain_ints = (
+        st is not None
+        and st.has_min_max
+        and isinstance(st.min, int)
+        and isinstance(st.max, int)
+        and not isinstance(st.min, bool)
+        and st.null_count is not None
+    )
+    if not plain_ints:
+        col_stats[path] = None
+        return
+    cur = col_stats.get(path)
+    if cur is None:
+        col_stats[path] = {
+            "min": st.min,
+            "max": st.max,
+            "nulls": st.null_count,
+            "n": rg_rows,
+            "physical": col.physical_type,
+        }
+        return
+    cur["min"] = min(cur["min"], st.min)
+    cur["max"] = max(cur["max"], st.max)
+    cur["nulls"] += st.null_count
+    cur["n"] += rg_rows
+
+
+def _stat_one_file(path: str, part_val: int | None) -> dict:
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    # row-group starting positions = the spec's split_offsets; while
+    # walking, fold each integer leaf column's footer min/max into the
+    # per-file bounds the manifest entry publishes (spec lower_bounds/
+    # upper_bounds — what lets plan_scan skip files by value range)
+    offsets = []
+    col_stats: dict[str, dict] = {}
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        starts = []
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            dp = col.dictionary_page_offset
+            starts.append(dp if dp is not None else col.data_page_offset)
+            if col.physical_type not in ("INT32", "INT64"):
+                continue
+            _fold_column_stats(col_stats, col, rg.num_rows)
+        offsets.append(min(starts))
+    return {
+        "file_path": path,
+        "partition_value": part_val,
+        "record_count": md.num_rows,
+        "file_size_in_bytes": os.path.getsize(path),
+        "split_offsets": sorted(offsets),
+        "column_stats": col_stats,
+    }
+
+
+def _stat_data_files(paths: list[str], partition_col: str) -> list[dict]:
+    """Footer stats for an explicit file list; the partition value comes
+    from the hive path component, same layout discovery walks."""
+    out = []
+    for path in paths:
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"explicit commit file absent: {path}")
+        part_val = None
+        for seg in path.split(os.sep):
+            if seg.startswith(f"{partition_col}="):
+                part_val = int(seg.split("=", 1)[1])
+        out.append(_stat_one_file(path, part_val))
+    return out
+
+
+# -- the commit ---------------------------------------------------------------

@@ -1,0 +1,233 @@
+"""Branches and tags: create/drop refs, WAP fast-forward.
+
+Split from the original sources/iceberg.py (r7); provenance and
+parity citations live in the package __init__ and the function
+docstrings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+    _current_state_meta,
+    _maintenance_requirements,
+    _maintenance_state,
+    _write_metadata_version,
+)
+
+
+def create_ref(
+    table_dir: str,
+    name: str,
+    kind: str = "tag",
+    snapshot_id: int | None = None,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> dict:
+    """Create (or move) a named snapshot reference — spec "Snapshot
+    References": a ``tag`` is an immutable label for auditing /
+    reproducible reads ("the corpus release we trained on"), a
+    ``branch`` a movable head. Defaults to the current snapshot.
+    Commits never disturb refs other than ``main`` (see
+    :func:`_advance_main`) and :func:`expire_snapshots` protects every
+    referenced snapshot, so a tagged snapshot stays readable for the
+    tag's lifetime. In catalog mode this commits a ``set-snapshot-ref``
+    update (the REST spec's update type)."""
+    import time as _time
+
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"ref type must be 'tag' or 'branch', got {kind!r}")
+    if name == "main" and kind == "tag":
+        raise ValueError("'main' is the branch head; it cannot be a tag")
+    version, meta, table_name = _current_state_meta(
+        table_dir, catalog, table_name
+    )
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id", -1)
+    if not any(s["snapshot-id"] == snapshot_id for s in meta["snapshots"]):
+        raise ValueError(f"snapshot {snapshot_id} not found")
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None:
+        resp = catalog.commit_table(
+            table_name,
+            _maintenance_requirements(meta),
+            [
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": name,
+                    "snapshot-id": snapshot_id,
+                    "type": kind,
+                }
+            ],
+            now_ms,
+        )
+        return resp["metadata"]
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": snapshot_id, "type": kind}
+    return _commit_refs_local(
+        table_dir,
+        version,
+        meta,
+        refs,
+        now_ms,
+        # moving main IS moving the head (same invariant the catalog
+        # path's set-snapshot-ref keeps): refs.main and
+        # current-snapshot-id must never diverge
+        current_snapshot_id=snapshot_id if name == "main" else None,
+    )
+
+
+def drop_ref(
+    table_dir: str,
+    name: str,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> dict:
+    """Remove a named ref (``remove-snapshot-ref`` in the REST spec).
+    The snapshot itself stays until :func:`expire_snapshots` collects
+    it. Dropping ``main`` is refused — a table always has a head."""
+    import time as _time
+
+    if name == "main":
+        raise ValueError("cannot drop the main branch")
+    version, meta, table_name = _current_state_meta(
+        table_dir, catalog, table_name
+    )
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"ref {name!r} not found")
+    del refs[name]
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None:
+        resp = catalog.commit_table(
+            table_name,
+            _maintenance_requirements(meta),
+            [{"action": "remove-snapshot-ref", "ref-name": name}],
+            now_ms,
+        )
+        return resp["metadata"]
+    return _commit_refs_local(table_dir, version, meta, refs, now_ms)
+
+
+def _commit_refs_local(
+    table_dir: str,
+    version: int,
+    meta: dict,
+    refs: dict,
+    now_ms: int,
+    current_snapshot_id: int | None = None,
+) -> dict:
+    """Shared metadata-only commit for the file-layout ref operations:
+    new refs map (+ optionally a moved head), metadata-log chain entry,
+    next version + hint. Moving the head also appends to the
+    snapshot-log (the spec's log of current-snapshot-id changes) — a
+    rollback or publish is a TIMESTAMP AS OF event, and the catalog
+    protocol records it the same way (set-snapshot-ref main)."""
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    if current_snapshot_id is not None:
+        new_meta["current-snapshot-id"] = current_snapshot_id
+        log = list(meta.get("snapshot-log", []))
+        if not log or log[-1]["snapshot-id"] != current_snapshot_id:
+            ts = max(
+                now_ms,
+                max((e["timestamp-ms"] for e in log), default=0),
+            )
+            log.append(
+                {"timestamp-ms": ts, "snapshot-id": current_snapshot_id}
+            )
+        new_meta["snapshot-log"] = log
+    new_meta["last-updated-ms"] = now_ms
+    meta_dir = os.path.join(table_dir, "metadata")
+    new_meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+        }
+    ]
+    _write_metadata_version(meta_dir, version + 1, new_meta)
+    return new_meta
+
+
+
+def fast_forward(
+    table_dir: str,
+    source: str,
+    target: str = "main",
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> dict:
+    """Publish a branch — the WAP (write-audit-publish) publish step:
+    move ``target`` (default ``main``) to ``source``'s head. Requires
+    the target head to be an ANCESTOR of the source head (walked via
+    parent-snapshot-id), exactly Iceberg's ``fast_forward`` procedure —
+    a divergent target needs an explicit choice (drop the branch or
+    re-stage), never a silent overwrite. Advancing ``main`` also moves
+    ``current-snapshot-id`` and appends the published head to the
+    snapshot-log, so TIMESTAMP AS OF sees the publish instant, not the
+    staging instants."""
+    import time as _time
+
+    version, meta, table_name = _maintenance_state(table_dir, catalog, table_name)
+    refs = meta.get("refs") or {}
+    src = refs.get(source)
+    if src is None:
+        raise ValueError(f"ref {source!r} not found")
+    src_id = int(src["snapshot-id"])
+    tgt = refs.get(target)
+    tgt_id = int(tgt["snapshot-id"]) if tgt is not None else -1
+    if tgt is not None and tgt.get("type") == "tag":
+        raise ValueError(f"target ref {target!r} is a tag, not a branch")
+    if tgt_id == src_id:
+        return meta  # already published
+    # ancestry walk: target head must be reachable from the source head
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    node = src_id
+    while tgt_id != -1:
+        snap = by_id.get(node)
+        if snap is None:
+            raise ValueError(
+                f"cannot fast-forward {target!r}: its head {tgt_id} is "
+                f"not an ancestor of {source!r} (lineage broken at "
+                f"{node}); drop or re-stage the branch instead"
+            )
+        parent = snap.get("parent-snapshot-id")
+        if parent == tgt_id:
+            break
+        if parent is None:
+            raise ValueError(
+                f"cannot fast-forward {target!r}: its head {tgt_id} is "
+                f"not an ancestor of {source!r}; drop or re-stage the "
+                "branch instead"
+            )
+        node = parent
+
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    now_ms = max(
+        now_ms, max((e["timestamp-ms"] for e in meta["snapshot-log"]), default=0)
+    )
+    if catalog is not None:
+        resp = catalog.commit_table(
+            table_name,
+            _maintenance_requirements(meta),
+            [
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": target,
+                    "type": "branch",
+                    "snapshot-id": src_id,
+                }
+            ],
+            now_ms,
+        )
+        return resp["metadata"]
+    new_refs = dict(refs)
+    new_refs[target] = {"snapshot-id": src_id, "type": "branch"}
+    return _commit_refs_local(
+        table_dir, version, meta, new_refs, now_ms,
+        current_snapshot_id=src_id if target == "main" else None,
+    )

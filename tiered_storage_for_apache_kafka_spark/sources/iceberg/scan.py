@@ -1,0 +1,488 @@
+"""Snapshot planning, merge-on-read application, table reads.
+
+Split from the original sources/iceberg.py (r7); provenance and
+parity citations live in the package __init__ and the function
+docstrings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+    _leaf_field_ids,
+    _read_planned_files,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
+    read_avro_ocf,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+    iceberg_schema_to_spark,
+)
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+    _current_schema_struct,
+    _current_state_meta,
+)
+
+
+def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
+    """Merge-on-read for **equality-delete files** (content=2): a data
+    row is dropped when some equality-delete row in the SAME partition
+    matches it on every equality column (null-safe, the spec's
+    IS NOT DISTINCT FROM semantics) and the delete's sequence number is
+    STRICTLY greater than the data file's (vs <= for position deletes —
+    an equality delete never touches rows committed with it or after
+    it, which is what makes CDC upserts [delete key + re-append] safe
+    in one or adjacent commits).
+
+    Scale shape: delete files are small key sets — broadcast; the data
+    side attaches its per-file sequence number via a broadcast O(files)
+    map and anti-joins without re-shuffling the corpus."""
+    from pyspark.sql import functions as F
+
+    schema_struct = _current_schema_struct(meta)
+    id_to_name = {f["id"]: f["name"] for f in schema_struct["fields"]}
+    ids_set = {tuple(d["equality_ids"]) for d in eq_entries}
+    if len(ids_set) != 1:
+        raise NotImplementedError(
+            f"mixed equality_ids across delete files: {sorted(ids_set)}"
+        )
+    eq_cols = [id_to_name[i] for i in next(iter(ids_set))]
+    partition_col = meta["partition-specs"][0]["fields"][0]["name"]
+
+    del_meta = spark.createDataFrame(
+        sorted(
+            {
+                (d["file_path"], d["_seq"], d["partition"].get(partition_col))
+                for d in eq_entries
+            }
+        ),
+        "__iceberg_dfile string, __iceberg_del_seq bigint, __iceberg_del_part int",
+    )
+    data_seq = spark.createDataFrame(
+        [(d["file_path"], d["_seq"]) for d in data_entries],
+        "__iceberg_file string, __iceberg_data_seq bigint",
+    )
+    dels = (
+        spark.read.parquet(*sorted({d["file_path"] for d in eq_entries}))
+        .select(
+            *[F.col(c).alias(f"__eq_{c}") for c in eq_cols],
+            F.regexp_replace(
+                F.col("_metadata.file_path"), _NORM_FILE_RE, "/"
+            ).alias("__iceberg_dfile"),
+        )
+        .join(F.broadcast(del_meta), "__iceberg_dfile")
+    )
+    df2 = df_pos.join(F.broadcast(data_seq), "__iceberg_file")
+    cond = df2["__iceberg_data_seq"] < dels["__iceberg_del_seq"]
+    cond = cond & df2[partition_col].eqNullSafe(dels["__iceberg_del_part"])
+    for c in eq_cols:
+        cond = cond & df2[c].eqNullSafe(dels[f"__eq_{c}"])
+    # callers drop __iceberg_file/__iceberg_pos once all delete layers
+    # have been applied
+    return df2.join(dels, cond, "left_anti").drop("__iceberg_data_seq")
+
+
+# -- row-level deletes: v2 position-delete files (merge-on-read) --------------
+
+
+
+def plan_scan(
+    table_dir: str,
+    partition_value: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    column_bounds: tuple[str, int, int] | None = None,
+) -> list[dict]:
+    """Plan a table scan from the Iceberg metadata alone (never listing
+    the filesystem): current snapshot -> manifest list -> manifests ->
+    data-file entries, with THREE levels of spec pruning (pass
+    ``column_bounds=("kafka.offset", lo, hi)`` for the third: files
+    whose manifest-recorded lower/upper bounds provably miss the range
+    are skipped — the spec's column-stats pruning, what keeps an
+    offset-window read O(overlapping files) on a sorted-write table
+    regardless of table size):
+
+    1. manifest-level: a manifest whose ``partitions`` field summary
+       bounds exclude the predicate is skipped WITHOUT being opened
+       (the manifest-list is the index over manifests), and
+    2. file-level: surviving manifests' entries are filtered on the
+       partition value.
+
+    This is exactly how Iceberg readers avoid both file listing and
+    full-metadata reads at 100k-file scale; returns the matching
+    data-file dicts. Unlike :func:`read_table_metadata` (the diagnostic
+    full parse), this walks lazily: only metadata.json + the manifest
+    list are always read; a pruned manifest is genuinely never opened,
+    and a surviving one is opened exactly once.
+
+    With ``catalog``, the current-snapshot pointer comes from the
+    catalog service (``GET .../tables/{t}``) instead of the
+    version-hint file — the read-side symmetry of the REST commit path
+    (a real external catalog's pointer is authoritative; a stale local
+    hint must not win)."""
+    if catalog is not None:
+        _v, meta, table_name = _current_state_meta(table_dir, catalog, table_name)
+    else:
+        hint = os.path.join(table_dir, "metadata", "version-hint.text")
+        if not os.path.exists(hint):
+            raise FileNotFoundError(f"no Iceberg metadata under {table_dir}")
+        with open(hint) as f:
+            version = int(f.read().strip())
+        with open(
+            os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
+        ) as f:
+            meta = json.load(f)
+    return _plan_from_meta(meta, partition_value, column_bounds)
+
+
+def _bounds_overlap(d: dict, field_id: int, lo: int, hi: int) -> bool:
+    """File-level bounds pruning (spec lower_bounds/upper_bounds): skip
+    a data file only when its recorded range PROVABLY misses [lo, hi];
+    a file without bounds for the column is conservatively kept."""
+    lbs, ubs = d.get("lower_bounds"), d.get("upper_bounds")
+    if not lbs or not ubs:
+        return True
+    f_lo = next((kv["value"] for kv in lbs if kv["key"] == field_id), None)
+    f_hi = next((kv["value"] for kv in ubs if kv["key"] == field_id), None)
+    if f_lo is None or f_hi is None:
+        return True
+    fmt = "<i" if len(f_lo) == 4 else "<q"
+    return struct.unpack(fmt, f_lo)[0] <= hi and lo <= struct.unpack(fmt, f_hi)[0]
+
+
+def _plan_snapshot(
+    snap: dict,
+    partition_value: int | None,
+    bounds: tuple[int, int, int] | None = None,
+    tombstones_out: list[dict] | None = None,
+) -> tuple[list[dict], list[dict]]:
+    """Walk ONE snapshot's manifest list lazily and split its live
+    entries by manifest content: ``(data_files, delete_files)``. Each
+    returned dict is the entry's ``data_file`` record plus ``_seq``,
+    the entry's data sequence number (inherited from the manifest when
+    the entry's own field is null, as the spec's inheritance rule
+    says) — the read side needs it to decide which position deletes
+    apply to which data files (a delete applies only to data files
+    whose sequence number is <= the delete's). Manifest-level
+    partition-summary pruning applies to BOTH kinds: a pruned manifest
+    is never opened.
+
+    ``tombstones_out`` (unpruned calls only): status=2 entries are
+    appended to it as FULL manifest entries with explicit sequence
+    numbers, letting a maintenance op collect carried tombstones in
+    the same metadata walk instead of paying the Avro reads twice."""
+    _, manifest_files, _ = read_avro_ocf(snap["manifest-list"])
+    data: list[dict] = []
+    deletes: list[dict] = []
+    for mf in manifest_files:
+        if partition_value is not None and mf.get("partitions"):
+            summary = mf["partitions"][0]
+            lo_b, hi_b = summary.get("lower_bound"), summary.get("upper_bound")
+            if lo_b is not None and hi_b is not None:
+                lo = struct.unpack("<i", lo_b)[0]
+                hi = struct.unpack("<i", hi_b)[0]
+                if not (lo <= partition_value <= hi):
+                    continue  # manifest pruned unopened
+        _, entries, _ = read_avro_ocf(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:  # DELETED
+                if tombstones_out is not None:
+                    seq = e.get("sequence_number")
+                    if seq is None:
+                        seq = mf.get("sequence_number", 0)
+                    tombstones_out.append(
+                        {
+                            **e,
+                            "sequence_number": int(seq),
+                            "data_file": dict(e["data_file"]),
+                        }
+                    )
+                continue
+            d = e["data_file"]
+            if (
+                partition_value is not None
+                and d["partition"].get(next(iter(d["partition"]))) != partition_value
+            ):
+                continue
+            is_delete = d.get("content") in (1, 2)
+            if (
+                bounds is not None
+                and not is_delete
+                and not _bounds_overlap(d, *bounds)
+            ):
+                continue  # data file pruned by column bounds
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf.get("sequence_number", 0)
+            rec = {**d, "_seq": int(seq)}
+            (deletes if is_delete else data).append(rec)
+    return data, deletes
+
+
+def _resolve_bounds(
+    meta: dict, column_bounds: tuple[str, int, int] | None
+) -> tuple[int, int, int] | None:
+    """(dotted column path, lo, hi) -> (field id, lo, hi) against the
+    current schema; unknown columns are an explicit error (silently
+    skipping the prune would be correct but hide the typo)."""
+    if column_bounds is None:
+        return None
+    path, lo, hi = column_bounds
+    schema_struct = _current_schema_struct(meta)
+    fid = _leaf_field_ids(schema_struct).get(path)
+    if fid is None:
+        raise KeyError(f"no scalar leaf column {path!r} in the table schema")
+    return (fid, lo, hi)
+
+
+def _plan_from_meta(
+    meta: dict,
+    partition_value: int | None,
+    column_bounds: tuple[str, int, int] | None = None,
+) -> list[dict]:
+    """The lazy manifest walk of :func:`plan_scan` over an
+    already-loaded metadata dict — shared so readers that hold the
+    metadata (e.g. a single catalog load) plan and type the scan from
+    the SAME snapshot (no second load, no TOCTOU between plan and
+    schema). Returns the DATA file entries only; position-delete files
+    (manifest content=1) are planned by the snapshot readers via
+    :func:`_plan_snapshot`."""
+    if meta.get("current-snapshot-id", -1) == -1:
+        return []
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    data, _deletes = _plan_snapshot(
+        cur, partition_value, _resolve_bounds(meta, column_bounds)
+    )
+    return [{k: v for k, v in d.items() if k != "_seq"} for d in data]
+
+
+
+def read_iceberg_table(
+    spark,
+    table_dir: str,
+    partition_value: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+):
+    """Open the table THROUGH its Iceberg metadata the way Trino/Flink
+    would: plan the file set from the snapshot's manifests (plan_scan),
+    then hand exactly those parquet files to Spark. Partition pruning
+    happens at the metadata level — pruned files never reach the scan,
+    which is the Iceberg contract (vs. Hive-style directory listing).
+    An empty plan (empty partition, all files deleted, or a table with
+    no snapshot yet) is a valid ZERO-ROW scan typed from the table
+    schema, not an error. With ``catalog``, the snapshot pointer comes
+    from the catalog service (see :func:`plan_scan`). Metadata is
+    loaded exactly ONCE; the plan and the schema both derive from that
+    load, so a rival commit landing mid-read cannot split them.
+
+    Tables that carry position-delete files (a row-delta commit via
+    :func:`commit_position_deletes`) are read merge-on-read: the scan
+    anti-joins the delete set on (file, row position) — see
+    :func:`_apply_position_deletes`."""
+    _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    if meta.get("current-snapshot-id", -1) == -1:
+        return _empty_table_df(spark, meta)
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    return _read_snapshot(spark, table_dir, meta, cur, partition_value)
+
+
+
+def _empty_table_df(spark, meta: dict):
+    """A valid ZERO-ROW scan typed from the table's current schema."""
+    return spark.createDataFrame(
+        [], iceberg_schema_to_spark(_current_schema_struct(meta))
+    )
+
+
+def _read_snapshot(
+    spark,
+    table_dir: str,
+    meta: dict,
+    snap: dict,
+    partition_value,
+    keep_identity: bool = False,
+):
+    """Plan one snapshot and hand it to Spark, applying the snapshot's
+    position deletes when it has any (shared by the current-state and
+    time-travel readers, so ``VERSION AS OF`` sees exactly the row set
+    that snapshot defined — deletes included). ``keep_identity=True``
+    retains the ``(__iceberg_file, __iceberg_pos)`` row-identity columns
+    (and returns None for an empty plan) — the changelog reader diffs
+    two snapshots on exactly that identity."""
+    data, deletes = _plan_snapshot(snap, partition_value)
+    if not data:
+        return None if keep_identity else _empty_table_df(spark, meta)
+    if not deletes and not keep_identity:
+        return _read_planned_files(
+            spark, table_dir, meta, [d["file_path"] for d in data]
+        )
+    df = _read_plan_with_identity(spark, table_dir, meta, data, deletes)
+    if keep_identity:
+        return df
+    return df.drop("__iceberg_file", "__iceberg_pos")
+
+
+def _read_plan_with_identity(
+    spark, table_dir: str, meta: dict, data: list[dict], deletes: list[dict]
+):
+    """Scan an explicit data-file plan with the (file, pos) identity
+    columns retained and the given delete files applied — the shared
+    core of snapshot reads and the changelog's plan-split scans
+    (deletes match per (file, pos) / per key, so applying them against
+    a SUBSET of the snapshot's data files is sound)."""
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+        apply_deletion_vectors,
+        split_position_deletes,
+    )
+
+    df = _read_with_positions(
+        spark, table_dir, meta, [d["file_path"] for d in data]
+    )
+    pos, dv = split_position_deletes(deletes)
+    eq = [d for d in deletes if d.get("content") == 2]
+    if eq:
+        df = _apply_equality_deletes(spark, df, data, eq, meta)
+    if pos:
+        df = _apply_position_deletes(spark, df, data, pos)
+    if dv:
+        df = apply_deletion_vectors(spark, df, data, dv)
+    return df
+
+
+_NORM_FILE_RE = "^file:/+"  # file:///p and file:/p both -> /p
+
+
+def _read_with_positions(spark, table_dir: str, meta: dict, paths: list[str]):
+    """The planned-file scan plus Spark's hidden parquet ``_metadata``
+    columns projected as ``(__iceberg_file, __iceberg_pos)`` — the same
+    mechanism the Iceberg Spark reader uses to apply position deletes
+    (``_metadata.row_index`` is the row's ordinal within its data file,
+    exactly the spec's ``pos``). Stays a native columnar scan: the
+    metadata columns are generated JVM-side, no Python crossing."""
+    from pyspark.sql import functions as F
+
+    def with_identity(df):
+        return df.select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), _NORM_FILE_RE, "/"
+            ).alias("__iceberg_file"),
+            F.col("_metadata.row_index").alias("__iceberg_pos"),
+        )
+
+    return _read_planned_files(
+        spark, table_dir, meta, paths, project=with_identity
+    )
+
+
+def _apply_position_deletes(spark, df_pos, data_entries, delete_entries):
+    """Merge-on-read: anti-join the data scan against the snapshot's
+    position-delete rows on (data file path, row position), honoring
+    the spec's sequence-number rule — a position delete applies only
+    to data files whose data sequence number is <= the delete file's
+    (rows appended AFTER a delete are never retro-deleted even when
+    they land at the same positions of a same-partition file).
+
+    Scale shape: the delete parquet scan is a normal distributed read;
+    the two sequence-number attachments are broadcast joins over the
+    O(files) planning metadata; the final anti-join broadcasts the
+    delete set when small (AQE) and shuffles on (file, pos) otherwise —
+    the same physical strategy Spark's Iceberg source picks."""
+    from pyspark.sql import functions as F
+
+    data_seq = spark.createDataFrame(
+        [(d["file_path"], d["_seq"]) for d in data_entries],
+        "__iceberg_file string, __iceberg_data_seq bigint",
+    )
+    del_files = sorted({(d["file_path"], d["_seq"]) for d in delete_entries})
+    del_seq = spark.createDataFrame(
+        del_files, "__iceberg_dfile string, __iceberg_del_seq bigint"
+    )
+    dels = (
+        spark.read.parquet(*[p for p, _ in del_files])
+        .select(
+            F.col("file_path").alias("__iceberg_file"),
+            F.col("pos").alias("__iceberg_pos"),
+            F.regexp_replace(
+                F.col("_metadata.file_path"), _NORM_FILE_RE, "/"
+            ).alias("__iceberg_dfile"),
+        )
+        .join(F.broadcast(del_seq), "__iceberg_dfile")
+        .join(F.broadcast(data_seq), "__iceberg_file")
+        .where(F.col("__iceberg_del_seq") >= F.col("__iceberg_data_seq"))
+        .select("__iceberg_file", "__iceberg_pos")
+    )
+    # callers drop __iceberg_file/__iceberg_pos once all delete layers
+    # have been applied
+    return df_pos.join(dels, ["__iceberg_file", "__iceberg_pos"], "left_anti")
+
+
+# -- maintenance: time travel + snapshot expiration ---------------------------
+
+
+
+def read_iceberg_table_ref(
+    spark, table_dir: str, ref_name: str, catalog=None,
+    table_name: str | None = None,
+):
+    """Open the table at a named ref (``VERSION AS OF 'tag'``): resolve
+    the ref to its snapshot and time-travel there. Reading a branch
+    reads that branch's head."""
+    _version, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    ref = (meta.get("refs") or {}).get(ref_name)
+    if ref is None:
+        raise ValueError(f"ref {ref_name!r} not found")
+    return read_iceberg_table_at(
+        spark, table_dir, ref["snapshot-id"], catalog, table_name
+    )
+
+
+def snapshot_as_of_timestamp(
+    table_dir: str, timestamp_ms: int, catalog=None, table_name: str | None = None
+) -> int:
+    """``TIMESTAMP AS OF``: the latest snapshot whose commit time is
+    <= the given timestamp (walks the snapshot-log, the same structure
+    external readers use). Raises if the table has no snapshot that
+    old. With ``catalog``, the snapshot-log comes from the catalog
+    service — same stale-local-hint rule as :func:`plan_scan`."""
+    _version, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    best = None
+    for entry in meta.get("snapshot-log", []):
+        if entry["timestamp-ms"] <= timestamp_ms:
+            best = entry["snapshot-id"]
+    if best is None:
+        raise ValueError(
+            f"no snapshot at or before timestamp {timestamp_ms} "
+            "(table created later, or history expired)"
+        )
+    return best
+
+
+def read_iceberg_table_at(
+    spark, table_dir: str, snapshot_id: int, catalog=None,
+    table_name: str | None = None,
+):
+    """Time travel: open the table AS OF a historical snapshot — the
+    file set is whatever that snapshot's manifest list said, regardless
+    of later appends (Iceberg's ``VERSION AS OF`` semantics; any
+    snapshot still present in the metadata is readable). For
+    ``TIMESTAMP AS OF``, resolve the id via
+    :func:`snapshot_as_of_timestamp` first. With ``catalog``, the
+    snapshot list comes from the catalog service. A historical
+    snapshot's position deletes are applied exactly as they were live
+    at that snapshot — deletes committed later do not leak backwards."""
+    _version, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    snap = next(
+        (s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id), None
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snapshot_id} not found (expired or never existed)")
+    return _read_snapshot(spark, table_dir, meta, snap, None)

@@ -5,7 +5,7 @@ queryable side-tables (``SELECT * FROM tbl.snapshots / .history /
 .refs / .manifests / .files / .entries``) — the operational surface a
 user of the reference's Iceberg mode (`IcebergTableManager.java:46-95`)
 gets from their catalog. This module provides the same views (nine tables) over
-the engine's own spec-compliant metadata plane (`sources/iceberg.py`).
+the engine's own spec-compliant metadata plane (`sources/iceberg/`).
 Column names follow upstream with two deliberate deviations: integer
 epoch-millis columns carry an explicit ``_ms`` suffix
 (``committed_at_ms`` / ``made_current_at_ms`` — raw TIMESTAMP outputs

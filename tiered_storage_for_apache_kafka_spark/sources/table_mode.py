@@ -77,7 +77,7 @@ def read_table(
     import os
 
     if os.path.isdir(os.path.join(table_dir, "metadata")):
-        # the table also carries Iceberg metadata (sources/iceberg.py):
+        # the table also carries Iceberg metadata (sources/iceberg/):
         # scan only the hive partition dirs, like Iceberg's data/ split
         df = spark.read.option("basePath", table_dir).parquet(
             os.path.join(table_dir, "partition=*")
