@@ -1,0 +1,264 @@
+"""Composed maintenance soak: 100 micro-batch commits with every
+maintenance plane interleaved, while a changelog consumer maintains a
+per-partition aggregate throughout.
+
+Each plane (DV deletes, v2 position deletes, rewrite_manifests,
+rewrite_data_files, expire_snapshots, remove_orphan_files, the
+incremental/changelog readers) is green in isolation; real Iceberg
+deployments break where they COMPOSE. The soak's invariants:
+
+- the consumer's maintained aggregate equals a head recompute AND the
+  closed-form expectation after the full gauntlet;
+- the consumer never errors (replace snapshots hopped via
+  changelog_safe_windows; checkpoints stay ahead of expiry);
+- the orphan sweep actually collects the expired rewrite originals;
+- read cost stays flat: the head plan holds a BOUNDED file count (the
+  compactions' whole point), not one file per historical commit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+
+N_BATCHES = 100
+ROWS_PER_BATCH = 40
+#: alternating DV predicates: %7 matches freshly appended rows (new
+#: files get their first DV), %11 matches still-live rows in OLD files
+#: (their existing DVs get superseded/unioned) — so the soak exercises
+#: both the first-DV and the supersede path repeatedly; the final sweep
+#: applies both, giving the closed form live = v%7<>3 AND v%11<>5
+PRED_A = "v % 7 = 3"
+PRED_B = "v % 11 = 5"
+FINAL_PRED = "v % 7 = 3 OR v % 11 = 5"
+
+
+def _append_batch(tdir: str, schema, b: int, ms: int):
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+    )
+
+    lo = b * ROWS_PER_BATCH
+    files = []
+    for p in (0, 1):
+        vals = [v for v in range(lo, lo + ROWS_PER_BATCH) if v % 2 == p]
+        d = os.path.join(tdir, f"partition={p}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"batch-{b:03d}.parquet")
+        pq.write_table(pa.table({"v": pa.array(vals, pa.int64())}), path)
+        files.append(path)
+    return commit_append(tdir, schema, now_ms=ms, files=files)
+
+
+def _consume(spark, tdir: str, ckpt: int, counts: dict) -> int:
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        changelog_safe_windows,
+        read_iceberg_changelog,
+        read_table_metadata,
+    )
+
+    head = read_table_metadata(tdir)["metadata"]["current-snapshot-id"]
+    if head == ckpt:
+        return ckpt
+    log = None
+    for lo, hi in changelog_safe_windows(tdir, ckpt, head):
+        part = read_iceberg_changelog(spark, tdir, lo, hi).select(
+            "partition", "_change_type"
+        )
+        log = part if log is None else log.unionByName(part)
+    if log is not None:
+        for r in (
+            log.groupBy("partition")
+            .agg(
+                F.sum(
+                    F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+                ).alias("d")
+            )
+            .collect()
+        ):
+            counts[int(r["partition"])] = counts.get(
+                int(r["partition"]), 0
+            ) + int(r["d"])
+    return head
+
+
+class TestMaintenanceSoak:
+    def test_hundred_batch_gauntlet(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_position_deletes,
+            expire_snapshots,
+            plan_scan,
+            read_iceberg_table,
+            remove_orphan_files,
+            rewrite_data_files,
+            rewrite_manifests,
+        )
+
+        tdir = str(tmp_path / "soak-tbl")
+        schema = spark.createDataFrame([], "partition int, v long").schema
+        counts: dict[int, int] = {0: 0, 1: 0}
+        orphan_sweeps_nonempty = 0
+
+        ms = 1_000
+        meta = _append_batch(tdir, schema, 0, ms)
+        ckpt = meta["current-snapshot-id"]
+        counts[0] = ROWS_PER_BATCH // 2  # batch 0 consumed as the base
+        counts[1] = ROWS_PER_BATCH // 2
+
+        for b in range(1, N_BATCHES):
+            ms += 1_000
+            _append_batch(tdir, schema, b, ms)
+            if b == 15:
+                # one v2 parquet position-delete commit: the soak mixes
+                # both row-delta representations in one table
+                ms += 1_000
+                commit_position_deletes(spark, tdir, PRED_A, now_ms=ms)
+            if b % 15 == 6:
+                ms += 1_000
+                pred = PRED_A if (b // 15) % 2 == 0 else PRED_B
+                commit_deletion_vectors(spark, tdir, pred, now_ms=ms)
+            if b % 12 == 11:
+                ms += 1_000
+                rewrite_manifests(tdir, now_ms=ms)
+            if b in (40, 80):
+                ms += 1_000
+                rewrite_data_files(spark, tdir, now_ms=ms)
+            if b % 25 == 24:
+                ckpt = _consume(spark, tdir, ckpt, counts)
+            if b in (50, 90):
+                # consumer checkpoints ahead of expiry, then the expired
+                # rewrite originals become orphans and are swept
+                ckpt = _consume(spark, tdir, ckpt, counts)
+                ms += 1_000
+                expire_snapshots(tdir, keep_last=2, now_ms=ms)
+                removed = remove_orphan_files(
+                    tdir, older_than_timestamp_ms=10**14
+                )
+                if removed:
+                    orphan_sweeps_nonempty += 1
+        ms += 1_000
+        commit_deletion_vectors(spark, tdir, FINAL_PRED, now_ms=ms)
+        ckpt = _consume(spark, tdir, ckpt, counts)
+
+        total = N_BATCHES * ROWS_PER_BATCH
+        expected = {
+            p: sum(
+                1
+                for v in range(total)
+                if v % 2 == p and v % 7 != 3 and v % 11 != 5
+            )
+            for p in (0, 1)
+        }
+        head = {
+            int(r["partition"]): int(r["n"])
+            for r in read_iceberg_table(spark, tdir)
+            .groupBy("partition")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert head == expected, "head recompute diverged from closed form"
+        assert counts == expected, (
+            "changelog-maintained aggregate diverged from the head"
+        )
+        assert orphan_sweeps_nonempty >= 1, (
+            "expired rewrite originals were never collected"
+        )
+        # read cost stays flat: without the two rewrites the head plan
+        # would hold one file per (batch, partition) = 200; with them it
+        # holds the compacted files plus only the post-rewrite batches
+        n_head_files = len(plan_scan(tdir))
+        assert n_head_files <= 60, n_head_files
+
+    def test_consumer_refuses_expired_checkpoint(self, spark, tmp_path):
+        # the contract the soak consumer honors: a checkpoint that falls
+        # behind expire_snapshots is an explicit re-bootstrap error, not
+        # a silent gap
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            changelog_safe_windows,
+            expire_snapshots,
+        )
+
+        tdir = str(tmp_path / "expired-ckpt")
+        schema = spark.createDataFrame([], "partition int, v long").schema
+        ms = 1_000
+        meta = _append_batch(tdir, schema, 0, ms)
+        stale = meta["current-snapshot-id"]
+        for b in range(1, 5):
+            ms += 1_000
+            _append_batch(tdir, schema, b, ms)
+        expire_snapshots(tdir, keep_last=2, now_ms=ms + 1_000)
+        with pytest.raises(ValueError, match="re-bootstrap"):
+            changelog_safe_windows(tdir, stale)
+
+
+class TestChangelogPureAppendFastPath:
+    def test_pure_append_window_never_scans_pre_window_rows(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # a window with no in-window delete files and an intact
+        # from-snapshot file set must plan the delete side EMPTY by
+        # metadata — the pre-window diff (_read_snapshot of `from`)
+        # must never run
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            incremental as inc,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_iceberg_changelog,
+        )
+
+        tdir = str(tmp_path / "pure-append")
+        schema = spark.createDataFrame([], "partition int, v long").schema
+        m = _append_batch(tdir, schema, 0, 1_000)
+        s0 = m["current-snapshot-id"]
+        _append_batch(tdir, schema, 1, 2_000)
+        _append_batch(tdir, schema, 2, 3_000)
+
+        def boom(*a, **kw):
+            raise AssertionError("pure-append window paid the full diff")
+
+        monkeypatch.setattr(inc, "_read_snapshot", boom)
+        log = read_iceberg_changelog(spark, tdir, s0)
+        rows = log.groupBy("_change_type").count().collect()
+        assert {r["_change_type"]: r["count"] for r in rows} == {
+            "insert": 2 * ROWS_PER_BATCH
+        }
+
+    def test_fast_path_not_taken_when_window_has_deletes(
+        self, spark, tmp_path
+    ):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_iceberg_changelog,
+        )
+
+        tdir = str(tmp_path / "with-deletes")
+        schema = spark.createDataFrame([], "partition int, v long").schema
+        m = _append_batch(tdir, schema, 0, 1_000)
+        s0 = m["current-snapshot-id"]
+        _append_batch(tdir, schema, 1, 2_000)
+        commit_deletion_vectors(spark, tdir, "v % 10 = 0", now_ms=3_000)
+        log = read_iceberg_changelog(spark, tdir, s0)
+        got = {
+            r["_change_type"]: r["count"]
+            for r in log.groupBy("_change_type").count().collect()
+        }
+        # batch-1 inserts arrive net of the in-window delete; batch-0
+        # rows deleted in-window surface as deletes
+        n_b1_deleted = sum(
+            1 for v in range(ROWS_PER_BATCH, 2 * ROWS_PER_BATCH) if v % 10 == 0
+        )
+        n_b0_deleted = sum(1 for v in range(ROWS_PER_BATCH) if v % 10 == 0)
+        assert got == {
+            "insert": ROWS_PER_BATCH - n_b1_deleted,
+            "delete": n_b0_deleted,
+        }

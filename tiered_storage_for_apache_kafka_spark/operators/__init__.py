@@ -14,8 +14,9 @@ covered by `tests/test_queries_vs_duckdb.py`, which checks all of them).
 
 from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     tiered,  # flagship write+read lifecycle — sample first
-    txn_read,  # read_committed + TransactionIndex (new this round)
-    iceberg_meta,  # Iceberg metadata tables (new this round)
+    txn_read,  # read_committed + TransactionIndex
+    iceberg_meta,  # Iceberg metadata tables
+    iceberg_soak,  # composed maintenance gauntlet (new r7)
     tpch,
     tpch_extra,
     tpch_close,

@@ -121,6 +121,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (  # noqa
 )
 
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.incremental import (  # noqa: F401
+    changelog_safe_windows,
     _data_rewrite_snapshot_ids,
     _plan_incremental_from_meta,
     _plan_seq_window,

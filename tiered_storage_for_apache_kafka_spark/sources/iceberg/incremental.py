@@ -292,6 +292,25 @@ def read_iceberg_changelog(
             .withColumn("_change_type", F.lit("insert"))
             .drop(*ids)
         )
+    # PURE-APPEND fast path: when the window holds no delete files and
+    # every data file of the `from` snapshot survives in the `to`
+    # snapshot, no pre-window row can have disappeared (pre-window
+    # delete files apply identically to both views), so the delete side
+    # is empty BY METADATA — skip the row-level diff entirely. This is
+    # the common window on an append-mostly CDC table: its changelog
+    # cost stays O(appended bytes) instead of O(table).
+    if not any(from_seq < d["_seq"] <= to_seq for d in to_deletes):
+        from_data, _ = _plan_snapshot(by_id[from_snapshot_id], None)
+        if {d["file_path"] for d in from_data} <= {
+            d["file_path"] for d in old_data
+        }:
+            if inserted is not None:
+                return inserted
+            return (
+                _empty_table_df(spark, meta)
+                .withColumn("_change_type", F.lit(""))
+                .where(F.lit(False))
+            )
     a = _read_snapshot(
         spark, table_dir, meta, by_id[from_snapshot_id], None,
         keep_identity=True,
@@ -319,3 +338,61 @@ def read_iceberg_changelog(
     # delete rows read under the pre-evolution file schema — added
     # optional columns fill with null instead of failing the union
     return inserted.unionByName(deleted, allowMissingColumns=True)
+
+
+def changelog_safe_windows(
+    table_dir: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> list[tuple[int, int]]:
+    """Split ``(from, to]`` into the maximal changelog-readable
+    sub-windows a long-lived CDC consumer hops through on a MAINTAINED
+    table: REPLACE snapshots (``rewrite_manifests`` /
+    ``rewrite_data_files`` output) carry no logical row changes, but a
+    window spanning one is refused by :func:`read_iceberg_changelog`
+    (physical rewrites inside the window would otherwise surface as
+    phantom delete+insert pairs). Real consumers — and Iceberg's own
+    incremental reads — consume up to each replace boundary, then hop
+    the replace snapshot itself; this returns those hops as
+    ``(from_id, to_id)`` pairs, each safe to hand to
+    :func:`read_iceberg_changelog`, skipping replace snapshots and any
+    empty stretch. Windows are planned from the SURVIVING snapshot
+    list, so a consumer must stay ahead of ``expire_snapshots`` (its
+    checkpoint must be a live snapshot — the same contract the
+    changelog itself enforces with its re-bootstrap error)."""
+    _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if from_snapshot_id not in by_id:
+        raise ValueError(
+            f"from-snapshot {from_snapshot_id} is not live (expired?); "
+            "re-bootstrap the consumer from a full scan"
+        )
+    to_id = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else meta["current-snapshot-id"]
+    )
+    if to_id == -1 or to_id not in by_id:
+        raise ValueError(f"to-snapshot {to_id} is not live")
+    lo_seq = by_id[from_snapshot_id]["sequence-number"]
+    hi_seq = by_id[to_id]["sequence-number"]
+    windows: list[tuple[int, int]] = []
+    lo = from_snapshot_id
+    last_change: int | None = None
+    for s in snaps:
+        seq = s["sequence-number"]
+        if seq <= lo_seq or seq > hi_seq:
+            continue
+        if (s.get("summary") or {}).get("operation") == "replace":
+            if last_change is not None:
+                windows.append((lo, last_change))
+            lo = s["snapshot-id"]
+            last_change = None
+        else:
+            last_change = s["snapshot-id"]
+    if last_change is not None:
+        windows.append((lo, last_change))
+    return windows
