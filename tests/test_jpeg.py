@@ -85,12 +85,22 @@ class TestRejections:
         with pytest.raises(ValueError, match="truncated|missing EOI"):
             decode_jpeg(good[:40])
 
-    def test_progressive_rejected(self):
+    def test_extended_sequential_rejected(self):
         good = self._good()
-        # rewrite SOF0 (0xFFC0) to SOF2 (progressive)
+        # rewrite SOF0 (0xFFC0) to SOF1 (extended sequential)
+        i = good.find(b"\xff\xc0")
+        bad = good[:i] + b"\xff\xc1" + good[i + 2 :]
+        with pytest.raises(ValueError, match="baseline and progressive"):
+            decode_jpeg(bad)
+
+    def test_sof2_routes_but_baseline_scan_shape_rejected(self):
+        # a baseline stream relabeled SOF2 reaches the progressive
+        # decoder (routing works) and fails ITS validation — a
+        # progressive DC scan cannot span the full band
+        good = self._good()
         i = good.find(b"\xff\xc0")
         bad = good[:i] + b"\xff\xc2" + good[i + 2 :]
-        with pytest.raises(ValueError, match="baseline only"):
+        with pytest.raises(ValueError, match="Se=0"):
             decode_jpeg(bad)
 
     def test_sampling_factors_beyond_2x2_rejected(self):
@@ -226,3 +236,75 @@ class TestChromaSubsampling:
         blob = encode_jpeg(px, quality=92)
         i = blob.find(b"\xff\xc0")
         assert blob[i + 4 + 6 + 1] == 0x11
+
+
+class TestProgressive:
+    """SOF2 progressive process (T.81 Annex G): the scripted encoder
+    refines every bit plane to 0, so decode must be BIT-EXACT with the
+    baseline codec's decode of the same image/quality/subsampling."""
+
+    def _exact(self, px, sub="444", quality=85):
+        from tiered_storage_for_apache_kafka_spark.operators.jpeg_progressive import (
+            encode_jpeg_progressive,
+        )
+
+        base = decode_jpeg(encode_jpeg(px, quality=quality, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(px, quality=quality, subsampling=sub)
+        )
+        assert np.array_equal(base, prog)
+
+    def test_extremes_and_structure(self):
+        self._exact(np.zeros((16, 16, 3), np.uint8))
+        self._exact(np.full((16, 16, 3), 255, np.uint8))
+        self._exact((np.indices((24, 24)).sum(0) % 2 * 255).astype(np.uint8))
+        g = np.linspace(0, 255, 48 * 48 * 3).reshape(48, 48, 3)
+        self._exact(g.astype(np.uint8), quality=95)
+
+    def test_420_subsampled(self):
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+        self._exact(px, sub="420", quality=60)
+
+    def test_process_sniffer(self):
+        from tiered_storage_for_apache_kafka_spark.operators.jpeg_progressive import (
+            encode_jpeg_progressive,
+            jpeg_process,
+        )
+
+        px = np.full((8, 8), 77, np.uint8)
+        assert jpeg_process(encode_jpeg(px)) == "baseline"
+        assert jpeg_process(encode_jpeg_progressive(px)) == "progressive"
+        assert jpeg_process(b"\x00\x01") == "not-jpeg"
+        base = encode_jpeg(px)
+        i = base.find(b"\xff\xc0")
+        assert jpeg_process(base[:i] + b"\xff\xc1" + base[i + 2:]) == "extended"
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        bh=st.integers(1, 4),
+        bw=st.integers(1, 4),
+        quality=st.integers(10, 100),
+        seed=st.integers(0, 2**32 - 1),
+        color=st.booleans(),
+    )
+    def test_roundtrip_property_bit_exact_vs_baseline(
+        self, bh, bw, quality, seed, color
+    ):
+        rng = np.random.default_rng(seed)
+        shape = (bh * 8, bw * 8, 3) if color else (bh * 8, bw * 8)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        self._exact(px, quality=quality)
+
+    @settings(max_examples=25, deadline=None)
+    @given(blob=st.binary(min_size=0, max_size=512))
+    def test_progressive_decoder_never_crashes_on_garbage(self, blob):
+        from tiered_storage_for_apache_kafka_spark.operators.jpeg_progressive import (
+            decode_progressive,
+        )
+
+        for payload in (blob, b"\xff\xd8\xff\xc2" + blob):
+            try:
+                decode_progressive(payload)
+            except ValueError:
+                pass

@@ -590,6 +590,7 @@ def test_multimodal_decoders_are_narrow_maps(spark):
         "multimodal_png_decode",
         "multimodal_jpeg_decode",
         "multimodal_jpeg420_decode",
+        "multimodal_jpeg_progressive_decode",
     ):
         plan = plan_of(QUERIES[q](spark, SF))
         assert "Exchange hashpartitioning" not in plan, q

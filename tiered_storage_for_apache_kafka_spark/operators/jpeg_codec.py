@@ -4,14 +4,15 @@ Implements the baseline sequential DCT process of ITU-T T.81 (the public
 JPEG specification) with the Annex K example quantization and Huffman
 tables — no libjpeg, no PIL:
 
-- **encode_jpeg**: 8-bit grayscale or RGB (converted to YCbCr, 4:4:4 —
-  no chroma subsampling), level shift → 2-D DCT → quality-scaled
+- **encode_jpeg**: 8-bit grayscale or RGB (converted to YCbCr; 4:4:4
+  or 4:2:0 chroma subsampling), level shift → 2-D DCT → quality-scaled
   quantization → zigzag → differential DC + run-length AC Huffman
   coding with byte stuffing; emits SOI/APP0/DQT/SOF0/DHT/SOS/EOI.
-- **decode_jpeg**: marker parse (DQT 8-bit, SOF0 baseline only, DHT,
-  SOS; progressive/12-bit/subsampled/restart-interval streams are
-  rejected with ValueError), canonical Huffman decode with 0xFF00
-  unstuffing, dequantize, IDCT, level shift + clamp, YCbCr→RGB.
+- **decode_jpeg**: marker parse (DQT 8-bit, DHT, SOS; SOF0 baseline
+  decodes here, SOF2 progressive routes to `jpeg_progressive.py`;
+  12-bit / >2x2-sampled / restart-interval streams are rejected with
+  ValueError), canonical Huffman decode with 0xFF00 unstuffing,
+  dequantize, IDCT, level shift + clamp, YCbCr→RGB.
 
 Rounding is pinned everywhere to ``floor(x + 0.5)`` (round half toward
 +inf) so the arithmetic is reproducible in SQL. DC-only blocks take the
@@ -489,8 +490,9 @@ def _idct_block(coeffs: "np.ndarray", q: "np.ndarray") -> "np.ndarray":
 
 
 def decode_jpeg(blob: bytes) -> "np.ndarray":
-    """Baseline JFIF decoder; returns uint8 HxWxC (C = 1 or 3, RGB for
-    color). Rejects non-baseline processes with ValueError."""
+    """JFIF decoder; returns uint8 HxWxC (C = 1 or 3, RGB for color).
+    Baseline (SOF0) decodes here; progressive (SOF2) routes to
+    `jpeg_progressive.decode_progressive`; other processes raise."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -528,10 +530,17 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
                 tbl[ZIGZAG] = zz
                 qtables[tq] = tbl.reshape(8, 8)
                 p += 65
-        elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif tag == 0xC2:  # SOF2: progressive — route to the Annex G path
+            from tiered_storage_for_apache_kafka_spark.operators.jpeg_progressive import (  # noqa: E501 (local import: jpeg_progressive imports this module)
+                decode_progressive,
+            )
+
+            return decode_progressive(blob)
+        elif tag in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                      0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG process (SOF{tag - 0xC0}): baseline only"
+                f"unsupported JPEG process (SOF{tag - 0xC0}): "
+                "baseline and progressive only"
             )
         elif tag == 0xC0:  # SOF0 baseline
             if len(body) < 6:

@@ -1156,3 +1156,96 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t00 INT, t01 INT, t10 INT, t11 INT"
         ),
     )
+
+
+def _jpeg_progressive_oracle() -> str:
+    q00 = _jpeg_q00()
+    cells = ", ".join(
+        f"{_jpeg_block_sql(f'ord(substr(s, {k + 1}, 1))', q00)} AS b{k // 2}{k % 2}"
+        for k in range(4)
+    )
+    return f"""
+WITH padded AS (
+  SELECT doc_id, rpad(substr(text, 1, 4), 4, ' ') AS s FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'progressive' ELSE 'baseline' END
+           AS process,
+       {cells}
+FROM padded
+"""
+
+
+@query("multimodal_jpeg_progressive_decode", oracle=_jpeg_progressive_oracle())
+def multimodal_jpeg_progressive_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Progressive (SOF2) JPEG decode WITH process routing — real web
+    corpora are majority progressive, so the decode operator must
+    route by coding process instead of rejecting most inputs. Each
+    doc's four byte values become the 16x16 grayscale fixture; even
+    doc_ids are encoded PROGRESSIVE (the Annex G multi-scan script:
+    spectral selection + successive approximation,
+    `jpeg_progressive.py`), odd ones baseline. The UDF sniffs the
+    process marker-only (`jpeg_process`), asserts it matches the
+    encoder used, and decodes through the shared `decode_jpeg` router.
+    The oracle replays the same integer DC formula for BOTH halves —
+    the progressive script refines every bit plane to 0, so its
+    decoded bytes are bit-identical to baseline — plus the routed
+    process label per doc. A green hash certifies the SOF2 scan
+    reassembly (DC first/refine, AC first with EOB runs, the AC
+    correction-bit procedure) lands on exactly the T.81 values;
+    general content is covered by the codec pytest round-trips.
+
+    Plan shape: narrow map end-to-end, no shuffle (plan-gated)."""
+    from tiered_storage_for_apache_kafka_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from tiered_storage_for_apache_kafka_spark.operators.jpeg_progressive import (
+        encode_jpeg_progressive,
+        jpeg_process,
+    )
+
+    assets = multimodal_jpeg_pixel_bytes(spark, sf_dir)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["block_bytes"]):
+                vals = list(bytes(payload))
+                px = np.zeros((16, 16), dtype=np.uint8)
+                px[:8, :8], px[:8, 8:] = vals[0], vals[1]
+                px[8:, :8], px[8:, 8:] = vals[2], vals[3]
+                progressive = int(doc_id) % 2 == 0
+                if progressive:
+                    blob = encode_jpeg_progressive(px, quality=JPEG_QUALITY)
+                else:
+                    blob = encode_jpeg(px, quality=JPEG_QUALITY)
+                process = jpeg_process(blob)
+                if process != ("progressive" if progressive else "baseline"):
+                    raise ValueError(
+                        f"router misclassified doc {doc_id}: {process}"
+                    )
+                img = decode_jpeg(blob)
+                if img.shape != (16, 16, 1):
+                    raise ValueError("JPEG round-trip shape mismatch")
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "process": process,
+                        "b00": int(img[0, 0, 0]),
+                        "b01": int(img[0, 8, 0]),
+                        "b10": int(img[8, 0, 0]),
+                        "b11": int(img[8, 8, 0]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        feats,
+        schema=(
+            "doc_id BIGINT, process STRING, "
+            "b00 INT, b01 INT, b10 INT, b11 INT"
+        ),
+    )
