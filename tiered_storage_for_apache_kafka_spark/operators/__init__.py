@@ -46,285 +46,93 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: 
     QUERIES,
 )
 
-# Demote queries that were driver-green in round 1 below the sampling
-# horizon so the prefix holds every query that still needs a first (or
-# fixed) driver verdict. Everything stays registered and pytest-checked.
-_DEMOTE = [
-    # NEW in late r6 with the window already full — first in line for
-    # the r7 promote slice (in-repo DuckDB gate covers them meanwhile):
-    "iceberg_tag_read",
-    "iceberg_bounds_pruned_scan",
-    "iceberg_incremental_scan",
-    "streaming_iceberg_incremental",
+# ---------------------------------------------------------------------------
+# Driver sample-window rotation (round 7).
+#
+# The correctness driver samples a PREFIX of this registry (50 rows in
+# r4-r6, 45 in r2), so registration order decides which queries get a
+# fresh driver verdict each round. Rule (since r5): no query's latest
+# driver verdict may age past 4 rounds; every query stays re-verified
+# every round by tests/test_queries_vs_duckdb.py regardless.
+#
+# The r7 window, in priority order:
+#   (a) queries NEW or with CHANGED logic this round — the composed
+#       maintenance soak, the progressive-JPEG router, the DV write
+#       path (v3 blob framing + executor-side supersede), and the
+#       changelog readers (pure-append fast path);
+#   (b) the r2-verdict cohort (27 queries — the oldest outstanding);
+#   (c) 18 of the 36 r3-verdict queries (alphabetical; the remaining 18
+#       are the r8 rotation slice: q12_ship_priority,
+#       q17_small_quantity_parts, q18_large_volume_customer,
+#       q2_min_cost_supplier, q20_part_promotion, q21_waiting_suppliers,
+#       quality_decile_stats, quality_weighted_sample,
+#       semantic_decontamination, source_overlap_matrix,
+#       source_vocab_growth, sq8_recall_at_k, streaming_interval_join,
+#       streaming_session_windows, streaming_tier_commit,
+#       temperature_mixture_weights, tfidf_top_terms,
+#       top_supplier_per_part).
+_R7_WINDOW = [
+    # (a) new / changed this round
+    "iceberg_maintenance_soak",
+    "multimodal_jpeg_progressive_decode",
+    "iceberg_dv_scan",
     "iceberg_changelog_scan",
     "changelog_materialized_counts",
-    "containment_sketch_audit",
-    "set_ops_customer_segments",
-    "semi_anti_join_orders",
-    # green r5, logic unchanged in r6 — demoted to make window room for
-    # the r2-verdict rotation slice:
-    "table_mode_batch_digest",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "scalar_base64_roundtrip",
-    "ntile_customer_quartiles",
-    # green in round 1, logic unchanged since:
-    "chunk_index_fixed",
-    "range_fetch_planning",
-    "manifest_summary",
-    "streaming_dedup_exact",
-    # TPC-H variants whose join/agg shapes are covered by still-sampled
-    # family members (q5/q7 multi-join, q3 join+topN, q19 scalar-pct,
-    # q15's view-max by the sampled top_supplier_per_part window form) —
-    # demoted so every first-class operator gets a driver verdict:
-    # round-2 demotions to fit the newest LLM ops in the window: q7's
-    # multi-join shape is q5's, q19's OR-of-ANDs scalar predicate is
-    # covered by q6/q17, q16's grouped count-distinct + NOT IN by
-    # q22's anti join and distinct_daily_users:
-    # round-3 demotions: all driver-green in round 2 with logic unchanged
-    # since, freeing window slots for the round-1 hash-fail family to get
-    # its green verdict (ADVICE r2) and for the round-2/3 text ops:
-    "pivot_event_type_daily",
-    "json_props_extract",
-    "lag_lead_user_deltas",
-    "value_dispersion_stats",
-    "value_percentiles",
-    "distinct_daily_users",
-    "salted_user_activity",
-    "top_events_per_user",
-    "events_daily_kind",
-    "q4_order_priority",
-    "q22_sales_opportunity",
-    "batch_grouping",
-    "offsets_for_times",
-    # W6-variable / W8 got their green fix verdicts in round 2; logic
-    # unchanged since (sessionize/asof/range-join likewise green r2):
-    "chunk_index_variable",
-    "segment_offset_index",
-    "sessionize_events",
+    # (b) the r2-verdict cohort
     "asof_latest_order_per_event",
-    "range_join_purchase_window",
-    # minor-unit fix family: green verdicts recorded in r2, and the
-    # family stays represented in-window by q17/moving_window/cube:
-    "topk_orders_per_priority",
-    "rollup_pricing",
-    "grouping_sets_order_mix",
-    # r2 promotes that RECEIVED their green verdicts in CORRECTNESS_r02 —
-    # no longer need a slot; demoted so the needs-verdict block starts as
-    # early as possible (r2's sample recorded only 45 rows, so the
-    # effective window may be smaller than 50):
-    "train_test_split_hash",
-    "stratified_sample_by_lang",
+    "batch_grouping",
     "benchmark_decontamination",
+    "chunk_index_variable",
+    "corpus_lang_profile",
     "curation_funnel",
     "doc_fingerprint",
     "doc_winnow_fingerprint",
-    "corpus_lang_profile",
-    "simhash64_near_dup_pairs",
     "dup_cluster_representatives",
-    "dedup_substring_spans",
-    "semdedup_keep_drop",
     "gopher_repetition_signals",
+    "grouping_sets_order_mix",
+    "offsets_for_times",
     "pack_sequences",
-    "source_mixture_rebalance",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q11_important_brands",
-    # round-4 demotions: green driver verdicts in CORRECTNESS_r03 with
-    # logic unchanged since (pytest's DuckDB gate still checks all):
-    "q17_small_quantity_parts",
-    "moving_window_revenue",
-    "cube_order_stats",
-    "bpe_token_count",
-    "tfidf_top_terms",
-    "q2_min_cost_supplier",
-    "q12_ship_priority",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "streaming_interval_join",
-    "streaming_tier_commit",
-    "pmi_bigram_collocations",
-    "pii_scan_redact",
-    "source_vocab_growth",
-    "embedding_int8_quantize",
-    "incremental_dedup_verdicts",
-    "quality_weighted_sample",
-    "streaming_session_windows",
-    "heavy_hitters_cms",
-    "semantic_decontamination",
-    "quality_decile_stats",
-    "chunk_documents_overlap",
-    "source_overlap_matrix",
-    "sq8_recall_at_k",
-    "minhash_jaccard_audit",
+    "q22_sales_opportunity",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "range_join_purchase_window",
+    "rollup_pricing",
+    "segment_offset_index",
+    "semdedup_keep_drop",
+    "sessionize_events",
+    "source_mixture_rebalance",
+    "stratified_sample_by_lang",
+    "topk_orders_per_priority",
+    "train_test_split_hash",
+    # (c) the first half of the r3-verdict cohort
     "bloom_prefilter_audit",
-    "funnel_conversion",
-    "bm25_topk_docs",
-    "per_source_quality_cap",
-    "export_shard_manifest",
-    "hll_distinct_audit",
-    "pagerank_dup_graph",
+    "bpe_token_count",
     "cdc_chunk_dedup_stats",
-    "temperature_mixture_weights",
+    "chunk_documents_overlap",
+    "cube_order_stats",
+    "embedding_int8_quantize",
+    "export_shard_manifest",
     "full_outer_daily_activity",
-    "q18_large_volume_customer",
-    "top_supplier_per_part",
-    # round-5 demotions: every r4 promote received its green verdict in
-    # CORRECTNESS_r04 (49/49 sampled green) and the logic is unchanged
-    # since (the pytest DuckDB gate still re-checks all of them):
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q19_discount_eligible",
-    "kmeans_embedding_clusters",
-    "ann_ivf_kmeans_topk",
-    "streaming_dedup_within_watermark",
-    "approx_quantile_audit",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "unigram_logprob_quality",
-    "dedup_lines_keep_first",
-    "hybrid_rrf_retrieval",
-    "multimodal_image_decode",
-    "multimodal_audio_decode",
-    "multimodal_video_frames",
-    # round-6 demotions: every one of these got its green driver verdict
-    # in CORRECTNESS_r05 and its logic is unchanged this round (the
-    # pytest DuckDB gate still re-checks all of them every round):
-    "multimodal_png_decode",
-    "quality_classifier_trained",
-    "bpe_train_merges",
-    "bpe_encode_token_count",
-    "dedup_lines_newline",
-    "quality_classifier_score",
-    # (bm25_topk_docs / simhash64_near_dup_pairs / dedup_substring_spans
-    # r5 re-verdicts came back green; their original entries above
-    # demote them again)
-    "dedup_exact",
-    "minhash_signatures",
-    "simhash_fingerprint",
-    "simhash_near_dup_pairs",
-    "dedup_connected_components",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "dedup_embedding_cosine",
-    "ann_ivf_topk",
-    "embedding_label_stats",
-    "multimodal_decode_features",
-    "multimodal_asset_catalog",
-    "multimodal_frame_sample",
-    "token_count",
-    "text_quality",
-    "lang_id",
-    "streaming_windowed_counts",
-    "streaming_user_totals_stateful",
+    "funnel_conversion",
+    "heavy_hitters_cms",
+    "hll_distinct_audit",
+    "incremental_dedup_verdicts",
+    "minhash_jaccard_audit",
+    "moving_window_revenue",
+    "pagerank_dup_graph",
+    "per_source_quality_cap",
+    "pii_scan_redact",
+    "pmi_bigram_collocations",
 ]
-# r5 re-promotions pulled back OUT of the demote tail (verdict ask #5:
-# their green verdicts predate a refactor / gate change, so they need a
-# fresh driver verdict): bm25_topk_docs (CTE refactored for RRF sharing
-# in r4), simhash64_near_dup_pairs + dedup_substring_spans (_gate_small
-# AQE broadcast-gate sharing, never driver-sampled since)
-# round-6 re-promotions pulled back OUT of the demote tail (verdict ask
-# #7: rotate the oldest driver verdicts — nothing in the registry should
-# carry a verdict older than 4 rounds; these last saw the driver in
-# r1/r2):
-for _requeue in (
-    "manifest_summary",          # r1 verdict
-    "streaming_dedup_exact",     # r2
-    "pivot_event_type_daily",
-    "json_props_extract",
-    "lag_lead_user_deltas",
-    "value_dispersion_stats",
-    "value_percentiles",
-    "distinct_daily_users",
-    "salted_user_activity",
-    "top_events_per_user",
-    "events_daily_kind",
-):
-    _DEMOTE.remove(_requeue)
-
-# Queries that have never had a driver verdict: splice them into the
-# prefix right after the last fixed-this-round query so they fall
-# inside the driver's 50-query sample window.
-_PROMOTE = [
-    # round-6 window: (a) queries whose logic CHANGED this round and
-    # need a fresh verdict — the jpeg decode path (4:2:0 MCU decode
-    # refactor) and the iceberg commit flow (REST-catalog routing
-    # refactor split commit_append):
-    "multimodal_jpeg_decode",
-    "multimodal_jpeg420_decode",  # NEW this round (4:2:0 fixture)
-    "iceberg_metadata_summary",
-    "iceberg_scan_pruned",
-    "iceberg_puffin_stats",
-    "streaming_iceberg_commit",
-    "iceberg_time_travel",
-    "iceberg_compaction_verify",
-    "iceberg_row_delete_scan",  # NEW this round (v2 position deletes)
-    "dsir_importance_topk",  # NEW this round (DSIR data selection)
-    "iceberg_upsert_scan",  # NEW this round (v2 equality deletes / upsert)
-    # (b) the oldest-verdict rotation slice (r1/r2 verdicts, re-queued
-    # out of the demote tail above, oldest first):
-    "manifest_summary",
-    "streaming_dedup_exact",
-    "pivot_event_type_daily",
-    "json_props_extract",
-    "lag_lead_user_deltas",
-    "value_dispersion_stats",
-    "value_percentiles",
-    "distinct_daily_users",
-    "salted_user_activity",
-    "top_events_per_user",
-    "events_daily_kind",
-    # NEW late-r6 additions that register early (txn_read, iceberg_meta)
-    # took five head slots, and char_diversity_quality (text_extra,
-    # registers late) needs its first verdict — promoted here:
-    "char_diversity_quality",
-    # (c) FIRST-VERDICT queries that registered past the 50-slot window
-    # (in-repo gate green, but the judge should see a driver verdict):
-    # sketch/sampling audits and the late-r6 Iceberg read family.
-    # iceberg_rewrite_datafiles registers in the head prefix already.
-    "jl_projection_audit",
-    "weighted_sample_pps",
-    "kmv_set_ops_audit",
-    "iceberg_tag_read",
-    "iceberg_bounds_pruned_scan",
-    "iceberg_incremental_scan",
-    "streaming_iceberg_incremental",
-    "iceberg_changelog_scan",
-    "changelog_materialized_counts",
-    "containment_sketch_audit",
-    # Deferred to the r7 rotation (r2 verdicts, gate-checked meanwhile;
-    # the 50-slot window is full this round): q4_order_priority,
-    # q22_sales_opportunity, batch_grouping, offsets_for_times,
-    # chunk_index_variable, segment_offset_index, sessionize_events,
-    # asof_latest_order_per_event, range_join_purchase_window,
-    # topk_orders_per_priority, rollup_pricing, grouping_sets_order_mix,
-    # train_test_split_hash, stratified_sample_by_lang,
-    # benchmark_decontamination, curation_funnel, doc_fingerprint,
-    # doc_winnow_fingerprint, corpus_lang_profile,
-    # dup_cluster_representatives, semdedup_keep_drop
-]
-# anchor must be a query that is neither promoted nor demoted, early in
-# registration order, so the promote block lands inside the driver's
-# 50-query sample prefix
-_PROMOTE_AFTER = "streaming_enriched_nation_totals"
 
 
 def _reorder() -> None:
     def arrange(d: dict) -> dict:
-        head = [n for n in d if n not in _DEMOTE and n not in _PROMOTE]
-        if _PROMOTE_AFTER in head:
-            at = head.index(_PROMOTE_AFTER) + 1
-            head = head[:at] + [n for n in _PROMOTE if n in d] + head[at:]
-        else:
-            head += [n for n in _PROMOTE if n in d]
-        head += [n for n in _DEMOTE if n in d]
-        return {n: d[n] for n in head}
+        window = [n for n in _R7_WINDOW if n in d]
+        rest = [n for n in d if n not in _R7_WINDOW]
+        return {n: d[n] for n in window + rest}
 
     q, o = arrange(QUERIES), arrange(ORACLES)
     QUERIES.clear()
