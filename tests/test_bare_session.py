@@ -30,18 +30,31 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
+from tiered_storage_for_apache_kafka_spark.operators.registry import CACHE_WARMUP
 
 failures = []
-for name, fn in e.queries().items():
+qs = e.queries()
+
+def go(name):
     try:
-        n = fn(spark, "/root/testdata/sf0.001").count()
+        n = qs[name](spark, "/root/testdata/sf0.001").count()
         assert n >= 0
     except Exception as ex:
         failures.append(f"{name}: {type(ex).__name__}: {str(ex)[:200]}")
+
+# shared-cache builders run sequentially first (same protocol as the
+# DuckDB gate), the rest concurrently — Spark interleaves jobs from
+# multiple submitter threads, so wall time is the pool's
+for name in CACHE_WARMUP:
+    if name in qs:
+        go(name)
+from concurrent.futures import ThreadPoolExecutor
+with ThreadPoolExecutor(max_workers=8) as ex:
+    list(ex.map(go, [n for n in qs if n not in CACHE_WARMUP]))
 if failures:
-    print("BARE-SESSION FAILURES:\n" + "\n".join(failures))
+    print("BARE-SESSION FAILURES:\n" + "\n".join(sorted(failures)))
     sys.exit(1)
-print(f"bare-session OK: {len(e.queries())} queries")
+print(f"bare-session OK: {len(qs)} queries")
 """
 
 

@@ -103,24 +103,18 @@ def test_cms_never_underestimates_and_is_tight_here(spark):
 
 
 def test_promoted_queries_inside_driver_sample_window():
-    """The external driver samples the first 50 registered queries; every
-    promoted (needs-a-verdict) query and the flagship tiered family must
-    sit inside that prefix. Regression guard: demoting the _PROMOTE_AFTER
-    anchor once silently pushed the whole promote block past the window."""
+    """The external driver samples the first 50 registered queries; the
+    registry prefix must be EXACTLY the round's declared rotation
+    window (operators.__init__._R7_WINDOW), in order — new/changed
+    queries first, then the oldest-verdict cohorts. Regression guard:
+    a reorder bug once silently pushed a promote block past the
+    window."""
     import tiered_storage_for_apache_kafka_spark.operators as ops
 
     names = list(ops.QUERIES)
-    window = set(names[:50])
-    assert ops._PROMOTE_AFTER in window
-    flagship = [
-        "tiered_roundtrip_agg",
-        "tiered_offset_range_fetch",
-        "table_mode_segment_blobs",
-        "tiered_manifest_stats",
-        "datasource_offset_range_fetch",
-    ]
-    missing = [n for n in flagship + ops._PROMOTE if n in names and n not in window]
-    assert not missing, f"outside the 50-query sample window: {missing}"
+    expected = [n for n in ops._R7_WINDOW if n in ops.QUERIES]
+    assert len(expected) == 50
+    assert names[: len(expected)] == expected
 
 
 def test_sq8_recall_high_and_bounded(spark):

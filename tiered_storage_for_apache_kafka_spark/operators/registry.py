@@ -86,3 +86,32 @@ def session_cache_put(cache: dict, key: tuple, value) -> None:
     for stale in [k for k in cache if k[0] != key[0]]:
         del cache[stale]
     cache[key] = value
+
+
+#: Queries whose construction populates the cross-query session caches
+# (tokens_cached, the tiered store, the minhash signature matrix, the
+# trained models): run these SEQUENTIALLY first so the thread-pool pass
+# below never races two builders of the same shared cache.
+CACHE_WARMUP = [
+    "dedup_exact",  # tokens_cached
+    "tiered_roundtrip_agg",  # _tier + _records
+    "minhash_signatures",  # _WIDE_SIG_CACHE
+    "dedup_minhash_lsh",  # _PAIRS_CACHE (the verified LSH pair set)
+    "dedup_connected_components",  # _CC_CACHE (labels over the pairs)
+    "pagerank_dup_graph",  # _EDGES_CACHE (graph edges over the pairs)
+    "kmeans_embedding_clusters",
+    "quality_classifier_trained",
+    "iceberg_metadata_summary",
+    "iceberg_rest_commit",  # _ICEBERG_REST_CACHE (REST-committed twin)
+    "iceberg_row_delete_scan",  # _ICEBERG_DEL_CACHE (row-delta twin)
+    "iceberg_upsert_scan",  # _ICEBERG_UPSERT_CACHE (upsert twin)
+    "iceberg_tag_read",  # _ICEBERG_TAG_CACHE (tagged twin)
+    "iceberg_bounds_pruned_scan",  # _ICEBERG_BANDS_CACHE (banded twin,
+    # shared with iceberg_incremental_scan + streaming_iceberg_incremental)
+    "streaming_iceberg_incremental",  # _ICEBERG_STREAM_READ_CACHE (sink dir)
+    "iceberg_dv_scan",  # _ICEBERG_DV_CACHE (deletion-vector twin)
+    "iceberg_rewrite_datafiles",  # _ICEBERG_RWDF_CACHE (compacted twin)
+    "tiered_read_committed",  # _TXN_CACHE (transactional tiered store,
+    # shared with txn_aborted_index_scan, leader_epoch_checkpoint_scan,
+    # and producer_state_snapshot_scan)
+]

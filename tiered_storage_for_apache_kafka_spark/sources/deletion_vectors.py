@@ -339,6 +339,7 @@ def commit_deletion_vectors(
     re-plan and retry on lost races, like the v2 path."""
     from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
         CommitConflictError,
+        commit_retry_backoff,
     )
 
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
@@ -362,6 +363,7 @@ def commit_deletion_vectors(
             )
         except CommitConflictError as e:
             last_err = e
+            commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
 

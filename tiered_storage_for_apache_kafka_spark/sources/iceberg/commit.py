@@ -88,6 +88,7 @@ def commit_append(
     `IcebergTableManager.java:46-95`)."""
     from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
         CommitConflictError,
+        commit_retry_backoff,
     )
 
     meta_dir = os.path.join(table_dir, "metadata")
@@ -107,6 +108,7 @@ def commit_append(
             )
         except CommitConflictError as e:
             last_err = e  # reload + rebase on the next iteration
+            commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
 

@@ -184,6 +184,7 @@ def commit_position_deletes(
     append manifests."""
     from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
         CommitConflictError,
+        commit_retry_backoff,
     )
 
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
@@ -206,6 +207,7 @@ def commit_position_deletes(
             )
         except CommitConflictError as e:
             last_err = e
+            commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
 
@@ -308,6 +310,7 @@ def commit_equality_deletes(
     An empty key set returns the current metadata unchanged."""
     from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
         CommitConflictError,
+        commit_retry_backoff,
     )
 
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
@@ -330,6 +333,7 @@ def commit_equality_deletes(
             )
         except CommitConflictError as e:
             last_err = e
+            commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
 

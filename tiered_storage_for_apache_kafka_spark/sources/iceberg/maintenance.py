@@ -62,6 +62,7 @@ def expire_snapshots(
     fail."""
     from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
         CommitConflictError,
+        commit_retry_backoff,
     )
 
     last_err: Exception | None = None
@@ -72,6 +73,7 @@ def expire_snapshots(
             )
         except CommitConflictError as e:
             last_err = e
+            commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
 
@@ -210,6 +212,7 @@ def rewrite_manifests(
     and re-compacts — exactly the table state compaction exists for."""
     from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
         CommitConflictError,
+        commit_retry_backoff,
     )
 
     last_err: Exception | None = None
@@ -218,6 +221,7 @@ def rewrite_manifests(
             return _rewrite_manifests_once(table_dir, now_ms, catalog, table_name)
         except CommitConflictError as e:
             last_err = e
+            commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
 
@@ -597,6 +601,7 @@ def rewrite_data_files(
     the new head."""
     from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
         CommitConflictError,
+        commit_retry_backoff,
     )
 
     last_err: Exception | None = None
@@ -608,6 +613,7 @@ def rewrite_data_files(
             )
         except CommitConflictError as e:
             last_err = e
+            commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
 

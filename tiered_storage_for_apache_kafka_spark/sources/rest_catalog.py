@@ -45,6 +45,23 @@ import urllib.error
 import urllib.request
 
 
+def commit_retry_backoff(
+    attempt: int, base_s: float = 0.05, cap_s: float = 1.0
+) -> None:
+    """Exponential backoff with jitter between optimistic-commit
+    retries — the shape real Iceberg's commit retry uses
+    (``commit.retry.min-wait-ms`` growing exponentially with
+    randomization). Without it, N writers in tight commit loops
+    livelock: every loser reloads, re-stages and re-races inside the
+    same window it just lost, burning the whole retry budget (measured
+    by ``bench_scaling.py --rest-contention``: 4 writers exhausted 8
+    retries before this existed)."""
+    import random
+    import time
+
+    time.sleep(min(base_s * (2 ** attempt), cap_s) * (0.5 + random.random()))
+
+
 class CommitConflictError(Exception):
     """A commit requirement failed (HTTP 409 CommitFailedException) —
     reload the table and rebase."""
