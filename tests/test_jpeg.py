@@ -308,3 +308,71 @@ class TestProgressive:
                 decode_progressive(payload)
             except ValueError:
                 pass
+
+
+class TestProgressiveRefineEntropy:
+    """Coefficient-level regression guard for the AC-refinement entropy
+    coder: a previously-significant coefficient sitting INSIDE a >16
+    zero-history run must not desynchronize the stream (the encoder has
+    to emit the ZRL at the first nonzero position once the run exceeds
+    15 — emitting it lazily at the next NEW coefficient flushes
+    correction bits the decoder's 16-position advance never reaches)."""
+
+    @staticmethod
+    def _roundtrip(full, al=0):
+        from tiered_storage_for_apache_kafka_spark.operators.jpeg_codec import (
+            AC_LUMA_BITS,
+            AC_LUMA_VALS,
+            _BitReader,
+            _build_huffman,
+            _decoder_for,
+        )
+        from tiered_storage_for_apache_kafka_spark.operators.jpeg_progressive import (
+            _ac_refine_scan,
+            _encode_ac_refine,
+        )
+
+        codes = _build_huffman(AC_LUMA_BITS, AC_LUMA_VALS)
+        dec = _decoder_for(AC_LUMA_BITS, AC_LUMA_VALS)
+        plane = np.zeros((1, 1, 64), dtype=np.int32)
+        plane[0, 0] = full
+        blob = _encode_ac_refine(
+            plane, {"nby": 1, "nbx": 1}, codes, 1, 63, al
+        )
+        prior = np.zeros((1, 1, 64), dtype=np.int32)
+        for k in range(1, 64):
+            v = int(full[k])
+            s = 1 if v >= 0 else -1
+            prior[0, 0, k] = s * ((abs(v) >> (al + 1)) << (al + 1))
+        _ac_refine_scan(
+            _BitReader(blob), {"nby": 1, "nbx": 1}, prior, dec, 1, 63, al
+        )
+        want = np.zeros(64, dtype=np.int32)
+        for k in range(1, 64):
+            v = int(full[k])
+            s = 1 if v >= 0 else -1
+            want[k] = s * ((abs(v) >> al) << al)
+        got = prior[0, 0].copy()
+        got[0] = 0
+        assert np.array_equal(got, want), (got[got != want], want[got != want])
+
+    def test_history_coef_inside_long_zero_run(self):
+        full = np.zeros(64, dtype=np.int64)
+        full[21] = 5  # history coefficient mid-run
+        full[27] = -1  # newly significant after it
+        self._roundtrip(full)
+
+    def test_history_past_last_new_rides_the_eob(self):
+        full = np.zeros(64, dtype=np.int64)
+        full[3] = 1  # last new coefficient
+        full[40] = 9  # history far past it: bit rides the EOB
+        self._roundtrip(full)
+
+    def test_fuzz_sparse_blocks(self):
+        rng = np.random.default_rng(42)
+        for _ in range(200):
+            full = np.zeros(64, dtype=np.int64)
+            nz = rng.integers(0, 12)
+            idx = rng.choice(np.arange(1, 64), size=nz, replace=False)
+            full[idx] = rng.integers(-40, 41, size=nz)
+            self._roundtrip(full, al=int(rng.integers(0, 3)))

@@ -628,21 +628,26 @@ def _encode_ac_first(plane, comp, codes, ss, se, al) -> bytes:
 
 
 def _encode_ac_refine(plane, comp, codes, ss, se, al) -> bytes:
-    """T.81 G.1.2.3 encoder side: newly-significant coefficients carry
-    run-length + sign; previously-significant ones emit correction
-    bits interleaved into the runs they span."""
+    """T.81 G.1.2.3 encoder side (libjpeg's encode_mcu_AC_refine
+    structure): newly-significant coefficients carry run-length + sign;
+    previously-significant ones emit correction bits buffered and
+    flushed after the codeword whose decoder-side advance passes them.
+    ZRLs are emitted as soon as the zero-history run exceeds 15 at ANY
+    nonzero position at-or-before the last newly-significant index —
+    emitting them lazily (only at new coefficients) would flush
+    correction bits the decoder's 16-position advance never reaches,
+    desynchronizing the entropy stream (regression-tested)."""
     wtr = _BitWriter()
     eobrun = 0
-    pending: list[int] = []  # correction bits deferred until next code
+    pending: list[int] = []  # correction bits riding the next EOB
 
     def flush_eob():
         nonlocal eobrun
         if eobrun:
-            r = eobrun.bit_length() - 1
-            code, size = codes[r << 4]
+            # EOB0 per block: the standard Annex K tables define no
+            # EOBn symbols; the decoder still handles general EOBn
+            code, size = codes[0x00]
             wtr.write(code, size)
-            if r:
-                wtr.write(eobrun - (1 << r), r)
             for b in pending:
                 wtr.write(b, 1)
             pending.clear()
@@ -652,50 +657,42 @@ def _encode_ac_refine(plane, comp, codes, ss, se, al) -> bytes:
         for bx in range(comp["nbx"]):
             blk = plane[by, bx]
             absvals = [_pt(abs(int(blk[k])), al) for k in range(ss, se + 1)]
-            # index of the last newly-significant coefficient (== 1
-            # after the shift); beyond it the block is EOB territory
-            last_new = -1
+            # index of the LAST newly-significant coefficient: past it,
+            # only correction bits remain and they ride the EOB
+            eob = -1
             for i, a in enumerate(absvals):
                 if a == 1:
-                    last_new = i
-            run = 0
-            block_bits: list[int] = []
+                    eob = i
+            r = 0
+            bits: list[int] = []
             for i, a in enumerate(absvals):
-                v = int(blk[ss + i])
                 if a == 0:
-                    run += 1
+                    r += 1
                     continue
-                if a == 1 and i <= last_new:
-                    # newly significant: emit (run, 1) + sign bit, with
-                    # deferred correction bits trailing the codeword
+                while r > 15 and i <= eob:
                     flush_eob()
-                    while run > 15:
-                        code, size = codes[0xF0]
-                        wtr.write(code, size)
-                        for b in block_bits:
-                            wtr.write(b, 1)
-                        block_bits.clear()
-                        run -= 16
-                    code, size = codes[(run << 4) | 1]
+                    code, size = codes[0xF0]
                     wtr.write(code, size)
-                    wtr.write(1 if v > 0 else 0, 1)
-                    for b in block_bits:
+                    r -= 16
+                    for b in bits:
                         wtr.write(b, 1)
-                    block_bits.clear()
-                    run = 0
-                elif a > 1:
-                    # already significant: correction bit ((|v|>>al)&1)
-                    # rides with the run it sits inside
-                    block_bits.append((abs(v) >> al) & 1)
-                else:  # a == 1 past last_new: unreachable by definition
-                    raise AssertionError
-            if run or block_bits or last_new < 0:
-                # EOB0 per block (no EOBn symbols in the standard
-                # tables); the block's own correction bits ride it
-                eobrun += 1
-                pending.extend(block_bits)
+                    bits.clear()
+                if a > 1:
+                    # already significant: next bit of the magnitude
+                    bits.append(a & 1)
+                    continue
+                # newly significant (a == 1, so i <= eob and r <= 15)
                 flush_eob()
-            # (blocks ending exactly on a newly-significant coefficient
-            # with no trailing zeros need no EOB)
+                code, size = codes[(r << 4) | 1]
+                wtr.write(code, size)
+                wtr.write(1 if int(blk[ss + i]) > 0 else 0, 1)
+                for b in bits:
+                    wtr.write(b, 1)
+                bits.clear()
+                r = 0
+            if r > 0 or bits:
+                eobrun += 1
+                pending.extend(bits)
+                flush_eob()
     flush_eob()
     return wtr.flush()
