@@ -116,12 +116,15 @@ class TestRejections:
             with pytest.raises(ValueError, match="sampling factors"):
                 decode_jpeg(bad)
 
-    def test_restart_interval_rejected(self):
-        good = self._good()
-        i = good.find(b"\xff\xda")
-        dri = b"\xff\xdd\x00\x04\x00\x08"  # DRI, interval 8
-        with pytest.raises(ValueError, match="restart"):
-            decode_jpeg(good[:i] + dri + good[i:])
+    def test_out_of_sequence_restart_rejected(self):
+        # restarts now decode; a WRONG sequence number is the error
+        px = np.arange(64 * 64, dtype=np.uint8).reshape(64, 64) % 251
+        blob = bytearray(encode_jpeg(px, restart_interval=2))
+        i = blob.find(b"\xff\xd0")
+        assert i > 0
+        blob[i + 1] = 0xD3  # RST0 -> RST3
+        with pytest.raises(ValueError, match="out of sequence"):
+            decode_jpeg(bytes(blob))
 
     def test_encoder_input_validation(self):
         with pytest.raises(ValueError, match="uint8"):
@@ -376,3 +379,43 @@ class TestProgressiveRefineEntropy:
             idx = rng.choice(np.arange(1, 64), size=nz, replace=False)
             full[idx] = rng.integers(-40, 41, size=nz)
             self._roundtrip(full, al=int(rng.integers(0, 3)))
+
+
+
+class TestRestartIntervals:
+    """DRI + RSTn resync — common in camera/web JPEGs. The decoded
+    pixels must be IDENTICAL to the no-restart encoding of the same
+    image (restarts change entropy segmentation, not values)."""
+
+    @pytest.mark.parametrize("sub,ri,shape", [
+        ("444", 2, (32, 32, 3)),
+        ("444", 1, (48, 40)),
+        ("420", 2, (48, 48, 3)),
+    ])
+    def test_baseline_restart_roundtrip(self, sub, ri, shape):
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        plain = decode_jpeg(encode_jpeg(px, quality=80, subsampling=sub))
+        blob = encode_jpeg(
+            px, quality=80, subsampling=sub, restart_interval=ri
+        )
+        assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+        assert np.array_equal(plain, decode_jpeg(blob))
+
+    @pytest.mark.parametrize("sub,ri,shape", [
+        ("444", 2, (40, 48, 3)),
+        ("420", 1, (32, 32, 3)),
+        ("444", 3, (48, 48)),
+    ])
+    def test_progressive_restart_roundtrip(self, sub, ri, shape):
+        from tiered_storage_for_apache_kafka_spark.operators.jpeg_progressive import (
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(4)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(px, quality=70, subsampling=sub))
+        blob = encode_jpeg_progressive(
+            px, quality=70, subsampling=sub, restart_interval=ri
+        )
+        assert np.array_equal(base, decode_jpeg(blob))

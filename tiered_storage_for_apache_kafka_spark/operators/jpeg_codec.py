@@ -10,7 +10,8 @@ tables — no libjpeg, no PIL:
   coding with byte stuffing; emits SOI/APP0/DQT/SOF0/DHT/SOS/EOI.
 - **decode_jpeg**: marker parse (DQT 8-bit, DHT, SOS; SOF0 baseline
   decodes here, SOF2 progressive routes to `jpeg_progressive.py`;
-  12-bit / >2x2-sampled / restart-interval streams are rejected with
+  restart intervals (DRI + RSTn resync, sequence-checked) are
+  decoded; 12-bit / >2x2-sampled streams are rejected with
   ValueError), canonical Huffman decode with 0xFF00 unstuffing,
   dequantize, IDCT, level shift + clamp, YCbCr→RGB.
 
@@ -173,10 +174,20 @@ class _BitWriter:
             if byte == 0xFF:
                 self.out.append(0x00)  # byte stuffing
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1s (T.81 B.2.1) — the state a
+        restart marker must land on."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+            self.write((1 << pad) - 1, pad)
+
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn (markers are never byte-stuffed)."""
+        self.align()
+        self.out += bytes((0xFF, 0xD0 | (n & 7)))
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -213,6 +224,26 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def restart(self, n: int) -> None:
+        """Consume the expected RSTn at the current byte boundary:
+        discard partial bits (the encoder padded with 1s), verify the
+        marker and its sequence number mod 8."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG entropy stream truncated at restart")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+            raise ValueError(
+                f"expected RST{n & 7} marker, found {b0:02X}{b1:02X}"
+            )
+        if (b1 & 7) != (n & 7):
+            raise ValueError(
+                f"restart marker out of sequence: expected RST{n & 7}, "
+                f"found RST{b1 & 7}"
+            )
+        self.pos += 2
 
 
 def _extend(v: int, t: int) -> int:
@@ -304,7 +335,10 @@ def _ycbcr_to_rgb(px: "np.ndarray") -> "np.ndarray":
 
 
 def encode_jpeg(
-    pixels: "np.ndarray", quality: int = 92, subsampling: str = "444"
+    pixels: "np.ndarray",
+    quality: int = 92,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF encoder: uint8 HxW (grayscale) or HxWx3 (RGB,
     coded as YCbCr). ``subsampling`` is ``"444"`` (one block per
@@ -356,6 +390,8 @@ def encode_jpeg(
         out += _marker(
             0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals)
         )
+    if restart_interval:
+        out += _marker(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -386,8 +422,13 @@ def encode_jpeg(
             ).astype(np.uint8)
             for c in (1, 2)
         ]
+        n_mcu = 0
         for my in range(h // 16):
             for mx in range(w // 16):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    writer.restart(n_mcu // restart_interval - 1)
+                    preds = [0] * ncomp
+                n_mcu += 1
                 for byi in range(2):
                     for bxi in range(2):
                         y0 = my * 16 + byi * 8
@@ -405,8 +446,13 @@ def encode_jpeg(
                         coeffs, preds[c], dc_c, ac_c, writer
                     )
     else:
+        n_mcu = 0
         for by in range(h // 8):
             for bx in range(w // 8):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    writer.restart(n_mcu // restart_interval - 1)
+                    preds = [0] * ncomp
+                n_mcu += 1
                 for c in range(ncomp):
                     block = pixels[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c]
                     q = ql if c == 0 else qc
@@ -500,6 +546,7 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
     comps: list[dict] = []
+    restart_interval = 0
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -576,9 +623,7 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
         elif tag == 0xDD:  # DRI
             if len(body) < 2:
                 raise ValueError("short DRI payload")
-            (ri,) = struct.unpack(">H", body[:2])
-            if ri:
-                raise ValueError("restart intervals not supported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif tag == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -593,7 +638,10 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
                     raise ValueError(f"scan references unknown component {cs}")
                 scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0x0F})
             data_start = pos + 2 + length
-            return _decode_scan(blob, data_start, frame, scan, qtables, huff)
+            return _decode_scan(
+                blob, data_start, frame, scan, qtables, huff,
+                restart_interval,
+            )
         # APPn/COM/unknown: skipped
         pos += 2 + length
     raise ValueError("JPEG has no SOS marker")
@@ -629,7 +677,9 @@ def _decode_one_block(reader, comp, ci, preds, qtables, huff) -> "np.ndarray":
     return _idct_block(coeffs.reshape(8, 8), q)
 
 
-def _decode_scan(blob, start, frame, scan, qtables, huff) -> "np.ndarray":
+def _decode_scan(
+    blob, start, frame, scan, qtables, huff, restart_interval=0
+) -> "np.ndarray":
     """MCU-interleaved entropy decode (T.81 A.2.3): the MCU is hmax x
     vmax luma blocks plus each chroma component's hi x vi blocks; after
     reconstruction, subsampled planes are box-upsampled (nearest) to the
@@ -654,8 +704,15 @@ def _decode_scan(blob, start, frame, scan, qtables, huff) -> "np.ndarray":
         for c in scan
     ]
     preds = [0] * nc
+    n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                # T.81 restart: byte-align, verify RSTn sequence, reset
+                # DC predictions
+                reader.restart(n_mcu // restart_interval - 1)
+                preds = [0] * nc
+            n_mcu += 1
             for ci, comp in enumerate(scan):
                 for byi in range(comp["v"]):
                     for bxi in range(comp["h"]):

@@ -113,7 +113,7 @@ def decode_progressive(blob: bytes) -> "np.ndarray":
     frame = None
     comps: list[dict] = []
     coeffs: list[np.ndarray] = []  # per comp: (by, bx, 64) zigzag order
-    eobrun = 0
+    restart_interval = 0
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -193,8 +193,9 @@ def decode_progressive(blob: bytes) -> "np.ndarray":
                      0xCD, 0xCE, 0xCF):
             raise ValueError("decode_progressive expects a SOF2 frame")
         elif tag == 0xDD:  # DRI
-            if len(body) >= 2 and struct.unpack(">H", body[:2])[0]:
-                raise ValueError("restart intervals not supported")
+            if len(body) < 2:
+                raise ValueError("short DRI payload")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif tag == 0xDA:  # SOS: one progressive scan
             if frame is None:
                 raise ValueError("SOS before SOF2")
@@ -215,8 +216,9 @@ def decode_progressive(blob: bytes) -> "np.ndarray":
             data_start = pos + 2 + length
             data_end = _entropy_end(blob, data_start)
             reader = _BitReader(blob[data_start:data_end])
-            eobrun = _apply_scan(
-                reader, comps, coeffs, huff, scan, ss, se, ah, al, frame
+            _apply_scan(
+                reader, comps, coeffs, huff, scan, ss, se, ah, al, frame,
+                restart_interval,
             )
             pos = data_end
             continue
@@ -224,25 +226,38 @@ def decode_progressive(blob: bytes) -> "np.ndarray":
     raise ValueError("progressive JPEG has no EOI")
 
 
-def _apply_scan(reader, comps, coeffs, huff, scan, ss, se, ah, al, frame):
+def _apply_scan(
+    reader, comps, coeffs, huff, scan, ss, se, ah, al, frame, ri=0
+):
     """Apply one SOS segment to the coefficient store (zigzag order)."""
     if ss == 0:
         if se != 0:
             raise ValueError("progressive DC scan must have Se=0")
-        _dc_scan(reader, comps, coeffs, huff, scan, ah, al, frame)
-        return 0
+        _dc_scan(reader, comps, coeffs, huff, scan, ah, al, frame, ri)
+        return
     if len(scan) != 1:
         raise ValueError("progressive AC scans are single-component")
     idx, _td, ta = scan[0]
     if ah == 0:
-        return _ac_first_scan(reader, comps[idx], coeffs[idx],
-                              huff.get((1, ta)), ss, se, al)
-    return _ac_refine_scan(reader, comps[idx], coeffs[idx],
-                           huff.get((1, ta)), ss, se, al)
+        _ac_first_scan(reader, comps[idx], coeffs[idx],
+                       huff.get((1, ta)), ss, se, al, ri)
+    else:
+        _ac_refine_scan(reader, comps[idx], coeffs[idx],
+                        huff.get((1, ta)), ss, se, al, ri)
 
 
-def _dc_scan(reader, comps, coeffs, huff, scan, ah, al, frame):
+def _dc_scan(reader, comps, coeffs, huff, scan, ah, al, frame, ri=0):
     h, w, _nc = frame
+
+    def maybe_restart(n_unit: int) -> None:
+        # T.81 restart in a progressive scan: byte-align + RSTn, reset
+        # DC predictions (EOB runs are an AC-scan concept)
+        if ri and n_unit and n_unit % ri == 0:
+            reader.restart(n_unit // ri - 1)
+            for c in comps:
+                c["pred"] = 0
+
+    n_unit = 0
     if len(scan) > 1:  # interleaved: MCU order
         hmax = max(c["h"] for c in comps)
         vmax = max(c["v"] for c in comps)
@@ -250,6 +265,8 @@ def _dc_scan(reader, comps, coeffs, huff, scan, ah, al, frame):
         mcuy = (h + 8 * vmax - 1) // (8 * vmax)
         for my in range(mcuy):
             for mx in range(mcux):
+                maybe_restart(n_unit)
+                n_unit += 1
                 for idx, td, _ta in scan:
                     c = comps[idx]
                     for byi in range(c["v"]):
@@ -264,6 +281,8 @@ def _dc_scan(reader, comps, coeffs, huff, scan, ah, al, frame):
         c = comps[idx]
         for by in range(c["nby"]):
             for bx in range(c["nbx"]):
+                maybe_restart(n_unit)
+                n_unit += 1
                 _dc_block(reader, c, coeffs[idx], by, bx,
                           huff.get((0, td)), ah, al)
 
@@ -280,12 +299,18 @@ def _dc_block(reader, comp, coef, by, bx, dc_dec, ah, al):
             coef[by, bx, 0] |= 1 << al
 
 
-def _ac_first_scan(reader, comp, coef, ac_dec, ss, se, al):
+def _ac_first_scan(reader, comp, coef, ac_dec, ss, se, al, ri=0):
     if ac_dec is None:
         raise ValueError("AC scan references missing Huffman table")
     eobrun = 0
+    n_unit = 0
     for by in range(comp["nby"]):
         for bx in range(comp["nbx"]):
+            if ri and n_unit and n_unit % ri == 0:
+                # restart resets the EOB run with the entropy state
+                reader.restart(n_unit // ri - 1)
+                eobrun = 0
+            n_unit += 1
             if eobrun > 0:
                 eobrun -= 1
                 continue
@@ -310,7 +335,7 @@ def _ac_first_scan(reader, comp, coef, ac_dec, ss, se, al):
     return eobrun
 
 
-def _ac_refine_scan(reader, comp, coef, ac_dec, ss, se, al):
+def _ac_refine_scan(reader, comp, coef, ac_dec, ss, se, al, ri=0):
     """T.81 G.1.2.3 AC successive-approximation refinement (the
     correction-bit procedure, same control flow as the spec's
     flowcharts / libjpeg's decode_mcu_AC_refine)."""
@@ -319,8 +344,13 @@ def _ac_refine_scan(reader, comp, coef, ac_dec, ss, se, al):
     p1 = 1 << al
     m1 = -1 << al
     eobrun = 0
+    n_unit = 0
     for by in range(comp["nby"]):
         for bx in range(comp["nbx"]):
+            if ri and n_unit and n_unit % ri == 0:
+                reader.restart(n_unit // ri - 1)
+                eobrun = 0
+            n_unit += 1
             blk = coef[by, bx]
             k = ss
             if eobrun == 0:
@@ -402,7 +432,10 @@ def _reconstruct(frame, comps, coeffs, qtables):
 
 
 def encode_jpeg_progressive(
-    pixels: "np.ndarray", quality: int = 92, subsampling: str = "444"
+    pixels: "np.ndarray",
+    quality: int = 92,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive JFIF encoder with a libjpeg-shaped scan script:
 
@@ -499,6 +532,8 @@ def encode_jpeg_progressive(
         ]
     for tc_th, bits, vals in huff_defs:
         out += _marker(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _marker(0xDD, struct.pack(">H", restart_interval))
 
     dc_codes = [
         _build_huffman(DC_LUMA_BITS, DC_LUMA_VALS),
@@ -523,8 +558,13 @@ def encode_jpeg_progressive(
     out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
     wtr = _BitWriter()
     preds = [0] * ncomp
+    n_unit = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_unit and n_unit % restart_interval == 0:
+                wtr.restart(n_unit // restart_interval - 1)
+                preds = [0] * ncomp
+            n_unit += 1
             for ci, c in enumerate(comps):
                 codes = dc_codes[0 if ci == 0 else 1]
                 for byi in range(c["v"]):
@@ -548,12 +588,17 @@ def encode_jpeg_progressive(
         for ss, se in ((1, 5), (6, 63)):
             out += sos_header([ci], ss, se, 0, 1)
             out += _encode_ac_first(planes[ci], comps[ci],
-                                    ac_codes[0 if ci == 0 else 1], ss, se, 1)
+                                    ac_codes[0 if ci == 0 else 1], ss, se, 1,
+                                    restart_interval)
     # DC refinement to Al=0: raw bits, interleaved
     out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
     wtr = _BitWriter()
+    n_unit = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_unit and n_unit % restart_interval == 0:
+                wtr.restart(n_unit // restart_interval - 1)
+            n_unit += 1
             for ci, c in enumerate(comps):
                 for byi in range(c["v"]):
                     for bxi in range(c["h"]):
@@ -571,7 +616,8 @@ def encode_jpeg_progressive(
     for ci in range(ncomp):
         out += sos_header([ci], 1, 63, 1, 0)
         out += _encode_ac_refine(planes[ci], comps[ci],
-                                 ac_codes[0 if ci == 0 else 1], 1, 63, 0)
+                                 ac_codes[0 if ci == 0 else 1], 1, 63, 0,
+                                 restart_interval)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -581,9 +627,10 @@ def _pt(v: int, al: int) -> int:
     return -((-v) >> al) if v < 0 else v >> al
 
 
-def _encode_ac_first(plane, comp, codes, ss, se, al) -> bytes:
+def _encode_ac_first(plane, comp, codes, ss, se, al, ri=0) -> bytes:
     wtr = _BitWriter()
     eobrun = 0
+    n_unit = 0
 
     def flush_eob():
         nonlocal eobrun
@@ -597,6 +644,10 @@ def _encode_ac_first(plane, comp, codes, ss, se, al) -> bytes:
 
     for by in range(comp["nby"]):
         for bx in range(comp["nbx"]):
+            if ri and n_unit and n_unit % ri == 0:
+                flush_eob()  # an EOB run never crosses a restart
+                wtr.restart(n_unit // ri - 1)
+            n_unit += 1
             blk = plane[by, bx]
             run = 0
             wrote = False
@@ -627,7 +678,7 @@ def _encode_ac_first(plane, comp, codes, ss, se, al) -> bytes:
     return wtr.flush()
 
 
-def _encode_ac_refine(plane, comp, codes, ss, se, al) -> bytes:
+def _encode_ac_refine(plane, comp, codes, ss, se, al, ri=0) -> bytes:
     """T.81 G.1.2.3 encoder side (libjpeg's encode_mcu_AC_refine
     structure): newly-significant coefficients carry run-length + sign;
     previously-significant ones emit correction bits buffered and
@@ -639,6 +690,7 @@ def _encode_ac_refine(plane, comp, codes, ss, se, al) -> bytes:
     desynchronizing the entropy stream (regression-tested)."""
     wtr = _BitWriter()
     eobrun = 0
+    n_unit = 0
     pending: list[int] = []  # correction bits riding the next EOB
 
     def flush_eob():
@@ -655,6 +707,10 @@ def _encode_ac_refine(plane, comp, codes, ss, se, al) -> bytes:
 
     for by in range(comp["nby"]):
         for bx in range(comp["nbx"]):
+            if ri and n_unit and n_unit % ri == 0:
+                flush_eob()  # an EOB run never crosses a restart
+                wtr.restart(n_unit // ri - 1)
+            n_unit += 1
             blk = plane[by, bx]
             absvals = [_pt(abs(int(blk[k])), al) for k in range(ss, se + 1)]
             # index of the LAST newly-significant coefficient: past it,
