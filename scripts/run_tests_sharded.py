@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Sharded test runner: the full pytest suite across N concurrent
+pytest subprocesses (default 4), each with its own SparkSession.
+
+Why: the suite's wall clock is dominated by a handful of serial,
+Spark-bound modules (the 171-query DuckDB gate precompute, the
+bare-session driver-compat gate, the 100-batch maintenance soak, the
+streaming/datasource suites). pytest-xdist is not available in this
+container, and in-process thread pools are already used inside the two
+gate modules — file-level process sharding is the remaining
+parallelism. local[32] has the cores for 4 x local[8] JVMs; testdata
+and tmp fixtures are per-process, so shards share nothing.
+
+Files are greedy-bin-packed by the duration table below (measured
+2026-08-15, single-process run); unknown files go to the lightest bin.
+
+Usage: python scripts/run_tests_sharded.py [N_SHARDS]
+Exit code: 0 iff every shard passed. Per-shard tails print on failure.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+import time
+
+# seconds per test file, measured single-process (same host);
+# only the ordering/ratios matter for packing
+DURATIONS = {
+    "test_queries_vs_duckdb.py": 150,
+    "test_bare_session.py": 90,
+    "test_iceberg_soak.py": 70,
+    "test_datasource.py": 60,
+    "test_iceberg.py": 55,
+    "test_deletion_vectors.py": 50,
+    "test_plans.py": 45,
+    "test_streaming.py": 35,
+    "test_curation.py": 25,
+    "test_rest_catalog.py": 25,
+    "test_iceberg_meta_tables.py": 20,
+    "test_asof.py": 18,
+    "test_filtering.py": 15,
+    "test_multimodal.py": 15,
+    "test_bpe.py": 12,
+    "test_text_extra.py": 12,
+    "test_table_mode.py": 10,
+    "test_label_propagation.py": 10,
+    "test_avro.py": 10,
+    "test_selector.py": 8,
+    "test_metrics.py": 8,
+    "test_api_matrix.py": 8,
+}
+DEFAULT_COST = 6
+
+
+def main() -> int:
+    n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(root, "tests", "test_*.py"))
+    )
+    bins: list[tuple[float, list[str]]] = [(0.0, []) for _ in range(n_shards)]
+    for f in sorted(files, key=lambda f: -DURATIONS.get(f, DEFAULT_COST)):
+        cost, members = min(bins, key=lambda b: b[0])
+        i = bins.index((cost, members))
+        bins[i] = (cost + DURATIONS.get(f, DEFAULT_COST), members + [f])
+
+    t0 = time.time()
+    procs = []
+    for i, (cost, members) in enumerate(bins):
+        args = [
+            sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+            *(os.path.join("tests", m) for m in members),
+        ]
+        procs.append(
+            (
+                i,
+                members,
+                subprocess.Popen(
+                    args,
+                    cwd=root,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                ),
+            )
+        )
+    failed = False
+    for i, members, p in procs:
+        out, _ = p.communicate()
+        tail = out.strip().splitlines()[-1] if out.strip() else "(no output)"
+        print(f"shard {i}: {tail}")
+        if p.returncode != 0:
+            failed = True
+            print(f"--- shard {i} failure tail ({', '.join(members)}) ---")
+            print("\n".join(out.strip().splitlines()[-40:]))
+    print(f"total wall: {time.time() - t0:.1f}s across {n_shards} shards")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

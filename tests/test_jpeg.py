@@ -419,3 +419,78 @@ class TestRestartIntervals:
             px, quality=70, subsampling=sub, restart_interval=ri
         )
         assert np.array_equal(base, decode_jpeg(blob))
+
+
+class TestProgressiveEOBn:
+    """The decoder's EOBn (r>0) branches: our scripted encoder only
+    emits EOB0 (the standard tables have no EOBn symbols), but foreign
+    optimizing encoders use multi-block EOB runs — exercised here with
+    a hand-built Huffman table that carries the EOB2 symbol."""
+
+    @staticmethod
+    def _codec():
+        from tiered_storage_for_apache_kafka_spark.operators.jpeg_codec import (
+            _build_huffman,
+            _decoder_for,
+        )
+
+        bits = [0, 4] + [0] * 14  # four 2-bit codes
+        vals = [0x01, 0x20, 0x00, 0xF0]  # (0,1), EOB2, EOB0, ZRL
+        return _build_huffman(bits, vals), _decoder_for(bits, vals)
+
+    def test_ac_first_eob_run_spans_blocks(self):
+        from tiered_storage_for_apache_kafka_spark.operators.jpeg_codec import (
+            _BitReader,
+            _BitWriter,
+        )
+        from tiered_storage_for_apache_kafka_spark.operators.jpeg_progressive import (
+            _ac_first_scan,
+        )
+
+        codes, dec = self._codec()
+        w = _BitWriter()
+        c, s = codes[0x01]
+        w.write(c, s)
+        w.write(1, 1)  # block 0: +1 at k=1
+        c, s = codes[0x20]
+        w.write(c, s)
+        w.write(0b11, 2)  # EOB2 + ext 3: blocks 1..6 all-EOB
+        c, s = codes[0x01]
+        w.write(c, s)
+        w.write(0, 1)  # block 7: -1 at k=1
+        c, s = codes[0x00]
+        w.write(c, s)  # EOB0 ends block 7
+        coef = np.zeros((2, 4, 64), dtype=np.int32)
+        _ac_first_scan(
+            _BitReader(w.flush()), {"nby": 2, "nbx": 4}, coef, dec, 1, 63, 0
+        )
+        want = np.zeros((8, 64), dtype=np.int32)
+        want[0, 1] = 1
+        want[7, 1] = -1
+        assert np.array_equal(coef.reshape(8, 64), want)
+
+    def test_ac_refine_eob_run_carries_correction_bits(self):
+        from tiered_storage_for_apache_kafka_spark.operators.jpeg_codec import (
+            _BitReader,
+            _BitWriter,
+        )
+        from tiered_storage_for_apache_kafka_spark.operators.jpeg_progressive import (
+            _ac_refine_scan,
+        )
+
+        codes, dec = self._codec()
+        # 4 blocks, each with prior history 2 at k=2; EOB2 covers all 4
+        # (eobrun = (1<<2) + ext 0); the 4 correction bits stream after
+        # the codeword in block order -> refined to 3,2,3,2
+        w = _BitWriter()
+        c, s = codes[0x20]
+        w.write(c, s)
+        w.write(0, 2)  # EOB2, ext=0 -> eobrun 4
+        for b in (1, 0, 1, 0):
+            w.write(b, 1)
+        coef = np.zeros((1, 4, 64), dtype=np.int32)
+        coef[0, :, 2] = 2
+        _ac_refine_scan(
+            _BitReader(w.flush()), {"nby": 1, "nbx": 4}, coef, dec, 1, 63, 0
+        )
+        assert coef[0, :, 2].tolist() == [3, 2, 3, 2]
