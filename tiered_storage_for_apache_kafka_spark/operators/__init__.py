@@ -17,6 +17,7 @@ from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     txn_read,  # read_committed + TransactionIndex
     iceberg_meta,  # Iceberg metadata tables
     iceberg_soak,  # composed maintenance gauntlet (new r7)
+    iceberg_partitioning,  # partition transforms: day/bucket (new r7)
     tpch,
     tpch_extra,
     tpch_close,
@@ -61,8 +62,10 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: 
 #       path (v3 blob framing + executor-side supersede), and the
 #       changelog readers (pure-append fast path);
 #   (b) the r2-verdict cohort (27 queries — the oldest outstanding);
-#   (c) 18 of the 36 r3-verdict queries (alphabetical; the remaining 18
-#       are the r8 rotation slice: q12_ship_priority,
+#   (c) 16 of the 36 r3-verdict queries (alphabetical; the remaining 20
+#       are the r8 rotation slice: pii_scan_redact,
+#       pmi_bigram_collocations (displaced by the two r7 partition-
+#       transform queries, which need first verdicts), q12_ship_priority,
 #       q17_small_quantity_parts, q18_large_volume_customer,
 #       q2_min_cost_supplier, q20_part_promotion, q21_waiting_suppliers,
 #       quality_decile_stats, quality_weighted_sample,
@@ -75,6 +78,8 @@ _R7_WINDOW = [
     # (a) new / changed this round
     "iceberg_maintenance_soak",
     "multimodal_jpeg_progressive_decode",
+    "iceberg_day_partition_scan",
+    "iceberg_bucket_partition_scan",
     "iceberg_dv_scan",
     "iceberg_changelog_scan",
     "changelog_materialized_counts",
@@ -123,8 +128,6 @@ _R7_WINDOW = [
     "moving_window_revenue",
     "pagerank_dup_graph",
     "per_source_quality_cap",
-    "pii_scan_redact",
-    "pmi_bigram_collocations",
 ]
 
 

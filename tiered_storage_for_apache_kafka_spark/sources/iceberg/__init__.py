@@ -147,3 +147,13 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.maintenance import ( 
     rewrite_data_files,
     rewrite_manifests,
 )
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (  # noqa: F401
+    bucket_hash_long,
+    bucket_hash_long_vec,
+    bucket_hash_str,
+    is_order_preserving,
+    murmur3_32,
+    parse_transform,
+    transform_column,
+    transform_value,
+)

@@ -46,6 +46,8 @@ def commit_append(
     spark_schema,
     partition_col: str = "partition",
     now_ms: int | None = None,
+    partition_transform: str = "identity",
+    partition_source: str | None = None,
     stats_blobs: list[tuple[str, bytes]] | None = None,
     files: list[str] | None = None,
     summary_extra: dict | None = None,
@@ -104,7 +106,7 @@ def commit_append(
             return _commit_append_once(
                 table_dir, spark_schema, partition_col, now_ms, stats_blobs,
                 files, summary_extra, catalog, table_name, meta_dir, prior,
-                branch,
+                branch, partition_transform, partition_source,
             )
         except CommitConflictError as e:
             last_err = e  # reload + rebase on the next iteration
@@ -126,6 +128,8 @@ def _commit_append_once(
     meta_dir: str,
     prior,
     branch: str | None = None,
+    partition_transform: str = "identity",
+    partition_source: str | None = None,
 ) -> dict:
     if branch == "main":
         branch = None  # explicit main is just the default path
@@ -137,6 +141,25 @@ def _commit_append_once(
     if prior is None:
         version = 1
         schema_struct, last_col = spark_schema_to_iceberg(spark_schema)
+        # partition spec (spec "Partition Transforms"): identity sources
+        # the partition column itself; any other transform is computed
+        # FROM partition_source, and the partition column is
+        # metadata-only (a hive dir name + manifest partition struct,
+        # never a data column)
+        if partition_transform == "identity":
+            spec_source_id = _field_id(schema_struct, partition_col)
+        else:
+            from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (  # noqa: E501 (local import keeps transforms a leaf module)
+                parse_transform,
+            )
+
+            parse_transform(partition_transform)  # validate early
+            if partition_source is None:
+                raise ValueError(
+                    f"partition_transform {partition_transform!r} needs "
+                    "partition_source (the schema column it derives from)"
+                )
+            spec_source_id = _field_id(schema_struct, partition_source)
         table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, "iceberg:" + table_dir))
         base = {
             "format-version": FORMAT_VERSION,
@@ -154,8 +177,8 @@ def _commit_append_once(
                     "fields": [
                         {
                             "name": partition_col,
-                            "transform": "identity",
-                            "source-id": _field_id(schema_struct, partition_col),
+                            "transform": partition_transform,
+                            "source-id": spec_source_id,
                             "field-id": 1000,
                         }
                     ],
@@ -174,6 +197,12 @@ def _commit_append_once(
         known: set[str] = set()
     else:
         version, base = prior["version"], prior["metadata"]
+        stored = base["partition-specs"][0]["fields"][0]["transform"]
+        if partition_transform != "identity" and stored != partition_transform:
+            raise ValueError(
+                f"table is partitioned by {stored!r}; cannot append "
+                f"declaring {partition_transform!r}"
+            )
         known = {
             e["data_file"]["file_path"]
             for m in prior["manifests"]

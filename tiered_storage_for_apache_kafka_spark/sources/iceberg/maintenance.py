@@ -659,9 +659,20 @@ def _rewrite_data_files_once(
     distributed read + one distributed write, no driver materialization
     — the driver handles only O(#files) footer stats, same as every
     commit path."""
+    # transformed-partition tables: the rewrite regroups rows by the
+    # partition COLUMN, which for a non-identity transform is
+    # metadata-only (not in the data) — recomputing it executor-side is
+    # the r8 follow-up; until then fail loudly instead of mis-grouping
     import time as _time
 
     version, meta, table_name = _maintenance_state(table_dir, catalog, table_name)
+    spec_transform = meta["partition-specs"][0]["fields"][0]["transform"]
+    if spec_transform != "identity":
+        raise NotImplementedError(
+            f"rewrite_data_files on a {spec_transform!r}-partitioned "
+            "table: the rewrite would need to recompute the transform "
+            "executor-side to regroup rows; not implemented yet"
+        )
     if meta.get("current-snapshot-id", -1) == -1:
         return meta
     cur = next(

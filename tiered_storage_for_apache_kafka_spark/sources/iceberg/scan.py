@@ -95,6 +95,8 @@ def plan_scan(
     catalog=None,
     table_name: str | None = None,
     column_bounds: tuple[str, int, int] | None = None,
+    source_value=None,
+    source_range: tuple | None = None,
 ) -> list[dict]:
     """Plan a table scan from the Iceberg metadata alone (never listing
     the filesystem): current snapshot -> manifest list -> manifests ->
@@ -135,7 +137,46 @@ def plan_scan(
             os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
         ) as f:
             meta = json.load(f)
-    return _plan_from_meta(meta, partition_value, column_bounds)
+    partition_value, partition_range = _resolve_source_predicate(
+        meta, partition_value, source_value, source_range
+    )
+    return _plan_from_meta(
+        meta, partition_value, column_bounds, partition_range
+    )
+
+
+def _resolve_source_predicate(
+    meta: dict,
+    partition_value,
+    source_value,
+    source_range: tuple | None,
+):
+    """Transform-aware pruning (spec "Partition Transforms"): a
+    predicate on the SOURCE column maps through the table's declared
+    transform to partition-space. ``source_value`` (equality) works for
+    every transform — including ``bucket``, where it picks the one
+    bucket the value can live in; ``source_range`` works only for
+    order-preserving transforms (identity/truncate/temporal) and is a
+    correct no-op (full scan) under ``bucket``."""
+    if source_value is None and source_range is None:
+        return partition_value, None
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (
+        is_order_preserving,
+        transform_value,
+    )
+
+    spec = meta["partition-specs"][0]["fields"][0]["transform"]
+    if source_value is not None:
+        if partition_value is not None:
+            raise ValueError("pass partition_value OR source_value, not both")
+        return transform_value(spec, source_value), None
+    lo, hi = source_range
+    if not is_order_preserving(spec):
+        return partition_value, None  # bucket: ranges do not map
+    return partition_value, (
+        transform_value(spec, lo),
+        transform_value(spec, hi),
+    )
 
 
 def _bounds_overlap(d: dict, field_id: int, lo: int, hi: int) -> bool:
@@ -158,6 +199,7 @@ def _plan_snapshot(
     partition_value: int | None,
     bounds: tuple[int, int, int] | None = None,
     tombstones_out: list[dict] | None = None,
+    partition_range: tuple[int, int] | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Walk ONE snapshot's manifest list lazily and split its live
     entries by manifest content: ``(data_files, delete_files)``. Each
@@ -178,13 +220,21 @@ def _plan_snapshot(
     data: list[dict] = []
     deletes: list[dict] = []
     for mf in manifest_files:
-        if partition_value is not None and mf.get("partitions"):
+        if (
+            partition_value is not None or partition_range is not None
+        ) and mf.get("partitions"):
             summary = mf["partitions"][0]
             lo_b, hi_b = summary.get("lower_bound"), summary.get("upper_bound")
             if lo_b is not None and hi_b is not None:
                 lo = struct.unpack("<i", lo_b)[0]
                 hi = struct.unpack("<i", hi_b)[0]
-                if not (lo <= partition_value <= hi):
+                if partition_value is not None and not (
+                    lo <= partition_value <= hi
+                ):
+                    continue  # manifest pruned unopened
+                if partition_range is not None and (
+                    hi < partition_range[0] or lo > partition_range[1]
+                ):
                     continue  # manifest pruned unopened
         _, entries, _ = read_avro_ocf(mf["manifest_path"])
         for e in entries:
@@ -202,11 +252,14 @@ def _plan_snapshot(
                     )
                 continue
             d = e["data_file"]
-            if (
-                partition_value is not None
-                and d["partition"].get(next(iter(d["partition"]))) != partition_value
-            ):
-                continue
+            if partition_value is not None or partition_range is not None:
+                pv = d["partition"].get(next(iter(d["partition"])))
+                if partition_value is not None and pv != partition_value:
+                    continue
+                if partition_range is not None and not (
+                    partition_range[0] <= pv <= partition_range[1]
+                ):
+                    continue
             is_delete = d.get("content") in (1, 2)
             if (
                 bounds is not None
@@ -242,6 +295,7 @@ def _plan_from_meta(
     meta: dict,
     partition_value: int | None,
     column_bounds: tuple[str, int, int] | None = None,
+    partition_range: tuple[int, int] | None = None,
 ) -> list[dict]:
     """The lazy manifest walk of :func:`plan_scan` over an
     already-loaded metadata dict — shared so readers that hold the
@@ -256,7 +310,10 @@ def _plan_from_meta(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
     data, _deletes = _plan_snapshot(
-        cur, partition_value, _resolve_bounds(meta, column_bounds)
+        cur,
+        partition_value,
+        _resolve_bounds(meta, column_bounds),
+        partition_range=partition_range,
     )
     return [{k: v for k, v in d.items() if k != "_seq"} for d in data]
 
@@ -268,6 +325,8 @@ def read_iceberg_table(
     partition_value: int | None = None,
     catalog=None,
     table_name: str | None = None,
+    source_value=None,
+    source_range: tuple | None = None,
 ):
     """Open the table THROUGH its Iceberg metadata the way Trino/Flink
     would: plan the file set from the snapshot's manifests (plan_scan),
@@ -291,7 +350,13 @@ def read_iceberg_table(
     cur = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
-    return _read_snapshot(spark, table_dir, meta, cur, partition_value)
+    partition_value, partition_range = _resolve_source_predicate(
+        meta, partition_value, source_value, source_range
+    )
+    return _read_snapshot(
+        spark, table_dir, meta, cur, partition_value,
+        partition_range=partition_range,
+    )
 
 
 
@@ -309,6 +374,7 @@ def _read_snapshot(
     snap: dict,
     partition_value,
     keep_identity: bool = False,
+    partition_range: tuple[int, int] | None = None,
 ):
     """Plan one snapshot and hand it to Spark, applying the snapshot's
     position deletes when it has any (shared by the current-state and
@@ -317,7 +383,9 @@ def _read_snapshot(
     retains the ``(__iceberg_file, __iceberg_pos)`` row-identity columns
     (and returns None for an empty plan) — the changelog reader diffs
     two snapshots on exactly that identity."""
-    data, deletes = _plan_snapshot(snap, partition_value)
+    data, deletes = _plan_snapshot(
+        snap, partition_value, partition_range=partition_range
+    )
     if not data:
         return None if keep_identity else _empty_table_df(spark, meta)
     if not deletes and not keep_identity:

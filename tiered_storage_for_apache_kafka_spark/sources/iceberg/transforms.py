@@ -1,0 +1,226 @@
+"""Iceberg partition transforms (spec "Partition Transforms").
+
+Real Iceberg tables rarely partition by identity: the spec's transform
+set — ``bucket[N]`` (32-bit Murmur3, the x86 variant with seed 0, of
+the value's canonical byte form, masked positive, mod N),
+``truncate[W]`` (floor to width for ints, prefix for strings), and the
+temporal family ``year/month/day/hour`` (offsets from the Unix epoch)
+— is what production write paths use. This module implements the
+transform functions bit-for-bit per the spec (Murmur3 pinned by the
+spec's own published test vectors: ``bucket`` hash of int/long 34 is
+2017239379, of UTF-8 "iceberg" is 1210000089), both scalar (planning:
+predicate -> partition value) and vectorized over numpy int64 arrays
+(write path: Arrow-batched partition-column computation).
+
+Scale shape: the vectorized forms are pure uint32 numpy arithmetic —
+one pass, no Python loop — used from a pandas UDF so the hot path
+stays Arrow-batched; the scalar forms serve metadata-plane pruning
+(one value per predicate, driver-side).
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+import numpy as np
+import pandas as pd
+
+_M32 = 0xFFFFFFFF
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+
+#: micros per unit for the temporal transforms
+_MICROS_PER_HOUR = 3_600_000_000
+_MICROS_PER_DAY = 86_400_000_000
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3 x86 32-bit of ``data`` (seed 0 per the Iceberg spec).
+    Returns the SIGNED 32-bit hash, as Java does."""
+    h = seed & _M32
+    n4 = len(data) // 4
+    for i in range(n4):
+        (k,) = struct.unpack_from("<I", data, i * 4)
+        k = (k * _C1) & _M32
+        k = _rotl32(k, 15)
+        k = (k * _C2) & _M32
+        h ^= k
+        h = _rotl32(h, 13)
+        h = (h * 5 + 0xE6546B64) & _M32
+    tail = data[n4 * 4 :]
+    k = 0
+    for i, b in enumerate(tail):
+        k |= b << (8 * i)
+    if tail:
+        k = (k * _C1) & _M32
+        k = _rotl32(k, 15)
+        k = (k * _C2) & _M32
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def bucket_hash_long(v: int) -> int:
+    """The spec's bucket hash for int/long: Murmur3 of the 8-byte
+    little-endian value (ints are hashed as longs so the two types
+    bucket identically)."""
+    return murmur3_32(struct.pack("<q", int(v)))
+
+
+def bucket_hash_str(s: str) -> int:
+    """The spec's bucket hash for strings: Murmur3 of the UTF-8 bytes."""
+    return murmur3_32(s.encode("utf-8"))
+
+
+def _rotl32_arr(x: "np.ndarray", r: int) -> "np.ndarray":
+    return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+
+def bucket_hash_long_vec(vals: "np.ndarray") -> "np.ndarray":
+    """Vectorized :func:`bucket_hash_long` over an int64 array; returns
+    int32 hashes. Pure uint32 numpy arithmetic (two 4-byte blocks, no
+    tail), verified elementwise against the scalar form."""
+    v = vals.astype(np.int64).view(np.uint64)
+    lo = (v & np.uint64(_M32)).astype(np.uint32)
+    hi = (v >> np.uint64(32)).astype(np.uint32)
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(vals), dtype=np.uint32)
+        for k in (lo, hi):
+            k = (k * np.uint32(_C1)).astype(np.uint32)
+            k = _rotl32_arr(k, 15)
+            k = (k * np.uint32(_C2)).astype(np.uint32)
+            h ^= k
+            h = _rotl32_arr(h, 13)
+            h = (h * np.uint32(5) + np.uint32(0xE6546B64)).astype(np.uint32)
+        h ^= np.uint32(8)  # length
+        h ^= h >> np.uint32(16)
+        h = (h * np.uint32(0x85EBCA6B)).astype(np.uint32)
+        h ^= h >> np.uint32(13)
+        h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
+        h ^= h >> np.uint32(16)
+    return h.view(np.int32)
+
+
+_TRANSFORM_RE = re.compile(r"^(identity|void|year|month|day|hour)$|^(bucket|truncate)\[(\d+)\]$")
+
+
+def parse_transform(spec: str) -> tuple[str, int | None]:
+    """``"bucket[8]"`` -> ("bucket", 8); ``"day"`` -> ("day", None)."""
+    m = _TRANSFORM_RE.match(spec)
+    if not m:
+        raise ValueError(f"unknown partition transform {spec!r}")
+    if m.group(1):
+        return m.group(1), None
+    return m.group(2), int(m.group(3))
+
+
+def transform_value(spec: str, value, value_is_micros: bool = True):
+    """Apply a transform to ONE source value (planning side: a
+    predicate's literal -> the partition value to prune with).
+    Temporal transforms take epoch-micros (the spec's timestamp
+    representation)."""
+    name, arg = parse_transform(spec)
+    if name == "identity":
+        return value
+    if name == "void":
+        return None
+    if name == "bucket":
+        h = (
+            bucket_hash_str(value)
+            if isinstance(value, str)
+            else bucket_hash_long(value)
+        )
+        return (h & 0x7FFFFFFF) % arg
+    if name == "truncate":
+        if isinstance(value, str):
+            return value[:arg]
+        v = int(value)
+        return v - (((v % arg) + arg) % arg)
+    # temporal: value is epoch-micros (or already a day ordinal)
+    micros = int(value)
+    if not value_is_micros:
+        raise ValueError("temporal transforms take epoch-micros")
+    if name == "hour":
+        return _floor_div(micros, _MICROS_PER_HOUR)
+    days = _floor_div(micros, _MICROS_PER_DAY)
+    if name == "day":
+        return days
+    import datetime as _dt
+
+    d = _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+    if name == "month":
+        return (d.year - 1970) * 12 + (d.month - 1)
+    if name == "year":
+        return d.year - 1970
+    raise AssertionError(name)
+
+
+def _floor_div(a: int, b: int) -> int:
+    return a // b  # Python floordiv is floor (negatives included)
+
+
+def is_order_preserving(spec: str) -> bool:
+    """Whether a range predicate on the source column maps to a range
+    on the transformed value (spec: every transform except bucket is
+    order-preserving; void preserves nothing)."""
+    name, _ = parse_transform(spec)
+    return name in ("identity", "truncate", "year", "month", "day", "hour")
+
+
+def transform_column(df, source_col: str, spec: str, name: str):
+    """Append the transformed partition column ``name`` to a Spark
+    DataFrame. Order-preserving transforms are pure JVM expressions;
+    ``bucket`` uses a vectorized Arrow-batched pandas UDF (Spark's
+    built-in ``hash()`` is a different Murmur3 layout/seed and would
+    not interoperate with external Iceberg writers)."""
+    from pyspark.sql import functions as F
+
+    tname, arg = parse_transform(spec)
+    col = F.col(source_col)
+    if tname == "identity":
+        return df.withColumn(name, col)
+    if tname == "truncate":
+        # truncate preserves the source width (a wide long stays long)
+        return df.withColumn(
+            name, col - (((col % arg) + arg) % arg)
+        )
+    if tname in ("day", "hour"):
+        unit = _MICROS_PER_DAY if tname == "day" else _MICROS_PER_HOUR
+        return df.withColumn(
+            name, F.floor(col / F.lit(unit)).cast("int")
+        )
+    if tname == "month":
+        return df.withColumn(
+            name,
+            (
+                (F.year(F.timestamp_micros(col)) - 1970) * 12
+                + F.month(F.timestamp_micros(col))
+                - 1
+            ).cast("int"),
+        )
+    if tname == "year":
+        return df.withColumn(
+            name, (F.year(F.timestamp_micros(col)) - 1970).cast("int")
+        )
+    if tname == "bucket":
+        from pyspark.sql.functions import pandas_udf
+
+        n = arg
+
+        @pandas_udf("int")
+        def _bucket(v: pd.Series) -> pd.Series:
+            h = bucket_hash_long_vec(v.to_numpy(dtype=np.int64))
+            return pd.Series((h.astype(np.int64) & 0x7FFFFFFF) % n)
+
+        return df.withColumn(name, _bucket(col))
+    raise ValueError(f"transform {spec!r} has no partition-column form")
