@@ -165,7 +165,19 @@ class TestDayPartitionedTable:
                 partition_transform="bucket[4]", partition_source="v",
             )
 
-    def test_rewrite_data_files_guarded(self, spark, tmp_path):
+    def test_partition_column_is_metadata_only(self, spark, tmp_path):
+        tdir = _write_day_table(tmp_path)
+        schema = spark.createDataFrame([], "ts_us long, v long").schema
+        commit_append(
+            tdir, schema, partition_col="ts_day", now_ms=1_000,
+            partition_transform="day", partition_source="ts_us",
+        )
+        cols = read_iceberg_table(spark, tdir).columns
+        assert "ts_day" not in cols and set(cols) == {"ts_us", "v"}
+
+    def test_rewrite_data_files_recomputes_the_transform(
+        self, spark, tmp_path
+    ):
         from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
             rewrite_data_files,
         )
@@ -176,8 +188,37 @@ class TestDayPartitionedTable:
             tdir, schema, partition_col="ts_day", now_ms=1_000,
             partition_transform="day", partition_source="ts_us",
         )
-        with pytest.raises(NotImplementedError, match="'day'-partitioned"):
-            rewrite_data_files(spark, tdir, now_ms=2_000)
+        # split each day into a second file so the table is compactable
+        for d in range(10):
+            dd = os.path.join(tdir, f"ts_day={17000 + d}")
+            base = (17000 + d) * MICROS_PER_DAY
+            pq.write_table(
+                pa.table(
+                    {
+                        "ts_us": pa.array([base + 999], pa.int64()),
+                        "v": pa.array([999], pa.int64()),
+                    }
+                ),
+                os.path.join(dd, f"extra{d}.parquet"),
+            )
+        commit_append(
+            tdir, schema, partition_col="ts_day", now_ms=2_000,
+            partition_transform="day", partition_source="ts_us",
+        )
+        before = read_iceberg_table(spark, tdir).groupBy().count().collect()[0][0]
+        rewrite_data_files(spark, tdir, now_ms=3_000)
+        files = plan_scan(tdir)
+        # one compacted file per day, grouped by the RECOMPUTED transform
+        assert len(files) == 10
+        days = sorted(f["partition"]["ts_day"] for f in files)
+        assert days == [17000 + d for d in range(10)]
+        assert (
+            read_iceberg_table(spark, tdir).groupBy().count().collect()[0][0]
+            == before
+        )
+        # pruning still works on the compacted layout
+        lo = 17004 * MICROS_PER_DAY
+        assert len(plan_scan(tdir, source_range=(lo, lo + 10))) == 1
 
 
 class TestBucketPartitionedTable:

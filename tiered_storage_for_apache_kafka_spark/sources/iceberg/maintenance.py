@@ -659,20 +659,9 @@ def _rewrite_data_files_once(
     distributed read + one distributed write, no driver materialization
     — the driver handles only O(#files) footer stats, same as every
     commit path."""
-    # transformed-partition tables: the rewrite regroups rows by the
-    # partition COLUMN, which for a non-identity transform is
-    # metadata-only (not in the data) — recomputing it executor-side is
-    # the r8 follow-up; until then fail loudly instead of mis-grouping
     import time as _time
 
     version, meta, table_name = _maintenance_state(table_dir, catalog, table_name)
-    spec_transform = meta["partition-specs"][0]["fields"][0]["transform"]
-    if spec_transform != "identity":
-        raise NotImplementedError(
-            f"rewrite_data_files on a {spec_transform!r}-partitioned "
-            "table: the rewrite would need to recompute the transform "
-            "executor-side to regroup rows; not implemented yet"
-        )
     if meta.get("current-snapshot-id", -1) == -1:
         return meta
     cur = next(
@@ -749,6 +738,22 @@ def _rewrite_data_files_once(
     live = _read_plan_with_identity(spark, table_dir, meta, data, deletes).drop(
         "__iceberg_file", "__iceberg_pos"
     )
+    # a transformed partition column is metadata-only (never in the
+    # data or the scan) — recompute it executor-side from the spec's
+    # source column so the rewrite regroups exactly as the writer did
+    spec_field = meta["partition-specs"][0]["fields"][0]
+    if spec_field["transform"] != "identity":
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (  # noqa: E501
+            transform_column,
+        )
+
+        id_to_name = {f["id"]: f["name"] for f in schema_struct["fields"]}
+        live = transform_column(
+            live,
+            id_to_name[spec_field["source-id"]],
+            spec_field["transform"],
+            partition_col,
+        )
     compact_uuid = uuid.uuid4().hex[:16]
     out_dir = os.path.join(table_dir, f"_compacted-{compact_uuid}")
     if sort_cols:

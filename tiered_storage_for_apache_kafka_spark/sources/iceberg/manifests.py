@@ -81,6 +81,14 @@ def _read_planned_files(
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
+    # a TRANSFORMED partition column (day/bucket/truncate spec) is
+    # metadata-only: the hive basePath recovery surfaces it as a scan
+    # column, but it is not part of the table schema — drop it, as the
+    # Iceberg reader contract requires (identity specs keep theirs: the
+    # partition column IS a schema column there)
+    spec_field = meta["partition-specs"][0]["fields"][0]
+    if spec_field["transform"] != "identity":
+        out = out.drop(spec_field["name"])
     return out
 
 
