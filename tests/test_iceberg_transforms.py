@@ -257,3 +257,34 @@ class TestBucketPartitionedTable:
             assert got == 1
         # a range predicate under bucket is a correct full scan
         assert len(plan_scan(tdir, source_range=(0, 10))) == len(total)
+
+
+class TestRowDeletesOnTransformedTables:
+    def test_dv_delete_and_equality_upsert_on_day_table(
+        self, spark, tmp_path
+    ):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        tdir = _write_day_table(tmp_path)
+        schema = spark.createDataFrame([], "ts_us long, v long").schema
+        commit_append(
+            tdir, schema, partition_col="ts_day", now_ms=1_000,
+            partition_transform="day", partition_source="ts_us",
+        )
+        # DV delete across the transformed table (positions are
+        # metadata-derived; no partition-column dependency)
+        commit_deletion_vectors(spark, tdir, "v % 5 = 2", now_ms=2_000)
+        live = read_iceberg_table(spark, tdir)
+        assert live.where("v % 5 = 2").count() == 0
+        assert live.count() == 10 * 20 * 4 // 5
+        # merge-on-read over the day table with its DV deletes applied,
+        # the delete-manifest partition field DERIVED from the spec
+        # (ts_day), and the pruned read still seeing the deletes:
+        got = sorted(
+            r["v"]
+            for r in read_iceberg_table(
+                spark, tdir, source_value=17003 * MICROS_PER_DAY
+            ).collect()
+        )
+        assert got == [v for v in range(20) if v % 5 != 2]

@@ -152,7 +152,7 @@ def write_deletion_vectors(
     spark,
     table_dir: str,
     predicate,
-    partition_col: str = "partition",
+    partition_col: str | None = None,
     meta: dict | None = None,
     max_collect_bytes: int = MAX_DV_COLLECT_BYTES,
 ) -> list[dict]:
@@ -173,6 +173,10 @@ def write_deletion_vectors(
         _v, meta, _t = _current_state_meta(table_dir)
     if meta.get("current-snapshot-id", -1) == -1:
         return []
+    if partition_col is None:
+        # derive the partition field from the table spec (the default
+        # for every caller; an explicit name remains an override)
+        partition_col = meta["partition-specs"][0]["fields"][0]["name"]
     cur = next(
         s
         for s in meta["snapshots"]
@@ -325,7 +329,7 @@ def commit_deletion_vectors(
     spark,
     table_dir: str,
     predicate,
-    partition_col: str = "partition",
+    partition_col: str | None = None,
     now_ms: int | None = None,
     catalog=None,
     table_name: str | None = None,
@@ -350,6 +354,8 @@ def commit_deletion_vectors(
         version, base, table_name = _current_state_meta(
             table_dir, catalog, table_name
         )
+        if partition_col is None:
+            partition_col = base["partition-specs"][0]["fields"][0]["name"]
         stats = write_deletion_vectors(
             spark, table_dir, predicate, partition_col, meta=base,
             max_collect_bytes=max_collect_bytes,

@@ -153,13 +153,24 @@ def _commit_append_once(
                 parse_transform,
             )
 
-            parse_transform(partition_transform)  # validate early
+            tname, _targ = parse_transform(partition_transform)
             if partition_source is None:
                 raise ValueError(
                     f"partition_transform {partition_transform!r} needs "
                     "partition_source (the schema column it derives from)"
                 )
             spec_source_id = _field_id(schema_struct, partition_source)
+            src_type = next(
+                f["type"]
+                for f in schema_struct["fields"]
+                if f["id"] == spec_source_id
+            )
+            if tname == "truncate" and src_type == "string":
+                raise NotImplementedError(
+                    "string-truncate partition values do not fit the "
+                    "int-typed hive layout/manifest partition struct; "
+                    "truncate-partition an integer column instead"
+                )
         table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, "iceberg:" + table_dir))
         base = {
             "format-version": FORMAT_VERSION,

@@ -46,7 +46,7 @@ def write_position_deletes(
     spark,
     table_dir: str,
     predicate,
-    partition_col: str = "partition",
+    partition_col: str | None = None,
     meta: dict | None = None,
 ) -> list[dict]:
     """Plan and write spec-shaped **position-delete files** for every
@@ -67,6 +67,10 @@ def write_position_deletes(
 
     if meta is None:
         _v, meta, _t = _current_state_meta(table_dir)
+    if partition_col is None:
+        # derive the partition field from the table spec (the default
+        # for every caller; an explicit name remains an override)
+        partition_col = meta["partition-specs"][0]["fields"][0]["name"]
     if meta.get("current-snapshot-id", -1) == -1:
         return []
     cur = next(
@@ -164,7 +168,7 @@ def commit_position_deletes(
     spark,
     table_dir: str,
     predicate,
-    partition_col: str = "partition",
+    partition_col: str | None = None,
     now_ms: int | None = None,
     catalog=None,
     table_name: str | None = None,
@@ -195,6 +199,8 @@ def commit_position_deletes(
         version, base, table_name = _current_state_meta(
             table_dir, catalog, table_name
         )
+        if partition_col is None:
+            partition_col = base["partition-specs"][0]["fields"][0]["name"]
         stats = write_position_deletes(
             spark, table_dir, predicate, partition_col, meta=base
         )
@@ -217,7 +223,7 @@ def write_equality_deletes(
     table_dir: str,
     keys_df,
     equality_cols: list[str],
-    partition_col: str = "partition",
+    partition_col: str | None = None,
     meta: dict | None = None,
 ) -> list[dict]:
     """Write spec-shaped **equality-delete files** (content=2) for the
@@ -231,6 +237,10 @@ def write_equality_deletes(
     stats (with ``equality_ids``) for :func:`commit_equality_deletes`."""
     if meta is None:
         _v, meta, _t = _current_state_meta(table_dir)
+    if partition_col is None:
+        # derive the partition field from the table spec (the default
+        # for every caller; an explicit name remains an override)
+        partition_col = meta["partition-specs"][0]["fields"][0]["name"]
     if meta.get("current-snapshot-id", -1) == -1:
         # no data has ever been committed: an equality delete applies
         # only to data files with a strictly lower sequence number, so
@@ -295,7 +305,7 @@ def commit_equality_deletes(
     table_dir: str,
     keys_df,
     equality_cols: list[str],
-    partition_col: str = "partition",
+    partition_col: str | None = None,
     now_ms: int | None = None,
     catalog=None,
     table_name: str | None = None,
@@ -321,6 +331,8 @@ def commit_equality_deletes(
         version, base, table_name = _current_state_meta(
             table_dir, catalog, table_name
         )
+        if partition_col is None:
+            partition_col = base["partition-specs"][0]["fields"][0]["name"]
         stats = write_equality_deletes(
             spark, table_dir, keys_df, equality_cols, partition_col, meta=base
         )

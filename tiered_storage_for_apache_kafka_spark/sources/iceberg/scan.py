@@ -76,13 +76,35 @@ def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
         .join(F.broadcast(del_meta), "__iceberg_dfile")
     )
     df2 = df_pos.join(F.broadcast(data_seq), "__iceberg_file")
+    spec_field = meta["partition-specs"][0]["fields"][0]
+    if spec_field["transform"] != "identity":
+        # transformed partition column: metadata-only, so the data side
+        # recomputes it from the spec's source column for the
+        # partition-scope match (executor-side, same kernel the writer
+        # and rewrite_data_files use)
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (  # noqa: E501
+            transform_column,
+        )
+
+        df2 = transform_column(
+            df2,
+            id_to_name[spec_field["source-id"]],
+            spec_field["transform"],
+            "__iceberg_eq_part",
+        )
+        part_col = df2["__iceberg_eq_part"]
+    else:
+        part_col = df2[partition_col]
     cond = df2["__iceberg_data_seq"] < dels["__iceberg_del_seq"]
-    cond = cond & df2[partition_col].eqNullSafe(dels["__iceberg_del_part"])
+    cond = cond & part_col.eqNullSafe(dels["__iceberg_del_part"])
     for c in eq_cols:
         cond = cond & df2[c].eqNullSafe(dels[f"__eq_{c}"])
     # callers drop __iceberg_file/__iceberg_pos once all delete layers
     # have been applied
-    return df2.join(dels, cond, "left_anti").drop("__iceberg_data_seq")
+    return (
+        df2.join(dels, cond, "left_anti")
+        .drop("__iceberg_data_seq", "__iceberg_eq_part")
+    )
 
 
 # -- row-level deletes: v2 position-delete files (merge-on-read) --------------

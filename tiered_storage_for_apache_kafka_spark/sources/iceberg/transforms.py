@@ -215,6 +215,13 @@ def transform_column(df, source_col: str, spec: str, name: str):
     if tname == "bucket":
         from pyspark.sql.functions import pandas_udf
 
+        dt = dict(df.dtypes).get(source_col)
+        if dt not in ("bigint", "int", "smallint", "tinyint"):
+            raise NotImplementedError(
+                f"bucket partition column over {dt!r} source: only "
+                "integer sources are vectorized (string buckets exist "
+                "scalar-side via bucket_hash_str)"
+            )
         n = arg
 
         @pandas_udf("int")
