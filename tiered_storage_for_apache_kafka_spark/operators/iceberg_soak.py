@@ -107,7 +107,6 @@ def _consume(spark, tdir: str, ckpt: int, counts: dict) -> tuple[int, int]:
 def _run_gauntlet(spark: SparkSession, sf_dir: str) -> tuple:
     """Build the soak table and run the full composed schedule once per
     (session, sf). Returns (table_dir, maintained counts, counters)."""
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
