@@ -420,6 +420,96 @@ def probe_iceberg_commit_cost() -> None:
 
 
 
+def probe_transform_pruning() -> None:
+    """Partition-transform pruning curve (round 7): plan cost of a
+    fixed 4-day source-range window on a day(ts)-partitioned table as
+    the table grows 64 -> 640 day-files. Pure metadata (pyarrow 1-row
+    files + commit_append), no Spark.
+
+    Measured 2026-08-15 (this host):
+      days= 64 commits=  1  plan_ms=  4.3  files=4
+      days=640 commits=  1  plan_ms= 38.1  files=4
+      days=640 commits= 10  plan_ms=  2.8  files=4
+        after rewrite_manifests: plan_ms= 29.9  files=4
+
+    The window opens a CONSTANT 4 files at every size — and the curve
+    shows WHERE the plan cost lives: manifest GRANULARITY. Ten
+    64-day manifests let the partition summaries prune nine unopened
+    (2.8 ms); one 640-day manifest must be opened and entry-filtered
+    (38 ms). rewrite_manifests currently merges to a single manifest,
+    trading per-commit planning cost for summary granularity — real
+    Iceberg's rewrite splits output by partition bounds/target size to
+    keep both; that split is the noted follow-up if plan times ever
+    matter at many-thousand-file scale.
+    Run: python bench_scaling.py --transform-pruning
+    """
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        plan_scan,
+        rewrite_manifests,
+    )
+
+    MICROS_PER_DAY = 86_400_000_000
+    schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+
+    def build(n_days: int, n_commits: int) -> str:
+        tdir = tempfile.mkdtemp(prefix="transform-prune-")
+        per = n_days // n_commits
+        for c in range(n_commits):
+            files = []
+            for d in range(c * per, (c + 1) * per):
+                dd = os.path.join(tdir, f"ts_day={d}")
+                os.makedirs(dd, exist_ok=True)
+                path = os.path.join(dd, "f.parquet")
+                pq.write_table(
+                    pa.table(
+                        {
+                            "ts_us": pa.array([d * MICROS_PER_DAY], pa.int64()),
+                            "v": pa.array([d], pa.int64()),
+                        }
+                    ),
+                    path,
+                )
+                files.append(path)
+            commit_append(
+                tdir, schema, partition_col="ts_day", now_ms=c + 1,
+                files=files, partition_transform="day",
+                partition_source="ts_us",
+            )
+        return tdir
+
+    lo, hi = 10 * MICROS_PER_DAY, 14 * MICROS_PER_DAY - 1
+    for n_days, n_commits in ((64, 1), (640, 1), (640, 10)):
+        tdir = build(n_days, n_commits)
+
+        def plan_ms() -> tuple[float, int]:
+            t0 = time.perf_counter()
+            files = plan_scan(tdir, source_range=(lo, hi))
+            return (time.perf_counter() - t0) * 1000, len(files)
+
+        ms, n = plan_ms()
+        line = f"days={n_days:4d} commits={n_commits:3d}  plan_ms={ms:6.1f}  files={n}"
+        if n_commits > 1:
+            rewrite_manifests(tdir, now_ms=n_commits + 1)
+            ms2, n2 = plan_ms()
+            line += f"  after rewrite_manifests: plan_ms={ms2:6.1f} files={n2}"
+        print(line)
+        assert n == 4, n
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
 def probe_rest_contention() -> None:
     """Optimistic-concurrency cost under REAL contention (round-6
     verdict ask #8): N writer threads race M commits each against one
@@ -723,6 +813,8 @@ if __name__ == "__main__":
         probe_iceberg_commit_cost()
     elif "--rest-contention" in sys.argv:
         probe_rest_contention()
+    elif "--transform-pruning" in sys.argv:
+        probe_transform_pruning()
     elif "--bounds-pruning" in sys.argv:
         probe_bounds_pruning()
     elif "--incremental-window" in sys.argv:
