@@ -426,21 +426,19 @@ def probe_transform_pruning() -> None:
     the table grows 64 -> 640 day-files. Pure metadata (pyarrow 1-row
     files + commit_append), no Spark.
 
-    Measured 2026-08-15 (this host):
-      days= 64 commits=  1  plan_ms=  4.3  files=4
-      days=640 commits=  1  plan_ms= 38.1  files=4
-      days=640 commits= 10  plan_ms=  2.8  files=4
-        after rewrite_manifests: plan_ms= 29.9  files=4
-
-    The window opens a CONSTANT 4 files at every size — and the curve
-    shows WHERE the plan cost lives: manifest GRANULARITY. Ten
-    64-day manifests let the partition summaries prune nine unopened
-    (2.8 ms); one 640-day manifest must be opened and entry-filtered
-    (38 ms). rewrite_manifests currently merges to a single manifest,
-    trading per-commit planning cost for summary granularity — real
-    Iceberg's rewrite splits output by partition bounds/target size to
-    keep both; that split is the noted follow-up if plan times ever
-    matter at many-thousand-file scale.
+    Measured 2026-08-15 (this host). FIRST run (single-manifest
+    compaction): one 640-day manifest forced 38 ms of entry filtering
+    where ten 64-day manifests planned in 2.8 ms via summary pruning,
+    and rewrite_manifests DESTROYED the granularity (29.9 ms after).
+    The probe's finding became the fix — rewrite_manifests now splits
+    output into partition-clustered manifests of target_entries each —
+    and the re-measure closes the loop:
+      days= 64 commits=  1  plan_ms=  2.5  files=4
+      days=640 commits=  1  plan_ms= 24.0  files=4
+      days=640 commits= 10  plan_ms=  2.9  files=4
+        after split rewrite (target 64): plan_ms= 2.9  files=4
+    The window opens a CONSTANT 4 files at every size, and compaction
+    now preserves the summary-pruning index (2.9 ms before == after).
     Run: python bench_scaling.py --transform-pruning
     """
     import shutil
@@ -502,9 +500,9 @@ def probe_transform_pruning() -> None:
         ms, n = plan_ms()
         line = f"days={n_days:4d} commits={n_commits:3d}  plan_ms={ms:6.1f}  files={n}"
         if n_commits > 1:
-            rewrite_manifests(tdir, now_ms=n_commits + 1)
+            rewrite_manifests(tdir, now_ms=n_commits + 1, target_entries=64)
             ms2, n2 = plan_ms()
-            line += f"  after rewrite_manifests: plan_ms={ms2:6.1f} files={n2}"
+            line += f"  after split rewrite (target 64): plan_ms={ms2:6.1f} files={n2}"
         print(line)
         assert n == 4, n
         shutil.rmtree(tdir, ignore_errors=True)

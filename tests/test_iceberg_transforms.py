@@ -288,3 +288,76 @@ class TestRowDeletesOnTransformedTables:
             ).collect()
         )
         assert got == [v for v in range(20) if v % 5 != 2]
+
+
+class TestManifestSplitCompaction:
+    def test_rewrite_manifests_splits_by_partition(self, spark, tmp_path):
+        # 12 single-file commits over 12 days, compacted with a target
+        # of 4 entries/manifest: the rewrite must emit 3 manifests with
+        # TIGHT, disjoint partition summaries so a one-day window opens
+        # exactly one of them
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_table_metadata,
+            rewrite_manifests,
+        )
+
+        tdir = str(tmp_path / "split-tbl")
+        schema = spark.createDataFrame([], "ts_us long, v long").schema
+        for d in range(12):
+            dd = os.path.join(tdir, f"ts_day={d}")
+            os.makedirs(dd, exist_ok=True)
+            path = os.path.join(dd, "f.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "ts_us": pa.array([d * MICROS_PER_DAY], pa.int64()),
+                        "v": pa.array([d], pa.int64()),
+                    }
+                ),
+                path,
+            )
+            commit_append(
+                tdir, schema, partition_col="ts_day", now_ms=d + 1,
+                files=[path], partition_transform="day",
+                partition_source="ts_us",
+            )
+        rewrite_manifests(tdir, now_ms=100, target_entries=4)
+        back = read_table_metadata(tdir)
+        mlist = back["manifest_list"]
+        assert len(mlist) == 3
+        bounds = sorted(
+            (
+                int.from_bytes(mf["partitions"][0]["lower_bound"], "little"),
+                int.from_bytes(mf["partitions"][0]["upper_bound"], "little"),
+            )
+            for mf in mlist
+        )
+        assert bounds == [(0, 3), (4, 7), (8, 11)]
+        # a one-day window plans 1 file and the others' manifests prune
+        files = plan_scan(
+            tdir, source_range=(5 * MICROS_PER_DAY, 6 * MICROS_PER_DAY - 1)
+        )
+        assert len(files) == 1
+        # the full read is unchanged by the re-layout
+        assert read_iceberg_table(spark, tdir).count() == 12
+
+    def test_right_sized_single_manifest_is_noop(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_table_metadata,
+            rewrite_manifests,
+        )
+
+        tdir = _write_day_table(tmp_path)
+        schema = spark.createDataFrame([], "ts_us long, v long").schema
+        commit_append(
+            tdir, schema, partition_col="ts_day", now_ms=1_000,
+            partition_transform="day", partition_source="ts_us",
+        )
+        v1 = read_table_metadata(tdir)["metadata"]["current-snapshot-id"]
+        rewrite_manifests(tdir, now_ms=2_000)  # 10 entries <= 2048: no-op
+        assert (
+            read_table_metadata(tdir)["metadata"]["current-snapshot-id"] == v1
+        )
+        # but an explicit smaller target DOES split it
+        rewrite_manifests(tdir, now_ms=3_000, target_entries=5)
+        assert len(read_table_metadata(tdir)["manifest_list"]) == 2
