@@ -361,3 +361,20 @@ class TestManifestSplitCompaction:
         # but an explicit smaller target DOES split it
         rewrite_manifests(tdir, now_ms=3_000, target_entries=5)
         assert len(read_table_metadata(tdir)["manifest_list"]) == 2
+
+
+    def test_string_bucket_column(self, spark):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            bucket_hash_str,
+        )
+
+        df = spark.createDataFrame(
+            [("iceberg",), ("spark",), (None,)], "s string"
+        )
+        out = {
+            r["s"]: r["b"]
+            for r in transform_column(df, "s", "bucket[16]", "b").collect()
+        }
+        assert out["iceberg"] == (bucket_hash_str("iceberg") & 0x7FFFFFFF) % 16
+        assert out["spark"] == (bucket_hash_str("spark") & 0x7FFFFFFF) % 16
+        assert out[None] is None

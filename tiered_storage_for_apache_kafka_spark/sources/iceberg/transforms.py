@@ -216,18 +216,32 @@ def transform_column(df, source_col: str, spec: str, name: str):
         from pyspark.sql.functions import pandas_udf
 
         dt = dict(df.dtypes).get(source_col)
-        if dt not in ("bigint", "int", "smallint", "tinyint"):
-            raise NotImplementedError(
-                f"bucket partition column over {dt!r} source: only "
-                "integer sources are vectorized (string buckets exist "
-                "scalar-side via bucket_hash_str)"
-            )
         n = arg
+        if dt in ("bigint", "int", "smallint", "tinyint"):
 
-        @pandas_udf("int")
-        def _bucket(v: pd.Series) -> pd.Series:
-            h = bucket_hash_long_vec(v.to_numpy(dtype=np.int64))
-            return pd.Series((h.astype(np.int64) & 0x7FFFFFFF) % n)
+            @pandas_udf("int")
+            def _bucket(v: pd.Series) -> pd.Series:
+                h = bucket_hash_long_vec(v.to_numpy(dtype=np.int64))
+                return pd.Series((h.astype(np.int64) & 0x7FFFFFFF) % n)
 
+        elif dt == "string":
+            # strings hash per-value (variable-length Murmur3 doesn't
+            # vectorize cleanly); still Arrow-batched per partition
+            @pandas_udf("int")
+            def _bucket(v: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [
+                        (bucket_hash_str(s) & 0x7FFFFFFF) % n
+                        if s is not None
+                        else None
+                    for s in v],
+                    dtype="Int32",
+                )
+
+        else:
+            raise NotImplementedError(
+                f"bucket partition column over {dt!r} source: integer "
+                "and string sources are supported"
+            )
         return df.withColumn(name, _bucket(col))
     raise ValueError(f"transform {spec!r} has no partition-column form")
