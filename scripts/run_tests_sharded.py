@@ -71,6 +71,8 @@ def main() -> int:
     t0 = time.time()
     procs = []
     for i, (cost, members) in enumerate(bins):
+        if not members:
+            continue  # bare pytest would re-run the WHOLE suite
         args = [
             sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
             *(os.path.join("tests", m) for m in members),

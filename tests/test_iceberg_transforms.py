@@ -135,11 +135,12 @@ class TestDayPartitionedTable:
         days = sorted(f["partition"]["ts_day"] for f in files)
         assert days == [17003, 17004, 17005]
 
-        # and the read returns exactly those days' rows
+        # and the read applies the row-level residual too: days 17003
+        # and 17004 fully, plus only day 17005's hour-0 row (<= hi)
         rows = read_iceberg_table(
             spark, tdir, source_range=(lo, hi)
         ).count()
-        assert rows == 3 * 20
+        assert rows == 2 * 20 + 1
 
     def test_source_value_points_at_one_day(self, spark, tmp_path):
         tdir = _write_day_table(tmp_path)
@@ -249,11 +250,8 @@ class TestBucketPartitionedTable:
             files = plan_scan(tdir, source_value=probe)
             b = (bucket_hash_long(probe) & 0x7FFFFFFF) % n_buckets
             assert [f["partition"]["id_bucket"] for f in files] == [b]
-            got = (
-                read_iceberg_table(spark, tdir, source_value=probe)
-                .where(f"id = {probe}")
-                .count()
-            )
+            # the read applies the residual itself: row-exact lookup
+            got = read_iceberg_table(spark, tdir, source_value=probe).count()
             assert got == 1
         # a range predicate under bucket is a correct full scan
         assert len(plan_scan(tdir, source_range=(0, 10))) == len(total)
@@ -281,13 +279,21 @@ class TestRowDeletesOnTransformedTables:
         # merge-on-read over the day table with its DV deletes applied,
         # the delete-manifest partition field DERIVED from the spec
         # (ts_day), and the pruned read still seeing the deletes:
+        day = 17003 * MICROS_PER_DAY
         got = sorted(
             r["v"]
             for r in read_iceberg_table(
-                spark, tdir, source_value=17003 * MICROS_PER_DAY
+                spark, tdir, source_range=(day, day + MICROS_PER_DAY - 1)
             ).collect()
         )
         assert got == [v for v in range(20) if v % 5 != 2]
+        # a source_value point lookup is row-exact (bucket semantics)
+        assert [
+            r["v"]
+            for r in read_iceberg_table(
+                spark, tdir, source_value=day
+            ).collect()
+        ] == [0]
 
 
 class TestManifestSplitCompaction:

@@ -103,8 +103,9 @@ def _entropy_end(blob: bytes, start: int) -> int:
 
 def decode_progressive(blob: bytes) -> "np.ndarray":
     """Decode a SOF2 progressive JPEG; returns uint8 HxWxC like the
-    baseline decoder. Restart intervals are rejected (as in the
-    baseline path)."""
+    baseline decoder. Restart intervals (DRI + RSTn) are decoded: each
+    scan resyncs at its interval boundaries, resetting DC predictions
+    and the EOB run."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2

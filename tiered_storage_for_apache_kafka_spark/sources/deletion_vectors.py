@@ -202,19 +202,32 @@ def write_deletion_vectors(
     matched = df.where(cond).select("__iceberg_file", "__iceberg_pos")
 
     # Driver guard + touched-file discovery: ONE metadata-sized
-    # aggregation (per-file match counts, map-side combined) runs
-    # before any bitmap bytes are gathered, so an over-cap delete
-    # fails loudly instead of pressuring driver memory. Estimate is a
-    # roaring upper bound: ~2 bytes/position (array containers) plus
-    # fixed per-file container/framing overhead.
-    counts = {
-        r["__iceberg_file"]: int(r["n"])
-        for r in matched.groupBy("__iceberg_file")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # aggregation (per-file match count + position spread, map-side
+    # combined) runs before any bitmap bytes are gathered, so an
+    # over-cap delete fails loudly instead of pressuring driver
+    # memory. The estimate is a true roaring UPPER bound: 2 bytes per
+    # position plus per-container overhead, where the container count
+    # is bounded by the 64 Ki-position spread of the file's matches —
+    # sparse adversarial spreads (one hit per container) are costed,
+    # not just the dense-typical case.
+    stats_rows = (
+        matched.groupBy("__iceberg_file")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__iceberg_pos").alias("lo"),
+            F.max("__iceberg_pos").alias("hi"),
+        )
         .collect()
-    }
+    )
+    counts = {r["__iceberg_file"]: int(r["n"]) for r in stats_rows}
     if not counts:
         return []
+    est_new = 0
+    for r in stats_rows:
+        n_cont = min(
+            int(r["n"]), (int(r["hi"]) - int(r["lo"])) // 65536 + 1
+        )
+        est_new += 2 * int(r["n"]) + 40 * n_cont + 64
     data_seq = {d["file_path"]: d["_seq"] for d in data}
     live_dv: dict[str, list[dict]] = {}
     for e in dv:
@@ -222,10 +235,14 @@ def write_deletion_vectors(
         dseq = data_seq.get(ref)
         if dseq is not None and e["_seq"] >= dseq and ref in counts:
             live_dv.setdefault(ref, []).append(e)
-    old_cards = sum(
-        int(e["record_count"]) for es in live_dv.values() for e in es
+    # superseded DVs union in too: their serialized sizes are KNOWN
+    # exactly from the committed locators
+    est_old = sum(
+        int(e.get("content_size_in_bytes") or e["file_size_in_bytes"])
+        for es in live_dv.values()
+        for e in es
     )
-    est = sum(2 * c + 1024 for c in counts.values()) + 2 * old_cards
+    est = est_new + est_old
     if est > max_collect_bytes:
         raise ValueError(
             f"deletion-vector commit would gather ~{est:,} payload "
@@ -350,7 +367,8 @@ def commit_deletion_vectors(
     if catalog is not None and table_name is None:
         table_name = _default_table_name(table_dir)
     last_err: Exception | None = None
-    for _attempt in range(max_commit_retries if catalog is not None else 1):
+    n_attempts = max_commit_retries if catalog is not None else 1
+    for _attempt in range(n_attempts):
         version, base, table_name = _current_state_meta(
             table_dir, catalog, table_name
         )
@@ -369,7 +387,8 @@ def commit_deletion_vectors(
             )
         except CommitConflictError as e:
             last_err = e
-            commit_retry_backoff(_attempt)
+            if _attempt + 1 < n_attempts:
+                commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
 

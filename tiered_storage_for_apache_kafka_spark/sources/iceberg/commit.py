@@ -110,7 +110,8 @@ def commit_append(
             )
         except CommitConflictError as e:
             last_err = e  # reload + rebase on the next iteration
-            commit_retry_backoff(_attempt)
+            if _attempt + 1 < n_attempts:
+                commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
 

@@ -195,7 +195,8 @@ def commit_position_deletes(
     if catalog is not None and table_name is None:
         table_name = _default_table_name(table_dir)
     last_err: Exception | None = None
-    for _attempt in range(max_commit_retries if catalog is not None else 1):
+    n_attempts = max_commit_retries if catalog is not None else 1
+    for _attempt in range(n_attempts):
         version, base, table_name = _current_state_meta(
             table_dir, catalog, table_name
         )
@@ -213,7 +214,8 @@ def commit_position_deletes(
             )
         except CommitConflictError as e:
             last_err = e
-            commit_retry_backoff(_attempt)
+            if _attempt + 1 < n_attempts:
+                commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
 
@@ -327,7 +329,8 @@ def commit_equality_deletes(
     if catalog is not None and table_name is None:
         table_name = _default_table_name(table_dir)
     last_err: Exception | None = None
-    for _attempt in range(max_commit_retries if catalog is not None else 1):
+    n_attempts = max_commit_retries if catalog is not None else 1
+    for _attempt in range(n_attempts):
         version, base, table_name = _current_state_meta(
             table_dir, catalog, table_name
         )
@@ -345,7 +348,8 @@ def commit_equality_deletes(
             )
         except CommitConflictError as e:
             last_err = e
-            commit_retry_backoff(_attempt)
+            if _attempt + 1 < n_attempts:
+                commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
 

@@ -66,14 +66,16 @@ def expire_snapshots(
     )
 
     last_err: Exception | None = None
-    for _attempt in range(max_commit_retries if catalog is not None else 1):
+    n_attempts = max_commit_retries if catalog is not None else 1
+    for _attempt in range(n_attempts):
         try:
             return _expire_snapshots_once(
                 table_dir, keep_last, now_ms, catalog, table_name
             )
         except CommitConflictError as e:
             last_err = e
-            commit_retry_backoff(_attempt)
+            if _attempt + 1 < n_attempts:
+                commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
 
@@ -217,14 +219,16 @@ def rewrite_manifests(
     )
 
     last_err: Exception | None = None
-    for _attempt in range(max_commit_retries if catalog is not None else 1):
+    n_attempts = max_commit_retries if catalog is not None else 1
+    for _attempt in range(n_attempts):
         try:
             return _rewrite_manifests_once(
                 table_dir, now_ms, catalog, table_name, target_entries
             )
         except CommitConflictError as e:
             last_err = e
-            commit_retry_backoff(_attempt)
+            if _attempt + 1 < n_attempts:
+                commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
 
@@ -665,7 +669,8 @@ def rewrite_data_files(
     )
 
     last_err: Exception | None = None
-    for _attempt in range(max_commit_retries if catalog is not None else 1):
+    n_attempts = max_commit_retries if catalog is not None else 1
+    for _attempt in range(n_attempts):
         try:
             return _rewrite_data_files_once(
                 spark, table_dir, now_ms, catalog, table_name,
@@ -673,7 +678,8 @@ def rewrite_data_files(
             )
         except CommitConflictError as e:
             last_err = e
-            commit_retry_backoff(_attempt)
+            if _attempt + 1 < n_attempts:
+                commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
 

@@ -278,9 +278,11 @@ def _plan_snapshot(
                 pv = d["partition"].get(next(iter(d["partition"])))
                 if partition_value is not None and pv != partition_value:
                     continue
-                if partition_range is not None and not (
-                    partition_range[0] <= pv <= partition_range[1]
+                if partition_range is not None and (
+                    pv is None
+                    or not (partition_range[0] <= pv <= partition_range[1])
                 ):
+                    # a null partition value can never satisfy a range
                     continue
             is_delete = d.get("content") in (1, 2)
             if (
@@ -372,13 +374,35 @@ def read_iceberg_table(
     cur = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
-    partition_value, partition_range = _resolve_source_predicate(
+    pv, partition_range = _resolve_source_predicate(
         meta, partition_value, source_value, source_range
     )
-    return _read_snapshot(
-        spark, table_dir, meta, cur, partition_value,
+    df = _read_snapshot(
+        spark, table_dir, meta, cur, pv,
         partition_range=partition_range,
     )
+    if source_value is not None or source_range is not None:
+        # source predicates are row predicates, not just pruning hints:
+        # after the partition-grain prune, apply the residual on the
+        # source column (Iceberg's scan does the same — a bucket
+        # point-lookup or an unaligned range must not return the rest
+        # of the partition)
+        from pyspark.sql import functions as F
+
+        spec_field = meta["partition-specs"][0]["fields"][0]
+        schema_struct = _current_schema_struct(meta)
+        src_name = next(
+            f["name"]
+            for f in schema_struct["fields"]
+            if f["id"] == spec_field["source-id"]
+        )
+        if source_value is not None:
+            df = df.where(F.col(src_name) == F.lit(source_value))
+        else:
+            df = df.where(
+                F.col(src_name).between(source_range[0], source_range[1])
+            )
+    return df
 
 
 

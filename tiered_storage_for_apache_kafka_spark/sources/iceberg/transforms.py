@@ -190,6 +190,13 @@ def transform_column(df, source_col: str, spec: str, name: str):
     if tname == "identity":
         return df.withColumn(name, col)
     if tname == "truncate":
+        dt = dict(df.dtypes).get(source_col)
+        if dt not in ("bigint", "int", "smallint", "tinyint"):
+            raise NotImplementedError(
+                f"truncate partition column over {dt!r} source: only "
+                "integer sources (string truncate exists scalar-side "
+                "via transform_value)"
+            )
         # truncate preserves the source width (a wide long stays long)
         return df.withColumn(
             name, col - (((col % arg) + arg) % arg)
@@ -199,19 +206,20 @@ def transform_column(df, source_col: str, spec: str, name: str):
         return df.withColumn(
             name, F.floor(col / F.lit(unit)).cast("int")
         )
-    if tname == "month":
-        return df.withColumn(
-            name,
-            (
-                (F.year(F.timestamp_micros(col)) - 1970) * 12
-                + F.month(F.timestamp_micros(col))
-                - 1
-            ).cast("int"),
+    if tname in ("month", "year"):
+        # DATE arithmetic from the epoch-day ordinal: calendar-pure and
+        # timezone-free (F.year/F.month over timestamp_micros would
+        # extract in the SESSION timezone and disagree with the UTC
+        # scalar transform_value on non-UTC sessions)
+        d = F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.floor(col / F.lit(_MICROS_PER_DAY)).cast("int"),
         )
-    if tname == "year":
-        return df.withColumn(
-            name, (F.year(F.timestamp_micros(col)) - 1970).cast("int")
-        )
+        if tname == "month":
+            expr = (F.year(d) - 1970) * 12 + F.month(d) - 1
+        else:
+            expr = F.year(d) - 1970
+        return df.withColumn(name, expr.cast("int"))
     if tname == "bucket":
         from pyspark.sql.functions import pandas_udf
 
@@ -221,8 +229,17 @@ def transform_column(df, source_col: str, spec: str, name: str):
 
             @pandas_udf("int")
             def _bucket(v: pd.Series) -> pd.Series:
-                h = bucket_hash_long_vec(v.to_numpy(dtype=np.int64))
-                return pd.Series((h.astype(np.int64) & 0x7FFFFFFF) % n)
+                # spec: bucket(null) = null — mask nulls before the
+                # numpy cast (a NaN would cast to a garbage int64 and
+                # silently land rows in a wrong bucket)
+                mask = v.isna()
+                filled = v.fillna(0).to_numpy(dtype=np.int64)
+                h = bucket_hash_long_vec(filled)
+                out = pd.Series(
+                    (h.astype(np.int64) & 0x7FFFFFFF) % n, dtype="Int32"
+                )
+                out[mask.to_numpy()] = None
+                return out
 
         elif dt == "string":
             # strings hash per-value (variable-length Murmur3 doesn't
