@@ -100,7 +100,8 @@ def commit_append(
         table_name = _default_table_name(table_dir)
 
     last_err: Exception | None = None
-    for _attempt in range(max_commit_retries):
+    n_attempts = max_commit_retries
+    for _attempt in range(n_attempts):
         prior = _load_prior_state(table_dir, catalog, table_name)
         try:
             return _commit_append_once(
