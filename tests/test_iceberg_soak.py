@@ -38,7 +38,7 @@ PRED_B = "v % 11 = 5"
 FINAL_PRED = "v % 7 = 3 OR v % 11 = 5"
 
 
-def _append_batch(tdir: str, schema, b: int, ms: int):
+def _append_batch(tdir: str, schema, b: int, ms: int, catalog=None):
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
         commit_append,
     )
@@ -52,24 +52,35 @@ def _append_batch(tdir: str, schema, b: int, ms: int):
         path = os.path.join(d, f"batch-{b:03d}.parquet")
         pq.write_table(pa.table({"v": pa.array(vals, pa.int64())}), path)
         files.append(path)
-    return commit_append(tdir, schema, now_ms=ms, files=files)
+    return commit_append(tdir, schema, now_ms=ms, files=files, catalog=catalog)
 
 
-def _consume(spark, tdir: str, ckpt: int, counts: dict) -> int:
+def _head_id(tdir: str, catalog=None) -> int:
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
-        changelog_safe_windows,
-        read_iceberg_changelog,
+        _current_state_meta,
         read_table_metadata,
     )
 
-    head = read_table_metadata(tdir)["metadata"]["current-snapshot-id"]
+    if catalog is not None:
+        _v, meta, _t = _current_state_meta(tdir, catalog, None)
+        return meta["current-snapshot-id"]
+    return read_table_metadata(tdir)["metadata"]["current-snapshot-id"]
+
+
+def _consume(spark, tdir: str, ckpt: int, counts: dict, catalog=None) -> int:
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        changelog_safe_windows,
+        read_iceberg_changelog,
+    )
+
+    head = _head_id(tdir, catalog)
     if head == ckpt:
         return ckpt
     log = None
-    for lo, hi in changelog_safe_windows(tdir, ckpt, head):
-        part = read_iceberg_changelog(spark, tdir, lo, hi).select(
-            "partition", "_change_type"
-        )
+    for lo, hi in changelog_safe_windows(tdir, ckpt, head, catalog=catalog):
+        part = read_iceberg_changelog(
+            spark, tdir, lo, hi, catalog=catalog
+        ).select("partition", "_change_type")
         log = part if log is None else log.unionByName(part)
     if log is not None:
         for r in (
@@ -262,3 +273,96 @@ class TestChangelogPureAppendFastPath:
             "insert": ROWS_PER_BATCH - n_b1_deleted,
             "delete": n_b0_deleted,
         }
+
+
+class TestMaintenanceSoakViaRestCatalog:
+    """The composed gauntlet routed THROUGH the REST-catalog commit
+    protocol: every plane's commit (appends, DV deletes, both rewrites,
+    expiry) moves the pointer via CommitTableRequest with optimistic
+    concurrency, and the changelog consumer reads the catalog's head —
+    the composition a real deployment runs, not just the per-plane
+    catalog tests."""
+
+    def test_thirty_batch_gauntlet_catalog_mode(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            expire_snapshots,
+            plan_scan,
+            read_iceberg_table,
+            remove_orphan_files,
+            rewrite_data_files,
+            rewrite_manifests,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+            FakeRestCatalogServer,
+            RestCatalogClient,
+        )
+
+        n_batches = 30
+        tdir = str(tmp_path / "rest-soak")
+        schema = spark.createDataFrame([], "partition int, v long").schema
+        with FakeRestCatalogServer() as srv:
+            cat = RestCatalogClient(srv.base_url)
+            counts: dict[int, int] = {
+                0: ROWS_PER_BATCH // 2,
+                1: ROWS_PER_BATCH // 2,
+            }
+            ms = 1_000
+            meta = _append_batch(tdir, schema, 0, ms, catalog=cat)
+            ckpt = meta["current-snapshot-id"]
+            swept = 0
+            for b in range(1, n_batches):
+                ms += 1_000
+                _append_batch(tdir, schema, b, ms, catalog=cat)
+                if b % 10 == 6:
+                    ms += 1_000
+                    pred = PRED_A if (b // 10) % 2 == 0 else PRED_B
+                    commit_deletion_vectors(
+                        spark, tdir, pred, now_ms=ms, catalog=cat
+                    )
+                if b % 12 == 11:
+                    ms += 1_000
+                    rewrite_manifests(tdir, now_ms=ms, catalog=cat)
+                if b == 15:
+                    ms += 1_000
+                    rewrite_data_files(spark, tdir, now_ms=ms, catalog=cat)
+                if b % 10 == 9:
+                    ckpt = _consume(spark, tdir, ckpt, counts, catalog=cat)
+                if b == 20:
+                    ckpt = _consume(spark, tdir, ckpt, counts, catalog=cat)
+                    ms += 1_000
+                    expire_snapshots(
+                        tdir, keep_last=2, now_ms=ms, catalog=cat
+                    )
+                    if remove_orphan_files(
+                        tdir, older_than_timestamp_ms=10**14, catalog=cat
+                    ):
+                        swept += 1
+            ms += 1_000
+            commit_deletion_vectors(
+                spark, tdir, FINAL_PRED, now_ms=ms, catalog=cat
+            )
+            ckpt = _consume(spark, tdir, ckpt, counts, catalog=cat)
+
+            total = n_batches * ROWS_PER_BATCH
+            expected = {
+                p: sum(
+                    1
+                    for v in range(total)
+                    if v % 2 == p and v % 7 != 3 and v % 11 != 5
+                )
+                for p in (0, 1)
+            }
+            head = {
+                int(r["partition"]): int(r["n"])
+                for r in read_iceberg_table(spark, tdir, catalog=cat)
+                .groupBy("partition")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            assert head == expected
+            assert counts == expected
+            assert swept == 1
+            assert len(plan_scan(tdir, catalog=cat)) <= 40
