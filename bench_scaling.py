@@ -54,6 +54,16 @@ streaming key cardinality all grow 10x):
     tiered fixed-window 1.1, iceberg_scan_pruned 1.0), and the fixed
     offset window fetched EXACTLY 21.4 KB at both store scales again.
 
+    Re-measured round 7 (post split-compaction / fast-path / transform
+    work; full table in the round-7 transcript): every prior family
+    within noise or BETTER — iceberg_changelog_scan 0.6x (the
+    pure-append fast path), tiered fixed-window fetch EXACTLY 21.4 KB
+    at both store scales again. New round-7 rows:
+      iceberg_maintenance_soak            1.48 -> 1.31   0.9x (capped source: FLAT by design)
+      iceberg_day_partition_scan          0.62 -> 0.58   0.9x (4 files opened at BOTH scales)
+      iceberg_bucket_partition_scan       1.70 -> 1.54   0.9x (1 bucket opened at BOTH scales)
+      multimodal_jpeg_progressive_decode  2.61 -> 22.63  8.7x (narrow map, rows 10x: linear, expected)
+
     Iceberg row-delta plane (--position-deletes, round 6; 2% of rows
     deleted by predicate, measured after a warmup pass):
       1x  (400k rows): commit 0.96 s, read clean 0.28 s, read MoR 1.30 s
@@ -193,6 +203,17 @@ PROBES = [
     "leader_epoch_checkpoint_scan",
     "char_diversity_quality",
     "iceberg_files_table",
+    # round-7 extension: the composed maintenance gauntlet (source
+    # capped by design — the schedule is the subject; flat expected),
+    # the partition-transform scans (pruning is metadata-grain: the
+    # day window opens 4 files and the bucket lookup 1 bucket at both
+    # scales; fixture build cost grows with rows, the READ should not),
+    # and the progressive-JPEG decode (narrow Arrow map over documents,
+    # rows grow 10x so decode cost ~10x/linear is the expected shape)
+    "iceberg_maintenance_soak",
+    "iceberg_day_partition_scan",
+    "iceberg_bucket_partition_scan",
+    "multimodal_jpeg_progressive_decode",
 ]
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
