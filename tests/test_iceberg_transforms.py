@@ -160,7 +160,9 @@ class TestDayPartitionedTable:
             tdir, schema, partition_col="ts_day", now_ms=1_000,
             partition_transform="day", partition_source="ts_us",
         )
-        with pytest.raises(ValueError, match="partitioned by 'day'"):
+        with pytest.raises(
+            ValueError, match=r"partitioned by \[\('ts_day', 'day'\)\]"
+        ):
             commit_append(
                 tdir, schema, partition_col="ts_day", now_ms=2_000,
                 partition_transform="bucket[4]", partition_source="v",

@@ -119,11 +119,13 @@ def unframe_dv_payload(blob: bytes) -> bytes:
         )
     return body[4:]
 
-def manifest_entry_schema_dv(partition_col: str) -> dict:
+def manifest_entry_schema_dv(partition_cols) -> dict:
     """The manifest-entry Avro schema plus the v3 deletion-vector
     locator fields (optional, default null — absent from every non-DV
-    manifest this engine writes)."""
-    schema = manifest_entry_schema(partition_col)
+    manifest this engine writes). ``partition_cols`` as in
+    :func:`manifest_entry_schema` — a name, names, or (name, id)
+    pairs for multi-field specs."""
+    schema = manifest_entry_schema(partition_cols)
     data_file = next(f for f in schema["fields"] if f["name"] == "data_file")
     data_file["type"]["fields"] += [
         {
@@ -173,10 +175,13 @@ def write_deletion_vectors(
         _v, meta, _t = _current_state_meta(table_dir)
     if meta.get("current-snapshot-id", -1) == -1:
         return []
-    if partition_col is None:
-        # derive the partition field from the table spec (the default
-        # for every caller; an explicit name remains an override)
-        partition_col = meta["partition-specs"][0]["fields"][0]["name"]
+    # derive the partition fields from the table's default spec (the
+    # default for every caller; an explicit name stays an override)
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.deletes import (
+        _resolve_partition_names,
+    )
+
+    part_names = _resolve_partition_names(meta, partition_col)
     cur = next(
         s
         for s in meta["snapshots"]
@@ -306,7 +311,10 @@ def write_deletion_vectors(
     out_dir = os.path.join(table_dir, "deletes")
     os.makedirs(out_dir, exist_ok=True)
     puffin_path = os.path.join(out_dir, f"dv-{uuid.uuid4().hex[:16]}.puffin")
-    part_of = {d["file_path"]: d["partition"].get(partition_col) for d in data}
+    part_of = {
+        d["file_path"]: {n: d["partition"].get(n) for n in part_names}
+        for d in data
+    }
     result = write_puffin_file(
         puffin_path,
         [
@@ -335,7 +343,9 @@ def write_deletion_vectors(
                 "content_offset": bm["offset"],
                 "content_size_in_bytes": bm["length"],
                 "n_rows": int(r["cardinality"]),
-                "partition": part_of.get(r["file"]),
+                "partition": part_of.get(
+                    r["file"], {n: None for n in part_names}
+                ),
                 "superseded": r["superseded"],
             }
         )
@@ -372,8 +382,6 @@ def commit_deletion_vectors(
         version, base, table_name = _current_state_meta(
             table_dir, catalog, table_name
         )
-        if partition_col is None:
-            partition_col = base["partition-specs"][0]["fields"][0]["name"]
         stats = write_deletion_vectors(
             spark, table_dir, predicate, partition_col, meta=base,
             max_collect_bytes=max_collect_bytes,
@@ -398,7 +406,7 @@ def _commit_dv_once(
     version: int,
     base: dict,
     stats: list[dict],
-    partition_col: str,
+    partition_col,
     now_ms: int,
     catalog,
     table_name: str | None,
@@ -408,7 +416,18 @@ def _commit_dv_once(
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
         _finish_delete_commit,
     )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.deletes import (
+        _resolve_partition_names,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+        spec_name_ids,
+        spec_names,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _default_spec,
+    )
 
+    part_names = _resolve_partition_names(base, partition_col)
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     newest_ts = max((s["timestamp-ms"] for s in base["snapshots"]), default=0)
@@ -426,7 +445,7 @@ def _commit_dv_once(
                 "content": 1,  # POSITION_DELETES (DV representation)
                 "file_path": s["delete_path"],
                 "file_format": "PUFFIN",
-                "partition": {partition_col: s["partition"]},
+                "partition": dict(s["partition"]),
                 "record_count": s["n_rows"],
                 "file_size_in_bytes": s["file_size"],
                 "value_counts": None,
@@ -444,25 +463,30 @@ def _commit_dv_once(
         for s in sorted(stats, key=lambda s: s["referenced_data_file"])
     ]
     schema_struct = _current_schema_struct(base)
-    spec = base["partition-specs"][0]
+    spec = _default_spec(base)
+    entry_cols = (
+        spec_name_ids(spec)
+        if spec_names(spec) == list(part_names)
+        else list(part_names)
+    )
     manifest_path = os.path.join(
         meta_dir, f"{base['table-uuid']}-dv{seq}-{commit_uuid}.avro"
     )
     manifest_len = write_avro_ocf(
         manifest_path,
-        manifest_entry_schema_dv(partition_col),
+        manifest_entry_schema_dv(entry_cols),
         entries,
         {
             "schema": json.dumps(schema_struct).encode(),
             "schema-id": str(base["current-schema-id"]).encode(),
             "partition-spec": json.dumps(spec["fields"]).encode(),
-            "partition-spec-id": b"0",
+            "partition-spec-id": str(spec["spec-id"]).encode(),
             "format-version": str(FORMAT_VERSION).encode(),
             "content": b"deletes",
         },
     )
     prior_manifests, removed_pos, n_superseded = _tombstone_superseded(
-        base, stats, partition_col, meta_dir, seq, snapshot_id, commit_uuid
+        base, stats, meta_dir, seq, snapshot_id, commit_uuid
     )
     summary_extra = (
         {"removed-delete-files": n_superseded} if n_superseded else None
@@ -478,7 +502,6 @@ def _commit_dv_once(
 def _tombstone_superseded(
     base: dict,
     stats: list[dict],
-    partition_col: str,
     meta_dir: str,
     seq: int,
     snapshot_id: int,
@@ -506,10 +529,18 @@ def _tombstone_superseded(
         for s in base["snapshots"]
         if s["snapshot-id"] == base["current-snapshot-id"]
     )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+        spec_name_ids,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _default_spec,
+        _specs_by_id,
+    )
+
     _, prior_mfs, _ = read_avro_ocf(cur["manifest-list"])
     carried: list[dict] = []
     schema_struct = _current_schema_struct(base)
-    spec = base["partition-specs"][0]
+    specs = _specs_by_id(base)
     n_rewritten = 0
     for mf in prior_mfs:
         if mf.get("content") != 1:
@@ -566,19 +597,24 @@ def _tombstone_superseded(
                 kept_rows += d2["record_count"]
             new_entries.append(e2)
         n_rewritten += 1
+        # the rewrite keeps each prior manifest under ITS OWN spec —
+        # after spec evolution, an older delete manifest's partition
+        # struct must not be re-keyed to the new default
+        mf_spec_id = int(mf.get("partition_spec_id", 0))
+        mf_spec = specs.get(mf_spec_id) or _default_spec(base)
         new_path = os.path.join(
             meta_dir,
             f"{base['table-uuid']}-dvr{seq}-{commit_uuid}-{n_rewritten}.avro",
         )
         new_len = write_avro_ocf(
             new_path,
-            normalize_delete_entries(new_entries, partition_col),
+            normalize_delete_entries(new_entries, spec_name_ids(mf_spec)),
             new_entries,
             {
                 "schema": json.dumps(schema_struct).encode(),
                 "schema-id": str(base["current-schema-id"]).encode(),
-                "partition-spec": json.dumps(spec["fields"]).encode(),
-                "partition-spec-id": b"0",
+                "partition-spec": json.dumps(mf_spec["fields"]).encode(),
+                "partition-spec-id": str(mf_spec_id).encode(),
                 "format-version": str(FORMAT_VERSION).encode(),
                 "content": b"deletes",
             },
@@ -587,7 +623,7 @@ def _tombstone_superseded(
             {
                 "manifest_path": new_path,
                 "manifest_length": new_len,
-                "partition_spec_id": 0,
+                "partition_spec_id": mf_spec_id,
                 "content": 1,
                 "sequence_number": seq,
                 "min_sequence_number": min(seqs),
@@ -606,7 +642,7 @@ def _tombstone_superseded(
     return carried, removed_pos, len(sup)
 
 
-def normalize_delete_entries(entries: list[dict], partition_col: str) -> dict:
+def normalize_delete_entries(entries: list[dict], partition_cols) -> dict:
     """The one schema-selection rule for writing delete-manifest
     entries: when ANY entry carries a v3 DV locator, use the
     DV-extended Avro schema and normalize locator-less entries to
@@ -628,8 +664,8 @@ def normalize_delete_entries(entries: list[dict], partition_col: str) -> dict:
             e["data_file"].setdefault("referenced_data_file", None)
             e["data_file"].setdefault("content_offset", None)
             e["data_file"].setdefault("content_size_in_bytes", None)
-        return manifest_entry_schema_dv(partition_col)
-    return manifest_entry_schema(partition_col)
+        return manifest_entry_schema_dv(partition_cols)
+    return manifest_entry_schema(partition_cols)
 
 
 def _dv_entry_payload(

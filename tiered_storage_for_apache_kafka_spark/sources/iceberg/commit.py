@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import json
 import os
-import struct
 import time
 import uuid
 
@@ -21,6 +20,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
     _leaf_field_ids,
     _stat_data_files,
     manifest_entry_schema,
+    partition_field_summaries,
 )
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
     FORMAT_VERSION,
@@ -34,11 +34,73 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
     _advance_main,
     _current_schema_struct,
+    _current_state_meta,
+    _default_spec,
     _default_table_name,
     _load_prior_state,
     _prev_summary_counter,
     _write_metadata_version,
 )
+
+
+def _build_spec_fields(
+    partition_spec: list | None,
+    partition_col: str,
+    partition_transform: str,
+    partition_source: str | None,
+    schema_struct: dict,
+    first_field_id: int = 1000,
+) -> list[dict]:
+    """Resolve the caller's declared partitioning — either the N-field
+    ``partition_spec`` list of ``(name, transform, source_col)`` tuples
+    (``source_col`` None for identity, where the partition column IS
+    the source) or the legacy single-field trio — into the spec's
+    ordered ``fields`` list (Iceberg spec "Partition Specs"), with
+    sequential field-ids from ``first_field_id``."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (  # noqa: E501 (local import keeps transforms a leaf module)
+        parse_transform,
+    )
+
+    if partition_spec is None:
+        partition_spec = [
+            (partition_col, partition_transform, partition_source)
+        ]
+    fields = []
+    seen_names: set[str] = set()
+    for i, (name, transform, source) in enumerate(partition_spec):
+        if name in seen_names:
+            raise ValueError(f"duplicate partition field name {name!r}")
+        seen_names.add(name)
+        tname, _targ = parse_transform(transform)
+        if tname == "identity":
+            source = source or name
+        elif source is None:
+            raise ValueError(
+                f"partition transform {transform!r} on field {name!r} "
+                "needs a source column (the schema column it derives "
+                "from)"
+            )
+        source_id = _field_id(schema_struct, source)
+        src_type = next(
+            f["type"]
+            for f in schema_struct["fields"]
+            if f["id"] == source_id
+        )
+        if tname == "truncate" and src_type == "string":
+            raise NotImplementedError(
+                "string-truncate partition values do not fit the "
+                "int-typed hive layout/manifest partition struct; "
+                "truncate-partition an integer column instead"
+            )
+        fields.append(
+            {
+                "name": name,
+                "transform": transform,
+                "source-id": source_id,
+                "field-id": first_field_id + i,
+            }
+        )
+    return fields
 
 
 def commit_append(
@@ -48,6 +110,7 @@ def commit_append(
     now_ms: int | None = None,
     partition_transform: str = "identity",
     partition_source: str | None = None,
+    partition_spec: list | None = None,
     stats_blobs: list[tuple[str, bytes]] | None = None,
     files: list[str] | None = None,
     summary_extra: dict | None = None,
@@ -107,7 +170,7 @@ def commit_append(
             return _commit_append_once(
                 table_dir, spark_schema, partition_col, now_ms, stats_blobs,
                 files, summary_extra, catalog, table_name, meta_dir, prior,
-                branch, partition_transform, partition_source,
+                branch, partition_transform, partition_source, partition_spec,
             )
         except CommitConflictError as e:
             last_err = e  # reload + rebase on the next iteration
@@ -132,6 +195,7 @@ def _commit_append_once(
     branch: str | None = None,
     partition_transform: str = "identity",
     partition_source: str | None = None,
+    partition_spec: list | None = None,
 ) -> dict:
     if branch == "main":
         branch = None  # explicit main is just the default path
@@ -143,36 +207,17 @@ def _commit_append_once(
     if prior is None:
         version = 1
         schema_struct, last_col = spark_schema_to_iceberg(spark_schema)
-        # partition spec (spec "Partition Transforms"): identity sources
-        # the partition column itself; any other transform is computed
-        # FROM partition_source, and the partition column is
-        # metadata-only (a hive dir name + manifest partition struct,
-        # never a data column)
-        if partition_transform == "identity":
-            spec_source_id = _field_id(schema_struct, partition_col)
-        else:
-            from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (  # noqa: E501 (local import keeps transforms a leaf module)
-                parse_transform,
-            )
-
-            tname, _targ = parse_transform(partition_transform)
-            if partition_source is None:
-                raise ValueError(
-                    f"partition_transform {partition_transform!r} needs "
-                    "partition_source (the schema column it derives from)"
-                )
-            spec_source_id = _field_id(schema_struct, partition_source)
-            src_type = next(
-                f["type"]
-                for f in schema_struct["fields"]
-                if f["id"] == spec_source_id
-            )
-            if tname == "truncate" and src_type == "string":
-                raise NotImplementedError(
-                    "string-truncate partition values do not fit the "
-                    "int-typed hive layout/manifest partition struct; "
-                    "truncate-partition an integer column instead"
-                )
+        # partition spec (spec "Partition Specs"/"Partition
+        # Transforms"): an ORDERED field list — identity sources the
+        # partition column itself; any other transform is computed FROM
+        # its source column, and the partition column is metadata-only
+        # (a hive dir name + manifest partition struct, never a data
+        # column). `(day(ts), bucket(id))` declares as
+        # partition_spec=[("ts_day","day","ts"),("id_bucket","bucket[8]","id")].
+        spec_fields = _build_spec_fields(
+            partition_spec, partition_col, partition_transform,
+            partition_source, schema_struct,
+        )
         table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, "iceberg:" + table_dir))
         base = {
             "format-version": FORMAT_VERSION,
@@ -184,20 +229,8 @@ def _commit_append_once(
             "current-schema-id": 0,
             "schemas": [schema_struct],
             "default-spec-id": 0,
-            "partition-specs": [
-                {
-                    "spec-id": 0,
-                    "fields": [
-                        {
-                            "name": partition_col,
-                            "transform": partition_transform,
-                            "source-id": spec_source_id,
-                            "field-id": 1000,
-                        }
-                    ],
-                }
-            ],
-            "last-partition-id": 1000,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": max(f["field-id"] for f in spec_fields),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {"write.format.default": "parquet"},
@@ -210,12 +243,20 @@ def _commit_append_once(
         known: set[str] = set()
     else:
         version, base = prior["version"], prior["metadata"]
-        stored = base["partition-specs"][0]["fields"][0]["transform"]
-        if partition_transform != "identity" and stored != partition_transform:
-            raise ValueError(
-                f"table is partitioned by {stored!r}; cannot append "
-                f"declaring {partition_transform!r}"
-            )
+        stored_fields = _default_spec(base)["fields"]
+        declared = partition_spec
+        if declared is None and partition_transform != "identity":
+            declared = [(partition_col, partition_transform, partition_source)]
+        if declared is not None:
+            stored_shape = [
+                (f["name"], f["transform"]) for f in stored_fields
+            ]
+            declared_shape = [(n, t) for n, t, _s in declared]
+            if stored_shape != declared_shape:
+                raise ValueError(
+                    f"table is partitioned by {stored_shape!r}; cannot "
+                    f"append declaring {declared_shape!r}"
+                )
         known = {
             e["data_file"]["file_path"]
             for m in prior["manifests"]
@@ -223,6 +264,8 @@ def _commit_append_once(
         }
         version += 1
 
+    spec = _default_spec(base)
+    spec_cols = [(f["name"], int(f["field-id"])) for f in spec["fields"]]
     if files is not None:
         # EXPLICIT file list (the streaming-commit path): only these
         # files enter the snapshot — crashed-attempt orphans on disk are
@@ -230,9 +273,9 @@ def _commit_append_once(
         # everything on disk not yet known to the metadata). Footers are
         # read for exactly the listed files — O(batch), not O(table) —
         # so per-micro-batch commit cost does not grow with table age.
-        all_files = _stat_data_files(sorted(set(files)), partition_col)
+        all_files = _stat_data_files(sorted(set(files)), spec_cols)
     else:
-        all_files = _discover_data_files(table_dir, partition_col)
+        all_files = _discover_data_files(table_dir, spec_cols)
     parent_id = (
         base.get("current-snapshot-id", -1) if prior is not None else -1
     )
@@ -347,7 +390,7 @@ def _commit_append_once(
     # on staged paths — a colliding loser would overwrite the winner's
     # already-committed manifest before its own commit is rejected.
     commit_uuid = uuid.uuid4().hex[:16]
-    entry_schema = manifest_entry_schema(partition_col)
+    entry_schema = manifest_entry_schema(spec_cols)
     schema_struct = _current_schema_struct(base)
     leaf_ids = _leaf_field_ids(schema_struct)
     entries = [
@@ -360,7 +403,7 @@ def _commit_append_once(
                 "content": 0,  # DATA
                 "file_path": f["file_path"],
                 "file_format": "PARQUET",
-                "partition": {partition_col: f["partition_value"]},
+                "partition": dict(f["partition"]),
                 "record_count": f["record_count"],
                 "file_size_in_bytes": f["file_size_in_bytes"],
                 **_column_stats_fields(f.get("column_stats") or {}, leaf_ids),
@@ -371,7 +414,6 @@ def _commit_append_once(
         }
         for f in new_files
     ]
-    spec = base["partition-specs"][0]
     manifest_path = os.path.join(
         meta_dir, f"{base['table-uuid']}-m{seq}-{commit_uuid}.avro"
     )
@@ -383,20 +425,17 @@ def _commit_append_once(
             "schema": json.dumps(schema_struct).encode(),
             "schema-id": str(base["current-schema-id"]).encode(),
             "partition-spec": json.dumps(spec["fields"]).encode(),
-            "partition-spec-id": b"0",
+            "partition-spec-id": str(spec["spec-id"]).encode(),
             "format-version": str(FORMAT_VERSION).encode(),
             "content": b"data",
         },
     )
 
-    parts = [f["partition_value"] for f in new_files]
-    non_null = [p for p in parts if p is not None] or [0]
-    lo, hi = min(non_null), max(non_null)
     added_rows = sum(f["record_count"] for f in new_files)
     manifest_file = {
         "manifest_path": manifest_path,
         "manifest_length": manifest_len,
-        "partition_spec_id": 0,
+        "partition_spec_id": spec["spec-id"],
         "content": 0,  # data manifest
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -407,14 +446,10 @@ def _commit_append_once(
         "added_rows_count": added_rows,
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
-        "partitions": [
-            {
-                "contains_null": any(p is None for p in parts),
-                "contains_nan": False,
-                "lower_bound": struct.pack("<i", lo),
-                "upper_bound": struct.pack("<i", hi),
-            }
-        ],
+        "partitions": partition_field_summaries(
+            [f["partition"] for f in new_files],
+            [n for n, _ in spec_cols],
+        ),
     }
     # a snapshot's manifest list carries its PARENT's manifests too
     # (existing files stay live across an append); for a branch commit
@@ -478,7 +513,14 @@ def _commit_append_once(
     file_list = [
         {
             "location": f["file_path"],
-            "partition": f["partition_value"],
+            # single-field specs keep the scalar FILE_LIST shape every
+            # existing consumer reads; multi-field specs record the
+            # full partition dict
+            "partition": (
+                f["partition_value"]
+                if len(spec_cols) == 1
+                else dict(f["partition"])
+            ),
             "recordCount": f["record_count"],
             "fileSizeInBytes": f["file_size_in_bytes"],
         }
@@ -589,6 +631,91 @@ def _commit_requirements(
             "snapshot-id": head,
         },
     ]
+
+
+def update_partition_spec(
+    table_dir: str,
+    partition_spec: list,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> dict:
+    """Partition-spec EVOLUTION (Iceberg spec "Partition Evolution"):
+    register ``partition_spec`` — ``(name, transform, source_col)``
+    tuples, ``source_col`` None for identity — as a NEW spec and make
+    it the table default. Existing data files stay scoped to the spec
+    their manifest records (``partition_spec_id``); only files written
+    by LATER commits carry the new layout, and the scan planner prunes
+    each manifest under its own spec. Metadata-only: no snapshot, no
+    data movement (``rewrite_data_files`` migrates old files to the
+    default spec as a side effect of compaction, like the Java
+    rewrite).
+
+    Field-ids follow the spec's evolution rule: a field matching an
+    existing spec's field on (source-id, transform) REUSES that
+    field-id (so external readers see day(ts) as the same partition
+    field across generations); genuinely new fields get fresh ids
+    above ``last-partition-id``. Re-declaring the current default spec
+    exactly is a no-op."""
+    import time as _time
+
+    version, base, table_name = _current_state_meta(
+        table_dir, catalog, table_name
+    )
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    schema_struct = _current_schema_struct(base)
+    new_fields = _build_spec_fields(
+        partition_spec, "partition", "identity", None, schema_struct
+    )
+    # field-id assignment: reuse on (source-id, transform) match
+    # anywhere in the table's spec history, fresh ids otherwise
+    by_key = {
+        (f["source-id"], f["transform"]): int(f["field-id"])
+        for s in base["partition-specs"]
+        for f in s["fields"]
+    }
+    last_pid = int(base.get("last-partition-id", 999))
+    for f in new_fields:
+        key = (f["source-id"], f["transform"])
+        if key in by_key:
+            f["field-id"] = by_key[key]
+        else:
+            last_pid += 1
+            f["field-id"] = last_pid
+    cur_default = _default_spec(base)
+    if new_fields == cur_default["fields"]:
+        return base  # no-op: already the default spec
+    new_spec_id = max(s["spec-id"] for s in base["partition-specs"]) + 1
+    new_spec = {"spec-id": new_spec_id, "fields": new_fields}
+    meta = dict(base)
+    meta["partition-specs"] = base["partition-specs"] + [new_spec]
+    meta["default-spec-id"] = new_spec_id
+    meta["last-partition-id"] = max(
+        last_pid, int(base.get("last-partition-id", 999))
+    )
+    meta["last-updated-ms"] = now_ms
+    meta_dir = os.path.join(table_dir, "metadata")
+    if catalog is not None:
+        resp = catalog.commit_table(
+            table_name,
+            _commit_requirements(base),
+            [
+                {"action": "add-spec", "spec": new_spec},
+                {"action": "set-default-spec", "spec-id": new_spec_id},
+            ],
+            now_ms,
+        )
+        return resp["metadata"]
+    meta["metadata-log"] = base.get("metadata-log", []) + [
+        {
+            "timestamp-ms": base["last-updated-ms"],
+            "metadata-file": os.path.join(
+                meta_dir, f"v{version}.metadata.json"
+            ),
+        }
+    ]
+    _write_metadata_version(meta_dir, version + 1, meta)
+    return meta
 
 
 def _schema_updates(base: dict) -> list[dict]:

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import json
 import os
-import struct
 import time
 import uuid
 
@@ -17,6 +16,9 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
     MANIFEST_FILE_SCHEMA,
     _field_id,
     manifest_entry_schema,
+    partition_field_summaries,
+    spec_name_ids,
+    spec_names,
 )
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
     FORMAT_VERSION,
@@ -33,6 +35,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
     _advance_main,
     _current_schema_struct,
     _current_state_meta,
+    _default_spec,
     _default_table_name,
     _maintenance_requirements,
     _prev_summary_counter,
@@ -40,6 +43,27 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
     _prev_total_records,
     _write_metadata_version,
 )
+
+
+def _resolve_partition_names(meta: dict, partition_col) -> list[str]:
+    """The delete planes' partition scope: every field of the table's
+    DEFAULT spec (the only correct default — delete files are scoped
+    to a full partition tuple, per spec); an explicit name (or list)
+    remains an override for foreign layouts."""
+    if partition_col is None:
+        return spec_names(_default_spec(meta))
+    if isinstance(partition_col, str):
+        return [partition_col]
+    return list(partition_col)
+
+
+def _hive_part_dir(names: list[str], values: dict) -> str:
+    """Nested hive dir components for a partition tuple, spec order
+    (``day=3/bucket=1``; nulls as ``__HIVE_DEFAULT_PARTITION__``)."""
+    return os.sep.join(
+        f"{n}={values[n] if values.get(n) is not None else '__HIVE_DEFAULT_PARTITION__'}"
+        for n in names
+    )
 
 
 def write_position_deletes(
@@ -67,10 +91,9 @@ def write_position_deletes(
 
     if meta is None:
         _v, meta, _t = _current_state_meta(table_dir)
-    if partition_col is None:
-        # derive the partition field from the table spec (the default
-        # for every caller; an explicit name remains an override)
-        partition_col = meta["partition-specs"][0]["fields"][0]["name"]
+    # derive the partition fields from the table's default spec (the
+    # default for every caller; an explicit name stays an override)
+    part_names = _resolve_partition_names(meta, partition_col)
     if meta.get("current-snapshot-id", -1) == -1:
         return []
     cur = next(
@@ -101,9 +124,14 @@ def write_position_deletes(
         )
     if dv:
         df = apply_deletion_vectors(spark, df, data, dv)
+    part_cols = [f"__iceberg_part_{i}" for i in range(len(part_names))]
     part_map = spark.createDataFrame(
-        [(d["file_path"], d["partition"].get(partition_col)) for d in data],
-        "__iceberg_file string, __iceberg_part int",
+        [
+            (d["file_path"], *[d["partition"].get(n) for n in part_names])
+            for d in data
+        ],
+        "__iceberg_file string, "
+        + ", ".join(f"{c} int" for c in part_cols),
     )
     matches = (
         df.where(cond)
@@ -111,23 +139,26 @@ def write_position_deletes(
         .join(F.broadcast(part_map), "__iceberg_file")
     )
     token = uuid.uuid4().hex[:16]
+    names = list(part_names)
 
     def _write_group(pdf):
+        import json as _json
+
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         pdf = pdf.sort_values(["__iceberg_file", "__iceberg_pos"])
-        part = pdf["__iceberg_part"].iloc[0]
-        part = None if pd.isna(part) else int(part)
-        part_dir = (
-            f"{partition_col}={part}"
-            if part is not None
-            else f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+        values = {}
+        for n, c in zip(names, part_cols):
+            v = pdf[c].iloc[0]
+            values[n] = None if pd.isna(v) else int(v)
+        out_dir = os.path.join(
+            table_dir, "deletes", _hive_part_dir(names, values)
         )
-        out_dir = os.path.join(table_dir, "deletes", part_dir)
         os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"delete-{token}-p{part}.parquet")
+        tag = "-".join(str(values[n]) for n in names)
+        path = os.path.join(out_dir, f"delete-{token}-p{tag}.parquet")
         schema = pa.schema(
             [
                 pa.field(
@@ -153,15 +184,24 @@ def write_position_deletes(
         )
         pq.write_table(tbl, path, compression="zstd")
         return pd.DataFrame(
-            [[path, part, len(pdf), os.path.getsize(path)]],
-            columns=["delete_path", "partition", "n_rows", "file_size"],
+            [[path, _json.dumps(values), len(pdf), os.path.getsize(path)]],
+            columns=["delete_path", "partition_json", "n_rows", "file_size"],
         )
 
-    stats = matches.groupBy("__iceberg_part").applyInPandas(
+    stats = matches.groupBy(*part_cols).applyInPandas(
         _write_group,
-        "delete_path string, partition int, n_rows bigint, file_size bigint",
+        "delete_path string, partition_json string, n_rows bigint, "
+        "file_size bigint",
     )
-    return [r.asDict() for r in stats.collect()]
+    return [
+        {
+            "delete_path": r["delete_path"],
+            "partition": json.loads(r["partition_json"]),
+            "n_rows": r["n_rows"],
+            "file_size": r["file_size"],
+        }
+        for r in stats.collect()
+    ]
 
 
 def commit_position_deletes(
@@ -200,8 +240,6 @@ def commit_position_deletes(
         version, base, table_name = _current_state_meta(
             table_dir, catalog, table_name
         )
-        if partition_col is None:
-            partition_col = base["partition-specs"][0]["fields"][0]["name"]
         stats = write_position_deletes(
             spark, table_dir, predicate, partition_col, meta=base
         )
@@ -209,7 +247,8 @@ def commit_position_deletes(
             return base
         try:
             return _commit_deletes_once(
-                table_dir, version, base, stats, partition_col, now_ms,
+                table_dir, version, base, stats,
+                _resolve_partition_names(base, partition_col), now_ms,
                 catalog, table_name,
             )
         except CommitConflictError as e:
@@ -239,10 +278,9 @@ def write_equality_deletes(
     stats (with ``equality_ids``) for :func:`commit_equality_deletes`."""
     if meta is None:
         _v, meta, _t = _current_state_meta(table_dir)
-    if partition_col is None:
-        # derive the partition field from the table spec (the default
-        # for every caller; an explicit name remains an override)
-        partition_col = meta["partition-specs"][0]["fields"][0]["name"]
+    # derive the partition fields from the table's default spec (the
+    # default for every caller; an explicit name stays an override)
+    part_names = _resolve_partition_names(meta, partition_col)
     if meta.get("current-snapshot-id", -1) == -1:
         # no data has ever been committed: an equality delete applies
         # only to data files with a strictly lower sequence number, so
@@ -253,28 +291,31 @@ def write_equality_deletes(
     schema_struct = _current_schema_struct(meta)
     ids = [_field_id(schema_struct, c) for c in equality_cols]
     missing = [
-        c for c in [partition_col, *equality_cols] if c not in keys_df.columns
+        c for c in [*part_names, *equality_cols] if c not in keys_df.columns
     ]
     if missing:
         raise ValueError(f"keys_df lacks columns {missing}")
     token = uuid.uuid4().hex[:16]
     cols = list(equality_cols)
+    names = list(part_names)
 
     def _write_group(pdf):
+        import json as _json
+
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        part = pdf[partition_col].iloc[0]
-        part = None if pd.isna(part) else int(part)
-        part_dir = (
-            f"{partition_col}={part}"
-            if part is not None
-            else f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+        values = {}
+        for n in names:
+            v = pdf[n].iloc[0]
+            values[n] = None if pd.isna(v) else int(v)
+        out_dir = os.path.join(
+            table_dir, "deletes", _hive_part_dir(names, values)
         )
-        out_dir = os.path.join(table_dir, "deletes", part_dir)
         os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"delete-eq-{token}-p{part}.parquet")
+        tag = "-".join(str(values[n]) for n in names)
+        path = os.path.join(out_dir, f"delete-eq-{token}-p{tag}.parquet")
         body = pdf[cols].sort_values(cols).reset_index(drop=True)
         tbl = pa.Table.from_pandas(body, preserve_index=False)
         fields = [
@@ -286,20 +327,30 @@ def write_equality_deletes(
         tbl = tbl.cast(pa.schema(fields))
         pq.write_table(tbl, path, compression="zstd")
         return pd.DataFrame(
-            [[path, part, len(body), os.path.getsize(path)]],
-            columns=["delete_path", "partition", "n_rows", "file_size"],
+            [[path, _json.dumps(values), len(body), os.path.getsize(path)]],
+            columns=["delete_path", "partition_json", "n_rows", "file_size"],
         )
 
     stats = (
-        keys_df.select(partition_col, *equality_cols)
+        keys_df.select(*part_names, *equality_cols)
         .distinct()
-        .groupBy(partition_col)
+        .groupBy(*part_names)
         .applyInPandas(
             _write_group,
-            "delete_path string, partition int, n_rows bigint, file_size bigint",
+            "delete_path string, partition_json string, n_rows bigint, "
+            "file_size bigint",
         )
     )
-    return [{**r.asDict(), "equality_ids": ids} for r in stats.collect()]
+    return [
+        {
+            "delete_path": r["delete_path"],
+            "partition": json.loads(r["partition_json"]),
+            "n_rows": r["n_rows"],
+            "file_size": r["file_size"],
+            "equality_ids": ids,
+        }
+        for r in stats.collect()
+    ]
 
 
 def commit_equality_deletes(
@@ -334,8 +385,6 @@ def commit_equality_deletes(
         version, base, table_name = _current_state_meta(
             table_dir, catalog, table_name
         )
-        if partition_col is None:
-            partition_col = base["partition-specs"][0]["fields"][0]["name"]
         stats = write_equality_deletes(
             spark, table_dir, keys_df, equality_cols, partition_col, meta=base
         )
@@ -343,7 +392,8 @@ def commit_equality_deletes(
             return base
         try:
             return _commit_deletes_once(
-                table_dir, version, base, stats, partition_col, now_ms,
+                table_dir, version, base, stats,
+                _resolve_partition_names(base, partition_col), now_ms,
                 catalog, table_name,
             )
         except CommitConflictError as e:
@@ -359,7 +409,7 @@ def _commit_deletes_once(
     version: int,
     base: dict,
     stats: list[dict],
-    partition_col: str,
+    partition_cols: list[str],
     now_ms: int,
     catalog,
     table_name: str | None,
@@ -382,7 +432,7 @@ def _commit_deletes_once(
                 "content": 2 if s.get("equality_ids") else 1,
                 "file_path": s["delete_path"],
                 "file_format": "PARQUET",
-                "partition": {partition_col: s["partition"]},
+                "partition": dict(s["partition"]),
                 "record_count": s["n_rows"],
                 "file_size_in_bytes": s["file_size"],
                 "value_counts": None,
@@ -397,19 +447,24 @@ def _commit_deletes_once(
         for s in sorted(stats, key=lambda s: s["delete_path"])
     ]
     schema_struct = _current_schema_struct(base)
-    spec = base["partition-specs"][0]
+    spec = _default_spec(base)
+    entry_cols = (
+        spec_name_ids(spec)
+        if spec_names(spec) == list(partition_cols)
+        else list(partition_cols)
+    )
     manifest_path = os.path.join(
         meta_dir, f"{base['table-uuid']}-d{seq}-{commit_uuid}.avro"
     )
     manifest_len = write_avro_ocf(
         manifest_path,
-        manifest_entry_schema(partition_col),
+        manifest_entry_schema(entry_cols),
         entries,
         {
             "schema": json.dumps(schema_struct).encode(),
             "schema-id": str(base["current-schema-id"]).encode(),
             "partition-spec": json.dumps(spec["fields"]).encode(),
-            "partition-spec-id": b"0",
+            "partition-spec-id": str(spec["spec-id"]).encode(),
             "format-version": str(FORMAT_VERSION).encode(),
             "content": b"deletes",
         },
@@ -451,15 +506,17 @@ def _finish_delete_commit(
     the running total (a superseding DV's cardinality includes the
     union of the old one, which must not double-count)."""
     meta_dir = os.path.join(table_dir, "metadata")
-    parts = [s["partition"] for s in stats]
-    non_null = [p for p in parts if p is not None] or [0]
+    parts = [dict(s["partition"]) for s in stats]
+    # summary field order follows the stats' partition dicts (written
+    # in spec order by every in-repo delete writer)
+    part_names = list(parts[0]) if parts else []
     n_del_rows = sum(int(s["n_rows"]) for s in stats)
     n_pos = sum(int(s["n_rows"]) for s in stats if not s.get("equality_ids"))
     n_eq = n_del_rows - n_pos
     delete_manifest = {
         "manifest_path": manifest_path,
         "manifest_length": manifest_len,
-        "partition_spec_id": 0,
+        "partition_spec_id": _default_spec(base)["spec-id"],
         "content": 1,  # DELETES manifest
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -470,14 +527,7 @@ def _finish_delete_commit(
         "added_rows_count": n_del_rows,
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
-        "partitions": [
-            {
-                "contains_null": any(p is None for p in parts),
-                "contains_nan": False,
-                "lower_bound": struct.pack("<i", min(non_null)),
-                "upper_bound": struct.pack("<i", max(non_null)),
-            }
-        ],
+        "partitions": partition_field_summaries(parts, part_names),
     }
     if prior_manifests is None:
         cur = next(
@@ -532,7 +582,13 @@ def _finish_delete_commit(
     file_list = [
         {
             "location": s["delete_path"],
-            "partition": s["partition"],
+            # single-field specs keep the scalar FILE_LIST shape every
+            # existing consumer reads; multi-field specs record the dict
+            "partition": (
+                next(iter(s["partition"].values()))
+                if len(s["partition"]) == 1
+                else dict(s["partition"])
+            ),
             "recordCount": int(s["n_rows"]),
             "fileSizeInBytes": int(s["file_size"]),
         }

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import json
 import os
-import struct
 import uuid
 
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
@@ -20,6 +19,9 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
     _stat_data_files,
     _tombstone_gc_safe,
     manifest_entry_schema,
+    partition_field_summaries,
+    spec_name_ids,
+    spec_names,
 )
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
     FORMAT_VERSION,
@@ -267,8 +269,6 @@ def _rewrite_manifests_once(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
     _, manifest_files, _ = read_avro_ocf(cur["manifest-list"])
-    n_data_m = sum(1 for mf in manifest_files if not mf.get("content"))
-
     def _mf_entries(mf) -> int:
         return (
             int(mf.get("added_data_files_count") or 0)
@@ -276,17 +276,25 @@ def _rewrite_manifests_once(
             + int(mf.get("deleted_data_files_count") or 0)
         )
 
-    if (
-        n_data_m <= 1
-        and len(manifest_files) - n_data_m <= 1
-        and all(
-            _mf_entries(mf) <= target_entries
-            for mf in manifest_files
-            if not mf.get("content")
-        )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _specs_by_id,
+    )
+
+    specs = _specs_by_id(meta)
+    # compactness is judged PER (content, spec): a multi-spec table is
+    # compact at one right-sized manifest per spec generation (spec: a
+    # manifest is scoped to one partition spec, so generations cannot
+    # merge)
+    mf_group_counts: dict[tuple[int, int], int] = {}
+    for mf in manifest_files:
+        k = (int(mf.get("content") or 0), int(mf.get("partition_spec_id", 0)))
+        mf_group_counts[k] = mf_group_counts.get(k, 0) + 1
+    if all(c <= 1 for c in mf_group_counts.values()) and all(
+        _mf_entries(mf) <= target_entries
+        for mf in manifest_files
+        if not mf.get("content")
     ):
         return meta  # already compact (<=1 right-sized manifest each)
-    partition_col = meta["partition-specs"][0]["fields"][0]["name"]
     # tombstone GC horizon: status=2 entries are load-bearing for the
     # incremental planner (rewrite_data_files / DV-supersede history),
     # but only inside windows a caller can still open — and a window's
@@ -298,10 +306,13 @@ def _rewrite_manifests_once(
     )
     # data and delete manifests compact SEPARATELY (spec: a manifest
     # holds either data files or delete files, never both — merging
-    # them would make every scan read delete entries as data)
-    groups: dict[int, list] = {0: [], 1: []}
+    # them would make every scan read delete entries as data), and so
+    # do SPEC GENERATIONS (each manifest is scoped to one partition
+    # spec; merging generations would mis-key partition structs)
+    groups: dict[tuple[int, int], list] = {}
     for mf in manifest_files:
         _, es, _ = read_avro_ocf(mf["manifest_path"])
+        mf_sid = int(mf.get("partition_spec_id", 0))
         for e in es:
             seq = e.get("sequence_number")
             if seq is None:
@@ -334,30 +345,9 @@ def _rewrite_manifests_once(
                     "sequence_number": int(seq),
                     "data_file": d2,
                 }
-            groups[0 if not d2.get("content") else 1].append(e2)
-    # cluster by partition value so each output manifest's summary is
-    # a tight pruning range (None partitions first, stable by path)
-    entries = sorted(
-        groups[0],
-        key=lambda e: (
-            e["data_file"]["partition"].get(partition_col) is not None,
-            e["data_file"]["partition"].get(partition_col) or 0,
-            e["data_file"]["file_path"],
-        ),
-    )
-    total_live_rows = sum(
-        e["data_file"]["record_count"] for e in entries if e["status"] != 2
-    )
-    n_chunks = max(1, -(-len(entries) // target_entries))
-    chunk_size = -(-len(entries) // n_chunks) if entries else 0
-    chunks = (
-        [
-            entries[i : i + chunk_size]
-            for i in range(0, len(entries), chunk_size)
-        ]
-        if entries
-        else [[]]  # an empty table still writes one (empty) manifest
-    )
+            groups.setdefault(
+                (0 if not d2.get("content") else 1, mf_sid), []
+            ).append(e2)
 
     now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
     # snapshot-log monotonicity (same clamp as _commit_append_once): a
@@ -369,95 +359,128 @@ def _rewrite_manifests_once(
     seq = meta["last-sequence-number"] + 1
     snapshot_id = seq
     schema_struct = _current_schema_struct(meta)
-    spec = meta["partition-specs"][0]
     compact_uuid = uuid.uuid4().hex[:16]  # same per-attempt token as
     # commit_append: concurrent maintenance must not collide on staged
     # metadata paths
     new_manifest_files = []
-    for ci, chunk in enumerate(chunks):
-        lo = hi = None
-        rows = 0
-        n_live = n_dead = dead_rows = 0
-        for e in chunk:
-            p = e["data_file"]["partition"].get(partition_col)
-            if p is not None:
-                lo = p if lo is None else min(lo, p)
-                hi = p if hi is None else max(hi, p)
-            if e["status"] == 2:
-                n_dead += 1
-                dead_rows += e["data_file"]["record_count"]
-            else:
-                n_live += 1
-                rows += e["data_file"]["record_count"]
-        manifest_path = os.path.join(
-            meta_dir,
-            f"{meta['table-uuid']}-compacted-m{seq}-{ci}-{compact_uuid}.avro",
-        )
-        manifest_len = write_avro_ocf(
-            manifest_path,
-            manifest_entry_schema(partition_col),
-            chunk,
-            {
-                "schema": json.dumps(schema_struct).encode(),
-                "schema-id": str(meta["current-schema-id"]).encode(),
-                "partition-spec": json.dumps(spec["fields"]).encode(),
-                "partition-spec-id": b"0",
-                "format-version": str(FORMAT_VERSION).encode(),
-                "content": b"data",
-            },
-        )
-        new_manifest_files.append(
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": manifest_len,
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": seq,
-                "min_sequence_number": min(
-                    (e["sequence_number"] for e in chunk),
-                    default=min(
-                        mf["min_sequence_number"] for mf in manifest_files
-                    ),
+    total_live_rows = 0
+    file_list = []
+    data_groups = sorted(k for k in groups if k[0] == 0) or [(0, 0)]
+    for _content, sid in data_groups:
+        spec = specs.get(sid) or meta["partition-specs"][0]
+        names = [f["name"] for f in spec["fields"]]
+        # cluster by partition tuple so each output manifest's summary
+        # is a tight pruning range on EVERY spec field (None first,
+        # stable by path)
+        entries = sorted(
+            groups.get((0, sid), []),
+            key=lambda e: (
+                *(
+                    (
+                        e["data_file"]["partition"].get(n) is not None,
+                        e["data_file"]["partition"].get(n) or 0,
+                    )
+                    for n in names
                 ),
-                "added_snapshot_id": snapshot_id,
-                "added_data_files_count": 0,
-                "existing_data_files_count": n_live,
-                "deleted_data_files_count": n_dead,
-                "added_rows_count": 0,
-                "existing_rows_count": rows,
-                "deleted_rows_count": dead_rows,
-                "partitions": [
-                    {
-                        "contains_null": any(
-                            e["data_file"]["partition"].get(partition_col)
-                            is None
-                            for e in chunk
-                        ),
-                        "contains_nan": False,
-                        "lower_bound": struct.pack(
-                            "<i", lo if lo is not None else 0
-                        ),
-                        "upper_bound": struct.pack(
-                            "<i", hi if hi is not None else 0
-                        ),
-                    }
-                ],
-            }
+                e["data_file"]["file_path"],
+            ),
         )
-    if groups[1]:
+        total_live_rows += sum(
+            e["data_file"]["record_count"] for e in entries if e["status"] != 2
+        )
+        file_list += [
+            {
+                "location": e["data_file"]["file_path"],
+                "partition": (
+                    e["data_file"]["partition"].get(names[0])
+                    if len(names) == 1
+                    else dict(e["data_file"]["partition"])
+                ),
+                "recordCount": e["data_file"]["record_count"],
+                "fileSizeInBytes": e["data_file"]["file_size_in_bytes"],
+            }
+            for e in entries
+            if e["status"] != 2
+        ]
+        n_chunks = max(1, -(-len(entries) // target_entries))
+        chunk_size = -(-len(entries) // n_chunks) if entries else 0
+        chunks = (
+            [
+                entries[i : i + chunk_size]
+                for i in range(0, len(entries), chunk_size)
+            ]
+            if entries
+            else [[]]  # an empty table still writes one (empty) manifest
+        )
+        for ci, chunk in enumerate(chunks):
+            rows = 0
+            n_live = n_dead = dead_rows = 0
+            for e in chunk:
+                if e["status"] == 2:
+                    n_dead += 1
+                    dead_rows += e["data_file"]["record_count"]
+                else:
+                    n_live += 1
+                    rows += e["data_file"]["record_count"]
+            manifest_path = os.path.join(
+                meta_dir,
+                f"{meta['table-uuid']}-compacted-m{seq}-s{sid}-{ci}-{compact_uuid}.avro",
+            )
+            manifest_len = write_avro_ocf(
+                manifest_path,
+                manifest_entry_schema(spec_name_ids(spec)),
+                chunk,
+                {
+                    "schema": json.dumps(schema_struct).encode(),
+                    "schema-id": str(meta["current-schema-id"]).encode(),
+                    "partition-spec": json.dumps(spec["fields"]).encode(),
+                    "partition-spec-id": str(sid).encode(),
+                    "format-version": str(FORMAT_VERSION).encode(),
+                    "content": b"data",
+                },
+            )
+            new_manifest_files.append(
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": manifest_len,
+                    "partition_spec_id": sid,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(
+                        (e["sequence_number"] for e in chunk),
+                        default=min(
+                            mf["min_sequence_number"] for mf in manifest_files
+                        ),
+                    ),
+                    "added_snapshot_id": snapshot_id,
+                    "added_data_files_count": 0,
+                    "existing_data_files_count": n_live,
+                    "deleted_data_files_count": n_dead,
+                    "added_rows_count": 0,
+                    "existing_rows_count": rows,
+                    "deleted_rows_count": dead_rows,
+                    "partitions": partition_field_summaries(
+                        [e["data_file"]["partition"] for e in chunk], names
+                    ),
+                }
+            )
+    for _content, sid in sorted(k for k in groups if k[0] == 1):
         # the table's position-delete entries compact into their own
-        # content=1 manifest, preserving each entry's sequence number
-        # (the delete-applies-to rule depends on it); the schema
-        # selection goes through normalize_delete_entries so DV
-        # locators survive compaction
-        del_entries = groups[1]
+        # content=1 manifest (per spec generation), preserving each
+        # entry's sequence number (the delete-applies-to rule depends
+        # on it); the schema selection goes through
+        # normalize_delete_entries so DV locators survive compaction
+        del_entries = groups[(1, sid)]
+        spec = specs.get(sid) or meta["partition-specs"][0]
+        names = [f["name"] for f in spec["fields"]]
         from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501 (local import: deletion_vectors imports this module)
             normalize_delete_entries,
         )
 
-        del_schema = normalize_delete_entries(del_entries, partition_col)
+        del_schema = normalize_delete_entries(del_entries, spec_name_ids(spec))
         del_path = os.path.join(
-            meta_dir, f"{meta['table-uuid']}-compacted-d{seq}-{compact_uuid}.avro"
+            meta_dir,
+            f"{meta['table-uuid']}-compacted-d{seq}-s{sid}-{compact_uuid}.avro",
         )
         del_len = write_avro_ocf(
             del_path,
@@ -467,20 +490,16 @@ def _rewrite_manifests_once(
                 "schema": json.dumps(schema_struct).encode(),
                 "schema-id": str(meta["current-schema-id"]).encode(),
                 "partition-spec": json.dumps(spec["fields"]).encode(),
-                "partition-spec-id": b"0",
+                "partition-spec-id": str(sid).encode(),
                 "format-version": str(FORMAT_VERSION).encode(),
                 "content": b"deletes",
             },
         )
-        dparts = [
-            e["data_file"]["partition"].get(partition_col) for e in del_entries
-        ]
-        d_non_null = [p for p in dparts if p is not None] or [0]
         new_manifest_files.append(
             {
                 "manifest_path": del_path,
                 "manifest_length": del_len,
-                "partition_spec_id": 0,
+                "partition_spec_id": sid,
                 "content": 1,
                 "sequence_number": seq,
                 "min_sequence_number": min(
@@ -505,14 +524,9 @@ def _rewrite_manifests_once(
                     for e in del_entries
                     if e["status"] == 2
                 ),
-                "partitions": [
-                    {
-                        "contains_null": any(p is None for p in dparts),
-                        "contains_nan": False,
-                        "lower_bound": struct.pack("<i", min(d_non_null)),
-                        "upper_bound": struct.pack("<i", max(d_non_null)),
-                    }
-                ],
+                "partitions": partition_field_summaries(
+                    [e["data_file"]["partition"] for e in del_entries], names
+                ),
             }
         )
     summary = {
@@ -525,16 +539,6 @@ def _rewrite_manifests_once(
             _prev_summary_counter(meta, "total-equality-deletes")
         ),
     }
-    file_list = [
-        {
-            "location": e["data_file"]["file_path"],
-            "partition": e["data_file"]["partition"].get(partition_col),
-            "recordCount": e["data_file"]["record_count"],
-            "fileSizeInBytes": e["data_file"]["file_size_in_bytes"],
-        }
-        for e in entries
-        if e["status"] != 2
-    ]
     return _finish_replace_commit(
         table_dir, version, meta, now_ms, seq, snapshot_id, compact_uuid,
         new_manifest_files, summary, file_list, catalog, table_name,
@@ -737,7 +741,17 @@ def _rewrite_data_files_once(
     data, deletes = _plan_snapshot(cur, None, tombstones_out=raw_tombstones)
     if not data:
         return meta
-    partition_col = meta["partition-specs"][0]["fields"][0]["name"]
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _default_spec,
+        _specs_by_id,
+    )
+
+    # the rewrite writes under the table's DEFAULT spec — compaction is
+    # how old-spec files migrate to the current layout after partition
+    # evolution, exactly like the Java rewrite action
+    spec = _default_spec(meta)
+    part_names = spec_names(spec)
+    specs = _specs_by_id(meta)
     schema_struct = _current_schema_struct(meta)
     leaf_ids = _leaf_field_ids(schema_struct)
 
@@ -788,53 +802,61 @@ def _rewrite_data_files_once(
 
     per_part: dict = {}
     for d in data:
-        per_part[d["partition"].get(partition_col)] = (
-            per_part.get(d["partition"].get(partition_col), 0) + 1
-        )
+        key = tuple(d["partition"].get(n) for n in part_names)
+        per_part[key] = per_part.get(key, 0) + 1
     already_sorted = bool(sort_cols) and all(
         int(d.get("sort_order_id") or 0) == sort_order_id for d in data
+    )
+    all_default_spec = all(
+        int(d.get("_spec_id", spec["spec-id"])) == spec["spec-id"]
+        for d in data
     )
     if (
         not deletes
         and max(per_part.values()) <= 1
+        and all_default_spec
         and (not sort_cols or already_sorted)
     ):
-        return meta  # already compact (and in the requested order)
+        return meta  # already compact (and in the requested order/spec)
 
     live = _read_plan_with_identity(spark, table_dir, meta, data, deletes).drop(
         "__iceberg_file", "__iceberg_pos"
     )
-    # a transformed partition column is metadata-only (never in the
-    # data or the scan) — recompute it executor-side from the spec's
+    # transformed partition columns are metadata-only (never in the
+    # data or the scan) — recompute EVERY one executor-side from its
     # source column so the rewrite regroups exactly as the writer did
-    spec_field = meta["partition-specs"][0]["fields"][0]
-    if spec_field["transform"] != "identity":
-        from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (  # noqa: E501
-            transform_column,
-        )
+    # (old-spec files get the new spec's columns computed here too —
+    # that is the spec migration)
+    id_to_name = {f["id"]: f["name"] for f in schema_struct["fields"]}
+    for f in spec["fields"]:
+        if f["transform"] != "identity":
+            from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (  # noqa: E501
+                transform_column,
+            )
 
-        id_to_name = {f["id"]: f["name"] for f in schema_struct["fields"]}
-        live = transform_column(
-            live,
-            id_to_name[spec_field["source-id"]],
-            spec_field["transform"],
-            partition_col,
-        )
+            live = transform_column(
+                live,
+                id_to_name[f["source-id"]],
+                f["transform"],
+                f["name"],
+            )
     compact_uuid = uuid.uuid4().hex[:16]
     out_dir = os.path.join(table_dir, f"_compacted-{compact_uuid}")
     if sort_cols:
         from pyspark.sql import functions as F
 
-        keys = [F.col(partition_col)] + [F.col(c) for c in sort_cols]
+        keys = [F.col(n) for n in part_names] + [
+            F.col(c) for c in sort_cols
+        ]
         # sort within the partition-colocated tasks; file-level range
         # slicing comes from maxRecordsPerFile (AQE may coalesce a
         # range shuffle on small data, but a sorted task split by
         # record cap yields consecutive — hence tight-bounded — files
         # deterministically at every scale)
-        shaped = live.repartition(partition_col).sortWithinPartitions(*keys)
+        shaped = live.repartition(*part_names).sortWithinPartitions(*keys)
     else:
-        shaped = live.repartition(partition_col)
-    writer = shaped.write.partitionBy(partition_col)
+        shaped = live.repartition(*part_names)
+    writer = shaped.write.partitionBy(*part_names)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(out_dir, mode="overwrite")
@@ -845,7 +867,7 @@ def _rewrite_data_files_once(
         new_paths += [
             os.path.join(root, n) for n in names if n.endswith(".parquet")
         ]
-    new_files = _stat_data_files(sorted(new_paths), partition_col)
+    new_files = _stat_data_files(sorted(new_paths), spec_name_ids(spec))
 
     now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
     now_ms = max(
@@ -854,12 +876,11 @@ def _rewrite_data_files_once(
     meta_dir = os.path.join(table_dir, "metadata")
     seq = meta["last-sequence-number"] + 1
     snapshot_id = seq
-    spec = meta["partition-specs"][0]
     ocf_meta = {
         "schema": json.dumps(schema_struct).encode(),
         "schema-id": str(meta["current-schema-id"]).encode(),
         "partition-spec": json.dumps(spec["fields"]).encode(),
-        "partition-spec-id": b"0",
+        "partition-spec-id": str(spec["spec-id"]).encode(),
         "format-version": str(FORMAT_VERSION).encode(),
     }
     added_entries = [
@@ -872,7 +893,7 @@ def _rewrite_data_files_once(
                 "content": 0,
                 "file_path": f["file_path"],
                 "file_format": "PARQUET",
-                "partition": {partition_col: f["partition_value"]},
+                "partition": dict(f["partition"]),
                 "record_count": f["record_count"],
                 "file_size_in_bytes": f["file_size_in_bytes"],
                 **_column_stats_fields(f.get("column_stats") or {}, leaf_ids),
@@ -888,18 +909,16 @@ def _rewrite_data_files_once(
     )
     data_manifest_len = write_avro_ocf(
         data_manifest_path,
-        manifest_entry_schema(partition_col),
+        manifest_entry_schema(spec_name_ids(spec)),
         added_entries,
         {**ocf_meta, "content": b"data"},
     )
     live_rows = sum(f["record_count"] for f in new_files)
-    parts = [f["partition_value"] for f in new_files]
-    non_null = [p for p in parts if p is not None] or [0]
     new_manifest_files = [
         {
             "manifest_path": data_manifest_path,
             "manifest_length": data_manifest_len,
-            "partition_spec_id": 0,
+            "partition_spec_id": spec["spec-id"],
             "content": 0,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -910,14 +929,9 @@ def _rewrite_data_files_once(
             "added_rows_count": live_rows,
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
-            "partitions": [
-                {
-                    "contains_null": any(p is None for p in parts),
-                    "contains_nan": False,
-                    "lower_bound": struct.pack("<i", min(non_null)),
-                    "upper_bound": struct.pack("<i", max(non_null)),
-                }
-            ],
+            "partitions": partition_field_summaries(
+                [f["partition"] for f in new_files], part_names
+            ),
         }
     ]
 
@@ -931,7 +945,8 @@ def _rewrite_data_files_once(
     horizon = min(
         (int(s["sequence-number"]) for s in meta["snapshots"]), default=0
     )
-    prior_tombstones: dict[int, list[dict]] = {0: [], 1: []}
+    default_sid = int(spec["spec-id"])
+    prior_tombstones: dict[tuple[int, int], list[dict]] = {}
     for e in raw_tombstones:
         d2 = e["data_file"]
         if int(e["sequence_number"]) <= horizon and _tombstone_gc_safe(
@@ -939,21 +954,30 @@ def _rewrite_data_files_once(
         ):
             continue
         # the ORIGINAL deleting-snapshot attribution is kept
-        prior_tombstones[0 if not d2.get("content") else 1].append(e)
+        prior_tombstones.setdefault(
+            (
+                0 if not d2.get("content") else 1,
+                int(e.get("_spec_id", default_sid)),
+            ),
+            [],
+        ).append({k: v for k, v in e.items() if k != "_spec_id"})
 
     from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
         normalize_delete_entries,
     )
 
     def _tombstones(flat: list[dict], content: int, tag: str) -> None:
-        """One status=2 manifest recording the replaced entries (plus
-        carried prior tombstones); tombstones keep their original
-        sequence numbers so the incremental planner's retraction guard
-        stays durable."""
-        entries = []
+        """Status=2 manifests recording the replaced entries (plus
+        carried prior tombstones), ONE PER SPEC GENERATION — each
+        tombstone's partition struct stays keyed by the spec its file
+        was written under; tombstones keep their original sequence
+        numbers so the incremental planner's retraction guard stays
+        durable."""
+        by_sid: dict[int, list[dict]] = {}
         for d in sorted(flat, key=lambda d: d["file_path"]):
-            d2 = {k: v for k, v in d.items() if k != "_seq"}
-            entries.append(
+            sid = int(d.get("_spec_id", default_sid))
+            d2 = {k: v for k, v in d.items() if k not in ("_seq", "_spec_id")}
+            by_sid.setdefault(sid, []).append(
                 {
                     "status": 2,  # DELETED by this snapshot
                     "snapshot_id": snapshot_id,
@@ -962,62 +986,68 @@ def _rewrite_data_files_once(
                     "data_file": d2,
                 }
             )
-        entries += prior_tombstones[content]
-        for e in entries:
-            d2 = e["data_file"]
-            d2.setdefault("equality_ids", None)
-            for k in _STATS_KEYS:
-                d2.setdefault(k, None)
-            d2.setdefault("split_offsets", None)
-            d2.setdefault("sort_order_id", None)
-        entry_schema = (
-            normalize_delete_entries(entries, partition_col)
-            if content == 1
-            else manifest_entry_schema(partition_col)
-        )
-        path = os.path.join(
-            meta_dir, f"{meta['table-uuid']}-{tag}{seq}-{compact_uuid}.avro"
-        )
-        length = write_avro_ocf(
-            path,
-            entry_schema,
-            entries,
-            {**ocf_meta, "content": b"data" if content == 0 else b"deletes"},
-        )
-        tparts = [e["data_file"]["partition"].get(partition_col) for e in entries]
-        t_non_null = [p for p in tparts if p is not None] or [0]
-        new_manifest_files.append(
-            {
-                "manifest_path": path,
-                "manifest_length": length,
-                "partition_spec_id": 0,
-                "content": content,
-                "sequence_number": seq,
-                "min_sequence_number": min(
-                    int(e["sequence_number"]) for e in entries
-                ),
-                "added_snapshot_id": snapshot_id,
-                "added_data_files_count": 0,
-                "existing_data_files_count": 0,
-                "deleted_data_files_count": len(entries),
-                "added_rows_count": 0,
-                "existing_rows_count": 0,
-                "deleted_rows_count": sum(
-                    e["data_file"]["record_count"] for e in entries
-                ),
-                "partitions": [
-                    {
-                        "contains_null": any(p is None for p in tparts),
-                        "contains_nan": False,
-                        "lower_bound": struct.pack("<i", min(t_non_null)),
-                        "upper_bound": struct.pack("<i", max(t_non_null)),
-                    }
-                ],
-            }
-        )
+        for (c, sid), prior in prior_tombstones.items():
+            if c == content:
+                by_sid.setdefault(sid, []).extend(prior)
+        for sid in sorted(by_sid):
+            entries = by_sid[sid]
+            t_spec = specs.get(sid) or spec
+            t_names = spec_names(t_spec)
+            for e in entries:
+                d2 = e["data_file"]
+                d2.setdefault("equality_ids", None)
+                for k in _STATS_KEYS:
+                    d2.setdefault(k, None)
+                d2.setdefault("split_offsets", None)
+                d2.setdefault("sort_order_id", None)
+            entry_schema = (
+                normalize_delete_entries(entries, spec_name_ids(t_spec))
+                if content == 1
+                else manifest_entry_schema(spec_name_ids(t_spec))
+            )
+            path = os.path.join(
+                meta_dir,
+                f"{meta['table-uuid']}-{tag}{seq}-s{sid}-{compact_uuid}.avro",
+            )
+            length = write_avro_ocf(
+                path,
+                entry_schema,
+                entries,
+                {
+                    **ocf_meta,
+                    "partition-spec": json.dumps(t_spec["fields"]).encode(),
+                    "partition-spec-id": str(sid).encode(),
+                    "content": b"data" if content == 0 else b"deletes",
+                },
+            )
+            new_manifest_files.append(
+                {
+                    "manifest_path": path,
+                    "manifest_length": length,
+                    "partition_spec_id": sid,
+                    "content": content,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(
+                        int(e["sequence_number"]) for e in entries
+                    ),
+                    "added_snapshot_id": snapshot_id,
+                    "added_data_files_count": 0,
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": len(entries),
+                    "added_rows_count": 0,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": sum(
+                        e["data_file"]["record_count"] for e in entries
+                    ),
+                    "partitions": partition_field_summaries(
+                        [e["data_file"]["partition"] for e in entries],
+                        t_names,
+                    ),
+                }
+            )
 
     _tombstones(data, 0, "rwdel")
-    if deletes or prior_tombstones[1]:
+    if deletes or any(k[0] == 1 for k in prior_tombstones):
         _tombstones(deletes, 1, "rwdrop")
 
     summary = {
@@ -1035,7 +1065,11 @@ def _rewrite_data_files_once(
     file_list = [
         {
             "location": f["file_path"],
-            "partition": f["partition_value"],
+            "partition": (
+                f["partition_value"]
+                if len(part_names) == 1
+                else dict(f["partition"])
+            ),
             "recordCount": f["record_count"],
             "fileSizeInBytes": f["file_size_in_bytes"],
         }

@@ -48,8 +48,13 @@ def _base_path_groups(table_dir: str, paths: list[str]) -> list[tuple[str, list[
     level deeper at ``<table>/_compacted-<token>/partition=N/…`` —
     mixing both depths under one basePath trips Spark's
     CONFLICTING_DIRECTORY_STRUCTURES check, so each compaction dir
-    reads under its own base and the scans union."""
-    groups: dict[str, list[str]] = {}
+    reads under its own base and the scans union. Files written under
+    DIFFERENT partition specs (spec evolution: ``day=N/`` generation
+    vs ``day=N/bucket=M/`` generation) differ in hive key pattern the
+    same way, so the pattern joins the group key — each generation
+    scans under its own inferred layout and the union reconciles
+    columns by name."""
+    groups: dict[tuple, list[str]] = {}
     for p in paths:
         rel = os.path.relpath(p, table_dir)
         first = rel.split(os.sep)[0]
@@ -58,8 +63,13 @@ def _base_path_groups(table_dir: str, paths: list[str]) -> list[tuple[str, list[
             if first.startswith("_compacted-")
             else table_dir
         )
-        groups.setdefault(base, []).append(p)
-    return sorted(groups.items())
+        hive_keys = tuple(
+            seg.split("=", 1)[0]
+            for seg in os.path.dirname(rel).split(os.sep)
+            if "=" in seg
+        )
+        groups.setdefault((base, hive_keys), []).append(p)
+    return sorted((base, ps) for (base, _k), ps in groups.items())
 
 
 def _read_planned_files(
@@ -85,10 +95,17 @@ def _read_planned_files(
     # metadata-only: the hive basePath recovery surfaces it as a scan
     # column, but it is not part of the table schema — drop it, as the
     # Iceberg reader contract requires (identity specs keep theirs: the
-    # partition column IS a schema column there)
-    spec_field = meta["partition-specs"][0]["fields"][0]
-    if spec_field["transform"] != "identity":
-        out = out.drop(spec_field["name"])
+    # partition column IS a schema column there). Swept across EVERY
+    # spec the table ever had, so spec-evolution reads never leak an
+    # old generation's metadata column either.
+    drop_cols = {
+        f["name"]
+        for spec in meta["partition-specs"]
+        for f in spec["fields"]
+        if f["transform"] != "identity"
+    }
+    for c in drop_cols:
+        out = out.drop(c)
     return out
 
 
@@ -97,6 +114,66 @@ def _field_id(schema_struct: dict, name: str) -> int:
         if f["name"] == name:
             return f["id"]
     raise KeyError(name)
+
+
+# -- multi-field partition-spec helpers ----------------------------------------
+#
+# A partition spec is its ordered ``fields`` list (Iceberg spec
+# "Partition Specs"): each field has name/transform/source-id/field-id.
+# Every helper below takes either the legacy single-column string, a
+# list of names, or a list of ``(name, field_id)`` pairs, so the
+# single-field call sites keep working while the spec model is N-ary.
+
+
+def _normalize_partition_cols(partition_cols) -> list[tuple[str, int]]:
+    """Normalize the three accepted partition-column shapes to an
+    ordered ``[(name, field_id), ...]`` list. Bare names get the spec's
+    default 1000-based ids IN ORDER — pass explicit pairs (or a spec's
+    fields via :func:`spec_name_ids`) when ids must match an evolved
+    spec."""
+    if isinstance(partition_cols, str):
+        return [(partition_cols, 1000)]
+    out = []
+    for i, c in enumerate(partition_cols):
+        if isinstance(c, str):
+            out.append((c, 1000 + i))
+        else:
+            name, fid = c
+            out.append((str(name), int(fid)))
+    return out
+
+
+def spec_name_ids(spec: dict) -> list[tuple[str, int]]:
+    """A spec dict's fields as the ``(name, field_id)`` pairs the Avro
+    schema builders take."""
+    return [(f["name"], int(f["field-id"])) for f in spec["fields"]]
+
+
+def spec_names(spec: dict) -> list[str]:
+    return [f["name"] for f in spec["fields"]]
+
+
+def partition_field_summaries(
+    part_dicts: list[dict], names: list[str]
+) -> list[dict]:
+    """The manifest-list ``partitions`` field summary — ONE record per
+    spec field, in spec order (Iceberg spec "Manifest Lists"): null
+    flag + packed int32 lower/upper bound over every entry's partition
+    value for that field. This per-field array is what lets a reader
+    prune a manifest on ANY spec field without opening it."""
+    out = []
+    for name in names:
+        vals = [p.get(name) for p in part_dicts]
+        non_null = [v for v in vals if v is not None] or [0]
+        out.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": False,
+                "lower_bound": struct.pack("<i", min(non_null)),
+                "upper_bound": struct.pack("<i", max(non_null)),
+            }
+        )
+    return out
 
 
 def _leaf_field_ids(schema_struct: dict) -> dict[str, int]:
@@ -156,17 +233,22 @@ _STATS_KEYS = ("value_counts", "null_value_counts", "lower_bounds", "upper_bound
 # -- manifest / manifest-list Avro schemas (Iceberg spec, v2 names+ids) -------
 
 
-def _partition_struct_schema(partition_col: str) -> dict:
+def _partition_struct_schema(partition_cols) -> dict:
+    """The manifest entry's partition struct: one nullable-int field
+    per spec field, in spec order, carrying the spec's field-ids
+    (single-field callers pass a bare name and get the legacy
+    1000-id shape byte-for-byte)."""
     return {
         "type": "record",
         "name": "r102",
         "fields": [
             {
-                "name": partition_col,
+                "name": name,
                 "type": ["null", "int"],
                 "default": None,
-                "field-id": 1000,
+                "field-id": fid,
             }
+            for name, fid in _normalize_partition_cols(partition_cols)
         ],
     }
 
@@ -203,12 +285,14 @@ def _int_kv_map_schema(
     }
 
 
-def manifest_entry_schema(partition_col: str) -> dict:
+def manifest_entry_schema(partition_cols) -> dict:
     """Avro schema of a v2 ``manifest_entry`` (spec "Manifest" section);
     field ids via the ``field-id`` attribute as the Java writer emits.
     Includes the column-stats maps (value/null counts, lower/upper
     bounds — spec Appendix field ids) the scan planner prunes files
-    with."""
+    with. ``partition_cols`` is a name, a list of names, or a list of
+    ``(name, field_id)`` pairs — the partition struct holds one field
+    per spec field, in spec order."""
     data_file = {
         "type": "record",
         "name": "r2",
@@ -218,7 +302,7 @@ def manifest_entry_schema(partition_col: str) -> dict:
             {"name": "file_format", "type": "string", "field-id": 101},
             {
                 "name": "partition",
-                "type": _partition_struct_schema(partition_col),
+                "type": _partition_struct_schema(partition_cols),
                 "field-id": 102,
             },
             {"name": "record_count", "type": "long", "field-id": 103},
@@ -340,15 +424,32 @@ MANIFEST_FILE_SCHEMA: dict = {
 # -- data-file discovery ------------------------------------------------------
 
 
-def _discover_data_files(table_dir: str, partition_col: str) -> list[dict]:
+def _hive_partition_values(path_part: str, names: list[str]) -> dict:
+    """Parse every ``name=value`` hive segment of a path for the given
+    spec field names -> ``{name: int | None}``; fields with no segment
+    are absent from the dict (files written under an OLDER spec lack
+    the newer fields — absence, not null)."""
+    out: dict[str, int | None] = {}
+    for seg in path_part.split(os.sep):
+        if "=" not in seg:
+            continue
+        k, v = seg.split("=", 1)
+        if k in names:
+            out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else int(v)
+    return out
+
+
+def _discover_data_files(table_dir: str, partition_cols) -> list[dict]:
     """Walk the parquet table (written by ``table_mode.write_table``,
-    hive-partitioned ``{partition_col}=N`` dirs) and collect per-file
-    stats from the parquet footers (pyarrow — the same footer stats the
-    Java writer records)."""
+    hive-partitioned ``{col}=N`` dirs, nested per spec field for
+    multi-field specs) and collect per-file stats from the parquet
+    footers (pyarrow — the same footer stats the Java writer
+    records)."""
     import pyarrow.parquet as pq
 
+    names = [n for n, _ in _normalize_partition_cols(partition_cols)]
     files = []
-    for root, _dirs, names in os.walk(table_dir):
+    for root, _dirs, fnames in os.walk(table_dir):
         # skip the table's own metadata/ subtree — by path COMPONENT
         # relative to table_dir (a substring match would drop all data
         # when an ancestor dir merely starts with "metadata")
@@ -363,18 +464,17 @@ def _discover_data_files(table_dir: str, partition_col: str) -> list[dict]:
             or any(p.startswith("_") for p in parts)
         ):
             continue
-        part_val = None
-        for seg in root[len(table_dir):].split(os.sep):
-            if seg.startswith(f"{partition_col}="):
-                part_val = int(seg.split("=", 1)[1])
-        for name in sorted(names):
+        part = _hive_partition_values(root[len(table_dir):], names)
+        for name in sorted(fnames):
             if not name.endswith(".parquet"):
                 continue
             if name.startswith("delete-"):
                 # position-delete files (write_position_deletes);
                 # discovery mode must never sweep them in as data
                 continue
-            files.append(_stat_one_file(os.path.join(root, name), part_val))
+            files.append(
+                _stat_one_file(os.path.join(root, name), part, names)
+            )
     return sorted(files, key=lambda f: f["file_path"])
 
 
@@ -419,9 +519,13 @@ def _fold_column_stats(col_stats: dict, col, rg_rows: int) -> None:
     cur["n"] += rg_rows
 
 
-def _stat_one_file(path: str, part_val: int | None) -> dict:
+def _stat_one_file(
+    path: str, part, names: list[str] | None = None
+) -> dict:
     import pyarrow.parquet as pq
 
+    if not isinstance(part, dict):  # legacy scalar: the default field
+        part = {"partition": part}
     md = pq.ParquetFile(path).metadata
     # row-group starting positions = the spec's split_offsets; while
     # walking, fold each integer leaf column's footer min/max into the
@@ -440,9 +544,18 @@ def _stat_one_file(path: str, part_val: int | None) -> dict:
                 continue
             _fold_column_stats(col_stats, col, rg.num_rows)
         offsets.append(min(starts))
+    if names is None:
+        names = sorted(part)
+    # partition dict in SPEC ORDER, every spec field present (None for
+    # fields the path carried no segment for — pre-evolution writers
+    # never hit this; the hive layout always names each spec field)
+    partition = {n: part.get(n) for n in names}
     return {
         "file_path": path,
-        "partition_value": part_val,
+        "partition": partition,
+        # legacy single-field alias (first spec field) — several
+        # single-spec consumers (puffin FILE_LIST, tests) still read it
+        "partition_value": partition[names[0]] if names else None,
         "record_count": md.num_rows,
         "file_size_in_bytes": os.path.getsize(path),
         "split_offsets": sorted(offsets),
@@ -450,18 +563,16 @@ def _stat_one_file(path: str, part_val: int | None) -> dict:
     }
 
 
-def _stat_data_files(paths: list[str], partition_col: str) -> list[dict]:
-    """Footer stats for an explicit file list; the partition value comes
-    from the hive path component, same layout discovery walks."""
+def _stat_data_files(paths: list[str], partition_cols) -> list[dict]:
+    """Footer stats for an explicit file list; partition values come
+    from the hive path components, same layout discovery walks."""
+    names = [n for n, _ in _normalize_partition_cols(partition_cols)]
     out = []
     for path in paths:
         if not os.path.exists(path):
             raise FileNotFoundError(f"explicit commit file absent: {path}")
-        part_val = None
-        for seg in path.split(os.sep):
-            if seg.startswith(f"{partition_col}="):
-                part_val = int(seg.split("=", 1)[1])
-        out.append(_stat_one_file(path, part_val))
+        part = _hive_partition_values(path, names)
+        out.append(_stat_one_file(path, part, names))
     return out
 
 

@@ -42,6 +42,11 @@ def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
     map and anti-joins without re-shuffling the corpus."""
     from pyspark.sql import functions as F
 
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _default_spec,
+        _specs_by_id,
+    )
+
     schema_struct = _current_schema_struct(meta)
     id_to_name = {f["id"]: f["name"] for f in schema_struct["fields"]}
     ids_set = {tuple(d["equality_ids"]) for d in eq_entries}
@@ -50,16 +55,48 @@ def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
             f"mixed equality_ids across delete files: {sorted(ids_set)}"
         )
     eq_cols = [id_to_name[i] for i in next(iter(ids_set))]
-    partition_col = meta["partition-specs"][0]["fields"][0]["name"]
+    # the partition-scope match runs under the spec each delete file
+    # was committed with (its manifest's spec-id) — after spec
+    # evolution, older delete files keep matching by their own fields
+    specs = _specs_by_id(meta)
+    default_sid = _default_spec(meta)["spec-id"]
+    by_spec: dict[int, list[dict]] = {}
+    for d in eq_entries:
+        by_spec.setdefault(int(d.get("_spec_id", default_sid)), []).append(d)
+    for sid in sorted(by_spec):
+        spec = specs.get(sid) or _default_spec(meta)
+        df_pos = _apply_eq_delete_group(
+            spark, df_pos, data_entries, by_spec[sid], eq_cols,
+            spec["fields"], id_to_name,
+        )
+    return df_pos
 
+
+def _apply_eq_delete_group(
+    spark, df_pos, data_entries, eq_entries, eq_cols, spec_fields, id_to_name
+):
+    """One spec's equality-delete anti-join (see
+    :func:`_apply_equality_deletes`): the data side recomputes every
+    transformed spec field from its source column executor-side (same
+    kernel the writer and rewrite_data_files use), identity fields
+    match on the schema column directly, and the delete rows broadcast
+    with their per-file partition tuple + sequence number."""
+    from pyspark.sql import functions as F
+
+    part_names = [f["name"] for f in spec_fields]
     del_meta = spark.createDataFrame(
         sorted(
             {
-                (d["file_path"], d["_seq"], d["partition"].get(partition_col))
+                (
+                    d["file_path"],
+                    d["_seq"],
+                    *[d["partition"].get(n) for n in part_names],
+                )
                 for d in eq_entries
             }
         ),
-        "__iceberg_dfile string, __iceberg_del_seq bigint, __iceberg_del_part int",
+        "__iceberg_dfile string, __iceberg_del_seq bigint, "
+        + ", ".join(f"__iceberg_del_part_{i} int" for i in range(len(part_names))),
     )
     data_seq = spark.createDataFrame(
         [(d["file_path"], d["_seq"]) for d in data_entries],
@@ -76,34 +113,31 @@ def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
         .join(F.broadcast(del_meta), "__iceberg_dfile")
     )
     df2 = df_pos.join(F.broadcast(data_seq), "__iceberg_file")
-    spec_field = meta["partition-specs"][0]["fields"][0]
-    if spec_field["transform"] != "identity":
-        # transformed partition column: metadata-only, so the data side
-        # recomputes it from the spec's source column for the
-        # partition-scope match (executor-side, same kernel the writer
-        # and rewrite_data_files use)
-        from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (  # noqa: E501
-            transform_column,
-        )
+    part_cols = []
+    computed: list[str] = []
+    for i, f in enumerate(spec_fields):
+        if f["transform"] != "identity":
+            from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (  # noqa: E501
+                transform_column,
+            )
 
-        df2 = transform_column(
-            df2,
-            id_to_name[spec_field["source-id"]],
-            spec_field["transform"],
-            "__iceberg_eq_part",
-        )
-        part_col = df2["__iceberg_eq_part"]
-    else:
-        part_col = df2[partition_col]
+            cname = f"__iceberg_eq_part_{i}"
+            df2 = transform_column(
+                df2, id_to_name[f["source-id"]], f["transform"], cname
+            )
+            computed.append(cname)
+            part_cols.append(df2[cname])
+        else:
+            part_cols.append(df2[f["name"]])
     cond = df2["__iceberg_data_seq"] < dels["__iceberg_del_seq"]
-    cond = cond & part_col.eqNullSafe(dels["__iceberg_del_part"])
+    for i, pc in enumerate(part_cols):
+        cond = cond & pc.eqNullSafe(dels[f"__iceberg_del_part_{i}"])
     for c in eq_cols:
         cond = cond & df2[c].eqNullSafe(dels[f"__eq_{c}"])
     # callers drop __iceberg_file/__iceberg_pos once all delete layers
     # have been applied
-    return (
-        df2.join(dels, cond, "left_anti")
-        .drop("__iceberg_data_seq", "__iceberg_eq_part")
+    return df2.join(dels, cond, "left_anti").drop(
+        "__iceberg_data_seq", *computed
     )
 
 
@@ -119,6 +153,7 @@ def plan_scan(
     column_bounds: tuple[str, int, int] | None = None,
     source_value=None,
     source_range: tuple | None = None,
+    source_predicates: dict | None = None,
 ) -> list[dict]:
     """Plan a table scan from the Iceberg metadata alone (never listing
     the filesystem): current snapshot -> manifest list -> manifests ->
@@ -146,7 +181,14 @@ def plan_scan(
     catalog service (``GET .../tables/{t}``) instead of the
     version-hint file — the read-side symmetry of the REST commit path
     (a real external catalog's pointer is authoritative; a stale local
-    hint must not win)."""
+    hint must not win).
+
+    ``source_predicates`` is the N-field form: ``{source_col: value}``
+    (equality) or ``{source_col: (lo, hi)}`` (range) entries, each
+    mapped through every default-spec field derived from that column
+    and ANDed — the multi-field prune a ``(day(ts), bucket(id))``
+    table's point lookup needs. The legacy ``source_value`` /
+    ``source_range`` kwargs keep addressing single-field specs."""
     if catalog is not None:
         _v, meta, table_name = _current_state_meta(table_dir, catalog, table_name)
     else:
@@ -159,46 +201,84 @@ def plan_scan(
             os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
         ) as f:
             meta = json.load(f)
-    partition_value, partition_range = _resolve_source_predicate(
-        meta, partition_value, source_value, source_range
+    constraints = _resolve_constraints(
+        meta, partition_value, source_value, source_range, source_predicates
     )
-    return _plan_from_meta(
-        meta, partition_value, column_bounds, partition_range
-    )
+    return _plan_from_meta(meta, constraints, column_bounds)
 
 
-def _resolve_source_predicate(
+def _resolve_constraints(
     meta: dict,
     partition_value,
     source_value,
     source_range: tuple | None,
-):
-    """Transform-aware pruning (spec "Partition Transforms"): a
-    predicate on the SOURCE column maps through the table's declared
-    transform to partition-space. ``source_value`` (equality) works for
-    every transform — including ``bucket``, where it picks the one
-    bucket the value can live in; ``source_range`` works only for
-    order-preserving transforms (identity/truncate/temporal) and is a
-    correct no-op (full scan) under ``bucket``."""
-    if source_value is None and source_range is None:
-        return partition_value, None
+    source_predicates: dict | None = None,
+) -> dict:
+    """Transform-aware pruning (spec "Partition Transforms"): map
+    source-column predicates through the DEFAULT spec's transforms into
+    per-partition-field constraints, ``{field_name: ("eq", v)}`` or
+    ``{field_name: ("range", lo, hi)}``, ANDed by the planner.
+
+    Equality works for every transform — including ``bucket``, where it
+    picks the one bucket the value can live in; a range maps only
+    through order-preserving transforms (identity/truncate/temporal)
+    and is a correct no-op (no constraint) under ``bucket``. A source
+    column feeding several spec fields (``day(ts)`` and ``hour(ts)``)
+    constrains each of them. The legacy single-field kwargs
+    (``partition_value`` on the first field, ``source_value`` /
+    ``source_range``) require a single-field spec — on a multi-field
+    table they would silently under-specify, so they error."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _default_spec,
+    )
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (
         is_order_preserving,
         transform_value,
     )
 
-    spec = meta["partition-specs"][0]["fields"][0]["transform"]
-    if source_value is not None:
-        if partition_value is not None:
+    constraints: dict[str, tuple] = {}
+    fields = _default_spec(meta)["fields"]
+    schema_struct = _current_schema_struct(meta)
+    name_by_id = {f["id"]: f["name"] for f in schema_struct["fields"]}
+    if partition_value is not None:
+        if source_value is not None:
             raise ValueError("pass partition_value OR source_value, not both")
-        return transform_value(spec, source_value), None
-    lo, hi = source_range
-    if not is_order_preserving(spec):
-        return partition_value, None  # bucket: ranges do not map
-    return partition_value, (
-        transform_value(spec, lo),
-        transform_value(spec, hi),
-    )
+        constraints[fields[0]["name"]] = ("eq", partition_value)
+    legacy = source_value is not None or source_range is not None
+    if legacy and len(fields) != 1:
+        raise ValueError(
+            "source_value/source_range address a single-field spec; "
+            "this table's default spec has "
+            f"{len(fields)} fields — pass source_predicates="
+            "{source_col: value | (lo, hi)} instead"
+        )
+    preds = dict(source_predicates or {})
+    if source_value is not None:
+        preds[name_by_id[fields[0]["source-id"]]] = source_value
+    if source_range is not None:
+        lo, hi = source_range
+        preds[name_by_id[fields[0]["source-id"]]] = (lo, hi)
+    for src_col, pred in preds.items():
+        matched = [
+            f for f in fields if name_by_id[f["source-id"]] == src_col
+        ]
+        if not matched:
+            raise KeyError(
+                f"no default-spec partition field derives from column "
+                f"{src_col!r}"
+            )
+        for f in matched:
+            t = f["transform"]
+            if isinstance(pred, tuple):
+                lo, hi = pred
+                if not is_order_preserving(t):
+                    continue  # bucket: ranges do not map — no constraint
+                constraints[f["name"]] = (
+                    "range", transform_value(t, lo), transform_value(t, hi)
+                )
+            else:
+                constraints[f["name"]] = ("eq", transform_value(t, pred))
+    return constraints
 
 
 def _bounds_overlap(d: dict, field_id: int, lo: int, hi: int) -> bool:
@@ -216,12 +296,74 @@ def _bounds_overlap(d: dict, field_id: int, lo: int, hi: int) -> bool:
     return struct.unpack(fmt, f_lo)[0] <= hi and lo <= struct.unpack(fmt, f_hi)[0]
 
 
+def _manifest_pruned(
+    mf: dict, constraints: dict, specs_by_id: dict | None
+) -> bool:
+    """Manifest-level partition-summary pruning, constraint by
+    constraint: a manifest whose per-field summary bounds provably miss
+    ANY constraint is skipped unopened. Each manifest's summary array
+    is interpreted under the spec the manifest was written with
+    (``partition_spec_id``), so spec evolution cannot misalign fields:
+    a constraint naming a field the manifest's spec lacks simply
+    cannot prune it (conservative keep)."""
+    if not constraints or not mf.get("partitions"):
+        return False
+    spec = (specs_by_id or {}).get(mf.get("partition_spec_id", 0))
+    if spec is None:
+        # unknown spec (foreign writer): only a single-field summary is
+        # safely interpretable against a single constraint
+        names = (
+            [next(iter(constraints))]
+            if len(mf["partitions"]) == 1 and len(constraints) == 1
+            else []
+        )
+    else:
+        names = [f["name"] for f in spec["fields"]]
+    summaries = mf["partitions"]
+    for idx, name in enumerate(names):
+        c = constraints.get(name)
+        if c is None or idx >= len(summaries):
+            continue
+        summary = summaries[idx]
+        lo_b, hi_b = summary.get("lower_bound"), summary.get("upper_bound")
+        if lo_b is None or hi_b is None:
+            continue
+        lo = struct.unpack("<i", lo_b)[0]
+        hi = struct.unpack("<i", hi_b)[0]
+        if c[0] == "eq":
+            if c[1] is not None and not (lo <= c[1] <= hi):
+                return True
+        else:  # ("range", lo, hi)
+            if hi < c[1] or lo > c[2]:
+                return True
+    return False
+
+
+def _file_matches(d: dict, constraints: dict) -> bool:
+    """File-level partition filtering: the entry's partition struct
+    must satisfy EVERY constraint naming a field it carries; fields an
+    older spec's file lacks are conservatively kept (the row-level
+    residual still applies)."""
+    for name, c in constraints.items():
+        if name not in d["partition"]:
+            continue  # older-spec file: field absent, keep
+        pv = d["partition"][name]
+        if c[0] == "eq":
+            if pv != c[1]:
+                return False
+        else:
+            # a null partition value can never satisfy a range
+            if pv is None or not (c[1] <= pv <= c[2]):
+                return False
+    return True
+
+
 def _plan_snapshot(
     snap: dict,
-    partition_value: int | None,
+    constraints: dict | None = None,
     bounds: tuple[int, int, int] | None = None,
     tombstones_out: list[dict] | None = None,
-    partition_range: tuple[int, int] | None = None,
+    specs_by_id: dict | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Walk ONE snapshot's manifest list lazily and split its live
     entries by manifest content: ``(data_files, delete_files)``. Each
@@ -230,35 +372,26 @@ def _plan_snapshot(
     the entry's own field is null, as the spec's inheritance rule
     says) — the read side needs it to decide which position deletes
     apply to which data files (a delete applies only to data files
-    whose sequence number is <= the delete's). Manifest-level
-    partition-summary pruning applies to BOTH kinds: a pruned manifest
-    is never opened.
+    whose sequence number is <= the delete's) — and ``_spec_id``, the
+    manifest's partition-spec id (maintenance re-writes each entry
+    under the spec that scoped it). ``constraints`` is the per-field
+    map :func:`_resolve_constraints` builds; manifest-level
+    partition-summary pruning applies to BOTH kinds, and a pruned
+    manifest is never opened.
 
     ``tombstones_out`` (unpruned calls only): status=2 entries are
     appended to it as FULL manifest entries with explicit sequence
     numbers, letting a maintenance op collect carried tombstones in
     the same metadata walk instead of paying the Avro reads twice."""
+    constraints = constraints or {}
     _, manifest_files, _ = read_avro_ocf(snap["manifest-list"])
     data: list[dict] = []
     deletes: list[dict] = []
     for mf in manifest_files:
-        if (
-            partition_value is not None or partition_range is not None
-        ) and mf.get("partitions"):
-            summary = mf["partitions"][0]
-            lo_b, hi_b = summary.get("lower_bound"), summary.get("upper_bound")
-            if lo_b is not None and hi_b is not None:
-                lo = struct.unpack("<i", lo_b)[0]
-                hi = struct.unpack("<i", hi_b)[0]
-                if partition_value is not None and not (
-                    lo <= partition_value <= hi
-                ):
-                    continue  # manifest pruned unopened
-                if partition_range is not None and (
-                    hi < partition_range[0] or lo > partition_range[1]
-                ):
-                    continue  # manifest pruned unopened
+        if _manifest_pruned(mf, constraints, specs_by_id):
+            continue  # manifest pruned unopened
         _, entries, _ = read_avro_ocf(mf["manifest_path"])
+        spec_id = int(mf.get("partition_spec_id", 0))
         for e in entries:
             if e["status"] == 2:  # DELETED
                 if tombstones_out is not None:
@@ -269,21 +402,14 @@ def _plan_snapshot(
                         {
                             **e,
                             "sequence_number": int(seq),
+                            "_spec_id": spec_id,
                             "data_file": dict(e["data_file"]),
                         }
                     )
                 continue
             d = e["data_file"]
-            if partition_value is not None or partition_range is not None:
-                pv = d["partition"].get(next(iter(d["partition"])))
-                if partition_value is not None and pv != partition_value:
-                    continue
-                if partition_range is not None and (
-                    pv is None
-                    or not (partition_range[0] <= pv <= partition_range[1])
-                ):
-                    # a null partition value can never satisfy a range
-                    continue
+            if constraints and not _file_matches(d, constraints):
+                continue
             is_delete = d.get("content") in (1, 2)
             if (
                 bounds is not None
@@ -294,7 +420,7 @@ def _plan_snapshot(
             seq = e.get("sequence_number")
             if seq is None:
                 seq = mf.get("sequence_number", 0)
-            rec = {**d, "_seq": int(seq)}
+            rec = {**d, "_seq": int(seq), "_spec_id": spec_id}
             (deletes if is_delete else data).append(rec)
     return data, deletes
 
@@ -317,9 +443,8 @@ def _resolve_bounds(
 
 def _plan_from_meta(
     meta: dict,
-    partition_value: int | None,
+    constraints: dict | None,
     column_bounds: tuple[str, int, int] | None = None,
-    partition_range: tuple[int, int] | None = None,
 ) -> list[dict]:
     """The lazy manifest walk of :func:`plan_scan` over an
     already-loaded metadata dict — shared so readers that hold the
@@ -328,6 +453,10 @@ def _plan_from_meta(
     schema). Returns the DATA file entries only; position-delete files
     (manifest content=1) are planned by the snapshot readers via
     :func:`_plan_snapshot`."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _specs_by_id,
+    )
+
     if meta.get("current-snapshot-id", -1) == -1:
         return []
     cur = next(
@@ -335,11 +464,14 @@ def _plan_from_meta(
     )
     data, _deletes = _plan_snapshot(
         cur,
-        partition_value,
+        constraints,
         _resolve_bounds(meta, column_bounds),
-        partition_range=partition_range,
+        specs_by_id=_specs_by_id(meta),
     )
-    return [{k: v for k, v in d.items() if k != "_seq"} for d in data]
+    return [
+        {k: v for k, v in d.items() if k not in ("_seq", "_spec_id")}
+        for d in data
+    ]
 
 
 
@@ -351,6 +483,7 @@ def read_iceberg_table(
     table_name: str | None = None,
     source_value=None,
     source_range: tuple | None = None,
+    source_predicates: dict | None = None,
 ):
     """Open the table THROUGH its Iceberg metadata the way Trino/Flink
     would: plan the file set from the snapshot's manifests (plan_scan),
@@ -368,40 +501,45 @@ def read_iceberg_table(
     :func:`commit_position_deletes`) are read merge-on-read: the scan
     anti-joins the delete set on (file, row position) — see
     :func:`_apply_position_deletes`."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _default_spec,
+    )
+
     _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
     if meta.get("current-snapshot-id", -1) == -1:
         return _empty_table_df(spark, meta)
     cur = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
-    pv, partition_range = _resolve_source_predicate(
-        meta, partition_value, source_value, source_range
+    constraints = _resolve_constraints(
+        meta, partition_value, source_value, source_range, source_predicates
     )
-    df = _read_snapshot(
-        spark, table_dir, meta, cur, pv,
-        partition_range=partition_range,
-    )
+    df = _read_snapshot(spark, table_dir, meta, cur, constraints)
+    # source predicates are row predicates, not just pruning hints:
+    # after the partition-grain prune, apply the residual on each
+    # source column (Iceberg's scan does the same — a bucket
+    # point-lookup or an unaligned range must not return the rest
+    # of the partition)
+    residuals: dict = dict(source_predicates or {})
     if source_value is not None or source_range is not None:
-        # source predicates are row predicates, not just pruning hints:
-        # after the partition-grain prune, apply the residual on the
-        # source column (Iceberg's scan does the same — a bucket
-        # point-lookup or an unaligned range must not return the rest
-        # of the partition)
-        from pyspark.sql import functions as F
-
-        spec_field = meta["partition-specs"][0]["fields"][0]
         schema_struct = _current_schema_struct(meta)
+        spec_field = _default_spec(meta)["fields"][0]
         src_name = next(
             f["name"]
             for f in schema_struct["fields"]
             if f["id"] == spec_field["source-id"]
         )
-        if source_value is not None:
-            df = df.where(F.col(src_name) == F.lit(source_value))
-        else:
-            df = df.where(
-                F.col(src_name).between(source_range[0], source_range[1])
-            )
+        residuals[src_name] = (
+            source_value if source_value is not None else source_range
+        )
+    if residuals:
+        from pyspark.sql import functions as F
+
+        for src_name, pred in residuals.items():
+            if isinstance(pred, tuple):
+                df = df.where(F.col(src_name).between(pred[0], pred[1]))
+            else:
+                df = df.where(F.col(src_name) == F.lit(pred))
     return df
 
 
@@ -418,9 +556,8 @@ def _read_snapshot(
     table_dir: str,
     meta: dict,
     snap: dict,
-    partition_value,
+    constraints: dict | None = None,
     keep_identity: bool = False,
-    partition_range: tuple[int, int] | None = None,
 ):
     """Plan one snapshot and hand it to Spark, applying the snapshot's
     position deletes when it has any (shared by the current-state and
@@ -429,8 +566,12 @@ def _read_snapshot(
     retains the ``(__iceberg_file, __iceberg_pos)`` row-identity columns
     (and returns None for an empty plan) — the changelog reader diffs
     two snapshots on exactly that identity."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _specs_by_id,
+    )
+
     data, deletes = _plan_snapshot(
-        snap, partition_value, partition_range=partition_range
+        snap, constraints, specs_by_id=_specs_by_id(meta)
     )
     if not data:
         return None if keep_identity else _empty_table_df(spark, meta)

@@ -26,6 +26,20 @@ def _advance_main(refs: dict | None, snapshot_id: int) -> dict:
     return out
 
 
+def _default_spec(meta: dict) -> dict:
+    """The table's DEFAULT partition spec (``default-spec-id`` — new
+    writes use it; older data files stay scoped to the spec their
+    manifest records, per the Iceberg spec's evolution rules)."""
+    sid = meta.get("default-spec-id", 0)
+    return next(s for s in meta["partition-specs"] if s["spec-id"] == sid)
+
+
+def _specs_by_id(meta: dict) -> dict[int, dict]:
+    """spec-id -> spec dict, for interpreting each manifest's partition
+    struct/summary under the spec it was written with."""
+    return {s["spec-id"]: s for s in meta["partition-specs"]}
+
+
 def _current_schema_struct(meta: dict) -> dict:
     """The metadata's current schema struct (single place to fail on a
     missing/corrupt current-schema-id)."""

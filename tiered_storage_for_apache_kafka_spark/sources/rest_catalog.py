@@ -230,6 +230,35 @@ def apply_updates(meta: dict, updates: list[dict], now_ms: int) -> dict:
                     f"sort order id {order['order-id']} already exists "
                     "with different fields"
                 )
+        elif action == "add-spec":
+            spec = upd["spec"]
+            specs = list(meta.get("partition-specs", []))
+            clash = next(
+                (s for s in specs if s["spec-id"] == spec["spec-id"]), None
+            )
+            if clash is None:
+                meta["partition-specs"] = specs + [spec]
+                meta["last-partition-id"] = max(
+                    int(meta.get("last-partition-id", 999)),
+                    max(int(f["field-id"]) for f in spec["fields"]),
+                )
+            elif clash.get("fields") != spec.get("fields"):
+                # same idempotency rule as add-sort-order: replaying an
+                # identical spec is fine, redefining an id is a commit
+                # error (committed manifests pin spec-ids)
+                raise ValueError(
+                    f"partition spec id {spec['spec-id']} already "
+                    "exists with different fields"
+                )
+        elif action == "set-default-spec":
+            sid = upd["spec-id"]
+            if sid == -1:  # spec: -1 = last added spec
+                sid = meta["partition-specs"][-1]["spec-id"]
+            if not any(
+                s["spec-id"] == sid for s in meta.get("partition-specs", [])
+            ):
+                raise ValueError(f"no partition spec with id {sid}")
+            meta["default-spec-id"] = sid
         elif action == "assign-uuid":
             meta["table-uuid"] = upd["uuid"]
         else:
