@@ -1,0 +1,435 @@
+"""Multi-field Iceberg partition specs — `(day(ts), bucket[N](id))`,
+the canonical production layout (Iceberg spec "Partition Specs" /
+"Partition Evolution") — end-to-end: N-field spec creation, per-field
+ANDed transform-aware pruning (manifest summaries + file entries),
+row-level deletes scoped to the full partition tuple, maintenance
+(rewrite_manifests / rewrite_data_files) on composite specs, and
+partition-spec EVOLUTION with per-manifest spec-id resolution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+    bucket_hash_long,
+    commit_append,
+    plan_scan,
+    read_iceberg_table,
+    rewrite_data_files,
+    rewrite_manifests,
+    update_partition_spec,
+)
+
+MICROS_PER_DAY = 86_400_000_000
+N_BUCKETS = 4
+N_DAYS = 4
+DAY0 = 17000
+
+SPEC = [
+    ("ts_day", "day", "ts_us"),
+    ("id_bucket", f"bucket[{N_BUCKETS}]", "id"),
+]
+
+
+def _bucket(v: int) -> int:
+    return (bucket_hash_long(v) & 0x7FFFFFFF) % N_BUCKETS
+
+
+def _write_composite_files(tdir: str, ids, tag: str = "g1") -> None:
+    """One parquet file per populated (day, bucket) cell, nested hive
+    layout ``ts_day=D/id_bucket=B/`` — the composite-spec write shape."""
+    rows_by: dict[tuple[int, int], list[int]] = {}
+    for i in ids:
+        rows_by.setdefault((DAY0 + (i % N_DAYS), _bucket(i)), []).append(i)
+    for (d, b), cell in sorted(rows_by.items()):
+        dd = os.path.join(tdir, f"ts_day={d}", f"id_bucket={b}")
+        os.makedirs(dd, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "ts_us": pa.array(
+                        [d * MICROS_PER_DAY + i for i in cell], pa.int64()
+                    ),
+                    "id": pa.array(cell, pa.int64()),
+                    "v": pa.array([i * 10 for i in cell], pa.int64()),
+                }
+            ),
+            os.path.join(dd, f"{tag}-{d}-{b}.parquet"),
+        )
+
+
+def _composite_table(spark, tmp_path, n_ids: int = 64, name: str = "mf-tbl"):
+    tdir = str(tmp_path / name)
+    _write_composite_files(tdir, range(n_ids))
+    schema = spark.createDataFrame([], "ts_us long, id long, v long").schema
+    meta = commit_append(tdir, schema, partition_spec=SPEC, now_ms=1_000)
+    return tdir, schema, meta
+
+
+def _current_meta(tdir: str) -> dict:
+    with open(os.path.join(tdir, "metadata", "version-hint.text")) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(tdir, "metadata", f"v{v}.metadata.json")) as f:
+        return json.load(f)
+
+
+class TestCompositeSpec:
+    def test_create_records_n_field_spec(self, spark, tmp_path):
+        _tdir, _schema, meta = _composite_table(spark, tmp_path)
+        fields = meta["partition-specs"][0]["fields"]
+        assert [(f["name"], f["transform"]) for f in fields] == [
+            ("ts_day", "day"), ("id_bucket", f"bucket[{N_BUCKETS}]"),
+        ]
+        assert [f["field-id"] for f in fields] == [1000, 1001]
+        assert meta["last-partition-id"] == 1001
+
+    def test_entries_carry_full_partition_tuple(self, spark, tmp_path):
+        tdir, _schema, _meta = _composite_table(spark, tmp_path)
+        files = plan_scan(tdir)
+        assert files, "plan must see the committed files"
+        for f in files:
+            assert set(f["partition"]) == {"ts_day", "id_bucket"}
+            # hive path and manifest struct agree
+            assert f"ts_day={f['partition']['ts_day']}" in f["file_path"]
+            assert f"id_bucket={f['partition']['id_bucket']}" in f["file_path"]
+
+    def test_per_field_summaries_in_manifest_list(self, spark, tmp_path):
+        tdir, _schema, meta = _composite_table(spark, tmp_path)
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_avro_ocf,
+        )
+
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, mfs, _ = read_avro_ocf(cur["manifest-list"])
+        assert len(mfs[0]["partitions"]) == 2  # one summary PER field
+        lo0 = int.from_bytes(mfs[0]["partitions"][0]["lower_bound"], "little")
+        hi0 = int.from_bytes(mfs[0]["partitions"][0]["upper_bound"], "little")
+        assert (lo0, hi0) == (DAY0, DAY0 + N_DAYS - 1)
+        lo1 = int.from_bytes(mfs[0]["partitions"][1]["lower_bound"], "little")
+        hi1 = int.from_bytes(mfs[0]["partitions"][1]["upper_bound"], "little")
+        assert (lo1, hi1) == (0, N_BUCKETS - 1)
+
+    def test_anded_pruning_day_and_bucket(self, spark, tmp_path):
+        tdir, _schema, _meta = _composite_table(spark, tmp_path)
+        probe = 6  # day DAY0+2, bucket _bucket(6)
+        day = DAY0 + (probe % N_DAYS)
+        lo = day * MICROS_PER_DAY
+        hi = lo + MICROS_PER_DAY - 1
+        files = plan_scan(
+            tdir, source_predicates={"ts_us": (lo, hi), "id": probe}
+        )
+        # exactly the ONE (day, bucket) cell survives both constraints
+        assert {
+            (f["partition"]["ts_day"], f["partition"]["id_bucket"])
+            for f in files
+        } == {(day, _bucket(probe))}
+        n_total = len(plan_scan(tdir))
+        assert len(files) < n_total
+
+    def test_each_field_prunes_independently(self, spark, tmp_path):
+        tdir, _schema, _meta = _composite_table(spark, tmp_path)
+        day = DAY0 + 1
+        lo, hi = day * MICROS_PER_DAY, (day + 1) * MICROS_PER_DAY - 1
+        day_files = plan_scan(tdir, source_predicates={"ts_us": (lo, hi)})
+        assert {f["partition"]["ts_day"] for f in day_files} == {day}
+        assert {f["partition"]["id_bucket"] for f in day_files} == set(
+            range(N_BUCKETS)
+        )
+        probe = 9
+        bkt_files = plan_scan(tdir, source_predicates={"id": probe})
+        assert {f["partition"]["id_bucket"] for f in bkt_files} == {
+            _bucket(probe)
+        }
+        assert {f["partition"]["ts_day"] for f in bkt_files} == {
+            DAY0 + d for d in range(N_DAYS)
+        }
+
+    def test_read_with_predicates_returns_exact_rows(self, spark, tmp_path):
+        tdir, _schema, _meta = _composite_table(spark, tmp_path)
+        probe = 13
+        day = DAY0 + (probe % N_DAYS)
+        lo, hi = day * MICROS_PER_DAY, (day + 1) * MICROS_PER_DAY - 1
+        rows = (
+            read_iceberg_table(
+                spark, tdir,
+                source_predicates={"ts_us": (lo, hi), "id": probe},
+            )
+            .collect()
+        )
+        assert [(r["id"], r["v"]) for r in rows] == [(probe, probe * 10)]
+        # transformed partition columns are metadata-only — never
+        # surfaced as scan columns
+        cols = set(
+            read_iceberg_table(spark, tdir, source_predicates={"id": probe})
+            .columns
+        )
+        assert cols == {"ts_us", "id", "v"}
+
+    def test_legacy_single_field_kwargs_rejected(self, spark, tmp_path):
+        tdir, _schema, _meta = _composite_table(spark, tmp_path)
+        with pytest.raises(ValueError, match="source_predicates"):
+            plan_scan(tdir, source_value=3)
+
+    def test_append_shape_validation(self, spark, tmp_path):
+        tdir, schema, _meta = _composite_table(spark, tmp_path)
+        with pytest.raises(ValueError, match="cannot append declaring"):
+            commit_append(
+                tdir, schema, now_ms=2_000,
+                partition_spec=[("ts_day", "day", "ts_us")],
+            )
+        # re-declaring the true shape is fine (and a no-op: no new files)
+        commit_append(tdir, schema, now_ms=2_000, partition_spec=SPEC)
+
+
+class TestCompositeRowDeltas:
+    def test_position_deletes_scoped_to_tuple(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_position_deletes,
+        )
+
+        tdir, _schema, _meta = _composite_table(spark, tmp_path, name="pd")
+        commit_position_deletes(spark, tdir, "v % 20 = 0", now_ms=2_000)
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == [i for i in range(64) if (i * 10) % 20 != 0]
+        # delete files landed in the NESTED hive layout under deletes/
+        dd = os.path.join(tdir, "deletes")
+        nested = [
+            os.path.relpath(os.path.join(r, f), dd)
+            for r, _d, fs in os.walk(dd)
+            for f in fs
+        ]
+        assert nested and all(
+            p.split(os.sep)[0].startswith("ts_day=")
+            and p.split(os.sep)[1].startswith("id_bucket=")
+            for p in nested
+        )
+
+    def test_equality_deletes_match_on_recomputed_tuple(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_equality_deletes,
+        )
+
+        tdir, _schema, _meta = _composite_table(spark, tmp_path, name="eq")
+        kill = [5, 17, 40]
+        keys = spark.createDataFrame(
+            [
+                (DAY0 + (i % N_DAYS), _bucket(i), i)
+                for i in kill
+            ],
+            "ts_day int, id_bucket int, id long",
+        )
+        commit_equality_deletes(spark, tdir, keys, ["id"], now_ms=2_000)
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == [i for i in range(64) if i not in kill]
+
+    def test_deletion_vectors_on_composite(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+
+        tdir, _schema, _meta = _composite_table(spark, tmp_path, name="dv")
+        commit_deletion_vectors(spark, tdir, "id < 8", now_ms=2_000)
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == list(range(8, 64))
+        # supersede path: second DV unions, still one live DV per file
+        commit_deletion_vectors(spark, tdir, "id >= 60", now_ms=3_000)
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == list(range(8, 60))
+
+
+class TestCompositeMaintenance:
+    def test_rewrite_data_files_recomputes_both_fields(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_position_deletes,
+        )
+
+        tdir, _schema, _meta = _composite_table(spark, tmp_path, name="rw")
+        commit_position_deletes(spark, tdir, "id < 4", now_ms=2_000)
+        meta = rewrite_data_files(spark, tdir, now_ms=3_000)
+        assert meta["snapshots"][-1]["summary"]["operation"] == "replace"
+        # zero delete files after materialization
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == list(range(4, 64))
+        # compacted files re-grouped by the SAME (day, bucket) kernel:
+        # pruning still lands on exactly one cell
+        probe = 9
+        day = DAY0 + (probe % N_DAYS)
+        files = plan_scan(
+            tdir,
+            source_predicates={
+                "ts_us": (day * MICROS_PER_DAY, (day + 1) * MICROS_PER_DAY - 1),
+                "id": probe,
+            },
+        )
+        assert {
+            (f["partition"]["ts_day"], f["partition"]["id_bucket"])
+            for f in files
+        } == {(day, _bucket(probe))}
+        assert all("_compacted-" in f["file_path"] for f in files)
+
+    def test_rewrite_manifests_keeps_per_field_summaries(self, spark, tmp_path):
+        tdir, schema, _meta = _composite_table(spark, tmp_path, name="rm")
+        _write_composite_files(tdir, range(64, 128), tag="g2")
+        commit_append(tdir, schema, partition_spec=SPEC, now_ms=2_000)
+        n_before = len(plan_scan(tdir))
+        meta = rewrite_manifests(tdir, now_ms=3_000, target_entries=8)
+        assert meta["snapshots"][-1]["summary"]["operation"] == "replace"
+        assert len(plan_scan(tdir)) == n_before
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_avro_ocf,
+        )
+
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, mfs, _ = read_avro_ocf(cur["manifest-list"])
+        data_mfs = [m for m in mfs if not m.get("content")]
+        assert len(data_mfs) > 1  # split, partition-clustered
+        assert all(len(m["partitions"]) == 2 for m in data_mfs)
+        # pruning through the compacted metadata still works per field
+        probe = 21
+        files = plan_scan(tdir, source_predicates={"id": probe})
+        assert {f["partition"]["id_bucket"] for f in files} == {_bucket(probe)}
+
+
+class TestSpecEvolution:
+    def _day_only_table(self, spark, tmp_path, name="evo"):
+        tdir = str(tmp_path / name)
+        for i in range(32):
+            d = DAY0 + (i % N_DAYS)
+            dd = os.path.join(tdir, f"ts_day={d}")
+            os.makedirs(dd, exist_ok=True)
+        rows_by: dict[int, list[int]] = {}
+        for i in range(32):
+            rows_by.setdefault(DAY0 + (i % N_DAYS), []).append(i)
+        for d, cell in rows_by.items():
+            pq.write_table(
+                pa.table(
+                    {
+                        "ts_us": pa.array(
+                            [d * MICROS_PER_DAY + i for i in cell], pa.int64()
+                        ),
+                        "id": pa.array(cell, pa.int64()),
+                        "v": pa.array([i * 10 for i in cell], pa.int64()),
+                    }
+                ),
+                os.path.join(tdir, f"ts_day={d}", f"g1-{d}.parquet"),
+            )
+        schema = spark.createDataFrame([], "ts_us long, id long, v long").schema
+        commit_append(
+            tdir, schema, partition_col="ts_day", now_ms=1_000,
+            partition_transform="day", partition_source="ts_us",
+        )
+        return tdir, schema
+
+    def test_evolution_metadata_and_field_id_reuse(self, spark, tmp_path):
+        tdir, _schema = self._day_only_table(spark, tmp_path)
+        meta = update_partition_spec(tdir, SPEC, now_ms=2_000)
+        assert meta["default-spec-id"] == 1
+        assert len(meta["partition-specs"]) == 2
+        new_fields = meta["partition-specs"][1]["fields"]
+        # day(ts_us) keeps field-id 1000 across specs (evolution rule);
+        # the new bucket field gets a fresh id
+        assert [(f["name"], f["field-id"]) for f in new_fields] == [
+            ("ts_day", 1000), ("id_bucket", 1001),
+        ]
+        assert meta["last-partition-id"] == 1001
+        # re-declaring the now-default spec is a no-op
+        again = update_partition_spec(tdir, SPEC, now_ms=3_000)
+        assert again["default-spec-id"] == 1
+        assert len(again["partition-specs"]) == 2
+
+    def test_mixed_generation_scan_and_pruning(self, spark, tmp_path):
+        tdir, schema = self._day_only_table(spark, tmp_path, name="evo2")
+        update_partition_spec(tdir, SPEC, now_ms=2_000)
+        _write_composite_files(tdir, range(32, 64), tag="g2")
+        commit_append(tdir, schema, partition_spec=SPEC, now_ms=3_000)
+        # full read spans both generations
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == list(range(64))
+        # a day constraint prunes BOTH generations (ts_day lives in
+        # both specs, same field)
+        day = DAY0 + 2
+        lo, hi = day * MICROS_PER_DAY, (day + 1) * MICROS_PER_DAY - 1
+        day_files = plan_scan(tdir, source_predicates={"ts_us": (lo, hi)})
+        assert {f["partition"]["ts_day"] for f in day_files} == {day}
+        assert any("id_bucket" not in f["partition"] for f in day_files)
+        assert any("id_bucket" in f["partition"] for f in day_files)
+        # a bucket constraint prunes generation-2 files; generation-1
+        # files (no bucket field) are conservatively kept
+        probe = 34
+        bkt_files = plan_scan(tdir, source_predicates={"id": probe})
+        g2 = [f for f in bkt_files if "id_bucket" in f["partition"]]
+        g1 = [f for f in bkt_files if "id_bucket" not in f["partition"]]
+        assert {f["partition"]["id_bucket"] for f in g2} == {_bucket(probe)}
+        assert len(g1) == N_DAYS  # every old-spec file kept
+        # and the ROW residual still narrows to exactly the probe
+        rows = (
+            read_iceberg_table(spark, tdir, source_predicates={"id": probe})
+            .collect()
+        )
+        assert [(r["id"], r["v"]) for r in rows] == [(probe, probe * 10)]
+
+    def test_rewrite_migrates_old_generation_to_default_spec(
+        self, spark, tmp_path
+    ):
+        tdir, schema = self._day_only_table(spark, tmp_path, name="evo3")
+        update_partition_spec(tdir, SPEC, now_ms=2_000)
+        _write_composite_files(tdir, range(32, 64), tag="g2")
+        commit_append(tdir, schema, partition_spec=SPEC, now_ms=3_000)
+        rewrite_data_files(spark, tdir, now_ms=4_000)
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == list(range(64))
+        # after migration every live file carries the full tuple, so a
+        # bucket constraint prunes the WHOLE table
+        probe = 7
+        files = plan_scan(tdir, source_predicates={"id": probe})
+        assert files
+        assert all(
+            f["partition"]["id_bucket"] == _bucket(probe) for f in files
+        )
+        rows = (
+            read_iceberg_table(spark, tdir, source_predicates={"id": probe})
+            .collect()
+        )
+        assert [(r["id"], r["v"]) for r in rows] == [(probe, probe * 10)]
+
+    def test_evolution_via_rest_catalog(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+            FakeRestCatalogServer, RestCatalogClient,
+        )
+
+        tdir, schema = self._day_only_table(spark, tmp_path, name="evo4")
+        with FakeRestCatalogServer() as server:
+            cat = RestCatalogClient(server.base_url)
+            cat.ensure_namespace()
+            # adopt the file-layout table into the catalog
+            cat.create_table("evo4", _current_meta(tdir))
+            meta = update_partition_spec(
+                tdir, SPEC, now_ms=2_000, catalog=cat, table_name="evo4"
+            )
+            assert meta["default-spec-id"] == 1
+            _write_composite_files(tdir, range(32, 48), tag="g2")
+            commit_append(
+                tdir, schema, partition_spec=SPEC, now_ms=3_000,
+                catalog=cat, table_name="evo4",
+            )
+            got = sorted(
+                r["id"]
+                for r in read_iceberg_table(
+                    spark, tdir, catalog=cat, table_name="evo4"
+                ).collect()
+            )
+            assert got == list(range(48))

@@ -83,6 +83,9 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (  #
     _stat_one_file,
     _tombstone_gc_safe,
     manifest_entry_schema,
+    partition_field_summaries,
+    spec_name_ids,
+    spec_names,
 )
 
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.commit import (  # noqa: F401
@@ -90,6 +93,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.commit import (  # no
     _commit_requirements,
     _schema_updates,
     commit_append,
+    update_partition_spec,
 )
 
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.deletes import (  # noqa: F401
