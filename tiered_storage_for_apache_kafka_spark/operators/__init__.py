@@ -48,93 +48,63 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: 
 )
 
 # ---------------------------------------------------------------------------
-# Driver sample-window rotation (round 7).
+# Driver sample-window rotation (round 8).
 #
 # The correctness driver samples a PREFIX of this registry (50 rows in
-# r4-r6, 45 in r2), so registration order decides which queries get a
+# r4-r7, 45 in r2), so registration order decides which queries get a
 # fresh driver verdict each round. Rule (since r5): no query's latest
 # driver verdict may age past 4 rounds; every query stays re-verified
 # every round by tests/test_queries_vs_duckdb.py regardless.
 #
-# The r7 window, in priority order:
-#   (a) queries NEW or with CHANGED logic this round — the composed
-#       maintenance soak, the progressive-JPEG router, the DV write
-#       path (v3 blob framing + executor-side supersede), and the
-#       changelog readers (pure-append fast path);
-#   (b) the r2-verdict cohort (27 queries — the oldest outstanding);
-#   (c) 16 of the 36 r3-verdict queries (alphabetical; the remaining 20
-#       are the r8 rotation slice: pii_scan_redact,
-#       pmi_bigram_collocations (displaced by the two r7 partition-
-#       transform queries, which need first verdicts), q12_ship_priority,
-#       q17_small_quantity_parts, q18_large_volume_customer,
-#       q2_min_cost_supplier, q20_part_promotion, q21_waiting_suppliers,
-#       quality_decile_stats, quality_weighted_sample,
-#       semantic_decontamination, source_overlap_matrix,
-#       source_vocab_growth, sq8_recall_at_k, streaming_interval_join,
-#       streaming_session_windows, streaming_tier_commit,
-#       temperature_mixture_weights, tfidf_top_terms,
-#       top_supplier_per_part).
-_R7_WINDOW = [
+# The r8 window, in priority order:
+#   (a) queries NEW or running on materially CHANGED code this round —
+#       the two multi-field/spec-evolution queries (first verdicts) and
+#       the r7 Iceberg cohort, which now executes on the generalized
+#       N-field spec plane (plan/prune/delete/maintenance all touched);
+#   (b) the complete 20-query r3-verdict slice named by the r7 window
+#       comment (at the 4-round staleness boundary — all of it rotates
+#       in, none left behind);
+#   (c) the remainder of the 50-sample prefix backfills from
+#       registration order (tiered flagship family et al.), all of
+#       which carry r5+ verdicts.
+_R8_WINDOW = [
     # (a) new / changed this round
-    "iceberg_maintenance_soak",
-    "multimodal_jpeg_progressive_decode",
+    "iceberg_multifield_partition_scan",
+    "iceberg_spec_evolution_scan",
     "iceberg_day_partition_scan",
     "iceberg_bucket_partition_scan",
     "iceberg_dv_scan",
+    "iceberg_maintenance_soak",
     "iceberg_changelog_scan",
     "changelog_materialized_counts",
-    # (b) the r2-verdict cohort
-    "asof_latest_order_per_event",
-    "batch_grouping",
-    "benchmark_decontamination",
-    "chunk_index_variable",
-    "corpus_lang_profile",
-    "curation_funnel",
-    "doc_fingerprint",
-    "doc_winnow_fingerprint",
-    "dup_cluster_representatives",
-    "gopher_repetition_signals",
-    "grouping_sets_order_mix",
-    "offsets_for_times",
-    "pack_sequences",
-    "q11_important_brands",
-    "q22_sales_opportunity",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "range_join_purchase_window",
-    "rollup_pricing",
-    "segment_offset_index",
-    "semdedup_keep_drop",
-    "sessionize_events",
-    "source_mixture_rebalance",
-    "stratified_sample_by_lang",
-    "topk_orders_per_priority",
-    "train_test_split_hash",
-    # (c) the first half of the r3-verdict cohort
-    "bloom_prefilter_audit",
-    "bpe_token_count",
-    "cdc_chunk_dedup_stats",
-    "chunk_documents_overlap",
-    "cube_order_stats",
-    "embedding_int8_quantize",
-    "export_shard_manifest",
-    "full_outer_daily_activity",
-    "funnel_conversion",
-    "heavy_hitters_cms",
-    "hll_distinct_audit",
-    "incremental_dedup_verdicts",
-    "minhash_jaccard_audit",
-    "moving_window_revenue",
-    "pagerank_dup_graph",
-    "per_source_quality_cap",
+    # (b) the full r3-verdict rotation slice (r7 window's named list)
+    "pii_scan_redact",
+    "pmi_bigram_collocations",
+    "q12_ship_priority",
+    "q17_small_quantity_parts",
+    "q18_large_volume_customer",
+    "q2_min_cost_supplier",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "quality_decile_stats",
+    "quality_weighted_sample",
+    "semantic_decontamination",
+    "source_overlap_matrix",
+    "source_vocab_growth",
+    "sq8_recall_at_k",
+    "streaming_interval_join",
+    "streaming_session_windows",
+    "streaming_tier_commit",
+    "temperature_mixture_weights",
+    "tfidf_top_terms",
+    "top_supplier_per_part",
 ]
 
 
 def _reorder() -> None:
     def arrange(d: dict) -> dict:
-        window = [n for n in _R7_WINDOW if n in d]
-        rest = [n for n in d if n not in _R7_WINDOW]
+        window = [n for n in _R8_WINDOW if n in d]
+        rest = [n for n in d if n not in _R8_WINDOW]
         return {n: d[n] for n in window + rest}
 
     q, o = arrange(QUERIES), arrange(ORACLES)

@@ -127,6 +127,274 @@ def iceberg_day_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTI_CACHE: dict[tuple, str] = {}
+_EVO_CACHE: dict[tuple, str] = {}
+
+
+def _multifield_table(spark: SparkSession, sf_dir: str) -> str:
+    """events -> a ``(day(ts_us), bucket[4](event_id))`` Iceberg table —
+    the canonical production composite spec: synthetic timestamps put
+    event_id on day ``event_id % N_DAYS``, the bucket column computed by
+    the vectorized spec Murmur3, one parquet file per populated
+    (day, bucket) cell."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        transform_column,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _MULTI_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_id"),
+            F.col("event_type"),
+            (
+                (F.col("event_id") % N_DAYS) * MICROS_PER_DAY
+                + F.col("event_id")
+            ).alias("ts_us"),
+        )
+    )
+    df = transform_column(df, "ts_us", "day", "ts_day")
+    df = transform_column(df, "event_id", f"bucket[{N_BUCKETS}]", "id_bucket")
+    tdir = tempfile.mkdtemp(prefix="iceberg-multifield-")
+    (
+        df.repartition("ts_day", "id_bucket")
+        .write.partitionBy("ts_day", "id_bucket")
+        .parquet(tdir, mode="append")
+    )
+    schema = df.drop("ts_day", "id_bucket").schema
+    commit_append(
+        tdir, schema, now_ms=1_000,
+        partition_spec=[
+            ("ts_day", "day", "ts_us"),
+            ("id_bucket", f"bucket[{N_BUCKETS}]", "event_id"),
+        ],
+    )
+    session_cache_put(_MULTI_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_multifield_partition_scan",
+    oracle=f"""
+SELECT event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS one_cell_opened,
+       CAST(1 AS BIGINT) AS day_pruned,
+       CAST(1 AS BIGINT) AS bucket_pruned
+FROM events
+WHERE event_id < 8
+GROUP BY event_id
+""",
+)
+def iceberg_multifield_partition_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-field partition spec ``(day(ts_us), bucket[4](event_id))``
+    + ANDed transform-aware pruning: for each probe id, the
+    ``source_predicates`` map routes the day window through ``day`` and
+    the id through the spec Murmur3, so the scan opens exactly ONE
+    (day, bucket) cell — and each field also prunes on its own
+    (``day_pruned`` / ``bucket_pruned`` pin that the single-field plans
+    are strict subsets of the full table). The oracle pins per-id row
+    counts and the invariants; the bucket hash itself is pinned to the
+    spec's published vectors in pytest. Scale shape: all pruning is
+    metadata-only — a 100 TB table's point lookup opens one cell's
+    files, never listing the rest (Iceberg spec "Partition Specs";
+    extension beyond the reference's unpartitioned
+    `TableWriterFactory.java:93`)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        plan_scan,
+        read_iceberg_table,
+    )
+
+    tdir = _multifield_table(spark, sf_dir)
+    n_total = len(plan_scan(tdir))
+    rows = []
+    for probe in range(8):
+        day = probe % N_DAYS
+        window = (
+            day * MICROS_PER_DAY, (day + 1) * MICROS_PER_DAY - 1
+        )
+        files = plan_scan(
+            tdir,
+            source_predicates={"ts_us": window, "event_id": probe},
+        )
+        cells = {
+            (f["partition"]["ts_day"], f["partition"]["id_bucket"])
+            for f in files
+        }
+        day_only = plan_scan(tdir, source_predicates={"ts_us": window})
+        bucket_only = plan_scan(
+            tdir, source_predicates={"event_id": probe}
+        )
+        n = (
+            read_iceberg_table(
+                spark, tdir,
+                source_predicates={"ts_us": window, "event_id": probe},
+            )
+            .where(F.col("event_id") == probe)
+            .count()
+        )
+        rows.append(
+            (
+                probe,
+                int(n),
+                1 if len(cells) == 1 else 0,
+                1 if 0 < len(day_only) < n_total else 0,
+                1 if 0 < len(bucket_only) < n_total else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, n_rows bigint, one_cell_opened bigint, "
+        "day_pruned bigint, bucket_pruned bigint",
+    )
+
+
+def _evolved_table(spark: SparkSession, sf_dir: str) -> str:
+    """A table that LIVED THROUGH partition evolution: generation 1
+    (even 32-blocks of event_id) committed under ``day(ts_us)`` alone, then
+    ``update_partition_spec`` to ``(day(ts_us), bucket[4](event_id))``,
+    then generation 2 (odd 32-blocks) appended under the composite
+    layout — the realistic shape of a production table that added a
+    bucket field later (Iceberg spec "Partition Evolution")."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        transform_column,
+        update_partition_spec,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _EVO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    base = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_id"),
+            (
+                (F.col("event_id") % N_DAYS) * MICROS_PER_DAY
+                + F.col("event_id")
+            ).alias("ts_us"),
+        )
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-evolved-")
+    g1 = transform_column(
+        base.where(F.floor(F.col("event_id") / 32) % 2 == 0),
+        "ts_us", "day", "ts_day",
+    )
+    (
+        g1.repartition("ts_day")
+        .write.partitionBy("ts_day")
+        .parquet(tdir, mode="append")
+    )
+    schema = g1.drop("ts_day").schema
+    commit_append(
+        tdir, schema, partition_col="ts_day", now_ms=1_000,
+        partition_transform="day", partition_source="ts_us",
+    )
+    update_partition_spec(
+        tdir,
+        [
+            ("ts_day", "day", "ts_us"),
+            ("id_bucket", f"bucket[{N_BUCKETS}]", "event_id"),
+        ],
+        now_ms=2_000,
+    )
+    g2 = transform_column(
+        base.where(F.floor(F.col("event_id") / 32) % 2 == 1),
+        "ts_us", "day", "ts_day",
+    )
+    g2 = transform_column(
+        g2, "event_id", f"bucket[{N_BUCKETS}]", "id_bucket"
+    )
+    (
+        g2.repartition("ts_day", "id_bucket")
+        .write.partitionBy("ts_day", "id_bucket")
+        .parquet(tdir, mode="append")
+    )
+    commit_append(
+        tdir, schema, now_ms=3_000,
+        partition_spec=[
+            ("ts_day", "day", "ts_us"),
+            ("id_bucket", f"bucket[{N_BUCKETS}]", "event_id"),
+        ],
+    )
+    session_cache_put(_EVO_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_spec_evolution_scan",
+    oracle=f"""
+SELECT CAST(event_id % {N_DAYS} AS BIGINT) AS ts_day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN FLOOR(event_id / 32) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gen1_rows,
+       CAST(2 AS BIGINT) AS n_generations,
+       CAST(1 AS BIGINT) AS day_pruned_both_gens
+FROM events
+WHERE event_id % {N_DAYS} BETWEEN 1 AND 2
+GROUP BY CAST(event_id % {N_DAYS} AS BIGINT)
+""",
+)
+def iceberg_spec_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION read path: a day-partitioned generation
+    and a later (day, bucket) generation coexist in one table; a
+    2-day source window prunes BOTH generations (the shared ``ts_day``
+    field resolves per manifest spec-id), the scan unions the two hive
+    layouts, and per-day counts match a relational replay split by
+    generation. ``n_generations`` pins that each scanned day draws
+    files from both spec generations (spec-id resolution working),
+    ``day_pruned_both_gens`` that no out-of-window file of EITHER
+    generation is opened. Scale shape: evolution is metadata-only —
+    old files are never rewritten, and pruning cost stays
+    O(manifests), not O(table age)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        plan_scan,
+        read_iceberg_table,
+    )
+
+    tdir = _evolved_table(spark, sf_dir)
+    lo = 1 * MICROS_PER_DAY
+    hi = 2 * MICROS_PER_DAY + MICROS_PER_DAY - 1
+    files = plan_scan(tdir, source_predicates={"ts_us": (lo, hi)})
+    per_day_gens: dict[int, set] = {}
+    in_window = True
+    for f in files:
+        d = int(f["partition"]["ts_day"])
+        if d not in (1, 2):
+            in_window = False
+        per_day_gens.setdefault(d, set()).add(
+            "g2" if "id_bucket" in f["partition"] else "g1"
+        )
+    file_rows = spark.createDataFrame(
+        [
+            (d, len(gens), 1 if in_window else 0)
+            for d, gens in sorted(per_day_gens.items())
+        ],
+        "ts_day bigint, n_generations bigint, day_pruned_both_gens bigint",
+    )
+    counts = (
+        read_iceberg_table(spark, tdir, source_predicates={"ts_us": (lo, hi)})
+        .groupBy(F.floor(F.col("ts_us") / MICROS_PER_DAY).alias("ts_day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.floor(F.col("event_id") / 32) % 2 == 0, 1).otherwise(0)
+            ).cast("bigint").alias("n_gen1_rows"),
+        )
+    )
+    return counts.join(file_rows, "ts_day").select(
+        "ts_day", "n_rows", "n_gen1_rows", "n_generations",
+        "day_pruned_both_gens",
+    )
+
+
 def _bucket_table(spark: SparkSession, sf_dir: str) -> str:
     """events -> a bucket[4](event_id)-partitioned Iceberg table, the
     partition column computed by the vectorized spec Murmur3."""
