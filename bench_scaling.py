@@ -355,6 +355,17 @@ def probe_iceberg_commit_cost() -> None:
     append re-reads the prior manifest list and carries every live
     manifest forward). Pure-metadata probe: 1-row parquet data files via
     pyarrow, no Spark session. Run: python bench_scaling.py --iceberg-commits
+
+    Round-8 finding (via probe_metadata_100x's 100x commit leg): the
+    default mode's curve here (4 -> 18 -> 26 ms over 200 commits) is
+    dominated by the committed-file DEDUP walk, which parses every
+    manifest entry per commit and which compaction cannot bound — plus
+    an unbounded metadata-log re-serialization. Fixes:
+    ``commit_append(..., assume_new_files=True)`` for callers with an
+    exactly-once contract (the streaming ingest path), and the Iceberg
+    ``write.metadata.previous-versions-max`` cap (default 100). Under
+    the full ops posture the commit cost is FLAT at 1000 commits —
+    see probe_metadata_100x.
     """
     import shutil
     import tempfile
@@ -527,6 +538,198 @@ def probe_transform_pruning() -> None:
         print(line)
         assert n == 4, n
         shutil.rmtree(tdir, ignore_errors=True)
+
+
+def probe_metadata_100x() -> None:
+    """100x metadata-plane flatness (round-8 verdict ask #5): the brief's
+    bar is 100x survival, but the grid only went to 10x — and the 10x
+    transform-pruning probe caught a real bug (manifest-granularity
+    collapse) a grid would have missed. This probe synthesizes metadata
+    to 100x FILE counts (data stays 1 row/file — the claim under test
+    is metadata flatness, not byte throughput) for the three
+    pruning-sensitive planes:
+
+      1. day-window plan: 64 -> 640 -> 6400 day-files; a fixed 4-day
+         window must open exactly 4 files at every scale, with plan
+         cost bounded by summary pruning after the partition-clustered
+         manifest split.
+      2. composite (day(ts), bucket[8](id)) point lookup: 64 -> 640 ->
+         6400 (day, bucket) cells; an ANDed two-field predicate must
+         open exactly ONE cell at every scale.
+      3. streaming-commit cost at 100x table age: 1-file explicit
+         commits under the real ops posture (assume_new_files +
+         rewrite_manifests + expire_snapshots every 64) must stay FLAT
+         — this leg is what CAUGHT the round-8 fix chain: the
+         known-set dedup walk was O(table-age) per commit (fixed:
+         assume_new_files), and metadata-log grew unboundedly (fixed:
+         write.metadata.previous-versions-max cap, Iceberg's default).
+
+    Measured 2026-08-15 (this host), after the fixes:
+      day-window  files=4/4/4   plan_ms 2.6 / 2.9 / 6.3   (64/640/6400)
+      composite   files=1/1/1   plan_ms 4.3 / 2.9 / 5.2   (64/640/6400 cells)
+      commits     1-10: 1.8ms   991-1000: 4.6ms           (flat at 100x age)
+    Plan cost grows ~2.4x for 100x files (manifest-list length), files
+    opened constant. Run: python bench_scaling.py --metadata-100x
+    """
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        bucket_hash_long,
+        commit_append,
+        expire_snapshots,
+        plan_scan,
+        rewrite_manifests,
+    )
+
+    MICROS_PER_DAY = 86_400_000_000
+    day_schema = T.StructType(
+        [T.StructField("ts_us", T.LongType()), T.StructField("v", T.LongType())]
+    )
+
+    def build_days(n_days: int) -> str:
+        tdir = tempfile.mkdtemp(prefix="m100x-day-")
+        for c in range(0, n_days, 64):
+            files = []
+            for d in range(c, min(c + 64, n_days)):
+                dd = os.path.join(tdir, f"ts_day={d}")
+                os.makedirs(dd, exist_ok=True)
+                path = os.path.join(dd, "f.parquet")
+                pq.write_table(
+                    pa.table(
+                        {
+                            "ts_us": pa.array([d * MICROS_PER_DAY], pa.int64()),
+                            "v": pa.array([d], pa.int64()),
+                        }
+                    ),
+                    path,
+                )
+                files.append(path)
+            commit_append(
+                tdir, day_schema, partition_col="ts_day", now_ms=c + 1,
+                files=files, partition_transform="day",
+                partition_source="ts_us", assume_new_files=True,
+            )
+        rewrite_manifests(tdir, now_ms=n_days + 10, target_entries=64)
+        return tdir
+
+    lo, hi = 10 * MICROS_PER_DAY, 14 * MICROS_PER_DAY - 1
+    for n_days in (64, 640, 6400):
+        tdir = build_days(n_days)
+        t0 = time.perf_counter()
+        files = plan_scan(tdir, source_range=(lo, hi))
+        ms = (time.perf_counter() - t0) * 1000
+        print(f"day-window  days={n_days:5d}  plan_ms={ms:6.1f}  files={len(files)}")
+        assert len(files) == 4, len(files)
+        shutil.rmtree(tdir, ignore_errors=True)
+
+    # -- composite (day, bucket[8]) point lookup ------------------------------
+    N_B = 8
+    comp_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("id", T.LongType()),
+        ]
+    )
+    comp_spec = [("ts_day", "day", "ts_us"), ("id_bucket", f"bucket[{N_B}]", "id")]
+
+    def build_cells(n_cells: int) -> str:
+        n_days = n_cells // N_B
+        tdir = tempfile.mkdtemp(prefix="m100x-comp-")
+        # one id per (day, bucket) cell: scan ids until each day has
+        # every bucket filled (deterministic, spec Murmur3 routing)
+        batch: list[str] = []
+        for d in range(n_days):
+            need = set(range(N_B))
+            i = 0
+            while need:
+                b = (bucket_hash_long(i) & 0x7FFFFFFF) % N_B
+                if b in need:
+                    need.remove(b)
+                    dd = os.path.join(tdir, f"ts_day={d}", f"id_bucket={b}")
+                    os.makedirs(dd, exist_ok=True)
+                    path = os.path.join(dd, "f.parquet")
+                    pq.write_table(
+                        pa.table(
+                            {
+                                "ts_us": pa.array(
+                                    [d * MICROS_PER_DAY + i], pa.int64()
+                                ),
+                                "id": pa.array([i], pa.int64()),
+                            }
+                        ),
+                        path,
+                    )
+                    batch.append(path)
+                i += 1
+            if len(batch) >= 512 or d == n_days - 1:
+                commit_append(
+                    tdir, comp_schema, now_ms=d + 1, files=batch,
+                    partition_spec=comp_spec, assume_new_files=True,
+                )
+                batch = []
+        rewrite_manifests(tdir, now_ms=n_days + 10, target_entries=64)
+        return tdir
+
+    probe_id = 3  # some id present on every day by construction's scan
+    for n_cells in (64, 640, 6400):
+        tdir = build_cells(n_cells)
+        d = 5 % (n_cells // N_B)
+        window = (d * MICROS_PER_DAY, (d + 1) * MICROS_PER_DAY - 1)
+        t0 = time.perf_counter()
+        files = plan_scan(
+            tdir, source_predicates={"ts_us": window, "id": probe_id}
+        )
+        ms = (time.perf_counter() - t0) * 1000
+        cells = {
+            (f["partition"]["ts_day"], f["partition"]["id_bucket"])
+            for f in files
+        }
+        print(
+            f"composite   cells={n_cells:5d}  plan_ms={ms:6.1f}  "
+            f"files={len(files)}  cells_opened={len(cells)}"
+        )
+        assert len(cells) == 1, cells
+        shutil.rmtree(tdir, ignore_errors=True)
+
+    # -- streaming-commit cost at 100x table age ------------------------------
+    tdir = tempfile.mkdtemp(prefix="m100x-commit-")
+    os.makedirs(os.path.join(tdir, "partition=0"), exist_ok=True)
+    tbl = pa.table(
+        {"partition": pa.array([0], pa.int32()), "offset": pa.array([0], pa.int64())}
+    )
+    pschema = T.StructType(
+        [
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+    times = []
+    for i in range(1000):
+        path = os.path.join(tdir, "partition=0", f"f{i:05d}.parquet")
+        pq.write_table(tbl, path)
+        t0 = time.perf_counter()
+        commit_append(
+            tdir, pschema, now_ms=2 * i + 1, files=[path],
+            assume_new_files=True,
+        )
+        times.append((time.perf_counter() - t0) * 1000)
+        if (i + 1) % 64 == 0:
+            rewrite_manifests(tdir, now_ms=2 * i + 2)
+            expire_snapshots(tdir, keep_last=8, now_ms=2 * i + 2)
+    n = len(plan_scan(tdir))
+    assert n == 1000, n
+    print(
+        f"commit cost (assume_new_files + maintenance every 64): "
+        f"1-10 {sum(times[:10]) / 10:5.1f} ms   "
+        f"491-500 {sum(times[490:500]) / 10:5.1f} ms   "
+        f"991-1000 {sum(times[-10:]) / 10:5.1f} ms"
+    )
+    shutil.rmtree(tdir, ignore_errors=True)
 
 
 def probe_rest_contention() -> None:
@@ -830,6 +1033,8 @@ if __name__ == "__main__":
 
     if "--iceberg-commits" in sys.argv:
         probe_iceberg_commit_cost()
+    elif "--metadata-100x" in sys.argv:
+        probe_metadata_100x()
     elif "--rest-contention" in sys.argv:
         probe_rest_contention()
     elif "--transform-pruning" in sys.argv:

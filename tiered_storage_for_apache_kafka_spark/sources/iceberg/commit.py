@@ -118,6 +118,7 @@ def commit_append(
     table_name: str | None = None,
     branch: str | None = None,
     max_commit_retries: int = 3,
+    assume_new_files: bool = False,
 ) -> dict:
     """Append-commit every not-yet-committed parquet data file under
     ``table_dir`` into the table's Iceberg metadata, creating the table
@@ -150,7 +151,18 @@ def commit_append(
     triggers reload-and-rebase up to ``max_commit_retries`` times —
     the reference's catalog-service commit path
     (`RemoteStorageManagerConfig.java:261-284`,
-    `IcebergTableManager.java:46-95`)."""
+    `IcebergTableManager.java:46-95`).
+
+    ``assume_new_files=True`` (explicit ``files`` mode only) skips the
+    already-committed-file dedup, which otherwise parses EVERY manifest
+    entry of the current table — an O(table-age) metadata walk per
+    commit. Real Iceberg ``appendFiles`` never dedups: writer-side
+    exactly-once is the caller's contract. Pass it ONLY when the caller
+    provably never re-submits a committed path — the streaming ingest
+    path qualifies (its ``(app_id, batch_id)`` replay-skip runs before
+    this call and its staged names are attempt-deterministic) — and
+    per-micro-batch commit cost drops from O(table) to
+    O(batch + manifests)."""
     from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
         CommitConflictError,
         commit_retry_backoff,
@@ -161,11 +173,32 @@ def commit_append(
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     if catalog is not None and table_name is None:
         table_name = _default_table_name(table_dir)
+    if assume_new_files and files is None:
+        raise ValueError(
+            "assume_new_files requires an explicit files list — "
+            "discovery mode's only committed-or-not record IS the "
+            "manifest walk"
+        )
 
     last_err: Exception | None = None
     n_attempts = max_commit_retries
     for _attempt in range(n_attempts):
-        prior = _load_prior_state(table_dir, catalog, table_name)
+        if assume_new_files:
+            # metadata.json only — no manifest-entry parsing
+            try:
+                version, meta, table_name = _current_state_meta(
+                    table_dir, catalog, table_name
+                )
+                prior = {
+                    "version": version,
+                    "metadata": meta,
+                    "manifests": (),  # sentinel: dedup skipped
+                    "skip_dedup": True,
+                }
+            except FileNotFoundError:
+                prior = None  # first (table-creating) commit
+        else:
+            prior = _load_prior_state(table_dir, catalog, table_name)
         try:
             return _commit_append_once(
                 table_dir, spark_schema, partition_col, now_ms, stats_blobs,
@@ -288,7 +321,7 @@ def _commit_append_once(
             parent_id = int(ref["snapshot-id"])
         # else: first commit to this branch forks it off the main head
         # (parent_id stays the current snapshot) — WAP auto-create
-    if prior is not None:
+    if prior is not None and not prior.get("skip_dedup"):
         # staged lineages — branch snapshots, including ones orphaned
         # by a dropped branch — hold files that sit in the hive dirs
         # without appearing on main's lineage; discovery must dedup
@@ -297,6 +330,8 @@ def _commit_append_once(
         # already covered by prior["manifests"], so a mere release tag
         # costs nothing; only genuinely stray snapshots are read, and
         # the head's already-parsed manifests seed the cache.
+        # (assume_new_files skips this walk with the rest of the dedup
+        # plane — the caller's exactly-once contract covers branches.)
         by_id = {s["snapshot-id"]: s for s in base["snapshots"]}
         main_lineage: set = set()
         node = base.get("current-snapshot-id", -1)

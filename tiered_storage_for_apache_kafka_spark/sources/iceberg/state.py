@@ -50,7 +50,21 @@ def _current_schema_struct(meta: dict) -> dict:
 
 def _write_metadata_version(meta_dir: str, version: int, meta: dict) -> None:
     """Write v{N}.metadata.json + version-hint atomically-enough for the
-    single-writer model all three maintenance/commit paths share."""
+    single-writer model all three maintenance/commit paths share.
+
+    ``metadata-log`` is capped to the table property
+    ``write.metadata.previous-versions-max`` (Iceberg's default 100) —
+    without the cap every commit re-serializes an ever-growing history
+    list and long-lived streaming tables pay O(table-age) per commit
+    for a log nobody walks past its head."""
+    cap = int(
+        (meta.get("properties") or {}).get(
+            "write.metadata.previous-versions-max", 100
+        )
+    )
+    log = meta.get("metadata-log") or []
+    if len(log) > cap:
+        meta = {**meta, "metadata-log": log[-cap:]}
     with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f, indent=2)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:

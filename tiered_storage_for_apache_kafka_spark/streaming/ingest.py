@@ -441,6 +441,11 @@ def commit_envelope_batch(
     _shutil.rmtree(staging, ignore_errors=True)
     if not dests:
         return False
+    # assume_new_files: the (app_id, batch_id) replay-skip above plus
+    # the attempt-deterministic destination names ARE this caller's
+    # exactly-once contract, so the O(table-age) per-commit dedup walk
+    # is skipped — micro-batch commit cost stays O(batch + manifests)
+    # no matter how old the table gets
     commit_append(
         table_dir,
         batch_df.schema,
@@ -448,6 +453,7 @@ def commit_envelope_batch(
         summary_extra={"batch-id": batch_id, "commit-app-id": app_tag},
         catalog=catalog,
         table_name=table_name,
+        assume_new_files=True,
     )
     return True
 
