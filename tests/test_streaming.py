@@ -184,7 +184,15 @@ def test_transform_with_state_composite_counts(spark):
     """transformWithState (Spark 4 successor API): ValueState totals +
     MapState per-type counts. The runner needs protobuf; skip where the
     environment doesn't ship it (the operator is registered as a driver
-    query only in environments that do)."""
+    query only in environments that do).
+
+    RETIRED as permanent-environmental (r8, COVERAGE.md "Known
+    permanent skips"): the generated ``StateMessage_pb2`` needs the
+    full protobuf runtime (descriptor pool + builder + runtime_version
+    checks) — a vendored shim would reimplement protobuf's descriptor
+    machinery to test SPARK'S runner, not this operator, with silent
+    wire-corruption as the failure mode. The operator + oracle stay
+    real and self-activate wherever protobuf exists."""
     pytest.importorskip("google.protobuf")
     from tiered_storage_for_apache_kafka_spark.operators.streaming_queries import (
         streaming_user_type_counts_tws,
