@@ -214,6 +214,13 @@ PROBES = [
     "iceberg_day_partition_scan",
     "iceberg_bucket_partition_scan",
     "multimodal_jpeg_progressive_decode",
+    # round-8 extension: the multi-field spec point lookup (ANDed
+    # two-field pruning opens ONE (day, bucket) cell at both scales)
+    # and the spec-evolution read (two hive generations unioned; the
+    # day window prunes both via per-manifest spec-id resolution —
+    # fixture build grows with rows, the READ plan should not)
+    "iceberg_multifield_partition_scan",
+    "iceberg_spec_evolution_scan",
 ]
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -62,6 +62,23 @@ FINAL_PRED = "offset % 5 = 2 OR offset % 7 = 3"
 
 _SOAK_CACHE: dict[tuple, tuple] = {}
 
+#: Bump when the gauntlet schedule / predicates / batch layout change:
+#: the version is part of the persisted-fixture path, so a stale
+#: cross-session fixture can never serve a changed schedule.
+_SOAK_FIXTURE_VERSION = "r8-1"
+
+
+def _soak_persist_root(sf_dir: str) -> str:
+    """Stable cross-session location for the built soak table + its
+    result sidecar. The Iceberg metadata records ABSOLUTE paths, so the
+    fixture must be built in its final location (never renamed in)."""
+    import hashlib
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{_SOAK_FIXTURE_VERSION}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark-graft-soak-{tag}")
+
 
 def _consume(spark, tdir: str, ckpt: int, counts: dict) -> tuple[int, int]:
     """Advance the changelog consumer from ``ckpt`` to the current
@@ -125,6 +142,33 @@ def _run_gauntlet(spark: SparkSession, sf_dir: str) -> tuple:
     if cached is not None:
         return cached
 
+    # cross-session persistence (r7 verdict ask #4): the gauntlet's
+    # ~12 s first-run build was the suite's largest single fixture
+    # cell. The schedule is deterministic in (sf_dir, fixture version),
+    # so a finished build — table + result sidecar, sidecar written
+    # LAST as the done-marker — serves every later session. A root
+    # that exists without the marker is another process's in-flight
+    # (or crashed) build: fall back to a session-local build rather
+    # than racing it.
+    import json as _json
+
+    root = _soak_persist_root(sf_dir)
+    marker = os.path.join(root, "soak-result.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            saved = _json.load(f)
+        result = (
+            os.path.join(root, "table"), saved["counts"], saved["counters"]
+        )
+        session_cache_put(_SOAK_CACHE, key, result)
+        return result
+    persist = False
+    try:
+        os.mkdir(root)  # atomic claim
+        persist = True
+    except OSError:
+        pass  # in-flight/crashed foreign build: session-local fallback
+
     # a capped 1/4 sample keeps the gauntlet's fixture cost bounded at
     # every sf — the SCHEDULE (not the volume) is what the soak
     # exercises; the volume curve is bench_scaling.py's job
@@ -144,7 +188,11 @@ def _run_gauntlet(spark: SparkSession, sf_dir: str) -> tuple:
     schema = (
         spark.createDataFrame([], "partition int, key string, offset long")
     ).schema
-    tdir = tempfile.mkdtemp(prefix="iceberg-soak-")
+    if persist:
+        tdir = os.path.join(root, "table")
+        os.makedirs(tdir, exist_ok=True)
+    else:
+        tdir = tempfile.mkdtemp(prefix="iceberg-soak-")
 
     def append_batch(b: int, ms: int) -> dict:
         files = []
@@ -231,6 +279,13 @@ def _run_gauntlet(spark: SparkSession, sf_dir: str) -> tuple:
             "orphans_swept": 1 if orphans_removed > 0 else 0,
         },
     )
+    if persist:
+        # done-marker LAST: a crash anywhere above leaves a markerless
+        # root that future sessions simply don't trust
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as f:
+            _json.dump({"counts": result[1], "counters": result[2]}, f)
+        os.replace(tmp_marker, marker)
     session_cache_put(_SOAK_CACHE, key, result)
     return result
 
