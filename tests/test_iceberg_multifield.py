@@ -304,6 +304,137 @@ class TestCompositeMaintenance:
         assert {f["partition"]["id_bucket"] for f in files} == {_bucket(probe)}
 
 
+class TestStringPartitions:
+    """String-typed partition values (closes the r7 rejection): an
+    identity(string) field plus a truncate[3](string) field — string
+    partition structs in manifests, UTF-8 summary bounds, lexicographic
+    pruning, and the delete plane's nested string hive dirs."""
+
+    LANGS = ["de", "en", "fr"]
+    SOURCES = ["webcrawl", "webforum", "wikipedia", "bookcorp"]
+
+    def _string_table(self, spark, tmp_path, name="str-tbl"):
+        tdir = str(tmp_path / name)
+        rows_by: dict[tuple[str, str], list[int]] = {}
+        for i in range(48):
+            lang = self.LANGS[i % 3]
+            source = self.SOURCES[i % 4]
+            rows_by.setdefault((lang, source[:3]), []).append(i)
+        for (lang, s3), ids in sorted(rows_by.items()):
+            dd = os.path.join(tdir, f"lang={lang}", f"src3={s3}")
+            os.makedirs(dd, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "lang": pa.array([lang] * len(ids), pa.string()),
+                        "source": pa.array(
+                            [self.SOURCES[i % 4] for i in ids], pa.string()
+                        ),
+                        "v": pa.array([i * 10 for i in ids], pa.int64()),
+                    }
+                ),
+                os.path.join(dd, f"f-{lang}-{s3}.parquet"),
+            )
+        schema = spark.createDataFrame(
+            [], "doc_id long, lang string, source string, v long"
+        ).schema
+        meta = commit_append(
+            tdir, schema, now_ms=1_000,
+            partition_spec=[
+                ("lang", "identity", None),
+                ("src3", "truncate[3]", "source"),
+            ],
+        )
+        return tdir, schema, meta
+
+    def test_create_and_typed_entries(self, spark, tmp_path):
+        tdir, _schema, meta = self._string_table(spark, tmp_path)
+        files = plan_scan(tdir)
+        assert files
+        for f in files:
+            assert isinstance(f["partition"]["lang"], str)
+            assert isinstance(f["partition"]["src3"], str)
+            assert len(f["partition"]["src3"]) == 3
+        # per-field summary bounds are UTF-8 strings, lexicographic
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_avro_ocf,
+        )
+
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, mfs, _ = read_avro_ocf(cur["manifest-list"])
+        lo = bytes(mfs[0]["partitions"][0]["lower_bound"]).decode()
+        hi = bytes(mfs[0]["partitions"][0]["upper_bound"]).decode()
+        assert (lo, hi) == ("de", "fr")
+
+    def test_string_eq_and_range_pruning(self, spark, tmp_path):
+        tdir, _schema, _meta = self._string_table(spark, tmp_path, "str2")
+        en = plan_scan(tdir, source_predicates={"lang": "en"})
+        assert en
+        assert {f["partition"]["lang"] for f in en} == {"en"}
+        # a source-column range maps through truncate[3] (prefix is
+        # order-preserving) to a lexicographic partition range
+        webs = plan_scan(
+            tdir, source_predicates={"source": ("webcrawl", "webforum")}
+        )
+        assert webs
+        assert {f["partition"]["src3"] for f in webs} == {"web"}
+        # eq on the source routes to its one truncated prefix
+        wiki = plan_scan(tdir, source_predicates={"source": "wikipedia"})
+        assert {f["partition"]["src3"] for f in wiki} == {"wik"}
+        rows = (
+            read_iceberg_table(
+                spark, tdir,
+                source_predicates={"lang": "en", "source": "wikipedia"},
+            )
+            .collect()
+        )
+        assert rows
+        assert all(
+            r["lang"] == "en" and r["source"] == "wikipedia" for r in rows
+        )
+        # identity partition columns stay schema columns; truncated
+        # ones stay metadata-only
+        cols = set(read_iceberg_table(spark, tdir).columns)
+        assert cols == {"doc_id", "lang", "source", "v"}
+
+    def test_deletes_and_rewrite_on_string_partitions(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_position_deletes,
+        )
+
+        tdir, _schema, _meta = self._string_table(spark, tmp_path, "str3")
+        commit_position_deletes(spark, tdir, "doc_id < 6", now_ms=2_000)
+        got = sorted(
+            r["doc_id"] for r in read_iceberg_table(spark, tdir).collect()
+        )
+        assert got == list(range(6, 48))
+        dd = os.path.join(tdir, "deletes")
+        nested = [
+            os.path.relpath(os.path.join(r, f), dd)
+            for r, _d, fs in os.walk(dd)
+            for f in fs
+        ]
+        assert nested and all(
+            p.split(os.sep)[0].startswith("lang=")
+            and p.split(os.sep)[1].startswith("src3=")
+            for p in nested
+        )
+        rewrite_data_files(spark, tdir, now_ms=3_000)
+        got = sorted(
+            r["doc_id"] for r in read_iceberg_table(spark, tdir).collect()
+        )
+        assert got == list(range(6, 48))
+        files = plan_scan(tdir, source_predicates={"lang": "fr"})
+        assert files
+        assert all(f["partition"]["lang"] == "fr" for f in files)
+        assert all("_compacted-" in f["file_path"] for f in files)
+
+
 class TestSpecEvolution:
     def _day_only_table(self, spark, tmp_path, name="evo"):
         tdir = str(tmp_path / name)

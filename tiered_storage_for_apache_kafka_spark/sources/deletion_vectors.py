@@ -420,8 +420,8 @@ def _commit_dv_once(
         _resolve_partition_names,
     )
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
-        spec_name_ids,
         spec_names,
+        spec_typed_cols,
     )
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
         _default_spec,
@@ -465,7 +465,7 @@ def _commit_dv_once(
     schema_struct = _current_schema_struct(base)
     spec = _default_spec(base)
     entry_cols = (
-        spec_name_ids(spec)
+        spec_typed_cols(spec, schema_struct)
         if spec_names(spec) == list(part_names)
         else list(part_names)
     )
@@ -530,7 +530,7 @@ def _tombstone_superseded(
         if s["snapshot-id"] == base["current-snapshot-id"]
     )
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
-        spec_name_ids,
+        spec_typed_cols,
     )
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
         _default_spec,
@@ -608,7 +608,9 @@ def _tombstone_superseded(
         )
         new_len = write_avro_ocf(
             new_path,
-            normalize_delete_entries(new_entries, spec_name_ids(mf_spec)),
+            normalize_delete_entries(
+                new_entries, spec_typed_cols(mf_spec, schema_struct)
+            ),
             new_entries,
             {
                 "schema": json.dumps(schema_struct).encode(),

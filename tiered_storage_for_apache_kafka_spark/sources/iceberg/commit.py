@@ -21,6 +21,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
     _stat_data_files,
     manifest_entry_schema,
     partition_field_summaries,
+    spec_typed_cols,
 )
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
     FORMAT_VERSION,
@@ -81,17 +82,6 @@ def _build_spec_fields(
                 "from)"
             )
         source_id = _field_id(schema_struct, source)
-        src_type = next(
-            f["type"]
-            for f in schema_struct["fields"]
-            if f["id"] == source_id
-        )
-        if tname == "truncate" and src_type == "string":
-            raise NotImplementedError(
-                "string-truncate partition values do not fit the "
-                "int-typed hive layout/manifest partition struct; "
-                "truncate-partition an integer column instead"
-            )
         fields.append(
             {
                 "name": name,
@@ -298,7 +288,7 @@ def _commit_append_once(
         version += 1
 
     spec = _default_spec(base)
-    spec_cols = [(f["name"], int(f["field-id"])) for f in spec["fields"]]
+    spec_cols = spec_typed_cols(spec, _current_schema_struct(base))
     if files is not None:
         # EXPLICIT file list (the streaming-commit path): only these
         # files enter the snapshot — crashed-attempt orphans on disk are
@@ -483,7 +473,7 @@ def _commit_append_once(
         "deleted_rows_count": 0,
         "partitions": partition_field_summaries(
             [f["partition"] for f in new_files],
-            [n for n, _ in spec_cols],
+            [n for n, _f, _t in spec_cols],
         ),
     }
     # a snapshot's manifest list carries its PARENT's manifests too

@@ -17,7 +17,6 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
     _field_id,
     manifest_entry_schema,
     partition_field_summaries,
-    spec_name_ids,
     spec_names,
 )
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
@@ -57,6 +56,24 @@ def _resolve_partition_names(meta: dict, partition_col) -> list[str]:
     return list(partition_col)
 
 
+def _resolve_partition_cols(meta: dict, partition_col) -> list[tuple]:
+    """Typed companion of :func:`_resolve_partition_names` —
+    ``(name, field_id, type)`` triples from the default spec (explicit
+    overrides keep the legacy int typing)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+        spec_typed_cols,
+    )
+
+    if partition_col is None:
+        return spec_typed_cols(_default_spec(meta), _current_schema_struct(meta))
+    names = (
+        [partition_col]
+        if isinstance(partition_col, str)
+        else list(partition_col)
+    )
+    return [(n, 1000 + i, "int") for i, n in enumerate(names)]
+
+
 def _hive_part_dir(names: list[str], values: dict) -> str:
     """Nested hive dir components for a partition tuple, spec order
     (``day=3/bucket=1``; nulls as ``__HIVE_DEFAULT_PARTITION__``)."""
@@ -93,7 +110,8 @@ def write_position_deletes(
         _v, meta, _t = _current_state_meta(table_dir)
     # derive the partition fields from the table's default spec (the
     # default for every caller; an explicit name stays an override)
-    part_names = _resolve_partition_names(meta, partition_col)
+    part_typed = _resolve_partition_cols(meta, partition_col)
+    part_names = [n for n, _f, _t in part_typed]
     if meta.get("current-snapshot-id", -1) == -1:
         return []
     cur = next(
@@ -131,7 +149,9 @@ def write_position_deletes(
             for d in data
         ],
         "__iceberg_file string, "
-        + ", ".join(f"{c} int" for c in part_cols),
+        + ", ".join(
+            f"{c} {t}" for c, (_n, _f, t) in zip(part_cols, part_typed)
+        ),
     )
     matches = (
         df.where(cond)
@@ -140,6 +160,7 @@ def write_position_deletes(
     )
     token = uuid.uuid4().hex[:16]
     names = list(part_names)
+    types = [t for _n, _f, t in part_typed]
 
     def _write_group(pdf):
         import json as _json
@@ -150,9 +171,12 @@ def write_position_deletes(
 
         pdf = pdf.sort_values(["__iceberg_file", "__iceberg_pos"])
         values = {}
-        for n, c in zip(names, part_cols):
+        for n, c, t in zip(names, part_cols, types):
             v = pdf[c].iloc[0]
-            values[n] = None if pd.isna(v) else int(v)
+            if pd.isna(v):
+                values[n] = None
+            else:
+                values[n] = str(v) if t == "string" else int(v)
         out_dir = os.path.join(
             table_dir, "deletes", _hive_part_dir(names, values)
         )
@@ -280,7 +304,8 @@ def write_equality_deletes(
         _v, meta, _t = _current_state_meta(table_dir)
     # derive the partition fields from the table's default spec (the
     # default for every caller; an explicit name stays an override)
-    part_names = _resolve_partition_names(meta, partition_col)
+    part_typed = _resolve_partition_cols(meta, partition_col)
+    part_names = [n for n, _f, _t in part_typed]
     if meta.get("current-snapshot-id", -1) == -1:
         # no data has ever been committed: an equality delete applies
         # only to data files with a strictly lower sequence number, so
@@ -298,6 +323,7 @@ def write_equality_deletes(
     token = uuid.uuid4().hex[:16]
     cols = list(equality_cols)
     names = list(part_names)
+    types = {n: t for n, _f, t in part_typed}
 
     def _write_group(pdf):
         import json as _json
@@ -309,7 +335,10 @@ def write_equality_deletes(
         values = {}
         for n in names:
             v = pdf[n].iloc[0]
-            values[n] = None if pd.isna(v) else int(v)
+            if pd.isna(v):
+                values[n] = None
+            else:
+                values[n] = str(v) if types[n] == "string" else int(v)
         out_dir = os.path.join(
             table_dir, "deletes", _hive_part_dir(names, values)
         )
@@ -446,10 +475,14 @@ def _commit_deletes_once(
         }
         for s in sorted(stats, key=lambda s: s["delete_path"])
     ]
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+        spec_typed_cols,
+    )
+
     schema_struct = _current_schema_struct(base)
     spec = _default_spec(base)
     entry_cols = (
-        spec_name_ids(spec)
+        spec_typed_cols(spec, schema_struct)
         if spec_names(spec) == list(partition_cols)
         else list(partition_cols)
     )

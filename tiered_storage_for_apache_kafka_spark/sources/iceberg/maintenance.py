@@ -20,7 +20,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
     _tombstone_gc_safe,
     manifest_entry_schema,
     partition_field_summaries,
-    spec_name_ids,
+    spec_typed_cols,
     spec_names,
 )
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
@@ -378,7 +378,11 @@ def _rewrite_manifests_once(
                 *(
                     (
                         e["data_file"]["partition"].get(n) is not None,
-                        e["data_file"]["partition"].get(n) or 0,
+                        (
+                            e["data_file"]["partition"].get(n)
+                            if e["data_file"]["partition"].get(n) is not None
+                            else 0
+                        ),
                     )
                     for n in names
                 ),
@@ -428,7 +432,7 @@ def _rewrite_manifests_once(
             )
             manifest_len = write_avro_ocf(
                 manifest_path,
-                manifest_entry_schema(spec_name_ids(spec)),
+                manifest_entry_schema(spec_typed_cols(spec, schema_struct)),
                 chunk,
                 {
                     "schema": json.dumps(schema_struct).encode(),
@@ -477,7 +481,9 @@ def _rewrite_manifests_once(
             normalize_delete_entries,
         )
 
-        del_schema = normalize_delete_entries(del_entries, spec_name_ids(spec))
+        del_schema = normalize_delete_entries(
+            del_entries, spec_typed_cols(spec, schema_struct)
+        )
         del_path = os.path.join(
             meta_dir,
             f"{meta['table-uuid']}-compacted-d{seq}-s{sid}-{compact_uuid}.avro",
@@ -867,7 +873,7 @@ def _rewrite_data_files_once(
         new_paths += [
             os.path.join(root, n) for n in names if n.endswith(".parquet")
         ]
-    new_files = _stat_data_files(sorted(new_paths), spec_name_ids(spec))
+    new_files = _stat_data_files(sorted(new_paths), spec_typed_cols(spec, schema_struct))
 
     now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
     now_ms = max(
@@ -909,7 +915,7 @@ def _rewrite_data_files_once(
     )
     data_manifest_len = write_avro_ocf(
         data_manifest_path,
-        manifest_entry_schema(spec_name_ids(spec)),
+        manifest_entry_schema(spec_typed_cols(spec, schema_struct)),
         added_entries,
         {**ocf_meta, "content": b"data"},
     )
@@ -1001,9 +1007,11 @@ def _rewrite_data_files_once(
                 d2.setdefault("split_offsets", None)
                 d2.setdefault("sort_order_id", None)
             entry_schema = (
-                normalize_delete_entries(entries, spec_name_ids(t_spec))
+                normalize_delete_entries(
+                    entries, spec_typed_cols(t_spec, schema_struct)
+                )
                 if content == 1
-                else manifest_entry_schema(spec_name_ids(t_spec))
+                else manifest_entry_schema(spec_typed_cols(t_spec, schema_struct))
             )
             path = os.path.join(
                 meta_dir,

@@ -125,28 +125,69 @@ def _field_id(schema_struct: dict, name: str) -> int:
 # single-field call sites keep working while the spec model is N-ary.
 
 
-def _normalize_partition_cols(partition_cols) -> list[tuple[str, int]]:
-    """Normalize the three accepted partition-column shapes to an
-    ordered ``[(name, field_id), ...]`` list. Bare names get the spec's
-    default 1000-based ids IN ORDER — pass explicit pairs (or a spec's
-    fields via :func:`spec_name_ids`) when ids must match an evolved
-    spec."""
+def _normalize_partition_cols(partition_cols) -> list[tuple[str, int, str]]:
+    """Normalize the accepted partition-column shapes to an ordered
+    ``[(name, field_id, type), ...]`` list (type "int" or "string" —
+    the partition struct's Avro/value type). Bare names get the spec's
+    default 1000-based ids IN ORDER and type "int"; pass explicit
+    triples (or a spec's fields via :func:`spec_typed_cols`) when ids
+    or types must match an evolved/typed spec."""
     if isinstance(partition_cols, str):
-        return [(partition_cols, 1000)]
+        return [(partition_cols, 1000, "int")]
     out = []
     for i, c in enumerate(partition_cols):
         if isinstance(c, str):
-            out.append((c, 1000 + i))
-        else:
+            out.append((c, 1000 + i, "int"))
+        elif len(c) == 2:
             name, fid = c
-            out.append((str(name), int(fid)))
+            out.append((str(name), int(fid), "int"))
+        else:
+            name, fid, typ = c
+            if typ not in ("int", "string"):
+                raise ValueError(f"partition value type {typ!r}")
+            out.append((str(name), int(fid), typ))
     return out
 
 
+def spec_field_type(field: dict, schema_struct: dict | None = None) -> str:
+    """The partition VALUE type a spec field produces — "int" for
+    bucket/temporal/void and for numeric identity/truncate sources,
+    "string" for string identity/truncate sources (Iceberg spec
+    "Partition Transforms" result types, narrowed to the two types the
+    engine's partition plane carries)."""
+    t = field["transform"]
+    if t.startswith("bucket") or t in ("year", "month", "day", "hour", "void"):
+        return "int"
+    if schema_struct is None:
+        return "int"
+    src = next(
+        (
+            f["type"]
+            for f in schema_struct["fields"]
+            if f["id"] == field["source-id"]
+        ),
+        None,
+    )
+    return "string" if src == "string" else "int"
+
+
 def spec_name_ids(spec: dict) -> list[tuple[str, int]]:
-    """A spec dict's fields as the ``(name, field_id)`` pairs the Avro
-    schema builders take."""
+    """A spec dict's fields as ``(name, field_id)`` pairs (legacy
+    int-typed form; prefer :func:`spec_typed_cols` where the schema is
+    at hand)."""
     return [(f["name"], int(f["field-id"])) for f in spec["fields"]]
+
+
+def spec_typed_cols(
+    spec: dict, schema_struct: dict
+) -> list[tuple[str, int, str]]:
+    """A spec dict's fields as the ``(name, field_id, type)`` triples
+    the schema/stat builders take, types resolved against the table
+    schema."""
+    return [
+        (f["name"], int(f["field-id"]), spec_field_type(f, schema_struct))
+        for f in spec["fields"]
+    ]
 
 
 def spec_names(spec: dict) -> list[str]:
@@ -158,19 +199,28 @@ def partition_field_summaries(
 ) -> list[dict]:
     """The manifest-list ``partitions`` field summary — ONE record per
     spec field, in spec order (Iceberg spec "Manifest Lists"): null
-    flag + packed int32 lower/upper bound over every entry's partition
-    value for that field. This per-field array is what lets a reader
-    prune a manifest on ANY spec field without opening it."""
+    flag + lower/upper bound over every entry's partition value for
+    that field, in the spec's single-value serialization (int32
+    little-endian for ints, UTF-8 bytes for strings — Appendix D).
+    This per-field array is what lets a reader prune a manifest on ANY
+    spec field without opening it."""
     out = []
     for name in names:
         vals = [p.get(name) for p in part_dicts]
-        non_null = [v for v in vals if v is not None] or [0]
+        non_null = [v for v in vals if v is not None]
+        if non_null and isinstance(non_null[0], str):
+            lo_b = min(non_null).encode("utf-8")
+            hi_b = max(non_null).encode("utf-8")
+        else:
+            ints = non_null or [0]
+            lo_b = struct.pack("<i", min(ints))
+            hi_b = struct.pack("<i", max(ints))
         out.append(
             {
                 "contains_null": any(v is None for v in vals),
                 "contains_nan": False,
-                "lower_bound": struct.pack("<i", min(non_null)),
-                "upper_bound": struct.pack("<i", max(non_null)),
+                "lower_bound": lo_b,
+                "upper_bound": hi_b,
             }
         )
     return out
@@ -234,21 +284,21 @@ _STATS_KEYS = ("value_counts", "null_value_counts", "lower_bounds", "upper_bound
 
 
 def _partition_struct_schema(partition_cols) -> dict:
-    """The manifest entry's partition struct: one nullable-int field
-    per spec field, in spec order, carrying the spec's field-ids
-    (single-field callers pass a bare name and get the legacy
-    1000-id shape byte-for-byte)."""
+    """The manifest entry's partition struct: one nullable field per
+    spec field, in spec order, carrying the spec's field-ids and value
+    types (single-field int callers pass a bare name and get the
+    legacy 1000-id shape byte-for-byte)."""
     return {
         "type": "record",
         "name": "r102",
         "fields": [
             {
                 "name": name,
-                "type": ["null", "int"],
+                "type": ["null", typ],
                 "default": None,
                 "field-id": fid,
             }
-            for name, fid in _normalize_partition_cols(partition_cols)
+            for name, fid, typ in _normalize_partition_cols(partition_cols)
         ],
     }
 
@@ -424,18 +474,26 @@ MANIFEST_FILE_SCHEMA: dict = {
 # -- data-file discovery ------------------------------------------------------
 
 
-def _hive_partition_values(path_part: str, names: list[str]) -> dict:
+def _hive_partition_values(path_part: str, cols) -> dict:
     """Parse every ``name=value`` hive segment of a path for the given
-    spec field names -> ``{name: int | None}``; fields with no segment
-    are absent from the dict (files written under an OLDER spec lack
-    the newer fields — absence, not null)."""
-    out: dict[str, int | None] = {}
+    spec fields -> ``{name: value | None}`` (value typed per the
+    field's partition type); fields with no segment are absent from
+    the dict (files written under an OLDER spec lack the newer fields
+    — absence, not null). ``cols`` takes names or (name, id, type)
+    triples; bare names parse as int (the legacy shape)."""
+    types = {
+        name: typ for name, _fid, typ in _normalize_partition_cols(cols)
+    }
+    out: dict = {}
     for seg in path_part.split(os.sep):
         if "=" not in seg:
             continue
         k, v = seg.split("=", 1)
-        if k in names:
-            out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else int(v)
+        if k in types:
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                out[k] = None
+            else:
+                out[k] = v if types[k] == "string" else int(v)
     return out
 
 
@@ -447,7 +505,8 @@ def _discover_data_files(table_dir: str, partition_cols) -> list[dict]:
     records)."""
     import pyarrow.parquet as pq
 
-    names = [n for n, _ in _normalize_partition_cols(partition_cols)]
+    cols = _normalize_partition_cols(partition_cols)
+    names = [n for n, _f, _t in cols]
     files = []
     for root, _dirs, fnames in os.walk(table_dir):
         # skip the table's own metadata/ subtree — by path COMPONENT
@@ -464,7 +523,7 @@ def _discover_data_files(table_dir: str, partition_cols) -> list[dict]:
             or any(p.startswith("_") for p in parts)
         ):
             continue
-        part = _hive_partition_values(root[len(table_dir):], names)
+        part = _hive_partition_values(root[len(table_dir):], cols)
         for name in sorted(fnames):
             if not name.endswith(".parquet"):
                 continue
@@ -566,12 +625,13 @@ def _stat_one_file(
 def _stat_data_files(paths: list[str], partition_cols) -> list[dict]:
     """Footer stats for an explicit file list; partition values come
     from the hive path components, same layout discovery walks."""
-    names = [n for n, _ in _normalize_partition_cols(partition_cols)]
+    cols = _normalize_partition_cols(partition_cols)
+    names = [n for n, _f, _t in cols]
     out = []
     for path in paths:
         if not os.path.exists(path):
             raise FileNotFoundError(f"explicit commit file absent: {path}")
-        part = _hive_partition_values(path, names)
+        part = _hive_partition_values(path, cols)
         out.append(_stat_one_file(path, part, names))
     return out
 

@@ -328,8 +328,18 @@ def _manifest_pruned(
         lo_b, hi_b = summary.get("lower_bound"), summary.get("upper_bound")
         if lo_b is None or hi_b is None:
             continue
-        lo = struct.unpack("<i", lo_b)[0]
-        hi = struct.unpack("<i", hi_b)[0]
+        if c[0] == "eq" and c[1] is None:
+            continue  # a null probe can never prune on bounds
+        # bound decoding follows the CONSTRAINT's value type (Appendix
+        # D single-value serialization: int32 LE vs UTF-8 bytes) — the
+        # constraint was typed by the spec field it maps, the same
+        # field whose summary this is
+        probe = c[1]
+        if isinstance(probe, str):
+            lo, hi = bytes(lo_b).decode("utf-8"), bytes(hi_b).decode("utf-8")
+        else:
+            lo = struct.unpack("<i", lo_b)[0]
+            hi = struct.unpack("<i", hi_b)[0]
         if c[0] == "eq":
             if c[1] is not None and not (lo <= c[1] <= hi):
                 return True

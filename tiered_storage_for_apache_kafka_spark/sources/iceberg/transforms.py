@@ -191,11 +191,14 @@ def transform_column(df, source_col: str, spec: str, name: str):
         return df.withColumn(name, col)
     if tname == "truncate":
         dt = dict(df.dtypes).get(source_col)
+        if dt == "string":
+            # spec: string truncate is the W-codepoint prefix (substring
+            # is codepoint-indexed in Spark, matching Python slicing)
+            return df.withColumn(name, F.substring(col, 1, arg))
         if dt not in ("bigint", "int", "smallint", "tinyint"):
             raise NotImplementedError(
-                f"truncate partition column over {dt!r} source: only "
-                "integer sources (string truncate exists scalar-side "
-                "via transform_value)"
+                f"truncate partition column over {dt!r} source: "
+                "integer and string sources are supported"
             )
         # truncate preserves the source width (a wide long stays long)
         return df.withColumn(
