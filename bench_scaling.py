@@ -64,6 +64,21 @@ streaming key cardinality all grow 10x):
       iceberg_bucket_partition_scan       1.70 -> 1.54   0.9x (1 bucket opened at BOTH scales)
       multimodal_jpeg_progressive_decode  2.61 -> 22.63  8.7x (narrow map, rows 10x: linear, expected)
 
+    Re-measured round 8 (post multi-field-spec generalization + typed
+    partition values; full table in the round-8 transcript): every
+    prior family within noise of r7 (three rows measured during a
+    concurrent pytest run were re-measured clean: kmv_set_ops_audit
+    6.3x, containment_sketch_audit 7.2x, iceberg_changelog_scan 1.6x —
+    all matching their r6/r7 shapes), tiered fixed-window fetch EXACTLY
+    21.4 KB at both store scales again. New round-8 rows:
+      iceberg_multifield_partition_scan  1.87 -> 2.21  1.2x (ANDed
+        (day, bucket) pruning opens ONE cell at BOTH scales)
+      iceberg_spec_evolution_scan        0.66 -> 0.75  1.1x (both spec
+        generations pruned via per-manifest spec-id at BOTH scales)
+    The 100x METADATA grid (file/manifest counts, not rows) lives in
+    --metadata-100x: day-window 4 files and composite lookup 1 cell at
+    64/640/6400 files, streaming commit cost flat at 1000 commits.
+
     Iceberg row-delta plane (--position-deletes, round 6; 2% of rows
     deleted by predicate, measured after a warmup pass):
       1x  (400k rows): commit 0.96 s, read clean 0.28 s, read MoR 1.30 s

@@ -26,6 +26,7 @@ distributed-metadata-read strategy Spark's Iceberg metadata tables use.
 
 from __future__ import annotations
 
+import json
 import struct
 
 import pandas as pd
@@ -178,6 +179,10 @@ _MANIFESTS_SCHEMA = T.StructType(
                 )
             ),
         ),
+        # fully-typed per-field summaries (field name + bounds of the
+        # field's own type, string fields included), JSON-rendered —
+        # the legacy long-typed struct column stays for int specs
+        T.StructField("partition_summaries_json", T.StringType()),
     ]
 )
 
@@ -186,6 +191,38 @@ def _unpack_bound(b: bytes | None) -> int | None:
     if b is None:
         return None
     return struct.unpack("<i" if len(b) == 4 else "<q", b)[0]
+
+
+def _typed_bound(b: bytes | None, typ: str):
+    """Decode a partition-summary bound under its spec field's value
+    type (Appendix D): int32 LE for int fields, UTF-8 for string
+    fields. Decoding by length alone would silently misread a 4-byte
+    string ("webc") as an int32."""
+    if b is None:
+        return None
+    if typ == "string":
+        return bytes(b).decode("utf-8")
+    return _unpack_bound(bytes(b))
+
+
+def _spec_field_types(meta: dict) -> dict[int, list[tuple[str, str]]]:
+    """spec-id -> ordered [(field_name, value_type)] under the current
+    schema — how each manifest's partition struct/summary is typed."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+        spec_field_type,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _current_schema_struct,
+    )
+
+    schema_struct = _current_schema_struct(meta)
+    return {
+        int(s["spec-id"]): [
+            (f["name"], spec_field_type(f, schema_struct))
+            for f in s["fields"]
+        ]
+        for s in meta.get("partition-specs", [])
+    }
 
 
 def _manifest_list(meta: dict, snapshot_id: int | None = None) -> list[dict]:
@@ -219,16 +256,31 @@ def manifests_table(
     meta = _meta if _meta is not None else _resolve_meta(
         table_dir, catalog, table_name
     )
+    field_types = _spec_field_types(meta)
     rows = []
     for mf in _manifest_list(meta, snapshot_id):
-        summaries = [
-            (
-                bool(p["contains_null"]),
-                _unpack_bound(p.get("lower_bound")),
-                _unpack_bound(p.get("upper_bound")),
+        types = field_types.get(int(mf.get("partition_spec_id", 0)), [])
+        summaries = []
+        typed = []
+        for i, p in enumerate(mf.get("partitions") or []):
+            name, typ = types[i] if i < len(types) else (f"f{i}", "int")
+            lo = _typed_bound(p.get("lower_bound"), typ)
+            hi = _typed_bound(p.get("upper_bound"), typ)
+            summaries.append(
+                (
+                    bool(p["contains_null"]),
+                    lo if typ == "int" else None,
+                    hi if typ == "int" else None,
+                )
             )
-            for p in (mf.get("partitions") or [])
-        ]
+            typed.append(
+                {
+                    "field": name,
+                    "contains_null": bool(p["contains_null"]),
+                    "lower": lo,
+                    "upper": hi,
+                }
+            )
         rows.append(
             (
                 mf["manifest_path"],
@@ -245,6 +297,7 @@ def manifests_table(
                 int(mf["existing_rows_count"]),
                 int(mf["deleted_rows_count"]),
                 summaries,
+                json.dumps(typed),
             )
         )
     return spark.createDataFrame(rows, _MANIFESTS_SCHEMA)
@@ -254,6 +307,7 @@ _ENTRY_COLUMNS = (
     "status INT, snapshot_id BIGINT, sequence_number BIGINT, "
     "file_sequence_number BIGINT, manifest_content INT, content INT, "
     "file_path STRING, file_format STRING, partition BIGINT, "
+    "partition_json STRING, "
     "record_count BIGINT, file_size_in_bytes BIGINT, "
     "value_counts MAP<INT, BIGINT>, null_value_counts MAP<INT, BIGINT>, "
     "lower_bounds MAP<INT, BINARY>, upper_bounds MAP<INT, BINARY>"
@@ -289,6 +343,8 @@ def entries_table(
         return spark.createDataFrame([], _ENTRY_COLUMNS)
 
     def read_manifests(pdfs):
+        import json as _json
+
         for pdf in pdfs:
             for t in pdf.itertuples():
                 _, entries, _m = read_avro_ocf(t.manifest_path)
@@ -296,7 +352,12 @@ def entries_table(
                 for e in entries:
                     d = e["data_file"]
                     part = d.get("partition") or {}
-                    part_val = next(iter(part.values()), None)
+                    # legacy scalar: the FIRST field's value, int specs
+                    # only (a string value must not be coerced to the
+                    # BIGINT column); the full typed tuple rides in
+                    # partition_json
+                    first = next(iter(part.values()), None)
+                    part_val = first if isinstance(first, int) else None
                     rows.append(
                         (
                             int(e["status"]),
@@ -308,6 +369,7 @@ def entries_table(
                             d["file_path"],
                             d["file_format"],
                             part_val,
+                            _json.dumps(part),
                             int(d["record_count"]),
                             int(d["file_size_in_bytes"]),
                             _kv_map(d.get("value_counts")),
@@ -328,6 +390,7 @@ def entries_table(
                         "file_path",
                         "file_format",
                         "partition",
+                        "partition_json",
                         "record_count",
                         "file_size_in_bytes",
                         "value_counts",
@@ -378,12 +441,17 @@ def partitions_table(
 ) -> DataFrame:
     """`tbl.partitions`: per-partition rollup of the live data files
     (record_count / file_count / total_size), the view planners use to
-    spot skewed or fragmented partitions. Pure aggregation over
-    `files_table` — inherits its executor-side manifest reads."""
+    spot skewed or fragmented partitions. Grouped by the FULL typed
+    partition tuple (``partition_json``) — a multi-field or string
+    spec's cells roll up separately, as upstream's partition struct
+    does; the legacy scalar column (first int field) is carried for
+    single-int-spec consumers. Pure aggregation over `files_table` —
+    inherits its executor-side manifest reads."""
     return (
         files_table(spark, table_dir, catalog, table_name, snapshot_id)
-        .groupBy("partition")
+        .groupBy("partition_json")
         .agg(
+            F.first("partition").alias("partition"),
             F.sum("record_count").alias("record_count"),
             F.count(F.lit(1)).cast("long").alias("file_count"),
             F.sum("file_size_in_bytes").alias("total_data_file_size_in_bytes"),
