@@ -71,6 +71,7 @@ _R8_WINDOW = [
     # (a) new / changed this round
     "iceberg_multifield_partition_scan",
     "iceberg_spec_evolution_scan",
+    "iceberg_string_partition_scan",
     "iceberg_day_partition_scan",
     "iceberg_bucket_partition_scan",
     "iceberg_dv_scan",

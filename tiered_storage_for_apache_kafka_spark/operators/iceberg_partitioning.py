@@ -395,6 +395,127 @@ def iceberg_spec_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STR_CACHE: dict[tuple, str] = {}
+
+
+def _string_partition_table(spark: SparkSession, sf_dir: str) -> str:
+    """documents -> an Iceberg table partitioned by
+    ``(identity(lang), truncate[4](source))`` — STRING partition
+    values: identity keeps ``lang`` a schema column recovered from the
+    hive path, ``truncate[4]`` folds ``src10..src19`` into the
+    ``src1`` prefix cell (prefix truncation is the spec's string
+    transform), and manifest summaries carry UTF-8 bounds."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+        transform_column,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _STR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    df = transform_column(df, "source", "truncate[4]", "src4")
+    tdir = tempfile.mkdtemp(prefix="iceberg-strpart-")
+    (
+        df.repartition("lang", "src4")
+        .write.partitionBy("lang", "src4")
+        .parquet(tdir, mode="append")
+    )
+    schema = df.drop("src4").schema
+    commit_append(
+        tdir, schema, now_ms=1_000,
+        partition_spec=[
+            ("lang", "identity", None),
+            ("src4", "truncate[4]", "source"),
+        ],
+    )
+    session_cache_put(_STR_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_string_partition_scan",
+    oracle="""
+SELECT lang,
+       CAST(SUM(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_src7,
+       CAST(SUM(CASE WHEN source BETWEEN 'src15' AND 'src19'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_range,
+       CAST(1 AS BIGINT) AS one_cell_opened,
+       CAST(1 AS BIGINT) AS pruned
+FROM documents
+GROUP BY lang
+""",
+)
+def iceberg_string_partition_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STRING partition values end-to-end: per language, an equality
+    probe on ``source`` routes through ``truncate[4]`` +
+    ``identity(lang)`` to at most ONE (lang, prefix) cell, and a
+    lexicographic source range prunes to its prefix cells with the
+    row residual narrowing to exact matches — counts replayed
+    relationally by the oracle. Scale shape: identical to the int
+    transforms — all pruning is metadata-grain (UTF-8 summary bounds
+    first, file partition values second), so a 100 TB corpus's
+    per-language source lookup opens one cell's files."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        plan_scan,
+        read_iceberg_table,
+    )
+
+    tdir = _string_partition_table(spark, sf_dir)
+    n_total = len(plan_scan(tdir))
+    langs = sorted(
+        r["lang"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("lang")
+        .distinct()
+        .collect()
+    )
+    rows = []
+    for lang in langs:
+        eq_files = plan_scan(
+            tdir, source_predicates={"lang": lang, "source": "src7"}
+        )
+        cells = {
+            (f["partition"]["lang"], f["partition"]["src4"])
+            for f in eq_files
+        }
+        n_src7 = (
+            read_iceberg_table(
+                spark, tdir,
+                source_predicates={"lang": lang, "source": "src7"},
+            ).count()
+        )
+        rng = ("src15", "src19")
+        rng_files = plan_scan(
+            tdir, source_predicates={"lang": lang, "source": rng}
+        )
+        n_range = (
+            read_iceberg_table(
+                spark, tdir,
+                source_predicates={"lang": lang, "source": rng},
+            ).count()
+        )
+        pruned = (
+            1
+            if len(eq_files) < n_total and len(rng_files) < n_total
+            else 0
+        )
+        rows.append(
+            (lang, int(n_src7), int(n_range), 1 if len(cells) <= 1 else 0, pruned)
+        )
+    return spark.createDataFrame(
+        rows,
+        "lang string, n_src7 bigint, n_range bigint, "
+        "one_cell_opened bigint, pruned bigint",
+    )
+
+
 def _bucket_table(spark: SparkSession, sf_dir: str) -> str:
     """events -> a bucket[4](event_id)-partitioned Iceberg table, the
     partition column computed by the vectorized spec Murmur3."""
