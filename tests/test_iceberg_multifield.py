@@ -304,6 +304,61 @@ class TestCompositeMaintenance:
         assert {f["partition"]["id_bucket"] for f in files} == {_bucket(probe)}
 
 
+class TestHiddenPartitionWriter:
+    """`write_iceberg_table` — the one-call hidden-partitioning write
+    surface (transform compute + hive layout + metadata commit)."""
+
+    def test_write_and_append_composite(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "w1")
+        df = spark.createDataFrame(
+            [
+                (i, DAY0 * MICROS_PER_DAY + (i % N_DAYS) * MICROS_PER_DAY, i * 10)
+                for i in range(32)
+            ],
+            "id long, ts_us long, v long",
+        )
+        meta = write_iceberg_table(spark, df, tdir, partition_spec=SPEC, now_ms=1_000)
+        assert [f["name"] for f in meta["partition-specs"][0]["fields"]] == [
+            "ts_day", "id_bucket",
+        ]
+        # hidden columns never reach the table schema
+        got = read_iceberg_table(spark, tdir)
+        assert set(got.columns) == {"id", "ts_us", "v"}
+        assert got.count() == 32
+        # append through the same surface
+        df2 = spark.createDataFrame(
+            [
+                (i, DAY0 * MICROS_PER_DAY + (i % N_DAYS) * MICROS_PER_DAY, i * 10)
+                for i in range(32, 64)
+            ],
+            "id long, ts_us long, v long",
+        )
+        write_iceberg_table(spark, df2, tdir, partition_spec=SPEC, now_ms=2_000)
+        assert read_iceberg_table(spark, tdir).count() == 64
+        # a mismatched declared shape is rejected, not silently cross-laid
+        with pytest.raises(ValueError, match="cannot append declaring"):
+            write_iceberg_table(
+                spark, df2, tdir, now_ms=3_000,
+                partition_spec=[("ts_day", "day", "ts_us")],
+            )
+
+    def test_identity_field_must_be_column(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        with pytest.raises(ValueError, match="must be a DataFrame column"):
+            write_iceberg_table(
+                spark, df, str(tmp_path / "w2"),
+                partition_spec=[("missing", "identity", None)],
+            )
+
+
 class TestStringPartitions:
     """String-typed partition values (closes the r7 rejection): an
     identity(string) field plus a truncate[3](string) field — string

@@ -138,8 +138,7 @@ def _multifield_table(spark: SparkSession, sf_dir: str) -> str:
     the vectorized spec Murmur3, one parquet file per populated
     (day, bucket) cell."""
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
-        commit_append,
-        transform_column,
+        write_iceberg_table,
     )
 
     key = session_cache_key(spark, sf_dir)
@@ -157,17 +156,9 @@ def _multifield_table(spark: SparkSession, sf_dir: str) -> str:
             ).alias("ts_us"),
         )
     )
-    df = transform_column(df, "ts_us", "day", "ts_day")
-    df = transform_column(df, "event_id", f"bucket[{N_BUCKETS}]", "id_bucket")
     tdir = tempfile.mkdtemp(prefix="iceberg-multifield-")
-    (
-        df.repartition("ts_day", "id_bucket")
-        .write.partitionBy("ts_day", "id_bucket")
-        .parquet(tdir, mode="append")
-    )
-    schema = df.drop("ts_day", "id_bucket").schema
-    commit_append(
-        tdir, schema, now_ms=1_000,
+    write_iceberg_table(
+        spark, df, tdir, now_ms=1_000,
         partition_spec=[
             ("ts_day", "day", "ts_us"),
             ("id_bucket", f"bucket[{N_BUCKETS}]", "event_id"),
@@ -406,8 +397,7 @@ def _string_partition_table(spark: SparkSession, sf_dir: str) -> str:
     ``src1`` prefix cell (prefix truncation is the spec's string
     transform), and manifest summaries carry UTF-8 bounds."""
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
-        commit_append,
-        transform_column,
+        write_iceberg_table,
     )
 
     key = session_cache_key(spark, sf_dir)
@@ -417,16 +407,9 @@ def _string_partition_table(spark: SparkSession, sf_dir: str) -> str:
     df = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    df = transform_column(df, "source", "truncate[4]", "src4")
     tdir = tempfile.mkdtemp(prefix="iceberg-strpart-")
-    (
-        df.repartition("lang", "src4")
-        .write.partitionBy("lang", "src4")
-        .parquet(tdir, mode="append")
-    )
-    schema = df.drop("src4").schema
-    commit_append(
-        tdir, schema, now_ms=1_000,
+    write_iceberg_table(
+        spark, df, tdir, now_ms=1_000,
         partition_spec=[
             ("lang", "identity", None),
             ("src4", "truncate[4]", "source"),

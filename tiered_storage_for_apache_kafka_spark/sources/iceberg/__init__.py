@@ -96,6 +96,10 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.commit import (  # no
     update_partition_spec,
 )
 
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.writer import (  # noqa: F401
+    write_iceberg_table,
+)
+
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.deletes import (  # noqa: F401
     _commit_deletes_once,
     _finish_delete_commit,
