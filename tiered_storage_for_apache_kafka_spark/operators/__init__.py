@@ -72,6 +72,7 @@ _R8_WINDOW = [
     "iceberg_multifield_partition_scan",
     "iceberg_spec_evolution_scan",
     "iceberg_string_partition_scan",
+    "iceberg_partitions_table",
     "iceberg_day_partition_scan",
     "iceberg_bucket_partition_scan",
     "iceberg_dv_scan",

@@ -24,6 +24,7 @@ from tiered_storage_for_apache_kafka_spark.operators.tiered import (
 )
 from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (
     files_table,
+    partitions_table,
     snapshots_table,
 )
 
@@ -87,4 +88,37 @@ def iceberg_snapshots_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("added_files"),
         F.element_at("summary", "added-records").cast("long").alias("added_records"),
         F.element_at("summary", "total-records").cast("long").alias("total_records"),
+    )
+
+
+@query(
+    "iceberg_partitions_table",
+    oracle="""
+SELECT lang,
+       SUBSTR(source, 1, 4) AS src4,
+       CAST(COUNT(*) AS BIGINT) AS record_count,
+       CAST(1 AS BIGINT) AS file_count
+FROM documents
+GROUP BY lang, SUBSTR(source, 1, 4)
+""",
+)
+def iceberg_partitions_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`tbl.partitions` metadata table over a MULTI-FIELD STRING spec
+    (identity(lang), truncate[4](source)): per-cell record/file rollup
+    grouped by the full typed partition tuple — the skew/fragmentation
+    view planners use, here proving the r8 typed-tuple grouping (a
+    single-scalar rollup would fold every lang's prefix cells
+    together). The oracle replays the cells relationally (identity and
+    prefix-truncate are SQL-expressible; one file per cell by the
+    writer's repartition construction)."""
+    from tiered_storage_for_apache_kafka_spark.operators.iceberg_partitioning import (  # noqa: E501 (fixture shared with the scan query — built once per session)
+        _string_partition_table,
+    )
+
+    tdir = _string_partition_table(spark, sf_dir)
+    return partitions_table(spark, tdir).select(
+        F.get_json_object("partition_json", "$.lang").alias("lang"),
+        F.get_json_object("partition_json", "$.src4").alias("src4"),
+        F.col("record_count").cast("long").alias("record_count"),
+        F.col("file_count").cast("long").alias("file_count"),
     )
