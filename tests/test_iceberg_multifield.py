@@ -304,6 +304,67 @@ class TestCompositeMaintenance:
         assert {f["partition"]["id_bucket"] for f in files} == {_bucket(probe)}
 
 
+class TestPartitionScopedIncremental:
+    """Partition-scoped incremental windows: ``source_predicates`` on
+    the append scan prunes other partitions' files AND exempts the
+    window from retractions outside its scope (per-partition
+    append-only contract)."""
+
+    def test_scoped_window_skips_foreign_deletes(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            commit_position_deletes,
+            plan_incremental_scan,
+            read_iceberg_incremental,
+        )
+
+        tdir, schema, meta = _composite_table(
+            spark, tmp_path, n_ids=32, name="inc"
+        )
+        from_id = meta["current-snapshot-id"]
+        day_probe = 37  # day DAY0+1, some bucket
+        probe_day = DAY0 + (day_probe % N_DAYS)
+        # a delete scoped to a DIFFERENT day (DAY0+0): ids = 0 mod 4
+        commit_position_deletes(
+            spark, tdir, "id % 4 = 0 AND id < 8", now_ms=2_000
+        )
+        # then append generation 2
+        _write_composite_files(tdir, range(32, 64), tag="g2")
+        commit_append(tdir, schema, partition_spec=SPEC, now_ms=3_000)
+        # unscoped window: the delete is a hard error
+        with pytest.raises(ValueError, match="row-delta delete file"):
+            plan_incremental_scan(tdir, from_id)
+        # scoped to the probe's day: delete (day DAY0) is out of scope,
+        # the window plans exactly that day's new files
+        window = (
+            probe_day * MICROS_PER_DAY, (probe_day + 1) * MICROS_PER_DAY - 1
+        )
+        files = plan_incremental_scan(
+            tdir, from_id, source_predicates={"ts_us": window}
+        )
+        assert files
+        assert all(f["partition"]["ts_day"] == probe_day for f in files)
+        got = sorted(
+            r["id"]
+            for r in read_iceberg_incremental(
+                spark, tdir, from_id,
+                source_predicates={"ts_us": window},
+            ).collect()
+        )
+        # generation-2 ids on the probe day only
+        assert got == [i for i in range(32, 64) if i % N_DAYS == day_probe % N_DAYS]
+        # scoped to the DELETED day: the retraction still errors —
+        # scoping must never hide an in-scope delete
+        del_day = DAY0
+        dwindow = (
+            del_day * MICROS_PER_DAY, (del_day + 1) * MICROS_PER_DAY - 1
+        )
+        with pytest.raises(ValueError, match="row-delta delete file"):
+            plan_incremental_scan(
+                tdir, from_id, source_predicates={"ts_us": dwindow}
+            )
+
+
 class TestHiddenPartitionWriter:
     """`write_iceberg_table` — the one-call hidden-partitioning write
     surface (transform compute + hive layout + metadata commit)."""

@@ -16,12 +16,16 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
 )
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
     _empty_table_df,
+    _file_matches,
+    _manifest_pruned,
     _plan_snapshot,
     _read_plan_with_identity,
     _read_snapshot,
+    _resolve_constraints,
 )
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
     _current_state_meta,
+    _specs_by_id,
 )
 
 
@@ -31,6 +35,7 @@ def plan_incremental_scan(
     to_snapshot_id: int | None = None,
     catalog=None,
     table_name: str | None = None,
+    source_predicates: dict | None = None,
 ) -> list[dict]:
     """Iceberg incremental APPEND scan (what Spark's
     ``spark.readStream.format("iceberg")`` and batch
@@ -46,12 +51,25 @@ def plan_incremental_scan(
     handing a consumer appended rows while hiding that other rows were
     retracted would corrupt any downstream incremental materialization.
     An expired ``from_snapshot_id`` is an error too (the changelog gap
-    is unrecoverable; re-bootstrap from a full scan)."""
+    is unrecoverable; re-bootstrap from a full scan).
+
+    ``source_predicates`` (as in :func:`plan_scan`) SCOPES the window
+    to the matching partitions: files of other partitions are pruned
+    (manifest summaries first, partition tuples second), and — the
+    per-partition append-only contract — a delete file is only a
+    window error when its partition scope can overlap the predicate's;
+    a consumer materializing one day's partition is neither billed for
+    nor blocked by retractions elsewhere in the table."""
     _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
-    return _plan_incremental_from_meta(meta, from_snapshot_id, to_snapshot_id)
+    return _plan_incremental_from_meta(
+        meta, from_snapshot_id, to_snapshot_id,
+        _resolve_constraints(meta, None, None, None, source_predicates),
+    )
 
 
-def _plan_seq_window(meta: dict, lo_seq: int, hi_seq: int) -> list[dict]:
+def _plan_seq_window(
+    meta: dict, lo_seq: int, hi_seq: int, constraints: dict | None = None
+) -> list[dict]:
     """Data files appended with ``lo_seq < seq <= hi_seq``, planned from
     the CURRENT snapshot — correct even when every snapshot inside the
     window has been expired, because carried-over manifest entries keep
@@ -85,12 +103,19 @@ def _plan_seq_window(meta: dict, lo_seq: int, hi_seq: int) -> list[dict]:
     # while an older window is still queried (the tombstoned DELETE
     # files keep the retraction guard itself durable).
     rewrite_ids = _data_rewrite_snapshot_ids(meta)
+    constraints = constraints or {}
+    specs_by_id = _specs_by_id(meta) if constraints else None
     out: list[dict] = []
     for mf in manifest_files:
         if int(mf.get("sequence_number", 0)) <= lo_seq:
             continue  # every entry predates the window
         if int(mf.get("min_sequence_number", 0)) > hi_seq:
             continue  # every entry postdates the window
+        if _manifest_pruned(mf, constraints, specs_by_id):
+            # outside the predicate's partition scope — data AND
+            # delete entries alike (per-partition append-only: a
+            # retraction elsewhere doesn't break THIS window)
+            continue
         _, entries, _ = read_avro_ocf(mf["manifest_path"])
         for e in entries:
             seq = e.get("sequence_number")
@@ -100,6 +125,8 @@ def _plan_seq_window(meta: dict, lo_seq: int, hi_seq: int) -> list[dict]:
             if not (lo_seq < seq <= hi_seq):
                 continue
             d = e["data_file"]
+            if constraints and not _file_matches(d, constraints):
+                continue  # other partitions' files and deletes
             # the retraction guard fires for TOMBSTONED (status=2)
             # delete files too: a DV supersede or data-file rewrite
             # tombstones the old delete entry, but the rows it
@@ -155,7 +182,10 @@ def _data_rewrite_snapshot_ids(meta: dict) -> set:
 
 
 def _plan_incremental_from_meta(
-    meta: dict, from_snapshot_id: int, to_snapshot_id: int | None
+    meta: dict,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None,
+    constraints: dict | None = None,
 ) -> list[dict]:
     by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
     if from_snapshot_id not in by_id:
@@ -171,7 +201,7 @@ def _plan_incremental_from_meta(
     to_seq = int(by_id[to_snapshot_id]["sequence-number"])
     if to_seq < from_seq:
         raise ValueError("to snapshot predates from snapshot")
-    return _plan_seq_window(meta, from_seq, to_seq)
+    return _plan_seq_window(meta, from_seq, to_seq, constraints)
 
 
 def read_iceberg_incremental(
@@ -181,21 +211,36 @@ def read_iceberg_incremental(
     to_snapshot_id: int | None = None,
     catalog=None,
     table_name: str | None = None,
+    source_predicates: dict | None = None,
 ):
     """The rows appended between two snapshots (see
     :func:`plan_incremental_scan`) — the batch form of an incremental
     training-data ingestion step: each run consumes exactly the new
     corpus shards, never rereads history. One metadata load serves both
-    the plan and the schema typing."""
+    the plan and the schema typing. ``source_predicates`` scopes the
+    window to the matching partitions at the metadata grain and applies
+    the row residuals, like :func:`read_iceberg_table`."""
     _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    constraints = _resolve_constraints(
+        meta, None, None, None, source_predicates
+    )
     files = _plan_incremental_from_meta(
-        meta, from_snapshot_id, to_snapshot_id
+        meta, from_snapshot_id, to_snapshot_id, constraints
     )
     if not files:
         return _empty_table_df(spark, meta)
-    return _read_planned_files(
+    df = _read_planned_files(
         spark, table_dir, meta, [f["file_path"] for f in files]
     )
+    if source_predicates:
+        from pyspark.sql import functions as F
+
+        for src_name, pred in source_predicates.items():
+            if isinstance(pred, tuple):
+                df = df.where(F.col(src_name).between(pred[0], pred[1]))
+            else:
+                df = df.where(F.col(src_name) == F.lit(pred))
+    return df
 
 
 def read_iceberg_changelog(
