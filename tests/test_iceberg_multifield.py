@@ -551,6 +551,52 @@ class TestStringPartitions:
         assert all("_compacted-" in f["file_path"] for f in files)
 
 
+class TestStringColumnBounds:
+    """String column-stats pruning: data-file lower/upper bounds for
+    string leaf columns (UTF-8, spec Appendix D) recorded from parquet
+    footers and pruned with string ``column_bounds`` probes."""
+
+    def _banded_table(self, spark, tmp_path):
+        tdir = str(tmp_path / "strbounds")
+        os.makedirs(os.path.join(tdir, "partition=0"), exist_ok=True)
+        # one file per lexicographic band of the string column
+        for i, (lo, hi) in enumerate(
+            [("aaa", "ccc"), ("ddd", "fff"), ("ggg", "iii"), ("jjj", "lll")]
+        ):
+            pq.write_table(
+                pa.table(
+                    {
+                        "k": pa.array([i * 2, i * 2 + 1], pa.int64()),
+                        "s": pa.array([lo, hi], pa.string()),
+                    }
+                ),
+                os.path.join(tdir, "partition=0", f"band{i}.parquet"),
+            )
+        schema = spark.createDataFrame(
+            [], "partition int, k long, s string"
+        ).schema
+        commit_append(tdir, schema, now_ms=1_000)
+        return tdir
+
+    def test_string_bounds_recorded_and_pruned(self, spark, tmp_path):
+        tdir = self._banded_table(spark, tmp_path)
+        allf = plan_scan(tdir)
+        assert len(allf) == 4
+        hit = plan_scan(tdir, column_bounds=("s", "eee", "hhh"))
+        assert len(hit) == 2  # bands ddd-fff and ggg-iii only
+        miss = plan_scan(tdir, column_bounds=("s", "zzz", "zzzz"))
+        assert miss == []
+        # int columns still prune alongside
+        assert len(plan_scan(tdir, column_bounds=("k", 0, 1))) == 1
+
+    def test_mistyped_probe_rejected(self, spark, tmp_path):
+        tdir = self._banded_table(spark, tmp_path)
+        with pytest.raises(TypeError, match="string column"):
+            plan_scan(tdir, column_bounds=("s", 0, 10))
+        with pytest.raises(TypeError, match="integer column"):
+            plan_scan(tdir, column_bounds=("k", "a", "b"))
+
+
 class TestSpecEvolution:
     def _day_only_table(self, spark, tmp_path, name="evo"):
         tdir = str(tmp_path / name)

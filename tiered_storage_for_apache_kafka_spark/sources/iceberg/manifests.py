@@ -247,9 +247,12 @@ def _leaf_field_ids(schema_struct: dict) -> dict[str, int]:
     return out
 
 
-def _bounds_pack(value: int, physical: str) -> bytes:
+def _bounds_pack(value, physical: str) -> bytes:
     """Iceberg single-value binary serialization (spec Appendix D):
-    int -> 4-byte little-endian, long -> 8-byte little-endian."""
+    int -> 4-byte little-endian, long -> 8-byte little-endian,
+    string -> UTF-8 bytes."""
+    if physical == "BYTE_ARRAY":
+        return value.encode("utf-8")
     return struct.pack("<i" if physical == "INT32" else "<q", value)
 
 
@@ -542,11 +545,14 @@ def _fold_column_stats(col_stats: dict, col, rg_rows: int) -> None:
     aggregate (min/max/null-count/value-count keyed by leaf path).
 
     A column is POISONED (entry set to None, never published) when any
-    chunk lacks min/max or reports a non-plain-integer value (pyarrow
-    returns datetime objects for timestamp/date logical types): partial
-    stats would publish too-narrow bounds / undercounted nulls, and an
-    external engine pruning on them would silently drop rows — no stats
-    is always safe, wrong stats never are."""
+    chunk lacks min/max or reports a value outside the safe shapes —
+    plain ints, or plain strings shorter than 64 chars (pyarrow returns
+    datetime objects for timestamp/date logical types, and long binary
+    stats may be writer-truncated with no exactness flag exposed):
+    partial or inexact stats would publish too-narrow bounds /
+    undercounted nulls, and an external engine pruning on them would
+    silently drop rows — no stats is always safe, wrong stats never
+    are."""
     path = col.path_in_schema
     if col_stats.get(path, False) is None:
         return  # already poisoned by an earlier chunk
@@ -559,7 +565,16 @@ def _fold_column_stats(col_stats: dict, col, rg_rows: int) -> None:
         and not isinstance(st.min, bool)
         and st.null_count is not None
     )
-    if not plain_ints:
+    plain_strs = (
+        st is not None
+        and st.has_min_max
+        and isinstance(st.min, str)
+        and isinstance(st.max, str)
+        and len(st.min) < 64
+        and len(st.max) < 64
+        and st.null_count is not None
+    )
+    if not plain_ints and not plain_strs:
         col_stats[path] = None
         return
     cur = col_stats.get(path)
@@ -599,7 +614,7 @@ def _stat_one_file(
             col = rg.column(c)
             dp = col.dictionary_page_offset
             starts.append(dp if dp is not None else col.data_page_offset)
-            if col.physical_type not in ("INT32", "INT64"):
+            if col.physical_type not in ("INT32", "INT64", "BYTE_ARRAY"):
                 continue
             _fold_column_stats(col_stats, col, rg.num_rows)
         offsets.append(min(starts))

@@ -281,10 +281,13 @@ def _resolve_constraints(
     return constraints
 
 
-def _bounds_overlap(d: dict, field_id: int, lo: int, hi: int) -> bool:
+def _bounds_overlap(d: dict, field_id: int, lo, hi) -> bool:
     """File-level bounds pruning (spec lower_bounds/upper_bounds): skip
     a data file only when its recorded range PROVABLY misses [lo, hi];
-    a file without bounds for the column is conservatively kept."""
+    a file without bounds for the column is conservatively kept. The
+    stored bound decodes under the PROBE's type (int32/int64 LE vs
+    UTF-8 string, Appendix D) — length-based decoding would misread a
+    4- or 8-byte string bound as an integer."""
     lbs, ubs = d.get("lower_bounds"), d.get("upper_bounds")
     if not lbs or not ubs:
         return True
@@ -292,6 +295,15 @@ def _bounds_overlap(d: dict, field_id: int, lo: int, hi: int) -> bool:
     f_hi = next((kv["value"] for kv in ubs if kv["key"] == field_id), None)
     if f_lo is None or f_hi is None:
         return True
+    if isinstance(lo, str):
+        try:
+            b_lo = bytes(f_lo).decode("utf-8")
+            b_hi = bytes(f_hi).decode("utf-8")
+        except UnicodeDecodeError:
+            return True  # foreign binary bound: keep conservatively
+        return b_lo <= hi and lo <= b_hi
+    if len(f_lo) not in (4, 8):
+        return True  # string-typed bound, int probe: cannot prune
     fmt = "<i" if len(f_lo) == 4 else "<q"
     return struct.unpack(fmt, f_lo)[0] <= hi and lo <= struct.unpack(fmt, f_hi)[0]
 
@@ -436,11 +448,14 @@ def _plan_snapshot(
 
 
 def _resolve_bounds(
-    meta: dict, column_bounds: tuple[str, int, int] | None
-) -> tuple[int, int, int] | None:
+    meta: dict, column_bounds: tuple | None
+) -> tuple | None:
     """(dotted column path, lo, hi) -> (field id, lo, hi) against the
     current schema; unknown columns are an explicit error (silently
-    skipping the prune would be correct but hide the typo)."""
+    skipping the prune would be correct but hide the typo), and so is
+    a probe whose type disagrees with the column's — an int probe
+    against a string column would otherwise misdecode stored UTF-8
+    bounds as integers."""
     if column_bounds is None:
         return None
     path, lo, hi = column_bounds
@@ -448,6 +463,18 @@ def _resolve_bounds(
     fid = _leaf_field_ids(schema_struct).get(path)
     if fid is None:
         raise KeyError(f"no scalar leaf column {path!r} in the table schema")
+    col_type = next(
+        (f["type"] for f in schema_struct["fields"] if f["id"] == fid), None
+    )
+    probe_is_str = isinstance(lo, str)
+    if col_type == "string" and not probe_is_str:
+        raise TypeError(
+            f"column {path!r} is a string column; pass string bounds"
+        )
+    if col_type in ("int", "long") and probe_is_str:
+        raise TypeError(
+            f"column {path!r} is an integer column; pass integer bounds"
+        )
     return (fid, lo, hi)
 
 
