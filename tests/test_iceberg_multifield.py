@@ -365,6 +365,49 @@ class TestPartitionScopedIncremental:
             )
 
 
+class TestPartitionScopedChangelog:
+    def test_scoped_changelog_splits_by_partition(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            commit_position_deletes,
+            read_iceberg_changelog,
+        )
+
+        tdir, schema, meta = _composite_table(
+            spark, tmp_path, n_ids=32, name="chg"
+        )
+        from_id = meta["current-snapshot-id"]
+        # delete two ids on day DAY0 (ids 0,4 -> id % 4 == 0)
+        commit_position_deletes(
+            spark, tdir, "id % 4 = 0 AND id < 8", now_ms=2_000
+        )
+        _write_composite_files(tdir, range(32, 64), tag="g2")
+        commit_append(tdir, schema, partition_spec=SPEC, now_ms=3_000)
+        probe_day = DAY0 + 1
+        window = (
+            probe_day * MICROS_PER_DAY, (probe_day + 1) * MICROS_PER_DAY - 1
+        )
+        # scoped to day DAY0+1: inserts only (the deletes hit DAY0)
+        rows = read_iceberg_changelog(
+            spark, tdir, from_id, source_predicates={"ts_us": window}
+        ).collect()
+        assert rows
+        assert {r["_change_type"] for r in rows} == {"insert"}
+        assert sorted(r["id"] for r in rows) == [
+            i for i in range(32, 64) if i % N_DAYS == 1
+        ]
+        # scoped to the deleted day: deletes for ids 0,4 + that day's
+        # inserts
+        dwindow = (DAY0 * MICROS_PER_DAY, (DAY0 + 1) * MICROS_PER_DAY - 1)
+        rows = read_iceberg_changelog(
+            spark, tdir, from_id, source_predicates={"ts_us": dwindow}
+        ).collect()
+        dels = sorted(r["id"] for r in rows if r["_change_type"] == "delete")
+        ins = sorted(r["id"] for r in rows if r["_change_type"] == "insert")
+        assert dels == [0, 4]
+        assert ins == [i for i in range(32, 64) if i % N_DAYS == 0]
+
+
 class TestHiddenPartitionWriter:
     """`write_iceberg_table` — the one-call hidden-partitioning write
     surface (transform compute + hive layout + metadata commit)."""

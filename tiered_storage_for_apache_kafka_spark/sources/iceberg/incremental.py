@@ -250,6 +250,7 @@ def read_iceberg_changelog(
     to_snapshot_id: int | None = None,
     catalog=None,
     table_name: str | None = None,
+    source_predicates: dict | None = None,
 ):
     """NET changelog between two snapshots as typed change rows — the
     CDC read that the append-only incremental scan refuses when deletes
@@ -266,10 +267,21 @@ def read_iceberg_changelog(
     snapshot's view applies them); only rows of PRE-WINDOW files need
     the row-level anti-join (old-file rows can only disappear), and
     both sides of that join are pruned to pre-window files first. No
-    full-table diff is ever materialized."""
+    full-table diff is ever materialized.
+
+    ``source_predicates`` scopes the changelog to the matching
+    partitions: both snapshots' plans prune other partitions' data AND
+    delete files at the metadata grain (deletes match per (file, pos) /
+    per key, so applying them against the partition subset is sound),
+    and the row residuals apply to the typed change rows — the
+    per-partition CDC subscription shape."""
     from pyspark.sql import functions as F
 
     _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    constraints = _resolve_constraints(
+        meta, None, None, None, source_predicates
+    )
+    specs = _specs_by_id(meta)
     by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
     if from_snapshot_id not in by_id:
         raise ValueError(
@@ -305,7 +317,9 @@ def read_iceberg_changelog(
     # split is a FILE-LEVEL plan split (two separately planned scans),
     # not a post-scan row filter — each data file is read at most once
     # and only the files a side needs are opened
-    to_data, to_deletes = _plan_snapshot(by_id[to_snapshot_id], None)
+    to_data, to_deletes = _plan_snapshot(
+        by_id[to_snapshot_id], constraints, specs_by_id=specs
+    )
     # durable twin of the summary-based refusal above: rewrite output
     # carries the _compacted- path marker, so an expired rewrite
     # snapshot (e.g. a tag keeps `from` alive across expiration) still
@@ -326,17 +340,23 @@ def read_iceberg_changelog(
             .withColumn("_change_type", F.lit(""))
             .where(F.lit(False))
         )
+    def _residuals(df):
+        for src_name, pred in (source_predicates or {}).items():
+            if isinstance(pred, tuple):
+                df = df.where(F.col(src_name).between(pred[0], pred[1]))
+            else:
+                df = df.where(F.col(src_name) == F.lit(pred))
+        return df
+
     new_data = [d for d in to_data if from_seq < d["_seq"] <= to_seq]
     old_data = [d for d in to_data if d["_seq"] <= from_seq]
     inserted = None
     if new_data:
-        inserted = (
+        inserted = _residuals(
             _read_plan_with_identity(
                 spark, table_dir, meta, new_data, to_deletes
             )
-            .withColumn("_change_type", F.lit("insert"))
-            .drop(*ids)
-        )
+        ).withColumn("_change_type", F.lit("insert")).drop(*ids)
     # PURE-APPEND fast path: when the window holds no delete files and
     # every data file of the `from` snapshot survives in the `to`
     # snapshot, no pre-window row can have disappeared (pre-window
@@ -345,7 +365,9 @@ def read_iceberg_changelog(
     # the common window on an append-mostly CDC table: its changelog
     # cost stays O(appended bytes) instead of O(table).
     if not any(from_seq < d["_seq"] <= to_seq for d in to_deletes):
-        from_data, _ = _plan_snapshot(by_id[from_snapshot_id], None)
+        from_data, _ = _plan_snapshot(
+            by_id[from_snapshot_id], constraints, specs_by_id=specs
+        )
         if {d["file_path"] for d in from_data} <= {
             d["file_path"] for d in old_data
         }:
@@ -357,7 +379,7 @@ def read_iceberg_changelog(
                 .where(F.lit(False))
             )
     a = _read_snapshot(
-        spark, table_dir, meta, by_id[from_snapshot_id], None,
+        spark, table_dir, meta, by_id[from_snapshot_id], constraints,
         keep_identity=True,
     )
     if a is None or not old_data:
@@ -373,7 +395,7 @@ def read_iceberg_changelog(
         spark, table_dir, meta, old_data, to_deletes
     )
     deleted = (
-        a.join(b_old.select(*ids), ids, "left_anti")
+        _residuals(a.join(b_old.select(*ids), ids, "left_anti"))
         .withColumn("_change_type", F.lit("delete"))
         .drop(*ids)
     )
