@@ -450,6 +450,33 @@ class TestHiddenPartitionWriter:
                 partition_spec=[("ts_day", "day", "ts_us")],
             )
 
+    def test_rejected_append_is_side_effect_free(self, spark, tmp_path):
+        """Self-review regression (r8): a shape-rejected write must not
+        strand cross-laid files for a later discovery commit to sweep
+        in as duplicates — validation runs before any file is
+        written."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_append,
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "w3")
+        df = spark.createDataFrame(
+            [(i, DAY0 * MICROS_PER_DAY + i, i) for i in range(8)],
+            "id long, ts_us long, v long",
+        )
+        write_iceberg_table(spark, df, tdir, partition_spec=SPEC, now_ms=1_000)
+        n0 = read_iceberg_table(spark, tdir).count()
+        with pytest.raises(ValueError, match="cannot append declaring"):
+            write_iceberg_table(
+                spark, df, tdir, now_ms=2_000,
+                partition_spec=[("ts_day", "day", "ts_us")],
+            )
+        # no new files hit the disk, so a discovery commit finds nothing
+        schema = df.schema
+        commit_append(tdir, schema, partition_spec=SPEC, now_ms=3_000)
+        assert read_iceberg_table(spark, tdir).count() == n0
+
     def test_identity_field_must_be_column(self, spark, tmp_path):
         from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
             write_iceberg_table,
@@ -741,6 +768,49 @@ class TestSpecEvolution:
             .collect()
         )
         assert [(r["id"], r["v"]) for r in rows] == [(probe, probe * 10)]
+
+    def test_deletes_on_old_generation_survive_new_field_pruning(
+        self, spark, tmp_path
+    ):
+        """Self-review regression (r8): a delete committed AFTER
+        evolution covers old-generation rows with the new spec field
+        recorded null; a new-field predicate must keep that delete
+        file conservatively — pruning it while the old data file is
+        kept would resurface deleted rows."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_equality_deletes,
+            commit_position_deletes,
+        )
+
+        tdir, schema = self._day_only_table(spark, tmp_path, name="evo5")
+        update_partition_spec(tdir, SPEC, now_ms=2_000)
+        _write_composite_files(tdir, range(32, 64), tag="g2")
+        commit_append(tdir, schema, partition_spec=SPEC, now_ms=3_000)
+        # kill an OLD-generation row (id 7 < 32) post-evolution
+        commit_position_deletes(spark, tdir, "id = 7", now_ms=4_000)
+        # a new-field (bucket) predicate naming exactly that id must
+        # not resurface it
+        rows = (
+            read_iceberg_table(spark, tdir, source_predicates={"id": 7})
+            .collect()
+        )
+        assert rows == []
+        # same through the equality-delete representation (the caller
+        # supplies the row's FULL current-spec tuple; the data side
+        # recomputes the transforms, so old-generation rows match too)
+        keys = spark.createDataFrame(
+            [(DAY0 + (9 % N_DAYS), _bucket(9), 9)],
+            "ts_day int, id_bucket int, id long",
+        )
+        commit_equality_deletes(spark, tdir, keys, ["id"], now_ms=5_000)
+        rows = (
+            read_iceberg_table(spark, tdir, source_predicates={"id": 9})
+            .collect()
+        )
+        assert rows == []
+        # and unpruned reads agree
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == [i for i in range(64) if i not in (7, 9)]
 
     def test_evolution_via_rest_catalog(self, spark, tmp_path):
         from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (

@@ -15,6 +15,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
     read_avro_ocf,
 )
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
+    _apply_residuals,
     _empty_table_df,
     _file_matches,
     _manifest_pruned,
@@ -229,18 +230,12 @@ def read_iceberg_incremental(
     )
     if not files:
         return _empty_table_df(spark, meta)
-    df = _read_planned_files(
-        spark, table_dir, meta, [f["file_path"] for f in files]
+    return _apply_residuals(
+        _read_planned_files(
+            spark, table_dir, meta, [f["file_path"] for f in files]
+        ),
+        source_predicates,
     )
-    if source_predicates:
-        from pyspark.sql import functions as F
-
-        for src_name, pred in source_predicates.items():
-            if isinstance(pred, tuple):
-                df = df.where(F.col(src_name).between(pred[0], pred[1]))
-            else:
-                df = df.where(F.col(src_name) == F.lit(pred))
-    return df
 
 
 def read_iceberg_changelog(
@@ -341,12 +336,7 @@ def read_iceberg_changelog(
             .where(F.lit(False))
         )
     def _residuals(df):
-        for src_name, pred in (source_predicates or {}).items():
-            if isinstance(pred, tuple):
-                df = df.where(F.col(src_name).between(pred[0], pred[1]))
-            else:
-                df = df.where(F.col(src_name) == F.lit(pred))
-        return df
+        return _apply_residuals(df, source_predicates)
 
     new_data = [d for d in to_data if from_seq < d["_seq"] <= to_seq]
     old_data = [d for d in to_data if d["_seq"] <= from_seq]

@@ -63,24 +63,33 @@ def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
     by_spec: dict[int, list[dict]] = {}
     for d in eq_entries:
         by_spec.setdefault(int(d.get("_spec_id", default_sid)), []).append(d)
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+        spec_field_type,
+    )
+
     for sid in sorted(by_spec):
         spec = specs.get(sid) or _default_spec(meta)
+        field_types = [
+            spec_field_type(f, schema_struct) for f in spec["fields"]
+        ]
         df_pos = _apply_eq_delete_group(
             spark, df_pos, data_entries, by_spec[sid], eq_cols,
-            spec["fields"], id_to_name,
+            spec["fields"], field_types, id_to_name,
         )
     return df_pos
 
 
 def _apply_eq_delete_group(
-    spark, df_pos, data_entries, eq_entries, eq_cols, spec_fields, id_to_name
+    spark, df_pos, data_entries, eq_entries, eq_cols, spec_fields,
+    field_types, id_to_name,
 ):
     """One spec's equality-delete anti-join (see
     :func:`_apply_equality_deletes`): the data side recomputes every
     transformed spec field from its source column executor-side (same
     kernel the writer and rewrite_data_files use), identity fields
     match on the schema column directly, and the delete rows broadcast
-    with their per-file partition tuple + sequence number."""
+    with their per-file partition tuple + sequence number (columns
+    typed per spec field — string partition values included)."""
     from pyspark.sql import functions as F
 
     part_names = [f["name"] for f in spec_fields]
@@ -96,7 +105,9 @@ def _apply_eq_delete_group(
             }
         ),
         "__iceberg_dfile string, __iceberg_del_seq bigint, "
-        + ", ".join(f"__iceberg_del_part_{i} int" for i in range(len(part_names))),
+        + ", ".join(
+            f"__iceberg_del_part_{i} {t}" for i, t in enumerate(field_types)
+        ),
     )
     data_seq = spark.createDataFrame(
         [(d["file_path"], d["_seq"]) for d in data_entries],
@@ -281,6 +292,24 @@ def _resolve_constraints(
     return constraints
 
 
+def _apply_residuals(df, source_predicates: dict | None):
+    """Row-level residuals for source-column predicates (the same map
+    :func:`_resolve_constraints` prunes with): equality for scalars,
+    BETWEEN for (lo, hi) tuples. Pruning is partition-grain only — a
+    bucket point-lookup or an unaligned range must not return the rest
+    of the partition, so every pruned read applies this too."""
+    if not source_predicates:
+        return df
+    from pyspark.sql import functions as F
+
+    for src_name, pred in source_predicates.items():
+        if isinstance(pred, tuple):
+            df = df.where(F.col(src_name).between(pred[0], pred[1]))
+        else:
+            df = df.where(F.col(src_name) == F.lit(pred))
+    return df
+
+
 def _bounds_overlap(d: dict, field_id: int, lo, hi) -> bool:
     """File-level bounds pruning (spec lower_bounds/upper_bounds): skip
     a data file only when its recorded range PROVABLY misses [lo, hi];
@@ -317,9 +346,13 @@ def _manifest_pruned(
     is interpreted under the spec the manifest was written with
     (``partition_spec_id``), so spec evolution cannot misalign fields:
     a constraint naming a field the manifest's spec lacks simply
-    cannot prune it (conservative keep)."""
+    cannot prune it (conservative keep). A DELETE manifest whose
+    summary records nulls for a constrained field is kept too — its
+    null-valued entries may scope deletes over older-spec data files
+    (see :func:`_file_matches`)."""
     if not constraints or not mf.get("partitions"):
         return False
+    is_delete_manifest = int(mf.get("content") or 0) != 0
     spec = (specs_by_id or {}).get(mf.get("partition_spec_id", 0))
     if spec is None:
         # unknown spec (foreign writer): only a single-field summary is
@@ -337,6 +370,8 @@ def _manifest_pruned(
         if c is None or idx >= len(summaries):
             continue
         summary = summaries[idx]
+        if is_delete_manifest and summary.get("contains_null"):
+            continue  # null-scoped deletes: this field cannot prune
         lo_b, hi_b = summary.get("lower_bound"), summary.get("upper_bound")
         if lo_b is None or hi_b is None:
             continue
@@ -365,11 +400,22 @@ def _file_matches(d: dict, constraints: dict) -> bool:
     """File-level partition filtering: the entry's partition struct
     must satisfy EVERY constraint naming a field it carries; fields an
     older spec's file lacks are conservatively kept (the row-level
-    residual still applies)."""
+    residual still applies).
+
+    DELETE entries (content 1/2) additionally keep on a NULL value for
+    a constrained field: a delete file written under the current spec
+    but covering rows of OLDER-SPEC data files records the new field
+    as null (the data file's tuple lacks it) — pruning it while the
+    old data file is conservatively kept would resurface deleted rows.
+    For DATA entries a null partition value means the source value is
+    null, which a non-null equality probe correctly prunes."""
+    is_delete = d.get("content") in (1, 2)
     for name, c in constraints.items():
         if name not in d["partition"]:
             continue  # older-spec file: field absent, keep
         pv = d["partition"][name]
+        if pv is None and is_delete:
+            continue  # delete scope spans old-spec files: keep
         if c[0] == "eq":
             if pv != c[1]:
                 return False
@@ -569,15 +615,7 @@ def read_iceberg_table(
         residuals[src_name] = (
             source_value if source_value is not None else source_range
         )
-    if residuals:
-        from pyspark.sql import functions as F
-
-        for src_name, pred in residuals.items():
-            if isinstance(pred, tuple):
-                df = df.where(F.col(src_name).between(pred[0], pred[1]))
-            else:
-                df = df.where(F.col(src_name) == F.lit(pred))
-    return df
+    return _apply_residuals(df, residuals)
 
 
 
