@@ -397,6 +397,38 @@ class TestIcebergIncrementalStream:
         # hive partition column reattached correctly
         assert got.where("partition = kafka.partition").count() == 300
 
+    def test_source_predicates_scope_the_stream(self, spark, tmp_path):
+        """sourcePredicates (JSON option): the stream plans only the
+        matching partitions' files and applies the row residual — the
+        per-partition streaming subscription (r8)."""
+        import json as _json
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+            register,
+        )
+
+        register(spark)
+        tdir = self._banded(spark, tmp_path)
+        out = str(tmp_path / "out_scoped")
+        ckpt = str(tmp_path / "ckpt_scoped")
+        q = (
+            spark.readStream.format("iceberg_inc")
+            .option("path", tdir)
+            .option(
+                "sourcePredicates", _json.dumps({"partition": 1})
+            )
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() == 150  # odd ids only
+        assert got.where("partition <> 1").count() == 0
+
     def test_throttled_resume_consumes_delta_only(self, spark, tmp_path):
         from pyspark.sql import functions as F
 

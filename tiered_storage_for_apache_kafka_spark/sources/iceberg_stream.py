@@ -51,6 +51,23 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
         self.max_snapshots_per_trigger = int(cap) if cap is not None else None
         start = options.get("startingsequencenumber")
         self._start_seq = int(start) if start is not None else 0
+        # partition scope (JSON dict, as plan_incremental_scan's
+        # source_predicates: {"col": value} or {"col": [lo, hi]}):
+        # per-partition streaming subscription — other partitions'
+        # files are pruned at plan time and retractions there don't
+        # fail this consumer's batches
+        preds = options.get(
+            "sourcepredicates", options.get("sourcePredicates")
+        )
+        if preds:
+            import json as _json
+
+            self._source_predicates = {
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in _json.loads(preds).items()
+            }
+        else:
+            self._source_predicates = None
         # monotonic guard: latestOffset may fire BEFORE initialOffset in
         # the DSv2 lifecycle, and must never regress a reported offset
         self._reported: int | None = None
@@ -130,12 +147,23 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
         from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
             _plan_seq_window,
         )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
+            _resolve_constraints,
+        )
 
         self._committed = max(int(start["seq"]), self._committed or 0)
         lo, hi = int(start["seq"]), int(end["seq"])
+        meta = self._meta()
+        constraints = (
+            _resolve_constraints(
+                meta, None, None, None, self._source_predicates
+            )
+            if self._source_predicates
+            else None
+        )
         out = [
             IcebergFilePartition(d["file_path"])
-            for d in _plan_seq_window(self._meta(), lo, hi)
+            for d in _plan_seq_window(meta, lo, hi, constraints)
         ]
         if not out:
             out.append(IcebergFilePartition(""))  # empty-batch sentinel
@@ -191,7 +219,29 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
                     cols.append(by_name[field.name])
                 else:
                     cols.append(pa.nulls(batch.num_rows, field.type))
-            yield pa.RecordBatch.from_arrays(cols, names=names)
+            out = pa.RecordBatch.from_arrays(cols, names=names)
+            if self._source_predicates:
+                # row residuals: partition scoping is metadata-grain,
+                # so rows of a matching partition still need the exact
+                # source filter (bucket lookups, unaligned ranges)
+                import pyarrow.compute as pc
+
+                tbl = pa.Table.from_batches([out])
+                for col, pred in self._source_predicates.items():
+                    if isinstance(pred, tuple):
+                        tbl = tbl.filter(
+                            pc.and_(
+                                pc.greater_equal(tbl[col], pred[0]),
+                                pc.less_equal(tbl[col], pred[1]),
+                            )
+                        )
+                    else:
+                        tbl = tbl.filter(pc.equal(tbl[col], pred))
+                for b in tbl.to_batches():
+                    if b.num_rows:
+                        yield b
+                continue
+            yield out
 
     def commit(self, end: dict) -> None:
         self._committed = max(int(end["seq"]), self._committed or 0)
