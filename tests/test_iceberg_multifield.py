@@ -247,6 +247,63 @@ class TestCompositeRowDeltas:
         assert got == list(range(8, 60))
 
 
+class TestGlobalEqualityDeletes:
+    def test_global_delete_hits_every_partition(self, spark, tmp_path):
+        """Global equality deletes (unpartitioned-spec scope): one
+        delete file kills the key in EVERY (day, bucket) cell — the
+        CDC shape when the key's partition is unknown."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_equality_deletes,
+        )
+
+        tdir, _schema, _meta = _composite_table(spark, tmp_path, name="glob")
+        kill = [3, 17, 42]  # spread across days and buckets
+        keys = spark.createDataFrame([(i,) for i in kill], "id long")
+        meta = commit_equality_deletes(
+            spark, tdir, keys, ["id"], now_ms=2_000, global_scope=True
+        )
+        # the unpartitioned spec registered, never made the default
+        unp = [s for s in meta["partition-specs"] if not s["fields"]]
+        assert len(unp) == 1
+        assert meta["default-spec-id"] != unp[0]["spec-id"]
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == [i for i in range(64) if i not in kill]
+        # survives a partition-pruned read too (the global delete
+        # manifest has no summary to prune on)
+        probe = 17
+        rows = (
+            read_iceberg_table(spark, tdir, source_predicates={"id": probe})
+            .collect()
+        )
+        assert rows == []
+        # and a second global delete reuses the registered spec
+        keys2 = spark.createDataFrame([(5,)], "id long")
+        meta2 = commit_equality_deletes(
+            spark, tdir, keys2, ["id"], now_ms=3_000, global_scope=True
+        )
+        assert len([s for s in meta2["partition-specs"] if not s["fields"]]) == 1
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == [i for i in range(64) if i not in (3, 5, 17, 42)]
+
+    def test_global_delete_survives_compaction(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_equality_deletes,
+        )
+
+        tdir, _schema, _meta = _composite_table(spark, tmp_path, name="glob2")
+        keys = spark.createDataFrame([(7,), (21,)], "id long")
+        commit_equality_deletes(
+            spark, tdir, keys, ["id"], now_ms=2_000, global_scope=True
+        )
+        rewrite_manifests(tdir, now_ms=3_000, target_entries=8)
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == [i for i in range(64) if i not in (7, 21)]
+        # rewrite_data_files materializes the global delete away
+        rewrite_data_files(spark, tdir, now_ms=4_000)
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == [i for i in range(64) if i not in (7, 21)]
+
+
 class TestCompositeMaintenance:
     def test_rewrite_data_files_recomputes_both_fields(self, spark, tmp_path):
         from tiered_storage_for_apache_kafka_spark.sources.iceberg import (

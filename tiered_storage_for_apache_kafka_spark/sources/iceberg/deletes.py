@@ -74,6 +74,14 @@ def _resolve_partition_cols(meta: dict, partition_col) -> list[tuple]:
     return [(n, 1000 + i, "int") for i, n in enumerate(names)]
 
 
+def _unpartitioned_spec(meta: dict) -> dict | None:
+    """The table's unpartitioned spec (``fields: []``) if one is
+    registered — the spec global delete files are scoped to."""
+    return next(
+        (s for s in meta.get("partition-specs", []) if not s["fields"]), None
+    )
+
+
 def _hive_part_dir(names: list[str], values: dict) -> str:
     """Nested hive dir components for a partition tuple, spec order
     (``day=3/bucket=1``; nulls as ``__HIVE_DEFAULT_PARTITION__``)."""
@@ -290,6 +298,7 @@ def write_equality_deletes(
     equality_cols: list[str],
     partition_col: str | None = None,
     meta: dict | None = None,
+    global_scope: bool = False,
 ) -> list[dict]:
     """Write spec-shaped **equality-delete files** (content=2) for the
     key rows in ``keys_df`` — the CDC-writer primitive: delete every
@@ -299,13 +308,25 @@ def write_equality_deletes(
     scoped to its partition, per spec); each partition's distinct keys
     are written by one Arrow task as a parquet file of exactly the
     equality columns, with their Iceberg field ids, sorted. Returns
-    stats (with ``equality_ids``) for :func:`commit_equality_deletes`."""
+    stats (with ``equality_ids``) for :func:`commit_equality_deletes`.
+
+    ``global_scope=True`` writes a GLOBAL equality delete instead
+    (spec: a delete file scoped to an UNPARTITIONED spec applies to
+    every partition): ``keys_df`` needs only the equality columns, one
+    delete file covers the whole table, and the reader matches with no
+    partition conditions — "delete this key wherever it lives", the
+    CDC shape when the key's partition is unknown (e.g. the
+    partitioning timestamp changed)."""
     if meta is None:
         _v, meta, _t = _current_state_meta(table_dir)
-    # derive the partition fields from the table's default spec (the
-    # default for every caller; an explicit name stays an override)
-    part_typed = _resolve_partition_cols(meta, partition_col)
-    part_names = [n for n, _f, _t in part_typed]
+    if global_scope:
+        part_typed, part_names = [], []
+    else:
+        # derive the partition fields from the table's default spec
+        # (the default for every caller; an explicit name stays an
+        # override)
+        part_typed = _resolve_partition_cols(meta, partition_col)
+        part_names = [n for n, _f, _t in part_typed]
     if meta.get("current-snapshot-id", -1) == -1:
         # no data has ever been committed: an equality delete applies
         # only to data files with a strictly lower sequence number, so
@@ -360,15 +381,20 @@ def write_equality_deletes(
             columns=["delete_path", "partition_json", "n_rows", "file_size"],
         )
 
-    stats = (
-        keys_df.select(*part_names, *equality_cols)
-        .distinct()
-        .groupBy(*part_names)
-        .applyInPandas(
-            _write_group,
-            "delete_path string, partition_json string, n_rows bigint, "
-            "file_size bigint",
-        )
+    from pyspark.sql import functions as F
+
+    deduped = keys_df.select(*part_names, *equality_cols).distinct()
+    # global scope: ONE group/file for the whole key set (a constant
+    # grouping key — groupBy() with zero columns has no Arrow path)
+    grouped = (
+        deduped.groupBy(F.lit(1).alias("__g"))
+        if global_scope
+        else deduped.groupBy(*part_names)
+    )
+    stats = grouped.applyInPandas(
+        _write_group,
+        "delete_path string, partition_json string, n_rows bigint, "
+        "file_size bigint",
     )
     return [
         {
@@ -392,6 +418,7 @@ def commit_equality_deletes(
     catalog=None,
     table_name: str | None = None,
     max_commit_retries: int = 3,
+    global_scope: bool = False,
 ) -> dict:
     """Row-level DELETE by key as an Iceberg v2 row-delta commit of
     equality-delete files — the upsert building block real CDC writers
@@ -399,7 +426,14 @@ def commit_equality_deletes(
     without reading the data, then append the replacement rows; the
     strict sequence-number rule (applies only to data files with seq
     STRICTLY below the delete's) guarantees the replacements survive.
-    An empty key set returns the current metadata unchanged."""
+    An empty key set returns the current metadata unchanged.
+
+    ``global_scope=True`` commits a GLOBAL equality delete — one
+    delete file scoped to an UNPARTITIONED spec (registered on first
+    use, never made the default), matching its keys in EVERY partition
+    (Iceberg spec: delete files with an unpartitioned spec apply
+    table-wide). The CDC shape when a key's partition is unknown —
+    e.g. an upsert whose partitioning timestamp changed."""
     from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
         CommitConflictError,
         commit_retry_backoff,
@@ -415,15 +449,17 @@ def commit_equality_deletes(
             table_dir, catalog, table_name
         )
         stats = write_equality_deletes(
-            spark, table_dir, keys_df, equality_cols, partition_col, meta=base
+            spark, table_dir, keys_df, equality_cols, partition_col,
+            meta=base, global_scope=global_scope,
         )
         if not stats:
             return base
         try:
             return _commit_deletes_once(
                 table_dir, version, base, stats,
-                _resolve_partition_names(base, partition_col), now_ms,
-                catalog, table_name,
+                [] if global_scope
+                else _resolve_partition_names(base, partition_col),
+                now_ms, catalog, table_name, global_scope=global_scope,
             )
         except CommitConflictError as e:
             last_err = e
@@ -442,9 +478,29 @@ def _commit_deletes_once(
     now_ms: int,
     catalog,
     table_name: str | None,
+    global_scope: bool = False,
 ) -> dict:
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
+    # global deletes scope to the table's UNPARTITIONED spec,
+    # registered on first use (never made the default — data keeps its
+    # layout; only the delete file is table-wide)
+    spec_updates: list[dict] = []
+    if global_scope:
+        unp = _unpartitioned_spec(base)
+        if unp is None:
+            unp = {
+                "spec-id": max(
+                    s["spec-id"] for s in base["partition-specs"]
+                )
+                + 1,
+                "fields": [],
+            }
+            base = {
+                **base,
+                "partition-specs": base["partition-specs"] + [unp],
+            }
+            spec_updates = [{"action": "add-spec", "spec": unp}]
     newest_ts = max((s["timestamp-ms"] for s in base["snapshots"]), default=0)
     now_ms = max(now_ms, newest_ts)  # snapshot-log monotonicity clamp
     seq = base["last-sequence-number"] + 1
@@ -480,7 +536,7 @@ def _commit_deletes_once(
     )
 
     schema_struct = _current_schema_struct(base)
-    spec = _default_spec(base)
+    spec = _unpartitioned_spec(base) if global_scope else _default_spec(base)
     entry_cols = (
         spec_typed_cols(spec, schema_struct)
         if spec_names(spec) == list(partition_cols)
@@ -505,7 +561,8 @@ def _commit_deletes_once(
     return _finish_delete_commit(
         table_dir, version, base, stats, now_ms, catalog, table_name,
         seq, snapshot_id, commit_uuid, manifest_path, manifest_len,
-        len(entries),
+        len(entries), delete_spec_id=spec["spec-id"],
+        extra_updates=spec_updates,
     )
 
 
@@ -526,6 +583,8 @@ def _finish_delete_commit(
     prior_manifests: list[dict] | None = None,
     removed_pos_deletes: int = 0,
     summary_extra: dict | None = None,
+    delete_spec_id: int | None = None,
+    extra_updates: list[dict] | None = None,
 ) -> dict:
     """Shared tail of every delete-flavored commit (v2 parquet
     row-deltas and v3-style deletion vectors): build the DELETE
@@ -537,7 +596,11 @@ def _finish_delete_commit(
     DV supersede path rewrites prior delete manifests to tombstone the
     replaced DV entries); ``removed_pos_deletes`` is subtracted from
     the running total (a superseding DV's cardinality includes the
-    union of the old one, which must not double-count)."""
+    union of the old one, which must not double-count);
+    ``delete_spec_id`` overrides the manifest's spec id (global
+    equality deletes scope to the unpartitioned spec); and
+    ``extra_updates`` ride along in the catalog commit (local mode
+    picks the same change up from the caller-mutated ``base``)."""
     meta_dir = os.path.join(table_dir, "metadata")
     parts = [dict(s["partition"]) for s in stats]
     # summary field order follows the stats' partition dicts (written
@@ -549,7 +612,11 @@ def _finish_delete_commit(
     delete_manifest = {
         "manifest_path": manifest_path,
         "manifest_length": manifest_len,
-        "partition_spec_id": _default_spec(base)["spec-id"],
+        "partition_spec_id": (
+            delete_spec_id
+            if delete_spec_id is not None
+            else _default_spec(base)["spec-id"]
+        ),
         "content": 1,  # DELETES manifest
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -656,7 +723,7 @@ def _finish_delete_commit(
     ]
 
     if catalog is not None:
-        updates = [
+        updates = list(extra_updates or []) + [
             {"action": "add-snapshot", "snapshot": snapshot},
             {
                 "action": "set-snapshot-ref",

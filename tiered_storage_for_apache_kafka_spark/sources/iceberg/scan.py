@@ -104,9 +104,12 @@ def _apply_eq_delete_group(
                 for d in eq_entries
             }
         ),
-        "__iceberg_dfile string, __iceberg_del_seq bigint, "
-        + ", ".join(
-            f"__iceberg_del_part_{i} {t}" for i, t in enumerate(field_types)
+        ", ".join(
+            ["__iceberg_dfile string", "__iceberg_del_seq bigint"]
+            + [
+                f"__iceberg_del_part_{i} {t}"
+                for i, t in enumerate(field_types)
+            ]
         ),
     )
     data_seq = spark.createDataFrame(
