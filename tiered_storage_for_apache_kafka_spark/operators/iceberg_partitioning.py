@@ -246,6 +246,124 @@ def iceberg_multifield_partition_scan(
     )
 
 
+_GLOBAL_DEL_CACHE: dict[tuple, str] = {}
+
+
+def _global_delete_table(spark: SparkSession, sf_dir: str) -> str:
+    """The composite (day, bucket) layout plus a GLOBAL equality
+    delete: one unpartitioned-scope delete file kills event_ids
+    ``0 mod 97`` in every (day, bucket) cell — the spec's table-wide
+    delete representation (delete files scoped to an unpartitioned
+    spec apply everywhere)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_equality_deletes,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _GLOBAL_DEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_id"),
+            (
+                (F.col("event_id") % N_DAYS) * MICROS_PER_DAY
+                + F.col("event_id")
+            ).alias("ts_us"),
+        )
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-globdel-")
+    write_iceberg_table(
+        spark, df, tdir, now_ms=1_000,
+        partition_spec=[
+            ("ts_day", "day", "ts_us"),
+            ("id_bucket", f"bucket[{N_BUCKETS}]", "event_id"),
+        ],
+    )
+    keys = df.where(F.col("event_id") % 97 == 0).select("event_id")
+    commit_equality_deletes(
+        spark, tdir, keys, ["event_id"], now_ms=2_000, global_scope=True
+    )
+    session_cache_put(_GLOBAL_DEL_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_global_delete_scan",
+    oracle=f"""
+SELECT CAST(event_id % {N_DAYS} AS BIGINT) AS ts_day,
+       CAST(SUM(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_live,
+       CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deleted,
+       CAST(1 AS BIGINT) AS one_global_delete_file
+FROM events
+WHERE event_id % {N_DAYS} BETWEEN 0 AND 3
+GROUP BY CAST(event_id % {N_DAYS} AS BIGINT)
+""",
+)
+def iceberg_global_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL equality delete merge-on-read: ONE unpartitioned-scope
+    delete file (pinned by ``one_global_delete_file``) retracts
+    ``event_id % 97 = 0`` across every (day, bucket) cell of the
+    composite table; per-day live/deleted counts replay relationally.
+    Scale shape: the key set broadcasts once and the anti-join matches
+    with no partition conditions — exactly one delete file regardless
+    of partition count, where the partition-scoped representation
+    would write one per touched cell."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+        read_table_metadata,
+    )
+
+    tdir = _global_delete_table(spark, sf_dir)
+    # structural pin: exactly one live equality-delete file, scoped to
+    # the unpartitioned spec
+    back = read_table_metadata(tdir)
+    eq_entries = [
+        (m["file"], e)
+        for m in back["manifests"]
+        for e in m["entries"]
+        if e["status"] != 2 and e["data_file"].get("content") == 2
+    ]
+    unp_ids = {
+        s["spec-id"]
+        for s in back["metadata"]["partition-specs"]
+        if not s["fields"]
+    }
+    one_global = (
+        1
+        if len(eq_entries) == 1
+        and int(eq_entries[0][0]["partition_spec_id"]) in unp_ids
+        else 0
+    )
+    full = (
+        load_table(spark, sf_dir, "events")
+        .where((F.col("event_id") % N_DAYS).between(0, 3))
+        .groupBy((F.col("event_id") % N_DAYS).cast("bigint").alias("ts_day"))
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    lo, hi = 0, 3 * MICROS_PER_DAY + MICROS_PER_DAY - 1
+    live = (
+        read_iceberg_table(spark, tdir, source_predicates={"ts_us": (lo, hi)})
+        .groupBy(F.floor(F.col("ts_us") / MICROS_PER_DAY).alias("ts_day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_live"))
+    )
+    return (
+        live.join(full, "ts_day")
+        .select(
+            "ts_day",
+            "n_live",
+            (F.col("n_total") - F.col("n_live"))
+            .cast("bigint")
+            .alias("n_deleted"),
+            F.lit(one_global).cast("bigint").alias("one_global_delete_file"),
+        )
+    )
+
+
 def _evolved_table(spark: SparkSession, sf_dir: str) -> str:
     """A table that LIVED THROUGH partition evolution: generation 1
     (even 32-blocks of event_id) committed under ``day(ts_us)`` alone, then
