@@ -188,6 +188,142 @@ class TestMaintenanceSoak:
         n_head_files = len(plan_scan(tdir))
         assert n_head_files <= 60, n_head_files
 
+    def test_gauntlet_with_spec_evolution(self, spark, tmp_path):
+        """The composed schedule ACROSS a partition-spec evolution
+        (r8): 40 batches where the table starts identity(partition),
+        evolves to (partition, bucket[4](v)) at batch 12, keeps
+        appending nested-layout batches, takes DV deletes touching
+        BOTH generations (old-generation coverage records the new
+        field null — the conservative-keep path live in composition),
+        is data-rewritten (migrating generation 1 to the composite
+        spec), manifest-compacted per spec generation, expired and
+        orphan-swept — while the changelog consumer maintains its
+        aggregate through all of it. Post-migration, a bucket point
+        lookup prunes the whole table."""
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+            commit_deletion_vectors,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            bucket_hash_long,
+            commit_append,
+            expire_snapshots,
+            plan_scan,
+            read_iceberg_table,
+            remove_orphan_files,
+            rewrite_data_files,
+            rewrite_manifests,
+            update_partition_spec,
+        )
+
+        n_batches, evolve_at = 40, 12
+        tdir = str(tmp_path / "soak-evo")
+        schema = spark.createDataFrame([], "partition int, v long").schema
+
+        def bkt(v: int) -> int:
+            return (bucket_hash_long(v) & 0x7FFFFFFF) % 4
+
+        def append_composite(b: int, ms: int):
+            lo = b * ROWS_PER_BATCH
+            files = []
+            groups: dict[tuple[int, int], list[int]] = {}
+            for v in range(lo, lo + ROWS_PER_BATCH):
+                groups.setdefault((v % 2, bkt(v)), []).append(v)
+            for (p, kb), vals in sorted(groups.items()):
+                d = os.path.join(tdir, f"partition={p}", f"v_bucket={kb}")
+                os.makedirs(d, exist_ok=True)
+                path = os.path.join(d, f"batch-{b:03d}.parquet")
+                pq.write_table(
+                    pa.table({"v": pa.array(vals, pa.int64())}), path
+                )
+                files.append(path)
+            return commit_append(tdir, schema, now_ms=ms, files=files)
+
+        counts: dict[int, int] = {}
+        ms = 1_000
+        meta = _append_batch(tdir, schema, 0, ms)
+        ckpt = meta["current-snapshot-id"]
+        counts[0] = ROWS_PER_BATCH // 2
+        counts[1] = ROWS_PER_BATCH // 2
+        swept = 0
+        for b in range(1, n_batches):
+            ms += 1_000
+            if b < evolve_at:
+                _append_batch(tdir, schema, b, ms)
+            else:
+                append_composite(b, ms)
+            if b == evolve_at:
+                ms += 1_000
+                update_partition_spec(
+                    tdir,
+                    [
+                        ("partition", "identity", None),
+                        ("v_bucket", "bucket[4]", "v"),
+                    ],
+                    now_ms=ms,
+                )
+            if b in (8, 16):
+                # DV deletes BEFORE and AFTER evolution: the post-
+                # evolution one covers generation-1 files with the new
+                # field recorded null
+                ms += 1_000
+                commit_deletion_vectors(spark, tdir, PRED_A, now_ms=ms)
+            if b == 24:
+                ms += 1_000
+                commit_deletion_vectors(spark, tdir, PRED_B, now_ms=ms)
+            if b % 9 == 8:
+                ms += 1_000
+                rewrite_manifests(tdir, now_ms=ms)
+            if b == 20:
+                # migrates generation 1 to the composite default spec
+                ms += 1_000
+                rewrite_data_files(spark, tdir, now_ms=ms)
+            if b % 10 == 9:
+                ckpt = _consume(spark, tdir, ckpt, counts)
+            if b == 30:
+                ckpt = _consume(spark, tdir, ckpt, counts)
+                ms += 1_000
+                expire_snapshots(tdir, keep_last=2, now_ms=ms)
+                if remove_orphan_files(tdir, older_than_timestamp_ms=10**14):
+                    swept += 1
+        ms += 1_000
+        commit_deletion_vectors(spark, tdir, FINAL_PRED, now_ms=ms)
+        ckpt = _consume(spark, tdir, ckpt, counts)
+
+        total = n_batches * ROWS_PER_BATCH
+        expected = {
+            p: sum(
+                1
+                for v in range(total)
+                if v % 2 == p and v % 7 != 3 and v % 11 != 5
+            )
+            for p in (0, 1)
+        }
+        head = {
+            int(r["partition"]): int(r["n"])
+            for r in read_iceberg_table(spark, tdir)
+            .groupBy("partition")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert head == expected, "head recompute diverged from closed form"
+        assert counts == expected, (
+            "changelog aggregate diverged across the evolution"
+        )
+        assert swept >= 1
+        # post-migration the whole table carries the composite tuple:
+        # a bucket point lookup prunes EVERY file to one bucket, and
+        # the row is found
+        probe = 100  # lives in gen1 originally; migrated at b=20
+        assert probe % 7 != 3 and probe % 11 != 5
+        files = plan_scan(tdir, source_predicates={"v": probe})
+        assert files
+        assert {f["partition"].get("v_bucket") for f in files} == {bkt(probe)}
+        got = (
+            read_iceberg_table(spark, tdir, source_predicates={"v": probe})
+            .collect()
+        )
+        assert [r["v"] for r in got] == [probe]
+
     def test_consumer_refuses_expired_checkpoint(self, spark, tmp_path):
         # the contract the soak consumer honors: a checkpoint that falls
         # behind expire_snapshots is an explicit re-bootstrap error, not
