@@ -285,6 +285,39 @@ class TestGlobalEqualityDeletes:
         got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
         assert got == [i for i in range(64) if i not in (3, 5, 17, 42)]
 
+    def test_global_delete_via_rest_catalog(self, spark, tmp_path):
+        """Catalog mode: the unpartitioned-spec registration rides the
+        CommitTableRequest (add-spec + the delete snapshot in ONE
+        commit), and the catalog's metadata serves the scoped read."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_equality_deletes,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+            FakeRestCatalogServer, RestCatalogClient,
+        )
+
+        tdir, _schema, _meta = _composite_table(
+            spark, tmp_path, n_ids=32, name="globcat"
+        )
+        with FakeRestCatalogServer() as server:
+            cat = RestCatalogClient(server.base_url)
+            cat.ensure_namespace()
+            cat.create_table("globcat", _current_meta(tdir))
+            keys = spark.createDataFrame([(11,), (22,)], "id long")
+            meta = commit_equality_deletes(
+                spark, tdir, keys, ["id"], now_ms=2_000,
+                global_scope=True, catalog=cat, table_name="globcat",
+            )
+            assert any(not s["fields"] for s in meta["partition-specs"])
+            assert meta["default-spec-id"] == 0  # default untouched
+            got = sorted(
+                r["id"]
+                for r in read_iceberg_table(
+                    spark, tdir, catalog=cat, table_name="globcat"
+                ).collect()
+            )
+            assert got == [i for i in range(32) if i not in (11, 22)]
+
     def test_global_delete_survives_compaction(self, spark, tmp_path):
         from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
             commit_equality_deletes,

@@ -238,9 +238,10 @@ def apply_updates(meta: dict, updates: list[dict], now_ms: int) -> dict:
             )
             if clash is None:
                 meta["partition-specs"] = specs + [spec]
+                # an UNPARTITIONED spec (fields: []) adds no field ids
                 meta["last-partition-id"] = max(
-                    int(meta.get("last-partition-id", 999)),
-                    max(int(f["field-id"]) for f in spec["fields"]),
+                    [int(meta.get("last-partition-id", 999))]
+                    + [int(f["field-id"]) for f in spec["fields"]]
                 )
             elif clash.get("fields") != spec.get("fields"):
                 # same idempotency rule as add-sort-order: replaying an
