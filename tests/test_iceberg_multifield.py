@@ -214,6 +214,31 @@ class TestCompositeRowDeltas:
             for p in nested
         )
 
+    def test_sharded_position_delete_writer(self, spark, tmp_path):
+        """writer_shards: a partition's delete set splits into N
+        parallel-built files by a deterministic file-path bucket (the
+        100 TB hot-partition knob); the read is unchanged."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_position_deletes,
+        )
+
+        tdir, _schema, _meta = _composite_table(
+            spark, tmp_path, n_ids=64, name="pdsh"
+        )
+        commit_position_deletes(
+            spark, tdir, "id % 2 = 0", now_ms=2_000, writer_shards=3
+        )
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == [i for i in range(64) if i % 2 == 1]
+        dd = os.path.join(tdir, "deletes")
+        n_files = sum(len(fs) for _r, _d, fs in os.walk(dd))
+        # every touched (day, bucket) cell has exactly one data file,
+        # so sharding by file path yields one delete file per cell —
+        # and the -s<k> tag proves the sharded path produced them
+        names = [f for _r, _d, fs in os.walk(dd) for f in fs]
+        assert n_files > 0
+        assert all("-s" in n for n in names)
+
     def test_equality_deletes_match_on_recomputed_tuple(self, spark, tmp_path):
         from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
             commit_equality_deletes,

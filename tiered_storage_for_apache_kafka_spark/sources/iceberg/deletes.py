@@ -97,6 +97,7 @@ def write_position_deletes(
     predicate,
     partition_col: str | None = None,
     meta: dict | None = None,
+    writer_shards: int = 1,
 ) -> list[dict]:
     """Plan and write spec-shaped **position-delete files** for every
     current-snapshot row matching ``predicate`` (a Spark SQL string or
@@ -109,9 +110,15 @@ def write_position_deletes(
     ``pos`` (field id 2147483545), sorted by (file_path, pos), stored
     beside the data files in the partition dir (spec "Position Delete
     Files"). Returns per-file stats for :func:`commit_position_deletes`;
-    rows that match nothing produce no files. At 100 TB you would
-    additionally shard each partition's writer by a file-path bucket;
-    one file per partition per call is the spec-minimal baseline."""
+    rows that match nothing produce no files.
+
+    ``writer_shards > 1`` is the 100 TB knob: each partition's matches
+    additionally split by a deterministic file-path hash bucket, so a
+    hot partition's delete set is built by N parallel Arrow tasks into
+    N delete files instead of one giant single-task file (multiple
+    position-delete files per partition are spec-legal; readers union
+    them). One file per partition stays the small-table default — no
+    extra files to plan when the delete set is small."""
     from pyspark.sql import functions as F
 
     if meta is None:
@@ -166,9 +173,20 @@ def write_position_deletes(
         .select("__iceberg_file", "__iceberg_pos")
         .join(F.broadcast(part_map), "__iceberg_file")
     )
+    group_cols = list(part_cols)
+    if writer_shards > 1:
+        # deterministic file-path shard: positions of ONE data file
+        # always land in the same delete file (keeps each file's
+        # delete rows contiguous and sorted for the reader's merge)
+        matches = matches.withColumn(
+            "__iceberg_shard",
+            F.pmod(F.xxhash64("__iceberg_file"), F.lit(writer_shards)),
+        )
+        group_cols.append("__iceberg_shard")
     token = uuid.uuid4().hex[:16]
     names = list(part_names)
     types = [t for _n, _f, t in part_typed]
+    sharded = writer_shards > 1
 
     def _write_group(pdf):
         import json as _json
@@ -190,6 +208,8 @@ def write_position_deletes(
         )
         os.makedirs(out_dir, exist_ok=True)
         tag = "-".join(str(values[n]) for n in names)
+        if sharded:
+            tag += f"-s{int(pdf['__iceberg_shard'].iloc[0])}"
         path = os.path.join(out_dir, f"delete-{token}-p{tag}.parquet")
         schema = pa.schema(
             [
@@ -220,7 +240,7 @@ def write_position_deletes(
             columns=["delete_path", "partition_json", "n_rows", "file_size"],
         )
 
-    stats = matches.groupBy(*part_cols).applyInPandas(
+    stats = matches.groupBy(*group_cols).applyInPandas(
         _write_group,
         "delete_path string, partition_json string, n_rows bigint, "
         "file_size bigint",
@@ -245,6 +265,7 @@ def commit_position_deletes(
     catalog=None,
     table_name: str | None = None,
     max_commit_retries: int = 3,
+    writer_shards: int = 1,
 ) -> dict:
     """Row-level DELETE as an Iceberg v2 **row-delta commit**: write
     position-delete files for the matching rows (merge-on-read — data
@@ -273,7 +294,8 @@ def commit_position_deletes(
             table_dir, catalog, table_name
         )
         stats = write_position_deletes(
-            spark, table_dir, predicate, partition_col, meta=base
+            spark, table_dir, predicate, partition_col, meta=base,
+            writer_shards=writer_shards,
         )
         if not stats:
             return base
