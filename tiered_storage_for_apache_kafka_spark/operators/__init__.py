@@ -74,6 +74,7 @@ _R8_WINDOW = [
     "iceberg_string_partition_scan",
     "iceberg_partitions_table",
     "iceberg_global_delete_scan",
+    "iceberg_string_bounds_scan",
     "iceberg_day_partition_scan",
     "iceberg_bucket_partition_scan",
     "iceberg_dv_scan",

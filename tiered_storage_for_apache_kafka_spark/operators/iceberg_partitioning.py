@@ -364,6 +364,96 @@ def iceberg_global_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRBOUNDS_CACHE: dict[tuple, str] = {}
+
+
+def _string_banded_table(spark: SparkSession, sf_dir: str) -> str:
+    """documents written as ONE sorted task sliced into consecutive
+    files (the sorted-compaction layout): each parquet file covers a
+    narrow lexicographic ``source`` range, and its manifest entry
+    records exact UTF-8 lower/upper bounds from the footer — the
+    string column-stats pruning fixture."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_append,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _STRBOUNDS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.lit(0).cast("int").alias("partition"),
+            "doc_id", "source", "n_chars",
+        )
+    )
+    n = df.count()
+    tdir = tempfile.mkdtemp(prefix="iceberg-strbounds-")
+    (
+        df.repartition(1)
+        .sortWithinPartitions("source", "doc_id")
+        .write.partitionBy("partition")
+        .option("maxRecordsPerFile", str(max(1, n // 8)))
+        .parquet(tdir, mode="append")
+    )
+    commit_append(tdir, df.schema, now_ms=1_000)
+    session_cache_put(_STRBOUNDS_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_string_bounds_scan",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(1 AS BIGINT) AS pruned
+FROM documents
+WHERE source BETWEEN 'src12' AND 'src16'
+""",
+)
+def iceberg_string_bounds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING column-stats file pruning (r8): a lexicographic
+    ``source`` window planned via ``column_bounds`` against a
+    sorted-band table — files whose recorded UTF-8 bounds provably
+    miss the window are never opened (``pruned`` pins a strict
+    subset), and the row residual gives exact counts the oracle
+    replays. Scale shape: the same bounds pruning that keeps an
+    integer offset-window read O(overlapping files) now covers string
+    keys — a sorted-write corpus's source/domain window opens only
+    the overlapping band files regardless of table size."""
+    from pyspark.sql import functions as _F
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        plan_scan,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+        _read_planned_files,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _current_state_meta,
+    )
+
+    tdir = _string_banded_table(spark, sf_dir)
+    lo, hi = "src12", "src16"
+    files = plan_scan(tdir, column_bounds=("source", lo, hi))
+    n_total = len(plan_scan(tdir))
+    pruned = 1 if 0 < len(files) < n_total else 0
+    _v, meta, _t = _current_state_meta(tdir)
+    rows = (
+        _read_planned_files(
+            spark, tdir, meta, [f["file_path"] for f in files]
+        )
+        .where(_F.col("source").between(lo, hi))
+        .agg(
+            _F.count(_F.lit(1)).cast("bigint").alias("n_rows"),
+            _F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .withColumn("pruned", _F.lit(pruned).cast("bigint"))
+    )
+    return rows
+
+
 def _evolved_table(spark: SparkSession, sf_dir: str) -> str:
     """A table that LIVED THROUGH partition evolution: generation 1
     (even 32-blocks of event_id) committed under ``day(ts_us)`` alone, then
