@@ -70,7 +70,7 @@ class TestTransformFunctions:
 
 
 class TestSparkColumnForms:
-    @pytest.mark.parametrize("spec", ["bucket[4]", "truncate[100]", "day", "hour", "month", "year"])
+    @pytest.mark.parametrize("spec", ["bucket[4]", "truncate[100]", "day", "hour", "month", "year", "void"])
     def test_column_matches_scalar(self, spark, spec):
         vals = [0, 1, -1, 34, 12345678901234, -12345678901234]
         df = spark.createDataFrame([(v,) for v in vals], "v long")

@@ -189,6 +189,11 @@ def transform_column(df, source_col: str, spec: str, name: str):
     col = F.col(source_col)
     if tname == "identity":
         return df.withColumn(name, col)
+    if tname == "void":
+        # spec: void always produces null — the drop-a-partition-field
+        # evolution alias (real Iceberg rewrites a removed field as
+        # void rather than renumbering the struct)
+        return df.withColumn(name, F.lit(None).cast("int"))
     if tname == "truncate":
         dt = dict(df.dtypes).get(source_col)
         if dt == "string":
