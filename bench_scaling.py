@@ -586,10 +586,18 @@ def probe_metadata_100x() -> None:
          assume_new_files), and metadata-log grew unboundedly (fixed:
          write.metadata.previous-versions-max cap, Iceberg's default).
 
+    4. (round-9) write_iceberg_table append at 100x table FILE count:
+       the writer's staging-dir file capture makes one append's cost
+       O(batch) — the round-8 walk-diff was O(table listing) per
+       append, exactly the class of driver-side cost legs 1-3 rule out
+       elsewhere.
+
     Measured 2026-08-15 (this host), after the fixes:
       day-window  files=4/4/4   plan_ms 2.6 / 2.9 / 6.3   (64/640/6400)
       composite   files=1/1/1   plan_ms 4.3 / 2.9 / 5.2   (64/640/6400 cells)
       commits     1-10: 1.8ms   991-1000: 4.6ms           (flat at 100x age)
+      writer append (staged capture) 596 / 533 / 490 ms at 64/640/6400
+        table files — FLAT, wall time is the Spark write job itself
     Plan cost grows ~2.4x for 100x files (manifest-list length), files
     opened constant. Run: python bench_scaling.py --metadata-100x
     """
@@ -717,6 +725,38 @@ def probe_metadata_100x() -> None:
         )
         assert len(cells) == 1, cells
         shutil.rmtree(tdir, ignore_errors=True)
+
+    # -- write_iceberg_table append cost at 100x table file count -------------
+    # (round-9: the writer's file capture is staging-based; its cost
+    # must be O(batch), INDEPENDENT of how many files the table already
+    # holds — the round-8 walk-diff was O(table listing) per append)
+    from tiered_storage_for_apache_kafka_spark.session import get_spark
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        write_iceberg_table,
+    )
+
+    spark = get_spark(app_name="m100x-writer")
+    append_df = spark.createDataFrame(
+        [(7 * MICROS_PER_DAY + i, 1000 + i) for i in range(8)],
+        "ts_us long, v long",
+    )
+    wspec = [("ts_day", "day", "ts_us")]
+    writer_ms = {}
+    for n_days in (64, 640, 6400):
+        tdir = build_days(n_days)
+        write_iceberg_table(  # warm the session's write path once
+            spark, append_df, tdir, partition_spec=wspec, now_ms=n_days + 20
+        )
+        t0 = time.perf_counter()
+        write_iceberg_table(
+            spark, append_df, tdir, partition_spec=wspec, now_ms=n_days + 30
+        )
+        writer_ms[n_days] = (time.perf_counter() - t0) * 1000
+        shutil.rmtree(tdir, ignore_errors=True)
+    print(
+        "write_iceberg_table append (ms, table files 64/640/6400): "
+        + "  ".join(f"{writer_ms[n]:6.0f}" for n in (64, 640, 6400))
+    )
 
     # -- streaming-commit cost at 100x table age ------------------------------
     tdir = tempfile.mkdtemp(prefix="m100x-commit-")

@@ -954,3 +954,172 @@ class TestSpecEvolution:
                 ).collect()
             )
             assert got == list(range(48))
+
+
+class TestWriterFileCapture:
+    """Round-9: `write_iceberg_table`'s file capture is staging-based —
+    listing-free (the walk is O(batch), over the private `_stage-*`
+    dir only) and concurrency-safe (a concurrent writer's files can
+    never be swept into this commit, the round-8 walk-diff race)."""
+
+    def _df(self, spark, ids):
+        return spark.createDataFrame(
+            [
+                (i, (DAY0 + (i % N_DAYS)) * MICROS_PER_DAY, i * 10)
+                for i in ids
+            ],
+            "id long, ts_us long, v long",
+        )
+
+    def test_foreign_uncommitted_files_never_swept(self, spark, tmp_path):
+        """A foreign in-flight file sitting in a hive dir (what a
+        concurrent writer's rename leaves between ITS rename and ITS
+        commit) must not ride this writer's commit — the exact race the
+        old before/after table walk-diff had."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "cap1")
+        write_iceberg_table(
+            spark, self._df(spark, range(8)), tdir,
+            partition_spec=SPEC, now_ms=1_000,
+        )
+        # the foreign writer's file: landed, not yet committed by IT
+        d = DAY0
+        foreign_dir = os.path.join(
+            tdir, f"ts_day={d}", f"id_bucket={_bucket(0)}"
+        )
+        os.makedirs(foreign_dir, exist_ok=True)
+        foreign = os.path.join(foreign_dir, "part-foreign-attempt.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "ts_us": pa.array([d * MICROS_PER_DAY], pa.int64()),
+                    "v": pa.array([999], pa.int64()),
+                    "id": pa.array([0], pa.int64()),
+                }
+            ),
+            foreign,
+        )
+        meta = write_iceberg_table(
+            spark, self._df(spark, range(8, 16)), tdir,
+            partition_spec=SPEC, now_ms=2_000,
+        )
+        committed = {f["file_path"] for f in plan_scan(tdir)}
+        assert foreign not in committed
+        assert read_iceberg_table(spark, tdir).count() == 16
+        assert meta["current-snapshot-id"] != -1
+        # no staging residue
+        assert not [
+            p for p in os.listdir(tdir) if p.startswith("_stage-")
+        ]
+
+    def test_two_concurrent_writers_disjoint(self, spark, tmp_path):
+        """Two writers appending concurrently through the REST catalog
+        commit disjoint file sets: every committed path appears in
+        exactly ONE snapshot's added set, and the union of rows is
+        exact (the old walk-diff double-committed the overlap)."""
+        import threading
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+            FakeRestCatalogServer, RestCatalogClient,
+        )
+
+        tdir = str(tmp_path / "cap2")
+        with FakeRestCatalogServer() as server:
+            cat = RestCatalogClient(server.base_url)
+            cat.ensure_namespace()
+            write_iceberg_table(
+                spark, self._df(spark, range(4)), tdir,
+                partition_spec=SPEC, now_ms=1_000,
+                catalog=cat, table_name="cap2",
+            )
+            errs: list[Exception] = []
+
+            def run(ids, ts):
+                try:
+                    write_iceberg_table(
+                        spark, self._df(spark, ids), tdir,
+                        partition_spec=SPEC, now_ms=ts,
+                        catalog=cat, table_name="cap2",
+                    )
+                except Exception as e:  # noqa: BLE001 — surfaced below
+                    errs.append(e)
+
+            t1 = threading.Thread(target=run, args=(range(4, 20), 2_000))
+            t2 = threading.Thread(target=run, args=(range(20, 36), 2_001))
+            t1.start(); t2.start(); t1.join(); t2.join()
+            assert errs == []
+            got = sorted(
+                r["id"]
+                for r in read_iceberg_table(
+                    spark, tdir, catalog=cat, table_name="cap2"
+                ).collect()
+            )
+            assert got == list(range(36))
+            # no path committed twice across the final file set
+            files = [
+                f["file_path"]
+                for f in plan_scan(tdir, catalog=cat, table_name="cap2")
+            ]
+            assert len(files) == len(set(files))
+
+    def test_none_spec_append_to_transformed_table_rejected(
+        self, spark, tmp_path
+    ):
+        """Advisor r8 (medium): appending with partition_spec=None to a
+        transformed table must fail BEFORE any file is written — the
+        all-null partition tuples such files would commit are then
+        silently pruned from every scoped scan."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "cap3")
+        write_iceberg_table(
+            spark, self._df(spark, range(8)), tdir,
+            partition_spec=SPEC, now_ms=1_000,
+        )
+        with pytest.raises(ValueError, match="cannot append declaring"):
+            write_iceberg_table(
+                spark, self._df(spark, range(8, 16)), tdir, now_ms=2_000,
+            )
+        # side-effect-free: a discovery commit finds nothing to adopt
+        schema = self._df(spark, range(1)).schema
+        commit_append(tdir, schema, partition_spec=SPEC, now_ms=3_000)
+        assert read_iceberg_table(spark, tdir).count() == 8
+
+    def test_writer_shards_fan_out_hot_partition(self, spark, tmp_path):
+        """`writer_shards=N` spreads a skewed batch's hot partition
+        cell over multiple write tasks — multiple files per cell, all
+        spec-legal, row set exact."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "cap4")
+        # 9/10 of rows land on ONE day (id % N_DAYS == 0 -> same ts_day)
+        ids = [i * N_DAYS for i in range(180)] + list(range(1, 21))
+        df = self._df(spark, ids)
+        write_iceberg_table(
+            spark, df, tdir,
+            partition_spec=[("ts_day", "day", "ts_us")],
+            now_ms=1_000, writer_shards=4,
+        )
+        hot_dir = os.path.join(tdir, f"ts_day={DAY0}")
+        hot_files = [
+            n for n in os.listdir(hot_dir) if n.endswith(".parquet")
+        ]
+        assert len(hot_files) > 1  # fanned out, not one funnel task
+        got = sorted(
+            r["id"] for r in read_iceberg_table(spark, tdir).collect()
+        )
+        assert got == sorted(ids)
+        # pruning still exact on the sharded layout
+        w = (DAY0 * MICROS_PER_DAY, (DAY0 + 1) * MICROS_PER_DAY - 1)
+        planned = plan_scan(tdir, source_range=w)
+        assert {f["partition"]["ts_day"] for f in planned} == {DAY0}

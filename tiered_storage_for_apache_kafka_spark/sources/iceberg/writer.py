@@ -14,12 +14,19 @@ hand-rolled.
 Reference scope: the reference writes Iceberg tables unpartitioned
 (`TableWriterFactory.java:93`, `IcebergTableManager.java:58`); this is
 the engine's extension to the production layouts (Iceberg spec
-"Partition Specs" / "Partition Transforms").
+"Partition Specs" / "Partition Transforms"). The file-capture
+discipline below is the reference's own atomicity posture
+(`KafkaRemoteStorageManager.java:211-220`: upload, then manifest;
+orphans are swept separately, never silently adopted).
 
 Scale shape: the write IS the distributed job — `repartition` on the
-partition tuple co-locates each cell in one task, `partitionBy` lays
-out the hive dirs, and the commit's driver-side work is O(#files)
-footer stats. At 100 TB you would additionally cap file sizes via
+partition tuple co-locates each cell in one task (``writer_shards``
+salts that shuffle so a HOT cell fans out to N parallel tasks), and
+``partitionBy`` lays out the hive dirs. The commit's driver-side work
+is O(#batch files) footer stats: the batch lands in a private staging
+directory whose walk is O(batch), so append cost is INDEPENDENT of how
+many files the table already holds — never an O(table) listing. At
+100 TB you would additionally cap file sizes via
 ``max_records_per_file``, which maps straight to Spark's
 ``maxRecordsPerFile`` option here.
 """
@@ -37,6 +44,7 @@ def write_iceberg_table(
     table_name: str | None = None,
     branch: str | None = None,
     max_records_per_file: int | None = None,
+    writer_shards: int | None = None,
 ) -> dict:
     """Write ``df`` into the Iceberg table at ``table_dir`` under
     ``partition_spec`` — ``(name, transform, source_col)`` tuples as
@@ -49,19 +57,37 @@ def write_iceberg_table(
 
     An unpartitioned-style write is ``partition_spec=None`` with a
     ``partition`` column in ``df`` (the engine's legacy identity
-    default). Appends to an existing table validate the declared spec
-    shape against the stored default spec BEFORE any file is written,
-    so a rejected write is side-effect-free — a writer can never
-    silently cross-lay a table, and never strands cross-laid files for
-    a later discovery commit to sweep in.
+    default). EVERY append to an existing table — declared spec or
+    ``None`` — validates its implied spec shape against the stored
+    default spec BEFORE any file is written, so a rejected write is
+    side-effect-free: a writer can never silently cross-lay a
+    transformed table with ``partition_spec=None`` files whose
+    all-null partition tuples the planner would then prune away.
 
-    The commit names EXACTLY the files this write produced (Spark's
-    part-file names are attempt-unique), so append cost stays
-    O(batch + manifests) — never the O(table) discovery walk — and a
-    crash between write and commit leaves uncommitted files that only
+    File capture is LISTING-FREE and concurrency-safe: the batch is
+    written to a private staging directory (``_stage-<token>/``, O(batch)
+    to walk), then each part-file is renamed into its final hive dir —
+    the committed file set is exactly the staging walk, so append cost
+    never includes an O(table) directory listing and a concurrent
+    writer's files (staged under its OWN token) can never be swept
+    into this commit. Spark's part-file names are attempt-unique, so
+    renames across concurrent writers cannot collide either. A crash
+    between rename and commit leaves uncommitted files that only
     ``remove_orphan_files`` touches (the streaming path's crash
-    posture, not a later silent double-commit)."""
+    posture, not a later silent double-commit); a crash before the
+    renames leaves only the ``_stage-*`` directory, which scans ignore
+    and ``remove_orphan_files`` sweeps.
+
+    ``writer_shards=N`` salts the pre-write shuffle so each partition
+    cell fans out to up to N parallel write tasks — the data-path
+    mirror of the delete plane's ``writer_shards``: a skewed batch
+    (one hot day, say) otherwise funnels through a single task. The
+    hot cell then holds up to N files per append (times the
+    ``max_records_per_file`` split, which caps file LENGTH while
+    shards cap task PARALLELISM — set both for skewed 100 TB loads)."""
     import os
+    import shutil
+    import uuid as _uuid
 
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.commit import (
         commit_append,
@@ -75,27 +101,34 @@ def write_iceberg_table(
         transform_column,
     )
 
-    # validate the declared shape against an existing table BEFORE
-    # writing anything (commit_append re-checks, but by then the files
-    # would already be on disk in the wrong layout)
-    if partition_spec is not None:
-        try:
-            _v, meta0, table_name = _current_state_meta(
-                table_dir, catalog, table_name
-            )
-        except FileNotFoundError:
-            meta0 = None
-        if meta0 is not None:
-            stored_shape = [
-                (f["name"], f["transform"])
-                for f in _default_spec(meta0)["fields"]
-            ]
+    # validate the implied shape against an existing table BEFORE
+    # writing anything (commit_append re-checks the declared form, but
+    # by then the files would already be on disk in the wrong layout —
+    # and commit_append cannot check the partition_spec=None form at
+    # all: identity-legacy appends carry no declaration)
+    try:
+        _v, meta0, table_name = _current_state_meta(
+            table_dir, catalog, table_name
+        )
+    except FileNotFoundError:
+        meta0 = None
+    if meta0 is not None:
+        stored_shape = [
+            (f["name"], f["transform"])
+            for f in _default_spec(meta0)["fields"]
+        ]
+        if partition_spec is not None:
             declared_shape = [(n, t) for n, t, _s in partition_spec]
-            if stored_shape != declared_shape:
-                raise ValueError(
-                    f"table is partitioned by {stored_shape!r}; cannot "
-                    f"append declaring {declared_shape!r}"
-                )
+        elif "partition" in df.columns:
+            declared_shape = [("partition", "identity")]
+        else:
+            declared_shape = []
+        if stored_shape != declared_shape:
+            raise ValueError(
+                f"table is partitioned by {stored_shape!r}; cannot "
+                f"append declaring {declared_shape!r} — pass the "
+                "table's partition_spec explicitly"
+            )
 
     hidden: list[str] = []
     part_names: list[str] = []
@@ -120,31 +153,60 @@ def write_iceberg_table(
     elif "partition" in df.columns:
         part_names = ["partition"]
 
-    def _data_files() -> set[str]:
-        out = set()
-        for root, _dirs, names in os.walk(table_dir):
-            parts = os.path.relpath(root, table_dir).split(os.sep)
-            if "metadata" in parts or "deletes" in parts or any(
-                p.startswith("_") for p in parts
-            ):
-                continue
-            out.update(
-                os.path.join(root, n)
-                for n in names
-                if n.endswith(".parquet")
-            )
-        return out
+    if writer_shards is not None and writer_shards > 1:
+        from pyspark.sql import functions as F
 
-    before = _data_files() if os.path.isdir(table_dir) else set()
-    writer = df.repartition(*part_names).write if part_names else df.write
+        # salt the shuffle so one hot partition cell spreads over up to
+        # `writer_shards` tasks; the salt is dropped before the write
+        # (a projection keeps the repartitioning), so it never reaches
+        # the parquet schema or the hive layout
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(writer_shards),
+        )
+        df = df.withColumn("__write_salt", salt)
+        # EXPLICIT partition count: AQE's coalescer would re-merge the
+        # salted splits of a small-looking hot cell back into one task
+        # (defeating the knob exactly when skew makes it matter); a
+        # user-specified count is exempt from coalescing
+        n_parts = writer_shards * int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        shuffled = df.repartition(
+            n_parts, *part_names, "__write_salt"
+        ).drop("__write_salt")
+    elif part_names:
+        shuffled = df.repartition(*part_names)
+    else:
+        shuffled = df
+
+    writer = shuffled.write
     if part_names:
         writer = writer.partitionBy(*part_names)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
-    writer.parquet(table_dir, mode="append")
-    new_files = sorted(_data_files() - before)
 
-    schema = df.drop(*hidden).schema if hidden else df.schema
+    # stage, walk the STAGE (O(batch)), rename into the table — the
+    # committed set is known exactly with zero table-directory listing
+    staging = os.path.join(table_dir, f"_stage-{_uuid.uuid4().hex[:16]}")
+    writer.parquet(staging, mode="overwrite")
+    new_files: list[str] = []
+    for root, _dirs, names in os.walk(staging):
+        rel = os.path.relpath(root, staging)
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue  # _SUCCESS markers, checksums
+            dest_dir = (
+                table_dir if rel == "." else os.path.join(table_dir, rel)
+            )
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, n)
+            os.replace(os.path.join(root, n), dest)
+            new_files.append(dest)
+    shutil.rmtree(staging, ignore_errors=True)
+    new_files.sort()
+
+    schema = df.drop("__write_salt", *hidden).schema
     return commit_append(
         table_dir,
         schema,
