@@ -1123,3 +1123,183 @@ class TestWriterFileCapture:
         w = (DAY0 * MICROS_PER_DAY, (DAY0 + 1) * MICROS_PER_DAY - 1)
         planned = plan_scan(tdir, source_range=w)
         assert {f["partition"]["ts_day"] for f in planned} == {DAY0}
+
+
+class TestUnknownSpecIdIsLoud:
+    """Round-9: a manifest carrying a spec-id absent from table
+    metadata is corruption — maintenance must raise (matching the scan
+    plane), never silently cluster/summarize under spec 0."""
+
+    def _corrupt_head_manifest_spec_id(self, tdir: str) -> None:
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            MANIFEST_FILE_SCHEMA,
+            read_avro_ocf,
+            write_avro_ocf,
+        )
+
+        meta = _current_meta(tdir)
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _schema, mfs, kv = read_avro_ocf(cur["manifest-list"])
+        mfs[0]["partition_spec_id"] = 99
+        write_avro_ocf(
+            cur["manifest-list"], MANIFEST_FILE_SCHEMA, mfs, kv or {}
+        )
+
+    def test_rewrite_manifests_raises(self, spark, tmp_path):
+        tdir, _schema, _meta = _composite_table(
+            spark, tmp_path, n_ids=16, name="badspec1"
+        )
+        self._corrupt_head_manifest_spec_id(tdir)
+        with pytest.raises(KeyError, match="partition-spec-id 99"):
+            rewrite_manifests(tdir, now_ms=3_000, target_entries=1)
+
+    def test_rewrite_data_files_raises(self, spark, tmp_path):
+        tdir, _schema, _meta = _composite_table(
+            spark, tmp_path, n_ids=16, name="badspec2"
+        )
+        self._corrupt_head_manifest_spec_id(tdir)
+        with pytest.raises(KeyError, match="spec"):
+            rewrite_data_files(spark, tdir, now_ms=3_000)
+
+
+class TestBigintPartitionBounds:
+    """Round-9 (advisor): int partition bounds pack int32 LE only while
+    the value fits — an identity field over a bigint source past int32
+    must commit (int64 LE per Appendix D) and still prune, decoded by
+    length on the read side."""
+
+    BIG = 2**34  # > int32
+
+    def test_commit_and_prune_past_int32(self, spark, tmp_path):
+        tdir = str(tmp_path / "big1")
+        for k in range(3):
+            v = self.BIG + k
+            dd = os.path.join(tdir, f"big_id={v}")
+            os.makedirs(dd, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "big_id": pa.array([v], pa.int64()),
+                        "v": pa.array([k], pa.int64()),
+                    }
+                ),
+                os.path.join(dd, "f.parquet"),
+            )
+        schema = spark.createDataFrame([], "big_id long, v long").schema
+        commit_append(
+            tdir, schema, now_ms=1_000,
+            partition_spec=[("big_id", "identity", None)],
+        )
+        files = plan_scan(
+            tdir, source_predicates={"big_id": self.BIG + 1}
+        )
+        assert [f["partition"]["big_id"] for f in files] == [self.BIG + 1]
+        got = read_iceberg_table(
+            spark, tdir, source_predicates={"big_id": self.BIG + 1}
+        ).collect()
+        assert [(r["big_id"], r["v"]) for r in got] == [(self.BIG + 1, 1)]
+
+    def test_foreign_width_bound_keeps_conservatively(self, spark, tmp_path):
+        """A foreign writer's odd-width int bound must not crash
+        planning — decode failure = conservative keep."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            MANIFEST_FILE_SCHEMA,
+            read_avro_ocf,
+            write_avro_ocf,
+        )
+
+        tdir, _schema, meta = _composite_table(
+            spark, tmp_path, n_ids=8, name="big2"
+        )
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _s, mfs, kv = read_avro_ocf(cur["manifest-list"])
+        mfs[0]["partitions"][0]["lower_bound"] = b"\x01\x02\x03"  # 3 bytes
+        mfs[0]["partitions"][0]["upper_bound"] = b"\x01\x02\x03"
+        write_avro_ocf(
+            cur["manifest-list"], MANIFEST_FILE_SCHEMA, mfs, kv or {}
+        )
+        day = DAY0 + 1
+        lo, hi = day * MICROS_PER_DAY, (day + 1) * MICROS_PER_DAY - 1
+        files = plan_scan(tdir, source_predicates={"ts_us": (lo, hi)})
+        # the foreign bound cannot prune the manifest, but file-level
+        # entries still narrow the result exactly
+        assert {f["partition"]["ts_day"] for f in files} == {day}
+
+
+class TestTransformedFieldNameCollision:
+    """Round-9 (advisor): a transformed partition field named like a
+    schema column would be dropped from every read
+    (_read_planned_files sweeps transformed names) — reject at
+    create/evolve time."""
+
+    def test_create_rejects_collision(self, spark, tmp_path):
+        schema = spark.createDataFrame([], "ts_us long, v long").schema
+        with pytest.raises(ValueError, match="collides with a schema column"):
+            commit_append(
+                str(tmp_path / "col1"), schema, now_ms=1_000,
+                partition_spec=[("v", "day", "ts_us")],
+            )
+
+    def test_evolve_rejects_collision(self, spark, tmp_path):
+        tdir, _schema, _meta = _composite_table(
+            spark, tmp_path, n_ids=8, name="col2"
+        )
+        with pytest.raises(ValueError, match="collides with a schema column"):
+            update_partition_spec(
+                tdir, [("v", f"bucket[{N_BUCKETS}]", "id")], now_ms=2_000
+            )
+
+
+class TestNullPartitionKeyRejected:
+    """Round-9 (advisor): a partition-scoped equality delete keyed on a
+    NULL partition value never matches on read (eqNullSafe against a
+    recomputed non-null value) — reject at write time, directing the
+    caller to global_scope=True."""
+
+    def test_null_partition_key_raises(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_equality_deletes,
+        )
+
+        tdir, _schema, _meta = _composite_table(
+            spark, tmp_path, n_ids=16, name="nullkey"
+        )
+        keys = spark.createDataFrame(
+            [(None, None, 3)], "ts_day long, id_bucket long, id long"
+        )
+        with pytest.raises(ValueError, match="global_scope=True"):
+            commit_equality_deletes(
+                spark, tdir, keys, ["id"], now_ms=2_000
+            )
+        # nothing committed, no orphan delete files
+        assert read_iceberg_table(spark, tdir).count() == 16
+        assert not os.path.isdir(os.path.join(tdir, "deletes")) or not [
+            f
+            for _r, _d, fs in os.walk(os.path.join(tdir, "deletes"))
+            for f in fs
+        ]
+
+    def test_global_scope_still_accepts_keys_only(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_equality_deletes,
+        )
+
+        tdir, _schema, _meta = _composite_table(
+            spark, tmp_path, n_ids=16, name="nullkey2"
+        )
+        keys = spark.createDataFrame([(3,), (7,)], "id long")
+        commit_equality_deletes(
+            spark, tdir, keys, ["id"], now_ms=2_000, global_scope=True
+        )
+        got = sorted(
+            r["id"] for r in read_iceberg_table(spark, tdir).collect()
+        )
+        assert got == [i for i in range(16) if i not in (3, 7)]

@@ -75,12 +75,24 @@ def _build_spec_fields(
         tname, _targ = parse_transform(transform)
         if tname == "identity":
             source = source or name
-        elif source is None:
-            raise ValueError(
-                f"partition transform {transform!r} on field {name!r} "
-                "needs a source column (the schema column it derives "
-                "from)"
-            )
+        else:
+            if source is None:
+                raise ValueError(
+                    f"partition transform {transform!r} on field {name!r} "
+                    "needs a source column (the schema column it derives "
+                    "from)"
+                )
+            if any(f["name"] == name for f in schema_struct["fields"]):
+                # a TRANSFORMED field is metadata-only and every reader
+                # drops its name from the scan output
+                # (manifests._read_planned_files) — letting it shadow a
+                # real schema column would silently drop that column
+                # from every read
+                raise ValueError(
+                    f"transformed partition field {name!r} collides with "
+                    "a schema column of the same name; pick a distinct "
+                    "partition-field name"
+                )
         source_id = _field_id(schema_struct, source)
         fields.append(
             {

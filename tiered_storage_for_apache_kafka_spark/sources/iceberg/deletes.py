@@ -406,6 +406,24 @@ def write_equality_deletes(
     from pyspark.sql import functions as F
 
     deduped = keys_df.select(*part_names, *equality_cols).distinct()
+    if part_names:
+        # a NULL partition value in a PARTITION-SCOPED delete is a
+        # silent no-op downstream: the planner keeps the entry (its
+        # null may legitimately scope older-spec files), but the
+        # read-side anti-join compares the null against the data file's
+        # recomputed NON-null partition value and never matches — the
+        # rows it should retract reappear. Reject loudly; "delete this
+        # key wherever it lives" is global_scope=True.
+        null_probe = deduped.where(
+            " OR ".join(f"`{n}` IS NULL" for n in part_names)
+        )
+        if null_probe.limit(1).count() > 0:
+            raise ValueError(
+                f"keys_df has NULL values in partition column(s) "
+                f"{part_names}; a partition-scoped equality delete "
+                "cannot target a NULL partition — use "
+                "global_scope=True to delete the key table-wide"
+            )
     # global scope: ONE group/file for the whole key set (a constant
     # grouping key — groupBy() with zero columns has no Arrow path)
     grouped = (

@@ -367,7 +367,16 @@ def _rewrite_manifests_once(
     file_list = []
     data_groups = sorted(k for k in groups if k[0] == 0) or [(0, 0)]
     for _content, sid in data_groups:
-        spec = specs.get(sid) or meta["partition-specs"][0]
+        spec = specs.get(sid)
+        if spec is None:
+            # a manifest naming a spec-id the table metadata lacks is
+            # CORRUPTION; resolving it to spec 0 would silently cluster
+            # and summarize under the wrong field list (the scan plane
+            # errors loudly on unknown specs - maintenance must too)
+            raise KeyError(
+                f"manifest references partition-spec-id {sid} not present "
+                "in table metadata"
+            )
         names = [f["name"] for f in spec["fields"]]
         # cluster by partition tuple so each output manifest's summary
         # is a tight pruning range on EVERY spec field (None first,
@@ -475,7 +484,16 @@ def _rewrite_manifests_once(
         # on it); the schema selection goes through
         # normalize_delete_entries so DV locators survive compaction
         del_entries = groups[(1, sid)]
-        spec = specs.get(sid) or meta["partition-specs"][0]
+        spec = specs.get(sid)
+        if spec is None:
+            # a manifest naming a spec-id the table metadata lacks is
+            # CORRUPTION; resolving it to spec 0 would silently cluster
+            # and summarize under the wrong field list (the scan plane
+            # errors loudly on unknown specs - maintenance must too)
+            raise KeyError(
+                f"manifest references partition-spec-id {sid} not present "
+                "in table metadata"
+            )
         names = [f["name"] for f in spec["fields"]]
         from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501 (local import: deletion_vectors imports this module)
             normalize_delete_entries,
@@ -997,7 +1015,12 @@ def _rewrite_data_files_once(
                 by_sid.setdefault(sid, []).extend(prior)
         for sid in sorted(by_sid):
             entries = by_sid[sid]
-            t_spec = specs.get(sid) or spec
+            t_spec = specs.get(sid)
+            if t_spec is None:
+                raise KeyError(
+                    f"tombstone references partition-spec-id {sid} not "
+                    "present in table metadata"
+                )
             t_names = spec_names(t_spec)
             for e in entries:
                 d2 = e["data_file"]

@@ -213,8 +213,18 @@ def partition_field_summaries(
             hi_b = max(non_null).encode("utf-8")
         else:
             ints = non_null or [0]
-            lo_b = struct.pack("<i", min(ints))
-            hi_b = struct.pack("<i", max(ints))
+            lo_v, hi_v = min(ints), max(ints)
+            # Appendix D single-value serialization: int32 LE when the
+            # value fits, int64 LE otherwise (identity/truncate over a
+            # bigint source can exceed int32 — packing '<i' would raise
+            # struct.error at COMMIT time); readers decode by length
+            fmt = (
+                "<i"
+                if -(2**31) <= lo_v and hi_v < 2**31
+                else "<q"
+            )
+            lo_b = struct.pack(fmt, lo_v)
+            hi_b = struct.pack(fmt, hi_v)
         out.append(
             {
                 "contains_null": any(v is None for v in vals),

@@ -388,8 +388,15 @@ def _manifest_pruned(
         if isinstance(probe, str):
             lo, hi = bytes(lo_b).decode("utf-8"), bytes(hi_b).decode("utf-8")
         else:
-            lo = struct.unpack("<i", lo_b)[0]
-            hi = struct.unpack("<i", hi_b)[0]
+            # int bounds are int32 OR int64 LE by length (Appendix D;
+            # the writer widens past int32); a foreign writer's bound of
+            # any other shape cannot prune — conservative keep, never a
+            # planning crash
+            try:
+                lo = struct.unpack("<i" if len(lo_b) == 4 else "<q", lo_b)[0]
+                hi = struct.unpack("<i" if len(hi_b) == 4 else "<q", hi_b)[0]
+            except struct.error:
+                continue
         if c[0] == "eq":
             if c[1] is not None and not (lo <= c[1] <= hi):
                 return True
