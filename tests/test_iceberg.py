@@ -1986,3 +1986,55 @@ class TestChangelogScan:
             (r["_change_type"], bytes(r["key"]), r["lang"]) for r in rows
         )
         assert got == [("delete", b"3", None), ("insert", b"3", "en")]
+
+
+class TestReplaySkipSurvivesExpiration:
+    """Round-9 (advisor): with assume_new_files the (app, batch)
+    replay-skip is the sole duplicate guard; it must survive
+    expire_snapshots dropping the committed snapshot's summary — the
+    lineage's high-water batch id is a table PROPERTY committed
+    atomically with each snapshot."""
+
+    def _batch_df(self, spark, src, where):
+        return spark.read.parquet(src).where(where).selectExpr(
+            "CAST(id % 2 AS INT) AS partition",
+            "named_struct('partition', CAST(id % 2 AS INT), 'offset', id, "
+            "'timestamp_us', id * 1000) AS kafka",
+            "CAST(CAST(id AS STRING) AS BINARY) AS value",
+        )
+
+    def test_replay_after_expire_snapshots_still_skips(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            expire_snapshots,
+            read_iceberg_table,
+            read_table_metadata,
+        )
+        from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+            commit_envelope_batch,
+        )
+
+        src = str(tmp_path / "src")
+        tdir = str(tmp_path / "ice")
+        os.makedirs(tdir, exist_ok=True)
+        spark.range(0, 20).write.mode("append").parquet(src)
+        b0 = self._batch_df(spark, src, "id < 20")
+        assert commit_envelope_batch(b0, 0, tdir, app_id="ck-X") is True
+        spark.range(20, 40).write.mode("append").parquet(src)
+        b1 = self._batch_df(spark, src, "id >= 20 AND id < 40")
+        assert commit_envelope_batch(b1, 1, tdir, app_id="ck-X") is True
+        # expire batch 0's snapshot: its summary (the old skip record)
+        # is gone from metadata
+        expire_snapshots(tdir, keep_last=1, now_ms=10_000)
+        meta = read_table_metadata(tdir)["metadata"]
+        assert len(meta["snapshots"]) == 1
+        assert all(
+            s["summary"].get("batch-id") != "0" for s in meta["snapshots"]
+        )
+        # checkpoint-restart replay of batch 0: MUST still skip (the
+        # property marker), not re-commit the same deterministic paths
+        assert commit_envelope_batch(b0, 0, tdir, app_id="ck-X") is False
+        got = read_iceberg_table(spark, tdir)
+        assert got.count() == 40  # no duplicate rows
+        meta = read_table_metadata(tdir)["metadata"]
+        assert meta["properties"]["streaming.last-batch." +
+            __import__("hashlib").md5(b"ck-X").hexdigest()[:12]] == "1"

@@ -121,6 +121,7 @@ def commit_append(
     branch: str | None = None,
     max_commit_retries: int = 3,
     assume_new_files: bool = False,
+    properties_extra: dict | None = None,
 ) -> dict:
     """Append-commit every not-yet-committed parquet data file under
     ``table_dir`` into the table's Iceberg metadata, creating the table
@@ -206,6 +207,7 @@ def commit_append(
                 table_dir, spark_schema, partition_col, now_ms, stats_blobs,
                 files, summary_extra, catalog, table_name, meta_dir, prior,
                 branch, partition_transform, partition_source, partition_spec,
+                properties_extra,
             )
         except CommitConflictError as e:
             last_err = e  # reload + rebase on the next iteration
@@ -231,6 +233,7 @@ def _commit_append_once(
     partition_transform: str = "identity",
     partition_source: str | None = None,
     partition_spec: list | None = None,
+    properties_extra: dict | None = None,
 ) -> dict:
     if branch == "main":
         branch = None  # explicit main is just the default path
@@ -268,7 +271,10 @@ def _commit_append_once(
             "last-partition-id": max(f["field-id"] for f in spec_fields),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
-            "properties": {"write.format.default": "parquet"},
+            "properties": {
+                "write.format.default": "parquet",
+                **{k: str(v) for k, v in (properties_extra or {}).items()},
+            },
             "current-snapshot-id": -1,
             "refs": {},
             "snapshots": [],
@@ -576,6 +582,14 @@ def _commit_append_once(
     meta = dict(base)
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
+    if properties_extra:
+        # table-property updates ride the SAME atomic commit as the
+        # snapshot (e.g. the streaming lineage's replay marker, which
+        # must never drift from the snapshot it records)
+        meta["properties"] = {
+            **(base.get("properties") or {}),
+            **{k: str(v) for k, v in properties_extra.items()},
+        }
     meta["snapshots"] = base["snapshots"] + [snapshot]
     stat_entry = {
         "snapshot-id": snapshot_id,
@@ -627,6 +641,15 @@ def _commit_append_once(
             },
             {"action": "set-statistics", "statistics": stat_entry},
         ]
+        if properties_extra:
+            updates += [
+                {
+                    "action": "set-properties",
+                    "updates": {
+                        k: str(v) for k, v in properties_extra.items()
+                    },
+                }
+            ]
         if prior is None:
             catalog.ensure_namespace()
             catalog.create_table(table_name, base)

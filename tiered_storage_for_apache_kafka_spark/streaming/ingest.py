@@ -414,6 +414,17 @@ def commit_envelope_batch(
     except FileNotFoundError:
         meta = None
     if meta is not None:
+        # durable skip: the lineage's high-water batch id is a TABLE
+        # PROPERTY, committed atomically with each snapshot — unlike
+        # snapshot summaries it survives expire_snapshots, so a
+        # checkpoint-restart replay of an already-committed-then-expired
+        # batch can never re-commit its deterministic paths (which the
+        # assume_new_files commit would not dedup)
+        marker = (meta.get("properties") or {}).get(
+            f"streaming.last-batch.{app_tag}"
+        )
+        if marker is not None and batch_id <= int(marker):
+            return False
         for s in meta["snapshots"]:
             summ = s["summary"]
             if (
@@ -451,6 +462,11 @@ def commit_envelope_batch(
         batch_df.schema,
         files=dests,
         summary_extra={"batch-id": batch_id, "commit-app-id": app_tag},
+        # the durable replay marker (see the skip check above): batches
+        # commit in checkpoint order, so the lineage's high-water batch
+        # id is the complete replay record even after expire_snapshots
+        # drops the summaries
+        properties_extra={f"streaming.last-batch.{app_tag}": batch_id},
         catalog=catalog,
         table_name=table_name,
         assume_new_files=True,
