@@ -98,6 +98,203 @@ def _consume(spark, tdir: str, ckpt: int, counts: dict, catalog=None) -> int:
     return head
 
 
+#: global equality-delete key sets for the evolution gauntlet (r9):
+#: K1 lands BEFORE update_partition_spec, K2 AFTER it but BEFORE the
+#: b=20 data rewrite — so K2's unpartitioned-spec delete covers
+#: OLD-GENERATION identity-layout files living under the new composite
+#: default spec, the exact composition the r8 global-delete query never
+#: crossed. Keys chosen outside the DV predicates (%7=3 / %11=5) and
+#: distinct from the probe row (100), so every live row flips to
+#: deleted exactly once in the changelog and the closed form stays
+#: closed.
+GLOBAL_K1 = [21, 63, 205]
+GLOBAL_K2 = [102, 457, 650]
+
+
+def _run_evolution_gauntlet(spark, tmp_path, catalog=None) -> None:
+    """The composed schedule ACROSS a partition-spec evolution
+    (r8; r9 adds global equality deletes straddling the boundary and
+    the catalog mode): 40 batches where the table starts
+    identity(partition), evolves to (partition, bucket[4](v)) at batch
+    12, keeps appending nested-layout batches, takes DV deletes
+    touching BOTH generations (old-generation coverage records the new
+    field null — the conservative-keep path live in composition),
+    takes GLOBAL equality deletes before (b=10) and after (b=16) the
+    evolution — the post-evolution one retracting rows in
+    old-generation files under the new default spec — is data-rewritten
+    (migrating generation 1 to the composite spec, materializing every
+    delete layer), manifest-compacted per spec generation, expired and
+    orphan-swept — while the changelog consumer maintains its aggregate
+    through all of it. Post-migration, a bucket point lookup prunes the
+    whole table."""
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+        commit_deletion_vectors,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        bucket_hash_long,
+        commit_append,
+        commit_equality_deletes,
+        expire_snapshots,
+        plan_scan,
+        read_iceberg_table,
+        remove_orphan_files,
+        rewrite_data_files,
+        rewrite_manifests,
+        update_partition_spec,
+    )
+
+    n_batches, evolve_at = 40, 12
+    tdir = str(tmp_path / "soak-evo")
+    schema = spark.createDataFrame([], "partition int, v long").schema
+
+    def bkt(v: int) -> int:
+        return (bucket_hash_long(v) & 0x7FFFFFFF) % 4
+
+    def append_composite(b: int, ms: int):
+        lo = b * ROWS_PER_BATCH
+        files = []
+        groups: dict[tuple[int, int], list[int]] = {}
+        for v in range(lo, lo + ROWS_PER_BATCH):
+            groups.setdefault((v % 2, bkt(v)), []).append(v)
+        for (p, kb), vals in sorted(groups.items()):
+            d = os.path.join(tdir, f"partition={p}", f"v_bucket={kb}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"batch-{b:03d}.parquet")
+            pq.write_table(
+                pa.table({"v": pa.array(vals, pa.int64())}), path
+            )
+            files.append(path)
+        return commit_append(
+            tdir, schema, now_ms=ms, files=files, catalog=catalog
+        )
+
+    def global_delete(keys: list[int], ms: int) -> None:
+        commit_equality_deletes(
+            spark,
+            tdir,
+            spark.createDataFrame([(k,) for k in keys], "v long"),
+            ["v"],
+            now_ms=ms,
+            global_scope=True,
+            catalog=catalog,
+        )
+
+    counts: dict[int, int] = {}
+    ms = 1_000
+    meta = _append_batch(tdir, schema, 0, ms, catalog=catalog)
+    ckpt = meta["current-snapshot-id"]
+    counts[0] = ROWS_PER_BATCH // 2
+    counts[1] = ROWS_PER_BATCH // 2
+    swept = 0
+    for b in range(1, n_batches):
+        ms += 1_000
+        if b < evolve_at:
+            _append_batch(tdir, schema, b, ms, catalog=catalog)
+        else:
+            append_composite(b, ms)
+        if b == 10:
+            # global delete BEFORE the spec evolution
+            ms += 1_000
+            global_delete(GLOBAL_K1, ms)
+        if b == evolve_at:
+            ms += 1_000
+            update_partition_spec(
+                tdir,
+                [
+                    ("partition", "identity", None),
+                    ("v_bucket", "bucket[4]", "v"),
+                ],
+                now_ms=ms,
+                catalog=catalog,
+            )
+        if b in (8, 16):
+            # DV deletes BEFORE and AFTER evolution: the post-
+            # evolution one covers generation-1 files with the new
+            # field recorded null
+            ms += 1_000
+            commit_deletion_vectors(
+                spark, tdir, PRED_A, now_ms=ms, catalog=catalog
+            )
+        if b == 16:
+            # global delete AFTER the evolution but BEFORE the b=20
+            # migration: its unpartitioned-spec delete file retracts
+            # rows in OLD-generation identity-layout files (102, 457)
+            # and a new-generation composite file (650) in one commit
+            ms += 1_000
+            global_delete(GLOBAL_K2, ms)
+        if b == 24:
+            ms += 1_000
+            commit_deletion_vectors(
+                spark, tdir, PRED_B, now_ms=ms, catalog=catalog
+            )
+        if b % 9 == 8:
+            ms += 1_000
+            rewrite_manifests(tdir, now_ms=ms, catalog=catalog)
+        if b == 20:
+            # migrates generation 1 to the composite default spec and
+            # materializes every delete layer (DVs + both global sets)
+            ms += 1_000
+            rewrite_data_files(spark, tdir, now_ms=ms, catalog=catalog)
+        if b % 10 == 9:
+            ckpt = _consume(spark, tdir, ckpt, counts, catalog=catalog)
+        if b == 30:
+            ckpt = _consume(spark, tdir, ckpt, counts, catalog=catalog)
+            ms += 1_000
+            expire_snapshots(tdir, keep_last=2, now_ms=ms, catalog=catalog)
+            if remove_orphan_files(
+                tdir, older_than_timestamp_ms=10**14, catalog=catalog
+            ):
+                swept += 1
+    ms += 1_000
+    commit_deletion_vectors(
+        spark, tdir, FINAL_PRED, now_ms=ms, catalog=catalog
+    )
+    ckpt = _consume(spark, tdir, ckpt, counts, catalog=catalog)
+
+    total = n_batches * ROWS_PER_BATCH
+    gone = set(GLOBAL_K1) | set(GLOBAL_K2)
+    expected = {
+        p: sum(
+            1
+            for v in range(total)
+            if v % 2 == p
+            and v % 7 != 3
+            and v % 11 != 5
+            and v not in gone
+        )
+        for p in (0, 1)
+    }
+    head = {
+        int(r["partition"]): int(r["n"])
+        for r in read_iceberg_table(spark, tdir, catalog=catalog)
+        .groupBy("partition")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert head == expected, "head recompute diverged from closed form"
+    assert counts == expected, (
+        "changelog aggregate diverged across the evolution"
+    )
+    assert swept >= 1
+    # post-migration the whole table carries the composite tuple:
+    # a bucket point lookup prunes EVERY file to one bucket, and
+    # the row is found
+    probe = 100  # lives in gen1 originally; migrated at b=20
+    assert probe % 7 != 3 and probe % 11 != 5 and probe not in gone
+    files = plan_scan(
+        tdir, source_predicates={"v": probe}, catalog=catalog
+    )
+    assert files
+    assert {f["partition"].get("v_bucket") for f in files} == {bkt(probe)}
+    got = (
+        read_iceberg_table(
+            spark, tdir, source_predicates={"v": probe}, catalog=catalog
+        )
+        .collect()
+    )
+    assert [r["v"] for r in got] == [probe]
+
+
 class TestMaintenanceSoak:
     def test_hundred_batch_gauntlet(self, spark, tmp_path):
         from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
@@ -189,140 +386,7 @@ class TestMaintenanceSoak:
         assert n_head_files <= 60, n_head_files
 
     def test_gauntlet_with_spec_evolution(self, spark, tmp_path):
-        """The composed schedule ACROSS a partition-spec evolution
-        (r8): 40 batches where the table starts identity(partition),
-        evolves to (partition, bucket[4](v)) at batch 12, keeps
-        appending nested-layout batches, takes DV deletes touching
-        BOTH generations (old-generation coverage records the new
-        field null — the conservative-keep path live in composition),
-        is data-rewritten (migrating generation 1 to the composite
-        spec), manifest-compacted per spec generation, expired and
-        orphan-swept — while the changelog consumer maintains its
-        aggregate through all of it. Post-migration, a bucket point
-        lookup prunes the whole table."""
-        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
-            commit_deletion_vectors,
-        )
-        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
-            bucket_hash_long,
-            commit_append,
-            expire_snapshots,
-            plan_scan,
-            read_iceberg_table,
-            remove_orphan_files,
-            rewrite_data_files,
-            rewrite_manifests,
-            update_partition_spec,
-        )
-
-        n_batches, evolve_at = 40, 12
-        tdir = str(tmp_path / "soak-evo")
-        schema = spark.createDataFrame([], "partition int, v long").schema
-
-        def bkt(v: int) -> int:
-            return (bucket_hash_long(v) & 0x7FFFFFFF) % 4
-
-        def append_composite(b: int, ms: int):
-            lo = b * ROWS_PER_BATCH
-            files = []
-            groups: dict[tuple[int, int], list[int]] = {}
-            for v in range(lo, lo + ROWS_PER_BATCH):
-                groups.setdefault((v % 2, bkt(v)), []).append(v)
-            for (p, kb), vals in sorted(groups.items()):
-                d = os.path.join(tdir, f"partition={p}", f"v_bucket={kb}")
-                os.makedirs(d, exist_ok=True)
-                path = os.path.join(d, f"batch-{b:03d}.parquet")
-                pq.write_table(
-                    pa.table({"v": pa.array(vals, pa.int64())}), path
-                )
-                files.append(path)
-            return commit_append(tdir, schema, now_ms=ms, files=files)
-
-        counts: dict[int, int] = {}
-        ms = 1_000
-        meta = _append_batch(tdir, schema, 0, ms)
-        ckpt = meta["current-snapshot-id"]
-        counts[0] = ROWS_PER_BATCH // 2
-        counts[1] = ROWS_PER_BATCH // 2
-        swept = 0
-        for b in range(1, n_batches):
-            ms += 1_000
-            if b < evolve_at:
-                _append_batch(tdir, schema, b, ms)
-            else:
-                append_composite(b, ms)
-            if b == evolve_at:
-                ms += 1_000
-                update_partition_spec(
-                    tdir,
-                    [
-                        ("partition", "identity", None),
-                        ("v_bucket", "bucket[4]", "v"),
-                    ],
-                    now_ms=ms,
-                )
-            if b in (8, 16):
-                # DV deletes BEFORE and AFTER evolution: the post-
-                # evolution one covers generation-1 files with the new
-                # field recorded null
-                ms += 1_000
-                commit_deletion_vectors(spark, tdir, PRED_A, now_ms=ms)
-            if b == 24:
-                ms += 1_000
-                commit_deletion_vectors(spark, tdir, PRED_B, now_ms=ms)
-            if b % 9 == 8:
-                ms += 1_000
-                rewrite_manifests(tdir, now_ms=ms)
-            if b == 20:
-                # migrates generation 1 to the composite default spec
-                ms += 1_000
-                rewrite_data_files(spark, tdir, now_ms=ms)
-            if b % 10 == 9:
-                ckpt = _consume(spark, tdir, ckpt, counts)
-            if b == 30:
-                ckpt = _consume(spark, tdir, ckpt, counts)
-                ms += 1_000
-                expire_snapshots(tdir, keep_last=2, now_ms=ms)
-                if remove_orphan_files(tdir, older_than_timestamp_ms=10**14):
-                    swept += 1
-        ms += 1_000
-        commit_deletion_vectors(spark, tdir, FINAL_PRED, now_ms=ms)
-        ckpt = _consume(spark, tdir, ckpt, counts)
-
-        total = n_batches * ROWS_PER_BATCH
-        expected = {
-            p: sum(
-                1
-                for v in range(total)
-                if v % 2 == p and v % 7 != 3 and v % 11 != 5
-            )
-            for p in (0, 1)
-        }
-        head = {
-            int(r["partition"]): int(r["n"])
-            for r in read_iceberg_table(spark, tdir)
-            .groupBy("partition")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        assert head == expected, "head recompute diverged from closed form"
-        assert counts == expected, (
-            "changelog aggregate diverged across the evolution"
-        )
-        assert swept >= 1
-        # post-migration the whole table carries the composite tuple:
-        # a bucket point lookup prunes EVERY file to one bucket, and
-        # the row is found
-        probe = 100  # lives in gen1 originally; migrated at b=20
-        assert probe % 7 != 3 and probe % 11 != 5
-        files = plan_scan(tdir, source_predicates={"v": probe})
-        assert files
-        assert {f["partition"].get("v_bucket") for f in files} == {bkt(probe)}
-        got = (
-            read_iceberg_table(spark, tdir, source_predicates={"v": probe})
-            .collect()
-        )
-        assert [r["v"] for r in got] == [probe]
+        _run_evolution_gauntlet(spark, tmp_path)
 
     def test_consumer_refuses_expired_checkpoint(self, spark, tmp_path):
         # the contract the soak consumer honors: a checkpoint that falls
@@ -502,3 +566,16 @@ class TestMaintenanceSoakViaRestCatalog:
             assert counts == expected
             assert swept == 1
             assert len(plan_scan(tdir, catalog=cat)) <= 40
+
+    def test_evolution_gauntlet_catalog_mode(self, spark, tmp_path):
+        """The full evolution gauntlet — global deletes straddling
+        update_partition_spec included — with every commit routed
+        through the REST-catalog protocol."""
+        from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+            FakeRestCatalogServer,
+            RestCatalogClient,
+        )
+
+        with FakeRestCatalogServer() as srv:
+            cat = RestCatalogClient(srv.base_url)
+            _run_evolution_gauntlet(spark, tmp_path, catalog=cat)
