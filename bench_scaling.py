@@ -598,6 +598,9 @@ def probe_metadata_100x() -> None:
       commits     1-10: 1.8ms   991-1000: 4.6ms           (flat at 100x age)
       writer append (staged capture) 596 / 533 / 490 ms at 64/640/6400
         table files — FLAT, wall time is the Spark write job itself
+      scoped-inc  files=4/4/4  plan_ms 2.7 / 3.3 / 7.2  (128/1280/6400
+        day-files; the scoped changelog/stream seq-window planner gives
+        the same 4 files at 2.7 / 3.5 / 7.0 ms)
     Plan cost grows ~2.4x for 100x files (manifest-list length), files
     opened constant. Run: python bench_scaling.py --metadata-100x
     """
@@ -724,6 +727,88 @@ def probe_metadata_100x() -> None:
             f"files={len(files)}  cells_opened={len(cells)}"
         )
         assert len(cells) == 1, cells
+        shutil.rmtree(tdir, ignore_errors=True)
+
+    # -- partition-scoped incremental/changelog/stream planning at 100x -------
+    # (round-9 verdict ask #4: these planes landed after the r8 grid and
+    # had only 1x/10x shapes. The claim: a day-scoped incremental window,
+    # changelog, and stream batch each open ONLY the in-scope files,
+    # constant while total metadata grows 100x.)
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        _plan_seq_window,
+        plan_incremental_scan,
+        read_table_metadata,
+    )
+
+    def build_days_multisnap(n_days: int) -> tuple[str, int]:
+        """Like build_days but WITHOUT the final manifest compaction and
+        returning an early from-snapshot id, so incremental windows and
+        per-snapshot stream batches exist to scope."""
+        tdir = tempfile.mkdtemp(prefix="m100x-inc-")
+        first_id = None
+        for c in range(0, n_days, 64):
+            files = []
+            for d in range(c, min(c + 64, n_days)):
+                dd = os.path.join(tdir, f"ts_day={d}")
+                os.makedirs(dd, exist_ok=True)
+                path = os.path.join(dd, "f.parquet")
+                pq.write_table(
+                    pa.table(
+                        {
+                            "ts_us": pa.array([d * MICROS_PER_DAY], pa.int64()),
+                            "v": pa.array([d], pa.int64()),
+                        }
+                    ),
+                    path,
+                )
+                files.append(path)
+            meta = commit_append(
+                tdir, day_schema, partition_col="ts_day", now_ms=c + 1,
+                files=files, partition_transform="day",
+                partition_source="ts_us", assume_new_files=True,
+            )
+            if first_id is None:
+                first_id = meta["current-snapshot-id"]
+        return tdir, first_id
+
+    scope = {"ts_us": (66 * MICROS_PER_DAY, 70 * MICROS_PER_DAY - 1)}
+    for n_days in (128, 1280, 6400):  # >=2 snapshots at the smallest
+        tdir, from_id = build_days_multisnap(n_days)
+        # scoped incremental: window = everything after snapshot 1,
+        # scope = a fixed 4-day slice living entirely inside the window
+        t0 = time.perf_counter()
+        inc = plan_incremental_scan(
+            tdir, from_id, source_predicates=scope
+        )
+        inc_ms = (time.perf_counter() - t0) * 1000
+        # scoped changelog planning: same window is pure-append, so the
+        # changelog plan IS the incremental plan; assert via the shared
+        # seq-window planner under constraints (what read_iceberg_changelog
+        # and the stream's partitions() both call)
+        meta = read_table_metadata(tdir)["metadata"]
+        lo_seq = next(
+            int(s["sequence-number"])
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == from_id
+        )
+        hi_seq = meta["last-sequence-number"]
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
+            _resolve_constraints,
+        )
+
+        t0 = time.perf_counter()
+        stream_files = _plan_seq_window(
+            meta, lo_seq, hi_seq,
+            _resolve_constraints(meta, None, None, None, scope),
+        )
+        stream_ms = (time.perf_counter() - t0) * 1000
+        print(
+            f"scoped-inc   days={n_days:5d}  plan_ms={inc_ms:6.1f}  "
+            f"files={len(inc)}   stream/changelog plan_ms={stream_ms:6.1f}  "
+            f"files={len(stream_files)}"
+        )
+        assert len(inc) == 4, len(inc)
+        assert len(stream_files) == 4, len(stream_files)
         shutil.rmtree(tdir, ignore_errors=True)
 
     # -- write_iceberg_table append cost at 100x table file count -------------

@@ -524,3 +524,124 @@ class TestIcebergIncrementalStream:
         # a fourth run finds nothing new
         run_once()
         assert spark.read.parquet(out).count() == 400
+
+
+class TestIcebergStreamMultiField:
+    """Round-9: the stream source's throttle/state machinery re-run
+    over a (day(ts), bucket[4](id)) table with a composite
+    sourcePredicates scope — the r8 tests only exercised single-field
+    identity tables."""
+
+    MICROS_PER_DAY = 86_400_000_000
+    DAY0 = 17000
+    SPEC = [("ts_day", "day", "ts_us"), ("id_bucket", "bucket[4]", "id")]
+
+    def _band(self, spark, b):
+        rows = [
+            (i, (self.DAY0 + (i % 4)) * self.MICROS_PER_DAY + i, i * 10)
+            for i in range(b * 100, b * 100 + 100)
+        ]
+        return spark.createDataFrame(rows, "id long, ts_us long, v long")
+
+    def test_throttle_state_composite_scope(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+            register,
+        )
+
+        register(spark)
+        tdir = str(tmp_path / "mf_stream")
+        write_iceberg_table(
+            spark, self._band(spark, 0), tdir,
+            partition_spec=self.SPEC, now_ms=1_000,
+        )
+        out = str(tmp_path / "out_mf")
+        ckpt = str(tmp_path / "ckpt_mf")
+        state = os.path.join(ckpt, "throttle")
+        day_window = [
+            self.DAY0 * self.MICROS_PER_DAY,
+            (self.DAY0 + 1) * self.MICROS_PER_DAY - 1,
+        ]
+        scope = _json.dumps({"ts_us": day_window, "id": [0, 399]})
+
+        def run_once():
+            q = (
+                spark.readStream.format("iceberg_inc")
+                .option("path", tdir)
+                .option("maxSnapshotsPerTrigger", "1")
+                .option("throttleStateDir", state)
+                .option("sourcePredicates", scope)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        # band 0: ids with i % 4 == 0 land on DAY0 -> 25 rows in scope
+        assert spark.read.parquet(out).count() == 25
+        for b in range(1, 4):
+            write_iceberg_table(
+                spark, self._band(spark, b), tdir,
+                partition_spec=self.SPEC, now_ms=1_000 * (b + 1),
+            )
+        # cap=1 + state dir: each availableNow run drains exactly ONE
+        # of the three new snapshots, scoped rows only
+        counts = []
+        for _ in range(3):
+            run_once()
+            counts.append(spark.read.parquet(out).count())
+        assert counts == [50, 75, 100]
+        run_once()  # nothing new
+        got = spark.read.parquet(out)
+        assert got.count() == 100
+        # every delivered row satisfies BOTH scope predicates exactly
+        assert got.where(
+            f"ts_us < {day_window[0]} OR ts_us > {day_window[1]}"
+        ).count() == 0
+        assert got.where("id % 4 <> 0 OR id > 399").count() == 0
+        assert got.select("id").distinct().count() == 100
+
+    def test_bucket_eq_scope_on_stream(self, spark, tmp_path):
+        """A bucket-transformable equality scope on the stream: one
+        key's rows arrive, nothing else."""
+        import json as _json
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+            register,
+        )
+
+        register(spark)
+        tdir = str(tmp_path / "mf_stream_eq")
+        for b in range(2):
+            write_iceberg_table(
+                spark, self._band(spark, b), tdir,
+                partition_spec=self.SPEC, now_ms=1_000 * (b + 1),
+            )
+        out = str(tmp_path / "out_eq")
+        ckpt = str(tmp_path / "ckpt_eq")
+        q = (
+            spark.readStream.format("iceberg_inc")
+            .option("path", tdir)
+            .option("sourcePredicates", _json.dumps({"id": 107}))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out).collect()
+        assert [(r["id"], r["v"]) for r in got] == [(107, 1070)]
