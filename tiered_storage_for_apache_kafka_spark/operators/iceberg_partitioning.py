@@ -778,3 +778,206 @@ def iceberg_bucket_partition_scan(
     return spark.createDataFrame(
         rows, "event_id bigint, n_rows bigint, one_bucket_opened bigint"
     )
+
+
+_SHARD_CACHE: dict[tuple, str] = {}
+
+
+def _sharded_writer_table(spark: SparkSession, sf_dir: str) -> str:
+    """events -> a day(ts_us)-partitioned table written through
+    :func:`write_iceberg_table` with ``writer_shards=4`` over a SKEWED
+    batch (9/10 of rows land on one hot day): the salted pre-write
+    shuffle fans the hot cell over multiple write tasks instead of one
+    funnel task — the data-path mirror of the delete plane's
+    ``writer_shards`` (r9)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _SHARD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    day = F.when(F.col("event_id") % 10 < 9, 0).otherwise(
+        1 + F.col("event_id") % 3
+    )
+    df = load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.col("event_type"),
+        (day * MICROS_PER_DAY + F.col("event_id")).alias("ts_us"),
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-sharded-")
+    write_iceberg_table(
+        spark, df, tdir, now_ms=1_000,
+        partition_spec=[("ts_day", "day", "ts_us")],
+        writer_shards=4,
+    )
+    session_cache_put(_SHARD_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_sharded_writer_scan",
+    oracle="""
+SELECT CAST(CASE WHEN event_id % 10 < 9 THEN 0
+            ELSE 1 + event_id % 3 END AS BIGINT) AS ts_day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS hot_fanned_out,
+       CAST(1 AS BIGINT) AS pruned
+FROM events
+GROUP BY CAST(CASE WHEN event_id % 10 < 9 THEN 0
+              ELSE 1 + event_id % 3 END AS BIGINT)
+""",
+)
+def iceberg_sharded_writer_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hot-partition WRITE sharding: a skewed batch (90% of events on
+    one day) written with ``writer_shards=4`` — per-day row counts stay
+    exact, day pruning still opens one cell, and the hot day's cell
+    holds MULTIPLE spec-legal files (``hot_fanned_out`` pins the
+    fan-out structurally; one funnel task would leave one file). Scale
+    shape: at 100 TB a skewed load's hottest partition is written by N
+    parallel tasks instead of serializing the whole cell through one
+    executor — combined with ``max_records_per_file`` capping file
+    LENGTH while shards cap task PARALLELISM."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        plan_scan,
+        read_iceberg_table,
+    )
+
+    tdir = _sharded_writer_table(spark, sf_dir)
+    n_total = len(plan_scan(tdir))
+    hot = plan_scan(
+        tdir, source_predicates={"ts_us": (0, MICROS_PER_DAY - 1)}
+    )
+    hot_fanned = (
+        1
+        if len(hot) > 1
+        and all(f["partition"]["ts_day"] == 0 for f in hot)
+        and len(hot) < n_total
+        else 0
+    )
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy(
+            F.floor(F.col("ts_us") / MICROS_PER_DAY)
+            .cast("bigint")
+            .alias("ts_day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            "ts_day",
+            "n_rows",
+            F.lit(hot_fanned).cast("bigint").alias("hot_fanned_out"),
+            F.lit(1).cast("bigint").alias("pruned"),
+        )
+    )
+
+
+_GLOBDEL_EVO_CACHE: dict[tuple, str] = {}
+
+
+def _global_delete_evolution_table(spark: SparkSession, sf_dir: str) -> str:
+    """documents split across a partition-spec EVOLUTION with GLOBAL
+    equality deletes on both sides (r9): generation 1 (even doc_ids)
+    commits under ``identity(lang)``; a global delete (doc_id % 17 = 3)
+    lands BEFORE the evolution, so it covers generation 1 only
+    (equality deletes apply to strictly-lower sequence numbers);
+    the spec evolves to ``(lang, truncate[4](source))``; generation 2
+    (odd doc_ids) appends under the composite spec; a second global
+    delete (doc_id % 19 = 7) lands AFTER, covering BOTH generations —
+    old-generation files under the new default spec included."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_equality_deletes,
+        update_partition_spec,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _GLOBDEL_EVO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-gde-")
+    write_iceberg_table(
+        spark, df.where(F.col("doc_id") % 2 == 0), tdir, now_ms=1_000,
+        partition_spec=[("lang", "identity", None)],
+    )
+    keys1 = df.where(F.col("doc_id") % 17 == 3).select("doc_id")
+    commit_equality_deletes(
+        spark, tdir, keys1, ["doc_id"], now_ms=2_000, global_scope=True
+    )
+    update_partition_spec(
+        tdir,
+        [("lang", "identity", None), ("src4", "truncate[4]", "source")],
+        now_ms=3_000,
+    )
+    write_iceberg_table(
+        spark, df.where(F.col("doc_id") % 2 == 1), tdir, now_ms=4_000,
+        partition_spec=[
+            ("lang", "identity", None),
+            ("src4", "truncate[4]", "source"),
+        ],
+    )
+    keys2 = df.where(F.col("doc_id") % 19 == 7).select("doc_id")
+    commit_equality_deletes(
+        spark, tdir, keys2, ["doc_id"], now_ms=5_000, global_scope=True
+    )
+    session_cache_put(_GLOBDEL_EVO_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_global_delete_evolution_scan",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_src7,
+       CAST(1 AS BIGINT) AS pruned
+FROM documents
+WHERE NOT (doc_id % 2 = 0 AND doc_id % 17 = 3)
+  AND doc_id % 19 <> 7
+GROUP BY lang
+""",
+)
+def iceberg_global_delete_evolution_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GLOBAL equality deletes ACROSS a partition-spec evolution: the
+    pre-evolution delete retracts its keys from generation 1 ONLY
+    (doc_id % 17 = 3 keys re-appended in generation 2 stay live — the
+    strictly-lower-sequence rule), while the post-evolution delete
+    retracts doc_id % 19 = 7 from BOTH generations, old-generation
+    files under the new composite default spec included. Per-language
+    live counts and a truncate[4]-routed source probe replay
+    relationally; ``pruned`` pins that a (lang, source) probe still
+    opens a strict file subset on the mixed-generation table."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        plan_scan,
+        read_iceberg_table,
+    )
+
+    tdir = _global_delete_evolution_table(spark, sf_dir)
+    n_total = len(plan_scan(tdir))
+    probe_files = plan_scan(
+        tdir, source_predicates={"lang": "en", "source": "src7"}
+    )
+    pruned = 1 if 0 < len(probe_files) < n_total else 0
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum(F.when(F.col("source") == "src7", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_src7"),
+        )
+        .select(
+            "lang", "n_live", "n_src7",
+            F.lit(pruned).cast("bigint").alias("pruned"),
+        )
+    )
