@@ -1303,3 +1303,140 @@ class TestNullPartitionKeyRejected:
             r["id"] for r in read_iceberg_table(spark, tdir).collect()
         )
         assert got == [i for i in range(16) if i not in (3, 7)]
+
+
+class TestSortedWrite:
+    """Round-9: `write_iceberg_table(sort_by=...)` — sorted writes as a
+    first-class table property (Iceberg spec "Sort Orders"): the order
+    registers in metadata, becomes the table's write order, stamps
+    each data file's sort_order_id, and with max_records_per_file the
+    narrow per-file bounds make column-bounds pruning skip whole
+    files."""
+
+    def _df(self, spark, ids):
+        return spark.createDataFrame(
+            [
+                (i, (DAY0 + (i % 2)) * MICROS_PER_DAY, i * 10)
+                for i in ids
+            ],
+            "id long, ts_us long, v long",
+        )
+
+    SPEC1 = [("ts_day", "day", "ts_us")]
+
+    def test_sorted_write_registers_order_and_prunes(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "sw1")
+        meta = write_iceberg_table(
+            spark, self._df(spark, range(256)), tdir,
+            partition_spec=self.SPEC1, now_ms=1_000,
+            sort_by=["id"], max_records_per_file=32,
+        )
+        orders = meta["sort-orders"]
+        order = next(o for o in orders if o["fields"])
+        assert order["fields"][0]["direction"] == "asc"
+        assert meta["default-sort-order-id"] == order["order-id"]
+        # every data file stamped with the order id, and the slicing
+        # produced multiple files per day cell
+        files = plan_scan(tdir)
+        assert len(files) >= 8
+        back = {
+            e["data_file"]["sort_order_id"]
+            for m in _read_head_manifests(tdir)
+            for e in m
+            if not e["data_file"].get("content")
+        }
+        assert back == {order["order-id"]}
+        # column-bounds pruning: a narrow id range opens a strict
+        # subset of files (sorted slices have disjoint id ranges)
+        pruned = plan_scan(tdir, column_bounds=("id", 10, 20))
+        assert 0 < len(pruned) < len(files)
+        got = sorted(
+            r["id"]
+            for r in read_iceberg_table(spark, tdir)
+            .where("id BETWEEN 10 AND 20")
+            .collect()
+        )
+        assert got == list(range(10, 21))
+        # appending with the SAME sort reuses the id (no order churn)
+        meta2 = write_iceberg_table(
+            spark, self._df(spark, range(256, 320)), tdir,
+            partition_spec=self.SPEC1, now_ms=2_000,
+            sort_by=["id"], max_records_per_file=32,
+        )
+        assert len(meta2["sort-orders"]) == len(orders)
+        # a sorted-compaction request over already-sorted single files
+        # per cell... (files per cell > 1 here, so rewrite compacts;
+        # the stamped ids make already_sorted true after one rewrite)
+        meta3 = rewrite_data_files(
+            spark, tdir, now_ms=3_000, sort_by=["id"]
+        )
+        n_snaps = len(meta3["snapshots"])
+        meta4 = rewrite_data_files(
+            spark, tdir, now_ms=4_000, sort_by=["id"]
+        )
+        assert len(meta4["snapshots"]) == n_snaps  # no-op: sorted+compact
+
+    def test_sorted_write_via_rest_catalog(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+            FakeRestCatalogServer, RestCatalogClient,
+        )
+
+        tdir = str(tmp_path / "sw2")
+        with FakeRestCatalogServer() as server:
+            cat = RestCatalogClient(server.base_url)
+            cat.ensure_namespace()
+            write_iceberg_table(
+                spark, self._df(spark, range(64)), tdir,
+                partition_spec=self.SPEC1, now_ms=1_000,
+                sort_by=["id"], catalog=cat, table_name="sw2",
+            )
+            meta = write_iceberg_table(
+                spark, self._df(spark, range(64, 128)), tdir,
+                partition_spec=self.SPEC1, now_ms=2_000,
+                sort_by=["id"], catalog=cat, table_name="sw2",
+            )
+            order = next(o for o in meta["sort-orders"] if o["fields"])
+            assert meta["default-sort-order-id"] == order["order-id"]
+            assert (
+                read_iceberg_table(
+                    spark, tdir, catalog=cat, table_name="sw2"
+                ).count()
+                == 128
+            )
+
+    def test_unknown_sort_column_rejected(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        with pytest.raises(ValueError, match="sort_by names missing"):
+            write_iceberg_table(
+                spark, self._df(spark, range(8)), str(tmp_path / "sw3"),
+                partition_spec=self.SPEC1, now_ms=1_000, sort_by=["nope"],
+            )
+
+
+def _read_head_manifests(tdir: str):
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_avro_ocf,
+    )
+
+    meta = _current_meta(tdir)
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, mfs, _kv = read_avro_ocf(cur["manifest-list"])
+    out = []
+    for mf in mfs:
+        _s2, es, _kv2 = read_avro_ocf(mf["manifest_path"])
+        out.append(es)
+    return out

@@ -981,3 +981,95 @@ def iceberg_global_delete_evolution_scan(
             F.lit(pruned).cast("bigint").alias("pruned"),
         )
     )
+
+
+_SORTED_CACHE: dict[tuple, str] = {}
+
+
+def _sorted_writer_table(spark: SparkSession, sf_dir: str) -> str:
+    """events -> a day-partitioned table written with
+    ``sort_by=["event_id"]`` and a per-task file cap, so each day
+    cell's files hold NARROW DISJOINT event_id slices — the sorted
+    write (r9), giving new tables the clustering that sorted
+    compaction retrofits."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _SORTED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        (
+            (F.col("event_id") % N_DAYS) * MICROS_PER_DAY
+            + F.col("event_id")
+        ).alias("ts_us"),
+    )
+    # ~8 sorted slices per day at EVERY sf (one bounded count)
+    mrpf = max(64, df.count() // (N_DAYS * 8))
+    tdir = tempfile.mkdtemp(prefix="iceberg-sorted-")
+    write_iceberg_table(
+        spark, df, tdir, now_ms=1_000,
+        partition_spec=[("ts_day", "day", "ts_us")],
+        sort_by=["event_id"], max_records_per_file=mrpf,
+    )
+    session_cache_put(_SORTED_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_sorted_write_scan",
+    oracle=f"""
+SELECT CAST(event_id % {N_DAYS} AS BIGINT) AS ts_day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS bounds_pruned,
+       CAST(1 AS BIGINT) AS order_registered
+FROM events
+WHERE event_id BETWEEN 64 AND 1600
+GROUP BY CAST(event_id % {N_DAYS} AS BIGINT)
+""",
+)
+def iceberg_sorted_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED WRITES (Iceberg spec "Sort Orders"): the table's write
+    order registers in metadata and stamps every data file, and the
+    per-task file cap slices each day cell into narrow disjoint
+    event_id ranges — so a column-bounds probe skips whole files
+    (``bounds_pruned`` pins a strict subset structurally; an unsorted
+    layout's per-file bounds span the whole domain and prune nothing).
+    Counts replay relationally. Scale shape: at 100 TB the sorted
+    slices are what make point/range lookups on a high-cardinality
+    column metadata-bounded — file-level skipping instead of row-group
+    filtering inside every file."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        plan_scan,
+        read_iceberg_table,
+        read_table_metadata,
+    )
+
+    tdir = _sorted_writer_table(spark, sf_dir)
+    meta = read_table_metadata(tdir)["metadata"]
+    default_order = next(
+        o
+        for o in meta["sort-orders"]
+        if o["order-id"] == meta["default-sort-order-id"]
+    )
+    order_registered = 1 if default_order["fields"] else 0
+    n_total = len(plan_scan(tdir))
+    bounded = plan_scan(tdir, column_bounds=("event_id", 64, 1600))
+    bounds_pruned = 1 if 0 < len(bounded) < n_total else 0
+    return (
+        read_iceberg_table(spark, tdir)
+        .where(F.col("event_id").between(64, 1600))
+        .groupBy(
+            (F.col("event_id") % N_DAYS).cast("bigint").alias("ts_day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            "ts_day",
+            "n_rows",
+            F.lit(bounds_pruned).cast("bigint").alias("bounds_pruned"),
+            F.lit(order_registered).cast("bigint").alias("order_registered"),
+        )
+    )

@@ -122,6 +122,7 @@ def commit_append(
     max_commit_retries: int = 3,
     assume_new_files: bool = False,
     properties_extra: dict | None = None,
+    sort_by: list | None = None,
 ) -> dict:
     """Append-commit every not-yet-committed parquet data file under
     ``table_dir`` into the table's Iceberg metadata, creating the table
@@ -207,7 +208,7 @@ def commit_append(
                 table_dir, spark_schema, partition_col, now_ms, stats_blobs,
                 files, summary_extra, catalog, table_name, meta_dir, prior,
                 branch, partition_transform, partition_source, partition_spec,
-                properties_extra,
+                properties_extra, sort_by,
             )
         except CommitConflictError as e:
             last_err = e  # reload + rebase on the next iteration
@@ -234,6 +235,7 @@ def _commit_append_once(
     partition_source: str | None = None,
     partition_spec: list | None = None,
     properties_extra: dict | None = None,
+    sort_by: list | None = None,
 ) -> dict:
     if branch == "main":
         branch = None  # explicit main is just the default path
@@ -436,6 +438,23 @@ def _commit_append_once(
     entry_schema = manifest_entry_schema(spec_cols)
     schema_struct = _current_schema_struct(base)
     leaf_ids = _leaf_field_ids(schema_struct)
+    # sorted write (Iceberg spec "Sort Orders"): the caller sorted rows
+    # within the write tasks; record the order (reusing an id when the
+    # same column list exists — shared helper with sorted compaction),
+    # make it the table's write order, and stamp the entries so readers
+    # and the sorted-compaction no-op check see the files as sorted
+    sort_order_id = 0
+    new_sort_order = None
+    if sort_by:
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (  # noqa: E501 (local: avoids a new top-level import cycle)
+            match_or_add_sort_order,
+        )
+
+        base, sort_order_id, new_sort_order = match_or_add_sort_order(
+            base, list(sort_by), schema_struct
+        )
+        if int(base.get("default-sort-order-id", 0)) != sort_order_id:
+            base = {**base, "default-sort-order-id": sort_order_id}
     entries = [
         {
             "status": 1,  # ADDED
@@ -452,7 +471,7 @@ def _commit_append_once(
                 **_column_stats_fields(f.get("column_stats") or {}, leaf_ids),
                 "split_offsets": f["split_offsets"],
                 "equality_ids": None,
-                "sort_order_id": 0,
+                "sort_order_id": sort_order_id,
             },
         }
         for f in new_files
@@ -648,6 +667,17 @@ def _commit_append_once(
                     "updates": {
                         k: str(v) for k, v in properties_extra.items()
                     },
+                }
+            ]
+        if new_sort_order is not None:
+            updates += [
+                {"action": "add-sort-order", "sort-order": new_sort_order}
+            ]
+        if sort_by:
+            updates += [
+                {
+                    "action": "set-default-sort-order",
+                    "sort-order-id": sort_order_id,
                 }
             ]
         if prior is None:

@@ -794,35 +794,13 @@ def _rewrite_data_files_once(
     sort_order_id = 0
     new_sort_order: dict | None = None
     if sort_cols:
-        order_fields = []
-        for c in sort_cols:
-            fid = leaf_ids.get(c)
-            if fid is None:
-                raise KeyError(
-                    f"no scalar leaf column {c!r} in the table schema"
-                )
-            order_fields.append(
-                {
-                    "transform": "identity",
-                    "source-id": fid,
-                    "direction": "asc",
-                    "null-order": "nulls-first",
-                }
-            )
-        existing_orders = meta.get("sort-orders", [])
-        match = next(
-            (o for o in existing_orders if o.get("fields") == order_fields),
-            None,
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (  # noqa: E501 (shared with the sorted write path)
+            match_or_add_sort_order,
         )
-        if match is not None:
-            sort_order_id = int(match["order-id"])
-        else:
-            sort_order_id = (
-                max((int(o["order-id"]) for o in existing_orders), default=0)
-                + 1
-            )
-            new_sort_order = {"order-id": sort_order_id, "fields": order_fields}
-            meta = {**meta, "sort-orders": existing_orders + [new_sort_order]}
+
+        meta, sort_order_id, new_sort_order = match_or_add_sort_order(
+            meta, sort_cols, schema_struct
+        )
 
     per_part: dict = {}
     for d in data:

@@ -662,3 +662,41 @@ def _stat_data_files(paths: list[str], partition_cols) -> list[dict]:
 
 
 # -- the commit ---------------------------------------------------------------
+
+
+def match_or_add_sort_order(
+    meta: dict, sort_cols: list[str], schema_struct: dict
+) -> tuple[dict, int, dict | None]:
+    """Resolve ``sort_cols`` to a table SORT ORDER (Iceberg spec "Sort
+    Orders": ordered identity/asc/nulls-first fields by source id) —
+    reusing an existing order with the same field list, registering a
+    fresh ``order-id`` otherwise. Shared by the sorted write path and
+    sorted compaction so the same column list never mints two ids.
+    Returns ``(meta', order_id, new_order_or_None)``."""
+    leaf_ids = _leaf_field_ids(schema_struct)
+    order_fields = []
+    for c in sort_cols:
+        fid = leaf_ids.get(c)
+        if fid is None:
+            raise KeyError(f"no scalar leaf column {c!r} in the table schema")
+        order_fields.append(
+            {
+                "transform": "identity",
+                "source-id": fid,
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+        )
+    existing = meta.get("sort-orders", [])
+    match = next(
+        (o for o in existing if o.get("fields") == order_fields), None
+    )
+    if match is not None:
+        return meta, int(match["order-id"]), None
+    order_id = max((int(o["order-id"]) for o in existing), default=0) + 1
+    new_order = {"order-id": order_id, "fields": order_fields}
+    return (
+        {**meta, "sort-orders": existing + [new_order]},
+        order_id,
+        new_order,
+    )

@@ -45,6 +45,7 @@ def write_iceberg_table(
     branch: str | None = None,
     max_records_per_file: int | None = None,
     writer_shards: int | None = None,
+    sort_by: list | None = None,
 ) -> dict:
     """Write ``df`` into the Iceberg table at ``table_dir`` under
     ``partition_spec`` — ``(name, transform, source_col)`` tuples as
@@ -84,7 +85,18 @@ def write_iceberg_table(
     (one hot day, say) otherwise funnels through a single task. The
     hot cell then holds up to N files per append (times the
     ``max_records_per_file`` split, which caps file LENGTH while
-    shards cap task PARALLELISM — set both for skewed 100 TB loads)."""
+    shards cap task PARALLELISM — set both for skewed 100 TB loads).
+
+    ``sort_by=[cols]`` writes a SORTED table (Iceberg spec "Sort
+    Orders"): rows sort within each write task, the order registers in
+    table metadata (id reused when the same column list exists) and
+    becomes the table's write order, and each data file's
+    ``sort_order_id`` records it. With ``max_records_per_file`` the
+    files slice into narrow disjoint value ranges, so column-bounds
+    pruning (``plan_scan(column_bounds=...)``) skips whole files — the
+    same clustering win sorted compaction
+    (``rewrite_data_files(sort_by=...)``) gives existing tables,
+    available at write time."""
     import os
     import shutil
     import uuid as _uuid
@@ -180,6 +192,11 @@ def write_iceberg_table(
     else:
         shuffled = df
 
+    if sort_by:
+        missing = [c for c in sort_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"sort_by names missing columns {missing}")
+        shuffled = shuffled.sortWithinPartitions(*sort_by)
     writer = shuffled.write
     if part_names:
         writer = writer.partitionBy(*part_names)
@@ -220,4 +237,5 @@ def write_iceberg_table(
         catalog=catalog,
         table_name=table_name,
         branch=branch,
+        sort_by=sort_by,
     )

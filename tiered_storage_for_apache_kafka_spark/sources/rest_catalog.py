@@ -260,6 +260,15 @@ def apply_updates(meta: dict, updates: list[dict], now_ms: int) -> dict:
             ):
                 raise ValueError(f"no partition spec with id {sid}")
             meta["default-spec-id"] = sid
+        elif action == "set-default-sort-order":
+            oid = upd["sort-order-id"]
+            if oid == -1:  # spec: -1 = last added sort order
+                oid = meta["sort-orders"][-1]["order-id"]
+            if not any(
+                o["order-id"] == oid for o in meta.get("sort-orders", [])
+            ):
+                raise ValueError(f"no sort order with id {oid}")
+            meta["default-sort-order-id"] = oid
         elif action == "assign-uuid":
             meta["table-uuid"] = upd["uuid"]
         else:
