@@ -1440,3 +1440,68 @@ def _read_head_manifests(tdir: str):
         _s2, es, _kv2 = read_avro_ocf(mf["manifest_path"])
         out.append(es)
     return out
+
+
+class TestZorderRewrite:
+    """Round-9: rewrite_data_files(zorder_by=[x, y]) — Iceberg's zorder
+    strategy: bit-interleaved clustering so the record-cap file slices
+    carry tight bounds on EVERY zorder dimension (a linear sort
+    tightens only its leading column)."""
+
+    def _grid_table(self, spark, tmp_path, name):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        from pyspark.sql import functions as F
+
+        tdir = str(tmp_path / name)
+        df = spark.createDataFrame(
+            [(i, i % 64, i // 64) for i in range(4096)],
+            "id long, x long, y long",
+        ).withColumn("partition", F.lit(0))
+        write_iceberg_table(spark, df, tdir, now_ms=1_000)
+        return tdir
+
+    def test_zorder_prunes_both_dimensions(self, spark, tmp_path):
+        tdir = self._grid_table(spark, tmp_path, "z1")
+        rewrite_data_files(
+            spark, tdir, now_ms=2_000,
+            zorder_by=["x", "y"], max_records_per_file=256,
+        )
+        files = plan_scan(tdir)
+        assert len(files) >= 8
+        for col in ("x", "y"):
+            sub = plan_scan(tdir, column_bounds=(col, 0, 15))
+            assert 0 < len(sub) < len(files), (col, len(sub), len(files))
+        # row set intact, and a 2D box read is exact
+        got = (
+            read_iceberg_table(spark, tdir)
+            .where("x BETWEEN 0 AND 15 AND y BETWEEN 0 AND 15")
+            .count()
+        )
+        assert got == 16 * 16
+        assert read_iceberg_table(spark, tdir).count() == 4096
+
+    def test_linear_sort_only_prunes_leading_column(self, spark, tmp_path):
+        """The contrast that justifies zorder: sort_by=['x'] leaves
+        every file spanning the full y domain (no y pruning), where the
+        zorder layout pruned both."""
+        tdir = self._grid_table(spark, tmp_path, "z2")
+        rewrite_data_files(
+            spark, tdir, now_ms=2_000,
+            sort_by=["x"], max_records_per_file=256,
+        )
+        files = plan_scan(tdir)
+        x_sub = plan_scan(tdir, column_bounds=("x", 0, 15))
+        y_sub = plan_scan(tdir, column_bounds=("y", 0, 15))
+        assert 0 < len(x_sub) < len(files)
+        assert len(y_sub) == len(files)  # y bounds span everything
+
+    def test_zorder_and_sort_are_exclusive(self, spark, tmp_path):
+        tdir = self._grid_table(spark, tmp_path, "z3")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            rewrite_data_files(
+                spark, tdir, now_ms=2_000,
+                sort_by=["x"], zorder_by=["x", "y"],
+            )

@@ -75,6 +75,7 @@ _R9_WINDOW = [
     "iceberg_sharded_writer_scan",
     "iceberg_global_delete_evolution_scan",
     "iceberg_sorted_write_scan",
+    "iceberg_zorder_scan",
     # (b) changed code this round
     "iceberg_multifield_partition_scan",
     "iceberg_string_partition_scan",

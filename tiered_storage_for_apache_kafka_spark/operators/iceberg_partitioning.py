@@ -1073,3 +1073,87 @@ def iceberg_sorted_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(order_registered).cast("bigint").alias("order_registered"),
         )
     )
+
+
+_ZORDER_CACHE: dict[tuple, str] = {}
+
+
+def _zorder_table(spark: SparkSession, sf_dir: str) -> str:
+    """events -> two derived dimensions (x = event_id % 64,
+    y = floor(event_id / 64) % 64), compacted with
+    ``rewrite_data_files(zorder_by=["x", "y"])`` and a record cap — the
+    bit-interleaved clustering that gives every file tight bounds on
+    BOTH dimensions (r9)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        rewrite_data_files,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _ZORDER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        (F.col("event_id") % 64).alias("x"),
+        (F.floor(F.col("event_id") / 64) % 64).cast("long").alias("y"),
+        F.lit(0).cast("int").alias("partition"),
+    )
+    mrpf = max(64, df.count() // 16)  # ~16 zorder slices at every sf
+    tdir = tempfile.mkdtemp(prefix="iceberg-zorder-")
+    write_iceberg_table(spark, df, tdir, now_ms=1_000)
+    rewrite_data_files(
+        spark, tdir, now_ms=2_000,
+        zorder_by=["x", "y"], max_records_per_file=mrpf,
+    )
+    session_cache_put(_ZORDER_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_zorder_scan",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS sum_ids,
+       CAST(1 AS BIGINT) AS x_pruned,
+       CAST(1 AS BIGINT) AS y_pruned
+FROM events
+WHERE event_id % 64 BETWEEN 8 AND 23
+  AND CAST(FLOOR(event_id / 64) AS BIGINT) % 64 BETWEEN 8 AND 23
+""",
+)
+def iceberg_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering (Iceberg's ``rewriteDataFiles`` zorder
+    strategy): after the interleaved rewrite, a column-bounds probe on
+    EITHER dimension alone opens a strict file subset (``x_pruned`` /
+    ``y_pruned`` pin it structurally — a linear sort would leave the
+    trailing dimension's bounds spanning every file), and a 2D box
+    read replays relationally. Scale shape: multi-dimension point/range
+    lookups at 100 TB become metadata-bounded on all clustered
+    dimensions at once — the layout for (time, key)-style lookups no
+    single-column sort serves."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        plan_scan,
+        read_iceberg_table,
+    )
+
+    tdir = _zorder_table(spark, sf_dir)
+    n_total = len(plan_scan(tdir))
+    pins = {}
+    for col in ("x", "y"):
+        sub = plan_scan(tdir, column_bounds=(col, 8, 23))
+        pins[col] = 1 if 0 < len(sub) < n_total else 0
+    return (
+        read_iceberg_table(spark, tdir)
+        .where("x BETWEEN 8 AND 23 AND y BETWEEN 8 AND 23")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .select(
+            "n_rows",
+            "sum_ids",
+            F.lit(pins["x"]).cast("bigint").alias("x_pruned"),
+            F.lit(pins["y"]).cast("bigint").alias("y_pruned"),
+        )
+    )

@@ -686,6 +686,7 @@ def rewrite_data_files(
     table_name: str | None = None,
     max_records_per_file: int | None = None,
     sort_by: str | list[str] | None = None,
+    zorder_by: list[str] | None = None,
     max_commit_retries: int = 3,
 ) -> dict:
     """See :func:`_rewrite_data_files_once`; in catalog mode a lost
@@ -702,7 +703,7 @@ def rewrite_data_files(
         try:
             return _rewrite_data_files_once(
                 spark, table_dir, now_ms, catalog, table_name,
-                max_records_per_file, sort_by,
+                max_records_per_file, sort_by, zorder_by,
             )
         except CommitConflictError as e:
             last_err = e
@@ -720,6 +721,7 @@ def _rewrite_data_files_once(
     table_name: str | None,
     max_records_per_file: int | None,
     sort_by: str | list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Iceberg ``rewriteDataFiles`` maintenance (bin-pack compaction
     with merge-on-read materialization): read the current snapshot's
@@ -791,6 +793,9 @@ def _rewrite_data_files_once(
     sort_cols = (
         [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
     )
+    zorder_cols = list(zorder_by or [])
+    if sort_cols and zorder_cols:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     sort_order_id = 0
     new_sort_order: dict | None = None
     if sort_cols:
@@ -818,6 +823,10 @@ def _rewrite_data_files_once(
         and max(per_part.values()) <= 1
         and all_default_spec
         and (not sort_cols or already_sorted)
+        # a zorder request always re-layouts: entries carry no record
+        # of an interleaved order (spec sort orders cannot express it),
+        # so there is nothing to no-op against
+        and not zorder_cols
     ):
         return meta  # already compact (and in the requested order/spec)
 
@@ -856,6 +865,35 @@ def _rewrite_data_files_once(
         # record cap yields consecutive — hence tight-bounded — files
         # deterministically at every scale)
         shaped = live.repartition(*part_names).sortWithinPartitions(*keys)
+    elif zorder_cols:
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (  # noqa: E501
+            zorder_column,
+        )
+
+        # one bounded agg for the dimension ranges (driver-side: 2N
+        # scalars), then the interleave key is pure JVM expressions;
+        # sorting by it clusters rows close in EVERY zorder dimension,
+        # so the record-cap slices carry tight bounds on ALL of them
+        aggs = []
+        for c in zorder_cols:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        row = live.agg(*aggs).collect()[0]
+        stats = {
+            c: (
+                row[f"mn_{c}"] if row[f"mn_{c}"] is not None else 0,
+                row[f"mx_{c}"] if row[f"mx_{c}"] is not None else 0,
+            )
+            for c in zorder_cols
+        }
+        zed = zorder_column(live, zorder_cols, stats, "__zorder")
+        keys = [F.col(n) for n in part_names] + [F.col("__zorder")]
+        shaped = (
+            zed.repartition(*part_names)
+            .sortWithinPartitions(*keys)
+            .drop("__zorder")
+        )
     else:
         shaped = live.repartition(*part_names)
     writer = shaped.write.partitionBy(*part_names)
