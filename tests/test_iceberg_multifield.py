@@ -1505,3 +1505,177 @@ class TestZorderRewrite:
                 spark, tdir, now_ms=2_000,
                 sort_by=["x"], zorder_by=["x", "y"],
             )
+
+
+class TestRewritePositionDeletes:
+    """Round-9: rewrite_position_deletes — the delete plane's
+    compaction (Iceberg's rewritePositionDeleteFiles): merge each
+    partition's accumulated position-delete files into one sorted file,
+    drop dangling rows, tombstone the originals; data files untouched."""
+
+    def _table_with_delete_churn(self, spark, tmp_path, name):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_position_deletes,
+        )
+
+        tdir, schema, _meta = _composite_table(
+            spark, tmp_path, n_ids=64, name=name
+        )
+        # three separate delete commits -> three delete files per
+        # touched partition cell
+        commit_position_deletes(spark, tdir, "id IN (1, 2)", now_ms=2_000)
+        commit_position_deletes(spark, tdir, "id IN (5, 9)", now_ms=3_000)
+        commit_position_deletes(spark, tdir, "id IN (13, 17)", now_ms=4_000)
+        return tdir, schema
+
+    def _live_pos_delete_files(self, tdir):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_table_metadata,
+        )
+
+        back = read_table_metadata(tdir)
+        return [
+            e["data_file"]["file_path"]
+            for m in back["manifests"]
+            for e in m["entries"]
+            if e["status"] != 2
+            and e["data_file"].get("content") == 1
+            and not e["data_file"].get("referenced_data_file")
+        ]
+
+    def test_merges_per_partition_and_preserves_rows(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            rewrite_position_deletes,
+        )
+
+        tdir, _schema = self._table_with_delete_churn(spark, tmp_path, "rpd1")
+        before = self._live_pos_delete_files(tdir)
+        per_part_before: dict[str, int] = {}
+        for p in before:
+            per_part_before[os.path.dirname(p)] = (
+                per_part_before.get(os.path.dirname(p), 0) + 1
+            )
+        assert max(per_part_before.values()) > 1  # churn exists
+        expected = sorted(
+            i for i in range(64) if i not in (1, 2, 5, 9, 13, 17)
+        )
+        meta = rewrite_position_deletes(spark, tdir, now_ms=5_000)
+        after = self._live_pos_delete_files(tdir)
+        per_part_after: dict[str, int] = {}
+        for p in after:
+            per_part_after[os.path.dirname(p)] = (
+                per_part_after.get(os.path.dirname(p), 0) + 1
+            )
+        assert max(per_part_after.values()) == 1  # one file per cell
+        assert len(after) < len(before)
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == expected
+        # delete counters stay exact through the rewrite
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        assert int(cur["summary"]["total-position-deletes"]) == 6
+        # idempotent: second run is a no-op
+        n_snaps = len(meta["snapshots"])
+        meta2 = rewrite_position_deletes(spark, tdir, now_ms=6_000)
+        assert len(meta2["snapshots"]) == n_snaps
+
+    def test_drops_dangling_rows_after_data_rewrite(self, spark, tmp_path):
+        """Positions referencing data files a rewrite replaced must
+        vanish from the merged output (they can never match again)."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_position_deletes,
+            read_table_metadata,
+            rewrite_position_deletes,
+        )
+
+        tdir, schema, _meta = _composite_table(
+            spark, tmp_path, n_ids=32, name="rpd2"
+        )
+        commit_position_deletes(spark, tdir, "id = 3", now_ms=2_000)
+        commit_position_deletes(spark, tdir, "id = 7", now_ms=3_000)
+        # grow the table with files the deletes do NOT reference, then
+        # craft danglers: append new files and delete from them, then
+        # data-rewrite ONLY by adding... simplest true dangler: rewrite
+        # the data (materializes deletes + tombstones delete files) is
+        # total — instead simulate a dangler by removing a data file
+        # entry via a second delete targeting rows, then manually
+        # confirm semi-join drops unknown paths:
+        back = read_table_metadata(tdir)
+        live_pos = [
+            e["data_file"]
+            for m in back["manifests"]
+            for e in m["entries"]
+            if e["status"] != 2 and e["data_file"].get("content") == 1
+        ]
+        assert live_pos
+        # inject a dangling row into one existing delete file
+        target = live_pos[0]["file_path"]
+        t = pq.read_table(target)
+        import pyarrow as _pa
+
+        dang = _pa.table(
+            {
+                "file_path": _pa.array(
+                    ["/nonexistent/ghost.parquet"], _pa.string()
+                ),
+                "pos": _pa.array([0], _pa.int64()),
+            }
+        ).cast(t.schema)
+        pq.write_table(_pa.concat_tables([t, dang]), target)
+        meta = rewrite_position_deletes(spark, tdir, now_ms=4_000)
+        merged = self._live_pos_delete_files(tdir)
+        ghost = 0
+        for p in merged:
+            tb = pq.read_table(p)
+            ghost += sum(
+                1
+                for v in tb.column("file_path").to_pylist()
+                if "ghost" in v
+            )
+        assert ghost == 0  # dangler dropped
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == [i for i in range(32) if i not in (3, 7)]
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        assert int(cur["summary"]["total-position-deletes"]) == 2
+
+    def test_catalog_mode(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_position_deletes,
+            rewrite_position_deletes,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+            FakeRestCatalogServer, RestCatalogClient,
+        )
+
+        tdir, _schema, _meta = _composite_table(
+            spark, tmp_path, n_ids=32, name="rpd3"
+        )
+        with FakeRestCatalogServer() as srv:
+            cat = RestCatalogClient(srv.base_url)
+            cat.ensure_namespace()
+            cat.create_table("rpd3", _current_meta(tdir))
+            commit_position_deletes(
+                spark, tdir, "id = 4", now_ms=2_000, catalog=cat,
+                table_name="rpd3",
+            )
+            commit_position_deletes(
+                spark, tdir, "id = 8", now_ms=3_000, catalog=cat,
+                table_name="rpd3",
+            )
+            rewrite_position_deletes(
+                spark, tdir, now_ms=4_000, catalog=cat, table_name="rpd3"
+            )
+            got = sorted(
+                r["id"]
+                for r in read_iceberg_table(
+                    spark, tdir, catalog=cat, table_name="rpd3"
+                ).collect()
+            )
+            assert got == [i for i in range(32) if i not in (4, 8)]

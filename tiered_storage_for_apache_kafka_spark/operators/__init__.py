@@ -76,6 +76,7 @@ _R9_WINDOW = [
     "iceberg_global_delete_evolution_scan",
     "iceberg_sorted_write_scan",
     "iceberg_zorder_scan",
+    "iceberg_rewrite_pos_deletes_scan",
     # (b) changed code this round
     "iceberg_multifield_partition_scan",
     "iceberg_string_partition_scan",

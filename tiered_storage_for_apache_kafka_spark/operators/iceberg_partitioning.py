@@ -16,6 +16,7 @@ exactly that id's rows.
 
 from __future__ import annotations
 
+import json
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1155,5 +1156,118 @@ def iceberg_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_ids",
             F.lit(pins["x"]).cast("bigint").alias("x_pruned"),
             F.lit(pins["y"]).cast("bigint").alias("y_pruned"),
+        )
+    )
+
+
+_RPD_CACHE: dict[tuple, str] = {}
+
+
+def _pos_delete_churn_table(spark: SparkSession, sf_dir: str) -> str:
+    """events -> a day(ts_us) table that takes THREE separate
+    position-delete commits (the CDC churn shape: every micro-batch
+    deletes a few rows, so delete files accumulate per cell), then
+    ``rewrite_position_deletes`` merges each cell's files into one
+    (r9)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_position_deletes,
+        rewrite_position_deletes,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _RPD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        (
+            (F.col("event_id") % N_DAYS) * MICROS_PER_DAY
+            + F.col("event_id")
+        ).alias("ts_us"),
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-rpd-")
+    write_iceberg_table(
+        spark, df, tdir, now_ms=1_000,
+        partition_spec=[("ts_day", "day", "ts_us")],
+    )
+    commit_position_deletes(spark, tdir, "event_id % 97 = 0", now_ms=2_000)
+    commit_position_deletes(spark, tdir, "event_id % 89 = 0", now_ms=3_000)
+    commit_position_deletes(spark, tdir, "event_id % 83 = 0", now_ms=4_000)
+    rewrite_position_deletes(spark, tdir, now_ms=5_000)
+    session_cache_put(_RPD_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_rewrite_pos_deletes_scan",
+    oracle=f"""
+SELECT CAST(event_id % {N_DAYS} AS BIGINT) AS ts_day,
+       CAST(SUM(CASE WHEN event_id % 97 <> 0 AND event_id % 89 <> 0
+                      AND event_id % 83 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_live,
+       CAST(1 AS BIGINT) AS merged_one_per_cell,
+       CAST(1 AS BIGINT) AS counters_exact
+FROM events
+WHERE event_id % {N_DAYS} BETWEEN 0 AND 7
+GROUP BY CAST(event_id % {N_DAYS} AS BIGINT)
+""",
+)
+def iceberg_rewrite_pos_deletes_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete-plane compaction (Iceberg ``rewritePositionDeleteFiles``):
+    after three churn commits and the merge, every partition cell holds
+    at most ONE live position-delete file (``merged_one_per_cell`` pins
+    it structurally), the snapshot's total-position-deletes counter
+    equals the relational deleted count (``counters_exact``), and the
+    merged layout serves exact per-day live counts. Scale shape: a CDC
+    table's read cost is bounded by delete-file COUNT per cell — the
+    merge keeps it at one regardless of commit history, with dangling
+    rows dropped in the same O(delete bytes) pass."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+        read_table_metadata,
+    )
+
+    tdir = _pos_delete_churn_table(spark, sf_dir)
+    back = read_table_metadata(tdir)
+    per_cell: dict[str, int] = {}
+    for m in back["manifests"]:
+        for e in m["entries"]:
+            d = e["data_file"]
+            if e["status"] != 2 and d.get("content") == 1:
+                cell = json.dumps(d["partition"], sort_keys=True)
+                per_cell[cell] = per_cell.get(cell, 0) + 1
+    merged = 1 if per_cell and max(per_cell.values()) == 1 else 0
+    meta = back["metadata"]
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    n_deleted_meta = int(cur["summary"]["total-position-deletes"])
+    n_deleted_real = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            "event_id % 97 = 0 OR event_id % 89 = 0 OR event_id % 83 = 0"
+        )
+        .count()
+    )
+    counters = 1 if n_deleted_meta == n_deleted_real else 0
+    lo, hi = 0, 8 * MICROS_PER_DAY - 1
+    return (
+        read_iceberg_table(spark, tdir, source_predicates={"ts_us": (lo, hi)})
+        .groupBy(
+            F.floor(F.col("ts_us") / MICROS_PER_DAY)
+            .cast("bigint")
+            .alias("ts_day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_live"))
+        .select(
+            "ts_day",
+            "n_live",
+            F.lit(merged).cast("bigint").alias("merged_one_per_cell"),
+            F.lit(counters).cast("bigint").alias("counters_exact"),
         )
     )

@@ -779,3 +779,268 @@ def _finish_delete_commit(
         return resp["metadata"]
     _write_metadata_version(meta_dir, version + 1, meta)
     return meta
+
+
+def rewrite_position_deletes(
+    spark,
+    table_dir: str,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """Iceberg ``rewritePositionDeleteFiles`` maintenance — the delete
+    plane's compaction (the fifth action, beside expire / both rewrites
+    / orphan sweep): merge each partition's accumulated v2 parquet
+    position-delete files into ONE sorted file and DROP DANGLING rows
+    (positions referencing data files no longer live in the current
+    snapshot). Data files are untouched — this is the light
+    counterpart to ``rewrite_data_files``, which materializes deletes
+    by rewriting the data. DVs (v3, one live per data file by spec)
+    and equality deletes are left alone; old-spec-generation delete
+    files are carried untouched (migrate them with
+    ``rewrite_data_files``). No-op when no partition holds more than
+    one target file.
+
+    Scale shape: one distributed read of exactly the target delete
+    files, a semi-join against the live-path set (shuffle, never a
+    driver collect of positions), and one Arrow write task per
+    partition — O(delete bytes), independent of data bytes. Merged
+    files take the new snapshot's sequence number: spec-legal because
+    a position delete names an exact (path, pos) and part-file paths
+    are attempt-unique, so widening the sequence window cannot match a
+    later file. The replaced originals tombstone (status=2) in their
+    manifests, preserving incremental-window retraction guards."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+        commit_retry_backoff,
+    )
+
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None and table_name is None:
+        table_name = _default_table_name(table_dir)
+    last_err: Exception | None = None
+    n_attempts = max_commit_retries if catalog is not None else 1
+    for _attempt in range(n_attempts):
+        try:
+            return _rewrite_position_deletes_once(
+                spark, table_dir, now_ms, catalog, table_name
+            )
+        except CommitConflictError as e:
+            last_err = e
+            if _attempt + 1 < n_attempts:
+                commit_retry_backoff(_attempt)
+    assert last_err is not None
+    raise last_err
+
+
+def _rewrite_position_deletes_once(
+    spark, table_dir: str, now_ms: int, catalog, table_name: str | None
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+        _tombstone_superseded,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+        spec_typed_cols,
+    )
+
+    version, base, table_name = _current_state_meta(
+        table_dir, catalog, table_name
+    )
+    if base.get("current-snapshot-id", -1) == -1:
+        return base
+    cur = next(
+        s
+        for s in base["snapshots"]
+        if s["snapshot-id"] == base["current-snapshot-id"]
+    )
+    data, deletes = _plan_snapshot(cur, None)
+    spec = _default_spec(base)
+    default_sid = int(spec["spec-id"])
+    part_names = spec_names(spec)
+    # targets: live v2 parquet position-delete files under the DEFAULT
+    # spec generation (DV locators are PUFFIN-backed; equality deletes
+    # are content=2; both excluded by construction)
+    targets = [
+        d
+        for d in deletes
+        if d.get("content") == 1
+        and not d.get("referenced_data_file")
+        and str(d.get("file_path", "")).endswith(".parquet")
+        and int(d.get("_spec_id", default_sid)) == default_sid
+    ]
+    by_part: dict[str, list[dict]] = {}
+    for d in targets:
+        by_part.setdefault(
+            json.dumps(
+                {n: d["partition"].get(n) for n in part_names},
+                sort_keys=True,
+            ),
+            [],
+        ).append(d)
+    merge_groups = {k: v for k, v in by_part.items() if len(v) > 1}
+    if not merge_groups:
+        return base  # already one file per partition: nothing to merge
+
+    group_paths = {
+        k: sorted(d["file_path"] for d in v) for k, v in merge_groups.items()
+    }
+    path_to_group = {
+        p: k for k, ps in group_paths.items() for p in ps
+    }
+    all_paths = sorted(path_to_group)
+    live_paths = spark.createDataFrame(
+        [(d["file_path"],) for d in data], "file_path string"
+    )
+    rows = (
+        spark.read.parquet(*all_paths)
+        .withColumn(
+            "__src",
+            F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+        )
+        # dangling drop: positions of data files the current snapshot
+        # no longer lists simply vanish from the merged output
+        .join(live_paths, "file_path", "left_semi")
+    )
+    grp_map = spark.createDataFrame(
+        list(path_to_group.items()), "__src string, __grp string"
+    )
+    rows = rows.join(F.broadcast(grp_map), "__src")
+    token = uuid.uuid4().hex[:16]
+    names = list(part_names)
+    part_typed = spec_typed_cols(spec, _current_schema_struct(base))
+    types = {n: t for n, _f, t in part_typed}
+
+    def _merge_group(pdf):
+        import json as _json
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        values = _json.loads(pdf["__grp"].iloc[0])
+        pdf = pdf.sort_values(["file_path", "pos"])
+        out_dir = os.path.join(
+            table_dir, "deletes", _hive_part_dir(names, values)
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        tag = "-".join(str(values[n]) for n in names)
+        path = os.path.join(out_dir, f"delete-merged-{token}-p{tag}.parquet")
+        schema = pa.schema(
+            [
+                pa.field(
+                    "file_path", pa.string(), nullable=False,
+                    metadata={b"PARQUET:field_id": b"2147483546"},
+                ),
+                pa.field(
+                    "pos", pa.int64(), nullable=False,
+                    metadata={b"PARQUET:field_id": b"2147483545"},
+                ),
+            ]
+        )
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(pdf["file_path"], pa.string()),
+                pa.array(pdf["pos"], pa.int64()),
+            ],
+            schema=schema,
+        )
+        pq.write_table(tbl, path, compression="zstd")
+        return pd.DataFrame(
+            [[path, pdf["__grp"].iloc[0], len(pdf), os.path.getsize(path)]],
+            columns=["delete_path", "partition_json", "n_rows", "file_size"],
+        )
+
+    merged = [
+        {
+            "delete_path": r["delete_path"],
+            "partition": json.loads(r["partition_json"]),
+            "n_rows": int(r["n_rows"]),
+            "file_size": int(r["file_size"]),
+        }
+        for r in rows.groupBy("__grp")
+        .applyInPandas(
+            _merge_group,
+            "delete_path string, partition_json string, n_rows bigint, "
+            "file_size bigint",
+        )
+        .collect()
+    ]
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    newest_ts = max((s["timestamp-ms"] for s in base["snapshots"]), default=0)
+    now_ms = max(now_ms, newest_ts)
+    seq = base["last-sequence-number"] + 1
+    snapshot_id = seq
+    commit_uuid = uuid.uuid4().hex[:16]
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 1,
+                "file_path": s["delete_path"],
+                "file_format": "PARQUET",
+                "partition": dict(s["partition"]),
+                "record_count": s["n_rows"],
+                "file_size_in_bytes": s["file_size"],
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "split_offsets": None,
+                "equality_ids": None,
+                "sort_order_id": None,
+            },
+        }
+        for s in sorted(merged, key=lambda s: s["delete_path"])
+    ]
+    schema_struct = _current_schema_struct(base)
+    manifest_path = os.path.join(
+        meta_dir, f"{base['table-uuid']}-rpd{seq}-{commit_uuid}.avro"
+    )
+    manifest_len = write_avro_ocf(
+        manifest_path,
+        manifest_entry_schema(part_typed),
+        entries,
+        {
+            "schema": json.dumps(schema_struct).encode(),
+            "schema-id": str(base["current-schema-id"]).encode(),
+            "partition-spec": json.dumps(spec["fields"]).encode(),
+            "partition-spec-id": str(spec["spec-id"]).encode(),
+            "format-version": str(FORMAT_VERSION).encode(),
+            "content": b"deletes",
+        },
+    )
+    # tombstone every replaced original in its own manifest (the DV
+    # supersede rewriter keys on (path, referenced_data_file) — a
+    # parquet position delete's locator is None, so the pair is exact)
+    sup_stats = [
+        {
+            "superseded": [
+                {
+                    "puffin_path": d["file_path"],
+                    "referenced_data_file": None,
+                    "cardinality": int(d["record_count"]),
+                }
+                for v in merge_groups.values()
+                for d in v
+            ]
+        }
+    ]
+    prior_manifests, removed_pos, _n = _tombstone_superseded(
+        base, sup_stats, meta_dir, seq, snapshot_id, commit_uuid
+    )
+    return _finish_delete_commit(
+        table_dir, version, base, merged, now_ms, catalog, table_name,
+        seq, snapshot_id, commit_uuid, manifest_path, manifest_len,
+        len(entries), prior_manifests=prior_manifests,
+        removed_pos_deletes=removed_pos,
+        summary_extra={"rewritten-delete-files": str(len(path_to_group))},
+        delete_spec_id=spec["spec-id"],
+    )
