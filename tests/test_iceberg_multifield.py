@@ -1679,3 +1679,50 @@ class TestRewritePositionDeletes:
                 ).collect()
             )
             assert got == [i for i in range(32) if i not in (4, 8)]
+
+
+class TestExpireOlderThan:
+    """Round-9: expire_snapshots(older_than_ms=...) — age-based
+    retention composed with keep_last (max of count and age, the Java
+    expireOlderThan semantics)."""
+
+    def test_age_keeps_young_snapshots_past_keep_last(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            expire_snapshots,
+        )
+
+        tdir = str(tmp_path / "age1")
+        schema = spark.createDataFrame([], "ts_us long, id long, v long").schema
+        for k in range(5):
+            _write_composite_files(tdir, range(k * 4, k * 4 + 4), tag=f"g{k}")
+            commit_append(
+                tdir, schema, partition_spec=SPEC, now_ms=(k + 1) * 1_000
+            )
+        # cutoff between snapshots 2 and 3: keep_last=1 alone would
+        # leave one; age keeps snapshots 3,4,5 (ts >= 3000)
+        meta = expire_snapshots(
+            tdir, keep_last=1, now_ms=10_000, older_than_ms=3_000
+        )
+        kept = sorted(s["timestamp-ms"] for s in meta["snapshots"])
+        assert kept == [3_000, 4_000, 5_000]
+        # all data still live (append-only: head references everything)
+        assert read_iceberg_table(spark, tdir).count() == 20
+
+    def test_age_alone_never_drops_below_keep_last(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            expire_snapshots,
+        )
+
+        tdir = str(tmp_path / "age2")
+        schema = spark.createDataFrame([], "ts_us long, id long, v long").schema
+        for k in range(3):
+            _write_composite_files(tdir, range(k * 4, k * 4 + 4), tag=f"g{k}")
+            commit_append(
+                tdir, schema, partition_spec=SPEC, now_ms=(k + 1) * 1_000
+            )
+        # cutoff past every snapshot: keep_last=2 still holds two
+        meta = expire_snapshots(
+            tdir, keep_last=2, now_ms=10_000, older_than_ms=9_000
+        )
+        kept = sorted(s["timestamp-ms"] for s in meta["snapshots"])
+        assert kept == [2_000, 3_000]

@@ -35,7 +35,12 @@ ROWS_PER_BATCH = 40
 #: applies both, giving the closed form live = v%7<>3 AND v%11<>5
 PRED_A = "v % 7 = 3"
 PRED_B = "v % 11 = 5"
+#: second pos-delete predicate (r9): gives the b=60
+#: rewrite_position_deletes leg real churn to merge (100-batch
+#: gauntlet only — the other gauntlets keep the two-predicate form)
+PRED_C = "v % 13 = 6"
 FINAL_PRED = "v % 7 = 3 OR v % 11 = 5"
+FINAL_PRED_ABC = "v % 7 = 3 OR v % 11 = 5 OR v % 13 = 6"
 
 
 def _append_batch(tdir: str, schema, b: int, ms: int, catalog=None):
@@ -308,6 +313,7 @@ class TestMaintenanceSoak:
             remove_orphan_files,
             rewrite_data_files,
             rewrite_manifests,
+            rewrite_position_deletes,
         )
 
         tdir = str(tmp_path / "soak-tbl")
@@ -329,6 +335,18 @@ class TestMaintenanceSoak:
                 # both row-delta representations in one table
                 ms += 1_000
                 commit_position_deletes(spark, tdir, PRED_A, now_ms=ms)
+            if b == 45:
+                # a second pos-delete commit so the b=60 delete-plane
+                # compaction has churn to merge (r9)
+                ms += 1_000
+                commit_position_deletes(spark, tdir, PRED_C, now_ms=ms)
+            if b == 60:
+                # delete-plane compaction composed into the gauntlet:
+                # merge each cell's pos-delete files, tombstone the
+                # originals — the changelog consumer must stay exact
+                # across it (r9)
+                ms += 1_000
+                rewrite_position_deletes(spark, tdir, now_ms=ms)
             if b % 15 == 6:
                 ms += 1_000
                 pred = PRED_A if (b // 15) % 2 == 0 else PRED_B
@@ -353,7 +371,7 @@ class TestMaintenanceSoak:
                 if removed:
                     orphan_sweeps_nonempty += 1
         ms += 1_000
-        commit_deletion_vectors(spark, tdir, FINAL_PRED, now_ms=ms)
+        commit_deletion_vectors(spark, tdir, FINAL_PRED_ABC, now_ms=ms)
         ckpt = _consume(spark, tdir, ckpt, counts)
 
         total = N_BATCHES * ROWS_PER_BATCH
@@ -361,7 +379,10 @@ class TestMaintenanceSoak:
             p: sum(
                 1
                 for v in range(total)
-                if v % 2 == p and v % 7 != 3 and v % 11 != 5
+                if v % 2 == p
+                and v % 7 != 3
+                and v % 11 != 5
+                and v % 13 != 6
             )
             for p in (0, 1)
         }

@@ -50,6 +50,7 @@ def expire_snapshots(
     catalog=None,
     table_name: str | None = None,
     max_commit_retries: int = 3,
+    older_than_ms: int | None = None,
 ) -> dict:
     """Iceberg snapshot expiration (`expireSnapshots` maintenance — the
     catalog-side analog of the reference's retention/delete plane):
@@ -61,7 +62,13 @@ def expire_snapshots(
     the new metadata dict. In catalog mode a lost race (concurrent
     append moved the head between load and commit) reloads and retries
     — maintenance on a busy streaming table must not deterministically
-    fail."""
+    fail.
+
+    ``older_than_ms`` (the Java action's ``expireOlderThan``) is an
+    ADDITIONAL keep condition: snapshots at or after the cutoff survive
+    even beyond ``keep_last``, so retention is max(count, age) — the
+    standard production policy "keep N days of history, at least the
+    head"."""
     from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
         CommitConflictError,
         commit_retry_backoff,
@@ -72,7 +79,8 @@ def expire_snapshots(
     for _attempt in range(n_attempts):
         try:
             return _expire_snapshots_once(
-                table_dir, keep_last, now_ms, catalog, table_name
+                table_dir, keep_last, now_ms, catalog, table_name,
+                older_than_ms,
             )
         except CommitConflictError as e:
             last_err = e
@@ -88,6 +96,7 @@ def _expire_snapshots_once(
     now_ms: int | None,
     catalog,
     table_name: str | None,
+    older_than_ms: int | None = None,
 ) -> dict:
     import time as _time
 
@@ -103,6 +112,16 @@ def _expire_snapshots_once(
         r["snapshot-id"] for r in (meta.get("refs") or {}).values()
     }
     keep_ids = {s["snapshot-id"] for s in snaps[-keep_last:]} | ref_ids
+    if older_than_ms is not None:
+        # expireSnapshots(olderThan) semantics: age is an ADDITIONAL
+        # keep condition — a snapshot younger than the cutoff survives
+        # even past keep_last, so retention is max(count, age), exactly
+        # the Java action's composition of retainLast + olderThan
+        keep_ids |= {
+            s["snapshot-id"]
+            for s in snaps
+            if int(s["timestamp-ms"]) >= older_than_ms
+        }
     # an unpublished BRANCH lineage survives too: fast_forward's
     # ancestry check needs the parent chain from the branch head back
     # to the fork point. Bounded by the branch-only chain — the walk
