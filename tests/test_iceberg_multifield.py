@@ -1726,3 +1726,107 @@ class TestExpireOlderThan:
         )
         kept = sorted(s["timestamp-ms"] for s in meta["snapshots"])
         assert kept == [2_000, 3_000]
+
+
+class TestRewritePosDeletesReviewFixes:
+    """Round-9 self-review regressions for rewrite_position_deletes."""
+
+    def test_scoped_scan_applies_merged_deletes(self, spark, tmp_path):
+        """The committed partition dicts must be SPEC-ordered: on a
+        (ts_day, id_bucket) table — alphabetical order differs — an
+        alphabetically-reordered dict misaligns the manifest summary
+        array and a day-scoped scan would prune the merged delete
+        manifest unopened, resurrecting deleted rows."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_position_deletes,
+            rewrite_position_deletes,
+        )
+
+        tdir, _schema, _meta = _composite_table(
+            spark, tmp_path, n_ids=64, name="rpdfix1"
+        )
+        commit_position_deletes(spark, tdir, "id IN (4, 8)", now_ms=2_000)
+        commit_position_deletes(spark, tdir, "id IN (12, 16)", now_ms=3_000)
+        rewrite_position_deletes(spark, tdir, now_ms=4_000)
+        # ids 4,8,12,16 all live on day DAY0 (id % 4 == 0)
+        w = (DAY0 * MICROS_PER_DAY, (DAY0 + 1) * MICROS_PER_DAY - 1)
+        got = sorted(
+            r["id"]
+            for r in read_iceberg_table(
+                spark, tdir, source_predicates={"ts_us": w}
+            ).collect()
+        )
+        assert got == [
+            i for i in range(64) if i % 4 == 0 and i not in (4, 8, 12, 16)
+        ]
+
+    def test_string_partition_with_space_merges(self, spark, tmp_path):
+        """input_file_name() percent-encodes special hive-dir chars; the
+        group map must match the encoded spelling too, or the cell's
+        delete rows silently vanish while the originals tombstone."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_position_deletes,
+            rewrite_position_deletes,
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "rpdfix2")
+        df = spark.createDataFrame(
+            [(i, "en us" if i % 2 == 0 else "de", i * 10) for i in range(32)],
+            "id long, lang string, v long",
+        )
+        write_iceberg_table(
+            spark, df, tdir, now_ms=1_000,
+            partition_spec=[("lang", "identity", None)],
+        )
+        commit_position_deletes(spark, tdir, "id IN (0, 2)", now_ms=2_000)
+        commit_position_deletes(spark, tdir, "id IN (4, 6)", now_ms=3_000)
+        rewrite_position_deletes(spark, tdir, now_ms=4_000)
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == [i for i in range(32) if i not in (0, 2, 4, 6)]
+
+
+class TestNullCellEqualityDelete:
+    """Round-9 self-review: the null-key guard must not ban the
+    LEGITIMATE null-cell delete (read-side eqNullSafe matches null
+    partition values exactly) — it is opt-in via
+    allow_null_partition=True."""
+
+    def test_null_cell_delete_opt_in(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_equality_deletes,
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "nullcell")
+        df = spark.createDataFrame(
+            [(i, None if i % 4 == 0 else f"l{i % 3}", i * 10) for i in range(24)],
+            "id long, lang string, v long",
+        )
+        write_iceberg_table(
+            spark, df, tdir, now_ms=1_000,
+            partition_spec=[("lang", "identity", None)],
+        )
+        keys = spark.createDataFrame(
+            [(None, 0), (None, 8)], "lang string, id long"
+        )
+        # default still rejects (the common caller bug)...
+        with pytest.raises(ValueError, match="allow_null_partition"):
+            commit_equality_deletes(spark, tdir, keys, ["id"], now_ms=2_000)
+        # ...but the intentional null-cell delete works end to end
+        commit_equality_deletes(
+            spark, tdir, keys, ["id"], now_ms=3_000,
+            allow_null_partition=True,
+        )
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == [i for i in range(24) if i not in (0, 8)]
+        # and it retracts ONLY the null cell: the same id in a non-null
+        # cell survives a null-scoped key (partition-exact semantics)
+        keys2 = spark.createDataFrame([(None, 1)], "lang string, id long")
+        commit_equality_deletes(
+            spark, tdir, keys2, ["id"], now_ms=4_000,
+            allow_null_partition=True,
+        )
+        assert (
+            read_iceberg_table(spark, tdir).where("id = 1").count() == 1
+        )  # id 1 lives in lang='l1', untouched by the null-cell delete

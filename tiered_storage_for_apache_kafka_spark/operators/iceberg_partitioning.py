@@ -859,6 +859,21 @@ def iceberg_sharded_writer_scan(
         and len(hot) < n_total
         else 0
     )
+    # pruning pin computed from a COLD day's plan (not a constant): the
+    # probe must open only that day's files, and strictly fewer than
+    # the table holds — so a salted write committing wrong partition
+    # tuples fails the verdict
+    cold = plan_scan(
+        tdir,
+        source_predicates={"ts_us": (MICROS_PER_DAY, 2 * MICROS_PER_DAY - 1)},
+    )
+    pruned = (
+        1
+        if cold
+        and all(f["partition"]["ts_day"] == 1 for f in cold)
+        and len(cold) < n_total
+        else 0
+    )
     return (
         read_iceberg_table(spark, tdir)
         .groupBy(
@@ -871,7 +886,7 @@ def iceberg_sharded_writer_scan(
             "ts_day",
             "n_rows",
             F.lit(hot_fanned).cast("bigint").alias("hot_fanned_out"),
-            F.lit(1).cast("bigint").alias("pruned"),
+            F.lit(pruned).cast("bigint").alias("pruned"),
         )
     )
 

@@ -91,6 +91,27 @@ def _hive_part_dir(names: list[str], values: dict) -> str:
     )
 
 
+
+def _pos_delete_arrow_schema():
+    """The spec's position-delete parquet shape (field ids 2147483546 /
+    2147483545, non-null) — ONE definition shared by the delete writer
+    and the delete-plane compaction so the two paths can never drift."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field(
+                "file_path", pa.string(), nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483546"},
+            ),
+            pa.field(
+                "pos", pa.int64(), nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483545"},
+            ),
+        ]
+    )
+
+
 def write_position_deletes(
     spark,
     table_dir: str,
@@ -211,22 +232,7 @@ def write_position_deletes(
         if sharded:
             tag += f"-s{int(pdf['__iceberg_shard'].iloc[0])}"
         path = os.path.join(out_dir, f"delete-{token}-p{tag}.parquet")
-        schema = pa.schema(
-            [
-                pa.field(
-                    "file_path",
-                    pa.string(),
-                    nullable=False,
-                    metadata={b"PARQUET:field_id": b"2147483546"},
-                ),
-                pa.field(
-                    "pos",
-                    pa.int64(),
-                    nullable=False,
-                    metadata={b"PARQUET:field_id": b"2147483545"},
-                ),
-            ]
-        )
+        schema = _pos_delete_arrow_schema()
         tbl = pa.Table.from_arrays(
             [
                 pa.array(pdf["__iceberg_file"], pa.string()),
@@ -321,6 +327,7 @@ def write_equality_deletes(
     partition_col: str | None = None,
     meta: dict | None = None,
     global_scope: bool = False,
+    allow_null_partition: bool = False,
 ) -> list[dict]:
     """Write spec-shaped **equality-delete files** (content=2) for the
     key rows in ``keys_df`` — the CDC-writer primitive: delete every
@@ -406,14 +413,16 @@ def write_equality_deletes(
     from pyspark.sql import functions as F
 
     deduped = keys_df.select(*part_names, *equality_cols).distinct()
-    if part_names:
-        # a NULL partition value in a PARTITION-SCOPED delete is a
-        # silent no-op downstream: the planner keeps the entry (its
-        # null may legitimately scope older-spec files), but the
-        # read-side anti-join compares the null against the data file's
-        # recomputed NON-null partition value and never matches — the
-        # rows it should retract reappear. Reject loudly; "delete this
-        # key wherever it lives" is global_scope=True.
+    if part_names and not allow_null_partition:
+        # a NULL partition value in a PARTITION-SCOPED delete is
+        # usually a caller bug: unless the key genuinely lives in the
+        # table's NULL partition cell (the read-side eqNullSafe match
+        # handles that case exactly), the null never matches the data
+        # file's recomputed NON-null partition value and the delete is
+        # a silent no-op — the rows it should retract reappear. Reject
+        # by default; "delete this key wherever it lives" is
+        # global_scope=True, and an INTENTIONAL null-cell delete is
+        # allow_null_partition=True.
         null_probe = deduped.where(
             " OR ".join(f"`{n}` IS NULL" for n in part_names)
         )
@@ -421,8 +430,11 @@ def write_equality_deletes(
             raise ValueError(
                 f"keys_df has NULL values in partition column(s) "
                 f"{part_names}; a partition-scoped equality delete "
-                "cannot target a NULL partition — use "
-                "global_scope=True to delete the key table-wide"
+                "with a NULL partition matches only rows whose own "
+                "partition value is NULL — pass global_scope=True to "
+                "delete the key table-wide, or "
+                "allow_null_partition=True to target the NULL cell "
+                "deliberately"
             )
     # global scope: ONE group/file for the whole key set (a constant
     # grouping key — groupBy() with zero columns has no Arrow path)
@@ -459,6 +471,7 @@ def commit_equality_deletes(
     table_name: str | None = None,
     max_commit_retries: int = 3,
     global_scope: bool = False,
+    allow_null_partition: bool = False,
 ) -> dict:
     """Row-level DELETE by key as an Iceberg v2 row-delta commit of
     equality-delete files — the upsert building block real CDC writers
@@ -491,6 +504,7 @@ def commit_equality_deletes(
         stats = write_equality_deletes(
             spark, table_dir, keys_df, equality_cols, partition_col,
             meta=base, global_scope=global_scope,
+            allow_null_partition=allow_null_partition,
         )
         if not stats:
             return base
@@ -894,12 +908,17 @@ def _rewrite_position_deletes_once(
     live_paths = spark.createDataFrame(
         [(d["file_path"],) for d in data], "file_path string"
     )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
+        _norm_file_expr,
+    )
+
     rows = (
         spark.read.parquet(*all_paths)
-        .withColumn(
-            "__src",
-            F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
-        )
+        # input_file_name() is a URI (scheme + percent-encoding);
+        # _norm_file_expr decodes it back to the raw metadata path so
+        # hive dirs with URI-special chars (string partition values
+        # with spaces etc.) still map to their merge group
+        .withColumn("__src", _norm_file_expr(F.input_file_name()))
         # dangling drop: positions of data files the current snapshot
         # no longer lists simply vanish from the merged output
         .join(live_paths, "file_path", "left_semi")
@@ -911,7 +930,6 @@ def _rewrite_position_deletes_once(
     token = uuid.uuid4().hex[:16]
     names = list(part_names)
     part_typed = spec_typed_cols(spec, _current_schema_struct(base))
-    types = {n: t for n, _f, t in part_typed}
 
     def _merge_group(pdf):
         import json as _json
@@ -928,18 +946,7 @@ def _rewrite_position_deletes_once(
         os.makedirs(out_dir, exist_ok=True)
         tag = "-".join(str(values[n]) for n in names)
         path = os.path.join(out_dir, f"delete-merged-{token}-p{tag}.parquet")
-        schema = pa.schema(
-            [
-                pa.field(
-                    "file_path", pa.string(), nullable=False,
-                    metadata={b"PARQUET:field_id": b"2147483546"},
-                ),
-                pa.field(
-                    "pos", pa.int64(), nullable=False,
-                    metadata={b"PARQUET:field_id": b"2147483545"},
-                ),
-            ]
-        )
+        schema = _pos_delete_arrow_schema()
         tbl = pa.Table.from_arrays(
             [
                 pa.array(pdf["file_path"], pa.string()),
@@ -956,7 +963,14 @@ def _rewrite_position_deletes_once(
     merged = [
         {
             "delete_path": r["delete_path"],
-            "partition": json.loads(r["partition_json"]),
+            # the group KEY is alphabetical (sort_keys); the committed
+            # partition dict must be SPEC-ordered — the manifest
+            # summary array is positional in spec field order, and a
+            # reordered dict would misalign every field's bounds
+            "partition": {
+                n: json.loads(r["partition_json"]).get(n)
+                for n in part_names
+            },
             "n_rows": int(r["n_rows"]),
             "file_size": int(r["file_size"]),
         }

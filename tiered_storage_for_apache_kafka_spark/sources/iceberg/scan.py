@@ -120,8 +120,8 @@ def _apply_eq_delete_group(
         spark.read.parquet(*sorted({d["file_path"] for d in eq_entries}))
         .select(
             *[F.col(c).alias(f"__eq_{c}") for c in eq_cols],
-            F.regexp_replace(
-                F.col("_metadata.file_path"), _NORM_FILE_RE, "/"
+            _norm_file_expr(
+                F.col("_metadata.file_path")
             ).alias("__iceberg_dfile"),
         )
         .join(F.broadcast(del_meta), "__iceberg_dfile")
@@ -700,6 +700,25 @@ def _read_plan_with_identity(
 _NORM_FILE_RE = "^file:/+"  # file:///p and file:/p both -> /p
 
 
+def _norm_file_expr(col):
+    """Normalize a Spark-reported file identity (``_metadata.file_path``
+    / ``input_file_name()``) to the RAW path the table metadata stores:
+    strip the file: scheme and percent-DECODE — Spark reports a URI, so
+    a hive dir holding a string partition value with a space (or any
+    URI-special char) comes back encoded ("lang=en%20us") and would
+    match no metadata path, silently dropping those rows from every
+    delete/identity join. A literal '+' is a real '+' in a URI path
+    (the encoder writes %2B for nothing), so it is protected before
+    url_decode's form-decoding would turn it into a space."""
+    from pyspark.sql import functions as F
+
+    return F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(col, _NORM_FILE_RE, "/"), r"\+", "%2B"
+        )
+    )
+
+
 def _read_with_positions(spark, table_dir: str, meta: dict, paths: list[str]):
     """The planned-file scan plus Spark's hidden parquet ``_metadata``
     columns projected as ``(__iceberg_file, __iceberg_pos)`` — the same
@@ -712,8 +731,8 @@ def _read_with_positions(spark, table_dir: str, meta: dict, paths: list[str]):
     def with_identity(df):
         return df.select(
             "*",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), _NORM_FILE_RE, "/"
+            _norm_file_expr(
+                F.col("_metadata.file_path")
             ).alias("__iceberg_file"),
             F.col("_metadata.row_index").alias("__iceberg_pos"),
         )
@@ -751,8 +770,8 @@ def _apply_position_deletes(spark, df_pos, data_entries, delete_entries):
         .select(
             F.col("file_path").alias("__iceberg_file"),
             F.col("pos").alias("__iceberg_pos"),
-            F.regexp_replace(
-                F.col("_metadata.file_path"), _NORM_FILE_RE, "/"
+            _norm_file_expr(
+                F.col("_metadata.file_path")
             ).alias("__iceberg_dfile"),
         )
         .join(F.broadcast(del_seq), "__iceberg_dfile")

@@ -293,10 +293,25 @@ def zorder_column(df, cols: list[str], stats: dict, name: str):
     for c in cols:
         mn, mx = stats[c]
         span = (mx - mn) or 1
+        # rank in DOUBLE, not long: (col - mn) * 65535 would wrap int64
+        # for spans past ~1.4e14 (e.g. a multi-year microsecond
+        # timestamp), silently randomizing the interleave; a double
+        # ratio keeps the 16-bit rank exact to well past 2^53 spans,
+        # clamped against the value == max edge rounding to 65536
         ranks.append(
-            F.coalesce(
-                F.floor((F.col(c) - F.lit(mn)) * 65535 / F.lit(span)),
-                F.lit(0),
+            F.least(
+                F.lit(65535),
+                F.greatest(
+                    F.lit(0),
+                    F.coalesce(
+                        F.floor(
+                            (F.col(c) - F.lit(mn)).cast("double")
+                            / F.lit(float(span))
+                            * 65535.0
+                        ),
+                        F.lit(0),
+                    ),
+                ),
             ).cast("long")
         )
     z = F.lit(0).cast("long")
