@@ -879,6 +879,60 @@ def probe_metadata_100x() -> None:
     shutil.rmtree(tdir, ignore_errors=True)
 
 
+def probe_zorder_pruning() -> None:
+    """Z-order clustering at 1x and 10x row counts (round-9): after
+    `rewrite_data_files(zorder_by=["x", "y"])`, a column-bounds probe
+    on EITHER dimension alone must open a strictly-shrinking FRACTION
+    of the table's files — the interleave gives every file tight
+    bounds on both axes, where a linear sort serves only its leading
+    column. Run: python bench_scaling.py --zorder
+
+    Measured 2026-08-15 (this host; 16 files at both scales, the
+    domain grows ~3x per axis at 10x rows):
+      n= 4096  files=16  x-probe 8/16  y-probe 8/16
+      n=40960  files=16  x-probe 4/16  y-probe 4/16
+    The opened FRACTION shrinks as the domain grows past the fixed
+    16x16 probe box (1/2 -> 1/4 on EACH axis independently): every
+    file's z-range covers less of the box — the multi-dimension analog
+    of the sorted-table bounds-pruning probe, on BOTH axes at once."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.session import get_spark
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        plan_scan,
+        rewrite_data_files,
+        write_iceberg_table,
+    )
+
+    spark = get_spark(app_name="zorder-probe")
+    for n in (4096, 40960):
+        tdir = tempfile.mkdtemp(prefix="zorder-probe-")
+        side = 64 if n == 4096 else 202  # ~sqrt(n) grid side
+        df = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") % side).alias("x"),
+            (F.col("id") / side).cast("long").alias("y"),
+            F.lit(0).cast("int").alias("partition"),
+        )
+        write_iceberg_table(spark, df, tdir, now_ms=1_000)
+        rewrite_data_files(
+            spark, tdir, now_ms=2_000,
+            zorder_by=["x", "y"], max_records_per_file=n // 16,
+        )
+        total = len(plan_scan(tdir))
+        xs = len(plan_scan(tdir, column_bounds=("x", 8, 23)))
+        ys = len(plan_scan(tdir, column_bounds=("y", 8, 23)))
+        print(
+            f"zorder n={n:6d}  files={total:4d}  "
+            f"x-probe {xs}/{total}  y-probe {ys}/{total}"
+        )
+        assert 0 < xs < total and 0 < ys < total
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
 def probe_rest_contention() -> None:
     """Optimistic-concurrency cost under REAL contention (round-6
     verdict ask #8): N writer threads race M commits each against one
@@ -1182,6 +1236,8 @@ if __name__ == "__main__":
         probe_iceberg_commit_cost()
     elif "--metadata-100x" in sys.argv:
         probe_metadata_100x()
+    elif "--zorder" in sys.argv:
+        probe_zorder_pruning()
     elif "--rest-contention" in sys.argv:
         probe_rest_contention()
     elif "--transform-pruning" in sys.argv:
