@@ -1124,6 +1124,30 @@ class TestWriterFileCapture:
         planned = plan_scan(tdir, source_range=w)
         assert {f["partition"]["ts_day"] for f in planned} == {DAY0}
 
+    def test_writer_shards_fan_out_duplicate_rows(self, spark, tmp_path):
+        """Advisor r9 (low): the shard salt must be a per-row counter,
+        not a content hash — a hot cell of FULLY DUPLICATE rows (the
+        most degenerate skew) must still fan out to multiple write
+        tasks instead of hashing every row to one shard."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "cap5")
+        # 240 IDENTICAL rows: one day cell, one distinct row value
+        df = self._df(spark, [0] * 240)
+        write_iceberg_table(
+            spark, df, tdir,
+            partition_spec=[("ts_day", "day", "ts_us")],
+            now_ms=1_000, writer_shards=4,
+        )
+        hot_dir = os.path.join(tdir, f"ts_day={DAY0}")
+        hot_files = [
+            n for n in os.listdir(hot_dir) if n.endswith(".parquet")
+        ]
+        assert len(hot_files) > 1  # a content-hash salt would give 1
+        assert read_iceberg_table(spark, tdir).count() == 240
+
 
 class TestUnknownSpecIdIsLoud:
     """Round-9: a manifest carrying a spec-id absent from table
@@ -1202,6 +1226,48 @@ class TestBigintPartitionBounds:
             spark, tdir, source_predicates={"big_id": self.BIG + 1}
         ).collect()
         assert [(r["big_id"], r["v"]) for r in got] == [(self.BIG + 1, 1)]
+
+    def test_long_field_small_values_pack_eight_bytes(self, spark, tmp_path):
+        """Advisor r10 (low): Appendix D single-value serialization is
+        TYPE-determined — a long partition field's summary bounds are
+        ALWAYS 8 bytes, even when every value fits int32, so an
+        external reader decoding by field type never misparses."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_avro_ocf,
+        )
+
+        tdir = str(tmp_path / "big3")
+        for v in (3, 5):
+            dd = os.path.join(tdir, f"big_id={v}")
+            os.makedirs(dd, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "big_id": pa.array([v], pa.int64()),
+                        "v": pa.array([v * 10], pa.int64()),
+                    }
+                ),
+                os.path.join(dd, "f.parquet"),
+            )
+        schema = spark.createDataFrame([], "big_id long, v long").schema
+        meta = commit_append(
+            tdir, schema, now_ms=1_000,
+            partition_spec=[("big_id", "identity", None)],
+        )
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _s, mfs, _kv = read_avro_ocf(cur["manifest-list"])
+        summary = mfs[0]["partitions"][0]
+        assert len(bytes(summary["lower_bound"])) == 8
+        assert len(bytes(summary["upper_bound"])) == 8
+        assert int.from_bytes(bytes(summary["lower_bound"]), "little") == 3
+        assert int.from_bytes(bytes(summary["upper_bound"]), "little") == 5
+        # the engine's own by-length reader prunes exactly either way
+        files = plan_scan(tdir, source_predicates={"big_id": 5})
+        assert [f["partition"]["big_id"] for f in files] == [5]
 
     def test_foreign_width_bound_keeps_conservatively(self, spark, tmp_path):
         """A foreign writer's odd-width int bound must not crash

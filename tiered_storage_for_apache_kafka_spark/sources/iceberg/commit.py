@@ -21,6 +21,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
     _stat_data_files,
     manifest_entry_schema,
     partition_field_summaries,
+    spec_bound_widths,
     spec_typed_cols,
 )
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
@@ -511,6 +512,7 @@ def _commit_append_once(
         "partitions": partition_field_summaries(
             [f["partition"] for f in new_files],
             [n for n, _f, _t in spec_cols],
+            widths=spec_bound_widths(spec, _current_schema_struct(base)),
         ),
     }
     # a snapshot's manifest list carries its PARENT's manifests too

@@ -17,6 +17,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
     _field_id,
     manifest_entry_schema,
     partition_field_summaries,
+    spec_bound_widths,
     spec_names,
 )
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
@@ -663,14 +664,18 @@ def _finish_delete_commit(
     n_del_rows = sum(int(s["n_rows"]) for s in stats)
     n_pos = sum(int(s["n_rows"]) for s in stats if not s.get("equality_ids"))
     n_eq = n_del_rows - n_pos
+    manifest_sid = (
+        delete_spec_id
+        if delete_spec_id is not None
+        else _default_spec(base)["spec-id"]
+    )
+    manifest_spec = next(
+        sp for sp in base["partition-specs"] if sp["spec-id"] == manifest_sid
+    )
     delete_manifest = {
         "manifest_path": manifest_path,
         "manifest_length": manifest_len,
-        "partition_spec_id": (
-            delete_spec_id
-            if delete_spec_id is not None
-            else _default_spec(base)["spec-id"]
-        ),
+        "partition_spec_id": manifest_sid,
         "content": 1,  # DELETES manifest
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -681,7 +686,13 @@ def _finish_delete_commit(
         "added_rows_count": n_del_rows,
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
-        "partitions": partition_field_summaries(parts, part_names),
+        "partitions": partition_field_summaries(
+            parts,
+            part_names,
+            widths=spec_bound_widths(
+                manifest_spec, _current_schema_struct(base)
+            ),
+        ),
     }
     if prior_manifests is None:
         cur = next(

@@ -20,6 +20,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
     _tombstone_gc_safe,
     manifest_entry_schema,
     partition_field_summaries,
+    spec_bound_widths,
     spec_typed_cols,
     spec_names,
 )
@@ -492,7 +493,9 @@ def _rewrite_manifests_once(
                     "existing_rows_count": rows,
                     "deleted_rows_count": dead_rows,
                     "partitions": partition_field_summaries(
-                        [e["data_file"]["partition"] for e in chunk], names
+                        [e["data_file"]["partition"] for e in chunk],
+                        names,
+                        widths=spec_bound_widths(spec, schema_struct),
                     ),
                 }
             )
@@ -568,7 +571,9 @@ def _rewrite_manifests_once(
                     if e["status"] == 2
                 ),
                 "partitions": partition_field_summaries(
-                    [e["data_file"]["partition"] for e in del_entries], names
+                    [e["data_file"]["partition"] for e in del_entries],
+                    names,
+                    widths=spec_bound_widths(spec, schema_struct),
                 ),
             }
         )
@@ -989,7 +994,9 @@ def _rewrite_data_files_once(
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
             "partitions": partition_field_summaries(
-                [f["partition"] for f in new_files], part_names
+                [f["partition"] for f in new_files],
+                part_names,
+                widths=spec_bound_widths(spec, schema_struct),
             ),
         }
     ]
@@ -1108,6 +1115,7 @@ def _rewrite_data_files_once(
                     "partitions": partition_field_summaries(
                         [e["data_file"]["partition"] for e in entries],
                         t_names,
+                        widths=spec_bound_widths(t_spec, schema_struct),
                     ),
                 }
             )

@@ -194,35 +194,87 @@ def spec_names(spec: dict) -> list[str]:
     return [f["name"] for f in spec["fields"]]
 
 
+def spec_bound_widths(spec: dict, schema_struct: dict | None) -> dict[str, str]:
+    """Per spec-field SERIALIZATION type for the manifest-list
+    partition summary bounds — ``{name: "int" | "long" | "string"}``.
+    Appendix D single-value serialization is TYPE-determined (a long
+    field is ALWAYS 8 bytes, however small its values), so the width
+    must come from the spec field's result type, not from the observed
+    values: bucket/temporal/void transforms produce int; identity and
+    truncate inherit the SOURCE column's schema type."""
+    out: dict[str, str] = {}
+    for f in spec["fields"]:
+        t = f["transform"]
+        if t.startswith("bucket") or t in (
+            "year", "month", "day", "hour", "void",
+        ):
+            out[f["name"]] = "int"
+            continue
+        src = None
+        if schema_struct is not None:
+            src = next(
+                (
+                    fd["type"]
+                    for fd in schema_struct["fields"]
+                    if fd["id"] == f["source-id"]
+                ),
+                None,
+            )
+        out[f["name"]] = (
+            src if src in ("string", "long") else "int"
+        )
+    return out
+
+
 def partition_field_summaries(
-    part_dicts: list[dict], names: list[str]
+    part_dicts: list[dict],
+    names: list[str],
+    widths: dict[str, str] | None = None,
 ) -> list[dict]:
     """The manifest-list ``partitions`` field summary — ONE record per
     spec field, in spec order (Iceberg spec "Manifest Lists"): null
     flag + lower/upper bound over every entry's partition value for
-    that field, in the spec's single-value serialization (int32
-    little-endian for ints, UTF-8 bytes for strings — Appendix D).
+    that field, in the spec's single-value serialization (int32/int64
+    little-endian for int/long, UTF-8 bytes for strings — Appendix D).
     This per-field array is what lets a reader prune a manifest on ANY
-    spec field without opening it."""
+    spec field without opening it.
+
+    ``widths`` (from :func:`spec_bound_widths`) fixes each field's pack
+    width by its SCHEMA type — Appendix D is type-determined, so a long
+    partition field serializes 8 bytes even when its values fit int32
+    (an external reader decodes by field type and would misparse 4-byte
+    bounds). Fields absent from ``widths`` (or ``widths=None``) keep
+    the legacy value-dependent width, which this engine's by-length
+    reader decodes either way."""
     out = []
     for name in names:
         vals = [p.get(name) for p in part_dicts]
         non_null = [v for v in vals if v is not None]
-        if non_null and isinstance(non_null[0], str):
-            lo_b = min(non_null).encode("utf-8")
-            hi_b = max(non_null).encode("utf-8")
+        width = (widths or {}).get(name)
+        if width == "string" or (
+            width is None and non_null and isinstance(non_null[0], str)
+        ):
+            strs = [v for v in non_null if isinstance(v, str)] or [""]
+            lo_b = min(strs).encode("utf-8")
+            hi_b = max(strs).encode("utf-8")
         else:
             ints = non_null or [0]
             lo_v, hi_v = min(ints), max(ints)
-            # Appendix D single-value serialization: int32 LE when the
-            # value fits, int64 LE otherwise (identity/truncate over a
-            # bigint source can exceed int32 — packing '<i' would raise
-            # struct.error at COMMIT time); readers decode by length
-            fmt = (
-                "<i"
-                if -(2**31) <= lo_v and hi_v < 2**31
-                else "<q"
-            )
+            if width == "long":
+                fmt = "<q"
+            elif width == "int":
+                # an int-typed field cannot legally hold a value past
+                # int32 — struct.error here is loud corruption, never
+                # a silently mis-sized bound
+                fmt = "<i"
+            else:
+                # legacy value-dependent width: int32 LE when the value
+                # fits, int64 LE otherwise; readers decode by length
+                fmt = (
+                    "<i"
+                    if -(2**31) <= lo_v and hi_v < 2**31
+                    else "<q"
+                )
             lo_b = struct.pack(fmt, lo_v)
             hi_b = struct.pack(fmt, hi_v)
         out.append(

@@ -171,9 +171,14 @@ def write_iceberg_table(
         # salt the shuffle so one hot partition cell spreads over up to
         # `writer_shards` tasks; the salt is dropped before the write
         # (a projection keeps the repartitioning), so it never reaches
-        # the parquet schema or the hive layout
+        # the parquet schema or the hive layout. The salt is a per-ROW
+        # round-robin counter, never a content hash: hashing the row's
+        # columns would send fully duplicate rows (or a hot cell with
+        # few distinct rows — the most degenerate skew, exactly when
+        # the knob matters) to ONE shard and silently re-funnel the
+        # write through a single task
         salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.monotonically_increasing_id(),
             F.lit(writer_shards),
         )
         df = df.withColumn("__write_salt", salt)
