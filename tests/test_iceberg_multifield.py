@@ -1711,6 +1711,122 @@ class TestRewritePositionDeletes:
         )
         assert int(cur["summary"]["total-position-deletes"]) == 2
 
+    def test_old_spec_generations_compact(self, spark, tmp_path):
+        """Round-10: after partition evolution, OLD-generation delete
+        files merge within their own generation's cells (the Java
+        rewritePositionDeleteFiles compacts every spec generation) —
+        each generation's merged files in a manifest scoped to its own
+        spec id, consumer counts exact."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            bucket_hash_long,
+            commit_position_deletes,
+            read_table_metadata,
+            rewrite_position_deletes,
+            update_partition_spec,
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "rpdevo")
+        df1 = spark.createDataFrame(
+            [(v % 2, v) for v in range(64)], "partition int, v long"
+        )
+        write_iceberg_table(
+            spark, df1, tdir, now_ms=1_000,
+            partition_spec=[("partition", "identity", None)],
+        )
+        # two pre-evolution delete commits -> 2 files per old-gen cell
+        commit_position_deletes(spark, tdir, "v IN (1, 2)", now_ms=2_000)
+        commit_position_deletes(spark, tdir, "v IN (5, 8)", now_ms=3_000)
+        new_spec = [
+            ("partition", "identity", None),
+            ("v_bucket", "bucket[4]", "v"),
+        ]
+        update_partition_spec(tdir, new_spec, now_ms=4_000)
+        df2 = spark.createDataFrame(
+            [(v % 2, v) for v in range(64, 128)], "partition int, v long"
+        )
+        write_iceberg_table(
+            spark, df2, tdir, now_ms=5_000, partition_spec=new_spec,
+        )
+        # two post-evolution commits hitting the SAME new-gen cell (two
+        # new rows sharing parity + bucket), so the new generation has
+        # churn to merge too
+        def bkt(v: int) -> int:
+            return (bucket_hash_long(v) & 0x7FFFFFFF) % 4
+
+        cells: dict[tuple, list[int]] = {}
+        for v in range(64, 128):
+            cells.setdefault((v % 2, bkt(v)), []).append(v)
+        va, vb = next(vs for vs in cells.values() if len(vs) >= 2)[:2]
+        commit_position_deletes(spark, tdir, f"v = {va}", now_ms=6_000)
+        commit_position_deletes(spark, tdir, f"v = {vb}", now_ms=7_000)
+        meta = rewrite_position_deletes(spark, tdir, now_ms=8_000)
+
+        # every generation's every cell now holds at most ONE live file,
+        # and BOTH generations got a delete manifest under their own spec
+        back = read_table_metadata(tdir)
+        per_cell: dict[tuple, int] = {}
+        live_manifest_sids = set()
+        for m in back["manifests"]:
+            sid = int(m["file"]["partition_spec_id"])
+            for e in m["entries"]:
+                d = e["data_file"]
+                if (
+                    e["status"] != 2
+                    and d.get("content") == 1
+                    and not d.get("referenced_data_file")
+                ):
+                    cell = (sid, json.dumps(d["partition"], sort_keys=True))
+                    per_cell[cell] = per_cell.get(cell, 0) + 1
+                    live_manifest_sids.add(sid)
+        assert per_cell and max(per_cell.values()) == 1
+        assert live_manifest_sids == {0, 1}  # both generations compacted
+        gone = {1, 2, 5, 8, va, vb}
+        got = sorted(r["v"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == [v for v in range(128) if v not in gone]
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        assert int(cur["summary"]["total-position-deletes"]) == len(gone)
+        # idempotent: second run is a no-op
+        meta2 = rewrite_position_deletes(spark, tdir, now_ms=9_000)
+        assert len(meta2["snapshots"]) == len(meta["snapshots"])
+
+    def test_row_cap_slices_hot_cell(self, spark, tmp_path):
+        """Round-10 (advisor): ``max_rows_per_delete_file`` slices a hot
+        cell's merged set into several consecutively-sorted files —
+        bounding the per-task pandas memory — while the scan still
+        applies every delete."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            rewrite_position_deletes,
+        )
+
+        tdir, _schema = self._table_with_delete_churn(spark, tmp_path, "rpdcap")
+        meta = rewrite_position_deletes(
+            spark, tdir, now_ms=5_000, max_rows_per_delete_file=1
+        )
+        after = self._live_pos_delete_files(tdir)
+        per_cell: dict[str, int] = {}
+        for p in after:
+            per_cell[os.path.dirname(p)] = per_cell.get(os.path.dirname(p), 0) + 1
+            tb = pq.read_table(p)
+            assert tb.num_rows <= 1  # the forced cap
+            rows = list(
+                zip(tb.column("file_path").to_pylist(), tb.column("pos").to_pylist())
+            )
+            assert rows == sorted(rows)  # each slice stays sorted
+        assert max(per_cell.values()) > 1  # the hot cell actually sliced
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == sorted(i for i in range(64) if i not in (1, 2, 5, 9, 13, 17))
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        assert int(cur["summary"]["total-position-deletes"]) == 6
+
     def test_catalog_mode(self, spark, tmp_path):
         from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
             commit_position_deletes,

@@ -18,6 +18,7 @@ deployments break where they COMPOSE. The soak's invariants:
 
 from __future__ import annotations
 
+import json
 import os
 
 import pyarrow as pa
@@ -119,12 +120,17 @@ GLOBAL_K2 = [102, 457, 650]
 def _run_evolution_gauntlet(spark, tmp_path, catalog=None) -> None:
     """The composed schedule ACROSS a partition-spec evolution
     (r8; r9 adds global equality deletes straddling the boundary and
-    the catalog mode): 40 batches where the table starts
-    identity(partition), evolves to (partition, bucket[4](v)) at batch
-    12, keeps appending nested-layout batches, takes DV deletes
-    touching BOTH generations (old-generation coverage records the new
-    field null — the conservative-keep path live in composition),
-    takes GLOBAL equality deletes before (b=10) and after (b=16) the
+    the catalog mode; r10 adds OLD-GENERATION delete-plane compaction):
+    40 batches where the table starts identity(partition), evolves to
+    (partition, bucket[4](v)) at batch 12, keeps appending
+    nested-layout batches, takes DV deletes touching BOTH generations
+    (old-generation coverage records the new field null — the
+    conservative-keep path live in composition), takes v2 parquet
+    position deletes BEFORE the evolution (b=5/b=9, so old-generation
+    cells accumulate churn) which ``rewrite_position_deletes`` at b=18
+    compacts AFTER the evolution — old-spec-generation delete files
+    merging within their own generation, the r10 capability — takes
+    GLOBAL equality deletes before (b=10) and after (b=16) the
     evolution — the post-evolution one retracting rows in
     old-generation files under the new default spec — is data-rewritten
     (migrating generation 1 to the composite spec, materializing every
@@ -139,12 +145,15 @@ def _run_evolution_gauntlet(spark, tmp_path, catalog=None) -> None:
         bucket_hash_long,
         commit_append,
         commit_equality_deletes,
+        commit_position_deletes,
         expire_snapshots,
         plan_scan,
         read_iceberg_table,
+        read_table_metadata,
         remove_orphan_files,
         rewrite_data_files,
         rewrite_manifests,
+        rewrite_position_deletes,
         update_partition_spec,
     )
 
@@ -197,6 +206,14 @@ def _run_evolution_gauntlet(spark, tmp_path, catalog=None) -> None:
             _append_batch(tdir, schema, b, ms, catalog=catalog)
         else:
             append_composite(b, ms)
+        if b in (5, 9):
+            # v2 parquet position deletes BEFORE the evolution: two
+            # commits so each OLD-generation cell accumulates >1 delete
+            # file for the post-evolution compaction to merge (r10)
+            ms += 1_000
+            commit_position_deletes(
+                spark, tdir, PRED_C, now_ms=ms, catalog=catalog
+            )
         if b == 10:
             # global delete BEFORE the spec evolution
             ms += 1_000
@@ -227,6 +244,34 @@ def _run_evolution_gauntlet(spark, tmp_path, catalog=None) -> None:
             # and a new-generation composite file (650) in one commit
             ms += 1_000
             global_delete(GLOBAL_K2, ms)
+        if b == 18:
+            # delete-plane compaction AFTER the evolution but BEFORE
+            # the b=20 data rewrite: the only parquet pos-delete files
+            # are OLD-spec-generation (written at b=5/9 under the
+            # identity spec) — rpd must merge them within their own
+            # generation, not carry them untouched (r10)
+            ms += 1_000
+            rewrite_position_deletes(
+                spark, tdir, now_ms=ms, catalog=catalog
+            )
+            if catalog is None:
+                back = read_table_metadata(tdir)
+                per_cell: dict[str, int] = {}
+                sids = set()
+                for m in back["manifests"]:
+                    for e in m["entries"]:
+                        d = e["data_file"]
+                        if (
+                            e["status"] != 2
+                            and d.get("content") == 1
+                            and not d.get("referenced_data_file")
+                            and str(d["file_path"]).endswith(".parquet")
+                        ):
+                            cell = json.dumps(d["partition"], sort_keys=True)
+                            per_cell[cell] = per_cell.get(cell, 0) + 1
+                            sids.add(int(m["file"]["partition_spec_id"]))
+                assert per_cell and max(per_cell.values()) == 1, per_cell
+                assert sids == {0}, sids  # the old generation compacted
         if b == 24:
             ms += 1_000
             commit_deletion_vectors(
@@ -252,7 +297,7 @@ def _run_evolution_gauntlet(spark, tmp_path, catalog=None) -> None:
                 swept += 1
     ms += 1_000
     commit_deletion_vectors(
-        spark, tdir, FINAL_PRED, now_ms=ms, catalog=catalog
+        spark, tdir, FINAL_PRED_ABC, now_ms=ms, catalog=catalog
     )
     ckpt = _consume(spark, tdir, ckpt, counts, catalog=catalog)
 
@@ -265,6 +310,7 @@ def _run_evolution_gauntlet(spark, tmp_path, catalog=None) -> None:
             if v % 2 == p
             and v % 7 != 3
             and v % 11 != 5
+            and v % 13 != 6
             and v not in gone
         )
         for p in (0, 1)
@@ -285,7 +331,12 @@ def _run_evolution_gauntlet(spark, tmp_path, catalog=None) -> None:
     # a bucket point lookup prunes EVERY file to one bucket, and
     # the row is found
     probe = 100  # lives in gen1 originally; migrated at b=20
-    assert probe % 7 != 3 and probe % 11 != 5 and probe not in gone
+    assert (
+        probe % 7 != 3
+        and probe % 11 != 5
+        and probe % 13 != 6
+        and probe not in gone
+    )
     files = plan_scan(
         tdir, source_predicates={"v": probe}, catalog=catalog
     )

@@ -1214,6 +1214,159 @@ def _pos_delete_churn_table(spark: SparkSession, sf_dir: str) -> str:
     return tdir
 
 
+_RPD_EVO_CACHE: dict[tuple, str] = {}
+
+
+def _rpd_evolution_table(spark: SparkSession, sf_dir: str) -> str:
+    """events split across a partition-spec evolution with delete churn
+    in BOTH generations (r10): even event_ids write under day(ts_us)
+    and take two position-delete commits; the spec evolves to
+    (day, bucket[4](event_id)); odd event_ids write under the composite
+    spec and take two more delete commits; then ONE
+    ``rewrite_position_deletes`` compacts every generation's cells —
+    old-generation files merging under their own spec (the Java
+    rewritePositionDeleteFiles posture), not carried untouched."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_position_deletes,
+        rewrite_position_deletes,
+        update_partition_spec,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _RPD_EVO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    base = load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        (
+            (F.col("event_id") % N_DAYS) * MICROS_PER_DAY
+            + F.col("event_id")
+        ).alias("ts_us"),
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-rpd-evo-")
+    old_spec = [("ts_day", "day", "ts_us")]
+    new_spec = [
+        ("ts_day", "day", "ts_us"),
+        ("id_bucket", f"bucket[{N_BUCKETS}]", "event_id"),
+    ]
+    write_iceberg_table(
+        spark, base.where("event_id % 2 = 0"), tdir, now_ms=1_000,
+        partition_spec=old_spec,
+    )
+    commit_position_deletes(spark, tdir, "event_id % 10 = 0", now_ms=2_000)
+    commit_position_deletes(spark, tdir, "event_id % 14 = 0", now_ms=3_000)
+    update_partition_spec(tdir, new_spec, now_ms=4_000)
+    write_iceberg_table(
+        spark, base.where("event_id % 2 = 1"), tdir, now_ms=5_000,
+        partition_spec=new_spec,
+    )
+    # odd-only predicates: the post-evolution commits scope to the new
+    # generation's rows, keeping each generation's churn (and the
+    # oracle's parity-split deleted-set formula) disjoint
+    commit_position_deletes(
+        spark, tdir, "event_id % 2 = 1 AND event_id % 9 = 0", now_ms=6_000
+    )
+    commit_position_deletes(
+        spark, tdir, "event_id % 2 = 1 AND event_id % 15 = 0", now_ms=7_000
+    )
+    rewrite_position_deletes(spark, tdir, now_ms=8_000)
+    session_cache_put(_RPD_EVO_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_rpd_evolution_scan",
+    oracle=f"""
+SELECT CAST(event_id % {N_DAYS} AS BIGINT) AS ts_day,
+       CAST(SUM(CASE WHEN NOT (
+                (event_id % 2 = 0
+                 AND (event_id % 10 = 0 OR event_id % 14 = 0))
+             OR (event_id % 2 = 1
+                 AND (event_id % 9 = 0 OR event_id % 15 = 0))
+            ) THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       CAST(1 AS BIGINT) AS max_one_per_cell,
+       CAST(1 AS BIGINT) AS both_generations,
+       CAST(1 AS BIGINT) AS counters_exact
+FROM events
+WHERE event_id % {N_DAYS} BETWEEN 0 AND 7
+GROUP BY CAST(event_id % {N_DAYS} AS BIGINT)
+""",
+)
+def iceberg_rpd_evolution_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete-plane compaction ACROSS a partition-spec evolution (r10):
+    after churn in both spec generations, one
+    ``rewrite_position_deletes`` leaves every generation's every cell
+    with at most ONE live position-delete file (``max_one_per_cell``),
+    commits merged files for BOTH generations under their own spec ids
+    (``both_generations``), keeps the snapshot's
+    total-position-deletes counter equal to the relational deleted
+    count (``counters_exact``), and the merged multi-generation layout
+    serves exact per-day live counts. Scale shape: an evolved CDC
+    table's old-generation delete plane compacts in the same single
+    O(delete bytes) pass — no full data rewrite needed to bound old
+    cells' delete-file counts."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+        read_table_metadata,
+    )
+
+    tdir = _rpd_evolution_table(spark, sf_dir)
+    back = read_table_metadata(tdir)
+    per_cell: dict[tuple, int] = {}
+    sids = set()
+    for m in back["manifests"]:
+        sid = int(m["file"]["partition_spec_id"])
+        for e in m["entries"]:
+            d = e["data_file"]
+            if (
+                e["status"] != 2
+                and d.get("content") == 1
+                and not d.get("referenced_data_file")
+                and str(d["file_path"]).endswith(".parquet")
+            ):
+                cell = (sid, json.dumps(d["partition"], sort_keys=True))
+                per_cell[cell] = per_cell.get(cell, 0) + 1
+                sids.add(sid)
+    max_one = 1 if per_cell and max(per_cell.values()) == 1 else 0
+    both = 1 if sids == {0, 1} else 0
+    meta = back["metadata"]
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    n_deleted_meta = int(cur["summary"]["total-position-deletes"])
+    n_deleted_real = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            "(event_id % 2 = 0 AND (event_id % 10 = 0 OR event_id % 14 = 0))"
+            " OR (event_id % 2 = 1 AND (event_id % 9 = 0 OR event_id % 15 = 0))"
+        )
+        .count()
+    )
+    counters = 1 if n_deleted_meta == n_deleted_real else 0
+    lo, hi = 0, 8 * MICROS_PER_DAY - 1
+    return (
+        read_iceberg_table(spark, tdir, source_predicates={"ts_us": (lo, hi)})
+        .groupBy(
+            F.floor(F.col("ts_us") / MICROS_PER_DAY)
+            .cast("bigint")
+            .alias("ts_day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_live"))
+        .select(
+            "ts_day",
+            "n_live",
+            F.lit(max_one).cast("bigint").alias("max_one_per_cell"),
+            F.lit(both).cast("bigint").alias("both_generations"),
+            F.lit(counters).cast("bigint").alias("counters_exact"),
+        )
+    )
+
+
 @query(
     "iceberg_rewrite_pos_deletes_scan",
     oracle=f"""

@@ -640,6 +640,7 @@ def _finish_delete_commit(
     summary_extra: dict | None = None,
     delete_spec_id: int | None = None,
     extra_updates: list[dict] | None = None,
+    delete_manifests: list[dict] | None = None,
 ) -> dict:
     """Shared tail of every delete-flavored commit (v2 parquet
     row-deltas and v3-style deletion vectors): build the DELETE
@@ -653,47 +654,60 @@ def _finish_delete_commit(
     the running total (a superseding DV's cardinality includes the
     union of the old one, which must not double-count);
     ``delete_spec_id`` overrides the manifest's spec id (global
-    equality deletes scope to the unpartitioned spec); and
+    equality deletes scope to the unpartitioned spec);
     ``extra_updates`` ride along in the catalog commit (local mode
-    picks the same change up from the caller-mutated ``base``)."""
+    picks the same change up from the caller-mutated ``base``); and
+    ``delete_manifests`` replaces the single built manifest entry with
+    caller-built manifest-file dicts — a manifest scopes to exactly ONE
+    partition spec, so a commit spanning several spec GENERATIONS
+    (rewrite_position_deletes over an evolved table) writes one
+    manifest per generation and hands them all in here (then
+    ``manifest_path``/``manifest_len``/``n_entries`` are unused)."""
     meta_dir = os.path.join(table_dir, "metadata")
-    parts = [dict(s["partition"]) for s in stats]
-    # summary field order follows the stats' partition dicts (written
-    # in spec order by every in-repo delete writer)
-    part_names = list(parts[0]) if parts else []
     n_del_rows = sum(int(s["n_rows"]) for s in stats)
     n_pos = sum(int(s["n_rows"]) for s in stats if not s.get("equality_ids"))
     n_eq = n_del_rows - n_pos
-    manifest_sid = (
-        delete_spec_id
-        if delete_spec_id is not None
-        else _default_spec(base)["spec-id"]
-    )
-    manifest_spec = next(
-        sp for sp in base["partition-specs"] if sp["spec-id"] == manifest_sid
-    )
-    delete_manifest = {
-        "manifest_path": manifest_path,
-        "manifest_length": manifest_len,
-        "partition_spec_id": manifest_sid,
-        "content": 1,  # DELETES manifest
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snapshot_id,
-        "added_data_files_count": n_entries,
-        "existing_data_files_count": 0,
-        "deleted_data_files_count": 0,
-        "added_rows_count": n_del_rows,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-        "partitions": partition_field_summaries(
-            parts,
-            part_names,
-            widths=spec_bound_widths(
-                manifest_spec, _current_schema_struct(base)
-            ),
-        ),
-    }
+    if delete_manifests is not None:
+        new_manifests = list(delete_manifests)
+    else:
+        parts = [dict(s["partition"]) for s in stats]
+        # summary field order follows the stats' partition dicts
+        # (written in spec order by every in-repo delete writer)
+        part_names = list(parts[0]) if parts else []
+        manifest_sid = (
+            delete_spec_id
+            if delete_spec_id is not None
+            else _default_spec(base)["spec-id"]
+        )
+        manifest_spec = next(
+            sp
+            for sp in base["partition-specs"]
+            if sp["spec-id"] == manifest_sid
+        )
+        new_manifests = [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": manifest_len,
+                "partition_spec_id": manifest_sid,
+                "content": 1,  # DELETES manifest
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": n_entries,
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": n_del_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": partition_field_summaries(
+                    parts,
+                    part_names,
+                    widths=spec_bound_widths(
+                        manifest_spec, _current_schema_struct(base)
+                    ),
+                ),
+            }
+        ]
     if prior_manifests is None:
         cur = next(
             s
@@ -707,7 +721,7 @@ def _finish_delete_commit(
     write_avro_ocf(
         list_path,
         MANIFEST_FILE_SCHEMA,
-        [delete_manifest] + prior_manifest_files,
+        new_manifests + prior_manifest_files,
         {
             "format-version": str(FORMAT_VERSION).encode(),
             "snapshot-id": str(snapshot_id).encode(),
@@ -813,29 +827,40 @@ def rewrite_position_deletes(
     catalog=None,
     table_name: str | None = None,
     max_commit_retries: int = 3,
+    max_rows_per_delete_file: int | None = None,
 ) -> dict:
     """Iceberg ``rewritePositionDeleteFiles`` maintenance — the delete
     plane's compaction (the fifth action, beside expire / both rewrites
-    / orphan sweep): merge each partition's accumulated v2 parquet
+    / orphan sweep): merge each partition cell's accumulated v2 parquet
     position-delete files into ONE sorted file and DROP DANGLING rows
     (positions referencing data files no longer live in the current
     snapshot). Data files are untouched — this is the light
     counterpart to ``rewrite_data_files``, which materializes deletes
     by rewriting the data. DVs (v3, one live per data file by spec)
-    and equality deletes are left alone; old-spec-generation delete
-    files are carried untouched (migrate them with
-    ``rewrite_data_files``). No-op when no partition holds more than
-    one target file.
+    and equality deletes are left alone. Cells are compacted under
+    EVERY spec generation the table ever had (matching the Java
+    action): after ``update_partition_spec``, old-generation delete
+    files merge within their own generation's cells, each generation's
+    merged files committed in a manifest scoped to its own spec. No-op
+    when no cell of any generation holds more than one target file.
+
+    ``max_rows_per_delete_file`` caps each merged output file (the
+    delete-plane analog of the writer's ``max_records_per_file``): a
+    hot cell's merged set slices into several consecutively-sorted
+    files instead of one unbounded Arrow write — multiple sorted files
+    per cell are spec-legal, and the cap bounds the per-task pandas
+    memory a skewed delete plane would otherwise concentrate.
 
     Scale shape: one distributed read of exactly the target delete
     files, a semi-join against the live-path set (shuffle, never a
     driver collect of positions), and one Arrow write task per
-    partition — O(delete bytes), independent of data bytes. Merged
-    files take the new snapshot's sequence number: spec-legal because
-    a position delete names an exact (path, pos) and part-file paths
-    are attempt-unique, so widening the sequence window cannot match a
-    later file. The replaced originals tombstone (status=2) in their
-    manifests, preserving incremental-window retraction guards."""
+    partition cell, O(delete bytes) independent of data bytes — with
+    the row cap bounding any single task. Merged files take the new
+    snapshot's sequence number: spec-legal because a position delete
+    names an exact (path, pos) and part-file paths are attempt-unique,
+    so widening the sequence window cannot match a later file. The
+    replaced originals tombstone (status=2) in their manifests,
+    preserving incremental-window retraction guards."""
     from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
         CommitConflictError,
         commit_retry_backoff,
@@ -849,7 +874,8 @@ def rewrite_position_deletes(
     for _attempt in range(n_attempts):
         try:
             return _rewrite_position_deletes_once(
-                spark, table_dir, now_ms, catalog, table_name
+                spark, table_dir, now_ms, catalog, table_name,
+                max_rows_per_delete_file,
             )
         except CommitConflictError as e:
             last_err = e
@@ -860,7 +886,12 @@ def rewrite_position_deletes(
 
 
 def _rewrite_position_deletes_once(
-    spark, table_dir: str, now_ms: int, catalog, table_name: str | None
+    spark,
+    table_dir: str,
+    now_ms: int,
+    catalog,
+    table_name: str | None,
+    max_rows_per_delete_file: int | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -882,32 +913,46 @@ def _rewrite_position_deletes_once(
         if s["snapshot-id"] == base["current-snapshot-id"]
     )
     data, deletes = _plan_snapshot(cur, None)
-    spec = _default_spec(base)
-    default_sid = int(spec["spec-id"])
-    part_names = spec_names(spec)
-    # targets: live v2 parquet position-delete files under the DEFAULT
-    # spec generation (DV locators are PUFFIN-backed; equality deletes
-    # are content=2; both excluded by construction)
+    default_sid = int(_default_spec(base)["spec-id"])
+    specs_by_id = {
+        int(sp["spec-id"]): sp for sp in base["partition-specs"]
+    }
+    # targets: live v2 parquet position-delete files of EVERY spec
+    # generation — after partition evolution, old-generation delete
+    # files compact within their own generation, like the Java action
+    # (DV locators are PUFFIN-backed; equality deletes are content=2;
+    # both excluded by construction)
     targets = [
         d
         for d in deletes
         if d.get("content") == 1
         and not d.get("referenced_data_file")
         and str(d.get("file_path", "")).endswith(".parquet")
-        and int(d.get("_spec_id", default_sid)) == default_sid
     ]
-    by_part: dict[str, list[dict]] = {}
+    # group per (spec generation, partition cell); an unknown spec id
+    # is metadata corruption — raise, never cluster under a guess
+    by_cell: dict[str, list[dict]] = {}
+    cell_names: dict[str, list[str]] = {}
     for d in targets:
-        by_part.setdefault(
-            json.dumps(
-                {n: d["partition"].get(n) for n in part_names},
-                sort_keys=True,
-            ),
-            [],
-        ).append(d)
-    merge_groups = {k: v for k, v in by_part.items() if len(v) > 1}
+        sid = int(d.get("_spec_id", default_sid))
+        if sid not in specs_by_id:
+            raise KeyError(
+                f"delete manifest references partition-spec-id {sid} "
+                "not present in table metadata"
+            )
+        names = spec_names(specs_by_id[sid])
+        key = json.dumps(
+            {
+                "sid": sid,
+                "part": {n: d["partition"].get(n) for n in names},
+            },
+            sort_keys=True,
+        )
+        by_cell.setdefault(key, []).append(d)
+        cell_names[key] = names
+    merge_groups = {k: v for k, v in by_cell.items() if len(v) > 1}
     if not merge_groups:
-        return base  # already one file per partition: nothing to merge
+        return base  # already one file per cell: nothing to merge
 
     group_paths = {
         k: sorted(d["file_path"] for d in v) for k, v in merge_groups.items()
@@ -939,8 +984,8 @@ def _rewrite_position_deletes_once(
     )
     rows = rows.join(F.broadcast(grp_map), "__src")
     token = uuid.uuid4().hex[:16]
-    names = list(part_names)
-    part_typed = spec_typed_cols(spec, _current_schema_struct(base))
+    grp_names = dict(cell_names)  # closure-shipped: small, one per cell
+    row_cap = max_rows_per_delete_file
 
     def _merge_group(pdf):
         import json as _json
@@ -949,50 +994,67 @@ def _rewrite_position_deletes_once(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        values = _json.loads(pdf["__grp"].iloc[0])
+        grp = pdf["__grp"].iloc[0]
+        meta = _json.loads(grp)
+        values, names = meta["part"], grp_names[grp]
         pdf = pdf.sort_values(["file_path", "pos"])
         out_dir = os.path.join(
             table_dir, "deletes", _hive_part_dir(names, values)
         )
         os.makedirs(out_dir, exist_ok=True)
-        tag = "-".join(str(values[n]) for n in names)
-        path = os.path.join(out_dir, f"delete-merged-{token}-p{tag}.parquet")
+        tag = "-".join(str(values[n]) for n in names) or "unpartitioned"
+        # row cap: slice the cell's sorted merge into k consecutive
+        # files (multiple sorted files per cell are spec-legal) so a
+        # hot cell cannot OOM one Arrow write task
+        cap = row_cap if row_cap and row_cap > 0 else len(pdf) or 1
+        out = []
         schema = _pos_delete_arrow_schema()
-        tbl = pa.Table.from_arrays(
-            [
-                pa.array(pdf["file_path"], pa.string()),
-                pa.array(pdf["pos"], pa.int64()),
-            ],
-            schema=schema,
-        )
-        pq.write_table(tbl, path, compression="zstd")
+        for ci, lo in enumerate(range(0, len(pdf), cap)):
+            chunk = pdf.iloc[lo : lo + cap]
+            path = os.path.join(
+                out_dir,
+                f"delete-merged-{token}-p{tag}-s{meta['sid']}-k{ci}.parquet",
+            )
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(chunk["file_path"], pa.string()),
+                    pa.array(chunk["pos"], pa.int64()),
+                ],
+                schema=schema,
+            )
+            pq.write_table(tbl, path, compression="zstd")
+            out.append([path, grp, len(chunk), os.path.getsize(path)])
         return pd.DataFrame(
-            [[path, pdf["__grp"].iloc[0], len(pdf), os.path.getsize(path)]],
+            out,
             columns=["delete_path", "partition_json", "n_rows", "file_size"],
         )
 
-    merged = [
-        {
-            "delete_path": r["delete_path"],
-            # the group KEY is alphabetical (sort_keys); the committed
-            # partition dict must be SPEC-ordered — the manifest
-            # summary array is positional in spec field order, and a
-            # reordered dict would misalign every field's bounds
-            "partition": {
-                n: json.loads(r["partition_json"]).get(n)
-                for n in part_names
-            },
-            "n_rows": int(r["n_rows"]),
-            "file_size": int(r["file_size"]),
-        }
-        for r in rows.groupBy("__grp")
+    merged = []
+    for r in (
+        rows.groupBy("__grp")
         .applyInPandas(
             _merge_group,
             "delete_path string, partition_json string, n_rows bigint, "
             "file_size bigint",
         )
         .collect()
-    ]
+    ):
+        key = json.loads(r["partition_json"])
+        names = cell_names[r["partition_json"]]
+        merged.append(
+            {
+                "delete_path": r["delete_path"],
+                "sid": int(key["sid"]),
+                # the group KEY is alphabetical (sort_keys); the
+                # committed partition dict must be SPEC-ORDERED — the
+                # manifest summary array is positional in spec field
+                # order, and a reordered dict would misalign every
+                # field's bounds
+                "partition": {n: key["part"].get(n) for n in names},
+                "n_rows": int(r["n_rows"]),
+                "file_size": int(r["file_size"]),
+            }
+        )
 
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -1001,47 +1063,83 @@ def _rewrite_position_deletes_once(
     seq = base["last-sequence-number"] + 1
     snapshot_id = seq
     commit_uuid = uuid.uuid4().hex[:16]
-    entries = [
-        {
-            "status": 1,
-            "snapshot_id": snapshot_id,
-            "sequence_number": seq,
-            "file_sequence_number": seq,
-            "data_file": {
-                "content": 1,
-                "file_path": s["delete_path"],
-                "file_format": "PARQUET",
-                "partition": dict(s["partition"]),
-                "record_count": s["n_rows"],
-                "file_size_in_bytes": s["file_size"],
-                "value_counts": None,
-                "null_value_counts": None,
-                "lower_bounds": None,
-                "upper_bounds": None,
-                "split_offsets": None,
-                "equality_ids": None,
-                "sort_order_id": None,
-            },
-        }
-        for s in sorted(merged, key=lambda s: s["delete_path"])
-    ]
     schema_struct = _current_schema_struct(base)
-    manifest_path = os.path.join(
-        meta_dir, f"{base['table-uuid']}-rpd{seq}-{commit_uuid}.avro"
-    )
-    manifest_len = write_avro_ocf(
-        manifest_path,
-        manifest_entry_schema(part_typed),
-        entries,
-        {
-            "schema": json.dumps(schema_struct).encode(),
-            "schema-id": str(base["current-schema-id"]).encode(),
-            "partition-spec": json.dumps(spec["fields"]).encode(),
-            "partition-spec-id": str(spec["spec-id"]).encode(),
-            "format-version": str(FORMAT_VERSION).encode(),
-            "content": b"deletes",
-        },
-    )
+
+    # ONE manifest per spec generation: a manifest scopes to a single
+    # partition spec, so each generation's merged files commit under
+    # their own spec id (and summary widths) — the manifest-list then
+    # carries one entry per generation touched
+    delete_manifests: list[dict] = []
+    n_entries_total = 0
+    for sid in sorted({s["sid"] for s in merged}):
+        spec = specs_by_id[sid]
+        gen = [s for s in merged if s["sid"] == sid]
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,
+                    "file_path": s["delete_path"],
+                    "file_format": "PARQUET",
+                    "partition": dict(s["partition"]),
+                    "record_count": s["n_rows"],
+                    "file_size_in_bytes": s["file_size"],
+                    "value_counts": None,
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "split_offsets": None,
+                    "equality_ids": None,
+                    "sort_order_id": None,
+                },
+            }
+            for s in sorted(gen, key=lambda s: s["delete_path"])
+        ]
+        n_entries_total += len(entries)
+        manifest_path = os.path.join(
+            meta_dir,
+            f"{base['table-uuid']}-rpd{seq}-s{sid}-{commit_uuid}.avro",
+        )
+        manifest_len = write_avro_ocf(
+            manifest_path,
+            manifest_entry_schema(spec_typed_cols(spec, schema_struct)),
+            entries,
+            {
+                "schema": json.dumps(schema_struct).encode(),
+                "schema-id": str(base["current-schema-id"]).encode(),
+                "partition-spec": json.dumps(spec["fields"]).encode(),
+                "partition-spec-id": str(sid).encode(),
+                "format-version": str(FORMAT_VERSION).encode(),
+                "content": b"deletes",
+            },
+        )
+        gen_names = spec_names(spec)
+        delete_manifests.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": manifest_len,
+                "partition_spec_id": sid,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": sum(s["n_rows"] for s in gen),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": partition_field_summaries(
+                    [dict(s["partition"]) for s in gen],
+                    gen_names,
+                    widths=spec_bound_widths(spec, schema_struct),
+                ),
+            }
+        )
+
     # tombstone every replaced original in its own manifest (the DV
     # supersede rewriter keys on (path, referenced_data_file) — a
     # parquet position delete's locator is None, so the pair is exact)
@@ -1063,9 +1161,9 @@ def _rewrite_position_deletes_once(
     )
     return _finish_delete_commit(
         table_dir, version, base, merged, now_ms, catalog, table_name,
-        seq, snapshot_id, commit_uuid, manifest_path, manifest_len,
-        len(entries), prior_manifests=prior_manifests,
+        seq, snapshot_id, commit_uuid, "", 0,
+        n_entries_total, prior_manifests=prior_manifests,
         removed_pos_deletes=removed_pos,
         summary_extra={"rewritten-delete-files": str(len(path_to_group))},
-        delete_spec_id=spec["spec-id"],
+        delete_manifests=delete_manifests,
     )
