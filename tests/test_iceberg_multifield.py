@@ -1572,6 +1572,132 @@ class TestZorderRewrite:
                 sort_by=["x"], zorder_by=["x", "y"],
             )
 
+    @staticmethod
+    def _file_spans(tdir, col):
+        """Per planned file, (min, max) of ``col`` from parquet footers."""
+        spans = []
+        for f in plan_scan(tdir):
+            md = pq.read_metadata(f["file_path"])
+            idx = md.schema.names.index(col)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            spans.append((lo, hi))
+        return spans
+
+    def test_zorder_date_and_int_dimensions(self, spark, tmp_path):
+        """Round-10 (advisor): temporal zorder dimensions — a DATE
+        column ranks via its epoch-day ordinal, so the interleaved
+        layout carries tight per-file bounds on the date AND the int
+        dimension at once (previously a date dim died in raw Spark
+        arithmetic)."""
+        import datetime as dt
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        from pyspark.sql import functions as F
+
+        tdir = str(tmp_path / "z4")
+        epoch = dt.date(1970, 1, 1)
+        df = spark.createDataFrame(
+            [(i, epoch + dt.timedelta(days=i % 64), i // 64) for i in range(4096)],
+            "id long, d date, y long",
+        ).withColumn("partition", F.lit(0))
+        write_iceberg_table(spark, df, tdir, now_ms=1_000)
+        rewrite_data_files(
+            spark, tdir, now_ms=2_000,
+            zorder_by=["d", "y"], max_records_per_file=256,
+        )
+        files = plan_scan(tdir)
+        assert len(files) >= 8
+        # every file's footer bounds are a strict sub-box on BOTH axes
+        d_spans = self._file_spans(tdir, "d")
+        y_spans = self._file_spans(tdir, "y")
+        assert all((hi - lo).days < 63 for lo, hi in d_spans), d_spans
+        assert all(hi - lo < 63 for lo, hi in y_spans), y_spans
+        # row set intact, 2D box read exact
+        got = (
+            read_iceberg_table(spark, tdir)
+            .where(
+                "d BETWEEN DATE'1970-01-01' AND DATE'1970-01-16' "
+                "AND y BETWEEN 0 AND 15"
+            )
+            .count()
+        )
+        assert got == 16 * 16
+        assert read_iceberg_table(spark, tdir).count() == 4096
+
+    def test_zorder_string_dimension_clusters(self, spark, tmp_path):
+        """Round-10: string zorder dimensions rank by their first-8-byte
+        magnitude (Iceberg's byte-prefix posture) — files carry strict
+        lexicographic sub-ranges instead of every file spanning the
+        whole domain."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        from pyspark.sql import functions as F
+
+        tdir = str(tmp_path / "z5")
+        letters = "abcdefghijklmnopqrstuvwxyz"
+        df = spark.createDataFrame(
+            [
+                (i, letters[(i % 26)] + letters[(i // 26) % 26], i // 64)
+                for i in range(4096)
+            ],
+            "id long, s string, y long",
+        ).withColumn("partition", F.lit(0))
+        write_iceberg_table(spark, df, tdir, now_ms=1_000)
+        rewrite_data_files(
+            spark, tdir, now_ms=2_000,
+            zorder_by=["s", "y"], max_records_per_file=256,
+        )
+        files = plan_scan(tdir)
+        assert len(files) >= 8
+        s_spans = self._file_spans(tdir, "s")
+        y_spans = self._file_spans(tdir, "y")
+        # strings cluster: no file spans the full a..z domain
+        assert all(
+            not (lo.startswith("a") and hi.startswith("z"))
+            for lo, hi in s_spans
+        ), s_spans
+        assert all(hi - lo < 63 for lo, hi in y_spans), y_spans
+        assert read_iceberg_table(spark, tdir).count() == 4096
+
+    def test_zorder_unsupported_type_raises_typed(self, spark, tmp_path):
+        """Round-10 (advisor): an unsupported zorder dimension type must
+        raise a targeted ValueError NAMING the column, before any file
+        is touched — not an opaque Spark analysis error (or, ANSI off,
+        a silent all-zero rank reported as success)."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        from pyspark.sql import functions as F
+
+        tdir = str(tmp_path / "z6")
+        df = spark.createDataFrame(
+            [(i, [i, i + 1], i // 64) for i in range(128)],
+            "id long, arr array<long>, y long",
+        ).withColumn("partition", F.lit(0))
+        write_iceberg_table(spark, df, tdir, now_ms=1_000)
+        n_before = len(plan_scan(tdir))
+        with pytest.raises(ValueError, match="'arr'"):
+            rewrite_data_files(
+                spark, tdir, now_ms=2_000, zorder_by=["arr", "y"],
+            )
+        with pytest.raises(ValueError, match="not a table column"):
+            rewrite_data_files(
+                spark, tdir, now_ms=2_000, zorder_by=["ghost"],
+            )
+        # side-effect-free: layout untouched, rows intact
+        assert len(plan_scan(tdir)) == n_before
+        assert read_iceberg_table(spark, tdir).count() == 128
+
 
 class TestRewritePositionDeletes:
     """Round-9: rewrite_position_deletes — the delete plane's

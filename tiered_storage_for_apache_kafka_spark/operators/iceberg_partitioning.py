@@ -1214,6 +1214,119 @@ def _pos_delete_churn_table(spark: SparkSession, sf_dir: str) -> str:
     return tdir
 
 
+_ZORDER_TEMPORAL_CACHE: dict[tuple, str] = {}
+
+
+def _zorder_temporal_table(spark: SparkSession, sf_dir: str) -> str:
+    """events -> a DATE dimension (epoch + event_id % 64 days) and an
+    int dimension (floor(event_id / 64) % 64), z-order-rewritten — the
+    r10 temporal-dimension route: the date ranks via its epoch-day
+    ordinal surrogate, the single most common clustering dimension in
+    log-structured data (timestamps/dates + a key)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        rewrite_data_files,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _ZORDER_TEMPORAL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            (F.col("event_id") % 64).cast("int"),
+        ).alias("d"),
+        (F.floor(F.col("event_id") / 64) % 64).cast("long").alias("y"),
+        F.lit(0).cast("int").alias("partition"),
+    )
+    mrpf = max(64, df.count() // 16)  # ~16 zorder slices at every sf
+    tdir = tempfile.mkdtemp(prefix="iceberg-zorder-temporal-")
+    write_iceberg_table(spark, df, tdir, now_ms=1_000)
+    rewrite_data_files(
+        spark, tdir, now_ms=2_000,
+        zorder_by=["d", "y"], max_records_per_file=mrpf,
+    )
+    session_cache_put(_ZORDER_TEMPORAL_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_zorder_temporal_scan",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS sum_ids,
+       CAST(1 AS BIGINT) AS d_pruned,
+       CAST(1 AS BIGINT) AS y_pruned
+FROM events
+WHERE event_id % 64 BETWEEN 8 AND 23
+  AND CAST(FLOOR(event_id / 64) AS BIGINT) % 64 BETWEEN 8 AND 23
+""",
+)
+def iceberg_zorder_temporal_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Z-ORDER over a DATE dimension (r10): the temporal dim ranks
+    through its epoch-day surrogate, so after the interleaved rewrite
+    a footer-bounds probe on EITHER dimension alone — the date or the
+    int — opens a strict file subset (``d_pruned`` / ``y_pruned`` pin
+    it structurally; a single-column time sort leaves the key
+    dimension's bounds spanning every file), and a 2D date-box read
+    replays relationally. Scale shape: (time, key) lookups — the
+    dominant log-structured access pattern — become metadata-bounded
+    on both axes at once."""
+    import datetime as _dt
+
+    import pyarrow.parquet as _pq
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        plan_scan,
+        read_iceberg_table,
+    )
+
+    tdir = _zorder_temporal_table(spark, sf_dir)
+    epoch = _dt.date(1970, 1, 1)
+    probes = {
+        "d": (epoch + _dt.timedelta(days=8), epoch + _dt.timedelta(days=23)),
+        "y": (8, 23),
+    }
+    files = plan_scan(tdir)
+    hits = {"d": 0, "y": 0}
+    for f in files:
+        md = _pq.read_metadata(f["file_path"])
+        for col, (p_lo, p_hi) in probes.items():
+            idx = md.schema.names.index(col)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo <= p_hi and p_lo <= hi:
+                hits[col] += 1
+    pins = {
+        col: 1 if 0 < n < len(files) else 0 for col, n in hits.items()
+    }
+    lo_d, hi_d = "1970-01-09", "1970-01-24"  # epoch+8 .. epoch+23
+    return (
+        read_iceberg_table(spark, tdir)
+        .where(
+            f"d BETWEEN DATE'{lo_d}' AND DATE'{hi_d}' "
+            "AND y BETWEEN 8 AND 23"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .select(
+            "n_rows",
+            "sum_ids",
+            F.lit(pins["d"]).cast("bigint").alias("d_pruned"),
+            F.lit(pins["y"]).cast("bigint").alias("y_pruned"),
+        )
+    )
+
+
 _RPD_EVO_CACHE: dict[tuple, str] = {}
 
 

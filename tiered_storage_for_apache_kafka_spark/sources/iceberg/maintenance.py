@@ -894,15 +894,22 @@ def _rewrite_data_files_once(
 
         from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (  # noqa: E501
             zorder_column,
+            zorder_surrogate_expr,
         )
 
         # one bounded agg for the dimension ranges (driver-side: 2N
         # scalars), then the interleave key is pure JVM expressions;
         # sorting by it clusters rows close in EVERY zorder dimension,
-        # so the record-cap slices carry tight bounds on ALL of them
+        # so the record-cap slices carry tight bounds on ALL of them.
+        # Ranges aggregate over each dimension's SURROGATE expression
+        # (numeric pass-through, temporal epoch ordinals, string byte
+        # prefixes) — the same expression the rank divides through, so
+        # bounds and ranks can never disagree; unsupported dimension
+        # types raise a typed error here, before any file is touched
         aggs = []
         for c in zorder_cols:
-            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+            sur = zorder_surrogate_expr(live, c)
+            aggs += [F.min(sur).alias(f"mn_{c}"), F.max(sur).alias(f"mx_{c}")]
         row = live.agg(*aggs).collect()[0]
         stats = {
             c: (

@@ -272,18 +272,72 @@ def transform_column(df, source_col: str, spec: str, name: str):
     raise ValueError(f"transform {spec!r} has no partition-column form")
 
 
+_ZORDER_NUMERIC_DTYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+)
+
+
+def zorder_surrogate_expr(df, c: str):
+    """The numeric JVM surrogate a zorder dimension ranks through —
+    an ORDER-PRESERVING map of the source column into a numeric space,
+    so dimension bounds aggregate and ranks compute over the SAME
+    expression (any tz/encoding subtlety cancels by construction):
+
+    - numeric columns pass through;
+    - date -> epoch-day ordinal (datediff — the day-transform plane's
+      calendar-pure route, transforms.py epoch-micros family);
+    - timestamp / timestamp_ntz -> epoch micros (unix_micros; ntz casts
+      through the session timestamp first — monotonic, and consistent
+      because bounds and ranks share the expression);
+    - string -> first-8-UTF-8-byte magnitude (hex right-padded with '0'
+      = bytes right-padded with 0x00, decoded base-16 — Iceberg's
+      zorder strings-as-byte-prefix posture), in double (the rank
+      needs only the top 16 bits);
+    - anything else (arrays, maps, binary, decimals beyond double
+      range) raises a typed error NAMING the column — previously a
+      temporal/string dimension died in raw Spark analysis arithmetic
+      (or, with ANSI off, silently ranked every row 0 and reported a
+      successful rewrite that clustered nothing)."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    if c not in dtypes:
+        raise ValueError(f"zorder column {c!r} is not a table column")
+    dt = dtypes[c]
+    col = F.col(c)
+    if dt in _ZORDER_NUMERIC_DTYPES or dt.startswith("decimal"):
+        return col
+    if dt == "date":
+        return F.datediff(col, F.lit("1970-01-01").cast("date"))
+    if dt in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(col.cast("timestamp"))
+    if dt == "string":
+        return F.conv(
+            F.rpad(F.hex(F.substring(F.encode(col, "UTF-8"), 1, 8)), 16, "0"),
+            16,
+            10,
+        ).cast("double")
+    raise ValueError(
+        f"zorder column {c!r} has type {dt!r}: numeric, date, "
+        "timestamp, and string dimensions are supported"
+    )
+
+
 def zorder_column(df, cols: list[str], stats: dict, name: str):
     """Attach a Z-ORDER interleave column (the clustering key of
     Iceberg's ``rewriteDataFiles`` zorder strategy): each source column
-    normalizes to a 16-bit rank over its [min, max] from ``stats``
-    (driver-computed, one bounded agg), and the ranks' bits interleave
-    round-robin into one long — so sorting by it clusters rows that are
-    close in EVERY dimension, and file slicing yields tight per-file
-    bounds on ALL the zorder columns at once (a linear sort tightens
-    only its leading column). Pure JVM expressions (shiftright/and/or
-    unrolled over 16 bits x N columns), whole-stage-codegen friendly —
-    no UDF. Up to 4 numeric columns (64-bit key budget); nulls rank
-    lowest (0), matching the sort plane's nulls-first."""
+    maps through :func:`zorder_surrogate_expr` (numeric pass-through,
+    temporal epoch ordinals, string byte-prefix magnitude) and
+    normalizes to a 16-bit rank over its surrogate's [min, max] from
+    ``stats`` (driver-computed, one bounded agg OVER THE SURROGATES),
+    and the ranks' bits interleave round-robin into one long — so
+    sorting by it clusters rows that are close in EVERY dimension, and
+    file slicing yields tight per-file bounds on ALL the zorder columns
+    at once (a linear sort tightens only its leading column). Pure JVM
+    expressions (shiftright/and/or unrolled over 16 bits x N columns),
+    whole-stage-codegen friendly — no UDF. Up to 4 columns (64-bit key
+    budget); nulls rank lowest (0), matching the sort plane's
+    nulls-first."""
     from pyspark.sql import functions as F
 
     if not 1 <= len(cols) <= 4:
@@ -305,7 +359,9 @@ def zorder_column(df, cols: list[str], stats: dict, name: str):
                     F.lit(0),
                     F.coalesce(
                         F.floor(
-                            (F.col(c) - F.lit(mn)).cast("double")
+                            (
+                                zorder_surrogate_expr(df, c) - F.lit(mn)
+                            ).cast("double")
                             / F.lit(float(span))
                             * 65535.0
                         ),
