@@ -2138,3 +2138,157 @@ class TestNullCellEqualityDelete:
         assert (
             read_iceberg_table(spark, tdir).where("id = 1").count() == 1
         )  # id 1 lives in lang='l1', untouched by the null-cell delete
+
+
+class TestNullDataPartitionCell:
+    """Round-10: a NULL partition VALUE on the DATA path, end-to-end —
+    hive layout writes ``__HIVE_DEFAULT_PARTITION__``, the scan's
+    pruning and the delete planes' ``_norm_file_expr`` identity joins
+    must all treat the null cell as a first-class cell (the eq-delete
+    plane gained ``allow_null_partition`` in r9; the data plane had
+    never been exercised against an actual null cell)."""
+
+    def _null_cell_table(self, spark, tmp_path, name):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / name)
+        rows = [
+            (i, None if i % 4 == 0 else f"cat{i % 3}", i * 10)
+            for i in range(32)
+        ]
+        df = spark.createDataFrame(rows, "id long, cat string, v long")
+        write_iceberg_table(
+            spark, df, tdir, now_ms=1_000,
+            partition_spec=[("cat", "identity", None)],
+        )
+        return tdir
+
+    def test_write_scan_prune_null_cell(self, spark, tmp_path):
+        tdir = self._null_cell_table(spark, tmp_path, "nullcell1")
+        assert os.path.isdir(
+            os.path.join(tdir, "cat=__HIVE_DEFAULT_PARTITION__")
+        )
+        cells = {
+            json.dumps(f["partition"], sort_keys=True)
+            for f in plan_scan(tdir)
+        }
+        assert '{"cat": null}' in cells and len(cells) == 4
+        df = read_iceberg_table(spark, tdir)
+        assert df.count() == 32
+        assert sorted(
+            r["id"] for r in df.where("cat IS NULL").collect()
+        ) == [i for i in range(32) if i % 4 == 0]
+        # metadata-level pruning reaches the null cell, and ONLY it
+        sub = plan_scan(tdir, source_predicates={"cat": None})
+        assert sub and all(f["partition"]["cat"] is None for f in sub)
+        assert len(sub) < len(cells) + 1
+
+    def test_delete_planes_through_null_cell(self, spark, tmp_path):
+        """pos-delete -> eq-delete (allow_null_partition) -> rpd over a
+        churned null cell: every plane's file-identity join crosses the
+        __HIVE_DEFAULT_PARTITION__ layout with exact counts."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_equality_deletes,
+            commit_position_deletes,
+            rewrite_position_deletes,
+        )
+
+        tdir = self._null_cell_table(spark, tmp_path, "nullcell2")
+        # two pos-delete commits into the null cell (ids 4, 8 are %4==0)
+        commit_position_deletes(spark, tdir, "id = 4", now_ms=2_000)
+        commit_position_deletes(spark, tdir, "id = 8", now_ms=3_000)
+        assert read_iceberg_table(spark, tdir).count() == 30
+        # eq-delete scoped to the null cell (deliberate, r9 opt-in)
+        keys = spark.createDataFrame([(None, 12)], "cat string, id long")
+        commit_equality_deletes(
+            spark, tdir, keys, ["id"], now_ms=4_000,
+            allow_null_partition=True,
+        )
+        got = read_iceberg_table(spark, tdir)
+        assert got.count() == 29
+        assert sorted(r["id"] for r in got.where("cat IS NULL").collect()) == [
+            i for i in range(32) if i % 4 == 0 and i not in (4, 8, 12)
+        ]
+        # the null cell's delete churn compacts like any other cell
+        meta = rewrite_position_deletes(spark, tdir, now_ms=5_000)
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_table_metadata,
+        )
+
+        back = read_table_metadata(tdir)
+        null_cell_files = [
+            e["data_file"]["file_path"]
+            for m in back["manifests"]
+            for e in m["entries"]
+            if e["status"] != 2
+            and e["data_file"].get("content") == 1
+            and not e["data_file"].get("referenced_data_file")
+            and e["data_file"]["partition"].get("cat") is None
+        ]
+        assert len(null_cell_files) == 1  # merged
+        assert "__HIVE_DEFAULT_PARTITION__" in null_cell_files[0]
+        assert read_iceberg_table(spark, tdir).count() == 29
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        assert int(cur["summary"]["total-position-deletes"]) == 2
+
+    def test_rewrite_data_files_preserves_null_cell(self, spark, tmp_path):
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_position_deletes,
+            rewrite_data_files,
+        )
+
+        tdir = self._null_cell_table(spark, tmp_path, "nullcell3")
+        commit_position_deletes(spark, tdir, "id IN (4, 16)", now_ms=2_000)
+        rewrite_data_files(spark, tdir, now_ms=3_000)
+        df = read_iceberg_table(spark, tdir)
+        assert df.count() == 30
+        assert sorted(r["id"] for r in df.where("cat IS NULL").collect()) == [
+            i for i in range(32) if i % 4 == 0 and i not in (4, 16)
+        ]
+        # the rewritten layout still plans a null cell
+        sub = plan_scan(tdir, source_predicates={"cat": None})
+        assert sub and all(f["partition"]["cat"] is None for f in sub)
+
+    def test_transformed_null_source_value(self, spark, tmp_path):
+        """A null SOURCE value under a day() transform produces a null
+        partition value (spec: transforms map null -> null) — written,
+        planned, and read back as its own cell."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "nullcell4")
+        rows = [
+            (
+                i,
+                None
+                if i % 5 == 0
+                else (DAY0 + (i % 2)) * MICROS_PER_DAY + i,
+            )
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "id long, ts_us long")
+        write_iceberg_table(
+            spark, df, tdir, now_ms=1_000,
+            partition_spec=[("ts_day", "day", "ts_us")],
+        )
+        cells = {
+            f["partition"]["ts_day"] for f in plan_scan(tdir)
+        }
+        assert cells == {None, DAY0, DAY0 + 1}
+        got = read_iceberg_table(spark, tdir)
+        assert got.count() == 20
+        assert sorted(
+            r["id"] for r in got.where("ts_us IS NULL").collect()
+        ) == [i for i in range(20) if i % 5 == 0]
+        # a day-range prune must NOT open the null cell (a null source
+        # can never satisfy a range), and a day prune still finds its day
+        w = (DAY0 * MICROS_PER_DAY, (DAY0 + 1) * MICROS_PER_DAY - 1)
+        sub = plan_scan(tdir, source_range=w)
+        assert sub and {f["partition"]["ts_day"] for f in sub} == {DAY0}

@@ -1214,6 +1214,106 @@ def _pos_delete_churn_table(spark: SparkSession, sf_dir: str) -> str:
     return tdir
 
 
+_NULL_CELL_CACHE: dict[tuple, str] = {}
+
+
+def _null_cell_table(spark: SparkSession, sf_dir: str) -> str:
+    """events -> an identity-partitioned table with a NULL partition
+    cell (cat NULL for event_id % 5 = 0), plus both delete planes
+    crossing it: a position delete into the null cell and an equality
+    delete scoped to it via ``allow_null_partition=True`` (r10 — the
+    data path's __HIVE_DEFAULT_PARTITION__ lifecycle end-to-end)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        commit_equality_deletes,
+        commit_position_deletes,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _NULL_CELL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("c"), (F.col("event_id") % 3).cast("string")))
+        .alias("cat"),
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-nullcell-")
+    write_iceberg_table(
+        spark, df, tdir, now_ms=1_000,
+        partition_spec=[("cat", "identity", None)],
+    )
+    commit_position_deletes(spark, tdir, "event_id % 20 = 0", now_ms=2_000)
+    keys = (
+        load_table(spark, sf_dir, "events")
+        .where("event_id % 35 = 0")
+        .select(
+            F.lit(None).cast("string").alias("cat"), F.col("event_id")
+        )
+    )
+    commit_equality_deletes(
+        spark, tdir, keys, ["event_id"], now_ms=3_000,
+        allow_null_partition=True,
+    )
+    session_cache_put(_NULL_CELL_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_null_partition_scan",
+    oracle="""
+SELECT CASE WHEN event_id % 5 = 0 THEN NULL
+            ELSE 'c' || CAST(event_id % 3 AS VARCHAR) END AS cat,
+       CAST(SUM(CASE WHEN NOT (event_id % 20 = 0 OR event_id % 35 = 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       CAST(1 AS BIGINT) AS null_cell_planned,
+       CAST(1 AS BIGINT) AS null_prune_strict
+FROM events
+GROUP BY 1
+""",
+)
+def iceberg_null_partition_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NULL partition cell end-to-end (r10): the hive layout's
+    ``__HIVE_DEFAULT_PARTITION__`` cell plans as a first-class cell
+    (``null_cell_planned``), metadata pruning to it opens a strict file
+    subset (``null_prune_strict``), and BOTH delete planes — a position
+    delete into the null cell and an ``allow_null_partition`` equality
+    delete scoped to it — land with exact per-cell counts. Scale shape:
+    production tables routinely hold null partition values (late or
+    malformed records); the null cell must prune and delete like any
+    other, never silently drop or leak rows."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        plan_scan,
+        read_iceberg_table,
+    )
+
+    tdir = _null_cell_table(spark, sf_dir)
+    files = plan_scan(tdir)
+    planned = 1 if any(f["partition"]["cat"] is None for f in files) else 0
+    sub = plan_scan(tdir, source_predicates={"cat": None})
+    strict = (
+        1
+        if sub
+        and all(f["partition"]["cat"] is None for f in sub)
+        and len(sub) < len(files)
+        else 0
+    )
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_live"))
+        .select(
+            "cat",
+            "n_live",
+            F.lit(planned).cast("bigint").alias("null_cell_planned"),
+            F.lit(strict).cast("bigint").alias("null_prune_strict"),
+        )
+    )
+
+
 _ZORDER_TEMPORAL_CACHE: dict[tuple, str] = {}
 
 
