@@ -1488,6 +1488,138 @@ class TestSortedWrite:
                 partition_spec=self.SPEC1, now_ms=1_000, sort_by=["nope"],
             )
 
+    def test_sorted_write_survives_spec_evolution(self, spark, tmp_path):
+        """Round-10: sort_by and update_partition_spec in ONE table
+        lifetime — the sort order id survives the evolution (appends
+        under the new spec reuse it, no order churn), and sorted
+        compaction re-sorts the OLD-generation files under the NEW
+        composite spec with every rewritten file stamped."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            update_partition_spec,
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "sw4")
+        meta = write_iceberg_table(
+            spark, self._df(spark, range(256)), tdir,
+            partition_spec=self.SPEC1, now_ms=1_000,
+            sort_by=["id"], max_records_per_file=32,
+        )
+        order = next(o for o in meta["sort-orders"] if o["fields"])
+        oid = order["order-id"]
+        assert meta["default-sort-order-id"] == oid
+        spec2 = [
+            ("ts_day", "day", "ts_us"),
+            ("id_bucket", "bucket[4]", "id"),
+        ]
+        meta2 = update_partition_spec(tdir, spec2, now_ms=2_000)
+        # evolution leaves the sort plane untouched
+        assert meta2["default-sort-order-id"] == oid
+        assert len(meta2["sort-orders"]) == len(meta["sort-orders"])
+        # a post-evolution sorted append REUSES the registered order
+        meta3 = write_iceberg_table(
+            spark, self._df(spark, range(256, 320)), tdir,
+            partition_spec=spec2, now_ms=3_000,
+            sort_by=["id"], max_records_per_file=32,
+        )
+        assert meta3["default-sort-order-id"] == oid
+        assert len(meta3["sort-orders"]) == len(meta["sort-orders"])
+        # sorted compaction migrates generation 1 to the composite spec
+        # AND re-sorts it: every live data file carries the full
+        # composite tuple and the order id stamp
+        # cap low enough that every (day, bucket) cell slices into
+        # several id-disjoint files — the pruning surface
+        rewrite_data_files(
+            spark, tdir, now_ms=4_000,
+            sort_by=["id"], max_records_per_file=16,
+        )
+        files = plan_scan(tdir)
+        assert files and all(
+            set(f["partition"]) == {"ts_day", "id_bucket"} for f in files
+        )
+        stamps = {
+            e["data_file"]["sort_order_id"]
+            for m in _read_head_manifests(tdir)
+            for e in m
+            if e["status"] != 2 and not e["data_file"].get("content")
+        }
+        assert stamps == {oid}
+        # sorted slices prune on id in the MIGRATED layout too
+        pruned = plan_scan(tdir, column_bounds=("id", 10, 20))
+        assert 0 < len(pruned) < len(files)
+        got = sorted(
+            r["id"] for r in read_iceberg_table(spark, tdir).collect()
+        )
+        assert got == list(range(320))
+
+    def test_sorted_order_id_stable_across_catalog_rebase(
+        self, spark, tmp_path
+    ):
+        """Round-10: two sorted writers racing through the REST catalog
+        — the loser's rebase must not re-register the sort order under
+        a new id; exactly one non-empty order exists afterward and both
+        writers' files carry it."""
+        import threading
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+            FakeRestCatalogServer, RestCatalogClient,
+        )
+
+        tdir = str(tmp_path / "sw5")
+        with FakeRestCatalogServer() as server:
+            cat = RestCatalogClient(server.base_url)
+            cat.ensure_namespace()
+            write_iceberg_table(
+                spark, self._df(spark, range(16)), tdir,
+                partition_spec=self.SPEC1, now_ms=1_000,
+                sort_by=["id"], catalog=cat, table_name="sw5",
+            )
+            errs: list[Exception] = []
+
+            def run(ids, ts):
+                try:
+                    write_iceberg_table(
+                        spark, self._df(spark, ids), tdir,
+                        partition_spec=self.SPEC1, now_ms=ts,
+                        sort_by=["id"], catalog=cat, table_name="sw5",
+                    )
+                except Exception as e:  # noqa: BLE001 — surfaced below
+                    errs.append(e)
+
+            t1 = threading.Thread(target=run, args=(range(16, 48), 2_000))
+            t2 = threading.Thread(target=run, args=(range(48, 80), 2_001))
+            t1.start(); t2.start(); t1.join(); t2.join()
+            assert errs == []
+            meta = cat.load_table("sw5")["metadata"]
+            non_empty = [o for o in meta["sort-orders"] if o["fields"]]
+            assert len(non_empty) == 1
+            oid = non_empty[0]["order-id"]
+            assert meta["default-sort-order-id"] == oid
+            cur = next(
+                s
+                for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"]
+            )
+            from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+                read_avro_ocf,
+            )
+
+            _s, mfs, _kv = read_avro_ocf(cur["manifest-list"])
+            stamps = {
+                e["data_file"]["sort_order_id"]
+                for mf in mfs
+                for e in read_avro_ocf(mf["manifest_path"])[1]
+                if e["status"] != 2 and not e["data_file"].get("content")
+            }
+            assert stamps == {oid}
+            got = read_iceberg_table(
+                spark, tdir, catalog=cat, table_name="sw5"
+            ).count()
+            assert got == 80
+
 
 def _read_head_manifests(tdir: str):
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (

@@ -283,8 +283,13 @@ def _run_evolution_gauntlet(spark, tmp_path, catalog=None) -> None:
         if b == 20:
             # migrates generation 1 to the composite default spec and
             # materializes every delete layer (DVs + both global sets)
+            # — SORTED (r10): the compaction registers a sort order on
+            # the evolved table and re-sorts old-generation rows under
+            # the new spec in the same pass
             ms += 1_000
-            rewrite_data_files(spark, tdir, now_ms=ms, catalog=catalog)
+            rewrite_data_files(
+                spark, tdir, now_ms=ms, sort_by=["v"], catalog=catalog
+            )
         if b % 10 == 9:
             ckpt = _consume(spark, tdir, ckpt, counts, catalog=catalog)
         if b == 30:
