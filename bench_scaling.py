@@ -1098,6 +1098,90 @@ def probe_position_deletes() -> None:
         shutil.rmtree(tdir, ignore_errors=True)
     spark.stop()
 
+def probe_rpd_merge() -> None:
+    """Scale curve of rewrite_position_deletes (round 10): the merge is
+    one distributed pass over DELETE bytes — cost must be ~linear in
+    accumulated delete files/rows and FLAT in table size (the table's
+    data bytes are never read; only the live-path list joins in). Legs:
+
+      1x      400k-row table,  4 delete commits
+      10x-del 400k-row table, 40 delete commits (10x delete files/rows)
+      10x-tbl   4M-row table,  4 delete commits (same delete plane as 1x)
+      capped  the 10x-del table re-merged under max_rows_per_delete_file
+
+    Claims: rpd(10x-del) ~ 10x rpd(1x) or better (per-file overhead
+    amortizes), rpd(10x-tbl) ~ rpd(1x) (table-size-flat), and the row
+    cap changes output file count, not asymptotics."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.session import get_spark
+    from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+    from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
+        write_table,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    print(
+        f"{'rpd merge':10s} {'tbl_rows':>9} {'del_files':>9} "
+        f"{'del_rows':>9} {'rpd_s':>7} {'files_out':>9}"
+    )
+
+    def _build(n_rows: int, n_commits: int, label: str) -> str:
+        tdir = tempfile.mkdtemp(prefix=f"rpd-{label}-")
+        df = spark.range(n_rows).select(
+            (F.col("id") % 8).cast("int").alias("partition"),
+            F.col("id").alias("offset"),
+        ).repartition(8, "partition")
+        write_table(df, tdir)
+        ice.commit_append(tdir, df.schema)
+        for k in range(n_commits):
+            # ~0.025% of rows per commit, disjoint across commits
+            ice.commit_position_deletes(
+                spark, tdir, f"offset % 4001 = {k}", now_ms=(k + 2) * 1_000
+            )
+        return tdir
+
+    def _delete_plane(tdir: str) -> tuple[int, int]:
+        back = ice.read_table_metadata(tdir)
+        files = rows = 0
+        for m in back["manifests"]:
+            for e in m["entries"]:
+                d = e["data_file"]
+                if e["status"] != 2 and d.get("content") == 1:
+                    files += 1
+                    rows += int(d["record_count"])
+        return files, rows
+
+    legs = [
+        ("warmup", 50_000, 3, None),
+        ("1x", 400_000, 4, None),
+        ("10x-del", 400_000, 40, None),
+        ("10x-tbl", 4_000_000, 4, None),
+        ("capped", 400_000, 40, 64),
+    ]
+    for label, n_rows, n_commits, cap in legs:
+        tdir = _build(n_rows, n_commits, label)
+        n_files, n_del_rows = _delete_plane(tdir)
+        t0 = time.time()
+        ice.rewrite_position_deletes(
+            spark, tdir, now_ms=10**9, max_rows_per_delete_file=cap
+        )
+        rpd_s = time.time() - t0
+        files_out, rows_out = _delete_plane(tdir)
+        assert rows_out == n_del_rows, (rows_out, n_del_rows)
+        if label != "warmup":
+            print(
+                f"{label:10s} {n_rows:9d} {n_files:9d} "
+                f"{n_del_rows:9d} {rpd_s:7.2f} {files_out:9d}"
+            )
+        shutil.rmtree(tdir, ignore_errors=True)
+    spark.stop()
+
+
 def probe_bounds_pruning() -> None:
     """Column-stats pruning flatness: commit N sorted offset bands, then
     plan a FIXED offset window with plan_scan(column_bounds=...) at N
@@ -1246,6 +1330,8 @@ if __name__ == "__main__":
         probe_bounds_pruning()
     elif "--incremental-window" in sys.argv:
         probe_incremental_window()
+    elif "--rpd-merge" in sys.argv:
+        probe_rpd_merge()
     elif "--position-deletes" in sys.argv:
         probe_position_deletes()
     else:
