@@ -1800,6 +1800,62 @@ class TestZorderRewrite:
         assert all(hi - lo < 63 for lo, hi in y_spans), y_spans
         assert read_iceberg_table(spark, tdir).count() == 4096
 
+    def test_zorder_timestamp_dimension(self, spark, tmp_path):
+        """Round-10: TIMESTAMP zorder dimensions rank via epoch micros
+        (unix_micros) — the most common clustering dimension in
+        log-structured data."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "z7")
+        epoch = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                (i, epoch + dt.timedelta(hours=i % 64), i // 64)
+                for i in range(4096)
+            ],
+            "id long, ts timestamp, y long",
+        ).withColumn("partition", F.lit(0))
+        write_iceberg_table(spark, df, tdir, now_ms=1_000)
+        rewrite_data_files(
+            spark, tdir, now_ms=2_000,
+            zorder_by=["ts", "y"], max_records_per_file=256,
+        )
+        files = plan_scan(tdir)
+        assert len(files) >= 8
+        # INT96 timestamp pages carry no footer stats — span check via
+        # a per-file Spark aggregate over the planned files instead
+        spans = (
+            spark.read.parquet(*sorted(f["file_path"] for f in files))
+            .groupBy(F.col("_metadata.file_path").alias("f"))
+            .agg(
+                F.min("ts").alias("ts_lo"), F.max("ts").alias("ts_hi"),
+                F.min("y").alias("y_lo"), F.max("y").alias("y_hi"),
+            )
+            .collect()
+        )
+        assert len(spans) >= 8
+        assert all(
+            (r["ts_hi"] - r["ts_lo"]) < dt.timedelta(hours=63) for r in spans
+        ), spans
+        assert all(r["y_hi"] - r["y_lo"] < 63 for r in spans), spans
+        got = (
+            read_iceberg_table(spark, tdir)
+            .where(
+                "ts BETWEEN TIMESTAMP'2024-01-01 08:00:00' "
+                "AND TIMESTAMP'2024-01-01 23:00:00' "
+                "AND y BETWEEN 8 AND 23"
+            )
+            .count()
+        )
+        assert got == 16 * 16
+        assert read_iceberg_table(spark, tdir).count() == 4096
+
     def test_zorder_unsupported_type_raises_typed(self, spark, tmp_path):
         """Round-10 (advisor): an unsupported zorder dimension type must
         raise a targeted ValueError NAMING the column, before any file
@@ -2051,6 +2107,37 @@ class TestRewritePositionDeletes:
         # idempotent: second run is a no-op
         meta2 = rewrite_position_deletes(spark, tdir, now_ms=9_000)
         assert len(meta2["snapshots"]) == len(meta["snapshots"])
+
+    def test_single_cell_table_merges_whole_plane(self, spark, tmp_path):
+        """Round-10: a one-cell table (the engine's unpartitioned form —
+        a constant ``partition`` column) concentrates the ENTIRE delete
+        plane in one cell; rpd merges it to one file with counts exact."""
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            commit_position_deletes,
+            rewrite_position_deletes,
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "rpdunp")
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(64)], "id long, v long"
+        ).withColumn("partition", F.lit(0))
+        write_iceberg_table(spark, df, tdir, now_ms=1_000)
+        commit_position_deletes(spark, tdir, "id IN (3, 7)", now_ms=2_000)
+        commit_position_deletes(spark, tdir, "id IN (11, 13)", now_ms=3_000)
+        meta = rewrite_position_deletes(spark, tdir, now_ms=4_000)
+        after = self._live_pos_delete_files(tdir)
+        assert len(after) == 1 and "delete-merged-" in after[0]
+        got = sorted(r["id"] for r in read_iceberg_table(spark, tdir).collect())
+        assert got == [i for i in range(64) if i not in (3, 7, 11, 13)]
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        assert int(cur["summary"]["total-position-deletes"]) == 4
 
     def test_row_cap_slices_hot_cell(self, spark, tmp_path):
         """Round-10 (advisor): ``max_rows_per_delete_file`` slices a hot
