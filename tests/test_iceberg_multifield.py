@@ -1488,6 +1488,109 @@ class TestSortedWrite:
                 partition_spec=self.SPEC1, now_ms=1_000, sort_by=["nope"],
             )
 
+    def test_descending_and_null_order_sort(self, spark, tmp_path):
+        """Round-10: sort_by entries take SQL ORDER-BY-style suffixes
+        ("v desc", "v asc nulls last") — the registered order carries
+        the direction/null-order (Iceberg spec "Sort Orders"), rows
+        land in that order, and a different direction is a DIFFERENT
+        order id, never a silent reuse."""
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "sw6")
+        # ids with some NULL v values to pin the null-order
+        df = spark.createDataFrame(
+            [
+                (i, (DAY0 * MICROS_PER_DAY), None if i % 7 == 0 else i * 10)
+                for i in range(64)
+            ],
+            "id long, ts_us long, v long",
+        )
+        meta = write_iceberg_table(
+            spark, df, tdir,
+            partition_spec=self.SPEC1, now_ms=1_000,
+            sort_by=["v desc"], max_records_per_file=16,
+        )
+        order = next(o for o in meta["sort-orders"] if o["fields"])
+        assert order["fields"][0]["direction"] == "desc"
+        assert order["fields"][0]["null-order"] == "nulls-last"  # desc default
+        # rows in each file are non-increasing with nulls at the end
+        for m in _read_head_manifests(tdir):
+            for e in m:
+                d = e["data_file"]
+                if d.get("content"):
+                    continue
+                vals = pq.read_table(d["file_path"]).column("v").to_pylist()
+                non_null = [v for v in vals if v is not None]
+                assert non_null == sorted(non_null, reverse=True)
+                if None in vals:
+                    assert vals.index(None) == len(non_null)  # nulls last
+        # a different direction mints a DIFFERENT order id
+        meta2 = write_iceberg_table(
+            spark, df.select("id", (F.col("ts_us") + 1).alias("ts_us"), "v"),
+            tdir, partition_spec=self.SPEC1, now_ms=2_000,
+            sort_by=["v asc nulls last"], max_records_per_file=16,
+        )
+        non_empty = [o for o in meta2["sort-orders"] if o["fields"]]
+        assert len(non_empty) == 2
+        assert {
+            (o["fields"][0]["direction"], o["fields"][0]["null-order"])
+            for o in non_empty
+        } == {("desc", "nulls-last"), ("asc", "nulls-last")}
+        # desc slices still carry disjoint bounds: pruning works
+        pruned = plan_scan(tdir, column_bounds=("v", 100, 200))
+        files = plan_scan(tdir)
+        assert 0 < len(pruned) < len(files)
+        # malformed suffix is a typed error
+        with pytest.raises(ValueError, match="expected"):
+            write_iceberg_table(
+                spark, df, str(tmp_path / "sw7"),
+                partition_spec=self.SPEC1, now_ms=3_000,
+                sort_by=["v sideways"],
+            )
+
+    def test_descending_sorted_compaction(self, spark, tmp_path):
+        """rewrite_data_files(sort_by=['id desc']) lays the table out
+        newest-first — the dominant serving order for log tables."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / "sw8")
+        write_iceberg_table(
+            spark, self._df(spark, range(256)), tdir,
+            partition_spec=self.SPEC1, now_ms=1_000,
+        )
+        rewrite_data_files(
+            spark, tdir, now_ms=2_000,
+            sort_by=["id desc"], max_records_per_file=32,
+        )
+        for m in _read_head_manifests(tdir):
+            for e in m:
+                d = e["data_file"]
+                if e["status"] == 2 or d.get("content"):
+                    continue
+                ids = pq.read_table(d["file_path"]).column("id").to_pylist()
+                assert ids == sorted(ids, reverse=True)
+        # an uncapped desc request first re-compacts the sliced layout
+        # to one file per cell (still desc-sorted), then no-ops
+        rewrite_data_files(spark, tdir, now_ms=3_000, sort_by=["id desc"])
+        n = len(_current_meta(tdir)["snapshots"])
+        rewrite_data_files(spark, tdir, now_ms=4_000, sort_by=["id desc"])
+        assert len(_current_meta(tdir)["snapshots"]) == n  # no-op
+        for m in _read_head_manifests(tdir):
+            for e in m:
+                d = e["data_file"]
+                if e["status"] == 2 or d.get("content"):
+                    continue
+                ids = pq.read_table(d["file_path"]).column("id").to_pylist()
+                assert ids == sorted(ids, reverse=True)
+        got = read_iceberg_table(spark, tdir).count()
+        assert got == 256
+
     def test_sorted_write_survives_spec_evolution(self, spark, tmp_path):
         """Round-10: sort_by and update_partition_spec in ONE table
         lifetime — the sort order id survives the evolution (appends

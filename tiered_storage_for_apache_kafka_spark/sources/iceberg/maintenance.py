@@ -880,8 +880,12 @@ def _rewrite_data_files_once(
     if sort_cols:
         from pyspark.sql import functions as F
 
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (  # noqa: E501
+            sort_field_expr,
+        )
+
         keys = [F.col(n) for n in part_names] + [
-            F.col(c) for c in sort_cols
+            sort_field_expr(c) for c in sort_cols
         ]
         # sort within the partition-colocated tasks; file-level range
         # slicing comes from maxRecordsPerFile (AQE may coalesce a

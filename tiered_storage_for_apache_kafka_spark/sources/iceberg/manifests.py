@@ -716,18 +716,52 @@ def _stat_data_files(paths: list[str], partition_cols) -> list[dict]:
 # -- the commit ---------------------------------------------------------------
 
 
+def parse_sort_field(spec: str) -> tuple[str, str, str]:
+    """Parse one ``sort_by`` entry into ``(column, direction,
+    null_order)`` — SQL ORDER-BY-style suffixes over the bare column
+    default (``"v"`` = asc nulls-first):
+
+        "v"  "v desc"  "v asc nulls last"  "v desc nulls first"
+
+    Defaults follow the Iceberg spec's DDL ("Sort Orders"): asc implies
+    nulls-first, desc implies nulls-last, either overridable."""
+    toks = str(spec).split()
+    if not toks:
+        raise ValueError("empty sort_by entry")
+    col, rest = toks[0], [t.lower() for t in toks[1:]]
+    direction = "asc"
+    if rest and rest[0] in ("asc", "desc"):
+        direction = rest[0]
+        rest = rest[1:]
+    if not rest:
+        null_order = "nulls-first" if direction == "asc" else "nulls-last"
+    elif rest == ["nulls", "first"]:
+        null_order = "nulls-first"
+    elif rest == ["nulls", "last"]:
+        null_order = "nulls-last"
+    else:
+        raise ValueError(
+            f"sort_by entry {spec!r}: expected "
+            "'col [asc|desc] [nulls first|nulls last]'"
+        )
+    return col, direction, null_order
+
+
 def match_or_add_sort_order(
     meta: dict, sort_cols: list[str], schema_struct: dict
 ) -> tuple[dict, int, dict | None]:
     """Resolve ``sort_cols`` to a table SORT ORDER (Iceberg spec "Sort
-    Orders": ordered identity/asc/nulls-first fields by source id) —
-    reusing an existing order with the same field list, registering a
-    fresh ``order-id`` otherwise. Shared by the sorted write path and
+    Orders": ordered identity fields by source id, each with direction
+    and null-order — entries parse via :func:`parse_sort_field`, so
+    ``"ts desc"`` is a distinct order from ``"ts"``) — reusing an
+    existing order with the same field list, registering a fresh
+    ``order-id`` otherwise. Shared by the sorted write path and
     sorted compaction so the same column list never mints two ids.
     Returns ``(meta', order_id, new_order_or_None)``."""
     leaf_ids = _leaf_field_ids(schema_struct)
     order_fields = []
-    for c in sort_cols:
+    for spec_str in sort_cols:
+        c, direction, null_order = parse_sort_field(spec_str)
         fid = leaf_ids.get(c)
         if fid is None:
             raise KeyError(f"no scalar leaf column {c!r} in the table schema")
@@ -735,8 +769,8 @@ def match_or_add_sort_order(
             {
                 "transform": "identity",
                 "source-id": fid,
-                "direction": "asc",
-                "null-order": "nulls-first",
+                "direction": direction,
+                "null-order": null_order,
             }
         )
     existing = meta.get("sort-orders", [])

@@ -272,6 +272,32 @@ def transform_column(df, source_col: str, spec: str, name: str):
     raise ValueError(f"transform {spec!r} has no partition-column form")
 
 
+def sort_field_expr(spec: str):
+    """The Spark sort Column for one ``sort_by`` entry — direction and
+    null-order per :func:`manifests.parse_sort_field`, so the rows
+    written land in exactly the order the table's registered sort order
+    declares."""
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+        parse_sort_field,
+    )
+
+    c, direction, null_order = parse_sort_field(spec)
+    col = F.col(c)
+    if direction == "asc":
+        return (
+            col.asc_nulls_first()
+            if null_order == "nulls-first"
+            else col.asc_nulls_last()
+        )
+    return (
+        col.desc_nulls_first()
+        if null_order == "nulls-first"
+        else col.desc_nulls_last()
+    )
+
+
 _ZORDER_NUMERIC_DTYPES = (
     "tinyint", "smallint", "int", "bigint", "float", "double",
 )

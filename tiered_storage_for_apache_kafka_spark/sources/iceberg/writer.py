@@ -198,10 +198,34 @@ def write_iceberg_table(
         shuffled = df
 
     if sort_by:
-        missing = [c for c in sort_by if c not in df.columns]
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (  # noqa: E501
+            parse_sort_field,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (  # noqa: E501
+            sort_field_expr,
+        )
+
+        from pyspark.sql import functions as F
+
+        missing = [
+            c
+            for c in (parse_sort_field(s)[0] for s in sort_by)
+            if c not in df.columns
+        ]
         if missing:
             raise ValueError(f"sort_by names missing columns {missing}")
-        shuffled = shuffled.sortWithinPartitions(*sort_by)
+        # the PARTITION columns must LEAD the sort keys: partitionBy's
+        # FileFormatWriter requires task rows ordered by the partition
+        # columns and inserts its own sort when the incoming order
+        # doesn't start with them — and Catalyst's EliminateSorts then
+        # REMOVES this sort as redundant under that one, silently
+        # unsorting the files (caught r10: files came out in input
+        # order). Leading with the partition tuple makes the required
+        # ordering already-satisfied, so THIS sort is the one that runs.
+        shuffled = shuffled.sortWithinPartitions(
+            *[F.col(n) for n in part_names],
+            *[sort_field_expr(s) for s in sort_by],
+        )
     writer = shuffled.write
     if part_names:
         writer = writer.partitionBy(*part_names)
