@@ -393,7 +393,12 @@ def _string_banded_table(spark: SparkSession, sf_dir: str) -> str:
     tdir = tempfile.mkdtemp(prefix="iceberg-strbounds-")
     (
         df.repartition(1)
-        .sortWithinPartitions("source", "doc_id")
+        # "partition" must LEAD the sort: partitionBy's required
+        # ordering otherwise inserts its own partition sort and
+        # EliminateSorts drops this one as redundant beneath it,
+        # leaving the band files in input order (r10 find; same fix
+        # as write_iceberg_table's sort path)
+        .sortWithinPartitions("partition", "source", "doc_id")
         .write.partitionBy("partition")
         .option("maxRecordsPerFile", str(max(1, n // 8)))
         .parquet(tdir, mode="append")
