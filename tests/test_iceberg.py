@@ -1622,9 +1622,18 @@ class TestColumnStatsSafety:
     partial or non-integer stats (wrong stats prune rows; absent stats
     never do)."""
 
-    def test_timestamp_column_commit_does_not_crash(self, spark, tmp_path):
+    def test_timestamp_column_commit_publishes_exact_micros(
+        self, spark, tmp_path
+    ):
         """pyarrow returns datetime objects for timestamp logical types;
-        the stats folder must poison such columns, not struct.pack them."""
+        the stats folder must never struct.pack them raw. r6 poisoned
+        the column; r10 converts to EXACT epoch micros (fixed-width
+        footer stats are exact — integer timedelta arithmetic, the
+        Appendix D timestamp form), unlocking time-window file pruning.
+        NANOS columns still publish nothing (see
+        TestTemporalColumnBounds)."""
+        import struct
+
         from pyspark.sql import functions as F
 
         from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
@@ -1639,17 +1648,25 @@ class TestColumnStatsSafety:
         )
         tdir = str(tmp_path / "ts_table")
         write_table(df.coalesce(1), tdir)
-        meta = ice.commit_append(tdir, df.schema)  # crashed pre-fix
+        meta = ice.commit_append(tdir, df.schema)  # crashed pre-r6-fix
         assert meta["current-snapshot-id"] != -1
         back = ice.read_table_metadata(tdir)
         fid_off = ice._leaf_field_ids(meta["schemas"][0])["offset"]
         fid_ts = ice._leaf_field_ids(meta["schemas"][0])["ts"]
+        lo = hi = None
         for man in back["manifests"]:
             for e in man["entries"]:
                 d = e["data_file"]
-                keys = {kv["key"] for kv in (d["lower_bounds"] or [])}
-                assert fid_off in keys  # plain int64 column still bounded
-                assert fid_ts not in keys  # timestamp poisoned, unpublished
+                los = {kv["key"]: kv["value"] for kv in (d["lower_bounds"] or [])}
+                his = {kv["key"]: kv["value"] for kv in (d["upper_bounds"] or [])}
+                assert fid_off in los  # plain int64 column still bounded
+                if fid_ts in los:
+                    v_lo = struct.unpack("<q", bytes(los[fid_ts]))[0]
+                    v_hi = struct.unpack("<q", bytes(his[fid_ts]))[0]
+                    lo = v_lo if lo is None else min(lo, v_lo)
+                    hi = v_hi if hi is None else max(hi, v_hi)
+        # exact micros across the whole table: ids 0..19 seconds
+        assert (lo, hi) == (0, 19 * 1_000_000)
 
     def test_statless_chunk_poisons_column(self, tmp_path):
         """A file where one row group lacks min/max must publish NO stats

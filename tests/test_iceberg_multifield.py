@@ -2462,6 +2462,125 @@ class TestNullCellEqualityDelete:
         )  # id 1 lives in lang='l1', untouched by the null-cell delete
 
 
+class TestTemporalColumnBounds:
+    """Round-10: DATE / TIMESTAMP column-stats file pruning — temporal
+    footer stats publish as exact integers (epoch-day ordinal / epoch
+    micros, the Appendix D single-value forms), so
+    ``plan_scan(column_bounds=...)`` prunes time windows without
+    opening files. NANOS columns stay unpublished (pyarrow reports
+    ns-precision stats whose micros conversion would truncate the
+    upper bound — unsafe), so they prune nothing, conservatively."""
+
+    def _banded(self, spark, tmp_path, name, col_type):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        tdir = str(tmp_path / name)
+        if col_type == "date":
+            epoch = dt.date(1970, 1, 1)
+            rows = [(i, epoch + dt.timedelta(days=i)) for i in range(64)]
+            schema = "id long, t date"
+        else:
+            base = dt.datetime(2024, 1, 1)
+            rows = [(i, base + dt.timedelta(hours=i)) for i in range(64)]
+            schema = "id long, t timestamp"
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "partition", F.lit(0).cast("int")
+        )
+        write_iceberg_table(
+            spark, df, tdir, now_ms=1_000,
+            sort_by=["t"], max_records_per_file=8,
+        )
+        return tdir
+
+    def test_date_bounds_prune(self, spark, tmp_path):
+        tdir = self._banded(spark, tmp_path, "tb1", "date")
+        files = plan_scan(tdir)
+        assert len(files) >= 4
+        # epoch days 10..20: two 8-row bands at most
+        sub = plan_scan(tdir, column_bounds=("t", 10, 20))
+        assert 0 < len(sub) < len(files)
+        got = (
+            read_iceberg_table(spark, tdir)
+            .where("t BETWEEN DATE'1970-01-11' AND DATE'1970-01-21'")
+            .count()
+        )
+        assert got == 11
+
+    def test_timestamp_bounds_prune(self, spark, tmp_path):
+        import datetime as dt
+
+        tdir = self._banded(spark, tmp_path, "tb2", "timestamp")
+        files = plan_scan(tdir)
+        assert len(files) >= 4
+        base = dt.datetime(2024, 1, 1)
+        lo = int((base + dt.timedelta(hours=10)).timestamp() * 1_000_000)
+        hi = int((base + dt.timedelta(hours=20)).timestamp() * 1_000_000)
+        sub = plan_scan(tdir, column_bounds=("t", lo, hi))
+        assert 0 < len(sub) < len(files)
+        got = (
+            read_iceberg_table(spark, tdir)
+            .where(
+                "t BETWEEN TIMESTAMP'2024-01-01 10:00:00' "
+                "AND TIMESTAMP'2024-01-01 20:00:00'"
+            )
+            .count()
+        )
+        assert got == 11
+
+    def test_nanos_column_conservatively_unpruned(self, spark, tmp_path):
+        """A TIMESTAMP(NANOS) parquet column must publish NO bounds —
+        pruning on it keeps every file (never silently drops rows)."""
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            read_table_metadata,
+        )
+
+        tdir = str(tmp_path / "tb3")
+        for b in range(4):
+            dd = os.path.join(tdir, "partition=0")
+            os.makedirs(dd, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array(
+                            list(range(b * 8, b * 8 + 8)), pa.int64()
+                        ),
+                        "t": pa.array(
+                            [
+                                i * 3_600_000_000_000 + 1  # +1 ns
+                                for i in range(b * 8, b * 8 + 8)
+                            ],
+                            pa.timestamp("ns"),
+                        ),
+                    }
+                ),
+                os.path.join(dd, f"band-{b}.parquet"),
+            )
+        schema = spark.createDataFrame(
+            [], "id long, t timestamp, partition int"
+        ).schema
+        commit_append(tdir, schema, now_ms=1_000)
+        files = plan_scan(tdir)
+        assert len(files) == 4
+        # bounded id prunes (ints publish); t publishes nothing
+        assert 0 < len(plan_scan(tdir, column_bounds=("id", 0, 7))) < 4
+        back = read_table_metadata(tdir)
+        saw_bounds = False
+        for m in back["manifests"]:
+            for e in m["entries"]:
+                lb = e["data_file"].get("lower_bounds")
+                if lb:
+                    saw_bounds = True
+                    fields = {kv["key"] for kv in lb}
+                    assert 2 not in fields, fields  # t (field 2) absent
+        assert saw_bounds  # id bounds did publish
+
+
 class TestNullDataPartitionCell:
     """Round-10: a NULL partition VALUE on the DATA path, end-to-end —
     hive layout writes ``__HIVE_DEFAULT_PARTITION__``, the scan's

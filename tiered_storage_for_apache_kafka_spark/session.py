@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # write timestamps as INT64 micros, never the deprecated INT96:
+        # Iceberg mandates int64 timestamp storage, and INT96 chunks
+        # carry no usable footer stats — the temporal column-bounds
+        # pruning plane (r10) needs the exact micros min/max INT64
+        # publishes
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # local[N] runs everything in the driver JVM: executors' working
         # memory, every persisted family cache, and shuffle buffers all
         # share this heap. 8g GC-thrashed at sf0.1 (random 5-8s spikes on

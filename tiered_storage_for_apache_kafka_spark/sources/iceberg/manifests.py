@@ -602,19 +602,39 @@ def _discover_data_files(table_dir: str, partition_cols) -> list[dict]:
     return sorted(files, key=lambda f: f["file_path"])
 
 
+def _temporal_to_int(v):
+    """An EXACT integer for a pyarrow temporal stat value — epoch-day
+    ordinal for dates, epoch micros for datetimes (integer timedelta
+    arithmetic, never float `.timestamp()`), None for anything else.
+    Parquet date/timestamp stats are fixed-width (INT32/INT64), so the
+    footer values are exact — only variable-width stats can be
+    writer-truncated."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        td = v - epoch
+        return (td.days * 86_400 + td.seconds) * 10**6 + td.microseconds
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    return None
+
+
 def _fold_column_stats(col_stats: dict, col, rg_rows: int) -> None:
     """Fold one row-group column chunk's footer stats into the per-file
     aggregate (min/max/null-count/value-count keyed by leaf path).
 
     A column is POISONED (entry set to None, never published) when any
     chunk lacks min/max or reports a value outside the safe shapes —
-    plain ints, or plain strings shorter than 64 chars (pyarrow returns
-    datetime objects for timestamp/date logical types, and long binary
-    stats may be writer-truncated with no exactness flag exposed):
-    partial or inexact stats would publish too-narrow bounds /
-    undercounted nulls, and an external engine pruning on them would
-    silently drop rows — no stats is always safe, wrong stats never
-    are."""
+    plain ints, temporal values (date -> epoch-day ordinal, timestamp
+    -> epoch micros: fixed-width footer stats are exact, and the
+    integer forms are exactly Iceberg's Appendix D single-value
+    serialization for date/timestamp), or plain strings shorter than
+    64 chars (long binary stats may be writer-truncated with no
+    exactness flag exposed): partial or inexact stats would publish
+    too-narrow bounds / undercounted nulls, and an external engine
+    pruning on them would silently drop rows — no stats is always
+    safe, wrong stats never are."""
     path = col.path_in_schema
     if col_stats.get(path, False) is None:
         return  # already poisoned by an earlier chunk
@@ -636,21 +656,38 @@ def _fold_column_stats(col_stats: dict, col, rg_rows: int) -> None:
         and len(st.max) < 64
         and st.null_count is not None
     )
-    if not plain_ints and not plain_strs:
+    temporal = (
+        st is not None
+        and st.has_min_max
+        and st.null_count is not None
+        and not plain_ints
+        and not plain_strs
+        and _temporal_to_int(st.min) is not None
+        and _temporal_to_int(st.max) is not None
+        and col.physical_type in ("INT32", "INT64")
+        # NANOS columns are excluded: pyarrow reports their stats as
+        # ns-precision pandas Timestamps, and the micros conversion
+        # would truncate the UPPER bound downward — an unsafe bound
+        # that could silently drop rows from a pruning reader
+        and "nanoseconds" not in str(st.logical_type)
+    )
+    if not plain_ints and not plain_strs and not temporal:
         col_stats[path] = None
         return
+    mn = _temporal_to_int(st.min) if temporal else st.min
+    mx = _temporal_to_int(st.max) if temporal else st.max
     cur = col_stats.get(path)
     if cur is None:
         col_stats[path] = {
-            "min": st.min,
-            "max": st.max,
+            "min": mn,
+            "max": mx,
             "nulls": st.null_count,
             "n": rg_rows,
             "physical": col.physical_type,
         }
         return
-    cur["min"] = min(cur["min"], st.min)
-    cur["max"] = max(cur["max"], st.max)
+    cur["min"] = min(cur["min"], mn)
+    cur["max"] = max(cur["max"], mx)
     cur["nulls"] += st.null_count
     cur["n"] += rg_rows
 
