@@ -75,6 +75,7 @@ _R10_WINDOW = [
     "iceberg_rpd_evolution_scan",
     "iceberg_null_partition_scan",
     "iceberg_zorder_temporal_scan",
+    "iceberg_timestamp_window_scan",
     # (b) changed code this round
     "iceberg_sharded_writer_scan",
     "iceberg_multifield_partition_scan",

@@ -1381,37 +1381,21 @@ def iceberg_zorder_temporal_scan(
     replays relationally. Scale shape: (time, key) lookups — the
     dominant log-structured access pattern — become metadata-bounded
     on both axes at once."""
-    import datetime as _dt
-
-    import pyarrow.parquet as _pq
-
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
         plan_scan,
         read_iceberg_table,
     )
 
     tdir = _zorder_temporal_table(spark, sf_dir)
-    epoch = _dt.date(1970, 1, 1)
-    probes = {
-        "d": (epoch + _dt.timedelta(days=8), epoch + _dt.timedelta(days=23)),
-        "y": (8, 23),
-    }
     files = plan_scan(tdir)
-    hits = {"d": 0, "y": 0}
-    for f in files:
-        md = _pq.read_metadata(f["file_path"])
-        for col, (p_lo, p_hi) in probes.items():
-            idx = md.schema.names.index(col)
-            lo = hi = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            if lo <= p_hi and p_lo <= hi:
-                hits[col] += 1
-    pins = {
-        col: 1 if 0 < n < len(files) else 0 for col, n in hits.items()
-    }
+    pins = {}
+    # the PRODUCTION pruning path (r10): date bounds publish as exact
+    # epoch-day ints in the manifests, so plan_scan's column_bounds
+    # prunes the date axis without opening a single file — same plane
+    # as the int axis
+    for col in ("d", "y"):
+        sub = plan_scan(tdir, column_bounds=(col, 8, 23))
+        pins[col] = 1 if 0 < len(sub) < len(files) else 0
     lo_d, hi_d = "1970-01-09", "1970-01-24"  # epoch+8 .. epoch+23
     return (
         read_iceberg_table(spark, tdir)
@@ -1428,6 +1412,88 @@ def iceberg_zorder_temporal_scan(
             "sum_ids",
             F.lit(pins["d"]).cast("bigint").alias("d_pruned"),
             F.lit(pins["y"]).cast("bigint").alias("y_pruned"),
+        )
+    )
+
+
+_TS_WINDOW_CACHE: dict[tuple, str] = {}
+
+
+def _timestamp_banded_table(spark: SparkSession, sf_dir: str) -> str:
+    """events -> a TIMESTAMP column (hourly from event_id), written
+    SORTED by it with a record cap — time-banded files whose exact
+    epoch-micros manifest bounds (r10) make a time-window plan open
+    only the overlapping bands."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _TS_WINDOW_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.timestamp_micros(
+            F.col("event_id") * F.lit(3_600_000_000).cast("long")
+        ).alias("ts"),
+        F.lit(0).cast("int").alias("partition"),
+    )
+    mrpf = max(64, df.count() // 16)  # ~16 time bands at every sf
+    tdir = tempfile.mkdtemp(prefix="iceberg-tswindow-")
+    write_iceberg_table(
+        spark, df, tdir, now_ms=1_000,
+        sort_by=["ts"], max_records_per_file=mrpf,
+    )
+    session_cache_put(_TS_WINDOW_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_timestamp_window_scan",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS sum_ids,
+       CAST(1 AS BIGINT) AS window_pruned
+FROM events
+WHERE event_id BETWEEN 100 AND 199
+""",
+)
+def iceberg_timestamp_window_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIMESTAMP-window file pruning (r10): temporal footer stats
+    publish as exact epoch micros in the manifests, so a time-window
+    plan (``column_bounds``) opens a strict subset of the sorted time
+    bands (``window_pruned`` pins it) and the windowed aggregate
+    replays relationally. Scale shape: THE log-table access pattern —
+    \"last N hours\" over a 100 TB table reads only the overlapping
+    bands' bytes, decided entirely at the metadata level."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        plan_scan,
+        read_iceberg_table,
+    )
+
+    tdir = _timestamp_banded_table(spark, sf_dir)
+    files = plan_scan(tdir)
+    lo_us = 100 * 3_600_000_000
+    hi_us = 199 * 3_600_000_000
+    sub = plan_scan(tdir, column_bounds=("ts", lo_us, hi_us))
+    pruned = 1 if 0 < len(sub) < len(files) else 0
+    return (
+        read_iceberg_table(spark, tdir)
+        .where(
+            f"ts >= timestamp_micros({lo_us}) "
+            f"AND ts <= timestamp_micros({hi_us})"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .select(
+            "n_rows",
+            "sum_ids",
+            F.lit(pruned).cast("bigint").alias("window_pruned"),
         )
     )
 
