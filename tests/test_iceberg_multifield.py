@@ -1822,6 +1822,36 @@ class TestZorderRewrite:
             spans.append((lo, hi))
         return spans
 
+    def test_multi_column_bounds_and_prune(self, spark, tmp_path):
+        """Round-10: plan_scan takes a LIST of column_bounds triples,
+        ANDed — a 2D box probe over the z-ordered layout opens at most
+        the per-axis subsets' intersection (the whole point of the
+        interleave), and strictly fewer files than no probe."""
+        tdir = self._grid_table(spark, tmp_path, "z2d")
+        rewrite_data_files(
+            spark, tdir, now_ms=2_000,
+            zorder_by=["x", "y"], max_records_per_file=256,
+        )
+        files = plan_scan(tdir)
+        x_sub = plan_scan(tdir, column_bounds=("x", 0, 15))
+        y_sub = plan_scan(tdir, column_bounds=("y", 0, 15))
+        box = plan_scan(
+            tdir, column_bounds=[("x", 0, 15), ("y", 0, 15)]
+        )
+        assert 0 < len(box) <= min(len(x_sub), len(y_sub)) < len(files)
+        box_paths = {f["file_path"] for f in box}
+        assert box_paths <= (
+            {f["file_path"] for f in x_sub}
+            & {f["file_path"] for f in y_sub}
+        )
+        # the planned subset still holds every box row
+        got = (
+            read_iceberg_table(spark, tdir)
+            .where("x BETWEEN 0 AND 15 AND y BETWEEN 0 AND 15")
+            .count()
+        )
+        assert got == 16 * 16
+
     def test_zorder_date_and_int_dimensions(self, spark, tmp_path):
         """Round-10 (advisor): temporal zorder dimensions — a DATE
         column ranks via its epoch-day ordinal, so the interleaved

@@ -1137,7 +1137,8 @@ def _zorder_table(spark: SparkSession, sf_dir: str) -> str:
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS sum_ids,
        CAST(1 AS BIGINT) AS x_pruned,
-       CAST(1 AS BIGINT) AS y_pruned
+       CAST(1 AS BIGINT) AS y_pruned,
+       CAST(1 AS BIGINT) AS box_pruned
 FROM events
 WHERE event_id % 64 BETWEEN 8 AND 23
   AND CAST(FLOOR(event_id / 64) AS BIGINT) % 64 BETWEEN 8 AND 23
@@ -1148,8 +1149,10 @@ def iceberg_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy): after the interleaved rewrite, a column-bounds probe on
     EITHER dimension alone opens a strict file subset (``x_pruned`` /
     ``y_pruned`` pin it structurally — a linear sort would leave the
-    trailing dimension's bounds spanning every file), and a 2D box
-    read replays relationally. Scale shape: multi-dimension point/range
+    trailing dimension's bounds spanning every file), and the ANDed 2D
+    box plan (r10: ``column_bounds`` takes a list) opens no more files
+    than either axis alone (``box_pruned``), with the box read
+    replaying relationally. Scale shape: multi-dimension point/range
     lookups at 100 TB become metadata-bounded on all clustered
     dimensions at once — the layout for (time, key)-style lookups no
     single-column sort serves."""
@@ -1161,9 +1164,14 @@ def iceberg_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdir = _zorder_table(spark, sf_dir)
     n_total = len(plan_scan(tdir))
     pins = {}
+    subs = {}
     for col in ("x", "y"):
-        sub = plan_scan(tdir, column_bounds=(col, 8, 23))
-        pins[col] = 1 if 0 < len(sub) < n_total else 0
+        subs[col] = len(plan_scan(tdir, column_bounds=(col, 8, 23)))
+        pins[col] = 1 if 0 < subs[col] < n_total else 0
+    n_box = len(
+        plan_scan(tdir, column_bounds=[("x", 8, 23), ("y", 8, 23)])
+    )
+    box = 1 if 0 < n_box <= min(subs.values()) else 0
     return (
         read_iceberg_table(spark, tdir)
         .where("x BETWEEN 8 AND 23 AND y BETWEEN 8 AND 23")
@@ -1176,6 +1184,7 @@ def iceberg_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_ids",
             F.lit(pins["x"]).cast("bigint").alias("x_pruned"),
             F.lit(pins["y"]).cast("bigint").alias("y_pruned"),
+            F.lit(box).cast("bigint").alias("box_pruned"),
         )
     )
 

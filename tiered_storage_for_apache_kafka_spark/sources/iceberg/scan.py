@@ -164,7 +164,7 @@ def plan_scan(
     partition_value: int | None = None,
     catalog=None,
     table_name: str | None = None,
-    column_bounds: tuple[str, int, int] | None = None,
+    column_bounds: tuple | list | None = None,
     source_value=None,
     source_range: tuple | None = None,
     source_predicates: dict | None = None,
@@ -172,11 +172,13 @@ def plan_scan(
     """Plan a table scan from the Iceberg metadata alone (never listing
     the filesystem): current snapshot -> manifest list -> manifests ->
     data-file entries, with THREE levels of spec pruning (pass
-    ``column_bounds=("kafka.offset", lo, hi)`` for the third: files
-    whose manifest-recorded lower/upper bounds provably miss the range
-    are skipped — the spec's column-stats pruning, what keeps an
-    offset-window read O(overlapping files) on a sorted-write table
-    regardless of table size):
+    ``column_bounds=("kafka.offset", lo, hi)`` — or a LIST of such
+    triples, ANDed — for the third: files whose manifest-recorded
+    lower/upper bounds provably miss any given range are skipped — the
+    spec's column-stats pruning, what keeps an offset-window read
+    O(overlapping files) on a sorted-write table regardless of table
+    size, and what makes a 2D z-ordered box lookup open only the files
+    tight on BOTH axes):
 
     1. manifest-level: a manifest whose ``partitions`` field summary
        bounds exclude the predicate is skipped WITHOUT being opened
@@ -439,7 +441,7 @@ def _file_matches(d: dict, constraints: dict) -> bool:
 def _plan_snapshot(
     snap: dict,
     constraints: dict | None = None,
-    bounds: tuple[int, int, int] | None = None,
+    bounds: list | None = None,
     tombstones_out: list[dict] | None = None,
     specs_by_id: dict | None = None,
 ) -> tuple[list[dict], list[dict]]:
@@ -492,9 +494,9 @@ def _plan_snapshot(
             if (
                 bounds is not None
                 and not is_delete
-                and not _bounds_overlap(d, *bounds)
+                and not all(_bounds_overlap(d, *b) for b in bounds)
             ):
-                continue  # data file pruned by column bounds
+                continue  # data file pruned by column bounds (ANDed)
             seq = e.get("sequence_number")
             if seq is None:
                 seq = mf.get("sequence_number", 0)
@@ -504,40 +506,52 @@ def _plan_snapshot(
 
 
 def _resolve_bounds(
-    meta: dict, column_bounds: tuple | None
-) -> tuple | None:
-    """(dotted column path, lo, hi) -> (field id, lo, hi) against the
-    current schema; unknown columns are an explicit error (silently
-    skipping the prune would be correct but hide the typo), and so is
-    a probe whose type disagrees with the column's — an int probe
-    against a string column would otherwise misdecode stored UTF-8
-    bounds as integers."""
+    meta: dict, column_bounds: tuple | list | None
+) -> list | None:
+    """``("col", lo, hi)`` — or a list of such triples, ANDed — ->
+    ``[(field id, lo, hi), ...]`` against the current schema; unknown
+    columns are an explicit error (silently skipping the prune would
+    be correct but hide the typo), and so is a probe whose type
+    disagrees with the column's — an int probe against a string column
+    would otherwise misdecode stored UTF-8 bounds as integers."""
     if column_bounds is None:
         return None
-    path, lo, hi = column_bounds
-    schema_struct = _current_schema_struct(meta)
-    fid = _leaf_field_ids(schema_struct).get(path)
-    if fid is None:
-        raise KeyError(f"no scalar leaf column {path!r} in the table schema")
-    col_type = next(
-        (f["type"] for f in schema_struct["fields"] if f["id"] == fid), None
+    triples = (
+        [column_bounds]
+        if isinstance(column_bounds, tuple)
+        and len(column_bounds) == 3
+        and isinstance(column_bounds[0], str)
+        else list(column_bounds)
     )
-    probe_is_str = isinstance(lo, str)
-    if col_type == "string" and not probe_is_str:
-        raise TypeError(
-            f"column {path!r} is a string column; pass string bounds"
+    schema_struct = _current_schema_struct(meta)
+    out = []
+    for path, lo, hi in triples:
+        fid = _leaf_field_ids(schema_struct).get(path)
+        if fid is None:
+            raise KeyError(
+                f"no scalar leaf column {path!r} in the table schema"
+            )
+        col_type = next(
+            (f["type"] for f in schema_struct["fields"] if f["id"] == fid),
+            None,
         )
-    if col_type in ("int", "long") and probe_is_str:
-        raise TypeError(
-            f"column {path!r} is an integer column; pass integer bounds"
-        )
-    return (fid, lo, hi)
+        probe_is_str = isinstance(lo, str)
+        if col_type == "string" and not probe_is_str:
+            raise TypeError(
+                f"column {path!r} is a string column; pass string bounds"
+            )
+        if col_type in ("int", "long") and probe_is_str:
+            raise TypeError(
+                f"column {path!r} is an integer column; pass integer bounds"
+            )
+        out.append((fid, lo, hi))
+    return out
 
 
 def _plan_from_meta(
     meta: dict,
     constraints: dict | None,
-    column_bounds: tuple[str, int, int] | None = None,
+    column_bounds: tuple | list | None = None,
 ) -> list[dict]:
     """The lazy manifest walk of :func:`plan_scan` over an
     already-loaded metadata dict — shared so readers that hold the
