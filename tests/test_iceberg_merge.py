@@ -1,0 +1,429 @@
+"""MERGE INTO / CDC upsert (`sources/iceberg/merge.py`): one atomic
+row-delta snapshot carrying a DATA manifest and an EQUALITY-DELETES
+manifest at the same sequence number. Covers within-batch resolution
+(op codes, seq_col last-writer-wins, ambiguity rejection), delete-file
+scoping (partition-scoped when the spec sources are key-covered,
+global otherwise), degradations (no table / empty table / empty or
+pure-delete batches), schema-contract rejection, catalog-mode races,
+and composition with time travel, incremental reads, and compaction.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+    merge_upsert,
+    read_iceberg_table,
+    read_iceberg_table_at,
+    read_table_metadata,
+    rewrite_data_files,
+    write_iceberg_table,
+)
+
+BUCKET_SPEC = [("id_bucket", "bucket[4]", "id")]
+
+
+def _mkdir() -> str:
+    return tempfile.mkdtemp(prefix="iceberg-merge-")
+
+
+def _base_table(spark, tdir: str, n: int = 40):
+    df = spark.createDataFrame(
+        [(i, i % 5, f"v{i}") for i in range(n)],
+        "id bigint, grp bigint, val string",
+    )
+    return write_iceberg_table(
+        spark, df, tdir, now_ms=1_000, partition_spec=BUCKET_SPEC
+    )
+
+
+def _state(spark, tdir: str) -> dict:
+    return {
+        r["id"]: (r["grp"], r["val"])
+        for r in read_iceberg_table(spark, tdir).collect()
+    }
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "id bigint, grp bigint, val string, op string, seq bigint"
+    )
+
+
+def test_merge_upsert_full_lifecycle(spark):
+    tdir = _mkdir()
+    _base_table(spark, tdir)
+    rows = (
+        [(i, i % 5, f"NEW{i}", "u", 1) for i in range(8)]  # updates
+        + [(i, None, None, "d", 1) for i in range(8, 12)]  # deletes
+        + [(i, 9, f"ins{i}", "i", 1) for i in (100, 101)]  # inserts
+    )
+    meta = merge_upsert(
+        spark, _batch(spark, rows), tdir, on=["id"],
+        op_col="op", seq_col="seq",
+        partition_spec=BUCKET_SPEC, now_ms=2_000,
+    )
+    got = _state(spark, tdir)
+    exp = {i: (i % 5, f"v{i}") for i in range(40)}
+    for i in range(8):
+        exp[i] = (i % 5, f"NEW{i}")
+    for i in range(8, 12):
+        del exp[i]
+    exp[100] = (9, "ins100")
+    exp[101] = (9, "ins101")
+    assert got == exp
+    summ = meta["snapshots"][-1]["summary"]
+    assert summ["operation"] == "overwrite"
+    assert int(summ["added-records"]) == 10  # 8 updates + 2 inserts
+    assert int(summ["added-equality-deletes"]) == 14  # all 14 keys
+    assert int(summ["total-records"]) == 50
+    # ONE snapshot did all of it
+    assert len(meta["snapshots"]) == 2
+
+
+def test_merge_same_snapshot_sequence_semantics(spark):
+    """Data and delete manifests share the new sequence number; the
+    eq-delete applies strictly below it, so the batch's own rows
+    survive their own retraction."""
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=10)
+    merge_upsert(
+        spark, _batch(spark, [(3, 0, "X", "u", 1)]), tdir, on=["id"],
+        op_col="op", seq_col="seq", partition_spec=BUCKET_SPEC,
+        now_ms=2_000,
+    )
+    back = read_table_metadata(tdir)
+    snap = back["metadata"]["snapshots"][-1]
+    seq = snap["sequence-number"]
+    new_data = [
+        e
+        for m in back["manifests"]
+        for e in m["entries"]
+        if e["data_file"].get("content", 0) == 0
+        and e["sequence_number"] == seq
+    ]
+    new_del = [
+        e
+        for m in back["manifests"]
+        for e in m["entries"]
+        if e["data_file"].get("content") == 2
+    ]
+    assert new_data and new_del
+    assert {e["sequence_number"] for e in new_del} == {seq}
+    # and the merged row is the NEW version, exactly once
+    rows = (
+        read_iceberg_table(spark, tdir)
+        .where(F.col("id") == 3)
+        .collect()
+    )
+    assert [(r.id, r.val) for r in rows] == [(3, "X")]
+
+
+def test_merge_seq_resolution_last_writer_wins(spark):
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=10)
+    rows = [
+        (5, 0, "first", "u", 1),
+        (5, 0, "second", "u", 2),  # wins
+        (6, 0, "kept", "u", 5),
+        (6, None, None, "d", 3),  # older delete loses
+        (7, 0, "gone", "u", 1),
+        (7, None, None, "d", 2),  # final delete wins
+    ]
+    merge_upsert(
+        spark, _batch(spark, rows), tdir, on=["id"], op_col="op",
+        seq_col="seq", partition_spec=BUCKET_SPEC, now_ms=2_000,
+    )
+    got = _state(spark, tdir)
+    assert got[5] == (0, "second")
+    assert got[6] == (0, "kept")
+    assert 7 not in got
+
+
+def test_merge_duplicate_key_seq_rejected(spark):
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=4)
+    rows = [(1, 0, "a", "u", 1), (1, 0, "b", "u", 1)]
+    with pytest.raises(ValueError, match="duplicate \\(key, seq\\)"):
+        merge_upsert(
+            spark, _batch(spark, rows), tdir, on=["id"], op_col="op",
+            seq_col="seq", partition_spec=BUCKET_SPEC,
+        )
+
+
+def test_merge_duplicate_key_without_seq_rejected(spark):
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=4)
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (1, 0, "b")], "id bigint, grp bigint, val string"
+    )
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        merge_upsert(
+            spark, df, tdir, on=["id"], partition_spec=BUCKET_SPEC
+        )
+
+
+def test_merge_unknown_op_rejected(spark):
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=4)
+    with pytest.raises(ValueError, match="unknown CDC op"):
+        merge_upsert(
+            spark, _batch(spark, [(1, 0, "a", "zap", 1)]), tdir,
+            on=["id"], op_col="op", seq_col="seq",
+            partition_spec=BUCKET_SPEC,
+        )
+
+
+def test_merge_key_covered_spec_scopes_deletes_per_partition(spark):
+    tdir = _mkdir()
+    _base_table(spark, tdir)
+    rows = [(i, 0, f"N{i}", "u", 1) for i in range(12)]
+    merge_upsert(
+        spark, _batch(spark, rows), tdir, on=["id"], op_col="op",
+        seq_col="seq", partition_spec=BUCKET_SPEC, now_ms=2_000,
+    )
+    back = read_table_metadata(tdir)
+    default_sid = back["metadata"]["default-spec-id"]
+    eq = [
+        (m["file"]["partition_spec_id"], e["data_file"]["partition"])
+        for m in back["manifests"]
+        for e in m["entries"]
+        if e["data_file"].get("content") == 2
+    ]
+    assert eq, "no equality-delete files"
+    # scoped to the DEFAULT (bucket) spec with real partition values
+    assert {sid for sid, _p in eq} == {default_sid}
+    assert all(p.get("id_bucket") is not None for _sid, p in eq)
+
+
+def test_merge_mutable_partition_source_goes_global(spark):
+    """Partitioned by a non-key column: the old row may live in a
+    different cell, so the retraction must be table-wide — one delete
+    file scoped to an unpartitioned spec, and the moved row lands in
+    its new cell with the old version gone."""
+    tdir = _mkdir()
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(12)],
+        "id bigint, grp bigint, val string",
+    )
+    write_iceberg_table(
+        spark, df, tdir, now_ms=1_000,
+        partition_spec=[("grp", "identity", None)],
+    )
+    # id=4 moves from grp=1 to grp=2
+    merge_upsert(
+        spark,
+        _batch(spark, [(4, 2, "moved", "u", 1)]),
+        tdir, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=[("grp", "identity", None)], now_ms=2_000,
+    )
+    got = _state(spark, tdir)
+    assert got[4] == (2, "moved")
+    assert len(got) == 12
+    back = read_table_metadata(tdir)
+    unp_ids = {
+        s["spec-id"]
+        for s in back["metadata"]["partition-specs"]
+        if not s["fields"]
+    }
+    eq = [
+        m["file"]["partition_spec_id"]
+        for m in back["manifests"]
+        for e in m["entries"]
+        if e["data_file"].get("content") == 2
+    ]
+    assert len(eq) == 1 and eq[0] in unp_ids
+
+
+def test_merge_into_missing_table_is_plain_write(spark):
+    tdir = _mkdir()
+    meta = merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 0, "a")], "id bigint, grp bigint, val string"
+        ),
+        tdir, on=["id"], partition_spec=BUCKET_SPEC, now_ms=1_000,
+    )
+    assert meta["snapshots"][-1]["summary"]["operation"] == "append"
+    assert _state(spark, tdir) == {1: (0, "a")}
+
+
+def test_merge_pure_delete_batch(spark):
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=10)
+    meta = merge_upsert(
+        spark,
+        _batch(spark, [(i, None, None, "d", 1) for i in (2, 3)]),
+        tdir, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=BUCKET_SPEC, now_ms=2_000,
+    )
+    summ = meta["snapshots"][-1]["summary"]
+    assert int(summ["added-records"]) == 0
+    assert int(summ["added-data-files"]) == 0
+    assert int(summ["added-equality-deletes"]) == 2
+    assert sorted(_state(spark, tdir)) == [
+        i for i in range(10) if i not in (2, 3)
+    ]
+
+
+def test_merge_empty_batch_no_snapshot(spark):
+    tdir = _mkdir()
+    m0 = _base_table(spark, tdir, n=4)
+    meta = merge_upsert(
+        spark, _batch(spark, []), tdir, on=["id"], op_col="op",
+        seq_col="seq", partition_spec=BUCKET_SPEC,
+    )
+    assert len(meta["snapshots"]) == len(m0["snapshots"])
+
+
+def test_merge_schema_mismatch_rejected(spark):
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=4)
+    df = spark.createDataFrame(
+        [(1, 0, "a", "x")],
+        "id bigint, grp bigint, val string, extra string",
+    )
+    with pytest.raises(ValueError, match="merge batch schema"):
+        merge_upsert(
+            spark, df, tdir, on=["id"], partition_spec=BUCKET_SPEC
+        )
+
+
+def test_merge_wrong_spec_rejected_before_files(spark):
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=4)
+    n_before = sum(len(fs) for _r, _d, fs in os.walk(tdir))
+    with pytest.raises(ValueError, match="partitioned by"):
+        merge_upsert(
+            spark,
+            spark.createDataFrame(
+                [(1, 0, "a")], "id bigint, grp bigint, val string"
+            ),
+            tdir, on=["id"],
+            partition_spec=[("grp", "identity", None)],
+        )
+    assert sum(len(fs) for _r, _d, fs in os.walk(tdir)) == n_before
+
+
+def test_merge_time_travel_sees_pre_merge_state(spark):
+    tdir = _mkdir()
+    m0 = _base_table(spark, tdir, n=6)
+    snap0 = m0["current-snapshot-id"]
+    merge_upsert(
+        spark, _batch(spark, [(0, 0, "X", "u", 1), (1, None, None, "d", 1)]),
+        tdir, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=BUCKET_SPEC, now_ms=2_000,
+    )
+    old = {
+        r["id"]: r["val"]
+        for r in read_iceberg_table_at(spark, tdir, snap0).collect()
+    }
+    assert old == {i: f"v{i}" for i in range(6)}
+    now = _state(spark, tdir)
+    assert now[0] == (0, "X") and 1 not in now
+
+
+def test_merge_then_compaction_materializes(spark):
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=20)
+    merge_upsert(
+        spark,
+        _batch(
+            spark,
+            [(i, 0, f"N{i}", "u", 1) for i in range(5)]
+            + [(19, None, None, "d", 1)],
+        ),
+        tdir, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=BUCKET_SPEC, now_ms=2_000,
+    )
+    before = _state(spark, tdir)
+    rewrite_data_files(spark, tdir, now_ms=3_000)
+    after = _state(spark, tdir)
+    assert after == before
+    back = read_table_metadata(tdir)
+    live_eq = [
+        e
+        for m in back["manifests"]
+        for e in m["entries"]
+        if e["status"] != 2 and e["data_file"].get("content") == 2
+    ]
+    assert not live_eq, "compaction should materialize the merge deletes"
+
+
+def test_repeated_merges_accumulate(spark):
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=8)
+    for rnd in range(3):
+        merge_upsert(
+            spark,
+            _batch(spark, [(rnd, 0, f"r{rnd}", "u", 1)]),
+            tdir, on=["id"], op_col="op", seq_col="seq",
+            partition_spec=BUCKET_SPEC, now_ms=2_000 + rnd,
+        )
+    got = _state(spark, tdir)
+    for rnd in range(3):
+        assert got[rnd] == (0, f"r{rnd}")
+    assert len(got) == 8
+
+
+def test_merge_catalog_mode_with_contending_writer(spark):
+    """A REST-catalog merge that loses the first CAS to a rival append
+    retries on the rebased head; both the rival's rows and the merge
+    survive."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        FakeRestCatalogServer,
+        RestCatalogClient,
+    )
+
+    tdir = _mkdir()
+    with FakeRestCatalogServer() as server:
+        cat = RestCatalogClient(server.base_url)
+        df = spark.createDataFrame(
+            [(i, i % 5, f"v{i}") for i in range(10)],
+            "id bigint, grp bigint, val string",
+        )
+        write_iceberg_table(
+            spark, df, tdir, now_ms=1_000, partition_spec=BUCKET_SPEC,
+            catalog=cat, table_name="t",
+        )
+        # rival append lands between the merge's load and its commit
+        fired = {"done": False}
+        orig = cat.commit_table
+
+        def racing(table, requirements, updates, now_ms):
+            if not fired["done"]:
+                fired["done"] = True
+                rival = spark.createDataFrame(
+                    [(500, 0, "rival")],
+                    "id bigint, grp bigint, val string",
+                )
+                write_iceberg_table(
+                    spark, rival, tdir, now_ms=1_500,
+                    partition_spec=BUCKET_SPEC, catalog=cat,
+                    table_name="t",
+                )
+            return orig(table, requirements, updates, now_ms)
+
+        cat.commit_table = racing
+        merge_upsert(
+            spark, _batch(spark, [(0, 0, "merged", "u", 1)]), tdir,
+            on=["id"], op_col="op", seq_col="seq",
+            partition_spec=BUCKET_SPEC, now_ms=2_000, catalog=cat,
+            table_name="t",
+        )
+        cat.commit_table = orig
+        got = {
+            r["id"]: r["val"]
+            for r in read_iceberg_table(
+                spark, tdir, catalog=cat, table_name="t"
+            ).collect()
+        }
+        assert got[0] == "merged"
+        assert got[500] == "rival"
+        assert len(got) == 11

@@ -110,6 +110,10 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.deletes import (  # n
     write_position_deletes,
 )
 
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.merge import (  # noqa: F401
+    merge_upsert,
+)
+
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (  # noqa: F401
     _NORM_FILE_RE,
     _apply_equality_deletes,

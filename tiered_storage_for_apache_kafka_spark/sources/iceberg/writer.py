@@ -29,118 +29,84 @@ many files the table already holds — never an O(table) listing. At
 100 TB you would additionally cap file sizes via
 ``max_records_per_file``, which maps straight to Spark's
 ``maxRecordsPerFile`` option here.
+
+The staging machinery is shared: :func:`stage_data_files` writes and
+captures a batch WITHOUT committing it, so multi-manifest atomic
+commits (the CDC merge plane in :mod:`merge`, which lands data files
+and equality-delete files in ONE snapshot) reuse the exact same
+transform/shard/sort/stage/rename discipline as the plain append.
 """
 
 from __future__ import annotations
 
 
-def write_iceberg_table(
+def _validate_append_shape(meta0, partition_spec, df_columns) -> None:
+    """Reject an append whose implied spec shape disagrees with the
+    stored default spec BEFORE any file is written, so a rejected
+    write is side-effect-free (commit_append re-checks the declared
+    form, but by then the files would already be on disk in the wrong
+    layout — and it cannot check the partition_spec=None form at all:
+    identity-legacy appends carry no declaration)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _default_spec,
+    )
+
+    if meta0 is None:
+        return
+    stored_shape = [
+        (f["name"], f["transform"])
+        for f in _default_spec(meta0)["fields"]
+    ]
+    if partition_spec is not None:
+        declared_shape = [(n, t) for n, t, _s in partition_spec]
+    elif "partition" in df_columns:
+        declared_shape = [("partition", "identity")]
+    else:
+        declared_shape = []
+    if stored_shape != declared_shape:
+        raise ValueError(
+            f"table is partitioned by {stored_shape!r}; cannot "
+            f"append declaring {declared_shape!r} — pass the "
+            "table's partition_spec explicitly"
+        )
+
+
+def stage_data_files(
     spark,
     df,
     table_dir: str,
     partition_spec: list | None = None,
-    now_ms: int | None = None,
-    catalog=None,
-    table_name: str | None = None,
-    branch: str | None = None,
     max_records_per_file: int | None = None,
     writer_shards: int | None = None,
     sort_by: list | None = None,
-) -> dict:
-    """Write ``df`` into the Iceberg table at ``table_dir`` under
-    ``partition_spec`` — ``(name, transform, source_col)`` tuples as
-    :func:`commit_append` takes (``source_col`` None for identity) —
-    creating the table on first write, appending otherwise. Transformed
-    partition columns are HIDDEN: computed here, laid out as hive dirs,
-    and never part of the table schema; identity fields must already be
-    ``df`` columns and stay schema columns. Returns the new table
-    metadata.
-
-    An unpartitioned-style write is ``partition_spec=None`` with a
-    ``partition`` column in ``df`` (the engine's legacy identity
-    default). EVERY append to an existing table — declared spec or
-    ``None`` — validates its implied spec shape against the stored
-    default spec BEFORE any file is written, so a rejected write is
-    side-effect-free: a writer can never silently cross-lay a
-    transformed table with ``partition_spec=None`` files whose
-    all-null partition tuples the planner would then prune away.
+):
+    """Transform, shuffle, sort, write, and CAPTURE a batch of data
+    files for the table at ``table_dir`` — everything
+    :func:`write_iceberg_table` does except the commit. Returns
+    ``(new_files, schema)``: the sorted list of final (renamed) file
+    paths and the table-facing Spark schema (hidden transform columns
+    dropped). The caller owns the commit; until one lands, the files
+    are uncommitted orphans that scans ignore and
+    ``remove_orphan_files`` sweeps — the same crash posture as the
+    plain writer.
 
     File capture is LISTING-FREE and concurrency-safe: the batch is
-    written to a private staging directory (``_stage-<token>/``, O(batch)
-    to walk), then each part-file is renamed into its final hive dir —
-    the committed file set is exactly the staging walk, so append cost
-    never includes an O(table) directory listing and a concurrent
-    writer's files (staged under its OWN token) can never be swept
-    into this commit. Spark's part-file names are attempt-unique, so
-    renames across concurrent writers cannot collide either. A crash
-    between rename and commit leaves uncommitted files that only
-    ``remove_orphan_files`` touches (the streaming path's crash
-    posture, not a later silent double-commit); a crash before the
-    renames leaves only the ``_stage-*`` directory, which scans ignore
-    and ``remove_orphan_files`` sweeps.
-
-    ``writer_shards=N`` salts the pre-write shuffle so each partition
-    cell fans out to up to N parallel write tasks — the data-path
-    mirror of the delete plane's ``writer_shards``: a skewed batch
-    (one hot day, say) otherwise funnels through a single task. The
-    hot cell then holds up to N files per append (times the
-    ``max_records_per_file`` split, which caps file LENGTH while
-    shards cap task PARALLELISM — set both for skewed 100 TB loads).
-
-    ``sort_by=[cols]`` writes a SORTED table (Iceberg spec "Sort
-    Orders"): rows sort within each write task, the order registers in
-    table metadata (id reused when the same column list exists) and
-    becomes the table's write order, and each data file's
-    ``sort_order_id`` records it. With ``max_records_per_file`` the
-    files slice into narrow disjoint value ranges, so column-bounds
-    pruning (``plan_scan(column_bounds=...)``) skips whole files — the
-    same clustering win sorted compaction
-    (``rewrite_data_files(sort_by=...)``) gives existing tables,
-    available at write time."""
+    written to a private staging directory (``_stage-<token>/``,
+    O(batch) to walk), then each part-file is renamed into its final
+    hive dir — the committed file set is exactly the staging walk, so
+    append cost never includes an O(table) directory listing and a
+    concurrent writer's files (staged under its OWN token) can never
+    be swept into this commit. Spark's part-file names are
+    attempt-unique, so renames across concurrent writers cannot
+    collide either."""
     import os
     import shutil
     import uuid as _uuid
 
-    from tiered_storage_for_apache_kafka_spark.sources.iceberg.commit import (
-        commit_append,
-    )
-    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
-        _current_state_meta,
-        _default_spec,
-    )
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (
         parse_transform,
         transform_column,
     )
-
-    # validate the implied shape against an existing table BEFORE
-    # writing anything (commit_append re-checks the declared form, but
-    # by then the files would already be on disk in the wrong layout —
-    # and commit_append cannot check the partition_spec=None form at
-    # all: identity-legacy appends carry no declaration)
-    try:
-        _v, meta0, table_name = _current_state_meta(
-            table_dir, catalog, table_name
-        )
-    except FileNotFoundError:
-        meta0 = None
-    if meta0 is not None:
-        stored_shape = [
-            (f["name"], f["transform"])
-            for f in _default_spec(meta0)["fields"]
-        ]
-        if partition_spec is not None:
-            declared_shape = [(n, t) for n, t, _s in partition_spec]
-        elif "partition" in df.columns:
-            declared_shape = [("partition", "identity")]
-        else:
-            declared_shape = []
-        if stored_shape != declared_shape:
-            raise ValueError(
-                f"table is partitioned by {stored_shape!r}; cannot "
-                f"append declaring {declared_shape!r} — pass the "
-                "table's partition_spec explicitly"
-            )
 
     hidden: list[str] = []
     part_names: list[str] = []
@@ -253,6 +219,90 @@ def write_iceberg_table(
     new_files.sort()
 
     schema = df.drop("__write_salt", *hidden).schema
+    return new_files, schema
+
+
+def write_iceberg_table(
+    spark,
+    df,
+    table_dir: str,
+    partition_spec: list | None = None,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    branch: str | None = None,
+    max_records_per_file: int | None = None,
+    writer_shards: int | None = None,
+    sort_by: list | None = None,
+) -> dict:
+    """Write ``df`` into the Iceberg table at ``table_dir`` under
+    ``partition_spec`` — ``(name, transform, source_col)`` tuples as
+    :func:`commit_append` takes (``source_col`` None for identity) —
+    creating the table on first write, appending otherwise. Transformed
+    partition columns are HIDDEN: computed here, laid out as hive dirs,
+    and never part of the table schema; identity fields must already be
+    ``df`` columns and stay schema columns. Returns the new table
+    metadata.
+
+    An unpartitioned-style write is ``partition_spec=None`` with a
+    ``partition`` column in ``df`` (the engine's legacy identity
+    default). EVERY append to an existing table — declared spec or
+    ``None`` — validates its implied spec shape against the stored
+    default spec BEFORE any file is written, so a rejected write is
+    side-effect-free: a writer can never silently cross-lay a
+    transformed table with ``partition_spec=None`` files whose
+    all-null partition tuples the planner would then prune away.
+
+    File capture is LISTING-FREE and concurrency-safe (see
+    :func:`stage_data_files`, which owns the staging-dir write +
+    rename discipline). A crash between rename and commit leaves
+    uncommitted files that only ``remove_orphan_files`` touches (the
+    streaming path's crash posture, not a later silent double-commit);
+    a crash before the renames leaves only the ``_stage-*`` directory,
+    which scans ignore and ``remove_orphan_files`` sweeps.
+
+    ``writer_shards=N`` salts the pre-write shuffle so each partition
+    cell fans out to up to N parallel write tasks — the data-path
+    mirror of the delete plane's ``writer_shards``: a skewed batch
+    (one hot day, say) otherwise funnels through a single task. The
+    hot cell then holds up to N files per append (times the
+    ``max_records_per_file`` split, which caps file LENGTH while
+    shards cap task PARALLELISM — set both for skewed 100 TB loads).
+
+    ``sort_by=[cols]`` writes a SORTED table (Iceberg spec "Sort
+    Orders"): rows sort within each write task, the order registers in
+    table metadata (id reused when the same column list exists) and
+    becomes the table's write order, and each data file's
+    ``sort_order_id`` records it. With ``max_records_per_file`` the
+    files slice into narrow disjoint value ranges, so column-bounds
+    pruning (``plan_scan(column_bounds=...)``) skips whole files — the
+    same clustering win sorted compaction
+    (``rewrite_data_files(sort_by=...)``) gives existing tables,
+    available at write time."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.commit import (
+        commit_append,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _current_state_meta,
+    )
+
+    try:
+        _v, meta0, table_name = _current_state_meta(
+            table_dir, catalog, table_name
+        )
+    except FileNotFoundError:
+        meta0 = None
+    _validate_append_shape(meta0, partition_spec, df.columns)
+
+    new_files, schema = stage_data_files(
+        spark,
+        df,
+        table_dir,
+        partition_spec=partition_spec,
+        max_records_per_file=max_records_per_file,
+        writer_shards=writer_shards,
+        sort_by=sort_by,
+    )
     return commit_append(
         table_dir,
         schema,
