@@ -427,3 +427,123 @@ def test_merge_catalog_mode_with_contending_writer(spark):
         assert got[0] == "merged"
         assert got[500] == "rival"
         assert len(got) == 11
+
+
+def _write_cdc_file(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([r[0] for r in rows], pa.int64()),
+                "grp": pa.array([r[1] for r in rows], pa.int64()),
+                "val": pa.array([r[2] for r in rows], pa.string()),
+                "op": pa.array([r[3] for r in rows], pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def test_stream_cdc_exactly_once_restart(spark, tmp_path):
+    """Three changelog files -> three merge snapshots; a restart with
+    the SAME checkpoint commits nothing new (replay marker + no new
+    files); a new file after the restart applies incrementally."""
+    import time
+
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        stream_cdc_to_iceberg,
+    )
+
+    stage = tmp_path / "changelog"
+    stage.mkdir()
+    t0 = time.time() - 100
+    batches = [
+        [(i, i % 3, f"v{i}", "i") for i in range(8)],
+        [(0, 0, "updated", "u"), (1, None, None, "d")],
+        [(100, 9, "late", "i")],
+    ]
+    for k, rows in enumerate(batches):
+        p = stage / f"b{k}.parquet"
+        _write_cdc_file(str(p), rows)
+        import os
+
+        os.utime(p, (t0 + 10 * k, t0 + 10 * k))
+
+    tdir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    spec = [("id_bucket", "bucket[2]", "id")]
+
+    def run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("id bigint, grp bigint, val string, op string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(stage))
+        )
+        q = stream_cdc_to_iceberg(
+            stream, tdir, ckpt, on=["id"], op_col="op",
+            partition_spec=spec,
+        )
+        q.awaitTermination()
+
+    run()
+    state = {
+        r["id"]: r["val"]
+        for r in read_iceberg_table(spark, tdir).collect()
+    }
+    exp = {i: f"v{i}" for i in range(2, 8)}
+    exp[0] = "updated"
+    exp[100] = "late"
+    assert state == exp
+    meta1 = read_table_metadata(tdir)["metadata"]
+    assert len(meta1["snapshots"]) == 3
+
+    run()  # restart on the same checkpoint: nothing re-applies
+    meta2 = read_table_metadata(tdir)["metadata"]
+    assert len(meta2["snapshots"]) == 3
+    assert meta2["current-snapshot-id"] == meta1["current-snapshot-id"]
+
+    # late 4th batch applies incrementally after the restart
+    import os
+
+    p = stage / "b3.parquet"
+    _write_cdc_file(str(p), [(2, None, None, "d")])
+    os.utime(p, (t0 + 40, t0 + 40))
+    run()
+    meta3 = read_table_metadata(tdir)["metadata"]
+    assert len(meta3["snapshots"]) == 4
+    state3 = {
+        r["id"]: r["val"]
+        for r in read_iceberg_table(spark, tdir).collect()
+    }
+    del exp[2]
+    assert state3 == exp
+
+
+def test_commit_cdc_batch_replay_skip(spark, tmp_path):
+    """Direct replay of an already-merged batch id is skipped before
+    any file is staged."""
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        commit_cdc_batch,
+    )
+
+    tdir = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(1, 0, "a", "i")], "id bigint, grp bigint, val string, op string"
+    )
+    spec = [("id_bucket", "bucket[2]", "id")]
+    assert commit_cdc_batch(
+        batch, 0, tdir, "app", ["id"], op_col="op", partition_spec=spec
+    )
+    n1 = len(read_table_metadata(tdir)["metadata"]["snapshots"])
+    assert not commit_cdc_batch(
+        batch, 0, tdir, "app", ["id"], op_col="op", partition_spec=spec
+    )
+    assert len(read_table_metadata(tdir)["metadata"]["snapshots"]) == n1
+    # a DIFFERENT lineage's batch 0 is not swallowed
+    assert commit_cdc_batch(
+        batch, 0, tdir, "other-app", ["id"], op_col="op",
+        partition_spec=spec,
+    )

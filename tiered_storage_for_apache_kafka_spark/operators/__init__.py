@@ -18,6 +18,7 @@ from tiered_storage_for_apache_kafka_spark.operators import (  # noqa: F401
     iceberg_meta,  # Iceberg metadata tables
     iceberg_soak,  # composed maintenance gauntlet (new r7)
     iceberg_partitioning,  # partition transforms: day/bucket (new r7)
+    iceberg_merge_queries,  # MERGE INTO / CDC upsert (new r10)
     tpch,
     tpch_extra,
     tpch_close,
@@ -72,6 +73,8 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: 
 #       registration order (tiered flagship family et al.), all r6+.
 _R10_WINDOW = [
     # (a) new this round
+    "iceberg_merge_upsert_scan",
+    "streaming_cdc_upsert",
     "iceberg_rpd_evolution_scan",
     "iceberg_null_partition_scan",
     "iceberg_zorder_temporal_scan",

@@ -1,0 +1,341 @@
+"""Driver queries over the MERGE INTO / CDC-upsert plane
+(`sources/iceberg/merge.py`): a changelog batch — inserts, updates,
+deletes, and seq-ordered conflicting ops on the same key — applied to
+a bucket-partitioned Iceberg table in ONE atomic row-delta snapshot,
+then scanned merge-on-read.
+
+The oracle replays the merge RELATIONALLY over the raw `events` table
+(the batch is arithmetic-derived from event_id, so the final state is
+a closed-form CASE): rows surviving the delete set take their
+last-writer value, inserts union in, and the per-group aggregate must
+hash-match the scan of the merged Iceberg table. Structural pins ride
+as constant columns: exactly one snapshot applied the whole batch
+(``one_merge_snapshot``) and the retraction plane is partition-scoped
+because the merge key covers the bucket source
+(``deletes_partition_scoped``).
+
+Scale shape (the reason this plane exists): the merge never reads the
+target table — cost is O(batch), flat in table size, so continuous
+CDC ingestion at 100 TB never pays a per-batch table scan or rewrite;
+accumulated delete debt is paid by scheduled `rewrite_data_files`.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    query,
+    session_cache_key,
+    session_cache_put,
+)
+from tiered_storage_for_apache_kafka_spark.tables import load_table
+
+N_BUCKETS = 8
+INSERT_OFFSET = 10_000_000
+
+_MERGE_CACHE: dict[tuple, tuple[str, int]] = {}
+
+
+def _merged_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Base table (id, grp, v=id*3) bucket[8]-partitioned by id, then
+    ONE merge batch derived from event_id arithmetic:
+
+    - ``id % 11 == 3``  -> DELETE (takes precedence);
+    - else ``id % 13 == 1`` -> two conflicting updates, seq 1 (v=id*7)
+      then seq 2 (v=id*9): last-writer-wins keeps id*9;
+    - else ``id % 7 == 0``  -> UPDATE to v=id*5;
+    - ``id % 97 == 0``  -> INSERT of the new key id+10_000_000 with
+      v=id*2 (disjoint key space, same grp).
+
+    Returns (table_dir, n_snapshots_after_merge)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        merge_upsert,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _MERGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id")
+    )
+    base = ids.select(
+        "id",
+        (F.col("id") % 10).cast("bigint").alias("grp"),
+        (F.col("id") * 3).cast("bigint").alias("v"),
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-merge-q-")
+    spec = [("id_bucket", f"bucket[{N_BUCKETS}]", "id")]
+    write_iceberg_table(
+        spark, base, tdir, now_ms=1_000, partition_spec=spec
+    )
+
+    grp = (F.col("id") % 10).cast("bigint")
+    deletes = ids.where(F.col("id") % 11 == 3).select(
+        "id",
+        F.lit(None).cast("bigint").alias("grp"),
+        F.lit(None).cast("bigint").alias("v"),
+        F.lit("d").alias("op"),
+        F.lit(1).cast("bigint").alias("seq"),
+    )
+    conflicted = ids.where(
+        (F.col("id") % 11 != 3) & (F.col("id") % 13 == 1)
+    )
+    seq1 = conflicted.select(
+        "id", grp.alias("grp"),
+        (F.col("id") * 7).cast("bigint").alias("v"),
+        F.lit("u").alias("op"), F.lit(1).cast("bigint").alias("seq"),
+    )
+    seq2 = conflicted.select(
+        "id", grp.alias("grp"),
+        (F.col("id") * 9).cast("bigint").alias("v"),
+        F.lit("u").alias("op"), F.lit(2).cast("bigint").alias("seq"),
+    )
+    updates = ids.where(
+        (F.col("id") % 11 != 3)
+        & (F.col("id") % 13 != 1)
+        & (F.col("id") % 7 == 0)
+    ).select(
+        "id", grp.alias("grp"),
+        (F.col("id") * 5).cast("bigint").alias("v"),
+        F.lit("u").alias("op"), F.lit(1).cast("bigint").alias("seq"),
+    )
+    inserts = ids.where(F.col("id") % 97 == 0).select(
+        (F.col("id") + INSERT_OFFSET).alias("id"),
+        grp.alias("grp"),
+        (F.col("id") * 2).cast("bigint").alias("v"),
+        F.lit("i").alias("op"), F.lit(1).cast("bigint").alias("seq"),
+    )
+    batch = deletes.unionAll(seq1).unionAll(seq2).unionAll(updates)
+    batch = batch.unionAll(inserts)
+    meta = merge_upsert(
+        spark, batch, tdir, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=spec, now_ms=2_000,
+    )
+    out = (tdir, len(meta["snapshots"]))
+    session_cache_put(_MERGE_CACHE, key, out)
+    return out
+
+
+@query(
+    "iceberg_merge_upsert_scan",
+    oracle=f"""
+WITH ids AS (SELECT event_id AS id FROM events),
+live AS (
+  SELECT id,
+         CASE WHEN id % 13 = 1 THEN id * 9
+              WHEN id % 7 = 0 THEN id * 5
+              ELSE id * 3 END AS v
+  FROM ids WHERE id % 11 <> 3
+  UNION ALL
+  SELECT id + {INSERT_OFFSET}, id * 2 FROM ids WHERE id % 97 = 0
+)
+SELECT CAST(id % 10 AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(1 AS BIGINT) AS one_merge_snapshot,
+       CAST(1 AS BIGINT) AS deletes_partition_scoped
+FROM live
+GROUP BY CAST(id % 10 AS BIGINT)
+""",
+)
+def iceberg_merge_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC upsert) as one atomic row-delta snapshot:
+    deletes, last-writer-wins conflicting updates, plain updates, and
+    inserts applied together; the merged table's per-group counts and
+    value sums replay relationally. ``one_merge_snapshot`` pins the
+    atomicity (base write + exactly one overwrite snapshot);
+    ``deletes_partition_scoped`` pins that a key-covered bucket spec
+    keeps the retraction plane partition-scoped (prunable at read)
+    rather than table-global."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+        read_table_metadata,
+    )
+
+    tdir, n_snaps = _merged_table(spark, sf_dir)
+    one_snapshot = 1 if n_snaps == 2 else 0
+    back = read_table_metadata(tdir)
+    default_sid = back["metadata"]["default-spec-id"]
+    eq_sids = {
+        int(m["file"]["partition_spec_id"])
+        for m in back["manifests"]
+        for e in m["entries"]
+        if e["status"] != 2 and e["data_file"].get("content") == 2
+    }
+    scoped = 1 if eq_sids == {default_sid} else 0
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+        )
+        .select(
+            "grp",
+            "n_live",
+            "sum_v",
+            F.lit(one_snapshot).cast("bigint").alias("one_merge_snapshot"),
+            F.lit(scoped).cast("bigint").alias("deletes_partition_scoped"),
+        )
+    )
+
+
+_CDC_STREAM_CACHE: dict[tuple, tuple] = {}
+
+
+def _cdc_streamed_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Three CDC micro-batches streamed through the exactly-once merge
+    sink (`streaming/ingest.py::stream_cdc_to_iceberg`), one file per
+    micro-batch (maxFilesPerTrigger=1, mtime-ordered):
+
+    - b0 creates keys 0..599 (v=id*3);
+    - b1 updates ids<300 to v=id*5 and deletes 300..399;
+    - b2 re-updates 100..199 to v=id*9, RESURRECTS 350..359 (v=id*7,
+      the insert-after-delete CDC edge), and inserts 1000..1099
+      (v=id*2).
+
+    Key set = distinct event_id % 600 (all 600 present at every sf).
+    Returns (table_dir, n_snapshots, last_marker)."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_table_metadata,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        stream_cdc_to_iceberg,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _CDC_STREAM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "events")
+        .select((F.col("event_id") % 600).alias("id"))
+        .distinct()
+        .collect()
+    )  # bounded: <=600 ints, the synthetic changelog's key universe
+
+    def rows_to_table(rows):
+        return pa.table(
+            {
+                "id": pa.array([r[0] for r in rows], pa.int64()),
+                "grp": pa.array([r[1] for r in rows], pa.int64()),
+                "v": pa.array([r[2] for r in rows], pa.int64()),
+                "op": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+
+    b0 = [(i, i % 10, i * 3, "i") for i in ids]
+    b1 = [(i, i % 10, i * 5, "u") for i in ids if i < 300] + [
+        (i, None, None, "d") for i in ids if 300 <= i < 400
+    ]
+    b2 = (
+        [(i, i % 10, i * 9, "u") for i in ids if 100 <= i < 200]
+        + [(i, i % 10, i * 7, "i") for i in ids if 350 <= i < 360]
+        + [(i + 1000, i % 10, (i + 1000) * 2, "i") for i in ids if i < 100]
+    )
+    root = tempfile.mkdtemp(prefix="cdc-stream-")
+    stage = os.path.join(root, "changelog")
+    os.makedirs(stage)
+    t0 = _time.time() - 100
+    for k, rows in enumerate((b0, b1, b2)):
+        p = os.path.join(stage, f"cdc-b{k}.parquet")
+        pq.write_table(rows_to_table(rows), p)
+        os.utime(p, (t0 + 10 * k, t0 + 10 * k))  # batch order = mtime
+
+    tdir = os.path.join(root, "table")
+    spec = [("id_bucket", "bucket[4]", "id")]
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("id bigint, grp bigint, v bigint, op string")
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+    q = stream_cdc_to_iceberg(
+        stream, tdir, os.path.join(root, "ckpt"), on=["id"],
+        op_col="op", partition_spec=spec,
+    )
+    q.awaitTermination()
+    back = read_table_metadata(tdir)
+    meta = back["metadata"]
+    import hashlib as _hashlib
+
+    app_tag = _hashlib.md5(os.path.join(root, "ckpt").encode()).hexdigest()[
+        :12
+    ]
+    marker = int(
+        (meta.get("properties") or {}).get(f"streaming.last-batch.{app_tag}")
+    )
+    out = (tdir, len(meta["snapshots"]), marker)
+    session_cache_put(_CDC_STREAM_CACHE, key, out)
+    return out
+
+
+@query(
+    "streaming_cdc_upsert",
+    oracle="""
+WITH ids AS (SELECT DISTINCT event_id % 600 AS id FROM events),
+live AS (
+  SELECT id,
+         CASE WHEN id < 100 THEN id * 5
+              WHEN id < 200 THEN id * 9
+              WHEN id < 300 THEN id * 5
+              WHEN id BETWEEN 350 AND 359 THEN id * 7
+              ELSE id * 3 END AS v
+  FROM ids
+  WHERE id NOT BETWEEN 300 AND 349 AND id NOT BETWEEN 360 AND 399
+  UNION ALL
+  SELECT id + 1000, (id + 1000) * 2 FROM ids WHERE id < 100
+)
+SELECT CAST(id % 10 AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(1 AS BIGINT) AS three_snapshots,
+       CAST(1 AS BIGINT) AS marker_at_last_batch
+FROM live
+GROUP BY CAST(id % 10 AS BIGINT)
+""",
+)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert, exactly-once: three changelog micro-batches
+    (insert / update+delete / re-update+resurrect+insert) each become
+    ONE atomic merge snapshot through the foreachBatch sink; the final
+    table state replays relationally. ``three_snapshots`` pins
+    one-snapshot-per-batch atomicity; ``marker_at_last_batch`` pins the
+    durable replay marker (the ``streaming.last-batch`` table property)
+    at the final batch id. Scale shape: per-batch cost is O(batch) —
+    the table is never read or rewritten inside the sink."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+    )
+
+    tdir, n_snaps, marker = _cdc_streamed_table(spark, sf_dir)
+    three = 1 if n_snaps == 3 else 0
+    at_last = 1 if marker == 2 else 0
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+        )
+        .select(
+            "grp",
+            "n_live",
+            "sum_v",
+            F.lit(three).cast("bigint").alias("three_snapshots"),
+            F.lit(at_last).cast("bigint").alias("marker_at_last_batch"),
+        )
+    )

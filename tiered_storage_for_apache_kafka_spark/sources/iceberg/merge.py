@@ -251,6 +251,8 @@ def merge_upsert(
             catalog=catalog, table_name=table_name,
             max_records_per_file=max_records_per_file,
             writer_shards=writer_shards,
+            summary_extra=summary_extra,
+            properties_extra=properties_extra,
         )
     _validate_append_shape(base, partition_spec, upserts.columns)
 

@@ -234,6 +234,8 @@ def write_iceberg_table(
     max_records_per_file: int | None = None,
     writer_shards: int | None = None,
     sort_by: list | None = None,
+    summary_extra: dict | None = None,
+    properties_extra: dict | None = None,
 ) -> dict:
     """Write ``df`` into the Iceberg table at ``table_dir`` under
     ``partition_spec`` — ``(name, transform, source_col)`` tuples as
@@ -317,4 +319,6 @@ def write_iceberg_table(
         table_name=table_name,
         branch=branch,
         sort_by=sort_by,
+        summary_extra=summary_extra,
+        properties_extra=properties_extra,
     )

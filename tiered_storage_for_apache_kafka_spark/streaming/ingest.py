@@ -556,3 +556,109 @@ def stream_envelope_to_iceberg(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def commit_cdc_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_dir: str,
+    app_id: str,
+    on: list,
+    op_col: str | None = None,
+    seq_col: str | None = None,
+    partition_spec: list | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> bool:
+    """One CDC micro-batch -> one atomic Iceberg MERGE snapshot
+    (`sources/iceberg/merge.py`), idempotently. The replay record is the
+    same ``streaming.last-batch.<app_tag>`` table property the append
+    sink uses (committed atomically WITH the merge snapshot, durable
+    across expire_snapshots), so a checkpoint-restart replay of an
+    already-merged batch is skipped before any file is staged. Returns
+    True if a snapshot was committed, False on a replay skip or an
+    empty batch.
+
+    Unlike the append sink, staged file names need NOT be
+    deterministic: merge commits an EXPLICIT file list only, so a
+    crashed attempt's staged parquet is never swept into a later
+    snapshot (it ages out via remove_orphan_files) — and re-merging an
+    identical key-resolved batch is state-idempotent by upsert
+    semantics even if the marker were lost: the retraction plane
+    deletes the keys the replay re-appends."""
+    import hashlib as _hashlib
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        _current_state_meta,
+        _default_table_name,
+        merge_upsert,
+    )
+
+    app_tag = _hashlib.md5(app_id.encode()).hexdigest()[:12]
+    if catalog is not None and table_name is None:
+        table_name = _default_table_name(table_dir)
+    try:
+        _v, meta, _t = _current_state_meta(table_dir, catalog, table_name)
+    except FileNotFoundError:
+        meta = None
+    if meta is not None:
+        marker = (meta.get("properties") or {}).get(
+            f"streaming.last-batch.{app_tag}"
+        )
+        if marker is not None and batch_id <= int(marker):
+            return False
+    before = None if meta is None else meta.get("current-snapshot-id", -1)
+    new_meta = merge_upsert(
+        batch_df.sparkSession, batch_df, table_dir, on=list(on),
+        op_col=op_col, seq_col=seq_col, partition_spec=partition_spec,
+        catalog=catalog, table_name=table_name,
+        summary_extra={"batch-id": batch_id, "commit-app-id": app_tag},
+        properties_extra={f"streaming.last-batch.{app_tag}": batch_id},
+    )
+    return new_meta.get("current-snapshot-id", -1) != before
+
+
+def stream_cdc_to_iceberg(
+    cdc_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    on: list,
+    op_col: str | None = "op",
+    seq_col: str | None = None,
+    partition_spec: list | None = None,
+    query_name: str = "iceberg_cdc_upsert",
+    app_id: str | None = None,
+    catalog=None,
+    table_name: str | None = None,
+):
+    """EXACTLY-ONCE streaming CDC upsert into an Iceberg table: each
+    micro-batch of changelog rows (insert/update/delete ops, optional
+    in-batch seq ordering) becomes one atomic MERGE snapshot via
+    :func:`commit_cdc_batch` — the Flink upsert-sink shape expressed as
+    Structured Streaming + the engine's merge plane. Within a
+    checkpoint lineage, micro-batches apply in order and replays skip
+    on the durable per-lineage marker; a LOST checkpoint under a new
+    app id re-delivers from the beginning, which upsert semantics
+    absorb as rewrites, never silent loss.
+
+    Scale shape: each batch costs O(batch) — the target table is never
+    read or rewritten per batch; merge-on-read delete debt is paid by
+    scheduled rewrite_data_files, exactly the continuous-CDC posture a
+    100 TB table needs."""
+    resolved_app_id = app_id if app_id is not None else checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        commit_cdc_batch(
+            batch_df, batch_id, table_dir, resolved_app_id, on,
+            op_col=op_col, seq_col=seq_col,
+            partition_spec=partition_spec, catalog=catalog,
+            table_name=table_name,
+        )
+
+    return (
+        cdc_stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
