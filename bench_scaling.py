@@ -1182,6 +1182,86 @@ def probe_rpd_merge() -> None:
     spark.stop()
 
 
+def probe_cdc_upsert() -> None:
+    """Scale curve of merge_upsert (round 10): the merge never reads
+    the target table — a fixed-size CDC batch must cost the SAME
+    against a 10x-larger table (flat), and a 10x batch against the
+    same table ~10x (linear in batch). Legs:
+
+      1x       400k-row table, 4k-row batch
+      10x-tbl    4M-row table, 4k-row batch  (claim: ~flat vs 1x)
+      10x-batch 400k-row table, 40k-row batch (claim: ~linear in batch)
+
+    Each batch is 50% updates / 25% deletes / 25% inserts (selected on
+    the batch index, so the mix is stride-independent), merged on a
+    bucket[8] key spec (partition-scoped retractions — the scale-good
+    path)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.session import get_spark
+    from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spec = [("id_bucket", "bucket[8]", "id")]
+
+    def _build(n_rows: int, label: str) -> str:
+        tdir = tempfile.mkdtemp(prefix=f"cdc-{label}-")
+        df = spark.range(n_rows).select(
+            F.col("id"),
+            (F.col("id") % 10).cast("bigint").alias("grp"),
+            (F.col("id") * 3).cast("bigint").alias("v"),
+        )
+        ice.write_iceberg_table(
+            spark, df, tdir, now_ms=1_000, partition_spec=spec
+        )
+        return tdir
+
+    def _batch(n: int, table_rows: int):
+        k = F.col("id")  # batch index; keys stride over the table
+        scaled = k * (table_rows // n)
+        return spark.range(n).select(
+            F.when(k % 4 == 1, scaled + table_rows)
+            .otherwise(scaled)
+            .alias("id"),  # k%4==1 -> brand-new key (insert)
+            (scaled % 10).cast("bigint").alias("grp"),
+            (scaled * 7).cast("bigint").alias("v"),
+            F.when(k % 4 == 2, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+            (k % 2).cast("bigint").alias("seq"),
+        )
+
+    legs = [
+        ("warmup", 50_000, 1_000),
+        ("1x", 400_000, 4_000),
+        ("10x-tbl", 4_000_000, 4_000),
+        ("10x-batch", 400_000, 40_000),
+    ]
+    print(
+        f"{'cdc upsert':10s} {'tbl_rows':>9} {'batch':>7} "
+        f"{'merge_s':>8} {'live_rows':>10}"
+    )
+    for label, n_rows, n_batch in legs:
+        tdir = _build(n_rows, label)
+        batch = _batch(n_batch, n_rows)
+        t0 = time.time()
+        ice.merge_upsert(
+            spark, batch, tdir, on=["id"], op_col="op", seq_col="seq",
+            partition_spec=spec, now_ms=2_000,
+        )
+        merge_s = time.time() - t0
+        n_live = ice.read_iceberg_table(spark, tdir).count()
+        if label != "warmup":
+            print(
+                f"{label:10s} {n_rows:9d} {n_batch:7d} "
+                f"{merge_s:8.2f} {n_live:10d}"
+            )
+        shutil.rmtree(tdir, ignore_errors=True)
+    spark.stop()
+
+
 def probe_bounds_pruning() -> None:
     """Column-stats pruning flatness: commit N sorted offset bands, then
     plan a FIXED offset window with plan_scan(column_bounds=...) at N
@@ -1332,6 +1412,8 @@ if __name__ == "__main__":
         probe_incremental_window()
     elif "--rpd-merge" in sys.argv:
         probe_rpd_merge()
+    elif "--cdc-upsert" in sys.argv:
+        probe_cdc_upsert()
     elif "--position-deletes" in sys.argv:
         probe_position_deletes()
     else:
