@@ -622,3 +622,38 @@ def test_merge_staged_spec_guard_message(spark):
         op_col="op", seq_col="seq", partition_spec=BUCKET_SPEC,
     )
     assert _state(spark, tdir)[0] == (0, "x")
+
+
+def test_changelog_over_merge_snapshot(spark):
+    """read_iceberg_changelog across a merge window surfaces the upsert
+    as delete(old identity) + insert(new row), the delete as a bare
+    delete, and the insert as a bare insert."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_changelog,
+    )
+
+    tdir = _mkdir()
+    m0 = _base_table(spark, tdir, n=8)
+    snap0 = m0["current-snapshot-id"]
+    m1 = merge_upsert(
+        spark,
+        _batch(
+            spark,
+            [(2, 0, "upd", "u", 1), (3, None, None, "d", 1),
+             (50, 1, "ins", "i", 1)],
+        ),
+        tdir, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=BUCKET_SPEC, now_ms=2_000,
+    )
+    chg = read_iceberg_changelog(
+        spark, tdir, snap0, m1["current-snapshot-id"]
+    )
+    rows = {
+        (r["id"], r["_change_type"], r["val"]) for r in chg.collect()
+    }
+    assert rows == {
+        (2, "delete", "v2"),   # old identity retracted...
+        (2, "insert", "upd"),  # ...replaced by the upsert row
+        (3, "delete", "v3"),
+        (50, "insert", "ins"),
+    }
