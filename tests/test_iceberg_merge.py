@@ -657,3 +657,69 @@ def test_changelog_over_merge_snapshot(spark):
         (3, "delete", "v3"),
         (50, "insert", "ins"),
     }
+
+
+def test_merge_on_branch_wap(spark):
+    """Staged (WAP) merge: CDC batches on an audit branch leave main
+    untouched until fast_forward publishes; branch reads see the merged
+    state; a second staged merge chains off the branch head."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        fast_forward,
+        read_iceberg_table_ref,
+    )
+
+    tdir = _mkdir()
+    m0 = _base_table(spark, tdir, n=8)
+    snap0 = m0["current-snapshot-id"]
+    merge_upsert(
+        spark, _batch(spark, [(0, 0, "staged0", "u", 1)]), tdir,
+        on=["id"], op_col="op", seq_col="seq",
+        partition_spec=BUCKET_SPEC, now_ms=2_000, branch="audit",
+    )
+    m2 = merge_upsert(
+        spark,
+        _batch(spark, [(1, None, None, "d", 1), (90, 2, "staged1", "i", 1)]),
+        tdir, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=BUCKET_SPEC, now_ms=3_000, branch="audit",
+    )
+    # main untouched: pointer, state, snapshot-log
+    assert m2["current-snapshot-id"] == snap0
+    assert [e["snapshot-id"] for e in m2["snapshot-log"]] == [snap0]
+    assert _state(spark, tdir) == {i: (i % 5, f"v{i}") for i in range(8)}
+    # branch view has both staged merges applied
+    staged = {
+        r["id"]: r["val"]
+        for r in read_iceberg_table_ref(spark, tdir, "audit").collect()
+    }
+    exp = {i: f"v{i}" for i in range(2, 8)}
+    exp[0] = "staged0"
+    exp[90] = "staged1"
+    assert staged == exp
+    # totals chain off the branch lineage, not main
+    audit_head = next(
+        s
+        for s in m2["snapshots"]
+        if s["snapshot-id"] == m2["refs"]["audit"]["snapshot-id"]
+    )
+    assert int(audit_head["summary"]["total-records"]) == 10  # 8 + 2 appends
+    # publish: main now shows the merged state
+    fast_forward(tdir, "audit", now_ms=4_000)
+    assert _state(spark, tdir) == {
+        k: ((k % 5 if k != 90 else 2), v) for k, v in staged.items()
+    }
+
+
+def test_merge_on_tag_rejected(spark):
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        create_ref,
+    )
+
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=4)
+    create_ref(tdir, "v1", kind="tag")
+    with pytest.raises(ValueError, match="is a tag"):
+        merge_upsert(
+            spark, _batch(spark, [(0, 0, "x", "u", 1)]), tdir,
+            on=["id"], op_col="op", seq_col="seq",
+            partition_spec=BUCKET_SPEC, branch="v1",
+        )

@@ -63,9 +63,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
     _current_state_meta,
     _default_spec,
     _default_table_name,
-    _maintenance_requirements,
     _prev_summary_counter,
-    _prev_total_pos_deletes,
     _write_metadata_version,
 )
 
@@ -187,6 +185,7 @@ def merge_upsert(
     allow_null_partition: bool = False,
     summary_extra: dict | None = None,
     properties_extra: dict | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Apply a CDC batch to the table at ``table_dir`` as ONE atomic
     snapshot: retract every batch key via equality-delete files and
@@ -214,7 +213,16 @@ def merge_upsert(
     position-independent, so unlike position deletes no re-planning is
     needed; retries are metadata-cost. A mid-retry partition-spec
     change (the one thing that would invalidate the staged delete
-    layout) aborts loudly."""
+    layout) aborts loudly.
+
+    ``branch="audit"`` stages the merge on that branch (WAP): the
+    snapshot chains off the BRANCH head (auto-created at the current
+    main head on first use), retracts relative to that lineage, and
+    main readers see nothing until :func:`refs.fast_forward`
+    publishes — CDC batches can be audited before release exactly like
+    staged appends. Requirements assert only the moved branch's head,
+    so an unrelated main writer never spuriously conflicts a staged
+    merge."""
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.deletes import (
         write_equality_deletes,
     )
@@ -230,6 +238,8 @@ def merge_upsert(
 
     if not on:
         raise ValueError("merge_upsert needs at least one key column")
+    if branch == "main":
+        branch = None  # explicit main is just the default path
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     if catalog is not None and table_name is None:
         table_name = _default_table_name(table_dir)
@@ -242,7 +252,11 @@ def merge_upsert(
         )
     except FileNotFoundError:
         base = None
-    if base is None or base.get("current-snapshot-id", -1) == -1:
+    if base is not None and branch is not None:
+        ref = (base.get("refs") or {}).get(branch)
+        if ref is not None and ref.get("type") == "tag":
+            raise ValueError(f"ref {branch!r} is a tag, not a branch")
+    if base is None or _merge_parent_id(base, branch) == -1:
         # no committed data: nothing to retract — a plain write of the
         # upsert rows IS the merge (table-creating on first use)
         return write_iceberg_table(
@@ -253,6 +267,7 @@ def merge_upsert(
             writer_shards=writer_shards,
             summary_extra=summary_extra,
             properties_extra=properties_extra,
+            branch=branch,
         )
     _validate_append_shape(base, partition_spec, upserts.columns)
 
@@ -326,7 +341,7 @@ def merge_upsert(
             return _commit_merge_once(
                 table_dir, version, cur, new_files, del_stats, scoped,
                 now_ms, catalog, table_name, summary_extra,
-                properties_extra,
+                properties_extra, branch,
             )
         except CommitConflictError as e:
             last_err = e
@@ -334,6 +349,17 @@ def merge_upsert(
                 commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
+
+
+def _merge_parent_id(base: dict, branch: str | None) -> int:
+    """The snapshot this merge chains off: the branch head when
+    staging (first branch commit forks off main's head — the WAP
+    auto-create `commit_append` uses), main's current otherwise."""
+    if branch is not None:
+        ref = (base.get("refs") or {}).get(branch)
+        if ref is not None:
+            return int(ref["snapshot-id"])
+    return int(base.get("current-snapshot-id", -1))
 
 
 def _commit_merge_once(
@@ -348,6 +374,7 @@ def _commit_merge_once(
     table_name: str | None,
     summary_extra: dict | None,
     properties_extra: dict | None,
+    branch: str | None = None,
 ) -> dict:
     """One attempt at the atomic merge snapshot: a DATA manifest for
     the staged batch files plus a DELETES manifest for the staged
@@ -526,10 +553,9 @@ def _commit_merge_once(
             }
         )
 
+    parent_id = _merge_parent_id(base, branch)
     cur = next(
-        s
-        for s in base["snapshots"]
-        if s["snapshot-id"] == base["current-snapshot-id"]
+        s for s in base["snapshots"] if s["snapshot-id"] == parent_id
     )
     _, prior_manifest_files, _ = read_avro_ocf(cur["manifest-list"])
     list_path = os.path.join(
@@ -543,7 +569,7 @@ def _commit_merge_once(
             "format-version": str(FORMAT_VERSION).encode(),
             "snapshot-id": str(snapshot_id).encode(),
             "sequence-number": str(seq).encode(),
-            "parent-snapshot-id": str(base["current-snapshot-id"]).encode(),
+            "parent-snapshot-id": str(parent_id).encode(),
         },
     )
     snapshot = {
@@ -552,19 +578,27 @@ def _commit_merge_once(
         "timestamp-ms": now_ms,
         "manifest-list": list_path,
         "schema-id": base["current-schema-id"],
-        "parent-snapshot-id": base["current-snapshot-id"],
+        "parent-snapshot-id": parent_id,
         "summary": {
             "operation": "overwrite",
             "added-data-files": str(len(stat_files)),
             "added-records": str(added_rows),
             "added-delete-files": str(len(del_stats)),
             "added-equality-deletes": str(n_eq_rows),
+            # totals chain off the PARENT lineage (the branch head for
+            # a staged merge, main otherwise)
             "total-records": str(_prev_summary_counter(
-                base, "total-records"
+                base, "total-records", parent_id
             ) + added_rows),
-            "total-position-deletes": str(_prev_total_pos_deletes(base)),
+            "total-position-deletes": str(
+                _prev_summary_counter(
+                    base, "total-position-deletes", parent_id
+                )
+            ),
             "total-equality-deletes": str(
-                _prev_summary_counter(base, "total-equality-deletes")
+                _prev_summary_counter(
+                    base, "total-equality-deletes", parent_id
+                )
                 + n_eq_rows
             ),
             **{k: str(v) for k, v in (summary_extra or {}).items()},
@@ -619,13 +653,20 @@ def _commit_merge_once(
     meta = dict(base)
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
-    meta["current-snapshot-id"] = snapshot_id
     meta["snapshots"] = base["snapshots"] + [snapshot]
     meta["statistics"] = base.get("statistics", []) + [stat_entry]
-    meta["refs"] = _advance_main(base.get("refs"), snapshot_id)
-    meta["snapshot-log"] = base["snapshot-log"] + [
-        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
-    ]
+    if branch is None:
+        meta["current-snapshot-id"] = snapshot_id
+        meta["refs"] = _advance_main(base.get("refs"), snapshot_id)
+        meta["snapshot-log"] = base["snapshot-log"] + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ]
+    else:
+        # staged (WAP) merge: only the branch ref moves; main readers
+        # and the snapshot-log (TIMESTAMP AS OF) see nothing
+        refs = dict(base.get("refs") or {})
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        meta["refs"] = refs
     if properties_extra:
         meta["properties"] = {
             **(base.get("properties") or {}),
@@ -641,11 +682,15 @@ def _commit_merge_once(
     ]
 
     if catalog is not None:
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.commit import (  # noqa: E501 (local: avoids an import cycle at module load)
+            _commit_requirements,
+        )
+
         updates = list(extra_updates) + [
             {"action": "add-snapshot", "snapshot": snapshot},
             {
                 "action": "set-snapshot-ref",
-                "ref-name": "main",
+                "ref-name": branch if branch is not None else "main",
                 "type": "branch",
                 "snapshot-id": snapshot_id,
             },
@@ -661,7 +706,10 @@ def _commit_merge_once(
                 }
             )
         resp = catalog.commit_table(
-            table_name, _maintenance_requirements(base), updates, now_ms
+            table_name,
+            _commit_requirements(base, branch=branch),
+            updates,
+            now_ms,
         )
         return resp["metadata"]
     _write_metadata_version(meta_dir, version + 1, meta)
