@@ -29,7 +29,9 @@ import time
 # seconds per test file, measured single-process (same host);
 # only the ordering/ratios matter for packing
 DURATIONS = {
+    "test_iceberg_merge.py": 150,
     "test_queries_vs_duckdb.py": 150,
+    "test_iceberg_multifield.py": 110,
     "test_bare_session.py": 90,
     "test_iceberg_soak.py": 70,
     "test_datasource.py": 60,

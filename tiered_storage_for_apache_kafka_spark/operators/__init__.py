@@ -75,6 +75,7 @@ _R10_WINDOW = [
     # (a) new this round
     "iceberg_merge_upsert_scan",
     "streaming_cdc_upsert",
+    "streaming_cdc_mirror",
     "iceberg_rpd_evolution_scan",
     "iceberg_null_partition_scan",
     "iceberg_zorder_temporal_scan",

@@ -339,3 +339,98 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(at_last).cast("bigint").alias("marker_at_last_batch"),
         )
     )
+
+
+@query(
+    "streaming_cdc_mirror",
+    oracle=f"""
+WITH ids AS (SELECT event_id AS id FROM events),
+live AS (
+  SELECT id,
+         CASE WHEN id % 13 = 1 THEN id * 9
+              WHEN id % 7 = 0 THEN id * 5
+              ELSE id * 3 END AS v
+  FROM ids WHERE id % 11 <> 3
+  UNION ALL
+  SELECT id + {INSERT_OFFSET}, id * 2 FROM ids WHERE id % 97 = 0
+)
+SELECT CAST(id % 10 AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(1 AS BIGINT) AS stream_two_commits,
+       CAST(1 AS BIGINT) AS has_delete_keys
+FROM live
+GROUP BY CAST(id % 10 AS BIGINT)
+""",
+)
+def streaming_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-OUT: the merged table of `iceberg_merge_upsert_scan` is
+    consumed through the `iceberg_cdc` keyed-changelog STREAM (one
+    micro-batch plan per commit window: delete_key rows from the
+    equality-delete files, insert rows from the data files, each
+    stamped _commit_seq) and REPLAYED into a mirror — last insert per
+    key unless a later-or-equal-seq delete follows — whose per-group
+    aggregate must equal the relational merge oracle. This closes the
+    CDC loop end-to-end: merge in, stream out, mirror equals source.
+    Scale shape: every stream partition is ONE executor-side parquet
+    read (no joins in the source); the mirror replay is one key-window
+    + one broadcast-size delete join."""
+    from pyspark.sql import Window
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+        register_cdc,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        run_stream_to_memory,
+    )
+
+    tdir, _n = _merged_table(spark, sf_dir)
+    register_cdc(spark)
+    ev = run_stream_to_memory(
+        spark.readStream.format("iceberg_cdc").option("path", tdir).load(),
+        "append",
+    )
+    two_commits = (
+        1
+        if ev.select("_commit_seq").distinct().count() == 2
+        else 0
+    )
+    dels = ev.where(F.col("_change_type") == "delete_key")
+    has_dels = 1 if dels.limit(1).count() > 0 else 0
+    ins = ev.where(F.col("_change_type") == "insert")
+    w = Window.partitionBy("id").orderBy(F.col("_commit_seq").desc())
+    last_ins = (
+        ins.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # both sides derive from the same memory relation — a renamed join
+    # key sidesteps the self-join reference conflict
+    dseq = (
+        dels.select(F.col("id").alias("__did"), "_commit_seq")
+        .groupBy("__did")
+        .agg(F.max("_commit_seq").alias("__dseq"))
+    )
+    mirror = (
+        last_ins.join(
+            F.broadcast(dseq), F.col("id") == F.col("__did"), "left"
+        )
+        .where(
+            F.col("__dseq").isNull()
+            | (F.col("__dseq") <= F.col("_commit_seq"))
+        )
+    )
+    return (
+        mirror.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+        )
+        .select(
+            "grp",
+            "n_live",
+            "sum_v",
+            F.lit(two_commits).cast("bigint").alias("stream_two_commits"),
+            F.lit(has_dels).cast("bigint").alias("has_delete_keys"),
+        )
+    )

@@ -69,7 +69,11 @@ def plan_incremental_scan(
 
 
 def _plan_seq_window(
-    meta: dict, lo_seq: int, hi_seq: int, constraints: dict | None = None
+    meta: dict,
+    lo_seq: int,
+    hi_seq: int,
+    constraints: dict | None = None,
+    eq_sink: list | None = None,
 ) -> list[dict]:
     """Data files appended with ``lo_seq < seq <= hi_seq``, planned from
     the CURRENT snapshot — correct even when every snapshot inside the
@@ -133,12 +137,29 @@ def _plan_seq_window(
             # tombstones the old delete entry, but the rows it
             # retracted inside the window are still retracted — the
             # tombstone must not blind the guard
+            if d.get("content") == 2 and eq_sink is not None:
+                # keyed-changelog mode (the iceberg_cdc stream): an
+                # equality delete IS key-representable — collect it as
+                # a delete-key batch instead of failing the window.
+                # Tombstoned entries (a later rewrite_data_files
+                # materialized them) still retract within THIS window,
+                # so status is deliberately not checked.
+                eq_sink.append(
+                    {"file_path": d["file_path"], "_seq": seq}
+                )
+                continue
             if d.get("content") in (1, 2):
                 raise ValueError(
                     f"row-delta delete file {d['file_path']} has sequence "
                     f"number {seq} inside the incremental window ({lo_seq}, "
                     f"{hi_seq}]; an append-only changelog cannot represent "
                     "row retraction"
+                    + (
+                        " (positional deletes are not key-representable; "
+                        "use read_iceberg_changelog)"
+                        if eq_sink is not None
+                        else ""
+                    )
                 )
             # compaction output is never a logical append, whatever its
             # status — the path marker survives snapshot expiration and
@@ -151,7 +172,7 @@ def _plan_seq_window(
                     # tombstoned by a data-file rewrite: compacted, not
                     # logically deleted — the file (still on disk until
                     # vacuum) serves the window's appended rows
-                    out.append(dict(d))
+                    out.append({**d, "_seq": seq})
                     continue
                 raise ValueError(
                     f"data file {d['file_path']} (sequence {seq}) was "
@@ -163,7 +184,7 @@ def _plan_seq_window(
                 )
             if compacted or e.get("snapshot_id") in rewrite_ids:
                 continue  # compaction output, not a logical append
-            out.append(dict(d))
+            out.append({**d, "_seq": seq})
     return out
 
 

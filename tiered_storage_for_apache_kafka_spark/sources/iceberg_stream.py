@@ -275,3 +275,171 @@ class IcebergIncrementalDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(IcebergIncrementalDataSource)
+
+
+class CdcFilePartition(InputPartition):
+    def __init__(self, file_path: str, kind: str = "data", seq: int = 0):
+        self.file_path = file_path
+        self.kind = kind  # "data" | "eqdelete"
+        self.seq = seq
+
+
+class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
+    """Keyed-changelog (upsert-stream) reader — the CDC-OUT half of the
+    merge plane: each micro-batch window emits
+
+    - ``_change_type="delete_key"`` rows from the window's
+      EQUALITY-DELETE files (only the key columns populated; the other
+      columns are null), and
+    - ``_change_type="insert"`` rows from the window's appended data
+      files,
+
+    each stamped with ``_commit_seq`` (the committing snapshot's
+    sequence number). Replay contract (Flink upsert-stream semantics):
+    apply events in ``_commit_seq`` order, deletes BEFORE inserts at
+    equal seq — then a mirror of the table is exactly
+    last-insert-per-key where no later-or-equal delete follows. A
+    POSITIONAL delete (position delete file / DV) in a window fails
+    the batch explicitly: positions are not key-representable; that
+    consumer needs the batch `read_iceberg_changelog` instead.
+
+    Scale shape: windows plan from metadata only; every partition is
+    ONE parquet file read executor-side (data or delete keys) — no
+    joins, no driver row handling, same cost model as the append
+    stream."""
+
+    def partitions(self, start: dict, end: dict) -> list[CdcFilePartition]:
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _plan_seq_window,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
+            _resolve_constraints,
+        )
+
+        self._committed = max(int(start["seq"]), self._committed or 0)
+        lo, hi = int(start["seq"]), int(end["seq"])
+        meta = self._meta()
+        constraints = (
+            _resolve_constraints(
+                meta, None, None, None, self._source_predicates
+            )
+            if self._source_predicates
+            else None
+        )
+        eq_files: list[dict] = []
+        data = _plan_seq_window(meta, lo, hi, constraints, eq_sink=eq_files)
+        out = [
+            CdcFilePartition(d["file_path"], "data", int(d["_seq"]))
+            for d in data
+        ] + [
+            CdcFilePartition(d["file_path"], "eqdelete", int(d["_seq"]))
+            for d in eq_files
+        ]
+        if not out:
+            out.append(CdcFilePartition(""))  # empty-batch sentinel
+        return out
+
+    def read(self, partition: CdcFilePartition):
+        if not partition.file_path:
+            return
+        import pyarrow as pa
+
+        kind = getattr(partition, "kind", "data")
+        seq = getattr(partition, "seq", 0)
+        change = "insert" if kind == "data" else "delete_key"
+
+        def stamp(batch):
+            n = batch.num_rows
+            return pa.RecordBatch.from_arrays(
+                list(batch.columns)
+                + [
+                    pa.array([change] * n, pa.string()),
+                    pa.array([seq] * n, pa.int64()),
+                ],
+                names=list(batch.schema.names)
+                + ["_change_type", "_commit_seq"],
+            )
+
+        if kind == "data":
+            # table-shaped read (hive value attach, evolution padding,
+            # row residuals) is the parent's; stamp the change columns
+            for batch in super().read(partition):
+                yield stamp(batch)
+            return
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        expected = self._expected_arrow_schema()
+        for batch in pq.ParquetFile(partition.file_path).iter_batches():
+            by_name = {
+                n: batch.column(i) for i, n in enumerate(batch.schema.names)
+            }
+            cols, names = [], []
+            for field in expected:
+                names.append(field.name)
+                if field.name in by_name:
+                    cols.append(by_name[field.name].cast(field.type))
+                else:
+                    # non-key columns of a delete-key row are null
+                    cols.append(pa.nulls(batch.num_rows, field.type))
+            out = pa.RecordBatch.from_arrays(cols, names=names)
+            if self._source_predicates:
+                # residuals apply only on columns the delete file
+                # carries (its key columns); a predicate on a non-key
+                # column cannot be evaluated against nulls and the
+                # delete-key row is KEPT — an extra retraction of an
+                # out-of-scope key is a harmless no-op downstream,
+                # where dropping an in-scope one would corrupt
+                tbl = pa.Table.from_batches([out])
+                for col, pred in self._source_predicates.items():
+                    if col not in by_name:
+                        continue
+                    if isinstance(pred, tuple):
+                        tbl = tbl.filter(
+                            pc.and_(
+                                pc.greater_equal(tbl[col], pred[0]),
+                                pc.less_equal(tbl[col], pred[1]),
+                            )
+                        )
+                    else:
+                        tbl = tbl.filter(pc.equal(tbl[col], pred))
+                for b in tbl.to_batches():
+                    if b.num_rows:
+                        yield stamp(b)
+                continue
+            yield stamp(out)
+
+
+class IcebergCdcDataSource(DataSource):
+    """`spark.readStream.format("iceberg_cdc").option("path", table_dir)`
+    — table columns + ``_change_type`` (insert | delete_key) +
+    ``_commit_seq``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_cdc"
+
+    def schema(self):
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+            _current_schema_struct,
+            _current_state_meta,
+            iceberg_schema_to_spark,
+        )
+
+        _v, meta, _t = _current_state_meta(
+            self.options.get("path") or self.options.get("table_dir")
+        )
+        base = iceberg_schema_to_spark(_current_schema_struct(meta))
+        return base.add(StructField("_change_type", StringType())).add(
+            StructField("_commit_seq", LongType())
+        )
+
+    def streamReader(self, schema) -> IcebergCdcStreamReader:
+        return IcebergCdcStreamReader(self.options)
+
+
+def register_cdc(spark) -> None:
+    spark.dataSource.register(IcebergCdcDataSource)
