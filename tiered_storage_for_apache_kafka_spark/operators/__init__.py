@@ -58,9 +58,11 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: 
 # every round by tests/test_queries_vs_duckdb.py regardless.
 #
 # The r10 window, in priority order:
-#   (a) queries NEW this round (first verdicts): delete-plane
-#       compaction across spec generations, the null-partition-cell
-#       lifecycle, and the temporal z-order dimension;
+#   (a) queries NEW this round (first verdicts): the MERGE/CDC plane
+#       (batch merge, streaming upsert sink, keyed-changelog stream
+#       mirror, eq->pos conversion), delete-plane compaction across
+#       spec generations, the null-partition-cell lifecycle, and the
+#       temporal z-order dimension;
 #   (b) queries on materially CHANGED code this round: the writer
 #       shard salt, the type-determined partition summary widths
 #       (commit/maintenance/delete commits), rewrite_position_deletes
@@ -76,6 +78,7 @@ _R10_WINDOW = [
     "iceberg_merge_upsert_scan",
     "streaming_cdc_upsert",
     "streaming_cdc_mirror",
+    "iceberg_eqconv_scan",
     "iceberg_rpd_evolution_scan",
     "iceberg_null_partition_scan",
     "iceberg_zorder_temporal_scan",
@@ -85,11 +88,13 @@ _R10_WINDOW = [
     "iceberg_multifield_partition_scan",
     "iceberg_string_bounds_scan",
     "iceberg_rewrite_pos_deletes_scan",
-    "iceberg_zorder_scan",
     "iceberg_sorted_write_scan",
     "iceberg_global_delete_evolution_scan",
-    "iceberg_global_delete_scan",
     "iceberg_maintenance_soak",
+    # (iceberg_zorder_scan and iceberg_global_delete_scan yielded
+    # their 50-sample slots to the merge/CDC first-verdict queries:
+    # both are r9-green and strict SUBSETS of the windowed
+    # iceberg_zorder_temporal_scan / iceberg_global_delete_evolution_scan)
     # (c) the full r5-verdict rotation cohort
     "ann_cosine_topk",
     "ann_ivf_topk",

@@ -434,3 +434,158 @@ def streaming_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(has_dels).cast("bigint").alias("has_delete_keys"),
         )
     )
+
+
+_EQCONV_CACHE: dict[tuple, str] = {}
+
+
+def _eqconv_table(spark: SparkSession, sf_dir: str) -> str:
+    """A CDC table (two merge batches incl. a delete-then-resurrect)
+    whose equality-delete plane is then CONVERTED to position deletes:
+
+    - base: (id, grp, v=id*3), bucket[8](id);
+    - batch 1: DELETE ``id % 17 == 2``, else UPDATE ``id % 5 == 0`` to
+      v=id*7;
+    - batch 2: RESURRECT ``id % 34 == 2`` (half the deleted keys) with
+      v=id*11;
+    - convert_equality_deletes.
+
+    Separate from `_merged_table`: conversion adds a snapshot and
+    retires the eq plane, which would break that fixture's pins."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        convert_equality_deletes,
+        merge_upsert,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _EQCONV_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id")
+    )
+    grp = (F.col("id") % 10).cast("bigint")
+    base = ids.select(
+        "id", grp.alias("grp"), (F.col("id") * 3).cast("bigint").alias("v")
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-eqconv-q-")
+    spec = [("id_bucket", f"bucket[{N_BUCKETS}]", "id")]
+    write_iceberg_table(spark, base, tdir, now_ms=1_000, partition_spec=spec)
+    b1 = ids.where(F.col("id") % 17 == 2).select(
+        "id", F.lit(None).cast("bigint").alias("grp"),
+        F.lit(None).cast("bigint").alias("v"),
+        F.lit("d").alias("op"), F.lit(1).cast("bigint").alias("seq"),
+    ).unionAll(
+        ids.where((F.col("id") % 17 != 2) & (F.col("id") % 5 == 0)).select(
+            "id", grp.alias("grp"),
+            (F.col("id") * 7).cast("bigint").alias("v"),
+            F.lit("u").alias("op"), F.lit(1).cast("bigint").alias("seq"),
+        )
+    )
+    merge_upsert(
+        spark, b1, tdir, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=spec, now_ms=2_000,
+    )
+    b2 = ids.where(F.col("id") % 34 == 2).select(
+        "id", grp.alias("grp"),
+        (F.col("id") * 11).cast("bigint").alias("v"),
+        F.lit("i").alias("op"), F.lit(1).cast("bigint").alias("seq"),
+    )
+    merge_upsert(
+        spark, b2, tdir, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=spec, now_ms=3_000,
+    )
+    convert_equality_deletes(spark, tdir, now_ms=4_000)
+    session_cache_put(_EQCONV_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "iceberg_eqconv_scan",
+    oracle="""
+WITH ids AS (SELECT event_id AS id FROM events),
+live AS (
+  SELECT id,
+         CASE WHEN id % 34 = 2 THEN id * 11
+              WHEN id % 5 = 0 THEN id * 7
+              ELSE id * 3 END AS v
+  FROM ids
+  WHERE id % 17 <> 2 OR id % 34 = 2
+)
+SELECT CAST(id % 10 AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(1 AS BIGINT) AS no_live_eq_files,
+       CAST(1 AS BIGINT) AS counters_exact
+FROM live
+GROUP BY CAST(id % 10 AS BIGINT)
+""",
+)
+def iceberg_eqconv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality->position delete CONVERSION (the CDC table's light
+    maintenance pass): after two merge batches — including the
+    delete-then-resurrect edge the sequence-window rule must not
+    retro-delete — `convert_equality_deletes` retires every
+    equality-delete file into per-cell sorted position deletes, and
+    the scan still replays relationally. ``no_live_eq_files`` pins the
+    retirement structurally; ``counters_exact`` pins
+    total-equality-deletes == 0 AND total-position-deletes == the
+    relational count of retracted old versions. Scale shape: one
+    distributed key+identity scan and tiny delete-file writes — the
+    pass that bounds per-cell eq-file accumulation (one per merge
+    batch otherwise) without rewriting any data."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+        read_table_metadata,
+    )
+
+    tdir = _eqconv_table(spark, sf_dir)
+    back = read_table_metadata(tdir)
+    live_eq = [
+        e
+        for m in back["manifests"]
+        for e in m["entries"]
+        if e["status"] != 2 and e["data_file"].get("content") == 2
+    ]
+    no_eq = 1 if not live_eq else 0
+    meta = back["metadata"]
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    ids = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id")
+    )
+    # retracted OLD versions: every id%17==2 base row + every updated
+    # row's previous version (resurrections add rows, retract nothing
+    # that wasn't already retracted)
+    n_expected = (
+        ids.where(
+            (F.col("id") % 17 == 2)
+            | ((F.col("id") % 17 != 2) & (F.col("id") % 5 == 0))
+        ).count()
+    )
+    summ = cur["summary"]
+    counters = (
+        1
+        if int(summ["total-equality-deletes"]) == 0
+        and int(summ["total-position-deletes"]) == n_expected
+        else 0
+    )
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+        )
+        .select(
+            "grp",
+            "n_live",
+            "sum_v",
+            F.lit(no_eq).cast("bigint").alias("no_live_eq_files"),
+            F.lit(counters).cast("bigint").alias("counters_exact"),
+        )
+    )

@@ -105,6 +105,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.deletes import (  # n
     _finish_delete_commit,
     commit_equality_deletes,
     commit_position_deletes,
+    convert_equality_deletes,
     rewrite_position_deletes,
     write_equality_deletes,
     write_position_deletes,

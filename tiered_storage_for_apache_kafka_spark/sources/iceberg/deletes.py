@@ -641,6 +641,7 @@ def _finish_delete_commit(
     delete_spec_id: int | None = None,
     extra_updates: list[dict] | None = None,
     delete_manifests: list[dict] | None = None,
+    removed_eq_deletes: int = 0,
 ) -> dict:
     """Shared tail of every delete-flavored commit (v2 parquet
     row-deltas and v3-style deletion vectors): build the DELETE
@@ -745,7 +746,9 @@ def _finish_delete_commit(
                 _prev_total_pos_deletes(base) + n_pos - removed_pos_deletes
             ),
             "total-equality-deletes": str(
-                _prev_summary_counter(base, "total-equality-deletes") + n_eq
+                _prev_summary_counter(base, "total-equality-deletes")
+                + n_eq
+                - removed_eq_deletes
             ),
             "total-records": str(_prev_total_records(base)),
             **{k: str(v) for k, v in (summary_extra or {}).items()},
@@ -1165,5 +1168,361 @@ def _rewrite_position_deletes_once(
         n_entries_total, prior_manifests=prior_manifests,
         removed_pos_deletes=removed_pos,
         summary_extra={"rewritten-delete-files": str(len(path_to_group))},
+        delete_manifests=delete_manifests,
+    )
+
+
+def convert_equality_deletes(
+    spark,
+    table_dir: str,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    max_commit_retries: int = 3,
+    max_rows_per_delete_file: int | None = None,
+) -> dict:
+    """Convert the table's accumulated EQUALITY deletes into POSITION
+    deletes — the light maintenance pass that bounds a CDC table's
+    read debt (Iceberg's ``convert_equality_deletes`` action): every
+    live equality-delete file's key set is resolved against the
+    current data to concrete ``(file, pos)`` rows, written as one
+    sorted position-delete file per partition cell (of the DATA file's
+    own spec generation), and the originals tombstone in the same
+    snapshot. Data files are untouched — unlike ``rewrite_data_files``
+    this reads the matching rows but rewrites nothing, and afterwards
+    ``rewrite_position_deletes`` and the DV plane own the (cheap)
+    positional debt. Counters move exactly: total-equality-deletes
+    drops by the converted key rows, total-position-deletes grows by
+    the NET-new positions (already-positioned rows are excluded before
+    matching, so a key deleted both ways never double-counts).
+
+    Sequence safety: a converted position delete carries the new
+    snapshot's sequence number, which widens its window over the
+    original equality delete's (``< eq_seq`` becomes ``<= N``) — legal
+    because a position names an exact row of an exact attempt-unique
+    file, so the wider window cannot match anything new (the same
+    argument ``rewrite_position_deletes`` relies on). The match itself
+    runs under the ORIGINAL per-file windows (``data_seq < eq_seq``)
+    and per-generation partition scopes, so re-inserted keys
+    (delete-then-resurrect) are never retro-deleted.
+
+    Scale shape: one distributed scan of the table's data rows
+    projecting the key + `_metadata` identity columns (Catalyst prunes
+    the rest), the eq key sets broadcast per (key-set, spec
+    generation) group, one Arrow write task per touched cell with the
+    same ``max_rows_per_delete_file`` hot-cell cap as
+    ``rewrite_position_deletes``. No driver row handling."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+        commit_retry_backoff,
+    )
+
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None and table_name is None:
+        table_name = _default_table_name(table_dir)
+    last_err: Exception | None = None
+    n_attempts = max_commit_retries if catalog is not None else 1
+    for _attempt in range(n_attempts):
+        try:
+            return _convert_equality_deletes_once(
+                spark, table_dir, now_ms, catalog, table_name,
+                max_rows_per_delete_file,
+            )
+        except CommitConflictError as e:
+            last_err = e
+            if _attempt + 1 < n_attempts:
+                commit_retry_backoff(_attempt)
+    assert last_err is not None
+    raise last_err
+
+
+def _convert_equality_deletes_once(
+    spark,
+    table_dir: str,
+    now_ms: int,
+    catalog,
+    table_name: str | None,
+    max_rows_per_delete_file: int | None,
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+        _tombstone_superseded,
+        apply_deletion_vectors,
+        split_position_deletes,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
+        spec_field_type,
+        spec_typed_cols,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
+        _apply_eq_delete_group,
+        _apply_position_deletes,
+        _read_with_positions,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _specs_by_id,
+    )
+
+    version, base, table_name = _current_state_meta(
+        table_dir, catalog, table_name
+    )
+    if base.get("current-snapshot-id", -1) == -1:
+        return base
+    cur = next(
+        s
+        for s in base["snapshots"]
+        if s["snapshot-id"] == base["current-snapshot-id"]
+    )
+    data, deletes = _plan_snapshot(cur, None)
+    eqs = [d for d in deletes if d.get("content") == 2]
+    if not eqs or not data:
+        return base
+    schema_struct = _current_schema_struct(base)
+    id_to_name = {f["id"]: f["name"] for f in schema_struct["fields"]}
+    specs_by_id = _specs_by_id(base)
+    default_sid = int(_default_spec(base)["spec-id"])
+
+    df = _read_with_positions(
+        spark, table_dir, base, [d["file_path"] for d in data]
+    )
+    # exclude rows ALREADY position-deleted (either plane): their
+    # identity is covered; re-adding it would double-count the
+    # position counter and inflate every later delete scan
+    others = [d for d in deletes if d.get("content") != 2]
+    pos, dv = split_position_deletes(others)
+    if pos:
+        df = _apply_position_deletes(spark, df, data, pos)
+    if dv:
+        df = apply_deletion_vectors(spark, df, data, dv)
+
+    # the rows each equality-delete group WOULD retract, with identity:
+    # per (key-column set, spec generation) — the same grouping the
+    # merge-on-read scan applies, inverted to a semi-join
+    matches = None
+    for ids_tuple in sorted({tuple(d["equality_ids"]) for d in eqs}):
+        grp = [d for d in eqs if tuple(d["equality_ids"]) == ids_tuple]
+        eq_cols = [id_to_name[i] for i in ids_tuple]
+        by_spec: dict[int, list[dict]] = {}
+        for d in grp:
+            by_spec.setdefault(
+                int(d.get("_spec_id", default_sid)), []
+            ).append(d)
+        for sid in sorted(by_spec):
+            spec = specs_by_id.get(sid) or _default_spec(base)
+            field_types = [
+                spec_field_type(f, schema_struct) for f in spec["fields"]
+            ]
+            m = _apply_eq_delete_group(
+                spark, df, data, by_spec[sid], eq_cols, spec["fields"],
+                field_types, id_to_name, join_type="left_semi",
+            ).select("__iceberg_file", "__iceberg_pos")
+            matches = m if matches is None else matches.unionAll(m)
+    matches = matches.distinct()
+
+    # write one sorted position-delete file per touched cell, under
+    # the DATA file's own spec generation (positions follow their file)
+    file_cell_rows = []
+    for d in data:
+        sid = int(d.get("_spec_id", default_sid))
+        if sid not in specs_by_id:
+            raise KeyError(
+                f"data manifest references partition-spec-id {sid} "
+                "not present in table metadata"
+            )
+        names = spec_names(specs_by_id[sid])
+        file_cell_rows.append(
+            (
+                d["file_path"],
+                json.dumps(
+                    {
+                        "sid": sid,
+                        "part": {
+                            n: d["partition"].get(n) for n in names
+                        },
+                    },
+                    sort_keys=True,
+                ),
+            )
+        )
+    file_cell = spark.createDataFrame(
+        file_cell_rows, "__iceberg_file string, __grp string"
+    )
+    rows = matches.join(F.broadcast(file_cell), "__iceberg_file")
+    token = uuid.uuid4().hex[:16]
+    grp_names = {
+        g: spec_names(specs_by_id[json.loads(g)["sid"]])
+        for _p, g in file_cell_rows
+    }
+    row_cap = max_rows_per_delete_file
+
+    def _write_cell(pdf):
+        import json as _json
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        grp = pdf["__grp"].iloc[0]
+        gmeta = _json.loads(grp)
+        values, names = gmeta["part"], grp_names[grp]
+        pdf = pdf.sort_values(["__iceberg_file", "__iceberg_pos"])
+        out_dir = os.path.join(
+            table_dir, "deletes", _hive_part_dir(names, values)
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        tag = "-".join(str(values[n]) for n in names) or "unpartitioned"
+        cap = row_cap if row_cap and row_cap > 0 else len(pdf) or 1
+        out = []
+        schema = _pos_delete_arrow_schema()
+        for ci, lo in enumerate(range(0, len(pdf), cap)):
+            chunk = pdf.iloc[lo : lo + cap]
+            path = os.path.join(
+                out_dir,
+                f"delete-eqconv-{token}-p{tag}-s{gmeta['sid']}-k{ci}"
+                ".parquet",
+            )
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(chunk["__iceberg_file"], pa.string()),
+                    pa.array(chunk["__iceberg_pos"], pa.int64()),
+                ],
+                schema=schema,
+            )
+            pq.write_table(tbl, path, compression="zstd")
+            out.append([path, grp, len(chunk), os.path.getsize(path)])
+        return pd.DataFrame(
+            out,
+            columns=["delete_path", "partition_json", "n_rows", "file_size"],
+        )
+
+    converted = []
+    for r in (
+        rows.groupBy("__grp")
+        .applyInPandas(
+            _write_cell,
+            "delete_path string, partition_json string, n_rows bigint, "
+            "file_size bigint",
+        )
+        .collect()
+    ):
+        key = json.loads(r["partition_json"])
+        names = grp_names[r["partition_json"]]
+        converted.append(
+            {
+                "delete_path": r["delete_path"],
+                "sid": int(key["sid"]),
+                # spec-ordered partition dict (summaries are positional)
+                "partition": {n: key["part"].get(n) for n in names},
+                "n_rows": int(r["n_rows"]),
+                "file_size": int(r["file_size"]),
+            }
+        )
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    newest_ts = max((s["timestamp-ms"] for s in base["snapshots"]), default=0)
+    now_ms = max(now_ms, newest_ts)
+    seq = base["last-sequence-number"] + 1
+    snapshot_id = seq
+    commit_uuid = uuid.uuid4().hex[:16]
+
+    # ONE manifest per spec generation of the converted files
+    delete_manifests: list[dict] = []
+    n_entries_total = 0
+    for sid in sorted({c["sid"] for c in converted}):
+        spec = specs_by_id[sid]
+        gen = [c for c in converted if c["sid"] == sid]
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": c["delete_path"],
+                    "file_format": "PARQUET",
+                    "partition": dict(c["partition"]),
+                    "record_count": c["n_rows"],
+                    "file_size_in_bytes": c["file_size"],
+                    "value_counts": None,
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "split_offsets": None,
+                    "equality_ids": None,
+                    "sort_order_id": None,
+                },
+            }
+            for c in sorted(gen, key=lambda c: c["delete_path"])
+        ]
+        n_entries_total += len(entries)
+        manifest_path = os.path.join(
+            meta_dir,
+            f"{base['table-uuid']}-eqc{seq}-s{sid}-{commit_uuid}.avro",
+        )
+        manifest_len = write_avro_ocf(
+            manifest_path,
+            manifest_entry_schema(spec_typed_cols(spec, schema_struct)),
+            entries,
+            {
+                "schema": json.dumps(schema_struct).encode(),
+                "schema-id": str(base["current-schema-id"]).encode(),
+                "partition-spec": json.dumps(spec["fields"]).encode(),
+                "partition-spec-id": str(sid).encode(),
+                "format-version": str(FORMAT_VERSION).encode(),
+                "content": b"deletes",
+            },
+        )
+        gen_names = spec_names(spec)
+        delete_manifests.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": manifest_len,
+                "partition_spec_id": sid,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": sum(c["n_rows"] for c in gen),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": partition_field_summaries(
+                    [dict(c["partition"]) for c in gen],
+                    gen_names,
+                    widths=spec_bound_widths(spec, schema_struct),
+                ),
+            }
+        )
+
+    # tombstone every converted equality-delete file (path match; an
+    # eq file's DV locator is None so the (path, None) pair is exact)
+    sup_stats = [
+        {
+            "superseded": [
+                {
+                    "puffin_path": d["file_path"],
+                    "referenced_data_file": None,
+                    "cardinality": int(d["record_count"]),
+                }
+                for d in eqs
+            ]
+        }
+    ]
+    prior_manifests, removed_eq, _n = _tombstone_superseded(
+        base, sup_stats, meta_dir, seq, snapshot_id, commit_uuid
+    )
+    return _finish_delete_commit(
+        table_dir, version, base, converted, now_ms, catalog, table_name,
+        seq, snapshot_id, commit_uuid, "", 0,
+        n_entries_total, prior_manifests=prior_manifests,
+        removed_eq_deletes=removed_eq,
+        summary_extra={
+            "converted-equality-delete-files": str(len(eqs)),
+        },
         delete_manifests=delete_manifests,
     )

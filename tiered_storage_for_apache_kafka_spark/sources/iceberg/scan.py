@@ -81,7 +81,7 @@ def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
 
 def _apply_eq_delete_group(
     spark, df_pos, data_entries, eq_entries, eq_cols, spec_fields,
-    field_types, id_to_name,
+    field_types, id_to_name, join_type: str = "left_anti",
 ):
     """One spec's equality-delete anti-join (see
     :func:`_apply_equality_deletes`): the data side recomputes every
@@ -89,7 +89,13 @@ def _apply_eq_delete_group(
     kernel the writer and rewrite_data_files use), identity fields
     match on the schema column directly, and the delete rows broadcast
     with their per-file partition tuple + sequence number (columns
-    typed per spec field — string partition values included)."""
+    typed per spec field — string partition values included).
+
+    ``join_type="left_semi"`` inverts the selection: the rows the
+    deletes WOULD retract, with their ``(__iceberg_file,
+    __iceberg_pos)`` identity — what :func:`deletes.
+    convert_equality_deletes` materializes into position-delete
+    files."""
     from pyspark.sql import functions as F
 
     part_names = [f["name"] for f in spec_fields]
@@ -150,7 +156,7 @@ def _apply_eq_delete_group(
         cond = cond & df2[c].eqNullSafe(dels[f"__eq_{c}"])
     # callers drop __iceberg_file/__iceberg_pos once all delete layers
     # have been applied
-    return df2.join(dels, cond, "left_anti").drop(
+    return df2.join(dels, cond, join_type).drop(
         "__iceberg_data_seq", *computed
     )
 
