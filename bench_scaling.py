@@ -1262,6 +1262,80 @@ def probe_cdc_upsert() -> None:
     spark.stop()
 
 
+def probe_eqconv() -> None:
+    """Scale curve of convert_equality_deletes (round 10): the pass is
+    ONE distributed key+identity scan of the data plus tiny delete
+    writes — cost must be ~linear in TABLE rows (it reads them) and
+    ~flat in the NUMBER of eq-delete files (key sets broadcast;
+    10x more files of the same total keys add only metadata). Legs:
+
+      1x       400k rows, 8 merge batches (8 eq files, ~3.2k keys)
+      10x-tbl    4M rows, 8 merge batches (same-shape eq plane)
+      10x-eq   400k rows, 80 merge batches (10x eq files, same total keys)
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.session import get_spark
+    from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spec = [("id_bucket", "bucket[8]", "id")]
+
+    def _build(n_rows: int, n_batches: int, label: str) -> str:
+        tdir = tempfile.mkdtemp(prefix=f"eqconv-{label}-")
+        df = spark.range(n_rows).select(
+            F.col("id"),
+            (F.col("id") * 3).cast("bigint").alias("v"),
+        )
+        ice.write_iceberg_table(
+            spark, df, tdir, now_ms=1_000, partition_spec=spec
+        )
+        # ~3200 deleted keys total, spread over n_batches merges
+        per = 3_200 // n_batches
+        for b in range(n_batches):
+            keys = spark.range(per).select(
+                (F.col("id") * n_batches + b).alias("id"),
+                F.lit(None).cast("bigint").alias("v"),
+                F.lit("d").alias("op"),
+                F.lit(1).cast("bigint").alias("seq"),
+            )
+            ice.merge_upsert(
+                spark, keys, tdir, on=["id"], op_col="op", seq_col="seq",
+                partition_spec=spec, now_ms=(b + 2) * 1_000,
+            )
+        return tdir
+
+    legs = [
+        ("warmup", 50_000, 2),
+        ("1x", 400_000, 8),
+        ("10x-tbl", 4_000_000, 8),
+        ("10x-eq", 400_000, 80),
+    ]
+    print(
+        f"{'eqconv':10s} {'tbl_rows':>9} {'eq_files':>9} "
+        f"{'convert_s':>10} {'pos_rows':>9}"
+    )
+    for label, n_rows, n_batches in legs:
+        tdir = _build(n_rows, n_batches, label)
+        t0 = time.time()
+        meta = ice.convert_equality_deletes(spark, tdir, now_ms=10**9)
+        conv_s = time.time() - t0
+        summ = meta["snapshots"][-1]["summary"]
+        if label != "warmup":
+            print(
+                f"{label:10s} {n_rows:9d} "
+                f"{int(summ['converted-equality-delete-files']):9d} "
+                f"{conv_s:10.2f} "
+                f"{int(summ['total-position-deletes']):9d}"
+            )
+        shutil.rmtree(tdir, ignore_errors=True)
+    spark.stop()
+
+
 def probe_bounds_pruning() -> None:
     """Column-stats pruning flatness: commit N sorted offset bands, then
     plan a FIXED offset window with plan_scan(column_bounds=...) at N
@@ -1414,6 +1488,8 @@ if __name__ == "__main__":
         probe_rpd_merge()
     elif "--cdc-upsert" in sys.argv:
         probe_cdc_upsert()
+    elif "--eqconv" in sys.argv:
+        probe_eqconv()
     elif "--position-deletes" in sys.argv:
         probe_position_deletes()
     else:
