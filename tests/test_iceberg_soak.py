@@ -116,6 +116,13 @@ def _consume(spark, tdir: str, ckpt: int, counts: dict, catalog=None) -> int:
 GLOBAL_K1 = [21, 63, 205]
 GLOBAL_K2 = [102, 457, 650]
 
+#: merge step (r10): keys DELETED by the b=26 MERGE batch (all pass
+#: the %7/%11/%13 filters and avoid K1/K2/probe, so each was live) and
+#: keys INSERTED by it (beyond every appended range, chosen to pass
+#: the final DV predicates; partition = v % 2 like every other row)
+MERGE_DEL = [30, 33, 404, 810]
+MERGE_INS = [2001, 2002]
+
 
 def _run_evolution_gauntlet(spark, tmp_path, catalog=None) -> None:
     """The composed schedule ACROSS a partition-spec evolution
@@ -146,7 +153,9 @@ def _run_evolution_gauntlet(spark, tmp_path, catalog=None) -> None:
         commit_append,
         commit_equality_deletes,
         commit_position_deletes,
+        convert_equality_deletes,
         expire_snapshots,
+        merge_upsert,
         plan_scan,
         read_iceberg_table,
         read_table_metadata,
@@ -277,6 +286,44 @@ def _run_evolution_gauntlet(spark, tmp_path, catalog=None) -> None:
             commit_deletion_vectors(
                 spark, tdir, PRED_B, now_ms=ms, catalog=catalog
             )
+        if b == 26:
+            # MERGE batch on the EVOLVED composite table (r10): the
+            # key (v) does not cover the spec source `partition`, so
+            # the retraction plane goes GLOBAL — deletes + inserts in
+            # one atomic row-delta snapshot, consumed by the changelog
+            # aggregate like any other commit
+            ms += 1_000
+            batch = spark.createDataFrame(
+                [(None, k, "d") for k in MERGE_DEL]
+                + [(k % 2, k, "i") for k in MERGE_INS],
+                "partition int, v long, op string",
+            )
+            merge_upsert(
+                spark, batch, tdir, on=["v"], op_col="op",
+                partition_spec=[
+                    ("partition", "identity", None),
+                    ("v_bucket", "bucket[4]", "v"),
+                ],
+                now_ms=ms, catalog=catalog,
+            )
+        if b == 35:
+            # eq->pos conversion AFTER the merge (r10): retires the
+            # gauntlet's surviving equality plane (the merge's global
+            # retraction; K1/K2 were materialized by the b=20 rewrite)
+            # into per-cell position deletes — view unchanged, so the
+            # b=39 changelog consumption sees a zero-delta window
+            ms += 1_000
+            convert_equality_deletes(spark, tdir, now_ms=ms, catalog=catalog)
+            if catalog is None:
+                back = read_table_metadata(tdir)
+                live_eq = [
+                    e
+                    for m in back["manifests"]
+                    for e in m["entries"]
+                    if e["status"] != 2
+                    and e["data_file"].get("content") == 2
+                ]
+                assert not live_eq, "conversion left live eq files"
         if b % 9 == 8:
             ms += 1_000
             rewrite_manifests(tdir, now_ms=ms, catalog=catalog)
@@ -307,7 +354,7 @@ def _run_evolution_gauntlet(spark, tmp_path, catalog=None) -> None:
     ckpt = _consume(spark, tdir, ckpt, counts, catalog=catalog)
 
     total = n_batches * ROWS_PER_BATCH
-    gone = set(GLOBAL_K1) | set(GLOBAL_K2)
+    gone = set(GLOBAL_K1) | set(GLOBAL_K2) | set(MERGE_DEL)
     expected = {
         p: sum(
             1
@@ -318,6 +365,8 @@ def _run_evolution_gauntlet(spark, tmp_path, catalog=None) -> None:
             and v % 13 != 6
             and v not in gone
         )
+        # the merge's inserts (chosen to pass every later predicate)
+        + sum(1 for v in MERGE_INS if v % 2 == p)
         for p in (0, 1)
     }
     head = {
