@@ -29,11 +29,16 @@ import time
 # seconds per test file, measured single-process (same host);
 # only the ordering/ratios matter for packing
 DURATIONS = {
-    "test_iceberg_merge.py": 150,
+    # r10 re-estimates: the soak gauntlets grew (merge + conversion
+    # composed in) and the merge/eqconv/cdc-stream/mirror files are new
+    "test_iceberg_soak.py": 240,
+    "test_iceberg_merge.py": 160,
     "test_queries_vs_duckdb.py": 150,
     "test_iceberg_multifield.py": 110,
+    "test_iceberg_eqconv.py": 95,
     "test_bare_session.py": 90,
-    "test_iceberg_soak.py": 70,
+    "test_iceberg_mirror.py": 60,
+    "test_iceberg_cdc_stream.py": 45,
     "test_datasource.py": 60,
     "test_iceberg.py": 55,
     "test_deletion_vectors.py": 50,

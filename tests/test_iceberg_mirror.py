@@ -1,0 +1,113 @@
+"""mirror_iceberg_table (`streaming/ingest.py`): continuous table
+replication — iceberg_cdc stream in, merge sink out. Covers initial
+sync, incremental catch-up after further source merges, restart
+idempotence, and re-partitioning replication (different dst spec).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+    merge_upsert,
+    read_iceberg_table,
+    read_table_metadata,
+    write_iceberg_table,
+)
+from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+    mirror_iceberg_table,
+)
+
+SRC_SPEC = [("id_bucket", "bucket[2]", "id")]
+
+
+def _state(spark, tdir):
+    return {
+        (r["id"], r["grp"], r["val"])
+        for r in read_iceberg_table(spark, tdir).collect()
+    }
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "id bigint, grp bigint, val string, op string, seq bigint"
+    )
+
+
+def _src_table(spark, tdir):
+    base = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(16)],
+        "id bigint, grp bigint, val string",
+    )
+    write_iceberg_table(spark, base, tdir, now_ms=1_000, partition_spec=SRC_SPEC)
+    merge_upsert(
+        spark,
+        _batch(spark, [(2, 0, "u2", "u", 1), (3, None, None, "d", 1)]),
+        tdir, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=SRC_SPEC, now_ms=2_000,
+    )
+
+
+def test_mirror_sync_catchup_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _src_table(spark, src)
+
+    def run():
+        q = mirror_iceberg_table(
+            spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+            partition_spec=SRC_SPEC,
+        )
+        q.awaitTermination()
+
+    run()
+    assert _state(spark, dst) == _state(spark, src)
+
+    # further source changes -> incremental catch-up only
+    merge_upsert(
+        spark,
+        _batch(
+            spark,
+            [(0, 1, "moved", "u", 1), (5, None, None, "d", 1),
+             (90, 2, "late", "i", 1)],
+        ),
+        src, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=SRC_SPEC, now_ms=3_000,
+    )
+    n_dst_snaps = len(read_table_metadata(dst)["metadata"]["snapshots"])
+    run()
+    assert _state(spark, dst) == _state(spark, src)
+    meta = read_table_metadata(dst)["metadata"]
+    # exactly ONE more snapshot applied the one-source-commit window
+    assert len(meta["snapshots"]) == n_dst_snaps + 1
+
+    # restart with nothing new: no snapshot, state unchanged
+    run()
+    meta2 = read_table_metadata(dst)["metadata"]
+    assert meta2["current-snapshot-id"] == meta["current-snapshot-id"]
+    assert _state(spark, dst) == _state(spark, src)
+
+
+def test_mirror_repartitioning_replication(spark, tmp_path):
+    """The mirror may lay the destination out under a DIFFERENT spec
+    (identity(grp) here) — replication re-partitions in flight; the
+    non-key spec source makes the dst retractions global, and state
+    still converges."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _src_table(spark, src)
+    q = mirror_iceberg_table(
+        spark, src, dst, on=["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        partition_spec=[("grp", "identity", None)],
+    )
+    q.awaitTermination()
+    assert _state(spark, dst) == _state(spark, src)
+    stored = [
+        (f["name"], f["transform"])
+        for f in read_table_metadata(dst)["metadata"]["partition-specs"][0][
+            "fields"
+        ]
+    ]
+    assert stored == [("grp", "identity")]

@@ -662,3 +662,86 @@ def stream_cdc_to_iceberg(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def mirror_iceberg_table(
+    spark,
+    src_table_dir: str,
+    dst_table_dir: str,
+    on: list,
+    checkpoint_dir: str,
+    partition_spec: list | None = None,
+    query_name: str = "iceberg_mirror",
+    app_id: str | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    max_snapshots_per_trigger: int | None = None,
+):
+    """Continuous TABLE REPLICATION over public Iceberg metadata only:
+    consume the source table's keyed changelog
+    (`iceberg_cdc` — delete_key + insert rows per commit window) and
+    apply each micro-batch to the destination as one atomic MERGE
+    snapshot. The replay rule (seq order, deletes before inserts at
+    equal seq) maps onto the merge plane's last-writer-wins by a
+    composite sequence ``2*_commit_seq + is_insert`` — an upsert's
+    delete_key and insert at the same source commit resolve to the
+    insert, exactly the source's own semantics — so the mirror
+    converges to the source state after every drained batch.
+    Exactly-once end to end: the sink's durable per-lineage batch
+    marker dedups replays, and a restart resumes from the stream
+    checkpoint. The destination may use a DIFFERENT partition spec
+    than the source (re-partitioning replication).
+
+    Scale shape: source windows are metadata-planned parquet reads (no
+    joins); the apply is O(batch) with the target never scanned — a
+    100 TB mirror pays per-commit cost proportional to the CHANGES,
+    never the table."""
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+        register_cdc,
+    )
+
+    register_cdc(spark)
+    reader = (
+        spark.readStream.format("iceberg_cdc")
+        .option("path", src_table_dir)
+    )
+    if max_snapshots_per_trigger is not None:
+        reader = reader.option(
+            "maxSnapshotsPerTrigger", str(max_snapshots_per_trigger)
+        )
+    stream = reader.load()
+    resolved_app_id = app_id if app_id is not None else checkpoint_dir
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        b = (
+            batch_df.withColumn(
+                "__mirror_seq",
+                F.col("_commit_seq") * 2
+                + F.when(
+                    F.col("_change_type") == "insert", 1
+                ).otherwise(0),
+            )
+            .withColumn(
+                "__mirror_op",
+                F.when(
+                    F.col("_change_type") == "insert", F.lit("u")
+                ).otherwise(F.lit("d")),
+            )
+            .drop("_change_type", "_commit_seq")
+        )
+        commit_cdc_batch(
+            b, batch_id, dst_table_dir, resolved_app_id, on,
+            op_col="__mirror_op", seq_col="__mirror_seq",
+            partition_spec=partition_spec, catalog=catalog,
+            table_name=table_name,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
