@@ -589,3 +589,141 @@ def iceberg_eqconv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(counters).cast("bigint").alias("counters_exact"),
         )
     )
+
+
+_MIRROR_CACHE: dict[tuple, str] = {}
+
+
+def _mirrored_table(spark: SparkSession, sf_dir: str) -> str:
+    """Replication fixture: a source table (keys = distinct
+    event_id % 400, v=id*3, bucket[4](id)) takes two merge batches —
+    update ``id % 6 == 1`` to v=id*5, then delete ``id % 6 == 3`` and
+    insert keys id+5000 (v=id*2) for ``id < 50`` — and is then
+    MIRRORED by `mirror_iceberg_table` into a destination laid out
+    under a DIFFERENT spec (identity(grp)): re-partitioning
+    replication driven purely by the source's public Iceberg
+    metadata. Returns the DESTINATION dir."""
+    import os
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        merge_upsert,
+        write_iceberg_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        mirror_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _MIRROR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = (
+        load_table(spark, sf_dir, "events")
+        .select((F.col("event_id") % 400).alias("id"))
+        .distinct()
+    )
+    grp = (F.col("id") % 10).cast("bigint")
+    root = tempfile.mkdtemp(prefix="iceberg-mirror-q-")
+    src = os.path.join(root, "src")
+    spec = [("id_bucket", "bucket[4]", "id")]
+    write_iceberg_table(
+        spark,
+        ids.select(
+            "id", grp.alias("grp"),
+            (F.col("id") * 3).cast("bigint").alias("v"),
+        ),
+        src, now_ms=1_000, partition_spec=spec,
+    )
+    merge_upsert(
+        spark,
+        ids.where(F.col("id") % 6 == 1).select(
+            "id", grp.alias("grp"),
+            (F.col("id") * 5).cast("bigint").alias("v"),
+            F.lit("u").alias("op"), F.lit(1).cast("bigint").alias("seq"),
+        ),
+        src, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=spec, now_ms=2_000,
+    )
+    b2 = ids.where(F.col("id") % 6 == 3).select(
+        "id", F.lit(None).cast("bigint").alias("grp"),
+        F.lit(None).cast("bigint").alias("v"),
+        F.lit("d").alias("op"), F.lit(1).cast("bigint").alias("seq"),
+    ).unionAll(
+        ids.where(F.col("id") < 50).select(
+            (F.col("id") + 5_000).alias("id"), grp.alias("grp"),
+            (F.col("id") * 2).cast("bigint").alias("v"),
+            F.lit("i").alias("op"), F.lit(1).cast("bigint").alias("seq"),
+        )
+    )
+    merge_upsert(
+        spark, b2, src, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=spec, now_ms=3_000,
+    )
+    dst = os.path.join(root, "dst")
+    q = mirror_iceberg_table(
+        spark, src, dst, on=["id"],
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        partition_spec=[("grp", "identity", None)],
+    )
+    q.awaitTermination()
+    session_cache_put(_MIRROR_CACHE, key, dst)
+    return dst
+
+
+@query(
+    "streaming_table_mirror",
+    oracle="""
+WITH ids AS (SELECT DISTINCT event_id % 400 AS id FROM events),
+live AS (
+  SELECT id,
+         CASE WHEN id % 6 = 1 THEN id * 5 ELSE id * 3 END AS v
+  FROM ids WHERE id % 6 <> 3
+  UNION ALL
+  SELECT id + 5000, id * 2 FROM ids WHERE id < 50
+)
+SELECT CAST(id % 10 AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(1 AS BIGINT) AS repartitioned_spec
+FROM live
+GROUP BY CAST(id % 10 AS BIGINT)
+""",
+)
+def streaming_table_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous table REPLICATION (`mirror_iceberg_table`): the
+    source's merge history streams out through the keyed changelog
+    and applies to a destination under a DIFFERENT partition spec
+    (identity(grp) vs the source's bucket(id)); the mirror's per-group
+    aggregate must equal the relational final state of the source's
+    merge history — replication driven purely by public Iceberg
+    metadata, converging exactly. ``repartitioned_spec`` pins the
+    destination layout structurally. Scale shape: per-commit cost is
+    O(changes) end to end — metadata-planned stream windows, O(batch)
+    merges, target never scanned."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+        read_table_metadata,
+    )
+
+    dst = _mirrored_table(spark, sf_dir)
+    stored = [
+        (f["name"], f["transform"])
+        for f in read_table_metadata(dst)["metadata"]["partition-specs"][0][
+            "fields"
+        ]
+    ]
+    repartitioned = 1 if stored == [("grp", "identity")] else 0
+    return (
+        read_iceberg_table(spark, dst)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+        )
+        .select(
+            "grp",
+            "n_live",
+            "sum_v",
+            F.lit(repartitioned).cast("bigint").alias("repartitioned_spec"),
+        )
+    )
