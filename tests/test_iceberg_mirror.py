@@ -111,3 +111,32 @@ def test_mirror_repartitioning_replication(spark, tmp_path):
         ]
     ]
     assert stored == [("grp", "identity")]
+
+
+def test_mirror_into_rest_catalog_destination(spark, tmp_path):
+    """The destination side of the mirror can commit through the REST
+    catalog protocol: every applied window moves the catalog pointer,
+    and the catalog-served read converges to the source state."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        FakeRestCatalogServer,
+        RestCatalogClient,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _src_table(spark, src)
+    with FakeRestCatalogServer() as server:
+        cat = RestCatalogClient(server.base_url)
+        q = mirror_iceberg_table(
+            spark, src, dst, on=["id"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            partition_spec=SRC_SPEC, catalog=cat, table_name="mirror",
+        )
+        q.awaitTermination()
+        got = {
+            (r["id"], r["grp"], r["val"])
+            for r in read_iceberg_table(
+                spark, dst, catalog=cat, table_name="mirror"
+            ).collect()
+        }
+        assert got == _state(spark, src)
