@@ -64,7 +64,11 @@ DEFAULT_COST = 6
 
 
 def main() -> int:
-    n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    # default raised 4 -> 5 (r10): the suite grew a full CDC plane
+    # (~120 tests) and 4 shards could no longer pack under the 480 s
+    # budget; 5 x local[8] on 32 cores measured 425.9 s / max shard
+    # 424.9 s with mild oversubscription and no flakes
+    n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(
         os.path.basename(p) for p in glob.glob(os.path.join(root, "tests", "test_*.py"))

@@ -251,3 +251,28 @@ def test_convert_unblocks_cdc_stream_for_later_windows(spark):
         (r["id"], r["_change_type"], r["val"]) for r in ev.collect()
     }
     assert rows == {(7, "delete_key", None), (7, "insert", "late")}
+
+
+def test_cdc_stream_behind_conversion_fails_loudly(spark):
+    """The keyed-changelog stream refuses a window CONTAINING the
+    conversion snapshot (its position files are not key-representable)
+    with an actionable message; test_convert_unblocks... pins that
+    consumers checkpointed at-or-past it are unaffected."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+        register_cdc,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        run_stream_to_memory,
+    )
+
+    tdir = _mkdir()
+    _cdc_table(spark, tdir)
+    convert_equality_deletes(spark, tdir, now_ms=4_000)
+    register_cdc(spark)
+    with pytest.raises(Exception, match="re-bootstrap|key-representable"):
+        run_stream_to_memory(
+            spark.readStream.format("iceberg_cdc")
+            .option("path", tdir)
+            .load(),
+            "append",
+        )

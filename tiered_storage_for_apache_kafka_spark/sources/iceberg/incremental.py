@@ -155,8 +155,12 @@ def _plan_seq_window(
                     f"{hi_seq}]; an append-only changelog cannot represent "
                     "row retraction"
                     + (
-                        " (positional deletes are not key-representable; "
-                        "use read_iceberg_changelog)"
+                        " (positional deletes are not key-representable: "
+                        "a consumer checkpointed behind a position-delete "
+                        "or convert_equality_deletes snapshot must "
+                        "re-bootstrap from a full sync or consume the "
+                        "window with read_iceberg_changelog — consumers "
+                        "checkpointed at-or-past it are unaffected)"
                         if eq_sink is not None
                         else ""
                     )
