@@ -723,3 +723,33 @@ def test_merge_on_tag_rejected(spark):
             on=["id"], op_col="op", seq_col="seq",
             partition_spec=BUCKET_SPEC, branch="v1",
         )
+
+
+def test_merge_never_reads_target_data(spark):
+    """The O(batch) claim, proven structurally: corrupt every data
+    file in the table; the merge still succeeds (it plans from
+    metadata and never opens target parquet), and its snapshot
+    bookkeeping is exact."""
+    import glob
+
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=20)
+    data_files = [
+        p
+        for p in glob.glob(os.path.join(tdir, "**", "*.parquet"),
+                           recursive=True)
+        if os.sep + "metadata" + os.sep not in p
+        and os.sep + "deletes" + os.sep not in p
+    ]
+    assert data_files
+    for p in data_files:
+        with open(p, "wb") as fh:
+            fh.write(b"\x00not parquet\x00")
+    meta = merge_upsert(
+        spark, _batch(spark, [(0, 0, "X", "u", 1), (1, None, None, "d", 1)]),
+        tdir, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=BUCKET_SPEC, now_ms=2_000,
+    )
+    summ = meta["snapshots"][-1]["summary"]
+    assert summ["operation"] == "overwrite"
+    assert int(summ["added-equality-deletes"]) == 2
