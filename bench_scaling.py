@@ -1262,6 +1262,77 @@ def probe_cdc_upsert() -> None:
     spark.stop()
 
 
+def probe_mirror() -> None:
+    """Scale curve of mirror_iceberg_table catch-up (round 10): after
+    the initial sync, replicating ONE source merge batch must cost the
+    SAME against a 10x-larger table — the stream window plans only the
+    commit's files and the merge apply never reads the destination.
+    Legs: initial sync (table-sized, the one full pass) then a 4k-row
+    catch-up batch at 1x (400k rows) and 10x (4M rows) table sizes."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.session import get_spark
+    from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        mirror_iceberg_table,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spec = [("id_bucket", "bucket[8]", "id")]
+
+    print(
+        f"{'mirror':10s} {'tbl_rows':>9} {'sync_s':>7} "
+        f"{'catchup_s':>10} {'dst_rows':>9}"
+    )
+    for label, n_rows in (("warmup", 50_000), ("1x", 400_000),
+                          ("10x-tbl", 4_000_000)):
+        root = tempfile.mkdtemp(prefix=f"mirror-{label}-")
+        src, dst = _os.path.join(root, "src"), _os.path.join(root, "dst")
+        ckpt = _os.path.join(root, "ckpt")
+        df = spark.range(n_rows).select(
+            F.col("id"), (F.col("id") * 3).cast("bigint").alias("v")
+        )
+        ice.write_iceberg_table(
+            spark, df, src, now_ms=1_000, partition_spec=spec
+        )
+
+        def run():
+            q = mirror_iceberg_table(
+                spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+                partition_spec=spec,
+            )
+            q.awaitTermination()
+
+        t0 = time.time()
+        run()
+        sync_s = time.time() - t0
+        batch = spark.range(4_000).select(
+            (F.col("id") * (n_rows // 4_000)).alias("id"),
+            (F.col("id") * 7).cast("bigint").alias("v"),
+            F.lit("u").alias("op"),
+        )
+        ice.merge_upsert(
+            spark, batch, src, on=["id"], op_col="op",
+            partition_spec=spec, now_ms=2_000,
+        )
+        t0 = time.time()
+        run()
+        catchup_s = time.time() - t0
+        n_dst = ice.read_iceberg_table(spark, dst).count()
+        if label != "warmup":
+            print(
+                f"{label:10s} {n_rows:9d} {sync_s:7.2f} "
+                f"{catchup_s:10.2f} {n_dst:9d}"
+            )
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 def probe_eqconv() -> None:
     """Scale curve of convert_equality_deletes (round 10): the pass is
     ONE distributed key+identity scan of the data plus tiny delete
@@ -1490,6 +1561,8 @@ if __name__ == "__main__":
         probe_cdc_upsert()
     elif "--eqconv" in sys.argv:
         probe_eqconv()
+    elif "--mirror" in sys.argv:
+        probe_mirror()
     elif "--position-deletes" in sys.argv:
         probe_position_deletes()
     else:

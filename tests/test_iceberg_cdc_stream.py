@@ -171,3 +171,26 @@ def test_cdc_stream_scoped_subscription(spark):
         r["id"] for r in ev.where("_change_type = 'delete_key'").collect()
     }
     assert {2, 3} <= del_ids  # in-scope retractions always delivered
+
+
+def test_cdc_stream_required_columns_nullable_in_changelog(spark, tmp_path):
+    """A table whose schema declares required (non-null) columns still
+    streams: delete_key rows null out non-key columns, so the stream's
+    schema relaxes every table column to nullable (caught by the
+    --mirror probe: spark.range sources produce required fields)."""
+    tdir = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 3).alias("v")  # both non-nullable
+    )
+    spec = [("id_bucket", "bucket[2]", "id")]
+    write_iceberg_table(spark, df, tdir, now_ms=1_000, partition_spec=spec)
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(3, None, "d")], "id bigint, v bigint, op string"),
+        tdir, on=["id"], op_col="op", partition_spec=spec, now_ms=2_000,
+    )
+    ev = _events(spark, tdir)
+    rows = {(r["id"], r["_change_type"], r["v"]) for r in ev.collect()}
+    assert (3, "delete_key", None) in rows
+    assert (3, "insert", 9) in rows  # base insert of id=3
+    assert len(rows) == 11

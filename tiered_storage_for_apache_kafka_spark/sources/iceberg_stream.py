@@ -308,6 +308,20 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
     joins, no driver row handling, same cost model as the append
     stream."""
 
+    def _expected_arrow_schema(self):
+        """The parent's schema with every field NULLABLE: a delete_key
+        row nulls out all non-key columns, including ones the table
+        schema declares required — the stream's contract is
+        per-CHANGE-ROW nullability, not the table's."""
+        if getattr(self, "_arrow_schema", None) is None:
+            import pyarrow as pa
+
+            base = super()._expected_arrow_schema()
+            self._arrow_schema = pa.schema(
+                [f.with_nullable(True) for f in base]
+            )
+        return self._arrow_schema
+
     def partitions(self, start: dict, end: dict) -> list[CdcFilePartition]:
         from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
             _plan_seq_window,
@@ -429,11 +443,18 @@ class IcebergCdcDataSource(DataSource):
             iceberg_schema_to_spark,
         )
 
+        from pyspark.sql.types import StructType
+
         _v, meta, _t = _current_state_meta(
             self.options.get("path") or self.options.get("table_dir")
         )
         base = iceberg_schema_to_spark(_current_schema_struct(meta))
-        return base.add(StructField("_change_type", StringType())).add(
+        # every column nullable: delete_key rows null out non-key
+        # columns even where the TABLE schema says required
+        out = StructType(
+            [StructField(f.name, f.dataType, True) for f in base.fields]
+        )
+        return out.add(StructField("_change_type", StringType())).add(
             StructField("_commit_seq", LongType())
         )
 
