@@ -253,11 +253,16 @@ def test_convert_unblocks_cdc_stream_for_later_windows(spark):
     assert rows == {(7, "delete_key", None), (7, "insert", "late")}
 
 
-def test_cdc_stream_behind_conversion_fails_loudly(spark):
-    """The keyed-changelog stream refuses a window CONTAINING the
-    conversion snapshot (its position files are not key-representable)
-    with an actionable message; test_convert_unblocks... pins that
-    consumers checkpointed at-or-past it are unaffected."""
+def test_cdc_stream_crosses_conversion_window(spark):
+    """A keyed-changelog consumer CROSSING the conversion snapshot is
+    unaffected: conversion output files are skipped as view-neutral
+    (the guarded `delete-eqconv-` rule — sound here because the full
+    history is live), the original equality entries serve their own
+    windows, and the replayed mirror still equals the table. Genuine
+    positional deletes keep failing loudly
+    (test_cdc_stream_positional_delete_refused)."""
+    from pyspark.sql import Window
+
     from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
         register_cdc,
     )
@@ -267,9 +272,69 @@ def test_cdc_stream_behind_conversion_fails_loudly(spark):
 
     tdir = _mkdir()
     _cdc_table(spark, tdir)
-    convert_equality_deletes(spark, tdir, now_ms=4_000)
+    conv = convert_equality_deletes(spark, tdir, now_ms=4_000)
+    conv_seq = int(conv["snapshots"][-1]["sequence-number"])
     register_cdc(spark)
-    with pytest.raises(Exception, match="re-bootstrap|key-representable"):
+    ev = run_stream_to_memory(
+        spark.readStream.format("iceberg_cdc").option("path", tdir).load(),
+        "append",
+    )
+    # the conversion window itself contributes NOTHING
+    assert ev.where(F.col("_commit_seq") == conv_seq).count() == 0
+    # and the replayed mirror equals the table state
+    ins = ev.where(F.col("_change_type") == "insert")
+    w = Window.partitionBy("id").orderBy(F.col("_commit_seq").desc())
+    last_ins = (
+        ins.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .drop("rn")
+    )
+    dseq = (
+        ev.where(F.col("_change_type") == "delete_key")
+        .select(F.col("id").alias("did"), "_commit_seq")
+        .groupBy("did")
+        .agg(F.max("_commit_seq").alias("dseq"))
+    )
+    mirror = {
+        (r["id"], r["val"])
+        for r in last_ins.join(dseq, F.col("id") == F.col("did"), "left")
+        .where("dseq IS NULL OR dseq <= _commit_seq")
+        .collect()
+    }
+    table = {
+        (r["id"], r["val"])
+        for r in read_iceberg_table(spark, tdir).collect()
+    }
+    assert mirror == table
+
+
+def test_cdc_stream_below_horizon_conversion_refused(spark):
+    """The GC-horizon guard: once expiration lifts the horizon past a
+    from-scratch consumer's floor, a window holding conversion output
+    is refused (equality tombstones below the horizon may have been
+    GC'd, so the skip can no longer be proven covered) — re-bootstrap,
+    the expired-changelog contract."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        expire_snapshots,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+        register_cdc,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        run_stream_to_memory,
+    )
+
+    tdir = _mkdir()
+    _cdc_table(spark, tdir)  # seqs 1..3
+    convert_equality_deletes(spark, tdir, now_ms=4_000)  # seq 4
+    merge_upsert(
+        spark, _batch(spark, [(0, 0, "late", "u", 1)]), tdir,
+        on=["id"], op_col="op", seq_col="seq", partition_spec=SPEC,
+        now_ms=5_000,
+    )  # seq 5
+    expire_snapshots(tdir, keep_last=2, now_ms=6_000)  # horizon -> 4
+    register_cdc(spark)
+    with pytest.raises(Exception, match="not key-representable"):
         run_stream_to_memory(
             spark.readStream.format("iceberg_cdc")
             .option("path", tdir)

@@ -140,3 +140,37 @@ def test_mirror_into_rest_catalog_destination(spark, tmp_path):
             ).collect()
         }
         assert got == _state(spark, src)
+
+
+def test_mirror_survives_source_conversion(spark, tmp_path):
+    """The operational loop end-to-end: mirror syncs, the SOURCE runs
+    convert_equality_deletes (a view-neutral window the keyed stream
+    skips), takes another merge, and the mirror catch-up converges —
+    maintenance on the source never forces a mirror re-bootstrap."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        convert_equality_deletes,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _src_table(spark, src)
+
+    def run():
+        q = mirror_iceberg_table(
+            spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+            partition_spec=SRC_SPEC,
+        )
+        q.awaitTermination()
+
+    run()
+    convert_equality_deletes(spark, src, now_ms=5_000)
+    merge_upsert(
+        spark,
+        _batch(spark, [(7, 1, "post-conv", "u", 1),
+                       (8, None, None, "d", 1)]),
+        src, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=SRC_SPEC, now_ms=6_000,
+    )
+    run()
+    assert _state(spark, dst) == _state(spark, src)

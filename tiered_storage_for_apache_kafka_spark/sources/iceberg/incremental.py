@@ -7,6 +7,8 @@ docstrings.
 
 from __future__ import annotations
 
+import os as _os
+
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
     _is_rewrite_output,
     _read_planned_files,
@@ -110,6 +112,26 @@ def _plan_seq_window(
     rewrite_ids = _data_rewrite_snapshot_ids(meta)
     constraints = constraints or {}
     specs_by_id = _specs_by_id(meta) if constraints else None
+    # keyed-changelog mode: a convert_equality_deletes output file
+    # (path marker, durable like _compacted-) is VIEW-NEUTRAL — its
+    # positions retract rows the window's (tombstoned, original-seq)
+    # equality entries already retract — so it can be SKIPPED instead
+    # of failing every continuous consumer that must cross the
+    # conversion snapshot. Sound exactly when the window floor is
+    # at-or-above the tombstone GC horizon (min live-snapshot seq):
+    # GC only drops delete tombstones with seq <= horizon, so a
+    # window with lo >= horizon provably still holds every equality
+    # entry that covers the skipped positions. A horizon of <= 1 is
+    # equally safe at ANY lo: the table's full history is live, every
+    # PAST horizon was also <= 1, and an equality delete can never
+    # carry seq 1 (it needs a data commit below it) — so nothing
+    # coverable was ever dropped. Below the horizon otherwise, the
+    # conservative refusal stands (re-bootstrap, same contract as an
+    # expired changelog).
+    gc_horizon = min(
+        (int(s["sequence-number"]) for s in meta.get("snapshots", [])),
+        default=0,
+    )
     out: list[dict] = []
     for mf in manifest_files:
         if int(mf.get("sequence_number", 0)) <= lo_seq:
@@ -137,6 +159,15 @@ def _plan_seq_window(
             # tombstones the old delete entry, but the rows it
             # retracted inside the window are still retracted — the
             # tombstone must not blind the guard
+            if (
+                eq_sink is not None
+                and d.get("content") == 1
+                and _os.path.basename(str(d["file_path"])).startswith(
+                    "delete-eqconv-"
+                )
+                and (lo_seq >= gc_horizon or gc_horizon <= 1)
+            ):
+                continue  # conversion output (see gc_horizon note)
             if d.get("content") == 2 and eq_sink is not None:
                 # keyed-changelog mode (the iceberg_cdc stream): an
                 # equality delete IS key-representable — collect it as
@@ -156,11 +187,11 @@ def _plan_seq_window(
                     "row retraction"
                     + (
                         " (positional deletes are not key-representable: "
-                        "a consumer checkpointed behind a position-delete "
-                        "or convert_equality_deletes snapshot must "
                         "re-bootstrap from a full sync or consume the "
-                        "window with read_iceberg_changelog — consumers "
-                        "checkpointed at-or-past it are unaffected)"
+                        "window with read_iceberg_changelog; view-neutral "
+                        "convert_equality_deletes output is skipped "
+                        "automatically unless the window predates the "
+                        "tombstone GC horizon)"
                         if eq_sink is not None
                         else ""
                     )
