@@ -33,6 +33,7 @@ DURATIONS = {
     # composed in) and the merge/eqconv/cdc-stream/mirror files are new
     "test_iceberg_soak.py": 240,
     "test_iceberg_merge.py": 160,
+    "test_cdc_soak.py": 150,
     "test_queries_vs_duckdb.py": 150,
     "test_iceberg_multifield.py": 110,
     "test_iceberg_eqconv.py": 95,

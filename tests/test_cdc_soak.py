@@ -1,0 +1,152 @@
+"""The CDC soak gauntlet: 30 merge rounds against a Python-dict
+oracle with every maintenance plane composed — eq->pos conversion,
+delete-plane compaction, sorted data compaction, snapshot expiration,
+orphan sweep — while a continuous MIRROR catches up through all of it
+(including conversion and rewrite windows) and must converge to the
+closed-form state at the end. The round-10 plane's integration test:
+merge in, maintain, stream out, replicate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+    convert_equality_deletes,
+    expire_snapshots,
+    merge_upsert,
+    read_iceberg_table,
+    read_table_metadata,
+    remove_orphan_files,
+    rewrite_data_files,
+    rewrite_position_deletes,
+    write_iceberg_table,
+)
+from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+    mirror_iceberg_table,
+)
+
+SPEC = [("id_bucket", "bucket[4]", "id")]
+N_ROUNDS = 30
+BASE_KEYS = 400
+
+
+def _expected_round_ops(r: int):
+    """The closed-form changelog for round r (1-based): upserts as
+    {id: val}, deletes as a set of ids. Keys stride the base range
+    plus per-round inserts at 10_000*r + j."""
+    ups = {
+        i: f"r{r}-{i}"
+        for i in range(BASE_KEYS)
+        if i % 10 == r % 10
+    }
+    ups.update(
+        {10_000 * r + j: f"ins{r}-{j}" for j in range(5)}
+    )
+    dels = {
+        i for i in range(BASE_KEYS) if i % 37 == r % 37 and i % 10 != r % 10
+    }
+    if r % 5 == 0:
+        # resurrect keys round r-1 deleted (they carry r's values)
+        ups.update(
+            {
+                i: f"res{r}-{i}"
+                for i in range(BASE_KEYS)
+                if i % 37 == (r - 1) % 37 and i % 10 != (r - 1) % 10
+            }
+        )
+    return ups, dels
+
+
+@pytest.mark.parametrize("mirror_every", [10])
+def test_cdc_soak_gauntlet(spark, tmp_path, mirror_every):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+
+    state = {i: f"v{i}" for i in range(BASE_KEYS)}
+    base = spark.createDataFrame(
+        [(i, v) for i, v in state.items()], "id bigint, val string"
+    )
+    ms = 1_000
+    write_iceberg_table(spark, base, src, now_ms=ms, partition_spec=SPEC)
+
+    def mirror_catchup():
+        q = mirror_iceberg_table(
+            spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+            partition_spec=SPEC,
+        )
+        q.awaitTermination()
+
+    for r in range(1, N_ROUNDS + 1):
+        ms += 1_000
+        ups, dels = _expected_round_ops(r)
+        rows = [(k, v, "u") for k, v in ups.items()] + [
+            (k, None, "d") for k in dels if k not in ups
+        ]
+        batch = spark.createDataFrame(rows, "id bigint, val string, op string")
+        merge_upsert(
+            spark, batch, src, on=["id"], op_col="op",
+            partition_spec=SPEC, now_ms=ms,
+        )
+        state.update(ups)
+        for k in dels:
+            if k not in ups:
+                state.pop(k, None)
+
+        if r in (10, 20):
+            ms += 1_000
+            convert_equality_deletes(spark, src, now_ms=ms)
+        if r == 12:
+            ms += 1_000
+            rewrite_position_deletes(spark, src, now_ms=ms)
+        if r == 15:
+            ms += 1_000
+            rewrite_data_files(spark, src, now_ms=ms, sort_by=["id"])
+        if r == 25:
+            # keep_last large enough that the GC horizon stays BELOW
+            # the mirror's r=10 checkpoint — a tighter retention would
+            # (correctly) refuse the r=30 catch-up and force a mirror
+            # re-bootstrap; operational rule: retention must cover the
+            # slowest keyed consumer's lag
+            ms += 1_000
+            expire_snapshots(src, keep_last=20, now_ms=ms)
+            # crash-free merges leave NO orphans (explicit-file
+            # commits); the sweep composes as a no-op and must not
+            # disturb anything
+            remove_orphan_files(src, older_than_timestamp_ms=10**14)
+        if r % mirror_every == 0 and r != 20:
+            # catch-up crosses the r=10 conversion, the r=12 rpd, and
+            # the r=15 rewrite windows (checkpoint at 10 -> window
+            # (10, 30] minus the skipped maintenance); r=20's
+            # conversion is crossed by the r=30 catch-up
+            mirror_catchup()
+
+    # source head equals the closed form
+    got_src = {
+        r_["id"]: r_["val"]
+        for r_ in read_iceberg_table(spark, src).collect()
+    }
+    assert got_src == state
+    # the mirror converged through every maintenance window
+    got_dst = {
+        r_["id"]: r_["val"]
+        for r_ in read_iceberg_table(spark, dst).collect()
+    }
+    assert got_dst == state
+    # the delete planes stayed bounded: conversions retired the eq
+    # plane up to r=20; only post-20 merges' eq files remain live
+    back = read_table_metadata(src)
+    live_eq_seqs = sorted(
+        e["sequence_number"]
+        for m in back["manifests"]
+        for e in m["entries"]
+        if e["status"] != 2 and e["data_file"].get("content") == 2
+    )
+    conv2_seq = next(
+        int(s["sequence-number"])
+        for s in back["metadata"]["snapshots"]
+        if s["summary"].get("converted-equality-delete-files")
+        and int(s["sequence-number"]) > 15
+    )
+    assert live_eq_seqs and min(live_eq_seqs) > conv2_seq
