@@ -1239,6 +1239,10 @@ def probe_cdc_upsert() -> None:
         ("10x-tbl", 4_000_000, 4_000),
         ("10x-batch", 400_000, 40_000),
     ]
+    import sys as _sys
+
+    if "--full" in _sys.argv:
+        legs.append(("100x-tbl", 40_000_000, 4_000))
     print(
         f"{'cdc upsert':10s} {'tbl_rows':>9} {'batch':>7} "
         f"{'merge_s':>8} {'live_rows':>10}"
