@@ -341,3 +341,30 @@ def test_cdc_stream_below_horizon_conversion_refused(spark):
             .load(),
             "append",
         )
+
+
+def test_convert_zero_match_eq_files_still_retire(spark):
+    """Equality deletes whose keys match nothing (e.g. retractions of
+    never-inserted keys) convert to ZERO position rows — but the eq
+    files still tombstone and the counters still zero out, so the scan
+    stops paying for them."""
+    tdir = _mkdir()
+    base = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(8)],
+        "id bigint, grp bigint, val string",
+    )
+    write_iceberg_table(spark, base, tdir, now_ms=1_000, partition_spec=SPEC)
+    merge_upsert(
+        spark,
+        _batch(spark, [(500, None, None, "d", 1), (501, None, None, "d", 1)]),
+        tdir, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=SPEC, now_ms=2_000,
+    )
+    before = _state(spark, tdir)
+    meta = convert_equality_deletes(spark, tdir, now_ms=3_000)
+    assert _state(spark, tdir) == before
+    assert not _live_deletes(tdir)  # nothing live on either plane
+    summ = meta["snapshots"][-1]["summary"]
+    assert int(summ["added-position-deletes"]) == 0
+    assert int(summ["total-position-deletes"]) == 0
+    assert int(summ["total-equality-deletes"]) == 0
