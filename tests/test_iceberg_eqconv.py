@@ -368,3 +368,45 @@ def test_convert_zero_match_eq_files_still_retire(spark):
     assert int(summ["added-position-deletes"]) == 0
     assert int(summ["total-position-deletes"]) == 0
     assert int(summ["total-equality-deletes"]) == 0
+
+
+def test_convert_via_rest_catalog(spark):
+    """Catalog mode: the conversion snapshot (tombstoned eq manifests +
+    converted position manifests) commits through the REST protocol and
+    the catalog-served read stays exact."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        FakeRestCatalogServer,
+        RestCatalogClient,
+    )
+
+    tdir = _mkdir()
+    base = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(12)],
+        "id bigint, grp bigint, val string",
+    )
+    with FakeRestCatalogServer() as server:
+        cat = RestCatalogClient(server.base_url)
+        write_iceberg_table(
+            spark, base, tdir, now_ms=1_000, partition_spec=SPEC,
+            catalog=cat, table_name="t",
+        )
+        merge_upsert(
+            spark,
+            _batch(spark, [(2, 0, "u2", "u", 1), (3, None, None, "d", 1)]),
+            tdir, on=["id"], op_col="op", seq_col="seq",
+            partition_spec=SPEC, now_ms=2_000, catalog=cat, table_name="t",
+        )
+        meta = convert_equality_deletes(
+            spark, tdir, now_ms=3_000, catalog=cat, table_name="t"
+        )
+        summ = meta["snapshots"][-1]["summary"]
+        assert int(summ["total-equality-deletes"]) == 0
+        got = {
+            r["id"]: r["val"]
+            for r in read_iceberg_table(
+                spark, tdir, catalog=cat, table_name="t"
+            ).collect()
+        }
+        exp = {i: f"v{i}" for i in range(12) if i != 3}
+        exp[2] = "u2"
+        assert got == exp
