@@ -739,3 +739,122 @@ def streaming_table_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(repartitioned).cast("bigint").alias("repartitioned_spec"),
         )
     )
+
+
+_REGISTRY_CACHE: dict[tuple, str] = {}
+
+
+def _corpus_registry_table(spark: SparkSession, sf_dir: str) -> str:
+    """The training-corpus REGISTRY maintained by CDC — the curation
+    use of the merge plane: a content-addressed index (doc_id,
+    content_hash, lang, n_chars) over the documents corpus, kept
+    current through one merge batch of a refresh cycle:
+
+    - REVISIONS: ``doc_id % 7 == 1`` re-hash (text + '-v2') and grow
+      by 5 chars;
+    - TAKEDOWNS: ``doc_id % 13 == 2`` (unless revised) are removed —
+      the licensing/opt-out deletion a corpus pipeline must honor;
+    - NEW DOCS: ``doc_id % 31 == 3`` arrive as doc_id+1_000_000 with
+      a fresh hash.
+
+    Scale shape: the registry is the SMALL index over a huge corpus;
+    refresh cost is O(changed docs) — the table itself is never
+    rescanned per cycle."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        merge_upsert,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _REGISTRY_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_hash"),
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-registry-")
+    spec = [("doc_bucket", "bucket[4]", "doc_id")]
+    write_iceberg_table(spark, base, tdir, now_ms=1_000, partition_spec=spec)
+    revised = docs.where(F.col("doc_id") % 7 == 1).select(
+        "doc_id",
+        F.md5(F.concat(F.col("text"), F.lit("-v2"))).alias("content_hash"),
+        "lang",
+        (F.col("n_chars") + 5).cast("bigint").alias("n_chars"),
+        F.lit("u").alias("op"),
+    )
+    takedowns = docs.where(
+        (F.col("doc_id") % 13 == 2) & (F.col("doc_id") % 7 != 1)
+    ).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("content_hash"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("bigint").alias("n_chars"),
+        F.lit("d").alias("op"),
+    )
+    arrivals = docs.where(F.col("doc_id") % 31 == 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.md5(F.concat(F.col("text"), F.lit("-new"))).alias("content_hash"),
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.lit("i").alias("op"),
+    )
+    merge_upsert(
+        spark, revised.unionAll(takedowns).unionAll(arrivals), tdir,
+        on=["doc_id"], op_col="op", partition_spec=spec, now_ms=2_000,
+    )
+    session_cache_put(_REGISTRY_CACHE, key, tdir)
+    return tdir
+
+
+@query(
+    "cdc_corpus_registry",
+    oracle="""
+WITH live AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 7 = 1 THEN md5(text || '-v2')
+              ELSE md5(text) END AS h,
+         CASE WHEN doc_id % 7 = 1 THEN n_chars + 5
+              ELSE n_chars END AS nc
+  FROM documents
+  WHERE NOT (doc_id % 13 = 2 AND doc_id % 7 <> 1)
+  UNION ALL
+  SELECT doc_id + 1000000, lang, md5(text || '-new'), n_chars
+  FROM documents WHERE doc_id % 31 = 3
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_content
+FROM live
+GROUP BY lang
+""",
+)
+def cdc_corpus_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus registry maintained by CDC (the merge plane's
+    curation use case): a refresh cycle of revisions, takedowns, and
+    arrivals applies as one atomic merge, and the registry's per-lang
+    inventory — doc counts, char volume, DISTINCT content count (the
+    exact-dedup ledger) — replays relationally over the raw corpus.
+    Takedown honoring, revision tracking, and dedup accounting in one
+    O(changed docs) cycle; the registry is never rescanned per
+    refresh."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+    )
+
+    tdir = _corpus_registry_table(spark, sf_dir)
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.countDistinct("content_hash")
+            .cast("bigint")
+            .alias("n_distinct_content"),
+        )
+    )
