@@ -36,8 +36,11 @@ DURATIONS = {
     "test_cdc_soak.py": 150,
     "test_queries_vs_duckdb.py": 150,
     "test_iceberg_multifield.py": 110,
+    "test_driver_session_parity.py": 140,
     "test_iceberg_eqconv.py": 95,
-    "test_bare_session.py": 90,
+    # r11: slimmed to the 1 non-oracled query (value-level replay of the
+    # oracled ones moved to test_driver_session_parity.py)
+    "test_bare_session.py": 30,
     "test_iceberg_mirror.py": 60,
     "test_iceberg_cdc_stream.py": 45,
     "test_datasource.py": 60,

@@ -8,6 +8,13 @@ query that silently depends on session.py's config (legacy parquet
 flags, python-datasource pushdown, broadcast thresholds) breaks there
 while the engine's own tests stay green. The registry is executed in a
 subprocess so the shared test session's config can't leak in.
+
+Since r11 this file covers only the queries WITHOUT an oracle (the
+rows-only driver check); every oracled query gets the strictly stronger
+VALUE-level bare-session replay in ``test_driver_session_parity.py``
+(the r10 INT96 red proved count-only lets silent plan/hash regressions
+through), so running them count-only here too would be pure double
+work.
 """
 
 from __future__ import annotations
@@ -30,10 +37,13 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
+from tiered_storage_for_apache_kafka_spark.operators import ORACLES
 from tiered_storage_for_apache_kafka_spark.operators.registry import CACHE_WARMUP
 
 failures = []
-qs = e.queries()
+# oracled queries are value-replayed on a default-conf session in
+# test_driver_session_parity.py; only the rows-only ones remain here
+qs = {n: f for n, f in e.queries().items() if n not in ORACLES}
 
 def go(name):
     try:

@@ -18,58 +18,18 @@ match, and ``test_no_decimal_or_timestamp_outputs`` pins them.
 
 from __future__ import annotations
 
-import datetime as dt
-import decimal
-import math
 import os
+import sys
 
-import duckdb
-import pandas as pd
 import pytest
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _driver_compare import canon_frame as _canon_frame  # noqa: E402
+from _driver_compare import duck_con as _duck_con  # noqa: E402
+
 from tiered_storage_for_apache_kafka_spark.operators import ORACLES, QUERIES
-from tiered_storage_for_apache_kafka_spark.tables import TABLE_NAMES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
-
-
-def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for name in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
-        )
-    return con
-
-
-def _canon(v) -> str:
-    """Stringify a pandas cell with NO cross-dtype normalization (a
-    Decimal and an equal float must stringify differently, as they hash
-    differently in the driver)."""
-    if v is None or v is pd.NaT:
-        return "NULL"
-    if isinstance(v, decimal.Decimal):
-        return f"dec:{v}"
-    if isinstance(v, float):  # covers np.float64 (subclass)
-        if math.isnan(v):
-            return "NaN"
-        return f"f:{v!r}"
-    if isinstance(v, pd.Timestamp):
-        return v.isoformat()
-    if isinstance(v, (dt.datetime, dt.date)):
-        return v.isoformat()
-    if isinstance(v, bool):
-        return "1" if v else "0"
-    return str(v)
-
-
-def _canon_frame(df: pd.DataFrame):
-    cols = sorted(df.columns)
-    rows = sorted(
-        tuple(_canon(v) for v in row)
-        for row in df[cols].itertuples(index=False, name=None)
-    )
-    return rows
 
 
 from tiered_storage_for_apache_kafka_spark.operators.registry import (

@@ -1028,8 +1028,12 @@ def _sorted_writer_table(spark: SparkSession, sf_dir: str) -> str:
             + F.col("event_id")
         ).alias("ts_us"),
     )
-    # ~8 sorted slices per day at EVERY sf (one bounded count)
-    mrpf = max(64, df.count() // (N_DAYS * 8))
+    # ~8 sorted slices per day at EVERY sf (one bounded count). Floor
+    # 16, not 64: within a day cell ids step by N_DAYS, so a 64-row
+    # slice spans ~64*N_DAYS ids — at sf0.001 (~2k events) that is the
+    # whole domain and the bounds probe prunes nothing (found by the
+    # r11 default-conf parity gate, which replays at small sf)
+    mrpf = max(16, df.count() // (N_DAYS * 8))
     tdir = tempfile.mkdtemp(prefix="iceberg-sorted-")
     write_iceberg_table(
         spark, df, tdir, now_ms=1_000,

@@ -66,3 +66,81 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# ---------------------------------------------------------------------------
+# Session-portable write confs (r11)
+#
+# The engine must produce spec-legal parquet under ANY SparkSession, not
+# just get_spark's: the correctness driver (and any downstream user)
+# hands query code its own vanilla session, where Spark's default
+# spark.sql.parquet.outputTimestampType=INT96 applies. INT96 timestamp
+# chunks carry NO footer statistics (min/max absent), so the manifest
+# stats fold publishes no bounds and temporal column-bounds pruning
+# silently degrades to full scan — and INT96 is not a legal Iceberg
+# parquet encoding for timestamps at all (the spec mandates int64
+# micros), so external readers would reject the files. Every engine
+# parquet-write path therefore pins these confs around its own write
+# instead of trusting the ambient session (r10 post-mortem:
+# iceberg_timestamp_window_scan went driver-red while the get_spark
+# gate stayed green).
+
+_PINNED_WRITE_CONFS = {
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+}
+
+_PIN_LOCK = None  # created lazily; threading import kept off module import
+# per-SparkSession pin state: id(session) -> [depth, {conf: saved}]
+_PIN_STATE: dict[int, list] = {}
+
+
+class pinned_write_confs:
+    """Context manager: set the engine's load-bearing parquet write
+    confs on ``spark`` for the duration of a write, restoring the
+    caller's values after. Re-entrant and thread-safe within a process
+    (a per-session depth counter — all pins set identical values, so
+    overlapping writers on the same session compose); restore happens
+    only when the last writer on that session exits, so a concurrent
+    write never sees the confs flip mid-action."""
+
+    def __init__(self, spark):
+        self._spark = spark
+
+    def __enter__(self):
+        global _PIN_LOCK
+        if _PIN_LOCK is None:
+            import threading
+
+            _PIN_LOCK = threading.Lock()
+        with _PIN_LOCK:
+            state = _PIN_STATE.get(id(self._spark))
+            if state is None:
+                saved: dict[str, str | None] = {}
+                for k, v in _PINNED_WRITE_CONFS.items():
+                    try:
+                        saved[k] = self._spark.conf.get(k, None)
+                    except Exception:
+                        saved[k] = None
+                    self._spark.conf.set(k, v)
+                _PIN_STATE[id(self._spark)] = [1, saved]
+            else:
+                state[0] += 1
+        return self._spark
+
+    def __exit__(self, *exc):
+        with _PIN_LOCK:
+            state = _PIN_STATE.get(id(self._spark))
+            if state is None:  # unbalanced exit; nothing to restore
+                return False
+            state[0] -= 1
+            if state[0] == 0:
+                del _PIN_STATE[id(self._spark)]
+                for k, old in state[1].items():
+                    try:
+                        if old is None:
+                            self._spark.conf.unset(k)
+                        else:
+                            self._spark.conf.set(k, old)
+                    except Exception:
+                        pass
+        return False

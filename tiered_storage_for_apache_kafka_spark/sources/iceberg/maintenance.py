@@ -934,7 +934,14 @@ def _rewrite_data_files_once(
     writer = shaped.write.partitionBy(*part_names)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
-    writer.parquet(out_dir, mode="overwrite")
+    # session-portable write confs: rewritten files must carry INT64
+    # timestamp stats under ANY ambient session (session.pinned_write_confs)
+    from tiered_storage_for_apache_kafka_spark.session import (
+        pinned_write_confs,
+    )
+
+    with pinned_write_confs(spark):
+        writer.parquet(out_dir, mode="overwrite")
     new_paths = []
     for root, _dirs, names in os.walk(out_dir):
         if "_temporary" in root.split(os.sep):

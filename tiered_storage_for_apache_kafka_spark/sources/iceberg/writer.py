@@ -199,9 +199,18 @@ def stage_data_files(
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
 
     # stage, walk the STAGE (O(batch)), rename into the table — the
-    # committed set is known exactly with zero table-directory listing
+    # committed set is known exactly with zero table-directory listing.
+    # The write runs under pinned session-portable confs: a vanilla
+    # session's INT96 default would strip timestamp footer stats (no
+    # manifest bounds → no temporal pruning) and violate the Iceberg
+    # parquet spec (int64 micros mandated) — see session.pinned_write_confs
+    from tiered_storage_for_apache_kafka_spark.session import (
+        pinned_write_confs,
+    )
+
     staging = os.path.join(table_dir, f"_stage-{_uuid.uuid4().hex[:16]}")
-    writer.parquet(staging, mode="overwrite")
+    with pinned_write_confs(spark):
+        writer.parquet(staging, mode="overwrite")
     new_files: list[str] = []
     for root, _dirs, names in os.walk(staging):
         rel = os.path.relpath(root, staging)

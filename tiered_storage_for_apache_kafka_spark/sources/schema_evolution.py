@@ -141,7 +141,12 @@ def evolve_and_append(envelope: DataFrame, table_dir: str) -> StructType:
         if current is not None
         else envelope.schema
     )
-    conform(envelope, merged).write.mode("append").parquet(table_dir)
+    from tiered_storage_for_apache_kafka_spark.session import (
+        pinned_write_confs,
+    )
+
+    with pinned_write_confs(envelope.sparkSession):
+        conform(envelope, merged).write.mode("append").parquet(table_dir)
     with open(_schema_log_path(table_dir), "w") as fh:
         json.dump(merged.jsonValue(), fh)
     return merged

@@ -62,7 +62,14 @@ def write_table(envelope: DataFrame, table_dir: str) -> None:
     """I5/I6: commit envelope rows as a Parquet table partitioned by
     topic-partition (append mode = additive commits, like Iceberg
     newAppend)."""
-    envelope.write.mode("append").partitionBy("partition").parquet(table_dir)
+    from tiered_storage_for_apache_kafka_spark.session import (
+        pinned_write_confs,
+    )
+
+    with pinned_write_confs(envelope.sparkSession):
+        envelope.write.mode("append").partitionBy("partition").parquet(
+            table_dir
+        )
 
 
 def read_table(

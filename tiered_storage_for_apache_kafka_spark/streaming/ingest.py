@@ -230,14 +230,19 @@ def commit_manifests(manifests: DataFrame, batch_id: int, manifest_dir: str) -> 
     overwrites its own rows instead of appending duplicate segment_uuid
     rows that readers would double-count. Segment objects are likewise
     rewritten in place (same deterministic uuid → same object key)."""
-    (
-        manifests.withColumn("batch_id", F.lit(batch_id))
-        .dropDuplicates(["segment_uuid"])
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(manifest_dir)
+    from tiered_storage_for_apache_kafka_spark.session import (
+        pinned_write_confs,
     )
+
+    with pinned_write_confs(manifests.sparkSession):
+        (
+            manifests.withColumn("batch_id", F.lit(batch_id))
+            .dropDuplicates(["segment_uuid"])
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(manifest_dir)
+        )
 
 
 def stream_tier_events(
@@ -447,7 +452,14 @@ def commit_envelope_batch(
                 return False  # replayed batch of THIS lineage: done
     staging = _os.path.join(table_dir, f"_staging-batch-{app_tag}-{batch_id}")
     _shutil.rmtree(staging, ignore_errors=True)
-    batch_df.write.mode("overwrite").partitionBy("partition").parquet(staging)
+    from tiered_storage_for_apache_kafka_spark.session import (
+        pinned_write_confs,
+    )
+
+    with pinned_write_confs(batch_df.sparkSession):
+        batch_df.write.mode("overwrite").partitionBy("partition").parquet(
+            staging
+        )
     # clear every stale destination of this (app, batch) BEFORE renaming:
     # a crashed attempt may have produced more files than this replay
     prefix = f"batch-{app_tag}-{batch_id:08d}-"
