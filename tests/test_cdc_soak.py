@@ -5,6 +5,13 @@ orphan sweep — while a continuous MIRROR catches up through all of it
 (including conversion and rewrite windows) and must converge to the
 closed-form state at the end. The round-10 plane's integration test:
 merge in, maintain, stream out, replicate.
+
+r11 adds the EVOLVING-SCHEMA round: at round 18 the feed grows a
+``score double`` column (the normal life of a CDC feed); the merge
+evolves the source schema in-commit, the r=20 conversion and r=25
+expiration run over the evolved table, and the r=30 mirror catch-up
+(a fresh query pinning the evolved schema) replicates both the column
+and the null-padding of pre-evolution rows.
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
 SPEC = [("id_bucket", "bucket[4]", "id")]
 N_ROUNDS = 30
 BASE_KEYS = 400
+EVOLVE_ROUND = 18  # the feed gains a `score double` column here
 
 
 def _expected_round_ops(r: int):
@@ -78,21 +86,36 @@ def test_cdc_soak_gauntlet(spark, tmp_path, mirror_every):
         )
         q.awaitTermination()
 
+    score_state: dict = {}  # id -> score for rows written post-evolution
     for r in range(1, N_ROUNDS + 1):
         ms += 1_000
         ups, dels = _expected_round_ops(r)
-        rows = [(k, v, "u") for k, v in ups.items()] + [
-            (k, None, "d") for k in dels if k not in ups
-        ]
-        batch = spark.createDataFrame(rows, "id bigint, val string, op string")
+        if r < EVOLVE_ROUND:
+            rows = [(k, v, "u") for k, v in ups.items()] + [
+                (k, None, "d") for k in dels if k not in ups
+            ]
+            batch = spark.createDataFrame(
+                rows, "id bigint, val string, op string"
+            )
+        else:
+            # the feed evolved: every upsert now carries a score
+            rows = [(k, v, float(r), "u") for k, v in ups.items()] + [
+                (k, None, None, "d") for k in dels if k not in ups
+            ]
+            batch = spark.createDataFrame(
+                rows, "id bigint, val string, score double, op string"
+            )
         merge_upsert(
             spark, batch, src, on=["id"], op_col="op",
             partition_spec=SPEC, now_ms=ms,
         )
         state.update(ups)
+        if r >= EVOLVE_ROUND:
+            score_state.update({k: float(r) for k in ups})
         for k in dels:
             if k not in ups:
                 state.pop(k, None)
+                score_state.pop(k, None)
 
         if r in (10, 20):
             ms += 1_000
@@ -122,18 +145,26 @@ def test_cdc_soak_gauntlet(spark, tmp_path, mirror_every):
             # conversion is crossed by the r=30 catch-up
             mirror_catchup()
 
-    # source head equals the closed form
+    # source head equals the closed form — including the evolved
+    # column (pre-evolution rows read null, post-evolution their round)
+    exp_full = {
+        k: (v, score_state.get(k)) for k, v in state.items()
+    }
     got_src = {
-        r_["id"]: r_["val"]
+        r_["id"]: (r_["val"], r_["score"])
         for r_ in read_iceberg_table(spark, src).collect()
     }
-    assert got_src == state
-    # the mirror converged through every maintenance window
+    assert got_src == exp_full
+    src_meta = read_table_metadata(src)["metadata"]
+    assert len(src_meta["schemas"]) == 2  # exactly one evolution step
+    # the mirror converged through every maintenance window AND the
+    # schema evolution (its own schema count proves it evolved too)
     got_dst = {
-        r_["id"]: r_["val"]
+        r_["id"]: (r_["val"], r_["score"])
         for r_ in read_iceberg_table(spark, dst).collect()
     }
-    assert got_dst == state
+    assert got_dst == exp_full
+    assert len(read_table_metadata(dst)["metadata"]["schemas"]) >= 2
     # the delete planes stayed bounded: conversions retired the eq
     # plane up to r=20; only post-20 merges' eq files remain live
     back = read_table_metadata(src)

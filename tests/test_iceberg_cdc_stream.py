@@ -194,3 +194,149 @@ def test_cdc_stream_required_columns_nullable_in_changelog(spark, tmp_path):
     assert (3, "delete_key", None) in rows
     assert (3, "insert", 9) in rows  # base insert of id=3
     assert len(rows) == 11
+
+
+# ---------------------------------------------------------------------------
+# Mid-stream schema evolution posture (r11, module docstring): old files
+# pad-null/up-cast silently (lossless); files NEWER than the pinned
+# stream schema fail explicitly toward a checkpoint-preserving restart.
+
+
+def test_cdc_stream_started_after_evolution_pads_old_files(spark):
+    # direction 1: consumer newer than the files — silent null padding
+    tdir = _mkdir()
+    _table_with_merge(spark, tdir)
+    merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(60, 2, "withscore", 0.75)],
+            "id bigint, grp bigint, val string, score double",
+        ),
+        tdir, on=["id"], partition_spec=SPEC, now_ms=3_000,
+    )
+    ev = _events(spark, tdir)
+    rows = {
+        (r["id"], r["_change_type"], r["score"])
+        for r in ev.collect()
+        if r["id"] in (60, 5)
+    }
+    assert (60, "insert", 0.75) in rows  # post-evolution file
+    assert (5, "insert", None) in rows  # pre-evolution file pads null
+    assert (60, "delete_key", None) in rows
+
+
+def test_cdc_stream_pinned_schema_fails_explicit_on_new_column(spark):
+    # direction 2: the table evolves AFTER the stream pinned its schema
+    # — reading a newer file raises the actionable restart error
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+        IcebergCdcStreamReader,
+        StreamSchemaEvolvedError,
+    )
+
+    tdir = _mkdir()
+    _table_with_merge(spark, tdir)
+    register_cdc(spark)
+    pinned = (
+        spark.readStream.format("iceberg_cdc").option("path", tdir)
+        .load()
+        .schema
+    )
+    merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(61, 2, "late", 1.25)],
+            "id bigint, grp bigint, val string, score double",
+        ),
+        tdir, on=["id"], partition_spec=SPEC, now_ms=3_000,
+    )
+    reader = IcebergCdcStreamReader({"path": tdir}, pinned_schema=pinned)
+    parts = reader.partitions({"seq": 2}, {"seq": 3})
+    data_parts = [p for p in parts if p.kind == "data"]
+    assert data_parts
+    with pytest.raises(StreamSchemaEvolvedError, match="Restart the streaming query"):
+        for p in data_parts:
+            list(reader.read(p))
+
+
+def test_cdc_stream_pinned_schema_fails_explicit_on_widened_column(spark):
+    # a post-pin int->long promotion would silently truncate through an
+    # old consumer — same restart posture
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+        IcebergCdcStreamReader,
+        StreamSchemaEvolvedError,
+    )
+
+    tdir = _mkdir()
+    base = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(8)],
+        "id bigint, grp bigint, cnt int",
+    )
+    write_iceberg_table(spark, base, tdir, now_ms=1_000, partition_spec=SPEC)
+    register_cdc(spark)
+    pinned = (
+        spark.readStream.format("iceberg_cdc").option("path", tdir)
+        .load()
+        .schema
+    )
+    merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(0, 0, 6_000_000_000)], "id bigint, grp bigint, cnt bigint"
+        ),
+        tdir, on=["id"], partition_spec=SPEC, now_ms=2_000,
+    )
+    reader = IcebergCdcStreamReader({"path": tdir}, pinned_schema=pinned)
+    parts = [
+        p for p in reader.partitions({"seq": 1}, {"seq": 2})
+        if p.kind == "data"
+    ]
+    assert parts
+    with pytest.raises(StreamSchemaEvolvedError, match="Restart"):
+        for p in parts:
+            list(reader.read(p))
+
+
+def test_cdc_stream_restart_after_evolution_continues_from_checkpoint(spark):
+    # the posture's promise: a RESTART (same checkpoint) re-pins the
+    # evolved schema and consumes exactly the missed window
+    import tempfile as _tempfile
+
+    tdir = _mkdir()
+    _table_with_merge(spark, tdir)
+    register_cdc(spark)
+    ckpt = _tempfile.mkdtemp(prefix="cdc-evo-ckpt-")
+
+    def drain():
+        rows: list = []
+        cols: list = []
+
+        def sink(batch_df, _bid):
+            rows.extend(batch_df.collect())
+            cols[:] = batch_df.columns
+
+        reader = spark.readStream.format("iceberg_cdc").option("path", tdir)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows, cols
+
+    first, _ = drain()
+    assert {r["_commit_seq"] for r in first} == {1, 2}
+    merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(70, 1, "post", 9.5)],
+            "id bigint, grp bigint, val string, score double",
+        ),
+        tdir, on=["id"], partition_spec=SPEC, now_ms=3_000,
+    )
+    second, cols = drain()
+    assert {r["_commit_seq"] for r in second} == {3}  # only the new window
+    assert "score" in cols  # the restart re-pinned the evolved schema
+    got = {(r["id"], r["_change_type"], r["score"]) for r in second}
+    assert (70, "insert", 9.5) in got

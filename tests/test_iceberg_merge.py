@@ -282,7 +282,9 @@ def test_merge_empty_batch_no_snapshot(spark):
     assert len(meta["snapshots"]) == len(m0["snapshots"])
 
 
-def test_merge_schema_mismatch_rejected(spark):
+def test_merge_schema_drift_rejected_when_opted_out(spark):
+    # evolve_schema=False restores the strict r10 contract: a batch
+    # with a new column errors instead of evolving
     tdir = _mkdir()
     _base_table(spark, tdir, n=4)
     df = spark.createDataFrame(
@@ -290,6 +292,21 @@ def test_merge_schema_mismatch_rejected(spark):
         "id bigint, grp bigint, val string, extra string",
     )
     with pytest.raises(ValueError, match="merge batch schema"):
+        merge_upsert(
+            spark, df, tdir, on=["id"], partition_spec=BUCKET_SPEC,
+            evolve_schema=False,
+        )
+
+
+def test_merge_incompatible_type_change_rejected(spark):
+    # a non-promotable type change (string -> bigint) is never legal,
+    # with or without evolve_schema
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=4)
+    df = spark.createDataFrame(
+        [(1, 0, 7)], "id bigint, grp bigint, val bigint"
+    )
+    with pytest.raises(ValueError, match="incompatible"):
         merge_upsert(
             spark, df, tdir, on=["id"], partition_spec=BUCKET_SPEC
         )
@@ -753,3 +770,298 @@ def test_merge_never_reads_target_data(spark):
     summ = meta["snapshots"][-1]["summary"]
     assert summ["operation"] == "overwrite"
     assert int(summ["added-equality-deletes"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution THROUGH the merge (r11): a drifted CDC batch evolves
+# the table in the SAME merge commit — add-as-optional, int->long /
+# float->double promotion, null-conform of absent optionals — with the
+# eq-delete plane staying on the key columns.
+
+
+def test_merge_evolves_add_column(spark):
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=10)
+    df = spark.createDataFrame(
+        [(1, 1, "one-v2", 0.9), (100, 9, "new", 0.5)],
+        "id bigint, grp bigint, val string, score double",
+    )
+    meta = merge_upsert(
+        spark, df, tdir, on=["id"], partition_spec=BUCKET_SPEC,
+        now_ms=2_000,
+    )
+    # the schema version advanced IN the merge commit
+    assert len(meta["schemas"]) == 2
+    assert meta["current-schema-id"] == meta["schemas"][-1]["schema-id"]
+    new_field = next(
+        f for f in meta["schemas"][-1]["fields"] if f["name"] == "score"
+    )
+    assert new_field["required"] is False  # add-as-optional
+    assert meta["snapshots"][-1]["schema-id"] == meta["current-schema-id"]
+    got = {
+        r["id"]: (r["val"], r["score"])
+        for r in read_iceberg_table(spark, tdir).collect()
+    }
+    assert got[1] == ("one-v2", 0.9)  # upserted row carries the column
+    assert got[100] == ("new", 0.5)
+    assert got[2] == ("v2", None)  # pre-evolution rows read as null
+    assert len(got) == 11
+
+
+def test_merge_evolution_time_travel_sees_old_schema(spark):
+    tdir = _mkdir()
+    m0 = _base_table(spark, tdir, n=6)
+    first_snap = m0["snapshots"][-1]["snapshot-id"]
+    df = spark.createDataFrame(
+        [(0, 0, "z", 1.5)], "id bigint, grp bigint, val string, score double"
+    )
+    merge_upsert(
+        spark, df, tdir, on=["id"], partition_spec=BUCKET_SPEC, now_ms=2_000
+    )
+    old = read_iceberg_table_at(spark, tdir, snapshot_id=first_snap)
+    assert "score" not in old.columns  # the snapshot's schema, not current
+    assert old.count() == 6
+
+
+def test_merge_promotes_int_to_long(spark):
+    tdir = _mkdir()
+    df0 = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(8)],
+        "id bigint, grp bigint, cnt int",
+    )
+    write_iceberg_table(
+        spark, df0, tdir, now_ms=1_000, partition_spec=BUCKET_SPEC
+    )
+    big = 5_000_000_000  # does not fit int32
+    df = spark.createDataFrame(
+        [(0, 0, big)], "id bigint, grp bigint, cnt bigint"
+    )
+    meta = merge_upsert(
+        spark, df, tdir, on=["id"], partition_spec=BUCKET_SPEC, now_ms=2_000
+    )
+    assert len(meta["schemas"]) == 2
+    cnt_t = next(
+        f for f in meta["schemas"][-1]["fields"] if f["name"] == "cnt"
+    )
+    assert cnt_t["type"] == "long"
+    got = {r["id"]: r["cnt"] for r in read_iceberg_table(spark, tdir).collect()}
+    assert got[0] == big
+    assert got[3] == 30  # old int32 pages up-cast in place
+    assert len(got) == 8
+
+
+def test_merge_narrower_batch_upcasts_without_evolution(spark):
+    # table long, batch int: NOT a schema change — the batch up-casts
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=6)
+    df = spark.createDataFrame(
+        [(2, 2, "narrow")], "id int, grp int, val string"
+    )
+    meta = merge_upsert(
+        spark, df, tdir, on=["id"], partition_spec=BUCKET_SPEC, now_ms=2_000
+    )
+    assert len(meta["schemas"]) == 1
+    assert _state(spark, tdir)[2] == (2, "narrow")
+
+
+def test_merge_missing_optional_column_conforms_null(spark):
+    # the upsert is a full replacement image: a column the feed stopped
+    # carrying is null in the new version of the row
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=6)
+    df = spark.createDataFrame([(3, 3)], "id bigint, grp bigint")
+    merge_upsert(
+        spark, df, tdir, on=["id"], partition_spec=BUCKET_SPEC, now_ms=2_000
+    )
+    got = _state(spark, tdir)
+    assert got[3] == (3, None)
+    assert got[4] == (4, "v4")
+
+
+def test_merge_missing_required_column_rejected(spark):
+    # spark.range's id is non-nullable -> Iceberg REQUIRED; a batch
+    # lacking it cannot conform (a null would violate the schema)
+    tdir = _mkdir()
+    base = spark.range(6).selectExpr(
+        "id", "cast(id % 3 as bigint) as grp", "string(id) as val"
+    )
+    write_iceberg_table(
+        spark, base, tdir, now_ms=1_000, partition_spec=BUCKET_SPEC
+    )
+    meta0 = read_table_metadata(tdir)["metadata"]
+    req = {f["name"]: f["required"] for f in meta0["schemas"][-1]["fields"]}
+    assert req["id"] is True
+    df = spark.createDataFrame([(99, "x")], "grp bigint, val string")
+    with pytest.raises(ValueError, match="key columns missing"):
+        # the key itself missing fails earliest
+        merge_upsert(spark, df, tdir, on=["id"], partition_spec=BUCKET_SPEC)
+    df2 = spark.range(1).selectExpr(
+        "cast(90 as bigint) as grp", "id"
+    )  # carries id (required, and the key) but not val — val is optional
+    # now make a REQUIRED non-key column: grp is nullable here, so pin
+    # the guard through a second required column table
+    tdir2 = _mkdir()
+    base2 = spark.range(6).selectExpr(
+        "id", "id as grp2", "string(id) as val"
+    )  # grp2 inherits non-null from range
+    write_iceberg_table(
+        spark, base2, tdir2, now_ms=1_000, partition_spec=BUCKET_SPEC
+    )
+    batch = spark.range(1).selectExpr("id", "string('z') as val")
+    with pytest.raises(ValueError, match="REQUIRED"):
+        merge_upsert(
+            spark, batch, tdir2, on=["id"], partition_spec=BUCKET_SPEC
+        )
+
+
+def test_merge_evolution_rejected_on_branch(spark):
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=4)
+    df = spark.createDataFrame(
+        [(0, 0, "b", 1.0)], "id bigint, grp bigint, val string, score double"
+    )
+    with pytest.raises(ValueError, match="branch"):
+        merge_upsert(
+            spark, df, tdir, on=["id"], partition_spec=BUCKET_SPEC,
+            branch="audit",
+        )
+
+
+def test_merge_promotion_on_partition_source_rejected(spark):
+    tdir = _mkdir()
+    df0 = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(6)],
+        "id bigint, grp int, val string",
+    )
+    write_iceberg_table(
+        spark, df0, tdir, now_ms=1_000,
+        partition_spec=[("grp", "identity", None)],
+    )
+    df = spark.createDataFrame(
+        [(0, 5_000_000_000, "wide")], "id bigint, grp bigint, val string"
+    )
+    with pytest.raises(ValueError, match="partition source"):
+        merge_upsert(
+            spark, df, tdir, on=["id"],
+            partition_spec=[("grp", "identity", None)],
+        )
+
+
+def test_merge_promoted_key_column_still_retracts(spark):
+    # widen the MERGE KEY itself: older eq-delete/data files keep int32
+    # pages; the current-schema explicit read up-casts both sides
+    tdir = _mkdir()
+    df0 = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(8)],
+        "id int, grp bigint, val string",
+    )
+    write_iceberg_table(
+        spark, df0, tdir, now_ms=1_000, partition_spec=BUCKET_SPEC
+    )
+    # first merge at int key width
+    m1 = spark.createDataFrame([(1, 0, "upd1")], "id int, grp bigint, val string")
+    merge_upsert(spark, m1, tdir, on=["id"], partition_spec=BUCKET_SPEC, now_ms=2_000)
+    # second merge widens the key to long
+    m2 = spark.createDataFrame(
+        [(2, 0, "upd2"), (6_000_000_000, 1, "huge")],
+        "id bigint, grp bigint, val string",
+    )
+    meta = merge_upsert(
+        spark, m2, tdir, on=["id"], partition_spec=BUCKET_SPEC, now_ms=3_000
+    )
+    idt = next(f for f in meta["schemas"][-1]["fields"] if f["name"] == "id")
+    assert idt["type"] == "long"
+    got = {r["id"]: r["val"] for r in read_iceberg_table(spark, tdir).collect()}
+    assert got[1] == "upd1" and got[2] == "upd2"
+    assert got[6_000_000_000] == "huge"
+    assert len(got) == 9
+    # third merge retracts a key that only exists in pre-widening files
+    m3 = spark.createDataFrame([(3, None, None, "d", 1)],
+        "id bigint, grp bigint, val string, op string, seq bigint")
+    merge_upsert(
+        spark, m3, tdir, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=BUCKET_SPEC, now_ms=4_000,
+    )
+    got = {r["id"]: r["val"] for r in read_iceberg_table(spark, tdir).collect()}
+    assert 3 not in got and len(got) == 8
+
+
+def test_merge_identical_duplicate_events_are_idempotent(spark):
+    # the same delete event delivered twice (same key+seq+op, identical
+    # payload) collapses instead of raising the ambiguity error
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=6)
+    rows = [(2, None, None, "d", 1), (2, None, None, "d", 1)]
+    merge_upsert(
+        spark, _batch(spark, rows), tdir, on=["id"], op_col="op",
+        seq_col="seq", partition_spec=BUCKET_SPEC, now_ms=2_000,
+    )
+    assert 2 not in _state(spark, tdir)
+    # genuinely conflicting rows still raise
+    rows = [(3, 0, "a", "u", 1), (3, 0, "b", "u", 1)]
+    with pytest.raises(ValueError, match="ambiguous"):
+        merge_upsert(
+            spark, _batch(spark, rows), tdir, on=["id"], op_col="op",
+            seq_col="seq", partition_spec=BUCKET_SPEC,
+        )
+
+
+def test_merge_evolution_catalog_mode_roundtrip(spark):
+    # the add-schema / set-current-schema updates ride the SAME catalog
+    # commit as the snapshot
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        FakeRestCatalogServer,
+        RestCatalogClient,
+    )
+
+    tdir = _mkdir()
+    with FakeRestCatalogServer() as server:
+        cat = RestCatalogClient(server.base_url)
+        df0 = spark.createDataFrame(
+            [(i, i % 3, f"v{i}") for i in range(6)],
+            "id bigint, grp bigint, val string",
+        )
+        write_iceberg_table(
+            spark, df0, tdir, now_ms=1_000, partition_spec=BUCKET_SPEC,
+            catalog=cat, table_name="t",
+        )
+        df = spark.createDataFrame(
+            [(0, 0, "z", 2.5)],
+            "id bigint, grp bigint, val string, score double",
+        )
+        meta = merge_upsert(
+            spark, df, tdir, on=["id"], partition_spec=BUCKET_SPEC,
+            now_ms=2_000, catalog=cat, table_name="t",
+        )
+        assert len(meta["schemas"]) == 2
+        got = {
+            r["id"]: r["score"]
+            for r in read_iceberg_table(
+                spark, tdir, catalog=cat, table_name="t"
+            ).collect()
+        }
+        assert got[0] == 2.5 and got[1] is None
+
+
+def test_merge_evolution_then_compaction(spark):
+    # rewrite_data_files over a merge-evolved table materializes the
+    # deletes and unifies the file generations under the new schema
+    tdir = _mkdir()
+    _base_table(spark, tdir, n=12)
+    df = spark.createDataFrame(
+        [(1, 1, "one", 0.1), (2, 2, "two", 0.2)],
+        "id bigint, grp bigint, val string, score double",
+    )
+    merge_upsert(
+        spark, df, tdir, on=["id"], partition_spec=BUCKET_SPEC, now_ms=2_000
+    )
+    before = _state_scores(spark, tdir)
+    rewrite_data_files(spark, tdir, now_ms=3_000)
+    assert _state_scores(spark, tdir) == before
+
+
+def _state_scores(spark, tdir):
+    return {
+        r["id"]: (r["val"], r["score"])
+        for r in read_iceberg_table(spark, tdir).collect()
+    }

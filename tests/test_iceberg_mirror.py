@@ -174,3 +174,77 @@ def test_mirror_survives_source_conversion(spark, tmp_path):
     )
     run()
     assert _state(spark, dst) == _state(spark, src)
+
+
+def test_mirror_preserves_required_columns_in_destination(spark, tmp_path):
+    # advisor r10: the dst used to be created from the force-nullable
+    # stream schema; it must come from the SOURCE table's metadata
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    base = spark.range(10).selectExpr(  # range id is non-null -> required
+        "id", "cast(id % 3 as bigint) as grp", "string(id) as val"
+    )
+    write_iceberg_table(spark, base, src, now_ms=1_000, partition_spec=SRC_SPEC)
+    src_req = {
+        f["name"]: f["required"]
+        for f in read_table_metadata(src)["metadata"]["schemas"][-1]["fields"]
+    }
+    assert src_req["id"] is True
+    q = mirror_iceberg_table(
+        spark, src, dst, on=["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"), partition_spec=SRC_SPEC,
+    )
+    q.awaitTermination()
+    dst_meta = read_table_metadata(dst)["metadata"]
+    dst_req = {
+        f["name"]: f["required"]
+        for f in dst_meta["schemas"][-1]["fields"]
+    }
+    assert dst_req["id"] is True  # required-ness survived the replica
+    assert dst_meta["current-schema-id"] == max(
+        s["schema-id"] for s in dst_meta["schemas"]
+    )
+    assert _state(spark, dst) == _state(spark, src)
+
+
+def test_mirror_survives_source_schema_evolution_across_restart(spark, tmp_path):
+    # VERDICT r10 #4/#5 composition: a column appears on the source
+    # mid-lifetime; the next mirror run (fresh query, same checkpoint)
+    # pins the evolved schema, evolves the destination through the
+    # merge plane, and converges
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _src_table(spark, src)
+
+    def run():
+        q = mirror_iceberg_table(
+            spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+            partition_spec=SRC_SPEC,
+        )
+        q.awaitTermination()
+
+    run()
+    assert _state(spark, dst) == _state(spark, src)
+
+    # source evolves: new optional column lands through a merge
+    merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(2, 0, "u2-scored", 0.5), (99, 1, "new", 0.9)],
+            "id bigint, grp bigint, val string, score double",
+        ),
+        src, on=["id"], partition_spec=SRC_SPEC, now_ms=3_000,
+    )
+    run()
+    dst_meta = read_table_metadata(dst)["metadata"]
+    assert len(dst_meta["schemas"]) >= 2  # the replica evolved too
+    src_rows = {
+        (r["id"], r["val"], r["score"])
+        for r in read_iceberg_table(spark, src).collect()
+    }
+    dst_rows = {
+        (r["id"], r["val"], r["score"])
+        for r in read_iceberg_table(spark, dst).collect()
+    }
+    assert dst_rows == src_rows
+    assert (99, "new", 0.9) in dst_rows
+    assert (5, "v5", None) in dst_rows  # pre-evolution rows pad null

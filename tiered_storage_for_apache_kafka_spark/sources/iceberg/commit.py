@@ -390,6 +390,11 @@ def _commit_append_once(
                 "schema change on main first"
             )
         if schema_changed:
+            from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (  # noqa: E501
+                guard_partition_source_promotion,
+            )
+
+            guard_partition_source_promotion(base, cur_schema, evolved)
             new_sid = max(s["schema-id"] for s in base["schemas"]) + 1
             evolved = {**evolved, "schema-id": new_sid}
             base = {

@@ -1299,10 +1299,21 @@ def _convert_equality_deletes_once(
     # the rows each equality-delete group WOULD retract, with identity:
     # per (key-column set, spec generation) — the same grouping the
     # merge-on-read scan applies, inverted to a semi-join
+    from pyspark.sql.types import StructType
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+        iceberg_schema_to_spark,
+    )
+
+    table_spark = iceberg_schema_to_spark(schema_struct)
     matches = None
     for ids_tuple in sorted({tuple(d["equality_ids"]) for d in eqs}):
         grp = [d for d in eqs if tuple(d["equality_ids"]) == ids_tuple]
         eq_cols = [id_to_name[i] for i in ids_tuple]
+        # explicit CURRENT-schema key types: a promoted key column's
+        # older delete files hold narrower pages that inference would
+        # misread (same hardening as the merge-on-read scan)
+        eq_schema = StructType([table_spark[c] for c in eq_cols])
         by_spec: dict[int, list[dict]] = {}
         for d in grp:
             by_spec.setdefault(
@@ -1316,6 +1327,7 @@ def _convert_equality_deletes_once(
             m = _apply_eq_delete_group(
                 spark, df, data, by_spec[sid], eq_cols, spec["fields"],
                 field_types, id_to_name, join_type="left_semi",
+                eq_schema=eq_schema,
             ).select("__iceberg_file", "__iceberg_pos")
             matches = m if matches is None else matches.unionAll(m)
     matches = matches.distinct()

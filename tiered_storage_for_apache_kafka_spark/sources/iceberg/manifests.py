@@ -73,19 +73,44 @@ def _base_path_groups(table_dir: str, paths: list[str]) -> list[tuple[str, list[
 
 
 def _read_planned_files(
-    spark, table_dir: str, meta: dict, paths: list[str], project=None
+    spark, table_dir: str, meta: dict, paths: list[str], project=None,
+    schema_id: int | None = None,
 ):
     """Hand a planned file set to Spark's parquet reader, one scan per
-    basePath group unioned (see :func:`_base_path_groups`); schema
-    merging is paid only when the table actually has multiple schema
-    versions. ``project`` maps each per-group scan before the union —
-    needed for per-file metadata columns, which must be selected on
-    the source scan, not after a union."""
+    basePath group unioned (see :func:`_base_path_groups`); on an
+    evolved table the scan runs under the EXPLICIT table schema
+    (``schema_id`` selects a version for time travel; default current)
+    — never parquet ``mergeSchema``, which cannot merge a promoted
+    primitive (int32 vs int64 files fail), while an explicit wider
+    schema up-casts old pages in place and null-pads added-as-optional
+    columns, both vectorized. ``project`` maps each per-group scan
+    before the union — needed for per-file metadata columns, which
+    must be selected on the source scan, not after a union."""
+    explicit = None
+    if len(meta.get("schemas", [])) > 1:
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (  # noqa: E501
+            iceberg_schema_to_spark,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (  # noqa: E501
+            _current_schema_struct,
+        )
+
+        sid = (
+            schema_id
+            if schema_id is not None
+            else meta["current-schema-id"]
+        )
+        struct = next(
+            (s for s in meta["schemas"] if s["schema-id"] == sid), None
+        )
+        explicit = iceberg_schema_to_spark(
+            struct if struct is not None else _current_schema_struct(meta)
+        )
     dfs = []
     for base, ps in _base_path_groups(table_dir, paths):
         reader = spark.read.option("basePath", base)
-        if len(meta.get("schemas", [])) > 1:
-            reader = reader.option("mergeSchema", "true")
+        if explicit is not None:
+            reader = reader.schema(explicit)
         df = reader.parquet(*sorted(ps))
         dfs.append(df if project is None else project(df))
     out = dfs[0]

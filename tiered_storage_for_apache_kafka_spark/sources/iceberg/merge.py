@@ -77,12 +77,20 @@ _DELETE_OPS = {"d", "-"}
 def _resolve_batch(df, on, op_col, seq_col):
     """Within-batch resolution to at most ONE final action per key:
     last-writer-wins by ``seq_col`` (validated unambiguous — duplicate
-    ``(key, seq)`` pairs are rejected, not tie-broken arbitrarily);
-    without ``seq_col`` the batch must already be key-unique. Returns
-    ``(upserts, keys)``: the rows to append (op/seq columns dropped)
-    and the distinct key rows to retract."""
+    ``(key, seq)`` pairs are rejected, not tie-broken arbitrarily;
+    BYTE-IDENTICAL duplicate rows collapse first, since replaying the
+    same event twice is idempotent, not ambiguous); without ``seq_col``
+    the batch must already be key-unique. Returns ``(upserts, keys,
+    cached)``: the rows to append (op/seq columns dropped), the
+    distinct key rows to retract, and the PERSISTED source frame the
+    caller must unpersist after staging — every downstream action
+    (validation probes, emptiness checks, data-file staging, delete
+    staging) otherwise recomputes the batch lineage, which in the
+    streaming sink means re-reading the micro-batch source several
+    times per commit."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
     missing = [c for c in on if c not in df.columns]
     if missing:
@@ -92,12 +100,20 @@ def _resolve_batch(df, on, op_col, seq_col):
     if seq_col is not None and seq_col not in df.columns:
         raise ValueError(f"seq_col {seq_col!r} missing from batch")
 
+    # identical rows are one event delivered twice (at-least-once
+    # replay, a key retracted by two copies of the same delete event):
+    # collapse them BEFORE the ambiguity validation so only genuinely
+    # conflicting rows (same key+seq, different payload/op) raise
+    df = df.dropDuplicates().persist(StorageLevel.MEMORY_AND_DISK)
+    cached = df
+
     if op_col is not None:
         opc = F.lower(F.substring(F.col(op_col).cast("string"), 1, 1))
         known = sorted(_UPSERT_OPS | _DELETE_OPS)
         bad = df.where(~opc.isin(known) | F.col(op_col).isNull()).limit(1)
         bad_rows = bad.collect()
         if bad_rows:
+            cached.unpersist()
             raise ValueError(
                 f"unknown CDC op value {bad_rows[0][op_col]!r} in "
                 f"{op_col!r} (accepted first letters: {known})"
@@ -115,6 +131,7 @@ def _resolve_batch(df, on, op_col, seq_col):
             .collect()
         )
         if dup:
+            cached.unpersist()
             raise ValueError(
                 f"ambiguous batch: duplicate (key, {seq_col}) pair "
                 f"{tuple(dup[0])[:-1]!r} — last-writer-wins needs a "
@@ -135,6 +152,7 @@ def _resolve_batch(df, on, op_col, seq_col):
             .collect()
         )
         if dup:
+            cached.unpersist()
             raise ValueError(
                 f"batch has multiple rows for key {tuple(dup[0])[:-1]!r} "
                 "and no seq_col to order them — pass seq_col for "
@@ -146,7 +164,48 @@ def _resolve_batch(df, on, op_col, seq_col):
     ]
     upserts = df.where(~df["__merge_del"]).drop(*drop_cols)
     keys = df.select(*on).distinct()
-    return upserts, keys
+    return upserts, keys, cached
+
+
+def _null_aware_batch_schema(upserts, schema_struct: dict):
+    """The batch schema with nullability corrected against the DATA:
+    Spark frames arrive all-nullable (createDataFrame, every streaming
+    source), which would make evolution relax each of the table's
+    REQUIRED columns on the first merge — so a column the table
+    requires keeps ``required`` unless the batch actually delivers a
+    null in it (one bounded aggregate over the persisted batch, only
+    when such columns exist). A feed that really ships nulls still
+    relaxes, loudly visible as a schema version bump."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    required = {f["name"] for f in schema_struct["fields"] if f["required"]}
+    cand = [
+        f.name
+        for f in upserts.schema.fields
+        if f.nullable and f.name in required
+    ]
+    keep: set = set()
+    if cand:
+        row = upserts.agg(
+            *[
+                F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+                for c in cand
+            ]
+        ).collect()[0]
+        keep = {c for c in cand if row[c] == 0}
+    if not keep:
+        return upserts.schema
+    return StructType(
+        [
+            StructField(
+                f.name,
+                f.dataType,
+                False if f.name in keep else f.nullable,
+            )
+            for f in upserts.schema.fields
+        ]
+    )
 
 
 def _delete_scope(base: dict, on: list[str]):
@@ -186,6 +245,7 @@ def merge_upsert(
     summary_extra: dict | None = None,
     properties_extra: dict | None = None,
     branch: str | None = None,
+    evolve_schema: bool = True,
 ) -> dict:
     """Apply a CDC batch to the table at ``table_dir`` as ONE atomic
     snapshot: retract every batch key via equality-delete files and
@@ -222,9 +282,53 @@ def merge_upsert(
     publishes — CDC batches can be audited before release exactly like
     staged appends. Requirements assert only the moved branch's head,
     so an unrelated main writer never spuriously conflicts a staged
-    merge."""
+    merge.
+
+    ``evolve_schema`` (default True): a batch whose schema drifts from
+    the table's evolves it IN the merge commit — new columns
+    add-as-optional, int→long / float→double promotions widen, absent
+    optional columns conform to null (the upsert is a full replacement
+    image); absent REQUIRED columns, non-promotable type changes, and
+    evolution from a branch-staged merge are rejected loudly. Pass
+    ``evolve_schema=False`` to restore the strict schema-equality
+    contract (a drifted batch then errors instead of evolving)."""
+    if not on:
+        raise ValueError("merge_upsert needs at least one key column")
+    if branch == "main":
+        branch = None  # explicit main is just the default path
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None and table_name is None:
+        table_name = _default_table_name(table_dir)
+
+    upserts, keys, cached = _resolve_batch(df, on, op_col, seq_col)
+    try:
+        return _merge_resolved(
+            spark, upserts, keys, table_dir, on, partition_spec, op_col,
+            now_ms, catalog, table_name, max_commit_retries,
+            writer_shards, max_records_per_file, allow_null_partition,
+            summary_extra, properties_extra, branch, evolve_schema,
+        )
+    finally:
+        cached.unpersist()
+
+
+def _merge_resolved(
+    spark, upserts, keys, table_dir, on, partition_spec, op_col,
+    now_ms, catalog, table_name, max_commit_retries, writer_shards,
+    max_records_per_file, allow_null_partition, summary_extra,
+    properties_extra, branch, evolve_schema,
+):
+    """The staging+commit tail of :func:`merge_upsert`, split out so the
+    resolved-batch cache unpersists on every exit path."""
+    from pyspark.sql import functions as F
+
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.deletes import (
         write_equality_deletes,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+        evolve_iceberg_schema,
+        guard_partition_source_promotion,
+        iceberg_schema_to_spark,
     )
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.writer import (
         _validate_append_shape,
@@ -235,16 +339,9 @@ def merge_upsert(
         CommitConflictError,
         commit_retry_backoff,
     )
-
-    if not on:
-        raise ValueError("merge_upsert needs at least one key column")
-    if branch == "main":
-        branch = None  # explicit main is just the default path
-    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
-    if catalog is not None and table_name is None:
-        table_name = _default_table_name(table_dir)
-
-    upserts, keys = _resolve_batch(df, on, op_col, seq_col)
+    from tiered_storage_for_apache_kafka_spark.sources.schema_evolution import (
+        conform,
+    )
 
     try:
         _v0, base, table_name = _current_state_meta(
@@ -258,7 +355,16 @@ def merge_upsert(
             raise ValueError(f"ref {branch!r} is a tag, not a branch")
     if base is None or _merge_parent_id(base, branch) == -1:
         # no committed data: nothing to retract — a plain write of the
-        # upsert rows IS the merge (table-creating on first use)
+        # upsert rows IS the merge (table-creating on first use). When
+        # metadata already exists (a mirror destination pre-created
+        # from the source's schema), the declared schema is
+        # null-corrected so the all-nullable stream batch doesn't relax
+        # the table's REQUIRED columns on arrival
+        declared = None
+        if base is not None:
+            declared = _null_aware_batch_schema(
+                upserts, _current_schema_struct(base)
+            )
         return write_iceberg_table(
             spark, upserts, table_dir,
             partition_spec=partition_spec, now_ms=now_ms,
@@ -268,26 +374,80 @@ def merge_upsert(
             summary_extra=summary_extra,
             properties_extra=properties_extra,
             branch=branch,
+            declared_schema=declared,
         )
     _validate_append_shape(base, partition_spec, upserts.columns)
 
-    # schema contract: merge never evolves the schema (an upsert batch
-    # with new columns is a schema change the owner should commit
-    # explicitly first) — compare table-facing field names (hidden
-    # transform columns are computed inside stage_data_files and never
-    # appear in the batch)
-    schema_struct = _current_schema_struct(base)
-    table_cols = {f["name"] for f in schema_struct["fields"]}
-    batch_cols = set(upserts.columns)
-    if batch_cols != table_cols:
-        raise ValueError(
-            f"merge batch schema {sorted(batch_cols)} != table schema "
-            f"{sorted(table_cols)} — evolve the schema with a plain "
-            "append first; merge_upsert never evolves it"
-        )
-
     if keys.isEmpty():
-        return base  # empty batch: no empty snapshot
+        return base  # empty batch: no empty snapshot (and no evolution)
+
+    # schema: the batch may EVOLVE the table in the same merge commit
+    # (the reference's SchemaUpdate intent — `SchemaUpdate.java:17-127`,
+    # promotion table `SchemaUtils.java:80-84`; the normal life of a
+    # Debezium feed is a column appearing mid-stream): add-as-optional
+    # new columns, int→long / float→double promotion. A batch MISSING
+    # table columns is conformed with typed nulls (the upsert row is a
+    # FULL replacement image, so a column the feed stopped carrying is
+    # null in the new version) — but never for a REQUIRED column, and
+    # never from a branch-staged merge (the schema version is
+    # table-level: it would publish to main readers before release).
+    schema_struct = _current_schema_struct(base)
+    batch_schema_ev = _null_aware_batch_schema(upserts, schema_struct)
+    try:
+        evolved, new_last, schema_changed = evolve_iceberg_schema(
+            schema_struct, batch_schema_ev, base["last-column-id"]
+        )
+    except TypeError as e:
+        raise ValueError(
+            f"merge batch schema is incompatible with the table: {e}"
+        ) from e
+    if schema_changed:
+        if not evolve_schema:
+            table_cols = {f["name"] for f in schema_struct["fields"]}
+            raise ValueError(
+                f"merge batch schema {sorted(upserts.columns)} != table "
+                f"schema {sorted(table_cols)} and evolve_schema=False — "
+                "evolve the schema with a plain append first, or pass "
+                "evolve_schema=True"
+            )
+        if branch is not None:
+            raise ValueError(
+                "schema evolution inside a branch-staged merge would be "
+                "visible to main readers before publish; commit the "
+                "schema change on main first"
+            )
+        guard_partition_source_promotion(base, schema_struct, evolved)
+        new_sid = max(s["schema-id"] for s in base["schemas"]) + 1
+        evolved = {**evolved, "schema-id": new_sid}
+        base = {
+            **base,
+            "schemas": base["schemas"] + [evolved],
+            "current-schema-id": new_sid,
+            "last-column-id": new_last,
+        }
+        schema_struct = evolved
+    missing_required = [
+        f["name"]
+        for f in schema_struct["fields"]
+        if f["required"] and f["name"] not in set(upserts.columns)
+    ]
+    if missing_required:
+        raise ValueError(
+            f"merge batch lacks REQUIRED table columns "
+            f"{missing_required} — a conformed null would violate the "
+            "schema; make them optional first or carry them in the feed"
+        )
+    # conform to the table-facing schema: null-fill absent optionals,
+    # up-cast narrower batch types — a pure projection
+    target_spark = iceberg_schema_to_spark(schema_struct)
+    upserts = conform(upserts, target_spark)
+    keys = keys.select(
+        *[F.col(k).cast(target_spark[k].dataType).alias(k) for k in on]
+    )
+    staged_key_ids = [
+        next(f["id"] for f in schema_struct["fields"] if f["name"] == k)
+        for k in on
+    ]
 
     scoped, del_spec = _delete_scope(base, on)
     keys_df = keys
@@ -338,10 +498,34 @@ def merge_upsert(
                     "staging — the staged delete files are laid out "
                     "under the old spec; re-run the merge"
                 )
+            # re-derive the evolution against the LIVE base each
+            # attempt: a rival writer may have evolved too (the staged
+            # parquet stays valid — evolution only adds/widens), but a
+            # rival assigning DIFFERENT field ids to this merge's key
+            # columns would orphan the staged delete files' embedded
+            # ids — that one aborts
+            cur, schema_updates = _reapply_schema_evolution(
+                cur, batch_schema_ev, evolve_iceberg_schema,
+                guard_partition_source_promotion,
+            )
+            cur_schema = _current_schema_struct(cur)
+            ids_now = [
+                next(
+                    (f["id"] for f in cur_schema["fields"] if f["name"] == k),
+                    None,
+                )
+                for k in on
+            ]
+            if ids_now != staged_key_ids:
+                raise ValueError(
+                    "a concurrent schema change reassigned the merge "
+                    "key columns' field ids while this merge was "
+                    "staging; re-run the merge"
+                )
             return _commit_merge_once(
                 table_dir, version, cur, new_files, del_stats, scoped,
                 now_ms, catalog, table_name, summary_extra,
-                properties_extra, branch,
+                properties_extra, branch, schema_updates=schema_updates,
             )
         except CommitConflictError as e:
             last_err = e
@@ -349,6 +533,38 @@ def merge_upsert(
                 commit_retry_backoff(_attempt)
     assert last_err is not None
     raise last_err
+
+
+def _reapply_schema_evolution(
+    cur: dict, batch_schema, evolve_iceberg_schema,
+    guard_partition_source_promotion,
+) -> tuple[dict, list[dict]]:
+    """Apply the staged batch's schema evolution to the LIVE metadata
+    (each commit attempt re-derives it, so retries compose with rival
+    evolutions). Returns (updated-meta, catalog schema updates)."""
+    cur_schema = _current_schema_struct(cur)
+    evolved, new_last, changed = evolve_iceberg_schema(
+        cur_schema, batch_schema, cur["last-column-id"]
+    )
+    if not changed:
+        return cur, []
+    guard_partition_source_promotion(cur, cur_schema, evolved)
+    new_sid = max(s["schema-id"] for s in cur["schemas"]) + 1
+    evolved = {**evolved, "schema-id": new_sid}
+    cur = {
+        **cur,
+        "schemas": cur["schemas"] + [evolved],
+        "current-schema-id": new_sid,
+        "last-column-id": new_last,
+    }
+    return cur, [
+        {
+            "action": "add-schema",
+            "schema": evolved,
+            "last-column-id": new_last,
+        },
+        {"action": "set-current-schema", "schema-id": new_sid},
+    ]
 
 
 def _merge_parent_id(base: dict, branch: str | None) -> int:
@@ -375,12 +591,16 @@ def _commit_merge_once(
     summary_extra: dict | None,
     properties_extra: dict | None,
     branch: str | None = None,
+    schema_updates: list | None = None,
 ) -> dict:
     """One attempt at the atomic merge snapshot: a DATA manifest for
     the staged batch files plus a DELETES manifest for the staged
     equality-delete files, both at the new sequence number, one
     snapshot with ``operation=overwrite`` (the spec's op for commits
-    that logically replace rows)."""
+    that logically replace rows). ``schema_updates`` (non-empty when
+    the batch evolved the schema) rides in the SAME commit — ``base``
+    already carries the evolved schema as current, so the manifests
+    and snapshot below stamp the new schema-id."""
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     schema_struct = _current_schema_struct(base)
@@ -686,7 +906,7 @@ def _commit_merge_once(
             _commit_requirements,
         )
 
-        updates = list(extra_updates) + [
+        updates = list(extra_updates) + list(schema_updates or []) + [
             {"action": "add-snapshot", "snapshot": snapshot},
             {
                 "action": "set-snapshot-ref",

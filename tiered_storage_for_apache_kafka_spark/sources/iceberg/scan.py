@@ -67,6 +67,19 @@ def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
         spec_field_type,
     )
 
+    # the delete files are read under an EXPLICIT schema typed from the
+    # CURRENT table schema: after an int->long promotion the live delete
+    # set mixes int32 and int64 key pages, which plain inference would
+    # misread (first-footer wins) — the explicit wider type up-casts old
+    # files in place, exactly like the data path
+    from pyspark.sql.types import StructType
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+        iceberg_schema_to_spark,
+    )
+
+    table_spark = iceberg_schema_to_spark(schema_struct)
+    eq_schema = StructType([table_spark[c] for c in eq_cols])
     for sid in sorted(by_spec):
         spec = specs.get(sid) or _default_spec(meta)
         field_types = [
@@ -74,7 +87,7 @@ def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
         ]
         df_pos = _apply_eq_delete_group(
             spark, df_pos, data_entries, by_spec[sid], eq_cols,
-            spec["fields"], field_types, id_to_name,
+            spec["fields"], field_types, id_to_name, eq_schema=eq_schema,
         )
     return df_pos
 
@@ -82,6 +95,7 @@ def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
 def _apply_eq_delete_group(
     spark, df_pos, data_entries, eq_entries, eq_cols, spec_fields,
     field_types, id_to_name, join_type: str = "left_anti",
+    eq_schema=None,
 ):
     """One spec's equality-delete anti-join (see
     :func:`_apply_equality_deletes`): the data side recomputes every
@@ -122,8 +136,11 @@ def _apply_eq_delete_group(
         [(d["file_path"], d["_seq"]) for d in data_entries],
         "__iceberg_file string, __iceberg_data_seq bigint",
     )
+    del_reader = spark.read
+    if eq_schema is not None:
+        del_reader = del_reader.schema(eq_schema)
     dels = (
-        spark.read.parquet(*sorted({d["file_path"] for d in eq_entries}))
+        del_reader.parquet(*sorted({d["file_path"] for d in eq_entries}))
         .select(
             *[F.col(c).alias(f"__eq_{c}") for c in eq_cols],
             _norm_file_expr(
@@ -678,20 +695,27 @@ def _read_snapshot(
     data, deletes = _plan_snapshot(
         snap, constraints, specs_by_id=_specs_by_id(meta)
     )
+    # read under the SNAPSHOT's schema version (time travel sees the
+    # schema of its day; the current snapshot's id IS the current one)
+    schema_id = snap.get("schema-id")
     if not data:
         return None if keep_identity else _empty_table_df(spark, meta)
     if not deletes and not keep_identity:
         return _read_planned_files(
-            spark, table_dir, meta, [d["file_path"] for d in data]
+            spark, table_dir, meta, [d["file_path"] for d in data],
+            schema_id=schema_id,
         )
-    df = _read_plan_with_identity(spark, table_dir, meta, data, deletes)
+    df = _read_plan_with_identity(
+        spark, table_dir, meta, data, deletes, schema_id=schema_id
+    )
     if keep_identity:
         return df
     return df.drop("__iceberg_file", "__iceberg_pos")
 
 
 def _read_plan_with_identity(
-    spark, table_dir: str, meta: dict, data: list[dict], deletes: list[dict]
+    spark, table_dir: str, meta: dict, data: list[dict],
+    deletes: list[dict], schema_id: int | None = None,
 ):
     """Scan an explicit data-file plan with the (file, pos) identity
     columns retained and the given delete files applied — the shared
@@ -704,7 +728,8 @@ def _read_plan_with_identity(
     )
 
     df = _read_with_positions(
-        spark, table_dir, meta, [d["file_path"] for d in data]
+        spark, table_dir, meta, [d["file_path"] for d in data],
+        schema_id=schema_id,
     )
     pos, dv = split_position_deletes(deletes)
     eq = [d for d in deletes if d.get("content") == 2]
@@ -739,7 +764,10 @@ def _norm_file_expr(col):
     )
 
 
-def _read_with_positions(spark, table_dir: str, meta: dict, paths: list[str]):
+def _read_with_positions(
+    spark, table_dir: str, meta: dict, paths: list[str],
+    schema_id: int | None = None,
+):
     """The planned-file scan plus Spark's hidden parquet ``_metadata``
     columns projected as ``(__iceberg_file, __iceberg_pos)`` — the same
     mechanism the Iceberg Spark reader uses to apply position deletes
@@ -758,7 +786,8 @@ def _read_with_positions(spark, table_dir: str, meta: dict, paths: list[str]):
         )
 
     return _read_planned_files(
-        spark, table_dir, meta, paths, project=with_identity
+        spark, table_dir, meta, paths, project=with_identity,
+        schema_id=schema_id,
     )
 
 

@@ -37,13 +37,18 @@ def evolve_iceberg_schema(
 ) -> tuple[dict, int, bool]:
     """Schema evolution for the Iceberg metadata plane (the machinery the
     reference intends but never wires, `SchemaUpdate.java:17-127`):
-    ADD-AS-OPTIONAL only — new columns get fresh field ids, existing
-    fields KEEP their ids and types (the Iceberg correctness contract:
-    ids are the identity of a column across files). Removals keep the
-    old field (Iceberg drops are explicit operations, not inferred);
-    type changes are rejected here — the parquet-level widening path
-    lives in `sources/schema_evolution.py`'s sidecar reader, which plain
-    multi-file parquet scans can't express. Returns
+    ADD-AS-OPTIONAL plus the spec's legal primitive PROMOTIONS —
+    int→long and float→double (Iceberg spec "Schema Evolution";
+    the reference's own promotion table, `SchemaUtils.java:80-84`) —
+    with existing fields KEEPING their ids (the Iceberg correctness
+    contract: ids are the identity of a column across files; a
+    promoted field keeps its id, only its type widens, and old data
+    files' narrower physical pages up-cast at read time). A batch
+    whose column is NARROWER than the table's (int into a long
+    column) is not a schema change at all — the table type stays and
+    the batch up-casts on write/read. Removals keep the old field
+    (Iceberg drops are explicit operations, not inferred); any other
+    type change is rejected. Returns
     (schema-struct, last-column-id, changed)."""
     counter = {"id": last_column_id}
 
@@ -91,12 +96,23 @@ def evolve_iceberg_schema(
                 out_fields.append({**cf, "type": merge_struct(cur_t, nf.dataType)})
                 continue
             new_flat, _ = spark_schema_to_iceberg_type(nf.dataType, {"id": 0})
-            if _strip_ids(new_flat) != _strip_ids(cur_t):
-                raise TypeError(
-                    f"incompatible change at {nf.name}: {cur_t!r} -> "
-                    f"{new_flat!r} (only add-as-optional is supported in "
-                    "the Iceberg metadata plane)"
-                )
+            new_t, old_t = _strip_ids(new_flat), _strip_ids(cur_t)
+            if new_t != old_t:
+                # spec-legal primitive promotions only; the symmetric
+                # narrower-batch case keeps the table's wider type with
+                # no schema change (the batch up-casts instead)
+                promo = {("int", "long"): "long",
+                         ("float", "double"): "double"}
+                if promo.get((old_t, new_t)) is not None:
+                    cf = {**cf, "type": promo[(old_t, new_t)]}
+                    changed["v"] = True
+                elif promo.get((new_t, old_t)) is None:
+                    raise TypeError(
+                        f"incompatible change at {nf.name}: {cur_t!r} -> "
+                        f"{new_flat!r} (add-as-optional and int->long / "
+                        "float->double promotion are the legal evolutions "
+                        "in the Iceberg metadata plane)"
+                    )
             out_fields.append(cf)
         # fields absent from the new schema stay (drops are explicit)
         for f in cur_struct["fields"]:
@@ -226,3 +242,60 @@ def iceberg_schema_to_spark(schema_struct: dict):
         raise TypeError(f"unsupported Iceberg type {t['type']!r}")
 
     return conv(schema_struct)
+
+
+def promoted_field_ids(old_schema: dict, new_schema: dict) -> set[int]:
+    """Field ids whose primitive type differs between two schema
+    versions — the promoted columns of an evolution step (same-id
+    fields are the same column by the Iceberg identity contract)."""
+
+    def leaf_types(struct: dict, out: dict) -> None:
+        for f in struct["fields"]:
+            t = f["type"]
+            if isinstance(t, dict) and t.get("type") == "struct":
+                leaf_types(t, out)
+            else:
+                out[f["id"]] = _strip_ids(t)
+
+    old_t: dict = {}
+    new_t: dict = {}
+    leaf_types(old_schema, old_t)
+    leaf_types(new_schema, new_t)
+    return {
+        i for i, t in new_t.items() if i in old_t and old_t[i] != t
+    }
+
+
+def guard_partition_source_promotion(
+    base: dict, old_schema: dict, new_schema: dict
+) -> None:
+    """Reject a type promotion on a column that is the source of a
+    SOURCE-TYPED partition transform — ``identity`` or ``truncate`` —
+    in ANY spec generation the table ever had: their partition VALUES
+    (hive paths, file partition structs, manifest summary bounds) are
+    typed at write time, so widening the source would make new values
+    disagree in width with committed ones under one spec id. A
+    ``bucket[N]`` source promotes FREELY: the spec hashes int and long
+    identically (8-byte LE Murmur3 — `transforms.bucket_hash_long`,
+    the spec's own promotion guarantee) and its partition value is the
+    width-independent bucket ordinal. Iceberg permits even the
+    source-typed cases; the engine trades those away for
+    planner-simplicity (evolve the SPEC to a new field instead)."""
+    promoted = promoted_field_ids(old_schema, new_schema)
+    if not promoted:
+        return
+    names = {f["id"]: f["name"] for f in new_schema["fields"]}
+    for spec in base.get("partition-specs", []):
+        for f in spec["fields"]:
+            t = str(f.get("transform", "identity"))
+            if t != "identity" and not t.startswith("truncate"):
+                continue
+            if f["source-id"] in promoted:
+                raise ValueError(
+                    f"cannot promote column "
+                    f"{names.get(f['source-id'], f['source-id'])!r}: it "
+                    f"is a source-typed partition source ({t}) of spec "
+                    f"{spec['spec-id']} (committed partition values/"
+                    "summaries are packed at the old width); evolve "
+                    "the partition spec to a new field instead"
+                )

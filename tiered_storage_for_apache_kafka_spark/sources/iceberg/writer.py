@@ -245,6 +245,7 @@ def write_iceberg_table(
     sort_by: list | None = None,
     summary_extra: dict | None = None,
     properties_extra: dict | None = None,
+    declared_schema=None,
 ) -> dict:
     """Write ``df`` into the Iceberg table at ``table_dir`` under
     ``partition_spec`` — ``(name, transform, source_col)`` tuples as
@@ -314,9 +315,13 @@ def write_iceberg_table(
         writer_shards=writer_shards,
         sort_by=sort_by,
     )
+    # declared_schema overrides the metadata-facing Spark schema
+    # (e.g. the merge plane's null-corrected nullability — Spark frames
+    # are all-nullable, which would relax the table's REQUIRED columns
+    # through evolution-on-append); the staged files are unaffected
     return commit_append(
         table_dir,
-        schema,
+        declared_schema if declared_schema is not None else schema,
         now_ms=now_ms,
         partition_spec=partition_spec,
         files=new_files,

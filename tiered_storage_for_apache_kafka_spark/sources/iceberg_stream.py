@@ -24,6 +24,24 @@ Production note: on a JVM cluster the Iceberg Spark source does this
 natively; this Python DataSource proves the protocol against THIS
 repo's metadata plane (executor-side pyarrow file reads, Arrow-batch
 hand-off — no row-at-a-time Python).
+
+Mid-stream SCHEMA EVOLUTION posture (both sources, r11). The stream's
+schema is PINNED at query start (Structured Streaming resolves it once;
+``streamReader`` receives and keeps it). The two directions differ:
+
+- **Files OLDER than the stream** (a column was added after they were
+  written, or a column was later widened): silent and lossless — absent
+  columns pad nulls, narrower int32/float32 pages up-cast to the pinned
+  int64/float64, exactly like the batch reader.
+- **Files NEWER than the stream** (the table evolved after this query
+  started — a column the pinned schema lacks, or a column promoted
+  wider than the pinned type): FAIL-EXPLICIT with
+  :class:`StreamSchemaEvolvedError`. Forwarding would silently drop the
+  new column's data (or truncate the widened one) for the rest of the
+  stream's life. The error is operational, not positional: RESTART the
+  query — the checkpoint preserves the offset, the restarted stream
+  re-resolves the evolved schema, and consumption continues exactly
+  where it left off; no re-bootstrap.
 """
 
 from __future__ import annotations
@@ -35,13 +53,93 @@ from pyspark.sql.datasource import (
 )
 
 
+class StreamSchemaEvolvedError(RuntimeError):
+    """The table's schema evolved PAST this stream's pinned schema (a
+    planned file carries a column, or a wider column type, the schema
+    resolved at query start cannot represent). The fix is operational,
+    not positional: RESTART the streaming query — the checkpoint
+    preserves the offset, and the restarted stream re-resolves the
+    (now evolved) table schema and continues exactly where it left
+    off. No re-bootstrap is needed."""
+
+
+def _stream_restart_msg(path: str, detail: str) -> str:
+    return (
+        f"table schema evolved past this stream's pinned schema: "
+        f"{detail} (file {path}). Restart the streaming query — the "
+        "checkpoint preserves the position and the restarted stream "
+        "picks up the evolved schema; no re-bootstrap is needed."
+    )
+
+
+def _guard_stream_schema(path: str, file_schema, expected) -> None:
+    """Mid-stream evolution posture, direction 2 (files NEWER than the
+    stream): a column the pinned schema lacks means data this consumer
+    would silently drop — fail explicitly toward a restart. Direction 1
+    (files OLDER than the stream — a column added after they were
+    written) pads nulls in the callers, and a NARROWER file column
+    up-casts in :func:`_conform_stream_column`; both are silent because
+    no information is lost."""
+    known = {f.name for f in expected}
+    extra = [n for n in file_schema.names if n not in known]
+    if extra:
+        raise StreamSchemaEvolvedError(
+            _stream_restart_msg(
+                path, f"file carries unknown column(s) {extra}"
+            )
+        )
+
+
+def _conform_stream_column(col, field, path: str):
+    """Conform one Arrow column to the pinned field type: identical
+    passes through, a WIDENING (int32->int64, float32->float64 — the
+    spec's promotions, lossless) up-casts, anything else (the file is
+    WIDER than the pinned schema: the column was promoted after this
+    stream started) fails explicitly toward a restart."""
+    import pyarrow as pa
+
+    if col.type == field.type:
+        return col
+    widenings = {
+        (pa.int32(), pa.int64()),
+        (pa.float32(), pa.float64()),
+    }
+    if (col.type, field.type) in widenings:
+        return col.cast(field.type)
+    if (field.type, col.type) in widenings:
+        # the file is WIDER: the column was promoted after this stream
+        # pinned its schema — a silent down-cast could truncate
+        raise StreamSchemaEvolvedError(
+            _stream_restart_msg(
+                path,
+                f"column {field.name!r} is {col.type} in the file but "
+                f"{field.type} in the pinned stream schema",
+            )
+        )
+    try:
+        # benign representation drift (timestamp tz flavors, etc.)
+        return col.cast(field.type)
+    except Exception as e:
+        raise StreamSchemaEvolvedError(
+            _stream_restart_msg(
+                path,
+                f"column {field.name!r} is {col.type} in the file, "
+                f"not castable to the pinned {field.type}: {e}",
+            )
+        ) from None
+
+
 class IcebergFilePartition(InputPartition):
     def __init__(self, file_path: str):
         self.file_path = file_path
 
 
 class IcebergIncrementalStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, pinned_schema=None):
+        # the schema Spark resolved at QUERY START — all planning and
+        # executor reads interpret files under THIS schema for the
+        # stream's whole lifetime (mid-stream evolution posture below)
+        self._pinned_spark_schema = pinned_schema
         self.table_dir = options.get("path") or options.get("table_dir")
         if not self.table_dir:
             raise ValueError("iceberg_inc requires .option('path', <table dir>)")
@@ -170,21 +268,34 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
         return out
 
     def _expected_arrow_schema(self):
-        """Arrow schema of the table's CURRENT Iceberg schema — computed
-        once per reader so evolved tables stream correctly (a file
-        written before an add-column lacks the new field; the batch
-        reader pays mergeSchema, the stream pads nulls below)."""
+        """Arrow schema of the stream's PINNED Spark schema (resolved
+        once at query start; falls back to the table's current schema
+        for direct construction in tests). Old files missing a column
+        pad nulls below; a file carrying a column/width the pinned
+        schema cannot represent fails explicitly (see :func:`read`)."""
         if getattr(self, "_arrow_schema", None) is None:
             from pyspark.sql.pandas.types import to_arrow_schema
 
-            from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
-                _current_schema_struct,
-                iceberg_schema_to_spark,
-            )
+            if self._pinned_spark_schema is not None:
+                from pyspark.sql.types import StructType
 
-            self._arrow_schema = to_arrow_schema(
-                iceberg_schema_to_spark(_current_schema_struct(self._meta()))
-            )
+                fields = [
+                    f
+                    for f in self._pinned_spark_schema.fields
+                    if f.name not in ("_change_type", "_commit_seq")
+                ]
+                self._arrow_schema = to_arrow_schema(StructType(fields))
+            else:
+                from tiered_storage_for_apache_kafka_spark.sources.iceberg import (  # noqa: E501
+                    _current_schema_struct,
+                    iceberg_schema_to_spark,
+                )
+
+                self._arrow_schema = to_arrow_schema(
+                    iceberg_schema_to_spark(
+                        _current_schema_struct(self._meta())
+                    )
+                )
         return self._arrow_schema
 
     def read(self, partition: IcebergFilePartition):
@@ -209,6 +320,9 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
             by_name = {
                 n: batch.column(i) for i, n in enumerate(batch.schema.names)
             }
+            _guard_stream_schema(
+                partition.file_path, batch.schema, expected
+            )
             for field in expected:
                 names.append(field.name)
                 if field.name == "partition":
@@ -216,7 +330,11 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
                         pa.array([part_val] * batch.num_rows, field.type)
                     )
                 elif field.name in by_name:
-                    cols.append(by_name[field.name])
+                    cols.append(
+                        _conform_stream_column(
+                            by_name[field.name], field, partition.file_path
+                        )
+                    )
                 else:
                     cols.append(pa.nulls(batch.num_rows, field.type))
             out = pa.RecordBatch.from_arrays(cols, names=names)
@@ -270,7 +388,7 @@ class IcebergIncrementalDataSource(DataSource):
         return iceberg_schema_to_spark(_current_schema_struct(meta))
 
     def streamReader(self, schema) -> IcebergIncrementalStreamReader:
-        return IcebergIncrementalStreamReader(self.options)
+        return IcebergIncrementalStreamReader(self.options, pinned_schema=schema)
 
 
 def register(spark) -> None:
@@ -389,11 +507,18 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
             by_name = {
                 n: batch.column(i) for i, n in enumerate(batch.schema.names)
             }
+            _guard_stream_schema(
+                partition.file_path, batch.schema, expected
+            )
             cols, names = [], []
             for field in expected:
                 names.append(field.name)
                 if field.name in by_name:
-                    cols.append(by_name[field.name].cast(field.type))
+                    cols.append(
+                        _conform_stream_column(
+                            by_name[field.name], field, partition.file_path
+                        )
+                    )
                 else:
                     # non-key columns of a delete-key row are null
                     cols.append(pa.nulls(batch.num_rows, field.type))
@@ -459,7 +584,7 @@ class IcebergCdcDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> IcebergCdcStreamReader:
-        return IcebergCdcStreamReader(self.options)
+        return IcebergCdcStreamReader(self.options, pinned_schema=schema)
 
 
 def register_cdc(spark) -> None:

@@ -723,9 +723,33 @@ def mirror_iceberg_table(
     never the table."""
     from pyspark.sql import functions as F
 
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        _current_schema_struct,
+        _current_state_meta,
+        commit_append,
+        iceberg_schema_to_spark,
+    )
     from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
         register_cdc,
     )
+
+    # pre-create a missing destination from the SOURCE table's metadata:
+    # the stream schema is force-nullable (delete_key rows null out even
+    # required columns), so creating from it would silently drop the
+    # source's required-column constraints in the replica — derive the
+    # create-time schema (required-ness preserved) from the source
+    try:
+        _current_state_meta(dst_table_dir, catalog, table_name)
+    except FileNotFoundError:
+        _v, src_meta, _t = _current_state_meta(src_table_dir)
+        commit_append(
+            dst_table_dir,
+            iceberg_schema_to_spark(_current_schema_struct(src_meta)),
+            files=[],
+            partition_spec=partition_spec,
+            catalog=catalog,
+            table_name=table_name,
+        )
 
     register_cdc(spark)
     reader = (
