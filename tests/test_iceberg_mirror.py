@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
+
 from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
     merge_upsert,
     read_iceberg_table,
@@ -248,3 +250,142 @@ def test_mirror_survives_source_schema_evolution_across_restart(spark, tmp_path)
     assert dst_rows == src_rows
     assert (99, "new", 0.9) in dst_rows
     assert (5, "v5", None) in dst_rows  # pre-evolution rows pad null
+
+
+def test_mirror_restart_behind_rpd_over_conversion_outputs(spark, tmp_path):
+    """advisor r10: rewrite_position_deletes merging PURE conversion
+    cells inside a mirror's pending window used to rename them past the
+    view-neutral skip ('delete-merged-*') and permanently refuse every
+    keyed consumer. The merge output now keeps the 'delete-eqconv-'
+    provenance prefix, so a checkpointed mirror that DIED before the
+    maintenance window still catches up after it."""
+    import glob
+    import os
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        convert_equality_deletes,
+        rewrite_position_deletes,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _src_table(spark, src)
+
+    def run():
+        q = mirror_iceberg_table(
+            spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+            partition_spec=SRC_SPEC,
+        )
+        q.awaitTermination()
+
+    run()  # mirror checkpoints here, then "crashes"
+
+    # two conversions pile >1 eqconv file into the same cells…
+    convert_equality_deletes(spark, src, now_ms=5_000)
+    merge_upsert(
+        spark, _batch(spark, [(9, 1, "mid", "u", 1)]), src, on=["id"],
+        op_col="op", seq_col="seq", partition_spec=SRC_SPEC, now_ms=6_000,
+    )
+    convert_equality_deletes(spark, src, now_ms=7_000)
+    # …and the delete-plane compaction merges them INSIDE the mirror's
+    # pending window
+    rewrite_position_deletes(spark, src, now_ms=8_000)
+    merged = [
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(src, "deletes", "**", "*.parquet"),
+                           recursive=True)
+        if "merged" in os.path.basename(p)
+    ]
+    assert merged and all(
+        n.startswith("delete-eqconv-merged-") for n in merged
+    ), merged  # pure-conversion cells keep the view-neutral prefix
+
+    merge_upsert(
+        spark, _batch(spark, [(11, 2, "post-rpd", "u", 1)]), src,
+        on=["id"], op_col="op", seq_col="seq", partition_spec=SRC_SPEC,
+        now_ms=9_000,
+    )
+    run()  # the restarted mirror crosses conversion+rpd and converges
+    assert _state(spark, dst) == _state(spark, src)
+
+
+def test_mirror_restart_behind_gc_horizon_refuses_actionably(spark, tmp_path):
+    """Retention tighter than the slowest consumer's lag: a mirror
+    restarting BEHIND the tombstone GC horizon must refuse with the
+    re-bootstrap message, never silently under-retract."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        convert_equality_deletes,
+        expire_snapshots,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _src_table(spark, src)
+
+    def run():
+        q = mirror_iceberg_table(
+            spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+            partition_spec=SRC_SPEC,
+        )
+        q.awaitTermination()
+
+    run()  # checkpoint at seq 2, then the mirror dies
+    for i, ms in ((20, 5_000), (21, 6_000), (22, 7_000)):
+        merge_upsert(
+            spark, _batch(spark, [(i, 1, f"w{i}", "u", 1),
+                                  (i - 19, None, None, "d", 1)]),
+            src, on=["id"], op_col="op", seq_col="seq",
+            partition_spec=SRC_SPEC, now_ms=ms,
+        )
+    convert_equality_deletes(spark, src, now_ms=8_000)
+    # expire aggressively: the GC horizon climbs past the mirror's
+    # checkpointed floor (seq 2)
+    expire_snapshots(src, keep_last=2, now_ms=9_000)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException) as ei:
+        run()
+    assert "re-bootstrap" in str(ei.value)
+
+
+def test_mirror_restart_at_horizon_catches_up_exactly(spark, tmp_path):
+    """Retention that exactly covers the consumer's lag: the restart
+    consumes the whole pending window and converges — the boundary the
+    refusal guards is tight, not conservative."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        convert_equality_deletes,
+        expire_snapshots,
+        read_table_metadata as _rtm,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _src_table(spark, src)
+
+    def run():
+        q = mirror_iceberg_table(
+            spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+            partition_spec=SRC_SPEC,
+        )
+        q.awaitTermination()
+
+    run()  # checkpoint at seq 2
+    for i, ms in ((30, 5_000), (31, 6_000)):
+        merge_upsert(
+            spark, _batch(spark, [(i, 1, f"w{i}", "u", 1)]),
+            src, on=["id"], op_col="op", seq_col="seq",
+            partition_spec=SRC_SPEC, now_ms=ms,
+        )
+    convert_equality_deletes(spark, src, now_ms=7_000)
+    # keep_last generous enough that min live seq stays <= the mirror's
+    # checkpoint floor (seq 2): horizon at-or-below the lag
+    expire_snapshots(src, keep_last=10, now_ms=8_000)
+    meta = _rtm(src)["metadata"]
+    horizon = min(int(s["sequence-number"]) for s in meta["snapshots"])
+    assert horizon <= 2
+    run()
+    assert _state(spark, dst) == _state(spark, src)

@@ -70,7 +70,8 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: 
 #   (e) the remainder of the 50-sample prefix backfills from the
 #       OLDEST r7-verdict queries, trimmed from the end as (a) grows.
 _R11_WINDOW = [
-    # (a) new this round — inserted as they land
+    # (a) new this round
+    "iceberg_merge_evolution_scan",
     # (b) r10 red re-verify
     "iceberg_timestamp_window_scan",
     # (c) never driver-sampled
@@ -125,7 +126,6 @@ _R11_WINDOW = [
     "dup_cluster_representatives",
     "embedding_int8_quantize",
     "export_shard_manifest",
-    "full_outer_daily_activity",
 ]
 _R10_WINDOW = _R11_WINDOW  # backward-compatible aliases (older scripts)
 _R9_WINDOW = _R11_WINDOW

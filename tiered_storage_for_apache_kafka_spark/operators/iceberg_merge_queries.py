@@ -858,3 +858,136 @@ def cdc_corpus_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_distinct_content"),
         )
     )
+
+
+_MERGE_EVO_CACHE: dict[tuple, tuple] = {}
+
+
+def _merge_evolved_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Base table (id, grp, cnt INT = id % 1000) bucket[8] by id, then
+    ONE schema-DRIFTED merge batch (r11 evolution plane,
+    `sources/iceberg/merge.py` + `SchemaUpdate.java:17-127` /
+    `SchemaUtils.java:80-84` intent):
+
+    - ``id % 11 == 3`` -> DELETE;
+    - ``id % 7 == 0``  -> UPDATE carrying BOTH legal evolutions at
+      once: ``cnt`` arrives BIGINT with values past int32
+      (id%1000 + 5e9 — int→long promotion) and a brand-new
+      ``score = CAST(id AS DOUBLE)`` column (add-as-optional).
+
+    The merge commits data files, equality deletes, AND the new schema
+    version in ONE snapshot. Returns (table_dir, metadata)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        merge_upsert,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _MERGE_EVO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id")
+    )
+    base = ids.select(
+        "id",
+        (F.col("id") % 10).cast("bigint").alias("grp"),
+        (F.col("id") % 1000).cast("int").alias("cnt"),
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-merge-evo-")
+    spec = [("id_bucket", f"bucket[{N_BUCKETS}]", "id")]
+    write_iceberg_table(spark, base, tdir, now_ms=1_000, partition_spec=spec)
+
+    deletes = ids.where(F.col("id") % 11 == 3).select(
+        "id",
+        F.lit(None).cast("bigint").alias("grp"),
+        F.lit(None).cast("bigint").alias("cnt"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit("d").alias("op"),
+    )
+    updates = ids.where(
+        (F.col("id") % 11 != 3) & (F.col("id") % 7 == 0)
+    ).select(
+        "id",
+        (F.col("id") % 10).cast("bigint").alias("grp"),
+        ((F.col("id") % 1000) + F.lit(5_000_000_000))
+        .cast("bigint")
+        .alias("cnt"),
+        F.col("id").cast("double").alias("score"),
+        F.lit("u").alias("op"),
+    )
+    meta = merge_upsert(
+        spark, deletes.unionAll(updates), tdir, on=["id"], op_col="op",
+        partition_spec=spec, now_ms=2_000,
+    )
+    out = (tdir, meta)
+    session_cache_put(_MERGE_EVO_CACHE, key, out)
+    return out
+
+
+@query(
+    "iceberg_merge_evolution_scan",
+    oracle="""
+WITH ids AS (SELECT event_id AS id FROM events),
+live AS (
+  SELECT id,
+         CASE WHEN id % 7 = 0 THEN (id % 1000) + 5000000000
+              ELSE id % 1000 END AS cnt,
+         CASE WHEN id % 7 = 0 THEN CAST(id AS DOUBLE) END AS score
+  FROM ids WHERE id % 11 <> 3
+)
+SELECT CAST(id % 10 AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+       CAST(COUNT(score) AS BIGINT) AS n_scored,
+       CAST(SUM(score) AS BIGINT) AS sum_score,
+       CAST(1 AS BIGINT) AS evolved_in_merge_commit
+FROM live
+GROUP BY CAST(id % 10 AS BIGINT)
+""",
+)
+def iceberg_merge_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION through the merge (r11): one CDC batch carries
+    an int→long promotion (``cnt``) and a new optional column
+    (``score``) alongside deletes and updates; the table evolves IN the
+    merge snapshot, pre-evolution int32 pages up-cast at read, absent
+    ``score`` reads null, and the post-evolution totals replay
+    relationally. ``evolved_in_merge_commit`` pins the structure:
+    exactly 2 snapshots, exactly 2 schema versions, the merge snapshot
+    stamped with the NEW schema-id, ``cnt`` long and ``score`` optional
+    double in the current schema. Scale shape: the normal life of a
+    100 TB CDC feed — a column appearing or widening mid-stream costs
+    one metadata update riding an O(batch) commit, never a table
+    rewrite."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+    )
+
+    tdir, meta = _merge_evolved_table(spark, sf_dir)
+    schemas = meta["schemas"]
+    cur = next(
+        s for s in schemas if s["schema-id"] == meta["current-schema-id"]
+    )
+    fields = {f["name"]: f for f in cur["fields"]}
+    pin = 1 if (
+        len(meta["snapshots"]) == 2
+        and len(schemas) == 2
+        and meta["snapshots"][-1]["schema-id"] == meta["current-schema-id"]
+        and fields["cnt"]["type"] == "long"
+        and fields["score"]["type"] == "double"
+        and fields["score"]["required"] is False
+    ) else 0
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("cnt").cast("bigint").alias("sum_cnt"),
+            F.count("score").cast("bigint").alias("n_scored"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+        .select(
+            "grp", "n_live", "sum_cnt", "n_scored", "sum_score",
+            F.lit(pin).cast("bigint").alias("evolved_in_merge_commit"),
+        )
+    )

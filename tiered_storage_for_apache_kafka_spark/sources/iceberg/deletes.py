@@ -863,7 +863,15 @@ def rewrite_position_deletes(
     names an exact (path, pos) and part-file paths are attempt-unique,
     so widening the sequence window cannot match a later file. The
     replaced originals tombstone (status=2) in their manifests,
-    preserving incremental-window retraction guards."""
+    preserving incremental-window retraction guards.
+
+    Keyed-consumer safety (r11): a cell whose inputs are ALL
+    ``convert_equality_deletes`` outputs merges under the
+    ``delete-eqconv-merged-*`` name, keeping the view-neutral
+    provenance the keyed-changelog stream skips — so running this
+    action between a mirror's checkpoints never forces a re-bootstrap.
+    Mixed cells (organic positional files present) merge under the
+    plain name and correctly keep the positional-delete refusal."""
     from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
         CommitConflictError,
         commit_retry_backoff,
@@ -963,6 +971,26 @@ def _rewrite_position_deletes_once(
     path_to_group = {
         p: k for k, ps in group_paths.items() for p in ps
     }
+    # VIEW-NEUTRAL provenance survives the merge: a cell whose inputs
+    # are ALL `delete-eqconv-` conversion outputs merges into files
+    # named `delete-eqconv-merged-*`, which the keyed-changelog
+    # consumer's conversion skip (incremental.py, prefix
+    # "delete-eqconv-") recognizes — otherwise running this action
+    # between a keyed consumer's checkpoints would hand it the
+    # permanent positional-delete refusal and force a re-bootstrap.
+    # Sound by composition: every merged position was covered by a
+    # live equality delete (the conversion's own invariant, gated by
+    # the same GC-horizon condition the consumer checks), and dropping
+    # dangling rows only shrinks that set. A MIXED cell (conversion +
+    # organic positional files) keeps the plain name: its positions
+    # are not all eq-covered, so the refusal is correct there.
+    eqconv_pure_groups = {
+        k
+        for k, ps in group_paths.items()
+        if all(
+            os.path.basename(p).startswith("delete-eqconv-") for p in ps
+        )
+    }
     all_paths = sorted(path_to_group)
     live_paths = spark.createDataFrame(
         [(d["file_path"],) for d in data], "file_path string"
@@ -989,6 +1017,7 @@ def _rewrite_position_deletes_once(
     token = uuid.uuid4().hex[:16]
     grp_names = dict(cell_names)  # closure-shipped: small, one per cell
     row_cap = max_rows_per_delete_file
+    eqconv_pure = set(eqconv_pure_groups)  # closure-shipped
 
     def _merge_group(pdf):
         import json as _json
@@ -1012,11 +1041,14 @@ def _rewrite_position_deletes_once(
         cap = row_cap if row_cap and row_cap > 0 else len(pdf) or 1
         out = []
         schema = _pos_delete_arrow_schema()
+        stem = (
+            "delete-eqconv-merged" if grp in eqconv_pure else "delete-merged"
+        )
         for ci, lo in enumerate(range(0, len(pdf), cap)):
             chunk = pdf.iloc[lo : lo + cap]
             path = os.path.join(
                 out_dir,
-                f"delete-merged-{token}-p{tag}-s{meta['sid']}-k{ci}.parquet",
+                f"{stem}-{token}-p{tag}-s{meta['sid']}-k{ci}.parquet",
             )
             tbl = pa.Table.from_arrays(
                 [
