@@ -1220,38 +1220,49 @@ def probe_cdc_upsert() -> None:
         )
         return tdir
 
-    def _batch(n: int, table_rows: int):
+    def _batch(n: int, table_rows: int, evolve: bool = False):
         k = F.col("id")  # batch index; keys stride over the table
         scaled = k * (table_rows // n)
-        return spark.range(n).select(
+        cols = [
             F.when(k % 4 == 1, scaled + table_rows)
             .otherwise(scaled)
             .alias("id"),  # k%4==1 -> brand-new key (insert)
             (scaled % 10).cast("bigint").alias("grp"),
             (scaled * 7).cast("bigint").alias("v"),
+        ]
+        if evolve:
+            # schema-drifted batch (r11): a brand-new optional column —
+            # the merge evolves the table schema in the same commit
+            cols.append((scaled * 1.0).alias("score"))
+        cols += [
             F.when(k % 4 == 2, F.lit("d")).otherwise(F.lit("u")).alias("op"),
             (k % 2).cast("bigint").alias("seq"),
-        )
+        ]
+        return spark.range(n).select(*cols)
 
     legs = [
-        ("warmup", 50_000, 1_000),
-        ("1x", 400_000, 4_000),
-        ("10x-tbl", 4_000_000, 4_000),
-        ("10x-batch", 400_000, 40_000),
+        ("warmup", 50_000, 1_000, False),
+        ("1x", 400_000, 4_000, False),
+        # same table+batch size, schema-drifted: evolution must cost
+        # only the metadata update (delta vs 1x ~= 0, never O(table))
+        ("1x-evolve", 400_000, 4_000, True),
+        ("10x-tbl", 4_000_000, 4_000, False),
+        ("10x-evolve", 4_000_000, 4_000, True),
+        ("10x-batch", 400_000, 40_000, False),
     ]
     import sys as _sys
 
     if "--full" in _sys.argv:
-        legs.append(("100x-tbl", 40_000_000, 4_000))
+        legs.append(("100x-tbl", 40_000_000, 4_000, False))
     print(
         f"{'cdc upsert':10s} {'tbl_rows':>9} {'batch':>7} "
-        f"{'merge_s':>8} {'live_rows':>10}"
+        f"{'merge_s':>8} {'live_rows':>10} {'schemas':>8}"
     )
-    for label, n_rows, n_batch in legs:
+    for label, n_rows, n_batch, evolve in legs:
         tdir = _build(n_rows, label)
-        batch = _batch(n_batch, n_rows)
+        batch = _batch(n_batch, n_rows, evolve)
         t0 = time.time()
-        ice.merge_upsert(
+        meta = ice.merge_upsert(
             spark, batch, tdir, on=["id"], op_col="op", seq_col="seq",
             partition_spec=spec, now_ms=2_000,
         )
@@ -1260,7 +1271,7 @@ def probe_cdc_upsert() -> None:
         if label != "warmup":
             print(
                 f"{label:10s} {n_rows:9d} {n_batch:7d} "
-                f"{merge_s:8.2f} {n_live:10d}"
+                f"{merge_s:8.2f} {n_live:10d} {len(meta['schemas']):8d}"
             )
         shutil.rmtree(tdir, ignore_errors=True)
     spark.stop()

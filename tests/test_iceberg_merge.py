@@ -1065,3 +1065,49 @@ def _state_scores(spark, tdir):
         r["id"]: (r["val"], r["score"])
         for r in read_iceberg_table(spark, tdir).collect()
     }
+
+
+# --- append-path promotion (the same evolve_iceberg_schema plane the
+# merge uses also runs on every plain append; pin it there too) ---
+
+
+def test_append_promotes_int_to_long(spark):
+    tdir = _mkdir()
+    df0 = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(6)],
+        "id bigint, grp bigint, cnt int",
+    )
+    write_iceberg_table(
+        spark, df0, tdir, now_ms=1_000, partition_spec=BUCKET_SPEC
+    )
+    df1 = spark.createDataFrame(
+        [(100, 0, 7_000_000_000)], "id bigint, grp bigint, cnt bigint"
+    )
+    meta = write_iceberg_table(
+        spark, df1, tdir, now_ms=2_000, partition_spec=BUCKET_SPEC
+    )
+    assert len(meta["schemas"]) == 2
+    cnt_f = next(
+        f for f in meta["schemas"][-1]["fields"] if f["name"] == "cnt"
+    )
+    assert cnt_f["type"] == "long"
+    got = {r["id"]: r["cnt"] for r in read_iceberg_table(spark, tdir).collect()}
+    assert got[100] == 7_000_000_000
+    assert got[3] == 30  # pre-promotion int32 pages up-cast at read
+
+
+def test_append_promotion_on_identity_partition_source_rejected(spark):
+    tdir = _mkdir()
+    df0 = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(6)],
+        "id bigint, grp int, val string",
+    )
+    spec = [("grp", "identity", None)]
+    write_iceberg_table(spark, df0, tdir, now_ms=1_000, partition_spec=spec)
+    df1 = spark.createDataFrame(
+        [(50, 9_000_000_000, "wide")], "id bigint, grp bigint, val string"
+    )
+    with pytest.raises(ValueError, match="partition source"):
+        write_iceberg_table(
+            spark, df1, tdir, now_ms=2_000, partition_spec=spec
+        )
