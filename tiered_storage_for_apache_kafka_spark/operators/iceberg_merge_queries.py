@@ -991,3 +991,154 @@ def iceberg_merge_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(pin).cast("bigint").alias("evolved_in_merge_commit"),
         )
     )
+
+
+_DDL_CACHE: dict[tuple, tuple] = {}
+
+
+def _ddl_lifecycle_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """The explicit-DDL lifecycle (r11, `commit.update_table_schema`):
+    base table (id, grp, val, aux INT) bucket[8] by id; a CDC merge
+    (deletes ``id%11==3``, updates ``id%7==0`` to val=id*5, keyed on
+    id) leaves live equality deletes; ``convert_equality_deletes``
+    retires them (the DDL drop guard requires it — dropping a live
+    eq-key column refuses); then ONE metadata-only DDL commit drops
+    ``aux`` and adds optional ``score double``; a final append lands
+    new rows (``id%97==0`` -> id+10M) carrying score values. Returns
+    (table_dir, metadata, merge_snapshot_id)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        convert_equality_deletes,
+        merge_upsert,
+        update_table_schema,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _DDL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id")
+    )
+    base = ids.select(
+        "id",
+        (F.col("id") % 10).cast("bigint").alias("grp"),
+        (F.col("id") * 3).cast("bigint").alias("val"),
+        (F.col("id") % 100).cast("int").alias("aux"),
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-ddl-q-")
+    spec = [("id_bucket", f"bucket[{N_BUCKETS}]", "id")]
+    write_iceberg_table(spark, base, tdir, now_ms=1_000, partition_spec=spec)
+
+    deletes = ids.where(F.col("id") % 11 == 3).select(
+        "id",
+        F.lit(None).cast("bigint").alias("grp"),
+        F.lit(None).cast("bigint").alias("val"),
+        F.lit(None).cast("int").alias("aux"),
+        F.lit("d").alias("op"),
+    )
+    updates = ids.where(
+        (F.col("id") % 11 != 3) & (F.col("id") % 7 == 0)
+    ).select(
+        "id",
+        (F.col("id") % 10).cast("bigint").alias("grp"),
+        (F.col("id") * 5).cast("bigint").alias("val"),
+        (F.col("id") % 100).cast("int").alias("aux"),
+        F.lit("u").alias("op"),
+    )
+    meta = merge_upsert(
+        spark, deletes.unionAll(updates), tdir, on=["id"], op_col="op",
+        partition_spec=spec, now_ms=2_000,
+    )
+    merge_snap = meta["snapshots"][-1]["snapshot-id"]
+    convert_equality_deletes(spark, tdir, now_ms=3_000)
+    update_table_schema(
+        tdir, drop=["aux"], add=[("score", "double")], now_ms=4_000
+    )
+    inserts = ids.where(F.col("id") % 97 == 0).select(
+        (F.col("id") + INSERT_OFFSET).alias("id"),
+        (F.col("id") % 10).cast("bigint").alias("grp"),
+        (F.col("id") * 2).cast("bigint").alias("val"),
+        F.col("id").cast("double").alias("score"),
+    )
+    meta = write_iceberg_table(
+        spark, inserts, tdir, now_ms=5_000, partition_spec=spec
+    )
+    out = (tdir, meta, merge_snap)
+    session_cache_put(_DDL_CACHE, key, out)
+    return out
+
+
+@query(
+    "iceberg_schema_ddl_scan",
+    oracle=f"""
+WITH ids AS (SELECT event_id AS id FROM events),
+live AS (
+  SELECT id % 10 AS g,
+         CASE WHEN id % 7 = 0 THEN id * 5 ELSE id * 3 END AS val,
+         CAST(NULL AS DOUBLE) AS score
+  FROM ids WHERE id % 11 <> 3
+  UNION ALL
+  SELECT id % 10, id * 2, CAST(id AS DOUBLE)
+  FROM ids WHERE id % 97 = 0
+)
+SELECT CAST(g AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(val) AS BIGINT) AS sum_val,
+       CAST(COUNT(score) AS BIGINT) AS n_scored,
+       CAST(SUM(score) AS BIGINT) AS sum_score,
+       CAST(1 AS BIGINT) AS ddl_pins
+FROM live
+GROUP BY g
+""",
+)
+def iceberg_schema_ddl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT schema DDL lifecycle (r11): merge -> conversion (the
+    drop guard's prerequisite) -> one metadata-only commit dropping
+    ``aux`` and adding optional ``score`` -> post-DDL append. The
+    current scan sees the NEW schema (aux gone, score null-padded on
+    pre-DDL rows) while time travel to the merge snapshot still reads
+    ``aux`` under its own schema version — ``ddl_pins`` pins both,
+    plus: exactly 2 schema versions, metadata-only DDL (snapshot count
+    unchanged by it), score optional. Scale shape: ALTER TABLE on a
+    100 TB table is one metadata version write — zero data movement,
+    with the name-resurrection and live-eq-key hazards refused at
+    commit time instead of corrupting reads later."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+        read_iceberg_table_at,
+    )
+
+    tdir, meta, merge_snap = _ddl_lifecycle_table(spark, sf_dir)
+    cur_schema = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    names = [f["name"] for f in cur_schema["fields"]]
+    score_f = next(f for f in cur_schema["fields"] if f["name"] == "score")
+    old_cols = read_iceberg_table_at(
+        spark, tdir, snapshot_id=merge_snap
+    ).columns
+    pin = 1 if (
+        len(meta["schemas"]) == 2
+        and "aux" not in names
+        and score_f["required"] is False
+        # base + merge + conversion + append = 4 snapshots: the DDL
+        # commit itself added none (metadata-only)
+        and len(meta["snapshots"]) == 4
+        and "aux" in old_cols  # time travel reads the snapshot's schema
+    ) else 0
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+            F.count("score").cast("bigint").alias("n_scored"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+        .select(
+            "grp", "n_live", "sum_val", "n_scored", "sum_score",
+            F.lit(pin).cast("bigint").alias("ddl_pins"),
+        )
+    )

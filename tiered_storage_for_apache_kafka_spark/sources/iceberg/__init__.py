@@ -94,6 +94,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.commit import (  # no
     _schema_updates,
     commit_append,
     update_partition_spec,
+    update_table_schema,
 )
 
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.writer import (  # noqa: F401

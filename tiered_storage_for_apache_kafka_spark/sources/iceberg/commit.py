@@ -392,9 +392,11 @@ def _commit_append_once(
         if schema_changed:
             from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (  # noqa: E501
                 guard_partition_source_promotion,
+                guard_readded_column,
             )
 
             guard_partition_source_promotion(base, cur_schema, evolved)
+            guard_readded_column(base, cur_schema, evolved)
             new_sid = max(s["schema-id"] for s in base["schemas"]) + 1
             evolved = {**evolved, "schema-id": new_sid}
             base = {
@@ -826,3 +828,203 @@ def _schema_updates(base: dict) -> list[dict]:
         },
         {"action": "set-current-schema", "schema-id": base["current-schema-id"]},
     ]
+
+
+def update_table_schema(
+    table_dir: str,
+    add: list | None = None,
+    drop: list | None = None,
+    make_optional: list | None = None,
+    promote: dict | None = None,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> dict:
+    """EXPLICIT schema DDL — the operations evolution-on-write never
+    infers (Iceberg spec "Schema Evolution"; the reference's
+    `SchemaUpdate.java:17-127` exposes the same verbs): one
+    metadata-only commit (no snapshot, no data movement) registering a
+    new schema version.
+
+    - ``add=[(name, type)]``: new OPTIONAL columns, fresh field ids.
+      ``type`` is an Iceberg primitive string (``int long float double
+      string binary boolean date timestamptz timestamp`` or
+      ``decimal(p,s)``) or a Spark ``DataType``. A name ANY historical
+      schema version ever used is rejected: this engine's parquet
+      scans resolve columns BY NAME (Spark), so re-adding a dropped
+      name would resurrect the old files' physical values under the
+      new column — Iceberg's id-based readers null them; refusing the
+      collision keeps both readers honest. (Same reason column RENAME
+      is not offered at all.)
+    - ``drop=[name]``: remove from the current schema (old versions
+      retain it — time travel still sees it, and pre-drop snapshots'
+      equality deletes still resolve against their own schema
+      version). Guarded: a column that is a partition-spec source (any
+      generation), a sort-order field, a merge/identifier column of a
+      LIVE equality-delete file, or the last column, refuses loudly.
+    - ``make_optional=[name]``: required -> optional (the reverse is
+      never offered — committed files may hold nulls).
+    - ``promote={name: type}``: int->long / float->double, same
+      guards as evolution-on-write (identity/truncate partition
+      sources refuse; bucket sources are fine).
+    """
+    import time as _time
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
+        read_avro_ocf,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+        guard_partition_source_promotion,
+        spark_schema_to_iceberg_type,
+    )
+
+    version, base, table_name = _current_state_meta(
+        table_dir, catalog, table_name
+    )
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    cur_schema = _current_schema_struct(base)
+    fields = {f["name"]: f for f in cur_schema["fields"]}
+    add = list(add or [])
+    drop = list(drop or [])
+    make_optional = list(make_optional or [])
+    promote = dict(promote or {})
+    if not (add or drop or make_optional or promote):
+        return base  # no-op
+
+    for name in [*drop, *make_optional, *promote]:
+        if name not in fields:
+            raise ValueError(f"column {name!r} not in the current schema")
+
+    # ---- adds ----
+    _PRIMS = {
+        "int", "long", "float", "double", "string", "binary",
+        "boolean", "date", "timestamptz", "timestamp",
+    }
+    historical = {
+        f["name"] for s in base.get("schemas", []) for f in s["fields"]
+    }
+    counter = {"id": int(base["last-column-id"])}
+    new_fields = []
+    for name, typ in add:
+        if name in historical:
+            raise ValueError(
+                f"column name {name!r} was used by a schema version of "
+                "this table; name-based parquet resolution would "
+                "resurrect old files' values — pick a fresh name"
+            )
+        if isinstance(typ, str):
+            if typ not in _PRIMS and not typ.startswith("decimal("):
+                raise ValueError(f"unknown Iceberg type {typ!r}")
+            counter["id"] += 1
+            fid, ityp = counter["id"], typ
+        else:
+            ityp, _last = spark_schema_to_iceberg_type(typ, counter)
+            fid = counter["id"]
+        new_fields.append(
+            {"id": fid, "name": name, "required": False, "type": ityp}
+        )
+
+    # ---- drop guards ----
+    if drop and len(drop) >= len(fields) + 0 and len(fields) - len(drop) < 1:
+        raise ValueError("cannot drop every column")
+    drop_ids = {fields[n]["id"] for n in drop}
+    for spec in base.get("partition-specs", []):
+        for f in spec["fields"]:
+            if f["source-id"] in drop_ids:
+                raise ValueError(
+                    f"cannot drop a partition source (spec "
+                    f"{spec['spec-id']} field {f['name']!r})"
+                )
+    for order in base.get("sort-orders", []):
+        for f in order.get("fields", []):
+            if f.get("source-id") in drop_ids:
+                raise ValueError(
+                    f"cannot drop a sort-order column (order "
+                    f"{order.get('order-id')})"
+                )
+    if drop_ids and base.get("current-snapshot-id", -1) != -1:
+        cur_snap = next(
+            s
+            for s in base["snapshots"]
+            if s["snapshot-id"] == base["current-snapshot-id"]
+        )
+        _, mfs, _ = read_avro_ocf(cur_snap["manifest-list"])
+        live_eq_ids: set[int] = set()
+        for mf in mfs:
+            if int(mf.get("content") or 0) != 1:
+                continue  # data manifest: no equality ids
+            _, entries, _ = read_avro_ocf(mf["manifest_path"])
+            for e in entries:
+                d = e["data_file"]
+                if e["status"] != 2 and d.get("content") == 2:
+                    live_eq_ids |= set(d.get("equality_ids") or [])
+        hit = sorted(drop_ids & live_eq_ids)
+        if hit:
+            names = {fields[n]["id"]: n for n in drop}
+            raise ValueError(
+                f"cannot drop {[names[i] for i in hit]!r}: LIVE "
+                "equality-delete files key on them — run "
+                "convert_equality_deletes (or rewrite_data_files) "
+                "first to retire the equality plane"
+            )
+
+    # ---- build the new version ----
+    promo_tbl = {("int", "long"): "long", ("float", "double"): "double"}
+    out_fields = []
+    for f in cur_schema["fields"]:
+        if f["name"] in drop:
+            continue
+        nf = dict(f)
+        if f["name"] in make_optional:
+            nf["required"] = False
+        if f["name"] in promote:
+            want = promote[f["name"]]
+            got = promo_tbl.get((str(f["type"]), str(want)))
+            if got is None:
+                raise ValueError(
+                    f"illegal promotion {f['type']!r} -> {want!r} on "
+                    f"{f['name']!r} (int->long and float->double only)"
+                )
+            nf["type"] = got
+        out_fields.append(nf)
+    out_fields += new_fields
+    if not out_fields:
+        raise ValueError("cannot drop every column")
+    new_sid = max(s["schema-id"] for s in base["schemas"]) + 1
+    evolved = {**cur_schema, "schema-id": new_sid, "fields": out_fields}
+    if promote:
+        guard_partition_source_promotion(base, cur_schema, evolved)
+    if evolved["fields"] == cur_schema["fields"]:
+        return base  # only no-op verbs (e.g. make_optional on optional)
+
+    meta = dict(base)
+    meta["schemas"] = base["schemas"] + [evolved]
+    meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = counter["id"]
+    meta["last-updated-ms"] = now_ms
+    meta_dir = os.path.join(table_dir, "metadata")
+    if catalog is not None:
+        resp = catalog.commit_table(
+            table_name,
+            _commit_requirements(base),
+            [
+                {
+                    "action": "add-schema",
+                    "schema": evolved,
+                    "last-column-id": counter["id"],
+                },
+                {"action": "set-current-schema", "schema-id": new_sid},
+            ],
+            now_ms,
+        )
+        return resp["metadata"]
+    meta["metadata-log"] = base.get("metadata-log", []) + [
+        {
+            "timestamp-ms": base["last-updated-ms"],
+            "metadata-file": os.path.join(
+                meta_dir, f"v{version}.metadata.json"
+            ),
+        }
+    ]
+    _write_metadata_version(meta_dir, version + 1, meta)
+    return meta

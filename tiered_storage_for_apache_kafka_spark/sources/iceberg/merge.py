@@ -328,6 +328,7 @@ def _merge_resolved(
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
         evolve_iceberg_schema,
         guard_partition_source_promotion,
+        guard_readded_column,
         iceberg_schema_to_spark,
     )
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.writer import (
@@ -417,6 +418,7 @@ def _merge_resolved(
                 "schema change on main first"
             )
         guard_partition_source_promotion(base, schema_struct, evolved)
+        guard_readded_column(base, schema_struct, evolved)
         new_sid = max(s["schema-id"] for s in base["schemas"]) + 1
         evolved = {**evolved, "schema-id": new_sid}
         base = {
@@ -549,6 +551,11 @@ def _reapply_schema_evolution(
     if not changed:
         return cur, []
     guard_partition_source_promotion(cur, cur_schema, evolved)
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+        guard_readded_column as _grc,
+    )
+
+    _grc(cur, cur_schema, evolved)
     new_sid = max(s["schema-id"] for s in cur["schemas"]) + 1
     evolved = {**evolved, "schema-id": new_sid}
     cur = {

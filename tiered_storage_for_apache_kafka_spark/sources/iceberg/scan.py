@@ -27,7 +27,9 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
 )
 
 
-def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
+def _apply_equality_deletes(
+    spark, df_pos, data_entries, eq_entries, meta, schema_id=None
+):
     """Merge-on-read for **equality-delete files** (content=2): a data
     row is dropped when some equality-delete row in the SAME partition
     matches it on every equality column (null-safe, the spec's
@@ -47,7 +49,17 @@ def _apply_equality_deletes(spark, df_pos, data_entries, eq_entries, meta):
         _specs_by_id,
     )
 
+    # resolve under the schema version of the snapshot being read
+    # (schema_id; default current): a column DROPPED by a later DDL
+    # commit still resolves for time-travel reads whose snapshot's eq
+    # deletes reference it — and the data scan used the same version,
+    # so the anti-join columns line up
     schema_struct = _current_schema_struct(meta)
+    if schema_id is not None:
+        schema_struct = next(
+            (s for s in meta.get("schemas", []) if s["schema-id"] == schema_id),
+            schema_struct,
+        )
     id_to_name = {f["id"]: f["name"] for f in schema_struct["fields"]}
     ids_set = {tuple(d["equality_ids"]) for d in eq_entries}
     if len(ids_set) != 1:
@@ -680,6 +692,7 @@ def _read_snapshot(
     snap: dict,
     constraints: dict | None = None,
     keep_identity: bool = False,
+    use_snapshot_schema: bool = False,
 ):
     """Plan one snapshot and hand it to Spark, applying the snapshot's
     position deletes when it has any (shared by the current-state and
@@ -695,9 +708,10 @@ def _read_snapshot(
     data, deletes = _plan_snapshot(
         snap, constraints, specs_by_id=_specs_by_id(meta)
     )
-    # read under the SNAPSHOT's schema version (time travel sees the
-    # schema of its day; the current snapshot's id IS the current one)
-    schema_id = snap.get("schema-id")
+    # current-state reads use the CURRENT schema (an add/drop DDL is
+    # visible immediately, Iceberg semantics); only TIME TRAVEL reads
+    # under the snapshot's own schema version
+    schema_id = snap.get("schema-id") if use_snapshot_schema else None
     if not data:
         return None if keep_identity else _empty_table_df(spark, meta)
     if not deletes and not keep_identity:
@@ -734,7 +748,9 @@ def _read_plan_with_identity(
     pos, dv = split_position_deletes(deletes)
     eq = [d for d in deletes if d.get("content") == 2]
     if eq:
-        df = _apply_equality_deletes(spark, df, data, eq, meta)
+        df = _apply_equality_deletes(
+            spark, df, data, eq, meta, schema_id=schema_id
+        )
     if pos:
         df = _apply_position_deletes(spark, df, data, pos)
     if dv:
@@ -893,4 +909,6 @@ def read_iceberg_table_at(
     )
     if snap is None:
         raise ValueError(f"snapshot {snapshot_id} not found (expired or never existed)")
-    return _read_snapshot(spark, table_dir, meta, snap, None)
+    return _read_snapshot(
+        spark, table_dir, meta, snap, None, use_snapshot_schema=True
+    )

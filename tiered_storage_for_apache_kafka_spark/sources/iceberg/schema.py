@@ -299,3 +299,33 @@ def guard_partition_source_promotion(
                     "summaries are packed at the old width); evolve "
                     "the partition spec to a new field instead"
                 )
+
+
+def guard_readded_column(base: dict, old_schema: dict, new_schema: dict) -> None:
+    """Reject evolution-on-write re-introducing a column NAME that a
+    previous schema version used but the current one dropped: this
+    engine's parquet scans resolve columns BY NAME (Spark), so a
+    re-added name would read the dropped column's physical values out
+    of pre-drop data files — Iceberg's id-based readers would see
+    nulls. Same rationale as `update_table_schema`'s add guard; an
+    explicit DDL add under a FRESH name is the sanctioned path."""
+    cur_names = {f["name"] for f in old_schema["fields"]}
+    added = {
+        f["name"] for f in new_schema["fields"] if f["name"] not in cur_names
+    }
+    if not added:
+        return
+    historical = {
+        f["name"]
+        for s in base.get("schemas", [])
+        for f in s["fields"]
+        if s["schema-id"] != old_schema.get("schema-id")
+    }
+    hit = sorted(added & (historical - cur_names))
+    if hit:
+        raise ValueError(
+            f"batch re-introduces dropped column name(s) {hit}: "
+            "name-based parquet resolution would resurrect pre-drop "
+            "file values — use update_table_schema(add=...) with a "
+            "fresh name"
+        )
