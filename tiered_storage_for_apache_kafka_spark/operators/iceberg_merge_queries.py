@@ -1142,3 +1142,99 @@ def iceberg_schema_ddl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(pin).cast("bigint").alias("ddl_pins"),
         )
     )
+
+
+_UPDATE_CACHE: dict[tuple, tuple] = {}
+
+
+def _updated_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Base table (id, grp, v=id*3) bucket[8] by id, then ONE
+    ``update_where`` (r11, `sources/iceberg/update.py`):
+    ``UPDATE SET v = v + id + 1_000_000 WHERE id % 9 = 4`` — position
+    deletes retract the matched identities while the updated copies
+    append, one overwrite snapshot. Returns (table_dir, metadata)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        update_where,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _UPDATE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    base = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        (F.col("event_id") % 10).cast("bigint").alias("grp"),
+        (F.col("event_id") * 3).cast("bigint").alias("v"),
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-update-q-")
+    spec = [("id_bucket", f"bucket[{N_BUCKETS}]", "id")]
+    write_iceberg_table(spark, base, tdir, now_ms=1_000, partition_spec=spec)
+    meta = update_where(
+        spark, tdir, "id % 9 = 4", {"v": "v + id + 1000000"}, now_ms=2_000
+    )
+    out = (tdir, meta)
+    session_cache_put(_UPDATE_CACHE, key, out)
+    return out
+
+
+@query(
+    "iceberg_update_where_scan",
+    oracle="""
+WITH ids AS (SELECT event_id AS id FROM events),
+live AS (
+  SELECT id % 10 AS g,
+         CASE WHEN id % 9 = 4 THEN id * 3 + id + 1000000
+              ELSE id * 3 END AS v,
+         CASE WHEN id % 9 = 4 THEN 1 ELSE 0 END AS touched
+  FROM ids
+)
+SELECT CAST(g AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(touched) AS BIGINT) AS n_updated,
+       CAST(1 AS BIGINT) AS one_overwrite_snapshot
+FROM live
+GROUP BY g
+""",
+)
+def iceberg_update_where_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (r11): ``UPDATE SET v = v + id + 1e6 WHERE
+    id % 9 = 4`` as ONE merge-on-read snapshot — position deletes for
+    the matched identities + data files with the updated copies; the
+    post-update totals replay relationally and
+    ``one_overwrite_snapshot`` pins the structure (exactly 2 snapshots;
+    the update snapshot is ``overwrite`` with equal added-records and
+    added-position-deletes; both a data and a delete manifest at its
+    sequence number). Scale shape: an UPDATE touching p% of a 100 TB
+    table costs a predicate-pruned scan plus p% rewrite — never a
+    table rewrite; the merge-on-read debt ages out via scheduled
+    rewrite_data_files like the other mutation planes."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+    )
+
+    tdir, meta = _updated_table(spark, sf_dir)
+    snap = meta["snapshots"][-1]
+    summ = snap["summary"]
+    pin = 1 if (
+        len(meta["snapshots"]) == 2
+        and summ["operation"] == "overwrite"
+        and int(summ["added-records"]) == int(summ["added-position-deletes"])
+        and int(summ["added-records"]) > 0
+    ) else 0
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+            F.sum(F.when(F.col("id") % 9 == 4, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_updated"),
+        )
+        .select(
+            "grp", "n_rows", "sum_v", "n_updated",
+            F.lit(pin).cast("bigint").alias("one_overwrite_snapshot"),
+        )
+    )

@@ -97,6 +97,10 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.commit import (  # no
     update_table_schema,
 )
 
+from tiered_storage_for_apache_kafka_spark.sources.iceberg.update import (  # noqa: F401
+    update_where,
+)
+
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.writer import (  # noqa: F401
     write_iceberg_table,
 )

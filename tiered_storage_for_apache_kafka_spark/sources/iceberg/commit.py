@@ -255,10 +255,26 @@ def _commit_append_once(
         # (a hive dir name + manifest partition struct, never a data
         # column). `(day(ts), bucket(id))` declares as
         # partition_spec=[("ts_day","day","ts"),("id_bucket","bucket[8]","id")].
-        spec_fields = _build_spec_fields(
-            partition_spec, partition_col, partition_transform,
-            partition_source, schema_struct,
-        )
+        if (
+            partition_spec is None
+            and partition_source is None
+            and partition_transform == "identity"
+            and not any(
+                f["name"] == partition_col
+                for f in schema_struct["fields"]
+            )
+        ):
+            # truly UNPARTITIONED table (the reference's own layout,
+            # `TableWriterFactory.java:93` / `IcebergTableManager.java:58`):
+            # no declared spec AND no legacy identity column -> spec 0
+            # has no fields, files lay flat, every partition summary is
+            # the empty tuple
+            spec_fields = []
+        else:
+            spec_fields = _build_spec_fields(
+                partition_spec, partition_col, partition_transform,
+                partition_source, schema_struct,
+            )
         table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, "iceberg:" + table_dir))
         base = {
             "format-version": FORMAT_VERSION,
@@ -271,7 +287,9 @@ def _commit_append_once(
             "schemas": [schema_struct],
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-            "last-partition-id": max(f["field-id"] for f in spec_fields),
+            "last-partition-id": max(
+                (f["field-id"] for f in spec_fields), default=999
+            ),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {

@@ -185,9 +185,9 @@ def write_position_deletes(
             (d["file_path"], *[d["partition"].get(n) for n in part_names])
             for d in data
         ],
-        "__iceberg_file string, "
-        + ", ".join(
-            f"{c} {t}" for c, (_n, _f, t) in zip(part_cols, part_typed)
+        ", ".join(
+            ["__iceberg_file string"]
+            + [f"{c} {t}" for c, (_n, _f, t) in zip(part_cols, part_typed)]
         ),
     )
     matches = (
