@@ -229,3 +229,97 @@ def test_update_unpartitioned_table(spark):
     update_where(spark, tdir, "id >= 6", {"v": "0"}, now_ms=2_000)
     got = {r["id"]: r["v"] for r in read_iceberg_table(spark, tdir).collect()}
     assert got[6] == 0 and got[7] == 0 and got[5] == 50
+
+
+def test_update_composes_with_merge_and_maintenance(spark):
+    """Cross-plane soak (small): MERGE retracts/updates/inserts, then
+    UPDATE rewrites a slice, then the whole maintenance stack runs —
+    conversion, delete-plane compaction, sorted data compaction,
+    expiration, orphan sweep — and the head equals the closed form
+    with a BOUNDED live plan."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        convert_equality_deletes,
+        expire_snapshots,
+        plan_scan,
+        remove_orphan_files,
+        rewrite_position_deletes,
+    )
+
+    tdir = _mkdir()
+    n = 60
+    _table(spark, tdir, n=n)
+    state = {i: (i % 3, i * 10) for i in range(n)}
+
+    # merge: delete id%5==1, update id%7==0 -> v=id*11, insert 1000/1001
+    rows = (
+        [(i, None, None, "d", 1) for i in range(n) if i % 5 == 1]
+        + [(i, i % 3, i * 11, "u", 1)
+           for i in range(n) if i % 5 != 1 and i % 7 == 0]
+        + [(1000, 0, 1, "i", 1), (1001, 1, 2, "i", 1)]
+    )
+    merge_upsert(
+        spark,
+        spark.createDataFrame(
+            rows, "id bigint, grp bigint, v bigint, op string, seq bigint"
+        ),
+        tdir, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=BUCKET_SPEC, now_ms=2_000,
+    )
+    for i in range(n):
+        if i % 5 == 1:
+            state.pop(i)
+        elif i % 7 == 0:
+            state[i] = (i % 3, i * 11)
+    state[1000], state[1001] = (0, 1), (1, 2)
+
+    # update: v += 5 where id%4==2 (on the merged view)
+    update_where(spark, tdir, "id % 4 = 2", {"v": "v + 5"}, now_ms=3_000)
+    state = {
+        i: (g, v + 5 if i % 4 == 2 else v) for i, (g, v) in state.items()
+    }
+    assert _state(spark, tdir) == state
+
+    convert_equality_deletes(spark, tdir, now_ms=4_000)
+    rewrite_position_deletes(spark, tdir, now_ms=5_000)
+    assert _state(spark, tdir) == state
+    rewrite_data_files(spark, tdir, now_ms=6_000, sort_by=["id"])
+    expire_snapshots(tdir, keep_last=2, now_ms=7_000)
+    remove_orphan_files(tdir, older_than_timestamp_ms=10**14)
+    assert _state(spark, tdir) == state
+    # compaction bounded the live plan: at most one file per bucket cell
+    assert len(plan_scan(tdir)) <= 4
+
+
+def test_update_surfaces_in_batch_changelog(spark):
+    # read_iceberg_changelog represents an UPDATE as delete(old
+    # identity) + insert(new row) — same shape the merge plane proved
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_changelog,
+    )
+
+    tdir = _mkdir()
+    m0 = _table(spark, tdir, n=8)
+    snap0 = m0["snapshots"][-1]["snapshot-id"]
+    m1 = update_where(spark, tdir, "id = 3", {"v": "999"}, now_ms=2_000)
+    ch = read_iceberg_changelog(
+        spark, tdir, from_snapshot_id=snap0,
+        to_snapshot_id=m1["snapshots"][-1]["snapshot-id"],
+    )
+    rows = {(r["id"], r["_change_type"], r["v"]) for r in ch.collect()}
+    assert rows == {(3, "delete", 30), (3, "insert", 999)}
+
+
+def test_update_window_refuses_keyed_stream_with_actionable_error(spark):
+    # positional deletes are not key-representable: a keyed-changelog
+    # consumer crossing an UPDATE window must get the documented
+    # refusal pointing at read_iceberg_changelog / re-bootstrap
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+        IcebergCdcStreamReader,
+    )
+
+    tdir = _mkdir()
+    _table(spark, tdir, n=8)
+    update_where(spark, tdir, "id = 2", {"v": "0"}, now_ms=2_000)
+    reader = IcebergCdcStreamReader({"path": tdir})
+    with pytest.raises(ValueError, match="read_iceberg_changelog"):
+        reader.partitions({"seq": 1}, {"seq": 2})
