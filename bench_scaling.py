@@ -1277,6 +1277,69 @@ def probe_cdc_upsert() -> None:
     spark.stop()
 
 
+def probe_update_where() -> None:
+    """Scale curve of update_where (r11): an UPDATE matching a
+    FIXED-SIZE id range on a SORTED, record-capped table must cost
+    ~the same as the table grows — the predicate prunes to the
+    overlapping sorted slices at the metadata level, the rewrite
+    touches only the matched rows, and the position-delete plan's scan
+    projects only the predicate + identity columns. Legs: same 4k-row
+    id window updated inside 400k / 4M-row tables, plus a 10x-match
+    leg (40k rows matched at 400k) to show the linear-in-matches
+    axis."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.session import get_spark
+    from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spec = [("id_bucket", "bucket[8]", "id")]
+
+    def _build(n_rows: int, label: str) -> str:
+        tdir = tempfile.mkdtemp(prefix=f"upd-{label}-")
+        df = spark.range(n_rows).select(
+            F.col("id"), (F.col("id") * 3).cast("bigint").alias("v")
+        )
+        ice.write_iceberg_table(
+            spark, df, tdir, now_ms=1_000, partition_spec=spec,
+            sort_by=["id"], max_records_per_file=max(4_096, n_rows // 64),
+        )
+        return tdir
+
+    legs = [
+        ("warmup", 50_000, 1_000),
+        ("1x", 400_000, 4_000),
+        ("10x-tbl", 4_000_000, 4_000),
+        ("10x-match", 400_000, 40_000),
+    ]
+    print(
+        f"{'update':10s} {'tbl_rows':>9} {'matched':>8} "
+        f"{'update_s':>9} {'n_upd':>7}"
+    )
+    for label, n_rows, n_match in legs:
+        tdir = _build(n_rows, label)
+        lo = n_rows // 2
+        pred = f"id >= {lo} AND id < {lo + n_match}"
+        t0 = time.time()
+        meta = ice.update_where(
+            spark, tdir, pred, {"v": "v + 1"}, now_ms=2_000
+        )
+        update_s = time.time() - t0
+        n_upd = int(meta["snapshots"][-1]["summary"]["added-records"])
+        assert n_upd == n_match, (n_upd, n_match)
+        if label != "warmup":
+            print(
+                f"{label:10s} {n_rows:9d} {n_match:8d} "
+                f"{update_s:9.2f} {n_upd:7d}"
+            )
+        shutil.rmtree(tdir, ignore_errors=True)
+    spark.stop()
+
+
 def probe_mirror() -> None:
     """Scale curve of mirror_iceberg_table catch-up (round 10): after
     the initial sync, replicating ONE source merge batch must cost the
@@ -1578,6 +1641,8 @@ if __name__ == "__main__":
         probe_eqconv()
     elif "--mirror" in sys.argv:
         probe_mirror()
+    elif "--update-where" in sys.argv:
+        probe_update_where()
     elif "--position-deletes" in sys.argv:
         probe_position_deletes()
     else:

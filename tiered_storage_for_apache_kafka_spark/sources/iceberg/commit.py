@@ -943,7 +943,10 @@ def update_table_schema(
         )
 
     # ---- drop guards ----
-    if drop and len(drop) >= len(fields) + 0 and len(fields) - len(drop) < 1:
+    if drop and len(set(drop)) >= len(fields):
+        # even with simultaneous adds: a table whose every ORIGINAL
+        # column drops in one DDL turns each old row into contentless
+        # all-null padding — almost certainly a caller bug
         raise ValueError("cannot drop every column")
     drop_ids = {fields[n]["id"] for n in drop}
     for spec in base.get("partition-specs", []):
