@@ -154,6 +154,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.refs import (  # noqa
     create_ref,
     drop_ref,
     fast_forward,
+    rollback_to_snapshot,
 )
 
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.maintenance import (  # noqa: F401

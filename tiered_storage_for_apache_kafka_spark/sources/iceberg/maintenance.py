@@ -105,14 +105,24 @@ def _expire_snapshots_once(
         raise ValueError("keep_last must be >= 1")
     version, meta, table_name = _maintenance_state(table_dir, catalog, table_name)
     snaps = meta["snapshots"]
-    if len(snaps) <= keep_last:
-        return meta
     # spec: expiration never removes a snapshot any ref points at — a
     # tag pins its snapshot for the tag's lifetime
     ref_ids = {
         r["snapshot-id"] for r in (meta.get("refs") or {}).values()
     }
-    keep_ids = {s["snapshot-id"] for s in snaps[-keep_last:]} | ref_ids
+    # retain-last counts along MAIN'S LINEAGE (newest-first parent
+    # walk), exactly the Java action: positional newest-N is identical
+    # for linear histories but wrong after a rollback — it would keep
+    # the abandoned fork's snapshots (unreachable from any ref) while
+    # dropping a live ancestor. Dead forks survive only by age
+    # (older_than_ms) or a ref pointing at them.
+    by_id_lineage = {s["snapshot-id"]: s for s in snaps}
+    lineage: list = []
+    node = meta.get("current-snapshot-id", -1)
+    while node in by_id_lineage:
+        lineage.append(node)
+        node = by_id_lineage[node].get("parent-snapshot-id")
+    keep_ids = set(lineage[:keep_last]) | ref_ids
     if older_than_ms is not None:
         # expireSnapshots(olderThan) semantics: age is an ADDITIONAL
         # keep condition — a snapshot younger than the cutoff survives

@@ -231,3 +231,86 @@ def fast_forward(
         table_dir, version, meta, new_refs, now_ms,
         current_snapshot_id=src_id if target == "main" else None,
     )
+
+
+def rollback_to_snapshot(
+    table_dir: str,
+    snapshot_id: int,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    allow_non_ancestor: bool = False,
+) -> dict:
+    """Roll ``main`` back to a historical snapshot — Iceberg's
+    ``rollback_to_snapshot`` procedure (the operational "oops" after a
+    bad commit): one metadata-only commit moving ``current-snapshot-id``
+    and the ``main`` ref to ``snapshot_id`` and appending it to the
+    snapshot-log (the rollback IS a ``TIMESTAMP AS OF`` event). Data
+    and metadata files are untouched: the rolled-back-from snapshots
+    stay readable by id until ``expire_snapshots`` garbage-collects
+    them as unreachable, and the NEXT write chains off the restored
+    head (the abandoned lineage becomes a dead fork, exactly Iceberg's
+    semantics — sequence numbers keep increasing monotonically, so
+    incremental consumers never see a regressing offset).
+
+    The target must be an ANCESTOR of the current head (the rollback
+    contract); ``allow_non_ancestor=True`` relaxes it to Iceberg's
+    ``set_current_snapshot`` (jump to ANY listed snapshot, e.g. back
+    onto an abandoned fork). Rolling back UNDER a live keyed-changelog
+    consumer's checkpoint is a divergence event for that consumer —
+    its emitted rows from the abandoned lineage have no counterpart in
+    the restored one; restart it from a fresh checkpoint
+    (re-bootstrap), the same operational rule as retention."""
+    import time as _time
+
+    version, meta, table_name = _maintenance_state(
+        table_dir, catalog, table_name
+    )
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snapshot_id not in by_id:
+        raise ValueError(
+            f"snapshot {snapshot_id} not found (expired or never existed)"
+        )
+    cur_id = int(meta.get("current-snapshot-id", -1))
+    if cur_id == snapshot_id:
+        return meta  # already there
+    if not allow_non_ancestor:
+        node = cur_id
+        while node != snapshot_id:
+            snap = by_id.get(node)
+            parent = None if snap is None else snap.get("parent-snapshot-id")
+            if parent is None:
+                raise ValueError(
+                    f"snapshot {snapshot_id} is not an ancestor of the "
+                    f"current head {cur_id}; pass "
+                    "allow_non_ancestor=True for set_current_snapshot "
+                    "semantics (jump to any listed snapshot)"
+                )
+            node = parent
+
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    now_ms = max(
+        now_ms,
+        max((e["timestamp-ms"] for e in meta["snapshot-log"]), default=0),
+    )
+    if catalog is not None:
+        resp = catalog.commit_table(
+            table_name,
+            _maintenance_requirements(meta),
+            [
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": snapshot_id,
+                }
+            ],
+            now_ms,
+        )
+        return resp["metadata"]
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    return _commit_refs_local(
+        table_dir, version, meta, refs, now_ms,
+        current_snapshot_id=snapshot_id,
+    )
