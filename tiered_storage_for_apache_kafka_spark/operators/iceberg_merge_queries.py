@@ -1238,3 +1238,115 @@ def iceberg_update_where_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(pin).cast("bigint").alias("one_overwrite_snapshot"),
         )
     )
+
+
+_ROLLBACK_CACHE: dict[tuple, tuple] = {}
+
+
+def _rollback_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Base table from events (id, grp, v=id*3), a BAD batch (every id
+    shifted into a disjoint range with poisoned values), then
+    ``rollback_to_snapshot`` (r11, `sources/iceberg/refs.py`) back to
+    the base head, then the CORRECTED batch (id+20M, v=id*7) — the
+    operational bad-commit recovery. Returns
+    (table_dir, metadata, base_snapshot_id)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        rollback_to_snapshot,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _ROLLBACK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id")
+    )
+    base = ids.select(
+        "id",
+        (F.col("id") % 10).cast("bigint").alias("grp"),
+        (F.col("id") * 3).cast("bigint").alias("v"),
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-rollback-q-")
+    spec = [("id_bucket", f"bucket[{N_BUCKETS}]", "id")]
+    m0 = write_iceberg_table(
+        spark, base, tdir, now_ms=1_000, partition_spec=spec
+    )
+    base_snap = m0["snapshots"][-1]["snapshot-id"]
+    bad = ids.where(F.col("id") % 3 == 0).select(
+        (F.col("id") + INSERT_OFFSET).alias("id"),
+        (F.col("id") % 10).cast("bigint").alias("grp"),
+        F.lit(-1).cast("bigint").alias("v"),  # the poisoned values
+    )
+    write_iceberg_table(spark, bad, tdir, now_ms=2_000, partition_spec=spec)
+    rollback_to_snapshot(tdir, base_snap, now_ms=3_000)
+    fixed = ids.where(F.col("id") % 3 == 0).select(
+        (F.col("id") + 2 * INSERT_OFFSET).alias("id"),
+        (F.col("id") % 10).cast("bigint").alias("grp"),
+        (F.col("id") * 7).cast("bigint").alias("v"),
+    )
+    meta = write_iceberg_table(
+        spark, fixed, tdir, now_ms=4_000, partition_spec=spec
+    )
+    out = (tdir, meta, base_snap)
+    session_cache_put(_ROLLBACK_CACHE, key, out)
+    return out
+
+
+@query(
+    "iceberg_rollback_scan",
+    oracle="""
+WITH ids AS (SELECT event_id AS id FROM events),
+live AS (
+  SELECT id % 10 AS g, id * 3 AS v FROM ids
+  UNION ALL
+  SELECT id % 10, id * 7 FROM ids WHERE id % 3 = 0
+)
+SELECT CAST(g AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(0 AS BIGINT) AS n_poisoned,
+       CAST(1 AS BIGINT) AS rollback_pins
+FROM live
+GROUP BY g
+""",
+)
+def iceberg_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-commit recovery (r11): a poisoned append, a
+    ``rollback_to_snapshot`` back to the good head, the corrected
+    append — the head state equals base + corrected (ZERO poisoned
+    rows survive, pinned by ``n_poisoned``) and replays relationally.
+    ``rollback_pins`` pins the structure: the corrected head's parent
+    is the RESTORED snapshot (the fork point, not the poisoned one),
+    the rollback was metadata-only, the abandoned snapshot is still
+    listed (readable by id until expiration), and the snapshot-log
+    records the rollback as a TIMESTAMP AS OF event. Scale shape:
+    un-committing a bad batch on a 100 TB table is one metadata
+    version write — never a data operation."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+    )
+
+    tdir, meta, base_snap = _rollback_table(spark, sf_dir)
+    head = meta["snapshots"][-1]
+    log_ids = [e["snapshot-id"] for e in meta["snapshot-log"]]
+    pin = 1 if (
+        head["parent-snapshot-id"] == base_snap
+        and len(meta["snapshots"]) == 3  # base, abandoned, corrected
+        and base_snap in log_ids[-2:]  # the rollback event is logged
+    ) else 0
+    df = read_iceberg_table(spark, tdir)
+    return (
+        df.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+            F.sum(F.when(F.col("v") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_poisoned"),
+        )
+        .select(
+            "grp", "n_rows", "sum_v", "n_poisoned",
+            F.lit(pin).cast("bigint").alias("rollback_pins"),
+        )
+    )
