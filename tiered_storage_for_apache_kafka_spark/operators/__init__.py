@@ -75,6 +75,7 @@ _R11_WINDOW = [
     "iceberg_schema_ddl_scan",
     "iceberg_update_where_scan",
     "iceberg_rollback_scan",
+    "iceberg_replace_partitions_scan",
     # (b) r10 red re-verify
     "iceberg_timestamp_window_scan",
     # (c) never driver-sampled
@@ -125,7 +126,6 @@ _R11_WINDOW = [
     "cube_order_stats",
     "curation_funnel",
     "doc_fingerprint",
-    "doc_winnow_fingerprint",
 ]
 _R10_WINDOW = _R11_WINDOW  # backward-compatible aliases (older scripts)
 _R9_WINDOW = _R11_WINDOW

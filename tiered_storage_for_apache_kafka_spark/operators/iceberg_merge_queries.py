@@ -1350,3 +1350,104 @@ def iceberg_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(pin).cast("bigint").alias("rollback_pins"),
         )
     )
+
+
+_REPLACE_CACHE: dict[tuple, tuple] = {}
+
+
+def _replaced_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """events -> a grp-identity-partitioned table (grp=id%10, v=id*3),
+    then ONE ``replace_partitions`` (r11) batch that touches cells
+    {3, 7}: per-cell synthetic rows id+30M (3 rows into cell 3 with
+    v=id*4, 2 rows into cell 7 with v=id*6, derived from id%97==0 /
+    id%101==0 strides). Returns (table_dir, metadata)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        replace_partitions,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _REPLACE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id")
+    )
+    base = ids.select(
+        "id",
+        (F.col("id") % 10).cast("bigint").alias("grp"),
+        (F.col("id") * 3).cast("bigint").alias("v"),
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-replace-q-")
+    spec = [("grp", "identity", None)]
+    write_iceberg_table(spark, base, tdir, now_ms=1_000, partition_spec=spec)
+    into3 = ids.where(F.col("id") % 97 == 0).select(
+        (F.col("id") + 3 * INSERT_OFFSET).alias("id"),
+        F.lit(3).cast("bigint").alias("grp"),
+        (F.col("id") * 4).cast("bigint").alias("v"),
+    )
+    into7 = ids.where(F.col("id") % 101 == 0).select(
+        (F.col("id") + 4 * INSERT_OFFSET).alias("id"),
+        F.lit(7).cast("bigint").alias("grp"),
+        (F.col("id") * 6).cast("bigint").alias("v"),
+    )
+    meta = replace_partitions(
+        spark, into3.unionAll(into7), tdir, now_ms=2_000
+    )
+    out = (tdir, meta)
+    session_cache_put(_REPLACE_CACHE, key, out)
+    return out
+
+
+@query(
+    "iceberg_replace_partitions_scan",
+    oracle="""
+WITH ids AS (SELECT event_id AS id FROM events),
+live AS (
+  SELECT id % 10 AS g, id * 3 AS v FROM ids
+  WHERE id % 10 NOT IN (3, 7)
+  UNION ALL
+  SELECT 3, id * 4 FROM ids WHERE id % 97 = 0
+  UNION ALL
+  SELECT 7, id * 6 FROM ids WHERE id % 101 = 0
+)
+SELECT CAST(g AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(1 AS BIGINT) AS one_overwrite_snapshot
+FROM live
+GROUP BY g
+""",
+)
+def iceberg_replace_partitions_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE (r11, `replace_partitions`): the
+    batch's two touched cells are wholly replaced by its rows while
+    every untouched cell survives byte-identical, all in ONE overwrite
+    snapshot (pinned). Scale shape: INSERT OVERWRITE of one day's cell
+    on a 100 TB table costs that cell's rows + the batch — the
+    membership predicate recomputes the partition transform row-wise,
+    so even pre-spec-evolution files cannot leak stale rows into a
+    replaced cell."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+    )
+
+    tdir, meta = _replaced_table(spark, sf_dir)
+    summ = meta["snapshots"][-1]["summary"]
+    pin = 1 if (
+        len(meta["snapshots"]) == 2
+        and summ["operation"] == "overwrite"
+        and int(summ["added-position-deletes"]) > 0
+    ) else 0
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+        )
+        .select(
+            "grp", "n_rows", "sum_v",
+            F.lit(pin).cast("bigint").alias("one_overwrite_snapshot"),
+        )
+    )

@@ -98,6 +98,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.commit import (  # no
 )
 
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.update import (  # noqa: F401
+    replace_partitions,
     update_where,
 )
 

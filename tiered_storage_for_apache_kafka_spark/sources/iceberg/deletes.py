@@ -120,6 +120,7 @@ def write_position_deletes(
     partition_col: str | None = None,
     meta: dict | None = None,
     writer_shards: int = 1,
+    prep=None,
 ) -> list[dict]:
     """Plan and write spec-shaped **position-delete files** for every
     current-snapshot row matching ``predicate`` (a Spark SQL string or
@@ -159,6 +160,12 @@ def write_position_deletes(
         return []
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     df = _read_with_positions(spark, table_dir, meta, [d["file_path"] for d in data])
+    if prep is not None:
+        # caller-provided projection hook: lets the predicate reference
+        # DERIVED columns (e.g. recomputed partition transforms for the
+        # cell-membership match in replace_partitions) without the scan
+        # schema carrying them
+        df = prep(df)
     # match against the MERGED view: a row already deleted (by either
     # kind) must not re-match (duplicate delete rows are spec-legal but
     # inflate added-position-deletes and every later delete scan)

@@ -451,3 +451,194 @@ def _commit_update_once(
         return resp["metadata"]
     _write_metadata_version(meta_dir, version + 1, meta)
     return meta
+
+
+def replace_partitions(
+    spark,
+    df,
+    table_dir: str,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+    max_commit_retries: int = 3,
+    writer_shards: int | None = None,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """DYNAMIC PARTITION OVERWRITE — ``INSERT OVERWRITE t`` with
+    Spark's dynamic mode / Iceberg's ``ReplacePartitions``: retract
+    every partition CELL the batch touches and land the batch, in ONE
+    ``overwrite`` snapshot. Cells the batch does not touch are
+    untouched; an empty batch is a no-op (never "truncate table").
+
+    The retraction is ROW-LEVEL and transform-exact: the cell
+    membership predicate recomputes each spec field's transform from
+    its SOURCE column on the scan side (the same kernels the writer
+    uses — identity/truncate/day/bucket/...), so rows in
+    OLD-spec-generation files whose recomputed cell matches are
+    retracted too — partition evolution never leaks stale rows into a
+    replaced cell. Position-delete files + the staged batch commit
+    through the same dual-manifest snapshot as :func:`update_where`.
+
+    Batch schema follows the merge plane's conform rules minus
+    evolution: absent OPTIONAL columns land as nulls, absent REQUIRED
+    columns and unknown columns reject (overwrite never evolves the
+    schema — use `merge_upsert` / `update_table_schema` for that).
+
+    Scale shape: cost is O(touched cells' rows) + O(batch) — the scan
+    prunes on the source columns (identity/range transforms push to
+    parquet; bucket membership evaluates vectorized), untouched cells'
+    files are dropped by Catalyst where pushdown applies, and the
+    commit is metadata-bound. The copy-on-write alternative (drop
+    whole files by metadata tuple) trades read-side delete debt for a
+    heavier commit; this engine keeps the merge-on-read posture all
+    its mutation planes share, with `rewrite_data_files` as the
+    equalizer."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        CommitConflictError,
+        commit_retry_backoff,
+    )
+
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    if catalog is not None and table_name is None:
+        table_name = _default_table_name(table_dir)
+    last_err: Exception | None = None
+    n_attempts = max_commit_retries if catalog is not None else 1
+    for _attempt in range(n_attempts):
+        try:
+            return _replace_once(
+                spark, df, table_dir, now_ms, catalog, table_name,
+                writer_shards, max_records_per_file,
+            )
+        except CommitConflictError as e:
+            last_err = e
+            if _attempt + 1 < n_attempts:
+                commit_retry_backoff(_attempt)
+    assert last_err is not None
+    raise last_err
+
+
+def _replace_once(
+    spark, df, table_dir, now_ms, catalog, table_name, writer_shards,
+    max_records_per_file,
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.deletes import (
+        write_position_deletes,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+        iceberg_schema_to_spark,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (
+        transform_column,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.writer import (
+        _validate_append_shape,
+        stage_data_files,
+        write_iceberg_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.schema_evolution import (
+        conform,
+    )
+
+    try:
+        version, base, table_name = _current_state_meta(
+            table_dir, catalog, table_name
+        )
+    except FileNotFoundError:
+        base = None
+    part_spec = None if base is None else derived_partition_spec(base)
+    if base is None or base.get("current-snapshot-id", -1) == -1:
+        # nothing committed: the overwrite IS the first write
+        return write_iceberg_table(
+            spark, df, table_dir, partition_spec=part_spec,
+            now_ms=now_ms, catalog=catalog, table_name=table_name,
+            writer_shards=writer_shards,
+            max_records_per_file=max_records_per_file,
+        )
+    _validate_append_shape(base, part_spec, df.columns)
+
+    # conform (no evolution): unknown columns and absent REQUIRED
+    # columns reject; absent optionals null-fill; narrower types up-cast
+    schema_struct = _current_schema_struct(base)
+    table_cols = {f["name"] for f in schema_struct["fields"]}
+    extra = sorted(set(df.columns) - table_cols)
+    if extra:
+        raise ValueError(
+            f"overwrite batch carries unknown columns {extra} — "
+            "replace_partitions never evolves the schema"
+        )
+    missing_required = [
+        f["name"]
+        for f in schema_struct["fields"]
+        if f["required"] and f["name"] not in set(df.columns)
+    ]
+    if missing_required:
+        raise ValueError(
+            f"overwrite batch lacks REQUIRED columns {missing_required}"
+        )
+    df = conform(df, iceberg_schema_to_spark(schema_struct))
+
+    spec = _default_spec(base)
+    if not spec["fields"]:
+        raise ValueError(
+            "the table is unpartitioned: there are no cells to replace "
+            "— use update_where / commit_position_deletes + append, or "
+            "overwrite by recreating the table"
+        )
+
+    # the CELLS the batch touches (bounded driver collect: one row per
+    # distinct cell, never per data row)
+    id_to_name = {f["id"]: f["name"] for f in schema_struct["fields"]}
+    dft = df
+    cell_cols = []
+    for f in spec["fields"]:
+        src = id_to_name[f["source-id"]]
+        if f["transform"] == "identity":
+            cell_cols.append(f["name"])
+            continue
+        dft = transform_column(dft, src, f["transform"], f["name"])
+        cell_cols.append(f["name"])
+    cells = [tuple(r) for r in dft.select(*cell_cols).distinct().collect()]
+    if not cells:
+        return base  # empty batch: no cells, no snapshot
+
+    # membership predicate over the SCAN side, transforms recomputed
+    # via the same kernels (prep hook adds the derived columns)
+    probe_cols = {}
+    for f in spec["fields"]:
+        src = id_to_name[f["source-id"]]
+        probe_cols[f["name"]] = (
+            src if f["transform"] == "identity" else f"__rp_{f['name']}"
+        )
+
+    def prep(scan_df):
+        for f in spec["fields"]:
+            if f["transform"] == "identity":
+                continue
+            scan_df = transform_column(
+                scan_df, id_to_name[f["source-id"]], f["transform"],
+                f"__rp_{f['name']}",
+            )
+        return scan_df
+
+    cond = F.lit(False)
+    for cell in cells:
+        c = F.lit(True)
+        for (name, _pc), val in zip(probe_cols.items(), cell):
+            c = c & F.col(probe_cols[name]).eqNullSafe(F.lit(val))
+        cond = cond | c
+
+    del_stats = write_position_deletes(
+        spark, table_dir, cond, meta=base,
+        writer_shards=writer_shards or 1, prep=prep,
+    )
+    new_files, _schema = stage_data_files(
+        spark, df, table_dir, partition_spec=part_spec,
+        max_records_per_file=max_records_per_file,
+        writer_shards=writer_shards,
+    )
+    return _commit_update_once(
+        table_dir, version, base, new_files, del_stats, now_ms, catalog,
+        table_name,
+    )
