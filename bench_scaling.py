@@ -1340,6 +1340,71 @@ def probe_update_where() -> None:
     spark.stop()
 
 
+def probe_replace_partitions() -> None:
+    """Scale curve of replace_partitions (r11): overwriting ONE
+    identity cell must cost ~that cell's rows + the batch, flat as the
+    TABLE grows with the cell held constant (the membership predicate
+    pushes to parquet on an identity source, so untouched cells' files
+    prune at scan). Legs: 10-cell tables of 400k / 4M rows, one cell
+    (~10%% of rows at 1x, ~1%% at 10x... cell size held at 40k rows by
+    widening the cell count 10x with the table) overwritten by a
+    4k-row batch."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.session import get_spark
+    from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spec = [("grp", "identity", None)]
+
+    def _build(n_rows: int, n_cells: int, label: str) -> str:
+        tdir = tempfile.mkdtemp(prefix=f"rp-{label}-")
+        df = spark.range(n_rows).select(
+            F.col("id"),
+            (F.col("id") % n_cells).cast("bigint").alias("grp"),
+            (F.col("id") * 3).cast("bigint").alias("v"),
+        )
+        ice.write_iceberg_table(
+            spark, df, tdir, now_ms=1_000, partition_spec=spec
+        )
+        return tdir
+
+    legs = [
+        ("warmup", 50_000, 5),
+        ("1x", 400_000, 10),      # cell = 40k rows
+        ("10x-tbl", 4_000_000, 100),  # cell still = 40k rows
+    ]
+    print(
+        f"{'replace':10s} {'tbl_rows':>9} {'cell_rows':>9} "
+        f"{'replace_s':>10}"
+    )
+    for label, n_rows, n_cells in legs:
+        tdir = _build(n_rows, n_cells, label)
+        batch = spark.range(4_000).select(
+            (F.col("id") + n_rows).alias("id"),
+            F.lit(3).cast("bigint").alias("grp"),
+            F.lit(0).cast("bigint").alias("v"),
+        )
+        t0 = time.time()
+        meta = ice.replace_partitions(spark, batch, tdir, now_ms=2_000)
+        replace_s = time.time() - t0
+        n_del = int(
+            meta["snapshots"][-1]["summary"]["added-position-deletes"]
+        )
+        assert n_del == n_rows // n_cells, (n_del, n_rows // n_cells)
+        if label != "warmup":
+            print(
+                f"{label:10s} {n_rows:9d} {n_rows // n_cells:9d} "
+                f"{replace_s:10.2f}"
+            )
+        shutil.rmtree(tdir, ignore_errors=True)
+    spark.stop()
+
+
 def probe_mirror() -> None:
     """Scale curve of mirror_iceberg_table catch-up (round 10): after
     the initial sync, replicating ONE source merge batch must cost the
@@ -1643,6 +1708,8 @@ if __name__ == "__main__":
         probe_mirror()
     elif "--update-where" in sys.argv:
         probe_update_where()
+    elif "--replace" in sys.argv:
+        probe_replace_partitions()
     elif "--position-deletes" in sys.argv:
         probe_position_deletes()
     else:
