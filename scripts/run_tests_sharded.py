@@ -53,6 +53,7 @@ DURATIONS = {
     "test_iceberg_update.py": 50,
     "test_iceberg_rollback.py": 25,
     "test_iceberg_replace.py": 30,
+    "test_mutation_fuzz.py": 150,
     "test_curation.py": 25,
     "test_rest_catalog.py": 25,
     "test_iceberg_meta_tables.py": 20,

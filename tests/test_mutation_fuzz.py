@@ -1,0 +1,207 @@
+"""Seeded randomized MUTATION gauntlet: a ~30-op program drawn over
+every table verb the engine has — append, merge (upserts/deletes with
+op codes), update_where, positional DELETE, replace_partitions,
+rollback_to_snapshot, and the maintenance planes (conversion,
+delete-plane compaction, sorted rewrite, expiration + orphan sweep) —
+applied in lock-step to the Iceberg table AND a Python-dict model,
+with full-state equality asserted after every mutating op.
+
+The per-plane tests prove each verb in isolation and the soak
+gauntlets prove curated compositions; this file covers the
+combinatorial seams none of those enumerate (update after rollback,
+replace over merge debt, delete of freshly-replaced rows, compaction
+between any two of them) under DETERMINISTIC seeds, so a failure
+replays exactly.
+"""
+
+from __future__ import annotations
+
+import random
+import tempfile
+
+import pytest
+
+from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+    bucket_hash_long,
+    commit_position_deletes,
+    convert_equality_deletes,
+    expire_snapshots,
+    merge_upsert,
+    read_iceberg_table,
+    read_table_metadata,
+    remove_orphan_files,
+    replace_partitions,
+    rewrite_data_files,
+    rewrite_position_deletes,
+    rollback_to_snapshot,
+    update_where,
+    write_iceberg_table,
+)
+
+N_BUCKETS = 4
+SPEC = [("id_bucket", f"bucket[{N_BUCKETS}]", "id")]
+
+
+def _bkt(i: int) -> int:
+    return (bucket_hash_long(i) & 0x7FFFFFFF) % N_BUCKETS
+
+
+def _df(spark, rows, schema="id bigint, grp bigint, v bigint"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _state(spark, tdir):
+    return {
+        r["id"]: (r["grp"], r["v"])
+        for r in read_iceberg_table(spark, tdir).collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_mutation_program_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    tdir = str(tmp_path / f"fuzz-{seed}")
+    ms = [1_000]
+
+    def tick() -> int:
+        ms[0] += 1_000
+        return ms[0]
+
+    model: dict[int, tuple[int, int]] = {
+        i: (i % 5, i * 10) for i in range(60)
+    }
+    write_iceberg_table(
+        spark,
+        _df(spark, [(i, g, v) for i, (g, v) in model.items()]),
+        tdir, now_ms=tick(), partition_spec=SPEC,
+    )
+    next_id = [1_000]
+    # live lineage for rollback: (snapshot_id, model copy) per commit
+    lineage = [(read_table_metadata(tdir)["metadata"]["current-snapshot-id"],
+                dict(model))]
+
+    def committed(meta) -> None:
+        head = meta["current-snapshot-id"]
+        if head != lineage[-1][0]:
+            lineage.append((head, dict(model)))
+
+    def op_append():
+        rows = []
+        for _ in range(rng.randint(2, 8)):
+            next_id[0] += 1
+            i = next_id[0]
+            rows.append((i, i % 5, i * 3))
+            model[i] = (i % 5, i * 3)
+        committed(write_iceberg_table(
+            spark, _df(spark, rows), tdir, now_ms=tick(),
+            partition_spec=SPEC,
+        ))
+
+    def op_merge():
+        live = sorted(model)
+        rows = []
+        for i in rng.sample(live, min(len(live), rng.randint(2, 6))):
+            if rng.random() < 0.4:
+                rows.append((i, None, None, "d", 1))
+                model.pop(i)
+            else:
+                g, v = i % 5, rng.randint(0, 10_000)
+                rows.append((i, g, v, "u", 1))
+                model[i] = (g, v)
+        for _ in range(rng.randint(0, 3)):
+            next_id[0] += 1
+            i = next_id[0]
+            rows.append((i, i % 5, i * 7, "i", 1))
+            model[i] = (i % 5, i * 7)
+        committed(merge_upsert(
+            spark, _df(spark, rows,
+                       "id bigint, grp bigint, v bigint, op string, seq bigint"),
+            tdir, on=["id"], op_col="op", seq_col="seq",
+            partition_spec=SPEC, now_ms=tick(),
+        ))
+
+    def op_update():
+        m, r, c = rng.randint(2, 7), rng.randint(0, 1), rng.randint(1, 99)
+        meta = update_where(
+            spark, tdir, f"id % {m} = {r}", {"v": f"v + {c}"},
+            now_ms=tick(),
+        )
+        for i in list(model):
+            if i % m == r:
+                g, v = model[i]
+                model[i] = (g, v + c)
+        committed(meta)  # lineage snapshots record the POST-op model
+
+    def op_delete():
+        m, r = rng.randint(3, 9), rng.randint(0, 2)
+        meta = commit_position_deletes(
+            spark, tdir, f"id % {m} = {r}", now_ms=tick()
+        )
+        for i in list(model):
+            if i % m == r:
+                model.pop(i)
+        committed(meta)
+
+    def op_replace():
+        rows = []
+        for _ in range(rng.randint(1, 4)):
+            next_id[0] += 1
+            i = next_id[0]
+            rows.append((i, i % 5, -i))
+        cells = {_bkt(i) for i, _g, _v in rows}
+        meta = replace_partitions(
+            spark, _df(spark, rows), tdir, now_ms=tick()
+        )
+        for i in list(model):
+            if _bkt(i) in cells:
+                model.pop(i)
+        for i, g, v in rows:
+            model[i] = (g, v)
+        committed(meta)
+
+    def op_rollback():
+        if len(lineage) < 2:
+            return
+        j = rng.randrange(len(lineage) - 1)
+        snap, snap_model = lineage[j]
+        rollback_to_snapshot(tdir, snap, now_ms=tick())
+        model.clear()
+        model.update(snap_model)
+        del lineage[j + 1:]
+
+    def op_maintain():
+        which = rng.randrange(4)
+        if which == 0:
+            convert_equality_deletes(spark, tdir, now_ms=tick())
+        elif which == 1:
+            rewrite_position_deletes(spark, tdir, now_ms=tick())
+        elif which == 2:
+            committed(rewrite_data_files(
+                spark, tdir, now_ms=tick(), sort_by=["id"]
+            ))
+        else:
+            expire_snapshots(tdir, keep_last=4, now_ms=tick())
+            remove_orphan_files(tdir, older_than_timestamp_ms=10**14)
+            alive = {
+                s["snapshot-id"]
+                for s in read_table_metadata(tdir)["metadata"]["snapshots"]
+            }
+            lineage[:] = [e for e in lineage if e[0] in alive]
+
+    ops = (
+        [op_append] * 4 + [op_merge] * 6 + [op_update] * 4
+        + [op_delete] * 3 + [op_replace] * 2 + [op_rollback] * 2
+        + [op_maintain] * 4
+    )
+    trace = []
+    for step in range(28):
+        op = rng.choice(ops)
+        trace.append(op.__name__)
+        op()
+        got = _state(spark, tdir)
+        assert got == model, (
+            f"seed={seed} diverged at step {step} ({op.__name__}); "
+            f"trace={trace}; extra={sorted(set(got) - set(model))[:5]}, "
+            f"missing={sorted(set(model) - set(got))[:5]}"
+        )
+    assert model  # the program kept a non-trivial table throughout
