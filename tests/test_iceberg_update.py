@@ -323,3 +323,23 @@ def test_update_window_refuses_keyed_stream_with_actionable_error(spark):
     reader = IcebergCdcStreamReader({"path": tdir})
     with pytest.raises(ValueError, match="read_iceberg_changelog"):
         reader.partitions({"seq": 1}, {"seq": 2})
+
+
+def test_update_refuses_nulling_required_column(spark):
+    tdir = _mkdir()
+    base = spark.range(6).selectExpr(  # id, v non-null -> REQUIRED
+        "id", "cast(id % 3 as bigint) as grp", "id * 10 as v"
+    )
+    write_iceberg_table(spark, base, tdir, now_ms=1_000, partition_spec=BUCKET_SPEC)
+    with pytest.raises(ValueError, match="REQUIRED"):
+        update_where(spark, tdir, "id = 1", {"v": "NULL"})
+    # a non-castable expression: under ANSI (Spark 4 default) the cast
+    # itself throws; under legacy non-ANSI sessions it would land as
+    # null and the REQUIRED guard above catches it — either way the
+    # write is refused before any file is staged
+    with pytest.raises(Exception, match="CAST_INVALID|REQUIRED"):
+        update_where(spark, tdir, "id = 1", {"v": "'not-a-number'"})
+    # nullable columns may be nulled freely
+    update_where(spark, tdir, "id = 1", {"grp": "NULL"}, now_ms=2_000)
+    got = _state(spark, tdir)
+    assert got[1] == (None, 10)

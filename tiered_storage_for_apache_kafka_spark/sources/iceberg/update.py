@@ -207,6 +207,30 @@ def _update_once(
         }
     )
     updated = conform(updated, iceberg_schema_to_spark(schema_struct))
+    # a SET expression must not null a REQUIRED column (including the
+    # silent nulls a non-ANSI cast of an incompatible expression
+    # produces) — one bounded aggregate over only the touched required
+    # columns, refused BEFORE any file is staged
+    req_touched = [
+        f["name"]
+        for f in schema_struct["fields"]
+        if f["required"] and f["name"] in set_map
+    ]
+    if req_touched:
+        row = updated.agg(
+            *[
+                F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+                for c in req_touched
+            ]
+        ).collect()[0]
+        bad = [c for c in req_touched if row[c] > 0]
+        if bad:
+            raise ValueError(
+                f"SET would write NULL into REQUIRED column(s) {bad} "
+                "(a non-castable expression also lands as null under "
+                "non-ANSI SQL) — fix the expression or make the "
+                "column optional first"
+            )
     new_files, _schema = stage_data_files(
         spark, updated, table_dir,
         partition_spec=derived_partition_spec(base),
