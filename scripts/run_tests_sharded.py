@@ -73,11 +73,14 @@ DEFAULT_COST = 6
 
 
 def main() -> int:
-    # default raised 4 -> 5 (r10): the suite grew a full CDC plane
-    # (~120 tests) and 4 shards could no longer pack under the 480 s
-    # budget; 5 x local[8] on 32 cores measured 425.9 s / max shard
-    # 424.9 s with mild oversubscription and no flakes
-    n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    # default raised 4 -> 5 (r10), 5 -> 6 (r11): each round's new
+    # plane grows the suite past the previous packing (r11 added the
+    # mutation planes + parity gate + fuzz gauntlet, ~80 tests; 5
+    # shards measured 500.6 s wall with a 499.8 s straggler). 6 x
+    # local[8] on 32 cores measured 423.0 s wall / max shard 422.2 s,
+    # all green — mild oversubscription, no flakes, back inside the
+    # ratified 480 s budget
+    n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(
         os.path.basename(p) for p in glob.glob(os.path.join(root, "tests", "test_*.py"))
