@@ -1111,3 +1111,63 @@ def test_append_promotion_on_identity_partition_source_rejected(spark):
         write_iceberg_table(
             spark, df1, tdir, now_ms=2_000, partition_spec=spec
         )
+
+
+def test_merge_evolution_catalog_race_rederives(spark):
+    """A schema-EVOLVING merge that loses the first CAS to a rival
+    append retries on the rebased head: the retry re-derives the
+    evolution against the live metadata, and both the rival's row and
+    the evolved column land."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        FakeRestCatalogServer,
+        RestCatalogClient,
+    )
+
+    tdir = _mkdir()
+    with FakeRestCatalogServer() as server:
+        cat = RestCatalogClient(server.base_url)
+        df0 = spark.createDataFrame(
+            [(i, i % 3, f"v{i}") for i in range(8)],
+            "id bigint, grp bigint, val string",
+        )
+        write_iceberg_table(
+            spark, df0, tdir, now_ms=1_000, partition_spec=BUCKET_SPEC,
+            catalog=cat, table_name="t",
+        )
+        fired = {"done": False}
+        orig = cat.commit_table
+
+        def racing(table, requirements, updates, now_ms):
+            if not fired["done"]:
+                fired["done"] = True
+                rival = spark.createDataFrame(
+                    [(700, 1, "rival")],
+                    "id bigint, grp bigint, val string",
+                )
+                write_iceberg_table(
+                    spark, rival, tdir, now_ms=1_500,
+                    partition_spec=BUCKET_SPEC, catalog=cat,
+                    table_name="t",
+                )
+            return orig(table, requirements, updates, now_ms)
+
+        cat.commit_table = racing
+        batch = spark.createDataFrame(
+            [(0, 0, "evolved", 3.5)],
+            "id bigint, grp bigint, val string, score double",
+        )
+        meta = merge_upsert(
+            spark, batch, tdir, on=["id"], partition_spec=BUCKET_SPEC,
+            now_ms=2_000, catalog=cat, table_name="t",
+        )
+        cat.commit_table = orig
+        assert len(meta["schemas"]) == 2  # evolution survived the rebase
+        got = {
+            r["id"]: (r["val"], r["score"])
+            for r in read_iceberg_table(
+                spark, tdir, catalog=cat, table_name="t"
+            ).collect()
+        }
+        assert got[0] == ("evolved", 3.5)
+        assert got[700] == ("rival", None)
+        assert len(got) == 9
