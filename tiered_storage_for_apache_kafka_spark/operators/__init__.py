@@ -49,7 +49,7 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: 
 )
 
 # ---------------------------------------------------------------------------
-# Driver sample-window rotation (round 11).
+# Driver sample-window rotation (round 12).
 #
 # The correctness driver samples a PREFIX of this registry (50 rows in
 # r4-r10, 45 in r2), so registration order decides which queries get a
@@ -58,84 +58,81 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: 
 # every round by tests/test_queries_vs_duckdb.py (engine session) AND
 # tests/test_driver_session_parity.py (default-conf session) regardless.
 #
-# The r11 window, in priority order:
+# The r12 window, in priority order:
 #   (a) queries NEW this round (first verdicts) — filled in as they
 #       register below;
-#   (b) the round-10 red re-verify: iceberg_timestamp_window_scan
-#       (INT96 session-portability fix in session.pinned_write_confs);
-#   (c) the 2 never-driver-sampled queries (registered after the r10
-#       window was pinned): cdc_corpus_registry, streaming_table_mirror;
-#   (d) the complete 30-query r6-verdict cohort (at the 4-round
-#       staleness boundary);
-#   (e) the remainder of the 50-sample prefix backfills from the
-#       OLDEST r7-verdict queries, trimmed from the end as (a) grows.
-_R11_WINDOW = [
+#   (b) the complete 32-query r7-verdict cohort (mandatory: r7 + 5 = 12
+#       is the staleness boundary; list recomputed from all eleven
+#       CORRECTNESS files and identical to VERDICT r11 task #2);
+#   (c) the remainder of the 50-sample prefix backfills from the
+#       OLDEST r8-verdict queries (26 total, boundary r13), trimmed
+#       from the END as (a) grows.
+_R12_WINDOW = [
     # (a) new this round
-    "iceberg_merge_evolution_scan",
-    "iceberg_schema_ddl_scan",
-    "iceberg_update_where_scan",
-    "iceberg_rollback_scan",
-    "iceberg_replace_partitions_scan",
-    # (b) r10 red re-verify
-    "iceberg_timestamp_window_scan",
-    # (c) never driver-sampled
-    "cdc_corpus_registry",
-    "streaming_table_mirror",
-    # (d) the full r6-verdict rotation cohort (30)
-    "char_diversity_quality",
-    "containment_sketch_audit",
-    "distinct_daily_users",
-    "dsir_importance_topk",
-    "events_daily_kind",
-    "iceberg_bounds_pruned_scan",
-    "iceberg_files_table",
-    "iceberg_incremental_scan",
-    "iceberg_rewrite_datafiles",
-    "iceberg_snapshots_table",
-    "jl_projection_audit",
-    "json_props_extract",
-    "kmv_set_ops_audit",
-    "lag_lead_user_deltas",
-    "leader_epoch_checkpoint_scan",
-    "manifest_summary",
-    "multimodal_jpeg420_decode",
-    "multimodal_jpeg_decode",
-    "pivot_event_type_daily",
-    "producer_state_snapshot_scan",
-    "salted_user_activity",
-    "streaming_dedup_exact",
-    "streaming_enriched_nation_totals",
-    "streaming_iceberg_incremental",
-    "tiered_read_committed",
-    "top_events_per_user",
-    "txn_aborted_index_scan",
-    "value_dispersion_stats",
-    "value_percentiles",
-    "weighted_sample_pps",
-    # (e) r7-verdict backfill to 50 (oldest-next tail; trim from the
+    "iceberg_rename_scan",
+    "iceberg_post_update_mirror",
+    "iceberg_ref_retention_scan",
+    # (b) the full r7-verdict rotation cohort (32, mandatory)
+    "doc_winnow_fingerprint",
+    "dup_cluster_representatives",
+    "embedding_int8_quantize",
+    "export_shard_manifest",
+    "full_outer_daily_activity",
+    "funnel_conversion",
+    "gopher_repetition_signals",
+    "grouping_sets_order_mix",
+    "heavy_hitters_cms",
+    "hll_distinct_audit",
+    "incremental_dedup_verdicts",
+    "minhash_jaccard_audit",
+    "moving_window_revenue",
+    "multimodal_jpeg_progressive_decode",
+    "offsets_for_times",
+    "pack_sequences",
+    "pagerank_dup_graph",
+    "per_source_quality_cap",
+    "q11_important_brands",
+    "q22_sales_opportunity",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "range_join_purchase_window",
+    "rollup_pricing",
+    "segment_offset_index",
+    "semdedup_keep_drop",
+    "sessionize_events",
+    "source_mixture_rebalance",
+    "stratified_sample_by_lang",
+    "topk_orders_per_priority",
+    "train_test_split_hash",
+    # (c) r8-verdict backfill to 50 (oldest-next tail; trim from the
     # END of this section when (a) gains new queries)
-    "asof_latest_order_per_event",
-    "batch_grouping",
-    "benchmark_decontamination",
-    "bloom_prefilter_audit",
-    "bpe_token_count",
-    "cdc_chunk_dedup_stats",
-    "chunk_documents_overlap",
-    "chunk_index_variable",
-    "corpus_lang_profile",
-    "cube_order_stats",
-    "curation_funnel",
-    "doc_fingerprint",
+    "changelog_materialized_counts",
+    "iceberg_bucket_partition_scan",
+    "iceberg_changelog_scan",
+    "iceberg_day_partition_scan",
+    "iceberg_dv_scan",
+    "iceberg_tag_read",
+    "pii_scan_redact",
+    "pmi_bigram_collocations",
+    "q12_ship_priority",
+    "q17_small_quantity_parts",
+    "q18_large_volume_customer",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "quality_decile_stats",
 ]
-_R10_WINDOW = _R11_WINDOW  # backward-compatible aliases (older scripts)
-_R9_WINDOW = _R11_WINDOW
-_R8_WINDOW = _R11_WINDOW
+_R11_WINDOW = _R12_WINDOW  # backward-compatible aliases (older scripts)
+_R10_WINDOW = _R12_WINDOW
+_R9_WINDOW = _R12_WINDOW
+_R8_WINDOW = _R12_WINDOW
 
 
 def _reorder() -> None:
     def arrange(d: dict) -> dict:
-        window = [n for n in _R11_WINDOW if n in d]
-        rest = [n for n in d if n not in _R11_WINDOW]
+        window = [n for n in _R12_WINDOW if n in d]
+        rest = [n for n in d if n not in _R12_WINDOW]
         return {n: d[n] for n in window + rest}
 
     q, o = arrange(QUERIES), arrange(ORACLES)
