@@ -1,10 +1,12 @@
 """Explicit schema DDL (`commit.update_table_schema`, r11): the
 operations evolution-on-write never infers — add / drop /
 make-optional / promote as one metadata-only commit — plus the
-name-resolution hazards that motivate the add/drop guards (this
-engine's parquet scans resolve columns BY NAME, so a re-added dropped
-name would resurrect pre-drop file values; Iceberg's id-based readers
-null them).
+name-resolution guards. Since r12 reads resolve by (naming epoch,
+field id) — schema.py "naming epochs" — so explicit re-adds of
+dropped names are legal (the epoch bump keeps pre-drop values
+unreachable); implicit evolution-on-write re-adds stay refused as a
+stale-writer footgun. RENAME itself is covered by
+test_iceberg_rename.py.
 """
 
 from __future__ import annotations
@@ -134,14 +136,16 @@ def test_ddl_drop_rejects_live_equality_delete_key_then_allows(spark):
     assert got[1] == "upd" and len(got) == 8  # retraction still applied
 
 
-def test_ddl_readd_dropped_name_rejected_everywhere(spark):
+def test_ddl_readd_dropped_name_explicit_ok_implicit_rejected(spark):
+    """r12: an EXPLICIT DDL re-add of a dropped name is legal — reads
+    resolve by (naming epoch, field id), so the dropped column's
+    physical values stay unreachable and the new column reads as null
+    from pre-add files. Evolution-on-WRITE re-introducing the name
+    stays refused (stale-writer footgun)."""
     tdir = _mkdir()
     _table(spark, tdir)
     update_table_schema(tdir, drop=["val"], now_ms=2_000)
-    # explicit DDL add of the dead name
-    with pytest.raises(ValueError, match="fresh name"):
-        update_table_schema(tdir, add=[("val", "string")])
-    # evolution-on-append re-introducing it
+    # evolution-on-append re-introducing it: still refused
     df = spark.createDataFrame(
         [(100, 0, "zombie")], "id bigint, grp bigint, val string"
     )
@@ -154,6 +158,19 @@ def test_ddl_readd_dropped_name_rejected_everywhere(spark):
         merge_upsert(
             spark, df, tdir, on=["id"], partition_spec=SPEC, now_ms=3_000
         )
+    # explicit DDL re-add: allowed, bumps the naming epoch, and the
+    # pre-drop files' physical 'val' values never resurrect
+    meta = update_table_schema(tdir, add=[("val", "string")], now_ms=4_000)
+    assert meta["properties"]["engine.naming-epoch"] == "1"
+    got = read_iceberg_table(spark, tdir)
+    assert got.where(F.col("val").isNotNull()).count() == 0
+    # new appends under the re-added name round-trip
+    write_iceberg_table(spark, df, tdir, now_ms=5_000, partition_spec=SPEC)
+    vals = {
+        r["id"]: r["val"] for r in read_iceberg_table(spark, tdir).collect()
+    }
+    assert vals[100] == "zombie"
+    assert all(v is None for k, v in vals.items() if k != 100)
 
 
 def test_ddl_make_optional_enables_null_conform_merge(spark):

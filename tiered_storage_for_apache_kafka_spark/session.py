@@ -87,6 +87,11 @@ def get_spark(
 
 _PINNED_WRITE_CONFS = {
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # field ids from StructField metadata -> real parquet field ids
+    # (writer._with_parquet_field_ids): Spark's default is already true,
+    # but a session that disabled it would silently strip the id-based
+    # resolution contract external Iceberg readers depend on
+    "spark.sql.parquet.fieldId.write.enabled": "true",
 }
 
 _PIN_LOCK = None  # created lazily; threading import kept off module import

@@ -848,12 +848,34 @@ def _schema_updates(base: dict) -> list[dict]:
     ]
 
 
+def _name_mapping_json(schemas: list[dict]) -> str:
+    """The table's ``schema.name-mapping.default`` property (Iceberg
+    spec Appendix C): for every top-level field id, every name any
+    schema version ever bound to it — how an external id-based reader
+    resolves files that predate parquet field-id stamping. Names are
+    listed oldest-first; nested mappings are omitted (nested renames
+    are not offered)."""
+    names_by_id: dict[int, list[str]] = {}
+    for s in sorted(schemas, key=lambda s: s["schema-id"]):
+        for f in s["fields"]:
+            lst = names_by_id.setdefault(f["id"], [])
+            if f["name"] not in lst:
+                lst.append(f["name"])
+    return json.dumps(
+        [
+            {"field-id": fid, "names": names}
+            for fid, names in sorted(names_by_id.items())
+        ]
+    )
+
+
 def update_table_schema(
     table_dir: str,
     add: list | None = None,
     drop: list | None = None,
     make_optional: list | None = None,
     promote: dict | None = None,
+    rename: dict | None = None,
     now_ms: int | None = None,
     catalog=None,
     table_name: str | None = None,
@@ -867,13 +889,14 @@ def update_table_schema(
     - ``add=[(name, type)]``: new OPTIONAL columns, fresh field ids.
       ``type`` is an Iceberg primitive string (``int long float double
       string binary boolean date timestamptz timestamp`` or
-      ``decimal(p,s)``) or a Spark ``DataType``. A name ANY historical
-      schema version ever used is rejected: this engine's parquet
-      scans resolve columns BY NAME (Spark), so re-adding a dropped
-      name would resurrect the old files' physical values under the
-      new column — Iceberg's id-based readers null them; refusing the
-      collision keeps both readers honest. (Same reason column RENAME
-      is not offered at all.)
+      ``decimal(p,s)``) or a Spark ``DataType``. Re-using a name a
+      DROPPED column once had is allowed (r12): reads resolve by
+      (naming epoch, field id) — see schema.py "naming epochs" — so
+      the new column reads as null from pre-add files and the dropped
+      column's physical values can never resurrect; the re-add bumps
+      the naming epoch exactly like a rename. (Evolution-on-WRITE
+      still refuses implicit re-adds — a batch carrying a dropped
+      name is a stale writer, not a schema decision.)
     - ``drop=[name]``: remove from the current schema (old versions
       retain it — time travel still sees it, and pre-drop snapshots'
       equality deletes still resolve against their own schema
@@ -885,6 +908,20 @@ def update_table_schema(
     - ``promote={name: type}``: int->long / float->double, same
       guards as evolution-on-write (identity/truncate partition
       sources refuse; bucket sources are fine).
+    - ``rename={old: new}``: metadata-only column rename (field id,
+      type, required-ness unchanged — the Iceberg identity contract).
+      Committed files keep their physical names; reads re-alias each
+      file's columns BY FIELD ID under its write-time naming epoch, so
+      both old and new files serve the new name exactly. Guarded:
+      a partition-spec SOURCE column of any generation refuses (hive
+      path recovery and spec-field naming key on the written name —
+      evolve the spec instead), as does a key column of a LIVE
+      equality-delete file (the delete rows' physical key columns are
+      resolved under the read schema's names; retire the equality
+      plane first, same recipe as drop). The table's
+      ``schema.name-mapping.default`` property (spec Appendix C) is
+      refreshed with every historical name so external readers can
+      resolve legacy files too.
     """
     import time as _time
 
@@ -906,10 +943,11 @@ def update_table_schema(
     drop = list(drop or [])
     make_optional = list(make_optional or [])
     promote = dict(promote or {})
-    if not (add or drop or make_optional or promote):
+    rename = dict(rename or {})
+    if not (add or drop or make_optional or promote or rename):
         return base  # no-op
 
-    for name in [*drop, *make_optional, *promote]:
+    for name in [*drop, *make_optional, *promote, *rename]:
         if name not in fields:
             raise ValueError(f"column {name!r} not in the current schema")
 
@@ -923,21 +961,34 @@ def update_table_schema(
     }
     counter = {"id": int(base["last-column-id"])}
     new_fields = []
+    readded = []
     for name, typ in add:
-        if name in historical:
+        if name in fields and name not in drop:
             raise ValueError(
-                f"column name {name!r} was used by a schema version of "
-                "this table; name-based parquet resolution would "
-                "resurrect old files' values — pick a fresh name"
+                f"column {name!r} already exists in the current schema"
             )
+        if name in historical:
+            # a DROPPED name re-used: legal under (epoch, field id)
+            # resolution — pre-add files read the new column as null;
+            # the re-add bumps the naming epoch like a rename so the
+            # read side never takes the names-never-diverged fast path
+            readded.append(name)
         if isinstance(typ, str):
             if typ not in _PRIMS and not typ.startswith("decimal("):
                 raise ValueError(f"unknown Iceberg type {typ!r}")
             counter["id"] += 1
             fid, ityp = counter["id"], typ
         else:
-            ityp, _last = spark_schema_to_iceberg_type(typ, counter)
+            # allocate the TOP-LEVEL field id first, THEN convert the
+            # type with the shared counter for nested ids: the converter
+            # only advances the counter for nested nodes, so taking
+            # counter["id"] afterwards re-used the last existing column
+            # id for primitives (duplicate id — breaks the Iceberg
+            # column-identity contract) and aliased an array's field id
+            # to its own element-id
+            counter["id"] += 1
             fid = counter["id"]
+            ityp, _last = spark_schema_to_iceberg_type(typ, counter)
         new_fields.append(
             {"id": fid, "name": name, "required": False, "type": ityp}
         )
@@ -963,7 +1014,24 @@ def update_table_schema(
                     f"cannot drop a sort-order column (order "
                     f"{order.get('order-id')})"
                 )
-    if drop_ids and base.get("current-snapshot-id", -1) != -1:
+    # ---- rename guards ----
+    rename_ids = {fields[n]["id"] for n in rename}
+    if rename:
+        both = sorted(set(rename) & set(drop))
+        if both:
+            raise ValueError(f"cannot rename AND drop {both!r} in one DDL")
+        for spec in base.get("partition-specs", []):
+            for f in spec["fields"]:
+                if f["source-id"] in rename_ids:
+                    names = {fields[n]["id"]: n for n in rename}
+                    raise ValueError(
+                        f"cannot rename {names[f['source-id']]!r}: it is "
+                        f"a partition source of spec {spec['spec-id']} "
+                        "(hive path recovery and spec-field naming key "
+                        "on the written name) — evolve the partition "
+                        "spec instead"
+                    )
+    if (drop_ids or rename_ids) and base.get("current-snapshot-id", -1) != -1:
         cur_snap = next(
             s
             for s in base["snapshots"]
@@ -979,15 +1047,19 @@ def update_table_schema(
                 d = e["data_file"]
                 if e["status"] != 2 and d.get("content") == 2:
                     live_eq_ids |= set(d.get("equality_ids") or [])
-        hit = sorted(drop_ids & live_eq_ids)
-        if hit:
-            names = {fields[n]["id"]: n for n in drop}
-            raise ValueError(
-                f"cannot drop {[names[i] for i in hit]!r}: LIVE "
-                "equality-delete files key on them — run "
-                "convert_equality_deletes (or rewrite_data_files) "
-                "first to retire the equality plane"
-            )
+        for verb, ids, pool in (
+            ("drop", drop_ids, drop),
+            ("rename", rename_ids, rename),
+        ):
+            hit = sorted(ids & live_eq_ids)
+            if hit:
+                names = {fields[n]["id"]: n for n in pool}
+                raise ValueError(
+                    f"cannot {verb} {[names[i] for i in hit]!r}: LIVE "
+                    "equality-delete files key on them — run "
+                    "convert_equality_deletes (or rewrite_data_files) "
+                    "first to retire the equality plane"
+                )
 
     # ---- build the new version ----
     promo_tbl = {("int", "long"): "long", ("float", "double"): "double"}
@@ -1007,10 +1079,21 @@ def update_table_schema(
                     f"{f['name']!r} (int->long and float->double only)"
                 )
             nf["type"] = got
+        if f["name"] in rename:
+            nf["name"] = rename[f["name"]]  # same id, same type: the
+            # column's identity is its field id (Iceberg contract)
         out_fields.append(nf)
     out_fields += new_fields
     if not out_fields:
         raise ValueError("cannot drop every column")
+    final_names = [f["name"] for f in out_fields]
+    if len(set(final_names)) != len(final_names):
+        dupes = sorted(
+            {n for n in final_names if final_names.count(n) > 1}
+        )
+        raise ValueError(
+            f"DDL would leave duplicate column name(s) {dupes!r}"
+        )
     new_sid = max(s["schema-id"] for s in base["schemas"]) + 1
     evolved = {**cur_schema, "schema-id": new_sid, "fields": out_fields}
     if promote:
@@ -1023,20 +1106,41 @@ def update_table_schema(
     meta["current-schema-id"] = new_sid
     meta["last-column-id"] = counter["id"]
     meta["last-updated-ms"] = now_ms
+    prop_updates: dict | None = None
+    if rename or readded:
+        # a naming-divergence event: bump the naming epoch so reads
+        # resolve every file under ITS write epoch's names (schema.py
+        # "naming epochs"), and refresh the spec's name-mapping
+        # property (Appendix C) so external readers resolve legacy
+        # files by any historical name
+        props = dict(base.get("properties") or {})
+        epoch = int(props.get("engine.naming-epoch", 0)) + 1
+        log = json.loads(props.get("engine.naming-log", "[]"))
+        log.append({"epoch": epoch, "schema-id": new_sid})
+        prop_updates = {
+            "engine.naming-epoch": str(epoch),
+            "engine.naming-log": json.dumps(log),
+            "schema.name-mapping.default": _name_mapping_json(
+                meta["schemas"]
+            ),
+        }
+        meta["properties"] = {**props, **prop_updates}
     meta_dir = os.path.join(table_dir, "metadata")
     if catalog is not None:
+        updates = [
+            {
+                "action": "add-schema",
+                "schema": evolved,
+                "last-column-id": counter["id"],
+            },
+            {"action": "set-current-schema", "schema-id": new_sid},
+        ]
+        if prop_updates:
+            updates.append(
+                {"action": "set-properties", "updates": prop_updates}
+            )
         resp = catalog.commit_table(
-            table_name,
-            _commit_requirements(base),
-            [
-                {
-                    "action": "add-schema",
-                    "schema": evolved,
-                    "last-column-id": counter["id"],
-                },
-                {"action": "set-current-schema", "schema-id": new_sid},
-            ],
-            now_ms,
+            table_name, _commit_requirements(base), updates, now_ms
         )
         return resp["metadata"]
     meta["metadata-log"] = base.get("metadata-log", []) + [

@@ -887,6 +887,11 @@ def _rewrite_data_files_once(
             )
     compact_uuid = uuid.uuid4().hex[:16]
     out_dir = os.path.join(table_dir, f"_compacted-{compact_uuid}")
+
+    def _colocate(df):
+        # a truly unpartitioned table (fields: []) has no partition
+        # tuple to co-locate on; repartition(*[]) is a TypeError
+        return df.repartition(*part_names) if part_names else df
     if sort_cols:
         from pyspark.sql import functions as F
 
@@ -902,7 +907,7 @@ def _rewrite_data_files_once(
         # range shuffle on small data, but a sorted task split by
         # record cap yields consecutive — hence tight-bounded — files
         # deterministically at every scale)
-        shaped = live.repartition(*part_names).sortWithinPartitions(*keys)
+        shaped = _colocate(live).sortWithinPartitions(*keys)
     elif zorder_cols:
         from pyspark.sql import functions as F
 
@@ -935,12 +940,17 @@ def _rewrite_data_files_once(
         zed = zorder_column(live, zorder_cols, stats, "__zorder")
         keys = [F.col(n) for n in part_names] + [F.col("__zorder")]
         shaped = (
-            zed.repartition(*part_names)
+            _colocate(zed)
             .sortWithinPartitions(*keys)
             .drop("__zorder")
         )
     else:
-        shaped = live.repartition(*part_names)
+        shaped = _colocate(live)
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.writer import (
+        _with_parquet_field_ids,
+    )
+
+    shaped = _with_parquet_field_ids(shaped, meta)
     writer = shaped.write.partitionBy(*part_names)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
@@ -952,13 +962,25 @@ def _rewrite_data_files_once(
 
     with pinned_write_confs(spark):
         writer.parquet(out_dir, mode="overwrite")
+    # rewritten bytes carry the CURRENT schema's column names, so the
+    # compacted files are stamped with the current naming epoch (the
+    # read side resolves each file under its own epoch's names —
+    # schema.py "naming epochs")
+    naming_epoch = int(
+        (meta.get("properties") or {}).get("engine.naming-epoch", 0)
+    )
     new_paths = []
     for root, _dirs, names in os.walk(out_dir):
         if "_temporary" in root.split(os.sep):
             continue
-        new_paths += [
-            os.path.join(root, n) for n in names if n.endswith(".parquet")
-        ]
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            dest = os.path.join(
+                root, n[: -len(".parquet")] + f"-e{naming_epoch}.parquet"
+            )
+            os.replace(os.path.join(root, n), dest)
+            new_paths.append(dest)
     new_files = _stat_data_files(sorted(new_paths), spec_typed_cols(spec, schema_struct))
 
     now_ms = int(_time.time() * 1000) if now_ms is None else now_ms

@@ -87,6 +87,7 @@ def _read_planned_files(
     before the union — needed for per-file metadata columns, which
     must be selected on the source scan, not after a union."""
     explicit = None
+    read_struct = None
     if len(meta.get("schemas", [])) > 1:
         from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (  # noqa: E501
             iceberg_schema_to_spark,
@@ -100,19 +101,39 @@ def _read_planned_files(
             if schema_id is not None
             else meta["current-schema-id"]
         )
-        struct = next(
+        read_struct = next(
             (s for s in meta["schemas"] if s["schema-id"] == sid), None
         )
-        explicit = iceberg_schema_to_spark(
-            struct if struct is not None else _current_schema_struct(meta)
-        )
+        if read_struct is None:
+            read_struct = _current_schema_struct(meta)
+        explicit = iceberg_schema_to_spark(read_struct)
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+        naming_log,
+    )
+
+    renamed_table = bool(naming_log(meta))
     dfs = []
     for base, ps in _base_path_groups(table_dir, paths):
-        reader = spark.read.option("basePath", base)
-        if explicit is not None:
-            reader = reader.schema(explicit)
-        df = reader.parquet(*sorted(ps))
-        dfs.append(df if project is None else project(df))
+        if not renamed_table:
+            reader = spark.read.option("basePath", base)
+            if explicit is not None:
+                reader = reader.schema(explicit)
+            df = reader.parquet(*sorted(ps))
+            dfs.append(df if project is None else project(df))
+            continue
+        # RENAME-aware resolution (see schema.py "naming epochs"): the
+        # table's column names have diverged across rename DDLs, so
+        # each file must be read under the names of ITS write epoch
+        # (encoded in the file name) and re-aliased by FIELD ID to the
+        # requested schema version's names. Files of one epoch scan
+        # together; the per-epoch select is exact by id, so a dropped
+        # name re-used by a later add can never resurrect the dropped
+        # column's physical values.
+        for epoch, eps in sorted(_epoch_groups(ps).items()):
+            df = _read_epoch_group(
+                spark, base, eps, meta, epoch, read_struct, project
+            )
+            dfs.append(df)
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
@@ -132,6 +153,66 @@ def _read_planned_files(
     for c in drop_cols:
         out = out.drop(c)
     return out
+
+
+def _epoch_groups(paths: list[str]) -> dict[int, list[str]]:
+    """Split one basePath group's files by write-time naming epoch
+    (file-name marker; unmarked legacy files are epoch 0)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+        file_naming_epoch,
+    )
+
+    out: dict[int, list[str]] = {}
+    for p in paths:
+        out.setdefault(file_naming_epoch(p), []).append(p)
+    return out
+
+
+def _read_epoch_group(
+    spark, base: str, paths: list[str], meta: dict, epoch: int,
+    read_struct: dict, project,
+):
+    """Scan one naming epoch's files under that epoch's column names
+    and re-alias by FIELD ID to the requested schema version's names
+    — the engine's planner-side equivalent of Iceberg's id-based
+    parquet resolution (see schema.py "naming epochs"). Field ids the
+    epoch never had read as typed nulls (the column cannot exist in
+    those files); ids dropped from the read schema are never selected,
+    so a re-used column name cannot resurrect pre-drop values. All
+    JVM-side: one explicit-schema columnar scan plus a projection."""
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+        epoch_id_names,
+        iceberg_schema_to_spark,
+    )
+
+    epoch_names = epoch_id_names(meta, epoch)
+    present = [f for f in read_struct["fields"] if f["id"] in epoch_names]
+    absent = [f for f in read_struct["fields"] if f["id"] not in epoch_names]
+    epoch_struct = {
+        **read_struct,
+        "fields": [
+            {**f, "name": epoch_names[f["id"]]} for f in present
+        ],
+    }
+    df = (
+        spark.read.option("basePath", base)
+        .schema(iceberg_schema_to_spark(epoch_struct))
+        .parquet(*sorted(paths))
+    )
+    if project is not None:
+        df = project(df)  # metadata cols resolve on the scan relation
+    spark_read = iceberg_schema_to_spark(read_struct)
+    cols = [
+        F.col(epoch_names[f["id"]]).alias(f["name"]) for f in present
+    ] + [
+        F.lit(None).cast(spark_read[f["name"]].dataType).alias(f["name"])
+        for f in absent
+    ]
+    selected = {epoch_names[f["id"]] for f in present}
+    extras = [F.col(c) for c in df.columns if c not in selected]
+    return df.select(*cols, *extras)
 
 
 def _field_id(schema_struct: dict, name: str) -> int:

@@ -301,14 +301,105 @@ def guard_partition_source_promotion(
                 )
 
 
+# -- naming epochs: per-file column-name resolution across RENAME -------------
+#
+# Iceberg proper resolves parquet columns BY FIELD ID (the ids its
+# writers stamp into every file — `iceberg/data/TableWriterFactory.java:
+# 50-95` in the reference's Iceberg dependency), which is what makes
+# RENAME COLUMN a metadata-only operation. This engine reads through
+# Spark's name-based parquet scan, so it needs to know, per planned
+# file, WHICH name each field id was written under. Rather than paying
+# per-file footer I/O at plan time (O(files) driver reads — a
+# scale-killer at 100 TB) or depending on a session conf the driver's
+# vanilla session won't have (`spark.sql.parquet.fieldId.read.enabled`
+# is consumed lazily at execution, after a set-and-restore has
+# restored), the engine exploits an invariant it controls: column
+# names only ever diverge at an explicit RENAME DDL. Each rename bumps
+# a monotone NAMING EPOCH (table property `engine.naming-epoch`, log
+# in `engine.naming-log`), and every data file the engine stages
+# carries its write-time epoch in its FILE NAME (`…-e<N>.parquet` —
+# immutable through manifest rewrites, compaction carries, snapshot
+# expiry, and mirror copies, unlike any metadata-side mapping).
+# Within an epoch, the name of every live field id is constant (adds/
+# drops/promotions never rename), so (epoch, field id) -> name is
+# exact. Files with no marker predate rename support and resolve
+# under epoch 0 — also exact, because no rename can have touched them.
+# New files ADDITIONALLY carry real parquet field ids (see
+# `writer._with_parquet_field_ids`) so external id-based Iceberg
+# readers resolve them spec-compliantly; the epoch machinery is only
+# the engine's own planner-side equivalent.
+
+_EPOCH_RE = r"-e(\d+)\.parquet$"
+
+
+def file_naming_epoch(path: str) -> int:
+    """The naming epoch a data file was written under, parsed from the
+    engine's ``…-e<N>.parquet`` file-name marker; unmarked files (any
+    writer generation before rename support) are epoch 0, which is
+    exact: no rename existed that could have diverged their names."""
+    import re
+
+    m = re.search(_EPOCH_RE, path)
+    return int(m.group(1)) if m else 0
+
+
+def naming_log(meta: dict) -> list[tuple[int, int]]:
+    """The table's rename history as ``[(epoch, first-schema-id)]``,
+    sorted by epoch: epoch k's naming governs schema ids in
+    ``[first_sid_k, first_sid_{k+1})``. Empty for tables never renamed
+    (the fast-path signal: reads skip epoch grouping entirely)."""
+    import json as _json
+
+    raw = (meta.get("properties") or {}).get("engine.naming-log")
+    if not raw:
+        return []
+    return sorted((int(e["epoch"]), int(e["schema-id"])) for e in _json.loads(raw))
+
+
+def epoch_id_names(meta: dict, epoch: int) -> dict[int, str]:
+    """``{field id: column name}`` as written by files of the given
+    naming epoch: resolved from the NEWEST schema version of that epoch
+    (ids the epoch never saw are absent — their columns cannot exist in
+    the epoch's files and read as typed nulls), falling back through
+    the epoch's earlier versions for ids dropped mid-epoch (a pre-drop
+    file still physically carries the column under its constant
+    epoch name)."""
+    log = naming_log(meta)
+    starts = {e: s for e, s in log}
+    lo = starts.get(epoch, 0)
+    hi = min(
+        (s for e, s in log if e > epoch), default=float("inf")
+    )
+    out: dict[int, str] = {}
+    for s in sorted(
+        (s for s in meta.get("schemas", []) if lo <= s["schema-id"] < hi),
+        key=lambda s: s["schema-id"],
+    ):
+        for f in s["fields"]:
+            out[f["id"]] = f["name"]  # newest version of the epoch wins
+    return out
+
+
+def schema_epoch(meta: dict, schema_id: int) -> int:
+    """The naming epoch a schema version belongs to (0 before the
+    first rename)."""
+    epoch = 0
+    for e, s in naming_log(meta):
+        if schema_id >= s:
+            epoch = e
+    return epoch
+
+
 def guard_readded_column(base: dict, old_schema: dict, new_schema: dict) -> None:
-    """Reject evolution-on-write re-introducing a column NAME that a
-    previous schema version used but the current one dropped: this
-    engine's parquet scans resolve columns BY NAME (Spark), so a
-    re-added name would read the dropped column's physical values out
-    of pre-drop data files — Iceberg's id-based readers would see
-    nulls. Same rationale as `update_table_schema`'s add guard; an
-    explicit DDL add under a FRESH name is the sanctioned path."""
+    """Reject evolution-on-WRITE re-introducing a column NAME that a
+    previous schema version used but the current one dropped: a batch
+    that still carries a dropped name is almost always a STALE WRITER
+    built against the pre-drop (or pre-rename) schema, not a schema
+    decision — inferring a fresh column from it would silently fork
+    the data model. A deliberate re-use is legal via the explicit DDL
+    (``update_table_schema(add=...)``, r12): there the re-add bumps
+    the naming epoch so (epoch, field id) resolution keeps the old
+    files' physical values unreachable."""
     cur_names = {f["name"] for f in old_schema["fields"]}
     added = {
         f["name"] for f in new_schema["fields"] if f["name"] not in cur_names
@@ -325,7 +416,7 @@ def guard_readded_column(base: dict, old_schema: dict, new_schema: dict) -> None
     if hit:
         raise ValueError(
             f"batch re-introduces dropped column name(s) {hit}: "
-            "name-based parquet resolution would resurrect pre-drop "
-            "file values — use update_table_schema(add=...) with a "
-            "fresh name"
+            "this looks like a stale writer built against an old "
+            "schema — to deliberately re-use the name, add it "
+            "explicitly via update_table_schema(add=...)"
         )

@@ -39,6 +39,78 @@ transform/shard/sort/stage/rename discipline as the plain append.
 
 from __future__ import annotations
 
+_UNSET = object()
+
+
+def _with_parquet_field_ids(df, meta0):
+    """Stamp Iceberg FIELD IDS into the parquet schema the write emits:
+    each table column's StructField gains ``parquet.field.id`` metadata,
+    which Spark's parquet writer (``spark.sql.parquet.fieldId.write.
+    enabled``, pinned true around every engine write) turns into real
+    parquet field ids — the id-based resolution contract external
+    Iceberg readers rely on (the reference's writers do the same via
+    `GenericAppenderFactory`, `iceberg/data/TableWriterFactory.java:
+    50-95`). Ids come from the table's CURRENT schema; for a first
+    write they are the ids table creation is about to assign (same
+    depth-first numbering, so file and metadata agree). Columns the
+    batch ADDS (evolution-on-write assigns their ids only at commit)
+    and hidden transform columns are left unstamped — the next batch
+    after the evolution commit carries them. Scope: top-level and
+    nested STRUCT field ids (what StructField metadata can express);
+    array element / map key-value ids are not expressible through
+    Spark's writer — the engine's own reads never need them (see
+    schema.py "naming epochs"), and external readers fall back to the
+    table's name mapping."""
+    from pyspark.sql import types as T
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+        spark_schema_to_iceberg,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _current_schema_struct,
+    )
+
+    from pyspark.sql import functions as F
+
+    if meta0 is not None:
+        struct = _current_schema_struct(meta0)
+    else:
+        struct, _last = spark_schema_to_iceberg(df.schema)
+    by_name = {f["name"]: f for f in struct["fields"]}
+
+    # alias(..., metadata=...) is the one metadata channel Spark's
+    # parquet writer actually consumes (DataFrame.to()'s schema
+    # metadata is analysis-only — verified: files come out id-less);
+    # struct columns are rebuilt field-by-field so NESTED struct ids
+    # stamp too. Structs inside arrays/maps would need lambda
+    # rebuilds that perturb nullability — left unstamped (docstring).
+    def expr(source, fld: T.StructField, ice_field: dict | None):
+        if ice_field is None:
+            return source.alias(fld.name)
+        dt, it = fld.dataType, ice_field["type"]
+        if isinstance(dt, T.StructType) and isinstance(it, dict) and (
+            it.get("type") == "struct"
+        ):
+            inner = {f["name"]: f for f in it["fields"]}
+            source = F.when(
+                source.isNotNull(),
+                F.struct(
+                    *[
+                        expr(source[sf.name], sf, inner.get(sf.name))
+                        for sf in dt.fields
+                    ]
+                ),
+            )
+        md = dict(fld.metadata or {})
+        md["parquet.field.id"] = int(ice_field["id"])
+        return source.alias(fld.name, metadata=md)
+
+    if not any(f.name in by_name for f in df.schema.fields):
+        return df
+    return df.select(
+        *[expr(df[f.name], f, by_name.get(f.name)) for f in df.schema.fields]
+    )
+
 
 def _validate_append_shape(meta0, partition_spec, df_columns) -> None:
     """Reject an append whose implied spec shape disagrees with the
@@ -79,6 +151,7 @@ def stage_data_files(
     max_records_per_file: int | None = None,
     writer_shards: int | None = None,
     sort_by: list | None = None,
+    meta0=_UNSET,
 ):
     """Transform, shuffle, sort, write, and CAPTURE a batch of data
     files for the table at ``table_dir`` — everything
@@ -106,6 +179,23 @@ def stage_data_files(
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.transforms import (
         parse_transform,
         transform_column,
+    )
+
+    if meta0 is _UNSET:
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (  # noqa: E501
+            _current_state_meta,
+        )
+
+        try:
+            _v, meta0, _t = _current_state_meta(table_dir, None, None)
+        except FileNotFoundError:
+            meta0 = None
+    # parquet field ids for external id-based readers; the engine's own
+    # rename resolution rides on the naming epoch in the FILE NAME
+    # (schema.py "naming epochs") — immutable through every metadata op
+    df = _with_parquet_field_ids(df, meta0)
+    naming_epoch = int(
+        ((meta0 or {}).get("properties") or {}).get("engine.naming-epoch", 0)
     )
 
     hidden: list[str] = []
@@ -221,7 +311,12 @@ def stage_data_files(
                 table_dir if rel == "." else os.path.join(table_dir, rel)
             )
             os.makedirs(dest_dir, exist_ok=True)
-            dest = os.path.join(dest_dir, n)
+            # the write-time NAMING EPOCH travels in the file name —
+            # the one per-file fact no manifest rewrite, compaction
+            # carry, or snapshot expiry can lose (schema.py)
+            dest = os.path.join(
+                dest_dir, n[: -len(".parquet")] + f"-e{naming_epoch}.parquet"
+            )
             os.replace(os.path.join(root, n), dest)
             new_files.append(dest)
     shutil.rmtree(staging, ignore_errors=True)
@@ -314,6 +409,7 @@ def write_iceberg_table(
         max_records_per_file=max_records_per_file,
         writer_shards=writer_shards,
         sort_by=sort_by,
+        meta0=meta0,
     )
     # declared_schema overrides the metadata-facing Spark schema
     # (e.g. the merge plane's null-corrected nullability — Spark frames
