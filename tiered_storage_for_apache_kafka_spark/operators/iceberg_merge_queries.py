@@ -1451,3 +1451,154 @@ def iceberg_replace_partitions_scan(spark: SparkSession, sf_dir: str) -> DataFra
             F.lit(pin).cast("bigint").alias("one_overwrite_snapshot"),
         )
     )
+
+
+_RENAME_CACHE: dict[tuple, tuple] = {}
+
+
+def _renamed_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Base table (id, grp, val=id*3) bucket[8] by id, then a RENAME
+    lifecycle (r12, `commit.update_table_schema(rename=...)`):
+    ``val`` -> ``amount`` (metadata-only), a post-rename append under
+    the new name (id+OFFSET where id%97==0, amount=id*2), then a
+    second rename ``amount`` -> ``amt`` — so the final scan resolves
+    THREE naming epochs' files by field id under one name. Returns
+    (table_dir, metadata, base_snapshot_id)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        update_table_schema,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _RENAME_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id")
+    )
+    base = ids.select(
+        "id",
+        (F.col("id") % 10).cast("bigint").alias("grp"),
+        (F.col("id") * 3).cast("bigint").alias("val"),
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-rename-q-")
+    spec = [("id_bucket", f"bucket[{N_BUCKETS}]", "id")]
+    meta = write_iceberg_table(
+        spark, base, tdir, now_ms=1_000, partition_spec=spec
+    )
+    base_snap = meta["current-snapshot-id"]
+    update_table_schema(tdir, rename={"val": "amount"}, now_ms=2_000)
+    inserts = ids.where(F.col("id") % 97 == 0).select(
+        (F.col("id") + INSERT_OFFSET).alias("id"),
+        (F.col("id") % 10).cast("bigint").alias("grp"),
+        (F.col("id") * 2).cast("bigint").alias("amount"),
+    )
+    write_iceberg_table(
+        spark, inserts, tdir, now_ms=3_000, partition_spec=spec
+    )
+    meta = update_table_schema(tdir, rename={"amount": "amt"}, now_ms=4_000)
+    out = (tdir, meta, base_snap)
+    session_cache_put(_RENAME_CACHE, key, out)
+    return out
+
+
+@query(
+    "iceberg_rename_scan",
+    oracle=f"""
+WITH ids AS (SELECT event_id AS id FROM events),
+live AS (
+  SELECT id % 10 AS g, id * 3 AS amt FROM ids
+  UNION ALL
+  SELECT id % 10, id * 2 FROM ids WHERE id % 97 = 0
+)
+SELECT CAST(g AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(amt) AS BIGINT) AS sum_amt,
+       CAST(1 AS BIGINT) AS rename_pins
+FROM live
+GROUP BY g
+""",
+)
+def iceberg_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN lifecycle (r12): val -> amount -> amt across two
+    metadata-only DDL commits with an append between them, scanned
+    under the final name. Reads resolve each file by FIELD ID under
+    its write-time naming epoch (schema.py "naming epochs"), so the
+    pre-rename files (physical column ``val``, epoch 0) and the
+    mid-lifecycle append (physical ``amount``, epoch 1) both serve
+    ``amt`` exactly. ``rename_pins`` pins the structure: 3 schema
+    versions + naming-epoch 2, renames added NO snapshot (metadata
+    only), time travel to the base snapshot still reads ``val`` under
+    its own schema version, the name-mapping property lists all three
+    names for the field id (external readers, spec Appendix C), and
+    the post-rename file carries real parquet field ids. Scale shape:
+    RENAME on a 100 TB table is one metadata version write — zero
+    data movement, zero file I/O; the per-epoch read adds no shuffle
+    (one extra scan group per rename epoch, unioned)."""
+    import json as _json
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+        read_iceberg_table_at,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
+        plan_scan,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+        file_naming_epoch,
+    )
+
+    tdir, meta, base_snap = _renamed_table(spark, sf_dir)
+    mapping = {
+        m["field-id"]: m["names"]
+        for m in _json.loads(
+            meta["properties"]["schema.name-mapping.default"]
+        )
+    }
+    epochs = {file_naming_epoch(d["file_path"]) for d in plan_scan(tdir)}
+    old_cols = read_iceberg_table_at(spark, tdir, base_snap).columns
+
+    def _post_rename_has_field_ids() -> bool:
+        import pyarrow.parquet as pq
+
+        path = next(
+            (
+                d["file_path"]
+                for d in plan_scan(tdir)
+                if file_naming_epoch(d["file_path"]) == 1
+            ),
+            None,
+        )
+        if path is None:  # tiny sf: the %97 insert batch was empty
+            return True
+        sch = pq.read_schema(path)
+        got = {
+            f.name: int(f.metadata[b"PARQUET:field_id"])
+            for f in sch
+            if f.metadata and b"PARQUET:field_id" in f.metadata
+        }
+        return got.get("id") == 1 and got.get("amount") == 3
+
+    pin = 1 if (
+        len(meta["schemas"]) == 3
+        and meta["properties"]["engine.naming-epoch"] == "2"
+        and len(meta["snapshots"]) == 2  # renames committed no snapshot
+        and mapping.get(3) == ["val", "amount", "amt"]
+        # pre-rename files are epoch 0; the post-rename append (absent
+        # at tiny sf if the %97 batch is empty) is epoch 1
+        and 0 in epochs and epochs <= {0, 1}
+        and "val" in old_cols and "amt" not in old_cols
+        and _post_rename_has_field_ids()
+    ) else 0
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("amt").cast("bigint").alias("sum_amt"),
+        )
+        .select(
+            "grp", "n_live", "sum_amt",
+            F.lit(pin).cast("bigint").alias("rename_pins"),
+        )
+    )
