@@ -1171,3 +1171,48 @@ def test_merge_evolution_catalog_race_rederives(spark):
         assert got[0] == ("evolved", 3.5)
         assert got[700] == ("rival", None)
         assert len(got) == 9
+
+
+def test_merge_map_payload_column(spark):
+    """ADVICE r11 (medium): the identical-row collapse must tolerate
+    MAP-typed payload columns (maps are not set-comparable — a plain
+    dropDuplicates raises SET_OPERATION_ON_MAP_TYPE). Identical
+    replays collapse through the canonical sorted-entries projection,
+    including maps whose insertion order differs."""
+    tdir = _mkdir()
+    base = spark.createDataFrame(
+        [(i, {"k": str(i)}) for i in range(4)],
+        "id bigint, props map<string,string>",
+    )
+    write_iceberg_table(
+        spark, base, tdir, now_ms=1_000, partition_spec=BUCKET_SPEC
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, {"a": "x", "b": "y"}),
+            (1, {"b": "y", "a": "x"}),  # same entry set, other order
+            (9, {"new": "row"}),
+        ],
+        "id bigint, props map<string,string>",
+    )
+    merge_upsert(
+        spark, batch, tdir, on=["id"], partition_spec=BUCKET_SPEC,
+        now_ms=2_000,
+    )
+    got = {
+        r["id"]: dict(r["props"] or {})
+        for r in read_iceberg_table(spark, tdir).collect()
+    }
+    assert got[1] == {"a": "x", "b": "y"}
+    assert got[9] == {"new": "row"}
+    assert len(got) == 5
+    # a REAL conflict on a map payload still refuses
+    bad = spark.createDataFrame(
+        [(2, {"v": "1"}), (2, {"v": "2"})],
+        "id bigint, props map<string,string>",
+    )
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        merge_upsert(
+            spark, bad, tdir, on=["id"], partition_spec=BUCKET_SPEC,
+            now_ms=3_000,
+        )

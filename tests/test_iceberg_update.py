@@ -343,3 +343,56 @@ def test_update_refuses_nulling_required_column(spark):
     update_where(spark, tdir, "id = 1", {"grp": "NULL"}, now_ms=2_000)
     got = _state(spark, tdir)
     assert got[1] == (None, 10)
+
+
+def test_update_guard_refusal_leaves_no_files(spark):
+    """r12 single-pass UPDATE: the SET-nulls-REQUIRED guard fires
+    before ANY file — delete or data — is written, so a refusal
+    leaves zero orphans behind (previously the position-delete files
+    were already on disk when the guard fired)."""
+    import os
+
+    tdir = _mkdir()
+    base = spark.range(6).selectExpr(
+        "id", "cast(id % 3 as bigint) as grp", "id * 10 as v"
+    )
+    write_iceberg_table(
+        spark, base, tdir, now_ms=1_000, partition_spec=BUCKET_SPEC
+    )
+    with pytest.raises(ValueError, match="REQUIRED"):
+        update_where(spark, tdir, "id >= 0", {"v": "NULL"})
+    assert not os.path.isdir(os.path.join(tdir, "deletes"))
+    stray = [
+        p
+        for p in os.listdir(tdir)
+        if p.startswith("_stage-") or p.endswith(".parquet")
+    ]
+    assert stray == []
+
+
+def test_update_single_pass_reads_matched_files_once(spark):
+    """r12: update_where constructs exactly ONE scan over the table's
+    data files — the persisted matched frame feeds the guard probe,
+    the delete writer, and the updated copies (previously the matched
+    files were planned+read twice)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        scan as S,
+    )
+
+    tdir = _mkdir()
+    _table(spark, tdir)
+    calls = {"n": 0}
+    orig = S._read_planned_files  # scan.py binds the name at import
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    S._read_planned_files = counting
+    try:
+        update_where(spark, tdir, "id % 4 = 1", {"v": "v + 1"}, now_ms=2_000)
+    finally:
+        S._read_planned_files = orig
+    assert calls["n"] == 1
+    got = _state(spark, tdir)
+    assert got[1] == (1, 11) and got[5] == (2, 51) and got[2] == (2, 20)

@@ -142,6 +142,31 @@ def write_position_deletes(
     position-delete files per partition are spec-legal; readers union
     them). One file per partition stays the small-table default — no
     extra files to plan when the delete set is small."""
+    matched, ctx = match_position_deletes(
+        spark, table_dir, predicate, partition_col=partition_col,
+        meta=meta, prep=prep,
+    )
+    return write_matched_position_deletes(
+        spark, table_dir, matched, ctx, writer_shards=writer_shards
+    )
+
+
+def match_position_deletes(
+    spark,
+    table_dir: str,
+    predicate,
+    partition_col: str | None = None,
+    meta: dict | None = None,
+    prep=None,
+):
+    """Phase 1 of :func:`write_position_deletes`: the MERGED-VIEW match
+    with row identity. Returns ``(matched, ctx)`` — ``matched`` is the
+    matching rows with every table column plus ``(__iceberg_file,
+    __iceberg_pos)`` (None when the table is empty), ``ctx`` what the
+    write phase needs. Split out so `update_where` can run its
+    null-guard probe and stage the updated copies from ONE persisted
+    scan of the matched rows, with NO file written before the guard
+    passes."""
     from pyspark.sql import functions as F
 
     if meta is None:
@@ -149,15 +174,16 @@ def write_position_deletes(
     # derive the partition fields from the table's default spec (the
     # default for every caller; an explicit name stays an override)
     part_typed = _resolve_partition_cols(meta, partition_col)
-    part_names = [n for n, _f, _t in part_typed]
+    ctx = {"part_typed": part_typed, "data": []}
     if meta.get("current-snapshot-id", -1) == -1:
-        return []
+        return None, ctx
     cur = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
     data, deletes = _plan_snapshot(cur, None)
     if not data:
-        return []
+        return None, ctx
+    ctx["data"] = data
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     df = _read_with_positions(spark, table_dir, meta, [d["file_path"] for d in data])
     if prep is not None:
@@ -186,6 +212,23 @@ def write_position_deletes(
         )
     if dv:
         df = apply_deletion_vectors(spark, df, data, dv)
+    return df.where(cond), ctx
+
+
+def write_matched_position_deletes(
+    spark, table_dir: str, matched, ctx: dict, writer_shards: int = 1
+) -> list[dict]:
+    """Phase 2 of :func:`write_position_deletes`: project the matched
+    rows' (file, pos) identities, attach each file's partition tuple,
+    and write the spec-shaped delete files (one Arrow task per
+    partition [x shard])."""
+    from pyspark.sql import functions as F
+
+    if matched is None:
+        return []
+    part_typed = ctx["part_typed"]
+    data = ctx["data"]
+    part_names = [n for n, _f, _t in part_typed]
     part_cols = [f"__iceberg_part_{i}" for i in range(len(part_names))]
     part_map = spark.createDataFrame(
         [
@@ -198,8 +241,7 @@ def write_position_deletes(
         ),
     )
     matches = (
-        df.where(cond)
-        .select("__iceberg_file", "__iceberg_pos")
+        matched.select("__iceberg_file", "__iceberg_pos")
         .join(F.broadcast(part_map), "__iceberg_file")
     )
     group_cols = list(part_cols)

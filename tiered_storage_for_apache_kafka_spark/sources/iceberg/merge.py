@@ -74,6 +74,56 @@ _UPSERT_OPS = {"i", "c", "u", "r", "+"}
 _DELETE_OPS = {"d", "-"}
 
 
+def _collapse_identical_rows(df):
+    """``dropDuplicates()`` that tolerates MAP-typed columns: maps are
+    not set-comparable in Spark, so each top-level map column dedupes
+    through a canonical ``sort_array(map_entries(...))`` shadow (same
+    entry set in any insertion order collapses — exactly the
+    at-least-once-replay semantics wanted). A map nested where no such
+    projection exists (inside a struct or array element) has no
+    canonical form; collapsing on the remaining columns could merge
+    genuinely different events, so the collapse is SKIPPED there."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def orderable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(orderable(f.dataType) for f in dt.fields)
+        return True
+
+    shadows: dict[str, object] = {}
+    for f in df.schema.fields:
+        if orderable(f.dataType):
+            continue
+        if isinstance(f.dataType, T.MapType) and orderable(
+            T.StructType(
+                [
+                    T.StructField("key", f.dataType.keyType),
+                    T.StructField("value", f.dataType.valueType),
+                ]
+            )
+        ):
+            shadows[f"__dedup_{f.name}"] = F.sort_array(
+                F.map_entries(F.col(f.name))
+            )
+        else:
+            return df  # no canonical form: skip the collapse
+    if not shadows:
+        return df.dropDuplicates()
+    plain = [
+        f.name for f in df.schema.fields if orderable(f.dataType)
+    ]
+    return (
+        df.withColumns(shadows)
+        .dropDuplicates(plain + sorted(shadows))
+        .drop(*shadows)
+    )
+
+
 def _resolve_batch(df, on, op_col, seq_col):
     """Within-batch resolution to at most ONE final action per key:
     last-writer-wins by ``seq_col`` (validated unambiguous — duplicate
@@ -103,8 +153,15 @@ def _resolve_batch(df, on, op_col, seq_col):
     # identical rows are one event delivered twice (at-least-once
     # replay, a key retracted by two copies of the same delete event):
     # collapse them BEFORE the ambiguity validation so only genuinely
-    # conflicting rows (same key+seq, different payload/op) raise
-    df = df.dropDuplicates().persist(StorageLevel.MEMORY_AND_DISK)
+    # conflicting rows (same key+seq, different payload/op) raise.
+    # MAP-typed columns are not set-comparable (Spark raises
+    # UNSUPPORTED_FEATURE.SET_OPERATION_ON_MAP_TYPE), so a map payload
+    # dedupes through a canonical sorted-entries projection instead;
+    # a map nested where no canonical projection exists (inside a
+    # struct/array) skips the collapse — the key-scoped ambiguity
+    # checks below still refuse real conflicts, identical replays
+    # there just surface as duplicate (key, seq) errors as pre-r11
+    df = _collapse_identical_rows(df).persist(StorageLevel.MEMORY_AND_DISK)
     cached = df
 
     if op_col is not None:

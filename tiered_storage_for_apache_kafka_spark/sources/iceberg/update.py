@@ -151,12 +151,11 @@ def _update_once(
 ) -> dict:
     from pyspark.sql import Column
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.deletes import (
-        write_position_deletes,
-    )
-    from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
-        _read_snapshot,
+        match_position_deletes,
+        write_matched_position_deletes,
     )
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
         iceberg_schema_to_spark,
@@ -182,61 +181,66 @@ def _update_once(
             "UPDATE never evolves the schema"
         )
 
-    # position deletes for the matched identities (merged-view match,
-    # partition-scoped files in the table's default layout)
-    stats = write_position_deletes(
-        spark, table_dir, predicate, meta=base,
-        writer_shards=writer_shards or 1,
+    # SINGLE-PASS (r12): one merged-view match, persisted, feeds the
+    # null-guard probe, the position-delete files, AND the updated
+    # copies — the matched files are read once, not twice, and the
+    # guard fires BEFORE any file (delete or data) exists on disk
+    matched, ctx = match_position_deletes(
+        spark, table_dir, predicate, meta=base
     )
-    if not stats:
-        return base  # zero matches: no empty snapshot
-
-    # the matched rows' UPDATED copies, from the SAME snapshot the
-    # deletes were planned against
-    cur = next(
-        s
-        for s in base["snapshots"]
-        if s["snapshot-id"] == base["current-snapshot-id"]
-    )
-    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-    matched = _read_snapshot(spark, table_dir, base, cur).where(cond)
-    updated = matched.withColumns(
-        {
-            c: (e if isinstance(e, Column) else F.expr(e))
-            for c, e in set_map.items()
-        }
-    )
-    updated = conform(updated, iceberg_schema_to_spark(schema_struct))
-    # a SET expression must not null a REQUIRED column (including the
-    # silent nulls a non-ANSI cast of an incompatible expression
-    # produces) — one bounded aggregate over only the touched required
-    # columns, refused BEFORE any file is staged
-    req_touched = [
-        f["name"]
-        for f in schema_struct["fields"]
-        if f["required"] and f["name"] in set_map
-    ]
-    if req_touched:
-        row = updated.agg(
-            *[
-                F.count(F.when(F.col(c).isNull(), 1)).alias(c)
-                for c in req_touched
-            ]
-        ).collect()[0]
-        bad = [c for c in req_touched if row[c] > 0]
-        if bad:
-            raise ValueError(
-                f"SET would write NULL into REQUIRED column(s) {bad} "
-                "(a non-castable expression also lands as null under "
-                "non-ANSI SQL) — fix the expression or make the "
-                "column optional first"
-            )
-    new_files, _schema = stage_data_files(
-        spark, updated, table_dir,
-        partition_spec=derived_partition_spec(base),
-        max_records_per_file=max_records_per_file,
-        writer_shards=writer_shards,
-    )
+    if matched is None:
+        return base  # empty plan: nothing can match
+    matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        updated = matched.withColumns(
+            {
+                c: (e if isinstance(e, Column) else F.expr(e))
+                for c, e in set_map.items()
+            }
+        )
+        # conform projects exactly the table columns (drops the
+        # (__iceberg_file, __iceberg_pos) identity the delete writer
+        # keeps) and casts SET results to the columns' table types
+        updated = conform(updated, iceberg_schema_to_spark(schema_struct))
+        # a SET expression must not null a REQUIRED column (including
+        # the silent nulls a non-ANSI cast of an incompatible
+        # expression produces) — one bounded aggregate over only the
+        # touched required columns, refused before ANY file (delete or
+        # data) is written
+        req_touched = [
+            f["name"]
+            for f in schema_struct["fields"]
+            if f["required"] and f["name"] in set_map
+        ]
+        if req_touched:
+            row = updated.agg(
+                *[
+                    F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+                    for c in req_touched
+                ]
+            ).collect()[0]
+            bad = [c for c in req_touched if row[c] > 0]
+            if bad:
+                raise ValueError(
+                    f"SET would write NULL into REQUIRED column(s) {bad} "
+                    "(a non-castable expression also lands as null under "
+                    "non-ANSI SQL) — fix the expression or make the "
+                    "column optional first"
+                )
+        stats = write_matched_position_deletes(
+            spark, table_dir, matched, ctx,
+            writer_shards=writer_shards or 1,
+        )
+        if not stats:
+            return base  # zero matches: no empty snapshot
+        new_files, _schema = stage_data_files(
+            spark, updated, table_dir,
+            partition_spec=derived_partition_spec(base),
+            max_records_per_file=max_records_per_file,
+            writer_shards=writer_shards,
+        )
+    finally:
+        matched.unpersist()
     return _commit_update_once(
         table_dir, version, base, new_files, stats, now_ms, catalog,
         table_name,
@@ -547,9 +551,6 @@ def _replace_once(
 ) -> dict:
     from pyspark.sql import functions as F
 
-    from tiered_storage_for_apache_kafka_spark.sources.iceberg.deletes import (
-        write_position_deletes,
-    )
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
         iceberg_schema_to_spark,
     )
@@ -611,8 +612,11 @@ def _replace_once(
             "overwrite by recreating the table"
         )
 
-    # the CELLS the batch touches (bounded driver collect: one row per
-    # distinct cell, never per data row)
+    # the CELLS the batch touches, as a DISTRIBUTED frame (never
+    # collected: a batch touching thousands of cells previously built
+    # a linear OR-chain predicate whose Catalyst tree blew planning
+    # time — ADVICE r11; the membership test is now one BROADCAST
+    # left_semi join against the distinct-cells frame)
     id_to_name = {f["id"]: f["name"] for f in schema_struct["fields"]}
     dft = df
     cell_cols = []
@@ -623,12 +627,14 @@ def _replace_once(
             continue
         dft = transform_column(dft, src, f["transform"], f["name"])
         cell_cols.append(f["name"])
-    cells = [tuple(r) for r in dft.select(*cell_cols).distinct().collect()]
-    if not cells:
+    if dft.isEmpty():
         return base  # empty batch: no cells, no snapshot
+    cells_df = dft.select(
+        *[F.col(c).alias(f"__cell_{i}") for i, c in enumerate(cell_cols)]
+    ).distinct()
 
-    # membership predicate over the SCAN side, transforms recomputed
-    # via the same kernels (prep hook adds the derived columns)
+    # membership on the SCAN side, transforms recomputed via the same
+    # kernels (prep hook adds the derived columns)
     probe_cols = {}
     for f in spec["fields"]:
         src = id_to_name[f["source-id"]]
@@ -646,17 +652,27 @@ def _replace_once(
             )
         return scan_df
 
-    cond = F.lit(False)
-    for cell in cells:
-        c = F.lit(True)
-        for (name, _pc), val in zip(probe_cols.items(), cell):
-            c = c & F.col(probe_cols[name]).eqNullSafe(F.lit(val))
-        cond = cond | c
-
-    del_stats = write_position_deletes(
-        spark, table_dir, cond, meta=base,
-        writer_shards=writer_shards or 1, prep=prep,
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.deletes import (
+        match_position_deletes,
+        write_matched_position_deletes,
     )
+
+    scan, ctx = match_position_deletes(
+        spark, table_dir, F.lit(True), meta=base, prep=prep
+    )
+    if scan is not None:
+        join_cond = F.lit(True)
+        for i, (name, _pc) in enumerate(probe_cols.items()):
+            join_cond = join_cond & F.col(probe_cols[name]).eqNullSafe(
+                F.col(f"__cell_{i}")
+            )
+        matched = scan.join(F.broadcast(cells_df), join_cond, "left_semi")
+        del_stats = write_matched_position_deletes(
+            spark, table_dir, matched, ctx,
+            writer_shards=writer_shards or 1,
+        )
+    else:
+        del_stats = []
     new_files, _schema = stage_data_files(
         spark, df, table_dir, partition_spec=part_spec,
         max_records_per_file=max_records_per_file,
