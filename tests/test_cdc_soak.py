@@ -6,6 +6,12 @@ orphan sweep — while a continuous MIRROR catches up through all of it
 closed-form state at the end. The round-10 plane's integration test:
 merge in, maintain, stream out, replicate.
 
+r12 adds the UPDATE round: at round 22 a row-level ``update_where``
+hits the source (position deletes + updated copies in one snapshot);
+the r=30 mirror catch-up crosses its window via keyed retractions —
+the declared mergeKeys resolve the deleted identities to pre-image
+keys — with no re-bootstrap.
+
 r11 adds the EVOLVING-SCHEMA round: at round 18 the feed grows a
 ``score double`` column (the normal life of a CDC feed); the merge
 evolves the source schema in-commit, the r=20 conversion and r=25
@@ -20,6 +26,7 @@ import pytest
 
 from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
     convert_equality_deletes,
+    update_where,
     expire_snapshots,
     merge_upsert,
     read_iceberg_table,
@@ -126,6 +133,18 @@ def test_cdc_soak_gauntlet(spark, tmp_path, mirror_every):
         if r == 15:
             ms += 1_000
             rewrite_data_files(spark, src, now_ms=ms, sort_by=["id"])
+        if r == 22:
+            # r12: a row-level UPDATE mid-stream — the r=30 mirror
+            # catch-up (checkpoint at 20) crosses its position-delete
+            # window via keyed retractions (mergeKeys), no re-bootstrap
+            ms += 1_000
+            update_where(
+                spark, src, "id % 50 = 22", {"val": "concat(val, '+')"},
+                now_ms=ms,
+            )
+            for k in list(state):
+                if k % 50 == 22:
+                    state[k] = state[k] + "+"
         if r == 25:
             # keep_last large enough that the GC horizon stays BELOW
             # the mirror's r=10 checkpoint — a tighter retention would

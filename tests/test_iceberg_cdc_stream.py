@@ -123,7 +123,7 @@ def test_cdc_stream_positional_delete_refused(spark):
     )
     write_iceberg_table(spark, base, tdir, now_ms=1_000, partition_spec=SPEC)
     commit_position_deletes(spark, tdir, "id = 3", now_ms=2_000)
-    with pytest.raises(Exception, match="not key-representable"):
+    with pytest.raises(Exception, match="key-representable"):
         _events(spark, tdir)
 
 
@@ -340,3 +340,48 @@ def test_cdc_stream_restart_after_evolution_continues_from_checkpoint(spark):
     assert "score" in cols  # the restart re-pinned the evolved schema
     got = {(r["id"], r["_change_type"], r["score"]) for r in second}
     assert (70, "insert", 9.5) in got
+
+
+def test_cdc_stream_positional_delete_with_merge_keys(spark):
+    """r12: with declared mergeKeys, a window holding position-delete
+    files (an `update_where` / row-level DELETE) resolves them to
+    keyed retractions — the deleted identities' PRE-IMAGE keys read
+    from the target files — instead of killing the consumer."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.update import (
+        update_where,
+    )
+
+    tdir = _mkdir()
+    base = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(8)],
+        "id bigint, grp bigint, val string",
+    )
+    write_iceberg_table(spark, base, tdir, now_ms=1_000, partition_spec=SPEC)
+    update_where(spark, tdir, "id IN (2, 5)", {"val": "'upd'"}, now_ms=2_000)
+    commit_position_deletes(spark, tdir, "id = 7", now_ms=3_000)
+    ev = _events(spark, tdir, mergeKeys="id")
+    rows = {
+        (r["id"], r["_change_type"], r["val"], r["_commit_seq"])
+        for r in ev.collect()
+    }
+    expect = (
+        {(i, "insert", f"v{i}", 1) for i in range(8)}
+        | {(2, "delete_key", None, 2), (5, "delete_key", None, 2)}
+        | {(2, "insert", "upd", 2), (5, "insert", "upd", 2)}
+        | {(7, "delete_key", None, 3)}
+    )
+    assert rows == expect
+    # upsert replay (deletes before inserts at equal seq) converges to
+    # the table: 2 and 5 carry the update, 7 is gone
+    table = {
+        (r["id"], r["val"])
+        for r in read_iceberg_table(spark, tdir).collect()
+    }
+    replay = {(i, f"v{i}") for i in range(8) if i != 7}
+    replay = {(i, v) for i, v in replay if i not in (2, 5)} | {
+        (2, "upd"), (5, "upd")
+    }
+    assert table == replay
+    # without mergeKeys the refusal stands
+    with pytest.raises(Exception, match="key-representable"):
+        _events(spark, tdir)

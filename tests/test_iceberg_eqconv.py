@@ -334,7 +334,7 @@ def test_cdc_stream_below_horizon_conversion_refused(spark):
     )  # seq 5
     expire_snapshots(tdir, keep_last=2, now_ms=6_000)  # horizon -> 4
     register_cdc(spark)
-    with pytest.raises(Exception, match="not key-representable"):
+    with pytest.raises(Exception, match="key-representable"):
         run_stream_to_memory(
             spark.readStream.format("iceberg_cdc")
             .option("path", tdir)

@@ -389,3 +389,42 @@ def test_mirror_restart_at_horizon_catches_up_exactly(spark, tmp_path):
     assert horizon <= 2
     run()
     assert _state(spark, dst) == _state(spark, src)
+
+
+def test_mirror_survives_source_update_where(spark, tmp_path):
+    """r12: a row-level UPDATE on the source no longer kills the
+    mirror — the iceberg_cdc stream (declared mergeKeys = the mirror's
+    `on`) resolves the update's position deletes to keyed retractions,
+    and the updated copies arrive as same-commit inserts, so the
+    mirror converges without re-bootstrap."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.update import (
+        update_where,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _src_table(spark, src)
+
+    def run():
+        q = mirror_iceberg_table(
+            spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+            partition_spec=SRC_SPEC,
+        )
+        q.awaitTermination()
+
+    run()
+    assert _state(spark, dst) == _state(spark, src)
+
+    # source UPDATE (position deletes + updated copies in one snapshot)
+    update_where(
+        spark, src, "id % 4 = 1", {"val": "concat(val, '!')"},
+        now_ms=3_000,
+    )
+    # plus a key-moving update and a plain delete in later commits
+    update_where(spark, src, "id = 2", {"id": "200"}, now_ms=4_000)
+    run()  # incremental catch-up across the UPDATE windows
+    assert _state(spark, dst) == _state(spark, src)
+    got = {r[0]: r[2] for r in _state(spark, dst)}
+    assert got[1] == "v1!" and got[5] == "v5!"
+    assert 200 in got and 2 not in got

@@ -1602,3 +1602,137 @@ def iceberg_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(pin).cast("bigint").alias("rename_pins"),
         )
     )
+
+
+_POST_UPDATE_MIRROR_CACHE: dict[tuple, tuple] = {}
+
+
+def _post_update_mirrored(spark: SparkSession, sf_dir: str) -> tuple:
+    """Replication ACROSS a row-level UPDATE (r12): source (keys =
+    distinct event_id % 400, v=id*3, bucket[4](id)) takes a merge
+    (id%6==1 -> v=id*5), is mirrored (checkpoint lands BEFORE the
+    update), then `update_where` adds 1_000_000 to v where id%5==2
+    (position deletes + updated copies in one snapshot), and the SAME
+    mirror catches up INCREMENTALLY across the update window — the
+    iceberg_cdc stream resolves the position deletes to keyed
+    retractions via the mirror's declared mergeKeys. Returns
+    (dst_dir, update_crossed_pin)."""
+    import os
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        merge_upsert,
+        read_table_metadata,
+        update_where,
+        write_iceberg_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        mirror_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _POST_UPDATE_MIRROR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = (
+        load_table(spark, sf_dir, "events")
+        .select((F.col("event_id") % 400).alias("id"))
+        .distinct()
+    )
+    grp = (F.col("id") % 10).cast("bigint")
+    root = tempfile.mkdtemp(prefix="iceberg-upd-mirror-q-")
+    src, dst = os.path.join(root, "src"), os.path.join(root, "dst")
+    ckpt = os.path.join(root, "ckpt")
+    spec = [("id_bucket", "bucket[4]", "id")]
+    write_iceberg_table(
+        spark,
+        ids.select(
+            "id", grp.alias("grp"),
+            (F.col("id") * 3).cast("bigint").alias("v"),
+        ),
+        src, now_ms=1_000, partition_spec=spec,
+    )
+    merge_upsert(
+        spark,
+        ids.where(F.col("id") % 6 == 1).select(
+            "id", grp.alias("grp"),
+            (F.col("id") * 5).cast("bigint").alias("v"),
+            F.lit("u").alias("op"),
+        ),
+        src, on=["id"], op_col="op", partition_spec=spec, now_ms=2_000,
+    )
+
+    def catchup():
+        q = mirror_iceberg_table(
+            spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+            partition_spec=spec,
+        )
+        q.awaitTermination()
+
+    catchup()  # checkpoint now BEFORE the update
+    n_dst_before = len(read_table_metadata(dst)["metadata"]["snapshots"])
+    meta = update_where(
+        spark, src, "id % 5 = 2", {"v": "v + 1000000"}, now_ms=3_000
+    )
+    upd_summary = meta["snapshots"][-1]["summary"]
+    catchup()  # crosses the position-delete window via keyed retractions
+    n_dst_after = len(read_table_metadata(dst)["metadata"]["snapshots"])
+    pin = 1 if (
+        upd_summary["operation"] == "overwrite"
+        and int(upd_summary["added-position-deletes"]) > 0
+        # the second catch-up applied exactly ONE incremental batch —
+        # convergence came from crossing the window, not re-bootstrap
+        and n_dst_after == n_dst_before + 1
+    ) else 0
+    out = (dst, pin)
+    session_cache_put(_POST_UPDATE_MIRROR_CACHE, key, out)
+    return out
+
+
+@query(
+    "iceberg_post_update_mirror",
+    oracle="""
+WITH ids AS (SELECT DISTINCT event_id % 400 AS id FROM events),
+merged AS (
+  SELECT id, CASE WHEN id % 6 = 1 THEN id * 5 ELSE id * 3 END AS v0
+  FROM ids
+),
+updated AS (
+  SELECT id,
+         CASE WHEN id % 5 = 2 THEN v0 + 1000000 ELSE v0 END AS v
+  FROM merged
+)
+SELECT CAST(id % 10 AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(1 AS BIGINT) AS update_crossed
+FROM updated
+GROUP BY CAST(id % 10 AS BIGINT)
+""",
+)
+def iceberg_post_update_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A live mirror crossing a source `update_where` (r12): the keyed
+    changelog resolves the update's position deletes to PRE-IMAGE key
+    retractions (mergeKeys) and its updated copies arrive as
+    same-commit inserts, so the mirror converges to the post-update
+    source without re-bootstrap — one UPDATE on a mirrored 100 TB
+    table costs its consumers O(matched keys), not a full re-sync.
+    ``update_crossed`` pins: the update snapshot is a real
+    position-delete overwrite, and the post-update catch-up applied
+    exactly one incremental batch."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+    )
+
+    dst, pin = _post_update_mirrored(spark, sf_dir)
+    return (
+        read_iceberg_table(spark, dst)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+        )
+        .select(
+            "grp", "n_live", "sum_v",
+            F.lit(pin).cast("bigint").alias("update_crossed"),
+        )
+    )

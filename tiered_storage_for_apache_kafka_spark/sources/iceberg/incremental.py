@@ -76,6 +76,7 @@ def _plan_seq_window(
     hi_seq: int,
     constraints: dict | None = None,
     eq_sink: list | None = None,
+    pos_sink: list | None = None,
 ) -> list[dict]:
     """Data files appended with ``lo_seq < seq <= hi_seq``, planned from
     the CURRENT snapshot — correct even when every snapshot inside the
@@ -179,6 +180,35 @@ def _plan_seq_window(
                     {"file_path": d["file_path"], "_seq": seq}
                 )
                 continue
+            if (
+                pos_sink is not None
+                and d.get("content") == 1
+                and d.get("file_format") != "PUFFIN"
+                and not _os.path.basename(str(d["file_path"])).startswith(
+                    "delete-eqconv-"
+                )
+            ):
+                # keyed-changelog mode WITH declared merge keys (r12):
+                # a position-delete file (an `update_where` / DELETE
+                # retraction) resolves to keyed retractions — the
+                # reader looks up each deleted (file, pos) identity's
+                # PRE-IMAGE key columns in its target data file, so a
+                # live mirror crosses a row-level UPDATE without
+                # re-bootstrapping. SOUND because engine position
+                # deletes match the MERGED view at commit time: each
+                # retracted identity is its key's then-live row, so
+                # delete_key at the delete's seq is exact. Two stay
+                # excluded: eqconv conversion files (they re-stamp OLD
+                # retractions at the conversion's NEWER seq — a key
+                # re-inserted in between would be wrongly retracted;
+                # the view-neutral skip above already handles them at
+                # or above the GC horizon) and deletion vectors
+                # (PUFFIN, maintenance-produced; maintenance windows
+                # are hopped via changelog_safe_windows).
+                pos_sink.append(
+                    {"file_path": d["file_path"], "_seq": seq}
+                )
+                continue
             if d.get("content") in (1, 2):
                 raise ValueError(
                     f"row-delta delete file {d['file_path']} has sequence "
@@ -186,9 +216,12 @@ def _plan_seq_window(
                     f"{hi_seq}]; an append-only changelog cannot represent "
                     "row retraction"
                     + (
-                        " (positional deletes are not key-representable: "
-                        "re-bootstrap from a full sync or consume the "
-                        "window with read_iceberg_changelog; view-neutral "
+                        " (positions are key-representable only with "
+                        "declared merge keys: pass "
+                        ".option('mergeKeys', 'k1,k2') to iceberg_cdc "
+                        "to emit keyed retractions for them, consume "
+                        "the window with read_iceberg_changelog, or "
+                        "re-bootstrap from a full sync; view-neutral "
                         "convert_equality_deletes output is skipped "
                         "automatically unless the window predates the "
                         "tombstone GC horizon)"

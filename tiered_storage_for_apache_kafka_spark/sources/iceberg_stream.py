@@ -426,6 +426,21 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
     joins, no driver row handling, same cost model as the append
     stream."""
 
+    def __init__(self, options: dict, pinned_schema=None):
+        super().__init__(options, pinned_schema=pinned_schema)
+        # declared merge keys (r12): with them, a POSITION-delete file
+        # in a window resolves to keyed retractions (the reader looks
+        # up the deleted identities' pre-image key columns), so a
+        # mirror survives `update_where` on the source; without them
+        # the positional refusal stands (positions alone are not
+        # key-representable)
+        keys = options.get("mergekeys", options.get("mergeKeys"))
+        self._merge_keys = (
+            [k.strip() for k in str(keys).split(",") if k.strip()]
+            if keys
+            else None
+        )
+
     def _expected_arrow_schema(self):
         """The parent's schema with every field NULLABLE: a delete_key
         row nulls out all non-key columns, including ones the table
@@ -459,13 +474,20 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
             else None
         )
         eq_files: list[dict] = []
-        data = _plan_seq_window(meta, lo, hi, constraints, eq_sink=eq_files)
+        pos_files: list[dict] = []
+        data = _plan_seq_window(
+            meta, lo, hi, constraints, eq_sink=eq_files,
+            pos_sink=pos_files if self._merge_keys else None,
+        )
         out = [
             CdcFilePartition(d["file_path"], "data", int(d["_seq"]))
             for d in data
         ] + [
             CdcFilePartition(d["file_path"], "eqdelete", int(d["_seq"]))
             for d in eq_files
+        ] + [
+            CdcFilePartition(d["file_path"], "posdelete", int(d["_seq"]))
+            for d in pos_files
         ]
         if not out:
             out.append(CdcFilePartition(""))  # empty-batch sentinel
@@ -496,6 +518,11 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
             # table-shaped read (hive value attach, evolution padding,
             # row residuals) is the parent's; stamp the change columns
             for batch in super().read(partition):
+                yield stamp(batch)
+            return
+
+        if kind == "posdelete":
+            for batch in self._read_posdelete_keys(partition):
                 yield stamp(batch)
             return
 
@@ -548,6 +575,73 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
                         yield stamp(b)
                 continue
             yield stamp(out)
+
+
+    def _read_posdelete_keys(self, partition):
+        """Resolve one position-delete file to keyed retractions: read
+        its (file_path, pos) rows, and for each TARGET data file read
+        only the declared merge-key columns and gather the deleted
+        positions — the pre-image keys of exactly the retracted rows.
+        Emitted as delete_key rows (key columns populated, the rest
+        null). Bounded executor-side work: key columns of the targeted
+        files only, no joins, no driver row handling — the same cost
+        model as the rest of the source. Soundness: an engine position
+        delete targets only rows live in the merged view at commit
+        time, so each (key) retraction corresponds to a real prior
+        insert; a duplicate retraction from a foreign writer's
+        overlapping delete would be a harmless upsert no-op."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        expected = self._expected_arrow_schema()
+        keys = list(self._merge_keys or [])
+        unknown = [k for k in keys if k not in expected.names]
+        if unknown:
+            raise ValueError(
+                f"mergeKeys name(s) {unknown} not in the stream schema "
+                f"(columns: {expected.names})"
+            )
+        dels = pq.read_table(
+            partition.file_path, columns=["file_path", "pos"]
+        )
+        by_target: dict[str, list[int]] = {}
+        for fp, pos in zip(
+            dels.column("file_path").to_pylist(),
+            dels.column("pos").to_pylist(),
+        ):
+            by_target.setdefault(fp, []).append(int(pos))
+        for target, positions in sorted(by_target.items()):
+            pf = pq.ParquetFile(target)
+            file_cols = set(pf.schema_arrow.names)
+            missing = [k for k in keys if k not in file_cols]
+            if missing:
+                raise StreamSchemaEvolvedError(
+                    _stream_restart_msg(
+                        target,
+                        f"merge key column(s) {missing} absent from the "
+                        "position-deleted target file (written before "
+                        "the key column existed, or under a pre-rename "
+                        "name)",
+                    )
+                )
+            tbl = pf.read(columns=keys).take(sorted(positions))
+            cols, names = [], []
+            for field in expected:
+                names.append(field.name)
+                if field.name in keys:
+                    cols.append(
+                        _conform_stream_column(
+                            tbl.column(field.name).combine_chunks(),
+                            field,
+                            target,
+                        )
+                    )
+                else:
+                    cols.append(pa.nulls(tbl.num_rows, field.type))
+            out = pa.Table.from_arrays(cols, names=names)
+            for b in out.to_batches():
+                if b.num_rows:
+                    yield b
 
 
 class IcebergCdcDataSource(DataSource):

@@ -755,6 +755,11 @@ def mirror_iceberg_table(
     reader = (
         spark.readStream.format("iceberg_cdc")
         .option("path", src_table_dir)
+        # the mirror's merge keys double as the source stream's
+        # declared keys: a position-delete window (a source
+        # `update_where` / row-level DELETE) resolves to keyed
+        # retractions instead of killing the consumer (r12)
+        .option("mergeKeys", ",".join(str(c) for c in on))
     )
     if max_snapshots_per_trigger is not None:
         reader = reader.option(
