@@ -1736,3 +1736,143 @@ def iceberg_post_update_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(pin).cast("bigint").alias("update_crossed"),
         )
     )
+
+
+_REF_RETENTION_CACHE: dict[tuple, tuple] = {}
+
+
+def _ref_retention_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Per-ref retention fixture (r12): three appends (A, B, C=head);
+    tag ``old-release`` on A with a max-ref-age that LAPSES, untimed
+    tag ``fresh-release`` on B (permanent), branch ``audit`` on C with
+    ``min_snapshots_to_keep=2`` (floor: head + B). One aggressive
+    ``expire_snapshots(keep_last=1)`` then: the lapsed tag is removed
+    and A collected; B survives twice over (permanent tag + branch
+    floor); live data is untouched. Returns (table_dir, pin)."""
+    import os
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        create_ref,
+        expire_snapshots,
+        read_table_metadata,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _REF_RETENTION_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = (
+        load_table(spark, sf_dir, "events")
+        .select((F.col("event_id") % 400).alias("id"))
+        .distinct()
+    )
+    grp = (F.col("id") % 10).cast("bigint")
+    tdir = os.path.join(
+        tempfile.mkdtemp(prefix="iceberg-ref-retention-q-"), "t"
+    )
+    spec = [("id_bucket", f"bucket[{N_BUCKETS}]", "id")]
+    mA = write_iceberg_table(
+        spark,
+        ids.select(
+            "id", grp.alias("grp"),
+            (F.col("id") * 3).cast("bigint").alias("v"),
+        ),
+        tdir, now_ms=1_000, partition_spec=spec,
+    )
+    snap_a = mA["current-snapshot-id"]
+    mB = write_iceberg_table(
+        spark,
+        ids.where(F.col("id") < 40).select(
+            (F.col("id") + 10_000).alias("id"), grp.alias("grp"),
+            (F.col("id") * 2).cast("bigint").alias("v"),
+        ),
+        tdir, now_ms=2_000, partition_spec=spec,
+    )
+    snap_b = mB["current-snapshot-id"]
+    mC = write_iceberg_table(
+        spark,
+        ids.where(F.col("id") < 20).select(
+            (F.col("id") + 20_000).alias("id"), grp.alias("grp"),
+            F.col("id").cast("bigint").alias("v"),
+        ),
+        tdir, now_ms=3_000, partition_spec=spec,
+    )
+    snap_c = mC["current-snapshot-id"]
+    create_ref(
+        tdir, "old-release", kind="tag", snapshot_id=snap_a,
+        max_ref_age_ms=1_000, now_ms=3_100,
+    )
+    create_ref(
+        tdir, "fresh-release", kind="tag", snapshot_id=snap_b,
+        now_ms=3_200,
+    )
+    create_ref(
+        tdir, "audit", kind="branch", snapshot_id=snap_c,
+        min_snapshots_to_keep=2, max_snapshot_age_ms=1, now_ms=3_300,
+    )
+    expire_snapshots(tdir, keep_last=1, now_ms=60_000)
+    meta = read_table_metadata(tdir)["metadata"]
+    refs = meta.get("refs") or {}
+    live = {s["snapshot-id"] for s in meta["snapshots"]}
+    pin = 1 if (
+        "old-release" not in refs  # lapsed ref removed
+        and snap_a not in live  # ...and its snapshot released
+        and "fresh-release" in refs  # untimed tag: permanent
+        and snap_b in live  # pinned by the tag AND the branch floor
+        and snap_c in live
+        and refs.get("audit", {}).get("min-snapshots-to-keep") == 2
+    ) else 0
+    out = (tdir, pin)
+    session_cache_put(_REF_RETENTION_CACHE, key, out)
+    return out
+
+
+@query(
+    "iceberg_ref_retention_scan",
+    oracle="""
+WITH ids AS (SELECT DISTINCT event_id % 400 AS id FROM events),
+live AS (
+  SELECT id, id * 3 AS v FROM ids
+  UNION ALL
+  SELECT id + 10000, id * 2 FROM ids WHERE id < 40
+  UNION ALL
+  SELECT id + 20000, id FROM ids WHERE id < 20
+)
+SELECT CAST(id % 10 AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(1 AS BIGINT) AS retention_pins
+FROM live
+GROUP BY CAST(id % 10 AS BIGINT)
+""",
+)
+def iceberg_ref_retention_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ref retention (spec "Snapshot References", r12): a lapsed
+    ``max-ref-age-ms`` tag is removed by expiration and releases its
+    snapshot (a forgotten tag no longer pins data forever at 100 TB);
+    an untimed tag stays permanent; a branch's
+    ``min-snapshots-to-keep`` floor holds its recent ancestry through
+    an aggressive age expiry. ``retention_pins`` pins all of it
+    structurally; the aggregate pins that expiration touched only
+    HISTORY — the live row set is byte-identical. Scale shape:
+    expiration remains one metadata walk + unreferenced-file deletes,
+    now with bounded-by-declaration ref ancestry instead of
+    keep-everything."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+    )
+
+    tdir, pin = _ref_retention_table(spark, sf_dir)
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+        )
+        .select(
+            "grp", "n_live", "sum_v",
+            F.lit(pin).cast("bigint").alias("retention_pins"),
+        )
+    )

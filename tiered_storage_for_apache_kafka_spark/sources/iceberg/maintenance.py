@@ -105,11 +105,30 @@ def _expire_snapshots_once(
         raise ValueError("keep_last must be >= 1")
     version, meta, table_name = _maintenance_state(table_dir, catalog, table_name)
     snaps = meta["snapshots"]
-    # spec: expiration never removes a snapshot any ref points at — a
-    # tag pins its snapshot for the tag's lifetime
-    ref_ids = {
-        r["snapshot-id"] for r in (meta.get("refs") or {}).values()
-    }
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    by_id_ts = {s["snapshot-id"]: s for s in snaps}
+    # per-ref retention (spec "Snapshot References", r12): a ref whose
+    # ``max-ref-age-ms`` has lapsed — age measured from its snapshot's
+    # commit timestamp, as the Java RemoveSnapshots action does — is
+    # REMOVED by this expiration, releasing its snapshot. Without this
+    # a forgotten tag pins data forever at 100 TB. Refs without the
+    # field are permanent (the pre-r12 behavior).
+    refs_all = dict(meta.get("refs") or {})
+    removed_refs: list[str] = []
+    for rname, r in sorted(refs_all.items()):
+        if rname == "main":
+            continue  # main's retention is this function's own args
+        max_ref_age = r.get("max-ref-age-ms")
+        if max_ref_age is None:
+            continue
+        snap = by_id_ts.get(r["snapshot-id"])
+        ref_ts = int(snap["timestamp-ms"]) if snap else 0
+        if now_ms - ref_ts > int(max_ref_age):
+            removed_refs.append(rname)
+            del refs_all[rname]
+    # spec: expiration never removes a snapshot any SURVIVING ref
+    # points at — a tag pins its snapshot for the tag's lifetime
+    ref_ids = {r["snapshot-id"] for r in refs_all.values()}
     # retain-last counts along MAIN'S LINEAGE (newest-first parent
     # walk), exactly the Java action: positional newest-N is identical
     # for linear histories but wrong after a rollback — it would keep
@@ -144,21 +163,44 @@ def _expire_snapshots_once(
     while node in by_id_all:
         main_lineage.add(node)
         node = by_id_all[node].get("parent-snapshot-id")
-    for name, r in (meta.get("refs") or {}).items():
+    for name, r in refs_all.items():
         if name == "main" or r.get("type") != "branch":
             continue
         head = by_id_all.get(r["snapshot-id"])
         node = head.get("parent-snapshot-id") if head else None
-        while (
-            node in by_id_all
-            and node not in keep_ids
-            and node not in main_lineage
-        ):
-            keep_ids.add(node)
+        # per-branch lineage retention (spec fields, r12): with
+        # ``min-snapshots-to-keep`` / ``max-snapshot-age-ms`` declared,
+        # only that many / that young of the branch's ancestors
+        # survive; without them the FULL chain back to main's lineage
+        # is kept (pre-r12 behavior — fast_forward's ancestry walk
+        # needs it, so pruning is strictly opt-in per ref)
+        min_keep = r.get("min-snapshots-to-keep")
+        max_age = r.get("max-snapshot-age-ms")
+        has_retention = min_keep is not None or max_age is not None
+        count = 1  # the head itself (always kept via ref_ids)
+        while node in by_id_all:
+            if has_retention:
+                # the declared bound is the walk's own terminator, so
+                # it follows the branch lineage even through nodes
+                # main/other refs already keep (they still count)
+                young = (
+                    max_age is not None
+                    and now_ms - int(by_id_all[node]["timestamp-ms"])
+                    <= int(max_age)
+                )
+                within = min_keep is not None and count < int(min_keep)
+                if not (young or within):
+                    break
+                keep_ids.add(node)
+                count += 1
+            else:
+                if node in keep_ids or node in main_lineage:
+                    break  # published history is not re-pinned
+                keep_ids.add(node)
             node = by_id_all[node].get("parent-snapshot-id")
     keep = [s for s in snaps if s["snapshot-id"] in keep_ids]
     expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
-    if not expired:
+    if not expired and not removed_refs:
         return meta
 
     # files referenced by surviving snapshots stay; everything metadata-
@@ -181,9 +223,10 @@ def _expire_snapshots_once(
         else:
             removed.append(st["statistics-path"])
 
-    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
     meta_dir = os.path.join(table_dir, "metadata")
     new_meta = dict(meta)
+    if removed_refs:
+        new_meta["refs"] = refs_all
     new_meta["statistics"] = new_stats
     new_meta["snapshot-log"] = [
         e for e in meta["snapshot-log"] if e["snapshot-id"] in keep_ids
@@ -215,7 +258,14 @@ def _expire_snapshots_once(
     # on already-deleted manifest lists)
     if catalog is not None:
         expired_ids = [s["snapshot-id"] for s in expired]
-        updates = [{"action": "remove-snapshots", "snapshot-ids": expired_ids}]
+        updates = [
+            {"action": "remove-snapshot-ref", "ref-name": rname}
+            for rname in removed_refs
+        ]
+        if expired_ids:
+            updates.append(
+                {"action": "remove-snapshots", "snapshot-ids": expired_ids}
+            )
         updates += [
             {"action": "remove-statistics", "snapshot-id": sid}
             for sid in expired_ids

@@ -25,6 +25,9 @@ def create_ref(
     now_ms: int | None = None,
     catalog=None,
     table_name: str | None = None,
+    max_ref_age_ms: int | None = None,
+    min_snapshots_to_keep: int | None = None,
+    max_snapshot_age_ms: int | None = None,
 ) -> dict:
     """Create (or move) a named snapshot reference — spec "Snapshot
     References": a ``tag`` is an immutable label for auditing /
@@ -34,13 +37,32 @@ def create_ref(
     :func:`_advance_main`) and :func:`expire_snapshots` protects every
     referenced snapshot, so a tagged snapshot stays readable for the
     tag's lifetime. In catalog mode this commits a ``set-snapshot-ref``
-    update (the REST spec's update type)."""
+    update (the REST spec's update type).
+
+    Per-ref RETENTION (spec fields, r12 — honored by
+    :func:`maintenance.expire_snapshots`): ``max_ref_age_ms`` ages the
+    ref itself out (age measured from its snapshot's commit timestamp;
+    the lapsed ref is removed by the next expiration, releasing its
+    snapshot — without it a forgotten tag pins data forever at
+    100 TB); ``min_snapshots_to_keep`` / ``max_snapshot_age_ms``
+    (branches only, as the spec says) bound how much of the branch's
+    ANCESTRY expiration retains — count-from-head and age
+    respectively, OR-composed like the Java action. Refs without the
+    fields keep the conservative defaults: permanent, full ancestry."""
     import time as _time
 
     if kind not in ("tag", "branch"):
         raise ValueError(f"ref type must be 'tag' or 'branch', got {kind!r}")
     if name == "main" and kind == "tag":
         raise ValueError("'main' is the branch head; it cannot be a tag")
+    if kind == "tag" and (
+        min_snapshots_to_keep is not None or max_snapshot_age_ms is not None
+    ):
+        raise ValueError(
+            "min_snapshots_to_keep / max_snapshot_age_ms are branch "
+            "retention fields (a tag has no ancestry of its own); use "
+            "max_ref_age_ms to age a tag out"
+        )
     version, meta, table_name = _current_state_meta(
         table_dir, catalog, table_name
     )
@@ -48,6 +70,13 @@ def create_ref(
         snapshot_id = meta.get("current-snapshot-id", -1)
     if not any(s["snapshot-id"] == snapshot_id for s in meta["snapshots"]):
         raise ValueError(f"snapshot {snapshot_id} not found")
+    ref = {"snapshot-id": snapshot_id, "type": kind}
+    if max_ref_age_ms is not None:
+        ref["max-ref-age-ms"] = int(max_ref_age_ms)
+    if min_snapshots_to_keep is not None:
+        ref["min-snapshots-to-keep"] = int(min_snapshots_to_keep)
+    if max_snapshot_age_ms is not None:
+        ref["max-snapshot-age-ms"] = int(max_snapshot_age_ms)
     now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
     if catalog is not None:
         resp = catalog.commit_table(
@@ -57,15 +86,15 @@ def create_ref(
                 {
                     "action": "set-snapshot-ref",
                     "ref-name": name,
+                    **{k: v for k, v in ref.items() if k != "snapshot-id"},
                     "snapshot-id": snapshot_id,
-                    "type": kind,
                 }
             ],
             now_ms,
         )
         return resp["metadata"]
     refs = dict(meta.get("refs") or {})
-    refs[name] = {"snapshot-id": snapshot_id, "type": kind}
+    refs[name] = ref
     return _commit_refs_local(
         table_dir,
         version,

@@ -153,10 +153,20 @@ def apply_updates(meta: dict, updates: list[dict], now_ms: int) -> dict:
         elif action == "set-snapshot-ref":
             ref_name = upd.get("ref-name", "main")
             refs = dict(meta.get("refs") or {})
-            refs[ref_name] = {
+            ref = {
                 "snapshot-id": upd["snapshot-id"],
                 "type": upd.get("type", "branch"),
             }
+            # per-ref retention fields ride the same update (spec
+            # "Snapshot References" — REST TableUpdate carries them)
+            for k in (
+                "max-ref-age-ms",
+                "min-snapshots-to-keep",
+                "max-snapshot-age-ms",
+            ):
+                if upd.get(k) is not None:
+                    ref[k] = int(upd[k])
+            refs[ref_name] = ref
             meta["refs"] = refs
             if ref_name == "main":
                 meta["current-snapshot-id"] = upd["snapshot-id"]
