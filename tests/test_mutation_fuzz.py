@@ -205,3 +205,184 @@ def test_random_mutation_program_matches_model(spark, tmp_path, seed):
             f"missing={sorted(set(model) - set(got))[:5]}"
         )
     assert model  # the program kept a non-trivial table throughout
+
+
+@pytest.mark.parametrize("seed", [101])
+def test_random_ddl_program_matches_model(spark, tmp_path, seed):
+    """DDL-heavy seeded program (r12): add / drop / promote / RENAME /
+    explicit re-add of dropped names interleaved with appends, merges,
+    row-level updates, and maintenance — the model tracks the CURRENT
+    schema (column set, types, renames by identity) alongside the row
+    state, so a resurrection (a re-added or re-used name serving a
+    dropped column's physical values) or a lost rename diverges
+    immediately."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        update_table_schema,
+    )
+
+    rng = random.Random(seed)
+    tdir = str(tmp_path / f"ddlfuzz-{seed}")
+    ms = [1_000]
+
+    def tick() -> int:
+        ms[0] += 1_000
+        return ms[0]
+
+    # current schema (beyond id); model rows mirror it via .get
+    cols: dict[str, str] = {"grp": "long", "v": "long"}
+    dropped: list[str] = []
+    n_new = [0]
+    next_id = [1_000]
+    model: dict[int, dict] = {
+        i: {"grp": i % 5, "v": i * 10} for i in range(40)
+    }
+
+    _SPARK_T = {"long": "bigint", "int": "int", "string": "string"}
+
+    def ddl_schema(extra: str = "") -> str:
+        return (
+            "id bigint, "
+            + ", ".join(f"{c} {_SPARK_T[t]}" for c, t in cols.items())
+            + extra
+        )
+
+    def gen_val(i: int, c: str, t: str):
+        if t == "string":
+            return f"{c}-{i}"
+        return (i * (len(c) + 1)) % 100_000
+
+    def snap_state():
+        got = {
+            r["id"]: tuple(r[c] for c in cols)
+            for r in read_iceberg_table(spark, tdir).collect()
+        }
+        exp = {
+            i: tuple(d.get(c) for c in cols) for i, d in model.items()
+        }
+        return got, exp
+
+    write_iceberg_table(
+        spark,
+        _df(spark, [(i, d["grp"], d["v"]) for i, d in model.items()]),
+        tdir, now_ms=tick(), partition_spec=SPEC,
+    )
+
+    def op_append():
+        rows = []
+        for _ in range(rng.randint(2, 6)):
+            next_id[0] += 1
+            i = next_id[0]
+            d = {c: gen_val(i, c, t) for c, t in cols.items()}
+            rows.append((i, *[d[c] for c in cols]))
+            model[i] = d
+        write_iceberg_table(
+            spark, _df(spark, rows, ddl_schema()), tdir,
+            now_ms=tick(), partition_spec=SPEC,
+        )
+
+    def op_merge():
+        live = sorted(model)
+        rows = []
+        for i in rng.sample(live, min(len(live), rng.randint(2, 5))):
+            if rng.random() < 0.3:
+                rows.append((i, *[None] * len(cols), "d"))
+                model.pop(i)
+            else:
+                d = {c: gen_val(i + 17, c, t) for c, t in cols.items()}
+                rows.append((i, *[d[c] for c in cols], "u"))
+                model[i] = d
+        merge_upsert(
+            spark, _df(spark, rows, ddl_schema(", op string")),
+            tdir, on=["id"], op_col="op", partition_spec=SPEC,
+            now_ms=tick(),
+        )
+
+    def op_update():
+        nums = [c for c, t in cols.items() if t in ("long", "int")]
+        if not nums:
+            return
+        c = rng.choice(nums)
+        m, r, k = rng.randint(2, 7), rng.randint(0, 1), rng.randint(1, 99)
+        update_where(
+            spark, tdir, f"id % {m} = {r}", {c: f"{c} + {k}"},
+            now_ms=tick(),
+        )
+        for i, d in model.items():
+            if i % m == r and d.get(c) is not None:
+                d[c] = d[c] + k  # NULL + k stays NULL, like SQL
+
+    def op_add():
+        n_new[0] += 1
+        name, t = f"c{n_new[0]}", rng.choice(["long", "int", "string"])
+        update_table_schema(tdir, add=[(name, t)], now_ms=tick())
+        cols[name] = t  # existing rows read null (model: .get -> None)
+
+    def op_readd():
+        cand = [n for n in dropped if n not in cols]
+        if not cand:
+            return
+        name, t = rng.choice(cand), rng.choice(["long", "string"])
+        update_table_schema(tdir, add=[(name, t)], now_ms=tick())
+        cols[name] = t
+        for d in model.values():
+            d.pop(name, None)  # pre-drop values must NOT resurrect
+
+    def op_drop():
+        cand = [c for c in cols]
+        if len(cand) < 2:
+            return
+        name = rng.choice(cand)
+        update_table_schema(tdir, drop=[name], now_ms=tick())
+        del cols[name]
+        dropped.append(name)
+        for d in model.values():
+            d.pop(name, None)
+
+    def op_rename():
+        old = rng.choice(list(cols))
+        hist = [n for n in dropped if n not in cols and n != old]
+        if hist and rng.random() < 0.4:
+            new = rng.choice(hist)  # rename TO a historical name
+        else:
+            n_new[0] += 1
+            new = f"r{n_new[0]}"
+        update_table_schema(tdir, rename={old: new}, now_ms=tick())
+        cols[new] = cols.pop(old)
+        for d in model.values():
+            if old in d:
+                d[new] = d.pop(old)
+
+    def op_promote():
+        ints = [c for c, t in cols.items() if t == "int"]
+        if not ints:
+            return
+        c = rng.choice(ints)
+        update_table_schema(tdir, promote={c: "long"}, now_ms=tick())
+        cols[c] = "long"
+
+    def op_maintain():
+        if rng.random() < 0.5:
+            rewrite_data_files(spark, tdir, now_ms=tick(), sort_by=["id"])
+        else:
+            expire_snapshots(tdir, keep_last=3, now_ms=tick())
+            remove_orphan_files(tdir, older_than_timestamp_ms=10**14)
+
+    ops = (
+        [op_append] * 4 + [op_merge] * 3 + [op_update] * 3
+        + [op_add] * 3 + [op_drop] * 2 + [op_rename] * 4
+        + [op_readd] * 2 + [op_promote] * 2 + [op_maintain] * 2
+    )
+    trace = []
+    for step in range(24):
+        op = rng.choice(ops)
+        trace.append(op.__name__)
+        op()
+        got, exp = snap_state()
+        assert got == exp, (
+            f"seed={seed} diverged at step {step} ({op.__name__}); "
+            f"trace={trace}; cols={cols}; "
+            f"extra={sorted(set(got) - set(exp))[:5]}, "
+            f"missing={sorted(set(exp) - set(got))[:5]}"
+        )
+    assert model and len(cols) >= 1
+    assert any(t == "op_rename" for t in trace)  # the program renamed
