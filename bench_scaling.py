@@ -1316,6 +1316,13 @@ def probe_update_where() -> None:
         ("10x-tbl", 4_000_000, 4_000),
         ("10x-match", 400_000, 40_000),
     ]
+    import sys as _sys
+
+    if "--full" in _sys.argv:
+        # the 100x-shaped third point: same 4k-row match inside a
+        # 40M-row table — flat means the prune, not the table, is
+        # paying (r12, VERDICT task #8)
+        legs.append(("100x-tbl", 40_000_000, 4_000))
     print(
         f"{'update':10s} {'tbl_rows':>9} {'matched':>8} "
         f"{'update_s':>9} {'n_upd':>7}"
@@ -1378,6 +1385,11 @@ def probe_replace_partitions() -> None:
         ("1x", 400_000, 10),      # cell = 40k rows
         ("10x-tbl", 4_000_000, 100),  # cell still = 40k rows
     ]
+    import sys as _sys
+
+    if "--full" in _sys.argv:
+        # cell still 40k rows inside a 40M-row / 1000-cell table
+        legs.append(("100x-tbl", 40_000_000, 1_000))
     print(
         f"{'replace':10s} {'tbl_rows':>9} {'cell_rows':>9} "
         f"{'replace_s':>10}"

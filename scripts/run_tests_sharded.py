@@ -32,7 +32,7 @@ DURATIONS = {
     # r10 re-estimates: the soak gauntlets grew (merge + conversion
     # composed in) and the merge/eqconv/cdc-stream/mirror files are new
     "test_iceberg_soak.py": 240,
-    "test_iceberg_merge.py": 160,
+    "test_iceberg_merge.py": 170,
     "test_cdc_soak.py": 150,
     "test_queries_vs_duckdb.py": 150,
     "test_iceberg_multifield.py": 110,
@@ -41,19 +41,21 @@ DURATIONS = {
     # r11: slimmed to the 1 non-oracled query (value-level replay of the
     # oracled ones moved to test_driver_session_parity.py)
     "test_bare_session.py": 30,
-    "test_iceberg_mirror.py": 60,
-    "test_iceberg_cdc_stream.py": 45,
+    "test_iceberg_mirror.py": 105,  # r12: + mirror-across-update
+    "test_iceberg_cdc_stream.py": 70,  # r12: + posdelete mergeKeys leg
     "test_datasource.py": 60,
     "test_iceberg.py": 55,
     "test_deletion_vectors.py": 50,
     "test_plans.py": 45,
     "test_streaming.py": 35,
     "test_iceberg_transforms.py": 30,
-    "test_iceberg_schema_ddl.py": 35,
-    "test_iceberg_update.py": 50,
+    "test_iceberg_schema_ddl.py": 40,
+    "test_iceberg_update.py": 60,
+    "test_iceberg_rename.py": 55,  # new r12
+    "test_iceberg_ref_retention.py": 25,  # new r12
     "test_iceberg_rollback.py": 25,
     "test_iceberg_replace.py": 30,
-    "test_mutation_fuzz.py": 150,
+    "test_mutation_fuzz.py": 215,  # r12: + the DDL-heavy seeded program
     "test_curation.py": 25,
     "test_rest_catalog.py": 25,
     "test_iceberg_meta_tables.py": 20,

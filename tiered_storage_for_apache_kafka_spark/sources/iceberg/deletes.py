@@ -158,6 +158,7 @@ def match_position_deletes(
     partition_col: str | None = None,
     meta: dict | None = None,
     prep=None,
+    data_filter=None,
 ):
     """Phase 1 of :func:`write_position_deletes`: the MERGED-VIEW match
     with row identity. Returns ``(matched, ctx)`` — ``matched`` is the
@@ -181,6 +182,14 @@ def match_position_deletes(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
     data, deletes = _plan_snapshot(cur, None)
+    if data_filter is not None:
+        # metadata-grain file pruning (a caller-supplied predicate over
+        # each entry's partition tuple — replace_partitions passes its
+        # touched-cell membership): files that provably cannot match
+        # never reach the scan. Sound to subset: position deletes match
+        # per (file, pos) and equality deletes per partition, so the
+        # merged view of a FILE SUBSET is the subset of the merged view.
+        data = [d for d in data if data_filter(d)]
     if not data:
         return None, ctx
     ctx["data"] = data

@@ -627,11 +627,30 @@ def _replace_once(
             continue
         dft = transform_column(dft, src, f["transform"], f["name"])
         cell_cols.append(f["name"])
-    if dft.isEmpty():
-        return base  # empty batch: no cells, no snapshot
     cells_df = dft.select(
         *[F.col(c).alias(f"__cell_{i}") for i, c in enumerate(cell_cols)]
     ).distinct()
+    # BOUNDED driver peek at the touched cells: when the batch touches
+    # few cells (the overwhelmingly common overwrite — a day's
+    # re-load, one source's refresh), their tuples feed metadata-grain
+    # FILE pruning so untouched cells' files never reach the scan;
+    # past the cap the peek stops (one row over, never O(cells)) and
+    # the scan relies on the semi join alone — correct either way, and
+    # the Catalyst OR-chain blowup (ADVICE r11) stays gone
+    _CELL_PRUNE_CAP = 256
+    head = cells_df.limit(_CELL_PRUNE_CAP + 1).collect()
+    if not head:
+        return base  # empty batch: no cells, no snapshot
+    data_filter = None
+    if len(head) <= _CELL_PRUNE_CAP:
+        touched = {tuple(r) for r in head}
+        spec_field_names = [f["name"] for f in spec["fields"]]
+
+        def data_filter(d):
+            part = d.get("partition") or {}
+            if any(n not in part for n in spec_field_names):
+                return True  # old-spec file: conservative keep
+            return tuple(part[n] for n in spec_field_names) in touched
 
     # membership on the SCAN side, transforms recomputed via the same
     # kernels (prep hook adds the derived columns)
@@ -658,7 +677,8 @@ def _replace_once(
     )
 
     scan, ctx = match_position_deletes(
-        spark, table_dir, F.lit(True), meta=base, prep=prep
+        spark, table_dir, F.lit(True), meta=base, prep=prep,
+        data_filter=data_filter,
     )
     if scan is not None:
         join_cond = F.lit(True)
