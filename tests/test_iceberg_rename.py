@@ -269,3 +269,54 @@ def test_rename_epoch_survives_snapshot_expiry(spark):
         r["id"]: r["value"] for r in read_iceberg_table(spark, tdir).collect()
     }
     assert got[0] == 0 and got[9] == 90 and len(got) == 7
+
+
+def test_streams_cross_rename_epochs(spark):
+    """r12: the streaming sources resolve pre-rename files by field id
+    (per-epoch mapping planned driver-side), so a stream started AFTER
+    a rename serves the old epochs' files under the new names instead
+    of failing them as unknown columns — and a keyed CDC consumer's
+    position-delete resolution finds keys in pre-rename target files."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+        register,
+        register_cdc,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        run_stream_to_memory,
+    )
+
+    tdir = _mkdir()
+    _table(spark, tdir, n=4)  # id, name, val (epoch 0)
+    update_table_schema(tdir, rename={"val": "value"}, now_ms=2_000)
+    write_iceberg_table(
+        spark,
+        spark.createDataFrame(
+            [(9, "new", 90)], "id bigint, name string, value bigint"
+        ),
+        tdir, now_ms=3_000,
+    )
+    # append-only incremental stream: both epochs under the new name
+    register(spark)
+    inc = run_stream_to_memory(
+        spark.readStream.format("iceberg_inc").option("path", tdir).load(),
+        "append",
+    )
+    got = {r["id"]: r["value"] for r in inc.collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 30, 9: 90}
+    # keyed CDC stream across an update_where whose targets are
+    # PRE-RENAME files: pre-image keys resolve through the epoch map
+    update_where(spark, tdir, "id = 2", {"value": "99"}, now_ms=4_000)
+    register_cdc(spark)
+    ev = run_stream_to_memory(
+        spark.readStream.format("iceberg_cdc")
+        .option("path", tdir)
+        .option("mergeKeys", "id")
+        .load(),
+        "append",
+    )
+    rows = {
+        (r["id"], r["_change_type"], r["value"]) for r in ev.collect()
+    }
+    assert (2, "delete_key", None) in rows
+    assert (2, "insert", 99) in rows
+    assert (0, "insert", 0) in rows and (9, "insert", 90) in rows

@@ -72,16 +72,19 @@ def _stream_restart_msg(path: str, detail: str) -> str:
     )
 
 
-def _guard_stream_schema(path: str, file_schema, expected) -> None:
+def _guard_stream_schema(path: str, file_col_names, expected) -> None:
     """Mid-stream evolution posture, direction 2 (files NEWER than the
     stream): a column the pinned schema lacks means data this consumer
     would silently drop — fail explicitly toward a restart. Direction 1
     (files OLDER than the stream — a column added after they were
     written) pads nulls in the callers, and a NARROWER file column
     up-casts in :func:`_conform_stream_column`; both are silent because
-    no information is lost."""
+    no information is lost. ``file_col_names`` are the file's column
+    names AFTER any per-epoch rename mapping (schema.py "naming
+    epochs") — a pre-rename file's old names resolve by field id
+    before this guard sees them."""
     known = {f.name for f in expected}
-    extra = [n for n in file_schema.names if n not in known]
+    extra = [n for n in file_col_names if n not in known]
     if extra:
         raise StreamSchemaEvolvedError(
             _stream_restart_msg(
@@ -130,8 +133,51 @@ def _conform_stream_column(col, field, path: str):
 
 
 class IcebergFilePartition(InputPartition):
-    def __init__(self, file_path: str):
+    def __init__(self, file_path: str, col_renames: dict | None = None):
         self.file_path = file_path
+        # {file-side column name: pinned/current name} for files of an
+        # older NAMING EPOCH (resolved by field id driver-side, see
+        # schema.py "naming epochs"); None when names never diverged
+        self.col_renames = col_renames
+
+
+def _epoch_rename_resolver(meta: dict):
+    """``path -> {file column name: current name} | None`` for tables
+    whose column names diverged across RENAME DDLs (schema.py "naming
+    epochs"): each planned file's write-epoch names re-alias by FIELD
+    ID to the current schema's names, so a stream keeps serving
+    pre-rename files instead of failing them as unknown columns.
+    Memoized per epoch; returns a constant None resolver for
+    never-renamed tables (zero overhead)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+        epoch_id_names,
+        file_naming_epoch,
+        naming_log,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _current_schema_struct,
+    )
+
+    if not naming_log(meta):
+        return lambda path: None
+    cur = {
+        f["id"]: f["name"] for f in _current_schema_struct(meta)["fields"]
+    }
+    memo: dict[int, dict | None] = {}
+
+    def resolve(path: str) -> dict | None:
+        ep = file_naming_epoch(path)
+        if ep not in memo:
+            en = epoch_id_names(meta, ep)
+            m = {
+                en[i]: cur[i]
+                for i in en
+                if i in cur and en[i] != cur[i]
+            }
+            memo[ep] = m or None
+        return memo[ep]
+
+    return resolve
 
 
 class IcebergIncrementalStreamReader(DataSourceStreamReader):
@@ -259,8 +305,9 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
             if self._source_predicates
             else None
         )
+        renames = _epoch_rename_resolver(meta)
         out = [
-            IcebergFilePartition(d["file_path"])
+            IcebergFilePartition(d["file_path"], renames(d["file_path"]))
             for d in _plan_seq_window(meta, lo, hi, constraints)
         ]
         if not out:
@@ -315,13 +362,18 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
             if seg.startswith("partition="):
                 part_val = int(seg.split("=", 1)[1])
         expected = self._expected_arrow_schema()
+        ren = getattr(partition, "col_renames", None) or {}
         for batch in pq.ParquetFile(partition.file_path).iter_batches():
             cols, names = [], []
+            # pre-rename files' columns re-alias by field id (the
+            # per-epoch mapping planned driver-side) BEFORE the
+            # unknown-column guard, so a RENAME never fails old files
             by_name = {
-                n: batch.column(i) for i, n in enumerate(batch.schema.names)
+                ren.get(n, n): batch.column(i)
+                for i, n in enumerate(batch.schema.names)
             }
             _guard_stream_schema(
-                partition.file_path, batch.schema, expected
+                partition.file_path, list(by_name), expected
             )
             for field in expected:
                 names.append(field.name)
@@ -396,10 +448,20 @@ def register(spark) -> None:
 
 
 class CdcFilePartition(InputPartition):
-    def __init__(self, file_path: str, kind: str = "data", seq: int = 0):
+    def __init__(
+        self, file_path: str, kind: str = "data", seq: int = 0,
+        col_renames: dict | None = None,
+        renames_by_epoch: dict | None = None,
+    ):
         self.file_path = file_path
-        self.kind = kind  # "data" | "eqdelete"
+        self.kind = kind  # "data" | "eqdelete" | "posdelete"
         self.seq = seq
+        self.col_renames = col_renames  # data files: per-epoch mapping
+        # posdelete partitions: {epoch: {file name: current name}} for
+        # resolving TARGET files' key columns executor-side (targets
+        # are discovered from the delete file's rows, so the mapping
+        # for every epoch travels with the partition)
+        self.renames_by_epoch = renames_by_epoch
 
 
 class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
@@ -479,14 +541,44 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
             meta, lo, hi, constraints, eq_sink=eq_files,
             pos_sink=pos_files if self._merge_keys else None,
         )
+        renames = _epoch_rename_resolver(meta)
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (  # noqa: E501
+            epoch_id_names,
+            naming_log,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (  # noqa: E501
+            _current_schema_struct,
+        )
+
+        renames_by_epoch = None
+        if pos_files and naming_log(meta):
+            cur = {
+                f["id"]: f["name"]
+                for f in _current_schema_struct(meta)["fields"]
+            }
+            max_epoch = max(e for e, _s in naming_log(meta))
+            renames_by_epoch = {}
+            for ep in range(max_epoch + 1):
+                en = epoch_id_names(meta, ep)
+                renames_by_epoch[ep] = {
+                    en[i]: cur[i]
+                    for i in en
+                    if i in cur and en[i] != cur[i]
+                }
         out = [
-            CdcFilePartition(d["file_path"], "data", int(d["_seq"]))
+            CdcFilePartition(
+                d["file_path"], "data", int(d["_seq"]),
+                col_renames=renames(d["file_path"]),
+            )
             for d in data
         ] + [
             CdcFilePartition(d["file_path"], "eqdelete", int(d["_seq"]))
             for d in eq_files
         ] + [
-            CdcFilePartition(d["file_path"], "posdelete", int(d["_seq"]))
+            CdcFilePartition(
+                d["file_path"], "posdelete", int(d["_seq"]),
+                renames_by_epoch=renames_by_epoch,
+            )
             for d in pos_files
         ]
         if not out:
@@ -531,11 +623,14 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
 
         expected = self._expected_arrow_schema()
         for batch in pq.ParquetFile(partition.file_path).iter_batches():
+            # eq-delete files carry ONLY key columns, and renaming a
+            # live equality-delete key is refused at DDL time — their
+            # names are always current, no epoch mapping needed
             by_name = {
                 n: batch.column(i) for i, n in enumerate(batch.schema.names)
             }
             _guard_stream_schema(
-                partition.file_path, batch.schema, expected
+                partition.file_path, batch.schema.names, expected
             )
             cols, names = [], []
             for field in expected:
@@ -610,28 +705,44 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
             dels.column("pos").to_pylist(),
         ):
             by_target.setdefault(fp, []).append(int(pos))
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (  # noqa: E501
+            file_naming_epoch,
+        )
+
+        by_epoch = getattr(partition, "renames_by_epoch", None) or {}
         for target, positions in sorted(by_target.items()):
             pf = pq.ParquetFile(target)
             file_cols = set(pf.schema_arrow.names)
-            missing = [k for k in keys if k not in file_cols]
+            # a renamed table's older target files carry the keys
+            # under their write-epoch names — resolve by field id via
+            # the per-epoch mapping the planner attached
+            ren = by_epoch.get(file_naming_epoch(target), {})
+            inv = {cur: old for old, cur in ren.items()}
+            file_keys = {k: inv.get(k, k) for k in keys}
+            missing = [
+                k for k, fk in file_keys.items() if fk not in file_cols
+            ]
             if missing:
                 raise StreamSchemaEvolvedError(
                     _stream_restart_msg(
                         target,
                         f"merge key column(s) {missing} absent from the "
                         "position-deleted target file (written before "
-                        "the key column existed, or under a pre-rename "
-                        "name)",
+                        "the key column existed)",
                     )
                 )
-            tbl = pf.read(columns=keys).take(sorted(positions))
+            tbl = pf.read(columns=sorted(set(file_keys.values()))).take(
+                sorted(positions)
+            )
             cols, names = [], []
             for field in expected:
                 names.append(field.name)
                 if field.name in keys:
                     cols.append(
                         _conform_stream_column(
-                            tbl.column(field.name).combine_chunks(),
+                            tbl.column(
+                                file_keys[field.name]
+                            ).combine_chunks(),
                             field,
                             target,
                         )
