@@ -385,3 +385,32 @@ def test_cdc_stream_positional_delete_with_merge_keys(spark):
     # without mergeKeys the refusal stands
     with pytest.raises(Exception, match="key-representable"):
         _events(spark, tdir)
+
+
+def test_cdc_stream_merge_keys_default_from_table(spark):
+    """r12: a merge-born table records its row identity
+    (`engine.merge-keys`, stamped by the first keyed merge), and the
+    keyed stream defaults its mergeKeys from it — a consumer with NO
+    options crosses an update_where window."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_table_metadata,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.update import (
+        update_where,
+    )
+
+    tdir = _mkdir()
+    _table_with_merge(spark, tdir)
+    assert (
+        read_table_metadata(tdir)["metadata"]["properties"][
+            "engine.merge-keys"
+        ]
+        == "id"
+    )
+    update_where(spark, tdir, "id = 4", {"val": "'u4'"}, now_ms=3_000)
+    ev = _events(spark, tdir)  # no mergeKeys option
+    rows = {
+        (r["id"], r["_change_type"], r["val"])
+        for r in ev.where(F.col("_commit_seq") == 3).collect()
+    }
+    assert rows == {(4, "delete_key", None), (4, "insert", "u4")}

@@ -356,6 +356,23 @@ def merge_upsert(
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     if catalog is not None and table_name is None:
         table_name = _default_table_name(table_dir)
+    # record the table's merge keys ONCE (first keyed merge defines the
+    # row identity; later merges with other keys are ad-hoc and leave
+    # it alone) — the keyed-changelog stream (`iceberg_cdc`) defaults
+    # its mergeKeys from this property, so consumers cross row-level
+    # UPDATE windows without per-query configuration
+    try:
+        _v0, base0, _t0 = _current_state_meta(table_dir, catalog, table_name)
+    except FileNotFoundError:
+        base0 = None
+    if (
+        base0 is None
+        or "engine.merge-keys" not in (base0.get("properties") or {})
+    ):
+        properties_extra = {
+            **(properties_extra or {}),
+            "engine.merge-keys": ",".join(str(c) for c in on),
+        }
 
     upserts, keys, cached = _resolve_batch(df, on, op_col, seq_col)
     try:

@@ -497,6 +497,15 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
         # the positional refusal stands (positions alone are not
         # key-representable)
         keys = options.get("mergekeys", options.get("mergeKeys"))
+        if not keys:
+            # default from the table's recorded row identity (the
+            # first keyed merge stamps `engine.merge-keys`), so a
+            # consumer of a merge-born table crosses UPDATE windows
+            # without per-query configuration; an explicit option
+            # always wins
+            keys = (self._meta().get("properties") or {}).get(
+                "engine.merge-keys"
+            )
         self._merge_keys = (
             [k.strip() for k in str(keys).split(",") if k.strip()]
             if keys
