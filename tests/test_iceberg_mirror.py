@@ -428,3 +428,49 @@ def test_mirror_survives_source_update_where(spark, tmp_path):
     got = {r[0]: r[2] for r in _state(spark, dst)}
     assert got[1] == "v1!" and got[5] == "v5!"
     assert 200 in got and 2 not in got
+
+
+def test_mirror_propagates_source_rename(spark, tmp_path):
+    """r12: a source RENAME (metadata-only) propagates to the replica
+    by FIELD ID before the next catch-up, so the stream's new-name
+    rows merge into the same column instead of forking the replica's
+    data model."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        update_table_schema,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _src_table(spark, src)
+
+    def run():
+        q = mirror_iceberg_table(
+            spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+            partition_spec=SRC_SPEC,
+        )
+        q.awaitTermination()
+
+    run()
+    update_table_schema(src, rename={"val": "label"}, now_ms=3_000)
+    merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 0, "post-rename", "u", 1)],
+            "id bigint, grp bigint, label string, op string, seq bigint",
+        ),
+        src, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=SRC_SPEC, now_ms=4_000,
+    )
+    run()  # catch-up propagates the rename, then applies the batch
+    got = read_iceberg_table(spark, dst)
+    assert "label" in got.columns and "val" not in got.columns
+
+    def st(tdir):
+        return {
+            (r["id"], r["grp"], r["label"])
+            for r in read_iceberg_table(spark, tdir).collect()
+        }
+
+    assert st(dst) == st(src)
+    assert {r["id"]: r["label"] for r in got.collect()}[1] == "post-rename"

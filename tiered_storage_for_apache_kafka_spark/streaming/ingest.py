@@ -689,6 +689,58 @@ def stream_cdc_to_iceberg(
     )
 
 
+def _propagate_src_renames(
+    src_table_dir: str, dst_table_dir: str, dst_meta: dict, catalog,
+    table_name: str | None,
+) -> None:
+    """Apply the source table's column RENAMES to a mirror destination
+    (see the call site in :func:`mirror_iceberg_table`): columns are
+    matched BY FIELD ID (the replica is created from the source schema
+    and both evolve in lock-step through the same merge batches, so
+    ids correspond); a same-id column whose current names differ gets
+    the same rename DDL on the destination. Ids the destination lacks
+    are fine (the next evolving batch adds them); a same-id TYPE
+    conflict beyond the spec's promotions means the replica genuinely
+    diverged — refuse with the re-bootstrap recipe rather than rename
+    into a fork."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        _current_schema_struct as _cur,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        _current_state_meta,
+        update_table_schema,
+    )
+
+    _v, src_meta, _t = _current_state_meta(src_table_dir)
+    src_fields = {
+        f["id"]: f for f in _cur(src_meta)["fields"]
+    }
+    dst_fields = {
+        f["id"]: f for f in _cur(dst_meta)["fields"]
+    }
+    renames: dict[str, str] = {}
+    promos = {("int", "long"), ("float", "double")}
+    for fid, sf in src_fields.items():
+        df_ = dst_fields.get(fid)
+        if df_ is None:
+            continue  # added later on src; the evolving merge adds it
+        st, dt = str(sf["type"]), str(df_["type"])
+        if st != dt and (dt, st) not in promos and (st, dt) not in promos:
+            raise ValueError(
+                f"mirror destination diverged from the source: field id "
+                f"{fid} is {dt!r} in the replica but {st!r} at the "
+                "source — re-bootstrap the mirror from a fresh "
+                "destination"
+            )
+        if sf["name"] != df_["name"]:
+            renames[df_["name"]] = sf["name"]
+    if renames:
+        update_table_schema(
+            dst_table_dir, rename=renames, catalog=catalog,
+            table_name=table_name,
+        )
+
+
 def mirror_iceberg_table(
     spark,
     src_table_dir: str,
@@ -739,7 +791,9 @@ def mirror_iceberg_table(
     # source's required-column constraints in the replica — derive the
     # create-time schema (required-ness preserved) from the source
     try:
-        _current_state_meta(dst_table_dir, catalog, table_name)
+        _v, dst_meta, _t = _current_state_meta(
+            dst_table_dir, catalog, table_name
+        )
     except FileNotFoundError:
         _v, src_meta, _t = _current_state_meta(src_table_dir)
         commit_append(
@@ -749,6 +803,19 @@ def mirror_iceberg_table(
             partition_spec=partition_spec,
             catalog=catalog,
             table_name=table_name,
+        )
+    else:
+        # RENAME propagation (r12): a source rename is metadata-only,
+        # so the stream emits the NEW names — merging those into a
+        # destination still carrying the old names would silently fork
+        # the data model (the new name would evolve in as a fresh
+        # column while the old one went stale). The replica was
+        # created from the source's schema and evolves in lock-step,
+        # so field ids correspond; diff by id and apply the same
+        # renames to the destination before streaming. A divergent
+        # replica (same id, different type) refuses loudly.
+        _propagate_src_renames(
+            src_table_dir, dst_table_dir, dst_meta, catalog, table_name
         )
 
     register_cdc(spark)
