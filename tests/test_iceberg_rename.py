@@ -320,3 +320,33 @@ def test_streams_cross_rename_epochs(spark):
     assert (2, "delete_key", None) in rows
     assert (2, "insert", 99) in rows
     assert (0, "insert", 0) in rows and (9, "insert", 90) in rows
+
+
+def test_bounds_pruning_survives_rename(spark):
+    """Column-stats pruning is keyed by FIELD ID in the manifests, so
+    a bounds-pruned scan keeps pruning under the column's NEW name —
+    including files written before the rename."""
+    tdir = _mkdir()
+    df = spark.range(10_000).selectExpr("id", "id * 2 as val")
+    write_iceberg_table(
+        spark, df, tdir, now_ms=1_000, sort_by=["id"],
+        max_records_per_file=1_000,
+    )
+    n_all = len(plan_scan(tdir))
+    assert n_all >= 8
+    update_table_schema(tdir, rename={"val": "doubled"}, now_ms=2_000)
+    write_iceberg_table(
+        spark,
+        spark.range(10_000, 12_000).selectExpr("id", "id * 2 as doubled"),
+        tdir, now_ms=3_000, sort_by=["id"], max_records_per_file=1_000,
+    )
+    pruned = plan_scan(tdir, column_bounds=("doubled", 100, 300))
+    assert 1 <= len(pruned) < n_all  # old files prune under the new name
+    pruned_new = plan_scan(tdir, column_bounds=("doubled", 21_000, 21_500))
+    assert all(
+        file_naming_epoch(d["file_path"]) == 1 for d in pruned_new
+    )  # only post-rename files overlap that window
+    got = read_iceberg_table(spark, tdir).where(
+        "doubled BETWEEN 100 AND 300"
+    )
+    assert got.count() == 101
