@@ -61,6 +61,12 @@ def get_spark(
         # 128 GiB box. On a real cluster this knob is per-executor memory
         # territory and the default is irrelevant.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # the sharded test suite runs 7 concurrent local JVMs on 32
+        # cores; under that load a freshly forked Python worker can
+        # miss the default 15 s connect-back window (observed once:
+        # SocketTimeoutException in a streaming foreachBatch) — widen
+        # the handshake budget, which costs nothing when idle
+        .config("spark.python.authenticate.socketTimeout", "60s")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
