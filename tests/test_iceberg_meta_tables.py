@@ -242,3 +242,30 @@ class TestPartitionsAndAllTables:
         cur = files_table(spark, table)
         assert allf.count() == cur.count()
         assert allf.select("file_path").distinct().count() == allf.count()
+
+
+def test_refs_table_retention_columns(spark, tmp_path):
+    """r12: `tbl.refs` surfaces the per-ref retention fields under
+    Spark-Iceberg's column names; unset fields read null."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        create_ref,
+        write_iceberg_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (  # noqa: E501
+        refs_table,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10)], "id bigint, v bigint")
+    write_iceberg_table(spark, df, tdir, now_ms=1_000)
+    create_ref(tdir, "rel", kind="tag", max_ref_age_ms=9_000, now_ms=2_000)
+    create_ref(
+        tdir, "audit", kind="branch", min_snapshots_to_keep=3,
+        max_snapshot_age_ms=5_000, now_ms=3_000,
+    )
+    refs = {r["name"]: r for r in refs_table(spark, tdir).collect()}
+    assert refs["rel"]["max_reference_age_in_ms"] == 9_000
+    assert refs["rel"]["min_snapshots_to_keep"] is None
+    assert refs["audit"]["min_snapshots_to_keep"] == 3
+    assert refs["audit"]["max_snapshot_age_in_ms"] == 5_000
+    assert refs["audit"]["max_reference_age_in_ms"] is None

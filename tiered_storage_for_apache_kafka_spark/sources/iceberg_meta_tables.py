@@ -133,6 +133,10 @@ _REFS_SCHEMA = T.StructType(
         T.StructField("name", T.StringType()),
         T.StructField("type", T.StringType()),
         T.StructField("snapshot_id", T.LongType()),
+        # per-ref retention (r12) — Spark-Iceberg's column names
+        T.StructField("max_reference_age_in_ms", T.LongType()),
+        T.StructField("min_snapshots_to_keep", T.IntegerType()),
+        T.StructField("max_snapshot_age_in_ms", T.LongType()),
     ]
 )
 
@@ -143,10 +147,23 @@ def refs_table(
     catalog=None,
     table_name: str | None = None,
 ) -> DataFrame:
-    """`tbl.refs`: named branches and tags."""
+    """`tbl.refs`: named branches and tags, with their retention
+    policy fields (null = unset, the permanent/full-ancestry default;
+    Spark-Iceberg's column naming)."""
     meta = _resolve_meta(table_dir, catalog, table_name)
+
+    def _i(v):
+        return None if v is None else int(v)
+
     rows = [
-        (name, r.get("type", "branch").upper(), int(r["snapshot-id"]))
+        (
+            name,
+            r.get("type", "branch").upper(),
+            int(r["snapshot-id"]),
+            _i(r.get("max-ref-age-ms")),
+            _i(r.get("min-snapshots-to-keep")),
+            _i(r.get("max-snapshot-age-ms")),
+        )
         for name, r in (meta.get("refs") or {}).items()
     ]
     return spark.createDataFrame(rows, _REFS_SCHEMA)
