@@ -6,7 +6,13 @@ orphan sweep — while a continuous MIRROR catches up through all of it
 closed-form state at the end. The round-10 plane's integration test:
 merge in, maintain, stream out, replicate.
 
-r12 adds the UPDATE round: at round 22 a row-level ``update_where``
+r12 adds the UPDATE round (r=22) and the RENAME round (r=27): a
+row-level update crossed via keyed retractions, and a mid-soak
+``val -> text`` rename — later batches carry the new name, pre-rename
+files resolve by (epoch, field id), and the final mirror catch-up
+propagates the rename to the replica before applying its window.
+
+r12's UPDATE round: at round 22 a row-level ``update_where``
 hits the source (position deletes + updated copies in one snapshot);
 the r=30 mirror catch-up crosses its window via keyed retractions —
 the declared mergeKeys resolve the deleted identities to pre-image
@@ -26,6 +32,7 @@ import pytest
 
 from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
     convert_equality_deletes,
+    update_table_schema,
     update_where,
     expire_snapshots,
     merge_upsert,
@@ -44,6 +51,7 @@ SPEC = [("id_bucket", "bucket[4]", "id")]
 N_ROUNDS = 30
 BASE_KEYS = 400
 EVOLVE_ROUND = 18  # the feed gains a `score double` column here
+RENAME_ROUND = 27  # the feed renames val -> text here (r12)
 
 
 def _expected_round_ops(r: int):
@@ -97,12 +105,13 @@ def test_cdc_soak_gauntlet(spark, tmp_path, mirror_every):
     for r in range(1, N_ROUNDS + 1):
         ms += 1_000
         ups, dels = _expected_round_ops(r)
+        vcol = "text" if r > RENAME_ROUND else "val"
         if r < EVOLVE_ROUND:
             rows = [(k, v, "u") for k, v in ups.items()] + [
                 (k, None, "d") for k in dels if k not in ups
             ]
             batch = spark.createDataFrame(
-                rows, "id bigint, val string, op string"
+                rows, f"id bigint, {vcol} string, op string"
             )
         else:
             # the feed evolved: every upsert now carries a score
@@ -110,7 +119,7 @@ def test_cdc_soak_gauntlet(spark, tmp_path, mirror_every):
                 (k, None, None, "d") for k in dels if k not in ups
             ]
             batch = spark.createDataFrame(
-                rows, "id bigint, val string, score double, op string"
+                rows, f"id bigint, {vcol} string, score double, op string"
             )
         merge_upsert(
             spark, batch, src, on=["id"], op_col="op",
@@ -145,6 +154,14 @@ def test_cdc_soak_gauntlet(spark, tmp_path, mirror_every):
             for k in list(state):
                 if k % 50 == 22:
                     state[k] = state[k] + "+"
+        if r == RENAME_ROUND:
+            # r12: the feed renames its value column mid-soak — a
+            # metadata-only DDL; later batches carry the new name,
+            # pre-rename files resolve by (epoch, field id), and the
+            # r=30 mirror catch-up PROPAGATES the rename to the
+            # replica before applying the window
+            ms += 1_000
+            update_table_schema(src, rename={"val": "text"}, now_ms=ms)
         if r == 25:
             # keep_last large enough that the GC horizon stays BELOW
             # the mirror's r=10 checkpoint — a tighter retention would
@@ -170,16 +187,16 @@ def test_cdc_soak_gauntlet(spark, tmp_path, mirror_every):
         k: (v, score_state.get(k)) for k, v in state.items()
     }
     got_src = {
-        r_["id"]: (r_["val"], r_["score"])
+        r_["id"]: (r_["text"], r_["score"])
         for r_ in read_iceberg_table(spark, src).collect()
     }
     assert got_src == exp_full
     src_meta = read_table_metadata(src)["metadata"]
-    assert len(src_meta["schemas"]) == 2  # exactly one evolution step
+    assert len(src_meta["schemas"]) == 3  # one evolution + one rename
     # the mirror converged through every maintenance window AND the
     # schema evolution (its own schema count proves it evolved too)
     got_dst = {
-        r_["id"]: (r_["val"], r_["score"])
+        r_["id"]: (r_["text"], r_["score"])  # rename propagated
         for r_ in read_iceberg_table(spark, dst).collect()
     }
     assert got_dst == exp_full
