@@ -1536,10 +1536,26 @@ def probe_mirror() -> None:
         run()
         catchup_s = time.time() - t0
         n_dst = ice.read_iceberg_table(spark, dst).count()
+        # r12 leg: catch-up ACROSS a row-level UPDATE window — the
+        # stream resolves the update's position deletes to pre-image
+        # keyed retractions (target-file key columns only); a fixed
+        # 4k-row match must cost ~the same at 10x the table
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.update import (  # noqa: E501
+            update_where,
+        )
+
+        lo = n_rows // 2
+        update_where(
+            spark, src, f"id >= {lo} AND id < {lo + 4_000}",
+            {"v": "v + 1"}, now_ms=3_000,
+        )
+        t0 = time.time()
+        run()
+        upd_catchup_s = time.time() - t0
         if label != "warmup":
             print(
                 f"{label:10s} {n_rows:9d} {sync_s:7.2f} "
-                f"{catchup_s:10.2f} {n_dst:9d}"
+                f"{catchup_s:10.2f} {n_dst:9d} upd_catchup={upd_catchup_s:.2f}"
             )
         shutil.rmtree(root, ignore_errors=True)
     spark.stop()
