@@ -350,3 +350,30 @@ def test_bounds_pruning_survives_rename(spark):
         "doubled BETWEEN 100 AND 300"
     )
     assert got.count() == 101
+
+
+def test_rollback_across_rename_keeps_current_schema(spark):
+    """Iceberg rollback moves the DATA pointer, never the schema: after
+    rolling back past a rename, the table still reads under the
+    CURRENT (renamed) schema, with the restored files resolved by
+    field id under their write epoch."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        rollback_to_snapshot,
+    )
+
+    tdir = _mkdir()
+    meta = _table(spark, tdir, n=3)
+    snap1 = meta["current-snapshot-id"]
+    update_table_schema(tdir, rename={"val": "value"}, now_ms=2_000)
+    write_iceberg_table(
+        spark,
+        spark.createDataFrame(
+            [(9, "z", 90)], "id bigint, name string, value bigint"
+        ),
+        tdir, now_ms=3_000,
+    )
+    rollback_to_snapshot(tdir, snap1, now_ms=4_000)
+    out = read_iceberg_table(spark, tdir)
+    assert out.columns == ["id", "name", "value"]  # schema stays current
+    got = {r["id"]: r["value"] for r in out.collect()}
+    assert got == {0: 0, 1: 10, 2: 20}  # epoch-0 files under the new name
