@@ -269,3 +269,67 @@ def test_refs_table_retention_columns(spark, tmp_path):
     assert refs["audit"]["min_snapshots_to_keep"] == 3
     assert refs["audit"]["max_snapshot_age_in_ms"] == 5_000
     assert refs["audit"]["max_reference_age_in_ms"] is None
+
+
+def test_compute_ndv_stats_blobs(spark, tmp_path):
+    """r12: per-column NDV statistics (`compute_ndv_stats`) — KMV
+    bottom-k sketches as Puffin blobs with the `ndv` property; exact
+    below k, estimator at k, mergeable payload, existing file-list
+    blob preserved, re-compute replaces stale NDV blobs only."""
+    import json as _json
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        compute_ndv_stats,
+        read_table_metadata,
+        write_iceberg_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+        read_puffin_blobs,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(5_000).selectExpr(
+        "id", "cast(id % 7 as bigint) as grp"
+    )
+    write_iceberg_table(spark, df, tdir, now_ms=1_000)
+    meta = compute_ndv_stats(spark, tdir, ["id", "grp"], k=256, now_ms=2_000)
+    snap = meta["current-snapshot-id"]
+    entry = next(
+        st for st in meta["statistics"] if st["snapshot-id"] == snap
+    )
+    blobs = read_puffin_blobs(entry["statistics-path"])
+    by_col = {
+        b["properties"]["column"]: b
+        for b in blobs
+        if b["type"] == "engine-kmv-ndv-v1"
+    }
+    # grp: 7 distinct < k -> exact
+    assert by_col["grp"]["properties"]["ndv"] == "7"
+    # id: 5000 distinct > k=256 -> estimator within 15% (KMV RSE ~6%)
+    est = int(by_col["id"]["properties"]["ndv"])
+    assert abs(est - 5_000) <= 750
+    payload = _json.loads(by_col["id"]["payload"])
+    assert len(payload["hashes"]) == 256
+    assert payload["hashes"] == sorted(payload["hashes"])
+    # the commit path's file-list blob survived the re-pack
+    assert any(b["type"].endswith("file-list") for b in blobs)
+    # recompute replaces NDV blobs, never duplicates them
+    meta = compute_ndv_stats(spark, tdir, ["grp"], k=64, now_ms=3_000)
+    entry = next(
+        st for st in meta["statistics"] if st["snapshot-id"] == snap
+    )
+    blobs2 = read_puffin_blobs(entry["statistics-path"])
+    ndv2 = [b for b in blobs2 if b["type"] == "engine-kmv-ndv-v1"]
+    assert len(ndv2) == 1 and ndv2[0]["properties"]["column"] == "grp"
+    assert any(b["type"].endswith("file-list") for b in blobs2)
+    # deterministic: same inputs, same estimate
+    m2 = compute_ndv_stats(spark, tdir, ["id"], k=256, now_ms=4_000)
+    e2 = next(
+        st for st in m2["statistics"] if st["snapshot-id"] == snap
+    )
+    b2 = {
+        b["properties"]["column"]: b
+        for b in read_puffin_blobs(e2["statistics-path"])
+        if b["type"] == "engine-kmv-ndv-v1"
+    }
+    assert int(b2["id"]["properties"]["ndv"]) == est

@@ -70,6 +70,7 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: 
 _R12_WINDOW = [
     # (a) new this round
     "iceberg_rename_scan",
+    "iceberg_ndv_stats",
     "iceberg_post_update_mirror",
     "iceberg_ref_retention_scan",
     # (b) the full r7-verdict rotation cohort (32, mandatory)
@@ -121,7 +122,6 @@ _R12_WINDOW = [
     "q20_part_promotion",
     "q21_waiting_suppliers",
     "q2_min_cost_supplier",
-    "quality_decile_stats",
 ]
 _R11_WINDOW = _R12_WINDOW  # backward-compatible aliases (older scripts)
 _R10_WINDOW = _R12_WINDOW

@@ -1876,3 +1876,140 @@ def iceberg_ref_retention_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(pin).cast("bigint").alias("retention_pins"),
         )
     )
+
+
+_NDV_CACHE: dict[tuple, tuple] = {}
+_NDV_K = 256
+_NDV_SPACE = 1 << 40
+
+
+def _ndv_stats_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Statistics fixture (r12): table (id = distinct event_id,
+    grp = id % 23), `compute_ndv_stats` on both columns with K=256 —
+    ``grp`` exercises the exact path (< K distinct), ``id`` the
+    bottom-k estimator. Returns (per-column ndv estimates read back
+    from the PUFFIN BLOBS, pin)."""
+    import json as _json
+    import os
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        compute_ndv_stats,
+        write_iceberg_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+        read_puffin_blobs,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _NDV_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("event_id").alias("id"))
+        .distinct()
+    )
+    tdir = os.path.join(tempfile.mkdtemp(prefix="iceberg-ndv-q-"), "t")
+    write_iceberg_table(
+        spark,
+        ids.select("id", (F.col("id") % 23).cast("bigint").alias("grp")),
+        tdir, now_ms=1_000,
+    )
+    meta = compute_ndv_stats(
+        spark, tdir, ["id", "grp"], k=_NDV_K, now_ms=2_000
+    )
+    snap = meta["current-snapshot-id"]
+    entry = next(
+        st for st in meta["statistics"] if st["snapshot-id"] == snap
+    )
+    blobs = read_puffin_blobs(entry["statistics-path"])
+    ndv_blobs = {
+        b["properties"]["column"]: b
+        for b in blobs
+        if b["type"] == "engine-kmv-ndv-v1"
+    }
+    payloads = {
+        c: _json.loads(b["payload"]) for c, b in ndv_blobs.items()
+    }
+    schema_ids = {
+        f["name"]: f["id"]
+        for s in meta["schemas"]
+        for f in s["fields"]
+        if s["schema-id"] == meta["current-schema-id"]
+    }
+    pin = 1 if (
+        set(ndv_blobs) == {"id", "grp"}
+        # blobs carry the column's FIELD ID and the sorted mergeable
+        # bottom-k hash payload
+        and ndv_blobs["id"]["fields"] == [schema_ids["id"]]
+        and ndv_blobs["grp"]["fields"] == [schema_ids["grp"]]
+        and all(
+            p["k"] == _NDV_K
+            and p["hashes"] == sorted(p["hashes"])
+            and len(p["hashes"]) <= _NDV_K
+            for p in payloads.values()
+        )
+        # the commit path's file-list blob survived the re-pack
+        and any(b["type"].endswith("file-list") for b in blobs)
+    ) else 0
+    out = (
+        {c: int(b["properties"]["ndv"]) for c, b in ndv_blobs.items()},
+        pin,
+    )
+    session_cache_put(_NDV_CACHE, key, out)
+    return out
+
+
+def _ndv_oracle() -> str:
+    from tiered_storage_for_apache_kafka_spark.operators.curation import (
+        _hex40_expr,
+    )
+
+    u = _hex40_expr("md5(sval)", "strpos")
+    return f"""
+WITH ids AS (SELECT DISTINCT event_id AS id FROM events),
+vals AS (
+  SELECT 'id' AS col, CAST(id AS VARCHAR) AS sval FROM ids
+  UNION ALL
+  SELECT 'grp', CAST(id % 23 AS VARCHAR) FROM ids
+),
+u AS (SELECT DISTINCT col, {u} AS u FROM vals),
+rk AS (
+  SELECT col, u, ROW_NUMBER() OVER (PARTITION BY col ORDER BY u) AS r,
+         COUNT(*) OVER (PARTITION BY col) AS n
+  FROM u
+)
+SELECT col AS column_name,
+       CAST(
+         CASE WHEN MAX(n) < {_NDV_K} THEN MAX(n)
+              ELSE ({_NDV_K - 1} * {_NDV_SPACE})
+                   // MAX(CASE WHEN r = {_NDV_K} THEN u END)
+         END AS BIGINT
+       ) AS ndv,
+       CAST(1 AS BIGINT) AS stats_pins
+FROM rk
+GROUP BY col
+"""
+
+
+@query("iceberg_ndv_stats", oracle=_ndv_oracle())
+def iceberg_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column NDV table statistics (r12,
+    `maintenance.compute_ndv_stats` — Iceberg's `compute_table_stats`
+    surface): deterministic KMV bottom-k sketches written as PUFFIN
+    blobs (`engine-kmv-ndv-v1`, fields=[field id], mergeable sorted
+    bottom-k payload, `ndv` property) and registered in the table's
+    ``statistics`` list for the current snapshot, preserving the
+    commit path's file-list blob. The query reads the estimates BACK
+    FROM THE BLOBS; the oracle replays the sketch bit-for-bit (md5
+    order statistics + integer estimator), so the hash match proves
+    the whole plane: compute -> Puffin round-trip -> registration.
+    Scale shape: one distinct-shuffle + TakeOrdered(K) per column at
+    stats time buys an O(K) mergeable summary any planner can read
+    without scanning — the 100 TB answer to COUNT(DISTINCT) in cost
+    estimation."""
+    ests, pin = _ndv_stats_table(spark, sf_dir)
+    rows = [(c, int(v), pin) for c, v in sorted(ests.items())]
+    return spark.createDataFrame(
+        rows, "column_name string, ndv bigint, stats_pins bigint"
+    )

@@ -163,6 +163,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.maintenance import ( 
     _finish_replace_commit,
     _rewrite_data_files_once,
     _rewrite_manifests_once,
+    compute_ndv_stats,
     expire_snapshots,
     remove_orphan_files,
     rewrite_data_files,

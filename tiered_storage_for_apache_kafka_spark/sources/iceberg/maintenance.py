@@ -1383,3 +1383,176 @@ def remove_orphan_files(
             except OSError:
                 pass
     return sorted(removed)
+
+
+# -- per-column NDV statistics (the compute_table_stats surface, r12) ----------
+
+NDV_BLOB_TYPE = "engine-kmv-ndv-v1"
+_NDV_SPACE = 1 << 40  # 40-bit md5-prefix hash domain (exact in double)
+
+
+def compute_ndv_stats(
+    spark,
+    table_dir: str,
+    columns: list[str],
+    k: int = 1024,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> dict:
+    """Iceberg's ``compute_table_stats`` surface: per-column
+    NDV (number-of-distinct-values) sketches for the CURRENT snapshot,
+    written as Puffin statistics blobs and registered in the table's
+    ``statistics`` list (spec "Table statistics"; real Iceberg writes
+    `apache-datasketches-theta-v1` blobs — this engine writes its own
+    honest blob type rather than fake theta bytes). Each column gets
+    one blob: type ``engine-kmv-ndv-v1``, ``fields=[field id]``,
+    payload = the K smallest 40-bit md5-prefix hashes of the column's
+    distinct values (JSON; MERGEABLE — the union sketch is the K
+    smallest of the concatenation, the KMV/bottom-k estimator), and
+    blob property ``ndv`` = the point estimate external readers
+    consume (Trino reads the same property off theta blobs). The
+    sketch is DETERMINISTIC (md5 order statistics, integer estimate
+    arithmetic), so any engine — including the DuckDB oracle —
+    reproduces it bit-for-bit; fewer than K distinct hashes means the
+    estimate IS the exact count.
+
+    The snapshot's existing statistics file (the engine's commit paths
+    register a ``file-list`` blob) is preserved: its non-NDV blobs are
+    re-packed into the new file alongside the fresh sketches, and the
+    statistics entry is replaced for this snapshot only.
+
+    Scale shape: one distinct-shuffle + TakeOrdered(K) per column over
+    a column-pruned scan — the exact-count query this sketch replaces
+    at serving time costs the same ONCE here, and the blob it leaves
+    behind is O(K) and mergeable across partitions/tables."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
+        read_iceberg_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+        read_puffin_blobs,
+        write_puffin_file,
+    )
+
+    if not columns:
+        raise ValueError("compute_ndv_stats needs at least one column")
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator divides by k-1)")
+    version, meta, table_name = _maintenance_state(
+        table_dir, catalog, table_name
+    )
+    snap_id = int(meta.get("current-snapshot-id", -1))
+    if snap_id == -1:
+        raise ValueError("table has no snapshot to compute statistics for")
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == snap_id)
+    seq = int(snap.get("sequence-number", 0))
+    schema_struct = _current_schema_struct(meta)
+    leaf = _leaf_field_ids(schema_struct)
+    missing = sorted(set(columns) - set(leaf))
+    if missing:
+        raise ValueError(f"no scalar leaf column(s) {missing} in the schema")
+
+    df = read_iceberg_table(
+        spark, table_dir, catalog=catalog, table_name=table_name
+    )
+    blob_specs: list[dict] = []
+    for c in columns:
+        u = F.expr(
+            f"cast(conv(substr(md5(cast(`{c}` as string)), 1, 10), 16, 10) "
+            "as bigint)"
+        )
+        hashes = [
+            int(r[0])
+            for r in (
+                df.where(F.col(c).isNotNull())
+                .select(u.alias("u"))
+                .distinct()
+                .orderBy("u")
+                .limit(k)
+                .collect()
+            )
+        ]
+        if len(hashes) < k:
+            est = len(hashes)  # full domain observed: exact
+        else:
+            est = (k - 1) * _NDV_SPACE // hashes[-1]
+        blob_specs.append(
+            {
+                "type": NDV_BLOB_TYPE,
+                "fields": [leaf[c]],
+                "payload": json.dumps(
+                    {"k": k, "space": _NDV_SPACE, "hashes": hashes}
+                ).encode(),
+                "properties": {"ndv": str(est), "column": c},
+            }
+        )
+
+    # preserve the snapshot's existing non-NDV blobs (file-list etc.);
+    # recomputed NDV blobs replace stale ones wholesale
+    existing = next(
+        (
+            st
+            for st in meta.get("statistics", [])
+            if int(st["snapshot-id"]) == snap_id
+        ),
+        None,
+    )
+    if existing is not None:
+        for e in read_puffin_blobs(existing["statistics-path"]):
+            if e["type"] != NDV_BLOB_TYPE:
+                blob_specs.insert(
+                    0,
+                    {
+                        "type": e["type"],
+                        "fields": e.get("fields") or [],
+                        "payload": e["payload"],
+                        **(
+                            {"properties": e["properties"]}
+                            if e.get("properties")
+                            else {}
+                        ),
+                    },
+                )
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    stats_path = os.path.join(
+        meta_dir, f"stats-ndv-{snap_id}-{uuid.uuid4().hex[:16]}.puffin"
+    )
+    pstats = write_puffin_file(stats_path, blob_specs, snap_id, seq)
+    stat_entry = {
+        "snapshot-id": snap_id,
+        "statistics-path": stats_path,
+        "file-size-in-bytes": pstats["file_size"],
+        "file-footer-size-in-bytes": pstats["footer_size"],
+        "blob-metadata": pstats["blob_metadata"],
+    }
+    if catalog is not None:
+        resp = catalog.commit_table(
+            table_name,
+            _maintenance_requirements(meta),
+            [{"action": "set-statistics", "statistics": stat_entry}],
+            now_ms,
+        )
+        return resp["metadata"]
+    new_meta = dict(meta)
+    new_meta["statistics"] = [
+        st
+        for st in meta.get("statistics", [])
+        if int(st["snapshot-id"]) != snap_id
+    ] + [stat_entry]
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": os.path.join(
+                meta_dir, f"v{version}.metadata.json"
+            ),
+        }
+    ]
+    _write_metadata_version(meta_dir, version + 1, new_meta)
+    return new_meta

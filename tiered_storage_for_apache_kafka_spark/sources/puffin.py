@@ -159,6 +159,7 @@ def _read_puffin_entries(path: str) -> tuple[list[dict], dict]:
         entries.append(
             {
                 "type": bm["type"],
+                "fields": list(bm.get("fields") or []),
                 "properties": bm.get("properties") or {},
                 "payload": data[start : start + length],
             }
