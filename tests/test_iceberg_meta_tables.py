@@ -333,3 +333,45 @@ def test_compute_ndv_stats_blobs(spark, tmp_path):
         if b["type"] == "engine-kmv-ndv-v1"
     }
     assert int(b2["id"]["properties"]["ndv"]) == est
+
+
+def test_position_deletes_table(spark, tmp_path):
+    """r12: `tbl.position_deletes` — every live retracted (file, pos)
+    identity with delete-file provenance, uniform across parquet
+    position-delete files AND v3 deletion vectors (bitmaps explode to
+    the same shape)."""
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501
+        commit_deletion_vectors,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        write_iceberg_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.update import (
+        update_where,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (  # noqa: E501
+        position_deletes_table,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id", "id * 2 as v")
+    write_iceberg_table(spark, df, tdir, now_ms=1_000)
+    # empty before any delete
+    assert position_deletes_table(spark, tdir).count() == 0
+    update_where(spark, tdir, "id % 10 = 3", {"v": "0"}, now_ms=2_000)
+    rows = position_deletes_table(spark, tdir).collect()
+    assert len(rows) == 10
+    assert all(r["delete_file_path"].endswith(".parquet") for r in rows)
+    assert all(r["sequence_number"] == 2 for r in rows)
+    # v3 DV deletes explode to the same shape, side by side
+    commit_deletion_vectors(spark, tdir, "id % 10 = 7", now_ms=3_000)
+    rows2 = position_deletes_table(spark, tdir).collect()
+    assert len(rows2) == 20
+    by_kind = {}
+    for r in rows2:
+        by_kind.setdefault(
+            "dv" if r["delete_file_path"].endswith(".puffin") else "parquet",
+            set(),
+        ).add((r["file_path"], r["pos"]))
+    assert len(by_kind["parquet"]) == 10 and len(by_kind["dv"]) == 10
+    assert {(r["file_path"], r["pos"]) for r in rows} == by_kind["parquet"]

@@ -542,3 +542,137 @@ def all_files_table(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+_POSITION_DELETES_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("delete_file_path", T.StringType()),
+        T.StructField("spec_id", T.IntegerType()),
+        T.StructField("sequence_number", T.LongType()),
+    ]
+)
+
+
+def position_deletes_table(
+    spark: SparkSession,
+    table_dir: str,
+    catalog=None,
+    table_name: str | None = None,
+) -> DataFrame:
+    """`tbl.position_deletes` (r12): every LIVE position-delete row of
+    the current snapshot — the merge-on-read delete debt `update_where`
+    / DELETE / conversions accumulate and `rewrite_position_deletes` /
+    `rewrite_data_files` pay down. One row per retracted (target file,
+    pos) identity with the delete file's provenance; v3 deletion
+    vectors EXPLODE to the same shape (bitmap decode executor-side),
+    so the observability surface is uniform across both delete
+    representations. Distributed: parquet delete files scan natively
+    with `_metadata` provenance; only the O(entries) provenance map
+    rides broadcast."""
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501
+        _dv_entry_payload,
+        split_position_deletes,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
+        _norm_file_expr,
+        _plan_snapshot,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _specs_by_id,
+    )
+
+    meta = _resolve_meta(table_dir, catalog, table_name)
+    if meta.get("current-snapshot-id", -1) == -1:
+        return spark.createDataFrame([], _POSITION_DELETES_SCHEMA)
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _data, deletes = _plan_snapshot(cur, None, specs_by_id=_specs_by_id(meta))
+    pos, dv = split_position_deletes(deletes)
+    parts = []
+    if pos:
+        prov = spark.createDataFrame(
+            sorted(
+                (d["file_path"], int(d["_spec_id"]), int(d["_seq"]))
+                for d in pos
+            ),
+            "delete_file_path string, spec_id int, sequence_number bigint",
+        )
+        parts.append(
+            spark.read.parquet(*sorted({d["file_path"] for d in pos}))
+            .select(
+                "file_path",
+                "pos",
+                _norm_file_expr(F.col("_metadata.file_path")).alias(
+                    "delete_file_path"
+                ),
+            )
+            .join(F.broadcast(prov), "delete_file_path")
+            .select(*[f.name for f in _POSITION_DELETES_SCHEMA])
+        )
+    if dv:
+        blob_cache: dict[str, list[dict]] = {}
+        rows = [
+            (
+                e.get("referenced_data_file"),
+                _dv_entry_payload(e, blob_cache),
+                e["file_path"],
+                int(e["_spec_id"]),
+                int(e["_seq"]),
+            )
+            for e in dv
+        ]
+        dv_df = spark.createDataFrame(
+            rows,
+            "file_path string, __dv binary, delete_file_path string, "
+            "spec_id int, sequence_number bigint",
+        )
+
+        def explode(pdfs):
+            import numpy as np
+            import pandas as pd
+
+            from tiered_storage_for_apache_kafka_spark.roaring import (
+                deserialize_roaring64,
+            )
+            from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501
+                unframe_dv_payload,
+            )
+
+            for pdf in pdfs:
+                # plain tuples: itertuples mangles __-prefixed names
+                for fp, blob, dfp, sid, seq in pdf.itertuples(
+                    index=False, name=None
+                ):
+                    positions = deserialize_roaring64(
+                        unframe_dv_payload(bytes(blob))
+                    ).astype(np.int64)
+                    yield pd.DataFrame(
+                        {
+                            "file_path": fp,
+                            "pos": positions,
+                            "delete_file_path": dfp,
+                            "spec_id": sid,
+                            "sequence_number": seq,
+                        }
+                    )
+
+        parts.append(
+            dv_df.mapInPandas(
+                explode,
+                "file_path string, pos bigint, delete_file_path string, "
+                "spec_id int, sequence_number bigint",
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], _POSITION_DELETES_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
