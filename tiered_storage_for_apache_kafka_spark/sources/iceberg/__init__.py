@@ -155,6 +155,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.refs import (  # noqa
     create_ref,
     drop_ref,
     fast_forward,
+    cherry_pick_snapshot,
     rollback_to_snapshot,
 )
 

@@ -343,3 +343,246 @@ def rollback_to_snapshot(
         table_dir, version, meta, refs, now_ms,
         current_snapshot_id=snapshot_id,
     )
+
+
+def cherry_pick_snapshot(
+    table_dir: str,
+    snapshot_id: int,
+    now_ms: int | None = None,
+    catalog=None,
+    table_name: str | None = None,
+) -> dict:
+    """Iceberg's ``cherrypick_snapshot`` procedure — the WAP resolution
+    :func:`fast_forward` refuses when main MOVED under a staged branch:
+    re-commit a staged APPEND snapshot's added files onto the current
+    head as a NEW snapshot (one metadata commit, no data movement; the
+    staged lineage is untouched and ages out or publishes separately).
+
+    Only ``operation=append`` snapshots cherry-pick. A staged
+    overwrite/merge retracts rows RELATIVE TO ITS OWN lineage;
+    replaying that against a different head needs conflict detection
+    this engine refuses rather than approximates (the Java procedure
+    draws the same line at appends + dynamic overwrites).
+
+    The added manifests are REWRITTEN at the new snapshot's sequence
+    number rather than reused: position/equality deletes apply by
+    sequence-number comparison, so surfacing the files under their old
+    staged sequence would let deletes committed BETWEEN the staging
+    and the pick retro-apply to rows that were never visible to them.
+    The staged snapshot's PARENT must still be live (the added-set is
+    the manifest-list diff against it); an expired parent refuses
+    toward re-staging. The new snapshot's summary carries
+    ``cherry-pick-snapshot-id`` for provenance."""
+    import json as _json
+    import time as _time
+    import uuid as _uuid
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (  # noqa: E501
+        MANIFEST_FILE_SCHEMA,
+        manifest_entry_schema,
+        spec_typed_cols,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.ocf import (
+        FORMAT_VERSION,
+        read_avro_ocf,
+        write_avro_ocf,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _advance_main,
+        _current_schema_struct,
+        _prev_summary_counter,
+        _specs_by_id,
+    )
+
+    version, meta, table_name = _maintenance_state(
+        table_dir, catalog, table_name
+    )
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    staged = by_id.get(snapshot_id)
+    if staged is None:
+        raise ValueError(f"snapshot {snapshot_id} not found")
+    op = (staged.get("summary") or {}).get("operation")
+    if op != "append":
+        raise ValueError(
+            f"cherry-pick supports APPEND snapshots; {snapshot_id} is "
+            f"{op!r} — publish via fast_forward from an undiverged "
+            "target, or re-stage the change against the current head"
+        )
+    head_id = int(meta.get("current-snapshot-id", -1))
+    if head_id == snapshot_id:
+        return meta  # picking the head is a no-op
+    parent_id = staged.get("parent-snapshot-id")
+    parent = by_id.get(parent_id) if parent_id is not None else None
+    if parent_id is not None and parent is None:
+        raise ValueError(
+            f"snapshot {snapshot_id}'s parent {parent_id} has been "
+            "expired — the added-file set cannot be derived; re-stage "
+            "the change against the current head"
+        )
+    _, staged_mfs, _ = read_avro_ocf(staged["manifest-list"])
+    parent_paths: set[str] = set()
+    if parent is not None:
+        _, parent_mfs, _ = read_avro_ocf(parent["manifest-list"])
+        parent_paths = {m["manifest_path"] for m in parent_mfs}
+    added = [m for m in staged_mfs if m["manifest_path"] not in parent_paths]
+    if any(int(m.get("content") or 0) != 0 for m in added):
+        raise ValueError(
+            "staged snapshot added DELETE manifests despite an append "
+            "summary — refusing to cherry-pick a mislabeled row-delta"
+        )
+
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    now_ms = max(
+        now_ms,
+        max((s["timestamp-ms"] for s in meta["snapshots"]), default=0),
+    )
+    seq = int(meta["last-sequence-number"]) + 1
+    new_id = seq
+    commit_uuid = _uuid.uuid4().hex[:16]
+    meta_dir = os.path.join(table_dir, "metadata")
+    schema_struct = _current_schema_struct(meta)
+    specs = _specs_by_id(meta)
+
+    new_manifests = []
+    added_files = 0
+    added_rows = 0
+    for i, mf in enumerate(added):
+        spec = specs.get(int(mf.get("partition_spec_id", 0)))
+        if spec is None:
+            raise ValueError(
+                f"manifest {mf['manifest_path']} references unknown "
+                f"spec {mf.get('partition_spec_id')}"
+            )
+        _, entries, _ = read_avro_ocf(mf["manifest_path"])
+        live = [e for e in entries if e["status"] != 2]
+        rewritten = [
+            {
+                **e,
+                "status": 1,
+                "snapshot_id": new_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+            }
+            for e in live
+        ]
+        mpath = os.path.join(
+            meta_dir,
+            f"{meta['table-uuid']}-cp{seq}-{i}-{commit_uuid}.avro",
+        )
+        mlen = write_avro_ocf(
+            mpath,
+            manifest_entry_schema(spec_typed_cols(spec, schema_struct)),
+            rewritten,
+            {
+                "schema": _json.dumps(schema_struct).encode(),
+                "schema-id": str(meta["current-schema-id"]).encode(),
+                "partition-spec": _json.dumps(spec["fields"]).encode(),
+                "partition-spec-id": str(spec["spec-id"]).encode(),
+                "format-version": str(FORMAT_VERSION).encode(),
+                "content": b"data",
+            },
+        )
+        n_rows = sum(
+            int(e["data_file"]["record_count"]) for e in rewritten
+        )
+        added_files += len(rewritten)
+        added_rows += n_rows
+        new_manifests.append(
+            {
+                **{k: v for k, v in mf.items()},
+                "manifest_path": mpath,
+                "manifest_length": mlen,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": new_id,
+                "added_data_files_count": len(rewritten),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+
+    head_mfs: list[dict] = []
+    if head_id != -1:
+        _, head_mfs, _ = read_avro_ocf(by_id[head_id]["manifest-list"])
+    list_path = os.path.join(
+        meta_dir, f"snap-{new_id}-1-{commit_uuid}.avro"
+    )
+    write_avro_ocf(
+        list_path,
+        MANIFEST_FILE_SCHEMA,
+        new_manifests + head_mfs,
+        {
+            "format-version": str(FORMAT_VERSION).encode(),
+            "snapshot-id": str(new_id).encode(),
+            "sequence-number": str(seq).encode(),
+            "parent-snapshot-id": str(head_id).encode(),
+        },
+    )
+    snapshot = {
+        "snapshot-id": new_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "schema-id": meta["current-schema-id"],
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(added_files),
+            "added-records": str(added_rows),
+            "cherry-pick-snapshot-id": str(snapshot_id),
+            "total-records": str(
+                added_rows
+                + _prev_summary_counter(meta, "total-records", head_id)
+            ),
+            "total-position-deletes": str(
+                _prev_summary_counter(
+                    meta, "total-position-deletes", head_id
+                )
+            ),
+            "total-equality-deletes": str(
+                _prev_summary_counter(
+                    meta, "total-equality-deletes", head_id
+                )
+            ),
+        },
+    }
+    if head_id != -1:
+        snapshot["parent-snapshot-id"] = head_id
+
+    if catalog is not None:
+        resp = catalog.commit_table(
+            table_name,
+            _maintenance_requirements(meta),
+            [
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": new_id,
+                },
+            ],
+            now_ms,
+        )
+        return resp["metadata"]
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["snapshots"] = meta["snapshots"] + [snapshot]
+    new_meta["current-snapshot-id"] = new_id
+    new_meta["refs"] = _advance_main(meta.get("refs"), new_id)
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": new_id}
+    ]
+    new_meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": os.path.join(
+                meta_dir, f"v{version}.metadata.json"
+            ),
+        }
+    ]
+    _write_metadata_version(meta_dir, version + 1, new_meta)
+    return new_meta
