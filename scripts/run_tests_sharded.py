@@ -54,6 +54,7 @@ DURATIONS = {
     "test_iceberg_rename.py": 160,  # new r12 (incl. 103 s stream-epoch leg)
     "test_iceberg_ref_retention.py": 25,  # new r12
     "test_iceberg_rollback.py": 25,
+    "test_iceberg_cherrypick.py": 35,  # new r12
     "test_iceberg_replace.py": 30,
     "test_mutation_fuzz.py": 215,  # r12: + the DDL-heavy seeded program
     "test_curation.py": 25,

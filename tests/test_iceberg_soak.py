@@ -44,7 +44,8 @@ FINAL_PRED = "v % 7 = 3 OR v % 11 = 5"
 FINAL_PRED_ABC = "v % 7 = 3 OR v % 11 = 5 OR v % 13 = 6"
 
 
-def _append_batch(tdir: str, schema, b: int, ms: int, catalog=None):
+def _append_batch(tdir: str, schema, b: int, ms: int, catalog=None,
+                  branch=None):
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
         commit_append,
     )
@@ -58,7 +59,9 @@ def _append_batch(tdir: str, schema, b: int, ms: int, catalog=None):
         path = os.path.join(d, f"batch-{b:03d}.parquet")
         pq.write_table(pa.table({"v": pa.array(vals, pa.int64())}), path)
         files.append(path)
-    return commit_append(tdir, schema, now_ms=ms, files=files, catalog=catalog)
+    return commit_append(
+        tdir, schema, now_ms=ms, files=files, catalog=catalog, branch=branch
+    )
 
 
 def _head_id(tdir: str, catalog=None) -> int:
@@ -432,9 +435,29 @@ class TestMaintenanceSoak:
         counts[0] = ROWS_PER_BATCH // 2  # batch 0 consumed as the base
         counts[1] = ROWS_PER_BATCH // 2
 
+        staged_pick = None
         for b in range(1, N_BATCHES):
             ms += 1_000
+            if b == 70:
+                # r12: batch 70 STAGES on a WAP branch instead of
+                # landing on main; main keeps moving (divergence), and
+                # cherry_pick_snapshot publishes it two batches later —
+                # the closed form is row-identical, the changelog
+                # consumer sees it as a normal append at the pick seq
+                m70 = _append_batch(tdir, schema, b, ms, branch="wap")
+                staged_pick = m70["refs"]["wap"]["snapshot-id"]
+                continue
             _append_batch(tdir, schema, b, ms)
+            if b == 72:
+                from tiered_storage_for_apache_kafka_spark.sources.iceberg import (  # noqa: E501
+                    cherry_pick_snapshot,
+                    drop_ref,
+                )
+
+                ms += 1_000
+                cherry_pick_snapshot(tdir, staged_pick, now_ms=ms)
+                ms += 1_000
+                drop_ref(tdir, "wap", now_ms=ms)
             if b == 15:
                 # one v2 parquet position-delete commit: the soak mixes
                 # both row-delta representations in one table
