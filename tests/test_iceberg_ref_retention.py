@@ -188,3 +188,35 @@ def test_retention_fields_through_catalog(spark, tmp_path):
         assert pinned not in {
             s["snapshot-id"] for s in m2["snapshots"]
         }
+
+
+def test_expire_defaults_from_table_properties(spark):
+    """r12: `expire_snapshots` with unset args resolves the table's
+    declared `history.expire.*` properties (the Java action's
+    resolution); explicit args win."""
+    tdir = _mkdir()
+    heads = []
+    meta = None
+    for i in range(4):
+        meta = _write(spark, tdir, [(i, i * 10)], 1_000 * (i + 1))
+        heads.append(meta["snapshots"][-1]["snapshot-id"])
+    # declare the policy once, as table properties
+    meta = write_iceberg_table(
+        spark,
+        spark.createDataFrame([(99, 990)], "id bigint, v bigint"),
+        tdir, now_ms=5_000, partition_spec=SPEC,
+        properties_extra={
+            "history.expire.min-snapshots-to-keep": "2",
+            "history.expire.max-snapshot-age-ms": "1500",
+        },
+    )
+    heads.append(meta["snapshots"][-1]["snapshot-id"])
+    expire_snapshots(tdir, now_ms=6_000)  # all args unset
+    ids = _snap_ids(tdir)
+    # age cutoff 6000-1500=4500 keeps only the 5000ms head by age;
+    # min-snapshots floor keeps the last TWO along main's lineage
+    assert set(heads[-2:]) <= ids
+    assert heads[0] not in ids and heads[1] not in ids
+    # explicit argument overrides the property
+    expire_snapshots(tdir, keep_last=1, now_ms=10**12)
+    assert _snap_ids(tdir) == {heads[-1]}

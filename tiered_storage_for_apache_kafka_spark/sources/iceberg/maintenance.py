@@ -46,7 +46,7 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
 
 def expire_snapshots(
     table_dir: str,
-    keep_last: int = 1,
+    keep_last: int | None = None,
     now_ms: int | None = None,
     catalog=None,
     table_name: str | None = None,
@@ -69,7 +69,15 @@ def expire_snapshots(
     ADDITIONAL keep condition: snapshots at or after the cutoff survive
     even beyond ``keep_last``, so retention is max(count, age) — the
     standard production policy "keep N days of history, at least the
-    head"."""
+    head".
+
+    Arguments left unset fall back to the table's OWN retention
+    properties, exactly the Java action's property resolution:
+    ``history.expire.min-snapshots-to-keep`` -> ``keep_last`` (else 1)
+    and ``history.expire.max-snapshot-age-ms`` -> ``older_than_ms``
+    (as ``now - age``) — so a table can DECLARE its retention policy
+    once and every maintenance run honors it; an explicit argument
+    always wins."""
     from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
         CommitConflictError,
         commit_retry_backoff,
@@ -93,7 +101,7 @@ def expire_snapshots(
 
 def _expire_snapshots_once(
     table_dir: str,
-    keep_last: int,
+    keep_last: int | None,
     now_ms: int | None,
     catalog,
     table_name: str | None,
@@ -101,11 +109,26 @@ def _expire_snapshots_once(
 ) -> dict:
     import time as _time
 
-    if keep_last < 1:
+    if keep_last is not None and keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     version, meta, table_name = _maintenance_state(table_dir, catalog, table_name)
     snaps = meta["snapshots"]
     now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    # unset args resolve from the table's declared retention properties
+    # (the Java action's history.expire.* resolution); explicit wins
+    props = meta.get("properties") or {}
+    if keep_last is None:
+        keep_last = int(
+            props.get("history.expire.min-snapshots-to-keep", 1)
+        )
+        if keep_last < 1:
+            raise ValueError(
+                "history.expire.min-snapshots-to-keep must be >= 1"
+            )
+    if older_than_ms is None:
+        max_age = props.get("history.expire.max-snapshot-age-ms")
+        if max_age is not None:
+            older_than_ms = now_ms - int(max_age)
     by_id_ts = {s["snapshot-id"]: s for s in snaps}
     # per-ref retention (spec "Snapshot References", r12): a ref whose
     # ``max-ref-age-ms`` has lapsed — age measured from its snapshot's
