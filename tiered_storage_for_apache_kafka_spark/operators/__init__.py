@@ -49,90 +49,99 @@ from tiered_storage_for_apache_kafka_spark.operators.registry import (  # noqa: 
 )
 
 # ---------------------------------------------------------------------------
-# Driver sample-window rotation (round 12).
+# Driver sample-window rotation (round 13).
 #
 # The correctness driver samples a PREFIX of this registry (50 rows in
-# r4-r10, 45 in r2), so registration order decides which queries get a
+# r4-r12, 45 in r2), so registration order decides which queries get a
 # fresh driver verdict each round. Rule (since r5): no query's latest
 # driver verdict may age past 4 rounds; every query stays re-verified
 # every round by tests/test_queries_vs_duckdb.py (engine session) AND
 # tests/test_driver_session_parity.py (default-conf session) regardless.
 #
-# The r12 window, in priority order:
+# The r13 window, in priority order:
 #   (a) queries NEW this round (first verdicts) — filled in as they
 #       register below;
-#   (b) the complete 32-query r7-verdict cohort (mandatory: r7 + 5 = 12
-#       is the staleness boundary; list recomputed from all eleven
-#       CORRECTNESS files and identical to VERDICT r11 task #2);
-#   (c) the remainder of the 50-sample prefix backfills from the
-#       OLDEST r8-verdict queries (26 total, boundary r13), trimmed
-#       from the END as (a) grows.
-_R12_WINDOW = [
+#   (b) the complete 12-query r8-verdict cohort (mandatory: r8 + 5 =
+#       13 is the staleness boundary; recomputed from all twelve
+#       CORRECTNESS files and identical to VERDICT r12 task #2 — note
+#       `quality_decile_stats` IS in it: its r12 backfill never made
+#       the sample);
+#   (c) an aggressive early drain of the 43-query r9-verdict cohort
+#       (boundary r14): the remaining prefix slots take the r9 set
+#       flagship-first, trimmed from the END as (a) grows — the
+#       trimmed residue (≤7) is r14's mandatory cohort, comfortably
+#       inside the next window's arithmetic.
+_R13_WINDOW = [
     # (a) new this round
-    "iceberg_rename_scan",
-    "iceberg_ndv_stats",
-    "iceberg_post_update_mirror",
-    "iceberg_ref_retention_scan",
-    # (b) the full r7-verdict rotation cohort (32, mandatory)
-    "doc_winnow_fingerprint",
-    "dup_cluster_representatives",
-    "embedding_int8_quantize",
-    "export_shard_manifest",
-    "full_outer_daily_activity",
-    "funnel_conversion",
-    "gopher_repetition_signals",
-    "grouping_sets_order_mix",
-    "heavy_hitters_cms",
-    "hll_distinct_audit",
-    "incremental_dedup_verdicts",
-    "minhash_jaccard_audit",
-    "moving_window_revenue",
-    "multimodal_jpeg_progressive_decode",
-    "offsets_for_times",
-    "pack_sequences",
-    "pagerank_dup_graph",
-    "per_source_quality_cap",
-    "q11_important_brands",
-    "q22_sales_opportunity",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "range_join_purchase_window",
-    "rollup_pricing",
-    "segment_offset_index",
-    "semdedup_keep_drop",
-    "sessionize_events",
-    "source_mixture_rebalance",
-    "stratified_sample_by_lang",
-    "topk_orders_per_priority",
-    "train_test_split_hash",
-    # (c) r8-verdict backfill to 50 (oldest-next tail; trim from the
-    # END of this section when (a) gains new queries)
-    "changelog_materialized_counts",
-    "iceberg_bucket_partition_scan",
-    "iceberg_changelog_scan",
-    "iceberg_day_partition_scan",
-    "iceberg_dv_scan",
-    "iceberg_tag_read",
-    "pii_scan_redact",
-    "pmi_bigram_collocations",
-    "q12_ship_priority",
-    "q17_small_quantity_parts",
-    "q18_large_volume_customer",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
+    "iceberg_nested_rename_scan",
+    "iceberg_dv_retraction_mirror",
+    # (b) the full r8-verdict rotation cohort (12, mandatory)
+    "quality_decile_stats",
+    "quality_weighted_sample",
+    "rlmm_event_replay",
+    "semantic_decontamination",
+    "source_overlap_matrix",
+    "source_vocab_growth",
+    "sq8_recall_at_k",
+    "streaming_interval_join",
+    "streaming_session_windows",
+    "temperature_mixture_weights",
+    "tfidf_top_terms",
+    "top_supplier_per_part",
+    # (c) r9-verdict early drain (flagship/tiered/streaming first so
+    # end-trimming sheds TPC-H cells, which the parity suite re-proves
+    # hardest elsewhere; trim from the END when (a) gains queries)
+    "tiered_roundtrip_agg",
+    "tiered_manifest_stats",
+    "tiered_offset_range_fetch",
+    "table_mode_batch_digest",
+    "table_mode_segment_blobs",
+    "datasource_offset_range_fetch",
+    "streaming_tier_commit",
+    "streaming_iceberg_commit",
+    "streaming_dedup_within_watermark",
+    "engine_metrics_snapshot",
+    "iceberg_compaction_verify",
+    "iceberg_global_delete_scan",
+    "iceberg_metadata_summary",
+    "iceberg_partitions_table",
+    "iceberg_puffin_stats",
+    "iceberg_rest_commit",
+    "iceberg_row_delete_scan",
+    "iceberg_scan_pruned",
+    "iceberg_spec_evolution_scan",
+    "iceberg_string_partition_scan",
+    "iceberg_time_travel",
+    "iceberg_upsert_scan",
+    "iceberg_zorder_scan",
+    "ann_ivf_kmeans_topk",
+    "approx_quantile_audit",
+    "dedup_lines_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "hybrid_rrf_retrieval",
+    "kmeans_embedding_clusters",
+    "multimodal_audio_decode",
+    "multimodal_image_decode",
+    "multimodal_video_frames",
+    "unigram_logprob_quality",
+    "q7_volume_shipping",
+    "q8_market_share",
+    # r9 residue deferred to r14 (mandatory there): q9_product_profit,
+    # q10_returned_items, q13_customer_distribution, q14_promo_revenue,
+    # q15_top_supplier, q16_supplier_part_variety, q19_discount_eligible
 ]
-_R11_WINDOW = _R12_WINDOW  # backward-compatible aliases (older scripts)
-_R10_WINDOW = _R12_WINDOW
-_R9_WINDOW = _R12_WINDOW
-_R8_WINDOW = _R12_WINDOW
+_R12_WINDOW = _R13_WINDOW  # backward-compatible aliases (older scripts)
+_R11_WINDOW = _R13_WINDOW
+_R10_WINDOW = _R13_WINDOW
+_R9_WINDOW = _R13_WINDOW
+_R8_WINDOW = _R13_WINDOW
 
 
 def _reorder() -> None:
     def arrange(d: dict) -> dict:
-        window = [n for n in _R12_WINDOW if n in d]
-        rest = [n for n in d if n not in _R12_WINDOW]
+        window = [n for n in _R13_WINDOW if n in d]
+        rest = [n for n in d if n not in _R13_WINDOW]
         return {n: d[n] for n in window + rest}
 
     q, o = arrange(QUERIES), arrange(ORACLES)
