@@ -30,6 +30,9 @@ from __future__ import annotations
 
 import pytest
 
+from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+    commit_deletion_vectors,
+)
 from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
     convert_equality_deletes,
     update_table_schema,
@@ -50,8 +53,9 @@ from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
 SPEC = [("id_bucket", "bucket[4]", "id")]
 N_ROUNDS = 30
 BASE_KEYS = 400
-EVOLVE_ROUND = 18  # the feed gains a `score double` column here
+EVOLVE_ROUND = 18  # the feed gains `score double` + `meta struct` here
 RENAME_ROUND = 27  # the feed renames val -> text here (r12)
+NESTED_RENAME_ROUND = 28  # meta.ts -> meta.event_ts here (r13)
 
 
 def _expected_round_ops(r: int):
@@ -102,6 +106,7 @@ def test_cdc_soak_gauntlet(spark, tmp_path, mirror_every):
         q.awaitTermination()
 
     score_state: dict = {}  # id -> score for rows written post-evolution
+    meta_state: dict = {}  # id -> meta.ts value, same lifecycle
     for r in range(1, N_ROUNDS + 1):
         ms += 1_000
         ups, dels = _expected_round_ops(r)
@@ -114,12 +119,20 @@ def test_cdc_soak_gauntlet(spark, tmp_path, mirror_every):
                 rows, f"id bigint, {vcol} string, op string"
             )
         else:
-            # the feed evolved: every upsert now carries a score
-            rows = [(k, v, float(r), "u") for k, v in ups.items()] + [
-                (k, None, None, "d") for k in dels if k not in ups
+            # the feed evolved: every upsert now carries a score AND a
+            # metadata struct (r13 — nested DDL needs a struct to act
+            # on); the struct's ts field renames at r=28
+            tscol = "event_ts" if r > NESTED_RENAME_ROUND else "ts"
+            rows = [
+                (k, v, float(r), (r * 1_000 + k % 1_000,), "u")
+                for k, v in ups.items()
+            ] + [
+                (k, None, None, None, "d") for k in dels if k not in ups
             ]
             batch = spark.createDataFrame(
-                rows, f"id bigint, {vcol} string, score double, op string"
+                rows,
+                f"id bigint, {vcol} string, score double, "
+                f"meta struct<{tscol}:bigint>, op string",
             )
         merge_upsert(
             spark, batch, src, on=["id"], op_col="op",
@@ -128,10 +141,14 @@ def test_cdc_soak_gauntlet(spark, tmp_path, mirror_every):
         state.update(ups)
         if r >= EVOLVE_ROUND:
             score_state.update({k: float(r) for k in ups})
+            meta_state.update(
+                {k: r * 1_000 + k % 1_000 for k in ups}
+            )
         for k in dels:
             if k not in ups:
                 state.pop(k, None)
                 score_state.pop(k, None)
+                meta_state.pop(k, None)
 
         if r in (10, 20):
             ms += 1_000
@@ -154,6 +171,20 @@ def test_cdc_soak_gauntlet(spark, tmp_path, mirror_every):
             for k in list(state):
                 if k % 50 == 22:
                     state[k] = state[k] + "+"
+        if r == 24:
+            # r13: a DELETION-VECTOR delete mid-stream, AFTER the r=20
+            # conversion and BEFORE the r=30 catch-up — the window
+            # resolves the DV to keyed retractions (fresh bitmap via
+            # dv_keyed_plan), no re-bootstrap and no safe-window hop
+            ms += 1_000
+            commit_deletion_vectors(
+                spark, src, "id % 61 = 24", now_ms=ms
+            )
+            for k in list(state):
+                if k % 61 == 24:
+                    state.pop(k, None)
+                    score_state.pop(k, None)
+                    meta_state.pop(k, None)
         if r == RENAME_ROUND:
             # r12: the feed renames its value column mid-soak — a
             # metadata-only DDL; later batches carry the new name,
@@ -162,6 +193,15 @@ def test_cdc_soak_gauntlet(spark, tmp_path, mirror_every):
             # replica before applying the window
             ms += 1_000
             update_table_schema(src, rename={"val": "text"}, now_ms=ms)
+        if r == NESTED_RENAME_ROUND:
+            # r13: a NESTED rename one round later — meta.ts ->
+            # meta.event_ts; the r=30 catch-up crosses BOTH rename
+            # epochs and propagates the nested rename to the replica
+            # by field id
+            ms += 1_000
+            update_table_schema(
+                src, rename={"meta.ts": "event_ts"}, now_ms=ms
+            )
         if r == 25:
             # keep_last large enough that the GC horizon stays BELOW
             # the mirror's r=10 checkpoint — a tighter retention would
@@ -182,23 +222,31 @@ def test_cdc_soak_gauntlet(spark, tmp_path, mirror_every):
             mirror_catchup()
 
     # source head equals the closed form — including the evolved
-    # column (pre-evolution rows read null, post-evolution their round)
+    # columns (pre-evolution rows read null, post-evolution their
+    # round; meta.event_ts through the r=28 NESTED rename)
     exp_full = {
-        k: (v, score_state.get(k)) for k, v in state.items()
+        k: (v, score_state.get(k), meta_state.get(k))
+        for k, v in state.items()
     }
-    got_src = {
-        r_["id"]: (r_["text"], r_["score"])
-        for r_ in read_iceberg_table(spark, src).collect()
-    }
+
+    def _snap(tbl):
+        return {
+            r_["id"]: (
+                r_["text"],
+                r_["score"],
+                None if r_["meta"] is None else r_["meta"]["event_ts"],
+            )
+            for r_ in read_iceberg_table(spark, tbl).collect()
+        }
+
+    got_src = _snap(src)
     assert got_src == exp_full
     src_meta = read_table_metadata(src)["metadata"]
-    assert len(src_meta["schemas"]) == 3  # one evolution + one rename
+    # one evolution + the r=27 rename + the r=28 nested rename
+    assert len(src_meta["schemas"]) == 4
     # the mirror converged through every maintenance window AND the
     # schema evolution (its own schema count proves it evolved too)
-    got_dst = {
-        r_["id"]: (r_["text"], r_["score"])  # rename propagated
-        for r_ in read_iceberg_table(spark, dst).collect()
-    }
+    got_dst = _snap(dst)
     assert got_dst == exp_full
     assert len(read_table_metadata(dst)["metadata"]["schemas"]) >= 2
     # the delete planes stayed bounded: conversions retired the eq

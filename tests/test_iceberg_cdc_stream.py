@@ -414,3 +414,169 @@ def test_cdc_stream_merge_keys_default_from_table(spark):
         for r in ev.where(F.col("_commit_seq") == 3).collect()
     }
     assert rows == {(4, "delete_key", None), (4, "insert", "u4")}
+
+
+def test_cdc_stream_dv_delete_with_merge_keys(spark):
+    """r13: with declared mergeKeys, a window holding an ENGINE
+    deletion vector (`commit_deletion_vectors`) resolves it to keyed
+    retractions — the deleted identities' pre-image keys gathered at
+    the bitmap's positions — instead of killing the consumer; without
+    mergeKeys the refusal stands."""
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+        commit_deletion_vectors,
+    )
+
+    tdir = _mkdir()
+    base = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(10)],
+        "id bigint, grp bigint, val string",
+    )
+    write_iceberg_table(spark, base, tdir, now_ms=1_000, partition_spec=SPEC)
+    commit_deletion_vectors(spark, tdir, "id % 4 = 1", now_ms=2_000)
+    ev = _events(spark, tdir, mergeKeys="id")
+    rows = {
+        (r["id"], r["_change_type"], r["val"], r["_commit_seq"])
+        for r in ev.collect()
+    }
+    expect = {(i, "insert", f"v{i}", 1) for i in range(10)} | {
+        (i, "delete_key", None, 2) for i in range(10) if i % 4 == 1
+    }
+    assert rows == expect
+    with pytest.raises(Exception, match="key-representable"):
+        _events(spark, tdir)
+
+
+def test_superseding_dv_emits_only_fresh_retractions(spark):
+    """THE delta-soundness pin (r13): a superseding DV's spec blob is
+    the UNION with its predecessors (v3 single-live-DV rule) — its
+    positions re-stamp old retractions at the NEW sequence number. A
+    key deleted by DV-1 and RE-INSERTED before DV-2 must survive a
+    consumer that crosses only DV-2's window: the keyed resolution
+    must read the engine delta blob (fresh positions only), never the
+    union."""
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+        commit_deletion_vectors,
+    )
+
+    tdir = _mkdir()
+    # ONE data file so both DV commits target the same file
+    base = spark.createDataFrame(
+        [(i, 0, f"v{i}") for i in range(10)],
+        "id bigint, grp bigint, val string",
+    ).coalesce(1)
+    write_iceberg_table(spark, base, tdir, now_ms=1_000)
+    # DV-1 deletes id 0 and 5; consumer checkpoints AFTER it
+    commit_deletion_vectors(spark, tdir, "id % 5 = 0", now_ms=2_000)
+    ev1 = _events(spark, tdir, mergeKeys="id")
+    assert {
+        (r["id"], r["_change_type"]) for r in ev1.collect()
+    } == {(i, "insert") for i in range(10)} | {
+        (0, "delete_key"), (5, "delete_key"),
+    }
+    ckpt_seq = 2
+    # key 0 RE-INSERTED, then DV-2 (superseding: same target file)
+    write_iceberg_table(
+        spark,
+        spark.createDataFrame([(0, 0, "reborn")],
+                              "id bigint, grp bigint, val string"),
+        tdir, now_ms=3_000,
+    )
+    commit_deletion_vectors(spark, tdir, "id % 5 = 2", now_ms=4_000)
+    ev2 = _events(
+        spark, tdir, mergeKeys="id",
+        startingSequenceNumber=str(ckpt_seq),
+    )
+    rows = {
+        (r["id"], r["_change_type"], r["val"]) for r in ev2.collect()
+    }
+    # window (2, head]: the re-insert of 0, and DV-2's FRESH
+    # retractions (2, 7) ONLY — 0 and 5 must NOT re-retract
+    assert rows == {
+        (0, "insert", "reborn"),
+        (2, "delete_key", None),
+        (7, "delete_key", None),
+    }
+    # upsert replay leaves 0 alive with the re-inserted value
+    table = {
+        (r["id"], r["val"])
+        for r in read_iceberg_table(spark, tdir).collect()
+    }
+    assert table == {
+        (i, f"v{i}") for i in (1, 3, 4, 6, 8, 9)
+    } | {(0, "reborn")}
+
+
+def test_pre_delta_superseding_dv_refuses_keyed(spark):
+    """A superseding DV WITHOUT the engine delta blob (a pre-r13
+    commit, simulated by stripping the blob) cannot certify which
+    retractions are fresh — the keyed plan must refuse with the
+    re-bootstrap recipe rather than emit the union."""
+    import os
+
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
+        ENGINE_DV_DELTA_V1,
+        commit_deletion_vectors,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+        read_puffin_blobs,
+        write_puffin_file,
+    )
+
+    tdir = _mkdir()
+    base = spark.createDataFrame(
+        [(i, 0, f"v{i}") for i in range(10)],
+        "id bigint, grp bigint, val string",
+    ).coalesce(1)
+    write_iceberg_table(spark, base, tdir, now_ms=1_000)
+    commit_deletion_vectors(spark, tdir, "id = 1", now_ms=2_000)
+    commit_deletion_vectors(spark, tdir, "id = 2", now_ms=3_000)
+    # strip the delta blob from the superseding puffin, preserving the
+    # union blob's offset (it precedes the delta blob in the file)
+    deletes_dir = os.path.join(tdir, "deletes")
+    stripped = 0
+    for name in sorted(os.listdir(deletes_dir)):
+        path = os.path.join(deletes_dir, name)
+        blobs = read_puffin_blobs(path)
+        if any(b["type"] == ENGINE_DV_DELTA_V1 for b in blobs):
+            keep = [
+                {
+                    "type": b["type"],
+                    "payload": b["payload"],
+                    "properties": b["properties"],
+                }
+                for b in blobs
+                if b["type"] != ENGINE_DV_DELTA_V1
+            ]
+            write_puffin_file(path, keep, 0, 0)
+            stripped += 1
+    assert stripped == 1
+    with pytest.raises(Exception, match="no engine delta blob"):
+        _events(spark, tdir, mergeKeys="id", startingSequenceNumber="2")
+
+
+def test_is_engine_dv_gate(tmp_path):
+    """Foreign deletion vectors (outside the table's deletes/ dir,
+    wrong name shape, or locator-less) never take the keyed path."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.incremental import (
+        _is_engine_dv,
+    )
+
+    loc = str(tmp_path / "tbl")
+    ok = {
+        "file_path": f"{loc}/deletes/dv-abc123.puffin",
+        "referenced_data_file": f"{loc}/part-0.parquet",
+        "content_offset": 4,
+        "content_size_in_bytes": 10,
+    }
+    assert _is_engine_dv(ok, loc)
+    assert not _is_engine_dv(
+        {**ok, "file_path": "/elsewhere/deletes/dv-abc.puffin"}, loc
+    )
+    assert not _is_engine_dv(
+        {**ok, "file_path": f"{loc}/dv-abc.puffin"}, loc
+    )
+    assert not _is_engine_dv(
+        {**ok, "file_path": f"{loc}/deletes/foreign.puffin"}, loc
+    )
+    assert not _is_engine_dv({**ok, "content_offset": None}, loc)
+    assert not _is_engine_dv({**ok, "referenced_data_file": None}, loc)

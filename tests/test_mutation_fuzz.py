@@ -386,3 +386,180 @@ def test_random_ddl_program_matches_model(spark, tmp_path, seed):
         )
     assert model and len(cols) >= 1
     assert any(t == "op_rename" for t in trace)  # the program renamed
+
+
+@pytest.mark.parametrize("seed", [211])
+def test_random_nested_ddl_program_matches_model(spark, tmp_path, seed):
+    """NESTED-DDL seeded program (r13): renames of struct fields by
+    dotted path — to fresh names AND to historical nested names of
+    OTHER field ids — plus renames of the struct column itself,
+    nested adds via evolution-on-write, merges, row updates, and
+    maintenance, with the model tracking nested values by CURRENT
+    name so a mis-resolved epoch (a nested value served under the
+    wrong id, or a historical name resurrecting another field's
+    physical column) diverges immediately."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        update_table_schema,
+    )
+
+    rng = random.Random(seed)
+    tdir = str(tmp_path / f"nestedfuzz-{seed}")
+    ms = [1_000]
+
+    def tick() -> int:
+        ms[0] += 1_000
+        return ms[0]
+
+    env = ["env"]  # current name of the struct column
+    nf: dict[str, str] = {"ts": "long", "src": "string"}  # env children
+    hist_nested: list[str] = []  # nested names renamed away
+    n_new = [0]
+    next_id = [2_000]
+    model: dict[int, dict] = {
+        i: {"grp": i % 5, "ts": i * 10, "src": f"s{i % 3}"}
+        for i in range(30)
+    }
+
+    _SPARK_T = {"long": "bigint", "int": "int", "string": "string"}
+
+    def schema_str(extra: str = "") -> str:
+        inner = ", ".join(f"{c}:{_SPARK_T[t]}" for c, t in nf.items())
+        return (
+            f"id bigint, grp bigint, {env[0]} struct<{inner}>" + extra
+        )
+
+    def gen_val(i: int, c: str, t: str):
+        if t == "string":
+            return f"{c}-{i % 7}"
+        return (i * (len(c) + 1)) % 100_000
+
+    def row_tuple(i: int, d: dict):
+        return (i, d["grp"], tuple(d.get(c) for c in nf))
+
+    def snap_state():
+        got = {
+            r["id"]: (
+                r["grp"],
+                tuple(
+                    None if r[env[0]] is None else r[env[0]][c]
+                    for c in nf
+                ),
+            )
+            for r in read_iceberg_table(spark, tdir).collect()
+        }
+        exp = {
+            i: (d["grp"], tuple(d.get(c) for c in nf))
+            for i, d in model.items()
+        }
+        return got, exp
+
+    write_iceberg_table(
+        spark,
+        _df(spark, [row_tuple(i, d) for i, d in model.items()],
+            schema_str()),
+        tdir, now_ms=tick(), partition_spec=SPEC,
+    )
+
+    def op_append():
+        rows = []
+        for _ in range(rng.randint(2, 5)):
+            next_id[0] += 1
+            i = next_id[0]
+            d = {"grp": i % 5}
+            d |= {c: gen_val(i, c, t) for c, t in nf.items()}
+            model[i] = d
+            rows.append(row_tuple(i, d))
+        write_iceberg_table(
+            spark, _df(spark, rows, schema_str()), tdir,
+            now_ms=tick(), partition_spec=SPEC,
+        )
+
+    def op_append_evolve():
+        # evolution-on-write ADDS a nested field inside the struct
+        n_new[0] += 1
+        name, t = f"n{n_new[0]}", rng.choice(["long", "string"])
+        nf[name] = t  # old rows read null (model .get -> None)
+        op_append()
+
+    def op_merge():
+        live = sorted(model)
+        rows = []
+        for i in rng.sample(live, min(len(live), rng.randint(2, 4))):
+            if rng.random() < 0.3:
+                rows.append((i, None, None, "d"))
+                model.pop(i)
+            else:
+                d = {"grp": i % 5}
+                d |= {c: gen_val(i + 31, c, t) for c, t in nf.items()}
+                model[i] = d
+                rows.append((*row_tuple(i, d), "u"))
+        merge_upsert(
+            spark, _df(spark, rows, schema_str(", op string")),
+            tdir, on=["id"], op_col="op", partition_spec=SPEC,
+            now_ms=tick(),
+        )
+
+    def op_update():
+        m, r, k = rng.randint(2, 7), rng.randint(0, 1), rng.randint(1, 99)
+        update_where(
+            spark, tdir, f"id % {m} = {r}", {"grp": f"grp + {k}"},
+            now_ms=tick(),
+        )
+        for i, d in model.items():
+            if i % m == r:
+                d["grp"] = d["grp"] + k
+
+    def op_nested_rename():
+        old = rng.choice(list(nf))
+        cand = [n for n in hist_nested if n not in nf and n != old]
+        if cand and rng.random() < 0.4:
+            new = rng.choice(cand)  # a historical nested name —
+            # must bind to THIS id only, never resurrect the old id's
+            # physical column
+        else:
+            n_new[0] += 1
+            new = f"r{n_new[0]}"
+        update_table_schema(
+            tdir, rename={f"{env[0]}.{old}": new}, now_ms=tick()
+        )
+        hist_nested.append(old)
+        nf[new] = nf.pop(old)
+        for d in model.values():
+            if old in d:
+                d[new] = d.pop(old)
+
+    def op_env_rename():
+        n_new[0] += 1
+        new = f"e{n_new[0]}"
+        update_table_schema(tdir, rename={env[0]: new}, now_ms=tick())
+        env[0] = new
+
+    def op_maintain():
+        if rng.random() < 0.5:
+            rewrite_data_files(spark, tdir, now_ms=tick(), sort_by=["id"])
+        else:
+            expire_snapshots(tdir, keep_last=3, now_ms=tick())
+            remove_orphan_files(tdir, older_than_timestamp_ms=10**14)
+
+    ops = (
+        [op_append] * 4 + [op_append_evolve] * 2 + [op_merge] * 3
+        + [op_update] * 2 + [op_nested_rename] * 5 + [op_env_rename] * 2
+        + [op_maintain] * 2
+    )
+    trace = []
+    for step in range(22):
+        op = rng.choice(ops)
+        trace.append(op.__name__)
+        op()
+        got, exp = snap_state()
+        diff = {
+            i: (got.get(i), exp.get(i))
+            for i in set(got) | set(exp)
+            if got.get(i) != exp.get(i)
+        }
+        assert got == exp, (
+            f"seed={seed} diverged at step {step} ({op.__name__}); "
+            f"trace={trace}; env={env[0]}; nf={nf}; "
+            f"diff(got,exp)={dict(sorted(diff.items())[:4])}"
+        )
+    assert any(t == "op_nested_rename" for t in trace)

@@ -1604,6 +1604,192 @@ def iceberg_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NESTED_RENAME_CACHE: dict[tuple, tuple] = {}
+
+
+def _nested_renamed_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Base table (id, grp, env struct<src:string, v:bigint>) with
+    v=id*3, then a NESTED rename lifecycle (r13,
+    `commit.update_table_schema(rename={"env.v": ...})`):
+    ``env.v`` -> ``amount`` (metadata-only, epoch 1), an append under
+    the new nested name (id+OFFSET where id%97==0, amount=id*2), then
+    a COMBINED DDL renaming the ancestor AND its leaf in one commit —
+    ``env`` -> ``envelope``, ``envelope.amount`` -> ``amt`` (epoch 2;
+    nested renames apply by leaf field id, so ancestor+child compose).
+    Returns (table_dir, metadata)."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        update_table_schema,
+        write_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _NESTED_RENAME_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id")
+    )
+    base = ids.select(
+        "id",
+        (F.col("id") % 10).cast("bigint").alias("grp"),
+        F.struct(
+            F.concat(F.lit("s"), (F.col("id") % 5)).alias("src"),
+            (F.col("id") * 3).cast("bigint").alias("v"),
+        ).alias("env"),
+    )
+    tdir = tempfile.mkdtemp(prefix="iceberg-nested-rename-q-")
+    meta = write_iceberg_table(spark, base, tdir, now_ms=1_000)
+    update_table_schema(tdir, rename={"env.v": "amount"}, now_ms=2_000)
+    inserts = ids.where(F.col("id") % 97 == 0).select(
+        (F.col("id") + INSERT_OFFSET).alias("id"),
+        (F.col("id") % 10).cast("bigint").alias("grp"),
+        F.struct(
+            F.concat(F.lit("s"), (F.col("id") % 5)).alias("src"),
+            (F.col("id") * 2).cast("bigint").alias("amount"),
+        ).alias("env"),
+    )
+    write_iceberg_table(spark, inserts, tdir, now_ms=3_000)
+    meta = update_table_schema(
+        tdir,
+        rename={"env": "envelope", "env.amount": "amt"},
+        now_ms=4_000,
+    )
+    out = (tdir, meta)
+    session_cache_put(_NESTED_RENAME_CACHE, key, out)
+    return out
+
+
+@query(
+    "iceberg_nested_rename_scan",
+    oracle="""
+WITH ids AS (SELECT event_id AS id FROM events),
+live AS (
+  SELECT id % 10 AS g, 's' || CAST(id % 5 AS VARCHAR) AS src,
+         id * 3 AS amt
+  FROM ids
+  UNION ALL
+  SELECT id % 10, 's' || CAST(id % 5 AS VARCHAR), id * 2
+  FROM ids WHERE id % 97 = 0
+)
+SELECT CAST(g AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(amt) AS BIGINT) AS sum_amt,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src,
+       CAST(1 AS BIGINT) AS nested_rename_pins
+FROM live
+GROUP BY g
+""",
+)
+def iceberg_nested_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED rename lifecycle (r13): ``env.v`` -> ``env.amount`` ->
+    (``env`` -> ``envelope``, leaf -> ``amt`` in ONE combined DDL),
+    with an append mid-lifecycle, scanned under the final names. Reads
+    rebuild each pre-rename file's struct column by FIELD ID under its
+    write-time naming epoch (`manifests._realias_expr` — a projection,
+    no shuffle), so epoch-0 files (physical ``env.v``) and the epoch-1
+    append (physical ``env.amount``) both serve ``envelope.amt``
+    exactly — the nested analog of real Iceberg's id-based resolution
+    (`SchemaUpdate.java:17-127` in the reference's Iceberg
+    dependency). ``nested_rename_pins`` pins the structure: 3 schema
+    versions + naming-epoch 2 with NO snapshot added by either DDL,
+    the name-mapping property recurses (Appendix C ``fields``) listing
+    all three leaf names oldest-first under both ancestor names, the
+    post-rename file carries real parquet field ids on NESTED struct
+    children, and epoch-0 files still physically hold ``env.v``.
+    Scale shape: nested RENAME on a 100 TB table is one metadata
+    version write — zero data movement; the read adds one struct
+    rebuild to the projection of pre-rename scan groups only."""
+    import json as _json
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
+        plan_scan,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+        file_naming_epoch,
+    )
+
+    tdir, meta = _nested_renamed_table(spark, sf_dir)
+    mapping = _json.loads(
+        meta["properties"]["schema.name-mapping.default"]
+    )
+    env_entry = next(
+        (m for m in mapping if "env" in m.get("names", [])), {}
+    )
+    leaf_entry = next(
+        (
+            f
+            for f in env_entry.get("fields", [])
+            if "amt" in f.get("names", [])
+        ),
+        {},
+    )
+    epochs = {file_naming_epoch(d["file_path"]) for d in plan_scan(tdir)}
+
+    def _nested_field_ids_stamped() -> bool:
+        import pyarrow.parquet as pq
+
+        path = next(
+            (
+                d["file_path"]
+                for d in plan_scan(tdir)
+                if file_naming_epoch(d["file_path"]) == 1
+            ),
+            None,
+        )
+        if path is None:  # tiny sf: the %97 insert batch was empty
+            return True
+        env_f = pq.read_schema(path).field("env")
+        child_ids = {
+            env_f.type.field(i).name: int(
+                env_f.type.field(i).metadata[b"PARQUET:field_id"]
+            )
+            for i in range(env_f.type.num_fields)
+            if env_f.type.field(i).metadata
+            and b"PARQUET:field_id" in env_f.type.field(i).metadata
+        }
+        return child_ids.get("amount") == leaf_entry.get("field-id")
+
+    def _epoch0_physically_holds_v() -> bool:
+        import pyarrow.parquet as pq
+
+        path = next(
+            d["file_path"]
+            for d in plan_scan(tdir)
+            if file_naming_epoch(d["file_path"]) == 0
+        )
+        env_t = pq.read_schema(path).field("env").type
+        return {env_t.field(i).name for i in range(env_t.num_fields)} == {
+            "src", "v",
+        }
+
+    pin = 1 if (
+        len(meta["schemas"]) == 3
+        and meta["properties"]["engine.naming-epoch"] == "2"
+        and len(meta["snapshots"]) == 2  # DDLs committed no snapshot
+        and env_entry.get("names") == ["env", "envelope"]
+        and leaf_entry.get("names") == ["v", "amount", "amt"]
+        and 0 in epochs and epochs <= {0, 1}
+        and _nested_field_ids_stamped()
+        and _epoch0_physically_holds_v()
+    ) else 0
+    return (
+        read_iceberg_table(spark, tdir)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("envelope.amt").cast("bigint").alias("sum_amt"),
+            F.countDistinct("envelope.src").cast("bigint").alias("n_src"),
+        )
+        .select(
+            "grp", "n_live", "sum_amt", "n_src",
+            F.lit(pin).cast("bigint").alias("nested_rename_pins"),
+        )
+    )
+
+
 _POST_UPDATE_MIRROR_CACHE: dict[tuple, tuple] = {}
 
 
@@ -1734,6 +1920,155 @@ def iceberg_post_update_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "grp", "n_live", "sum_v",
             F.lit(pin).cast("bigint").alias("update_crossed"),
+        )
+    )
+
+
+_DV_MIRROR_CACHE: dict[tuple, tuple] = {}
+
+
+def _dv_retraction_mirrored(spark: SparkSession, sf_dir: str) -> tuple:
+    """Replication ACROSS deletion-vector deletes (r13), including a
+    SUPERSEDING one: source (keys = distinct event_id % 400, v=id*3,
+    one base file) is mirrored (checkpoint BEFORE any delete), then —
+    all inside the next catch-up window — DV-1 deletes id%7==3, the
+    even half of those keys RE-INSERTS with v=id*9 (a new data file),
+    and DV-2 deletes live id%11==4 rows, superseding DV-1 on the base
+    file (v3 single-live-DV rule: union bitmap) while being a FIRST DV
+    for the re-insert file. The catch-up resolves both to keyed
+    retractions via the FRESH bitmaps (`engine-dv-delta-v1` sibling
+    blob for the supersede, the ``delta: self``-stamped spec blob for
+    the first DV) — emitting DV-2's union instead would wrongly
+    retract the re-inserted keys, which the oracle hash would catch.
+    Returns (dst_dir, pin)."""
+    import os
+
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501
+        ENGINE_DV_DELTA_V1,
+        commit_deletion_vectors,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_table_metadata,
+        write_iceberg_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+        read_puffin_blobs,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        mirror_iceberg_table,
+    )
+
+    key = session_cache_key(spark, sf_dir)
+    cached = _DV_MIRROR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = (
+        load_table(spark, sf_dir, "events")
+        .select((F.col("event_id") % 400).alias("id"))
+        .distinct()
+    )
+    grp = (F.col("id") % 10).cast("bigint")
+    root = tempfile.mkdtemp(prefix="iceberg-dv-mirror-q-")
+    src, dst = os.path.join(root, "src"), os.path.join(root, "dst")
+    ckpt = os.path.join(root, "ckpt")
+    write_iceberg_table(
+        spark,
+        ids.select(
+            "id", grp.alias("grp"),
+            (F.col("id") * 3).cast("bigint").alias("v"),
+        ).coalesce(1),  # one base file: DV-2 must supersede DV-1 on it
+        src, now_ms=1_000,
+    )
+
+    def catchup():
+        q = mirror_iceberg_table(
+            spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    catchup()  # checkpoint now BEFORE any DV
+    n_dst_before = len(read_table_metadata(dst)["metadata"]["snapshots"])
+    commit_deletion_vectors(spark, src, "id % 7 = 3", now_ms=2_000)
+    write_iceberg_table(
+        spark,
+        ids.where((F.col("id") % 7 == 3) & (F.col("id") % 2 == 0))
+        .select(
+            "id", grp.alias("grp"),
+            (F.col("id") * 9).cast("bigint").alias("v"),
+        ).coalesce(1),
+        src, now_ms=3_000,
+    )
+    commit_deletion_vectors(spark, src, "id % 11 = 4", now_ms=4_000)
+    catchup()  # one window crossing BOTH DVs + the re-insert
+    n_dst_after = len(read_table_metadata(dst)["metadata"]["snapshots"])
+    deletes_dir = os.path.join(src, "deletes")
+    n_delta_blobs = sum(
+        1
+        for name in sorted(os.listdir(deletes_dir))
+        for b in read_puffin_blobs(os.path.join(deletes_dir, name))
+        if b["type"] == ENGINE_DV_DELTA_V1
+    )
+    pin = 1 if (
+        # DV-2 really superseded DV-1 on the base file: exactly one
+        # engine delta blob exists across the table's DV files
+        n_delta_blobs == 1
+        # the catch-up applied exactly ONE incremental batch —
+        # convergence came from crossing the window, not re-bootstrap
+        and n_dst_after == n_dst_before + 1
+    ) else 0
+    out = (dst, pin)
+    session_cache_put(_DV_MIRROR_CACHE, key, out)
+    return out
+
+
+@query(
+    "iceberg_dv_retraction_mirror",
+    oracle="""
+WITH ids AS (SELECT DISTINCT event_id % 400 AS id FROM events),
+final AS (
+  SELECT id, id * 3 AS v FROM ids
+  WHERE id % 7 <> 3 AND id % 11 <> 4
+  UNION ALL
+  SELECT id, id * 9 FROM ids
+  WHERE id % 7 = 3 AND id % 2 = 0 AND id % 11 <> 4
+)
+SELECT CAST(id % 10 AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(1 AS BIGINT) AS dv_crossed
+FROM final
+GROUP BY CAST(id % 10 AS BIGINT)
+""",
+)
+def iceberg_dv_retraction_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A live mirror crossing DELETION-VECTOR deletes (r13): the keyed
+    changelog resolves each window DV to pre-image key retractions
+    from its FRESH bitmap — the `engine-dv-delta-v1` sibling blob for
+    a superseding DV (whose spec blob is the union with its
+    predecessors and would wrongly re-retract re-inserted keys), the
+    ``delta: self``-stamped spec blob for a first DV — so a v3-style
+    DELETE on a mirrored 100 TB table costs its consumers O(deleted
+    rows), never a re-sync, and maintenance windows no longer need
+    the changelog_safe_windows hop. ``dv_crossed`` pins the
+    structure: exactly one delta blob (the supersede happened) and
+    exactly one incremental batch applied by the catch-up. The
+    re-inserted keys (id%7==3, even, id%11!=4 → v=id*9) surviving in
+    the MIRROR is the delta-soundness proof the oracle hash checks."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+    )
+
+    dst, pin = _dv_retraction_mirrored(spark, sf_dir)
+    return (
+        read_iceberg_table(spark, dst)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+        )
+        .select(
+            "grp", "n_live", "sum_v",
+            F.lit(pin).cast("bigint").alias("dv_crossed"),
         )
     )
 

@@ -78,6 +78,16 @@ from tiered_storage_for_apache_kafka_spark.sources.puffin import (
 #: unframed bitmaps, so every blob this engine writes carries it.
 DV_MAGIC = bytes((0xD1, 0xD3, 0x39, 0x64))
 
+#: Engine-internal sibling blob (r13): the FRESH-only positions of one
+#: DV commit, written beside each superseding ``deletion-vector-v1``
+#: blob in the same Puffin file. The spec blob carries the UNION with
+#: the superseded priors (v3 single-live-DV rule); a keyed changelog
+#: consumer needs exactly the rows newly retracted by THIS commit —
+#: re-emitting the union at the commit's sequence number would retract
+#: keys re-inserted since the priors. First DVs for a file (no
+#: supersede) write no delta blob: their spec blob IS the delta.
+ENGINE_DV_DELTA_V1 = "engine-dv-delta-v1"
+
 #: Default cap on deletion-vector bytes gathered to the driver by one
 #: commit (the per-touched-file roaring payloads that get packed into
 #: a single Puffin file). Estimated BEFORE any payload is collected —
@@ -260,16 +270,23 @@ def write_deletion_vectors(
     # v3 single-live-DV rule: the new DV for a file SUPERSEDES the old
     # one, so it must carry the union of both position sets (the new
     # matches are disjoint from the old — the re-match above already
-    # excluded DV-deleted rows). Old bitmaps ship to executors as
-    # binary rows and explode into the matched set BEFORE the per-file
-    # bitmap build — deleted positions never materialize on the driver.
+    # excluded DV-deleted rows). Prior payloads were fetched above for
+    # the cap estimate's inputs; the union happens driver-side under
+    # that same cap, and the FRESH-only bitmap is kept separately: it
+    # becomes the ``engine-dv-delta-v1`` sibling blob the keyed
+    # changelog consumes (r13) — the union blob re-stamps the priors'
+    # retractions at the NEW sequence number, so emitting it as keyed
+    # retractions would wrongly retract keys re-inserted since; the
+    # delta blob is exactly the rows newly retracted by THIS commit.
     superseded_by_file: dict[str, list[dict]] = {}
+    prior_payloads: dict[str, list[bytes]] = {}
     if live_dv:
         blob_cache: dict[str, list[dict]] = {}
-        old_rows: list[tuple[str, bytes]] = []
         for ref in sorted(live_dv):
             for oe in live_dv[ref]:
-                old_rows.append((ref, _dv_entry_payload(oe, blob_cache)))
+                prior_payloads.setdefault(ref, []).append(
+                    _dv_entry_payload(oe, blob_cache)
+                )
                 superseded_by_file.setdefault(ref, []).append(
                     {
                         "puffin_path": oe["file_path"],
@@ -277,12 +294,6 @@ def write_deletion_vectors(
                         "cardinality": int(oe["record_count"]),
                     }
                 )
-        old_pos = spark.createDataFrame(
-            old_rows, "__iceberg_file string, __dv binary"
-        ).mapInPandas(
-            _explode_dv_rows, "__iceberg_file string, __iceberg_pos bigint"
-        )
-        matched = matched.unionByName(old_pos)
 
     def _bitmap_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -299,15 +310,59 @@ def write_deletion_vectors(
         .applyInPandas(_bitmap_group, "file string, payload binary, cardinality bigint")
         .collect()
     )
-    out_blobs = [
-        {
-            "file": r["file"],
-            "payload": bytes(r["payload"]),
-            "cardinality": int(r["cardinality"]),
-            "superseded": superseded_by_file.get(r["file"], []),
-        }
-        for r in sorted(blobs, key=lambda r: r["file"])
-    ]
+    out_blobs = []
+    for r in sorted(blobs, key=lambda r: r["file"]):
+        import numpy as np
+
+        from tiered_storage_for_apache_kafka_spark.roaring import (
+            deserialize_roaring64,
+        )
+
+        fresh_payload = bytes(r["payload"])
+        fresh_card = int(r["cardinality"])
+        priors = prior_payloads.get(r["file"])
+        if priors:
+            allpos = np.unique(
+                np.concatenate(
+                    [
+                        deserialize_roaring64(
+                            unframe_dv_payload(fresh_payload)
+                        ).astype(np.int64)
+                    ]
+                    + [
+                        deserialize_roaring64(
+                            unframe_dv_payload(p)
+                        ).astype(np.int64)
+                        for p in priors
+                    ]
+                )
+            )
+            out_blobs.append(
+                {
+                    "file": r["file"],
+                    "payload": frame_dv_payload(
+                        serialize_roaring64(allpos)
+                    ),
+                    "cardinality": int(len(allpos)),
+                    "delta_payload": fresh_payload,
+                    "delta_cardinality": fresh_card,
+                    "superseded": superseded_by_file.get(r["file"], []),
+                }
+            )
+        else:
+            # no prior DV: the whole bitmap IS the fresh delta — no
+            # sibling blob needed (readers treat its absence plus
+            # no-priors as fresh-by-construction)
+            out_blobs.append(
+                {
+                    "file": r["file"],
+                    "payload": fresh_payload,
+                    "cardinality": fresh_card,
+                    "delta_payload": None,
+                    "delta_cardinality": fresh_card,
+                    "superseded": [],
+                }
+            )
     out_dir = os.path.join(table_dir, "deletes")
     os.makedirs(out_dir, exist_ok=True)
     puffin_path = os.path.join(out_dir, f"dv-{uuid.uuid4().hex[:16]}.puffin")
@@ -315,26 +370,53 @@ def write_deletion_vectors(
         d["file_path"]: {n: d["partition"].get(n) for n in part_names}
         for d in data
     }
-    result = write_puffin_file(
-        puffin_path,
-        [
+    blob_specs = []
+    for r in out_blobs:
+        props = {
+            "referenced-data-file": r["file"],
+            "cardinality": str(r["cardinality"]),
+        }
+        if r["delta_payload"] is None:
+            # a FIRST DV (no supersede): the blob is entirely fresh,
+            # and this stamp certifies it durably — the keyed consumer
+            # must not have to prove no-priors from manifest history,
+            # which snapshot expiration can truncate (GC horizon)
+            props["delta"] = "self"
+        blob_specs.append(
             {
                 "type": DELETION_VECTOR_V1,
                 "payload": r["payload"],
-                "properties": {
-                    "referenced-data-file": r["file"],
-                    "cardinality": str(r["cardinality"]),
-                },
+                "properties": props,
             }
-            for r in out_blobs
-        ],
+        )
+        if r["delta_payload"] is not None:
+            blob_specs.append(
+                {
+                    "type": ENGINE_DV_DELTA_V1,
+                    "payload": r["delta_payload"],
+                    "properties": {
+                        "referenced-data-file": r["file"],
+                        "cardinality": str(r["delta_cardinality"]),
+                    },
+                }
+            )
+    result = write_puffin_file(
+        puffin_path,
+        blob_specs,
         # the snapshot that adds these DVs is the NEXT one: the commit
         # path assigns snapshot_id = seq = last-sequence-number + 1
         snapshot_id=meta["last-sequence-number"] + 1,
         sequence_number=meta["last-sequence-number"] + 1,
     )
+    # manifest locators point at the spec's DV blobs only; delta blobs
+    # are engine-internal siblings found by footer parse
+    dv_bms = [
+        bm
+        for spec, bm in zip(blob_specs, result["blob_metadata"])
+        if spec["type"] == DELETION_VECTOR_V1
+    ]
     stats = []
-    for r, bm in zip(out_blobs, result["blob_metadata"]):
+    for r, bm in zip(out_blobs, dv_bms):
         stats.append(
             {
                 "delete_path": puffin_path,

@@ -850,23 +850,43 @@ def _schema_updates(base: dict) -> list[dict]:
 
 def _name_mapping_json(schemas: list[dict]) -> str:
     """The table's ``schema.name-mapping.default`` property (Iceberg
-    spec Appendix C): for every top-level field id, every name any
-    schema version ever bound to it — how an external id-based reader
+    spec Appendix C): for every field id, every name any schema
+    version ever bound to it — how an external id-based reader
     resolves files that predate parquet field-id stamping. Names are
-    listed oldest-first; nested mappings are omitted (nested renames
-    are not offered)."""
-    names_by_id: dict[int, list[str]] = {}
+    listed oldest-first; struct subtrees recurse through nested
+    ``fields`` entries (Appendix C's own recursion), so nested renames
+    (r13) resolve for external readers too. List/map inner nodes are
+    omitted: their element/key/value ids are not expressible through
+    Spark's parquet writer either, and renames inside them are
+    refused."""
+    # one node per field id, merged across every schema version:
+    # ids are globally unique, so the tree shape is stable and a
+    # node's children are the union of its struct children over time
+    def collect(struct_fields: list[dict], node_map: dict) -> None:
+        for f in struct_fields:
+            node = node_map.setdefault(
+                f["id"], {"names": [], "children": {}}
+            )
+            if f["name"] not in node["names"]:
+                node["names"].append(f["name"])
+            t = f["type"]
+            if isinstance(t, dict) and t.get("type") == "struct":
+                collect(t["fields"], node["children"])
+
+    roots: dict = {}
     for s in sorted(schemas, key=lambda s: s["schema-id"]):
-        for f in s["fields"]:
-            lst = names_by_id.setdefault(f["id"], [])
-            if f["name"] not in lst:
-                lst.append(f["name"])
-    return json.dumps(
-        [
-            {"field-id": fid, "names": names}
-            for fid, names in sorted(names_by_id.items())
-        ]
-    )
+        collect(s["fields"], roots)
+
+    def emit(node_map: dict) -> list[dict]:
+        out = []
+        for fid, node in sorted(node_map.items()):
+            entry = {"field-id": fid, "names": node["names"]}
+            if node["children"]:
+                entry["fields"] = emit(node["children"])
+            out.append(entry)
+        return out
+
+    return json.dumps(emit(roots))
 
 
 def update_table_schema(
@@ -910,18 +930,28 @@ def update_table_schema(
       sources refuse; bucket sources are fine).
     - ``rename={old: new}``: metadata-only column rename (field id,
       type, required-ness unchanged — the Iceberg identity contract).
-      Committed files keep their physical names; reads re-alias each
-      file's columns BY FIELD ID under its write-time naming epoch, so
-      both old and new files serve the new name exactly. Guarded:
-      a partition-spec SOURCE column of any generation refuses (hive
+      ``old`` may be a DOTTED PATH naming a nested struct field
+      (``"kafka.ts"``; r13 — the same surface real Iceberg's
+      `SchemaUpdate.renameColumn` offers, the machinery the reference
+      inherits at `SchemaUpdate.java:17-127`); ``new`` is always the
+      bare new leaf name. Committed files keep their physical names;
+      reads re-alias each file's columns — top-level AND nested — BY
+      FIELD ID under its write-time naming epoch, so both old and new
+      files serve the new name exactly. Paths that traverse a list or
+      map refuse (Spark cannot re-alias array-element struct fields
+      without a nullability-perturbing lambda rebuild, and the writer
+      cannot stamp their parquet ids either). Guarded: a
+      partition-spec SOURCE column of any generation refuses (hive
       path recovery and spec-field naming key on the written name —
       evolve the spec instead), as does a key column of a LIVE
       equality-delete file (the delete rows' physical key columns are
       resolved under the read schema's names; retire the equality
-      plane first, same recipe as drop). The table's
+      plane first, same recipe as drop); renaming a field while
+      DROPPING its ancestor in the same DDL refuses. The table's
       ``schema.name-mapping.default`` property (spec Appendix C) is
-      refreshed with every historical name so external readers can
-      resolve legacy files too.
+      refreshed with every historical name — nested entries recurse
+      through ``fields`` — so external readers can resolve legacy
+      files too.
     """
     import time as _time
 
@@ -930,6 +960,7 @@ def update_table_schema(
     )
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
         guard_partition_source_promotion,
+        resolve_field_path,
         spark_schema_to_iceberg_type,
     )
 
@@ -947,9 +978,27 @@ def update_table_schema(
     if not (add or drop or make_optional or promote or rename):
         return base  # no-op
 
-    for name in [*drop, *make_optional, *promote, *rename]:
+    top_rename = {k: v for k, v in rename.items() if "." not in k}
+    nested_rename = {k: v for k, v in rename.items() if "." in k}
+    for name in [*drop, *make_optional, *promote, *top_rename]:
         if name not in fields:
             raise ValueError(f"column {name!r} not in the current schema")
+    # nested rename paths resolve against the current schema; the
+    # resolver refuses paths through lists/maps and missing segments
+    nested_chains: dict[str, list[dict]] = {}
+    for path, new in nested_rename.items():
+        if "." in new:
+            raise ValueError(
+                f"rename target {new!r} must be a bare field name "
+                f"(the field stays inside {path.rsplit('.', 1)[0]!r}; "
+                "moving fields between structs is not offered)"
+            )
+        nested_chains[path] = resolve_field_path(cur_schema, path)
+        if path.split(".", 1)[0] in drop:
+            raise ValueError(
+                f"cannot rename {path!r} AND drop its ancestor "
+                f"{path.split('.', 1)[0]!r} in one DDL"
+            )
 
     # ---- adds ----
     _PRIMS = {
@@ -1015,17 +1064,22 @@ def update_table_schema(
                     f"{order.get('order-id')})"
                 )
     # ---- rename guards ----
-    rename_ids = {fields[n]["id"] for n in rename}
+    rename_id_to_path = {
+        fields[n]["id"]: n for n in top_rename
+    } | {
+        chain[-1]["id"]: path for path, chain in nested_chains.items()
+    }
+    rename_ids = set(rename_id_to_path)
     if rename:
-        both = sorted(set(rename) & set(drop))
+        both = sorted(set(top_rename) & set(drop))
         if both:
             raise ValueError(f"cannot rename AND drop {both!r} in one DDL")
         for spec in base.get("partition-specs", []):
             for f in spec["fields"]:
                 if f["source-id"] in rename_ids:
-                    names = {fields[n]["id"]: n for n in rename}
                     raise ValueError(
-                        f"cannot rename {names[f['source-id']]!r}: it is "
+                        f"cannot rename "
+                        f"{rename_id_to_path[f['source-id']]!r}: it is "
                         f"a partition source of spec {spec['spec-id']} "
                         "(hive path recovery and spec-field naming key "
                         "on the written name) — evolve the partition "
@@ -1047,13 +1101,12 @@ def update_table_schema(
                 d = e["data_file"]
                 if e["status"] != 2 and d.get("content") == 2:
                     live_eq_ids |= set(d.get("equality_ids") or [])
-        for verb, ids, pool in (
-            ("drop", drop_ids, drop),
-            ("rename", rename_ids, rename),
+        for verb, ids, names in (
+            ("drop", drop_ids, {fields[n]["id"]: n for n in drop}),
+            ("rename", rename_ids, rename_id_to_path),
         ):
             hit = sorted(ids & live_eq_ids)
             if hit:
-                names = {fields[n]["id"]: n for n in pool}
                 raise ValueError(
                     f"cannot {verb} {[names[i] for i in hit]!r}: LIVE "
                     "equality-delete files key on them — run "
@@ -1079,11 +1132,68 @@ def update_table_schema(
                     f"{f['name']!r} (int->long and float->double only)"
                 )
             nf["type"] = got
-        if f["name"] in rename:
-            nf["name"] = rename[f["name"]]  # same id, same type: the
-            # column's identity is its field id (Iceberg contract)
+        if f["name"] in top_rename:
+            nf["name"] = top_rename[f["name"]]  # same id, same type:
+            # the column's identity is its field id (Iceberg contract)
         out_fields.append(nf)
     out_fields += new_fields
+    if nested_chains:
+        # nested renames apply BY LEAF FIELD ID (globally unique), so
+        # they compose with same-DDL top-level renames of their
+        # ancestors in either order
+        nested_new = {
+            chain[-1]["id"]: nested_rename[path]
+            for path, chain in nested_chains.items()
+        }
+
+        def ren_type(t):
+            if not isinstance(t, dict):
+                return t
+            if t.get("type") == "struct":
+                return {
+                    **t,
+                    "fields": [
+                        {
+                            **f,
+                            "name": nested_new.get(f["id"], f["name"]),
+                            "type": ren_type(f["type"]),
+                        }
+                        for f in t["fields"]
+                    ],
+                }
+            if t.get("type") == "list":
+                return {**t, "element": ren_type(t["element"])}
+            if t.get("type") == "map":
+                return {
+                    **t,
+                    "key": ren_type(t["key"]),
+                    "value": ren_type(t["value"]),
+                }
+            return t
+
+        out_fields = [
+            {**f, "type": ren_type(f["type"])} for f in out_fields
+        ]
+
+    def _check_sibling_dupes(struct_fields, where: str) -> None:
+        names_ = [f["name"] for f in struct_fields]
+        dupes_ = sorted({n for n in names_ if names_.count(n) > 1})
+        if dupes_:
+            raise ValueError(
+                f"DDL would leave duplicate field name(s) {dupes_!r} "
+                f"in {where}"
+            )
+        for f in struct_fields:
+            t = f["type"]
+            if isinstance(t, dict) and t.get("type") == "struct":
+                _check_sibling_dupes(
+                    t["fields"],
+                    f["name"] if where == "the top level"
+                    else f"{where}.{f['name']}",
+                )
+
+    if nested_chains:
+        _check_sibling_dupes(out_fields, "the top level")
     if not out_fields:
         raise ValueError("cannot drop every column")
     final_names = [f["name"] for f in out_fields]

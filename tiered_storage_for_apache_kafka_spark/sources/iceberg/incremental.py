@@ -70,6 +70,179 @@ def plan_incremental_scan(
     )
 
 
+def _is_engine_dv(d: dict, location: str) -> bool:
+    """Whether a PUFFIN delete entry is an ENGINE-produced deletion
+    vector: written by `commit_deletion_vectors` into the table's own
+    ``deletes/`` dir with a per-blob locator and referenced data file.
+    Foreign DVs (another writer's Puffin) stay excluded from keyed
+    resolution — whether their bitmap is fresh or re-stamps a
+    superseded predecessor is unknowable, and a re-stamped retraction
+    emitted at the new sequence would wrongly retract keys re-inserted
+    since."""
+    p = str(d.get("file_path", ""))
+    rel = _os.path.relpath(p, location)
+    return (
+        not rel.startswith("..")
+        and rel.split(_os.sep)[0] == "deletes"
+        and _os.path.basename(p).startswith("dv-")
+        and p.endswith(".puffin")
+        and d.get("referenced_data_file") is not None
+        and d.get("content_offset") is not None
+        and d.get("content_size_in_bytes") is not None
+    )
+
+
+def dv_keyed_plan(meta: dict, dv_entries: list[dict]) -> list[dict]:
+    """Resolve window DV entries to executor-ready KEYED-RETRACTION
+    plans (r13): each returns the locator of the bitmap holding
+    exactly the rows NEWLY retracted at that entry's sequence.
+
+    Four cases, in order:
+    - the entry's Puffin file carries an ``engine-dv-delta-v1``
+      sibling blob for the referenced file (every r13+ supersede
+      writes one) — its locator is the plan;
+    - the spec blob itself carries the ``delta: self`` property
+      (every r13+ FIRST DV stamps it) — the blob is certified
+      entirely fresh, durably (no manifest-history proof needed, so
+      snapshot expiration cannot invalidate it);
+    - neither stamp (a pre-delta commit) but the current manifests
+      list NO prior DV for the file below the entry's seq, with the
+      tombstone GC horizon at <= 1 (full history live, so nothing
+      listable was dropped) — the spec blob is provably fresh;
+    - otherwise REFUSE: a pre-delta superseding DV (or one whose
+      predecessors' tombstones were GC'd) re-stamps old retractions
+      at its own seq, and emitting them keyed would retract
+      re-inserted keys. The caller surfaces the standard
+      re-bootstrap recipe.
+
+    Driver cost: one Puffin footer parse per distinct window DV file
+    plus one manifest sweep for priors — both O(window), only on DV
+    windows."""
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501
+        ENGINE_DV_DELTA_V1,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.puffin import (
+        _read_puffin_entries,
+    )
+
+    gc_horizon = min(
+        (int(s["sequence-number"]) for s in meta.get("snapshots", [])),
+        default=0,
+    )
+    # prior DV entries (ANY status — supersede tombstones included)
+    # per referenced file, from the current manifest list
+    refs = {e["referenced_data_file"] for e in dv_entries}
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, mfs, _ = read_avro_ocf(cur["manifest-list"])
+    priors_by_ref: dict[str, list[dict]] = {}
+    for mf in mfs:
+        if int(mf.get("content") or 0) != 1:
+            continue
+        _, entries, _ = read_avro_ocf(mf["manifest_path"])
+        for e in entries:
+            d = e["data_file"]
+            ref = d.get("referenced_data_file")
+            if (
+                d.get("content") == 1
+                and d.get("file_format") == "PUFFIN"
+                and ref in refs
+            ):
+                seq = e.get("sequence_number")
+                if seq is None:
+                    seq = mf.get("sequence_number", 0)
+                priors_by_ref.setdefault(ref, []).append(
+                    {
+                        "file_path": d["file_path"],
+                        "content_offset": d.get("content_offset"),
+                        "content_size_in_bytes": d.get(
+                            "content_size_in_bytes"
+                        ),
+                        "_seq": int(seq),
+                    }
+                )
+    footer_cache: dict[str, list[dict]] = {}
+    out = []
+    for e in dv_entries:
+        path, ref = e["file_path"], e["referenced_data_file"]
+        if path not in footer_cache:
+            _entries, fmeta = _read_puffin_entries(path)
+            footer_cache[path] = fmeta["blobs"]
+        delta = next(
+            (
+                bm
+                for bm in footer_cache[path]
+                if bm["type"] == ENGINE_DV_DELTA_V1
+                and (bm.get("properties") or {}).get(
+                    "referenced-data-file"
+                )
+                == ref
+            ),
+            None,
+        )
+        if delta is not None:
+            out.append(
+                {
+                    **e,
+                    "delta_offset": delta["offset"],
+                    "delta_size": delta["length"],
+                }
+            )
+            continue
+        main = next(
+            (
+                bm
+                for bm in footer_cache[path]
+                if bm["type"] != ENGINE_DV_DELTA_V1
+                and (bm.get("properties") or {}).get(
+                    "referenced-data-file"
+                )
+                == ref
+            ),
+            None,
+        )
+        if (
+            main is not None
+            and (main.get("properties") or {}).get("delta") == "self"
+        ):
+            out.append(
+                {
+                    **e,
+                    "delta_offset": e["content_offset"],
+                    "delta_size": e["content_size_in_bytes"],
+                }
+            )
+            continue
+        prior = [
+            p
+            for p in priors_by_ref.get(ref, [])
+            if p["_seq"] < int(e["_seq"])
+            and p["file_path"] != path
+        ]
+        if not prior and gc_horizon <= 1:
+            out.append(
+                {
+                    **e,
+                    "delta_offset": e["content_offset"],
+                    "delta_size": e["content_size_in_bytes"],
+                }
+            )
+            continue
+        raise ValueError(
+            f"deletion vector {path} (sequence {e['_seq']}) supersedes "
+            "earlier deletion vectors but carries no engine delta blob "
+            "(written before delta tracking, or its predecessors' "
+            "tombstones were expired): its bitmap re-stamps old "
+            "retractions at the new sequence and cannot be emitted as "
+            "keyed retractions — consume the window with "
+            "read_iceberg_changelog or re-bootstrap from a full sync"
+        )
+    return out
+
+
 def _plan_seq_window(
     meta: dict,
     lo_seq: int,
@@ -77,6 +250,7 @@ def _plan_seq_window(
     constraints: dict | None = None,
     eq_sink: list | None = None,
     pos_sink: list | None = None,
+    dv_sink: list | None = None,
 ) -> list[dict]:
     """Data files appended with ``lo_seq < seq <= hi_seq``, planned from
     the CURRENT snapshot — correct even when every snapshot inside the
@@ -202,11 +376,39 @@ def _plan_seq_window(
                 # retractions at the conversion's NEWER seq — a key
                 # re-inserted in between would be wrongly retracted;
                 # the view-neutral skip above already handles them at
-                # or above the GC horizon) and deletion vectors
-                # (PUFFIN, maintenance-produced; maintenance windows
-                # are hopped via changelog_safe_windows).
+                # or above the GC horizon); ENGINE deletion vectors
+                # resolve via dv_sink below (r13), foreign ones still
+                # refuse.
                 pos_sink.append(
                     {"file_path": d["file_path"], "_seq": seq}
+                )
+                continue
+            if (
+                dv_sink is not None
+                and d.get("content") == 1
+                and d.get("file_format") == "PUFFIN"
+                and _is_engine_dv(d, meta["location"])
+            ):
+                # keyed-changelog mode WITH merge keys: an engine
+                # deletion vector resolves to keyed retractions too
+                # (r13) — the planner later picks the FRESH-only
+                # bitmap (the engine delta blob, or the whole bitmap
+                # for a first DV) via dv_keyed_plan, and the reader
+                # looks up pre-image keys in the referenced data file
+                # exactly like parquet position deletes. Foreign DVs
+                # fall through to the refusal below.
+                dv_sink.append(
+                    {
+                        "file_path": d["file_path"],
+                        "_seq": seq,
+                        "referenced_data_file": d.get(
+                            "referenced_data_file"
+                        ),
+                        "content_offset": d.get("content_offset"),
+                        "content_size_in_bytes": d.get(
+                            "content_size_in_bytes"
+                        ),
+                    }
                 )
                 continue
             if d.get("content") in (1, 2):

@@ -168,6 +168,70 @@ def _epoch_groups(paths: list[str]) -> dict[int, list[str]]:
     return out
 
 
+def _type_diverges(epoch_t, read_t) -> bool:
+    """Whether an epoch-named type tree differs from the read schema's
+    anywhere below this node — a nested rename, or a struct field the
+    epoch never had (added later). Field-id identity makes the trees
+    comparable node by node. List/map subtrees recurse for
+    completeness but cannot diverge today (renames inside them are
+    refused at DDL time and evolution never adds fields inside
+    them)."""
+    if not isinstance(read_t, dict):
+        return False
+    kind = read_t.get("type")
+    if kind == "struct":
+        e_by_id = {f["id"]: f for f in epoch_t["fields"]}
+        for rf in read_t["fields"]:
+            ef = e_by_id.get(rf["id"])
+            if ef is None or ef["name"] != rf["name"]:
+                return True
+            if _type_diverges(ef["type"], rf["type"]):
+                return True
+        return False
+    if kind == "list":
+        return _type_diverges(epoch_t["element"], read_t["element"])
+    if kind == "map":
+        return _type_diverges(
+            epoch_t["key"], read_t["key"]
+        ) or _type_diverges(epoch_t["value"], read_t["value"])
+    return False
+
+
+def _realias_expr(src, epoch_t, read_t, spark_t):
+    """A Column expression reshaping ``src`` (typed as the epoch-named
+    tree ``epoch_t``) to the read schema's tree ``read_t``: nested
+    struct fields re-alias by FIELD ID, struct fields the epoch never
+    had null-pad at their declared type, and a NULL struct stays NULL
+    (the F.struct rebuild alone would manufacture a non-null struct of
+    nulls). Identical subtrees pass through untouched, so a
+    top-level-only rename keeps its original single-alias plan."""
+    from pyspark.sql import functions as F
+
+    if not isinstance(read_t, dict) or read_t.get("type") != "struct":
+        return src  # primitives and (invariant: never-diverging)
+        # list/map subtrees pass through
+    if not _type_diverges(epoch_t, read_t):
+        return src
+    e_by_id = {f["id"]: f for f in epoch_t["fields"]}
+    children = []
+    for rf in read_t["fields"]:
+        ch_spark = spark_t[rf["name"]].dataType
+        ef = e_by_id.get(rf["id"])
+        if ef is None:
+            children.append(
+                F.lit(None).cast(ch_spark).alias(rf["name"])
+            )
+        else:
+            children.append(
+                _realias_expr(
+                    src[ef["name"]], ef["type"], rf["type"], ch_spark
+                ).alias(rf["name"])
+            )
+    return F.when(src.isNotNull(), F.struct(*children)).otherwise(
+        F.lit(None).cast(spark_t)
+    )
+
+
 def _read_epoch_group(
     spark, base: str, paths: list[str], meta: dict, epoch: int,
     read_struct: dict, project,
@@ -175,26 +239,36 @@ def _read_epoch_group(
     """Scan one naming epoch's files under that epoch's column names
     and re-alias by FIELD ID to the requested schema version's names
     — the engine's planner-side equivalent of Iceberg's id-based
-    parquet resolution (see schema.py "naming epochs"). Field ids the
-    epoch never had read as typed nulls (the column cannot exist in
-    those files); ids dropped from the read schema are never selected,
-    so a re-used column name cannot resurrect pre-drop values. All
-    JVM-side: one explicit-schema columnar scan plus a projection."""
+    parquet resolution (see schema.py "naming epochs"), at EVERY
+    nesting depth since r13 (nested struct fields rename too). Field
+    ids the epoch never had read as typed nulls (the column cannot
+    exist in those files); ids dropped from the read schema are never
+    selected, so a re-used column name cannot resurrect pre-drop
+    values. All JVM-side: one explicit-schema columnar scan plus a
+    projection (nested divergence adds a struct rebuild to the
+    projection; never a shuffle)."""
     from pyspark.sql import functions as F
 
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
         epoch_id_names,
+        epoch_named_type,
         iceberg_schema_to_spark,
     )
 
     epoch_names = epoch_id_names(meta, epoch)
     present = [f for f in read_struct["fields"] if f["id"] in epoch_names]
     absent = [f for f in read_struct["fields"] if f["id"] not in epoch_names]
+    epoch_fields = {
+        f["id"]: {
+            **f,
+            "name": epoch_names[f["id"]],
+            "type": epoch_named_type(f["type"], epoch_names),
+        }
+        for f in present
+    }
     epoch_struct = {
         **read_struct,
-        "fields": [
-            {**f, "name": epoch_names[f["id"]]} for f in present
-        ],
+        "fields": [epoch_fields[f["id"]] for f in present],
     }
     df = (
         spark.read.option("basePath", base)
@@ -205,7 +279,13 @@ def _read_epoch_group(
         df = project(df)  # metadata cols resolve on the scan relation
     spark_read = iceberg_schema_to_spark(read_struct)
     cols = [
-        F.col(epoch_names[f["id"]]).alias(f["name"]) for f in present
+        _realias_expr(
+            F.col(epoch_names[f["id"]]),
+            epoch_fields[f["id"]]["type"],
+            f["type"],
+            spark_read[f["name"]].dataType,
+        ).alias(f["name"])
+        for f in present
     ] + [
         F.lit(None).cast(spark_read[f["name"]].dataType).alias(f["name"])
         for f in absent

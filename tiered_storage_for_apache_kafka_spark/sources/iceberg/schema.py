@@ -356,14 +356,38 @@ def naming_log(meta: dict) -> list[tuple[int, int]]:
     return sorted((int(e["epoch"]), int(e["schema-id"])) for e in _json.loads(raw))
 
 
+def _walk_named_fields(fields: list[dict], out: dict[int, str]) -> None:
+    """Collect ``{field id: name}`` over a field list at EVERY depth:
+    struct subtrees recurse (their fields are named and renameable);
+    list elements and map keys/values carry no names themselves but
+    may hold named structs, so their subtrees recurse too."""
+
+    def walk_type(t) -> None:
+        if not isinstance(t, dict):
+            return
+        kind = t.get("type")
+        if kind == "struct":
+            for f in t["fields"]:
+                out[f["id"]] = f["name"]
+                walk_type(f["type"])
+        elif kind == "list":
+            walk_type(t["element"])
+        elif kind == "map":
+            walk_type(t["key"])
+            walk_type(t["value"])
+
+    walk_type({"type": "struct", "fields": fields})
+
+
 def epoch_id_names(meta: dict, epoch: int) -> dict[int, str]:
     """``{field id: column name}`` as written by files of the given
-    naming epoch: resolved from the NEWEST schema version of that epoch
-    (ids the epoch never saw are absent — their columns cannot exist in
-    the epoch's files and read as typed nulls), falling back through
-    the epoch's earlier versions for ids dropped mid-epoch (a pre-drop
-    file still physically carries the column under its constant
-    epoch name)."""
+    naming epoch — at EVERY nesting depth (nested struct fields rename
+    by id exactly like top-level columns since r13): resolved from the
+    NEWEST schema version of that epoch (ids the epoch never saw are
+    absent — their columns cannot exist in the epoch's files and read
+    as typed nulls), falling back through the epoch's earlier versions
+    for ids dropped mid-epoch (a pre-drop file still physically
+    carries the column under its constant epoch name)."""
     log = naming_log(meta)
     starts = {e: s for e, s in log}
     lo = starts.get(epoch, 0)
@@ -375,9 +399,74 @@ def epoch_id_names(meta: dict, epoch: int) -> dict[int, str]:
         (s for s in meta.get("schemas", []) if lo <= s["schema-id"] < hi),
         key=lambda s: s["schema-id"],
     ):
-        for f in s["fields"]:
-            out[f["id"]] = f["name"]  # newest version of the epoch wins
+        _walk_named_fields(s["fields"], out)  # newest of the epoch wins
     return out
+
+
+def epoch_named_type(t, epoch_names: dict[int, str]):
+    """The epoch-facing variant of a READ-schema type tree: every
+    struct field (any depth) renamed to its epoch name by field id,
+    and struct fields whose id the epoch never saw DROPPED (their
+    columns cannot exist in the epoch's files; the read-side re-alias
+    null-pads them back). The tree SHAPE otherwise follows the read
+    schema — field-id identity makes the two trees comparable node by
+    node."""
+    if not isinstance(t, dict):
+        return t
+    kind = t.get("type")
+    if kind == "struct":
+        fields = []
+        for f in t["fields"]:
+            if f["id"] not in epoch_names:
+                continue
+            fields.append(
+                {
+                    **f,
+                    "name": epoch_names[f["id"]],
+                    "type": epoch_named_type(f["type"], epoch_names),
+                }
+            )
+        return {**t, "fields": fields}
+    if kind == "list":
+        return {**t, "element": epoch_named_type(t["element"], epoch_names)}
+    if kind == "map":
+        return {
+            **t,
+            "key": epoch_named_type(t["key"], epoch_names),
+            "value": epoch_named_type(t["value"], epoch_names),
+        }
+    return t
+
+
+def resolve_field_path(schema_struct: dict, dotted: str) -> list[dict]:
+    """Resolve a dotted column path (``kafka.ts``) against a schema
+    struct to the chain of field dicts it names, outermost first.
+    Raises ``KeyError`` when a segment is missing and ``ValueError``
+    when the path would traverse a list or map (renaming fields inside
+    array/map element structs is not offered: Spark cannot re-alias
+    them without a lambda rebuild that perturbs nullability, and the
+    writer cannot stamp their parquet field ids either —
+    `writer._with_parquet_field_ids`)."""
+    parts = dotted.split(".")
+    chain: list[dict] = []
+    t: Any = {"type": "struct", "fields": schema_struct["fields"]}
+    for i, part in enumerate(parts):
+        if not (isinstance(t, dict) and t.get("type") == "struct"):
+            kind = t.get("type") if isinstance(t, dict) else t
+            raise ValueError(
+                f"path {dotted!r} traverses a non-struct ({kind}) at "
+                f"{'.'.join(parts[:i])!r}: renaming fields inside "
+                "arrays/maps is not offered"
+            )
+        f = next((f for f in t["fields"] if f["name"] == part), None)
+        if f is None:
+            where = repr(".".join(parts[:i])) if i else "the top level"
+            raise KeyError(
+                f"column path {dotted!r}: no field {part!r} in {where}"
+            )
+        chain.append(f)
+        t = f["type"]
+    return chain
 
 
 def schema_epoch(meta: dict, schema_id: int) -> int:
@@ -399,18 +488,33 @@ def guard_readded_column(base: dict, old_schema: dict, new_schema: dict) -> None
     the data model. A deliberate re-use is legal via the explicit DDL
     (``update_table_schema(add=...)``, r12): there the re-add bumps
     the naming epoch so (epoch, field id) resolution keeps the old
-    files' physical values unreachable."""
-    cur_names = {f["name"] for f in old_schema["fields"]}
-    added = {
-        f["name"] for f in new_schema["fields"] if f["name"] not in cur_names
-    }
+    files' physical values unreachable.
+
+    Names are compared as DOTTED PATHS at every struct depth (r13):
+    nested renames exist now, so a batch carrying ``kafka.ts`` after
+    that field was renamed to ``kafka.event_ts`` is the same stale-
+    writer fork one level down — evolution would otherwise infer a
+    fresh nested field under the retired name."""
+
+    def paths(struct: dict, prefix: str = "") -> set[str]:
+        out: set[str] = set()
+        for f in struct["fields"]:
+            p = prefix + f["name"]
+            out.add(p)
+            t = f["type"]
+            if isinstance(t, dict) and t.get("type") == "struct":
+                out |= paths(t, p + ".")
+        return out
+
+    cur_names = paths(old_schema)
+    added = paths(new_schema) - cur_names
     if not added:
         return
     historical = {
-        f["name"]
+        p
         for s in base.get("schemas", [])
-        for f in s["fields"]
         if s["schema-id"] != old_schema.get("schema-id")
+        for p in paths(s)
     }
     hit = sorted(added & (historical - cur_names))
     if hit:

@@ -132,23 +132,104 @@ def _conform_stream_column(col, field, path: str):
         ) from None
 
 
+def _conform_struct_column(col, field, plan: dict | None, path: str):
+    """Conform one Arrow STRUCT column to the pinned field type under
+    a nested rename plan (r13): children re-alias by the per-level
+    plan ``{epoch name: (current name, subplan)}``, children the file
+    predates null-pad (direction 1 — lossless), and a child name the
+    pinned schema does not know fails explicitly toward a restart
+    (direction 2 — the nested analog of `_guard_stream_schema`).
+    Parent nulls are preserved via the validity mask (a bare rebuild
+    would manufacture non-null structs of nulls)."""
+    import pyarrow as pa
+
+    plan = plan or {}
+    by_new: dict = {}
+    for i in range(col.type.num_fields):
+        f = col.type.field(i)
+        new_name, sub = plan.get(f.name, (f.name, None))
+        by_new[new_name] = (col.field(i), sub)
+    expected_names = {f.name for f in field.type}
+    extra = sorted(set(by_new) - expected_names)
+    if extra:
+        raise StreamSchemaEvolvedError(
+            _stream_restart_msg(
+                path,
+                f"struct column {field.name!r} carries unknown nested "
+                f"field(s) {extra}",
+            )
+        )
+    arrays = []
+    for ef in field.type:
+        if ef.name in by_new:
+            child, sub = by_new[ef.name]
+            if pa.types.is_struct(ef.type):
+                arrays.append(
+                    _conform_struct_column(child, ef, sub, path)
+                )
+            else:
+                arrays.append(_conform_stream_column(child, ef, path))
+        else:
+            arrays.append(pa.nulls(len(col), ef.type))
+    return pa.StructArray.from_arrays(
+        arrays, fields=list(field.type), mask=col.is_null()
+    )
+
+
 class IcebergFilePartition(InputPartition):
-    def __init__(self, file_path: str, col_renames: dict | None = None):
+    def __init__(
+        self, file_path: str, col_renames: dict | None = None,
+        nested_renames: dict | None = None,
+    ):
         self.file_path = file_path
         # {file-side column name: pinned/current name} for files of an
         # older NAMING EPOCH (resolved by field id driver-side, see
         # schema.py "naming epochs"); None when names never diverged
         self.col_renames = col_renames
+        # {current top-level struct column: nested conform plan} for
+        # files whose NESTED struct field names diverged (r13 nested
+        # renames) — plan shape per level: {epoch child name:
+        # (current child name, subplan | None)}; None when no nested
+        # divergence
+        self.nested_renames = nested_renames
+
+
+def _nested_conform_plan(cur_type, epoch_names: dict) -> dict | None:
+    """Per-struct-level conform plan mapping a file's epoch-named
+    nested fields to the current schema's names by FIELD ID:
+    ``{epoch child name: (current child name, subplan | None)}``.
+    None when the subtree's names never diverged and no field is
+    missing from the epoch (the common case — the executor then skips
+    the struct rebuild entirely)."""
+    if not (isinstance(cur_type, dict) and cur_type.get("type") == "struct"):
+        return None
+    plan: dict = {}
+    diverged = False
+    for f in cur_type["fields"]:
+        if f["id"] not in epoch_names:
+            # added after the epoch: the file cannot carry it; the
+            # executor null-pads it — still a rebuild
+            diverged = True
+            continue
+        en = epoch_names[f["id"]]
+        sub = _nested_conform_plan(f["type"], epoch_names)
+        if en != f["name"] or sub is not None:
+            diverged = True
+        plan[en] = (f["name"], sub)
+    return plan if diverged else None
 
 
 def _epoch_rename_resolver(meta: dict):
-    """``path -> {file column name: current name} | None`` for tables
-    whose column names diverged across RENAME DDLs (schema.py "naming
-    epochs"): each planned file's write-epoch names re-alias by FIELD
-    ID to the current schema's names, so a stream keeps serving
-    pre-rename files instead of failing them as unknown columns.
-    Memoized per epoch; returns a constant None resolver for
-    never-renamed tables (zero overhead)."""
+    """``path -> (flat, nested)`` for tables whose column names
+    diverged across RENAME DDLs (schema.py "naming epochs"): ``flat``
+    is ``{file top-level name: current name} | None`` and ``nested``
+    is ``{current top-level name: conform plan} | None`` (r13 nested
+    renames) — each planned file's write-epoch names re-alias by
+    FIELD ID to the current schema's names, at every depth, so a
+    stream keeps serving pre-rename files instead of failing them as
+    unknown columns. Memoized per epoch; returns a constant
+    ``(None, None)`` resolver for never-renamed tables (zero
+    overhead)."""
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
         epoch_id_names,
         file_naming_epoch,
@@ -159,13 +240,12 @@ def _epoch_rename_resolver(meta: dict):
     )
 
     if not naming_log(meta):
-        return lambda path: None
-    cur = {
-        f["id"]: f["name"] for f in _current_schema_struct(meta)["fields"]
-    }
-    memo: dict[int, dict | None] = {}
+        return lambda path: (None, None)
+    cur_fields = _current_schema_struct(meta)["fields"]
+    cur = {f["id"]: f["name"] for f in cur_fields}
+    memo: dict[int, tuple] = {}
 
-    def resolve(path: str) -> dict | None:
+    def resolve(path: str) -> tuple:
         ep = file_naming_epoch(path)
         if ep not in memo:
             en = epoch_id_names(meta, ep)
@@ -174,7 +254,14 @@ def _epoch_rename_resolver(meta: dict):
                 for i in en
                 if i in cur and en[i] != cur[i]
             }
-            memo[ep] = m or None
+            nested = {}
+            for f in cur_fields:
+                if f["id"] not in en:
+                    continue  # top-level padding is the reader's
+                plan = _nested_conform_plan(f["type"], en)
+                if plan is not None:
+                    nested[f["name"]] = plan
+            memo[ep] = (m or None, nested or None)
         return memo[ep]
 
     return resolve
@@ -307,7 +394,7 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
         )
         renames = _epoch_rename_resolver(meta)
         out = [
-            IcebergFilePartition(d["file_path"], renames(d["file_path"]))
+            IcebergFilePartition(d["file_path"], *renames(d["file_path"]))
             for d in _plan_seq_window(meta, lo, hi, constraints)
         ]
         if not out:
@@ -363,6 +450,7 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
                 part_val = int(seg.split("=", 1)[1])
         expected = self._expected_arrow_schema()
         ren = getattr(partition, "col_renames", None) or {}
+        nplans = getattr(partition, "nested_renames", None) or {}
         for batch in pq.ParquetFile(partition.file_path).iter_batches():
             cols, names = [], []
             # pre-rename files' columns re-alias by field id (the
@@ -382,11 +470,24 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
                         pa.array([part_val] * batch.num_rows, field.type)
                     )
                 elif field.name in by_name:
-                    cols.append(
-                        _conform_stream_column(
-                            by_name[field.name], field, partition.file_path
+                    col = by_name[field.name]
+                    if field.name in nplans and pa.types.is_struct(
+                        field.type
+                    ):
+                        # nested names diverged for this file's epoch:
+                        # rebuild the struct by the per-level plan
+                        cols.append(
+                            _conform_struct_column(
+                                col, field, nplans[field.name],
+                                partition.file_path,
+                            )
                         )
-                    )
+                    else:
+                        cols.append(
+                            _conform_stream_column(
+                                col, field, partition.file_path
+                            )
+                        )
                 else:
                     cols.append(pa.nulls(batch.num_rows, field.type))
             out = pa.RecordBatch.from_arrays(cols, names=names)
@@ -452,11 +553,17 @@ class CdcFilePartition(InputPartition):
         self, file_path: str, kind: str = "data", seq: int = 0,
         col_renames: dict | None = None,
         renames_by_epoch: dict | None = None,
+        nested_renames: dict | None = None,
+        dv_plan: dict | None = None,
     ):
         self.file_path = file_path
-        self.kind = kind  # "data" | "eqdelete" | "posdelete"
+        self.kind = kind  # "data" | "eqdelete" | "posdelete" | "dv"
         self.seq = seq
         self.col_renames = col_renames  # data files: per-epoch mapping
+        self.nested_renames = nested_renames  # data files: nested plan
+        # dv partitions: {referenced_data_file, delta_offset,
+        # delta_size} — the fresh-bitmap locator dv_keyed_plan chose
+        self.dv_plan = dv_plan
         # posdelete partitions: {epoch: {file name: current name}} for
         # resolving TARGET files' key columns executor-side (targets
         # are discovered from the delete file's rows, so the mapping
@@ -546,10 +653,21 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
         )
         eq_files: list[dict] = []
         pos_files: list[dict] = []
+        dv_files: list[dict] = []
         data = _plan_seq_window(
             meta, lo, hi, constraints, eq_sink=eq_files,
             pos_sink=pos_files if self._merge_keys else None,
+            dv_sink=dv_files if self._merge_keys else None,
         )
+        if dv_files:
+            from tiered_storage_for_apache_kafka_spark.sources.iceberg.incremental import (  # noqa: E501
+                dv_keyed_plan,
+            )
+
+            # per-entry FRESH-bitmap locators (delta blob or whole
+            # first-DV blob); raises the re-bootstrap refusal for
+            # pre-delta superseding DVs — plan time, not mid-read
+            dv_files = dv_keyed_plan(meta, dv_files)
         renames = _epoch_rename_resolver(meta)
         from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (  # noqa: E501
             epoch_id_names,
@@ -560,7 +678,7 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
         )
 
         renames_by_epoch = None
-        if pos_files and naming_log(meta):
+        if (pos_files or dv_files) and naming_log(meta):
             cur = {
                 f["id"]: f["name"]
                 for f in _current_schema_struct(meta)["fields"]
@@ -577,7 +695,8 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
         out = [
             CdcFilePartition(
                 d["file_path"], "data", int(d["_seq"]),
-                col_renames=renames(d["file_path"]),
+                col_renames=renames(d["file_path"])[0],
+                nested_renames=renames(d["file_path"])[1],
             )
             for d in data
         ] + [
@@ -589,6 +708,17 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
                 renames_by_epoch=renames_by_epoch,
             )
             for d in pos_files
+        ] + [
+            CdcFilePartition(
+                d["file_path"], "dv", int(d["_seq"]),
+                renames_by_epoch=renames_by_epoch,
+                dv_plan={
+                    "referenced_data_file": d["referenced_data_file"],
+                    "delta_offset": d["delta_offset"],
+                    "delta_size": d["delta_size"],
+                },
+            )
+            for d in dv_files
         ]
         if not out:
             out.append(CdcFilePartition(""))  # empty-batch sentinel
@@ -624,6 +754,11 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
 
         if kind == "posdelete":
             for batch in self._read_posdelete_keys(partition):
+                yield stamp(batch)
+            return
+
+        if kind == "dv":
+            for batch in self._read_dv_keys(partition):
                 yield stamp(batch)
             return
 
@@ -694,6 +829,60 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
         time, so each (key) retraction corresponds to a real prior
         insert; a duplicate retraction from a foreign writer's
         overlapping delete would be a harmless upsert no-op."""
+        import pyarrow.parquet as pq
+
+        dels = pq.read_table(
+            partition.file_path, columns=["file_path", "pos"]
+        )
+        by_target: dict[str, list[int]] = {}
+        for fp, pos in zip(
+            dels.column("file_path").to_pylist(),
+            dels.column("pos").to_pylist(),
+        ):
+            by_target.setdefault(fp, []).append(int(pos))
+        yield from self._keyed_retraction_batches(
+            by_target, getattr(partition, "renames_by_epoch", None) or {}
+        )
+
+    def _read_dv_keys(self, partition):
+        """Resolve one window DELETION VECTOR to keyed retractions
+        (r13): seek-read the planner-chosen FRESH-only bitmap (the
+        engine delta blob for a superseding DV, the spec blob for a
+        first DV — `incremental.dv_keyed_plan`), decode its positions
+        executor-side, and read the referenced data file's merge-key
+        columns at exactly those positions — the same pre-image
+        machinery as parquet position deletes, with a bitmap decode
+        replacing the delete-file scan. Bounded executor work: one
+        blob + key columns of one target file."""
+        import numpy as np
+
+        from tiered_storage_for_apache_kafka_spark.roaring import (
+            deserialize_roaring64,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501
+            unframe_dv_payload,
+        )
+
+        plan = partition.dv_plan
+        with open(partition.file_path, "rb") as f:
+            f.seek(int(plan["delta_offset"]))
+            payload = f.read(int(plan["delta_size"]))
+        positions = deserialize_roaring64(
+            unframe_dv_payload(payload)
+        ).astype(np.int64)
+        by_target = {
+            plan["referenced_data_file"]: [int(p) for p in positions]
+        }
+        yield from self._keyed_retraction_batches(
+            by_target, getattr(partition, "renames_by_epoch", None) or {}
+        )
+
+    def _keyed_retraction_batches(self, by_target: dict, by_epoch: dict):
+        """Shared pre-image key read: for each (target data file,
+        deleted positions), read ONLY the declared merge-key columns
+        and gather the deleted positions — the keys of exactly the
+        retracted rows, emitted as delete_key batches (key columns
+        populated, the rest null)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -705,20 +894,10 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
                 f"mergeKeys name(s) {unknown} not in the stream schema "
                 f"(columns: {expected.names})"
             )
-        dels = pq.read_table(
-            partition.file_path, columns=["file_path", "pos"]
-        )
-        by_target: dict[str, list[int]] = {}
-        for fp, pos in zip(
-            dels.column("file_path").to_pylist(),
-            dels.column("pos").to_pylist(),
-        ):
-            by_target.setdefault(fp, []).append(int(pos))
         from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (  # noqa: E501
             file_naming_epoch,
         )
 
-        by_epoch = getattr(partition, "renames_by_epoch", None) or {}
         for target, positions in sorted(by_target.items()):
             pf = pq.ParquetFile(target)
             file_cols = set(pf.schema_arrow.names)

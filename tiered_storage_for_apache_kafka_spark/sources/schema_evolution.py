@@ -88,15 +88,52 @@ def merge_schemas(old: StructType, new: StructType, _path: str = "") -> StructTy
     return StructType(out)
 
 
+def _conform_expr(src, src_t, target_t):
+    """A column expression conforming ``src`` (typed ``src_t``) to
+    ``target_t`` BY NAME at every struct depth. Spark's ``cast``
+    between struct types matches fields POSITIONALLY — a batch whose
+    struct children arrive in a different order than the table's
+    (legal: parquet and the engine's readers resolve nested fields by
+    name) would silently swap values under a bare cast (found by the
+    r13 nested-DDL fuzz). Structs rebuild field-by-field instead:
+    matching children recurse, children the batch lacks null-pad, and
+    a NULL struct stays NULL."""
+    if isinstance(target_t, StructType) and isinstance(src_t, StructType):
+        have = {f.name: f for f in src_t.fields}
+        children = []
+        for f in target_t.fields:
+            if f.name in have:
+                children.append(
+                    _conform_expr(
+                        src[f.name], have[f.name].dataType, f.dataType
+                    ).alias(f.name)
+                )
+            else:
+                children.append(
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                )
+        return F.when(src.isNotNull(), F.struct(*children)).otherwise(
+            F.lit(None).cast(target_t)
+        )
+    if src_t == target_t:
+        return src
+    return src.cast(target_t)
+
+
 def conform(df: DataFrame, target: StructType) -> DataFrame:
     """Cast/extend a batch to the merged schema: missing columns become
-    typed nulls, widened columns up-cast — a pure projection, no data
+    typed nulls, widened columns up-cast, struct children align BY
+    NAME (see :func:`_conform_expr`) — a pure projection, no data
     rewrite (old files stay as written; the reader view unifies)."""
     cols = []
-    have = {f.name for f in df.schema.fields}
+    have = {f.name: f for f in df.schema.fields}
     for f in target.fields:
         if f.name in have:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            cols.append(
+                _conform_expr(
+                    F.col(f.name), have[f.name].dataType, f.dataType
+                ).alias(f.name)
+            )
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)

@@ -712,28 +712,57 @@ def _propagate_src_renames(
     )
 
     _v, src_meta, _t = _current_state_meta(src_table_dir)
-    src_fields = {
-        f["id"]: f for f in _cur(src_meta)["fields"]
-    }
-    dst_fields = {
-        f["id"]: f for f in _cur(dst_meta)["fields"]
-    }
+
+    def walk(fields: list, prefix: str, out: dict) -> None:
+        # {field id: (dotted path, leaf name, type)} at every struct
+        # depth — nested renames (r13) propagate by id exactly like
+        # top-level ones
+        for f in fields:
+            path = prefix + f["name"]
+            out[f["id"]] = (path, f["name"], f["type"])
+            t = f["type"]
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t["fields"], path + ".", out)
+
+    src_fields: dict = {}
+    dst_fields: dict = {}
+    walk(_cur(src_meta)["fields"], "", src_fields)
+    walk(_cur(dst_meta)["fields"], "", dst_fields)
     renames: dict[str, str] = {}
     promos = {("int", "long"), ("float", "double")}
-    for fid, sf in src_fields.items():
-        df_ = dst_fields.get(fid)
-        if df_ is None:
+    for fid, (_spath, sname, st_t) in src_fields.items():
+        hit = dst_fields.get(fid)
+        if hit is None:
             continue  # added later on src; the evolving merge adds it
-        st, dt = str(sf["type"]), str(df_["type"])
-        if st != dt and (dt, st) not in promos and (st, dt) not in promos:
+        dpath, dname, dt_t = hit
+        # type identity is checked on primitive leaves (the spec's
+        # promotions allowed); container nodes compare by KIND only —
+        # their name differences are exactly the renames this
+        # function propagates, and their children are visited as
+        # their own ids
+        if isinstance(st_t, dict) or isinstance(dt_t, dict):
+            sk = st_t.get("type") if isinstance(st_t, dict) else st_t
+            dk = dt_t.get("type") if isinstance(dt_t, dict) else dt_t
+            conflict = sk != dk
+        else:
+            st, dt = str(st_t), str(dt_t)
+            conflict = (
+                st != dt
+                and (dt, st) not in promos
+                and (st, dt) not in promos
+            )
+        if conflict:
             raise ValueError(
                 f"mirror destination diverged from the source: field id "
-                f"{fid} is {dt!r} in the replica but {st!r} at the "
+                f"{fid} is {dt_t!r} in the replica but {st_t!r} at the "
                 "source — re-bootstrap the mirror from a fresh "
                 "destination"
             )
-        if sf["name"] != df_["name"]:
-            renames[df_["name"]] = sf["name"]
+        if sname != dname:
+            # keyed by the DESTINATION's dotted path (resolved against
+            # its current schema; same-DDL ancestor renames compose —
+            # the DDL applies nested renames by leaf field id)
+            renames[dpath] = sname
     if renames:
         update_table_schema(
             dst_table_dir, rename=renames, catalog=catalog,
