@@ -1561,6 +1561,81 @@ def probe_mirror() -> None:
     spark.stop()
 
 
+def probe_mirror_wide() -> None:
+    """WIDE-match keyed-retraction probe (round 13): the --mirror
+    UPDATE leg uses a fixed 4k-row match; this one matches 10% OF THE
+    TABLE at 400k / 4M / 40M rows, so the per-target-file
+    ``pf.read(columns=keys).take(positions)`` cost model of the
+    pre-image resolution (`iceberg_stream._keyed_retraction_batches`)
+    is measured wide, not just narrow. Expectation: catch-up cost
+    ~linear in MATCHED rows (the retraction and re-insert volume), not
+    super-linear — parallelism comes from one stream partition per
+    position-delete file (one per partition cell under bucket[8])."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.session import get_spark
+    from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.update import (
+        update_where,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        mirror_iceberg_table,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spec = [("id_bucket", "bucket[8]", "id")]
+
+    print(
+        f"{'mirrorwide':10s} {'tbl_rows':>9} {'matched':>8} "
+        f"{'sync_s':>7} {'upd_s':>6} {'catchup_s':>10}"
+    )
+    for label, n_rows in (
+        ("warmup", 50_000), ("400k", 400_000),
+        ("4M", 4_000_000), ("40M", 40_000_000),
+    ):
+        root = tempfile.mkdtemp(prefix=f"mirrorw-{label}-")
+        src, dst = _os.path.join(root, "src"), _os.path.join(root, "dst")
+        ckpt = _os.path.join(root, "ckpt")
+        df = spark.range(n_rows).select(
+            F.col("id"), (F.col("id") * 3).cast("bigint").alias("v")
+        )
+        ice.write_iceberg_table(
+            spark, df, src, now_ms=1_000, partition_spec=spec
+        )
+
+        def run():
+            q = mirror_iceberg_table(
+                spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+                partition_spec=spec,
+            )
+            q.awaitTermination()
+
+        t0 = time.time()
+        run()
+        sync_s = time.time() - t0
+        matched = n_rows // 10
+        t0 = time.time()
+        update_where(
+            spark, src, "id % 10 = 3", {"v": "v + 1"}, now_ms=2_000,
+        )
+        upd_s = time.time() - t0
+        t0 = time.time()
+        run()
+        catchup_s = time.time() - t0
+        if label != "warmup":
+            print(
+                f"{label:10s} {n_rows:9d} {matched:8d} "
+                f"{sync_s:7.2f} {upd_s:6.2f} {catchup_s:10.2f}"
+            )
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 def probe_eqconv() -> None:
     """Scale curve of convert_equality_deletes (round 10): the pass is
     ONE distributed key+identity scan of the data plus tiny delete
@@ -1789,6 +1864,8 @@ if __name__ == "__main__":
         probe_cdc_upsert()
     elif "--eqconv" in sys.argv:
         probe_eqconv()
+    elif "--mirror-wide" in sys.argv:
+        probe_mirror_wide()
     elif "--mirror" in sys.argv:
         probe_mirror()
     elif "--update-where" in sys.argv:

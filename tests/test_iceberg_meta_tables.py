@@ -375,3 +375,36 @@ def test_position_deletes_table(spark, tmp_path):
         ).add((r["file_path"], r["pos"]))
     assert len(by_kind["parquet"]) == 10 and len(by_kind["dv"]) == 10
     assert {(r["file_path"], r["pos"]) for r in rows} == by_kind["parquet"]
+
+
+def test_compute_ndv_stats_single_pass_plan(spark, tmp_path):
+    """r13: the NDV job reads the data ONCE whatever the column count
+    (explode to (column, hash) pairs), and the bottom-k rank filter
+    rides Spark's WindowGroupLimit pushdown so the shuffle never
+    carries the whole distinct domain."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.maintenance import (
+        _ndv_bottom_k_frame,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(2_000).selectExpr(
+        "id", "cast(id % 7 as bigint) as a", "cast(id % 13 as bigint) as b",
+        "cast(id as string) as c",
+    )
+    write_iceberg_table(spark, df, tdir, now_ms=1_000)
+    frame = _ndv_bottom_k_frame(
+        read_iceberg_table(spark, tdir), ["id", "a", "b", "c"], k=64
+    )
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    # and it computes the same bottom-k the per-column jobs would
+    rows = frame.collect()
+    per_col = {}
+    for r in rows:
+        per_col.setdefault(r["column"], []).append(int(r["u"]))
+    assert len(per_col["a"]) == 7 and len(per_col["id"]) == 64

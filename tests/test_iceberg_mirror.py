@@ -474,3 +474,53 @@ def test_mirror_propagates_source_rename(spark, tmp_path):
 
     assert st(dst) == st(src)
     assert {r["id"]: r["label"] for r in got.collect()}[1] == "post-rename"
+
+
+def test_mirror_refuses_foreign_destination(spark, tmp_path):
+    """r13 replica-lineage guard: a pre-existing destination the
+    mirror did not create (no `engine.mirror-source` stamp, or a
+    different source's table uuid) refuses actionably — its field ids
+    need not correspond to the source's, so rename propagation and
+    keyed merges could silently mis-map. A legitimate replica (stamped
+    at creation) keeps working, including after a restart."""
+    src = str(tmp_path / "src")
+    src2 = str(tmp_path / "src2")
+    dst = str(tmp_path / "dst")
+    foreign = str(tmp_path / "foreign")
+    ckpt = str(tmp_path / "ckpt")
+    ckpt2 = str(tmp_path / "ckpt2")
+    _src_table(spark, src)
+    # a hand-built table with the same column NAMES but its own ids
+    write_iceberg_table(
+        spark,
+        spark.createDataFrame(
+            [(99, 0, "own")], "id bigint, grp bigint, val string"
+        ),
+        foreign, now_ms=1_000, partition_spec=SRC_SPEC,
+    )
+    with pytest.raises(ValueError, match="engine.mirror-source"):
+        mirror_iceberg_table(
+            spark, src, foreign, on=["id"], checkpoint_dir=ckpt2,
+            partition_spec=SRC_SPEC,
+        )
+    # a replica of a DIFFERENT source refuses too
+    _src_table(spark, src2)
+    q = mirror_iceberg_table(
+        spark, src2, dst, on=["id"], checkpoint_dir=ckpt2,
+        partition_spec=SRC_SPEC,
+    )
+    q.awaitTermination()
+    with pytest.raises(ValueError, match="engine.mirror-source"):
+        mirror_iceberg_table(
+            spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+            partition_spec=SRC_SPEC,
+        )
+    # the legitimate replica is stamped and keeps catching up
+    meta = read_table_metadata(dst)["metadata"]
+    assert "engine.mirror-source" in (meta.get("properties") or {})
+    q = mirror_iceberg_table(
+        spark, src2, dst, on=["id"], checkpoint_dir=ckpt2,
+        partition_spec=SRC_SPEC,
+    )
+    q.awaitTermination()
+    assert _state(spark, dst) == _state(spark, src2)

@@ -1414,6 +1414,36 @@ NDV_BLOB_TYPE = "engine-kmv-ndv-v1"
 _NDV_SPACE = 1 << 40  # 40-bit md5-prefix hash domain (exact in double)
 
 
+def _ndv_bottom_k_frame(df, columns: list[str], k: int):
+    """The single-pass bottom-k frame `compute_ndv_stats` collects:
+    (column, u, rn) rows with rn <= k per column. One scan whatever
+    the column count; the rank filter sits directly over the window
+    so Spark's WindowGroupLimit pushdown keeps per-task bottom-k
+    BEFORE the exchange (the plan test pins both properties)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pair_exprs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.expr(
+                f"cast(conv(substr(md5(cast(`{c}` as string)), 1, 10), "
+                "16, 10) as bigint)"
+            ).alias("u"),
+        )
+        for c in columns
+    ]
+    w = Window.partitionBy("column").orderBy("u")
+    return (
+        df.select(F.explode(F.array(*pair_exprs)).alias("s"))
+        .select("s.column", "s.u")
+        .where(F.col("u").isNotNull())  # null values hash to null
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
 def compute_ndv_stats(
     spark,
     table_dir: str,
@@ -1445,10 +1475,13 @@ def compute_ndv_stats(
     re-packed into the new file alongside the fresh sketches, and the
     statistics entry is replaced for this snapshot only.
 
-    Scale shape: one distinct-shuffle + TakeOrdered(K) per column over
-    a column-pruned scan — the exact-count query this sketch replaces
-    at serving time costs the same ONCE here, and the blob it leaves
-    behind is O(K) and mergeable across partitions/tables."""
+    Scale shape (r13): ONE scan of the data whatever the column count
+    — rows explode to (column, hash) pairs, one distinct shuffle, one
+    per-column bottom-k whose rank filter rides Spark's
+    WindowGroupLimit pushdown (per-task partial bottom-k before the
+    exchange, so the final shuffle carries O(k·columns·tasks) rows,
+    never the distinct domain). The blob left behind is O(K) and
+    mergeable across partitions/tables."""
     import time as _time
 
     from pyspark.sql import functions as F
@@ -1482,23 +1515,23 @@ def compute_ndv_stats(
     df = read_iceberg_table(
         spark, table_dir, catalog=catalog, table_name=table_name
     )
+    # SINGLE-PASS over all columns (r13; previously one job per
+    # column = N sequential scans of the same data on a wide table):
+    # explode each row to (column, 40-bit md5 hash) pairs — one scan
+    # whatever the column count — then one distinct shuffle and one
+    # per-column bottom-k. The rank filter under the window triggers
+    # Spark's WindowGroupLimit pushdown (partial per-task bottom-k
+    # BEFORE the exchange), so the shuffle carries O(k · columns ·
+    # tasks) rows, never the distinct domain. Hash order statistics
+    # are unchanged, so the KMV payloads stay bit-for-bit identical
+    # to the per-column jobs' (the DuckDB oracle replays them).
+    rows = _ndv_bottom_k_frame(df, columns, k).collect()
+    bottom: dict[str, list[int]] = {}
+    for r in rows:
+        bottom.setdefault(r["column"], []).append((r["rn"], int(r["u"])))
     blob_specs: list[dict] = []
     for c in columns:
-        u = F.expr(
-            f"cast(conv(substr(md5(cast(`{c}` as string)), 1, 10), 16, 10) "
-            "as bigint)"
-        )
-        hashes = [
-            int(r[0])
-            for r in (
-                df.where(F.col(c).isNotNull())
-                .select(u.alias("u"))
-                .distinct()
-                .orderBy("u")
-                .limit(k)
-                .collect()
-            )
-        ]
+        hashes = [u for _rn, u in sorted(bottom.get(c, []))]
         if len(hashes) < k:
             est = len(hashes)  # full domain observed: exact
         else:

@@ -832,6 +832,15 @@ def mirror_iceberg_table(
             partition_spec=partition_spec,
             catalog=catalog,
             table_name=table_name,
+            # REPLICA LINEAGE stamp (r13): rename propagation and the
+            # by-field-id correspondence it relies on are only sound
+            # for destinations this mirror created from this source's
+            # schema — record the source's table uuid so a later
+            # session (or a different mirror) can verify instead of
+            # assuming
+            properties_extra={
+                "engine.mirror-source": str(src_meta.get("table-uuid"))
+            },
         )
     else:
         # RENAME propagation (r12): a source rename is metadata-only,
@@ -841,8 +850,28 @@ def mirror_iceberg_table(
         # column while the old one went stale). The replica was
         # created from the source's schema and evolves in lock-step,
         # so field ids correspond; diff by id and apply the same
-        # renames to the destination before streaming. A divergent
-        # replica (same id, different type) refuses loudly.
+        # renames to the destination before streaming. Guarded by the
+        # r13 LINEAGE stamp: a pre-existing destination this mirror
+        # did not create (no `engine.mirror-source`, or a different
+        # source's uuid) refuses deterministically — its field ids
+        # need not correspond, and a same-id/same-type drift would
+        # mis-map renames silently. A divergent replica (same id,
+        # different type) still refuses loudly too.
+        _v2, src_meta, _t2 = _current_state_meta(src_table_dir)
+        src_uuid = str(src_meta.get("table-uuid"))
+        lineage = (dst_meta.get("properties") or {}).get(
+            "engine.mirror-source"
+        )
+        if lineage != src_uuid:
+            raise ValueError(
+                f"mirror destination {dst_table_dir!r} was not created "
+                f"by a mirror of this source (engine.mirror-source is "
+                f"{lineage!r}, source table-uuid is {src_uuid!r}): "
+                "field ids need not correspond, so rename propagation "
+                "and keyed merges could silently mis-map — point the "
+                "mirror at an empty destination (it will be created "
+                "and stamped) or re-bootstrap the replica"
+            )
         _propagate_src_renames(
             src_table_dir, dst_table_dir, dst_meta, catalog, table_name
         )
