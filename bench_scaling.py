@@ -1474,6 +1474,70 @@ def probe_rename_epochs() -> None:
     spark.stop()
 
 
+def probe_nested_rename_read() -> None:
+    """Read-cost curve of NESTED rename resolution (r13): like
+    --rename but the value column lives inside a struct and the DDLs
+    rename the STRUCT FIELD (``env.v0 -> env.v1 -> …``), so pre-rename
+    scan groups pay the per-epoch struct REBUILD projection
+    (`manifests._realias_expr` — F.struct re-assembly with null
+    preservation) instead of a flat alias. 2M rows, 8 appends, 1 / 4 /
+    8 naming epochs: the rebuild is JVM-side projection work inside
+    the same scan stage, so cost must stay ~flat in epoch count."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.session import get_spark
+    from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    N = 2_000_000
+    N_APPENDS = 8  # constant file count; only renames vary
+    print(f"{'nested-ren':12s} {'epochs':>7} {'scan_s':>8} {'sum_ok':>7}")
+    for label, n_epochs in (("warmup", 1), ("1-epoch", 1), ("4-epoch", 4),
+                            ("8-epoch", 8)):
+        tdir = tempfile.mkdtemp(prefix=f"nren-{label}-")
+        per = N // N_APPENDS
+        col = "v0"
+        renames_at = {
+            int((k + 1) * N_APPENDS / n_epochs) - 1
+            for k in range(n_epochs - 1)
+        }
+        for e in range(N_APPENDS):
+            df = spark.range(e * per, (e + 1) * per).select(
+                F.col("id"),
+                F.struct(
+                    (F.col("id") * 3).cast("bigint").alias(col),
+                    (F.col("id") % 7).cast("bigint").alias("tag"),
+                ).alias("env"),
+            )
+            ice.write_iceberg_table(spark, df, tdir, now_ms=1_000 + e)
+            if e in renames_at:
+                new = f"v{e + 1}"
+                ice.update_table_schema(
+                    tdir, rename={f"env.{col}": new}, now_ms=2_000 + e
+                )
+                col = new
+        t0 = _t.time()
+        row = (
+            ice.read_iceberg_table(spark, tdir)
+            .agg(
+                F.sum(f"env.{col}").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        scan_s = _t.time() - t0
+        ok = int(row["n"] == N and row["s"] == 3 * (N * (N - 1) // 2))
+        if label != "warmup":
+            print(f"{label:12s} {n_epochs:7d} {scan_s:8.2f} {ok:7d}")
+        shutil.rmtree(tdir, ignore_errors=True)
+    spark.stop()
+
+
 def probe_mirror() -> None:
     """Scale curve of mirror_iceberg_table catch-up (round 10): after
     the initial sync, replicating ONE source merge batch must cost the
@@ -1870,6 +1934,8 @@ if __name__ == "__main__":
         probe_mirror()
     elif "--update-where" in sys.argv:
         probe_update_where()
+    elif "--nested-rename" in sys.argv:
+        probe_nested_rename_read()
     elif "--rename" in sys.argv:
         probe_rename_epochs()
     elif "--replace" in sys.argv:

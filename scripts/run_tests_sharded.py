@@ -33,7 +33,7 @@ DURATIONS = {
     # composed in) and the merge/eqconv/cdc-stream/mirror files are new
     "test_iceberg_soak.py": 240,
     "test_iceberg_merge.py": 170,
-    "test_cdc_soak.py": 150,
+    "test_cdc_soak.py": 175,  # r13: + nested-rename and DV rounds
     "test_queries_vs_duckdb.py": 280,  # r12: 203 queries now
     "test_iceberg_multifield.py": 130,
     "test_driver_session_parity.py": 160,
@@ -41,8 +41,8 @@ DURATIONS = {
     # r11: slimmed to the 1 non-oracled query (value-level replay of the
     # oracled ones moved to test_driver_session_parity.py)
     "test_bare_session.py": 30,
-    "test_iceberg_mirror.py": 150,  # r12: + mirror-across-update
-    "test_iceberg_cdc_stream.py": 90,  # r12: + posdelete mergeKeys leg
+    "test_iceberg_mirror.py": 180,  # r13: + lineage-guard leg
+    "test_iceberg_cdc_stream.py": 130,  # r13: + DV keyed-retraction legs
     "test_datasource.py": 60,
     "test_iceberg.py": 55,
     "test_deletion_vectors.py": 70,
@@ -52,14 +52,15 @@ DURATIONS = {
     "test_iceberg_schema_ddl.py": 40,
     "test_iceberg_update.py": 60,
     "test_iceberg_rename.py": 160,  # new r12 (incl. 103 s stream-epoch leg)
+    "test_iceberg_nested_rename.py": 75,  # new r13 (incl. stream + mirror legs)
     "test_iceberg_ref_retention.py": 25,  # new r12
     "test_iceberg_rollback.py": 25,
     "test_iceberg_cherrypick.py": 35,  # new r12
     "test_iceberg_replace.py": 30,
-    "test_mutation_fuzz.py": 215,  # r12: + the DDL-heavy seeded program
+    "test_mutation_fuzz.py": 300,  # r13: + nested-DDL and catalog-race programs
     "test_curation.py": 25,
     "test_rest_catalog.py": 25,
-    "test_iceberg_meta_tables.py": 20,
+    "test_iceberg_meta_tables.py": 25,
     "test_asof.py": 18,
     "test_filtering.py": 15,
     "test_multimodal.py": 15,

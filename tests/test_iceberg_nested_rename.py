@@ -384,3 +384,76 @@ def test_mirror_propagates_nested_rename(spark):
         for r in read_iceberg_table(spark, dst + "/t").collect()
     }
     assert got == {1: 10, 2: 20, 3: 30}
+
+
+def test_nested_drop_make_optional_promote(spark):
+    """r13: the OTHER DDL verbs accept dotted paths too — drop a
+    nested field (struct keeps its siblings; old files' values become
+    unreachable), widen a nested int to long (old int32 pages up-cast
+    at read), relax a nested required field — composing with a nested
+    rename in one lifecycle."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _current_schema_struct,
+        _current_state_meta,
+    )
+
+    tdir = _mkdir()
+    df = spark.createDataFrame(
+        [(1, ("a", 10, 7)), (2, ("b", 20, 9))],
+        "id bigint, env struct<src:string, small:int, legacy:bigint>",
+    )
+    write_iceberg_table(spark, df, tdir, now_ms=1_000)
+    update_table_schema(tdir, drop=["env.legacy"], now_ms=2_000)
+    update_table_schema(
+        tdir, promote={"env.small": "long"},
+        make_optional=["env.src"], now_ms=3_000,
+    )
+    out = read_iceberg_table(spark, tdir)
+    assert out.schema["env"].dataType.fieldNames() == ["src", "small"]
+    assert str(out.schema["env"].dataType["small"].dataType) == "LongType()"
+    got = {r["id"]: (r["env"]["src"], r["env"]["small"])
+           for r in out.collect()}
+    assert got == {1: ("a", 10), 2: ("b", 20)}
+    # post-DDL append under the evolved nested shape
+    write_iceberg_table(
+        spark,
+        spark.createDataFrame(
+            [(3, ("c", 2**40))],
+            "id bigint, env struct<src:string, small:bigint>",
+        ),
+        tdir, now_ms=4_000,
+    )
+    got = {r["id"]: r["env"]["small"]
+           for r in read_iceberg_table(spark, tdir).collect()}
+    assert got == {1: 10, 2: 20, 3: 2**40}
+    # guards: dropping the last nested field refuses; a stale writer
+    # re-introducing the dropped nested name refuses
+    _v, meta, _t = _current_state_meta(tdir, None, None)
+    env = next(
+        f for f in _current_schema_struct(meta)["fields"]
+        if f["name"] == "env"
+    )
+    assert len(env["type"]["fields"]) == 2
+    with pytest.raises(ValueError, match="re-introduces dropped column"):
+        write_iceberg_table(
+            spark,
+            spark.createDataFrame(
+                [(9, ("z", 1, 5))],
+                "id bigint, env struct<src:string, small:bigint, "
+                "legacy:bigint>",
+            ),
+            tdir, now_ms=5_000,
+        )
+
+
+def test_nested_drop_last_field_refuses(spark):
+    tdir = _mkdir()
+    df = spark.createDataFrame(
+        [(1, (10,))], "id bigint, s struct<only:bigint>"
+    )
+    write_iceberg_table(spark, df, tdir, now_ms=1_000)
+    with pytest.raises(ValueError, match="drop every field of struct"):
+        update_table_schema(tdir, drop=["s.only"], now_ms=2_000)
+    # dropping the struct COLUMN itself is the offered recipe
+    update_table_schema(tdir, drop=["s"], now_ms=2_000)
+    assert read_iceberg_table(spark, tdir).columns == ["id"]

@@ -477,9 +477,19 @@ def test_random_nested_ddl_program_matches_model(spark, tmp_path, seed):
     def op_append_evolve():
         # evolution-on-write ADDS a nested field inside the struct
         n_new[0] += 1
-        name, t = f"n{n_new[0]}", rng.choice(["long", "string"])
+        name, t = f"n{n_new[0]}", rng.choice(["long", "string", "int"])
         nf[name] = t  # old rows read null (model .get -> None)
         op_append()
+
+    def op_nested_promote():
+        ints = [c for c, t in nf.items() if t == "int"]
+        if not ints:
+            return
+        c = rng.choice(ints)
+        update_table_schema(
+            tdir, promote={f"{env[0]}.{c}": "long"}, now_ms=tick()
+        )
+        nf[c] = "long"  # values unchanged; old int32 pages up-cast
 
     def op_merge():
         live = sorted(model)
@@ -534,6 +544,18 @@ def test_random_nested_ddl_program_matches_model(spark, tmp_path, seed):
         update_table_schema(tdir, rename={env[0]: new}, now_ms=tick())
         env[0] = new
 
+    def op_nested_drop():
+        if len(nf) < 2:
+            return  # dropping the last nested field refuses
+        name = rng.choice(list(nf))
+        update_table_schema(
+            tdir, drop=[f"{env[0]}.{name}"], now_ms=tick()
+        )
+        hist_nested.append(name)
+        del nf[name]
+        for d in model.values():
+            d.pop(name, None)  # dropped values must never resurrect
+
     def op_maintain():
         if rng.random() < 0.5:
             rewrite_data_files(spark, tdir, now_ms=tick(), sort_by=["id"])
@@ -544,10 +566,11 @@ def test_random_nested_ddl_program_matches_model(spark, tmp_path, seed):
     ops = (
         [op_append] * 4 + [op_append_evolve] * 2 + [op_merge] * 3
         + [op_update] * 2 + [op_nested_rename] * 5 + [op_env_rename] * 2
+        + [op_nested_drop] * 2 + [op_nested_promote] * 2
         + [op_maintain] * 2
     )
     trace = []
-    for step in range(22):
+    for step in range(24):
         op = rng.choice(ops)
         trace.append(op.__name__)
         op()

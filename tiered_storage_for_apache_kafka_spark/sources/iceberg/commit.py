@@ -917,17 +917,26 @@ def update_table_schema(
       the naming epoch exactly like a rename. (Evolution-on-WRITE
       still refuses implicit re-adds — a batch carrying a dropped
       name is a stale writer, not a schema decision.)
-    - ``drop=[name]``: remove from the current schema (old versions
+    - ``drop=[name]``: remove from the current schema; ``name`` may
+      be a dotted nested path (``"kafka.legacy"``, r13) — the struct
+      keeps its other fields (dropping its LAST field refuses; drop
+      the struct column instead), and the dropped nested name is only
+      re-usable the way top-level dropped names are NOT re-usable by
+      evolution (the stale-writer guard compares dotted paths; an
+      explicit nested re-add is not offered). Old versions
       retain it — time travel still sees it, and pre-drop snapshots'
       equality deletes still resolve against their own schema
       version). Guarded: a column that is a partition-spec source (any
       generation), a sort-order field, a merge/identifier column of a
       LIVE equality-delete file, or the last column, refuses loudly.
     - ``make_optional=[name]``: required -> optional (the reverse is
-      never offered — committed files may hold nulls).
+      never offered — committed files may hold nulls). Dotted nested
+      paths accepted (r13).
     - ``promote={name: type}``: int->long / float->double, same
       guards as evolution-on-write (identity/truncate partition
-      sources refuse; bucket sources are fine).
+      sources refuse; bucket sources are fine). Dotted nested paths
+      accepted (r13); old files' narrower nested pages up-cast at
+      read time exactly like top-level promotions.
     - ``rename={old: new}``: metadata-only column rename (field id,
       type, required-ness unchanged — the Iceberg identity contract).
       ``old`` may be a DOTTED PATH naming a nested struct field
@@ -978,26 +987,38 @@ def update_table_schema(
     if not (add or drop or make_optional or promote or rename):
         return base  # no-op
 
+    # every verb accepts DOTTED PATHS for nested struct fields (r13);
+    # split the nested forms out and resolve them against the current
+    # schema (the resolver refuses paths through lists/maps and
+    # missing segments); nested verbs then apply by LEAF FIELD ID
     top_rename = {k: v for k, v in rename.items() if "." not in k}
     nested_rename = {k: v for k, v in rename.items() if "." in k}
-    for name in [*drop, *make_optional, *promote, *top_rename]:
+    top_drop = [n for n in drop if "." not in n]
+    nested_drop = [n for n in drop if "." in n]
+    top_optional = [n for n in make_optional if "." not in n]
+    nested_optional = [n for n in make_optional if "." in n]
+    top_promote = {k: v for k, v in promote.items() if "." not in k}
+    nested_promote = {k: v for k, v in promote.items() if "." in k}
+    for name in [*top_drop, *top_optional, *top_promote, *top_rename]:
         if name not in fields:
             raise ValueError(f"column {name!r} not in the current schema")
-    # nested rename paths resolve against the current schema; the
-    # resolver refuses paths through lists/maps and missing segments
     nested_chains: dict[str, list[dict]] = {}
+    for path in [
+        *nested_rename, *nested_drop, *nested_optional, *nested_promote,
+    ]:
+        if path not in nested_chains:
+            nested_chains[path] = resolve_field_path(cur_schema, path)
+        if path.split(".", 1)[0] in top_drop:
+            raise ValueError(
+                f"cannot act on {path!r} AND drop its ancestor "
+                f"{path.split('.', 1)[0]!r} in one DDL"
+            )
     for path, new in nested_rename.items():
         if "." in new:
             raise ValueError(
                 f"rename target {new!r} must be a bare field name "
                 f"(the field stays inside {path.rsplit('.', 1)[0]!r}; "
                 "moving fields between structs is not offered)"
-            )
-        nested_chains[path] = resolve_field_path(cur_schema, path)
-        if path.split(".", 1)[0] in drop:
-            raise ValueError(
-                f"cannot rename {path!r} AND drop its ancestor "
-                f"{path.split('.', 1)[0]!r} in one DDL"
             )
 
     # ---- adds ----
@@ -1012,7 +1033,7 @@ def update_table_schema(
     new_fields = []
     readded = []
     for name, typ in add:
-        if name in fields and name not in drop:
+        if name in fields and name not in top_drop:
             raise ValueError(
                 f"column {name!r} already exists in the current schema"
             )
@@ -1043,12 +1064,14 @@ def update_table_schema(
         )
 
     # ---- drop guards ----
-    if drop and len(set(drop)) >= len(fields):
+    if top_drop and len(set(top_drop)) >= len(fields):
         # even with simultaneous adds: a table whose every ORIGINAL
         # column drops in one DDL turns each old row into contentless
         # all-null padding — almost certainly a caller bug
         raise ValueError("cannot drop every column")
-    drop_ids = {fields[n]["id"] for n in drop}
+    drop_ids = {fields[n]["id"] for n in top_drop} | {
+        nested_chains[p][-1]["id"] for p in nested_drop
+    }
     for spec in base.get("partition-specs", []):
         for f in spec["fields"]:
             if f["source-id"] in drop_ids:
@@ -1067,11 +1090,14 @@ def update_table_schema(
     rename_id_to_path = {
         fields[n]["id"]: n for n in top_rename
     } | {
-        chain[-1]["id"]: path for path, chain in nested_chains.items()
+        nested_chains[path][-1]["id"]: path for path in nested_rename
     }
     rename_ids = set(rename_id_to_path)
     if rename:
-        both = sorted(set(top_rename) & set(drop))
+        both = sorted(
+            (set(top_rename) & set(top_drop))
+            | (set(nested_rename) & set(nested_drop))
+        )
         if both:
             raise ValueError(f"cannot rename AND drop {both!r} in one DDL")
         for spec in base.get("partition-specs", []):
@@ -1101,8 +1127,11 @@ def update_table_schema(
                 d = e["data_file"]
                 if e["status"] != 2 and d.get("content") == 2:
                     live_eq_ids |= set(d.get("equality_ids") or [])
+        drop_names = {fields[n]["id"]: n for n in top_drop} | {
+            nested_chains[p][-1]["id"]: p for p in nested_drop
+        }
         for verb, ids, names in (
-            ("drop", drop_ids, {fields[n]["id"]: n for n in drop}),
+            ("drop", drop_ids, drop_names),
             ("rename", rename_ids, rename_id_to_path),
         ):
             hit = sorted(ids & live_eq_ids)
@@ -1118,13 +1147,13 @@ def update_table_schema(
     promo_tbl = {("int", "long"): "long", ("float", "double"): "double"}
     out_fields = []
     for f in cur_schema["fields"]:
-        if f["name"] in drop:
+        if f["name"] in top_drop:
             continue
         nf = dict(f)
-        if f["name"] in make_optional:
+        if f["name"] in top_optional:
             nf["required"] = False
-        if f["name"] in promote:
-            want = promote[f["name"]]
+        if f["name"] in top_promote:
+            want = top_promote[f["name"]]
             got = promo_tbl.get((str(f["type"]), str(want)))
             if got is None:
                 raise ValueError(
@@ -1138,41 +1167,69 @@ def update_table_schema(
         out_fields.append(nf)
     out_fields += new_fields
     if nested_chains:
-        # nested renames apply BY LEAF FIELD ID (globally unique), so
+        # nested verbs apply BY LEAF FIELD ID (globally unique), so
         # they compose with same-DDL top-level renames of their
         # ancestors in either order
         nested_new = {
-            chain[-1]["id"]: nested_rename[path]
-            for path, chain in nested_chains.items()
+            nested_chains[p][-1]["id"]: nested_rename[p]
+            for p in nested_rename
         }
+        nested_drop_ids = {
+            nested_chains[p][-1]["id"] for p in nested_drop
+        }
+        nested_opt_ids = {
+            nested_chains[p][-1]["id"] for p in nested_optional
+        }
+        nested_promo_ids = {}
+        for p, want in nested_promote.items():
+            leaf = nested_chains[p][-1]
+            got = promo_tbl.get((str(leaf["type"]), str(want)))
+            if got is None:
+                raise ValueError(
+                    f"illegal promotion {leaf['type']!r} -> {want!r} on "
+                    f"{p!r} (int->long and float->double only)"
+                )
+            nested_promo_ids[leaf["id"]] = got
 
-        def ren_type(t):
+        def nested_apply(t, path: str):
             if not isinstance(t, dict):
                 return t
             if t.get("type") == "struct":
-                return {
-                    **t,
-                    "fields": [
-                        {
-                            **f,
-                            "name": nested_new.get(f["id"], f["name"]),
-                            "type": ren_type(f["type"]),
-                        }
-                        for f in t["fields"]
-                    ],
-                }
+                kept = []
+                for f in t["fields"]:
+                    if f["id"] in nested_drop_ids:
+                        continue
+                    nf2 = {
+                        **f,
+                        "name": nested_new.get(f["id"], f["name"]),
+                        "type": nested_apply(
+                            f["type"], f"{path}.{f['name']}"
+                        ),
+                    }
+                    if f["id"] in nested_opt_ids:
+                        nf2["required"] = False
+                    if f["id"] in nested_promo_ids:
+                        nf2["type"] = nested_promo_ids[f["id"]]
+                    kept.append(nf2)
+                if not kept and t["fields"]:
+                    raise ValueError(
+                        f"cannot drop every field of struct {path!r} "
+                        "(drop the struct column itself instead)"
+                    )
+                return {**t, "fields": kept}
             if t.get("type") == "list":
-                return {**t, "element": ren_type(t["element"])}
+                return {**t, "element": nested_apply(t["element"], path)}
             if t.get("type") == "map":
                 return {
                     **t,
-                    "key": ren_type(t["key"]),
-                    "value": ren_type(t["value"]),
+                    "key": nested_apply(t["key"], path),
+                    "value": nested_apply(t["value"], path),
                 }
             return t
 
         out_fields = [
-            {**f, "type": ren_type(f["type"])} for f in out_fields
+            {**f, "type": nested_apply(f["type"], f["name"])}
+            for f in out_fields
         ]
 
     def _check_sibling_dupes(struct_fields, where: str) -> None:
