@@ -221,10 +221,18 @@ def test_nested_rename_guards(spark):
         "mp map<string, struct<p:bigint, q:bigint>>",
     )
     write_iceberg_table(spark, df, tdir, now_ms=1_000)
-    with pytest.raises(ValueError, match="arrays/maps"):
+    # containers need their canonical pseudo-segments (r13 supports
+    # the renames; the bare path gets the recipe)
+    with pytest.raises(ValueError, match="'.element.'"):
         update_table_schema(tdir, rename={"arr.x": "z"}, now_ms=2_000)
-    with pytest.raises(ValueError, match="arrays/maps"):
+    with pytest.raises(ValueError, match="'.value.'"):
         update_table_schema(tdir, rename={"mp.p": "z"}, now_ms=2_000)
+    with pytest.raises(ValueError, match="immutable identity"):
+        update_table_schema(tdir, rename={"mp.key.q": "z"}, now_ms=2_000)
+    with pytest.raises(ValueError, match="pseudo-segment"):
+        update_table_schema(
+            tdir, rename={"arr.element": "z"}, now_ms=2_000
+        )
     with pytest.raises(KeyError, match="no field"):
         update_table_schema(tdir, rename={"kafka.nope": "z"}, now_ms=2_000)
     with pytest.raises(ValueError, match="bare field name"):
@@ -457,3 +465,246 @@ def test_nested_drop_last_field_refuses(spark):
     # dropping the struct COLUMN itself is the offered recipe
     update_table_schema(tdir, drop=["s"], now_ms=2_000)
     assert read_iceberg_table(spark, tdir).columns == ["id"]
+
+
+def test_update_where_nested_set(spark):
+    """r13: UPDATE ... SET on a DOTTED nested path — the struct
+    rebuilds via withField (siblings untouched, NULL structs stay
+    NULL), composing with the epoch machinery when matched files
+    predate a nested rename."""
+    tdir = _mkdir()
+    df = spark.createDataFrame(
+        [(1, ("a", 10)), (2, ("b", 20)), (3, None)],
+        "id bigint, kafka struct<topic:string, ts:bigint>",
+    )
+    write_iceberg_table(spark, df, tdir, now_ms=1_000)
+    update_table_schema(tdir, rename={"kafka.ts": "event_ts"}, now_ms=2_000)
+    # nested SET against PRE-RENAME files, under the new nested name
+    update_where(
+        spark, tdir, "id <= 2",
+        {"kafka.event_ts": "kafka.event_ts + 100"}, now_ms=3_000,
+    )
+    rows = {r["id"]: r["kafka"] for r in
+            read_iceberg_table(spark, tdir).collect()}
+    assert rows[1]["event_ts"] == 110 and rows[1]["topic"] == "a"
+    assert rows[2]["event_ts"] == 120 and rows[2]["topic"] == "b"
+    assert rows[3] is None  # matched? id=3 not matched; struct intact
+    # a matched NULL struct stays NULL through the rewrite
+    update_where(
+        spark, tdir, "id = 3",
+        {"kafka.event_ts": "coalesce(kafka.event_ts, -1)"}, now_ms=4_000,
+    )
+    rows = {r["id"]: r["kafka"] for r in
+            read_iceberg_table(spark, tdir).collect()}
+    assert rows[3] is None
+    # guards: unknown nested path; path through an array
+    with pytest.raises(KeyError, match="no field"):
+        update_where(
+            spark, tdir, "id = 1", {"kafka.nope": "1"}, now_ms=5_000
+        )
+
+
+def test_update_where_nested_set_required_null_guard(spark):
+    """The engine's own writer commits nested fields as optional, but
+    an EXTERNALLY-authored table can declare a required nested leaf —
+    the nested SET null-guard must honor that metadata (simulated by
+    tightening the committed schema version the way a foreign writer
+    would have)."""
+    import os
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_table_metadata,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _write_metadata_version,
+    )
+
+    tdir = _mkdir()
+    df = spark.createDataFrame(
+        [(1, (5, "x"))], "id bigint, env struct<k:bigint, s:string>"
+    )
+    write_iceberg_table(spark, df, tdir, now_ms=1_000)
+    back = read_table_metadata(tdir)
+    meta = back["metadata"]
+    env = next(
+        f for f in meta["schemas"][-1]["fields"] if f["name"] == "env"
+    )
+    next(f for f in env["type"]["fields"] if f["name"] == "k")[
+        "required"
+    ] = True
+    _write_metadata_version(
+        os.path.join(tdir, "metadata"), back["version"] + 1, meta
+    )
+    with pytest.raises(ValueError, match="REQUIRED"):
+        update_where(
+            spark, tdir, "id = 1",
+            {"env.k": "cast(null as bigint)"}, now_ms=2_000,
+        )
+    # the refusal left no snapshot behind
+    assert len(read_table_metadata(tdir)["metadata"]["snapshots"]) == 1
+
+
+def test_container_element_renames(spark):
+    """r13: struct fields INSIDE list elements and map values rename
+    by the canonical ``.element.`` / ``.value.`` paths — pre-rename
+    files rebuild through transform lambdas (null containers stay
+    null), the name-mapping grows container nodes (Appendix C), and
+    post-rename appends land under the new names."""
+    tdir = _mkdir()
+    df = spark.createDataFrame(
+        [(1, [(10, "a"), (20, "b")], {"k1": (5,)}), (2, None, None)],
+        "id bigint, arr array<struct<x:bigint, y:string>>, "
+        "mp map<string, struct<p:bigint>>",
+    )
+    write_iceberg_table(spark, df, tdir, now_ms=1_000)
+    meta = update_table_schema(
+        tdir,
+        rename={"arr.element.x": "xx", "mp.value.p": "pp"},
+        now_ms=2_000,
+    )
+    assert meta["properties"]["engine.naming-epoch"] == "1"
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    arr_e = next(e for e in nm if "arr" in e["names"])
+    elem = next(f for f in arr_e["fields"] if "element" in f["names"])
+    assert next(
+        f for f in elem["fields"] if "xx" in f["names"]
+    )["names"] == ["x", "xx"]
+    write_iceberg_table(
+        spark,
+        spark.createDataFrame(
+            [(3, [(30, "c")], {"k3": (7,)})],
+            "id bigint, arr array<struct<xx:bigint, y:string>>, "
+            "mp map<string, struct<pp:bigint>>",
+        ),
+        tdir, now_ms=3_000,
+    )
+    out = read_iceberg_table(spark, tdir)
+    rows = {r["id"]: r for r in out.collect()}
+    assert [e["xx"] for e in rows[1]["arr"]] == [10, 20]
+    assert rows[1]["mp"]["k1"]["pp"] == 5
+    assert rows[2]["arr"] is None and rows[2]["mp"] is None
+    assert [e["xx"] for e in rows[3]["arr"]] == [30]
+    assert rows[3]["mp"]["k3"]["pp"] == 7
+    # the old element name is a stale writer now — refused (evolution
+    # never merges inside containers, so the refusal is the
+    # container-shape mismatch with the rebuild recipe)
+    with pytest.raises(TypeError, match="rebuild the writer"):
+        write_iceberg_table(
+            spark,
+            spark.createDataFrame(
+                [(9, [(1, "z")])],
+                "id bigint, arr array<struct<x:bigint, y:string>>",
+            ),
+            tdir, now_ms=4_000,
+        )
+
+
+def test_container_element_drop_and_promote(spark):
+    """The other nested verbs ride the same container paths."""
+    tdir = _mkdir()
+    df = spark.createDataFrame(
+        [(1, [(10, 3, "a")])],
+        "id bigint, arr array<struct<x:bigint, w:int, y:string>>",
+    )
+    write_iceberg_table(spark, df, tdir, now_ms=1_000)
+    update_table_schema(
+        tdir,
+        drop=["arr.element.y"],
+        promote={"arr.element.w": "long"},
+        now_ms=2_000,
+    )
+    out = read_iceberg_table(spark, tdir)
+    elem_t = out.schema["arr"].dataType.elementType
+    assert elem_t.fieldNames() == ["x", "w"]
+    assert str(elem_t["w"].dataType) == "LongType()"
+    assert [tuple(e) for e in out.collect()[0]["arr"]] == [(10, 3)]
+
+
+def test_streams_cross_container_rename_epochs(spark):
+    """The incremental stream's Arrow reader rebuilds list/map columns
+    by the typed conform plan across a container-element rename."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+        register,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        run_stream_to_memory,
+    )
+
+    tdir = _mkdir()
+    df = spark.createDataFrame(
+        [(1, [(10, "a")], {"k": (5,)}), (2, None, None)],
+        "id bigint, arr array<struct<x:bigint, y:string>>, "
+        "mp map<string, struct<p:bigint>>",
+    )
+    write_iceberg_table(spark, df, tdir, now_ms=1_000)
+    update_table_schema(
+        tdir,
+        rename={"arr.element.x": "xx", "mp.value.p": "pp"},
+        now_ms=2_000,
+    )
+    write_iceberg_table(
+        spark,
+        spark.createDataFrame(
+            [(3, [(30, "c")], {"k3": (7,)})],
+            "id bigint, arr array<struct<xx:bigint, y:string>>, "
+            "mp map<string, struct<pp:bigint>>",
+        ),
+        tdir, now_ms=3_000,
+    )
+    register(spark)
+    inc = run_stream_to_memory(
+        spark.readStream.format("iceberg_inc").option("path", tdir).load(),
+        "append",
+    )
+    rows = {r["id"]: r for r in inc.collect()}
+    assert [e["xx"] for e in rows[1]["arr"]] == [10]
+    assert rows[1]["mp"]["k"]["pp"] == 5
+    assert rows[2]["arr"] is None and rows[2]["mp"] is None
+    assert [e["xx"] for e in rows[3]["arr"]] == [30]
+
+
+def test_mirror_propagates_container_rename(spark):
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _current_schema_struct,
+        _current_state_meta,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        mirror_iceberg_table,
+    )
+
+    src, dst, ckpt = _mkdir(), _mkdir(), _mkdir()
+    df = spark.createDataFrame(
+        [(1, [(10, "a")])],
+        "id bigint, arr array<struct<x:bigint, y:string>>",
+    )
+    write_iceberg_table(spark, df, src, now_ms=1_000)
+    q = mirror_iceberg_table(
+        spark, src, dst + "/t", on=["id"], checkpoint_dir=ckpt + "/c"
+    )
+    q.awaitTermination(120)
+    update_table_schema(src, rename={"arr.element.x": "xx"}, now_ms=2_000)
+    write_iceberg_table(
+        spark,
+        spark.createDataFrame(
+            [(2, [(20, "b")])],
+            "id bigint, arr array<struct<xx:bigint, y:string>>",
+        ),
+        src, now_ms=3_000,
+    )
+    q2 = mirror_iceberg_table(
+        spark, src, dst + "/t", on=["id"], checkpoint_dir=ckpt + "/c"
+    )
+    q2.awaitTermination(120)
+    _v, dmeta, _t = _current_state_meta(dst + "/t")
+    arr = next(
+        f for f in _current_schema_struct(dmeta)["fields"]
+        if f["name"] == "arr"
+    )
+    assert [
+        f["name"] for f in arr["type"]["element"]["fields"]
+    ] == ["xx", "y"]
+    got = {
+        r["id"]: [e["xx"] for e in r["arr"]]
+        for r in read_iceberg_table(spark, dst + "/t").collect()
+    }
+    assert got == {1: [10], 2: [20]}

@@ -854,14 +854,39 @@ def _name_mapping_json(schemas: list[dict]) -> str:
     version ever bound to it — how an external id-based reader
     resolves files that predate parquet field-id stamping. Names are
     listed oldest-first; struct subtrees recurse through nested
-    ``fields`` entries (Appendix C's own recursion), so nested renames
-    (r13) resolve for external readers too. List/map inner nodes are
-    omitted: their element/key/value ids are not expressible through
-    Spark's parquet writer either, and renames inside them are
-    refused."""
+    ``fields`` entries (Appendix C's own recursion), and list/map
+    inner nodes appear under their canonical ``element`` / ``key`` /
+    ``value`` names (Appendix C's container mapping) — so nested
+    renames at any depth, arrays and maps included (r13), resolve for
+    external readers."""
     # one node per field id, merged across every schema version:
     # ids are globally unique, so the tree shape is stable and a
     # node's children are the union of its struct children over time
+    def collect_type(t, node_map: dict) -> None:
+        if not isinstance(t, dict):
+            return
+        kind = t.get("type")
+        if kind == "struct":
+            collect(t["fields"], node_map)
+        elif kind == "list":
+            node = node_map.setdefault(
+                t["element-id"], {"names": [], "children": {}}
+            )
+            if "element" not in node["names"]:
+                node["names"].append("element")
+            collect_type(t["element"], node["children"])
+        elif kind == "map":
+            for nm, fid, sub in (
+                ("key", t["key-id"], t["key"]),
+                ("value", t["value-id"], t["value"]),
+            ):
+                node = node_map.setdefault(
+                    fid, {"names": [], "children": {}}
+                )
+                if nm not in node["names"]:
+                    node["names"].append(nm)
+                collect_type(sub, node["children"])
+
     def collect(struct_fields: list[dict], node_map: dict) -> None:
         for f in struct_fields:
             node = node_map.setdefault(
@@ -869,9 +894,7 @@ def _name_mapping_json(schemas: list[dict]) -> str:
             )
             if f["name"] not in node["names"]:
                 node["names"].append(f["name"])
-            t = f["type"]
-            if isinstance(t, dict) and t.get("type") == "struct":
-                collect(t["fields"], node["children"])
+            collect_type(f["type"], node["children"])
 
     roots: dict = {}
     for s in sorted(schemas, key=lambda s: s["schema-id"]):
@@ -1242,12 +1265,19 @@ def update_table_schema(
             )
         for f in struct_fields:
             t = f["type"]
+            here = (
+                f["name"] if where == "the top level"
+                else f"{where}.{f['name']}"
+            )
+            # descend through containers: their element/value structs
+            # have renameable siblings too (r13)
+            while isinstance(t, dict) and t.get("type") in ("list", "map"):
+                if t["type"] == "list":
+                    t, here = t["element"], f"{here}.element"
+                else:
+                    t, here = t["value"], f"{here}.value"
             if isinstance(t, dict) and t.get("type") == "struct":
-                _check_sibling_dupes(
-                    t["fields"],
-                    f["name"] if where == "the top level"
-                    else f"{where}.{f['name']}",
-                )
+                _check_sibling_dupes(t["fields"], here)
 
     if nested_chains:
         _check_sibling_dupes(out_fields, "the top level")

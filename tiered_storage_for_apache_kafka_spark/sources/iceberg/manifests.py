@@ -172,10 +172,9 @@ def _type_diverges(epoch_t, read_t) -> bool:
     """Whether an epoch-named type tree differs from the read schema's
     anywhere below this node — a nested rename, or a struct field the
     epoch never had (added later). Field-id identity makes the trees
-    comparable node by node. List/map subtrees recurse for
-    completeness but cannot diverge today (renames inside them are
-    refused at DDL time and evolution never adds fields inside
-    them)."""
+    comparable node by node; list elements and map values recurse
+    (their struct fields rename by dotted ``.element.`` / ``.value.``
+    paths since r13)."""
     if not isinstance(read_t, dict):
         return False
     kind = read_t.get("type")
@@ -203,14 +202,34 @@ def _realias_expr(src, epoch_t, read_t, spark_t):
     struct fields re-alias by FIELD ID, struct fields the epoch never
     had null-pad at their declared type, and a NULL struct stays NULL
     (the F.struct rebuild alone would manufacture a non-null struct of
-    nulls). Identical subtrees pass through untouched, so a
+    nulls). List elements and map values with diverged struct fields
+    rebuild through ``F.transform`` / ``F.transform_values`` lambdas
+    (r13 ``.element.`` / ``.value.`` renames) — null containers pass
+    through null. Identical subtrees pass through untouched, so a
     top-level-only rename keeps its original single-alias plan."""
     from pyspark.sql import functions as F
 
-    if not isinstance(read_t, dict) or read_t.get("type") != "struct":
-        return src  # primitives and (invariant: never-diverging)
-        # list/map subtrees pass through
+    if not isinstance(read_t, dict):
+        return src  # primitives
     if not _type_diverges(epoch_t, read_t):
+        return src
+    kind = read_t.get("type")
+    if kind == "list":
+        return F.transform(
+            src,
+            lambda x: _realias_expr(
+                x, epoch_t["element"], read_t["element"],
+                spark_t.elementType,
+            ),
+        )
+    if kind == "map":
+        return F.transform_values(
+            src,
+            lambda _k, v: _realias_expr(
+                v, epoch_t["value"], read_t["value"], spark_t.valueType
+            ),
+        )
+    if kind != "struct":
         return src
     e_by_id = {f["id"]: f for f in epoch_t["fields"]}
     children = []

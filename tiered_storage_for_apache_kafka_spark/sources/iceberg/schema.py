@@ -98,6 +98,19 @@ def evolve_iceberg_schema(
             new_flat, _ = spark_schema_to_iceberg_type(nf.dataType, {"id": 0})
             new_t, old_t = _strip_ids(new_flat), _strip_ids(cur_t)
             if new_t != old_t:
+                if isinstance(new_t, dict) or isinstance(old_t, dict):
+                    # container-shape mismatch: evolution never merges
+                    # inside list/map elements — a batch carrying a
+                    # RENAMED-AWAY element field name lands here (the
+                    # stale-writer shape one container down)
+                    raise TypeError(
+                        f"incompatible change at {nf.name}: the "
+                        f"batch's container element schema differs "
+                        f"from the table's ({old_t!r} vs {new_t!r}) — "
+                        "if an element field was renamed, rebuild the "
+                        "writer against the current schema (evolution "
+                        "never infers changes inside arrays/maps)"
+                    )
                 # spec-legal primitive promotions only; the symmetric
                 # narrower-batch case keeps the table's wider type with
                 # no schema change (the batch up-casts instead)
@@ -441,22 +454,61 @@ def epoch_named_type(t, epoch_names: dict[int, str]):
 def resolve_field_path(schema_struct: dict, dotted: str) -> list[dict]:
     """Resolve a dotted column path (``kafka.ts``) against a schema
     struct to the chain of field dicts it names, outermost first.
-    Raises ``KeyError`` when a segment is missing and ``ValueError``
-    when the path would traverse a list or map (renaming fields inside
-    array/map element structs is not offered: Spark cannot re-alias
-    them without a lambda rebuild that perturbs nullability, and the
-    writer cannot stamp their parquet field ids either —
-    `writer._with_parquet_field_ids`)."""
+    Container hops use Iceberg's canonical pseudo-segments (r13):
+    ``arr.element.x`` descends into a list's element struct and
+    ``mp.value.x`` into a map's value struct (map KEYS are immutable
+    identity — renaming inside them is refused); the pseudo-segments
+    appear in the chain as synthetic field dicts (``name`` =
+    ``element``/``value``, ``id`` = the container's element/value id)
+    so callers can tell containers from real fields. Raises
+    ``KeyError`` when a segment is missing and ``ValueError`` when a
+    segment tries to cross a container without its pseudo-segment."""
     parts = dotted.split(".")
     chain: list[dict] = []
     t: Any = {"type": "struct", "fields": schema_struct["fields"]}
     for i, part in enumerate(parts):
+        if isinstance(t, dict) and t.get("type") == "list":
+            if part != "element":
+                raise ValueError(
+                    f"path {dotted!r}: {'.'.join(parts[:i])!r} is a "
+                    "list — descend with '.element.' (Iceberg's "
+                    "canonical path segment)"
+                )
+            chain.append(
+                {
+                    "id": t["element-id"],
+                    "name": "element",
+                    "required": t.get("element-required", False),
+                    "type": t["element"],
+                    "_container": "list",
+                }
+            )
+            t = t["element"]
+            continue
+        if isinstance(t, dict) and t.get("type") == "map":
+            if part != "value":
+                raise ValueError(
+                    f"path {dotted!r}: {'.'.join(parts[:i])!r} is a "
+                    "map — descend with '.value.' (keys are the map's "
+                    "immutable identity; renaming inside them is not "
+                    "offered)"
+                )
+            chain.append(
+                {
+                    "id": t["value-id"],
+                    "name": "value",
+                    "required": t.get("value-required", False),
+                    "type": t["value"],
+                    "_container": "map",
+                }
+            )
+            t = t["value"]
+            continue
         if not (isinstance(t, dict) and t.get("type") == "struct"):
             kind = t.get("type") if isinstance(t, dict) else t
             raise ValueError(
                 f"path {dotted!r} traverses a non-struct ({kind}) at "
-                f"{'.'.join(parts[:i])!r}: renaming fields inside "
-                "arrays/maps is not offered"
+                f"{'.'.join(parts[:i])!r}"
             )
         f = next((f for f in t["fields"] if f["name"] == part), None)
         if f is None:
@@ -466,6 +518,11 @@ def resolve_field_path(schema_struct: dict, dotted: str) -> list[dict]:
             )
         chain.append(f)
         t = f["type"]
+    if chain and chain[-1].get("_container"):
+        raise ValueError(
+            f"path {dotted!r} ends on a container pseudo-segment — "
+            "name a struct field inside it"
+        )
     return chain
 
 
@@ -502,6 +559,15 @@ def guard_readded_column(base: dict, old_schema: dict, new_schema: dict) -> None
             p = prefix + f["name"]
             out.add(p)
             t = f["type"]
+            # containers descend via their canonical pseudo-segments
+            # so list/map element-struct names compare as paths too
+            while isinstance(t, dict) and t.get("type") in (
+                "list", "map",
+            ):
+                if t["type"] == "list":
+                    t, p = t["element"], p + ".element"
+                else:
+                    t, p = t["value"], p + ".value"
             if isinstance(t, dict) and t.get("type") == "struct":
                 out |= paths(t, p + ".")
         return out

@@ -101,7 +101,10 @@ def update_where(
     their updated copies. ``predicate`` is a Spark SQL string or
     Column; ``set`` maps existing column names to SQL expression
     strings (or Columns) evaluated over the matched row — expressions
-    may reference any table column (``{"v": "v + 1"}``). Results cast
+    may reference any table column (``{"v": "v + 1"}``). A SET name
+    may be a DOTTED NESTED PATH (``{"env.ts": "env.ts + 1"}``, r13):
+    the struct rebuilds via ``withField`` — siblings untouched, NULL
+    structs stay NULL, paths through lists/maps refuse. Results cast
     to the column's table type; assigning a column the schema lacks is
     an error (evolve first — schema changes are `merge_upsert` /
     `update_table_schema` territory, never implied by an UPDATE).
@@ -174,12 +177,25 @@ def _update_once(
         return base  # empty table: nothing can match
     schema_struct = _current_schema_struct(base)
     table_cols = {f["name"] for f in schema_struct["fields"]}
-    bad = sorted(set(set_map) - table_cols)
+    top_sets = {c: e for c, e in set_map.items() if "." not in c}
+    nested_sets = {c: e for c, e in set_map.items() if "." in c}
+    bad = sorted(set(top_sets) - table_cols)
     if bad:
         raise ValueError(
             f"SET names columns not in the table schema: {bad} — "
             "UPDATE never evolves the schema"
         )
+    # nested SET paths resolve against the schema (refuses missing
+    # segments and paths through lists/maps); the leaf field dict is
+    # kept for the required-null guard below
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (  # noqa: E501
+        resolve_field_path,
+    )
+
+    nested_leaves = {
+        path: resolve_field_path(schema_struct, path)[-1]
+        for path in nested_sets
+    }
 
     # SINGLE-PASS (r12): one merged-view match, persisted, feeds the
     # null-guard probe, the position-delete files, AND the updated
@@ -195,9 +211,20 @@ def _update_once(
         updated = matched.withColumns(
             {
                 c: (e if isinstance(e, Column) else F.expr(e))
-                for c, e in set_map.items()
+                for c, e in top_sets.items()
             }
         )
+        for path, e in nested_sets.items():
+            # struct rebuild via withField: siblings untouched, NULL
+            # structs stay NULL, the leaf casts to its table type in
+            # the conform below
+            top, rest = path.split(".", 1)
+            updated = updated.withColumn(
+                top,
+                F.col(top).withField(
+                    rest, e if isinstance(e, Column) else F.expr(e)
+                ),
+            )
         # conform projects exactly the table columns (drops the
         # (__iceberg_file, __iceberg_pos) identity the delete writer
         # keeps) and casts SET results to the columns' table types
@@ -210,7 +237,11 @@ def _update_once(
         req_touched = [
             f["name"]
             for f in schema_struct["fields"]
-            if f["required"] and f["name"] in set_map
+            if f["required"] and f["name"] in top_sets
+        ] + [
+            path
+            for path, leaf in nested_leaves.items()
+            if leaf["required"]  # F.col resolves dotted struct paths
         ]
         if req_touched:
             row = updated.agg(

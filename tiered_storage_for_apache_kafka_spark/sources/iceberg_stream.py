@@ -132,48 +132,88 @@ def _conform_stream_column(col, field, path: str):
         ) from None
 
 
-def _conform_struct_column(col, field, plan: dict | None, path: str):
-    """Conform one Arrow STRUCT column to the pinned field type under
-    a nested rename plan (r13): children re-alias by the per-level
-    plan ``{epoch name: (current name, subplan)}``, children the file
-    predates null-pad (direction 1 — lossless), and a child name the
-    pinned schema does not know fails explicitly toward a restart
-    (direction 2 — the nested analog of `_guard_stream_schema`).
-    Parent nulls are preserved via the validity mask (a bare rebuild
-    would manufacture non-null structs of nulls)."""
+def _conform_planned_column(col, field, plan: dict | None, path: str):
+    """Conform one Arrow column to the pinned field type under a
+    nested rename plan node (r13; see `_nested_conform_plan` for the
+    node shapes). Structs rebuild field-by-field (children re-alias by
+    the per-level plan, children the file predates null-pad —
+    direction 1, lossless — and a child name the pinned schema does
+    not know fails explicitly toward a restart — direction 2, the
+    nested analog of `_guard_stream_schema`); lists and maps rebuild
+    around their conformed element/value child. Parent nulls are
+    preserved everywhere (validity masks for structs/lists, null
+    offsets for maps — a bare rebuild would manufacture non-null
+    containers of nulls)."""
     import pyarrow as pa
 
-    plan = plan or {}
-    by_new: dict = {}
-    for i in range(col.type.num_fields):
-        f = col.type.field(i)
-        new_name, sub = plan.get(f.name, (f.name, None))
-        by_new[new_name] = (col.field(i), sub)
-    expected_names = {f.name for f in field.type}
-    extra = sorted(set(by_new) - expected_names)
-    if extra:
-        raise StreamSchemaEvolvedError(
-            _stream_restart_msg(
-                path,
-                f"struct column {field.name!r} carries unknown nested "
-                f"field(s) {extra}",
+    if plan is None:
+        return _conform_stream_column(col, field, path)
+    kind = plan["kind"]
+    if kind == "struct" and pa.types.is_struct(field.type):
+        fields_plan = plan["fields"]
+        by_new: dict = {}
+        for i in range(col.type.num_fields):
+            f = col.type.field(i)
+            new_name, sub = fields_plan.get(f.name, (f.name, None))
+            by_new[new_name] = (col.field(i), f, sub)
+        expected_names = {f.name for f in field.type}
+        extra = sorted(set(by_new) - expected_names)
+        if extra:
+            raise StreamSchemaEvolvedError(
+                _stream_restart_msg(
+                    path,
+                    f"struct column {field.name!r} carries unknown "
+                    f"nested field(s) {extra}",
+                )
             )
-        )
-    arrays = []
-    for ef in field.type:
-        if ef.name in by_new:
-            child, sub = by_new[ef.name]
-            if pa.types.is_struct(ef.type):
+        arrays = []
+        for ef in field.type:
+            if ef.name in by_new:
+                child, _cf, sub = by_new[ef.name]
                 arrays.append(
-                    _conform_struct_column(child, ef, sub, path)
+                    _conform_planned_column(child, ef, sub, path)
                 )
             else:
-                arrays.append(_conform_stream_column(child, ef, path))
-        else:
-            arrays.append(pa.nulls(len(col), ef.type))
-    return pa.StructArray.from_arrays(
-        arrays, fields=list(field.type), mask=col.is_null()
-    )
+                arrays.append(pa.nulls(len(col), ef.type))
+        return pa.StructArray.from_arrays(
+            arrays, fields=list(field.type), mask=col.is_null()
+        )
+    if kind == "list" and pa.types.is_list(field.type):
+        values = _conform_planned_column(
+            col.values,
+            pa.field("element", field.type.value_type),
+            plan["element"],
+            path,
+        )
+        if col.null_count:
+            return pa.ListArray.from_arrays(
+                col.offsets, values, mask=col.is_null()
+            )
+        return pa.ListArray.from_arrays(col.offsets, values)
+    if kind == "map" and pa.types.is_map(field.type):
+        items = _conform_planned_column(
+            col.items,
+            pa.field("value", field.type.item_type),
+            plan["value"],
+            path,
+        )
+        offsets = col.offsets
+        if col.null_count:
+            # MapArray.from_arrays has no mask parameter; Arrow's
+            # null-offsets convention encodes null slots instead
+            raw = offsets.to_pylist()
+            nulls = col.is_null().to_pylist() + [False]
+            offsets = pa.array(
+                [
+                    None if nulls[i] else raw[i]
+                    for i in range(len(raw))
+                ],
+                offsets.type,
+            )
+        return pa.MapArray.from_arrays(offsets, col.keys, items)
+    # plan/type shape mismatch: the cast-based conform raises the
+    # standard restart error with the real types in it
+    return _conform_stream_column(col, field, path)
 
 
 class IcebergFilePartition(InputPartition):
@@ -195,28 +235,39 @@ class IcebergFilePartition(InputPartition):
 
 
 def _nested_conform_plan(cur_type, epoch_names: dict) -> dict | None:
-    """Per-struct-level conform plan mapping a file's epoch-named
-    nested fields to the current schema's names by FIELD ID:
-    ``{epoch child name: (current child name, subplan | None)}``.
-    None when the subtree's names never diverged and no field is
-    missing from the epoch (the common case — the executor then skips
-    the struct rebuild entirely)."""
-    if not (isinstance(cur_type, dict) and cur_type.get("type") == "struct"):
+    """Typed conform-plan node mapping a file's epoch-named nested
+    fields to the current schema's names by FIELD ID. Node shapes:
+    ``{"kind": "struct", "fields": {epoch child name: (current child
+    name, subplan | None)}}``, ``{"kind": "list", "element": plan}``,
+    ``{"kind": "map", "value": plan}`` (r13: list elements and map
+    values rename too). None when the subtree's names never diverged
+    and no field is missing from the epoch (the common case — the
+    executor then skips the rebuild entirely)."""
+    if not isinstance(cur_type, dict):
         return None
-    plan: dict = {}
-    diverged = False
-    for f in cur_type["fields"]:
-        if f["id"] not in epoch_names:
-            # added after the epoch: the file cannot carry it; the
-            # executor null-pads it — still a rebuild
-            diverged = True
-            continue
-        en = epoch_names[f["id"]]
-        sub = _nested_conform_plan(f["type"], epoch_names)
-        if en != f["name"] or sub is not None:
-            diverged = True
-        plan[en] = (f["name"], sub)
-    return plan if diverged else None
+    kind = cur_type.get("type")
+    if kind == "struct":
+        fields: dict = {}
+        diverged = False
+        for f in cur_type["fields"]:
+            if f["id"] not in epoch_names:
+                # added after the epoch: the file cannot carry it; the
+                # executor null-pads it — still a rebuild
+                diverged = True
+                continue
+            en = epoch_names[f["id"]]
+            sub = _nested_conform_plan(f["type"], epoch_names)
+            if en != f["name"] or sub is not None:
+                diverged = True
+            fields[en] = (f["name"], sub)
+        return {"kind": "struct", "fields": fields} if diverged else None
+    if kind == "list":
+        sub = _nested_conform_plan(cur_type["element"], epoch_names)
+        return {"kind": "list", "element": sub} if sub else None
+    if kind == "map":
+        sub = _nested_conform_plan(cur_type["value"], epoch_names)
+        return {"kind": "map", "value": sub} if sub else None
+    return None
 
 
 def _epoch_rename_resolver(meta: dict):
@@ -470,24 +521,14 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
                         pa.array([part_val] * batch.num_rows, field.type)
                     )
                 elif field.name in by_name:
-                    col = by_name[field.name]
-                    if field.name in nplans and pa.types.is_struct(
-                        field.type
-                    ):
-                        # nested names diverged for this file's epoch:
-                        # rebuild the struct by the per-level plan
-                        cols.append(
-                            _conform_struct_column(
-                                col, field, nplans[field.name],
-                                partition.file_path,
-                            )
+                    # nested names diverged for this file's epoch →
+                    # rebuild by the typed plan; no plan → plain conform
+                    cols.append(
+                        _conform_planned_column(
+                            by_name[field.name], field,
+                            nplans.get(field.name), partition.file_path,
                         )
-                    else:
-                        cols.append(
-                            _conform_stream_column(
-                                col, field, partition.file_path
-                            )
-                        )
+                    )
                 else:
                     cols.append(pa.nulls(batch.num_rows, field.type))
             out = pa.RecordBatch.from_arrays(cols, names=names)

@@ -713,16 +713,26 @@ def _propagate_src_renames(
 
     _v, src_meta, _t = _current_state_meta(src_table_dir)
 
+    def walk_type(t, prefix: str, out: dict) -> None:
+        if not isinstance(t, dict):
+            return
+        kind = t.get("type")
+        if kind == "struct":
+            walk(t["fields"], prefix, out)
+        elif kind == "list":
+            walk_type(t["element"], prefix + "element.", out)
+        elif kind == "map":
+            walk_type(t["value"], prefix + "value.", out)
+
     def walk(fields: list, prefix: str, out: dict) -> None:
         # {field id: (dotted path, leaf name, type)} at every struct
         # depth — nested renames (r13) propagate by id exactly like
-        # top-level ones
+        # top-level ones; containers descend via their canonical
+        # ``.element.`` / ``.value.`` pseudo-segments
         for f in fields:
             path = prefix + f["name"]
             out[f["id"]] = (path, f["name"], f["type"])
-            t = f["type"]
-            if isinstance(t, dict) and t.get("type") == "struct":
-                walk(t["fields"], path + ".", out)
+            walk_type(f["type"], path + ".", out)
 
     src_fields: dict = {}
     dst_fields: dict = {}
