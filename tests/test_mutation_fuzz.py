@@ -412,29 +412,49 @@ def test_random_nested_ddl_program_matches_model(spark, tmp_path, seed):
 
     env = ["env"]  # current name of the struct column
     nf: dict[str, str] = {"ts": "long", "src": "string"}  # env children
+    af: dict[str, str] = {"u": "long", "w": "string"}  # arr elem fields
     hist_nested: list[str] = []  # nested names renamed away
+    hist_arr: list[str] = []  # arr element names renamed away (r13)
     n_new = [0]
     next_id = [2_000]
-    model: dict[int, dict] = {
-        i: {"grp": i % 5, "ts": i * 10, "src": f"s{i % 3}"}
-        for i in range(30)
-    }
 
     _SPARK_T = {"long": "bigint", "int": "int", "string": "string"}
-
-    def schema_str(extra: str = "") -> str:
-        inner = ", ".join(f"{c}:{_SPARK_T[t]}" for c, t in nf.items())
-        return (
-            f"id bigint, grp bigint, {env[0]} struct<{inner}>" + extra
-        )
 
     def gen_val(i: int, c: str, t: str):
         if t == "string":
             return f"{c}-{i % 7}"
         return (i * (len(c) + 1)) % 100_000
 
+    def gen_arr(i: int) -> list[dict]:
+        return [
+            {c: gen_val(i * 7 + j, c, t) for c, t in af.items()}
+            for j in range(2)
+        ]
+
+    model: dict[int, dict] = {
+        i: {
+            "grp": i % 5, "ts": i * 10, "src": f"s{i % 3}",
+            "__arr": [
+                {"u": (i * 7 + j) * 2 % 100_000, "w": f"w-{(i * 7 + j) % 7}"}
+                for j in range(2)
+            ],
+        }
+        for i in range(30)
+    }
+
+    def schema_str(extra: str = "") -> str:
+        inner = ", ".join(f"{c}:{_SPARK_T[t]}" for c, t in nf.items())
+        a_inner = ", ".join(f"{c}:{_SPARK_T[t]}" for c, t in af.items())
+        return (
+            f"id bigint, grp bigint, {env[0]} struct<{inner}>, "
+            f"arr array<struct<{a_inner}>>" + extra
+        )
+
     def row_tuple(i: int, d: dict):
-        return (i, d["grp"], tuple(d.get(c) for c in nf))
+        return (
+            i, d["grp"], tuple(d.get(c) for c in nf),
+            [tuple(ad.get(c) for c in af) for ad in d["__arr"]],
+        )
 
     def snap_state():
         got = {
@@ -444,11 +464,20 @@ def test_random_nested_ddl_program_matches_model(spark, tmp_path, seed):
                     None if r[env[0]] is None else r[env[0]][c]
                     for c in nf
                 ),
+                tuple(
+                    tuple(e[c] for c in af) for e in (r["arr"] or [])
+                ),
             )
             for r in read_iceberg_table(spark, tdir).collect()
         }
         exp = {
-            i: (d["grp"], tuple(d.get(c) for c in nf))
+            i: (
+                d["grp"],
+                tuple(d.get(c) for c in nf),
+                tuple(
+                    tuple(ad.get(c) for c in af) for ad in d["__arr"]
+                ),
+            )
             for i, d in model.items()
         }
         return got, exp
@@ -467,6 +496,7 @@ def test_random_nested_ddl_program_matches_model(spark, tmp_path, seed):
             i = next_id[0]
             d = {"grp": i % 5}
             d |= {c: gen_val(i, c, t) for c, t in nf.items()}
+            d["__arr"] = gen_arr(i)
             model[i] = d
             rows.append(row_tuple(i, d))
         write_iceberg_table(
@@ -496,11 +526,12 @@ def test_random_nested_ddl_program_matches_model(spark, tmp_path, seed):
         rows = []
         for i in rng.sample(live, min(len(live), rng.randint(2, 4))):
             if rng.random() < 0.3:
-                rows.append((i, None, None, "d"))
+                rows.append((i, None, None, None, "d"))
                 model.pop(i)
             else:
                 d = {"grp": i % 5}
                 d |= {c: gen_val(i + 31, c, t) for c, t in nf.items()}
+                d["__arr"] = gen_arr(i + 31)
                 model[i] = d
                 rows.append((*row_tuple(i, d), "u"))
         merge_upsert(
@@ -563,14 +594,48 @@ def test_random_nested_ddl_program_matches_model(spark, tmp_path, seed):
             expire_snapshots(tdir, keep_last=3, now_ms=tick())
             remove_orphan_files(tdir, older_than_timestamp_ms=10**14)
 
+    def op_arr_rename():
+        # r13: rename a struct field INSIDE the array's element — to a
+        # fresh name, or to a historical element name of another id
+        old = rng.choice(list(af))
+        cand = [n for n in hist_arr if n not in af and n != old]
+        if cand and rng.random() < 0.4:
+            new = rng.choice(cand)
+        else:
+            n_new[0] += 1
+            new = f"a{n_new[0]}"
+        update_table_schema(
+            tdir, rename={f"arr.element.{old}": new}, now_ms=tick()
+        )
+        hist_arr.append(old)
+        af[new] = af.pop(old)
+        for d in model.values():
+            for ad in d["__arr"]:
+                if old in ad:
+                    ad[new] = ad.pop(old)
+
+    def op_arr_drop():
+        if len(af) < 2:
+            return
+        name = rng.choice(list(af))
+        update_table_schema(
+            tdir, drop=[f"arr.element.{name}"], now_ms=tick()
+        )
+        hist_arr.append(name)
+        del af[name]
+        for d in model.values():
+            for ad in d["__arr"]:
+                ad.pop(name, None)
+
     ops = (
         [op_append] * 4 + [op_append_evolve] * 2 + [op_merge] * 3
-        + [op_update] * 2 + [op_nested_rename] * 5 + [op_env_rename] * 2
+        + [op_update] * 2 + [op_nested_rename] * 4 + [op_env_rename] * 2
         + [op_nested_drop] * 2 + [op_nested_promote] * 2
+        + [op_arr_rename] * 3 + [op_arr_drop] * 1
         + [op_maintain] * 2
     )
     trace = []
-    for step in range(24):
+    for step in range(26):
         op = rng.choice(ops)
         trace.append(op.__name__)
         op()
@@ -586,6 +651,7 @@ def test_random_nested_ddl_program_matches_model(spark, tmp_path, seed):
             f"diff(got,exp)={dict(sorted(diff.items())[:4])}"
         )
     assert any(t == "op_nested_rename" for t in trace)
+    assert any(t == "op_arr_rename" for t in trace)
 
 
 @pytest.mark.parametrize("seed", [307])

@@ -99,10 +99,18 @@ def evolve_iceberg_schema(
             new_t, old_t = _strip_ids(new_flat), _strip_ids(cur_t)
             if new_t != old_t:
                 if isinstance(new_t, dict) or isinstance(old_t, dict):
-                    # container-shape mismatch: evolution never merges
-                    # inside list/map elements — a batch carrying a
-                    # RENAMED-AWAY element field name lands here (the
-                    # stale-writer shape one container down)
+                    if _canon_order(new_t) == _canon_order(old_t):
+                        # same names and types, container element
+                        # fields merely REORDERED — legal (parquet and
+                        # every reader resolve nested fields by name;
+                        # conform re-aligns the batch); table type
+                        # stays, no schema change
+                        out_fields.append(cf)
+                        continue
+                    # genuine container-shape mismatch: evolution
+                    # never merges inside list/map elements — a batch
+                    # carrying a RENAMED-AWAY element field name lands
+                    # here (the stale-writer shape one container down)
                     raise TypeError(
                         f"incompatible change at {nf.name}: the "
                         f"batch's container element schema differs "
@@ -188,6 +196,23 @@ def spark_schema_to_iceberg_type(dt, counter: dict) -> tuple[Any, int]:
         raise TypeError(f"unsupported Spark type for Iceberg schema: {name}")
 
     return conv(dt), counter["id"]
+
+
+def _canon_order(t):
+    """Canonicalize a stripped type tree for ORDER-INSENSITIVE
+    comparison: struct field lists sort by name at every depth. Two
+    types canon-equal differ at most in sibling order — legal for a
+    batch (nested fields resolve by name everywhere; conform
+    re-aligns), where any name/type difference is a real change."""
+    if isinstance(t, dict):
+        out = {k: _canon_order(v) for k, v in t.items() if k != "fields"}
+        if "fields" in t:
+            out["fields"] = sorted(
+                (_canon_order(f) for f in t["fields"]),
+                key=lambda f: f.get("name", ""),
+            )
+        return out
+    return t
 
 
 def _strip_ids(t):

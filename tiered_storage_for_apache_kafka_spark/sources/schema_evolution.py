@@ -38,6 +38,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     StructField,
     StructType,
 )
@@ -117,6 +118,23 @@ def _conform_expr(src, src_t, target_t):
         )
     if src_t == target_t:
         return src
+    if isinstance(target_t, ArrayType) and isinstance(src_t, ArrayType):
+        # element structs align by name through a lambda (a bare cast
+        # would be positional inside the container too); null arrays
+        # pass through transform as null
+        return F.transform(
+            src,
+            lambda x: _conform_expr(
+                x, src_t.elementType, target_t.elementType
+            ),
+        )
+    if isinstance(target_t, MapType) and isinstance(src_t, MapType):
+        return F.transform_values(
+            src,
+            lambda _k, v: _conform_expr(
+                v, src_t.valueType, target_t.valueType
+            ),
+        )
     return src.cast(target_t)
 
 
