@@ -1700,6 +1700,78 @@ def probe_mirror_wide() -> None:
     spark.stop()
 
 
+def probe_dv_retraction() -> None:
+    """Scale curve of DV keyed retractions (r13): after a mirror
+    sync, a `commit_deletion_vectors` DELETE matching 10% of the
+    table is crossed by the catch-up — the window DV resolves via
+    `dv_keyed_plan` (one footer parse driver-side) and the reader
+    decodes the fresh bitmap + gathers pre-image keys executor-side
+    (`_read_dv_keys`). Same cost model as --mirror-wide's
+    position-delete path plus the bitmap decode; expectation:
+    catch-up ~linear in DELETED rows, flat in table size beyond
+    them."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiered_storage_for_apache_kafka_spark.session import get_spark
+    from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+    from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (  # noqa: E501
+        commit_deletion_vectors,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        mirror_iceberg_table,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spec = [("id_bucket", "bucket[8]", "id")]
+
+    print(
+        f"{'dvretract':10s} {'tbl_rows':>9} {'deleted':>8} "
+        f"{'sync_s':>7} {'dv_s':>6} {'catchup_s':>10}"
+    )
+    for label, n_rows in (
+        ("warmup", 50_000), ("400k", 400_000),
+        ("4M", 4_000_000), ("40M", 40_000_000),
+    ):
+        root = tempfile.mkdtemp(prefix=f"dvret-{label}-")
+        src, dst = _os.path.join(root, "src"), _os.path.join(root, "dst")
+        ckpt = _os.path.join(root, "ckpt")
+        df = spark.range(n_rows).select(
+            F.col("id"), (F.col("id") * 3).cast("bigint").alias("v")
+        )
+        ice.write_iceberg_table(
+            spark, df, src, now_ms=1_000, partition_spec=spec
+        )
+
+        def run():
+            q = mirror_iceberg_table(
+                spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+                partition_spec=spec,
+            )
+            q.awaitTermination()
+
+        t0 = time.time()
+        run()
+        sync_s = time.time() - t0
+        t0 = time.time()
+        commit_deletion_vectors(spark, src, "id % 10 = 3", now_ms=2_000)
+        dv_s = time.time() - t0
+        t0 = time.time()
+        run()
+        catchup_s = time.time() - t0
+        if label != "warmup":
+            print(
+                f"{label:10s} {n_rows:9d} {n_rows // 10:8d} "
+                f"{sync_s:7.2f} {dv_s:6.2f} {catchup_s:10.2f}"
+            )
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 def probe_eqconv() -> None:
     """Scale curve of convert_equality_deletes (round 10): the pass is
     ONE distributed key+identity scan of the data plus tiny delete
@@ -1930,6 +2002,8 @@ if __name__ == "__main__":
         probe_eqconv()
     elif "--mirror-wide" in sys.argv:
         probe_mirror_wide()
+    elif "--dv-retraction" in sys.argv:
+        probe_dv_retraction()
     elif "--mirror" in sys.argv:
         probe_mirror()
     elif "--update-where" in sys.argv:
