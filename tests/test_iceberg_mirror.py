@@ -524,3 +524,130 @@ def test_mirror_refuses_foreign_destination(spark, tmp_path):
     )
     q.awaitTermination()
     assert _state(spark, dst) == _state(spark, src2)
+
+
+def test_mirror_adopts_prestamp_replica_verified(spark, tmp_path):
+    """r13: a replica created BEFORE lineage stamping (simulated by
+    stripping the property) refuses by default with the adoption
+    recipe, and `adopt_destination=True` performs a one-time VERIFIED
+    back-stamp (same dotted path for every common field id) instead of
+    forcing a 100 TB re-sync; afterwards plain catch-ups work again."""
+    import json
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _src_table(spark, src)
+    q = mirror_iceberg_table(
+        spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+        partition_spec=SRC_SPEC,
+    )
+    q.awaitTermination()
+    # simulate a pre-stamp replica: strip the lineage property
+    hint = os.path.join(dst, "metadata", "version-hint.text")
+    with open(hint) as fh:
+        v = int(fh.read().strip())
+    mpath = os.path.join(dst, "metadata", f"v{v}.metadata.json")
+    with open(mpath) as fh:
+        meta = json.load(fh)
+    meta["properties"].pop("engine.mirror-source", None)
+    with open(mpath, "w") as fh:
+        json.dump(meta, fh)
+    merge_upsert(
+        spark, _batch(spark, [(1, 1, "post", "u", 1)]), src,
+        on=["id"], op_col="op", seq_col="seq",
+        partition_spec=SRC_SPEC, now_ms=3_000,
+    )
+    with pytest.raises(ValueError, match="adopt_destination"):
+        mirror_iceberg_table(
+            spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+            partition_spec=SRC_SPEC,
+        )
+    q = mirror_iceberg_table(
+        spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+        partition_spec=SRC_SPEC, adopt_destination=True,
+    )
+    q.awaitTermination()
+    assert _state(spark, dst) == _state(spark, src)
+    # the stamp is durable: the next catch-up needs no flag
+    q = mirror_iceberg_table(
+        spark, src, dst, on=["id"], checkpoint_dir=ckpt,
+        partition_spec=SRC_SPEC,
+    )
+    q.awaitTermination()
+
+
+def test_streams_cross_top_level_drop(spark, tmp_path):
+    """r13 (found by review): a plain DROP must not wedge streams on
+    pre-drop files — the dropped column skips losslessly (the current
+    table does not serve it either); truly unknown columns still fail
+    toward a restart."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        update_table_schema,
+        write_iceberg_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+        register,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        run_stream_to_memory,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg_table(
+        spark,
+        spark.createDataFrame(
+            [(1, 10, "x")], "id bigint, v bigint, junk string"
+        ),
+        t, now_ms=1_000,
+    )
+    update_table_schema(t, drop=["junk"], now_ms=2_000)
+    write_iceberg_table(
+        spark,
+        spark.createDataFrame([(2, 20)], "id bigint, v bigint"),
+        t, now_ms=3_000,
+    )
+    register(spark)
+    inc = run_stream_to_memory(
+        spark.readStream.format("iceberg_inc").option("path", t).load(),
+        "append",
+    )
+    assert sorted((r["id"], r["v"]) for r in inc.collect()) == [
+        (1, 10), (2, 20),
+    ]
+    assert "junk" not in inc.columns
+
+
+def test_streams_cross_nested_drop_after_rename(spark, tmp_path):
+    """r13 (found by review): a nested field dropped after a rename in
+    the same struct — the conform plan's dropped-names set lets the
+    pre-drop files' extra child skip instead of wedging the stream."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        update_table_schema,
+        write_iceberg_table,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_stream import (
+        register,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        run_stream_to_memory,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg_table(
+        spark,
+        spark.createDataFrame(
+            [(1, (10, "a"))], "id bigint, env struct<a:bigint, b:string>"
+        ),
+        t, now_ms=1_000,
+    )
+    update_table_schema(t, rename={"env.a": "a2"}, now_ms=2_000)
+    update_table_schema(t, drop=["env.b"], now_ms=3_000)
+    register(spark)
+    inc = run_stream_to_memory(
+        spark.readStream.format("iceberg_inc").option("path", t).load(),
+        "append",
+    )
+    rows = [(r["id"], r["env"]["a2"]) for r in inc.collect()]
+    assert rows == [(1, 10)]

@@ -270,23 +270,26 @@ def write_deletion_vectors(
     # v3 single-live-DV rule: the new DV for a file SUPERSEDES the old
     # one, so it must carry the union of both position sets (the new
     # matches are disjoint from the old — the re-match above already
-    # excluded DV-deleted rows). Prior payloads were fetched above for
-    # the cap estimate's inputs; the union happens driver-side under
-    # that same cap, and the FRESH-only bitmap is kept separately: it
-    # becomes the ``engine-dv-delta-v1`` sibling blob the keyed
-    # changelog consumes (r13) — the union blob re-stamps the priors'
-    # retractions at the NEW sequence number, so emitting it as keyed
-    # retractions would wrongly retract keys re-inserted since; the
-    # delta blob is exactly the rows newly retracted by THIS commit.
+    # excluded DV-deleted rows). Old bitmaps ship to executors as
+    # binary rows and explode into the matched set BEFORE the per-file
+    # bitmap build — deleted positions never materialize on the driver
+    # (the serialized-bytes cap under-bounds DECODED size by orders of
+    # magnitude for run-heavy bitmaps, so a driver-side union would be
+    # a scale hole). The FRESH-only bitmap is built IN THE SAME
+    # executor pass via a freshness flag: it becomes the
+    # ``engine-dv-delta-v1`` sibling blob the keyed changelog consumes
+    # (r13) — the union blob re-stamps the priors' retractions at the
+    # NEW sequence number, so emitting it as keyed retractions would
+    # wrongly retract keys re-inserted since; the delta blob is
+    # exactly the rows newly retracted by THIS commit.
     superseded_by_file: dict[str, list[dict]] = {}
-    prior_payloads: dict[str, list[bytes]] = {}
+    matched = matched.withColumn("__fresh", F.lit(True))
     if live_dv:
         blob_cache: dict[str, list[dict]] = {}
+        old_rows: list[tuple[str, bytes]] = []
         for ref in sorted(live_dv):
             for oe in live_dv[ref]:
-                prior_payloads.setdefault(ref, []).append(
-                    _dv_entry_payload(oe, blob_cache)
-                )
+                old_rows.append((ref, _dv_entry_payload(oe, blob_cache)))
                 superseded_by_file.setdefault(ref, []).append(
                     {
                         "puffin_path": oe["file_path"],
@@ -294,75 +297,70 @@ def write_deletion_vectors(
                         "cardinality": int(oe["record_count"]),
                     }
                 )
+        old_pos = (
+            spark.createDataFrame(
+                old_rows, "__iceberg_file string, __dv binary"
+            )
+            .mapInPandas(
+                _explode_dv_rows,
+                "__iceberg_file string, __iceberg_pos bigint",
+            )
+            .withColumn("__fresh", F.lit(False))
+        )
+        matched = matched.unionByName(old_pos)
 
     def _bitmap_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         vals = np.unique(pdf["__iceberg_pos"].to_numpy(dtype=np.int64))
         payload = frame_dv_payload(serialize_roaring64(vals))
+        fresh_mask = pdf["__fresh"].to_numpy(dtype=bool)
+        if fresh_mask.all():
+            # no superseded priors contributed: the union IS the delta
+            delta_payload, delta_card = None, len(vals)
+        else:
+            fresh_vals = np.unique(
+                pdf["__iceberg_pos"].to_numpy(dtype=np.int64)[fresh_mask]
+            )
+            delta_payload = frame_dv_payload(
+                serialize_roaring64(fresh_vals)
+            )
+            delta_card = len(fresh_vals)
         return pd.DataFrame(
-            [[pdf["__iceberg_file"].iloc[0], payload, len(vals)]],
-            columns=["file", "payload", "cardinality"],
+            [[
+                pdf["__iceberg_file"].iloc[0], payload, len(vals),
+                delta_payload, delta_card,
+            ]],
+            columns=[
+                "file", "payload", "cardinality",
+                "delta_payload", "delta_cardinality",
+            ],
         )
 
     blobs = (
         matched.groupBy("__iceberg_file")
-        .applyInPandas(_bitmap_group, "file string, payload binary, cardinality bigint")
+        .applyInPandas(
+            _bitmap_group,
+            "file string, payload binary, cardinality bigint, "
+            "delta_payload binary, delta_cardinality bigint",
+        )
         .collect()
     )
-    out_blobs = []
-    for r in sorted(blobs, key=lambda r: r["file"]):
-        import numpy as np
-
-        from tiered_storage_for_apache_kafka_spark.roaring import (
-            deserialize_roaring64,
-        )
-
-        fresh_payload = bytes(r["payload"])
-        fresh_card = int(r["cardinality"])
-        priors = prior_payloads.get(r["file"])
-        if priors:
-            allpos = np.unique(
-                np.concatenate(
-                    [
-                        deserialize_roaring64(
-                            unframe_dv_payload(fresh_payload)
-                        ).astype(np.int64)
-                    ]
-                    + [
-                        deserialize_roaring64(
-                            unframe_dv_payload(p)
-                        ).astype(np.int64)
-                        for p in priors
-                    ]
-                )
-            )
-            out_blobs.append(
-                {
-                    "file": r["file"],
-                    "payload": frame_dv_payload(
-                        serialize_roaring64(allpos)
-                    ),
-                    "cardinality": int(len(allpos)),
-                    "delta_payload": fresh_payload,
-                    "delta_cardinality": fresh_card,
-                    "superseded": superseded_by_file.get(r["file"], []),
-                }
-            )
-        else:
-            # no prior DV: the whole bitmap IS the fresh delta — no
-            # sibling blob needed (readers treat its absence plus
-            # no-priors as fresh-by-construction)
-            out_blobs.append(
-                {
-                    "file": r["file"],
-                    "payload": fresh_payload,
-                    "cardinality": fresh_card,
-                    "delta_payload": None,
-                    "delta_cardinality": fresh_card,
-                    "superseded": [],
-                }
-            )
+    out_blobs = [
+        {
+            "file": r["file"],
+            "payload": bytes(r["payload"]),
+            "cardinality": int(r["cardinality"]),
+            "delta_payload": (
+                None
+                if r["delta_payload"] is None
+                else bytes(r["delta_payload"])
+            ),
+            "delta_cardinality": int(r["delta_cardinality"]),
+            "superseded": superseded_by_file.get(r["file"], []),
+        }
+        for r in sorted(blobs, key=lambda r: r["file"])
+    ]
     out_dir = os.path.join(table_dir, "deletes")
     os.makedirs(out_dir, exist_ok=True)
     puffin_path = os.path.join(out_dir, f"dv-{uuid.uuid4().hex[:16]}.puffin")

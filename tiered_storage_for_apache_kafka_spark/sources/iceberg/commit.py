@@ -969,10 +969,13 @@ def update_table_schema(
       bare new leaf name. Committed files keep their physical names;
       reads re-alias each file's columns — top-level AND nested — BY
       FIELD ID under its write-time naming epoch, so both old and new
-      files serve the new name exactly. Paths that traverse a list or
-      map refuse (Spark cannot re-alias array-element struct fields
-      without a nullability-perturbing lambda rebuild, and the writer
-      cannot stamp their parquet ids either). Guarded: a
+      files serve the new name exactly. Container hops use Iceberg's
+      canonical pseudo-segments (``arr.element.x``, ``mp.value.p``) —
+      struct fields inside list elements and map values rename too
+      (reads rebuild them through transform lambdas); renaming inside
+      map KEYS refuses (they are the map's immutable identity), as
+      does a bare path that crosses a container without its
+      pseudo-segment. Guarded: a
       partition-spec SOURCE column of any generation refuses (hive
       path recovery and spec-field naming key on the written name —
       evolve the spec instead), as does a key column of a LIVE
@@ -1026,16 +1029,25 @@ def update_table_schema(
         if name not in fields:
             raise ValueError(f"column {name!r} not in the current schema")
     nested_chains: dict[str, list[dict]] = {}
+    drop_set = set(top_drop) | set(nested_drop)
     for path in [
         *nested_rename, *nested_drop, *nested_optional, *nested_promote,
     ]:
         if path not in nested_chains:
             nested_chains[path] = resolve_field_path(cur_schema, path)
-        if path.split(".", 1)[0] in top_drop:
-            raise ValueError(
-                f"cannot act on {path!r} AND drop its ancestor "
-                f"{path.split('.', 1)[0]!r} in one DDL"
-            )
+        # EVERY proper ancestor prefix is checked, not just the top
+        # segment: dropping a MID-level struct while renaming its
+        # descendant in the same DDL would otherwise silently discard
+        # the descendant verb (and bump the naming epoch for a rename
+        # that never happened)
+        parts = path.split(".")
+        for j in range(1, len(parts)):
+            anc = ".".join(parts[:j])
+            if anc in drop_set:
+                raise ValueError(
+                    f"cannot act on {path!r} AND drop its ancestor "
+                    f"{anc!r} in one DDL"
+                )
     for path, new in nested_rename.items():
         if "." in new:
             raise ValueError(

@@ -551,6 +551,40 @@ def resolve_field_path(schema_struct: dict, dotted: str) -> list[dict]:
     return chain
 
 
+def historical_level_names(meta: dict) -> dict:
+    """Per-struct-level NAME HISTORY over every schema version the
+    table ever had: ``{"__top__": {top-level names...}, <owner field
+    id>: {child names of that struct level...}}`` (list element /
+    map value structs key by their element/value ids). The streaming
+    readers use it to tell a DROPPED (or renamed-away) column in an
+    old file — skippable losslessly, the current table does not serve
+    it either — from a truly unknown one, which still fails toward a
+    restart (r13; previously a plain DROP wedged streams on pre-drop
+    files)."""
+    out: dict = {"__top__": set()}
+
+    def walk_type(owner, t) -> None:
+        if not isinstance(t, dict):
+            return
+        kind = t.get("type")
+        if kind == "struct":
+            names = out.setdefault(owner, set())
+            for f in t["fields"]:
+                names.add(f["name"])
+                walk_type(f["id"], f["type"])
+        elif kind == "list":
+            walk_type(t["element-id"], t["element"])
+        elif kind == "map":
+            walk_type(t["key-id"], t["key"])
+            walk_type(t["value-id"], t["value"])
+
+    for s in meta.get("schemas", []):
+        out["__top__"] |= {f["name"] for f in s["fields"]}
+        for f in s["fields"]:
+            walk_type(f["id"], f["type"])
+    return out
+
+
 def schema_epoch(meta: dict, schema_id: int) -> int:
     """The naming epoch a schema version belongs to (0 before the
     first rename)."""

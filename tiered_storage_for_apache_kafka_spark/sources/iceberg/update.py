@@ -104,7 +104,9 @@ def update_where(
     may reference any table column (``{"v": "v + 1"}``). A SET name
     may be a DOTTED NESTED PATH (``{"env.ts": "env.ts + 1"}``, r13):
     the struct rebuilds via ``withField`` — siblings untouched, NULL
-    structs stay NULL, paths through lists/maps refuse. Results cast
+    structs stay NULL; paths crossing an array/map refuse explicitly
+    (SET the container column with a ``transform()`` expression
+    instead). Results cast
     to the column's table type; assigning a column the schema lacks is
     an error (evolve first — schema changes are `merge_upsert` /
     `update_table_schema` territory, never implied by an UPDATE).
@@ -192,10 +194,16 @@ def _update_once(
         resolve_field_path,
     )
 
-    nested_leaves = {
-        path: resolve_field_path(schema_struct, path)[-1]
-        for path in nested_sets
-    }
+    nested_leaves = {}
+    for path in nested_sets:
+        chain = resolve_field_path(schema_struct, path)
+        if any(seg.get("_container") for seg in chain):
+            raise ValueError(
+                f"SET path {path!r} crosses an array/map — per-element "
+                "SET is not offered; SET the container column itself "
+                "with a transform() expression instead"
+            )
+        nested_leaves[path] = chain[-1]
 
     # SINGLE-PASS (r12): one merged-view match, persisted, feeds the
     # null-guard probe, the position-delete files, AND the updated
@@ -244,11 +252,19 @@ def _update_once(
             if leaf["required"]  # F.col resolves dotted struct paths
         ]
         if req_touched:
+
+            def viol(c: str):
+                # a NULL PARENT struct is legal even when the leaf is
+                # required (the whole value is absent, not a null leaf
+                # written into it) — only rows whose parent exists and
+                # whose leaf is null violate
+                cond = F.col(c).isNull()
+                if "." in c:
+                    cond = cond & F.col(c.rsplit(".", 1)[0]).isNotNull()
+                return F.count(F.when(cond, 1)).alias(c)
+
             row = updated.agg(
-                *[
-                    F.count(F.when(F.col(c).isNull(), 1)).alias(c)
-                    for c in req_touched
-                ]
+                *[viol(c) for c in req_touched]
             ).collect()[0]
             bad = [c for c in req_touched if row[c] > 0]
             if bad:

@@ -157,15 +157,21 @@ def _conform_planned_column(col, field, plan: dict | None, path: str):
             new_name, sub = fields_plan.get(f.name, (f.name, None))
             by_new[new_name] = (col.field(i), f, sub)
         expected_names = {f.name for f in field.type}
+        dropped = set(plan.get("dropped") or ())
         extra = sorted(set(by_new) - expected_names)
-        if extra:
+        unknown = [e for e in extra if e not in dropped]
+        if unknown:
             raise StreamSchemaEvolvedError(
                 _stream_restart_msg(
                     path,
                     f"struct column {field.name!r} carries unknown "
-                    f"nested field(s) {extra}",
+                    f"nested field(s) {unknown}",
                 )
             )
+        # DROPPED (or renamed-away) historical children skip
+        # losslessly — the current table does not serve them either
+        for e in extra:
+            by_new.pop(e, None)
         arrays = []
         for ef in field.type:
             if ef.name in by_new:
@@ -220,6 +226,7 @@ class IcebergFilePartition(InputPartition):
     def __init__(
         self, file_path: str, col_renames: dict | None = None,
         nested_renames: dict | None = None,
+        droppable_cols: frozenset | None = None,
     ):
         self.file_path = file_path
         # {file-side column name: pinned/current name} for files of an
@@ -232,17 +239,47 @@ class IcebergFilePartition(InputPartition):
         # (current child name, subplan | None)}; None when no nested
         # divergence
         self.nested_renames = nested_renames
+        # historical top-level names the CURRENT schema no longer has:
+        # an old file carrying one skips it losslessly (a DROP must
+        # not wedge the stream); truly unknown names still fail
+        self.droppable_cols = droppable_cols
 
 
-def _nested_conform_plan(cur_type, epoch_names: dict) -> dict | None:
+def _droppable_top_names(meta: dict) -> frozenset | None:
+    """Top-level names some schema version had that the CURRENT one no
+    longer does — DROPPED (or renamed-away; those resolve by the epoch
+    maps first) columns whose presence in an old file must not wedge
+    the stream (r13). None when history never lost a name."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (  # noqa: E501
+        historical_level_names,
+    )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (  # noqa: E501
+        _current_schema_struct,
+    )
+
+    hist = historical_level_names(meta)["__top__"]
+    cur = {f["name"] for f in _current_schema_struct(meta)["fields"]}
+    gone = hist - cur
+    return frozenset(gone) if gone else None
+
+
+def _nested_conform_plan(
+    cur_type, epoch_names: dict, hist: dict | None = None,
+    owner=None,
+) -> dict | None:
     """Typed conform-plan node mapping a file's epoch-named nested
     fields to the current schema's names by FIELD ID. Node shapes:
     ``{"kind": "struct", "fields": {epoch child name: (current child
-    name, subplan | None)}}``, ``{"kind": "list", "element": plan}``,
-    ``{"kind": "map", "value": plan}`` (r13: list elements and map
-    values rename too). None when the subtree's names never diverged
-    and no field is missing from the epoch (the common case — the
-    executor then skips the rebuild entirely)."""
+    name, subplan | None)}, "dropped": [names]}``, ``{"kind": "list",
+    "element": plan}``, ``{"kind": "map", "value": plan}`` (r13: list
+    elements and map values rename too). ``dropped`` lists HISTORICAL
+    child names of the level (``hist`` —
+    `schema.historical_level_names`) no longer in the current schema:
+    an old file carrying one is skippable losslessly, where a truly
+    unknown child still fails toward a restart. None when the
+    subtree's names never diverged and no field is missing from the
+    epoch (the common case — the executor then skips the rebuild
+    entirely)."""
     if not isinstance(cur_type, dict):
         return None
     kind = cur_type.get("type")
@@ -256,16 +293,30 @@ def _nested_conform_plan(cur_type, epoch_names: dict) -> dict | None:
                 diverged = True
                 continue
             en = epoch_names[f["id"]]
-            sub = _nested_conform_plan(f["type"], epoch_names)
+            sub = _nested_conform_plan(
+                f["type"], epoch_names, hist, f["id"]
+            )
             if en != f["name"] or sub is not None:
                 diverged = True
             fields[en] = (f["name"], sub)
-        return {"kind": "struct", "fields": fields} if diverged else None
+        if not diverged:
+            return None
+        cur_names = {f["name"] for f in cur_type["fields"]}
+        dropped = sorted(
+            ((hist or {}).get(owner) or set()) - cur_names
+        )
+        return {"kind": "struct", "fields": fields, "dropped": dropped}
     if kind == "list":
-        sub = _nested_conform_plan(cur_type["element"], epoch_names)
+        sub = _nested_conform_plan(
+            cur_type["element"], epoch_names, hist,
+            cur_type.get("element-id"),
+        )
         return {"kind": "list", "element": sub} if sub else None
     if kind == "map":
-        sub = _nested_conform_plan(cur_type["value"], epoch_names)
+        sub = _nested_conform_plan(
+            cur_type["value"], epoch_names, hist,
+            cur_type.get("value-id"),
+        )
         return {"kind": "map", "value": sub} if sub else None
     return None
 
@@ -292,8 +343,13 @@ def _epoch_rename_resolver(meta: dict):
 
     if not naming_log(meta):
         return lambda path: (None, None)
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (  # noqa: E501
+        historical_level_names,
+    )
+
     cur_fields = _current_schema_struct(meta)["fields"]
     cur = {f["id"]: f["name"] for f in cur_fields}
+    hist = historical_level_names(meta)
     memo: dict[int, tuple] = {}
 
     def resolve(path: str) -> tuple:
@@ -309,7 +365,7 @@ def _epoch_rename_resolver(meta: dict):
             for f in cur_fields:
                 if f["id"] not in en:
                     continue  # top-level padding is the reader's
-                plan = _nested_conform_plan(f["type"], en)
+                plan = _nested_conform_plan(f["type"], en, hist, f["id"])
                 if plan is not None:
                     nested[f["name"]] = plan
             memo[ep] = (m or None, nested or None)
@@ -444,8 +500,12 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
             else None
         )
         renames = _epoch_rename_resolver(meta)
+        droppable = _droppable_top_names(meta)
         out = [
-            IcebergFilePartition(d["file_path"], *renames(d["file_path"]))
+            IcebergFilePartition(
+                d["file_path"], *renames(d["file_path"]),
+                droppable_cols=droppable,
+            )
             for d in _plan_seq_window(meta, lo, hi, constraints)
         ]
         if not out:
@@ -511,6 +571,17 @@ class IcebergIncrementalStreamReader(DataSourceStreamReader):
                 ren.get(n, n): batch.column(i)
                 for i, n in enumerate(batch.schema.names)
             }
+            # DROPPED historical columns skip losslessly (the current
+            # table does not serve them either); unknown names still
+            # guard toward a restart
+            droppable = getattr(partition, "droppable_cols", None)
+            if droppable:
+                known_names = {f.name for f in expected}
+                by_name = {
+                    n: c
+                    for n, c in by_name.items()
+                    if n in known_names or n not in droppable
+                }
             _guard_stream_schema(
                 partition.file_path, list(by_name), expected
             )
@@ -596,12 +667,14 @@ class CdcFilePartition(InputPartition):
         renames_by_epoch: dict | None = None,
         nested_renames: dict | None = None,
         dv_plan: dict | None = None,
+        droppable_cols: frozenset | None = None,
     ):
         self.file_path = file_path
         self.kind = kind  # "data" | "eqdelete" | "posdelete" | "dv"
         self.seq = seq
         self.col_renames = col_renames  # data files: per-epoch mapping
         self.nested_renames = nested_renames  # data files: nested plan
+        self.droppable_cols = droppable_cols  # dropped historical names
         # dv partitions: {referenced_data_file, delta_offset,
         # delta_size} — the fresh-bitmap locator dv_keyed_plan chose
         self.dv_plan = dv_plan
@@ -733,11 +806,13 @@ class IcebergCdcStreamReader(IcebergIncrementalStreamReader):
                     for i in en
                     if i in cur and en[i] != cur[i]
                 }
+        droppable = _droppable_top_names(meta)
         out = [
             CdcFilePartition(
                 d["file_path"], "data", int(d["_seq"]),
                 col_renames=renames(d["file_path"])[0],
                 nested_renames=renames(d["file_path"])[1],
+                droppable_cols=droppable,
             )
             for d in data
         ] + [

@@ -98,7 +98,10 @@ def _conform_expr(src, src_t, target_t):
     name) would silently swap values under a bare cast (found by the
     r13 nested-DDL fuzz). Structs rebuild field-by-field instead:
     matching children recurse, children the batch lacks null-pad, and
-    a NULL struct stays NULL."""
+    a NULL struct stays NULL. Identical types pass through untouched
+    (the common case — no rebuild, no cast)."""
+    if src_t == target_t:
+        return src
     if isinstance(target_t, StructType) and isinstance(src_t, StructType):
         have = {f.name: f for f in src_t.fields}
         children = []
@@ -116,8 +119,6 @@ def _conform_expr(src, src_t, target_t):
         return F.when(src.isNotNull(), F.struct(*children)).otherwise(
             F.lit(None).cast(target_t)
         )
-    if src_t == target_t:
-        return src
     if isinstance(target_t, ArrayType) and isinstance(src_t, ArrayType):
         # element structs align by name through a lambda (a bare cast
         # would be positional inside the container too); null arrays

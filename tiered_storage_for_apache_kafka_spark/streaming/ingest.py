@@ -689,6 +689,79 @@ def stream_cdc_to_iceberg(
     )
 
 
+def _stamp_mirror_lineage(
+    dst_table_dir: str, src_uuid: str, catalog, table_name: str | None
+) -> None:
+    """One metadata-only property commit stamping
+    ``engine.mirror-source`` on an adopted destination (the verified
+    back-stamp for replicas created before lineage stamping)."""
+    import os
+    import time as _time
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _current_state_meta,
+        _write_metadata_version,
+    )
+
+    version, base, table_name = _current_state_meta(
+        dst_table_dir, catalog, table_name
+    )
+    updates = {"engine.mirror-source": src_uuid}
+    if catalog is not None:
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.commit import (  # noqa: E501
+            _commit_requirements,
+        )
+
+        catalog.commit_table(
+            table_name,
+            _commit_requirements(base),
+            [{"action": "set-properties", "updates": updates}],
+            int(_time.time() * 1000),
+        )
+        return
+    meta = dict(base)
+    meta["properties"] = {**(base.get("properties") or {}), **updates}
+    meta["metadata-log"] = base.get("metadata-log", []) + [
+        {
+            "timestamp-ms": base.get("last-updated-ms", 0),
+            "metadata-file": os.path.join(
+                dst_table_dir, "metadata", f"v{version}.metadata.json"
+            ),
+        }
+    ]
+    _write_metadata_version(
+        os.path.join(dst_table_dir, "metadata"), version + 1, meta
+    )
+
+
+def _walk_schema_ids(fields: list) -> dict:
+    """``{field id: (dotted path, leaf name, type)}`` at every struct
+    depth — nested renames (r13) propagate by id exactly like
+    top-level ones; containers descend via their canonical
+    ``.element.`` / ``.value.`` pseudo-segments."""
+    out: dict = {}
+
+    def walk_type(t, prefix: str) -> None:
+        if not isinstance(t, dict):
+            return
+        kind = t.get("type")
+        if kind == "struct":
+            walk(t["fields"], prefix)
+        elif kind == "list":
+            walk_type(t["element"], prefix + "element.")
+        elif kind == "map":
+            walk_type(t["value"], prefix + "value.")
+
+    def walk(flds: list, prefix: str) -> None:
+        for f in flds:
+            path = prefix + f["name"]
+            out[f["id"]] = (path, f["name"], f["type"])
+            walk_type(f["type"], path + ".")
+
+    walk(fields, "")
+    return out
+
+
 def _propagate_src_renames(
     src_table_dir: str, dst_table_dir: str, dst_meta: dict, catalog,
     table_name: str | None,
@@ -712,32 +785,8 @@ def _propagate_src_renames(
     )
 
     _v, src_meta, _t = _current_state_meta(src_table_dir)
-
-    def walk_type(t, prefix: str, out: dict) -> None:
-        if not isinstance(t, dict):
-            return
-        kind = t.get("type")
-        if kind == "struct":
-            walk(t["fields"], prefix, out)
-        elif kind == "list":
-            walk_type(t["element"], prefix + "element.", out)
-        elif kind == "map":
-            walk_type(t["value"], prefix + "value.", out)
-
-    def walk(fields: list, prefix: str, out: dict) -> None:
-        # {field id: (dotted path, leaf name, type)} at every struct
-        # depth — nested renames (r13) propagate by id exactly like
-        # top-level ones; containers descend via their canonical
-        # ``.element.`` / ``.value.`` pseudo-segments
-        for f in fields:
-            path = prefix + f["name"]
-            out[f["id"]] = (path, f["name"], f["type"])
-            walk_type(f["type"], path + ".", out)
-
-    src_fields: dict = {}
-    dst_fields: dict = {}
-    walk(_cur(src_meta)["fields"], "", src_fields)
-    walk(_cur(dst_meta)["fields"], "", dst_fields)
+    src_fields = _walk_schema_ids(_cur(src_meta)["fields"])
+    dst_fields = _walk_schema_ids(_cur(dst_meta)["fields"])
     renames: dict[str, str] = {}
     promos = {("int", "long"), ("float", "double")}
     for fid, (_spath, sname, st_t) in src_fields.items():
@@ -792,6 +841,7 @@ def mirror_iceberg_table(
     catalog=None,
     table_name: str | None = None,
     max_snapshots_per_trigger: int | None = None,
+    adopt_destination: bool = False,
 ):
     """Continuous TABLE REPLICATION over public Iceberg metadata only:
     consume the source table's keyed changelog
@@ -872,6 +922,38 @@ def mirror_iceberg_table(
         lineage = (dst_meta.get("properties") or {}).get(
             "engine.mirror-source"
         )
+        if lineage is None and adopt_destination:
+            # EXPLICIT one-time adoption of an UNSTAMPED destination
+            # (a replica created before lineage stamping existed —
+            # a 100 TB pre-stamp replica must not be forced into a
+            # full re-sync). VERIFIED, never assumed: every field id
+            # common to both sides must carry the SAME dotted path
+            # and name at every depth — then the id correspondence
+            # the stamp certifies provably holds right now. Any
+            # same-id name difference is ambiguous (pre-stamp drift
+            # vs an unpropagated rename) and refuses.
+            from tiered_storage_for_apache_kafka_spark.sources.iceberg import (  # noqa: E501
+                _current_schema_struct as _cur0,
+            )
+
+            src_ids = _walk_schema_ids(_cur0(src_meta)["fields"])
+            dst_ids = _walk_schema_ids(_cur0(dst_meta)["fields"])
+            drift = sorted(
+                fid
+                for fid in set(src_ids) & set(dst_ids)
+                if src_ids[fid][0] != dst_ids[fid][0]
+            )
+            if drift:
+                raise ValueError(
+                    f"cannot adopt {dst_table_dir!r}: field id(s) "
+                    f"{drift} carry different paths on the two sides "
+                    "— the id correspondence cannot be verified; "
+                    "re-bootstrap the replica"
+                )
+            _stamp_mirror_lineage(
+                dst_table_dir, src_uuid, catalog, table_name
+            )
+            lineage = src_uuid
         if lineage != src_uuid:
             raise ValueError(
                 f"mirror destination {dst_table_dir!r} was not created "
@@ -880,7 +962,10 @@ def mirror_iceberg_table(
                 "field ids need not correspond, so rename propagation "
                 "and keyed merges could silently mis-map — point the "
                 "mirror at an empty destination (it will be created "
-                "and stamped) or re-bootstrap the replica"
+                "and stamped), re-bootstrap the replica, or — for a "
+                "replica created before lineage stamping — pass "
+                "adopt_destination=True for a one-time verified "
+                "back-stamp"
             )
         _propagate_src_renames(
             src_table_dir, dst_table_dir, dst_meta, catalog, table_name
