@@ -31,33 +31,33 @@ import time
 DURATIONS = {
     # r10 re-estimates: the soak gauntlets grew (merge + conversion
     # composed in) and the merge/eqconv/cdc-stream/mirror files are new
-    "test_iceberg_soak.py": 240,
-    "test_iceberg_merge.py": 170,
-    "test_cdc_soak.py": 175,  # r13: + nested-rename and DV rounds
-    "test_queries_vs_duckdb.py": 280,  # r12: 203 queries now
-    "test_iceberg_multifield.py": 130,
-    "test_driver_session_parity.py": 160,
-    "test_iceberg_eqconv.py": 95,
+    "test_iceberg_soak.py": 290,  # r13 final: measured-shard re-estimate
+    "test_iceberg_merge.py": 220,
+    "test_cdc_soak.py": 215,  # r13: + nested-rename and DV rounds
+    "test_queries_vs_duckdb.py": 235,  # r13 final: 206 queries, measured
+    "test_iceberg_multifield.py": 150,
+    "test_driver_session_parity.py": 200,
+    "test_iceberg_eqconv.py": 105,
     # r11: slimmed to the 1 non-oracled query (value-level replay of the
     # oracled ones moved to test_driver_session_parity.py)
     "test_bare_session.py": 30,
-    "test_iceberg_mirror.py": 180,  # r13: + lineage-guard leg
-    "test_iceberg_cdc_stream.py": 130,  # r13: + DV keyed-retraction legs
-    "test_datasource.py": 60,
-    "test_iceberg.py": 55,
+    "test_iceberg_mirror.py": 200,  # r13: + lineage/adoption + drop-crossing legs
+    "test_iceberg_cdc_stream.py": 180,  # r13: + DV keyed-retraction legs
+    "test_datasource.py": 65,
+    "test_iceberg.py": 60,
     "test_deletion_vectors.py": 70,
     "test_plans.py": 45,
     "test_streaming.py": 35,
     "test_iceberg_transforms.py": 30,
-    "test_iceberg_schema_ddl.py": 40,
-    "test_iceberg_update.py": 60,
-    "test_iceberg_rename.py": 160,  # new r12 (incl. 103 s stream-epoch leg)
-    "test_iceberg_nested_rename.py": 75,  # new r13 (incl. stream + mirror legs)
+    "test_iceberg_schema_ddl.py": 45,
+    "test_iceberg_update.py": 65,
+    "test_iceberg_rename.py": 180,  # r12 (incl. stream-epoch leg)
+    "test_iceberg_nested_rename.py": 110,  # r13 (incl. container/stream/mirror legs)
     "test_iceberg_ref_retention.py": 25,  # new r12
     "test_iceberg_rollback.py": 25,
     "test_iceberg_cherrypick.py": 35,  # new r12
     "test_iceberg_replace.py": 30,
-    "test_mutation_fuzz.py": 300,  # r13: + nested-DDL and catalog-race programs
+    "test_mutation_fuzz.py": 420,  # r13: 4 programs incl. nested-DDL arrays + catalog races
     "test_curation.py": 25,
     "test_rest_catalog.py": 25,
     "test_iceberg_meta_tables.py": 25,

@@ -651,3 +651,30 @@ def test_streams_cross_nested_drop_after_rename(spark, tmp_path):
     )
     rows = [(r["id"], r["env"]["a2"]) for r in inc.collect()]
     assert rows == [(1, 10)]
+
+
+def test_concurrent_mirrors_one_session_unique_query_names(spark, tmp_path):
+    """Two mirrors of two DIFFERENT tables in ONE session must coexist:
+    the default queryName is derived per start (checkpoint hash +
+    counter), because Spark registers stream names session-globally and
+    a fixed shared default throws `query with that name is already
+    active` at the second .start() — exactly what a multi-table session
+    (or the 8-thread driver gate) does. Start BOTH before awaiting
+    either so the overlap is guaranteed, not scheduler-dependent."""
+    src_a, src_b = str(tmp_path / "srcA"), str(tmp_path / "srcB")
+    _src_table(spark, src_a)
+    _src_table(spark, src_b)
+    qa = mirror_iceberg_table(
+        spark, src_a, str(tmp_path / "dstA"), on=["id"],
+        checkpoint_dir=str(tmp_path / "ckptA"), partition_spec=SRC_SPEC,
+    )
+    qb = mirror_iceberg_table(
+        spark, src_b, str(tmp_path / "dstB"), on=["id"],
+        checkpoint_dir=str(tmp_path / "ckptB"), partition_spec=SRC_SPEC,
+    )
+    assert qa.name != qb.name
+    assert qa.name.startswith("iceberg_mirror-")
+    qa.awaitTermination()
+    qb.awaitTermination()
+    assert _state(spark, str(tmp_path / "dstA")) == _state(spark, src_a)
+    assert _state(spark, str(tmp_path / "dstB")) == _state(spark, src_b)

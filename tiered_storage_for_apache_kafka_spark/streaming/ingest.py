@@ -21,6 +21,8 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+import hashlib as _hashlib
+import itertools as _itertools
 import uuid as _uuid
 from typing import Iterator
 
@@ -29,6 +31,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+#: per-process start counter for default streaming query names (below)
+_QUERY_NAME_SEQ = _itertools.count()
+
+
+def _auto_query_name(base: str, checkpoint_dir: str) -> str:
+    """Default streaming query names must be unique PER START.
+
+    Spark registers ``queryName`` session-globally: a fixed default
+    makes two concurrent sinks in one session (two mirrors of two
+    tables, or a mirror racing an ingest — legitimate multi-table
+    usage) throw ``IllegalArgumentException: query with that name is
+    already active`` at ``.start()``; and even strictly sequential
+    availableNow restarts can race the asynchronous deregistration of
+    the just-terminated run's name under load. The checkpoint-hash
+    prefix keeps observability (one stream identity → one stable
+    prefix across restarts); the process-wide counter makes every
+    start collision-free. Callers that pass ``query_name`` explicitly
+    own the uniqueness themselves."""
+    digest = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    return f"{base}-{digest}-{next(_QUERY_NAME_SEQ)}"
+
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based record stream over the events table (the test stand-in
@@ -503,7 +527,7 @@ def stream_envelope_to_iceberg(
     envelope_stream: DataFrame,
     table_dir: str,
     checkpoint_dir: str,
-    query_name: str = "iceberg_commit",
+    query_name: str | None = None,
     app_id: str | None = None,
     catalog=None,
     table_name: str | None = None,
@@ -540,6 +564,8 @@ def stream_envelope_to_iceberg(
     True) reaches the counter check. Compaction failures are
     deliberately non-fatal to the stream — ingest keeps its
     exactly-once guarantee and the next window retries."""
+    if query_name is None:
+        query_name = _auto_query_name("iceberg_commit", checkpoint_dir)
     resolved_app_id = app_id if app_id is not None else checkpoint_dir
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -651,7 +677,7 @@ def stream_cdc_to_iceberg(
     op_col: str | None = "op",
     seq_col: str | None = None,
     partition_spec: list | None = None,
-    query_name: str = "iceberg_cdc_upsert",
+    query_name: str | None = None,
     app_id: str | None = None,
     catalog=None,
     table_name: str | None = None,
@@ -670,6 +696,8 @@ def stream_cdc_to_iceberg(
     read or rewritten per batch; merge-on-read delete debt is paid by
     scheduled rewrite_data_files, exactly the continuous-CDC posture a
     100 TB table needs."""
+    if query_name is None:
+        query_name = _auto_query_name("iceberg_cdc_upsert", checkpoint_dir)
     resolved_app_id = app_id if app_id is not None else checkpoint_dir
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -836,7 +864,7 @@ def mirror_iceberg_table(
     on: list,
     checkpoint_dir: str,
     partition_spec: list | None = None,
-    query_name: str = "iceberg_mirror",
+    query_name: str | None = None,
     app_id: str | None = None,
     catalog=None,
     table_name: str | None = None,
@@ -971,6 +999,8 @@ def mirror_iceberg_table(
             src_table_dir, dst_table_dir, dst_meta, catalog, table_name
         )
 
+    if query_name is None:
+        query_name = _auto_query_name("iceberg_mirror", checkpoint_dir)
     register_cdc(spark)
     reader = (
         spark.readStream.format("iceberg_cdc")
