@@ -57,7 +57,7 @@ DURATIONS = {
     "test_iceberg_rollback.py": 25,
     "test_iceberg_cherrypick.py": 35,  # new r12
     "test_iceberg_replace.py": 30,
-    "test_mutation_fuzz.py": 420,  # r13: 4 programs incl. nested-DDL arrays + catalog races
+    "test_mutation_fuzz.py": 480,  # r13: 4 programs + directed replace/compaction races
     "test_curation.py": 25,
     "test_rest_catalog.py": 25,
     "test_iceberg_meta_tables.py": 25,

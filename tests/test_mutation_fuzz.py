@@ -904,3 +904,195 @@ def test_cherry_pick_races_fast_forwarded_head(spark, tmp_path):
         }
         exp = {i: i * 10 for i in range(10)} | {100: 1_000, 200: 2_000}
         assert got == exp
+
+
+GSPEC = [("grp", "identity", None)]
+
+
+def _cat_state(spark, tdir, cat):
+    return {
+        r["id"]: (r["grp"], r["v"])
+        for r in read_iceberg_table(
+            spark, tdir, catalog=cat, table_name="t"
+        ).collect()
+    }
+
+
+def _race_once(cat, rival):
+    """Patch ``cat.commit_table`` so the FIRST commit attempt is
+    preceded by ``rival()`` landing its own commit — the canonical
+    plan/commit interleaving (the primary verb planned against a base
+    the rival then moved). Returns a restore function."""
+    orig = cat.commit_table
+    fired = {"done": False}
+
+    def racing(table, requirements, updates, now_ms):
+        if not fired["done"]:
+            fired["done"] = True
+            cat.commit_table = orig
+            try:
+                rival()
+            finally:
+                cat.commit_table = racing
+        return orig(table, requirements, updates, now_ms)
+
+    cat.commit_table = racing
+    return lambda: setattr(cat, "commit_table", orig)
+
+
+def test_replace_partitions_races_append(spark, tmp_path):
+    """Directed cross-verb race: an APPEND commits between a
+    `replace_partitions` plan and its commit — one row into a cell
+    being replaced, one into an untouched cell. The optimistic retry
+    re-plans on the moved base, and the outcome equals the SERIAL
+    append-then-replace: the replaced cell holds exactly the
+    replacement rows (dynamic-overwrite semantics swallow the rival's
+    row there — same as serial), the untouched cell keeps the rival's
+    row, and nothing tears."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        FakeRestCatalogServer,
+        RestCatalogClient,
+    )
+
+    tdir = str(tmp_path / "replrace")
+    with FakeRestCatalogServer() as server:
+        cat = RestCatalogClient(server.base_url)
+        write_iceberg_table(
+            spark,
+            _df(spark, [(i, i % 3, i * 10) for i in range(12)]),
+            tdir, now_ms=1_000, partition_spec=GSPEC,
+            catalog=cat, table_name="t",
+        )
+
+        def rival():
+            write_iceberg_table(
+                spark, _df(spark, [(101, 1, 1_111), (202, 2, 2_222)]),
+                tdir, now_ms=2_500, partition_spec=GSPEC,
+                catalog=cat, table_name="t",
+            )
+
+        restore = _race_once(cat, rival)
+        try:
+            replace_partitions(
+                spark, _df(spark, [(500, 1, 5_000), (501, 1, 5_010)]),
+                tdir, now_ms=3_000, catalog=cat, table_name="t",
+            )
+        finally:
+            restore()
+        got = _cat_state(spark, tdir, cat)
+        exp = {
+            i: (i % 3, i * 10) for i in range(12) if i % 3 != 1
+        } | {500: (1, 5_000), 501: (1, 5_010), 202: (2, 2_222)}
+        assert got == exp
+
+
+def _live_delete_targets_are_live_files(spark, tdir, cat):
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg_meta_tables import (  # noqa: E501
+        files_table,
+        position_deletes_table,
+    )
+
+    targets = {
+        r["file_path"]
+        for r in position_deletes_table(
+            spark, tdir, catalog=cat, table_name="t"
+        ).select("file_path").distinct().collect()
+    }
+    live = {
+        r["file_path"]
+        for r in files_table(spark, tdir, catalog=cat, table_name="t")
+        .select("file_path").collect()
+    }
+    return targets <= live
+
+
+def test_update_where_races_compaction(spark, tmp_path):
+    """Directed cross-verb race: `rewrite_data_files` commits between
+    an `update_where`'s plan and its commit. The update's position
+    deletes name exact (file, pos) identities in files the compaction
+    just tombstoned — committing them would silently retract nothing.
+    The retry re-plans against the compacted base: final state equals
+    serial compact-then-update, and every live position delete
+    references a LIVE data file."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        FakeRestCatalogServer,
+        RestCatalogClient,
+    )
+
+    tdir = str(tmp_path / "updcompact")
+    with FakeRestCatalogServer() as server:
+        cat = RestCatalogClient(server.base_url)
+        for lo in (0, 12):  # two appends -> multiple files to compact
+            write_iceberg_table(
+                spark,
+                _df(spark, [(i, i % 3, i * 10) for i in range(lo, lo + 12)]),
+                tdir, now_ms=1_000 + lo, partition_spec=GSPEC,
+                catalog=cat, table_name="t",
+            )
+
+        restore = _race_once(
+            cat,
+            lambda: rewrite_data_files(
+                spark, tdir, now_ms=2_500, catalog=cat, table_name="t"
+            ),
+        )
+        try:
+            update_where(
+                spark, tdir, "id % 5 = 2", {"v": "v + 1000000"},
+                now_ms=3_000, catalog=cat, table_name="t",
+            )
+        finally:
+            restore()
+        got = _cat_state(spark, tdir, cat)
+        exp = {
+            i: (i % 3, i * 10 + (1_000_000 if i % 5 == 2 else 0))
+            for i in range(24)
+        }
+        assert got == exp
+        assert _live_delete_targets_are_live_files(spark, tdir, cat)
+
+
+def test_compaction_races_update_where(spark, tmp_path):
+    """Directed cross-verb race, roles swapped: an `update_where`
+    commits between a compaction's plan and its commit. A compaction
+    that shipped its pre-planned output would RESURRECT the pre-update
+    rows (its rewrite materialized the merged view as of the OLD
+    base). The retry re-compacts against the updated base: updated
+    values survive, row count is unchanged, and delete debt never
+    points at tombstoned files."""
+    from tiered_storage_for_apache_kafka_spark.sources.rest_catalog import (
+        FakeRestCatalogServer,
+        RestCatalogClient,
+    )
+
+    tdir = str(tmp_path / "compactupd")
+    with FakeRestCatalogServer() as server:
+        cat = RestCatalogClient(server.base_url)
+        for lo in (0, 12):
+            write_iceberg_table(
+                spark,
+                _df(spark, [(i, i % 3, i * 10) for i in range(lo, lo + 12)]),
+                tdir, now_ms=1_000 + lo, partition_spec=GSPEC,
+                catalog=cat, table_name="t",
+            )
+
+        restore = _race_once(
+            cat,
+            lambda: update_where(
+                spark, tdir, "id % 5 = 2", {"v": "v + 1000000"},
+                now_ms=2_500, catalog=cat, table_name="t",
+            ),
+        )
+        try:
+            rewrite_data_files(
+                spark, tdir, now_ms=3_000, catalog=cat, table_name="t"
+            )
+        finally:
+            restore()
+        got = _cat_state(spark, tdir, cat)
+        exp = {
+            i: (i % 3, i * 10 + (1_000_000 if i % 5 == 2 else 0))
+            for i in range(24)
+        }
+        assert got == exp
+        assert _live_delete_targets_are_live_files(spark, tdir, cat)
