@@ -255,3 +255,112 @@ def test_ddl_catalog_mode_roundtrip(spark):
         got = read_iceberg_table(spark, tdir, catalog=cat, table_name="t")
         assert sorted(got.columns) == ["grp", "id", "score"]
         assert got.count() == 6
+
+
+def test_schema_walker_agreement_across_planes(spark):
+    """DIFFERENTIAL guard over the engine's five schema-tree walkers
+    (name-mapping emitter, DDL dup-check, epoch names, name history,
+    mirror id->path map). They deliberately differ by POLICY — map
+    keys appear in name history and name-mapping but are excluded
+    from the rename-propagation path map (map-key renames refuse);
+    containers use Appendix C ``element``/``key``/``value`` nodes in
+    the mapping but dotted pseudo-segments in paths — yet on the
+    facts they share they must NEVER drift. Pin those invariants on a
+    table evolved through nested + container renames, a drop, and a
+    re-add (every walker's hardest inputs):
+
+    1. every live id resolves to the SAME leaf name in
+       `_walk_schema_ids` (mirror plane) and `_walk_named_fields`
+       (epoch plane);
+    2. `epoch_id_names` at the CURRENT epoch serves exactly the
+       current name for every live id;
+    3. the name-mapping property holds EVERY live id, lists every
+       name the id ever bound (oldest first), and ends on the
+       current name;
+    4. `historical_level_names` contains each struct level's current
+       names, plus the dropped/renamed-away ones the stream
+       drop-skip depends on."""
+    import json
+
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.schema import (
+        _walk_named_fields,
+        epoch_id_names,
+        historical_level_names,
+        naming_log,
+    )
+    from tiered_storage_for_apache_kafka_spark.streaming.ingest import (
+        _walk_schema_ids,
+    )
+
+    tdir = _mkdir()
+    df = spark.createDataFrame(
+        [(1, (10, "a"), [(1, 2)], {"k": (5,)})],
+        "id bigint, env struct<amount: bigint, note: string>, "
+        "arr array<struct<x: bigint, y: bigint>>, "
+        "mp map<string, struct<p: bigint>>",
+    )
+    write_iceberg_table(spark, df, tdir, now_ms=1_000)
+    update_table_schema(
+        tdir,
+        rename={
+            "env": "envelope", "env.amount": "amt",
+            "arr.element.x": "xx", "mp.value.p": "pp",
+        },
+        now_ms=2_000,
+    )
+    update_table_schema(tdir, drop=["envelope.note"], now_ms=3_000)
+    update_table_schema(
+        tdir, add=[("note", "string")],
+        rename={"envelope.amt": "amount2"},
+        now_ms=4_000,
+    )
+    meta = read_table_metadata(tdir)["metadata"]
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+
+    by_id_names: dict = {}
+    _walk_named_fields(cur["fields"], by_id_names)
+    by_id_paths = _walk_schema_ids(cur["fields"])
+
+    # (1) leaf names agree wherever both walkers cover an id (the
+    # path map skips map-KEY subtrees by policy — renames refuse there)
+    for fid, (path, leaf, _t) in by_id_paths.items():
+        assert by_id_names[fid] == leaf, (fid, path)
+        assert path.split(".")[-1] == leaf
+
+    # (2) the current epoch serves exactly the current names
+    cur_epoch = max((e for e, _ in naming_log(meta)), default=0)
+    epoch_names = epoch_id_names(meta, cur_epoch)
+    for fid, name in by_id_names.items():
+        assert epoch_names.get(fid) == name, (fid, name)
+
+    # (3) name-mapping: every live id present; names oldest-first,
+    # current name LAST; renamed ids still list their old names
+    mapping = json.loads(
+        meta["properties"]["schema.name-mapping.default"]
+    )
+    flat: dict = {}
+
+    def index(nodes):
+        for n in nodes:
+            flat[n["field-id"]] = n["names"]
+            index(n.get("fields", []))
+
+    index(mapping)
+    for fid, name in by_id_names.items():
+        assert fid in flat, (fid, name)
+        assert flat[fid][-1] == name, (fid, flat[fid], name)
+    renamed_old = {"env", "amount", "x", "p", "amt"}
+    listed = {n for names in flat.values() for n in names}
+    assert renamed_old <= listed
+
+    # (4) per-level history covers current names plus renamed-away
+    # and dropped ones (the stream drop-skip contract)
+    hist = historical_level_names(meta)
+    assert {"id", "envelope", "arr", "mp", "note", "env"} <= hist["__top__"]
+    env_id = next(
+        fid for fid, nm in by_id_names.items() if nm == "envelope"
+    )
+    assert {"amount2", "amt", "amount", "note"} <= hist[env_id]
