@@ -33,7 +33,7 @@ DURATIONS = {
     # composed in) and the merge/eqconv/cdc-stream/mirror files are new
     "test_iceberg_soak.py": 290,  # r13 final: measured-shard re-estimate
     "test_iceberg_merge.py": 220,
-    "test_cdc_soak.py": 215,  # r13: + nested-rename and DV rounds
+    "test_cdc_soak.py": 160,  # r13: + nested-rename and DV rounds
     "test_queries_vs_duckdb.py": 235,  # r13 final: 206 queries, measured
     "test_iceberg_multifield.py": 150,
     "test_driver_session_parity.py": 200,
@@ -41,7 +41,7 @@ DURATIONS = {
     # r11: slimmed to the 1 non-oracled query (value-level replay of the
     # oracled ones moved to test_driver_session_parity.py)
     "test_bare_session.py": 30,
-    "test_iceberg_mirror.py": 200,  # r13: + lineage/adoption + drop-crossing legs
+    "test_iceberg_mirror.py": 330,  # r13: + lineage/adoption/drop-crossing + lost-ckpt legs
     "test_iceberg_cdc_stream.py": 180,  # r13: + DV keyed-retraction legs
     "test_datasource.py": 65,
     "test_iceberg.py": 60,
@@ -49,15 +49,16 @@ DURATIONS = {
     "test_plans.py": 45,
     "test_streaming.py": 35,
     "test_iceberg_transforms.py": 30,
-    "test_iceberg_schema_ddl.py": 45,
+    "test_iceberg_schema_ddl.py": 60,
     "test_iceberg_update.py": 65,
-    "test_iceberg_rename.py": 180,  # r12 (incl. stream-epoch leg)
+    "test_iceberg_rename.py": 130,  # r12 (incl. stream-epoch leg)
     "test_iceberg_nested_rename.py": 110,  # r13 (incl. container/stream/mirror legs)
     "test_iceberg_ref_retention.py": 25,  # new r12
     "test_iceberg_rollback.py": 25,
     "test_iceberg_cherrypick.py": 35,  # new r12
     "test_iceberg_replace.py": 30,
-    "test_mutation_fuzz.py": 480,  # r13: 4 programs + directed replace/compaction races
+    "test_mutation_fuzz.py": 360,  # r13: programs 1-3 (races split out)
+    "test_mutation_fuzz_races.py": 115,  # r13: catalog-race program + directed races
     "test_curation.py": 25,
     "test_rest_catalog.py": 25,
     "test_iceberg_meta_tables.py": 25,

@@ -678,3 +678,45 @@ def test_concurrent_mirrors_one_session_unique_query_names(spark, tmp_path):
     qb.awaitTermination()
     assert _state(spark, str(tmp_path / "dstA")) == _state(spark, src_a)
     assert _state(spark, str(tmp_path / "dstB")) == _state(spark, src_b)
+
+
+def test_mirror_fresh_checkpoint_onto_existing_replica_converges(
+    spark, tmp_path
+):
+    """LOST-CHECKPOINT recovery: re-pointing a mirror with a FRESH
+    checkpoint at an EXISTING replica replays the source changelog
+    from the beginning under a new app id. The keyed merge plane makes
+    the replay idempotent — every batch re-applies by (key, seq) in
+    commit order, so the replica converges back to exactly the source
+    state with no duplicate keys — the documented
+    'duplicates never silent loss' posture of the envelope sink
+    tightens to 'neither' for keyed replication. The lineage stamp
+    admits the destination (same source uuid), so no re-bootstrap is
+    forced."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _src_table(spark, src)
+
+    q = mirror_iceberg_table(
+        spark, src, dst, on=["id"],
+        checkpoint_dir=str(tmp_path / "ckpt1"), partition_spec=SRC_SPEC,
+    )
+    q.awaitTermination()
+    assert _state(spark, dst) == _state(spark, src)
+
+    # source moves on; the original checkpoint is lost
+    merge_upsert(
+        spark,
+        _batch(spark, [(7, 2, "v7b", "u", 1), (1, None, None, "d", 1)]),
+        src, on=["id"], op_col="op", seq_col="seq",
+        partition_spec=SRC_SPEC, now_ms=3_000,
+    )
+    q2 = mirror_iceberg_table(
+        spark, src, dst, on=["id"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),  # fresh -> full replay
+        partition_spec=SRC_SPEC,
+    )
+    q2.awaitTermination()
+    rows = read_iceberg_table(spark, dst).collect()
+    assert len(rows) == len({r["id"] for r in rows})  # no dup keys
+    assert _state(spark, dst) == _state(spark, src)
