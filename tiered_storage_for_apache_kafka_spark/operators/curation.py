@@ -31,7 +31,10 @@ from tiered_storage_for_apache_kafka_spark.operators.dedup import (
     dedup_connected_components,
     _CC_ORACLE_PREFIX,
 )
-from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    lineage_cut,
+    query,
+)
 from tiered_storage_for_apache_kafka_spark.tables import load_table, scan_parallel
 
 # split fractions in 256ths of the md5 bucket space: [0, TEST) test,
@@ -1026,11 +1029,19 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     tagged = feats.join(docs, "doc_id")
     is_t = F.when(F.col("lang") == "en", 1).otherwise(0)
-    counts = tagged.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_r"), F.sum(is_t).alias("c_t")
+    # one corpus pass builds the per-bucket counts; materialize the
+    # <=4096-row result (lineage_cut) so the model AND the corpus
+    # totals derive from it without re-running the pass — totals are
+    # exact integer sums of the bucket counts, so this is the same
+    # number computed one aggregation level higher (was: a second full
+    # pass over the tagged features just for the two totals)
+    counts = lineage_cut(
+        tagged.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("c_r"), F.sum(is_t).alias("c_t")
+        )
     )
-    tot = tagged.agg(
-        F.count(F.lit(1)).alias("t_r"), F.sum(is_t).alias("t_t")
+    tot = counts.agg(
+        F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t")
     )
     model = counts.select(
         "bucket", (F.log(F.col("c_t") + 1) - F.log(F.col("c_r") + 1)).alias("w")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    lineage_cut,
     query,
     session_cache_key,
     session_cache_put,
@@ -166,9 +167,9 @@ def tokens_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _TOKENS_CACHE.get(session_cache_key(spark, sf_dir))
     if cached is None:
         docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
-        cached = docs.select(
-            "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
-        ).cache()
+        cached = lineage_cut(
+            docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        )
         session_cache_put(_TOKENS_CACHE, session_cache_key(spark, sf_dir), cached)
     return cached
 
@@ -180,7 +181,7 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizes a corpus once for many downstream dedup passes."""
     cached = _SHINGLE_CACHE.get(session_cache_key(spark, sf_dir))
     if cached is None:
-        cached = _shingles(spark, sf_dir).cache()
+        cached = lineage_cut(_shingles(spark, sf_dir))
         session_cache_put(_SHINGLE_CACHE, session_cache_key(spark, sf_dir), cached)
     return cached
 
@@ -248,7 +249,7 @@ def _wide_signatures(sh: DataFrame) -> DataFrame:
         F.min(F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(f"m{i}")
         for i in range(N_HASHES)
     ]
-    cached = sh.groupBy("doc_id").agg(*aggs).cache()
+    cached = lineage_cut(sh.groupBy("doc_id").agg(*aggs))
     while len(_WIDE_SIG_CACHE) >= 4:  # bound across session restarts
         _src, evicted = _WIDE_SIG_CACHE.pop(next(iter(_WIDE_SIG_CACHE)))
         try:
@@ -408,8 +409,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_union.alias("n_union"),
             F.round(F.col("n_inter").cast("double") / n_union, 6).alias("jaccard"),
         )
-        .cache()
     )
+    result = lineage_cut(result)
     session_cache_put(_PAIRS_CACHE, session_cache_key(spark, sf_dir), result)
     return result
 
@@ -875,11 +876,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
+    edges = lineage_cut(
         pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .withColumnRenamed("doc_a", "src")
         .withColumnRenamed("doc_b", "dst")
-        .cache()
     )
     labels, _rounds = propagate_min_labels(edges)
     out = labels.select("doc_id", F.col("label").alias("canonical_doc_id"))

@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    lineage_cut,
+    query,
+    session_cache_key,
+    session_cache_put,
+)
 
 LINE_TOKENS = 12
 
@@ -211,9 +216,27 @@ def _bucket_expr(tok: str) -> str:
     )
 
 
+_HASHED_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed uni+bigram feature rows (doc_id, bucket) — shared by the
-    pseudo-trained scorer and the trained classifier."""
+    pseudo-trained scorer, the trained classifier, and the DSIR
+    importance sampler. Materialized once per (session, sf_dir) with
+    lineage_cut, like the token/shingle/signature caches: the double
+    explode + per-token md5 bucketing is the feature plane every
+    consumer shares (a production pipeline materializes the hashed
+    feature table once per corpus snapshot, not per model)."""
+    key = session_cache_key(spark, sf_dir)
+    cached = _HASHED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    hashed = lineage_cut(_hashed_features_raw(spark, sf_dir))
+    session_cache_put(_HASHED_CACHE, key, hashed)
+    return hashed
+
+
+def _hashed_features_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiered_storage_for_apache_kafka_spark.operators.dedup import (
         tokens_cached,
     )
@@ -406,10 +429,6 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of corpus size; rounds are sequential Spark jobs exactly
     like Lloyd's iterations. Serving after training is the same
     broadcast-dim plan as `quality_classifier_score`."""
-    from tiered_storage_for_apache_kafka_spark.operators.registry import (
-        session_cache_key,
-        session_cache_put,
-    )
     from tiered_storage_for_apache_kafka_spark.operators.dedup import (
         tokens_cached,
     )

@@ -23,6 +23,7 @@ from tiered_storage_for_apache_kafka_spark.operators.dedup import (
     dedup_minhash_lsh,
 )
 from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    lineage_cut,
     query,
     session_cache_key,
     session_cache_put,
@@ -54,7 +55,8 @@ def _edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b"), F.col("doc_a"))
     ).toDF("a", "b")
     if edges.count() < 1_000_000:
-        edges = edges.repartition(1).cache()
+        edges = edges.repartition(1)
+    edges = lineage_cut(edges)
     session_cache_put(_EDGES_CACHE, session_cache_key(spark, sf_dir), edges)
     return edges
 

@@ -69,6 +69,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def lineage_cut(df: DataFrame) -> DataFrame:
+    """Materialize a shared intermediate and TRUNCATE its lineage
+    (``localCheckpoint``) instead of ``.cache()``-ing it with the full
+    upstream plan attached.
+
+    Why (optimization guide §3.3/§5): a ``.cache()``d DataFrame keeps
+    its entire logical plan; every consumer query re-embeds — and the
+    driver re-analyzes/re-canonicalizes — that tree on every run. The
+    shared caches here sit on top of deep pipelines (LSH: scan → token
+    explode → 8-hash signatures → bands → verify joins), so a consumer
+    as small as a 3-round PageRank was paying seconds of driver-side
+    planning over a ~12 KiB graph (measured sf0.1: 4.0 s → 0.8 s warm
+    after the cut). ``localCheckpoint`` materializes the partitions on
+    the executors (persisted, spillable) and replaces the plan with a
+    compact scan of them.
+
+    Same session-lifetime semantics as ``.cache()``: storage lives and
+    dies with the SparkSession, nothing persists across processes/runs.
+    The build happens eagerly here (one job) rather than lazily on
+    first action — for these caches the first consumer always
+    materialized them anyway.
+    """
+    return df.localCheckpoint()
+
+
 def session_cache_key(spark, sf_dir: str) -> tuple[str, str]:
     """Key for module-level DataFrame caches: a cached DataFrame's
     lineage is bound to the session that built it, so a same-process

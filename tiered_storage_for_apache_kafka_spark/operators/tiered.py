@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    lineage_cut,
     minor_units,
     minor_units_sql,
     query,
@@ -56,8 +57,8 @@ def _tier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
     events = load_table(spark, sf_dir, "events")
     root = tempfile.mkdtemp(prefix="tiered-segments-")
     conf = manager_conf(root, chunk_size=4096, compression=True)
-    manifests = tier_events_table(spark, events, conf).cache()
-    manifests.count()  # materialize: uploads happen exactly once
+    # lineage_cut materializes eagerly: uploads happen exactly once
+    manifests = lineage_cut(tier_events_table(spark, events, conf))
     session_cache_put(_TIER_CACHE, _cache_key(spark, sf_dir), (manifests, conf))
     return manifests, conf
 
@@ -71,7 +72,7 @@ def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     manifests, conf = _tier(spark, sf_dir)
-    rec = read_tiered_records(spark, manifests, conf).cache()
+    rec = lineage_cut(read_tiered_records(spark, manifests, conf))
     session_cache_put(_REC_CACHE, _cache_key(spark, sf_dir), rec)
     return rec
 
@@ -479,12 +480,10 @@ def streaming_tier_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest_dir = os.path.join(root, "manifests")
     checkpoint = os.path.join(root, "ckpt")
     stream_tier_events(spark, sf_dir, conf, manifest_dir, checkpoint)
-    out = (
+    out = lineage_cut(
         spark.read.parquet(manifest_dir)
         .select("partition", "start_offset", "end_offset", "n_records")
-        .cache()
     )
-    out.count()
     session_cache_put(_STREAM_TIER_CACHE, _cache_key(spark, sf_dir), out)
     return out
 

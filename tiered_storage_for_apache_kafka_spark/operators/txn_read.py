@@ -59,6 +59,7 @@ from tiered_storage_for_apache_kafka_spark.kafka_wire import (
     encode_kafka_batch,
 )
 from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    lineage_cut,
     query,
     session_cache_key,
     session_cache_put,
@@ -279,8 +280,7 @@ def _tier_txn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
     events = load_table(spark, sf_dir, "events")
     root = tempfile.mkdtemp(prefix="tiered-txn-")
     conf = manager_conf(root, chunk_size=4096, compression=True)
-    manifests = tier_transactional_events(spark, events, conf).cache()
-    manifests.count()
+    manifests = lineage_cut(tier_transactional_events(spark, events, conf))
     session_cache_put(
         _TXN_CACHE, session_cache_key(spark, sf_dir), (manifests, conf)
     )
