@@ -37,6 +37,23 @@ _DAY_CACHE: dict[tuple, str] = {}
 _BUCKET_CACHE: dict[tuple, str] = {}
 
 
+def _parallel_probe_rows(fn, items, max_workers: int = 8) -> list:
+    """Run independent per-probe closures (each: metadata plan_scan +
+    one pruned count job) from a driver thread pool instead of a
+    sequential loop — guide §2.6: actions are only sequential because
+    driver code calls them sequentially. Every probe performs exactly
+    the computation it did serially (same pruned reads, same counts);
+    the pool overlaps the per-probe py4j round-trips and lets later
+    probes' tasks back-fill executors freed by earlier probes' tails.
+    Results come back in input order (pool.map), so output rows are
+    byte-identical to the serial loop. Measured sf0.1 local[32]:
+    the 8-probe bucket scan's probe block 1.6 s -> 0.33 s."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(fn, items))
+
+
 def _day_table(spark: SparkSession, sf_dir: str) -> str:
     """events -> a day(ts_us)-partitioned Iceberg table: synthetic
     timestamps put event_id on day ``event_id % N_DAYS`` (deterministic at
@@ -205,8 +222,8 @@ def iceberg_multifield_partition_scan(
 
     tdir = _multifield_table(spark, sf_dir)
     n_total = len(plan_scan(tdir))
-    rows = []
-    for probe in range(8):
+
+    def probe_row(probe: int) -> tuple:
         day = probe % N_DAYS
         window = (
             day * MICROS_PER_DAY, (day + 1) * MICROS_PER_DAY - 1
@@ -231,15 +248,15 @@ def iceberg_multifield_partition_scan(
             .where(F.col("event_id") == probe)
             .count()
         )
-        rows.append(
-            (
-                probe,
-                int(n),
-                1 if len(cells) == 1 else 0,
-                1 if 0 < len(day_only) < n_total else 0,
-                1 if 0 < len(bucket_only) < n_total else 0,
-            )
+        return (
+            probe,
+            int(n),
+            1 if len(cells) == 1 else 0,
+            1 if 0 < len(day_only) < n_total else 0,
+            1 if 0 < len(bucket_only) < n_total else 0,
         )
+
+    rows = _parallel_probe_rows(probe_row, range(8))
     return spark.createDataFrame(
         rows,
         "event_id bigint, n_rows bigint, one_cell_opened bigint, "
@@ -673,8 +690,7 @@ def iceberg_string_partition_scan(
         .distinct()
         .collect()
     )
-    rows = []
-    for lang in langs:
+    def lang_row(lang: str) -> tuple:
         eq_files = plan_scan(
             tdir, source_predicates={"lang": lang, "source": "src7"}
         )
@@ -703,9 +719,11 @@ def iceberg_string_partition_scan(
             if len(eq_files) < n_total and len(rng_files) < n_total
             else 0
         )
-        rows.append(
-            (lang, int(n_src7), int(n_range), 1 if len(cells) <= 1 else 0, pruned)
+        return (
+            lang, int(n_src7), int(n_range), 1 if len(cells) <= 1 else 0, pruned
         )
+
+    rows = _parallel_probe_rows(lang_row, langs)
     return spark.createDataFrame(
         rows,
         "lang string, n_src7 bigint, n_range bigint, "
@@ -771,8 +789,8 @@ def iceberg_bucket_partition_scan(
     )
 
     tdir = _bucket_table(spark, sf_dir)
-    rows = []
-    for probe in range(8):
+
+    def probe_row(probe: int) -> tuple:
         files = plan_scan(tdir, source_value=probe)
         buckets = {int(f["partition"]["id_bucket"]) for f in files}
         n = (
@@ -780,7 +798,9 @@ def iceberg_bucket_partition_scan(
             .where(F.col("event_id") == probe)
             .count()
         )
-        rows.append((probe, int(n), 1 if len(buckets) == 1 else 0))
+        return (probe, int(n), 1 if len(buckets) == 1 else 0)
+
+    rows = _parallel_probe_rows(probe_row, range(8))
     return spark.createDataFrame(
         rows, "event_id bigint, n_rows bigint, one_bucket_opened bigint"
     )
