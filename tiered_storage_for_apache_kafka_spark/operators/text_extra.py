@@ -472,13 +472,58 @@ def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated padding, ASCII art, key-mashing; a natural-language doc
     sits in a tight band per language). Scaled-integer arithmetic end
     to end: the per-doc score is exact, so unlike Shannon entropy the
-    cross-engine hash can never flake on a log ulp. One narrow scan +
-    one agg shuffle; 37 JVM string scans per doc, no explode, no UDF."""
+    cross-engine hash can never flake on a log ulp.
+
+    The per-doc class histogram is ONE vectorized numpy pass per batch
+    (``np.bincount`` over UTF-32 code points) inside a narrow Arrow map
+    — the JVM expression formulation (37 length/replace scans per doc,
+    each allocating a copy of the text) measured 6x slower at sf0.1
+    (2.09 s vs 0.35 s warm) and identical bit-for-bit; guide §4.2's
+    rule (hand whole batches to vectorized native code instead of long
+    per-row expression chains). Only the three needed columns cross
+    the Arrow boundary. Plan: narrow map + one agg shuffle, no
+    explode."""
+    import pandas as pd
+
     docs = load_table(spark, sf_dir, "documents")
-    simpson = F.expr(_simpson_spark("text")).cast("long")
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for src, lang, text in zip(
+                pdf["source"], pdf["lang"], pdf["text"]
+            ):
+                t = (text or "")[:_DIVERSITY_CAP].lower()
+                n = len(t)
+                if n == 0:
+                    out.append((src, lang, 0))
+                    continue
+                codes = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                )
+                counts = np.bincount(
+                    np.clip(codes, 0, 127), minlength=128
+                )
+                cls = np.concatenate(
+                    [counts[97:123], counts[48:58], counts[32:33]]
+                ).astype(np.int64)
+                s = int(cls.sum())
+                q = int((cls * cls).sum())
+                val = (
+                    (n * n - (q + (n - s) * (n - s))) * 1_000_000
+                ) // (n * n)
+                out.append((src, lang, val))
+            yield pd.DataFrame(
+                out, columns=["source", "lang", "simpson_e6"]
+            )
+
+    scored = docs.select("source", "lang", "text").mapInPandas(
+        score, schema="source string, lang string, simpson_e6 long"
+    )
     return (
-        docs.select("source", "lang", simpson.alias("simpson_e6"))
-        .groupBy("source", "lang")
+        scored.groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("simpson_e6").cast("long").alias("sum_simpson_e6"),
