@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiered_storage_for_apache_kafka_spark.operators.registry import query
-from tiered_storage_for_apache_kafka_spark.tables import load_table
+from tiered_storage_for_apache_kafka_spark.tables import load_table, scan_parallel
 
 ASSET_SCHEMA = (
     "doc_id BIGINT, media_type STRING, blob BINARY, "
@@ -38,7 +38,7 @@ def multimodal_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model the documents table as a multimodal asset table: the text
     payload stands in for opaque media bytes (deterministic, so features
     are oracle-checkable); metadata is a typed struct."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     blob = F.encode(F.col("text"), "UTF-8")
     return docs.select(
         "doc_id",
@@ -301,7 +301,7 @@ def multimodal_ppm_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes of the text (space-padded) become the 16x16 RGB payload — so
     the decoded pixels are byte-predictable and the decode+resize
     pipeline is DuckDB-oracle-checkable end to end."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     payload = F.encode(F.rpad(F.substring("text", 1, _PPM_PIXELS), _PPM_PIXELS, " "), "UTF-8")
     return docs.select(
         "doc_id",
@@ -440,7 +440,7 @@ def multimodal_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive the 44-byte canonical header from the roundtrip-tested
     # encoder so the two layouts can never diverge
     header = encode_wav_pcm16(np.zeros(_WAV_SAMPLES, dtype=np.int16))[:44]
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     payload = F.encode(
         F.rpad(F.substring("text", 1, _WAV_DATA_BYTES), _WAV_DATA_BYTES, " "),
         "UTF-8",
@@ -575,7 +575,7 @@ def multimodal_y4m_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes filled from consecutive ASCII text slices (space-padded) —
     frame contents are byte-predictable, so the container parse and the
     temporal sampler are oracle-checkable."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     padded = F.rpad(F.substring("text", 1, _Y4M_DATA_CHARS), _Y4M_DATA_CHARS, " ")
     pieces = [F.encode(F.lit(_Y4M_HEADER), "UTF-8")]
     for i in range(Y4M_FRAMES):
@@ -859,7 +859,7 @@ def multimodal_png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, space-padded) — the PNG container is built in the Arrow stage
     because deflate is not a JVM-expression; the pixels themselves stay
     oracle-predictable byte arithmetic."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     payload = F.encode(
         F.rpad(F.substring("text", 1, _PPM_PIXELS), _PPM_PIXELS, " "), "UTF-8"
     )
@@ -977,7 +977,7 @@ def multimodal_jpeg_pixel_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     16x16 grayscale image — the piecewise-constant fixture that makes a
     LOSSY codec oracle-checkable (constant blocks survive DCT+quant
     exactly, see jpeg_codec docstring)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     return docs.select(
         "doc_id",
         F.encode(F.rpad(F.substring("text", 1, 4), 4, " "), "UTF-8").alias(

@@ -485,7 +485,9 @@ def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents")
+    from tiered_storage_for_apache_kafka_spark.tables import scan_parallel
+
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
 
     def score(batches):
         import numpy as np
