@@ -315,23 +315,47 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_estimate")
     ).select(F.lit("intersect").alias("set_name"), "n_estimate")
     est = per_set.unionByName(union_est).unionByName(inter_est)
-    exact = (
-        tok.groupBy("lang")
-        .agg(F.countDistinct("tok").cast("bigint").alias("n_exact"))
-        .select(F.col("lang").alias("set_name"), "n_exact")
-        .unionByName(
-            tok.agg(
-                F.countDistinct("tok").cast("bigint").alias("n_exact")
-            ).select(F.lit("union").alias("set_name"), "n_exact")
-        )
-        .unionByName(
-            tok.where(F.col("lang") == "en")
-            .select("tok")
-            .join(tok.where(F.col("lang") == "de").select("tok"), "tok")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-            .select(F.lit("intersect").alias("set_name"), "n_exact")
-        )
+    # the exact ground truth in ONE pass over the deduped token table
+    # (guide §2.4): per-token membership flags, then a 1-row total —
+    # |en|, |de|, |union| and |intersection| all fall out of the same
+    # aggregation, replacing three separate distinct-aggregations and a
+    # self-join (4 exchanges + a join became 2 exchanges; same BIGINT
+    # counts since tok is already DISTINCT (lang, tok)). A lang with no
+    # rows yields a 0-count row here where groupBy produced none — the
+    # inner join with `est` (which has no estimate row for it either)
+    # drops it identically.
+    by_tok = tok.groupBy("tok").agg(
+        F.max(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("in_en"),
+        F.max(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("in_de"),
     )
+    totals = by_tok.agg(
+        F.sum("in_en").cast("bigint").alias("n_en"),
+        F.sum("in_de").cast("bigint").alias("n_de"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+        F.sum(F.col("in_en") * F.col("in_de")).cast("bigint").alias("n_inter"),
+    )
+    exact = totals.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("en").alias("set_name"),
+                    F.col("n_en").alias("n_exact"),
+                ),
+                F.struct(
+                    F.lit("de").alias("set_name"),
+                    F.col("n_de").alias("n_exact"),
+                ),
+                F.struct(
+                    F.lit("union").alias("set_name"),
+                    F.col("n_union").alias("n_exact"),
+                ),
+                F.struct(
+                    F.lit("intersect").alias("set_name"),
+                    F.col("n_inter").alias("n_exact"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.set_name", "s.n_exact")
     return exact.join(est, "set_name").select(
         "set_name", "n_estimate", "n_exact"
     )

@@ -47,6 +47,11 @@ def get_spark(
         # vectorized reader rejects; read as long and convert in tables.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let the planner pick shuffled-hash join when its size checks
+        # pass (guide §9): for moderate build sides it skips the sort
+        # on both inputs; sort-merge remains the fallback whenever the
+        # hash side would not fit
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # write timestamps as INT64 micros, never the deprecated INT96:
         # Iceberg mandates int64 timestamp storage, and INT96 chunks
