@@ -54,6 +54,27 @@ def _auto_query_name(base: str, checkpoint_dir: str) -> str:
     return f"{base}-{digest}-{next(_QUERY_NAME_SEQ)}"
 
 
+# (applicationId, sf_dir) -> raw events schema: the footer inference is
+# a per-call JVM round-trip over an immutable file (same policy as
+# tables._LOAD_CACHE)
+_RAW_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _raw_events_schema(spark: SparkSession, sf_dir: str):
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _RAW_SCHEMA_CACHE.get(key)
+    if cached is None:
+        cached = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).schema
+        for stale in [k for k in _RAW_SCHEMA_CACHE if k[0] != key[0]]:
+            del _RAW_SCHEMA_CACHE[stale]
+        _RAW_SCHEMA_CACHE[key] = cached
+    return cached
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based record stream over the events table (the test stand-in
     for a Kafka source; the envelope matches the Kafka source's columns).
@@ -72,7 +93,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = _raw_events_schema(spark, sf_dir)
     raw = (
         spark.readStream.format("parquet")
         .schema(raw_schema)
