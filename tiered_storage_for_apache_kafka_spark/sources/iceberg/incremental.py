@@ -631,20 +631,25 @@ def read_iceberg_changelog(
 
     new_data = [d for d in to_data if from_seq < d["_seq"] <= to_seq]
     old_data = [d for d in to_data if d["_seq"] <= from_seq]
-    inserted = None
-    if new_data:
-        inserted = _residuals(
+
+    def mk_inserted():
+        if not new_data:
+            return None
+        return _residuals(
             _read_plan_with_identity(
                 spark, table_dir, meta, new_data, to_deletes
             )
         ).withColumn("_change_type", F.lit("insert")).drop(*ids)
+
     # PURE-APPEND fast path: when the window holds no delete files and
     # every data file of the `from` snapshot survives in the `to`
     # snapshot, no pre-window row can have disappeared (pre-window
     # delete files apply identically to both views), so the delete side
     # is empty BY METADATA — skip the row-level diff entirely. This is
     # the common window on an append-mostly CDC table: its changelog
-    # cost stays O(appended bytes) instead of O(table).
+    # cost stays O(appended bytes) instead of O(table). The check is
+    # metadata-only, so it runs BEFORE any Spark construction and the
+    # fast path builds only the insert side.
     if not any(from_seq < d["_seq"] <= to_seq for d in to_deletes):
         from_data, _ = _plan_snapshot(
             by_id[from_snapshot_id], constraints, specs_by_id=specs
@@ -652,6 +657,7 @@ def read_iceberg_changelog(
         if {d["file_path"] for d in from_data} <= {
             d["file_path"] for d in old_data
         }:
+            inserted = mk_inserted()
             if inserted is not None:
                 return inserted
             return (
@@ -659,10 +665,31 @@ def read_iceberg_changelog(
                 .withColumn("_change_type", F.lit(""))
                 .where(F.lit(False))
             )
-    a = _read_snapshot(
-        spark, table_dir, meta, by_id[from_snapshot_id], constraints,
-        keep_identity=True,
-    )
+
+    # the three sides (insert scan, `from`-view scan, pre-window files
+    # at the `to` view) are independent metadata-heavy constructions:
+    # build them from a small thread pool so their py4j round-trips
+    # overlap (guide §2.6) — each side's plan is exactly what the
+    # sequential construction produced
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_inserted = pool.submit(mk_inserted)
+        f_a = pool.submit(
+            _read_snapshot, spark, table_dir, meta,
+            by_id[from_snapshot_id], constraints, True,
+        )
+        f_b_old = (
+            pool.submit(
+                _read_plan_with_identity, spark, table_dir, meta,
+                old_data, to_deletes,
+            )
+            if old_data
+            else None
+        )
+        inserted = f_inserted.result()
+        a = f_a.result()
+        b_old = f_b_old.result() if f_b_old is not None else None
     if a is None or not old_data:
         # table was empty at `from`: everything live in-window is new
         if inserted is not None:
@@ -672,9 +699,6 @@ def read_iceberg_changelog(
             .withColumn("_change_type", F.lit(""))
             .where(F.lit(False))
         )
-    b_old = _read_plan_with_identity(
-        spark, table_dir, meta, old_data, to_deletes
-    )
     deleted = (
         _residuals(a.join(b_old.select(*ids), ids, "left_anti"))
         .withColumn("_change_type", F.lit("delete"))
