@@ -52,6 +52,20 @@ def get_spark(
         # on both inputs; sort-merge remains the fallback whenever the
         # hash side would not fit
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Iceberg-planned reads hand Spark explicit leaf-FILE lists
+        # (no directory recursion); above this path count Spark spawns
+        # a distributed listing JOB whose scheduling overhead dwarfs
+        # the work (measured: an 800-path local plan resolved in
+        # 1.5-1.6 s via the listing job vs 0.18 s driver-side). Local
+        # stat of a leaf path is ~µs, so driver-side listing is right
+        # well past any local plan size; deployments on high-latency
+        # object stores with >10k-file plans can lower it back via
+        # SPARK_GRAFT_LIST_JOB_THRESHOLD (driver-side listing there
+        # still uses Spark's internal listing thread pool).
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_JOB_THRESHOLD", "10000"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # write timestamps as INT64 micros, never the deprecated INT96:
         # Iceberg mandates int64 timestamp storage, and INT96 chunks

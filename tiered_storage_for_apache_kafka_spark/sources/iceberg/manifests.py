@@ -72,6 +72,43 @@ def _base_path_groups(table_dir: str, paths: list[str]) -> list[tuple[str, list[
     return sorted((base, ps) for (base, _k), ps in groups.items())
 
 
+def _dirs_if_complete(paths: list[str]) -> list[str] | None:
+    """Collapse an explicit planned-file list to its parent DIRECTORIES
+    when — and only when — each directory contains exactly the planned
+    files. Handing Spark N explicit paths costs a per-path
+    getFileStatus + datasource resolution (measured 1.63 s for an
+    800-file plan vs 0.10 s for its 4 directories); handing it the
+    directories lists each with one listStatus. Exactness guard: any
+    visible extra parquet file, any visible non-parquet file, or any
+    visible subdirectory (Spark's directory scan would recurse into it)
+    makes this return None and the caller keeps the explicit list —
+    deleted-but-on-disk files, orphans, and foreign layouts all fall
+    back. Hidden entries (``_``/``.`` prefix, e.g. _SUCCESS or
+    ``_compacted-*``) are ignored by Spark's file index and therefore
+    by the completeness check too. Non-local paths fall back via
+    OSError."""
+    by_dir: dict[str, set] = {}
+    for p in paths:
+        by_dir.setdefault(os.path.dirname(p), set()).add(os.path.basename(p))
+    out = []
+    for d, names in by_dir.items():
+        try:
+            entries = os.listdir(d)
+        except OSError:
+            return None
+        visible = set()
+        for e in entries:
+            if e.startswith(("_", ".")):
+                continue  # hidden to Spark's FileIndex
+            if not e.endswith(".parquet") or os.path.isdir(os.path.join(d, e)):
+                return None
+            visible.add(e)
+        if visible != names:
+            return None
+        out.append(d)
+    return sorted(out)
+
+
 def _read_planned_files(
     spark, table_dir: str, meta: dict, paths: list[str], project=None,
     schema_id: int | None = None,
@@ -118,7 +155,8 @@ def _read_planned_files(
             reader = spark.read.option("basePath", base)
             if explicit is not None:
                 reader = reader.schema(explicit)
-            df = reader.parquet(*sorted(ps))
+            targets = _dirs_if_complete(ps) or sorted(ps)
+            df = reader.parquet(*targets)
             dfs.append(df if project is None else project(df))
             continue
         # RENAME-aware resolution (see schema.py "naming epochs"): the
