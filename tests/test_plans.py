@@ -511,8 +511,14 @@ def test_ivf_kmeans_probe_side_broadcast(spark):
 def test_bm25_topk_is_take_ordered_with_broadcast_stats(spark):
     plan = plan_of(QUERIES["bm25_topk_docs"](spark, SF))
     assert "TakeOrderedAndProject" in plan  # no global sort for the top-k
-    # df marginals and corpus stats join the postings via broadcast
-    assert plan.count("BroadcastHashJoin") + plan.count(
+    # the consumer reads the shared scored-postings cache; the df
+    # marginals / corpus stats broadcasts live in the cache's BUILD plan
+    from tiered_storage_for_apache_kafka_spark.operators.retrieval import (
+        _bm25_scored_plan,
+    )
+
+    build = plan_of(_bm25_scored_plan(spark, SF))
+    assert build.count("BroadcastHashJoin") + build.count(
         "BroadcastNestedLoopJoin"
     ) >= 2
 

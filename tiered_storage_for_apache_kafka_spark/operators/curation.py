@@ -29,11 +29,14 @@ from pyspark.sql import functions as F
 
 from tiered_storage_for_apache_kafka_spark.operators.dedup import (
     dedup_connected_components,
+    tokens_cached,
     _CC_ORACLE_PREFIX,
 )
 from tiered_storage_for_apache_kafka_spark.operators.registry import (
     lineage_cut,
     query,
+    session_cache_key,
+    session_cache_put,
 )
 from tiered_storage_for_apache_kafka_spark.tables import load_table, scan_parallel
 
@@ -46,6 +49,38 @@ SPLIT_VALID_UB = 32
 SAMPLE_BUCKET_UB = 64  # ~25% per stratum
 
 DECON_GRAM_WORDS = 5  # word 5-grams for benchmark-overlap detection
+
+_GRAMS5_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _grams5_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, word-5-gram string) over the whole corpus,
+    materialized once per (session, corpus) with its lineage cut — the
+    shared overlap-detection inventory that both decontamination passes
+    (eval-set overlap, incremental near-dup verdicts) previously each
+    rebuilt from a fresh tokenize+explode+distinct of the corpus.
+    Tokenization comes from the shared token cache; the gram lambda
+    stays fused into the explode (a staged `.select(grams)` measures
+    ~5x slower — extra projection boundary)."""
+    key = session_cache_key(spark, sf_dir)
+    cached = _GRAMS5_CACHE.get(key)
+    if cached is None:
+        n = DECON_GRAM_WORDS
+        cached = lineage_cut(
+            tokens_cached(spark, sf_dir)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+                        f"i -> array_join(slice(toks, i, {n}), ' '))"
+                    )
+                ).alias("gram"),
+            )
+            .distinct()
+        )
+        session_cache_put(_GRAMS5_CACHE, key, cached)
+    return cached
 BENCH_MOD = 97  # doc_id % 97 == 0 stands in for "the benchmark set"
 
 
@@ -199,30 +234,14 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     for an eval suite). The benchmark gram inventory is tiny → broadcast;
     the training corpus explodes its grams in a narrow map and joins
     map-side, so the corpus itself NEVER shuffles — the shape that makes
-    decontamination tractable at 100 TB. Gram identity is a 64-bit hash
-    (xxhash64 / DuckDB hash are engine-local, so the *output* only
-    reports counts of matching grams, never the hashes: both engines
-    agree because gram-string equality is engine-independent)."""
-    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
-    n = DECON_GRAM_WORDS
-
-    def grams(df: DataFrame) -> DataFrame:
-        return (
-            df.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
-            .select(
-                "doc_id",
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
-                        f"i -> xxhash64(array_join(slice(toks, i, {n}), ' ')))"
-                    )
-                ).alias("gram"),
-            )
-            .distinct()
-        )
-
-    corpus = grams(docs.filter(F.col("doc_id") % BENCH_MOD != 0))
-    bench = grams(docs.filter(F.col("doc_id") % BENCH_MOD == 0)).select("gram").distinct()
+    decontamination tractable at 100 TB. Both sides come from the shared
+    5-gram inventory (`_grams5_cached`) and join on the gram string
+    itself — the same equality the oracle evaluates."""
+    g5 = _grams5_cached(spark, sf_dir)
+    corpus = g5.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench = (
+        g5.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
+    )
     return (
         corpus.join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
@@ -537,26 +556,13 @@ def incremental_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     incoming = docs.filter(F.col("doc_id") % INCR_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
-    n = DECON_GRAM_WORDS
 
-    def grams(df: DataFrame) -> DataFrame:
-        toks = df.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
-        return (
-            toks.select(
-                "doc_id",
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
-                        f"i -> array_join(slice(toks, i, {n}), ' '))"
-                    )
-                ).alias("gram"),
-            )
-            .distinct()
-        )
-
+    g5 = _grams5_cached(spark, sf_dir)
     corpus_md5 = corpus.select(F.md5("text").alias("h")).distinct()
-    corpus_grams = grams(corpus).select("gram").distinct()
-    incoming_grams = grams(incoming)
+    corpus_grams = (
+        g5.filter(F.col("doc_id") % INCR_MOD != 0).select("gram").distinct()
+    )
+    incoming_grams = g5.filter(F.col("doc_id") % INCR_MOD == 0)
     # no broadcast hint: the batch's EXPLODED gram inventory can be far
     # larger than the batch itself — let AQE pick broadcast when it fits
     # (same policy as the md5 join below)

@@ -125,6 +125,12 @@ CACHE_WARMUP = [
     "dedup_connected_components",  # _CC_CACHE (labels over the pairs)
     "pagerank_dup_graph",  # _EDGES_CACHE (graph edges over the pairs)
     "kmeans_embedding_clusters",
+    "ann_ivf_topk",  # _IVF_AFF_CACHE (coarse-quantizer cell assignment,
+    # shared with semdedup_keep_drop)
+    "bm25_topk_docs",  # _BM25_CACHE (scored postings frame, shared with
+    # hybrid_rrf_retrieval)
+    "benchmark_decontamination",  # _GRAMS5_CACHE (word-5-gram inventory,
+    # shared with incremental_dedup_verdicts)
     "quality_classifier_trained",
     "iceberg_metadata_summary",
     "iceberg_rest_commit",  # _ICEBERG_REST_CACHE (REST-committed twin)

@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiered_storage_for_apache_kafka_spark.operators.dedup import tokens_cached
-from tiered_storage_for_apache_kafka_spark.operators.registry import query
+from tiered_storage_for_apache_kafka_spark.operators.registry import (
+    lineage_cut,
+    query,
+    session_cache_key,
+    session_cache_put,
+)
 from tiered_storage_for_apache_kafka_spark.operators.similarity import _DOT
 from tiered_storage_for_apache_kafka_spark.tables import load_table
 
@@ -45,11 +50,25 @@ def _score_sql(n: str, df: str, tf: str, dl: str, tot: str) -> str:
     return _SCORE.format(n=n, df=df, tf=tf, dl=dl, tot=tot, k1=K1, k1p1=K1 + 1, b1=B1, b=B)
 
 
+_BM25_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_matched_terms, score) for every doc matching ≥1 query
     term — postings pruned to the query's terms before any shuffle,
     df/avgdl broadcast. Shared by the pure-BM25 top-k and the hybrid
-    RRF fusion."""
+    RRF fusion, so the scored frame (a few hundred matching docs) is
+    materialized once per (session, corpus) with its lineage cut — the
+    two consumers each re-ran the whole postings pipeline otherwise."""
+    key = session_cache_key(spark, sf_dir)
+    cached = _BM25_CACHE.get(key)
+    if cached is None:
+        cached = lineage_cut(_bm25_scored_plan(spark, sf_dir))
+        session_cache_put(_BM25_CACHE, key, cached)
+    return cached
+
+
+def _bm25_scored_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens_cached(spark, sf_dir)
     dl = toks.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
     stats = dl.agg(
