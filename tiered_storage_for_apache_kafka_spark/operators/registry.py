@@ -135,7 +135,10 @@ CACHE_WARMUP = [
     "iceberg_metadata_summary",
     "iceberg_rest_commit",  # _ICEBERG_REST_CACHE (REST-committed twin)
     "iceberg_row_delete_scan",  # _ICEBERG_DEL_CACHE (row-delta twin)
-    "iceberg_upsert_scan",  # _ICEBERG_UPSERT_CACHE (upsert twin)
+    "iceberg_upsert_scan",  # _ICEBERG_UPSERT_CACHE (upsert twin) +
+    # _UPSERT_HEAD/_BEFORE_CACHE (shared per-key count frames)
+    "iceberg_changelog_scan",  # _UPSERT_CHANGELOG_CACHE (typed changelog,
+    # shared with changelog_materialized_counts)
     "iceberg_tag_read",  # _ICEBERG_TAG_CACHE (tagged twin)
     "iceberg_bounds_pruned_scan",  # _ICEBERG_BANDS_CACHE (banded twin,
     # shared with iceberg_incremental_scan + streaming_iceberg_incremental)

@@ -242,11 +242,29 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         BIGRAM_SPARK_EXPR,
     )
 
-    tok = docs.select(
-        "lang", F.explode(F.expr(BIGRAM_SPARK_EXPR)).alias("tok")
-    ).distinct()
-    u = tok.select(
-        "lang", F.expr(_hex40_expr("md5(tok)", "locate")).alias("u")
+    # ONE corpus pass (guide §2.3/§2.4): the raw exploded bigram stream
+    # goes straight into a groupBy(tok) with per-language membership
+    # flags (partial aggregation dedupes map-side) — the separate
+    # DISTINCT (lang, tok) pass and the second replay of the explode
+    # for the exact-count side both collapse into this aggregate.
+    by_tok = (
+        docs.select("lang", F.explode(F.expr(BIGRAM_SPARK_EXPR)).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.max(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("in_en"),
+            F.max(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("in_de"),
+        )
+    )
+    # the sketch domain: DISTINCT (lang, u) — identical rows to the old
+    # tok.distinct()→u.distinct() chain (flags are exactly membership)
+    u = by_tok.select(
+        F.explode(
+            F.expr(
+                "filter(array(CASE WHEN in_en = 1 THEN 'en' END, "
+                "CASE WHEN in_de = 1 THEN 'de' END), x -> x IS NOT NULL)"
+            )
+        ).alias("lang"),
+        F.expr(_hex40_expr("md5(tok)", "locate")).alias("u"),
     ).distinct()
     # n_u via a 2-row groupBy joined AFTER the rank filter: mixing an
     # unbounded count window into the row_number window would defeat
@@ -277,16 +295,18 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_estimate"),
     )
-    union_rk = (
-        sk.select("u")
-        .distinct()
-        .select(
-            "u",
-            F.row_number().over(Window.orderBy("u")).alias("r"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_u"),
-        )
-        .where(F.col("r") <= KMV_K)
+    # one groupBy(u) over the (≤ 2K-row) sketch gives the merged-sketch
+    # domain AND the per-set membership flags the intersection needs —
+    # replacing a distinct plus an en/de self-join with a single tiny agg
+    sku = sk.groupBy("u").agg(
+        F.max(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("in_en"),
+        F.max(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("in_de"),
     )
+    union_rk = sku.select(
+        "u",
+        F.row_number().over(Window.orderBy("u")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_u"),
+    ).where(F.col("r") <= KMV_K)
     union_est = union_rk.agg(
         # strict <: n_u == K can mean saturated sketches, not exactness
         F.when(F.max("n_u") < KMV_K, F.max("n_u"))
@@ -301,9 +321,8 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("union").alias("set_name"), "n_estimate")
     min_theta = theta.agg(F.min("theta").alias("th"))
     common = (
-        sk.where(F.col("lang") == "en")
+        sku.where((F.col("in_en") == 1) & (F.col("in_de") == 1))
         .select("u")
-        .join(sk.where(F.col("lang") == "de").select("u"), "u")
         .crossJoin(F.broadcast(min_theta))
         .where(F.col("u") < F.col("th"))
     )
@@ -324,10 +343,6 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows yields a 0-count row here where groupBy produced none — the
     # inner join with `est` (which has no estimate row for it either)
     # drops it identically.
-    by_tok = tok.groupBy("tok").agg(
-        F.max(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("in_en"),
-        F.max(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("in_de"),
-    )
     totals = by_tok.agg(
         F.sum("in_en").cast("bigint").alias("n_en"),
         F.sum("in_de").cast("bigint").alias("n_de"),

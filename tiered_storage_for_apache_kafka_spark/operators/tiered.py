@@ -1082,6 +1082,79 @@ def iceberg_row_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ICEBERG_UPSERT_CACHE: dict[tuple, tuple] = {}
 
+# Shared per-key aggregates over the upsert fixture: three queries
+# (iceberg_upsert_scan, iceberg_changelog_scan,
+# changelog_materialized_counts) consume the same head counts /
+# pre-upsert counts / changelog projection — each one is a full
+# merge-on-read plan construction plus 8-13 AQE stage-jobs, so they are
+# materialized once per (session, fixture) with their lineage cut (the
+# established cross-query cache discipline; every frame is key-count /
+# delta sized, never corpus sized).
+_UPSERT_HEAD_CACHE: dict[tuple, DataFrame] = {}
+_UPSERT_BEFORE_CACHE: dict[tuple, DataFrame] = {}
+_UPSERT_CHANGELOG_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _upsert_head_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n) live per-key counts at the upsert fixture's head."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table,
+    )
+
+    key = _cache_key(spark, sf_dir)
+    cached = _UPSERT_HEAD_CACHE.get(key)
+    if cached is None:
+        tdir, _ = _ICEBERG_UPSERT_CACHE[key]
+        cached = lineage_cut(
+            read_iceberg_table(spark, tdir)
+            .select(F.col("key").cast("string").alias("event_type"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        session_cache_put(_UPSERT_HEAD_CACHE, key, cached)
+    return cached
+
+
+def _upsert_before_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n) per-key counts at the pre-upsert snapshot."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_table_at,
+    )
+
+    key = _cache_key(spark, sf_dir)
+    cached = _UPSERT_BEFORE_CACHE.get(key)
+    if cached is None:
+        tdir, first_snapshot = _ICEBERG_UPSERT_CACHE[key]
+        cached = lineage_cut(
+            read_iceberg_table_at(spark, tdir, first_snapshot)
+            .select(F.col("key").cast("string").alias("event_type"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        session_cache_put(_UPSERT_BEFORE_CACHE, key, cached)
+    return cached
+
+
+def _upsert_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, _change_type) typed net row-level changes between the
+    pre-upsert snapshot and the head — delta-sized."""
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
+        read_iceberg_changelog,
+    )
+
+    key = _cache_key(spark, sf_dir)
+    cached = _UPSERT_CHANGELOG_CACHE.get(key)
+    if cached is None:
+        tdir, first_snapshot = _ICEBERG_UPSERT_CACHE[key]
+        cached = lineage_cut(
+            read_iceberg_changelog(spark, tdir, first_snapshot).select(
+                F.col("key").cast("string").alias("event_type"),
+                "_change_type",
+            )
+        )
+        session_cache_put(_UPSERT_CHANGELOG_CACHE, key, cached)
+    return cached
+
 UPSERT_REPLACEMENT_ROWS = 25
 
 
@@ -1125,8 +1198,6 @@ def iceberg_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
         commit_append,
         commit_equality_deletes,
-        read_iceberg_table,
-        read_iceberg_table_at,
         read_table_metadata,
     )
     from tiered_storage_for_apache_kafka_spark.sources.table_mode import (
@@ -1169,17 +1240,11 @@ def iceberg_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_cache_put(_ICEBERG_UPSERT_CACHE, key, (tdir, first_snapshot))
         cached = (tdir, first_snapshot)
     tdir, first_snapshot = cached
-    live = (
-        read_iceberg_table(spark, tdir)
-        .select(F.col("key").cast("string").alias("event_type"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_live_raw"))
+    live = _upsert_head_counts(spark, sf_dir).select(
+        "event_type", F.col("n").alias("n_live_raw")
     )
-    before = (
-        read_iceberg_table_at(spark, tdir, first_snapshot)
-        .select(F.col("key").cast("string").alias("event_type"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    before = _upsert_before_counts(spark, sf_dir).select(
+        "event_type", F.col("n").alias("n_before")
     )
     return before.join(live, "event_type", "left").select(
         "event_type",
@@ -1690,19 +1755,11 @@ def iceberg_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: inserts are planned metadata-only (the window's appended
     files); only pre-window files pay the row-level identity anti-join,
     pruned to pre-window files on both sides."""
-    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
-        read_iceberg_changelog,
-    )
-
     # build (or reuse) the upsert fixture via its query
     iceberg_upsert_scan(spark, sf_dir)
-    tdir, first_snapshot = _ICEBERG_UPSERT_CACHE[_cache_key(spark, sf_dir)]
-    log = read_iceberg_changelog(spark, tdir, first_snapshot)
     return (
-        log.select(
-            F.col("_change_type").alias("change_type"),
-            F.col("key").cast("string").alias("event_type"),
-        )
+        _upsert_changelog(spark, sf_dir)
+        .select(F.col("_change_type").alias("change_type"), "event_type")
         .groupBy("change_type", "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
@@ -1741,33 +1798,26 @@ def changelog_materialized_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: the maintained side touches only the changelog (delta-sized);
     the recompute side is the expensive full pass it replaces — here it
     doubles as the audit's ground truth, the established audit pattern."""
-    from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
-        read_iceberg_changelog,
-        read_iceberg_table,
-        read_iceberg_table_at,
-    )
-
     iceberg_upsert_scan(spark, sf_dir)
-    tdir, first_snapshot = _ICEBERG_UPSERT_CACHE[_cache_key(spark, sf_dir)]
 
-    # the three reads (base at `from`, changelog, head recompute) are
-    # independent metadata-heavy constructions; building them from a
-    # small thread pool overlaps their py4j round-trips (guide §2.6 —
-    # construction, not jobs, is what serializes here; measured
-    # 2.94 -> 2.39 s warm, identical output)
-    def mk_base() -> DataFrame:
-        return (
-            read_iceberg_table_at(spark, tdir, first_snapshot)
-            .select(F.col("key").cast("string").alias("event_type"))
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    # the three sides (base at `from`, changelog, head recompute) come
+    # from the shared per-fixture caches; on the session's first call
+    # the three independent metadata-heavy builds overlap from a small
+    # thread pool (guide §2.6 — construction and the eager lineage-cut
+    # jobs are what serialize here), afterwards each is a compact scan
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_base = pool.submit(_upsert_before_counts, spark, sf_dir)
+        f_deltas = pool.submit(_upsert_changelog, spark, sf_dir)
+        f_recomputed = pool.submit(_upsert_head_counts, spark, sf_dir)
+        base = f_base.result().select(
+            "event_type", F.col("n").alias("n_before")
         )
-
-    def mk_deltas() -> DataFrame:
-        return (
-            read_iceberg_changelog(spark, tdir, first_snapshot)
+        deltas = (
+            f_deltas.result()
             .select(
-                F.col("key").cast("string").alias("event_type"),
+                "event_type",
                 F.when(F.col("_change_type") == "insert", F.lit(1))
                 .otherwise(F.lit(-1))
                 .alias("d"),
@@ -1775,23 +1825,8 @@ def changelog_materialized_counts(spark: SparkSession, sf_dir: str) -> DataFrame
             .groupBy("event_type")
             .agg(F.sum("d").cast("bigint").alias("delta"))
         )
-
-    def mk_recomputed() -> DataFrame:
-        return (
-            read_iceberg_table(spark, tdir)
-            .select(F.col("key").cast("string").alias("event_type"))
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_head"))
-        )
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_base = pool.submit(mk_base)
-        f_deltas = pool.submit(mk_deltas)
-        f_recomputed = pool.submit(mk_recomputed)
-        base, deltas, recomputed = (
-            f_base.result(), f_deltas.result(), f_recomputed.result()
+        recomputed = f_recomputed.result().select(
+            "event_type", F.col("n").alias("n_head")
         )
     maintained = base.join(deltas, "event_type", "left").select(
         "event_type",
