@@ -747,46 +747,50 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tells you two crawls/dumps overlap BEFORE you pay for pairwise
     near-dup passes between them.
 
-    Plan: exact side is one distinct (source, md5) projection — 16 bytes
-    + source key per doc, text pruned at the scan — self-equi-joined on
-    the hash (matching groups are true duplicates, so output is bounded
-    by duplicate mass, never |corpus|²). Gram side is a distinct
-    (source, gram) inverted index self-joined on gram: each gram's group
-    is at most |sources| rows, so the pair fan-out is bounded by
-    |grams|x|sources|², independent of corpus row count. The final
-    matrix is |sources|² at most."""
+    Plan: ONE exchange per side (guide §2.4) — instead of self-joining
+    the (source, key) inverted index on the key (two more shuffles of
+    the same rows plus the joined fan-out), each side groups by its key
+    once, collects the ≤|sources| member set per group map-side, and
+    explodes the sorted set's (a < b) pairs — identical pair counts,
+    bounded by |key groups| x |sources|², independent of corpus row
+    count. The final matrix is |sources|² at most."""
+
+    def _pair_counts(df: DataFrame, key: str, out: str) -> DataFrame:
+        # per key: sorted source set -> every (a < b) pair, counted
+        return (
+            df.groupBy(key)
+            .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ss, (a, i) -> "
+                        "transform(slice(ss, i + 2, size(ss)), "
+                        "b -> struct(a AS source_a, b AS source_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.source_a", "p.source_b")
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
     docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     n = OVERLAP_GRAM_WORDS
-    hashes = docs.select("source", F.md5("text").alias("h")).distinct()
-    ha = hashes.select(F.col("source").alias("source_a"), "h")
-    hb = hashes.select(F.col("source").alias("source_b"), "h")
-    exact = (
-        ha.join(hb, "h")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
-    )
+    # no pre-DISTINCT on either side: collect_set dedupes sources per
+    # key group inside the same (single) exchange the grouping needs
+    hashes = docs.select("source", F.md5("text").alias("h"))
+    exact = _pair_counts(hashes, "h", "n_shared_docs")
     toks = docs.select("source", F.split(F.trim("text"), r"\s+").alias("toks"))
-    grams = (
-        toks.select(
-            "source",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
-                    f"i -> array_join(slice(toks, i, {n}), ' '))"
-                )
-            ).alias("gram"),
-        )
-        .distinct()
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+                f"i -> array_join(slice(toks, i, {n}), ' '))"
+            )
+        ).alias("gram"),
     )
-    ga = grams.select(F.col("source").alias("source_a"), "gram")
-    gb = grams.select(F.col("source").alias("source_b"), "gram")
-    gram_pairs = (
-        ga.join(gb, "gram")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
-    )
+    gram_pairs = _pair_counts(grams, "gram", "n_shared_grams")
     return gram_pairs.join(exact, ["source_a", "source_b"], "left").select(
         "source_a",
         "source_b",

@@ -494,19 +494,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rare, hence low-fanout) gram key, and no all-pairs product ever
     forms."""
     grams = _ngrams(spark, sf_dir).cache()
-    rare = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_DF)
-        .select("gram")
-    )
     ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    # candidate pairs in ONE gram-keyed pass (guide §2.4): group the
+    # inverted index by gram, keep rare grams (the per-gram doc set IS
+    # the document frequency — grams are distinct per doc), and explode
+    # each sorted doc set's (a < b) pairs. Replaces the rare-join +
+    # ga x gb self-join (three shuffles of the gram stream) with one
+    # groupBy; the fan-out stays DF-bounded (<= MAX_DF² per gram).
     cand = (
-        ga.join(rare, "gram")
-        .join(gb, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= MAX_DF)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
