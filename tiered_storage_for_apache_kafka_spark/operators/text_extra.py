@@ -273,8 +273,19 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiered_storage_for_apache_kafka_spark.operators.dedup import tokens_cached
 
     toks = tokens_cached(spark, sf_dir).select(F.explode("toks").alias("tok"))
+    # ONE corpus pass: the exact per-token counts (which the audit's
+    # truth side needs regardless) aggregate first with map-side
+    # combine; the sketch grid then folds the VOCABULARY-sized counted
+    # frame — each cell's value is the sum of its tokens' counts,
+    # identical to counting occurrences, but the salted md5 runs once
+    # per distinct token instead of once per occurrence and the raw
+    # token stream is aggregated exactly once.
+    tok_counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
     cells = (
-        toks.select(
+        tok_counts.select(
+            "true_count",
             F.explode(
                 F.array(
                     *[
@@ -285,16 +296,12 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for i in range(CMS_ROWS)
                     ]
                 )
-            ).alias("cell")
+            ).alias("cell"),
         )
         .groupBy("cell.row_id", "cell.bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum("true_count").cast("bigint").alias("c"))
     )
-    truth = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
-        .filter(F.col("true_count") >= CMS_MIN_TRUE)
-    )
+    truth = tok_counts.filter(F.col("true_count") >= CMS_MIN_TRUE)
     probes = truth.select(
         "tok",
         "true_count",
