@@ -838,12 +838,14 @@ def apply_deletion_vectors(spark, df_pos, data_entries, dv_entries):
     data_seq = {d["file_path"]: d["_seq"] for d in data_entries}
     blob_cache: dict[str, list[dict]] = {}
     rows: list[tuple[str, bytes]] = []
+    applicable: list[dict] = []
     for e in dv_entries:
         ref = e.get("referenced_data_file")
         dseq = data_seq.get(ref)
         if dseq is None or e["_seq"] < dseq:
             continue
         rows.append((ref, _dv_entry_payload(e, blob_cache)))
+        applicable.append(e)
     if not rows:
         return df_pos
 
@@ -853,6 +855,14 @@ def apply_deletion_vectors(spark, df_pos, data_entries, dv_entries):
     dels = dv_df.mapInPandas(
         _explode_dv_rows, "__iceberg_file string, __iceberg_pos bigint"
     )
+    # a DV entry's record_count is its bitmap cardinality (spec), so the
+    # exploded (file, pos) row count is known at plan time — same
+    # broadcast rule as the parquet position-delete side
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
+        _maybe_broadcast_deletes,
+    )
+
+    dels = _maybe_broadcast_deletes(dels, applicable)
     return df_pos.join(
         dels, ["__iceberg_file", "__iceberg_pos"], "left_anti"
     )

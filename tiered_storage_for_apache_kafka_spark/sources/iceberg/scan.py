@@ -27,6 +27,32 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
 )
 
 
+def _maybe_broadcast_deletes(dels, entries):
+    """Broadcast hint for a merge-on-read delete-set side when the scan
+    plan's own manifest statistics prove it small: every planned delete
+    entry carries ``record_count``, so the total number of delete rows
+    is known at plan time without touching the data. Without the hint
+    the delete subtree bottoms out in a ``createDataFrame`` metadata
+    frame with unknown stats, the optimizer estimates it huge, and the
+    initial plan sort-merge-joins — shuffling and sorting the FULL data
+    scan on the join key before AQE can demote the join. The threshold
+    is rows-based and env-parameterised (a (file, pos) pair hashes to
+    ~100 B, so the default 1M rows is a <=~100 MB relation — safe on
+    any executor sizing); tables whose live delete set outgrows it fall
+    back to the planner's choice, which is the correct 100 TB shape."""
+    from pyspark.sql import functions as F
+
+    counts = [e.get("record_count") for e in entries]
+    if any(c is None for c in counts):
+        return dels
+    limit = int(
+        os.environ.get("SPARK_GRAFT_DELETE_BROADCAST_ROWS", "1000000")
+    )
+    if sum(int(c) for c in counts) <= limit:
+        return F.broadcast(dels)
+    return dels
+
+
 def _apply_equality_deletes(
     spark, df_pos, data_entries, eq_entries, meta, schema_id=None
 ):
@@ -151,7 +177,7 @@ def _apply_eq_delete_group(
     del_reader = spark.read
     if eq_schema is not None:
         del_reader = del_reader.schema(eq_schema)
-    dels = (
+    dels = _maybe_broadcast_deletes(
         del_reader.parquet(*sorted({d["file_path"] for d in eq_entries}))
         .select(
             *[F.col(c).alias(f"__eq_{c}") for c in eq_cols],
@@ -159,7 +185,8 @@ def _apply_eq_delete_group(
                 F.col("_metadata.file_path")
             ).alias("__iceberg_dfile"),
         )
-        .join(F.broadcast(del_meta), "__iceberg_dfile")
+        .join(F.broadcast(del_meta), "__iceberg_dfile"),
+        eq_entries,
     )
     df2 = df_pos.join(F.broadcast(data_seq), "__iceberg_file")
     part_cols = []
@@ -830,7 +857,7 @@ def _apply_position_deletes(spark, df_pos, data_entries, delete_entries):
     del_seq = spark.createDataFrame(
         del_files, "__iceberg_dfile string, __iceberg_del_seq bigint"
     )
-    dels = (
+    dels = _maybe_broadcast_deletes(
         spark.read.parquet(*[p for p, _ in del_files])
         .select(
             F.col("file_path").alias("__iceberg_file"),
@@ -842,7 +869,8 @@ def _apply_position_deletes(spark, df_pos, data_entries, delete_entries):
         .join(F.broadcast(del_seq), "__iceberg_dfile")
         .join(F.broadcast(data_seq), "__iceberg_file")
         .where(F.col("__iceberg_del_seq") >= F.col("__iceberg_data_seq"))
-        .select("__iceberg_file", "__iceberg_pos")
+        .select("__iceberg_file", "__iceberg_pos"),
+        delete_entries,
     )
     # callers drop __iceberg_file/__iceberg_pos once all delete layers
     # have been applied
