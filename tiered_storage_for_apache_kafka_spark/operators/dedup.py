@@ -581,22 +581,19 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")).alias("token"),
     ).select("doc_id", F.md5("token").alias("th"))  # md5 ONCE per token
-    digit_sums = [
-        F.sum(
-            F.expr(
-                f"locate(substr(th, {j + 1}, 1), '0123456789abcdef') - 1"
-            )
-        ).alias(f"s{j}")
+    # one aggregate expression string for the whole bit string (see
+    # _sim64_signatures): same digit-vote arithmetic, far fewer py4j
+    # round trips than 16 sum columns + 16 F.when chains
+    bit_str = ", ".join(
+        f"CASE WHEN 2 * sum(locate(substr(th, {j + 1}, 1),"
+        f" '0123456789abcdef') - 1) >= 15 * count(1)"
+        f" THEN '1' ELSE '0' END"
         for j in range(SIMHASH_BITS)
-    ]
-    agg = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"), *digit_sums)
-    bit_cols = [
-        F.when(2 * F.col(f"s{j}") >= 15 * F.col("n_tokens"), F.lit("1")).otherwise(
-            F.lit("0")
-        )
-        for j in range(SIMHASH_BITS)
-    ]
-    return agg.select("doc_id", F.concat(*bit_cols).alias("simhash"), "n_tokens")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.expr(f"concat({bit_str}) AS simhash"),
+        F.expr("count(1) AS n_tokens"),
+    )
 
 
 def _simhash_int_sql() -> str:
@@ -640,25 +637,22 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")).alias("token"),
     ).select("doc_id", F.md5("token").alias("th"))  # md5 ONCE per token
-    digit_sums = [
-        F.sum(
-            F.expr(f"locate(substr(th, {j + 1}, 1), '0123456789abcdef') - 1")
-        ).alias(f"s{j}")
+    # the whole signature as ONE aggregate expression string (16 vote
+    # CASE terms) instead of 16 sum columns + 16 F.when chains — same
+    # integer arithmetic, a handful of py4j calls (see _sim64_signatures)
+    sig_terms = " + ".join(
+        f"CASE WHEN 2 * sum(locate(substr(th, {j + 1}, 1),"
+        f" '0123456789abcdef') - 1) >= 15 * count(1)"
+        f" THEN {1 << j} ELSE 0 END"
         for j in range(SIMHASH_BITS)
-    ]
-    agg = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"), *digit_sums)
-    sig_int = sum(
-        (
-            F.when(2 * F.col(f"s{j}") >= 15 * F.col("n_tokens"), F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
-            for j in range(SIMHASH_BITS)
-        ),
-        start=F.lit(0),
-    ).cast("bigint")
+    )
     # both join sides read the signature table: cache so the token
     # explode + 16-way aggregation runs once
-    sigs = agg.select("doc_id", sig_int.alias("sig")).cache()
+    sigs = (
+        toks.groupBy("doc_id")
+        .agg(F.expr(f"CAST({sig_terms} AS BIGINT) AS sig"))
+        .cache()
+    )
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     hamming = F.expr("bit_count(sig_a ^ sig_b)").cast("bigint")
@@ -697,30 +691,33 @@ def _sim64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")).alias("token"),
     ).select("doc_id", F.md5("token").alias("th"))  # md5 ONCE per token
-    votes = [
-        F.sum(
-            F.expr(
-                f"(((locate(substr(th, {j // 4 + 1}, 1), '0123456789abcdef') - 1)"
-                f" >> {3 - j % 4}) & 1)"
+    # each band is ONE aggregate expression string (16 majority-vote
+    # CASE terms over sum/count) instead of 64 intermediate vote
+    # columns + 4 x 16 F.when chains: identical integer arithmetic
+    # (2*SUM(vote_j) >= COUNT(1) per bit), but ~5 py4j round trips to
+    # construct instead of several hundred — the query was BUILD-bound
+    # (0.83 s of driver-side Column construction vs 0.40 s exec)
+    def _band_agg(k: int) -> str:
+        terms = []
+        for jj in range(SIMHASH64_BAND_BITS):
+            j = k * SIMHASH64_BAND_BITS + jj
+            digit = (
+                f"(locate(substr(th, {j // 4 + 1}, 1),"
+                f" '0123456789abcdef') - 1)"
             )
-        ).alias(f"s{j}")
-        for j in range(SIMHASH64_BITS)
-    ]
-    agg = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"), *votes)
-    band_cols = []
-    for k in range(SIMHASH64_BANDS):
-        band = sum(
-            (
-                F.when(
-                    2 * F.col(f"s{k * SIMHASH64_BAND_BITS + jj}") >= F.col("n_tokens"),
-                    F.lit(1 << jj),
-                ).otherwise(F.lit(0))
-                for jj in range(SIMHASH64_BAND_BITS)
-            ),
-            start=F.lit(0),
-        ).cast("int")
-        band_cols.append(band.alias(f"b{k}"))
-    return agg.select("doc_id", *band_cols)
+            vote = f"(({digit} >> {3 - j % 4}) & 1)"
+            terms.append(
+                f"CASE WHEN 2 * sum({vote}) >= count(1)"
+                f" THEN {1 << jj} ELSE 0 END"
+            )
+        return f"CAST({' + '.join(terms)} AS INT) AS b{k}"
+
+    return toks.groupBy("doc_id").agg(
+        F.expr(_band_agg(0)),
+        F.expr(_band_agg(1)),
+        F.expr(_band_agg(2)),
+        F.expr(_band_agg(3)),
+    )
 
 
 @query(
