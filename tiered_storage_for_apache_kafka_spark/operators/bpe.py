@@ -147,17 +147,20 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges = []
         for rank in range(1, BPE_MERGES + 1):
             pairs = (
-                vocab.select(
+                # the split is staged into a column: Catalyst does no
+                # loop-invariant code motion inside HOF lambdas, so
+                # split-in-the-lambda re-splits seq once per pair
+                vocab.select(F.expr("split(seq, ' ')").alias("sym"), "f")
+                .select(
                     F.explode(
                         # size guard: a fully-merged single-symbol word
                         # makes sequence(1, size-1) DESCEND to [1, 0] —
                         # INVALID_ARRAY_INDEX under ANSI mode (same
                         # hazard as _hashed_features' bigrams)
                         F.expr(
-                            "CASE WHEN size(split(seq, ' ')) >= 2 THEN "
-                            "transform(sequence(1, size(split(seq, ' ')) - 1), "
-                            "i -> concat(split(seq, ' ')[i - 1], ' ', "
-                            "split(seq, ' ')[i])) "
+                            "CASE WHEN size(sym) >= 2 THEN "
+                            "transform(sequence(1, size(sym) - 1), "
+                            "i -> concat(sym[i - 1], ' ', sym[i])) "
                             "ELSE CAST(array() AS array<string>) END"
                         )
                     ).alias("pair"),

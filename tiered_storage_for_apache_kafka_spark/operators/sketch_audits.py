@@ -239,7 +239,7 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").isin("en", "de")
     )
     from tiered_storage_for_apache_kafka_spark.operators.curation import (
-        BIGRAM_SPARK_EXPR,
+        bigram_tokens,
     )
 
     # ONE corpus pass (guide §2.3/§2.4): the raw exploded bigram stream
@@ -248,7 +248,7 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISTINCT (lang, tok) pass and the second replay of the explode
     # for the exact-count side both collapse into this aggregate.
     by_tok = (
-        docs.select("lang", F.explode(F.expr(BIGRAM_SPARK_EXPR)).alias("tok"))
+        bigram_tokens(docs, "lang")
         .groupBy("tok")
         .agg(
             F.max(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("in_en"),

@@ -245,12 +245,18 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
     k, w = WINNOW_K, WINNOW_W
     # staged projections: each expensive array is computed once per row
-    # (CollapseProject keeps non-cheap lambda exprs in their own stage)
-    with_hashes = docs.select(
+    # (CollapseProject keeps non-cheap lambda exprs in their own stage).
+    # The split is staged too: Catalyst does no loop-invariant code
+    # motion inside HOF lambdas, so split-in-the-lambda would re-split
+    # the full text once per k-gram (O(words^2) per doc).
+    with_words = docs.select(
+        "doc_id", F.expr("split(trim(text), '\\\\s+')").alias("ws")
+    )
+    with_hashes = with_words.select(
         "doc_id",
         F.expr(
-            f"transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - {k - 1}, 1)), "
-            f"i -> md5(array_join(slice(split(trim(text), '\\\\s+'), i, {k}), ' ')))"
+            f"transform(sequence(1, greatest(size(ws) - {k - 1}, 1)), "
+            f"i -> md5(array_join(slice(ws, i, {k}), ' ')))"
         ).alias("hashes"),
     )
     with_fps = with_hashes.select(
