@@ -53,6 +53,10 @@ import time
 import uuid
 import zlib
 
+from tiered_storage_for_apache_kafka_spark.sources.local_df import (
+    local_rows_df,
+)
+
 from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
     FORMAT_VERSION,
     _apply_equality_deletes,
@@ -298,8 +302,13 @@ def write_deletion_vectors(
                     }
                 )
         old_pos = (
-            spark.createDataFrame(
-                old_rows, "__iceberg_file string, __dv binary"
+            local_rows_df(
+                spark,
+                old_rows,
+                "__iceberg_file string, __dv binary",
+                slices=min(
+                    spark.sparkContext.defaultParallelism, len(old_rows)
+                ),
             )
             .mapInPandas(
                 _explode_dv_rows,
@@ -849,8 +858,11 @@ def apply_deletion_vectors(spark, df_pos, data_entries, dv_entries):
     if not rows:
         return df_pos
 
-    dv_df = spark.createDataFrame(
-        rows, "__iceberg_file string, __dv binary"
+    dv_df = local_rows_df(
+        spark,
+        rows,
+        "__iceberg_file string, __dv binary",
+        slices=min(spark.sparkContext.defaultParallelism, len(rows)),
     )
     dels = dv_df.mapInPandas(
         _explode_dv_rows, "__iceberg_file string, __iceberg_pos bigint"

@@ -12,6 +12,10 @@ import os
 import time
 import uuid
 
+from tiered_storage_for_apache_kafka_spark.sources.local_df import (
+    local_rows_df,
+)
+
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
     MANIFEST_FILE_SCHEMA,
     _field_id,
@@ -239,7 +243,8 @@ def write_matched_position_deletes(
     data = ctx["data"]
     part_names = [n for n, _f, _t in part_typed]
     part_cols = [f"__iceberg_part_{i}" for i in range(len(part_names))]
-    part_map = spark.createDataFrame(
+    part_map = local_rows_df(
+        spark,
         [
             (d["file_path"], *[d["partition"].get(n) for n in part_names])
             for d in data
@@ -1050,8 +1055,8 @@ def _rewrite_position_deletes_once(
         )
     }
     all_paths = sorted(path_to_group)
-    live_paths = spark.createDataFrame(
-        [(d["file_path"],) for d in data], "file_path string"
+    live_paths = local_rows_df(
+        spark, [(d["file_path"],) for d in data], "file_path string"
     )
     from tiered_storage_for_apache_kafka_spark.sources.iceberg.scan import (
         _norm_file_expr,
@@ -1068,8 +1073,8 @@ def _rewrite_position_deletes_once(
         # no longer lists simply vanish from the merged output
         .join(live_paths, "file_path", "left_semi")
     )
-    grp_map = spark.createDataFrame(
-        list(path_to_group.items()), "__src string, __grp string"
+    grp_map = local_rows_df(
+        spark, list(path_to_group.items()), "__src string, __grp string"
     )
     rows = rows.join(F.broadcast(grp_map), "__src")
     token = uuid.uuid4().hex[:16]
@@ -1447,8 +1452,8 @@ def _convert_equality_deletes_once(
                 ),
             )
         )
-    file_cell = spark.createDataFrame(
-        file_cell_rows, "__iceberg_file string, __grp string"
+    file_cell = local_rows_df(
+        spark, file_cell_rows, "__iceberg_file string, __grp string"
     )
     rows = matches.join(F.broadcast(file_cell), "__iceberg_file")
     token = uuid.uuid4().hex[:16]

@@ -11,6 +11,10 @@ import json
 import os
 import struct
 
+from tiered_storage_for_apache_kafka_spark.sources.local_df import (
+    local_rows_df,
+)
+
 from tiered_storage_for_apache_kafka_spark.sources.iceberg.manifests import (
     _leaf_field_ids,
     _read_planned_files,
@@ -151,7 +155,8 @@ def _apply_eq_delete_group(
     from pyspark.sql import functions as F
 
     part_names = [f["name"] for f in spec_fields]
-    del_meta = spark.createDataFrame(
+    del_meta = local_rows_df(
+        spark,
         sorted(
             {
                 (
@@ -170,7 +175,8 @@ def _apply_eq_delete_group(
             ]
         ),
     )
-    data_seq = spark.createDataFrame(
+    data_seq = local_rows_df(
+        spark,
         [(d["file_path"], d["_seq"]) for d in data_entries],
         "__iceberg_file string, __iceberg_data_seq bigint",
     )
@@ -849,12 +855,14 @@ def _apply_position_deletes(spark, df_pos, data_entries, delete_entries):
     the same physical strategy Spark's Iceberg source picks."""
     from pyspark.sql import functions as F
 
-    data_seq = spark.createDataFrame(
+    data_seq = local_rows_df(
+        spark,
         [(d["file_path"], d["_seq"]) for d in data_entries],
         "__iceberg_file string, __iceberg_data_seq bigint",
     )
     del_files = sorted({(d["file_path"], d["_seq"]) for d in delete_entries})
-    del_seq = spark.createDataFrame(
+    del_seq = local_rows_df(
+        spark,
         del_files, "__iceberg_dfile string, __iceberg_del_seq bigint"
     )
     dels = _maybe_broadcast_deletes(

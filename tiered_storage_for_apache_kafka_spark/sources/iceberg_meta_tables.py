@@ -29,6 +29,10 @@ from __future__ import annotations
 import json
 import struct
 
+from tiered_storage_for_apache_kafka_spark.sources.local_df import (
+    local_rows_df,
+)
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -84,7 +88,7 @@ def snapshots_table(
         )
         for s in meta.get("snapshots", [])
     ]
-    return spark.createDataFrame(rows, _SNAPSHOTS_SCHEMA)
+    return local_rows_df(spark, rows, _SNAPSHOTS_SCHEMA)
 
 
 _HISTORY_SCHEMA = T.StructType(
@@ -125,7 +129,7 @@ def history_table(
         )
         for e in meta.get("snapshot-log", [])
     ]
-    return spark.createDataFrame(rows, _HISTORY_SCHEMA)
+    return local_rows_df(spark, rows, _HISTORY_SCHEMA)
 
 
 _REFS_SCHEMA = T.StructType(
@@ -166,7 +170,7 @@ def refs_table(
         )
         for name, r in (meta.get("refs") or {}).items()
     ]
-    return spark.createDataFrame(rows, _REFS_SCHEMA)
+    return local_rows_df(spark, rows, _REFS_SCHEMA)
 
 
 _MANIFESTS_SCHEMA = T.StructType(
@@ -317,7 +321,7 @@ def manifests_table(
                 json.dumps(typed),
             )
         )
-    return spark.createDataFrame(rows, _MANIFESTS_SCHEMA)
+    return local_rows_df(spark, rows, _MANIFESTS_SCHEMA)
 
 
 _ENTRY_COLUMNS = (
@@ -418,9 +422,15 @@ def entries_table(
                 )
 
     n_slots = spark.sparkContext.defaultParallelism
-    paths_df = spark.createDataFrame(
-        mfs, "manifest_path STRING, manifest_content INT"
-    ).repartition(min(n_slots, len(mfs)))
+    # one slice per manifest (capped): the frame exists to fan out the
+    # per-manifest parse, and explicit slices avoid both the 32-slice
+    # default on tiny lists and the repartition exchange
+    paths_df = local_rows_df(
+        spark,
+        mfs,
+        "manifest_path STRING, manifest_content INT",
+        slices=min(n_slots, len(mfs)),
+    )
     return paths_df.mapInPandas(read_manifests, schema=_ENTRY_COLUMNS)
 
 
@@ -597,7 +607,8 @@ def position_deletes_table(
     pos, dv = split_position_deletes(deletes)
     parts = []
     if pos:
-        prov = spark.createDataFrame(
+        prov = local_rows_df(
+            spark,
             sorted(
                 (d["file_path"], int(d["_spec_id"]), int(d["_seq"]))
                 for d in pos
@@ -628,10 +639,14 @@ def position_deletes_table(
             )
             for e in dv
         ]
-        dv_df = spark.createDataFrame(
+        dv_df = local_rows_df(
+            spark,
             rows,
             "file_path string, __dv binary, delete_file_path string, "
             "spec_id int, sequence_number bigint",
+            slices=min(
+                spark.sparkContext.defaultParallelism, len(rows)
+            ),
         )
 
         def explode(pdfs):

@@ -27,6 +27,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tiered_storage_for_apache_kafka_spark.sources.local_df import (
+    local_rows_df,
+)
 from tiered_storage_for_apache_kafka_spark.storage.backend import StorageBackend
 
 MANIFEST_SCHEMA = (
@@ -48,7 +51,12 @@ def load_manifests_df(spark: SparkSession, backend_conf: dict) -> DataFrame:
 
     mgr = _build_manager(backend_conf)
     keys = [k for k in mgr.backend.list_keys() if k.endswith(".rsm-manifest")]
-    keys_df = spark.createDataFrame([(k,) for k in keys], "object_key STRING")
+    keys_df = local_rows_df(
+        spark,
+        [(k,) for k in keys],
+        "object_key STRING",
+        slices=min(spark.sparkContext.defaultParallelism, max(len(keys), 1)),
+    )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = _build_manager(backend_conf)
