@@ -870,42 +870,65 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (locate/strpos), bit-identical across engines; set bits are modeled
     relationally as a DISTINCT position table, so the 'all k bits set'
     probe is a join + count — no engine-specific bitmap type."""
-    docs = scan_parallel(load_table(spark, sf_dir, "documents"), spark)
-    incoming = docs.filter(F.col("doc_id") % INCR_MOD == 0).select(
-        "doc_id", F.md5("text").alias("h")
+    # ONE corpus pass (guide §2.3/§8): every per-doc verdict here is a
+    # pure function of the content hash (bit positions and corpus
+    # membership alike), so the corpus aggregates to a per-DISTINCT-hash
+    # frame first — n_inc incoming copies + corpus membership per h —
+    # and maybe/truth/false-positive counts are n_inc-weighted sums over
+    # that tiny frame. Identical integers to the per-doc formulation
+    # (each doc has exactly one h); the old shape re-scanned + re-hashed
+    # the corpus in five separate plan branches.
+    docs = load_table(spark, sf_dir, "documents")
+    byh = (
+        docs.select(
+            (F.col("doc_id") % INCR_MOD == 0).alias("inc"),
+            F.md5("text").alias("h"),
+        )
+        .groupBy("h")
+        .agg(
+            F.sum(F.when(F.col("inc"), 1).otherwise(0)).alias("n_inc"),
+            F.max(F.when(~F.col("inc"), 1).otherwise(0)).alias("in_corpus"),
+        )
     )
-    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0).select(
-        F.md5("text").alias("h")
-    )
-    pos_arr = lambda: F.array(
-        *[F.expr(_bloom_pos_expr(i, "h")) for i in range(BLOOM_K)]
-    )
+    pos_arr = F.array(*[F.expr(_bloom_pos_expr(i, "h")) for i in range(BLOOM_K)])
     bits = (
-        corpus.select(F.explode(pos_arr()).alias("pos")).distinct()
+        byh.where(F.col("in_corpus") == 1)
+        .select(F.explode(pos_arr).alias("pos"))
+        .distinct()
     )
-    probes = incoming.select(
-        "doc_id", "h", F.explode(pos_arr()).alias("pos")
+    probes = byh.where(F.col("n_inc") > 0).select(
+        "h", "n_inc", "in_corpus", F.explode(pos_arr).alias("pos")
     )
-    maybe = (
+    maybe_h = (
         probes.join(F.broadcast(bits), "pos")
-        .groupBy("doc_id", "h")
+        .groupBy("h", "n_inc", "in_corpus")
         .agg(F.count(F.lit(1)).alias("n_set"))
         .filter(F.col("n_set") >= BLOOM_K)
-        .select("doc_id", "h")
     )
-    truth = incoming.join(
-        corpus.distinct(), "h", "left_semi"
-    ).select("doc_id").distinct()
-    # one declarative plan (four 1-row aggregates cross-joined), not four
+    # one declarative plan (1-row aggregates cross-joined), not four
     # eager count() jobs — the caller's single action computes everything
     return (
-        incoming.agg(F.count(F.lit(1)).cast("bigint").alias("n_incoming"))
-        .crossJoin(maybe.agg(F.count(F.lit(1)).cast("bigint").alias("n_maybe")))
-        .crossJoin(truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_dups")))
+        byh.agg(
+            F.sum("n_inc").cast("bigint").alias("n_incoming"),
+            F.sum(F.col("n_inc") * F.col("in_corpus"))
+            .cast("bigint")
+            .alias("n_true_dups"),
+        )
         .crossJoin(
-            maybe.join(truth, "doc_id", "left_anti").agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_false_positives")
+            maybe_h.agg(
+                F.coalesce(F.sum("n_inc"), F.lit(0))
+                .cast("bigint")
+                .alias("n_maybe"),
+                F.coalesce(
+                    F.sum(F.col("n_inc") * (1 - F.col("in_corpus"))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_false_positives"),
             )
+        )
+        .select(
+            "n_incoming", "n_maybe", "n_true_dups", "n_false_positives"
         )
     )
 
