@@ -385,7 +385,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pairs are usually tiny relative to the shingle table:
     # broadcast them (gated on actual size, one count) so the
     # intersection join filters BOTH shingle sides map-side instead of
-    # shuffling the exploded table
+    # shuffling the exploded table. Cached BEFORE the gate's eager
+    # count so the verify join reads the (pair-count-sized) cache
+    # instead of re-running the band aggregation.
+    cand = cand.cache()
     cand, small = _gate_small(cand)
     inter = (
         sa.join(F.broadcast(cand) if small else cand, "doc_a")
@@ -504,7 +507,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy; the fan-out stays DF-bounded (<= MAX_DF² per gram).
     cand = (
         grams.groupBy("gram")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        # collect_list, not collect_set: grams is DISTINCT (doc, gram),
+        # so the per-gram doc list is already a set — the list
+        # aggregation skips collect_set's per-group dedup hashing
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") <= MAX_DF)
         .select(
             F.explode(
@@ -517,6 +523,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.doc_a", "p.doc_b")
         .distinct()
+        # cached BEFORE the broadcast gate's eager count: the count job
+        # fills the (tiny, pair-count-sized) cache, so the verify join
+        # reads it instead of re-running the pair aggregation
+        .cache()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     cand, small = _gate_small(cand)
@@ -1083,7 +1093,9 @@ def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pruned intersection join as `dedup_minhash_lsh`."""
     sh = _shingles_cached(spark, sf_dir)
     wide = _wide_signatures(sh)
-    cand = _candidates_from_bands(_bands_from_wide(wide))
+    # cached before the gate's eager count (same note as the LSH pair
+    # builder: the count job fills the tiny cache, the joins reuse it)
+    cand = _candidates_from_bands(_bands_from_wide(wide)).cache()
     cand, small = _gate_small(cand)
     wa = wide.select(
         F.col("doc_id").alias("doc_a"),
