@@ -30,6 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tiered_storage_for_apache_kafka_spark.sources.local_df import (
+    local_rows_df,
+)
 from tiered_storage_for_apache_kafka_spark.operators.registry import (
     query,
     session_cache_key,
@@ -189,7 +192,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             vocab = new_vocab
         vocab.unpersist()
         session_cache_put(_BPE_CACHE, key, merges)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         merges, "merge_rank INT, pair STRING, merged STRING, cnt BIGINT"
     )
 

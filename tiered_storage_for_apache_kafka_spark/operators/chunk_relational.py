@@ -36,6 +36,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from tiered_storage_for_apache_kafka_spark.sources.local_df import (
+    local_rows_df,
+)
 from tiered_storage_for_apache_kafka_spark.operators.registry import query
 from tiered_storage_for_apache_kafka_spark.tables import load_table
 
@@ -196,7 +199,8 @@ def range_fetch_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     in `RemoteStorageManager.java:141-144`)."""
     pos = _records_with_positions(spark, sf_dir)
     seg = pos.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("segment_size"))
-    frac = spark.createDataFrame(
+    frac = local_rows_df(
+        spark,
         [(0, 0.00, 0.25), (1, 0.10, 0.50), (2, 0.25, 0.75),
          (3, 0.50, 1.00), (4, 0.00, 1.00), (5, 0.99, 1.00)],
         "query_id INT, lo_frac DOUBLE, hi_frac DOUBLE",
@@ -259,7 +263,8 @@ def segment_offset_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("record_count"),
         F.sum("n_chars").cast("bigint").alias("segment_size"),
     )
-    idx = spark.createDataFrame(
+    idx = local_rows_df(
+        spark,
         [(0, "OFFSET"), (1, "TIMESTAMP"), (2, "PRODUCER_SNAPSHOT"),
          (3, "LEADER_EPOCH"), (4, "TRANSACTION")],
         "index_type_id INT, index_type STRING",

@@ -17,6 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tiered_storage_for_apache_kafka_spark.sources.local_df import (
+    local_rows_df,
+)
 from tiered_storage_for_apache_kafka_spark.operators.registry import (
     lineage_cut,
     query,
@@ -461,7 +464,8 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights: dict[int, int] = {}
         for _round in range(TRAIN_ROUNDS):
             if weights:
-                wdf = spark.createDataFrame(
+                wdf = local_rows_df(
+        spark,
                     sorted(weights.items()), "bucket BIGINT, wt BIGINT"
                 )
                 scores = (
@@ -492,7 +496,8 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = sorted(weights.items())
         session_cache_put(_TRAINED_CACHE, key, cached)
 
-    wdf = spark.createDataFrame(cached, "bucket BIGINT, wt BIGINT")
+    wdf = local_rows_df(
+        spark,cached, "bucket BIGINT, wt BIGINT")
     logits = (
         feats.join(F.broadcast(wdf), "bucket", "left")
         .groupBy("doc_id")

@@ -27,6 +27,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tiered_storage_for_apache_kafka_spark.sources.local_df import (
+    local_rows_df,
+)
 from tiered_storage_for_apache_kafka_spark.operators.registry import (
     query,
     session_cache_key,
@@ -2345,6 +2348,7 @@ def iceberg_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimation."""
     ests, pin = _ndv_stats_table(spark, sf_dir)
     rows = [(c, int(v), pin) for c, v in sorted(ests.items())]
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows, "column_name string, ndv bigint, stats_pins bigint"
     )

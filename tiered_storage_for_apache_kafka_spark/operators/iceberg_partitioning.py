@@ -22,6 +22,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tiered_storage_for_apache_kafka_spark.sources.local_df import (
+    local_rows_df,
+)
 from tiered_storage_for_apache_kafka_spark.operators.registry import (
     query,
     session_cache_key,
@@ -131,7 +134,8 @@ def iceberg_day_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = int(f["partition"]["ts_day"])
         per_day_files[d] = per_day_files.get(d, 0) + 1
     pruned = 1 if 0 < len(files) < n_total else 0
-    file_rows = spark.createDataFrame(
+    file_rows = local_rows_df(
+        spark,
         [(d, n, pruned) for d, n in sorted(per_day_files.items())],
         "ts_day bigint, n_files_opened bigint, pruned bigint",
     )
@@ -257,7 +261,8 @@ def iceberg_multifield_partition_scan(
         )
 
     rows = _parallel_probe_rows(probe_row, range(8))
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows,
         "event_id bigint, n_rows bigint, one_cell_opened bigint, "
         "day_pruned bigint, bucket_pruned bigint",
@@ -594,7 +599,8 @@ def iceberg_spec_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_day_gens.setdefault(d, set()).add(
             "g2" if "id_bucket" in f["partition"] else "g1"
         )
-    file_rows = spark.createDataFrame(
+    file_rows = local_rows_df(
+        spark,
         [
             (d, len(gens), 1 if in_window else 0)
             for d, gens in sorted(per_day_gens.items())
@@ -724,7 +730,8 @@ def iceberg_string_partition_scan(
         )
 
     rows = _parallel_probe_rows(lang_row, langs)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows,
         "lang string, n_src7 bigint, n_range bigint, "
         "one_cell_opened bigint, pruned bigint",
@@ -801,7 +808,8 @@ def iceberg_bucket_partition_scan(
         return (probe, int(n), 1 if len(buckets) == 1 else 0)
 
     rows = _parallel_probe_rows(probe_row, range(8))
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows, "event_id bigint, n_rows bigint, one_bucket_opened bigint"
     )
 

@@ -42,6 +42,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tiered_storage_for_apache_kafka_spark.sources.local_df import (
+    local_rows_df,
+)
 from tiered_storage_for_apache_kafka_spark.operators.registry import (
     query,
     session_cache_key,
@@ -186,7 +189,8 @@ def _run_gauntlet(spark: SparkSession, sf_dir: str) -> tuple:
         .toArrow()
     )
     schema = (
-        spark.createDataFrame([], "partition int, key string, offset long")
+        local_rows_df(
+        spark,[], "partition int, key string, offset long")
     ).schema
     if persist:
         tdir = os.path.join(root, "table")
@@ -318,7 +322,8 @@ def iceberg_maintenance_soak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tdir, counts, c = _run_gauntlet(spark, sf_dir)
-    maintained = spark.createDataFrame(
+    maintained = local_rows_df(
+        spark,
         [(k, v) for k, v in sorted(counts.items())],
         "event_type string, n_maintained bigint",
     )

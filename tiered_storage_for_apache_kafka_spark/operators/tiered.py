@@ -20,6 +20,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tiered_storage_for_apache_kafka_spark.sources.local_df import (
+    local_rows_df,
+)
 from tiered_storage_for_apache_kafka_spark.operators.registry import (
     lineage_cut,
     minor_units,
@@ -562,7 +565,8 @@ def iceberg_metadata_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     design (same as the Java library); the data plane stays distributed.
     """
     _tdir, rows = _iceberg_table(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows, "partition INT, n_files BIGINT, n_records BIGINT, snapshot_seq BIGINT"
     )
 
@@ -701,7 +705,8 @@ def iceberg_rest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`RemoteStorageManagerConfig.java:261-284`,
     `IcebergTableManager.java:46-95`)."""
     _tdir, rows = _iceberg_rest_table(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows, "partition INT, n_files BIGINT, n_records BIGINT, n_snapshots BIGINT"
     )
 
@@ -759,7 +764,8 @@ def iceberg_puffin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (part, p["files"], p["records"], n_blobs)
         for part, p in sorted(per_part.items())
     ]
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows, "partition INT, n_files BIGINT, n_records BIGINT, n_blobs BIGINT"
     )
 
