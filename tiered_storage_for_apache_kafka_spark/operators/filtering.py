@@ -496,8 +496,7 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = sorted(weights.items())
         session_cache_put(_TRAINED_CACHE, key, cached)
 
-    wdf = local_rows_df(
-        spark,cached, "bucket BIGINT, wt BIGINT")
+    wdf = local_rows_df(spark, cached, "bucket BIGINT, wt BIGINT")
     logits = (
         feats.join(F.broadcast(wdf), "bucket", "left")
         .groupBy("doc_id")

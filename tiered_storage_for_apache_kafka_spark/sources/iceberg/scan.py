@@ -713,8 +713,8 @@ def read_iceberg_table(
 
 def _empty_table_df(spark, meta: dict):
     """A valid ZERO-ROW scan typed from the table's current schema."""
-    return spark.createDataFrame(
-        [], iceberg_schema_to_spark(_current_schema_struct(meta))
+    return local_rows_df(
+        spark, [], iceberg_schema_to_spark(_current_schema_struct(meta))
     )
 
 

@@ -361,7 +361,7 @@ def entries_table(
         if not (data_only and int(mf.get("content", 0)) != 0)
     ]
     if not mfs:
-        return spark.createDataFrame([], _ENTRY_COLUMNS)
+        return local_rows_df(spark, [], _ENTRY_COLUMNS)
 
     def read_manifests(pdfs):
         import json as _json
@@ -597,7 +597,7 @@ def position_deletes_table(
 
     meta = _resolve_meta(table_dir, catalog, table_name)
     if meta.get("current-snapshot-id", -1) == -1:
-        return spark.createDataFrame([], _POSITION_DELETES_SCHEMA)
+        return local_rows_df(spark, [], _POSITION_DELETES_SCHEMA)
     cur = next(
         s
         for s in meta["snapshots"]
@@ -686,7 +686,7 @@ def position_deletes_table(
             )
         )
     if not parts:
-        return spark.createDataFrame([], _POSITION_DELETES_SCHEMA)
+        return local_rows_df(spark, [], _POSITION_DELETES_SCHEMA)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -23,7 +23,11 @@ def local_rows_df(spark, rows, schema, slices: int | None = None):
     fan out per-row work wants one slice per row)."""
     rows = rows if isinstance(rows, list) else list(rows)
     if not rows:
-        return spark.createDataFrame([], schema)
+        # an empty list still parallelizes into defaultParallelism
+        # EMPTY partitions by default — one empty slice instead
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize([], 1), schema
+        )
     if slices is None:
         slices = min(
             spark.sparkContext.defaultParallelism,
