@@ -385,10 +385,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pairs are usually tiny relative to the shingle table:
     # broadcast them (gated on actual size, one count) so the
     # intersection join filters BOTH shingle sides map-side instead of
-    # shuffling the exploded table. Cached BEFORE the gate's eager
-    # count so the verify join reads the (pair-count-sized) cache
-    # instead of re-running the band aggregation.
-    cand = cand.cache()
+    # shuffling the exploded table (_gate_small caches the set, so the
+    # count job fills it and the verify join reads it)
     cand, small = _gate_small(cand)
     inter = (
         sa.join(F.broadcast(cand) if small else cand, "doc_a")
@@ -496,7 +494,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined count, the inverted-index join shuffles on the
     (rare, hence low-fanout) gram key, and no all-pairs product ever
     forms."""
-    grams = _ngrams(spark, sf_dir).cache()
+    # NOT cached: _ngrams ends in a distinct() exchange, so every
+    # consumer in the main action (cand, sizes, both join sides) shares
+    # ONE exchange materialization via ReuseExchange — measured faster
+    # than .cache() (1.04 vs 1.51 s best-of-4) and it avoids the
+    # per-invocation cache entries that pile up executor storage across
+    # a 206-query bench session (the cell degraded 0.96 → 2.5 s under
+    # that pressure with the cache)
+    grams = _ngrams(spark, sf_dir)
     ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
     # candidate pairs in ONE gram-keyed pass (guide §2.4): group the
@@ -523,10 +528,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.doc_a", "p.doc_b")
         .distinct()
-        # cached BEFORE the broadcast gate's eager count: the count job
-        # fills the (tiny, pair-count-sized) cache, so the verify join
-        # reads it instead of re-running the pair aggregation
-        .cache()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     cand, small = _gate_small(cand)
@@ -1093,9 +1094,7 @@ def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pruned intersection join as `dedup_minhash_lsh`."""
     sh = _shingles_cached(spark, sf_dir)
     wide = _wide_signatures(sh)
-    # cached before the gate's eager count (same note as the LSH pair
-    # builder: the count job fills the tiny cache, the joins reuse it)
-    cand = _candidates_from_bands(_bands_from_wide(wide)).cache()
+    cand = _candidates_from_bands(_bands_from_wide(wide))
     cand, small = _gate_small(cand)
     wa = wide.select(
         F.col("doc_id").alias("doc_a"),
