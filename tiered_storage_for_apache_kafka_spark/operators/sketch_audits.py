@@ -272,14 +272,11 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange that keeps the sketch build O(K) per partition)
     counts = u.groupBy("lang").agg(F.count(F.lit(1)).alias("n_u"))
     w = Window.partitionBy("lang").orderBy("u")
-    # NOT cached: every consumer (theta, the union/intersection path)
-    # sits in the same action, so ReuseExchange already serves the rank
-    # window's exchange once — the cache only added fill overhead and a
-    # per-invocation storage entry (A/B 0.79 vs 0.74 s warm)
     sk = (
         u.select("lang", "u", F.row_number().over(w).alias("r"))
         .where(F.col("r") <= KMV_K)
         .join(F.broadcast(counts), "lang")
+        .cache()
     )
     theta = sk.groupBy("lang").agg(
         F.max(
