@@ -39,6 +39,7 @@ def main() -> int:
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--tag", default="probe")
+    ap.add_argument("--plans-dir", default="r14")
     ap.add_argument("--plans-only", action="store_true")
     ap.add_argument("--no-plans", action="store_true")
     ap.add_argument("--passes", type=int, default=2)
@@ -76,7 +77,7 @@ def main() -> int:
         if warm in names:
             _force(QUERIES[warm](spark, sf_dir))
 
-    plans_dir = os.path.join(REPO, "plans", "r13")
+    plans_dir = os.path.join(REPO, "plans", args.plans_dir)
     os.makedirs(plans_dir, exist_ok=True)
 
     timings: dict[str, float] = {}
@@ -100,7 +101,10 @@ def main() -> int:
                 df.explain("formatted")
             with open(os.path.join(plans_dir, f"{name}_{args.tag}.txt"), "w") as f:
                 f.write(buf.getvalue())
-        print(f"plans written to plans/r13/*_{args.tag}.txt", file=sys.stderr)
+        print(
+            f"plans written to plans/{args.plans_dir}/*_{args.tag}.txt",
+            file=sys.stderr,
+        )
 
     spark.stop()
     return 0

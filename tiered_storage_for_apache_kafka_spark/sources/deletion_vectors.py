@@ -835,15 +835,15 @@ def split_position_deletes(
     return pos, dv
 
 
-def apply_deletion_vectors(spark, df_pos, data_entries, dv_entries):
-    """Merge-on-read for DV entries: decode each applicable bitmap
-    executor-side, explode to (file, pos) rows, anti-join the scan —
-    the same physical strategy as parquet position deletes, with the
-    bitmap explode replacing the delete-file scan. The sequence rule
-    matches the v2 path: a DV applies only to data files whose data
-    sequence number is <= the DV's."""
-    from pyspark.sql import functions as F
-
+def _dv_delete_rows(spark, data_entries, dv_entries):
+    """The applicable DV positions as a ``(__iceberg_file,
+    __iceberg_pos)`` DataFrame (or ``(None, [])`` when no DV applies):
+    each applicable bitmap decodes executor-side and explodes to rows.
+    The sequence rule matches the v2 path — a DV applies only to data
+    files whose data sequence number is <= the DV's — and is decided
+    entirely at plan time from the entry metadata. Returns the frame
+    plus the applicable entries (whose ``record_count`` totals bound
+    the exploded row count for the broadcast rule)."""
     data_seq = {d["file_path"]: d["_seq"] for d in data_entries}
     blob_cache: dict[str, list[dict]] = {}
     rows: list[tuple[str, bytes]] = []
@@ -856,7 +856,7 @@ def apply_deletion_vectors(spark, df_pos, data_entries, dv_entries):
         rows.append((ref, _dv_entry_payload(e, blob_cache)))
         applicable.append(e)
     if not rows:
-        return df_pos
+        return None, []
 
     dv_df = local_rows_df(
         spark,
@@ -867,6 +867,18 @@ def apply_deletion_vectors(spark, df_pos, data_entries, dv_entries):
     dels = dv_df.mapInPandas(
         _explode_dv_rows, "__iceberg_file string, __iceberg_pos bigint"
     )
+    return dels, applicable
+
+
+def apply_deletion_vectors(spark, df_pos, data_entries, dv_entries):
+    """Merge-on-read for DV entries: decode each applicable bitmap
+    executor-side, explode to (file, pos) rows, anti-join the scan —
+    the same physical strategy as parquet position deletes, with the
+    bitmap explode replacing the delete-file scan (see
+    :func:`_dv_delete_rows`)."""
+    dels, applicable = _dv_delete_rows(spark, data_entries, dv_entries)
+    if dels is None:
+        return df_pos
     # a DV entry's record_count is its bitmap cardinality (spec), so the
     # exploded (file, pos) row count is known at plan time — same
     # broadcast rule as the parquet position-delete side

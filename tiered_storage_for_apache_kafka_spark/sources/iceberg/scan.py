@@ -31,6 +31,21 @@ from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
 )
 
 
+#: Max distinct (sequence, partition) delete-file groups folded into
+#: per-group literal scans before falling back to the metadata-frame
+#: broadcast-join shape; and max planned data files folded into a
+#: literal path->sequence map. Both bound PLAN size (each group is one
+#: scan branch; each file is two literals), not data size — at 100 TB
+#: a table with hundreds of live delete commits or >1k planned files
+#: keeps the join shape, which scales without plan bloat.
+_DELETE_LITERAL_GROUPS = int(
+    os.environ.get("SPARK_GRAFT_DELETE_LITERAL_GROUPS", "32")
+)
+_SEQ_LITERAL_FILES = int(
+    os.environ.get("SPARK_GRAFT_SEQ_LITERAL_FILES", "256")
+)
+
+
 def _maybe_broadcast_deletes(dels, entries):
     """Broadcast hint for a merge-on-read delete-set side when the scan
     plan's own manifest statistics prove it small: every planned delete
@@ -151,50 +166,114 @@ def _apply_eq_delete_group(
     deletes WOULD retract, with their ``(__iceberg_file,
     __iceberg_pos)`` identity — what :func:`deletes.
     convert_equality_deletes` materializes into position-delete
-    files."""
+    files.
+
+    Metadata attachment is folded to PLAN TIME where bounded (r14,
+    same rationale as :func:`_pos_delete_rows`): delete files sharing
+    a (sequence, partition tuple) share one scan branch carrying those
+    values as typed literals instead of a broadcast metadata join; the
+    data side's per-file sequence number attaches as a literal
+    path->seq map — or not at all when every planned data file is
+    provably OLDER than every delete (the strictly-greater rule is
+    then constant-true). Past the literal bounds, both fall back to
+    the broadcast-join shape."""
     from pyspark.sql import functions as F
 
     part_names = [f["name"] for f in spec_fields]
-    del_meta = local_rows_df(
-        spark,
-        sorted(
-            {
-                (
-                    d["file_path"],
-                    d["_seq"],
-                    *[d["partition"].get(n) for n in part_names],
-                )
-                for d in eq_entries
-            }
-        ),
-        ", ".join(
-            ["__iceberg_dfile string", "__iceberg_del_seq bigint"]
-            + [
-                f"__iceberg_del_part_{i} {t}"
-                for i, t in enumerate(field_types)
-            ]
-        ),
-    )
-    data_seq = local_rows_df(
-        spark,
-        [(d["file_path"], d["_seq"]) for d in data_entries],
-        "__iceberg_file string, __iceberg_data_seq bigint",
-    )
     del_reader = spark.read
     if eq_schema is not None:
         del_reader = del_reader.schema(eq_schema)
-    dels = _maybe_broadcast_deletes(
-        del_reader.parquet(*sorted({d["file_path"] for d in eq_entries}))
-        .select(
-            *[F.col(c).alias(f"__eq_{c}") for c in eq_cols],
-            _norm_file_expr(
-                F.col("_metadata.file_path")
-            ).alias("__iceberg_dfile"),
+    key_of = {
+        d["file_path"]: (
+            int(d["_seq"]),
+            tuple(d["partition"].get(n) for n in part_names),
         )
-        .join(F.broadcast(del_meta), "__iceberg_dfile"),
-        eq_entries,
-    )
-    df2 = df_pos.join(F.broadcast(data_seq), "__iceberg_file")
+        for d in eq_entries
+    }
+    groups: dict[tuple, set] = {}
+    for p, k in key_of.items():
+        groups.setdefault(k, set()).add(p)
+    if len(groups) <= _DELETE_LITERAL_GROUPS:
+        parts_dfs = []
+        for (seq, pvals) in sorted(
+            groups, key=lambda k: (k[0], tuple(str(v) for v in k[1]))
+        ):
+            branch = del_reader.parquet(*sorted(groups[(seq, pvals)])).select(
+                *[F.col(c).alias(f"__eq_{c}") for c in eq_cols],
+                F.lit(seq).cast("bigint").alias("__iceberg_del_seq"),
+                *[
+                    F.lit(v).cast(field_types[i]).alias(
+                        f"__iceberg_del_part_{i}"
+                    )
+                    for i, v in enumerate(pvals)
+                ],
+            )
+            parts_dfs.append(branch)
+        dels = parts_dfs[0]
+        for b in parts_dfs[1:]:
+            dels = dels.unionByName(b)
+    else:
+        del_meta = local_rows_df(
+            spark,
+            sorted(
+                {
+                    (
+                        d["file_path"],
+                        d["_seq"],
+                        *[d["partition"].get(n) for n in part_names],
+                    )
+                    for d in eq_entries
+                }
+            ),
+            ", ".join(
+                ["__iceberg_dfile string", "__iceberg_del_seq bigint"]
+                + [
+                    f"__iceberg_del_part_{i} {t}"
+                    for i, t in enumerate(field_types)
+                ]
+            ),
+        )
+        dels = (
+            del_reader.parquet(*sorted({d["file_path"] for d in eq_entries}))
+            .select(
+                *[F.col(c).alias(f"__eq_{c}") for c in eq_cols],
+                _norm_file_expr(
+                    F.col("_metadata.file_path")
+                ).alias("__iceberg_dfile"),
+            )
+            .join(F.broadcast(del_meta), "__iceberg_dfile")
+        )
+    dels = _maybe_broadcast_deletes(dels, eq_entries)
+    data_seq = {d["file_path"]: int(d["_seq"]) for d in data_entries}
+    min_del_seq = min(seq for seq, _p in key_of.values())
+    seq_clause = bool(data_seq) and max(data_seq.values()) >= min_del_seq
+    if not seq_clause:
+        # every planned data file predates every delete: the
+        # strictly-greater rule holds for all pairs, no attach at all
+        df2 = df_pos
+    elif len(data_seq) <= _SEQ_LITERAL_FILES:
+        seq_map = F.create_map(
+            *[
+                x
+                for f, s in sorted(data_seq.items())
+                for x in (F.lit(f), F.lit(s))
+            ]
+        )
+        df2 = df_pos.withColumn(
+            "__iceberg_data_seq",
+            F.element_at(seq_map, F.col("__iceberg_file")),
+        )
+    else:
+        df2 = df_pos.join(
+            F.broadcast(
+                local_rows_df(
+                    spark,
+                    [(d["file_path"], d["_seq"]) for d in data_entries],
+                    "__iceberg_file string, __iceberg_data_seq bigint",
+                )
+            ),
+            "__iceberg_file",
+        )
     part_cols = []
     computed: list[str] = []
     for i, f in enumerate(spec_fields):
@@ -211,11 +290,15 @@ def _apply_eq_delete_group(
             part_cols.append(df2[cname])
         else:
             part_cols.append(df2[f["name"]])
-    cond = df2["__iceberg_data_seq"] < dels["__iceberg_del_seq"]
+    cond = None
+    if seq_clause:
+        cond = df2["__iceberg_data_seq"] < dels["__iceberg_del_seq"]
     for i, pc in enumerate(part_cols):
-        cond = cond & pc.eqNullSafe(dels[f"__iceberg_del_part_{i}"])
+        clause = pc.eqNullSafe(dels[f"__iceberg_del_part_{i}"])
+        cond = clause if cond is None else cond & clause
     for c in eq_cols:
-        cond = cond & df2[c].eqNullSafe(dels[f"__eq_{c}"])
+        clause = df2[c].eqNullSafe(dels[f"__eq_{c}"])
+        cond = clause if cond is None else cond & clause
     # callers drop __iceberg_file/__iceberg_pos once all delete layers
     # have been applied
     return df2.join(dels, cond, join_type).drop(
@@ -768,11 +851,26 @@ def _read_plan_with_identity(
     columns retained and the given delete files applied — the shared
     core of snapshot reads and the changelog's plan-split scans
     (deletes match per (file, pos) / per key, so applying them against
-    a SUBSET of the snapshot's data files is sound)."""
+    a SUBSET of the snapshot's data files is sound).
+
+    Two plan-shape rules (r14, guide §2.4): a delete plane whose
+    manifest ``record_count`` totals ZERO is skipped outright (its
+    anti-join subtree could never remove a row — entries with empty
+    delete files occur after converts/compactions); and the parquet
+    position-delete and DV planes FUSE into one anti-join — both
+    produce (file, pos) row sets, and set subtraction by the same key
+    is one union-then-anti-join, halving the broadcast builds when a
+    table carries both representations."""
     from tiered_storage_for_apache_kafka_spark.sources.deletion_vectors import (
-        apply_deletion_vectors,
+        _dv_delete_rows,
         split_position_deletes,
     )
+
+    def _zero_rows(entries: list[dict]) -> bool:
+        counts = [e.get("record_count") for e in entries]
+        return all(c is not None for c in counts) and (
+            sum(int(c) for c in counts) == 0
+        )
 
     df = _read_with_positions(
         spark, table_dir, meta, [d["file_path"] for d in data],
@@ -780,14 +878,27 @@ def _read_plan_with_identity(
     )
     pos, dv = split_position_deletes(deletes)
     eq = [d for d in deletes if d.get("content") == 2]
-    if eq:
+    if eq and not _zero_rows(eq):
         df = _apply_equality_deletes(
             spark, df, data, eq, meta, schema_id=schema_id
         )
-    if pos:
-        df = _apply_position_deletes(spark, df, data, pos)
-    if dv:
-        df = apply_deletion_vectors(spark, df, data, dv)
+    if pos and _zero_rows(pos):
+        pos = []
+    dels = _pos_delete_rows(spark, data, pos) if pos else None
+    applicable = list(pos)
+    if dv and not _zero_rows(dv):
+        dv_rows, dv_applicable = _dv_delete_rows(spark, data, dv)
+        if dv_rows is not None:
+            dels = (
+                dv_rows if dels is None else dels.unionByName(dv_rows)
+            )
+            applicable += dv_applicable
+    if dels is not None:
+        df = df.join(
+            _maybe_broadcast_deletes(dels, applicable),
+            ["__iceberg_file", "__iceberg_pos"],
+            "left_anti",
+        )
     return df
 
 
@@ -840,19 +951,51 @@ def _read_with_positions(
     )
 
 
-def _apply_position_deletes(spark, df_pos, data_entries, delete_entries):
-    """Merge-on-read: anti-join the data scan against the snapshot's
-    position-delete rows on (data file path, row position), honoring
-    the spec's sequence-number rule — a position delete applies only
-    to data files whose data sequence number is <= the delete file's
-    (rows appended AFTER a delete are never retro-deleted even when
-    they land at the same positions of a same-partition file).
+def _pos_delete_rows(spark, data_entries, delete_entries):
+    """The snapshot's applicable position-delete rows as a
+    ``(__iceberg_file, __iceberg_pos)`` DataFrame, with the spec's
+    sequence-number rule — a position delete applies only to data
+    files whose data sequence number is <= the delete file's — folded
+    to PLAN TIME: both sequence maps are O(files) planning metadata the
+    driver already holds, so attaching them as broadcast-join frames
+    (the pre-r14 shape) paid two broadcast-build jobs per read for a
+    decision computable before the first job. Delete files sharing a
+    sequence number share one scan branch; a branch only carries a
+    NOT-IN filter when some planned data file is NEWER than its
+    deletes (rows appended after a delete are never retro-deleted).
+    Delete rows referencing unplanned files survive into the frame and
+    match nothing in the anti-join — same result, no metadata join.
+    Tables with more live delete commits than the literal-group bound
+    keep the join shape (plan size stays bounded at 100 TB)."""
+    from pyspark.sql import functions as F
 
-    Scale shape: the delete parquet scan is a normal distributed read;
-    the two sequence-number attachments are broadcast joins over the
-    O(files) planning metadata; the final anti-join broadcasts the
-    delete set when small (AQE) and shuffles on (file, pos) otherwise —
-    the same physical strategy Spark's Iceberg source picks."""
+    by_seq: dict[int, set[str]] = {}
+    for d in delete_entries:
+        by_seq.setdefault(int(d["_seq"]), set()).add(d["file_path"])
+    if len(by_seq) > _DELETE_LITERAL_GROUPS:
+        return _pos_delete_rows_joined(spark, data_entries, delete_entries)
+    data_seq = {d["file_path"]: int(d["_seq"]) for d in data_entries}
+    parts = []
+    for s in sorted(by_seq):
+        df = spark.read.parquet(*sorted(by_seq[s])).select(
+            F.col("file_path").alias("__iceberg_file"),
+            F.col("pos").alias("__iceberg_pos"),
+        )
+        disallowed = sorted(f for f, ds in data_seq.items() if ds > s)
+        if disallowed:
+            df = df.where(~F.col("__iceberg_file").isin(disallowed))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pos_delete_rows_joined(spark, data_entries, delete_entries):
+    """The broadcast-join form of :func:`_pos_delete_rows` — the shape
+    that stays plan-bounded when a table carries many live delete
+    commits (each literal group is a scan branch; hundreds would bloat
+    the plan more than two metadata broadcasts cost)."""
     from pyspark.sql import functions as F
 
     data_seq = local_rows_df(
@@ -865,7 +1008,7 @@ def _apply_position_deletes(spark, df_pos, data_entries, delete_entries):
         spark,
         del_files, "__iceberg_dfile string, __iceberg_del_seq bigint"
     )
-    dels = _maybe_broadcast_deletes(
+    return (
         spark.read.parquet(*[p for p, _ in del_files])
         .select(
             F.col("file_path").alias("__iceberg_file"),
@@ -877,7 +1020,22 @@ def _apply_position_deletes(spark, df_pos, data_entries, delete_entries):
         .join(F.broadcast(del_seq), "__iceberg_dfile")
         .join(F.broadcast(data_seq), "__iceberg_file")
         .where(F.col("__iceberg_del_seq") >= F.col("__iceberg_data_seq"))
-        .select("__iceberg_file", "__iceberg_pos"),
+        .select("__iceberg_file", "__iceberg_pos")
+    )
+
+
+def _apply_position_deletes(spark, df_pos, data_entries, delete_entries):
+    """Merge-on-read: anti-join the data scan against the snapshot's
+    position-delete rows on (data file path, row position) — see
+    :func:`_pos_delete_rows` for the plan-time sequence-number fold.
+
+    Scale shape: the delete parquet scan is a normal distributed read;
+    the final anti-join broadcasts the delete set when its manifest
+    ``record_count`` total proves it small and shuffles on (file, pos)
+    otherwise — the same physical strategy Spark's Iceberg source
+    picks."""
+    dels = _maybe_broadcast_deletes(
+        _pos_delete_rows(spark, data_entries, delete_entries),
         delete_entries,
     )
     # callers drop __iceberg_file/__iceberg_pos once all delete layers
