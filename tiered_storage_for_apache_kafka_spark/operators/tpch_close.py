@@ -22,7 +22,7 @@ arithmetic (`datediff`, `+ INTERVAL 90 DAY`) agrees between engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiered_storage_for_apache_kafka_spark.operators.registry import (
@@ -273,16 +273,30 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAY")
         ).alias("late"),
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-    )
+    # per-order distinct counts as WINDOW aggregates over the same pass
+    # (r14, guide §2.4): the groupBy-then-rejoin form referenced `lo`
+    # twice, and the differing downstream projections defeated
+    # ReuseExchange — lineitem+orders were scanned and joined TWICE
+    # (10 parquet scans, 14 Exchanges in the plan). The window form
+    # shuffles lo ONCE on l_orderkey and computes both distinct-supplier
+    # counts in place; groups are bounded by lines-per-order, so the
+    # window buffer is O(7) rows at any corpus size.
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        lo.filter(F.col("late"))
-        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        lo.select(
+            "l_orderkey",
+            "l_suppkey",
+            "late",
+            F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(w)
+            ).alias("n_late_supp"),
+        )
+        .filter(
+            F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
         .select("l_suppkey", "l_orderkey")
         .distinct()
     )
