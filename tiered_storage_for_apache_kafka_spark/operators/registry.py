@@ -85,12 +85,52 @@ def lineage_cut(df: DataFrame) -> DataFrame:
     the executors (persisted, spillable) and replaces the plan with a
     compact scan of them.
 
-    Same session-lifetime semantics as ``.cache()``: storage lives and
+    DURABILITY caveat (ADVICE r13): localCheckpoint partitions are
+    stored NON-REPLICATED with the lineage discarded — on a real
+    cluster, losing an executor permanently fails every consumer of
+    the cache instead of recomputing, where ``.cache()`` would rebuild
+    from lineage. That is the right trade in a single-JVM local
+    session (there is no separate executor to lose) and the wrong one
+    at 1000 executors, so the mode is env-selectable:
+
+    ``SPARK_GRAFT_SHARED_CACHE_MODE``
+      - ``localCheckpoint`` (default): plan truncation + executor
+        storage, local-mode posture;
+      - ``persist``: ``.persist(MEMORY_AND_DISK)`` — keeps lineage
+        (recomputable after executor loss) at the cost of consumers
+        re-embedding the full upstream plan;
+      - ``checkpoint``: reliable checkpoint to
+        ``spark.sparkContext.setCheckpointDir``'s location — plan
+        truncation AND durability, at the cost of writing the
+        partitions to the checkpoint filesystem. Falls back to an
+        automatic temp dir when no checkpoint dir is set.
+
+    Same session-lifetime semantics in all modes: storage lives and
     dies with the SparkSession, nothing persists across processes/runs.
     The build happens eagerly here (one job) rather than lazily on
     first action — for these caches the first consumer always
     materialized them anyway.
     """
+    import os
+    import tempfile
+
+    mode = os.environ.get("SPARK_GRAFT_SHARED_CACHE_MODE", "localCheckpoint")
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    if mode == "checkpoint":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(
+                tempfile.mkdtemp(prefix="spark-graft-checkpoint-")
+            )
+        return df.checkpoint()
+    if mode != "localCheckpoint":
+        raise ValueError(
+            "SPARK_GRAFT_SHARED_CACHE_MODE must be one of "
+            f"localCheckpoint|persist|checkpoint, got {mode!r}"
+        )
     return df.localCheckpoint()
 
 

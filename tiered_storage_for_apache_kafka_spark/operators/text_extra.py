@@ -504,7 +504,14 @@ def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             for src, lang, text in zip(
                 pdf["source"], pdf["lang"], pdf["text"]
             ):
-                t = (text or "")[:_DIVERSITY_CAP].lower()
+                if text is None:
+                    # SQL NULL semantics (ADVICE r13): the oracle's
+                    # expression yields NULL for NULL text — excluded
+                    # from SUM/MIN/MAX but counted in n_docs. Scoring
+                    # it 0 would skew min_simpson_e6.
+                    out.append((src, lang, None))
+                    continue
+                t = text[:_DIVERSITY_CAP].lower()
                 n = len(t)
                 if n == 0:
                     out.append((src, lang, 0))

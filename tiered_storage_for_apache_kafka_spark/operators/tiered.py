@@ -1102,15 +1102,25 @@ _UPSERT_CHANGELOG_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _upsert_head_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(event_type, n) live per-key counts at the upsert fixture's head."""
+    """(event_type, n) live per-key counts at the upsert fixture's head.
+
+    The cache key includes the table's CURRENT snapshot id (ADVICE
+    r13): head counts are a function of the head, so a future query
+    committing again to the fixture invalidates this entry by
+    construction instead of silently reading stale counts. The id
+    comes from one driver-side metadata read (~ms)."""
     from tiered_storage_for_apache_kafka_spark.sources.iceberg import (
         read_iceberg_table,
     )
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _current_state_meta,
+    )
 
-    key = _cache_key(spark, sf_dir)
+    tdir, _ = _ICEBERG_UPSERT_CACHE[_cache_key(spark, sf_dir)]
+    _v, meta, _t = _current_state_meta(tdir)
+    key = (*_cache_key(spark, sf_dir), meta.get("current-snapshot-id"))
     cached = _UPSERT_HEAD_CACHE.get(key)
     if cached is None:
-        tdir, _ = _ICEBERG_UPSERT_CACHE[key]
         cached = lineage_cut(
             read_iceberg_table(spark, tdir)
             .select(F.col("key").cast("string").alias("event_type"))
@@ -1148,10 +1158,17 @@ def _upsert_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_iceberg_changelog,
     )
 
-    key = _cache_key(spark, sf_dir)
+    from tiered_storage_for_apache_kafka_spark.sources.iceberg.state import (
+        _current_state_meta,
+    )
+
+    tdir, first_snapshot = _ICEBERG_UPSERT_CACHE[_cache_key(spark, sf_dir)]
+    # keyed on the head snapshot too: the changelog window ends at the
+    # CURRENT snapshot (same staleness rule as _upsert_head_counts)
+    _v, meta, _t = _current_state_meta(tdir)
+    key = (*_cache_key(spark, sf_dir), meta.get("current-snapshot-id"))
     cached = _UPSERT_CHANGELOG_CACHE.get(key)
     if cached is None:
-        tdir, first_snapshot = _ICEBERG_UPSERT_CACHE[key]
         cached = lineage_cut(
             read_iceberg_changelog(spark, tdir, first_snapshot).select(
                 F.col("key").cast("string").alias("event_type"),

@@ -50,8 +50,15 @@ def get_spark(
         # let the planner pick shuffled-hash join when its size checks
         # pass (guide §9): for moderate build sides it skips the sort
         # on both inputs; sort-merge remains the fallback whenever the
-        # hash side would not fit
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # hash side would not fit. Env-overridable (ADVICE r13): a
+        # shuffled-hash build side must fit per-task memory and
+        # degrades worse than SMJ under extreme skew, so a deployment
+        # can restore Spark's default with
+        # SPARK_GRAFT_PREFER_SMJ=true and no code change.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         # Iceberg-planned reads hand Spark explicit leaf-FILE lists
         # (no directory recursion); above this path count Spark spawns
         # a distributed listing JOB whose scheduling overhead dwarfs

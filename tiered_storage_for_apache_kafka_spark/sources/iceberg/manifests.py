@@ -109,6 +109,24 @@ def _dirs_if_complete(paths: list[str]) -> list[str] | None:
     return sorted(out)
 
 
+def _input_files_match(df, planned: list[str]) -> bool:
+    """Whether a directory-collapsed scan resolved to EXACTLY the
+    planned file set (see the TOCTOU guard in
+    :func:`_read_planned_files`). ``DataFrame.inputFiles`` reports
+    URIs (``file:`` scheme, percent-encoded), so each side normalizes
+    to raw paths before comparing; a literal ``+`` is a real ``+`` in
+    a URI path, so plain unquote (never unquote_plus) is correct."""
+    import re as _re
+    import urllib.parse as _up
+
+    actual = set()
+    for u in df.inputFiles():
+        if u.startswith("file:"):
+            u = _up.unquote(_re.sub("^file:/+", "/", u))
+        actual.add(u)
+    return actual == set(planned)
+
+
 def _read_planned_files(
     spark, table_dir: str, meta: dict, paths: list[str], project=None,
     schema_id: int | None = None,
@@ -152,11 +170,27 @@ def _read_planned_files(
     dfs = []
     for base, ps in _base_path_groups(table_dir, paths):
         if not renamed_table:
-            reader = spark.read.option("basePath", base)
-            if explicit is not None:
-                reader = reader.schema(explicit)
-            targets = _dirs_if_complete(ps) or sorted(ps)
-            df = reader.parquet(*targets)
+            def _reader():
+                r = spark.read.option("basePath", base)
+                return r if explicit is None else r.schema(explicit)
+
+            dirs = _dirs_if_complete(ps)
+            if dirs is not None:
+                df = _reader().parquet(*dirs)
+                # TOCTOU guard (ADVICE r13): between the listdir
+                # completeness check and Spark's own FileIndex listing,
+                # a concurrent writer can drop a new parquet file into
+                # the directory — silently widening the scan past the
+                # planned snapshot. The DataFrame's resolved FileIndex
+                # is final (listed once at construction), so comparing
+                # its inputFiles against the plan closes the race
+                # deterministically; any mismatch falls back to the
+                # explicit list. One cheap driver call, no extra
+                # listing job.
+                if _input_files_match(df, ps):
+                    dfs.append(df if project is None else project(df))
+                    continue
+            df = _reader().parquet(*sorted(ps))
             dfs.append(df if project is None else project(df))
             continue
         # RENAME-aware resolution (see schema.py "naming epochs"): the
