@@ -56,12 +56,24 @@ def main() -> None:
     # from a neighboring query's job polluting the wall clock, not plan
     # cost. A spike never reproduces on the same query twice, so min over
     # two passes measures the plan, not the scheduler's mood.
+    #
+    # Pass-1 times are ALSO reported (r14, additions-only fields
+    # `queries_cold` / `value_cold`): several cross-query shared
+    # materializations (tokens, signatures, BM25 postings, IVF cells,
+    # tiered records) are built inside some query's pass-1 cell, so the
+    # best-of-2 number for that query is its cache-READ time. The cold
+    # pass makes that build cost visible instead of letting it vanish
+    # from every reported number (r13 verdict "What's wrong #3"); the
+    # driver-contract fields (`value`, `queries`) are unchanged.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for _pass in range(2):
         for name in sorted(QUERIES):
             t0 = time.perf_counter()
             _force(QUERIES[name](spark, sf_dir))
             el = round(time.perf_counter() - t0, 4)
+            if _pass == 0:
+                cold[name] = el
             timings[name] = min(timings.get(name, el), el)
 
     total = round(sum(timings.values()), 4)
@@ -87,6 +99,8 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "queries_cold": cold,
+            "value_cold": round(sum(cold.values()), 4),
             "families": families,
             "family_regressions": regressions,
             "transform_mbps": transform_grid(
