@@ -131,6 +131,72 @@ _R13_WINDOW = [
     # q10_returned_items, q13_customer_distribution, q14_promo_revenue,
     # q15_top_supplier, q16_supplier_part_variety, q19_discount_eligible
 ]
+# ---------------------------------------------------------------------------
+# The r14 window (same rotation rule): (a) queries NEW this round,
+# (b) the mandatory r9-residue cohort the r13 window deferred here,
+# (c) an aggressive drain of the 49-query r10-verdict cohort (boundary
+# r15) — flagship/streaming/iceberg first; the 7 relational cells
+# trimmed from the END are r15's mandatory residue (each re-proven
+# every round by the oracle + parity suites regardless).
+_R14_WINDOW = [
+    # (a) new this round
+    "table_mode_segment_digest",
+    # (b) mandatory r9-verdict residue (staleness boundary r14)
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q19_discount_eligible",
+    # (c) r10-verdict cohort drain (42 of 49; boundary r15)
+    "streaming_user_totals_stateful",
+    "streaming_windowed_counts",
+    "streaming_cdc_mirror",
+    "streaming_cdc_upsert",
+    "iceberg_merge_upsert_scan",
+    "iceberg_eqconv_scan",
+    "iceberg_null_partition_scan",
+    "iceberg_rpd_evolution_scan",
+    "iceberg_rewrite_pos_deletes_scan",
+    "iceberg_multifield_partition_scan",
+    "iceberg_global_delete_evolution_scan",
+    "iceberg_sharded_writer_scan",
+    "iceberg_sorted_write_scan",
+    "iceberg_string_bounds_scan",
+    "iceberg_zorder_temporal_scan",
+    "iceberg_maintenance_soak",
+    "range_fetch_planning",
+    "dedup_exact",
+    "dedup_connected_components",
+    "dedup_substring_spans",
+    "minhash_signatures",
+    "simhash_fingerprint",
+    "simhash_near_dup_pairs",
+    "simhash64_near_dup_pairs",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "embedding_label_stats",
+    "bm25_topk_docs",
+    "multimodal_asset_catalog",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_png_decode",
+    "lang_id",
+    "text_quality",
+    "token_count",
+    "quality_classifier_score",
+    "quality_classifier_trained",
+    "dedup_lines_newline",
+    "bpe_train_merges",
+    "bpe_encode_token_count",
+    # r10 residue deferred to r15 (mandatory there): q1_pricing_summary,
+    # chunk_index_fixed, ntile_customer_quartiles, q6_forecast_revenue,
+    # scalar_base64_roundtrip, semi_anti_join_orders,
+    # set_ops_customer_segments
+]
 _R12_WINDOW = _R13_WINDOW  # backward-compatible aliases (older scripts)
 _R11_WINDOW = _R13_WINDOW
 _R10_WINDOW = _R13_WINDOW
@@ -140,8 +206,8 @@ _R8_WINDOW = _R13_WINDOW
 
 def _reorder() -> None:
     def arrange(d: dict) -> dict:
-        window = [n for n in _R13_WINDOW if n in d]
-        rest = [n for n in d if n not in _R13_WINDOW]
+        window = [n for n in _R14_WINDOW if n in d]
+        rest = [n for n in d if n not in _R14_WINDOW]
         return {n: d[n] for n in window + rest}
 
     q, o = arrange(QUERIES), arrange(ORACLES)
