@@ -197,11 +197,12 @@ _R14_WINDOW = [
     # scalar_base64_roundtrip, semi_anti_join_orders,
     # set_ops_customer_segments
 ]
-_R12_WINDOW = _R13_WINDOW  # backward-compatible aliases (older scripts)
-_R11_WINDOW = _R13_WINDOW
-_R10_WINDOW = _R13_WINDOW
-_R9_WINDOW = _R13_WINDOW
-_R8_WINDOW = _R13_WINDOW
+_R13_WINDOW = _R14_WINDOW  # backward-compatible aliases (older scripts
+_R12_WINDOW = _R14_WINDOW  # and tests read the CURRENT window through
+_R11_WINDOW = _R14_WINDOW  # these names)
+_R10_WINDOW = _R14_WINDOW
+_R9_WINDOW = _R14_WINDOW
+_R8_WINDOW = _R14_WINDOW
 
 
 def _reorder() -> None:
