@@ -466,11 +466,24 @@ def test_source_mixture_window_is_post_agg_only(spark):
 
 
 def test_q2_dims_broadcast_single_fact_shuffle(spark):
-    """Q2's supplier→nation→region chain and the part dim must broadcast;
-    the only shuffles are the (part, supplier) agg and its per-part
-    re-aggregation — never a fact-fact sort-merge join."""
+    """Q2's supplier→nation→region chain and the part dim must broadcast,
+    and lineitem is read ONCE: the per-part minimum attaches as a window
+    MIN over the (part, supplier) aggregates (r14) — the re-aggregate-and-
+    join-back form duplicated the whole lineitem subtree."""
     plan = plan_of(QUERIES["q2_min_cost_supplier"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("lineitem.parquet") <= 1
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_single_lineitem_scan_window_total(spark):
+    """Q11's grand total is a window sum over the per-brand aggregates —
+    re-aggregating the brand frame re-scanned lineitem (2 scans, 2
+    joins); the window form reads lineitem once."""
+    plan = plan_of(QUERIES["q11_important_brands"](spark, SF))
+    assert plan.count("lineitem.parquet") <= 1
+    assert "Window" in plan
     assert "CartesianProduct" not in plan
 
 

@@ -80,7 +80,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Without partsupp, the observed minimum line price stands in for
     ps_supplycost (same plan, different column). Parity:
     reference has no relational engine; shape follows TPC-H spec Q2.
+
+    The per-part minimum attaches as a window MIN over the (part,
+    supplier) aggregates instead of re-aggregating and joining back —
+    exact decimal compare keeps ties identically, and lineitem is
+    scanned once instead of twice.
     """
+    from pyspark.sql.window import Window
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
     )
@@ -99,18 +105,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("price").alias("best_price"))
     )
-    part_min = offer.groupBy(F.col("l_partkey").alias("pm_partkey")).agg(
-        F.min("best_price").alias("min_price")
-    )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    best = offer.withColumn(
+        "min_price", F.min("best_price").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("best_price") == F.col("min_price"))
     return (
-        offer.join(
-            part_min,
-            (offer.l_partkey == F.col("pm_partkey"))
-            & (offer.best_price == F.col("min_price")),
-        )
-        .join(F.broadcast(rs), offer.l_suppkey == rs.s_suppkey)
-        .join(F.broadcast(p), offer.l_partkey == p.p_partkey)
+        best.join(F.broadcast(rs), best.l_suppkey == rs.s_suppkey)
+        .join(F.broadcast(p), best.l_partkey == p.p_partkey)
         .select(
             "p_partkey",
             "p_brand",

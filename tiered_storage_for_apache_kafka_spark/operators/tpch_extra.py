@@ -546,7 +546,13 @@ def q11_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, keep groups above threshold. The keep/drop comparison is
     decimal-exact cross-multiplication (`25 * value > total`), so both
     engines agree at the boundary; only the reported share is a rounded
-    double."""
+    double.
+
+    The grand total is a window sum over the ~|brands| aggregated rows
+    (exact decimal arithmetic, same value as re-aggregating), so lineitem
+    is scanned once instead of twice."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     brand = (
@@ -554,9 +560,11 @@ def q11_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.sum(_disc_price()).cast("decimal(38,6)").alias("brand_value"))
     )
-    tot = brand.agg(F.sum("brand_value").cast("decimal(38,6)").alias("total_value"))
     return (
-        brand.crossJoin(F.broadcast(tot))
+        brand.withColumn(
+            "total_value",
+            F.sum("brand_value").over(Window.partitionBy()).cast("decimal(38,6)"),
+        )
         .filter(F.lit(25) * F.col("brand_value") > F.col("total_value"))
         .select(
             "p_brand",
