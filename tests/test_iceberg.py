@@ -1615,6 +1615,60 @@ class TestColumnBoundsPruning:
             10,
         )
 
+    def test_ensure_banded_table_one_file_and_commit_per_band(self, spark):
+        """The shared banded-table builder (one partitioned write job +
+        metadata-only band commits, r14) must preserve the loop-built
+        layout's invariants: exactly one snapshot per non-empty offset
+        band, committed in ascending band order, and exactly one data
+        file per (band, partition) with per-file offset bounds inside
+        the band's window — the contract the bounds/incremental/
+        streaming consumers (and their oracles' file census) depend on."""
+        import struct as _s
+
+        from tiered_storage_for_apache_kafka_spark.operators.tiered import (
+            BOUNDS_BAND,
+            _ensure_banded_table,
+        )
+        from tiered_storage_for_apache_kafka_spark.sources import iceberg as ice
+
+        tdir = _ensure_banded_table(spark, "/root/testdata/sf0.001")
+        files = ice.plan_scan(tdir)
+        meta = ice.read_table_metadata(tdir)["metadata"]
+        fid = ice._leaf_field_ids(meta["schemas"][0])["kafka.offset"]
+
+        def band_of(f):
+            lo = next(kv["value"] for kv in f["lower_bounds"] if kv["key"] == fid)
+            hi = next(kv["value"] for kv in f["upper_bounds"] if kv["key"] == fid)
+            lo, hi = _s.unpack("<q", lo)[0], _s.unpack("<q", hi)[0]
+            assert lo // BOUNDS_BAND == hi // BOUNDS_BAND  # inside one band
+            return lo // BOUNDS_BAND
+
+        per_group: dict[tuple, int] = {}
+        for f in files:
+            key = (band_of(f), f["file_path"].rsplit("/partition=", 1)[1][0])
+            per_group[key] = per_group.get(key, 0) + 1
+        assert per_group and set(per_group.values()) == {1}  # 1 file/group
+        n_bands = len({b for b, _ in per_group})
+        snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+        assert len(snaps) == n_bands  # one commit per non-empty band
+        # commits ascend in band order: each snapshot's appended files
+        # (per the incremental-scan planner the consumers actually use)
+        # all belong to one band, and those bands strictly increase
+        from tiered_storage_for_apache_kafka_spark.sources.iceberg.incremental import (
+            plan_incremental_scan,
+        )
+
+        by_file = {f["file_path"]: band_of(f) for f in files}
+        seen = []
+        for prev, cur in zip(snaps, snaps[1:]):
+            added = plan_incremental_scan(
+                tdir, prev["snapshot-id"], cur["snapshot-id"]
+            )
+            bands = {by_file[f["file_path"]] for f in added}
+            assert len(bands) == 1
+            seen.append(bands.pop())
+        assert seen == sorted(seen) and len(seen) == n_bands - 1
+
 
 
 class TestColumnStatsSafety:
